@@ -1,0 +1,190 @@
+package newspipe.dq
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Config-driven data-quality framework — the reference's only "engine-like"
+  * component (`DataQualityChecker` + `run_dq_from_config`,
+  * _lib_dq_helpers.py:105-190), rebuilt twice:
+  *
+  *  - [[NativeDq]] — the scale design: ONE pass tags every row with a
+  *    `VIOLATIONS array<string>` column; valid/quarantined are filters over
+  *    the tagged frame. No per-rule `.count()` actions (reference quirk Q1:
+  *    each rule re-scans the input), no bad-key union/join round-trip
+  *    (quirk Q2: keys from different columns pollute one positional union),
+  *    and null keys are flagged rather than silently surviving the equi-join
+  *    (quirk Q3).
+  *  - [[LegacyDq]] — behavioral parity with the reference, quirks included,
+  *    kept for differential tests.
+  */
+sealed trait DqRule
+/** Schema must contain these columns (_lib:133-136). */
+final case class RequiredColumns(columns: Seq[String]) extends DqRule
+/** Per column: null OR empty string is a violation (_lib:123-131). */
+final case class NotNull(columns: Seq[String]) extends DqRule
+/** Rows sharing a key tuple that occurs more than once are violations (_lib:138-145). */
+final case class UniqueKeys(columns: Seq[String]) extends DqRule
+
+/** Typed mirror of the reference's `dq_config` dict (_lib:105-111). */
+final case class DqConfig(
+    table: String,
+    requiredColumns: Seq[String] = Nil,
+    notNull: Seq[String] = Nil,
+    uniqueKeys: Seq[String] = Nil) {
+  def rules: Seq[DqRule] =
+    (if (requiredColumns.nonEmpty) Seq(RequiredColumns(requiredColumns)) else Nil) ++
+    (if (notNull.nonEmpty) Seq(NotNull(notNull)) else Nil) ++
+    (if (uniqueKeys.nonEmpty) Seq(UniqueKeys(uniqueKeys)) else Nil)
+}
+
+object DqConfig {
+  /** The reference's shipped config for news_articles (_lib:105-111). */
+  val newsArticles: DqConfig = DqConfig(
+    table = "news_articles",
+    requiredColumns = Seq("title", "publishedAt", "url"),
+    notNull = Seq("title", "publishedAt", "url"),
+    uniqueKeys = Seq("url"))
+}
+
+/** Split result. `issues` materializes lazily (one agg job) in native mode. */
+final case class DqResult(
+    valid: DataFrame,
+    quarantined: Option[DataFrame],
+    issues: () => Seq[String])
+
+object NativeDq {
+
+  val ViolationsCol = "VIOLATIONS"
+
+  /** Tag every row with its violations in one declarative plan.
+    *
+    * Shuffle budget: zero for not-null rules; exactly one hash shuffle on the
+    * unique-key columns (a window count — the minimum any duplicate detection
+    * needs). At 100 TB this is the same shuffle a groupBy-dedup would pay,
+    * with no driver round-trips and no join back.
+    */
+  def tag(df: DataFrame, config: DqConfig): DataFrame = {
+    val missing = config.requiredColumns.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"Missing required columns: ${missing.mkString(", ")}")
+
+    val notNullChecks: Seq[Column] = config.notNull
+      .filter(df.columns.contains)
+      .map(c => when(col(c).isNull || col(c) === "",
+        lit(s"null_or_empty_column:$c")))
+
+    val base = if (config.uniqueKeys.nonEmpty) {
+      val w = Window.partitionBy(config.uniqueKeys.map(col): _*)
+      df.withColumn("__key_count", count(lit(1)).over(w))
+    } else df
+
+    val dupCheck: Seq[Column] =
+      if (config.uniqueKeys.nonEmpty)
+        Seq(when(col("__key_count") > 1,
+          lit(s"duplicate_key:${config.uniqueKeys.mkString(",")}")))
+      else Nil
+
+    val all = notNullChecks ++ dupCheck
+    val violations =
+      if (all.isEmpty) array().cast("array<string>")
+      else filter(array(all: _*), _.isNotNull)
+
+    base.withColumn(ViolationsCol, violations).drop("__key_count")
+  }
+
+  /** Run the config: returns valid rows (violations stripped), quarantined
+    * rows (violations kept for the quarantine `reason`), and a lazy issue
+    * summary (one distinct-collect over the quarantined slice).
+    */
+  def run(df: DataFrame, config: DqConfig): DqResult = {
+    val tagged = tag(df, config)
+    val valid = tagged.filter(size(col(ViolationsCol)) === 0).drop(ViolationsCol)
+    val bad = tagged.filter(size(col(ViolationsCol)) > 0)
+    val issues = () => bad
+      .select(explode(col(ViolationsCol)).as("v"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    DqResult(valid, Some(bad), issues)
+  }
+}
+
+/** Reference-parity implementation, quirks and all:
+  *
+  *  - per-rule eager `.count()` (quirk Q1 — kept so differential tests can
+  *    observe identical issue strings and row routing);
+  *  - bad keys accumulated by POSITIONAL union of single-column frames from
+  *    different rules, joined back on the first rule's column name (quirk Q2);
+  *  - null keys never match the inner equi-join, so null-keyed rows are NOT
+  *    quarantined — only empty strings are (quirk Q3).
+  *
+  * Cites _lib_dq_helpers.py:116-163 and the inline duplicate at
+  * 02_silver_transformation_news_articles.py:174-222.
+  */
+final class LegacyDq(df: DataFrame, tableName: String = "") {
+  private var issues = Vector.empty[String]
+  private var badKeys: Option[DataFrame] = None
+
+  /** _lib:123-131 — null-or-empty per column; bad VALUES become keys. */
+  def checkNotNull(columns: Seq[String]): this.type = {
+    columns.foreach { c =>
+      val bad = df.filter(col(c).isNull || col(c) === "")
+      if (bad.count() > 0) { // eager, per rule — quirk Q1, preserved
+        issues :+= s"Null or empty values in column '$c'"
+        val keys = bad.select(c).dropDuplicates()
+        badKeys = badKeys match {
+          case None       => Some(keys)
+          case Some(prev) => Some(prev.union(keys).dropDuplicates()) // positional — quirk Q2
+        }
+      }
+    }
+    this
+  }
+
+  /** _lib:133-136 — schema-only check, contributes no bad keys. */
+  def checkColumnExists(columns: Seq[String]): this.type = {
+    val missing = columns.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      issues :+= s"Missing required columns: ${missing.mkString(", ")}"
+    this
+  }
+
+  /** _lib:138-145 — groupBy-count duplicate keys. */
+  def checkDuplicates(subset: Seq[String]): this.type = {
+    val dupKeys = df.groupBy(subset.map(col): _*).count()
+      .filter("count > 1").drop("count")
+    if (dupKeys.count() > 0) {
+      badKeys = badKeys match {
+        case None       => Some(dupKeys)
+        case Some(prev) => Some(prev.union(dupKeys).dropDuplicates())
+      }
+      issues :+= s"Duplicate keys detected on: ${subset.mkString(", ")}"
+    }
+    this
+  }
+
+  def reportedIssues: Seq[String] = issues
+
+  /** _lib:157-163 — inner join (bad) / left-anti join (valid) on the bad-key
+    * frame's column names. Inner (not semi) join preserved: duplicate keys
+    * re-multiply matching rows exactly as the reference does.
+    */
+  def validInvalid(): (DataFrame, Option[DataFrame]) = badKeys match {
+    case Some(keys) =>
+      val keyCols = keys.columns.toSeq
+      val bad = df.join(keys, keyCols, "inner")
+      val valid = df.join(keys, keyCols, "left_anti")
+      (valid, Some(bad))
+    case None => (df, None)
+  }
+}
+
+object LegacyDq {
+  /** _lib:171-190 `run_dq_from_config`, same rule order. */
+  def run(df: DataFrame, config: DqConfig): DqResult = {
+    val dq = new LegacyDq(df, config.table)
+    if (config.requiredColumns.nonEmpty) dq.checkColumnExists(config.requiredColumns)
+    if (config.notNull.nonEmpty) dq.checkNotNull(config.notNull)
+    if (config.uniqueKeys.nonEmpty) dq.checkDuplicates(config.uniqueKeys)
+    val (valid, bad) = dq.validInvalid()
+    DqResult(valid, bad, () => dq.reportedIssues)
+  }
+}
