@@ -2,6 +2,7 @@ package graft
 
 import newspipe.dq.{DqConfig, NativeDq}
 import newspipe.functions.{Keys, SentimentAnalyzer, TextFunctions}
+import newspipe.ops.{Dedup, Similarity, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
@@ -90,7 +91,8 @@ object SparkEntry {
     // nanosecond timestamp type); convert via timestamp_micros.
     "q11_event_trends" -> ((s, dir) => {
       t(s, dir, "events")
-        .groupBy(to_date(timestamp_micros(expr("ts DIV 1000"))).as("event_date"),
+        .groupBy(date_format(to_date(timestamp_micros(expr("ts DIV 1000"))),
+            "yyyy-MM-dd").as("event_date"),
           col("event_type"))
         .count()
         .orderBy("event_date", "event_type")
@@ -125,7 +127,8 @@ object SparkEntry {
           lower(col("o_orderpriority")).as("prio_lower"),
           substring(col("o_orderpriority"), 1, 3).as("prio3"),
           length(col("o_orderpriority")).as("prio_len"),
-          to_date(col("o_orderdate")).as("order_date"))
+          // stringified so the parquet-vs-DuckDB date representation can't skew the hash
+          date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("order_date"))
         .orderBy("o_orderkey")
     }),
 
@@ -264,6 +267,134 @@ object SparkEntry {
       val (ds, da, fact) = newspipe.pipeline.Gold.build(silver, keyMode = "md5")
       fact.select("ARTICLE_ID", "SOURCE_ID", "AUTHOR_ID", "DOMAIN", "COUNTRY", "URL")
         .orderBy("URL")
+    }),
+
+    // ---- Extension: deduplication (§7) --------------------------------------
+
+    // Exact dedup groups: one shuffle on the content digest
+    "q22_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", Seq("text"))
+        .orderBy("content_hash")
+    }),
+
+    // MinHash-LSH candidates → exact n-gram Jaccard verify (≥ 0.8).
+    // Oracle is the brute-force all-pairs Jaccard — LSH recall at this
+    // threshold must be (and is) total for the planted ~0.95+ dups.
+    "q26_minhash_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      Dedup.jaccardVerify(cand, docs, "doc_id", "text", threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup candidate pairs (hamming ≤ 3 on 64-bit signatures)
+    "q27_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- Extension: similarity search (§7) ----------------------------------
+
+    // Exact brute-force cosine top-k (ANN baseline); double math to match
+    // the oracle's DOUBLE[] cosine bit-for-bit within round(6)
+    "q28_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"),
+          col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Embedding-cosine near-dup pairs, exact all-pairs (oracle-checked);
+    // the LSH-bucketed scale path is recall-tested in SimilaritySpec
+    "q29_cosine_pairs" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"))
+      val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+        .filter(col("cos") >= 0.45)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- Extension: text analysis (§7) --------------------------------------
+
+    // Token counting: whitespace + BPE-ish regex
+    "q23_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextStats.wordCount(col("text")).as("word_count"),
+          TextStats.bpeishTokenCount(col("text")).as("bpeish_count"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: punctuation / stopword / word-length heuristics
+    "q24_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          round(TextStats.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextStats.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          round(TextStats.avgWordLen(col("text")), 6).as("avg_word_len"),
+          round(TextStats.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting: md5-of-normalized + rolling hash
+    "q25_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextStats.normalizedFingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // Language ID (function-word profiles, per-row argmax — no oracle:
+    // heuristic kernel, verified in TextStatsSpec)
+    "q30_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextStats.langId(col("text")).as("pred_lang"),
+          col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Extension: windowed events + sketches (§7) --------------------------
+
+    // Tumbling 1h windowed counts (batch form; streaming variant with
+    // watermark in StreamingSilver, parity-tested in StreamingSpec)
+    "q31_window_tumbling" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts2", timestamp_micros(expr("ts DIV 1000")))
+      ev.groupBy(window(col("ts2"), "1 hour"), col("event_type"))
+        .count()
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"), col("event_type"), col("count"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // HLL distinct sketch (approx_count_distinct; rows-only — approximate)
+    "q32_hll_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+          countDistinct("l_partkey").as("exact_parts"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- Extension: multimodal plumbing (§7, stubbed kernels) ----------------
+
+    // Binary payload → per-partition feature extraction (decode STUBbed,
+    // plumbing real); aggregates so the result is compact at any SF
+    "q33_media_features" -> ((s, dir) => {
+      val media = newspipe.multimodal.Media.synthetic(s, 1000L)
+      newspipe.multimodal.Media.extractFeatures(media, dim = 8).toDF()
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"))
+        .orderBy("kind")
     })
   )
 
@@ -293,7 +424,8 @@ object SparkEntry {
         |GROUP BY source ORDER BY count DESC, source""".stripMargin,
 
     "q11_event_trends" ->
-      """SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS count
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+        |  event_type, count(*) AS count
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q12_lang_distribution" ->
@@ -312,7 +444,7 @@ object SparkEntry {
         |  lower(o_orderpriority) AS prio_lower,
         |  substr(o_orderpriority, 1, 3) AS prio3,
         |  CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
-        |  CAST(o_orderdate AS DATE) AS order_date
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q03_filter" ->
@@ -381,6 +513,118 @@ object SparkEntry {
         |WHERE l_returnflag IS NOT NULL AND l_returnflag <> ''
         |  AND l_orderkey IN (
         |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING count(*) = 1)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // ---- extension-track oracles -------------------------------------------
+    // (q27 simhash, q30 langid, q32 hll, q33 media are rows-only: JVM-hash /
+    // heuristic / approximate / synthetic kernels with no ANSI equivalent)
+
+    "q22_dedup_exact" ->
+      """SELECT md5(coalesce(text, '')) AS content_hash,
+        |  min(doc_id) AS keeper_id, count(*) AS group_size
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q23_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> len(x) > 0)) AS INTEGER) AS word_count,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]+'))
+        |    AS INTEGER) AS bpeish_count
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q24_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+        |      x -> len(x) > 0) AS tk,
+        |    len(text) AS n,
+        |    len(text) - len(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS np
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n = 0 THEN 0.0 ELSE np / CAST(n AS DOUBLE) END AS pr,
+        |    CASE WHEN len(tk) = 0 THEN 0.0
+        |      ELSE len(list_filter(tk, x -> list_contains(
+        |        ['the','a','an','and','or','of','to','in','is','it','that','was',
+        |         'for','on','are','as','with','at','by','this','be','from','not',
+        |         'but','they','his','her'], x))) / CAST(len(tk) AS DOUBLE)
+        |    END AS sr,
+        |    CASE WHEN len(tk) = 0 THEN 0.0
+        |      ELSE list_sum(list_transform(tk, x -> CAST(len(x) AS BIGINT)))
+        |        / CAST(len(tk) AS DOUBLE) END AS awl,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> len(x) > 0)) AS wc
+        |  FROM toks)
+        |SELECT doc_id,
+        |  round(pr, 6) AS punct_ratio,
+        |  round(sr, 6) AS stopword_ratio,
+        |  round(awl, 6) AS avg_word_len,
+        |  round((CASE WHEN wc BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.3
+        |    + (CASE WHEN sr >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.3
+        |    + (CASE WHEN pr <= 0.3 THEN 1.0 ELSE 0.0 END) * 0.2
+        |    + (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+        |    6) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q25_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q26_minhash_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tk) - 2, 1)),
+        |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS s
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+        |        x -> len(x) > 0) AS tk
+        |    FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.s, b.s)) /
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE),
+        |    6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) /
+        |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |  >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q28_ann_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+        |      AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q29_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+        |    6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        |  >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q31_window_tumbling" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+        |    '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS count
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,125 @@
+package newspipe.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (extension track, SURVEY.md §7).
+  *
+  * Design: image/audio/video payloads are opaque `binary` columns with a
+  * typed metadata struct, so the 100 TB pipeline can shuffle/filter/join on
+  * metadata without touching bytes, and only the per-partition kernel ever
+  * decodes. The Spark-side plumbing — schema, encoders, partition-wise batch
+  * processing, feature extraction shape — is real and tested; the decode
+  * kernels are DETERMINISTIC STUBS (this container has no image/audio
+  * libraries) marked `// STUB:` at each site. Swapping in a real codec is a
+  * one-function change per kernel.
+  */
+object Media {
+
+  /** media(media_id, kind, payload binary, meta struct) — the lake schema. */
+  val schema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),      // image | audio | video
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("format", StringType),
+      StructField("duration_ms", LongType))))))
+
+  final case class MediaMeta(width: Option[Int], height: Option[Int],
+      format: Option[String], duration_ms: Option[Long])
+  final case class MediaRow(media_id: Long, kind: String,
+      payload: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(media_id: Long, kind: String,
+      feature: Array[Float], n_bytes: Long)
+
+  /** Deterministic synthetic media table for tests/bench: payload bytes are
+    * a seeded function of media_id (stands in for real blobs; sizes vary so
+    * batch-shape handling is exercised).
+    */
+  def synthetic(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("id") % 3 + 1).cast("int")).as("kind"),
+      // payload: sha2 hex of the id, repeated — deterministic, 64-512 bytes
+      encode(repeat(sha2(col("id").cast("string"), 256),
+        (col("id") % 8 + 1).cast("int")), "utf-8").as("payload"),
+      struct(
+        (col("id") % 640 + 64).cast("int").as("width"),
+        (col("id") % 480 + 48).cast("int").as("height"),
+        element_at(array(lit("png"), lit("wav"), lit("mp4")),
+          (col("id") % 3 + 1).cast("int")).as("format"),
+        (col("id") % 60000).as("duration_ms")).as("meta"))
+
+  /** Per-partition feature extraction: decode → fixed-size float vector.
+    * The partition iterator IS the batch boundary (mirrors mapInPandas
+    * batch semantics): rows stream through without materializing the
+    * partition, and the kernel amortizes any per-batch setup across the
+    * partition.
+    */
+  def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-partition setup would go here (codec init, model load)
+      rows.map { r =>
+        val bytes = if (r.payload == null) Array.empty[Byte] else r.payload
+        // STUB: real kernel = decode(bytes) → model features. Deterministic
+        // fake: k-strided byte histogram, normalized — stable shape + value.
+        val f = new Array[Float](dim)
+        var i = 0
+        while (i < bytes.length) { f(i % dim) += (bytes(i) & 0xff) / 255.0f; i += 1 }
+        val norm = math.sqrt(f.map(x => x * x).sum).toFloat
+        val feat = if (norm == 0f) f else f.map(_ / norm)
+        MediaFeatures(r.media_id, r.kind, feat, bytes.length.toLong)
+      }
+    }
+  }
+
+  /** Image resize plumbing: metadata-aware binary→binary map. */
+  def resizeImages(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val resized = media.filter(col("kind") === "image").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val w = r.meta.width.getOrElse(0)
+          val h = r.meta.height.getOrElse(0)
+          val scale = math.min(1.0, math.min(maxW.toDouble / math.max(w, 1),
+            maxH.toDouble / math.max(h, 1)))
+          val nw = math.max(1, (w * scale).toInt)
+          val nh = math.max(1, (h * scale).toInt)
+          // STUB: real kernel = decode → scale → re-encode. Fake keeps the
+          // payload, truncated proportionally to the area ratio, so
+          // downstream size accounting behaves like a real resize.
+          val keep = math.max(1, (r.payload.length * scale * scale).toInt)
+          r.copy(payload = r.payload.take(keep),
+            meta = r.meta.copy(width = Some(nw), height = Some(nh)))
+        }
+      }
+    resized.toDF()
+  }
+
+  /** Video frame sampling plumbing: one output row per sampled frame,
+    * `frame_idx` stamped — the explode-shaped kernel (1 row → N rows).
+    */
+  def sampleFrames(media: DataFrame, everyMs: Long = 1000L,
+      maxFrames: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video").as[MediaRow]
+      .flatMap { r =>
+        val dur = r.meta.duration_ms.getOrElse(0L)
+        val n = math.min(maxFrames.toLong, math.max(1L, dur / math.max(everyMs, 1L))).toInt
+        (0 until n).map { i =>
+          // STUB: real kernel = seek+decode frame i. Fake: slice of payload.
+          val sliceLen = math.max(1, r.payload.length / n)
+          (r.media_id, i, r.payload.slice(i * sliceLen, (i + 1) * sliceLen))
+        }
+      }
+      .toDF("media_id", "frame_idx", "frame_payload")
+  }
+}

@@ -1,0 +1,152 @@
+package newspipe.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column `array<float>` (extension
+  * track, SURVEY.md §7).
+  *
+  * Two paths, per the 100 TB design brief:
+  *  - [[bruteForceTopK]] — exact cosine top-k, the correctness baseline.
+  *    Queries are broadcast (a query set is dim-table-sized); the corpus is
+  *    scanned once, k survivors per query via window rank. Scales linearly
+  *    in corpus size — the right tool up to "queries × corpus" flops budget.
+  *  - [[lshTopK]] — random-hyperplane LSH: per-row bit signature (no
+  *    shuffle), candidates = same-bucket rows (one shuffle on bucket),
+  *    exact cosine re-rank of candidates only. The scale path: cost is
+  *    per-bucket, not per-corpus.
+  *
+  * All dot products are native `aggregate`/`zip_with` expressions —
+  * codegen-friendly, no UDF in the brute-force hot path.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns (null-safe: null if
+    * either side is null or zero-norm).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
+    when(na === 0 || nb === 0, lit(null)).otherwise(dot / (na * nb))
+  }
+
+  /** L2 norm of a float-array column. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  /** Exact top-k neighbors for every row of `queries` against `corpus`.
+    *
+    * @param queries (idCol, vecCol) — small; broadcast to every executor.
+    * @param corpus  (idCol, vecCol) — arbitrarily large; scanned once.
+    * @return (query_id, neighbor_id, cos) with rank ≤ k per query,
+    *         self-matches excluded.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Deterministic random hyperplanes: `nbits × dim` floats in [-1, 1],
+    * seeded — identical on every executor and across runs.
+    */
+  private[ops] def hyperplanes(dim: Int, nbits: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nbits)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+  }
+
+  /** Random-hyperplane signature: bit j = sign(v · plane_j). The plane
+    * matrix is tiny (nbits × dim floats), generated deterministically from
+    * the seed and closed over by an in-JVM UDF.
+    */
+  def rhpSignature(dim: Int, nbits: Int = 16, seed: Long = 42L): Column => Column = {
+    val planes = hyperplanes(dim, nbits, seed)
+    val f = udf { v: Seq[Float] =>
+      if (v == null) null.asInstanceOf[java.lang.Long]
+      else {
+        var sig = 0L
+        var j = 0
+        while (j < planes.length) {
+          val p = planes(j)
+          var dot = 0.0f
+          var i = 0
+          val n = math.min(p.length, v.length)
+          while (i < n) { dot += p(i) * v(i); i += 1 }
+          if (dot >= 0) sig |= (1L << j)
+          j += 1
+        }
+        java.lang.Long.valueOf(sig)
+      }
+    }
+    (c: Column) => f(c)
+  }
+
+  /** LSH-bucketed ANN: bucket by RHP signature, exact cosine within the
+    * union of each query's probe buckets, top-k re-rank. `probes` flips of
+    * the lowest bits trade recall for cost (multi-probe LSH).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int = 10, nbits: Int = 12,
+      probes: Int = 4, seed: Long = 42L): DataFrame = {
+    val sigOf = rhpSignature(dim, nbits, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      sigOf(col(vecCol)).as("__bucket"))
+    // query probe set: its own bucket + single-bit flips of the lowest bits
+    val probeUdf = udf { (sig: java.lang.Long) =>
+      if (sig == null) Seq.empty[Long]
+      else Seq(sig.longValue) ++ (0 until (probes - 1)).map(b => sig.longValue ^ (1L << b))
+    }
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qv"), sigOf(col(vecCol)).as("__qsig"))
+      .withColumn("__bucket", explode(probeUdf(col("__qsig")))))
+    val scored = c.join(q, Seq("__bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .dropDuplicates("query_id", "neighbor_id")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold):
+    * LSH buckets → in-bucket pairs → exact cosine filter. The
+    * embedding-space analog of [[Dedup.minhashCandidates]].
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double = 0.95, nbits: Int = 12,
+      seed: Long = 42L, maxBucket: Int = 2000): DataFrame = {
+    val sigOf = rhpSignature(dim, nbits, seed)
+    val sigd = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sigOf(col(vecCol)).as("bucket"))
+    val bucketed = sigd.groupBy("bucket")
+      .agg(collect_list(struct(col("id"), col("v"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+    val prs = bucketed.select(explode(vecPairs(sort_array(col("xs")))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"),
+        col("p.va").as("va"), col("p.vb").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+    prs.withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  private def vecPairs(xs: Column): Column =
+    flatten(transform(xs, (x, i) =>
+      transform(slice(xs, i + 2, size(xs)), y =>
+        struct(x.getField("id").as("a"), y.getField("id").as("b"),
+          x.getField("v").as("va"), y.getField("v").as("vb")))))
+}

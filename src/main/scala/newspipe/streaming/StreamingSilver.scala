@@ -1,0 +1,57 @@
+package newspipe.streaming
+
+import newspipe.pipeline.Silver
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming extension (SURVEY.md §7; the reference lists
+  * streaming as future work, docs/pipeline_overview.md:163).
+  *
+  * The silver transform is a pure DataFrame => DataFrame, so the SAME code
+  * runs on a stream: `readStream` source → [[Silver.transform]] →
+  * watermarked windowed aggregation → sink. Batch/stream parity is tested
+  * by running both paths over the same rows (StreamingSpec).
+  */
+object StreamingSilver {
+
+  /** Streaming silver: the batch transform applied to a streaming bronze
+    * frame. dropDuplicates on a stream requires a watermark to bound state;
+    * we watermark on publishedAt before the transform's dedup.
+    */
+  def transform(bronzeStream: DataFrame, watermark: String = "1 hour"): DataFrame =
+    Silver.transform(bronzeStream.withWatermark("publishedAt", watermark))
+
+  /** Tumbling-window sentiment trend over a silver stream: the streaming
+    * form of the gold sentiment-trends model (ref 03:140-146). State is
+    * bounded by the watermark; late rows beyond it are dropped (documented
+    * completeness/latency trade).
+    */
+  def sentimentTrendsWindowed(silverStream: DataFrame,
+      window_ : String = "1 day", watermark: String = "1 day"): DataFrame =
+    silverStream
+      .withColumn("__ts", col("PUBLISHED_DATE").cast("timestamp"))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), window_), col("SENTIMENT_LABEL"))
+      .count()
+      .select(col("window.start").as("window_start"),
+        col("SENTIMENT_LABEL"), col("count"))
+
+  /** Generic windowed event counts (tumbling or sliding) with watermarked
+    * late-data handling — the events-table streaming workload.
+    * `ts` is a timestamp column name; slide == size ⇒ tumbling.
+    */
+  def windowedEventCounts(events: DataFrame, tsCol: String,
+      keyCol: String, size: String = "1 hour", slide: Option[String] = None,
+      watermark: String = "2 hours"): DataFrame = {
+    val win = slide match {
+      case Some(s) => window(col(tsCol), size, s)
+      case None    => window(col(tsCol), size)
+    }
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(win, col(keyCol))
+      .count()
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol), col("count"))
+  }
+}
