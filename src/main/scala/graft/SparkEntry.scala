@@ -569,7 +569,7 @@ object SparkEntry {
 
     "q25_fingerprint" ->
       """SELECT doc_id,
-        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q26_minhash_jaccard" ->

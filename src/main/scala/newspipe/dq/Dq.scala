@@ -57,6 +57,17 @@ object NativeDq {
 
   val ViolationsCol = "VIOLATIONS"
 
+  /** The reference's null-or-empty predicate (_lib:125) compares every column
+    * to "" regardless of type; under Spark 4 ANSI mode casting "" to a
+    * timestamp/number throws, so the empty-string arm applies to STRING
+    * columns only (identical behavior for strings, well-defined for the rest).
+    */
+  private[dq] def nullOrEmpty(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.StringType => col(c).isNull || col(c) === ""
+      case _ => col(c).isNull
+    }
+
   /** Tag every row with its violations in one declarative plan.
     *
     * Shuffle budget: zero for not-null rules; exactly one hash shuffle on the
@@ -70,8 +81,7 @@ object NativeDq {
 
     val notNullChecks: Seq[Column] = config.notNull
       .filter(df.columns.contains)
-      .map(c => when(col(c).isNull || col(c) === "",
-        lit(s"null_or_empty_column:$c")))
+      .map(c => when(nullOrEmpty(df, c), lit(s"null_or_empty_column:$c")))
 
     val base = if (config.uniqueKeys.nonEmpty) {
       val w = Window.partitionBy(config.uniqueKeys.map(col): _*)
@@ -126,7 +136,7 @@ final class LegacyDq(df: DataFrame, tableName: String = "") {
   /** _lib:123-131 — null-or-empty per column; bad VALUES become keys. */
   def checkNotNull(columns: Seq[String]): this.type = {
     columns.foreach { c =>
-      val bad = df.filter(col(c).isNull || col(c) === "")
+      val bad = df.filter(NativeDq.nullOrEmpty(df, c))
       if (bad.count() > 0) { // eager, per rule — quirk Q1, preserved
         issues :+= s"Null or empty values in column '$c'"
         val keys = bad.select(c).dropDuplicates()

@@ -116,7 +116,7 @@ object TextStats {
     * join-key form of exact near-identity (native, codegen).
     */
   def normalizedFingerprint(text: Column): Column =
-    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
   /** 64-bit rolling polynomial hash (Rabin-Karp, base 257, mod 2^64) over
     * the normalized text — order-sensitive, cheap to compute incrementally;

@@ -1,0 +1,79 @@
+package newspipe.ops
+
+import newspipe.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** §7 extension: dedup operators — exact, MinHash-LSH recall on planted
+  * near-dups, Jaccard verification, SimHash banding.
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the deep green forest tonight"
+  private val nearDup = base.replace("tonight", "today") // ~0.9 shingle Jaccard
+  private val unrelated = "completely different text about spark query engines and distributed columnar execution at scale"
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated),
+    (4L, base), // exact dup of 1
+    (5L, "short doc"), (6L, null.asInstanceOf[String])
+  ).toDF("doc_id", "text")
+
+  test("exact keeps the min-id row per identical content") {
+    val kept = Dedup.exact(docs, "doc_id", Seq("text"))
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 2L, 3L, 5L, 6L) // 4 dropped (dup of 1)
+  }
+
+  test("exactGroups reports group sizes") {
+    val g = Dedup.exactGroups(docs, "doc_id", Seq("text"))
+    g.filter($"group_size" === 2).select("keeper_id").as[Long].head() shouldBe 1L
+    g.count() shouldBe 5 // 5 distinct contents (null+empty digest counts once)
+  }
+
+  test("minhash candidates find the planted near-dup and exact-dup pairs") {
+    val cand = Dedup.minhashCandidates(docs.filter($"text".isNotNull), "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    cand should contain((1L, 4L)) // exact dup: identical signatures
+    cand should contain((1L, 2L)) // near dup: most bands agree
+    cand should not contain ((1L, 3L)) // unrelated
+  }
+
+  test("jaccardVerify computes exact n-gram Jaccard and filters by threshold") {
+    val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val verified = Dedup.jaccardVerify(cand, docs, "doc_id", "text", threshold = 0.5)
+    val m = verified.as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    m((1L, 4L)) shouldBe 1.0 // identical
+    m((1L, 2L)) should (be >= 0.5 and be < 1.0)
+    m.get((1L, 3L)) shouldBe None // filtered: below threshold
+  }
+
+  test("minhashDedup removes near-dup losers, keeps min ids") {
+    val kept = Dedup.minhashDedup(docs.filter($"text".isNotNull), "doc_id", "text",
+      threshold = 0.8).select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 3L, 5L) // 2 and 4 are near/exact dups of 1
+  }
+
+  test("simhash: identical docs share signatures; near-dups within hamming 3") {
+    val pairs = Dedup.simhashCandidates(docs.filter($"text".isNotNull), "doc_id", "text")
+      .as[(Long, Long, Int)].collect()
+    val m = pairs.map { case (a, b, h) => (a, b) -> h }.toMap
+    m((1L, 4L)) shouldBe 0 // identical text → same 64-bit signature
+    m.get((1L, 3L)) shouldBe None // unrelated text far in hamming space
+  }
+
+  test("shingles of a doc shorter than n words fall back to the whole token string") {
+    val sh = Seq((1L, "two words")).toDF("id", "t")
+      .select(Dedup.shingles($"t", 3).as("s")).as[Seq[String]].head()
+    sh shouldBe Seq("two words")
+  }
+
+  test("minhash candidate generation caps degenerate buckets (skew guard)") {
+    // 50 identical docs: one bucket of 50 → pairs capped out by maxBucket=10;
+    // with maxBucket high enough we'd get 50*49/2 pairs — the guard drops them
+    val many = (1L to 50L).map(i => (i, base)).toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(many, "doc_id", "text", maxBucket = 10)
+    capped.count() shouldBe 0
+  }
+}

@@ -1,0 +1,82 @@
+package newspipe.ops
+
+import newspipe.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** §7 extension: embedding similarity — exact cosine math, brute-force top-k
+  * ranking, and LSH recall against the exact baseline.
+  */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine: known vectors") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0)),   // identical → 1
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),   // orthogonal → 0
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0)),  // opposite → -1
+      (Seq(1.0, 0.0), Seq(0.0, 0.0))    // zero norm → null
+    ).toDF("a", "b")
+    val out = df.select(Similarity.cosine($"a", $"b").as("c"))
+      .as[Option[Double]].collect()
+    out(0).get shouldBe 1.0 +- 1e-9
+    out(1).get shouldBe 0.0 +- 1e-9
+    out(2).get shouldBe -1.0 +- 1e-9
+    out(3) shouldBe None
+  }
+
+  // clustered corpus: 3 tight clusters of 10 vectors each in 8 dims
+  private def clustered = {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(3)(Array.fill(8)(rnd.nextGaussian()))
+    val rows = for (c <- centers.indices; i <- 0 until 10) yield {
+      val v = centers(c).map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+      ((c * 10 + i).toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK: neighbors of a clustered point are its own cluster") {
+    val corpus = clustered
+    val queries = corpus.filter($"vec_id" === 0L)
+    val nn = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 9)
+      .select("neighbor_id").as[Long].collect().toSet
+    nn shouldBe (1L to 9L).toSet // the rest of cluster 0
+  }
+
+  test("bruteForceTopK: ranks are dense 1..k ordered by cosine desc") {
+    val corpus = clustered
+    val queries = corpus.filter($"vec_id" < 2L)
+    val out = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 5)
+      .select("query_id", "rank", "cos").as[(Long, Int, Double)].collect()
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      rows.map(_._2).sorted shouldBe (1 to 5).toArray
+      val byRank = rows.sortBy(_._2).map(_._3)
+      byRank.zip(byRank.tail).foreach { case (hi, lo) => hi should be >= lo }
+    }
+  }
+
+  test("lshTopK recall ≥ 0.8 vs exact baseline on the clustered corpus") {
+    val corpus = clustered
+    val queries = corpus.filter($"vec_id" % 10 === 0L) // one per cluster
+    val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(queries, corpus, "vec_id", "embedding",
+        dim = 8, k = 5, nbits = 8, probes = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    recall should be >= 0.8
+  }
+
+  test("cosineNearDupPairs finds planted high-cosine pairs") {
+    val rnd = new scala.util.Random(11)
+    val v = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val vDup = v.map(x => x * 1.001f) // cosine ~1
+    val other = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val df = Seq((1L, v.toSeq), (2L, vDup.toSeq), (3L, other.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+        dim = 8, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    pairs shouldBe Array((1L, 2L))
+  }
+}

@@ -1,0 +1,79 @@
+package newspipe.ops
+
+import newspipe.SparkTestBase
+
+/** §7 extension: text analysis — token counting, quality bands, language ID,
+  * fingerprinting.
+  */
+class TextStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one[T: org.apache.spark.sql.Encoder](text: String,
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): T =
+    Seq(text).toDF("t").select(f($"t").as("v")).as[T].head()
+
+  test("wordCount: whitespace tokens, blank-safe") {
+    one[Int]("a  b\tc\nd", TextStats.wordCount) shouldBe 4
+    one[Int]("", TextStats.wordCount) shouldBe 0
+    one[Int]("   ", TextStats.wordCount) shouldBe 0
+  }
+
+  test("bpeishTokenCount: GPT-2-style pre-tokenizer pieces") {
+    // "don't" → don + 't ; "2026" → one number run ; "!!" → one punct run
+    one[Int]("don't stop 2026 !!", TextStats.bpeishTokenCount) shouldBe 5
+  }
+
+  test("punctRatio: punctuation fraction of characters") {
+    one[Double]("ab!!", TextStats.punctRatio) shouldBe 0.5 +- 1e-9
+    one[Double]("", TextStats.punctRatio) shouldBe 0.0
+  }
+
+  test("stopwordRatio: prose scores well above keyword spam") {
+    val prose = "the cat sat on the mat and it was happy with this"
+    val spam = "buy cheap widgets best widgets cheap buy widgets"
+    one[Double](prose, c => TextStats.stopwordRatio(c)) should be > 0.3
+    one[Double](spam, c => TextStats.stopwordRatio(c)) shouldBe 0.0
+  }
+
+  test("avgWordLen") {
+    one[Double]("ab abcd", c => TextStats.avgWordLen(c)) shouldBe 3.0 +- 1e-9
+  }
+
+  test("qualityScore: clean prose in band > degenerate text") {
+    val prose = ("the quick brown fox jumps over the lazy dog and then it runs " +
+      "into the forest with great speed and joy for all of the animals there")
+    val junk = "$$$ !!! ### @@@ %%% ^^^ &&& *** ((( )))"
+    one[Double](prose, c => TextStats.qualityScore(c)) shouldBe 1.0 +- 1e-9
+    one[Double](junk, c => TextStats.qualityScore(c)) should be <= 0.3
+  }
+
+  test("langId: function-word argmax on clear samples") {
+    val samples = Seq(
+      ("the house is in the village and it was good for them", "en"),
+      ("el perro y el gato de la casa en los campos", "es"),
+      ("le chien et le chat de la maison dans les champs", "fr"),
+      ("der Hund und die Katze in den Feldern von dem Haus", "de"))
+    val out = samples.map(_._1).toDF("t")
+      .select(TextStats.langId($"t").as("l")).as[String].collect()
+    out shouldBe samples.map(_._2).toArray
+  }
+
+  test("langId: gibberish → und; null → null") {
+    one[String]("zzz qqq xxx www", TextStats.langId) shouldBe "und"
+    Seq[Option[String]](None).toDF("t")
+      .select(TextStats.langId($"t")).as[Option[String]].head() shouldBe None
+  }
+
+  test("normalizedFingerprint: case/whitespace-invariant, content-sensitive") {
+    val fp = (s: String) => one[String](s, TextStats.normalizedFingerprint)
+    fp("Hello  World") shouldBe fp("hello world")
+    fp("  hello world \n") shouldBe fp("hello world")
+    fp("hello world") should not be fp("hello worlds")
+  }
+
+  test("rollingFingerprint: order-sensitive (unlike a bag-of-words hash)") {
+    val fp = (s: String) => one[Long](s, TextStats.rollingFingerprint)
+    fp("a b") should not be fp("b a")
+    fp("A  b") shouldBe fp("a b") // normalization applies first
+  }
+}

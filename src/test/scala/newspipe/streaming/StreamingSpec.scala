@@ -1,0 +1,88 @@
+package newspipe.streaming
+
+import newspipe.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** §7 extension: Structured Streaming — batch/stream parity for the windowed
+  * aggregations and watermark-bounded late-data handling.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val events = Seq(
+    (ts("2026-01-01 00:10:00"), "click"),
+    (ts("2026-01-01 00:20:00"), "click"),
+    (ts("2026-01-01 00:40:00"), "view"),
+    (ts("2026-01-01 01:05:00"), "click"),
+    (ts("2026-01-01 01:30:00"), "view"),
+    (ts("2026-01-01 02:15:00"), "click"))
+
+  test("windowedEventCounts: stream output equals the batch computation") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    stream.addData(events: _*)
+
+    val streamed = StreamingSilver.windowedEventCounts(
+      stream.toDF().toDF("ts", "event_type"), "ts", "event_type",
+      size = "1 hour", watermark = "2 hours")
+    val q = streamed.writeStream.format("memory")
+      .queryName("win_counts").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamRows = spark.table("win_counts")
+      .select(date_format($"window_start", "HH:mm").as("w"), $"event_type", $"count")
+      .as[(String, String, Long)].collect().toSet
+
+    val batchRows = events.toDF("ts", "event_type")
+      .groupBy(window($"ts", "1 hour"), $"event_type").count()
+      .select(date_format($"window.start", "HH:mm").as("w"), $"event_type", $"count")
+      .as[(String, String, Long)].collect().toSet
+
+    streamRows shouldBe batchRows
+    streamRows should contain(("00:00", "click", 2L))
+  }
+
+  test("sliding windows emit one row per covering window") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    stream.addData((ts("2026-01-01 00:10:00"), "click"))
+    val streamed = StreamingSilver.windowedEventCounts(
+      stream.toDF().toDF("ts", "event_type"), "ts", "event_type",
+      size = "1 hour", slide = Some("30 minutes"), watermark = "2 hours")
+    val q = streamed.writeStream.format("memory")
+      .queryName("win_sliding").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    // 00:10 falls in [23:30,00:30) and [00:00,01:00)
+    spark.table("win_sliding").count() shouldBe 2
+  }
+
+  test("streaming silver transform: same rows as batch over the same bronze input") {
+    implicit val sqlCtx = spark.sqlContext
+    val bronzeRows = Seq(
+      ("BBC", "Alice", "Excellent outcome announced", "d", "https://bbc.co.uk/a",
+        ts("2026-01-02 10:00:00"), "content a", "2026-01-05T00:00:00Z", "us"),
+      ("CNN", "Bob", "Terrible storm hits coast", "d", "https://cnn.com/b",
+        ts("2026-01-02 11:00:00"), "content b", "2026-01-05T00:00:00Z", "us"))
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("source_name", "author", "title", "description", "url",
+        "publishedAt", "content", "ingestion_time", "country")
+
+    val stream = MemoryStream[(String, String, String, String, String,
+      java.sql.Timestamp, String, String, String)]
+    stream.addData(bronzeRows: _*)
+    val q = StreamingSilver.transform(shape(stream.toDF()))
+      .writeStream.format("memory").queryName("silver_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("silver_stream")
+      .select("URL", "SENTIMENT_LABEL").as[(String, String)].collect().toSet
+    val batch = newspipe.pipeline.Silver.transform(shape(bronzeRows.toDF()))
+      .select("URL", "SENTIMENT_LABEL").as[(String, String)].collect().toSet
+    streamed shouldBe batch
+    streamed.map(_._2) shouldBe Set("positive", "negative")
+  }
+}
