@@ -313,11 +313,7 @@ object SparkEntry {
     "q29_cosine_pairs" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"))
-      val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
-        .filter(col("cos") >= 0.45)
+      Similarity.allPairsCosine(emb, "vec_id", "v", threshold = 0.45)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")
     }),

@@ -33,9 +33,38 @@ object Similarity {
     when(na === 0 || nb === 0, lit(null)).otherwise(dot / (na * nb))
   }
 
+  /** Dot product of two array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
   /** L2 norm of a float-array column. */
   def l2Norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  /** Exact all-pairs cosine pairs (id_a < id_b, cos ≥ threshold).
+    *
+    * Scale shape: vectors are unit-normalized ONCE per row (norm is
+    * materialized as a column first — inlining it into the transform lambda
+    * would re-evaluate the norm aggregate per element), so each of the
+    * O(n²/2) pairs costs one dot product instead of three array reductions.
+    * The quadratic candidate space is the point of this operator (exact
+    * verification / oracle baseline); [[cosineNearDupPairs]] is the bucketed
+    * scale path.
+    */
+  def allPairsCosine(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val unit = Par.ensure(df.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .withColumn("__n", l2Norm(col("v")))
+      .filter(col("__n") > 0)
+      .withColumn("u", transform(col("v"), x => x / col("__n")))
+      .select("id", "u")
+    val a = unit.select(col("id").as("id_a"), col("u").as("ua"))
+    val b = unit.select(col("id").as("id_b"), col("u").as("ub"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("ua"), col("ub")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
 
   /** Exact top-k neighbors for every row of `queries` against `corpus`.
     *

@@ -1,0 +1,89 @@
+package newspipe
+
+import newspipe.functions.Keys
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** §5.5 plan-shape tests: the physical plans Catalyst picks for our operators
+  * must be the ones the 100 TB design depends on — broadcast joins for dims,
+  * parquet filter pushdown + column pruning, partition pruning on the silver
+  * COUNTRY layout, and whole-stage codegen over the hot paths.
+  */
+class PlanSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE to finalize the real plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  private lazy val parquetDir = {
+    val dir = Files.createTempDirectory("plans").toString
+    val df = (1 to 10000).map(i => (i.toLong, s"name$i", i % 50, s"C${i % 7}"))
+      .toDF("id", "name", "bucket", "country")
+    df.write.partitionBy("country").parquet(s"$dir/part")
+    df.write.parquet(s"$dir/flat")
+    dir
+  }
+
+  test("dim join is a BroadcastHashJoin, not a sort-merge shuffle") {
+    val fact = spark.read.parquet(s"$parquetDir/flat")
+    val dim = Seq((0, "d0"), (1, "d1")).toDF("bucket", "label")
+    val plan = executed(fact.join(broadcast(dim), Seq("bucket")))
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("filters and projection reach the parquet scan (PushedFilters + ReadSchema)") {
+    val df = spark.read.parquet(s"$parquetDir/flat")
+      .filter($"bucket" === 3).select("id", "bucket")
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("PushedFilters: [IsNotNull(bucket), EqualTo(bucket,3)]")
+    // projection pruned to the 2 referenced columns — a scan reading `name`
+    // for this query would be wrong
+    plan should include("ReadSchema: struct<id:bigint,bucket:int>")
+    plan should not include "name"
+  }
+
+  test("partition pruning: a country filter scans one partition directory") {
+    val df = spark.read.parquet(s"$parquetDir/part").filter($"country" === "C3")
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters: [isnotnull(country")
+    df.count() shouldBe (1 to 10000).count(i => i % 7 == 3)
+  }
+
+  test("aggregation pipeline stays inside whole-stage codegen") {
+    val df = spark.read.parquet(s"$parquetDir/flat")
+      .groupBy("bucket").agg(sum("id").as("s"), count(lit(1)).as("n"))
+    // the plan tree renders WholeStageCodegenExec spans as "*(n)" prefixes
+    executed(df) should include("*(1) HashAggregate")
+  }
+
+  test("native DQ window is PARTITIONED by the unique key (no global-window hazard)") {
+    import newspipe.dq.{DqConfig, NativeDq}
+    val df = spark.read.parquet(s"$parquetDir/flat")
+    val tagged = NativeDq.tag(df, DqConfig("t", uniqueKeys = Seq("name")))
+    val plan = tagged.queryExecution.optimizedPlan.toString
+    // the window spec must carry a partition clause — an empty partitionBy
+    // would be the reference's single-partition bottleneck (SURVEY W1-W3)
+    plan should include("windowspecdefinition(name")
+  }
+
+  test("md5 surrogate keys add NO exchange (shuffle-free, unlike legacy row_number)") {
+    val df = spark.read.parquet(s"$parquetDir/flat")
+    val md5Plan = executed(df.withColumn("k", Keys.md5Key($"name")))
+    md5Plan should not include "Exchange"
+    val legacyPlan = executed(
+      df.limit(100).withColumn("k", Keys.legacyRowNumberKey("name")))
+    legacyPlan should include("Window") // documented single-partition cost
+  }
+
+  test("broadcast top-k similarity plan has no shuffle before the per-query rank") {
+    val emb = (1 to 500).map(i => (i.toLong, Seq.fill(8)((i % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = newspipe.ops.Similarity.bruteForceTopK(
+      emb.filter($"vec_id" < 3), emb, "vec_id", "embedding", k = 3)
+    val plan = executed(out)
+    plan should include("BroadcastNestedLoopJoin")
+  }
+}
