@@ -13,6 +13,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm pass: JIT + codegen compile + parquet footer/file-index
+    // caches. Without it the first query absorbs ~4s of one-time session
+    // setup and the per-query numbers measure startup, not the operator.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -26,20 +26,21 @@ object Similarity {
     * either side is null or zero-norm).
     */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
-    when(na === 0 || nb === 0, lit(null)).otherwise(dot / (na * nb))
+    val d = dot(a, b)
+    val na = l2Norm(a)
+    val nb = l2Norm(b)
+    when(na === 0 || nb === 0, lit(null)).otherwise(d / (na * nb))
   }
 
-  /** Dot product of two array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two array columns — a codegen'd native expression
+    * ([[newspipe.functions.ArrayMath.dot]]); the interpreted
+    * `aggregate(zip_with(…))` form it replaces is kept under test as the
+    * semantic reference.
+    */
+  def dot(a: Column, b: Column): Column = newspipe.functions.ArrayMath.dot(a, b)
 
-  /** L2 norm of a float-array column. */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+  /** L2 norm of an array column: one native self-dot pass. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Exact all-pairs cosine pairs (id_a < id_b, cos ≥ threshold).
     *

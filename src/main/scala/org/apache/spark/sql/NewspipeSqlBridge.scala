@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` Column↔Expression conversion for newspipe's
+  * native Catalyst expressions (Spark 4 moved the classic converters behind
+  * `private[sql]`; extension libraries reach them from this package — the
+  * same access pattern SparkSessionExtensions-based projects use).
+  */
+object NewspipeSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -9,6 +9,17 @@ import org.apache.spark.sql.functions._
 class SimilaritySpec extends SparkTestBase {
   import spark.implicits._
 
+  test("native dot equals the interpreted aggregate(zip_with) reference form") {
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(50)((Seq.fill(16)(rnd.nextDouble()), Seq.fill(16)(rnd.nextDouble()))) :+
+      ((Seq.empty[Double], Seq.empty[Double]))
+    val df = rows.toDF("a", "b")
+    val hof = aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val out = df.select(Similarity.dot($"a", $"b").as("native"), hof.as("ref"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (n, r) => n shouldBe r +- 1e-12 }
+  }
+
   test("cosine: known vectors") {
     val df = Seq(
       (Seq(1.0, 0.0), Seq(1.0, 0.0)),   // identical → 1
