@@ -372,6 +372,30 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // Sessionization (batch form of the flatMapGroupsWithState operator;
+    // stream/batch parity in SessionizeSpec): per-user sessions, 30 min gap
+    "q34_sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), timestamp_micros(expr("ts DIV 1000")).as("ts2"))
+      newspipe.streaming.Sessionize.batch(ev, "user_id", "ts2", gapSeconds = 1800)
+        .select(col("key").cast(StringType).as("user_key"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_end"),
+          col("n_events"))
+        .orderBy("user_key", "s_start")
+    }),
+
+    // JSON field extraction from the props payload (the quarantine-payload
+    // op F8 in reverse: get_json_object)
+    "q35_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(expr("k % 10").as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum("k").as("k_sum"))
+        .orderBy("k_bucket")
+    }),
+
     // HLL distinct sketch (approx_count_distinct; rows-only — approximate)
     "q32_hll_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -616,6 +640,34 @@ object SparkEntry {
         |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
         |  >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q34_sessionize" ->
+      """WITH ev AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_key, CAST(ts AS TIMESTAMP) AS ts2
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_key, ts2,
+        |    CASE WHEN lag(ts2) OVER w IS NULL
+        |      OR date_diff('second', lag(ts2) OVER w, ts2) > 1800
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_key ORDER BY ts2)),
+        |sessions AS (
+        |  SELECT user_key, ts2,
+        |    sum(new_s) OVER (PARTITION BY user_key ORDER BY ts2
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_key,
+        |  strftime(min(ts2), '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+        |  strftime(max(ts2), '%Y-%m-%d %H:%M:%S.%f') AS s_end,
+        |  count(*) AS n_events
+        |FROM sessions GROUP BY user_key, sid
+        |ORDER BY user_key, s_start""".stripMargin,
+
+    "q35_json_extract" ->
+      """SELECT (CAST(json_extract_string(props, '$.k') AS INTEGER) % 10) AS k_bucket,
+        |  count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q31_window_tumbling" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),

@@ -53,6 +53,18 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   }
 }
 
+/** Raw landing-zone put — ref S8 (`dbutils.fs.put` of the raw API JSON,
+  * docs/pipeline_overview.md:36): write the unparsed payload beside the
+  * bronze table for replay/audit.
+  */
+object RawLanding {
+  def put(basePath: String, name: String, body: String): java.nio.file.Path = {
+    val dir = java.nio.file.Paths.get(basePath, "raw")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve(name), body)
+  }
+}
+
 /** Bronze-shaped JSON source — the fixture-file stand-in for the reference's
   * NewsAPI fetch (01_bronze_ingestion_news_articles.py:16-23). Reading with
   * an EXPLICIT schema (never inferred) mirrors the reference's hand-written
