@@ -47,11 +47,14 @@ object DqConfig {
     uniqueKeys = Seq("url"))
 }
 
-/** Split result. `issues` materializes lazily (one agg job) in native mode. */
+/** Split result. `issues` materializes lazily (one agg job) in native mode.
+  * `release()` unpersists the shared tagged frame if the run persisted one.
+  */
 final case class DqResult(
     valid: DataFrame,
     quarantined: Option[DataFrame],
-    issues: () => Seq[String])
+    issues: () => Seq[String],
+    release: () => Unit = () => ())
 
 object NativeDq {
 
@@ -106,14 +109,23 @@ object NativeDq {
     * rows (violations kept for the quarantine `reason`), and a lazy issue
     * summary (one distinct-collect over the quarantined slice).
     */
-  def run(df: DataFrame, config: DqConfig): DqResult = {
-    val tagged = tag(df, config)
+  /** @param persistTagged cache the tagged frame when BOTH outputs will be
+    *   materialized (the full silver pipeline writes valid AND quarantine —
+    *   without the cache each branch re-runs the unique-key shuffle, a 2×
+    *   input re-scan at scale; reference quirk Q1 re-scanned per RULE).
+    *   Callers that consume one branch (or stream) leave it off.
+    */
+  def run(df: DataFrame, config: DqConfig,
+      persistTagged: Boolean = false): DqResult = {
+    val tagged0 = tag(df, config)
+    val tagged = if (persistTagged) tagged0.persist() else tagged0
     val valid = tagged.filter(size(col(ViolationsCol)) === 0).drop(ViolationsCol)
     val bad = tagged.filter(size(col(ViolationsCol)) > 0)
     val issues = () => bad
       .select(explode(col(ViolationsCol)).as("v"))
       .distinct().collect().map(_.getString(0)).toSeq.sorted
-    DqResult(valid, Some(bad), issues)
+    DqResult(valid, Some(bad), issues,
+      release = () => if (persistTagged) { tagged.unpersist(); () })
   }
 }
 

@@ -21,8 +21,10 @@ object Silver {
     * checker. The caller decides whether to persist the input first; native
     * mode only ever scans it once anyway.
     */
-  def dqSplit(df: DataFrame, config: DqConfig, legacy: Boolean = false): DqResult =
-    if (legacy) LegacyDq.run(df, config) else NativeDq.run(df, config)
+  def dqSplit(df: DataFrame, config: DqConfig, legacy: Boolean = false,
+      persistTagged: Boolean = false): DqResult =
+    if (legacy) LegacyDq.run(df, config)
+    else NativeDq.run(df, config, persistTagged)
 
   /** Quarantine formatting — ref 02:44-48: whole row as JSON payload +
     * reason + source table + ingestion timestamp. In native mode the per-row
@@ -87,7 +89,9 @@ object Silver {
       quarantineTime: java.sql.Timestamp,
       legacyDq: Boolean = false): (DataFrame, Option[DataFrame]) = {
     val flat = flattenSource(bronze)
-    val dq = dqSplit(flat, config, legacyDq)
+    // both branches are materialized by the caller's writes → cache the
+    // tagged frame so the unique-key shuffle runs once (see NativeDq.run)
+    val dq = dqSplit(flat, config, legacyDq, persistTagged = !legacyDq)
     val quarantine = dq.quarantined.map { bad =>
       val reason = if (legacyDq) Some(dq.issues().mkString("; ")) else None
       toQuarantine(bad, s"bronze.${config.table}", quarantineTime, reason)
