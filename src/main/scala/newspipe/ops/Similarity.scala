@@ -152,6 +152,103 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
   }
 
+  /** IVF (inverted-file) ANN top-k: spherical k-means centroids quantize the
+    * corpus into `nlist` cells; each query probes its `nprobe` nearest cells
+    * and re-ranks exactly (cosine) within them.
+    *
+    * Scale shape: centroids are trained driver-side on a BOUNDED sample
+    * (`takeSample`, dimension-table sized: nlist × dim floats) and shipped by
+    * closure — the corpus-side pass is one narrow projection assigning each
+    * vector to its cell (no shuffle), then one join on cell id. Compared to
+    * [[lshTopK]], IVF adapts its partitioning to the data distribution
+    * instead of using data-oblivious hyperplanes.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+      seed: Long = 42L, sampleSize: Int = 4096, iters: Int = 8): DataFrame = {
+    val sample = corpus.select(col(vecCol)).rdd
+      .takeSample(withReplacement = false, sampleSize, seed)
+      .map(r => unitVec(r.getSeq[Any](0).map(toDouble).toArray))
+      .filter(_ != null)
+    val centroids = sphericalKMeans(sample, nlist, iters, seed)
+
+    val cellOf = udf { v: Seq[Float] =>
+      if (v == null) -1 else nearestCells(centroids, v.map(_.toDouble).toArray, 1).head
+    }
+    val probesOf = udf { v: Seq[Float] =>
+      if (v == null) Seq.empty[Int]
+      else nearestCells(centroids, v.map(_.toDouble).toArray, nprobe).toSeq
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      cellOf(col(vecCol)).as("__cell"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        explode(probesOf(col(vecCol))).as("__cell")))
+    val scored = c.join(q, Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  private def toDouble(a: Any): Double = a match {
+    case f: Float => f.toDouble
+    case d: Double => d
+    case n: Number => n.doubleValue()
+  }
+
+  private def unitVec(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0) null else v.map(_ / n)
+  }
+
+  /** Driver-side spherical k-means (max-dot assignment, mean + renormalize
+    * update) over a bounded sample. Deterministic for a fixed seed.
+    */
+  private[ops] def sphericalKMeans(sample: Array[Array[Double]], nlist: Int,
+      iters: Int, seed: Long): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty centroid training sample")
+    val rnd = new scala.util.Random(seed)
+    val dim = sample.head.length
+    var centroids = rnd.shuffle(sample.toVector).take(nlist).toArray
+    if (centroids.length < nlist) centroids = Array.tabulate(nlist)(i =>
+      centroids(i % centroids.length))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        val c = nearestCells(centroids, v, 1).head
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else {
+          val u = unitVec(sums(c).map(_ / counts(c)))
+          if (u == null) centroids(c) else u
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Indices of the `n` centroids with the largest dot product against `v`. */
+  private def nearestCells(centroids: Array[Array[Double]], v: Array[Double],
+      n: Int): Array[Int] = {
+    val scored = centroids.indices.map { c =>
+      val cent = centroids(c)
+      var s = 0.0; var i = 0
+      val len = math.min(cent.length, v.length)
+      while (i < len) { s += cent(i) * v(i); i += 1 }
+      (c, s)
+    }
+    scored.sortBy { case (c, s) => (-s, c) }.take(n).map(_._1).toArray
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold):
     * LSH buckets → in-bucket pairs → exact cosine filter. The
     * embedding-space analog of [[Dedup.minhashCandidates]].

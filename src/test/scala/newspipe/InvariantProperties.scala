@@ -1,0 +1,115 @@
+package newspipe
+
+import newspipe.dq.{DqConfig, NativeDq}
+import newspipe.functions.{SentimentAnalyzer, TextFunctions}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Property-based invariants (SURVEY.md §5.3) — ScalaCheck Properties run by
+  * sbt's native ScalaCheck framework (no scalatest bridge in the offline
+  * cache). Spark-bound properties use few, small cases; pure-function
+  * properties use the full default case count.
+  */
+object InvariantProperties extends Properties("newspipe") {
+
+  private lazy val spark = SparkTestBase.session
+  import org.apache.spark.sql.{DataFrame, Row}
+  import org.apache.spark.sql.types._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(20)
+
+  // --- generators -----------------------------------------------------------
+
+  private val cell: Gen[String] =
+    Gen.oneOf(Gen.const(null: String), Gen.const(""),
+      Gen.oneOf("a", "b", "c", "dd", "ee"))
+
+  private val rows: Gen[List[(String, String)]] =
+    Gen.listOfN(20, Gen.zip(cell, cell))
+
+  private def toDf(data: List[(String, String)]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map { case (t, u) => Row(t, u) }, 2),
+      StructType(Seq(StructField("title", StringType), StructField("url", StringType))))
+
+  private val cfg = DqConfig("t", notNull = Seq("title"), uniqueKeys = Seq("url"))
+
+  // --- DQ invariants --------------------------------------------------------
+
+  property("dq: valid ∪ quarantined partitions the input exactly") =
+    Prop.forAll(rows) { data =>
+      val r = NativeDq.run(toDf(data), cfg)
+      r.valid.count() + r.quarantined.get.count() == data.size
+    }
+
+  property("dq: no violation survives into valid") =
+    Prop.forAll(rows) { data =>
+      val r = NativeDq.run(toDf(data), cfg)
+      val valid = r.valid.collect()
+      val urlCounts = data.groupBy(_._2).view.mapValues(_.size).toMap
+      valid.forall { row =>
+        val t = row.getString(0); val u = row.getString(1)
+        t != null && t.nonEmpty && (u == null || urlCounts(u) == 1)
+      }
+    }
+
+  property("dq: running valid through DQ again is a fixpoint") =
+    Prop.forAll(rows) { data =>
+      val once = NativeDq.run(toDf(data), cfg).valid
+      NativeDq.run(once, cfg).valid.count() == once.count()
+    }
+
+  // --- operator invariants --------------------------------------------------
+
+  property("rename: toUpperSnakeColumns is idempotent") =
+    Prop.forAll(Gen.listOfN(3, Gen.oneOf("a b", "c", "D e", "f_g"))) { names0 =>
+      val names = names0.zipWithIndex.map { case (n, i) => s"$n$i" } // unique
+      val df = spark.range(1).toDF().select(names.map(n => lit(1).as(n)): _*)
+      val once = TextFunctions.toUpperSnakeColumns(df)
+      val twice = TextFunctions.toUpperSnakeColumns(once)
+      once.columns.sameElements(twice.columns)
+    }
+
+  property("exact dedup is idempotent and keeps ≥1 row per distinct content") =
+    Prop.forAll(Gen.listOfN(15, Gen.oneOf("x", "y", "z"))) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val once = newspipe.ops.Dedup.exact(df, "id", Seq("text"))
+      val twice = newspipe.ops.Dedup.exact(once, "id", Seq("text"))
+      once.count() == twice.count() &&
+        once.count() == texts.distinct.size.toLong
+    }
+
+  property("quarantine payload round-trips through from_json") =
+    Prop.forAll(rows) { data =>
+      import spark.implicits._
+      val df = toDf(data)
+      val payload = df.select(TextFunctions.rowPayload(df).as("p"))
+        .select(from_json(col("p"),
+          StructType(Seq(StructField("title", StringType), StructField("url", StringType)))).as("r"))
+        .select("r.title", "r.url")
+      // to_json drops null fields; empty strings and values must survive
+      val back = payload.as[(Option[String], Option[String])].collect().toList
+        .map { case (a, b) => (a.orNull, b.orNull) }
+      back.groupBy(identity).view.mapValues(_.size).toMap ==
+        data.groupBy(identity).view.mapValues(_.size).toMap
+    }
+
+  // --- pure-function properties (full case count) ---------------------------
+
+  property("sentiment: label always matches polarity sign") =
+    Prop.forAll(Gen.listOf(Gen.oneOf("good", "bad", "not", "very", "the", "cat"))) { words =>
+      val s = SentimentAnalyzer.score(words.mkString(" "))
+      val p = s.polarity.getOrElse(0f)
+      s.label.contains(SentimentAnalyzer.label(p.toDouble))
+    }
+
+  property("legacy surrogate key truncation: ids are ≤ 5 chars") =
+    Prop.forAll(Gen.chooseNum(1, 30)) { n =>
+      import spark.implicits._
+      val df = (1 to n).map(i => s"k$i").toDF("k")
+      df.withColumn("id", newspipe.functions.Keys.legacyRowNumberKey("k"))
+        .select("id").collect().forall(_.getString(0).length <= 5)
+    }
+}

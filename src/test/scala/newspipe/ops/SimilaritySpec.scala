@@ -78,6 +78,18 @@ class SimilaritySpec extends SparkTestBase {
     recall should be >= 0.8
   }
 
+  test("ivfTopK recall ≥ 0.8 vs exact baseline (adaptive cells beat oblivious planes)") {
+    val corpus = clustered
+    val queries = corpus.filter($"vec_id" % 10 === 0L)
+    val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
+        k = 5, nlist = 6, nprobe = 2, sampleSize = 30)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    recall should be >= 0.8
+  }
+
   test("cosineNearDupPairs finds planted high-cosine pairs") {
     val rnd = new scala.util.Random(11)
     val v = Array.fill(8)(rnd.nextGaussian().toFloat)
