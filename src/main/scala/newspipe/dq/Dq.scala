@@ -73,10 +73,15 @@ object NativeDq {
 
   /** Tag every row with its violations in one declarative plan.
     *
-    * Shuffle budget: zero for not-null rules; exactly one hash shuffle on the
-    * unique-key columns (a window count — the minimum any duplicate detection
-    * needs). At 100 TB this is the same shuffle a groupBy-dedup would pay,
-    * with no driver round-trips and no join back.
+    * Shuffle budget: zero for not-null rules. Duplicate detection aggregates
+    * the key columns FIRST (partial map-side combine, so only distinct keys
+    * cross the wire), keeps keys with count > 1, and joins the usually-tiny
+    * dup-key set back null-safely — AQE turns that into a broadcast join at
+    * runtime, so the full rows never shuffle. A window count over the raw
+    * rows (the obvious formulation) would shuffle + sort the ENTIRE input on
+    * the keys; at 100 TB the difference is the whole job. If the dup set is
+    * genuinely huge AQE falls back to a shuffled join, which is never worse
+    * than the window.
     */
   def tag(df: DataFrame, config: DqConfig): DataFrame = {
     val missing = config.requiredColumns.filterNot(df.columns.contains)
@@ -86,15 +91,22 @@ object NativeDq {
       .filter(df.columns.contains)
       .map(c => when(nullOrEmpty(df, c), lit(s"null_or_empty_column:$c")))
 
-    val base = if (config.uniqueKeys.nonEmpty) {
-      val w = Window.partitionBy(config.uniqueKeys.map(col): _*)
-      df.withColumn("__key_count", count(lit(1)).over(w))
+    val keys = config.uniqueKeys
+    val base = if (keys.nonEmpty) {
+      val dupKeys = df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__kc"))
+        .filter(col("__kc") > 1)
+        .select(keys.map(c => col(c).as(s"__dk_$c")) :+ lit(true).as("__is_dup"): _*)
+      // null-safe equality: null keys group together, exactly like the
+      // groupBy above (and like a window partition) treats them
+      val cond = keys.map(c => col(c) <=> col(s"__dk_$c")).reduce(_ && _)
+      df.join(dupKeys, cond, "left").drop(keys.map(c => s"__dk_$c"): _*)
     } else df
 
     val dupCheck: Seq[Column] =
-      if (config.uniqueKeys.nonEmpty)
-        Seq(when(col("__key_count") > 1,
-          lit(s"duplicate_key:${config.uniqueKeys.mkString(",")}")))
+      if (keys.nonEmpty)
+        Seq(when(col("__is_dup"),
+          lit(s"duplicate_key:${keys.mkString(",")}")))
       else Nil
 
     val all = notNullChecks ++ dupCheck
@@ -102,7 +114,7 @@ object NativeDq {
       if (all.isEmpty) array().cast("array<string>")
       else filter(array(all: _*), _.isNotNull)
 
-    base.withColumn(ViolationsCol, violations).drop("__key_count")
+    base.withColumn(ViolationsCol, violations).drop("__is_dup")
   }
 
   /** Run the config: returns valid rows (violations stripped), quarantined

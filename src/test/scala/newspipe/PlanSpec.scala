@@ -59,14 +59,15 @@ class PlanSpec extends SparkTestBase {
     executed(df) should include("*(1) HashAggregate")
   }
 
-  test("native DQ window is PARTITIONED by the unique key (no global-window hazard)") {
+  test("native DQ dup detection: key-only aggregate + broadcast join back, no full-row shuffle") {
     import newspipe.dq.{DqConfig, NativeDq}
     val df = spark.read.parquet(s"$parquetDir/flat")
-    val tagged = NativeDq.tag(df, DqConfig("t", uniqueKeys = Seq("name")))
-    val plan = tagged.queryExecution.optimizedPlan.toString
-    // the window spec must carry a partition clause — an empty partitionBy
-    // would be the reference's single-partition bottleneck (SURVEY W1-W3)
-    plan should include("windowspecdefinition(name")
+    val tagged = NativeDq.tag(df, DqConfig("t", uniqueKeys = Seq("bucket")))
+    val plan = executed(tagged)
+    // the full rows must not be window-shuffled; the dup-key set (≤ distinct
+    // keys) joins back as a broadcast at runtime via AQE
+    plan should not include "Window"
+    plan should include("BroadcastHashJoin")
   }
 
   test("md5 surrogate keys add NO exchange (shuffle-free, unlike legacy row_number)") {
