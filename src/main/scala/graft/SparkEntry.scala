@@ -385,6 +385,23 @@ object SparkEntry {
         .orderBy("user_key", "s_start")
     }),
 
+    // As-of join (operator Spark lacks; union+window composition, oracle is
+    // DuckDB's native ASOF LEFT JOIN): latest purchase at/before each click
+    "q36_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts2", timestamp_micros(expr("ts DIV 1000")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts2"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts2"), col("value"))
+      newspipe.ops.AsOfJoin.asOf(clicks, purchases, "user_id", "ts2")
+        .select(col("event_id"),
+          date_format(col("ts2"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+          date_format(col("r_ts2"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+          round(col("r_value"), 6).as("purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // JSON field extraction from the props payload (the quarantine-payload
     // op F8 in reverse: get_json_object)
     "q35_json_extract" -> ((s, dir) => {
@@ -662,6 +679,19 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM sessions GROUP BY user_key, sid
         |ORDER BY user_key, s_start""".stripMargin,
+
+    "q36_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts2, event_type, value
+        |  FROM events),
+        |c AS (SELECT event_id, user_id, ts2 FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts2, value FROM ev WHERE event_type = 'purchase')
+        |SELECT c.event_id,
+        |  strftime(c.ts2, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |  strftime(p.ts2, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        |  round(p.value, 6) AS purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts2 >= p.ts2
+        |ORDER BY c.event_id""".stripMargin,
 
     "q35_json_extract" ->
       """SELECT (CAST(json_extract_string(props, '$.k') AS INTEGER) % 10) AS k_bucket,
