@@ -79,6 +79,25 @@ class PlanSpec extends SparkTestBase {
     legacyPlan should include("Window") // documented single-partition cost
   }
 
+  test("bucketed tables co-locate the join: sort-merge with NO exchange") {
+    val a = (1 to 5000).map(i => (i.toLong, s"a$i")).toDF("id", "av")
+    val b = (1 to 5000).map(i => (i.toLong, s"b$i")).toDF("id", "bv")
+    a.write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable("bt_a")
+    b.write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable("bt_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = executed(spark.table("bt_a").join(spark.table("bt_b"), "id"))
+      plan should include("SortMergeJoin")
+      // bucket layout satisfies the join's distribution — no repartitioning
+      plan should not include "Exchange hashpartitioning"
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bt_a")
+      spark.sql("DROP TABLE IF EXISTS bt_b")
+    }
+  }
+
   test("broadcast top-k similarity plan has no shuffle before the per-query rank") {
     val emb = (1 to 500).map(i => (i.toLong, Seq.fill(8)((i % 13).toFloat)))
       .toDF("vec_id", "embedding")
