@@ -159,6 +159,26 @@ object SparkEntry {
         .orderBy("prio_n", "status_n")
     }),
 
+    // Bucketized range join (operator Spark plans as nested-loop; our
+    // equi-join-on-bucket plan, RangeJoin.scala): lineitems shipped within
+    // 14 days of selected order dates
+    "q05_range_join" -> ((s, dir) => {
+      val epoch = lit("1970-01-01").cast("date")
+      val windows = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 300 === 0)
+        .select(col("o_orderkey").as("win_id"),
+          datediff(to_date(col("o_orderdate")), epoch).as("s_day"))
+        .withColumn("e_day", col("s_day") + 14)
+      val points = t(s, dir, "lineitem")
+        .select(col("l_quantity"),
+          datediff(to_date(col("l_shipdate")), epoch).as("ship_day"))
+      newspipe.ops.RangeJoin.intervalJoin(points, windows,
+          "ship_day", "s_day", "e_day", bucketWidth = 16L)
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("qty"))
+        .orderBy("win_id")
+    }),
+
     // ---- Joins (§2.3) -------------------------------------------------------
 
     // J1: inner equi-join, small dim broadcast (ref _lib:159)
@@ -496,6 +516,16 @@ object SparkEntry {
         |FROM orders
         |WHERE nullif(o_orderstatus, 'P') IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q05_range_join" ->
+      """WITH w AS (
+        |  SELECT o_orderkey AS win_id, CAST(o_orderdate AS DATE) AS s,
+        |    CAST(o_orderdate AS DATE) + 14 AS e
+        |  FROM orders WHERE o_orderkey % 300 = 0)
+        |SELECT win_id, count(*) AS n_lines, sum(l_quantity) AS qty
+        |FROM w JOIN lineitem
+        |  ON CAST(l_shipdate AS DATE) BETWEEN s AND e
+        |GROUP BY win_id ORDER BY win_id""".stripMargin,
 
     "q06_join_broadcast" ->
       """SELECT c_mktsegment,
