@@ -338,6 +338,28 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Approximate ANN paths (rows-only: recall-vs-exact is asserted in
+    // SimilaritySpec; here the driver exercises the full plans at SF)
+    "q37_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      // nbits sized to corpus density: 2^8 buckets over ~2k vectors at sf0.1
+      // keeps probe buckets populated (2^12 would leave most probes empty)
+      Similarity.lshTopK(queries, emb, "vec_id", "embedding",
+          dim = 64, k = 5, nbits = 8, probes = 4)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank", "neighbor_id")
+    }),
+
+    "q38_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+          k = 5, nlist = 32, nprobe = 4)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank", "neighbor_id")
+    }),
+
     // ---- Extension: text analysis (§7) --------------------------------------
 
     // Token counting: whitespace + BPE-ish regex
