@@ -36,6 +36,22 @@ object StreamingSilver {
       .select(col("window.start").as("window_start"),
         col("SENTIMENT_LABEL"), col("count"))
 
+  /** Stream→lake sink: micro-batch writer reusing the BATCH lake writer via
+    * foreachBatch — the same partitioned-parquet layout the batch pipeline
+    * produces, so downstream gold reads are source-agnostic. Returns the
+    * started query; caller owns lifecycle.
+    */
+  def writeToLake(silverStream: DataFrame, lake: newspipe.io.Lake,
+      layer: String, partitionBy: Seq[String] = Seq("COUNTRY"),
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    silverStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        lake.write(batch, layer, partitionBy, mode = "append"); ()
+      }
+      .start()
+
   /** Generic windowed event counts (tumbling or sliding) with watermarked
     * late-data handling — the events-table streaming workload.
     * `ts` is a timestamp column name; slide == size ⇒ tumbling.

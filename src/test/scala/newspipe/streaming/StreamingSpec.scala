@@ -59,6 +59,51 @@ class StreamingSpec extends SparkTestBase {
     spark.table("win_sliding").count() shouldBe 2
   }
 
+  test("watermark drops late data: an event older than the watermark never lands") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = StreamingSilver.windowedEventCounts(
+      stream.toDF().toDF("ts", "event_type"), "ts", "event_type",
+      size = "1 hour", watermark = "1 hour")
+    val q = agg.writeStream.format("memory")
+      .queryName("late_drop").outputMode("append").start()
+    try {
+      // batch 1 advances the watermark to 13:00 - 1h = 12:00
+      stream.addData((ts("2026-01-01 10:30:00"), "click"),
+        (ts("2026-01-01 13:00:00"), "click"))
+      q.processAllAvailable()
+      // batch 2: an event at 09:45 is behind the 12:00 watermark → dropped;
+      // 13:30 is live
+      stream.addData((ts("2026-01-01 09:45:00"), "click"),
+        (ts("2026-01-01 13:30:00"), "click"))
+      q.processAllAvailable()
+      // close all windows
+      stream.addData((ts("2026-01-01 16:00:00"), "click"))
+      q.processAllAvailable()
+      val counts = spark.table("late_drop")
+        .select(date_format($"window_start", "HH:mm").as("w"), $"count")
+        .as[(String, Long)].collect().toMap
+      counts("10:00") shouldBe 1L
+      counts.get("09:00") shouldBe None // the late 09:45 event was dropped
+      counts("13:00") shouldBe 2L
+    } finally q.stop()
+  }
+
+  test("foreachBatch lake sink writes the batch layout") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("slake").toString
+    val lake = new newspipe.io.Lake(spark, newspipe.io.LakeConfig(dir))
+    val stream = MemoryStream[(String, String)]
+    stream.addData(("a", "US"), ("b", "GB"))
+    val q = StreamingSilver.writeToLake(
+      stream.toDF().toDF("v", "COUNTRY"), lake, "silver",
+      checkpoint = s"$dir/_ckpt")
+    try { stream.addData(("c", "US")); q.processAllAvailable() } finally q.stop()
+    lake.read("silver").count() shouldBe 3
+    new java.io.File(s"$dir/silver").listFiles()
+      .map(_.getName).count(_.startsWith("COUNTRY=")) shouldBe 2
+  }
+
   test("streaming silver transform: same rows as batch over the same bronze input") {
     implicit val sqlCtx = spark.sqlContext
     val bronzeRows = Seq(
