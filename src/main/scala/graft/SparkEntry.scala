@@ -455,6 +455,19 @@ object SparkEntry {
         .orderBy("k_bucket")
     }),
 
+    // Sliding windows (size 1h, slide 30m): every event lands in TWO
+    // windows; oracle reproduces the assignment with two shifted
+    // date_truncs unioned
+    "q39_window_sliding" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts2", timestamp_micros(expr("ts DIV 1000")))
+      ev.groupBy(window(col("ts2"), "1 hour", "30 minutes"), col("event_type"))
+        .count()
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"), col("event_type"), col("count"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // HLL distinct sketch (approx_count_distinct; rows-only — approximate)
     "q32_hll_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -709,6 +722,17 @@ object SparkEntry {
         |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
         |  >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q39_window_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type FROM events),
+        |w AS (
+        |  SELECT date_trunc('hour', t) AS ws, event_type FROM e
+        |  UNION ALL
+        |  SELECT date_trunc('hour', t - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE
+        |    AS ws, event_type FROM e)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS count
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q34_sessionize" ->
       """WITH ev AS (

@@ -80,6 +80,15 @@ object Silver {
     TextFunctions.toUpperSnakeColumns(cleaned)
   }
 
+  /** Typed view of the silver frame (SURVEY.md §1: `Dataset[T]` at API
+    * boundaries) — compile-time field access for downstream Scala consumers.
+    */
+  def transformTyped(valid: DataFrame): org.apache.spark.sql.Dataset[newspipe.model.SilverArticle] = {
+    val spark = valid.sparkSession
+    import spark.implicits._
+    transform(valid).as[newspipe.model.SilverArticle]
+  }
+
   /** Full bronze→silver: flatten, DQ, transform. Returns (silver, quarantine).
     * Mirrors `process_bronze_to_silver` (02:12-105) minus the writes, which
     * belong to [[newspipe.io.Lake]] (silver is partitioned-overwritten by

@@ -74,6 +74,16 @@ class PipelineSpec extends SparkTestBase {
     row.getString(4) shouldBe "positive"
   }
 
+  test("silver: typed Dataset[SilverArticle] boundary round-trips the frame") {
+    val flat = Silver.flattenSource(bronze)
+    val valid = Silver.dqSplit(flat, newspipe.dq.DqConfig.newsArticles).valid
+    val typed = Silver.transformTyped(valid)
+    typed.count() shouldBe silver.count()
+    val a = typed.collect().minBy(_.URL)
+    a.DOMAIN shouldBe Some("bbc.co.uk")
+    a.SENTIMENT_LABEL shouldBe Some("negative")
+  }
+
   test("gold: dims are distinct naturals with surrogate ids (ref 03:36-44)") {
     val (ds, da, _) = Gold.build(silver)
     ds.columns shouldBe Array("SOURCE", "SOURCE_ID")
