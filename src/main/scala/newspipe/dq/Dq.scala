@@ -26,16 +26,34 @@ final case class NotNull(columns: Seq[String]) extends DqRule
 /** Rows sharing a key tuple that occurs more than once are violations (_lib:138-145). */
 final case class UniqueKeys(columns: Seq[String]) extends DqRule
 
-/** Typed mirror of the reference's `dq_config` dict (_lib:105-111). */
+/** Non-null values must fall in [lo, hi] (extension rule — the natural
+  * Great-Expectations-style widening of the reference's 3-rule surface;
+  * nulls are the NotNull rule's business).
+  */
+final case class InRange(column: String, lo: Double, hi: Double) extends DqRule
+/** Non-null values must match the (Java) regex in full (extension rule). */
+final case class MatchesRegex(column: String, pattern: String) extends DqRule
+/** Non-null values must come from the allowed set (extension rule). */
+final case class AllowedValues(column: String, values: Seq[String]) extends DqRule
+
+/** Typed mirror of the reference's `dq_config` dict (_lib:105-111), plus the
+  * extension rules. All rules fold into the same one-pass tagger.
+  */
 final case class DqConfig(
     table: String,
     requiredColumns: Seq[String] = Nil,
     notNull: Seq[String] = Nil,
-    uniqueKeys: Seq[String] = Nil) {
+    uniqueKeys: Seq[String] = Nil,
+    inRange: Map[String, (Double, Double)] = Map.empty,
+    matchesRegex: Map[String, String] = Map.empty,
+    allowedValues: Map[String, Seq[String]] = Map.empty) {
   def rules: Seq[DqRule] =
     (if (requiredColumns.nonEmpty) Seq(RequiredColumns(requiredColumns)) else Nil) ++
     (if (notNull.nonEmpty) Seq(NotNull(notNull)) else Nil) ++
-    (if (uniqueKeys.nonEmpty) Seq(UniqueKeys(uniqueKeys)) else Nil)
+    (if (uniqueKeys.nonEmpty) Seq(UniqueKeys(uniqueKeys)) else Nil) ++
+    inRange.map { case (c, (lo, hi)) => InRange(c, lo, hi) } ++
+    matchesRegex.map { case (c, p) => MatchesRegex(c, p) } ++
+    allowedValues.map { case (c, v) => AllowedValues(c, v) }
 }
 
 object DqConfig {
@@ -109,7 +127,23 @@ object NativeDq {
           lit(s"duplicate_key:${keys.mkString(",")}")))
       else Nil
 
-    val all = notNullChecks ++ dupCheck
+    val rangeChecks: Seq[Column] = config.inRange.toSeq.collect {
+      case (c, (lo, hi)) if df.columns.contains(c) =>
+        when(col(c).isNotNull && !col(c).cast("double").between(lo, hi),
+          lit(s"out_of_range:$c"))
+    }
+    val regexChecks: Seq[Column] = config.matchesRegex.toSeq.collect {
+      case (c, p) if df.columns.contains(c) =>
+        when(col(c).isNotNull && !col(c).rlike(s"^(?:$p)$$"),
+          lit(s"regex_mismatch:$c"))
+    }
+    val setChecks: Seq[Column] = config.allowedValues.toSeq.collect {
+      case (c, vs) if df.columns.contains(c) =>
+        when(col(c).isNotNull && !col(c).isin(vs: _*),
+          lit(s"disallowed_value:$c"))
+    }
+
+    val all = notNullChecks ++ dupCheck ++ rangeChecks ++ regexChecks ++ setChecks
     val violations =
       if (all.isEmpty) array().cast("array<string>")
       else filter(array(all: _*), _.isNotNull)

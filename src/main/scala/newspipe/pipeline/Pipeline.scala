@@ -1,0 +1,68 @@
+package newspipe.pipeline
+
+import newspipe.dq.DqConfig
+import newspipe.io.{JsonSource, Lake, LakeConfig, RawLanding}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end orchestrator — the runnable form of the reference's three
+  * notebooks (E1-E3, SURVEY.md §3): raw JSON → bronze → DQ/quarantine →
+  * silver (partitioned by COUNTRY) → gold star schema + analytics →
+  * catalog publish.
+  *
+  * Everything below is a composition of the stage functions; this object
+  * only sequences writes. Each write happens ONCE (the reference recomputed
+  * dims for the Hive publish, E3.3) and the DQ-tagged frame is cached across
+  * the valid/quarantine branches (quirk Q1 fix).
+  */
+object Pipeline {
+
+  final case class Config(
+      lake: LakeConfig,
+      dq: DqConfig = DqConfig.newsArticles,
+      country: String = "us",
+      keyMode: String = "legacy",
+      publish: Boolean = false)
+
+  final case class Result(
+      bronzeRows: Long, silverRows: Long, quarantineRows: Long,
+      dimSourceRows: Long, dimAuthorRows: Long, factRows: Long)
+
+  /** Run the full flow from NewsAPI-shaped JSON lines (pages already fetched
+    * driver-side, or use `io.source.NewsSource` for the distributed fetch).
+    */
+  def run(spark: SparkSession, jsonLines: Seq[String], config: Config,
+      now: java.time.Instant): Result = {
+    val lake = new Lake(spark, config.lake)
+
+    // E1 bronze: raw landing copy + schema'd parse + metadata + cast
+    RawLanding.put(config.lake.basePath, s"articles-${now.toEpochMilli}.json",
+      jsonLines.mkString("\n"))
+    val raw = JsonSource.fromJsonLines(spark, jsonLines)
+    val bronze = Bronze.transform(raw, now.toString, config.country)
+    lake.write(bronze, "bronze", mode = "append")
+
+    // E2 silver: re-read the ACCUMULATED bronze layer (ref 02:29 reads the
+    // whole layer, not just this run's page), then DQ split (tagged frame
+    // cached), quarantine, enrich
+    val bronzeLayer = lake.read("bronze")
+    val (silver, quarantine) = Silver.process(bronzeLayer, config.dq,
+      java.sql.Timestamp.from(now))
+    val qRows = quarantine.map { q =>
+      lake.write(q, "quarantine", mode = "append"); q.count()
+    }.getOrElse(0L)
+    lake.write(silver, "silver", partitionBy = Seq("COUNTRY"), mode = "overwrite")
+
+    // E3 gold: dims + fact, written once (publish optionally registers them)
+    val silverBack = lake.read("silver")
+    val (ds, da, fact) = Gold.build(silverBack, config.keyMode)
+    def sink(df: DataFrame, layer: String, table: String): Unit =
+      if (config.publish) lake.writeAndPublish(df, layer, table)
+      else { lake.write(df, layer, mode = "overwrite"); () }
+    sink(ds, "gold/dim_source", "dim_source")
+    sink(da, "gold/dim_author", "dim_author")
+    sink(fact, "gold/fact_news_articles", "fact_news_articles")
+
+    Result(bronze.count(), silverBack.count(), qRows,
+      ds.count(), da.count(), fact.count())
+  }
+}

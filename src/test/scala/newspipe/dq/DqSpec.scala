@@ -106,6 +106,36 @@ class DqSpec extends SparkTestBase {
     r.quarantined.get.count() shouldBe 0
   }
 
+  test("extension rules: range, regex, allowed-set — one pass, null-tolerant") {
+    val df = Seq(
+      (Some(5.0), Some("https://x.com/a"), Some("us")),
+      (Some(99.0), Some("ftp://bad"), Some("zz")),     // all three violated
+      (None, None, None)                               // nulls: not these rules' business
+    ).toDF("score", "url", "country")
+    val cfg = DqConfig("t",
+      inRange = Map("score" -> (0.0, 10.0)),
+      matchesRegex = Map("url" -> "https?://.*"),
+      allowedValues = Map("country" -> Seq("us", "gb")))
+    val tagged = NativeDq.tag(df, cfg)
+    val v = tagged.select(col(NativeDq.ViolationsCol)).as[Seq[String]].collect()
+    v(0) shouldBe Seq.empty
+    v(1).sorted shouldBe Seq("disallowed_value:country", "out_of_range:score",
+      "regex_mismatch:url")
+    v(2) shouldBe Seq.empty
+  }
+
+  test("extension rules compose with the reference rules in one config") {
+    val df = Seq(
+      (Some("t1"), Some("u1"), Some(3.0)),
+      (Some(""), Some("u2"), Some(50.0))
+    ).toDF("title", "url", "score")
+    val cfg = DqConfig("t", notNull = Seq("title"), uniqueKeys = Seq("url"),
+      inRange = Map("score" -> (0.0, 10.0)))
+    val r = NativeDq.run(df, cfg)
+    r.valid.count() shouldBe 1
+    r.issues() shouldBe Seq("null_or_empty_column:title", "out_of_range:score")
+  }
+
   test("shipped news_articles config mirrors the reference (_lib:105-111)") {
     DqConfig.newsArticles.uniqueKeys shouldBe Seq("url")
     DqConfig.newsArticles.notNull shouldBe Seq("title", "publishedAt", "url")
