@@ -98,6 +98,17 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("top-k-per-group rank filter triggers WindowGroupLimit (partial limit before shuffle)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.read.parquet(s"$parquetDir/flat")
+    val w = Window.partitionBy("bucket").orderBy(desc("id"))
+    val topk = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+    // Spark's InferWindowGroupLimit rewrites this to a per-partition limit —
+    // the property our ANN re-rank (bruteForceTopK/lshTopK/ivfTopK) relies
+    // on to avoid materializing every scored pair through the shuffle
+    executed(topk) should include("WindowGroupLimit")
+  }
+
   test("broadcast top-k similarity plan has no shuffle before the per-query rank") {
     val emb = (1 to 500).map(i => (i.toLong, Seq.fill(8)((i % 13).toFloat)))
       .toDF("vec_id", "embedding")
