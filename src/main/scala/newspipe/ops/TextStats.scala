@@ -78,37 +78,65 @@ object TextStats {
 
   // ---- language ID ---------------------------------------------------------
 
-  /** Tiny per-language function-word profiles (public common words). The
-    * heuristic: score = fraction of tokens hitting each profile; argmax
-    * wins, "und" (undetermined) if nothing hits. Real corpora want a real
-    * n-gram model; the operator shape (per-row scoring, no shuffle) is
-    * identical.
-    */
+  /** Per-language function-word profiles (public common words). */
   val LangProfiles: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "las"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
     "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich"),
     "pt" -> Seq("o", "a", "de", "que", "e", "do", "da", "em", "um", "para"),
     "it" -> Seq("il", "di", "che", "e", "la", "per", "un", "in", "del", "una"))
 
-  /** Predicted language code, or "und". Per-row argmax over profile-hit
-    * fractions — pure column expressions, no shuffle, no UDF.
+  /** Per-language character-trigram profiles (common trigrams of each
+    * language's high-frequency vocabulary; space-padded forms capture word
+    * boundaries). The n-gram half of the hybrid scorer.
     */
-  def langId(text: Column): Column = {
-    val toks = Dedup.tokens(text)
-    val n = size(toks)
-    val scored = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(
-        (size(filter(toks, t => t.isin(words.map(lit): _*))).cast("double") /
-          when(n === 0, 1).otherwise(n)).as("score"),
-        lit(lang).as("lang"))
+  val TrigramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", " th", "he ", "ing", "and", "ion", "ent", " of", "to ", "is "),
+    "es" -> Seq("que", " de", "de ", " la", "la ", "el ", "os ", "ión", "ado", " es"),
+    "fr" -> Seq(" le", "le ", "es ", " de", "de ", "ent", "ion", " la", "eur", "ait"),
+    "de" -> Seq("der", "die", "und", "ein", "sch", "ich", "den", "ung", "cht", "gen"),
+    "pt" -> Seq(" de", "de ", "ão ", " co", "os ", "que", "da ", "do ", "par", "açã"),
+    "it" -> Seq("che", " di", "di ", " la", "il ", "per", "ato", "del", "con", "one"))
+
+  private val langCodes = LangProfiles.keys.toArray.sorted
+  private val wordSets = langCodes.map(l => LangProfiles(l).toSet)
+  private val triSets = langCodes.map(l => TrigramProfiles(l).toSet)
+
+  /** Language ID: hybrid function-word + character-trigram scorer (the
+    * "n-gram heuristic" operator). score(lang) = 0.6·wordHitRate +
+    * 0.4·trigramHitRate; argmax, ties broken by language code; no profile
+    * hit at all → "und"; null → null.
+    *
+    * One in-JVM pass per row (a column-expression form would re-evaluate the
+    * tokenize/trigram subtrees once per language — the HOF no-CSE trap).
+    * Per-row kernel, no shuffle; the real-corpus upgrade path is swapping
+    * the profiles for trained ones, not changing the operator shape.
+    */
+  private val langIdUdf = udf { text: String =>
+    if (text == null) null
+    else {
+      val lower = text.toLowerCase
+      val toks = lower.split("[^a-z0-9']+").filter(_.nonEmpty)
+      val padded = " " + lower.replaceAll("\\s+", " ").trim + " "
+      val tris = (0 to math.max(padded.length - 3, 0) - 1).map(i => padded.substring(i, i + 3))
+      var bestLang = "und"
+      var bestScore = 0.0
+      var i = 0
+      while (i < langCodes.length) {
+        val wordHits = if (toks.isEmpty) 0.0
+          else toks.count(wordSets(i)).toDouble / toks.length
+        val triHits = if (tris.isEmpty) 0.0
+          else tris.count(triSets(i)).toDouble / tris.length
+        val s = 0.6 * wordHits + 0.4 * triHits
+        if (s > bestScore) { bestScore = s; bestLang = langCodes(i) }
+        i += 1
+      }
+      bestLang
     }
-    val best = array_max(array(scored: _*))
-    when(text.isNull, lit(null))
-      .otherwise(when(best.getField("score") > 0, best.getField("lang"))
-        .otherwise(lit("und")))
   }
+
+  def langId(text: Column): Column = langIdUdf(text)
 
   // ---- fingerprinting ------------------------------------------------------
 

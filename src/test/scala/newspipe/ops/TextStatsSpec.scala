@@ -52,7 +52,9 @@ class TextStatsSpec extends SparkTestBase {
       ("the house is in the village and it was good for them", "en"),
       ("el perro y el gato de la casa en los campos", "es"),
       ("le chien et le chat de la maison dans les champs", "fr"),
-      ("der Hund und die Katze in den Feldern von dem Haus", "de"))
+      ("der Hund und die Katze in den Feldern von dem Haus", "de"),
+      ("o cachorro e o gato da casa para um campo", "pt"),
+      ("il cane e il gatto della casa per un campo", "it"))
     val out = samples.map(_._1).toDF("t")
       .select(TextStats.langId($"t").as("l")).as[String].collect()
     out shouldBe samples.map(_._2).toArray
