@@ -55,6 +55,31 @@ class DedupSpec extends SparkTestBase {
     kept shouldBe Array(1L, 3L, 5L) // 2 and 4 are near/exact dups of 1
   }
 
+  test("connectedComponents: transitive closure with min-id labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 5L), (9L, 9L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    comps(1L) shouldBe 1L
+    comps(2L) shouldBe 1L
+    comps(3L) shouldBe 1L // chained: 3 reaches 1 through 2
+    comps(5L) shouldBe 5L
+    comps(7L) shouldBe 5L
+    comps(9L) shouldBe 9L
+  }
+
+  test("connectedComponents converges on a long chain") {
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    comps.map(_._2).distinct shouldBe Array(1L)
+  }
+
+  test("minhashDedupClustered keeps one doc per transitive dup group") {
+    val kept = Dedup.minhashDedupClustered(docs.filter($"text".isNotNull),
+      "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 3L, 5L) // {1,2,4} collapse to 1
+  }
+
   test("simhash: identical docs share signatures; near-dups within hamming 3") {
     val pairs = Dedup.simhashCandidates(docs.filter($"text".isNotNull), "doc_id", "text")
       .as[(Long, Long, Int)].collect()
