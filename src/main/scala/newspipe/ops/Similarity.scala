@@ -143,13 +143,16 @@ object Similarity {
       .withColumn("__bucket", explode(probeUdf(col("__qsig")))))
     val scored = c.join(q, Seq("__bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      // a neighbor reachable through several probe buckets must count ONCE —
+      // deduplicate before ranking or it consumes multiple of the k slots
+      // and leaves rank gaps (rows differ only in __bucket, so keep-any is safe)
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
-      .dropDuplicates("query_id", "neighbor_id")
   }
 
   /** IVF (inverted-file) ANN top-k: spherical k-means centroids quantize the

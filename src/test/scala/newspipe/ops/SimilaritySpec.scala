@@ -90,6 +90,19 @@ class SimilaritySpec extends SparkTestBase {
     recall should be >= 0.8
   }
 
+  test("lshTopK: ranks are gap-free and neighbors unique per query") {
+    val corpus = clustered
+    val queries = corpus.filter($"vec_id" < 3L)
+    val out = Similarity.lshTopK(queries, corpus, "vec_id", "embedding",
+        dim = 8, k = 5, nbits = 8, probes = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      rows.map(_._3).sorted shouldBe (1 to rows.length).toArray // dense ranks
+      rows.map(_._2).distinct.length shouldBe rows.length       // unique neighbors
+    }
+  }
+
   test("cosineNearDupPairs finds planted high-cosine pairs") {
     val rnd = new scala.util.Random(11)
     val v = Array.fill(8)(rnd.nextGaussian().toFloat)
