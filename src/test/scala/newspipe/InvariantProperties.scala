@@ -96,6 +96,40 @@ object InvariantProperties extends Properties("newspipe") {
         data.groupBy(identity).view.mapValues(_.size).toMap
     }
 
+  property("asOf join: one row per left row; matches are at-or-before") =
+    Prop.forAll(
+      Gen.listOfN(12, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L))),
+      Gen.listOfN(8, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L)))) {
+      (l, r) =>
+        import spark.implicits._
+        val left = l.zipWithIndex.map { case ((k, t), i) => (k, t, i) }
+          .toDF("k", "ts", "lid")
+        val right = r.distinct.map { case (k, t) => (k, t, s"v$k-$t") }
+          .toDF("k", "ts", "rv")
+        val out = newspipe.ops.AsOfJoin.asOf(left, right, "k", "ts")
+          .select("lid", "ts", "r_ts").collect()
+        out.length == l.size && out.forall { row =>
+          row.isNullAt(2) || row.getLong(2) <= row.getLong(1)
+        }
+    }
+
+  property("range join: bucketized equals naive for random widths") =
+    Prop.forAll(
+      Gen.listOfN(30, Gen.chooseNum(0L, 100L)),
+      Gen.listOfN(6, Gen.zip(Gen.chooseNum(0L, 90L), Gen.chooseNum(0L, 30L))),
+      Gen.chooseNum(1L, 40L)) { (ps, ivs, width) =>
+      import spark.implicits._
+      val points = ps.zipWithIndex.map { case (x, i) => (x, i) }.toDF("x", "pid")
+      val intervals = ivs.zipWithIndex
+        .map { case ((s, len), i) => (s, s + len, i) }.toDF("s", "e", "iid")
+      val naive = points.join(intervals, col("x").between(col("s"), col("e")))
+        .select("pid", "iid").as[(Int, Int)].collect().sorted.toSeq
+      val fast = newspipe.ops.RangeJoin
+        .intervalJoin(points, intervals, "x", "s", "e", width)
+        .select("pid", "iid").as[(Int, Int)].collect().sorted.toSeq
+      fast == naive
+    }
+
   // --- pure-function properties (full case count) ---------------------------
 
   property("sentiment: label always matches polarity sign") =
