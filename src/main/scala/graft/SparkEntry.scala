@@ -772,7 +772,7 @@ object SparkEntry {
     "q35_json_extract" ->
       """SELECT (CAST(json_extract_string(props, '$.k') AS INTEGER) % 10) AS k_bucket,
         |  count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_sum
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q31_window_tumbling" ->

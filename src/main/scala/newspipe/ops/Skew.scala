@@ -14,12 +14,24 @@ import org.apache.spark.sql.functions._
   * row-identical to the plain equi-join (verified in SkewSpec) at the cost
   * of an n× blow-up of the right side — use when right ≪ left and a key is
   * hot enough to stall a reducer.
+  *
+  * Supported join types: inner and the left-flavored joins (left/left_outer,
+  * left_semi, left_anti). Right/full joins are rejected: the right side is
+  * replicated saltBuckets×, so every UNMATCHED right row would surface once
+  * per salt — not row-identical to the plain join.
   */
 object Skew {
+
+  private val SupportedJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti")
 
   def saltedEquiJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       saltBuckets: Int = 16, joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
+    require(SupportedJoinTypes(joinType.toLowerCase.replace("_", "")),
+      s"saltedEquiJoin supports inner/left/left_semi/left_anti joins only " +
+        s"(got '$joinType'): the replicated right side would emit unmatched " +
+        s"right rows $saltBuckets times under right/full joins")
     // deterministic salt: spreads rows of one key uniformly without an RNG
     // (rand() would break retry/replay determinism at scale)
     val salted = left.withColumn("__salt",

@@ -45,12 +45,15 @@ object Pipeline {
     // whole layer, not just this run's page), then DQ split (tagged frame
     // cached), quarantine, enrich
     val bronzeLayer = lake.read("bronze")
-    val (silver, quarantine) = Silver.process(bronzeLayer, config.dq,
+    val (silver, quarantine, dq) = Silver.process(bronzeLayer, config.dq,
       java.sql.Timestamp.from(now))
     val qRows = quarantine.map { q =>
       lake.write(q, "quarantine", mode = "append"); q.count()
     }.getOrElse(0L)
     lake.write(silver, "silver", partitionBy = Seq("COUNTRY"), mode = "overwrite")
+    // both DQ branches are written — drop the shared tagged-frame cache so
+    // repeated runs on one session don't accumulate pinned executor memory
+    dq.release()
 
     // E3 gold: dims + fact, written once (publish optionally registers them)
     val silverBack = lake.read("silver")

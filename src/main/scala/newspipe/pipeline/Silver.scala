@@ -89,14 +89,17 @@ object Silver {
     transform(valid).as[newspipe.model.SilverArticle]
   }
 
-  /** Full bronze→silver: flatten, DQ, transform. Returns (silver, quarantine).
+  /** Full bronze→silver: flatten, DQ, transform. Returns (silver, quarantine,
+    * dqResult); callers that materialize both branches should call
+    * `dqResult.release()` once their writes complete, or the persisted
+    * DQ-tagged frame stays pinned in executor memory for the session lifetime.
     * Mirrors `process_bronze_to_silver` (02:12-105) minus the writes, which
     * belong to [[newspipe.io.Lake]] (silver is partitioned-overwritten by
     * COUNTRY at 02:102).
     */
   def process(bronze: DataFrame, config: DqConfig,
       quarantineTime: java.sql.Timestamp,
-      legacyDq: Boolean = false): (DataFrame, Option[DataFrame]) = {
+      legacyDq: Boolean = false): (DataFrame, Option[DataFrame], DqResult) = {
     val flat = flattenSource(bronze)
     // both branches are materialized by the caller's writes → cache the
     // tagged frame so the unique-key shuffle runs once (see NativeDq.run)
@@ -105,6 +108,6 @@ object Silver {
       val reason = if (legacyDq) Some(dq.issues().mkString("; ")) else None
       toQuarantine(bad, s"bronze.${config.table}", quarantineTime, reason)
     }
-    (transform(dq.valid), quarantine)
+    (transform(dq.valid), quarantine, dq)
   }
 }

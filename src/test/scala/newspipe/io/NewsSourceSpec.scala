@@ -54,7 +54,7 @@ class NewsSourceSpec extends SparkTestBase {
   test("source feeds the real bronze→silver pipeline") {
     val df = readPages(writeFixtures(2), 2).drop("page")
     val bronze = newspipe.pipeline.Bronze.transform(df, "2026-01-05T00:00:00Z", "us")
-    val (silver, _) = newspipe.pipeline.Silver.process(
+    val (silver, _, _) = newspipe.pipeline.Silver.process(
       bronze, newspipe.dq.DqConfig.newsArticles,
       java.sql.Timestamp.valueOf("2026-01-05 00:00:00"))
     silver.count() shouldBe 6

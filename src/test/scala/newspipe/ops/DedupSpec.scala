@@ -94,6 +94,24 @@ class DedupSpec extends SparkTestBase {
     sh shouldBe Seq("two words")
   }
 
+  test("null-text docs get the zero signature instead of crashing minhash") {
+    // no isNotNull pre-filter: doc 6 (null text) must flow through candidate
+    // generation and dedup unharmed (it can never near-dup a real doc)
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    cand should contain((1L, 4L))
+    cand.flatMap(p => Set(p._1, p._2)) should not contain 6L
+    val kept = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 3L, 5L, 6L)
+  }
+
+  test("null-text docs don't crash simhash candidates") {
+    val pairs = Dedup.simhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long, Int)].collect()
+    pairs.map { case (a, b, h) => (a, b) -> h }.toMap.apply((1L, 4L)) shouldBe 0
+  }
+
   test("minhash candidate generation caps degenerate buckets (skew guard)") {
     // 50 identical docs: one bucket of 50 → pairs capped out by maxBucket=10;
     // with maxBucket high enough we'd get 50*49/2 pairs — the guard drops them

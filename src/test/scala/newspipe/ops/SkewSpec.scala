@@ -33,4 +33,23 @@ class SkewSpec extends SparkTestBase {
     val salted = Skew.saltedEquiJoin(left, right, Seq("k"), 8, "left").count()
     salted shouldBe plain
   }
+
+  test("left_semi and left_anti are supported and row-identical") {
+    for (jt <- Seq("left_semi", "left_anti")) {
+      val plain = left.join(right, Seq("k"), jt)
+        .as[(String, Int)].collect().sorted
+      val salted = Skew.saltedEquiJoin(left, right, Seq("k"), 8, jt)
+        .as[(String, Int)].collect().sorted
+      withClue(jt) { salted shouldBe plain }
+    }
+  }
+
+  test("right/full joins are rejected (replication would duplicate unmatched right rows)") {
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer")) {
+      val e = intercept[IllegalArgumentException] {
+        Skew.saltedEquiJoin(left, right, Seq("k"), 8, jt)
+      }
+      e.getMessage should include(jt)
+    }
+  }
 }

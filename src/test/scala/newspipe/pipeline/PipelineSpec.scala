@@ -25,7 +25,7 @@ class PipelineSpec extends SparkTestBase {
     JsonSource.fromJsonLines(spark, fixtures),
     ingestionTime = "2026-01-05T00:00:00Z", country = "us")
 
-  private lazy val (silver, quarantine) = Silver.process(
+  private lazy val (silver, quarantine, _) = Silver.process(
     bronze, DqConfig.newsArticles,
     quarantineTime = java.sql.Timestamp.valueOf("2026-01-05 00:00:00"))
 
