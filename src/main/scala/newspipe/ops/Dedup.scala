@@ -145,21 +145,9 @@ object Dedup {
     val banded = sig.select(col("id"),
         explode(lshBands(col("sig"), bands, rows)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    banded.groupBy("band", "bucket")
-      .agg(collect_list("id").as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(pairs(sort_array(col("ids")))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    BucketedPairs.pairs(banded, Seq("band", "bucket"), "id", Nil, maxBucket)
       .dropDuplicates("id_a", "id_b")
   }
-
-  /** All ordered pairs (a < b) from a sorted id array — array expression,
-    * evaluated where the bucket row lives.
-    */
-  private def pairs(sortedIds: Column): Column =
-    flatten(transform(sortedIds, (a, i) =>
-      transform(slice(sortedIds, i + 2, size(sortedIds)), b =>
-        struct(a.as("a"), b.as("b")))))
 
   /** Exact n-gram Jaccard verification of candidate pairs: join shingle sets
     * back and compute |∩| / |∪|. `candidates` has (id_a, id_b).
@@ -300,25 +288,13 @@ object Dedup {
             shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("v"))
         }: _*)).as("cb"))
       .select(col("id"), col("sig"), col("cb.chunk"), col("cb.v"))
-    val bucketed = chunked.groupBy("chunk", "v")
-      .agg(collect_list(struct(col("id"), col("sig"))).as("xs"))
-      .filter(size(col("xs")).between(2, maxBucket))
-    bucketed
-      .select(explode(simPairs(sort_array(col("xs")))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"),
-        col("p.da").as("sig_a"), col("p.db").as("sig_b"))
+    BucketedPairs.pairs(chunked, Seq("chunk", "v"), "id", Seq("sig"), maxBucket)
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
-
-  private def simPairs(xs: Column): Column =
-    flatten(transform(xs, (x, i) =>
-      transform(slice(xs, i + 2, size(xs)), y =>
-        struct(x.getField("id").as("a"), y.getField("id").as("b"),
-          x.getField("sig").as("da"), y.getField("sig").as("db")))))
 }
 
 /** Heavy per-row kernels must not be bound by the source file layout: a

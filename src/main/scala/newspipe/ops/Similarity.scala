@@ -252,31 +252,53 @@ object Similarity {
     scored.sortBy { case (c, s) => (-s, c) }.take(n).map(_._1).toArray
   }
 
+  /** Per-band RHP signatures: band b gets its own hyperplane set (seed + b),
+    * all bands computed in ONE pass over the vector (bands × nbits planes in
+    * a single closed-over matrix). Band 0 reproduces [[rhpSignature]] with
+    * the same (dim, nbits, seed) exactly.
+    */
+  private[ops] def rhpBandSignatures(dim: Int, bands: Int, nbits: Int,
+      seed: Long): Column => Column = {
+    val planes: Array[Array[Array[Float]]] =
+      Array.tabulate(bands)(b => hyperplanes(dim, nbits, seed + b))
+    val f = udf { v: Seq[Float] =>
+      if (v == null) null
+      else planes.map { ps =>
+        var sig = 0L
+        var j = 0
+        while (j < ps.length) {
+          val p = ps(j)
+          var dot = 0.0f
+          var i = 0
+          val n = math.min(p.length, v.length)
+          while (i < n) { dot += p(i) * v(i); i += 1 }
+          if (dot >= 0) sig |= (1L << j)
+          j += 1
+        }
+        sig
+      }.toSeq
+    }
+    (c: Column) => f(c)
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold):
-    * LSH buckets → in-bucket pairs → exact cosine filter. The
-    * embedding-space analog of [[Dedup.minhashCandidates]].
+    * banded RHP LSH buckets → in-bucket candidate pairs (join form, see
+    * [[BucketedPairs]]) → exact cosine filter. The embedding-space analog of
+    * [[Dedup.minhashCandidates]]: a pair is a candidate if ANY of its `bands`
+    * nbits-bit signatures collide, so the miss probability for a pair at
+    * angle θ is (1 − (1 − θ/π)^nbits)^bands — bands buy recall at high
+    * thresholds, nbits prunes the candidate volume.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double = 0.95, nbits: Int = 12,
+      dim: Int, threshold: Double = 0.95, nbits: Int = 12, bands: Int = 1,
       seed: Long = 42L, maxBucket: Int = 2000): DataFrame = {
-    val sigOf = rhpSignature(dim, nbits, seed)
+    val sigOf = rhpBandSignatures(dim, bands, nbits, seed)
     val sigd = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      sigOf(col(vecCol)).as("bucket"))
-    val bucketed = sigd.groupBy("bucket")
-      .agg(collect_list(struct(col("id"), col("v"))).as("xs"))
-      .filter(size(col("xs")).between(2, maxBucket))
-    val prs = bucketed.select(explode(vecPairs(sort_array(col("xs")))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"),
-        col("p.va").as("va"), col("p.vb").as("vb"))
+        posexplode(sigOf(col(vecCol))).as(Seq("band", "bucket")))
+    BucketedPairs.pairs(sigd, Seq("band", "bucket"), "id", Seq("v"), maxBucket)
       .dropDuplicates("id_a", "id_b")
-    prs.withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
-
-  private def vecPairs(xs: Column): Column =
-    flatten(transform(xs, (x, i) =>
-      transform(slice(xs, i + 2, size(xs)), y =>
-        struct(x.getField("id").as("a"), y.getField("id").as("b"),
-          x.getField("v").as("va"), y.getField("v").as("vb")))))
 }

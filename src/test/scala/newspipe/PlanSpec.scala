@@ -109,6 +109,20 @@ class PlanSpec extends SparkTestBase {
     executed(topk) should include("WindowGroupLimit")
   }
 
+  test("join-form candidate pairs: ONE bucket shuffle, reused by both join inputs") {
+    val docs = (1 to 300)
+      .map(i => (i.toLong, s"doc text number ${i % 30} lorem ipsum dolor sit"))
+      .toDF("doc_id", "text")
+    val out = newspipe.ops.Dedup.simhashCandidates(docs, "doc_id", "text")
+    val plan = executed(out)
+    // the bucket aggregate is the only signature-side exchange; the second
+    // join input must reuse it, not recompute signatures + reshuffle
+    plan should include("ReusedExchange")
+    // pairs stream row-parallel through the join — the memory-quadratic
+    // single-row pair-array form (flatten(transform(...))) must be gone
+    plan should not include "flatten"
+  }
+
   test("broadcast top-k similarity plan has no shuffle before the per-query rank") {
     val emb = (1 to 500).map(i => (i.toLong, Seq.fill(8)((i % 13).toFloat)))
       .toDF("vec_id", "embedding")

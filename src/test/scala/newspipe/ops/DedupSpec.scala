@@ -112,6 +112,49 @@ class DedupSpec extends SparkTestBase {
     pairs.map { case (a, b, h) => (a, b) -> h }.toMap.apply((1L, 4L)) shouldBe 0
   }
 
+  test("simhash join-form candidates = brute-force hamming pairs on a seeded corpus") {
+    // pigeonhole: hamming ≤ 3 on a 4×16-bit banding ⇒ some chunk matches, so
+    // the complete oracle is ALL pairs within hamming 3 of each other
+    val rnd = new scala.util.Random(13)
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val corpus = (1L to 40L).map { i =>
+      if (i % 4 == 0) (i, base + " tail" + (i % 3)) // planted near-dup clusters
+      else (i, Seq.fill(14)(words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = Dedup.simhashCandidates(corpus, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sigs = corpus.select($"doc_id", Dedup.simhash($"text"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    brute should not be empty
+    fast shouldBe brute
+  }
+
+  test("minhash join-form candidates = pairs sharing ≥1 LSH bucket (independent pairing)") {
+    val corpus = docs.filter($"text".isNotNull)
+    val fast = Dedup.minhashCandidates(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    // reference path: same signature/banding expressions, pairing done
+    // driver-side over the collected (band, bucket) assignments
+    val banded = corpus
+      .select(col("doc_id").as("id"), Dedup.tokens(col("text")).as("tk"))
+      .select(col("id"), Dedup.shinglesFromTokens(col("tk")).as("sh"))
+      .select(col("id"), Dedup.minhashSignature(col("sh")).as("sig"))
+      .select(col("id"), explode(Dedup.lshBands(col("sig"), 16, 4)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+      .as[(Long, Int, Long)].collect()
+    val brute = banded.groupBy(r => (r._2, r._3)).values.flatMap { grp =>
+      val ids = grp.map(_._1).distinct.sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+    }.toSet
+    brute should not be empty
+    fast shouldBe brute
+  }
+
   test("minhash candidate generation caps degenerate buckets (skew guard)") {
     // 50 identical docs: one bucket of 50 → pairs capped out by maxBucket=10;
     // with maxBucket high enough we'd get 50*49/2 pairs — the guard drops them

@@ -115,4 +115,19 @@ class SimilaritySpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect()
     pairs shouldBe Array((1L, 2L))
   }
+
+  test("banded cosineNearDupPairs: recall on the clustered corpus matches brute force") {
+    // 16 bands × 6 bits: a ≥0.9-cosine pair misses all bands w.p. < 1e-5 —
+    // on this seeded corpus recall is exactly total (asserted, not assumed)
+    val corpus = clustered
+    val exact = Similarity.allPairsCosine(
+        corpus.select($"vec_id", $"embedding".cast("array<double>").as("v")),
+        "vec_id", "v", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+        dim = 8, threshold = 0.9, nbits = 6, bands = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    exact should not be empty
+    lsh shouldBe exact
+  }
 }
