@@ -360,6 +360,28 @@ object SparkEntry {
         .orderBy("query_id", "rank", "neighbor_id")
     }),
 
+    // Embedding-cosine near-dup pairs through the BUCKETED scale path
+    // (banded RHP LSH, q29's brute-force oracle). The natural embeddings
+    // have no pairs above cos 0.8, so near-dups are planted in-query: the
+    // first 50 vectors get a deterministic ±5% alternating perturbation
+    // (cos ≈ 0.9987 to their source, reproduced exactly in the oracle SQL).
+    // At this angle a 16-bit flip probability is ~1.6%/plane: with 16 bands
+    // × 8 bits the per-pair miss probability is ~4e-15 — recall is total,
+    // asserted by the hash compare, while the natural <0.8 pairs stay out.
+    "q40_cosine_pairs_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("v"), (x, i) =>
+            x * when(pmod(i, lit(2)) === 0, lit(1.05)).otherwise(lit(0.95)))
+            .as("v"))
+      Similarity.cosineNearDupPairs(emb.union(planted), "vec_id", "v",
+          dim = 64, threshold = 0.95, nbits = 8, bands = 16)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- Extension: text analysis (§7) --------------------------------------
 
     // Token counting: whitespace + BPE-ish regex
@@ -621,6 +643,26 @@ object SparkEntry {
     // (q27 simhash, q30 langid, q32 hll, q33 media are rows-only: JVM-hash /
     // heuristic / approximate / synthetic kernels with no ANSI equivalent)
 
+    // the full silver→gold pipeline with md5 keys, re-derived from documents:
+    // docsAsArticles reshaping (source/author/url/publishedAt synthesis),
+    // silver dropna(title) — url is unique per doc_id so dropDuplicates is a
+    // no-op — then fact keys ARTICLE_ID=md5(URL), SOURCE_ID=md5(SOURCE),
+    // AUTHOR_ID=md5(AUTHOR) and the regexp domain (same pattern as q18)
+    "q21_gold_fact" ->
+      """WITH docs AS (
+        |  SELECT source AS src,
+        |    'author_' || CAST(doc_id % 7 AS VARCHAR) AS author,
+        |    'https://www.' || source || '.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+        |    lang
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT md5(url) AS "ARTICLE_ID",
+        |  md5(src) AS "SOURCE_ID",
+        |  md5(author) AS "AUTHOR_ID",
+        |  regexp_extract(url, 'https?://(?:www\.)?([^/]+)', 1) AS "DOMAIN",
+        |  upper(lang) AS "COUNTRY",
+        |  url AS "URL"
+        |FROM docs ORDER BY url""".stripMargin,
+
     "q22_dedup_exact" ->
       """SELECT md5(coalesce(text, '')) AS content_hash,
         |  min(doc_id) AS keeper_id, count(*) AS group_size
@@ -710,6 +752,27 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // same brute-force shape as q29, over the union with the planted
+    // perturbed copies (multiplier CASE mirrors Spark's 0-based transform
+    // index: DuckDB lists are 1-based, so odd i ↔ Spark even i)
+    "q40_cosine_pairs_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |planted AS (
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(generate_series(1, len(v)),
+        |      i -> v[i] * (CASE WHEN i % 2 = 1 THEN 1.05 ELSE 0.95 END)) AS v
+        |  FROM e WHERE vec_id < 50),
+        |u AS (SELECT * FROM e UNION ALL SELECT * FROM planted)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+        |    6) AS cos
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        |  >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q29_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

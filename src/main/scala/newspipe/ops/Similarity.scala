@@ -261,14 +261,16 @@ object Similarity {
       seed: Long): Column => Column = {
     val planes: Array[Array[Array[Float]]] =
       Array.tabulate(bands)(b => hyperplanes(dim, nbits, seed + b))
-    val f = udf { v: Seq[Float] =>
+    // Seq[Double] so BOTH float and double vector columns bind (Spark
+    // up-casts float→double; it refuses the lossy opposite direction)
+    val f = udf { v: Seq[Double] =>
       if (v == null) null
       else planes.map { ps =>
         var sig = 0L
         var j = 0
         while (j < ps.length) {
           val p = ps(j)
-          var dot = 0.0f
+          var dot = 0.0
           var i = 0
           val n = math.min(p.length, v.length)
           while (i < n) { dot += p(i) * v(i); i += 1 }
