@@ -64,6 +64,16 @@ object Pipeline {
     sink(ds, "gold/dim_source", "dim_source")
     sink(da, "gold/dim_author", "dim_author")
     sink(fact, "gold/fact_news_articles", "fact_news_articles")
+    // dim_date over the fact's actual date span — the reference advertises
+    // this table (README.md:66) but never builds it. The span aggregate is
+    // two values driver-side; the dimension itself is generated distributed
+    // (sequence + explode, Gold.dimDate).
+    val span = fact.agg(
+      org.apache.spark.sql.functions.min("PUBLISHED_DATE"),
+      org.apache.spark.sql.functions.max("PUBLISHED_DATE")).head()
+    if (!span.isNullAt(0))
+      sink(Gold.dimDate(spark, span.getDate(0).toString, span.getDate(1).toString),
+        "gold/dim_date", "dim_date")
 
     Result(bronze.count(), silverBack.count(), qRows,
       ds.count(), da.count(), fact.count())

@@ -6,6 +6,7 @@ import java.nio.file.Files
 
 /** §3 E1-E3 as one runnable flow: JSON in, star schema + quarantine on disk. */
 class EndToEndSpec extends SparkTestBase {
+  import spark.implicits._
 
   private val fixtures = Seq(
     """{"source":{"name":"BBC"},"author":"Alice","title":"Excellent results","description":"d","url":"https://bbc.co.uk/1","publishedAt":"2026-01-02T10:00:00Z","content":"c"}""",
@@ -29,6 +30,11 @@ class EndToEndSpec extends SparkTestBase {
     new java.io.File(s"$base/silver").listFiles()
       .map(_.getName).exists(_.startsWith("COUNTRY=")) shouldBe true
     spark.read.parquet(s"$base/gold/fact_news_articles").count() shouldBe 2
+    // dim_date spans the fact's published dates (2026-01-02 .. 2026-01-03)
+    val dimDate = spark.read.parquet(s"$base/gold/dim_date")
+    dimDate.count() shouldBe 2
+    dimDate.select("DATE_ID").as[String].collect().sorted shouldBe
+      Array("20260102", "20260103")
     // raw landing replay copy present
     new java.io.File(s"$base/raw").listFiles().length shouldBe 1
   }
