@@ -295,10 +295,20 @@ object Similarity {
       dim: Int, threshold: Double = 0.95, nbits: Int = 12, bands: Int = 1,
       seed: Long = 42L, maxBucket: Int = 2000): DataFrame = {
     val sigOf = rhpBandSignatures(dim, bands, nbits, seed)
-    val sigd = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        posexplode(sigOf(col(vecCol))).as(Seq("band", "bucket")))
-    BucketedPairs.pairs(sigd, Seq("band", "bucket"), "id", Seq("v"), maxBucket)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // candidate generation is ID-ONLY: carrying the vectors through the
+    // band explode would replicate the corpus payload `bands`× through the
+    // bucket shuffle and again through the pair dedup. Instead the (small)
+    // deduped candidate set joins the vectors back — the same
+    // verify-joins-payload-back shape as Dedup.jaccardVerify, and AQE
+    // broadcasts the candidate side so the corpus never reshuffles.
+    val sigd = vecs.select(col("id"),
+      posexplode(sigOf(col("v"))).as(Seq("band", "bucket")))
+    val cand = BucketedPairs.pairs(sigd, Seq("band", "bucket"), "id", Nil, maxBucket)
       .dropDuplicates("id_a", "id_b")
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cos", cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
