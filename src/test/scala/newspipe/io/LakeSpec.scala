@@ -49,6 +49,21 @@ class LakeSpec extends SparkTestBase {
     spark.sql("DROP TABLE news_articles.t_publish_spec")
   }
 
+  test("publish lands in the REAL Hive metastore (ref S6: Hive catalog, not the in-memory stub)") {
+    spark.conf.get("spark.sql.catalogImplementation") shouldBe "hive"
+    val lake = tmpLake()
+    lake.writeAndPublish(Seq((7, "h")).toDF("id", "v"), "gold", "t_hive_spec",
+      mode = "overwrite")
+    // the external (metastore-backed) catalog must know the table — this is
+    // the API the reference's write_to_datalake_and_hive relies on
+    spark.sharedState.externalCatalog
+      .tableExists("news_articles", "t_hive_spec") shouldBe true
+    val meta = spark.sharedState.externalCatalog
+      .getTable("news_articles", "t_hive_spec")
+    meta.provider shouldBe Some("parquet")
+    spark.sql("DROP TABLE news_articles.t_hive_spec")
+  }
+
   test("JsonSource reads with the EXPLICIT bronze schema — missing keys are null, not errors") {
     val df = JsonSource.fromJsonLines(spark, Seq(
       """{"title":"only title","url":"https://x.com/1"}"""))

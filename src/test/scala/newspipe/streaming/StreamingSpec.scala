@@ -130,4 +130,35 @@ class StreamingSpec extends SparkTestBase {
     streamed shouldBe batch
     streamed.map(_._2) shouldBe Set("positive", "negative")
   }
+
+  test("file-source readStream end-to-end: JSON files → bronze → silver → lake") {
+    import newspipe.pipeline.{Bronze, Silver}
+    val dir = java.nio.file.Files.createTempDirectory("fstream").toString
+    new java.io.File(s"$dir/in").mkdirs()
+    val lines = Seq(
+      """{"source":{"name":"BBC"},"author":"Alice","title":"Great results today","description":"d","url":"https://bbc.co.uk/1","publishedAt":"2026-01-02T10:00:00Z","content":"c1"}""",
+      """{"source":{"name":"CNN"},"author":"Bob","title":"Terrible crash reported","description":"d","url":"https://cnn.com/2","publishedAt":"2026-01-02T11:00:00Z","content":"c2"}""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in/page1.json"), lines.mkString("\n"))
+
+    // the REAL file source (not MemoryStream): same explicit bronze schema,
+    // same Bronze/Silver stages, micro-batched into the batch lake layout
+    val lake = new newspipe.io.Lake(spark, newspipe.io.LakeConfig(s"$dir/lake"))
+    val bronzeStream = Bronze.transform(
+      spark.readStream.schema(newspipe.model.Schemas.bronzeRaw).json(s"$dir/in"),
+      ingestionTime = "2026-01-05T00:00:00Z", country = "us")
+    val silverStream = StreamingSilver.transform(Silver.flattenSource(bronzeStream))
+    val q = StreamingSilver.writeToLake(silverStream, lake, "silver",
+      checkpoint = s"$dir/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    val batch = Silver.transform(Silver.flattenSource(Bronze.transform(
+      newspipe.io.JsonSource.readArticles(spark, s"$dir/in"),
+      "2026-01-05T00:00:00Z", "us")))
+    val got = lake.read("silver")
+    got.count() shouldBe 2
+    got.columns.sorted shouldBe batch.columns.sorted
+    got.select("URL", "SENTIMENT_LABEL").as[(String, String)].collect().toSet shouldBe
+      batch.select("URL", "SENTIMENT_LABEL").as[(String, String)].collect().toSet
+  }
 }
