@@ -115,13 +115,15 @@ object Dedup {
 
   /** LSH banding: (band_id, bucket_hash) pairs for a signature split into
     * `bands` bands of `rows` rows. Docs sharing any bucket are candidates.
+    * `xxhash64` hashes the sliced long array DIRECTLY — no per-band string
+    * casting/concatenation; equal slices still map to equal buckets (the
+    * only property banding needs) and the rare extra hash collision only
+    * ADDS a candidate that exact verification then discards.
     */
   def lshBands(signature: Column, bands: Int, rows: Int): Column =
     array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          slice(signature, b * rows + 1, rows).cast("array<string>")).as("sig"))
-          .as("bucket"))
+        xxhash64(slice(signature, b * rows + 1, rows)).as("bucket"))
     }: _*)
 
   /** Candidate near-dup pairs (idA < idB) via MinHash-LSH.
@@ -151,10 +153,19 @@ object Dedup {
 
   /** Exact n-gram Jaccard verification of candidate pairs: join shingle sets
     * back and compute |∩| / |∪|. `candidates` has (id_a, id_b).
+    *
+    * Only docs that APPEAR in a candidate pair are re-shingled: a semi-join
+    * against the candidate id set (broadcast at runtime — candidates ≪
+    * corpus) prunes the corpus before the tokenize/shingle projection, so
+    * verification cost scales with the candidate set, not the corpus.
     */
   def jaccardVerify(candidates: DataFrame, df: DataFrame, idCol: String,
       textCol: String, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__toks"))
+    val candIds = candidates.select(col("id_a").as("__cid"))
+      .union(candidates.select(col("id_b").as("__cid")))
+      .distinct()
+    val needed = df.join(candIds, col(idCol) === col("__cid"), "left_semi")
+    val sh = needed.select(col(idCol).as("__id"), tokens(col(textCol)).as("__toks"))
       .select(col("__id"), shinglesFromTokens(col("__toks"), n).as("__sh"))
     candidates
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
