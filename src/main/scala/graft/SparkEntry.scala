@@ -412,6 +412,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Repetition metrics: duplicate-token ratio (pure expression) +
+    // top-bigram fraction (hash-map kernel; the oracle re-counts with an
+    // O(n²) list comprehension — fine at oracle scale)
+    "q41_repetition" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          round(TextStats.duplicateTokenRatio(col("text")), 6).as("dup_token_ratio"),
+          round(TextStats.topBigramFraction(col("text")), 6).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // PII-style redaction over text with synthesized contact strings (the
+    // natural docs carry none — same in-query synthesis pattern as q18's
+    // HTML tagging), counting matches and measuring the redacted length
+    "q42_redact" -> ((s, dir) => {
+      val contact = concat(col("text"),
+        lit(" contact "), col("source"), lit("@mail.example.com or +1 (555) 010-"),
+        lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+        lit(" via https://"), col("source"), lit(".example.com/u/"),
+        col("doc_id").cast(StringType))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextStats.piiMatchCount(contact).as("n_pii"),
+          length(TextStats.redactPii(contact)).as("redacted_len"))
+        .orderBy("doc_id")
+    }),
+
     // Language ID (function-word profiles, per-row argmax — no oracle:
     // heuristic kernel, verified in TextStatsSpec)
     "q30_langid" -> ((s, dir) => {
@@ -710,6 +737,51 @@ object SparkEntry {
         |    + (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
         |    6) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q41_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+        |      x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, tk,
+        |    CASE WHEN len(tk) >= 2 THEN
+        |      list_transform(generate_series(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i + 1])
+        |    ELSE CAST([] AS VARCHAR[]) END AS bg
+        |  FROM toks)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(tk) = 0 THEN 0.0
+        |    ELSE 1.0 - len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE) END,
+        |    6) AS dup_token_ratio,
+        |  round(CASE WHEN len(bg) = 0 THEN 0.0
+        |    ELSE list_max(list_transform(bg,
+        |      x -> len(list_filter(bg, y -> y = x)))) / CAST(len(bg) AS DOUBLE)
+        |    END, 6) AS top_bigram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q42_redact" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    text || ' contact ' || source || '@mail.example.com or +1 (555) 010-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' via https://' || source || '.example.com/u/'
+        |      || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, 'https?://\S+'))
+        |    + len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(t, '\+?[0-9][0-9()\-\s]{6,}[0-9]'))
+        |    AS INTEGER) AS n_pii,
+        |  CAST(length(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(t, 'https?://\S+', '[REDACTED]', 'g'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+        |      '\+?[0-9][0-9()\-\s]{6,}[0-9]', '[REDACTED]', 'g'))
+        |    AS INTEGER) AS redacted_len
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q25_fingerprint" ->
       """SELECT doc_id,

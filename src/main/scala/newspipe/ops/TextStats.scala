@@ -138,6 +138,76 @@ object TextStats {
 
   def langId(text: Column): Column = langIdUdf(text)
 
+  // ---- repetition metrics (Gopher-style duplicate-content filters) ---------
+
+  /** Fraction of tokens that repeat an earlier token: 1 − distinct/total.
+    * Boilerplate and keyword spam score high; prose scores low. 0 for empty.
+    */
+  def duplicateTokenRatio(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    when(text.isNull, lit(null))
+      .otherwise(when(size(toks) === 0, 0.0)
+        .otherwise(lit(1.0) -
+          size(array_distinct(toks)).cast("double") / size(toks)))
+  }
+
+  /** Word 2-grams WITH duplicates (unlike shingles, which dedupe) — the
+    * repetition filters need the multiset. Empty/one-token docs → [].
+    */
+  def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2), i =>
+        concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Share of all word 2-grams taken by the MOST FREQUENT 2-gram (the
+    * top-n-gram fraction repetition filter). One hash-map pass per row in
+    * the kernel — the equivalent column expression
+    * (`transform(g, x => size(filter(g, y => y === x)))`) is O(n²) per doc.
+    */
+  private val topFreqUdf = udf { xs: Seq[String] =>
+    if (xs == null) null
+    else if (xs.isEmpty) java.lang.Double.valueOf(0.0)
+    else {
+      val counts = scala.collection.mutable.HashMap.empty[String, Int]
+      xs.foreach(x => counts.update(x, counts.getOrElse(x, 0) + 1))
+      java.lang.Double.valueOf(counts.values.max.toDouble / xs.size)
+    }
+  }
+
+  def topBigramFraction(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    when(text.isNull, lit(null)).otherwise(topFreqUdf(bigrams(toks)))
+  }
+
+  // ---- PII-style redaction -------------------------------------------------
+  // Patterns stay inside the RE2-compatible subset (no lookaround, no
+  // backrefs) so the same pattern runs in Spark (Java regex) and any
+  // RE2-based engine identically.
+
+  val UrlPattern = "https?://\\S+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]"
+
+  /** Redact URLs, then emails, then phone-shaped digit runs (that order:
+    * emails inside URLs disappear with the URL; the replacement token
+    * contains no digits, so later passes cannot re-match inside it).
+    */
+  def redactPii(text: Column, repl: String = "[REDACTED]"): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlPattern, repl),
+        EmailPattern, repl),
+      PhonePattern, repl)
+
+  /** How many URL/email/phone matches the text carries (counted on the raw
+    * text, before redaction).
+    */
+  def piiMatchCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(UrlPattern), lit(0))) +
+      size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
+      size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
+
   // ---- fingerprinting ------------------------------------------------------
 
   /** Content fingerprint: md5 of whitespace/case-normalized text — the

@@ -78,4 +78,26 @@ class TextStatsSpec extends SparkTestBase {
     fp("a b") should not be fp("b a")
     fp("A  b") shouldBe fp("a b") // normalization applies first
   }
+
+  test("duplicateTokenRatio: repeats score, prose doesn't, empty is 0") {
+    one[Double]("spam spam spam ham", TextStats.duplicateTokenRatio) shouldBe 0.5 +- 1e-9
+    one[Double]("all tokens here differ", TextStats.duplicateTokenRatio) shouldBe 0.0
+    one[Double]("", TextStats.duplicateTokenRatio) shouldBe 0.0
+  }
+
+  test("topBigramFraction: dominant bigram share; short docs are 0") {
+    // bigrams of "a b a b a": [a b, b a, a b, b a] → top share 2/4
+    one[Double]("a b a b a", TextStats.topBigramFraction) shouldBe 0.5 +- 1e-9
+    one[Double]("one", TextStats.topBigramFraction) shouldBe 0.0
+  }
+
+  test("redactPii removes urls, emails and phone runs; counts match") {
+    val s = "mail me@corp.example.com or call +1 (555) 010-1234, " +
+      "docs at https://docs.example.com/a/b now"
+    one[String](s, TextStats.redactPii(_)) shouldBe
+      "mail [REDACTED] or call [REDACTED], docs at [REDACTED] now"
+    one[Int](s, TextStats.piiMatchCount) shouldBe 3
+    one[String]("no contact info here", TextStats.redactPii(_)) shouldBe
+      "no contact info here"
+  }
 }
