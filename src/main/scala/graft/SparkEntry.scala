@@ -439,6 +439,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Deterministic content-addressed sampling: membership is a pure
+    // function of (salt, key) — reproducible in ANSI SQL, unlike rand()
+    "q43_hash_sample" -> ((s, dir) => {
+      newspipe.ops.Sampling.hashSample(t(s, dir, "documents"), "doc_id",
+          fraction = 0.25, salt = "split1")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // End-to-end curation: quality gate → exact dedup (keep min id) →
+    // MinHash near-dedup (greedy min-id removal). The oracle replays every
+    // stage in SQL with BRUTE-FORCE Jaccard pairs, so the hash compare
+    // asserts the LSH path loses no qualifying pair on this corpus
+    "q44_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val quality = docs.filter(TextStats.qualityScore(col("text")) >= 0.5)
+      val exact = Dedup.exact(quality, "doc_id", Seq("text"))
+      Dedup.minhashDedup(exact, "doc_id", "text", threshold = 0.8)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Language ID (function-word profiles, per-row argmax — no oracle:
     // heuristic kernel, verified in TextStatsSpec)
     "q30_langid" -> ((s, dir) => {
@@ -737,6 +759,66 @@ object SparkEntry {
         |    + (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
         |    6) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // 0.25 · 2³² = 1073741824 — membership is md5-bucketed, same bits both
+    // engines
+    "q43_hash_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE ('0x' || substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |  < 1073741824
+        |ORDER BY doc_id""".stripMargin,
+
+    // replays the full curation pipeline: quality formula (as q24, unrounded,
+    // same left-assoc double adds as Spark), exact dedup keep-min-id, then
+    // GREEDY near-dedup over BRUTE-FORCE Jaccard pairs — the hash compare
+    // therefore asserts the engine's LSH path drops exactly the same docs
+    "q44_curation" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+        |      x -> len(x) > 0) AS tk,
+        |    len(text) AS n,
+        |    len(text) - len(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS np
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, tk,
+        |    CASE WHEN n = 0 THEN 0.0 ELSE np / CAST(n AS DOUBLE) END AS pr,
+        |    CASE WHEN len(tk) = 0 THEN 0.0
+        |      ELSE len(list_filter(tk, x -> list_contains(
+        |        ['the','a','an','and','or','of','to','in','is','it','that','was',
+        |         'for','on','are','as','with','at','by','this','be','from','not',
+        |         'but','they','his','her'], x))) / CAST(len(tk) AS DOUBLE)
+        |    END AS sr,
+        |    CASE WHEN len(tk) = 0 THEN 0.0
+        |      ELSE list_sum(list_transform(tk, x -> CAST(len(x) AS BIGINT)))
+        |        / CAST(len(tk) AS DOUBLE) END AS awl,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> len(x) > 0)) AS wc
+        |  FROM toks),
+        |q AS (
+        |  SELECT doc_id, text, tk FROM m
+        |  WHERE (CASE WHEN wc BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.3
+        |      + (CASE WHEN sr >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.3
+        |      + (CASE WHEN pr <= 0.3 THEN 1.0 ELSE 0.0 END) * 0.2
+        |      + (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+        |      >= 0.5),
+        |e AS (
+        |  SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(coalesce(text, ''))),
+        |sh AS (
+        |  SELECT q.doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(q.tk) - 2, 1)),
+        |      i -> array_to_string(list_slice(q.tk, i, i + 2), ' '))) AS s
+        |  FROM q JOIN e ON q.doc_id = e.doc_id),
+        |losers AS (
+        |  SELECT DISTINCT b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) /
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    >= 0.8)
+        |SELECT doc_id FROM e
+        |WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        |ORDER BY doc_id""".stripMargin,
 
     "q41_repetition" ->
       """WITH toks AS (
