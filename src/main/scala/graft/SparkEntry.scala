@@ -455,7 +455,12 @@ object SparkEntry {
     "q44_curation" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val quality = docs.filter(TextStats.qualityScore(col("text")) >= 0.5)
+      // checkpoint the curated corpus: near-dedup consumes it from several
+      // branches (signatures, verify join-back, anti-join), and each would
+      // otherwise re-run the quality scorer + dedup window from the scan —
+      // at scale you persist the stage boundary, same as here
       val exact = Dedup.exact(quality, "doc_id", Seq("text"))
+        .localCheckpoint(true)
       Dedup.minhashDedup(exact, "doc_id", "text", threshold = 0.8)
         .select("doc_id")
         .orderBy("doc_id")

@@ -79,13 +79,14 @@ object Dedup {
 
   // ---- MinHash + LSH ------------------------------------------------------
 
-  /** Per-row MinHash signature: for seed i ∈ [0, numHashes), the min over
-    * shingles of XXH64(shingle, seed = i). One in-JVM pass over the shingle
-    * array computes ALL seeds — the equivalent
-    * `array((0 until k).map(i => array_min(transform(sh, xxhash64(…)))))`
+  /** Per-row MinHash signature: hash function i ∈ [0, numHashes) is the
+    * double-hashing family h_i(s) = h1(s) + i·h2(s) (Kirsch–Mitzenmacher)
+    * over two XXH64 string hashes — TWO string hashes per shingle instead
+    * of numHashes, with the per-seed independence near-dup banding needs.
+    * One in-JVM pass over the shingle array computes all positions — the
+    * equivalent `array((0 until k).map(i => array_min(transform(sh, …))))`
     * expression tree evaluates k interpreted lambda sweeps per row with
-    * per-element boxing; this kernel is the measured ~10× cheaper form.
-    * Computed where the row lives, no shuffle.
+    * per-element boxing. Computed where the row lives, no shuffle.
     */
   def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column =
     minhashSigUdf(numHashes)(shingleCol)
@@ -100,11 +101,16 @@ object Dedup {
       shingles.foreach { s =>
         if (s != null) {
           val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUTF8String(u, 0L)
+          // force h2 odd: full period mod 2⁶⁴, so the positions never cycle
+          val h2 = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUTF8String(u, 1L) | 1L
+          var h = h1
           var i = 0
           while (i < numHashes) {
-            val h = org.apache.spark.sql.catalyst.expressions.XXH64
-              .hashUTF8String(u, i.toLong)
             if (h < sig(i)) sig(i) = h
+            h += h2
             i += 1
           }
         }
@@ -183,7 +189,11 @@ object Dedup {
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16)
       : DataFrame = {
+    // the candidate set is consumed twice downstream (the id semi-join and
+    // the verify join) — materialize the SMALL pair list once instead of
+    // re-running the whole signature/banding pipeline per consumer
     val cand = minhashCandidates(df, idCol, textCol, numHashes, bands)
+      .localCheckpoint(true)
     val dups = jaccardVerify(cand, df, idCol, textCol, threshold = threshold)
     // a near-dup pair (a < b) removes b; a survives unless removed by a
     // smaller id elsewhere (greedy min-id clustering, one anti-join).
@@ -246,6 +256,7 @@ object Dedup {
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16)
       : DataFrame = {
     val cand = minhashCandidates(df, idCol, textCol, numHashes, bands)
+      .localCheckpoint(true)
     val dups = jaccardVerify(cand, df, idCol, textCol, threshold = threshold)
     val comps = connectedComponents(dups)
     val losers = comps.filter(col("id") =!= col("comp"))
