@@ -11,6 +11,15 @@ object NewspipeSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** EAGER Column→Expression conversion. `ExpressionUtils.expression` wraps
+    * the column node lazily (`ColumnNodeExpression`), which never resolves
+    * when returned from a FunctionRegistry builder — the analyzer needs a
+    * real (if still unresolved-function-bearing) expression tree, which the
+    * classic converter produces and subsequent analyzer passes resolve.
+    */
+  def convertedExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   def registerFunction(spark: SparkSession,
       ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
       info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,

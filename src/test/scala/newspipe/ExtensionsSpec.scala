@@ -26,4 +26,26 @@ class ExtensionsSpec extends SparkTestBase {
     // builder-path smoke: the injection list is well-formed
     new NewspipeExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
+
+  test("the curation surface is callable from SQL (same kernels as the DataFrame API)") {
+    NewspipeExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT quality_score('the cat sat on the mat and it was good for the day is here now') AS q,
+        |  redact_pii('mail me@x.example.com now') AS r,
+        |  word_count('a b c') AS wc,
+        |  lang_id('the cat and the dog in the house that was of it') AS l,
+        |  dup_token_ratio('spam spam spam ham') AS d""".stripMargin).head()
+    row.getDouble(0) should be > 0.5
+    row.getString(1) shouldBe "mail [REDACTED] now"
+    row.getInt(2) shouldBe 3
+    row.getString(3) shouldBe "en"
+    row.getDouble(4) shouldBe 0.5 +- 1e-9
+  }
+
+  test("SQL sentiment returns the struct form (polarity + label)") {
+    NewspipeExtensions.register(spark)
+    val row = spark.sql(
+      "SELECT sentiment('excellent wonderful great').label AS l").head()
+    row.getString(0) shouldBe "positive"
+  }
 }
