@@ -164,16 +164,24 @@ object Dedup {
     * against the candidate id set (broadcast at runtime — candidates ≪
     * corpus) prunes the corpus before the tokenize/shingle projection, so
     * verification cost scales with the candidate set, not the corpus.
+    *
+    * The candidate list is materialized once (`localCheckpoint`, eager):
+    * it feeds FOUR downstream branches (the id set under both shingle join
+    * inputs, plus the pair join itself), and when callers pass the LSH
+    * candidate pipeline directly each branch would re-run signatures +
+    * banding from the scan. Candidate pairs are small by construction —
+    * that is the point of LSH — so the checkpoint is bounded.
     */
   def jaccardVerify(candidates: DataFrame, df: DataFrame, idCol: String,
       textCol: String, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val candIds = candidates.select(col("id_a").as("__cid"))
-      .union(candidates.select(col("id_b").as("__cid")))
+    val cand = candidates.localCheckpoint(true)
+    val candIds = cand.select(col("id_a").as("__cid"))
+      .union(cand.select(col("id_b").as("__cid")))
       .distinct()
     val needed = df.join(candIds, col(idCol) === col("__cid"), "left_semi")
     val sh = needed.select(col(idCol).as("__id"), tokens(col(textCol)).as("__toks"))
       .select(col("__id"), shinglesFromTokens(col("__toks"), n).as("__sh"))
-    candidates
+    cand
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -189,11 +197,7 @@ object Dedup {
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16)
       : DataFrame = {
-    // the candidate set is consumed twice downstream (the id semi-join and
-    // the verify join) — materialize the SMALL pair list once instead of
-    // re-running the whole signature/banding pipeline per consumer
     val cand = minhashCandidates(df, idCol, textCol, numHashes, bands)
-      .localCheckpoint(true)
     val dups = jaccardVerify(cand, df, idCol, textCol, threshold = threshold)
     // a near-dup pair (a < b) removes b; a survives unless removed by a
     // smaller id elsewhere (greedy min-id clustering, one anti-join).
@@ -256,7 +260,6 @@ object Dedup {
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16)
       : DataFrame = {
     val cand = minhashCandidates(df, idCol, textCol, numHashes, bands)
-      .localCheckpoint(true)
     val dups = jaccardVerify(cand, df, idCol, textCol, threshold = threshold)
     val comps = connectedComponents(dups)
     val losers = comps.filter(col("id") =!= col("comp"))
