@@ -130,6 +130,31 @@ object InvariantProperties extends Properties("newspipe") {
       fast == naive
     }
 
+  property("hashSample: a smaller fraction is always a subset of a larger one (same salt)") =
+    Prop.forAll(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0.0, 1.0)) { (a, b) =>
+      import spark.implicits._
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val ids = (1L to 200L).toDF("id")
+      val small = newspipe.ops.Sampling.hashSample(ids, "id", lo, "p")
+        .as[Long].collect().toSet
+      val large = newspipe.ops.Sampling.hashSample(ids, "id", hi, "p")
+        .as[Long].collect().toSet
+      small.subsetOf(large)
+    }
+
+  property("hashSplit: random fraction vectors produce pairwise-disjoint splits") =
+    Prop.forAll(Gen.chooseNum(1, 4)
+        .flatMap(n => Gen.listOfN(n, Gen.chooseNum(0.05, 0.2)))) { fs =>
+      import spark.implicits._
+      val ids = (1L to 200L).toDF("id")
+      val sets = newspipe.ops.Sampling.hashSplit(ids, "id", fs, "q")
+        .map(_.as[Long].collect().toSet)
+      val disjoint = sets.combinations(2).forall { case Seq(x, y) =>
+        (x intersect y).isEmpty
+      }
+      disjoint && sets.map(_.size).sum <= 200
+    }
+
   // --- pure-function properties (full case count) ---------------------------
 
   property("sentiment: label always matches polarity sign") =
