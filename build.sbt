@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // derby (the test Hive metastore) writes derby.log to its system home,
+  // which defaults to the process cwd — keep it out of the repo
+  s"-Dderby.system.home=${sys.props("java.io.tmpdir")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
