@@ -23,9 +23,17 @@ object AsOfJoin {
 
   /** @param rightPrefix prefix applied to every right column in the output
     *   (including its timestamp), keeping left columns untouched.
+    * @param tolerance optional maximum staleness: a match older than
+    *   `left.ts − tolerance` is discarded (nulls instead), the
+    *   `merge_asof(tolerance=…)` semantic. Pass a value comparable to
+    *   `left.ts − right.ts` — an interval literal for timestamp columns
+    *   (`expr("INTERVAL '30' SECOND")`), a number for numeric ones.
+    *   Applied as a post-filter on the carried match; the plan shape (one
+    *   keyed window) is unchanged.
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-      rightPrefix: String = "r_"): DataFrame = {
+      rightPrefix: String = "r_",
+      tolerance: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val lCols = left.columns.toSeq
     val rCols = right.columns.toSeq.filterNot(_ == keyCol)
 
@@ -46,9 +54,15 @@ object AsOfJoin {
     val w = Window.partitionBy("__k").orderBy("__ts", "__side")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val joined = lTagged.unionByName(rTagged)
+    val joined0 = lTagged.unionByName(rTagged)
       .withColumn("__match", last("__r", ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    val joined = tolerance match {
+      case Some(tol) => joined0.withColumn("__match",
+        when(col("__match").isNotNull &&
+          col("__ts") - col(s"__match.$tsCol") <= tol, col("__match")))
+      case None => joined0
+    }
 
     val out = lCols.map(c => col(s"__l.$c").as(c)) ++
       rCols.map(c => col(s"__match.$c").as(s"$rightPrefix$c"))
