@@ -123,6 +123,31 @@ class PlanSpec extends SparkTestBase {
     plan should not include "flatten"
   }
 
+  test("as-of join: one keyed shuffle, never a single-partition window") {
+    val l = (1 to 2000).map(i => (i.toLong % 50, i.toLong, s"l$i")).toDF("k", "ts", "lv")
+    val r = (1 to 500).map(i => (i.toLong % 50, i.toLong * 3, s"r$i")).toDF("k", "ts", "rv")
+    // AQE plan strings append the pre-adaptive "Initial Plan" — count
+    // exchanges in the final section only
+    val plan = executed(newspipe.ops.AsOfJoin.asOf(l, r, "k", "ts"))
+      .split("== Initial Plan ==").head
+    // the union side-tag plan must shuffle ONCE on the key and sort within
+    // partitions — a global (un-keyed) window would single-partition at scale
+    plan should include("Window")
+    plan should not include "Exchange SinglePartition"
+    plan.split("Exchange hashpartitioning").length - 1 shouldBe 1
+  }
+
+  test("range join plans as an equi-join on the bucket, not a nested loop") {
+    val points = (1 to 5000).map(i => (i.toLong, i)).toDF("x", "pid")
+    val ivs = (1 to 50).map(i => (i * 90L, i * 90L + 30L, i)).toDF("s", "e", "iid")
+    val plan = executed(
+      newspipe.ops.RangeJoin.intervalJoin(points, ivs, "x", "s", "e", 64L))
+    // the naive BETWEEN theta-join shape Spark would pick on its own
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    (plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin")) shouldBe true
+  }
+
   test("broadcast top-k similarity plan has no shuffle before the per-query rank") {
     val emb = (1 to 500).map(i => (i.toLong, Seq.fill(8)((i % 13).toFloat)))
       .toDF("vec_id", "embedding")
