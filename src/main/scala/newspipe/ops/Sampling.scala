@@ -32,6 +32,21 @@ object Sampling {
       (fraction * 4294967296.0).toLong)
   }
 
+  /** Deterministic corpus mixture: each source is hash-sampled at its own
+    * rate (salted by the source name, so co-occurring keys draw
+    * independently per source) and tagged — the reproducible way to hit
+    * target mixture proportions in a training-data blend without a global
+    * shuffle or RNG. Sources must be union-compatible by name.
+    */
+  def mixture(sources: Seq[(String, DataFrame, Double)], keyCol: String,
+      salt: String = "", tagCol: String = "mixture_source"): DataFrame = {
+    require(sources.nonEmpty, "mixture needs at least one source")
+    sources.map { case (name, df, rate) =>
+      hashSample(df, keyCol, rate, salt + name)
+        .withColumn(tagCol, lit(name))
+    }.reduce(_ unionByName _)
+  }
+
   /** Disjoint deterministic split (train/val/test …): `fractions` must sum
     * to ≤ 1; row i of the result holds keys whose bucket falls in the i-th
     * cumulative range. Every row lands in AT MOST one split (exactly one if

@@ -43,6 +43,21 @@ class SamplingSpec extends SparkTestBase {
     (t ++ v ++ te).size shouldBe 2000 // fractions sum to 1 ⇒ full coverage
   }
 
+  test("mixture blends sources at their own rates, deterministically tagged") {
+    val big = (1L to 1000L).toDF("id")
+    val small = (5000L to 5499L).toDF("id")
+    val mix = Sampling.mixture(
+      Seq(("web", big, 0.2), ("books", small, 0.8)), "id", salt = "m1")
+    val counts = mix.groupBy("mixture_source").count()
+      .as[(String, Long)].collect().toMap
+    counts("web").toDouble shouldBe (200.0 +- 60.0)
+    counts("books").toDouble shouldBe (400.0 +- 60.0)
+    // pure function of the data: a second evaluation is identical
+    mix.as[(Long, String)].collect().toSet shouldBe
+      Sampling.mixture(Seq(("web", big, 0.2), ("books", small, 0.8)),
+        "id", salt = "m1").as[(Long, String)].collect().toSet
+  }
+
   test("invalid fractions are rejected") {
     intercept[IllegalArgumentException](Sampling.hashSample(ids, "id", 1.5))
     intercept[IllegalArgumentException](
