@@ -1,0 +1,65 @@
+package newspipe.ops
+
+import newspipe.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior of the extension operators: empty corpora and
+  * empty candidate sets must yield empty results, never crash — at scale an
+  * empty partition/source is routine, not exceptional.
+  */
+class EdgeCaseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+
+  test("dedup operators on an empty corpus return empty") {
+    Dedup.exact(emptyDocs, "doc_id", Seq("text")).count() shouldBe 0
+    Dedup.minhashCandidates(emptyDocs, "doc_id", "text").count() shouldBe 0
+    Dedup.simhashCandidates(emptyDocs, "doc_id", "text").count() shouldBe 0
+    Dedup.minhashDedup(emptyDocs, "doc_id", "text").count() shouldBe 0
+  }
+
+  test("jaccardVerify with an empty candidate list returns empty") {
+    val docs = Seq((1L, "some real document text here")).toDF("doc_id", "text")
+    val noCand = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    Dedup.jaccardVerify(noCand, docs, "doc_id", "text").count() shouldBe 0
+  }
+
+  test("similarity operators on an empty corpus return empty") {
+    Similarity.allPairsCosine(
+      emptyVecs.select($"vec_id", $"embedding".cast("array<double>").as("v")),
+      "vec_id", "v", 0.5).count() shouldBe 0
+    Similarity.cosineNearDupPairs(emptyVecs, "vec_id", "embedding",
+      dim = 4, bands = 2, nbits = 4).count() shouldBe 0
+    val queries = Seq((1L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    Similarity.bruteForceTopK(queries, emptyVecs, "vec_id", "embedding", k = 3)
+      .count() shouldBe 0
+    Similarity.lshTopK(queries, emptyVecs, "vec_id", "embedding",
+      dim = 4, k = 3, nbits = 4).count() shouldBe 0
+  }
+
+  test("sampling on an empty frame returns empty splits") {
+    val empty = Seq.empty[Long].toDF("id")
+    Sampling.hashSample(empty, "id", 0.5).count() shouldBe 0
+    Sampling.hashSplit(empty, "id", Seq(0.5, 0.5)).map(_.count()).sum shouldBe 0
+  }
+
+  test("connectedComponents on an empty pair list returns empty labels") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    Dedup.connectedComponents(noPairs).count() shouldBe 0
+  }
+
+  test("multimodal features feed the ANN operators end to end") {
+    // the integration path a real pipeline runs: binary media → fixed-dim
+    // features → cosine top-k over the feature space
+    val media = newspipe.multimodal.Media.synthetic(spark, 40L)
+    val feats = newspipe.multimodal.Media.extractFeatures(media, dim = 8)
+      .toDF().select($"media_id", $"feature")
+    val queries = feats.filter($"media_id" < 3)
+    val nn = Similarity.bruteForceTopK(queries, feats, "media_id", "feature", k = 5)
+    nn.count() shouldBe 15 // 3 queries × k
+    nn.groupBy("query_id").count().as[(Long, Long)].collect()
+      .foreach { case (_, n) => n shouldBe 5L }
+  }
+}
