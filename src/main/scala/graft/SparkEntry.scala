@@ -308,9 +308,28 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash near-dup candidate pairs (hamming ≤ 3 on 64-bit signatures)
+    // SimHash near-dup candidates (hamming ≤ 3 on 64-bit signatures), made
+    // oracle-provable by planted exact-duplicate texts: docs doc_id < 20 are
+    // re-added verbatim under id+1000000. Identical text ⇒ identical token
+    // array ⇒ identical SimHash ⇒ hamming 0 ⇒ all four 16-bit chunks
+    // collide, so every equal-text pair is a candidate with probability 1.
+    // The emitted slice keeps ONLY equal-text pairs — exactly the set a
+    // DuckDB text-equality self-join reproduces; pairs between merely
+    // SIMILAR texts are JVM-hash-dependent and stay out of the oracle
+    // surface (they remain covered by DedupSpec's hamming assertions).
     "q27_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashCandidates(t(s, dir, "documents"), "doc_id", "text")
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val corpus = docs.union(planted)
+      val cand = Dedup.simhashCandidates(corpus, "doc_id", "text")
+      cand
+        .join(corpus.select(col("doc_id").as("id_a"), col("text").as("__ta")),
+          Seq("id_a"))
+        .join(corpus.select(col("doc_id").as("id_b"), col("text").as("__tb")),
+          Seq("id_b"))
+        .filter(col("__ta") === col("__tb"))
+        .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     }),
 
@@ -338,26 +357,42 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // Approximate ANN paths (rows-only: recall-vs-exact is asserted in
-    // SimilaritySpec; here the driver exercises the full plans at SF)
+    // Approximate ANN paths, made ORACLE-PROVABLE by planted exact
+    // duplicates: each query vector (vec_id < 10) is re-added verbatim under
+    // id+100000. An identical vector has an identical RHP signature, so the
+    // twin lands in the query's own probe-0 bucket with probability 1 — no
+    // recall argument needed — and wins rank 1 at cos = 1.0 (every natural
+    // neighbor is far below, see q29's 0.45-threshold pair list). The
+    // emitted rank-1 slice is therefore a deterministic function of the
+    // data that a DuckDB argmax-cosine reproduces; full top-k recall across
+    // nbits/probes settings stays covered by SimilaritySpec.
     "q37_ann_lsh" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val queries = emb.filter(col("vec_id") < 10)
+      val planted = queries.select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding"))
       // nbits sized to corpus density: 2^8 buckets over ~2k vectors at sf0.1
       // keeps probe buckets populated (2^12 would leave most probes empty)
-      Similarity.lshTopK(queries, emb, "vec_id", "embedding",
+      Similarity.lshTopK(queries, emb.union(planted), "vec_id", "embedding",
           dim = 64, k = 5, nbits = 8, probes = 4)
-        .select("query_id", "neighbor_id", "rank")
-        .orderBy("query_id", "rank", "neighbor_id")
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
     }),
 
+    // Same planted-twin proof for IVF: an identical vector is assigned the
+    // identical nearest cell, and the query's nprobe ≥ 1 probe list starts
+    // with that cell — the twin is provably reachable and wins rank 1.
     "q38_ann_ivf" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val queries = emb.filter(col("vec_id") < 10)
-      Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+      val planted = queries.select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding"))
+      Similarity.ivfTopK(queries, emb.union(planted), "vec_id", "embedding",
           k = 5, nlist = 32, nprobe = 4)
-        .select("query_id", "neighbor_id", "rank")
-        .orderBy("query_id", "rank", "neighbor_id")
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
     }),
 
     // Embedding-cosine near-dup pairs through the BUCKETED scale path
@@ -694,8 +729,61 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // ---- extension-track oracles -------------------------------------------
-    // (q27 simhash, q30 langid, q32 hll, q33 media are rows-only: JVM-hash /
-    // heuristic / approximate / synthetic kernels with no ANSI equivalent)
+    // (q20 sentiment, q32 hll, q33 media stay rows-only: lexicon UDF /
+    // approximate / synthetic-binary kernels with no ANSI equivalent)
+
+    // the planted twin (id+1000000, identical text) is hamming-0-guaranteed;
+    // the Spark side emits only equal-text pairs, so both sides compute the
+    // text-equality self-join over the same unioned id universe
+    "q27_simhash_pairs" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id < 20)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+        |FROM u a JOIN u b ON a.doc_id < b.doc_id AND a.text = b.text
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact argmax-cosine over the union with the planted twins: the twin is
+    // the unique cos=1.0 neighbor of each query, so rank 1 is deterministic
+    "q37_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |planted AS (SELECT vec_id + 100000 AS vec_id, v FROM e WHERE vec_id < 10),
+        |u AS (SELECT * FROM e UNION ALL SELECT * FROM planted),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+        |      AS cos
+        |  FROM e q JOIN u c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id FROM ranked WHERE rk = 1
+        |ORDER BY query_id""".stripMargin,
+
+    // identical ground truth for the IVF plan (different Spark path, same
+    // exact argmax oracle)
+    "q38_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |planted AS (SELECT vec_id + 100000 AS vec_id, v FROM e WHERE vec_id < 10),
+        |u AS (SELECT * FROM e UNION ALL SELECT * FROM planted),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+        |      AS cos
+        |  FROM e q JOIN u c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id FROM ranked WHERE rk = 1
+        |ORDER BY query_id""".stripMargin,
 
     // the full silver→gold pipeline with md5 keys, re-derived from documents:
     // docsAsArticles reshaping (source/author/url/publishedAt synthesis),
