@@ -501,8 +501,11 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Language ID (function-word profiles, per-row argmax — no oracle:
-    // heuristic kernel, verified in TextStatsSpec)
+    // Language ID (hybrid function-word + trigram argmax). The scorer is a
+    // deterministic pure function of the text and the public profile
+    // literals, so the oracle replays it end-to-end in SQL (list lambdas);
+    // both sides compute identical IEEE doubles (count/len divisions and
+    // 0.6/0.4 blends in the same order), so the argmax label matches exactly
     "q30_langid" -> ((s, dir) => {
       t(s, dir, "documents").select(
           col("doc_id"),
@@ -744,6 +747,58 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
         |FROM u a JOIN u b ON a.doc_id < b.doc_id AND a.text = b.text
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // full SQL replay of TextStats.langId: same tokenizer, same space-padded
+    // trigram enumeration, same profile literals (sorted language order ==
+    // ORDER BY code tie-break), same 0.6·word + 0.4·trigram blend, strict
+    // s > 0 else 'und'; null text → null prediction via the LEFT JOIN
+    "q30_langid" ->
+      """WITH prep AS (
+        |  SELECT doc_id, lang, lower(text) AS lo FROM documents
+        |  WHERE text IS NOT NULL),
+        |tk AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lo, '[^a-z0-9'']+'),
+        |      x -> len(x) > 0) AS toks,
+        |    ' ' || trim(regexp_replace(lo, '\s+', ' ', 'g')) || ' ' AS padded
+        |  FROM prep),
+        |tg AS (
+        |  SELECT doc_id, lang, toks,
+        |    list_transform(generate_series(1, greatest(len(padded) - 2, 0)),
+        |      i -> substr(padded, i, 3)) AS tris
+        |  FROM tk),
+        |profiles(code, words, tgs) AS (VALUES
+        |  ('de', ['der','die','und','in','den','von','zu','das','mit','sich'],
+        |         ['der','die','und','ein','sch','ich','den','ung','cht','gen']),
+        |  ('en', ['the','a','and','of','to','in','is','that','it','was','for'],
+        |         ['the',' th','he ','ing','and','ion','ent',' of','to ','is ']),
+        |  ('es', ['el','la','de','que','y','en','los','del','se','las'],
+        |         ['que',' de','de ',' la','la ','el ','os ','ión','ado',' es']),
+        |  ('fr', ['le','la','de','et','les','des','en','un','du','une'],
+        |         [' le','le ','es ',' de','de ','ent','ion',' la','eur','ait']),
+        |  ('it', ['il','di','che','e','la','per','un','in','del','una'],
+        |         ['che',' di','di ',' la','il ','per','ato','del','con','one']),
+        |  ('pt', ['o','a','de','que','e','do','da','em','um','para'],
+        |         [' de','de ','ão ',' co','os ','que','da ','do ','par','açã'])),
+        |scored AS (
+        |  SELECT t.doc_id, t.lang, p.code,
+        |    (CASE WHEN len(t.toks) = 0 THEN 0.0
+        |      ELSE len(list_filter(t.toks, x -> list_contains(p.words, x)))
+        |        / CAST(len(t.toks) AS DOUBLE) END) * 0.6
+        |    + (CASE WHEN len(t.tris) = 0 THEN 0.0
+        |      ELSE len(list_filter(t.tris, x -> list_contains(p.tgs, x)))
+        |        / CAST(len(t.tris) AS DOUBLE) END) * 0.4 AS s
+        |  FROM tg t CROSS JOIN profiles p),
+        |best AS (
+        |  SELECT doc_id, lang, code, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, code) AS rk
+        |  FROM scored)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |       WHEN b.s > 0 THEN b.code ELSE 'und' END AS pred_lang,
+        |  d.lang
+        |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rk = 1
+        |ORDER BY d.doc_id""".stripMargin,
 
     // exact argmax-cosine over the union with the planted twins: the twin is
     // the unique cos=1.0 neighbor of each query, so rank 1 is deterministic

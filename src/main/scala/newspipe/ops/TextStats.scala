@@ -119,7 +119,7 @@ object TextStats {
       val lower = text.toLowerCase
       val toks = lower.split("[^a-z0-9']+").filter(_.nonEmpty)
       val padded = " " + lower.replaceAll("\\s+", " ").trim + " "
-      val tris = (0 to math.max(padded.length - 3, 0) - 1).map(i => padded.substring(i, i + 3))
+      val tris = (0 until math.max(padded.length - 2, 0)).map(i => padded.substring(i, i + 3))
       var bestLang = "und"
       var bestScore = 0.0
       var i = 0
