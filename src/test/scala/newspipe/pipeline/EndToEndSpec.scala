@@ -39,6 +39,35 @@ class EndToEndSpec extends SparkTestBase {
     new java.io.File(s"$base/raw").listFiles().length shouldBe 1
   }
 
+  test("Pipeline.run does not re-run the silver→gold build for Result counts") {
+    // Count Spark jobs across a full run: the Result counts and the
+    // dim_date span must come from the written parquet layers, not from
+    // re-executing the gold lineage. A recompute shows up as extra jobs
+    // (each ds/da/fact count used to replay silver→gold). The ceiling has
+    // headroom over the measured count so it only trips on a reintroduced
+    // full-pipeline replay, not on minor planning changes.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val base = Files.createTempDirectory("e2ejobs").toString
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Pipeline.run(spark, fixtures,
+        Pipeline.Config(LakeConfig(base), keyMode = "md5"),
+        now = java.time.Instant.parse("2026-01-05T00:00:00Z"))
+      // listener delivery is async; give the bus a moment to drain
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // measured: 36 jobs with layer-read counts, 43 with the old
+    // recompute-the-lineage counts — the ceiling separates the two
+    assert(jobs.get() <= 40, s"Pipeline.run launched ${jobs.get()} jobs — " +
+      "a jump here means Result counts are recomputing the gold lineage again")
+  }
+
   test("re-running with a new page appends bronze and rebuilds silver/gold (ref modes)") {
     val base = Files.createTempDirectory("e2e2").toString
     val cfg = Pipeline.Config(LakeConfig(base), keyMode = "md5")
