@@ -14,10 +14,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[NewspipeExtensions.register]].
   */
 class NewspipeExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     NewspipeExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    NewspipeExtensions.tableFunctions.foreach { case (ident, info, builder) =>
+      ext.injectTableFunction((ident, info, builder))
+    }
+  }
 }
 
 object NewspipeExtensions {
@@ -69,11 +73,70 @@ object NewspipeExtensions {
         fn1("simhash")(Dedup.simhash))
     }
 
+  // ---- table functions (FROM-position: the two composite JOIN operators) --
+
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def stringArg(fn: String, e: Expression): String = {
+    require(e.foldable && e.dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"$fn takes string literals (table/column names); got $e")
+    val v = e.eval()
+    require(v != null, s"$fn arguments must be non-null")
+    v.toString
+  }
+
+  private def longArg(fn: String, e: Expression): Long = {
+    require(e.foldable, s"$fn numeric arguments must be literals; got $e")
+    e.eval() match {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a numeric literal, got $other")
+    }
+  }
+
+  /** `SELECT … FROM asof_join('clicks', 'purchases', 'user_id', 'ts')` and
+    * `… FROM range_join('points', 'windows', 'x', 's', 'e', 16)`: the
+    * composite join operators in FROM position. Arguments are literals
+    * (table or view names resolved through the session catalog); the builder
+    * returns the SAME composed plan the DataFrame API produces, unanalyzed,
+    * so the outer query's analyzer resolves it in place.
+    */
+  private val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
+    Seq(
+      (new FunctionIdentifier("asof_join"),
+        new ExpressionInfo("newspipe.NewspipeExtensions", "asof_join"),
+        (children: Seq[Expression]) => {
+          require(children.length == 4,
+            "asof_join(left_table, right_table, key_col, ts_col) takes 4 arguments")
+          val args = children.map(stringArg("asof_join", _))
+          val spark = SparkSession.active
+          NewspipeSqlBridge.logicalPlan(newspipe.ops.AsOfJoin.asOf(
+            spark.table(args(0)), spark.table(args(1)), args(2), args(3)))
+        }),
+      (new FunctionIdentifier("range_join"),
+        new ExpressionInfo("newspipe.NewspipeExtensions", "range_join"),
+        (children: Seq[Expression]) => {
+          require(children.length == 6,
+            "range_join(points_table, intervals_table, point_col, start_col, " +
+              "end_col, bucket_width) takes 6 arguments")
+          val names = children.take(5).map(stringArg("range_join", _))
+          val width = longArg("range_join", children(5))
+          val spark = SparkSession.active
+          NewspipeSqlBridge.logicalPlan(newspipe.ops.RangeJoin.intervalJoin(
+            spark.table(names(0)), spark.table(names(1)),
+            names(2), names(3), names(4), width))
+        }))
+
   /** Register on a live session (the extensions hook only applies at session
     * creation).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       NewspipeSqlBridge.registerFunction(spark, ident, info, builder)
     }
+    tableFunctions.foreach { case (ident, info, builder) =>
+      NewspipeSqlBridge.registerTableFunction(spark, ident, info, builder)
+    }
+  }
 }

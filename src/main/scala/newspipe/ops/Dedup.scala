@@ -170,7 +170,12 @@ object Dedup {
     * inputs, plus the pair join itself), and when callers pass the LSH
     * candidate pipeline directly each branch would re-run signatures +
     * banding from the scan. Candidate pairs are small by construction —
-    * that is the point of LSH — so the checkpoint is bounded.
+    * that is the point of LSH — so the checkpoint is bounded. Its blocks
+    * are released by the ContextCleaner when the checkpointed frame is
+    * garbage-collected (there is no hook to unpersist eagerly: the returned
+    * frame is lazy and keeps consuming the checkpoint); long-lived sessions
+    * looping over many corpora hold at most the not-yet-collected candidate
+    * frames, each candidate-set-sized.
     */
   def jaccardVerify(candidates: DataFrame, df: DataFrame, idCol: String,
       textCol: String, n: Int = 3, threshold: Double = 0.8): DataFrame = {

@@ -16,13 +16,21 @@ object Sampling {
   /** Uniform bucket in [0, 2³²) from the first 32 bits of md5(salt ‖ key).
     * md5 (not xxhash) so any engine can reproduce membership — the same
     * expression runs in ANSI SQL.
+    *
+    * A NULL key hashes to NULL, which fails every bucket comparison: null-key
+    * rows are excluded from every sample and every [[hashSplit]] bucket (even
+    * when fractions sum to 1). This is deliberate — a null key has no stable
+    * content address, and silently assigning it a bucket would break the
+    * determinism contract; coalesce or filter keys upstream if null-key rows
+    * must participate.
     */
   private def hashBucket(keyCol: Column, salt: String): Column =
     conv(substring(md5(concat(lit(salt), keyCol.cast("string"))), 1, 8), 16, 10)
       .cast("bigint")
 
   /** Keep a row iff its key hashes below fraction·2³². Different salts give
-    * independent samples of the same data.
+    * independent samples of the same data. Null-key rows are never sampled
+    * (see [[hashBucket]]).
     */
   def hashSample(df: DataFrame, keyCol: String, fraction: Double,
       salt: String = ""): DataFrame = {
@@ -42,15 +50,19 @@ object Sampling {
       salt: String = "", tagCol: String = "mixture_source"): DataFrame = {
     require(sources.nonEmpty, "mixture needs at least one source")
     sources.map { case (name, df, rate) =>
-      hashSample(df, keyCol, rate, salt + name)
+      // NUL-joined so (salt, name) pairs can't collide by concatenation
+      // (e.g. salt="a",name="bc" vs salt="ab",name="c" must draw
+      // independently)
+      hashSample(df, keyCol, rate, salt + "\u0000" + name)
         .withColumn(tagCol, lit(name))
     }.reduce(_ unionByName _)
   }
 
   /** Disjoint deterministic split (train/val/test …): `fractions` must sum
     * to ≤ 1; row i of the result holds keys whose bucket falls in the i-th
-    * cumulative range. Every row lands in AT MOST one split (exactly one if
-    * the fractions sum to 1).
+    * cumulative range. Every NON-NULL-keyed row lands in AT MOST one split
+    * (exactly one if the fractions sum to 1); null-key rows land in none
+    * (see [[hashBucket]]).
     */
   def hashSplit(df: DataFrame, keyCol: String, fractions: Seq[Double],
       salt: String = ""): Seq[DataFrame] = {

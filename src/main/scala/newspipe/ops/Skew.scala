@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  // "semi"/"anti" are Spark's accepted aliases for leftsemi/leftanti
+  // (JoinType.apply normalizes them) — row-identical-safe under right-side
+  // replication, so allowed here too
   private val SupportedJoinTypes =
-    Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti")
 
   def saltedEquiJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       saltBuckets: Int = 16, joinType: String = "inner"): DataFrame = {

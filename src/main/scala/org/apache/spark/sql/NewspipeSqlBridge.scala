@@ -26,4 +26,24 @@ object NewspipeSqlBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .registerFunction(ident, info, builder)
+
+  /** The UNANALYZED logical plan of a composed DataFrame — what a
+    * table-function builder must return so the outer query's analyzer
+    * resolves the whole tree in one pass.
+    */
+  def logicalPlan(df: Dataset[_])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.logical
+
+  /** Table-function registration (FROM-position functions returning a
+    * relation) — same session-registry access pattern as
+    * [[registerFunction]].
+    */
+  def registerTableFunction(spark: SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.tableFunctionRegistry
+      .registerFunction(ident, info, builder)
 }

@@ -48,4 +48,51 @@ class ExtensionsSpec extends SparkTestBase {
       "SELECT sentiment('excellent wonderful great').label AS l").head()
     row.getString(0) shouldBe "positive"
   }
+
+  test("asof_join is callable in FROM position and matches the DataFrame API") {
+    NewspipeExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, 10L, "c1"), (1L, 25L, "c2"), (2L, 5L, "c3"))
+      .toDF("k", "ts", "cid").createOrReplaceTempView("clicks_tf")
+    Seq((1L, 8L, 1.0), (1L, 20L, 2.0), (2L, 9L, 3.0))
+      .toDF("k", "ts", "v").createOrReplaceTempView("purch_tf")
+    val sqlOut = spark.sql(
+      """SELECT cid, r_v FROM asof_join('clicks_tf', 'purch_tf', 'k', 'ts')
+        |ORDER BY cid""".stripMargin)
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+    // c1: latest purchase at/before ts=10 for k=1 is 8→1.0; c2: 20→2.0;
+    // c3: k=2 has no purchase at/before ts=5 → null
+    sqlOut shouldBe Array(("c1", 1.0), ("c2", 2.0), ("c3", null))
+    val api = newspipe.ops.AsOfJoin.asOf(
+      spark.table("clicks_tf"), spark.table("purch_tf"), "k", "ts")
+      .select("cid", "r_v").orderBy("cid")
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+    sqlOut shouldBe api
+  }
+
+  test("range_join is callable in FROM position with a literal bucket width") {
+    NewspipeExtensions.register(spark)
+    import spark.implicits._
+    (0L to 50L).map(x => (x, x)).toDF("x", "pid")
+      .createOrReplaceTempView("pts_tf")
+    Seq((10L, 20L, "w1"), (40L, 45L, "w2")).toDF("s", "e", "wid")
+      .createOrReplaceTempView("win_tf")
+    val out = spark.sql(
+      """SELECT wid, count(*) AS n
+        |FROM range_join('pts_tf', 'win_tf', 'x', 's', 'e', 16)
+        |GROUP BY wid ORDER BY wid""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    out shouldBe Array(("w1", 11L), ("w2", 6L))
+  }
+
+  test("table functions reject non-literal and wrong-arity arguments") {
+    NewspipeExtensions.register(spark)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join('a', 'b', 'k')").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM range_join('a','b','x','s','e', 'not_a_number')")
+        .collect()
+    }
+  }
 }

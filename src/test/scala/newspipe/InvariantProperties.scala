@@ -142,6 +142,25 @@ object InvariantProperties extends Properties("newspipe") {
       small.subsetOf(large)
     }
 
+  property("mixture: every source lands within a binomial band of its rate") =
+    Prop.forAll(Gen.chooseNum(0.1, 0.9), Gen.chooseNum(0.1, 0.9)) { (ra, rb) =>
+      import spark.implicits._
+      val n = 300
+      val a = (1L to n.toLong).toDF("id")
+      val b = (10001L to (10000L + n)).toDF("id")
+      val counts = newspipe.ops.Sampling
+        .mixture(Seq(("a", a, ra), ("b", b, rb)), "id", salt = "acc")
+        .groupBy("mixture_source").count()
+        .as[(String, Long)].collect().toMap
+      Seq(("a", ra), ("b", rb)).forall { case (src, r) =>
+        val expected = n * r
+        // 5σ binomial band (+5 for tiny-n edges): deterministic md5 buckets
+        // behave like uniform draws, so rate accuracy is a hard invariant
+        val tol = 5 * math.sqrt(n * r * (1 - r)) + 5
+        math.abs(counts.getOrElse(src, 0L).toDouble - expected) <= tol
+      }
+    }
+
   property("hashSplit: random fraction vectors produce pairwise-disjoint splits") =
     Prop.forAll(Gen.chooseNum(1, 4)
         .flatMap(n => Gen.listOfN(n, Gen.chooseNum(0.05, 0.2)))) { fs =>

@@ -35,7 +35,8 @@ class SkewSpec extends SparkTestBase {
   }
 
   test("left_semi and left_anti are supported and row-identical") {
-    for (jt <- Seq("left_semi", "left_anti")) {
+    // "semi"/"anti" are Spark's own aliases for the left-flavored forms
+    for (jt <- Seq("left_semi", "left_anti", "semi", "anti")) {
       val plain = left.join(right, Seq("k"), jt)
         .as[(String, Int)].collect().sorted
       val salted = Skew.saltedEquiJoin(left, right, Seq("k"), 8, jt)
