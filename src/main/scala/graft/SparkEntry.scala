@@ -501,6 +501,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination: distinct shared-8-gram counts of every
+    // corpus doc against an eval set (here: the doc_id % 100 == 7 slice of
+    // the corpus itself, so the contaminated set is non-trivial at every
+    // SF). The benchmark side broadcasts; the corpus crosses one shuffle
+    // only for the final per-doc count
+    "q45_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 100 === 7)
+        .select(col("text").as("q"))
+      newspipe.ops.Decontaminate.overlapCounts(docs, "doc_id", "text",
+          bench, "q", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // Language ID (hybrid function-word + trigram argmax). The scorer is a
     // deterministic pure function of the text and the public profile
     // literals, so the oracle replays it end-to-end in SQL (list lambdas);
@@ -747,6 +761,27 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
         |FROM u a JOIN u b ON a.doc_id < b.doc_id AND a.text = b.text
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // full replay: same tokenizer, same distinct-8-gram shingles (short docs
+    // contribute their whole-token string, as shinglesFromTokens does), same
+    // benchmark slice, inner probe + per-doc distinct-collision count
+    "q45_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+        |      x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 7, 1)),
+        |    i -> array_to_string(list_slice(tk, i, i + 7), ' '))) AS g
+        |  FROM toks),
+        |bench AS (
+        |  SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 100 = 7),
+        |hits AS (SELECT doc_id, unnest(g) AS gram FROM grams)
+        |SELECT h.doc_id, count(*) AS shared_ngrams
+        |FROM hits h JOIN bench b ON h.gram = b.gram
+        |GROUP BY h.doc_id ORDER BY doc_id""".stripMargin,
 
     // full SQL replay of TextStats.langId: same tokenizer, same space-padded
     // trigram enumeration, same profile literals (sorted language order ==

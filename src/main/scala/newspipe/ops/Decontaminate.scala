@@ -1,0 +1,57 @@
+package newspipe.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination (extension track, SURVEY.md §7): flag training
+  * documents that share any word n-gram with an evaluation/benchmark set —
+  * the overlap filter every serious pretraining pipeline runs so eval
+  * results aren't inflated by memorized test items (the GPT-3 appendix-C /
+  * Llama-2 style n-gram collision rule).
+  *
+  * Scale shape: the benchmark side is eval-set-sized (thousands of items,
+  * not terabytes) — its DISTINCT n-grams are broadcast, so the corpus
+  * crosses NO shuffle for the probe: tokenize → shingle → explode streams
+  * through whole-stage codegen straight into a broadcast hash join, and the
+  * only exchange in the plan is the final per-doc aggregation of surviving
+  * (doc, n-gram) hits. Corpus cost is one pass, independent of benchmark
+  * count; a bigger benchmark only grows the broadcast table.
+  */
+object Decontaminate {
+
+  /** Distinct shared-n-gram count per contaminated corpus doc.
+    * Docs with no overlap are absent (inner probe); `n` is the collision
+    * n-gram length (13 in the GPT-3 rule; use smaller for short documents).
+    *
+    * @return (idCol, shared_ngrams) — one row per contaminated doc.
+    */
+  def overlapCounts(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
+    val benchGrams = broadcast(
+      benchmark.select(Dedup.tokens(col(benchTextCol)).as("__bt"))
+        .select(explode(Dedup.shinglesFromTokens(col("__bt"), n)).as("__gram"))
+        .distinct())
+    val corpusGrams = Par.ensure(
+        corpus.select(col(idCol), col(textCol).as("__t")))
+      .withColumn("__toks", Dedup.tokens(col("__t")))
+      .select(col(idCol),
+        explode(Dedup.shinglesFromTokens(col("__toks"), n)).as("__gram"))
+    corpusGrams.join(benchGrams, Seq("__gram"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
+  /** The decontaminated corpus: rows of `corpus` minus every doc sharing at
+    * least `minOverlap` distinct n-grams with the benchmark (1 = the strict
+    * any-collision rule).
+    */
+  def clean(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 13,
+      minOverlap: Long = 1L): DataFrame = {
+    val contaminated = overlapCounts(corpus, idCol, textCol,
+      benchmark, benchTextCol, n)
+      .filter(col("shared_ngrams") >= minOverlap)
+      .select(col(idCol))
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+}

@@ -156,4 +156,34 @@ class PlanSpec extends SparkTestBase {
     val plan = executed(out)
     plan should include("BroadcastNestedLoopJoin")
   }
+
+  test("ANN LSH: bucket probe is a broadcast equi-join + WindowGroupLimit rank") {
+    val emb = (1 to 500).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => ((i * 31 + j * 17) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = newspipe.ops.Similarity.lshTopK(
+      emb.filter($"vec_id" < 3), emb, "vec_id", "embedding",
+      dim = 8, k = 3, nbits = 6, probes = 2)
+    val plan = executed(out)
+    // the corpus is probed in place: signatures are a projection, the tiny
+    // query×probe side broadcasts — a sort-merge join here would shuffle
+    // the whole corpus payload on the bucket
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    // per-query re-rank keeps only k survivors before the window shuffle
+    plan should include("WindowGroupLimit")
+  }
+
+  test("ANN IVF: cell probe is a broadcast equi-join + WindowGroupLimit rank") {
+    val emb = (1 to 500).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => ((i * 31 + j * 17) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = newspipe.ops.Similarity.ivfTopK(
+      emb.filter($"vec_id" < 3), emb, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 2, sampleSize = 256)
+    val plan = executed(out)
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should include("WindowGroupLimit")
+  }
 }

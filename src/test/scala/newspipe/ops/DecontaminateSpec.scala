@@ -1,0 +1,64 @@
+package newspipe.ops
+
+import newspipe.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** §7 extension: benchmark decontamination — n-gram collision semantics and
+  * the broadcast-probe plan shape.
+  */
+class DecontaminateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "completely unrelated text about spark query planning internals"),
+    (3L, "what does the quick brown fox jumps over mean exactly"),
+    (4L, "short doc")
+  ).toDF("doc_id", "text")
+
+  private val bench = Seq(
+    "the quick brown fox jumps over a fence",
+    "evaluation item about nothing shared"
+  ).toDF("q")
+
+  test("flags exactly the docs sharing an n-gram; counts distinct collisions") {
+    val out = Decontaminate.overlapCounts(corpus, "doc_id", "text", bench, "q", n = 5)
+      .as[(Long, Long)].collect().toMap
+    // "the quick brown fox jumps" and "quick brown fox jumps over" (5-grams)
+    // appear in docs 1 and 3 and in the first benchmark item
+    out.keySet shouldBe Set(1L, 3L)
+    out(1L) shouldBe 2L
+    out(3L) shouldBe 2L
+  }
+
+  test("clean removes contaminated docs and keeps the rest intact") {
+    val kept = Decontaminate.clean(corpus, "doc_id", "text", bench, "q", n = 5)
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(2L, 4L)
+  }
+
+  test("no benchmark overlap → corpus passes through unchanged") {
+    val none = Seq("zz yy xx ww vv uu tt ss rr qq").toDF("q")
+    Decontaminate.clean(corpus, "doc_id", "text", none, "q", n = 5)
+      .count() shouldBe 4L
+  }
+
+  test("minOverlap raises the collision threshold") {
+    // with minOverlap = 3, two shared 5-grams are not enough to drop a doc
+    Decontaminate.clean(corpus, "doc_id", "text", bench, "q", n = 5,
+      minOverlap = 3L).count() shouldBe 4L
+  }
+
+  test("the corpus probe is a broadcast join (no corpus shuffle before the probe)") {
+    val plan = Decontaminate.overlapCounts(corpus, "doc_id", "text", bench, "q", n = 5)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("docs shorter than n tokens participate via their whole-token shingle") {
+    val shortBench = Seq("short doc").toDF("q")
+    val out = Decontaminate.overlapCounts(corpus, "doc_id", "text",
+      shortBench, "q", n = 13).as[(Long, Long)].collect().toMap
+    out shouldBe Map(4L -> 1L)
+  }
+}
