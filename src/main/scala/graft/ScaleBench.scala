@@ -15,14 +15,16 @@ import org.apache.spark.sql.functions._
   * near-dup, growing pair volume quadratically in copies rather than
   * linearly in corpus size. So:
   *  - documents: each copy RE-ALPHABETS the vocabulary — every non-stopword
-  *    token is replaced by a copy-salted hash truncated to the token's own
-  *    length. The map is injective per copy, so within-copy shingle sets
-  *    (and therefore every near/exact-dup relationship and its Jaccard
-  *    value) are preserved EXACTLY, while copies share no content words —
-  *    cross-copy overlap is only stray all-stopword shingles, far below
-  *    any candidate threshold. Token count, token lengths and stopword
-  *    ratio are preserved, so the q44 quality gate behaves identically in
-  *    every copy.
+  *    token of ≥4 chars is replaced by a copy-salted hash truncated to the
+  *    token's own length (shorter tokens keep their identity: a ≤3-hex-char
+  *    image is too small to be injective). The map is injective per copy up
+  *    to ≥4-hex-char md5-prefix collisions (≤1/65536 per token pair), so
+  *    within-copy shingle sets — and every near/exact-dup relationship —
+  *    are preserved, while copies share no content words: cross-copy
+  *    overlap needs 3 consecutive stop/short tokens, far below any
+  *    candidate threshold. Token count, token lengths and stopword ratio
+  *    are preserved, so the q44 quality gate behaves identically in every
+  *    copy.
   *  - embeddings: copy k ROTATES each vector's coordinates by k. A
   *    rotation is orthogonal, so all within-copy cosines are preserved
   *    exactly (each copy re-plants q40's ±5% twins for its first 50
@@ -41,6 +43,17 @@ object ScaleBench {
     (n, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Time an eagerly-checkpointed stage ONCE and hand the materialized frame
+    * to the next stage — building the checkpoint a second time outside the
+    * timed block would re-pay the whole stage.
+    */
+  private def timedStage(df: => DataFrame): (DataFrame, Long, Double) = {
+    val t0 = System.nanoTime()
+    val out = df.localCheckpoint(true)
+    val n = out.count()
+    (out, n, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** Per-copy vocabulary re-alphabeting: non-stopword tokens become a
     * copy-salted hash truncated to the token's own length (hex stays inside
     * the tokenizer's [a-z0-9] alphabet, so re-tokenizing the joined text
@@ -52,8 +65,13 @@ object ScaleBench {
       .select(col("doc_id"), col("text"))
       .withColumn("__toks", Dedup.tokens(col("text")))
     (0 until copies).map { k =>
+      // tokens of ≤3 chars keep their identity (a 1-3 hex-char hash image
+      // is too small to be injective — colliding tokens would silently
+      // perturb within-copy shingle sets); short tokens behave like
+      // stopwords, and 3 consecutive short/stop tokens are too rare to
+      // create cross-copy candidates
       val mapped = transform(col("__toks"), t =>
-        when(t.isin(TextStats.EnStopwords: _*), t)
+        when(t.isin(TextStats.EnStopwords: _*) || length(t) <= 3, t)
           .otherwise(concat(md5(concat(t, lit(s"#c$k"))), t)
             .substr(lit(1), length(t))))
       docs.select(
@@ -64,6 +82,11 @@ object ScaleBench {
 
   /** Copy-rotated embeddings with q40-style planted near-dups per copy. */
   private def scrambledEmbeddings(spark: SparkSession, dir: String, copies: Int): DataFrame = {
+    // rotation by k wraps at the dimension: copy k+dim would be IDENTICAL
+    // to copy k (cos=1.0 cross-copy pairs → quadratic growth the harness
+    // exists to rule out), so refuse rather than silently mismeasure
+    require(copies <= 64,
+      s"embedding copies capped at dim=64 (rotation wraps); got $copies")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     (0 until copies).map { k =>
@@ -96,11 +119,9 @@ object ScaleBench {
     out("corpus_vecs") = (emb.count(), 0.0)
 
     // q26 shape: minhash-LSH candidates, then exact Jaccard verify
-    val (nCand, tCand) = timed {
-      Dedup.minhashCandidates(docs, "doc_id", "text").localCheckpoint(true).count()
-    }
+    val (cand, nCand, tCand) =
+      timedStage(Dedup.minhashCandidates(docs, "doc_id", "text"))
     out("q26_candidates") = (nCand, tCand)
-    val cand = Dedup.minhashCandidates(docs, "doc_id", "text").localCheckpoint(true)
     val (nVer, tVer) = timed {
       Dedup.jaccardVerify(cand, docs, "doc_id", "text", threshold = 0.8).count()
     }
@@ -121,18 +142,11 @@ object ScaleBench {
     out("q40_cosine_pairs") = (nCos, tCos)
 
     // q44 shape: quality gate → exact dedup → minhash near-dedup
-    val (nQ, tQ) = timed {
-      docs.filter(TextStats.qualityScore(col("text")) >= 0.5)
-        .localCheckpoint(true).count()
-    }
+    val (quality, nQ, tQ) =
+      timedStage(docs.filter(TextStats.qualityScore(col("text")) >= 0.5))
     out("q44_quality") = (nQ, tQ)
-    val quality = docs.filter(TextStats.qualityScore(col("text")) >= 0.5)
-      .localCheckpoint(true)
-    val (nEx, tEx) = timed {
-      Dedup.exact(quality, "doc_id", Seq("text")).localCheckpoint(true).count()
-    }
+    val (exact, nEx, tEx) = timedStage(Dedup.exact(quality, "doc_id", Seq("text")))
     out("q44_exact_dedup") = (nEx, tEx)
-    val exact = Dedup.exact(quality, "doc_id", Seq("text")).localCheckpoint(true)
     val (nNd, tNd) = timed {
       Dedup.minhashDedup(exact, "doc_id", "text", threshold = 0.8).count()
     }

@@ -51,6 +51,47 @@ object SparkEntry {
     newspipe.pipeline.Gold.sentimentTrends(silver)
   }
 
+  /** Shared q37/q38 construction: queries = vec_id < 10 with positive norm
+    * (a zero-norm vector scores NULL cosine in Spark but NaN in DuckDB — and
+    * DuckDB sorts NaN FIRST under DESC — so degenerate vectors are excluded
+    * identically on both sides; none exist in the testdata, this is the
+    * any-corpus guard), corpus = embeddings ∪ verbatim twins under
+    * id+100000. Shared so the two ANN paths provably run against the same
+    * planted ground truth as the single [[oracleSql]] argmax text.
+    */
+  private def annPlantedCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      .filter(Similarity.l2Norm(col("embedding")) > 0)
+    val queries = emb.filter(col("vec_id") < 10)
+    val planted = queries.select((col("vec_id") + 100000).as("vec_id"),
+      col("embedding"))
+    (queries, emb.union(planted))
+  }
+
+  /** The single argmax-cosine ground truth both ANN oracles share (q37 LSH
+    * and q38 IVF are different Spark plans over identical planted data).
+    */
+  private val annArgmaxOracleSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+      |    CAST(embedding AS DOUBLE[])) > 0),
+      |planted AS (SELECT vec_id + 100000 AS vec_id, v FROM e WHERE vec_id < 10),
+      |u AS (SELECT * FROM e UNION ALL SELECT * FROM planted),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_dot_product(q.v, c.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+      |      AS cos
+      |  FROM e q JOIN u c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS rk
+      |  FROM scored)
+      |SELECT query_id, neighbor_id FROM ranked WHERE rk = 1
+      |ORDER BY query_id""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -322,7 +363,12 @@ object SparkEntry {
       val planted = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
       val corpus = docs.union(planted)
-      val cand = Dedup.simhashCandidates(corpus, "doc_id", "text")
+      // maxBucket raised far past any equal-text group size this corpus can
+      // hold: the skew cap DROPS oversized buckets, and a dropped bucket
+      // would break the "every equal-text pair is a candidate" guarantee
+      // the oracle depends on (the oracle's self-join never drops anything)
+      val cand = Dedup.simhashCandidates(corpus, "doc_id", "text",
+        maxBucket = 1000000)
       cand
         .join(corpus.select(col("doc_id").as("id_a"), col("text").as("__ta")),
           Seq("id_a"))
@@ -367,13 +413,10 @@ object SparkEntry {
     // data that a DuckDB argmax-cosine reproduces; full top-k recall across
     // nbits/probes settings stays covered by SimilaritySpec.
     "q37_ann_lsh" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val queries = emb.filter(col("vec_id") < 10)
-      val planted = queries.select((col("vec_id") + 100000).as("vec_id"),
-        col("embedding"))
+      val (queries, corpus) = annPlantedCorpus(s, dir)
       // nbits sized to corpus density: 2^8 buckets over ~2k vectors at sf0.1
       // keeps probe buckets populated (2^12 would leave most probes empty)
-      Similarity.lshTopK(queries, emb.union(planted), "vec_id", "embedding",
+      Similarity.lshTopK(queries, corpus, "vec_id", "embedding",
           dim = 64, k = 5, nbits = 8, probes = 4)
         .filter(col("rank") === 1)
         .select("query_id", "neighbor_id")
@@ -384,11 +427,8 @@ object SparkEntry {
     // identical nearest cell, and the query's nprobe ≥ 1 probe list starts
     // with that cell — the twin is provably reachable and wins rank 1.
     "q38_ann_ivf" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val queries = emb.filter(col("vec_id") < 10)
-      val planted = queries.select((col("vec_id") + 100000).as("vec_id"),
-        col("embedding"))
-      Similarity.ivfTopK(queries, emb.union(planted), "vec_id", "embedding",
+      val (queries, corpus) = annPlantedCorpus(s, dir)
+      Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
           k = 5, nlist = 32, nprobe = 4)
         .filter(col("rank") === 1)
         .select("query_id", "neighbor_id")
@@ -777,8 +817,12 @@ object SparkEntry {
         |    i -> array_to_string(list_slice(tk, i, i + 7), ' '))) AS g
         |  FROM toks),
         |bench AS (
-        |  SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 100 = 7),
-        |hits AS (SELECT doc_id, unnest(g) AS gram FROM grams)
+        |  SELECT DISTINCT gram FROM (
+        |    SELECT unnest(g) AS gram FROM grams WHERE doc_id % 100 = 7)
+        |  WHERE gram <> ''),
+        |hits AS (
+        |  SELECT doc_id, gram FROM (SELECT doc_id, unnest(g) AS gram FROM grams)
+        |  WHERE gram <> '')
         |SELECT h.doc_id, count(*) AS shared_ngrams
         |FROM hits h JOIN bench b ON h.gram = b.gram
         |GROUP BY h.doc_id ORDER BY doc_id""".stripMargin,
@@ -786,7 +830,10 @@ object SparkEntry {
     // full SQL replay of TextStats.langId: same tokenizer, same space-padded
     // trigram enumeration, same profile literals (sorted language order ==
     // ORDER BY code tie-break), same 0.6·word + 0.4·trigram blend, strict
-    // s > 0 else 'und'; null text → null prediction via the LEFT JOIN
+    // s > 0 else 'und'; null text → null prediction via the LEFT JOIN.
+    // Assumes BMP text (this corpus is ASCII): Scala substring counts UTF-16
+    // units, DuckDB substr counts code points — they diverge on astral-plane
+    // characters (emoji), where the trigram windows would shift
     "q30_langid" ->
       """WITH prep AS (
         |  SELECT doc_id, lang, lower(text) AS lo FROM documents
@@ -836,44 +883,13 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
 
     // exact argmax-cosine over the union with the planted twins: the twin is
-    // the unique cos=1.0 neighbor of each query, so rank 1 is deterministic
-    "q37_ann_lsh" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |planted AS (SELECT vec_id + 100000 AS vec_id, v FROM e WHERE vec_id < 10),
-        |u AS (SELECT * FROM e UNION ALL SELECT * FROM planted),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    list_dot_product(q.v, c.v) /
-        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
-        |      AS cos
-        |  FROM e q JOIN u c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos DESC, neighbor_id) AS rk
-        |  FROM scored)
-        |SELECT query_id, neighbor_id FROM ranked WHERE rk = 1
-        |ORDER BY query_id""".stripMargin,
+    // the unique cos=1.0 neighbor of each query, so rank 1 is deterministic.
+    // ONE shared oracle text for both ANN paths — see annArgmaxOracleSql
+    "q37_ann_lsh" -> annArgmaxOracleSql,
 
     // identical ground truth for the IVF plan (different Spark path, same
     // exact argmax oracle)
-    "q38_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |planted AS (SELECT vec_id + 100000 AS vec_id, v FROM e WHERE vec_id < 10),
-        |u AS (SELECT * FROM e UNION ALL SELECT * FROM planted),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    list_dot_product(q.v, c.v) /
-        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
-        |      AS cos
-        |  FROM e q JOIN u c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos DESC, neighbor_id) AS rk
-        |  FROM scored)
-        |SELECT query_id, neighbor_id FROM ranked WHERE rk = 1
-        |ORDER BY query_id""".stripMargin,
+    "q38_ann_ivf" -> annArgmaxOracleSql,
 
     // the full silver→gold pipeline with md5 keys, re-derived from documents:
     // docsAsArticles reshaping (source/author/url/publishedAt synthesis),

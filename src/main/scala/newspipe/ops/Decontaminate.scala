@@ -27,15 +27,21 @@ object Decontaminate {
     */
   def overlapCounts(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
+    // zero-token texts shingle to [""] (shinglesFromTokens' short-doc
+    // fallback) — dropped on BOTH sides, or an empty/punctuation-only
+    // benchmark item would flag every content-free corpus doc as
+    // "contaminated" despite sharing no content
     val benchGrams = broadcast(
       benchmark.select(Dedup.tokens(col(benchTextCol)).as("__bt"))
         .select(explode(Dedup.shinglesFromTokens(col("__bt"), n)).as("__gram"))
+        .filter(length(col("__gram")) > 0)
         .distinct())
     val corpusGrams = Par.ensure(
         corpus.select(col(idCol), col(textCol).as("__t")))
       .withColumn("__toks", Dedup.tokens(col("__t")))
       .select(col(idCol),
         explode(Dedup.shinglesFromTokens(col("__toks"), n)).as("__gram"))
+      .filter(length(col("__gram")) > 0)
     corpusGrams.join(benchGrams, Seq("__gram"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("shared_ngrams"))

@@ -45,6 +45,11 @@ object Sampling {
     * independently per source) and tagged — the reproducible way to hit
     * target mixture proportions in a training-data blend without a global
     * shuffle or RNG. Sources must be union-compatible by name.
+    *
+    * External SQL replay of a source's membership concatenates the NUL
+    * separator explicitly: `md5(salt || chr(0) || name || CAST(key AS
+    * VARCHAR))` — the separator is a control character precisely so no
+    * (salt, name) pair can reproduce another pair's draws.
     */
   def mixture(sources: Seq[(String, DataFrame, Double)], keyCol: String,
       salt: String = "", tagCol: String = "mixture_source"): DataFrame = {

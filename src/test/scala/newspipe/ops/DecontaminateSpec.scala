@@ -55,6 +55,13 @@ class DecontaminateSpec extends SparkTestBase {
     plan should include("BroadcastHashJoin")
   }
 
+  test("content-free texts never collide: an empty/punct-only benchmark flags nothing") {
+    val weird = corpus.union(Seq((9L, "!!! ???")).toDF("doc_id", "text"))
+    val emptyBench = Seq("...", "").toDF("q")
+    Decontaminate.overlapCounts(weird, "doc_id", "text", emptyBench, "q", n = 5)
+      .count() shouldBe 0L
+  }
+
   test("docs shorter than n tokens participate via their whole-token shingle") {
     val shortBench = Seq("short doc").toDF("q")
     val out = Decontaminate.overlapCounts(corpus, "doc_id", "text",

@@ -59,8 +59,9 @@ class EndToEndSpec extends SparkTestBase {
       Pipeline.run(spark, fixtures,
         Pipeline.Config(LakeConfig(base), keyMode = "md5"),
         now = java.time.Instant.parse("2026-01-05T00:00:00Z"))
-      // listener delivery is async; give the bus a moment to drain
-      Thread.sleep(500)
+      // listener delivery is async — drain the bus deterministically (a
+      // fixed sleep fails OPEN under load: late events are never counted)
+      org.apache.spark.NewspipeTestBridge.waitListenerBusEmpty(spark.sparkContext)
     } finally spark.sparkContext.removeSparkListener(listener)
     // measured: 36 jobs with layer-read counts, 43 with the old
     // recompute-the-lineage counts — the ceiling separates the two
