@@ -541,6 +541,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Corpus report-card stats with EXACT quantiles (percentile, not the
+    // approx sketch): per-source doc counts, token totals, and the p50/p90
+    // token-count distribution — the planning numbers a corpus curation run
+    // starts from. One shuffle on source; quantiles are exact because the
+    // per-group value lists are bounded by group size, not corpus size
+    "q46_corpus_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("wc", TextStats.wordCount(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("wc").cast("bigint").as("total_tokens"),
+          round(expr("percentile(wc, 0.5)"), 6).as("p50_wc"),
+          round(expr("percentile(wc, 0.9)"), 6).as("p90_wc"),
+          min("wc").as("min_wc"),
+          max("wc").as("max_wc"))
+        .orderBy("source")
+    }),
+
+    // Transitive near-dup clustering (connected components over verified
+    // MinHash pairs, pointer-doubling label propagation): keep the min id
+    // per component. The oracle recomputes components from BRUTE-FORCE
+    // Jaccard pairs with a recursive CTE, so the hash compare proves the
+    // distributed propagation converges to the exact transitive closure
+    "q47_dedup_clustered" -> ((s, dir) => {
+      Dedup.minhashDedupClustered(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: distinct shared-8-gram counts of every
     // corpus doc against an eval set (here: the doc_id % 100 == 7 slice of
     // the corpus itself, so the contaminated set is non-trivial at every
@@ -801,6 +831,56 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
         |FROM u a JOIN u b ON a.doc_id < b.doc_id AND a.text = b.text
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact-quantile parity: Spark's percentile and DuckDB's quantile_cont
+    // both linearly interpolate the sorted values; null-text rows count in
+    // n_docs but drop out of every value aggregate on both engines
+    "q46_corpus_stats" ->
+      """WITH wc AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> len(x) > 0)) AS INTEGER) AS wc
+        |  FROM documents)
+        |SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(wc) AS BIGINT) AS total_tokens,
+        |  round(quantile_cont(wc, 0.5), 6) AS p50_wc,
+        |  round(quantile_cont(wc, 0.9), 6) AS p90_wc,
+        |  min(wc) AS min_wc,
+        |  max(wc) AS max_wc
+        |FROM wc GROUP BY source ORDER BY source""".stripMargin,
+
+    // brute-force Jaccard pairs (as q26) → recursive-CTE transitive closure
+    // → min id per component survives; docs outside any pair pass through
+    "q47_dedup_clustered" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tk) - 2, 1)),
+        |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS s
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+        |        x -> len(x) > 0) AS tk
+        |    FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS pa, b.doc_id AS pb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) /
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    >= 0.8),
+        |edges AS (
+        |  SELECT pa AS src, pb AS dst FROM pairs
+        |  UNION ALL SELECT pb, pa FROM pairs),
+        |reach(start, node) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        |  UNION
+        |  SELECT r.start, e.dst FROM reach r JOIN edges e ON e.src = r.node),
+        |comp AS (SELECT start AS id, min(node) AS comp FROM reach GROUP BY start),
+        |losers AS (SELECT id FROM comp WHERE comp < id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
 
     // full replay: same tokenizer, same distinct-8-gram shingles (short docs
     // contribute their whole-token string, as shinglesFromTokens does), same
