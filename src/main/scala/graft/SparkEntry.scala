@@ -541,6 +541,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Weighted multi-source mixture: three disjoint sources sampled at
+    // their own rates, tagged, unioned — membership is the pure md5-bucket
+    // function, so the full blend (rows AND tags) is oracle-reproducible;
+    // the NUL salt separator is chr(0) on the SQL side
+    "q48_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val web = docs.filter(col("doc_id") % 3 === 0)
+      val books = docs.filter(col("doc_id") % 3 === 1)
+      val code = docs.filter(col("doc_id") % 3 === 2)
+      newspipe.ops.Sampling.mixture(
+          Seq(("web", web, 0.5), ("books", books, 0.25), ("code", code, 0.1)),
+          "doc_id", salt = "mix1")
+        .select("doc_id", "mixture_source")
+        .orderBy("doc_id")
+    }),
+
     // Corpus report-card stats with EXACT quantiles (percentile, not the
     // approx sketch): per-source doc counts, token totals, and the p50/p90
     // token-count distribution — the planning numbers a corpus curation run
@@ -831,6 +847,26 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
         |FROM u a JOIN u b ON a.doc_id < b.doc_id AND a.text = b.text
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // bucket thresholds are floor(rate · 2³²): 0.5 → 2147483648,
+    // 0.25 → 1073741824, 0.1 → 429496729 (truncation, matching toLong)
+    "q48_mixture" ->
+      """WITH d AS (SELECT doc_id FROM documents)
+        |SELECT doc_id, 'web' AS mixture_source FROM d
+        |WHERE doc_id % 3 = 0
+        |  AND ('0x' || substr(md5('mix1' || chr(0) || 'web'
+        |    || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT < 2147483648
+        |UNION ALL
+        |SELECT doc_id, 'books' AS mixture_source FROM d
+        |WHERE doc_id % 3 = 1
+        |  AND ('0x' || substr(md5('mix1' || chr(0) || 'books'
+        |    || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT < 1073741824
+        |UNION ALL
+        |SELECT doc_id, 'code' AS mixture_source FROM d
+        |WHERE doc_id % 3 = 2
+        |  AND ('0x' || substr(md5('mix1' || chr(0) || 'code'
+        |    || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT < 429496729
+        |ORDER BY doc_id""".stripMargin,
 
     // exact-quantile parity: Spark's percentile and DuckDB's quantile_cont
     // both linearly interpolate the sorted values; null-text rows count in
