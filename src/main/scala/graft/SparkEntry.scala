@@ -557,6 +557,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Deterministic train/val/test split: every doc tagged with its split
+    // (fractions sum to 1 ⇒ total cover, disjoint by construction). The
+    // oracle recomputes the cumulative bucket ranges, so the hash compare
+    // asserts the exact membership of every split at once
+    "q49_hash_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val splits = newspipe.ops.Sampling.hashSplit(docs, "doc_id",
+        Seq(0.8, 0.1, 0.1), salt = "sp1")
+      splits.zip(Seq("train", "val", "test")).map { case (df, name) =>
+        df.select(col("doc_id"), lit(name).as("split"))
+      }.reduce(_ union _).orderBy("doc_id")
+    }),
+
     // Corpus report-card stats with EXACT quantiles (percentile, not the
     // approx sketch): per-source doc counts, token totals, and the p50/p90
     // token-count distribution — the planning numbers a corpus curation run
@@ -847,6 +860,22 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
         |FROM u a JOIN u b ON a.doc_id < b.doc_id AND a.text = b.text
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // cumulative bucket bounds floor(f·2³²) from the same scanLeft the
+    // Scala side computes — in IEEE doubles 0.8+0.1 rounds to exactly 0.9
+    // and 0.9+0.1 to exactly 1.0, so the bounds are [0, 3435973836,
+    // 3865470566, 2³²] and the three splits cover every row
+    "q49_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('sp1' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |      AS bucket
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN bucket < 3435973836 THEN 'train'
+        |       WHEN bucket < 3865470566 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // bucket thresholds are floor(rate · 2³²): 0.5 → 2147483648,
     // 0.25 → 1073741824, 0.1 → 429496729 (truncation, matching toLong)
