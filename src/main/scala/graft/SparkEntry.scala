@@ -541,6 +541,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BM25 ranked retrieval: the full score set for a 3-term query (emitted
+    // by doc id, not top-k, so float near-ties cannot flip row membership).
+    // The oracle replays tokenize → tf → df → idf → length-norm with the
+    // identical IEEE operation order; round(6) absorbs libm ulp differences
+    "q50_bm25" -> ((s, dir) => {
+      newspipe.ops.Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text",
+          Seq("vector", "stream", "window"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+
     // Weighted multi-source mixture: three disjoint sources sampled at
     // their own rates, tagged, unioned — membership is the pure md5-bucket
     // function, so the full blend (rows AND tags) is oracle-reproducible;
@@ -876,6 +887,34 @@ object SparkEntry {
         |       WHEN bucket < 3865470566 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // BM25 replay: same tokenizer, dl>0 filter, per-term tf via list_filter,
+    // df over matching docs, ln(1+(N-df+0.5)/(df+0.5)) idf, k1=1.2 b=0.75
+    // with (1.2+1) and (1-0.75+…) written as the same expressions Scala
+    // evaluates so the doubles agree bit-for-bit before round(6)
+    "q50_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+        |      x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |d AS (SELECT doc_id, tk, len(tk) AS dl FROM toks WHERE len(tk) > 0),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+        |q(term) AS (VALUES ('vector'), ('stream'), ('window')),
+        |tf AS (
+        |  SELECT doc_id, dl, term,
+        |    len(list_filter(tk, x -> x = term)) AS tf
+        |  FROM d CROSS JOIN q),
+        |tf2 AS (SELECT * FROM tf WHERE tf > 0),
+        |df AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+        |      * (t.tf * (1.2 + 1)) /
+        |      (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl)) AS contrib
+        |  FROM tf2 t JOIN df f ON t.term = f.term CROSS JOIN stats s)
+        |SELECT doc_id, round(sum(contrib), 6) AS score
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // bucket thresholds are floor(rate · 2³²): 0.5 → 2147483648,
     // 0.25 → 1073741824, 0.1 → 429496729 (truncation, matching toLong)

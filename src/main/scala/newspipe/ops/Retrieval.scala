@@ -1,0 +1,72 @@
+package newspipe.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ranked keyword retrieval over a document corpus (extension track,
+  * SURVEY.md §7): BM25 scoring for targeted subset extraction — the tool a
+  * training-data pipeline uses to pull topic slices out of a web-scale
+  * corpus (quality-classifier seed sets, domain-targeted subsets).
+  *
+  * Scale shape: the query is a handful of terms. Corpus statistics (N,
+  * avgdl) and per-term document frequencies reduce to a FEW SCALARS — both
+  * ride broadcast joins, so the corpus crosses exactly two shuffles: the
+  * (doc, term) term-frequency aggregate and the per-doc score sum. No
+  * driver-side collect; everything stays one lazy plan.
+  */
+object Retrieval {
+
+  /** BM25 score of every matching doc (score > 0 ⇔ at least one query term
+    * present). Standard Robertson/Sparck-Jones idf with the +1 smoothing
+    * (`ln(1 + (N - df + 0.5)/(df + 0.5))`), k1/b defaults from the
+    * literature.
+    *
+    * @return (idCol, score) — one row per doc containing ≥1 query term.
+    */
+  def bm25(corpus: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val terms = queryTerms.distinct
+
+    val docs = Par.ensure(corpus.select(col(idCol), col(textCol).as("__t")))
+      .withColumn("__toks", Dedup.tokens(col("__t")))
+      .select(col(idCol), col("__toks"), size(col("__toks")).as("__dl"))
+      .filter(col("__dl") > 0)
+
+    // corpus stats: two scalars, broadcast (no driver action — the
+    // aggregate rides the plan as a broadcast nested-loop join)
+    val stats = docs.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+
+    // (doc, term) term frequencies for query terms only: the explode is
+    // pre-filtered to the term set, so its volume is matches, not tokens
+    val tf = docs
+      .select(col(idCol), col("__dl"),
+        explode(filter(col("__toks"),
+          t => t.isin(terms.map(x => x: Any): _*))).as("__term"))
+      .groupBy(col(idCol), col("__dl"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+
+    // per-term document frequency: ≤ |terms| rows, broadcast back
+    val df = tf.groupBy("__term").agg(count(lit(1)).as("__df"))
+
+    tf.join(broadcast(df), Seq("__term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)))
+      .withColumn("__contrib",
+        col("__idf") * (col("__tf") * (k1 + 1)) /
+          (col("__tf") +
+            lit(k1) * (lit(1.0) - b + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(idCol)
+      .agg(sum("__contrib").as("score"))
+  }
+
+  /** Top-k docs for the query, deterministically ordered (score desc, id
+    * asc tie-break).
+    */
+  def search(corpus: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10): DataFrame =
+    bm25(corpus, idCol, textCol, queryTerms)
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+}

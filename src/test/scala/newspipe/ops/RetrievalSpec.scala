@@ -1,0 +1,60 @@
+package newspipe.ops
+
+import newspipe.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** §7 extension: BM25 ranked retrieval — ranking semantics and plan shape. */
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark query planning and spark shuffles in spark"),
+    (2L, "query planning for databases"),
+    (3L, "cooking recipes with garlic and onions"),
+    (4L, "a very long document about gardens " + ("filler words here " * 50) +
+      "with one mention of spark"),
+    (5L, "spark")
+  ).toDF("doc_id", "text")
+
+  test("only docs containing a query term score; ranking follows tf and length norm") {
+    val out = Retrieval.bm25(corpus, "doc_id", "text", Seq("spark", "query"))
+      .as[(Long, Double)].collect().toMap
+    out.keySet shouldBe Set(1L, 2L, 4L, 5L)
+    // doc 1 has both terms with high tf in a short doc — top score
+    out(1L) should be > out(2L)
+    // one 'spark' in a tiny doc beats one 'spark' drowned in a long doc
+    out(5L) should be > out(4L)
+    out.values.foreach(_ should be > 0.0)
+  }
+
+  test("search returns k docs deterministically ordered") {
+    val top = Retrieval.search(corpus, "doc_id", "text", Seq("spark"), k = 2)
+      .select("doc_id").as[Long].collect()
+    top.length shouldBe 2
+    top.head shouldBe 1L // highest tf, short doc
+  }
+
+  test("no term matches → empty result, not an error") {
+    Retrieval.bm25(corpus, "doc_id", "text", Seq("zzzz")).count() shouldBe 0L
+  }
+
+  test("stats and df ride broadcast joins — the corpus is never shuffled for them") {
+    val out = Retrieval.bm25(corpus, "doc_id", "text", Seq("spark", "query"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    plan should include("Broadcast")
+  }
+
+  test("idf ordering: rarer terms contribute more for equal tf") {
+    // 'query' appears in 2 docs, 'spark' in 4 — a doc with only 'query'
+    // must outscore an otherwise-identical doc with only 'spark'
+    val tiny = Seq(
+      (1L, "spark alpha"), (2L, "spark beta"), (3L, "spark gamma"),
+      (4L, "query alpha"), (5L, "query beta"),
+      (6L, "spark filler"), (7L, "query filler")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25(tiny, "doc_id", "text", Seq("spark", "query"))
+      .as[(Long, Double)].collect().toMap
+    out(7L) should be > out(6L)
+  }
+}
