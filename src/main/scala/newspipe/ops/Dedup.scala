@@ -143,16 +143,10 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16,
       maxBucket: Int = 1000): DataFrame = {
-    val rows = numHashes / bands
-    // materialize tokens → shingles → signature as separate Projects: each
-    // stage's result is a bound reference downstream, evaluated once per row
-    val sig = ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("__t")))
-      .withColumn("__toks", tokens(col("__t")))
-      .withColumn("__sh", shinglesFromTokens(col("__toks")))
-      .select(col("id"), minhashSignature(col("__sh"), numHashes).as("sig"))
-    val banded = sig.select(col("id"),
-        explode(lshBands(col("sig"), bands, rows)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    // tokens → shingles → signature materialize as separate Projects inside
+    // bandedSignatures: each stage's result is a bound reference downstream,
+    // evaluated once per row
+    val banded = bandedSignatures(df, idCol, textCol, numHashes, bands)
     BucketedPairs.pairs(banded, Seq("band", "bucket"), "id", Nil, maxBucket)
       .dropDuplicates("id_a", "id_b")
   }
@@ -272,6 +266,130 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  // ---- span-level exact dedup ----------------------------------------------
+
+  /** Exact duplicate-SPAN removal (the Lee et al. "Deduplicating Training
+    * Data" unit, applied at k-token granularity): the corpus is chunked into
+    * consecutive non-overlapping `span`-token pieces, and every chunk whose
+    * exact content already occurred earlier in the corpus — ordered by
+    * (id, chunk index) — is dropped. Whole-document dedup misses the
+    * boilerplate/quote/license-header duplication INSIDE otherwise-distinct
+    * documents; span dedup is the operator that removes it.
+    *
+    * Scale shape: chunking is a per-row projection (no shuffle); the
+    * first-occurrence resolution is ONE hash aggregate on the chunk content
+    * (map-side partial aggregation collapses hot chunks before the exchange,
+    * so a million-way boilerplate chunk ships one row per map partition, not
+    * a million) plus one join of the chunk stream against the winners (AQE
+    * handles the hot-chunk join skew); reassembly is one aggregate on the
+    * doc id. Nothing is quadratic in corpus or bucket size.
+    *
+    * Docs with no tokens (null/empty text) are absent from the result —
+    * they hold no spans to keep or drop. A doc whose every span occurred
+    * earlier survives with `kept_text = ""` and `n_kept = 0`.
+    *
+    * @return (idCol, n_spans, n_kept, kept_text) — kept chunks re-joined in
+    *         original order, space-separated (tokenization is not
+    *         reversible, so output text is normalized token text).
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      span: Int = 20): DataFrame = {
+    require(span > 0, s"span must be positive, got $span")
+    val toks = ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .withColumn("__toks", tokens(col("__t")))
+      .filter(size(col("__toks")) > 0)
+      .select(col("id"), col("__toks"),
+        ((size(col("__toks")) + (span - 1)) / span).cast("bigint").as("n_spans"))
+    // chunk c (0-based) covers tokens [1 + c·span, 1 + c·span + span)
+    val chunks = toks.select(col("id"),
+      posexplode(transform(sequence(lit(1), size(col("__toks")), lit(span)),
+        i => array_join(slice(col("__toks"), i, span), " "))).as(Seq("idx", "chunk")))
+    // first occurrence of each chunk content wins: min (id, idx) — a hash
+    // aggregate with map-side combine, not a window (a window would sort
+    // every occurrence of a hot chunk inside one task)
+    val firsts = chunks.groupBy("chunk")
+      .agg(min(struct(col("id"), col("idx"))).as("__first"))
+    val kept = chunks.join(firsts, Seq("chunk"))
+      .filter(struct(col("id"), col("idx")) === col("__first"))
+    val reassembled = kept.groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+            x => x("chunk")), " ").as("kept_text"))
+    toks.select(col("id"), col("n_spans"))
+      .join(reassembled, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  // ---- cross-corpus dedup --------------------------------------------------
+
+  /** Remove from `corpus` every document that exactly or nearly duplicates a
+    * document of `reference` — the dedup-new-crawl-against-existing-training-
+    * set operation. Exact matches go through a content-digest anti-join;
+    * near matches through MinHash-LSH candidates ACROSS the two corpora
+    * (corpus-side bands join reference-side bands — never all-pairs) with
+    * exact n-gram Jaccard verification at `threshold`.
+    *
+    * Scale shape: both sides compute signatures per-row (no shuffle); the
+    * candidate join shuffles on (band, bucket); `maxBucket` caps the
+    * REFERENCE side of each bucket (a hot bucket of R reference docs × C
+    * corpus docs yields R·C candidate pairs). Verification joins shingles
+    * back only for docs that appear in a candidate pair.
+    */
+  def dedupAgainst(corpus: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.8, numHashes: Int = 64,
+      bands: Int = 16, n: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val digest = md5(col(textCol).cast("string"))
+    val refDigests = reference.select(digest.as("__refd")).distinct()
+    val exactClean = corpus.join(refDigests, digest === col("__refd"), "left_anti")
+
+    val cBands = bandedSignatures(corpus, idCol, textCol, numHashes, bands)
+      .withColumnRenamed("id", "__cid")
+    val rBands = bandedSignatures(reference, idCol, textCol, numHashes, bands)
+      .withColumnRenamed("id", "__rid")
+    val okBuckets = rBands.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__rn_b")).filter(col("__rn_b") <= maxBucket)
+      .select("band", "bucket")
+    // candidate (corpus, reference) doc pairs — checkpointed once, as in
+    // jaccardVerify: the pair set feeds both shingle semi-joins and the
+    // verify join, each of which would otherwise re-run both band pipelines
+    val cand = cBands
+      .join(rBands.join(okBuckets, Seq("band", "bucket")), Seq("band", "bucket"))
+      .select("__cid", "__rid").dropDuplicates("__cid", "__rid")
+      .localCheckpoint(true)
+    def candShingles(df: DataFrame, ids: DataFrame, outId: String) = {
+      val needed = df.join(ids, col(idCol) === ids.columns.map(col).head, "left_semi")
+      needed.select(col(idCol).as(outId), tokens(col(textCol)).as("__toks"))
+        .select(col(outId), shinglesFromTokens(col("__toks"), n).as(s"__sh$outId"))
+    }
+    val cSh = candShingles(corpus, cand.select(col("__cid").as("__i")), "__cid")
+    val rSh = candShingles(reference, cand.select(col("__rid").as("__i")), "__rid")
+    val nearIds = cand
+      .join(cSh, Seq("__cid")).join(rSh, Seq("__rid"))
+      .filter(
+        size(array_intersect(col("__sh__cid"), col("__sh__rid"))).cast("double") /
+          size(array_union(col("__sh__cid"), col("__sh__rid"))) >= threshold)
+      .select(col("__cid").as("__nearid")).distinct()
+    exactClean.join(nearIds, col(idCol) === col("__nearid"), "left_anti")
+  }
+
+  /** Per-doc (id, band, bucket) MinHash-LSH band stream — the shared front
+    * half of [[minhashCandidates]] and [[dedupAgainst]]: tokenize → shingle
+    * → signature (all per-row, no shuffle) → banded bucket ids.
+    */
+  private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val sig = ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .withColumn("__toks", tokens(col("__t")))
+      .withColumn("__sh", shinglesFromTokens(col("__toks")))
+      .select(col("id"), minhashSignature(col("__sh"), numHashes).as("sig"))
+    sig.select(col("id"), explode(lshBands(col("sig"), bands, rows)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash of a token array: sum ±1 per bit over token hashes,
@@ -336,6 +454,13 @@ object Dedup {
 private[ops] object Par {
   def ensure(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // `inputFiles` is driver-side file-index metadata (the listing the scan
+    // needs anyway, cached by the relation) — unlike `df.rdd`, it reads a
+    // parallelism estimate without building the physical plan + RDD DAG
+    // twice per query. A file can still SPLIT into several scan partitions,
+    // so `files >= target` can only under-estimate parallelism — the
+    // fallback repartition is skipped exactly when it's provably unneeded.
+    val files = df.inputFiles.length
+    if (files >= target) df else df.repartition(target)
   }
 }

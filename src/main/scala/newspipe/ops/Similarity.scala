@@ -134,13 +134,9 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       sigOf(col(vecCol)).as("__bucket"))
     // query probe set: its own bucket + single-bit flips of the lowest bits
-    val probeUdf = udf { (sig: java.lang.Long) =>
-      if (sig == null) Seq.empty[Long]
-      else Seq(sig.longValue) ++ (0 until (probes - 1)).map(b => sig.longValue ^ (1L << b))
-    }
     val q = broadcast(queries.select(col(idCol).as("query_id"),
         col(vecCol).as("__qv"), sigOf(col(vecCol)).as("__qsig"))
-      .withColumn("__bucket", explode(probeUdf(col("__qsig")))))
+      .withColumn("__bucket", explode(probeBuckets(probes)(col("__qsig")))))
     val scored = c.join(q, Seq("__bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       // a neighbor reachable through several probe buckets must count ONCE —
@@ -153,6 +149,61 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Bulk k-nearest-neighbor SELF-join: top-k cosine neighbors for EVERY row
+    * of `df` — the knn-graph build behind embedding-space dedup, clustering
+    * prep, and semantic-coverage audits. Unlike [[lshTopK]] there is no
+    * bounded broadcast query set: BOTH sides are the corpus, so the
+    * candidate generation must be (and is) the bucketed form — rows meet
+    * only inside shared RHP probe buckets, one shuffle join on the bucket
+    * id, never corpus × corpus.
+    *
+    * Scale shape: signatures and probe sets are per-row projections; the
+    * bucket join is id-only (vectors do NOT ride the probe explode — the
+    * deduped candidate pair set joins them back, the
+    * [[cosineNearDupPairs]] shape); `maxBucket` drops degenerate hot
+    * buckets (a bucket of B rows is B² candidate pairs) before any pair
+    * exists. Re-rank cost is per-candidate, recall is tuned by
+    * (nbits, probes) exactly as in [[lshTopK]].
+    *
+    * @return (query_id, neighbor_id, cos, rank ≤ k) for every non-null,
+    *         bucketed row.
+    */
+  def knnJoin(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int = 10, nbits: Int = 8, probes: Int = 4, seed: Long = 42L,
+      maxBucket: Int = 4096): DataFrame = {
+    val sigOf = rhpSignature(dim, nbits, seed)
+    val vecs = Par.ensure(df.select(col(idCol).as("id"), col(vecCol).as("v")))
+    val sig = vecs.select(col("id"), sigOf(col("v")).as("__sig"))
+    val qb = sig.select(col("id").as("query_id"),
+      explode(probeBuckets(probes)(col("__sig"))).as("__bucket"))
+    val cb = sig.select(col("id").as("neighbor_id"), col("__sig").as("__bucket"))
+    val okBuckets = cb.groupBy("__bucket").agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket).select("__bucket")
+    val cand = qb.join(cb.join(okBuckets, Seq("__bucket")), Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand
+      .join(vecs.select(col("id").as("query_id"), col("v").as("__qv")), Seq("query_id"))
+      .join(vecs.select(col("id").as("neighbor_id"), col("v").as("__cv")), Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Multi-probe bucket set of a signature: the bucket itself plus
+    * single-bit flips of the `probes − 1` lowest bits (null-signature rows
+    * probe nothing).
+    */
+  private def probeBuckets(probes: Int) = udf { (sig: java.lang.Long) =>
+    if (sig == null) Seq.empty[Long]
+    else Seq(sig.longValue) ++
+      (0 until (probes - 1)).map(b => sig.longValue ^ (1L << b))
   }
 
   /** IVF (inverted-file) ANN top-k: spherical k-means centroids quantize the
