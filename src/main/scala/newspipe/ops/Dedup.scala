@@ -303,7 +303,7 @@ object Dedup {
     // chunk c (0-based) covers tokens [1 + c·span, 1 + c·span + span)
     val chunks = toks.select(col("id"),
       posexplode(transform(sequence(lit(1), size(col("__toks")), lit(span)),
-        i => array_join(slice(col("__toks"), i, span), " "))).as(Seq("idx", "chunk")))
+        i => array_join(slice(col("__toks"), i, lit(span)), " "))).as(Seq("idx", "chunk")))
     // first occurrence of each chunk content wins: min (id, idx) — a hash
     // aggregate with map-side combine, not a window (a window would sort
     // every occurrence of a hot chunk inside one task)
