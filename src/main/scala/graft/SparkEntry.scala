@@ -725,6 +725,90 @@ object SparkEntry {
         .groupBy("kind")
         .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"))
         .orderBy("kind")
+    }),
+
+    // ---- Extension: span dedup / cross-corpus dedup / knn graph (§7) --------
+
+    // Span-level (chunk) dedup — FineWeb-style intra-corpus span removal:
+    // every 20-token chunk keeps only its first (min doc_id, chunk idx)
+    // occurrence corpus-wide; docs are reassembled from their kept chunks.
+    // The oracle replays chunking (generate_series stride), the global
+    // first-occurrence rule, and ordered reassembly in SQL, so the hash
+    // compare asserts exact span semantics — boilerplate shared across docs
+    // survives only in the lowest-id doc, including same-doc repeats
+    "q51_span_dedup" -> ((s, dir) => {
+      Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text", span = 20)
+        .orderBy("doc_id")
+    }),
+
+    // Cross-corpus dedup: scrub a "new crawl" (doc_id % 3 ≠ 0) against a
+    // "training set" (doc_id % 3 = 0) — exact digest anti-join + MinHash-LSH
+    // near-dup candidates ACROSS the corpora, Jaccard-verified at 0.8. The
+    // oracle replays both stages with BRUTE-FORCE cross-corpus Jaccard, so
+    // the hash compare asserts the banded path loses no qualifying pair
+    "q52_dedup_against" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val reference = docs.filter(col("doc_id") % 3 === 0)
+      Dedup.dedupAgainst(corpus, reference, "doc_id", "text", threshold = 0.8)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Bulk kNN self-join (knn-graph build), made oracle-provable by the
+    // q37/q38 planted-twin technique: identical vectors share an RHP
+    // signature, so each (query, twin) pair provably meets in the probe-0
+    // bucket and wins rank 1 at cos = 1.0 (natural pairs top out ≈ 0.45,
+    // q29). Emitting the rank-1 slice of the planted rows makes the output
+    // a deterministic function of the data that a DuckDB brute-force argmax
+    // reproduces; full top-k recall stays covered by SimilaritySpec
+    "q53_knn_join" -> ((s, dir) => {
+      val (_, corpus) = annPlantedCorpus(s, dir)
+      Similarity.knnJoin(corpus, "vec_id", "embedding", dim = 64, k = 3,
+          nbits = 8, probes = 4)
+        .filter(col("rank") === 1 &&
+          (col("query_id") < 10 || col("query_id") >= 100000))
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    }),
+
+    // ---- Extension: token-budget packing / quality gating / strata (§7) -----
+
+    // Deterministic token-budget bin packing per source: rows ordered by
+    // their content hash, running token sum, bin = cumulative START offset
+    // over budget. The oracle replays the hash order and running-sum window,
+    // so the hash compare asserts every doc's exact shard assignment
+    "q54_pack_bins" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("wc", TextStats.wordCount(col("text")))
+      newspipe.ops.Sampling.packBins(docs, "doc_id", "wc", budget = 500L,
+          partitionCols = Seq("source"), salt = "bins1")
+        .select("doc_id", "source", "bin")
+        .orderBy("doc_id")
+    }),
+
+    // Exact per-group top-fraction gate: keep the longest 75% of each
+    // source (score = word count, ties by doc_id). Window rank replay in
+    // SQL; ceil(n·0.75) is exact IEEE on both engines
+    "q55_top_fraction" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("wc", TextStats.wordCount(col("text")))
+      newspipe.ops.Sampling.topFractionByGroup(docs, "source", "wc",
+          fraction = 0.75, tieCol = "doc_id")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    // Per-stratum deterministic sampling in one shuffle-free pass: each
+    // lang draws at its own rate (en 50%, zh 25%, default 10%), membership
+    // a pure md5 function of (salt, stratum, key) — NUL-joined, replayed
+    // with chr(0) in SQL exactly like q48's mixture salt
+    "q56_stratified_sample" -> ((s, dir) => {
+      newspipe.ops.Sampling.stratifiedSample(t(s, dir, "documents"),
+          "doc_id", "lang", Map("en" -> 0.5, "zh" -> 0.25),
+          defaultRate = 0.1, salt = "st1")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     })
   )
 
@@ -1379,6 +1463,155 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
         |    '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS count
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // replays spanDedup end-to-end: 20-token chunks at stride 20 (same
+    // 1-based starts as Spark's sequence(1, size, 20)), global first
+    // occurrence by (doc_id, start) via row_number, ordered reassembly via
+    // string_agg; n_spans = ceil(tokens/20) as the same truncated double
+    // division
+    "q51_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+        |      x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |nz AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+        |starts AS (
+        |  SELECT doc_id, tk, unnest(generate_series(1, len(tk), 20)) AS st
+        |  FROM nz),
+        |chunks AS (
+        |  SELECT doc_id, st,
+        |    array_to_string(list_slice(tk, st, st + 19), ' ') AS chunk
+        |  FROM starts),
+        |firsts AS (
+        |  SELECT doc_id, st, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, st) AS rn
+        |  FROM chunks),
+        |re AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(chunk, ' ' ORDER BY st) AS kept_text
+        |  FROM firsts WHERE rn = 1 GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(floor((len(t.tk) + 19) / 20.0) AS BIGINT) AS n_spans,
+        |  coalesce(re.n_kept, 0) AS n_kept,
+        |  coalesce(re.kept_text, '') AS kept_text
+        |FROM nz t LEFT JOIN re USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // replays dedupAgainst with brute-force cross-corpus comparison: exact
+    // stage = digest anti-join (NOT EXISTS ≡ Spark left_anti null
+    // semantics), near stage = 3-gram Jaccard ≥ 0.8 between every
+    // (corpus, reference) pair — asserting the LSH candidate path's recall
+    "q52_dedup_against" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |exact_clean AS (
+        |  SELECT c.doc_id, c.text FROM corpus c
+        |  WHERE NOT EXISTS (SELECT 1 FROM ref r
+        |    WHERE md5(CAST(c.text AS VARCHAR)) = md5(CAST(r.text AS VARCHAR)))),
+        |csh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tk) - 2, 1)),
+        |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS s
+        |  FROM (SELECT doc_id,
+        |      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+        |        x -> len(x) > 0) AS tk
+        |    FROM corpus)),
+        |rsh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tk) - 2, 1)),
+        |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS s
+        |  FROM (SELECT doc_id,
+        |      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+        |        x -> len(x) > 0) AS tk
+        |    FROM ref)),
+        |near AS (
+        |  SELECT DISTINCT c.doc_id FROM csh c JOIN rsh r
+        |  ON len(list_intersect(c.s, r.s)) /
+        |     CAST(len(c.s) + len(r.s) - len(list_intersect(c.s, r.s)) AS DOUBLE)
+        |     >= 0.8)
+        |SELECT e.doc_id FROM exact_clean e
+        |WHERE NOT EXISTS (SELECT 1 FROM near n WHERE n.doc_id = e.doc_id)
+        |ORDER BY e.doc_id""".stripMargin,
+
+    // brute-force argmax-cosine over the planted self-join corpus (q37's
+    // construction, both directions: originals < 10 and twins ≥ 100000)
+    "q53_knn_join" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[])) > 0),
+        |planted AS (SELECT vec_id + 100000 AS vec_id, v FROM e WHERE vec_id < 10),
+        |u AS (SELECT * FROM e UNION ALL SELECT * FROM planted),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+        |      AS cos
+        |  FROM u q JOIN u c ON (q.vec_id < 10 OR q.vec_id >= 100000)
+        |    AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id FROM ranked WHERE rk = 1
+        |ORDER BY query_id""".stripMargin,
+
+    // replays packBins: md5 bucket order within source (q43's hex-prefix
+    // formula), running-sum window (unique order keys ⇒ RANGE = ROWS on
+    // both engines), bin = truncated double division of the START offset
+    "q54_pack_bins" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> len(x) > 0)) AS wc,
+        |    ('0x' || substr(md5('bins1' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |      AS b
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, source, wc,
+        |    sum(wc) OVER (PARTITION BY source ORDER BY b, doc_id) AS cum
+        |  FROM w)
+        |SELECT doc_id, source,
+        |  CAST(floor((cum - wc) / 500.0) AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // replays topFractionByGroup: row_number + count windows per source,
+    // keep rn ≤ ceil(n·0.75) — 0.75 is dyadic so the product is exact IEEE
+    // on both engines
+    "q55_top_fraction" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> len(x) > 0)) AS wc
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY wc DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM w)
+        |SELECT doc_id, source FROM r
+        |WHERE rn <= CAST(ceil(n * 0.75) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+
+    // membership is the pure md5 function of (salt, stratum, key) with
+    // chr(0) joins; thresholds are the same truncated (rate · 2³²) longs
+    // the Spark side computes (0.5 → 2147483648, 0.25 → 1073741824,
+    // 0.1 → 429496729)
+    "q56_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+        |  AND ('0x' || substr(md5('st1' || chr(0) || lang || chr(0) ||
+        |    CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |  < (CASE lang WHEN 'en' THEN 2147483648
+        |               WHEN 'zh' THEN 1073741824
+        |               ELSE 429496729 END)
+        |ORDER BY doc_id""".stripMargin
   )
 }
