@@ -460,7 +460,13 @@ private[ops] object Par {
     // twice per query. A file can still SPLIT into several scan partitions,
     // so `files >= target` can only under-estimate parallelism — the
     // fallback repartition is skipped exactly when it's provably unneeded.
+    // `files == 0` means NOT file-backed (in-memory, post-shuffle, JDBC),
+    // not single-partition — for those the RDD partition count is the only
+    // honest signal, and paying one plan build beats an unconditional
+    // shuffle of an already-parallel input.
     val files = df.inputFiles.length
-    if (files >= target) df else df.repartition(target)
+    if (files >= target) df
+    else if (files == 0 && df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
   }
 }

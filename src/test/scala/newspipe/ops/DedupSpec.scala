@@ -162,4 +162,67 @@ class DedupSpec extends SparkTestBase {
     val capped = Dedup.minhashCandidates(many, "doc_id", "text", maxBucket = 10)
     capped.count() shouldBe 0
   }
+
+  test("spanDedup: shared chunks keep only their first (doc, idx) occurrence") {
+    val d = Seq(
+      (1L, "a b c d e f"),   // chunks: "a b c", "d e f"
+      (2L, "a b c x y z"),   // "a b c" already seen in doc 1 → only "x y z"
+      (3L, "d e f"),         // whole doc seen → kept_text empty
+      (4L, "p q r p q r"),   // same-doc repeat → second occurrence dropped
+      (5L, "")               // no tokens → absent from result
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(d, "doc_id", "text", span = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map { case (id, ns, nk, t) => id -> ((ns, nk, t)) }.toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L)
+    out(1L) shouldBe ((2L, 2L, "a b c d e f"))
+    out(2L) shouldBe ((2L, 1L, "x y z"))
+    out(3L) shouldBe ((1L, 0L, ""))
+    out(4L) shouldBe ((2L, 1L, "p q r"))
+  }
+
+  test("spanDedup: a trailing partial chunk is its own span") {
+    val d = Seq((1L, "a b c d")).toDF("doc_id", "text") // span 3 → "a b c", "d"
+    val out = Dedup.spanDedup(d, "doc_id", "text", span = 3)
+      .as[(Long, Long, Long, String)].head()
+    out shouldBe ((1L, 2L, 2L, "a b c d"))
+  }
+
+  test("dedupAgainst scrubs exact and near reference dups, keeps the rest") {
+    val reference = Seq((100L, base), (101L, "reference only material nothing else")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, base),        // exact dup of ref 100 → dropped at the digest stage
+      (2L, nearDup),     // near dup of ref 100 → dropped at the Jaccard stage
+      (3L, unrelated),   // kept
+      (4L, null.asInstanceOf[String]) // null text: no digest, no shingles → kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainst(corpus, reference, "doc_id", "text",
+      threshold = 0.8).select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(3L, 4L)
+  }
+
+  test("dedupAgainst: threshold gates the near stage; corpus-internal dups survive") {
+    val reference = Seq((100L, unrelated)).toDF("doc_id", "text")
+    val corpus = Seq((1L, base), (2L, nearDup), (3L, base)).toDF("doc_id", "text")
+    // docs 1/2/3 duplicate EACH OTHER but nothing in the reference — this is
+    // not intra-corpus dedup, so all three survive
+    Dedup.dedupAgainst(corpus, reference, "doc_id", "text", threshold = 0.8)
+      .count() shouldBe 3L
+    // threshold 0 would catch any nonzero overlap with the reference; base
+    // shares no 3-gram with `unrelated`, so even then everything survives
+    Dedup.dedupAgainst(corpus, reference, "doc_id", "text", threshold = 0.01)
+      .count() shouldBe 3L
+  }
+
+  test("dedupAgainst: hot reference buckets are capped (skew guard)") {
+    // 50 identical reference docs bucket together; maxBucket=10 drops the
+    // bucket, so the near stage finds nothing — but the EXACT stage still
+    // scrubs the identical corpus doc via its digest
+    val reference = (100L to 149L).map(i => (i, base)).toDF("doc_id", "text")
+    val corpus = Seq((1L, base), (2L, nearDup)).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainst(corpus, reference, "doc_id", "text",
+        threshold = 0.8, maxBucket = 10)
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(2L) // 1 caught exactly; 2's near-dup candidates capped away
+  }
 }

@@ -63,4 +63,90 @@ class SamplingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Sampling.hashSplit(ids, "id", Seq(0.8, 0.4)))
   }
+
+  // independent JVM-side replay of hashBucket: first 32 bits of md5(s)
+  private def bucketOf(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  test("stratifiedSample: membership = md5(salt\\0stratum\\0key) per-stratum draw") {
+    val rows = (for (i <- 1L to 600L)
+      yield (i, Seq("web", "books", "code")((i % 3).toInt))).toDF("id", "src")
+    val rates = Map("web" -> 0.5, "books" -> 0.1)
+    val got = Sampling.stratifiedSample(rows, "id", "src", rates,
+      defaultRate = 0.9, salt = "st").as[(Long, String)].collect().toSet
+    val want = (for (i <- 1L to 600L) yield {
+      val src = Seq("web", "books", "code")((i % 3).toInt)
+      val rate = rates.getOrElse(src, 0.9)
+      (i, src, bucketOf("st\u0000" + src + "\u0000" + i) < (rate * 4294967296.0).toLong)
+    }).collect { case (i, s, true) => (i, s) }.toSet
+    got shouldBe want // exact membership, replayed independently
+  }
+
+  test("stratifiedSample excludes null-stratum and null-key rows") {
+    val rows = Seq((Some(1L), Some("a")), (None, Some("a")), (Some(2L), None))
+      .toDF("id", "src")
+    val out = Sampling.stratifiedSample(rows, "id", "src",
+      Map("a" -> 1.0), defaultRate = 1.0)
+    out.count() shouldBe 1L // only the fully-keyed row, despite rate 1.0
+  }
+
+  test("packBins: exact greedy packing, replayed from the hash order") {
+    val rnd = new scala.util.Random(11)
+    val rows = (for (i <- 1L to 300L)
+      yield (i, Seq("a", "b", "c")((i % 3).toInt), 10L + rnd.nextInt(90)))
+      .toDF("id", "grp", "w")
+    val got = Sampling.packBins(rows, "id", "w", budget = 200L,
+        partitionCols = Seq("grp"), salt = "bp")
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    val data = rows.as[(Long, String, Long)].collect()
+    val want = data.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      var cum = 0L
+      g.sortBy { case (id, _, _) => (bucketOf(s"bp$id"), id) }.toSeq.map {
+        case (id, _, w) =>
+          val bin = cum / 200L // start offset over budget
+          cum += w
+          id -> bin
+      }
+    }.toMap
+    got shouldBe want
+  }
+
+  test("packBins: an oversized row gets its own bin; later rows shift, none drop") {
+    // weights 500,50,50 against budget 100 in hash order — whatever the
+    // order, the 500-row occupies [s, s+500) alone: no other row's start
+    // can fall inside it (starts are cumulative), and everything ships
+    val rows = Seq((1L, 500L), (2L, 50L), (3L, 50L)).toDF("id", "w")
+    val out = Sampling.packBins(rows, "id", "w", budget = 100L)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    out.keySet shouldBe Set(1L, 2L, 3L)
+    out.values.count(_ == out(1L)) shouldBe 1 // nobody shares the big row's bin
+  }
+
+  test("packBins excludes null-weight and null-key rows") {
+    val rows = Seq((Some(1L), Some(10L)), (None, Some(10L)), (Some(3L), None))
+      .toDF("id", "w")
+    Sampling.packBins(rows, "id", "w", budget = 100L).count() shouldBe 1L
+  }
+
+  test("topFractionByGroup keeps exactly ceil(n·fraction) per group, highest first") {
+    val rows = (for (i <- 1L to 100L)
+      yield (i, if (i <= 10) "small" else "big", i)).toDF("id", "grp", "score")
+    val out = Sampling.topFractionByGroup(rows, "grp", "score", 0.3, "id")
+      .as[(Long, String, Long)].collect()
+    val byGrp = out.groupBy(_._2)
+    byGrp("small").map(_._1).toSet shouldBe (8L to 10L).toSet   // ceil(10·0.3)=3
+    byGrp("big").map(_._1).toSet shouldBe (74L to 100L).toSet   // ceil(90·0.3)=27
+  }
+
+  test("topFractionByGroup boundaries: fraction 0 keeps nothing, 1 keeps all; ties deterministic") {
+    val rows = Seq((1L, "g", 5L), (2L, "g", 5L), (3L, "g", 5L)).toDF("id", "grp", "score")
+    Sampling.topFractionByGroup(rows, "grp", "score", 0.0, "id").count() shouldBe 0L
+    Sampling.topFractionByGroup(rows, "grp", "score", 1.0, "id").count() shouldBe 3L
+    // all-tied scores: the tie column decides — lowest ids survive
+    Sampling.topFractionByGroup(rows, "grp", "score", 0.5, "id")
+      .select("id").as[Long].collect().toSet shouldBe Set(1L, 2L)
+  }
 }

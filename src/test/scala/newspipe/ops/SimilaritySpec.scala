@@ -130,4 +130,36 @@ class SimilaritySpec extends SparkTestBase {
     exact should not be empty
     lsh shouldBe exact
   }
+
+  test("knnJoin recall ≥ 0.8 vs per-query brute force on the clustered corpus") {
+    val corpus = clustered
+    val exact = Similarity.bruteForceTopK(corpus, corpus, "vec_id", "embedding",
+        k = 9).filter($"neighbor_id" =!= $"query_id")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.knnJoin(corpus, "vec_id", "embedding", dim = 8,
+        k = 9, nbits = 4, probes = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    recall should be >= 0.8
+  }
+
+  test("knnJoin: ranks are dense, neighbors unique, self excluded") {
+    val out = Similarity.knnJoin(clustered, "vec_id", "embedding", dim = 8,
+        k = 5, nbits = 4, probes = 4)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    out.foreach { case (q, n, _) => q should not be n }
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      rows.map(_._3).sorted shouldBe (1 to rows.length).toArray
+      rows.map(_._2).distinct.length shouldBe rows.length
+    }
+  }
+
+  test("knnJoin: hot buckets are capped (skew guard)") {
+    // 50 identical vectors share one signature bucket; maxBucket=10 drops
+    // it before any of the 50×49 candidate pairs exists
+    val v = Seq.fill(8)(0.5f)
+    val many = (1L to 50L).map(i => (i, v)).toDF("vec_id", "embedding")
+    Similarity.knnJoin(many, "vec_id", "embedding", dim = 8, k = 3,
+      maxBucket = 10).count() shouldBe 0L
+  }
 }
