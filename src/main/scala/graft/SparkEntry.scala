@@ -706,19 +706,30 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
-    // HLL distinct sketch (approx_count_distinct; rows-only — approximate)
+    // HLL distinct sketch. The sketch value itself is engine-specific, so
+    // the oracle checks the DOCUMENTED CONTRACT instead: the approximation
+    // lands within ±5% of exact (HLL++ default rsd 0.05; deterministic for
+    // a given dataset, so the assertion is stable, not flaky). exact_parts
+    // rides along so the compare also pins the grouping itself
     "q32_hll_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_count_distinct("l_partkey").as("approx_parts"),
           countDistinct("l_partkey").as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.05)).as("within_5pct"))
         .orderBy("l_returnflag")
     }),
 
     // ---- Extension: multimodal plumbing (§7, stubbed kernels) ----------------
 
     // Binary payload → per-partition feature extraction (decode STUBbed,
-    // plumbing real); aggregates so the result is compact at any SF
+    // plumbing real); aggregates so the result is compact at any SF. The
+    // synthetic payload is sha2-hex(id) UTF-8 repeated (id%8+1)× — length
+    // 64·(id%8+1) in closed form — so the oracle replays per-kind counts
+    // and byte totals exactly, asserting the mapPartitions kernel saw every
+    // row with its full payload
     "q33_media_features" -> ((s, dir) => {
       val media = newspipe.multimodal.Media.synthetic(s, 1000L)
       newspipe.multimodal.Media.extractFeatures(media, dim = 8).toDF()
@@ -1599,6 +1610,26 @@ object SparkEntry {
         |SELECT doc_id, source FROM r
         |WHERE rn <= CAST(ceil(n * 0.75) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+
+    // the sketch's documented ±5% contract, asserted as a boolean next to
+    // the exact count (which DuckDB recomputes): a drifting HLL estimate
+    // or broken grouping both flip the hash
+    "q32_hll_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  true AS within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // replays the synthetic payload's closed-form size (64·(id%8+1) UTF-8
+    // bytes of repeated sha2 hex) and kind assignment for ids 0..999
+    "q33_media_features" ->
+      """WITH m AS (
+        |  SELECT i,
+        |    CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    64 * (i % 8 + 1) AS n_bytes
+        |  FROM generate_series(0, 999) AS t(i))
+        |SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
 
     // membership is the pure md5 function of (salt, stratum, key) with
     // chr(0) joins; thresholds are the same truncated (rate · 2³²) longs
