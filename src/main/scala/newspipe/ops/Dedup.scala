@@ -295,21 +295,31 @@ object Dedup {
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
       span: Int = 20): DataFrame = {
     require(span > 0, s"span must be positive, got $span")
+    // materialized once (eager localCheckpoint): the token stream feeds
+    // THREE branches (the chunk stream twice — aggregate side and join-back
+    // side — plus the final n_spans join); without the cut each branch
+    // re-runs scan + regex tokenization from the source. Same stage-boundary
+    // pattern as jaccardVerify/q44 — the checkpoint holds (id, tokens),
+    // corpus-sized but written once, vs three full scan+tokenize passes
     val toks = ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("__t")))
       .withColumn("__toks", tokens(col("__t")))
       .filter(size(col("__toks")) > 0)
       .select(col("id"), col("__toks"),
         ((size(col("__toks")) + (span - 1)) / span).cast("bigint").as("n_spans"))
-    // chunk c (0-based) covers tokens [1 + c·span, 1 + c·span + span)
+      .localCheckpoint(true)
+    // chunk c (0-based) covers tokens [1 + c·span, 1 + c·span + span);
+    // __d = md5(chunk) is the dedup identity — the aggregate and its
+    // join-back ship a fixed 32-hex key instead of the chunk text
     val chunks = toks.select(col("id"),
       posexplode(transform(sequence(lit(1), size(col("__toks")), lit(span)),
         i => array_join(slice(col("__toks"), i, lit(span)), " "))).as(Seq("idx", "chunk")))
+      .withColumn("__d", md5(col("chunk")))
     // first occurrence of each chunk content wins: min (id, idx) — a hash
     // aggregate with map-side combine, not a window (a window would sort
     // every occurrence of a hot chunk inside one task)
-    val firsts = chunks.groupBy("chunk")
+    val firsts = chunks.groupBy("__d")
       .agg(min(struct(col("id"), col("idx"))).as("__first"))
-    val kept = chunks.join(firsts, Seq("chunk"))
+    val kept = chunks.join(firsts, Seq("__d"))
       .filter(struct(col("id"), col("idx")) === col("__first"))
     val reassembled = kept.groupBy("id")
       .agg(count(lit(1)).as("n_kept"),

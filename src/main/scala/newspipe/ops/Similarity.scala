@@ -175,7 +175,11 @@ object Similarity {
       maxBucket: Int = 4096): DataFrame = {
     val sigOf = rhpSignature(dim, nbits, seed)
     val vecs = Par.ensure(df.select(col(idCol).as("id"), col(vecCol).as("v")))
+    // (id, 64-bit signature) — tiny — but consumed by THREE branches (query
+    // probes, neighbor buckets, hot-bucket census); checkpoint so the
+    // vector scan + hyperplane projection run once, not three times
     val sig = vecs.select(col("id"), sigOf(col("v")).as("__sig"))
+      .localCheckpoint(true)
     val qb = sig.select(col("id").as("query_id"),
       explode(probeBuckets(probes)(col("__sig"))).as("__bucket"))
     val cb = sig.select(col("id").as("neighbor_id"), col("__sig").as("__bucket"))
