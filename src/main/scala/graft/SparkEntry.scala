@@ -314,12 +314,21 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
-    // ---- Full pipeline (§3, no oracle: sentiment UDF) -----------------------
+    // ---- Full pipeline (§3) -------------------------------------------------
 
-    // X2 sentiment + silver→gold trends over documents-as-articles
+    // X2 sentiment + silver→gold trends over documents-as-articles. The
+    // scorer is a pure function (lexicon polarity × intensifier × negation,
+    // clamped, averaged in token order), so the oracle replays it with SQL
+    // list lambdas — the CASE tables are GENERATED from the Scala maps at
+    // oracle-build time ([[sentimentOracleSql]]), so lexicon and SQL can
+    // never drift apart. Dates projected as strings for compare stability
     "q20_pipeline_sentiment" -> ((s, dir) => {
       val silver = newspipe.pipeline.Silver.transform(docsAsArticles(s, dir))
       newspipe.pipeline.Gold.sentimentTrends(silver)
+        .select(
+          date_format(col("PUBLISHED_DATE"), "yyyy-MM-dd").as("published_date"),
+          col("SENTIMENT_LABEL").as("sentiment_label"), col("count"))
+        .orderBy("published_date", "sentiment_label")
     }),
 
     // Gold dims + fact star build (ref 03:36-77), md5 scale-safe keys
@@ -823,10 +832,60 @@ object SparkEntry {
     })
   )
 
+  /** q20's oracle, GENERATED from [[SentimentAnalyzer]]'s actual maps (the
+    * SQL CASE tables can never drift from the Scala lexicon). Replays
+    * docsAsArticles' date derivation and the full scorer: tokenize
+    * `[a-z']+` on lowercased title, per-hit polarity × intensifier (prev
+    * token) × −0.5 negation (either of prev two tokens), clamp to [−1,1],
+    * average in token order (list_reduce = the same left-assoc IEEE adds
+    * as the Scala loop), sign → label.
+    */
+  private def sentimentOracleSql: String = {
+    def esc(w: String) = w.replace("'", "''")
+    def caseOf(pairs: Seq[(String, Double)], operand: String) =
+      pairs.map { case (w, p) => s"WHEN '${esc(w)}' THEN CAST($p AS DOUBLE)" }
+        .mkString(s"(CASE $operand ", " ", " ELSE NULL END)")
+    val lex = SentimentAnalyzer.Lexicon.toSeq.sortBy(_._1)
+    val intens = SentimentAnalyzer.Intensifiers.toSeq.sortBy(_._1)
+    val negs = SentimentAnalyzer.Negators.toSeq.sorted
+      .map(n => s"'${esc(n)}'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(DATE '2026-01-01' + ((doc_id % 30) * INTERVAL 1 DAY) AS DATE) AS pd,
+       |    regexp_extract_all(lower(text), '[a-z'']+') AS tk
+       |  FROM documents WHERE text IS NOT NULL),
+       |scored AS (
+       |  SELECT pd,
+       |    list_filter(list_transform(tk, (x, i) ->
+       |      CASE WHEN ${caseOf(lex, "x")} IS NOT NULL THEN
+       |        greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+       |          ${caseOf(lex, "x")}
+       |          * (CASE WHEN i > 1
+       |              THEN coalesce(${caseOf(intens, "tk[i-1]")}, 1.0)
+       |              ELSE 1.0 END)
+       |          * (CASE WHEN (i > 1 AND list_contains([$negs], tk[i-1]))
+       |                    OR (i > 2 AND list_contains([$negs], tk[i-2]))
+       |             THEN -0.5 ELSE 1.0 END)))
+       |      ELSE NULL END), v -> v IS NOT NULL) AS hits
+       |  FROM base),
+       |lab AS (
+       |  SELECT pd,
+       |    CASE WHEN len(hits) = 0 THEN 'neutral'
+       |         WHEN list_reduce(hits, (a, b) -> a + b) / len(hits) > 0 THEN 'positive'
+       |         WHEN list_reduce(hits, (a, b) -> a + b) / len(hits) < 0 THEN 'negative'
+       |         ELSE 'neutral' END AS sentiment_label
+       |  FROM scored)
+       |SELECT strftime(pd, '%Y-%m-%d') AS published_date, sentiment_label,
+       |  count(*) AS count
+       |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops (sentiment).
+    * the same parquet tables.
     */
   def oracleSql: Map[String, String] = Map(
+
+    "q20_pipeline_sentiment" -> sentimentOracleSql,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
