@@ -155,6 +155,38 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
+  /** Scale path of [[topFractionByGroup]]: instead of ranking every row
+    * inside its group (a per-group sort), compute each group's approximate
+    * score threshold in ONE aggregate (`approx_percentile`, mergeable GK
+    * sketch — map-side partial merge, no sort) and broadcast the tiny
+    * per-group threshold table back. Keeps every row whose score meets its
+    * group's (1 − fraction) quantile: rank error bounded by the sketch's
+    * `relativeError`, so the kept share is fraction ± O(relativeError).
+    *
+    * Use this form when groups are too large to sort (the exact operator is
+    * the anchor its results are tested against). Null scores never pass the
+    * threshold comparison; a null group forms its own threshold group as in
+    * the exact form.
+    */
+  def topFractionByGroupApprox(df: DataFrame, groupCol: String,
+      scoreCol: String, fraction: Double,
+      relativeError: Double = 0.01): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0,1], got $fraction")
+    require(relativeError > 0.0 && relativeError < 1.0,
+      s"relativeError must be in (0,1), got $relativeError")
+    if (fraction == 0.0) return df.filter(lit(false))
+    val accuracy = math.max(100, math.ceil(1.0 / relativeError).toLong)
+    val thresholds = df.groupBy(col(groupCol)).agg(
+      percentile_approx(col(scoreCol), lit(1.0 - fraction), lit(accuracy))
+        .as("__thr"))
+    df.join(broadcast(thresholds),
+        df(groupCol) <=> thresholds(groupCol), "inner")
+      .drop(thresholds(groupCol))
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Disjoint deterministic split (train/val/test …): `fractions` must sum
     * to ≤ 1; row i of the result holds keys whose bucket falls in the i-th
     * cumulative range. Every NON-NULL-keyed row lands in AT MOST one split

@@ -186,4 +186,62 @@ class PlanSpec extends SparkTestBase {
     plan should not include "SortMergeJoin"
     plan should include("WindowGroupLimit")
   }
+
+  test("spanDedup: one source pass (checkpointed tokens), agg not window for first-occurrence") {
+    val docs = (1 to 300).map(i => (i.toLong,
+      s"tok${i % 40} " * 25)).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$parquetDir/docs")
+    val src = spark.read.parquet(s"$parquetDir/docs")
+    val plan = executed(newspipe.ops.Dedup.spanDedup(src, "doc_id", "text", 5))
+    // the token stream is cut at a checkpoint: every branch reads the
+    // materialized RDD, so the parquet source appears in NO branch (a
+    // regression re-introduces 3 scan+tokenize passes)
+    plan should not include "FileScan"
+    // global first-occurrence is a hash aggregate (map-side combine over
+    // hot chunks), never a per-chunk window sort
+    plan should include("HashAggregate")
+    plan should not include "Window"
+  }
+
+  test("knnJoin: checkpointed signatures; no cartesian/nested-loop pair generation") {
+    val emb = (1 to 400).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => ((i * 31 + j * 17) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    emb.write.mode("overwrite").parquet(s"$parquetDir/emb")
+    val src = spark.read.parquet(s"$parquetDir/emb")
+    val plan = executed(newspipe.ops.Similarity.knnJoin(
+      src, "vec_id", "embedding", dim = 8, k = 3, nbits = 4, probes = 2))
+    // candidates come from the bucket equi-join — an all-pairs plan here is
+    // the O(n²) scale-killer this operator exists to avoid
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // signature stage is checkpointed: only the vector join-backs read the
+    // source (2 scans pre-AQE; AQE's broadcast replan can render one of
+    // them twice ⇒ 3). Without the checkpoint the signature pipeline
+    // re-runs per branch and this jumps to 5+
+    "FileScan".r.findAllMatchIn(plan).size should be <= 3
+  }
+
+  test("packBins/topFractionByGroup: per-group windows, never a single-partition sort") {
+    val df = spark.read.parquet(s"$parquetDir/flat")
+    val packed = executed(newspipe.ops.Sampling.packBins(
+      df, "id", "bucket", budget = 500L, partitionCols = Seq("country")))
+    packed should include("Window")
+    packed should not include "SinglePartition" // grouped ⇒ no global sort
+    val gated = executed(newspipe.ops.Sampling.topFractionByGroup(
+      df, "country", "bucket", 0.5, "id"))
+    gated should include("Window")
+    gated should not include "SinglePartition"
+  }
+
+  test("approx top-fraction: one aggregate + broadcast threshold join, no window sort") {
+    val df = spark.read.parquet(s"$parquetDir/flat")
+    val plan = executed(newspipe.ops.Sampling.topFractionByGroupApprox(
+      df, "country", "bucket", 0.5))
+    // the scale path must not rank rows: threshold via mergeable sketch
+    // aggregate, joined back as a broadcast dimension
+    plan should not include "Window"
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
 }

@@ -141,6 +141,34 @@ class SamplingSpec extends SparkTestBase {
     byGrp("big").map(_._1).toSet shouldBe (74L to 100L).toSet   // ceil(90·0.3)=27
   }
 
+  test("topFractionByGroupApprox tracks the exact gate within sketch error") {
+    val rnd = new scala.util.Random(13)
+    val rows = (for (i <- 1L to 2000L)
+      yield (i, Seq("a", "b")((i % 2).toInt), rnd.nextInt(100000).toLong))
+      .toDF("id", "grp", "score")
+    val exact = Sampling.topFractionByGroup(rows, "grp", "score", 0.25, "id")
+      .select("id").as[Long].collect().toSet
+    val approx = Sampling.topFractionByGroupApprox(rows, "grp", "score", 0.25,
+        relativeError = 0.01).select("id").as[Long].collect().toSet
+    // per-group n = 1000, ε = 0.01 ⇒ the kept-count drift is bounded by
+    // ~ε·n per group; allow 3ε·n slack across both groups
+    math.abs(approx.size - exact.size) should be <= 60
+    // the approximate gate must agree with the exact one away from the
+    // threshold: the exact top 20% (well inside 25% − ε) is all kept
+    val core = Sampling.topFractionByGroup(rows, "grp", "score", 0.20, "id")
+      .select("id").as[Long].collect().toSet
+    (core -- approx) shouldBe empty
+  }
+
+  test("topFractionByGroupApprox boundaries and null scores") {
+    val rows = Seq((1L, "g", Some(5L)), (2L, "g", Some(7L)), (3L, "g", None))
+      .toDF("id", "grp", "score")
+    Sampling.topFractionByGroupApprox(rows, "grp", "score", 0.0).count() shouldBe 0L
+    // null scores never pass the threshold comparison
+    Sampling.topFractionByGroupApprox(rows, "grp", "score", 1.0)
+      .select("id").as[Long].collect().toSet shouldBe Set(1L, 2L)
+  }
+
   test("topFractionByGroup boundaries: fraction 0 keeps nothing, 1 keeps all; ties deterministic") {
     val rows = Seq((1L, "g", 5L), (2L, "g", 5L), (3L, "g", 5L)).toDF("id", "grp", "score")
     Sampling.topFractionByGroup(rows, "grp", "score", 0.0, "id").count() shouldBe 0L
