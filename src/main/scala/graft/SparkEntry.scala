@@ -792,6 +792,27 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Embedding-space cross-corpus dedup: scrub a corpus against a
+    // reference set by cosine (the semantic-duplicate form of q52).
+    // Construction: reference = vec_id < 100; corpus = the rest ∪ verbatim
+    // twins of reference ids 0..9 re-keyed +200000. A twin's signature
+    // equals its reference row's, so the pair provably meets in probe-0 and
+    // verifies at cos 1.0 ≥ 0.95; natural cross pairs top out ≈ 0.45 (q29),
+    // far below threshold. The oracle recomputes the ≥ 0.95 cross-cosine
+    // set by brute force — asserting both the removals and the survivors
+    "q57_dedup_against_embedding" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        .filter(Similarity.l2Norm(col("embedding")) > 0)
+      val reference = emb.filter(col("vec_id") < 100)
+      val corpus = emb.filter(col("vec_id") >= 100)
+        .union(reference.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 200000).as("vec_id"), col("embedding")))
+      Similarity.dedupAgainstByEmbedding(corpus, reference, "vec_id",
+          "embedding", dim = 64, threshold = 0.95)
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
     // ---- Extension: token-budget packing / quality gating / strata (§7) -----
 
     // Deterministic token-budget bin packing per source: rows ordered by
@@ -1631,6 +1652,26 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id FROM ranked WHERE rk = 1
         |ORDER BY query_id""".stripMargin,
+
+    // brute-force ≥ 0.95 cross-cosine scrub over the same planted corpus
+    "q57_dedup_against_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[])) > 0),
+        |ref AS (SELECT * FROM e WHERE vec_id < 100),
+        |corpus AS (
+        |  SELECT * FROM e WHERE vec_id >= 100
+        |  UNION ALL
+        |  SELECT vec_id + 200000 AS vec_id, v FROM ref WHERE vec_id < 10),
+        |near AS (
+        |  SELECT DISTINCT c.vec_id FROM corpus c JOIN ref r
+        |  ON list_dot_product(c.v, r.v) /
+        |     (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(r.v, r.v)))
+        |     >= 0.95)
+        |SELECT c.vec_id FROM corpus c
+        |WHERE NOT EXISTS (SELECT 1 FROM near n WHERE n.vec_id = c.vec_id)
+        |ORDER BY c.vec_id""".stripMargin,
 
     // replays packBins: md5 bucket order within source (q43's hex-prefix
     // formula), running-sum window (unique order keys ⇒ RANGE = ROWS on

@@ -200,6 +200,46 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Remove from `corpus` every row whose embedding near-duplicates a row
+    * of `reference` (cosine ≥ `threshold`) — the embedding-space form of
+    * [[newspipe.ops.Dedup.dedupAgainst]]: scrub a new crawl against the
+    * training set when duplication is semantic (re-encodes, paraphrases)
+    * rather than textual.
+    *
+    * Scale shape: mirrors [[knnJoin]] — per-row RHP signatures on BOTH
+    * corpora (no shuffle), corpus side multi-probes, reference side keeps
+    * its exact bucket; candidates meet in one (bucket) equi-join with the
+    * REFERENCE side of each bucket capped at `maxBucket`; the id-only
+    * candidate pairs join vectors back for the exact cosine verify, and the
+    * survivors anti-join the corpus. Never corpus × reference.
+    */
+  def dedupAgainstByEmbedding(corpus: DataFrame, reference: DataFrame,
+      idCol: String, vecCol: String, dim: Int, threshold: Double = 0.95,
+      nbits: Int = 8, probes: Int = 4, seed: Long = 42L,
+      maxBucket: Int = 4096): DataFrame = {
+    val sigOf = rhpSignature(dim, nbits, seed)
+    val cVec = Par.ensure(corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv")))
+    val rVec = Par.ensure(reference.select(col(idCol).as("__rid"), col(vecCol).as("__rv")))
+    // tiny (id, signature) frames, each read twice (probe stream + census /
+    // candidate join) — checkpoint as in knnJoin so signatures compute once
+    val cSig = cVec.select(col("__cid"), sigOf(col("__cv")).as("__sig"))
+      .localCheckpoint(true)
+    val rSig = rVec.select(col("__rid"), sigOf(col("__rv")).as("__sig"))
+      .localCheckpoint(true)
+    val cb = cSig.select(col("__cid"),
+      explode(probeBuckets(probes)(col("__sig"))).as("__bucket"))
+    val rb = rSig.select(col("__rid"), col("__sig").as("__bucket"))
+    val okBuckets = rb.groupBy("__bucket").agg(count(lit(1)).as("__rn"))
+      .filter(col("__rn") <= maxBucket).select("__bucket")
+    val cand = cb.join(rb.join(okBuckets, Seq("__bucket")), Seq("__bucket"))
+      .select("__cid", "__rid").dropDuplicates("__cid", "__rid")
+    val nearIds = cand
+      .join(cVec, Seq("__cid")).join(rVec, Seq("__rid"))
+      .filter(cosine(col("__cv"), col("__rv")) >= threshold)
+      .select(col("__cid")).distinct()
+    corpus.join(nearIds, col(idCol) === col("__cid"), "left_anti")
+  }
+
   /** Multi-probe bucket set of a signature: the bucket itself plus
     * single-bit flips of the `probes − 1` lowest bits (null-signature rows
     * probe nothing).

@@ -154,6 +154,35 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("dedupAgainstByEmbedding scrubs planted reference twins, keeps the rest") {
+    val corpus = clustered // clusters 0/1/2, ids 0..29
+    // reference = cluster 0's first 5 vectors re-keyed: corpus rows 0..4
+    // are verbatim twins of the reference (cos 1.0); rows 5..9 are same-
+    // cluster neighbors (cos ≈ 0.999 — also above a 0.99 threshold); the
+    // other clusters are far away
+    val reference = corpus.filter($"vec_id" < 5L)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    val kept = Similarity.dedupAgainstByEmbedding(corpus, reference,
+        "vec_id", "embedding", dim = 8, threshold = 0.9999)
+      .select("vec_id").as[Long].collect().toSet
+    kept should not contain 0L // exact twin of a reference row
+    (10L to 29L).foreach(id => kept should contain(id)) // other clusters survive
+  }
+
+  test("dedupAgainstByEmbedding: empty reference removes nothing; hot-bucket cap disables near stage") {
+    val corpus = clustered
+    val none = corpus.filter($"vec_id" < 0L)
+    Similarity.dedupAgainstByEmbedding(corpus, none, "vec_id", "embedding",
+      dim = 8).count() shouldBe 30L
+    // 50 identical reference rows share one bucket; cap 10 drops it → no
+    // candidates → nothing removed even though cosines are 1.0
+    val hot = (1L to 50L).map(i => (i + 1000L,
+      corpus.filter($"vec_id" === 0L).select("embedding")
+        .as[Seq[Float]].head())).toDF("vec_id", "embedding")
+    Similarity.dedupAgainstByEmbedding(corpus, hot, "vec_id", "embedding",
+      dim = 8, maxBucket = 10).count() shouldBe 30L
+  }
+
   test("knnJoin: hot buckets are capped (skew guard)") {
     // 50 identical vectors share one signature bucket; maxBucket=10 drops
     // it before any of the 50×49 candidate pairs exists
