@@ -18,6 +18,27 @@ class EdgeCaseSpec extends SparkTestBase {
     Dedup.minhashCandidates(emptyDocs, "doc_id", "text").count() shouldBe 0
     Dedup.simhashCandidates(emptyDocs, "doc_id", "text").count() shouldBe 0
     Dedup.minhashDedup(emptyDocs, "doc_id", "text").count() shouldBe 0
+    Dedup.spanDedup(emptyDocs, "doc_id", "text").count() shouldBe 0
+  }
+
+  test("cross-corpus dedup with empty sides: empty corpus → empty; empty reference → identity") {
+    val docs = Seq((1L, "some real document text here")).toDF("doc_id", "text")
+    Dedup.dedupAgainst(emptyDocs, docs, "doc_id", "text").count() shouldBe 0
+    Dedup.dedupAgainst(docs, emptyDocs, "doc_id", "text").count() shouldBe 1
+  }
+
+  test("packing/gating on an empty frame return empty, not a crash") {
+    val empty = Seq.empty[(Long, String, Long)].toDF("id", "grp", "w")
+    Sampling.packBins(empty, "id", "w", budget = 100L, Seq("grp")).count() shouldBe 0
+    Sampling.topFractionByGroup(empty, "grp", "w", 0.5, "id").count() shouldBe 0
+    Sampling.topFractionByGroupApprox(empty, "grp", "w", 0.5).count() shouldBe 0
+    Sampling.stratifiedSample(empty, "id", "grp", Map("a" -> 0.5)).count() shouldBe 0
+  }
+
+  test("knnJoin degenerate corpora: empty and single-row inputs yield no pairs") {
+    Similarity.knnJoin(emptyVecs, "vec_id", "embedding", dim = 8).count() shouldBe 0
+    val one = Seq((1L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    Similarity.knnJoin(one, "vec_id", "embedding", dim = 8).count() shouldBe 0
   }
 
   test("jaccardVerify with an empty candidate list returns empty") {
