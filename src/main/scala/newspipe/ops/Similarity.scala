@@ -242,12 +242,15 @@ object Similarity {
 
   /** Multi-probe bucket set of a signature: the bucket itself plus
     * single-bit flips of the `probes − 1` lowest bits (null-signature rows
-    * probe nothing).
+    * probe nothing). Native column expression — `probes` is known at plan
+    * time, so the probe array is a literal-XOR fan-out that stays inside
+    * whole-stage codegen (the UDF form this replaced broke the codegen span
+    * at every probe explode).
     */
-  private def probeBuckets(probes: Int) = udf { (sig: java.lang.Long) =>
-    if (sig == null) Seq.empty[Long]
-    else Seq(sig.longValue) ++
-      (0 until (probes - 1)).map(b => sig.longValue ^ (1L << b))
+  private def probeBuckets(probes: Int)(sig: Column): Column = {
+    val flips = (0 until probes - 1).map(b => sig.bitwiseXOR(lit(1L << b)))
+    when(sig.isNull, array().cast("array<bigint>"))
+      .otherwise(array(sig +: flips: _*))
   }
 
   /** IVF (inverted-file) ANN top-k: spherical k-means centroids quantize the
