@@ -220,10 +220,11 @@ object Similarity {
     val sigOf = rhpSignature(dim, nbits, seed)
     val cVec = Par.ensure(corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv")))
     val rVec = Par.ensure(reference.select(col(idCol).as("__rid"), col(vecCol).as("__rv")))
-    // tiny (id, signature) frames, each read twice (probe stream + census /
-    // candidate join) — checkpoint as in knnJoin so signatures compute once
+    // the REFERENCE signature frame is read twice (bucket census + candidate
+    // join) — checkpoint it as in knnJoin so its signatures compute once.
+    // The corpus side feeds ONLY the probe stream: single-consumer, so a
+    // checkpoint there would be pure materialization overhead
     val cSig = cVec.select(col("__cid"), sigOf(col("__cv")).as("__sig"))
-      .localCheckpoint(true)
     val rSig = rVec.select(col("__rid"), sigOf(col("__rv")).as("__sig"))
       .localCheckpoint(true)
     val cb = cSig.select(col("__cid"),
