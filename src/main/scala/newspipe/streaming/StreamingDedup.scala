@@ -34,4 +34,41 @@ object StreamingDedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
+
+  /** Streaming NEAR-dedup at signature granularity: drop any document whose
+    * full MinHash signature was already seen inside the watermark horizon.
+    * Signature-identical means every one of the `numHashes` min-hashes
+    * agrees — overwhelmingly J ≈ 1 near-duplicates (mirror pages, trivial
+    * re-crawls), the bulk of near-dup mass in a live crawl.
+    *
+    * This is deliberately NOT banded LSH: banding requires joining
+    * candidates back for Jaccard verification, which a streaming state
+    * store cannot express incrementally without a stream-stream self-join
+    * of unbounded lag. The signature-exact form needs ONE state entry per
+    * distinct signature with watermark-bounded lifetime — the same state
+    * shape as [[exact]] — and catches the duplicates that matter at ingest
+    * time; sub-identical near-dups (edited re-posts) remain the batch
+    * pipeline's job ([[newspipe.ops.Dedup.minhashDedup]] over the landed
+    * corpus).
+    *
+    * Null/empty texts share the zero signature and would all collapse onto
+    * one state key — they bypass the dedup branch instead (split + union of
+    * the one watermarked stream), matching the batch operators' null-key
+    * policy.
+    */
+  def nearBySignature(stream: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour", numHashes: Int = 64): DataFrame = {
+    import newspipe.ops.Dedup
+    val toks = Dedup.tokens(col(textCol))
+    val hasTokens = col(textCol).isNotNull && size(toks) > 0
+    val marked = stream.withWatermark(tsCol, watermark)
+    val deduped = marked.filter(hasTokens)
+      .withColumn("__sigkey", md5(concat_ws(",",
+        transform(
+          Dedup.minhashSignature(Dedup.shinglesFromTokens(toks), numHashes),
+          x => x.cast("string")))))
+      .dropDuplicatesWithinWatermark("__sigkey")
+      .drop("__sigkey")
+    deduped.unionByName(marked.filter(!hasTokens))
+  }
 }

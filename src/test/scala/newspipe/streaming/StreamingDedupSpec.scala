@@ -70,4 +70,46 @@ class StreamingDedupSpec extends SparkTestBase {
       .select("text").as[String].collect().sorted
     streamed shouldBe batch
   }
+
+  private val baseText = "the quick brown fox jumps over the lazy dog and runs far away into the deep green forest tonight"
+
+  test("nearBySignature suppresses a signature-identical later arrival, keeps distinct docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamingDedup.nearBySignature(stream.toDF().toDF("ts", "text"),
+        "text", "ts", watermark = "1 hour")
+      .writeStream.format("memory").queryName("snear")
+      .outputMode("append").start()
+    try {
+      stream.addData((ts("2026-01-01 10:00:00"), baseText),
+        (ts("2026-01-01 10:01:00"), "completely different text about engines"))
+      q.processAllAvailable()
+      // identical content (signature-equal) in a later batch → suppressed;
+      // punctuation/case changes that tokenize identically also collapse
+      stream.addData((ts("2026-01-01 10:10:00"), baseText),
+        (ts("2026-01-01 10:11:00"), baseText.toUpperCase + "!!!"),
+        (ts("2026-01-01 10:12:00"), "a third, genuinely new document body"))
+      q.processAllAvailable()
+      val texts = spark.table("snear").select("text").as[String].collect()
+      texts.length shouldBe 3
+      texts.count(_.toLowerCase.startsWith("the quick")) shouldBe 1
+    } finally q.stop()
+  }
+
+  test("nearBySignature: tokenless rows pass through instead of collapsing onto one state key") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamingDedup.nearBySignature(stream.toDF().toDF("ts", "text"),
+        "text", "ts", watermark = "1 hour")
+      .writeStream.format("memory").queryName("snear_null")
+      .outputMode("append").start()
+    try {
+      stream.addData((ts("2026-01-01 10:00:00"), null.asInstanceOf[String]),
+        (ts("2026-01-01 10:01:00"), ""),
+        (ts("2026-01-01 10:02:00"), "###"), // tokenizes to nothing
+        (ts("2026-01-01 10:03:00"), "real content document here"))
+      q.processAllAvailable()
+      spark.table("snear_null").count() shouldBe 4 // nothing spuriously merged
+    } finally q.stop()
+  }
 }
