@@ -151,6 +151,35 @@ object ScaleBench {
       Dedup.minhashDedup(exact, "doc_id", "text", threshold = 0.8).count()
     }
     out("q44_near_dedup") = (nNd, tNd)
+
+    // q51 shape: span dedup — chunk stream and first-occurrence aggregate
+    // both grow linearly with total tokens (re-alphabeting preserves every
+    // within-copy chunk-repeat relationship)
+    val (nSpan, tSpan) = timed {
+      Dedup.spanDedup(docs, "doc_id", "text", span = 20).count()
+    }
+    out("q51_span_dedup") = (nSpan, tSpan)
+
+    // q52 shape: cross-corpus scrub — reference is the doc_id%3=0 third of
+    // each copy, so reference-side bucket census and candidate volume both
+    // scale linearly with copies
+    val (nAg, tAg) = timed {
+      Dedup.dedupAgainst(docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text").count()
+    }
+    out("q52_dedup_against") = (nAg, tAg)
+
+    // q53 shape: knn graph over the full corpus — same LSH bucket-density
+    // rule as q40 (nbits grows with log2(copies) or per-bucket pair volume
+    // squares); output rows = k per bucketed vector, linear by construction.
+    // The signature kernel is float-typed like the embeddings table; the
+    // rotation math above runs in double, so cast at the boundary
+    val fEmb = emb.select(col("vec_id"), col("v").cast("array<float>").as("v"))
+    val (nKnn, tKnn) = timed {
+      Similarity.knnJoin(fEmb, "vec_id", "v", dim = 64, k = 5,
+        nbits = nbits, probes = 4).count()
+    }
+    out("q53_knn_join") = (nKnn, tKnn)
     out.toMap
   }
 
