@@ -79,45 +79,17 @@ object Dedup {
 
   // ---- MinHash + LSH ------------------------------------------------------
 
-  /** Per-row MinHash signature: hash function i ∈ [0, numHashes) is the
-    * double-hashing family h_i(s) = h1(s) + i·h2(s) (Kirsch–Mitzenmacher)
-    * over two XXH64 string hashes — TWO string hashes per shingle instead
-    * of numHashes, with the per-seed independence near-dup banding needs.
-    * One in-JVM pass over the shingle array computes all positions — the
-    * equivalent `array((0 until k).map(i => array_min(transform(sh, …))))`
-    * expression tree evaluates k interpreted lambda sweeps per row with
-    * per-element boxing. Computed where the row lives, no shuffle.
+  /** Per-row MinHash signature: the Kirsch–Mitzenmacher double-hashing
+    * family over two XXH64 string hashes, computed by the native
+    * [[newspipe.functions.MinHashSignature]] Catalyst expression — one
+    * static-kernel call per row inside whole-stage codegen, reading the
+    * unsafe array's UTF8Strings directly (the Scala-UDF form this replaced
+    * paid a UTF8String→String→Seq materialization per row; identical hash
+    * math, bit-for-bit equal signatures, parity-pinned in DedupSpec).
+    * Computed where the row lives, no shuffle.
     */
   def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column =
-    minhashSigUdf(numHashes)(shingleCol)
-
-  private def minhashSigUdf(numHashes: Int) = udf { shingles: Seq[String] =>
-    if (shingles == null) null
-    else {
-      val sig = Array.fill(numHashes)(Long.MaxValue)
-      // null elements appear when the doc text itself was null (shingling a
-      // null token array yields [null]) — skip them so null/empty docs get
-      // the all-MaxValue "zero" signature instead of an NPE
-      shingles.foreach { s =>
-        if (s != null) {
-          val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
-          val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
-            .hashUTF8String(u, 0L)
-          // force h2 odd: full period mod 2⁶⁴, so the positions never cycle
-          val h2 = org.apache.spark.sql.catalyst.expressions.XXH64
-            .hashUTF8String(u, 1L) | 1L
-          var h = h1
-          var i = 0
-          while (i < numHashes) {
-            if (h < sig(i)) sig(i) = h
-            h += h2
-            i += 1
-          }
-        }
-      }
-      sig.toSeq
-    }
-  }
+    newspipe.functions.MinHash.signature(shingleCol, numHashes)
 
   /** LSH banding: (band_id, bucket_hash) pairs for a signature split into
     * `bands` bands of `rows` rows. Docs sharing any bucket are candidates.

@@ -163,6 +163,35 @@ class DedupSpec extends SparkTestBase {
     capped.count() shouldBe 0
   }
 
+  test("native minhash signature = the reference UDF form, bit for bit") {
+    import org.apache.spark.sql.functions.udf
+    // the Scala-UDF form the codegen Expression replaced, kept as the
+    // semantic reference (same double-hashing math over boxed Seqs)
+    val refUdf = udf { shingles: Seq[String] =>
+      if (shingles == null) null
+      else {
+        val sig = Array.fill(64)(Long.MaxValue)
+        shingles.foreach { s =>
+          if (s != null) {
+            val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            val h1 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(u, 0L)
+            val h2 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(u, 1L) | 1L
+            var h = h1
+            var i = 0
+            while (i < 64) { if (h < sig(i)) sig(i) = h; h += h2; i += 1 }
+          }
+        }
+        sig.toSeq
+      }
+    }
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val out = sh.select(
+        Dedup.minhashSignature(col("sh"), 64).as("native"), refUdf(col("sh")).as("ref"))
+      .as[(Option[Seq[Long]], Option[Seq[Long]])].collect()
+    out.length shouldBe 6
+    out.foreach { case (n, r) => n shouldBe r }
+  }
+
   test("spanDedup: shared chunks keep only their first (doc, idx) occurrence") {
     val d = Seq(
       (1L, "a b c d e f"),   // chunks: "a b c", "d e f"
