@@ -747,6 +747,32 @@ object SparkEntry {
         .orderBy("kind")
     }),
 
+    // Metadata-aware image resize plumbing (decode STUBbed): the stub's
+    // scale/dims/truncation math is a closed-form function of the synthetic
+    // table's formulas, so the oracle replays every output row — asserting
+    // the binary→binary kernel preserved ids and sized payloads correctly
+    "q58_media_resize" -> ((s, dir) => {
+      val media = newspipe.multimodal.Media.synthetic(s, 1000L)
+      newspipe.multimodal.Media.resizeImages(media, maxW = 128, maxH = 96)
+        .select(col("media_id"),
+          col("meta.width").cast("bigint").as("w"),
+          col("meta.height").cast("bigint").as("h"),
+          length(col("payload")).cast("bigint").as("n_bytes"))
+        .orderBy("media_id")
+    }),
+
+    // Video frame sampling (explode-shaped kernel, 1 row → N frames): frame
+    // count and per-frame slice sizes are closed-form too — the oracle
+    // asserts the fan-out shape row by row
+    "q59_media_frames" -> ((s, dir) => {
+      val media = newspipe.multimodal.Media.synthetic(s, 1000L)
+      newspipe.multimodal.Media.sampleFrames(media, everyMs = 1000L, maxFrames = 8)
+        .select(col("media_id"),
+          col("frame_idx").cast("bigint").as("frame_idx"),
+          length(col("frame_payload")).cast("bigint").as("n_bytes"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // ---- Extension: span dedup / cross-corpus dedup / knn graph (§7) --------
 
     // Span-level (chunk) dedup — FineWeb-style intra-corpus span removal:
@@ -1652,6 +1678,44 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id FROM ranked WHERE rk = 1
         |ORDER BY query_id""".stripMargin,
+
+    // replays the resize stub: scale = min(1, 128/w, 96/h) in the same
+    // IEEE double order, dims/payload truncated (floor == Scala .toInt for
+    // non-negative values), all over the synthetic table's closed forms
+    "q58_media_resize" ->
+      """WITH m AS (
+        |  SELECT i,
+        |    CAST(i % 640 + 64 AS BIGINT) AS w0,
+        |    CAST(i % 480 + 48 AS BIGINT) AS h0,
+        |    64 * (i % 8 + 1) AS len0
+        |  FROM generate_series(0, 999) AS t(i) WHERE i % 3 = 0),
+        |sc AS (
+        |  SELECT i, w0, h0, len0,
+        |    least(1.0, least(128.0 / greatest(w0, 1), 96.0 / greatest(h0, 1)))
+        |      AS s
+        |  FROM m)
+        |SELECT i AS media_id,
+        |  greatest(1, CAST(floor(w0 * s) AS BIGINT)) AS w,
+        |  greatest(1, CAST(floor(h0 * s) AS BIGINT)) AS h,
+        |  greatest(1, CAST(floor((len0 * s) * s) AS BIGINT)) AS n_bytes
+        |FROM sc ORDER BY media_id""".stripMargin,
+
+    // replays the frame sampler: n = min(8, max(1, duration_ms div 1000)),
+    // slice length = max(1, len div n), frame i holds the [i·sl, (i+1)·sl)
+    // clamp — integer division on both sides
+    "q59_media_frames" ->
+      """WITH v AS (
+        |  SELECT i, 64 * (i % 8 + 1) AS len0,
+        |    least(8, greatest(1, (i % 60000) // 1000)) AS n
+        |  FROM generate_series(0, 999) AS t(i) WHERE i % 3 = 2),
+        |f AS (
+        |  SELECT i, len0, n,
+        |    unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS fi,
+        |    greatest(1, len0 // n) AS sl
+        |  FROM v)
+        |SELECT i AS media_id, fi AS frame_idx,
+        |  least((fi + 1) * sl, len0) - least(fi * sl, len0) AS n_bytes
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
 
     // brute-force ≥ 0.95 cross-cosine scrub over the same planted corpus
     "q57_dedup_against_embedding" ->
