@@ -87,3 +87,81 @@ object MinHash {
     NewspipeSqlBridge.column(MinHashSignature(
       NewspipeSqlBridge.expression(shingles), numHashes))
 }
+
+/** Static SimHash kernel — same contract as [[MinHashKernel]]: shared by
+  * interpreted eval and generated code, reads the unsafe array directly.
+  * The per-token hash is MurmurHash3 x2 over the JVM String (bit-identical
+  * to the Scala-UDF form this replaced — DedupSpec pins specific hamming
+  * distances, so the hash values themselves are load-bearing).
+  */
+object SimHashKernel {
+  def simhash(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val t = arr.getUTF8String(j).toString
+        val h = (scala.util.hashing.MurmurHash3.stringHash(t, 0).toLong << 32) |
+          (scala.util.hashing.MurmurHash3.stringHash(t, 1).toLong & 0xffffffffL)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+}
+
+/** 64-bit SimHash of a token array as a native expression. NOT null-
+  * propagating: a null or empty token array gets the ZERO signature
+  * (null-text docs still band into buckets instead of dropping out — the
+  * contract the UDF form established and DedupSpec's null-text cases pin),
+  * so `eval`/codegen handle the null child inline rather than via
+  * nullSafeEval.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with Serializable {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.simpleString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else SimHashKernel.simhash(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      long ${ev.value} = ${c.isNull} ? 0L :
+        newspipe.functions.SimHashKernel.simhash(${c.value});
+    """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash {
+  /** Codegen'd 64-bit SimHash column over an array<string> token column. */
+  def simhash64(tokens: Column): Column =
+    NewspipeSqlBridge.column(SimHash64(NewspipeSqlBridge.expression(tokens)))
+}

@@ -375,34 +375,14 @@ object Dedup {
   // ---- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash of a token array: sum ±1 per bit over token hashes,
-    * sign → bit. Computed per row (scalar kernel, in-JVM UDF — no IPC;
-    * a Catalyst Expression with doGenCode is the next step if this ever
-    * shows up in a profile).
+    * sign → bit. Computed per row by the native
+    * [[newspipe.functions.SimHash64]] Catalyst expression — one static
+    * kernel call inside whole-stage codegen, bit-identical MurmurHash3 ×2
+    * math to the Scala-UDF form it replaced (parity-pinned in DedupSpec;
+    * null/empty token arrays keep the zero signature).
     */
-  private val simhashUdf = udf { toks: Seq[String] =>
-    if (toks == null || toks.isEmpty) 0L
-    else {
-      val counts = new Array[Int](64)
-      toks.foreach { t =>
-        if (t != null) {
-          // xxhash-free JVM-stable 64-bit hash (documented: MurmurHash3 x2)
-          val h = (scala.util.hashing.MurmurHash3.stringHash(t, 0).toLong << 32) |
-            (scala.util.hashing.MurmurHash3.stringHash(t, 1).toLong & 0xffffffffL)
-          var i = 0
-          while (i < 64) {
-            if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
-            i += 1
-          }
-        }
-      }
-      var sig = 0L
-      var i = 0
-      while (i < 64) { if (counts(i) > 0) sig |= (1L << i); i += 1 }
-      sig
-    }
-  }
-
-  def simhash(text: Column): Column = simhashUdf(tokens(text))
+  def simhash(text: Column): Column =
+    newspipe.functions.SimHash.simhash64(tokens(text))
 
   /** SimHash near-dup candidate pairs: band the 64-bit signature into four
     * 16-bit chunks; any pair within hamming distance 3 shares at least one

@@ -192,6 +192,37 @@ class DedupSpec extends SparkTestBase {
     out.foreach { case (n, r) => n shouldBe r }
   }
 
+  test("native simhash = the reference UDF form, bit for bit (incl. zero signature)") {
+    import org.apache.spark.sql.functions.udf
+    val refUdf = udf { toks: Seq[String] =>
+      if (toks == null || toks.isEmpty) 0L
+      else {
+        val counts = new Array[Int](64)
+        toks.foreach { t =>
+          if (t != null) {
+            val h = (scala.util.hashing.MurmurHash3.stringHash(t, 0).toLong << 32) |
+              (scala.util.hashing.MurmurHash3.stringHash(t, 1).toLong & 0xffffffffL)
+            var i = 0
+            while (i < 64) {
+              if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+              i += 1
+            }
+          }
+        }
+        var sig = 0L
+        var i = 0
+        while (i < 64) { if (counts(i) > 0) sig |= (1L << i); i += 1 }
+        sig
+      }
+    }
+    val out = docs.select(
+        Dedup.simhash(col("text")).as("native"),
+        refUdf(Dedup.tokens(col("text"))).as("ref"))
+      .as[(Long, Long)].collect()
+    out.length shouldBe 6 // includes the null-text doc → both sides 0L
+    out.foreach { case (n, r) => n shouldBe r }
+  }
+
   test("spanDedup: shared chunks keep only their first (doc, idx) occurrence") {
     val d = Seq(
       (1L, "a b c d e f"),   // chunks: "a b c", "d e f"
