@@ -99,28 +99,14 @@ object Similarity {
 
   /** Random-hyperplane signature: bit j = sign(v · plane_j). The plane
     * matrix is tiny (nbits × dim floats), generated deterministically from
-    * the seed and closed over by an in-JVM UDF.
+    * the seed and shipped as a codegen reference object into the native
+    * [[newspipe.functions.RhpSignatureExpr]] — one static kernel call per
+    * row inside whole-stage codegen, float accumulation bit-identical to
+    * the Scala-UDF form it replaced (parity-pinned in SimilaritySpec).
     */
   def rhpSignature(dim: Int, nbits: Int = 16, seed: Long = 42L): Column => Column = {
     val planes = hyperplanes(dim, nbits, seed)
-    val f = udf { v: Seq[Float] =>
-      if (v == null) null.asInstanceOf[java.lang.Long]
-      else {
-        var sig = 0L
-        var j = 0
-        while (j < planes.length) {
-          val p = planes(j)
-          var dot = 0.0f
-          var i = 0
-          val n = math.min(p.length, v.length)
-          while (i < n) { dot += p(i) * v(i); i += 1 }
-          if (dot >= 0) sig |= (1L << j)
-          j += 1
-        }
-        java.lang.Long.valueOf(sig)
-      }
-    }
-    (c: Column) => f(c)
+    (c: Column) => newspipe.functions.Rhp.signature(c, planes)
   }
 
   /** LSH-bucketed ANN: bucket by RHP signature, exact cosine within the
@@ -353,33 +339,17 @@ object Similarity {
 
   /** Per-band RHP signatures: band b gets its own hyperplane set (seed + b),
     * all bands computed in ONE pass over the vector (bands × nbits planes in
-    * a single closed-over matrix). Band 0 reproduces [[rhpSignature]] with
-    * the same (dim, nbits, seed) exactly.
+    * a single codegen reference object — native
+    * [[newspipe.functions.RhpBandSignaturesExpr]]). Band 0 reproduces the
+    * DOUBLE-accumulation form of [[rhpSignature]]'s math; inputs are cast
+    * to array<double> (identity for double columns, exact widening for
+    * float — the same up-cast the old UDF's `Seq[Double]` binding did).
     */
   private[ops] def rhpBandSignatures(dim: Int, bands: Int, nbits: Int,
       seed: Long): Column => Column = {
     val planes: Array[Array[Array[Float]]] =
       Array.tabulate(bands)(b => hyperplanes(dim, nbits, seed + b))
-    // Seq[Double] so BOTH float and double vector columns bind (Spark
-    // up-casts float→double; it refuses the lossy opposite direction)
-    val f = udf { v: Seq[Double] =>
-      if (v == null) null
-      else planes.map { ps =>
-        var sig = 0L
-        var j = 0
-        while (j < ps.length) {
-          val p = ps(j)
-          var dot = 0.0
-          var i = 0
-          val n = math.min(p.length, v.length)
-          while (i < n) { dot += p(i) * v(i); i += 1 }
-          if (dot >= 0) sig |= (1L << j)
-          j += 1
-        }
-        sig
-      }.toSeq
-    }
-    (c: Column) => f(c)
+    (c: Column) => newspipe.functions.Rhp.bandSignatures(c, planes)
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold):

@@ -131,6 +131,54 @@ class SimilaritySpec extends SparkTestBase {
     lsh shouldBe exact
   }
 
+  test("native RHP signatures = the reference UDF forms, bit for bit") {
+    import org.apache.spark.sql.functions.udf
+    val planes = Similarity.hyperplanes(8, 12, 42L)
+    val refSig = udf { v: Seq[Float] =>
+      if (v == null) null.asInstanceOf[java.lang.Long]
+      else {
+        var sig = 0L
+        var j = 0
+        while (j < planes.length) {
+          val p = planes(j)
+          var dot = 0.0f
+          var i = 0
+          val n = math.min(p.length, v.length)
+          while (i < n) { dot += p(i) * v(i); i += 1 }
+          if (dot >= 0) sig |= (1L << j)
+          j += 1
+        }
+        java.lang.Long.valueOf(sig)
+      }
+    }
+    val bandPlanes = Array.tabulate(4)(b => Similarity.hyperplanes(8, 6, 42L + b))
+    val refBands = udf { v: Seq[Double] =>
+      if (v == null) null
+      else bandPlanes.map { ps =>
+        var sig = 0L
+        var j = 0
+        while (j < ps.length) {
+          val p = ps(j)
+          var dot = 0.0
+          var i = 0
+          val n = math.min(p.length, v.length)
+          while (i < n) { dot += p(i) * v(i); i += 1 }
+          if (dot >= 0) sig |= (1L << j)
+          j += 1
+        }
+        sig
+      }.toSeq
+    }
+    val out = clustered.select(
+        newspipe.functions.Rhp.signature($"embedding", planes).as("nSig"),
+        refSig($"embedding").as("rSig"),
+        newspipe.functions.Rhp.bandSignatures($"embedding", bandPlanes).as("nBands"),
+        refBands($"embedding".cast("array<double>")).as("rBands"))
+      .as[(Long, Long, Seq[Long], Seq[Long])].collect()
+    out.length shouldBe 30
+    out.foreach { case (n, r, nb, rb) => n shouldBe r; nb shouldBe rb }
+  }
+
   test("knnJoin recall ≥ 0.8 vs per-query brute force on the clustered corpus") {
     val corpus = clustered
     val exact = Similarity.bruteForceTopK(corpus, corpus, "vec_id", "embedding",
