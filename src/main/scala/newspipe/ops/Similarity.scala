@@ -260,17 +260,14 @@ object Similarity {
       .filter(_ != null)
     val centroids = sphericalKMeans(sample, nlist, iters, seed)
 
-    val cellOf = udf { v: Seq[Float] =>
-      if (v == null) -1 else nearestCells(centroids, v.map(_.toDouble).toArray, 1).head
-    }
-    val probesOf = udf { v: Seq[Float] =>
-      if (v == null) Seq.empty[Int]
-      else nearestCells(centroids, v.map(_.toDouble).toArray, nprobe).toSeq
-    }
+    // native cell assignment (IvfCells.nearestCells — the corpus-side hot
+    // loop); null-vector policy layered per site exactly as the UDFs did:
+    // corpus rows keep cell -1, query rows probe nothing (explode of null)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      cellOf(col(vecCol)).as("__cell"))
+      coalesce(element_at(IvfCells.nearestCells(col(vecCol), centroids, 1), 1),
+        lit(-1)).as("__cell"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-        explode(probesOf(col(vecCol))).as("__cell")))
+        explode(IvfCells.nearestCells(col(vecCol), centroids, nprobe)).as("__cell")))
     val scored = c.join(q, Seq("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
