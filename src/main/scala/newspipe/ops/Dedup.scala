@@ -62,14 +62,24 @@ object Dedup {
   // ---- exact --------------------------------------------------------------
 
   /** Exact dedup: keep the row with the smallest `idCol` per digest of
-    * `keyCols`. One shuffle; survives any scale (digest is uniform).
-    * Returns the input columns of the kept rows.
+    * `keyCols`. Returns the input columns of the kept rows.
+    *
+    * Shape: ONE hash aggregate — `min(struct(id, rest…))` with the id
+    * leading, so the lexicographic struct min IS the min-id row (ids are
+    * unique, so later fields never decide). The aggregate gets map-side
+    * partial combine: on a dup-heavy corpus (the reason this operator runs
+    * at all) duplicates collapse to one row per map partition BEFORE the
+    * exchange. The window form this replaced (`row_number over (partition
+    * by digest order by id)`) shipped every duplicate through the shuffle
+    * and sorted it in the reducer just to discard it.
     */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
     val digest = md5(concat_ws("\u0000", keyCols.map(col): _*))
-    val w = Window.partitionBy(digest).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val cols = df.columns
+    val ordered = col(idCol) +: cols.filterNot(_ == idCol).map(col).toSeq
+    df.groupBy(digest.as("__d"))
+      .agg(min(struct(ordered: _*)).as("__r"))
+      .select(cols.map(c => col(s"__r.`$c`").as(c)).toSeq: _*)
   }
 
   /** Exact-dup groups: digest → keeper id + group size (the audit view). */
