@@ -1,7 +1,6 @@
 package newspipe.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale deduplication operators (extension track, SURVEY.md §7).
