@@ -63,14 +63,16 @@ object Dedup {
   /** Exact dedup: keep the row with the smallest `idCol` per digest of
     * `keyCols`. Returns the input columns of the kept rows.
     *
-    * Shape: ONE hash aggregate — `min(struct(id, rest…))` with the id
-    * leading, so the lexicographic struct min IS the min-id row (ids are
-    * unique, so later fields never decide). The aggregate gets map-side
-    * partial combine: on a dup-heavy corpus (the reason this operator runs
-    * at all) duplicates collapse to one row per map partition BEFORE the
-    * exchange. The window form this replaced (`row_number over (partition
-    * by digest order by id)`) shipped every duplicate through the shuffle
-    * and sorted it in the reducer just to discard it.
+    * Shape: ONE aggregate — `min(struct(id, rest…))` with the id leading,
+    * so the lexicographic struct min IS the min-id row (ids are unique, so
+    * later fields never decide). The aggregate gets map-side partial
+    * combine (physically a SortAggregate — struct min buffers aren't
+    * hash-aggregable — but the partial phase is what matters): on a
+    * dup-heavy corpus (the reason this operator runs at all) duplicates
+    * collapse to one row per map partition BEFORE the exchange. The window
+    * form this replaced (`row_number over (partition by digest order by
+    * id)`) shipped every duplicate through the shuffle and sorted it in
+    * the reducer just to discard it. Plan pinned in PlanSpec.
     */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
     val digest = md5(concat_ws("\u0000", keyCols.map(col): _*))

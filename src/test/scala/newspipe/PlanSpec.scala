@@ -187,6 +187,19 @@ class PlanSpec extends SparkTestBase {
     plan should include("WindowGroupLimit")
   }
 
+  test("exact dedup: hash aggregate with map-side partial combine, no window sort") {
+    val df = spark.read.parquet(s"$parquetDir/flat")
+    val plan = executed(newspipe.ops.Dedup.exact(df, "id", Seq("bucket")))
+    // duplicates must collapse BEFORE the exchange: a partial_min aggregate
+    // on the map side, then the final aggregate after one digest shuffle —
+    // never a per-digest window sort of every duplicate row. (min over a
+    // struct buffer isn't hash-aggregable, so the physical form is
+    // SortAggregate — the load-bearing property is the partial phase)
+    plan should include("partial_min")
+    plan should include("SortAggregate")
+    plan should not include "Window"
+  }
+
   test("spanDedup: one source pass (checkpointed tokens), agg not window for first-occurrence") {
     val docs = (1 to 300).map(i => (i.toLong,
       s"tok${i % 40} " * 25)).toDF("doc_id", "text")
