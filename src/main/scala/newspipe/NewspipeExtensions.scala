@@ -70,7 +70,12 @@ object NewspipeExtensions {
         fn1("lang_id")(TextStats.langId),
         fn1("normalized_fingerprint")(TextStats.normalizedFingerprint),
         fn1("rolling_fingerprint")(TextStats.rollingFingerprint),
-        fn1("simhash")(Dedup.simhash))
+        fn1("simhash")(Dedup.simhash),
+        fn1("tokens")(Dedup.tokens),
+        fn1("shingles")(Dedup.shingles(_)),
+        // native MinHash over an array<string> shingle column (pair with
+        // shingles(text)); 64 hashes, the operators' default
+        fn1("minhash_signature")(Dedup.minhashSignature(_)))
     }
 
   // ---- table functions (FROM-position: the two composite JOIN operators) --

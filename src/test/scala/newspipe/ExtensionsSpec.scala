@@ -49,6 +49,24 @@ class ExtensionsSpec extends SparkTestBase {
     row.getString(0) shouldBe "positive"
   }
 
+  test("the dedup signature surface is callable from SQL (native kernels)") {
+    NewspipeExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT tokens('The cat, the CAT!') AS t,
+        |  size(shingles('a b c d')) AS ns,
+        |  minhash_signature(shingles('a b c d')) AS sig,
+        |  simhash('the quick brown fox') AS sh""".stripMargin).head()
+    row.getSeq[String](0) shouldBe Seq("the", "cat", "the", "cat")
+    row.getInt(1) shouldBe 2 // "a b c", "b c d"
+    row.getSeq[Long](2).length shouldBe 64
+    // identical text → identical signatures through SQL and DataFrame paths
+    import spark.implicits._
+    val df = Seq("the quick brown fox").toDF("t")
+      .select(newspipe.ops.Dedup.simhash(org.apache.spark.sql.functions.col("t")))
+      .as[Long].head()
+    row.getLong(3) shouldBe df
+  }
+
   test("asof_join is callable in FROM position and matches the DataFrame API") {
     NewspipeExtensions.register(spark)
     import spark.implicits._
