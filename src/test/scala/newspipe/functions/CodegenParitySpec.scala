@@ -1,0 +1,94 @@
+package newspipe.functions
+
+import newspipe.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interpreted-vs-codegen parity for every custom Catalyst expression: the
+  * classic custom-expression bug class is an `eval` that drifts from
+  * `doGenCode` (only one path runs in a given plan, so a divergence hides
+  * until an optimizer change flips the path). Each test evaluates the same
+  * frame under whole-stage codegen and under forced interpretation
+  * (`CODEGEN_ONLY` off + factory mode NO_CODEGEN) and asserts identical
+  * results.
+  */
+class CodegenParitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def withInterpreted[T](f: => T): T = {
+    val conf = spark.conf
+    val oldWhole = conf.get("spark.sql.codegen.wholeStage")
+    val oldMode = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try f finally {
+      conf.set("spark.sql.codegen.wholeStage", oldWhole)
+      conf.set("spark.sql.codegen.factoryMode", oldMode)
+    }
+  }
+
+  private def bothWays(df: => DataFrame): (Seq[String], Seq[String]) = {
+    val gen = df.collect().map(_.toString).toSeq.sorted
+    val interp = withInterpreted(df.collect().map(_.toString).toSeq.sorted)
+    (gen, interp)
+  }
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "completely different text about spark engines at scale"),
+    (3L, null.asInstanceOf[String]),
+    (4L, "")
+  ).toDF("id", "text")
+
+  test("MinHashSignature: codegen = interpreted (incl. null/empty docs)") {
+    def frame = docs.select($"id",
+      newspipe.ops.Dedup.minhashSignature(
+        newspipe.ops.Dedup.shingles($"text"), 64).as("sig"))
+    val (g, i) = bothWays(frame)
+    g shouldBe i
+  }
+
+  test("SimHash64: codegen = interpreted (incl. the null→0 contract)") {
+    def frame = docs.select($"id", newspipe.ops.Dedup.simhash($"text").as("sig"))
+    val (g, i) = bothWays(frame)
+    g shouldBe i
+  }
+
+  private def vecs = Seq(
+    (1L, Seq(0.5f, -0.25f, 1.0f, 0.0f)),
+    (2L, Seq(-1.0f, 2.0f, -0.5f, 0.25f)),
+    (3L, null.asInstanceOf[Seq[Float]])
+  ).toDF("id", "v")
+
+  test("RhpSignatureExpr + RhpBandSignaturesExpr: codegen = interpreted") {
+    // any deterministic plane matrix works — parity is about eval paths,
+    // not specific buckets
+    val rnd = new java.util.Random(7L)
+    val planes: Array[Array[Float]] =
+      Array.fill(12)(Array.fill(4)(rnd.nextFloat() * 2f - 1f))
+    val bandPlanes: Array[Array[Array[Float]]] =
+      Array.fill(3)(Array.fill(6)(Array.fill(4)(rnd.nextFloat() * 2f - 1f)))
+    def frame = vecs.select($"id",
+      Rhp.signature($"v", planes).as("sig"),
+      Rhp.bandSignatures($"v", bandPlanes).as("bands"))
+    val (g, i) = bothWays(frame)
+    g shouldBe i
+  }
+
+  test("NearestCellsExpr: codegen = interpreted") {
+    val centroids = Array(
+      Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, -1.0, 0.5))
+    def frame = vecs.select($"id",
+      newspipe.ops.IvfCells.nearestCells($"v", centroids, 2).as("cells"))
+    val (g, i) = bothWays(frame)
+    g shouldBe i
+  }
+
+  test("DoubleDot: codegen = interpreted") {
+    def frame = vecs.filter($"v".isNotNull).select($"id",
+      ArrayMath.dot($"v", $"v").as("d"))
+    val (g, i) = bothWays(frame)
+    g shouldBe i
+  }
+}
