@@ -340,8 +340,13 @@ object Dedup {
 
     val cBands = bandedSignatures(corpus, idCol, textCol, numHashes, bands)
       .withColumnRenamed("id", "__cid")
+    // the reference band stream feeds TWO branches of the candidate plan
+    // (bucket census + the join itself) — checkpoint the small
+    // (id, band, bucket) frame so the reference tokenize/shingle/signature
+    // pipeline runs once, not twice (the corpus side is single-consumer)
     val rBands = bandedSignatures(reference, idCol, textCol, numHashes, bands)
       .withColumnRenamed("id", "__rid")
+      .localCheckpoint(true)
     val okBuckets = rBands.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__rn_b")).filter(col("__rn_b") <= maxBucket)
       .select("band", "bucket")
