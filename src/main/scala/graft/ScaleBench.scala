@@ -180,6 +180,19 @@ object ScaleBench {
         nbits = nbits, probes = 4).count()
     }
     out("q53_knn_join") = (nKnn, tKnn)
+
+    // q57 shape: embedding cross-corpus scrub — reference = the planted
+    // near-dup rows (vec_id % 10000000 ≥ 100000, one set per copy), corpus
+    // = the naturals; every copy contributes its own removals, so survivors
+    // grow linearly. Same growing-nbits density rule
+    val (nEsc, tEsc) = timed {
+      Similarity.dedupAgainstByEmbedding(
+        fEmb.filter(col("vec_id") % 10000000L < 100000L),
+        fEmb.filter(col("vec_id") % 10000000L >= 100000L),
+        "vec_id", "v", dim = 64, threshold = 0.95,
+        nbits = nbits, probes = 4).count()
+    }
+    out("q57_embed_scrub") = (nEsc, tEsc)
     out.toMap
   }
 
