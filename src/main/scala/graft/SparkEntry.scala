@@ -839,6 +839,19 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Unigram LM quality score (the cheap CCNet-style perplexity gate):
+    // mean log-probability of each doc's tokens under the corpus's own
+    // smoothed unigram distribution. Two aggregates + one token join; the
+    // oracle replays frequencies, totals and the per-doc mean, round(6)
+    // absorbing double-sum associativity drift as everywhere else
+    "q60_lm_quality" -> ((s, dir) => {
+      newspipe.ops.LmQuality.unigramLogProb(t(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("mean_logprob"), 6).as("mean_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Extension: token-budget packing / quality gating / strata (§7) -----
 
     // Deterministic token-budget bin packing per source: rows ordered by
@@ -1716,6 +1729,22 @@ object SparkEntry {
         |SELECT i AS media_id, fi AS frame_idx,
         |  least((fi + 1) * sl, len0) - least(fi * sl, len0) AS n_bytes
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    // replays the unigram scorer: corpus token frequencies, (N, |V|)
+    // totals, add-1 smoothed ln probabilities, per-doc mean
+    "q60_lm_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+        |      x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |freqs AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n,
+        |  CAST(count(*) AS DOUBLE) AS v FROM freqs)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  round(avg(ln((f.cnt + 1.0) / (tot.n + 1.0 * tot.v))), 6) AS mean_logprob
+        |FROM toks t JOIN freqs f USING (tok) CROSS JOIN tot
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     // brute-force ≥ 0.95 cross-cosine scrub over the same planted corpus
     "q57_dedup_against_embedding" ->
