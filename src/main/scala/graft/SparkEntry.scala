@@ -852,6 +852,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Within-corpus semantic dedup (SemDeDup): 10 planted exact-duplicate
+    // vectors must each collapse to the min-id keeper of their pair.
+    // Identical vectors share every band signature, so the LSH candidate
+    // step cannot miss them, and no natural embedding pair reaches cosine
+    // 0.95 (verified at sf0.01 and sf0.1) — every duplicate component has
+    // exactly 2 members, so the brute-force smaller-id-neighbor oracle
+    // coincides with the connected-components keeper rule
+    "q61_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        .filter(Similarity.l2Norm(col("embedding")) > 0)
+      val corpus = emb.union(emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 300000).as("vec_id"), col("embedding")))
+      Similarity.semanticDedup(corpus, "vec_id", "embedding", dim = 64,
+          threshold = 0.95)
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
+    // Bloom-prefiltered exact cross-corpus scrub: result must EQUAL the
+    // plain digest anti-join (Bloom adds no false negatives; false
+    // positives die in the exact verify) — the oracle is that anti-join
+    "q62_bloom_scrub" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val reference = docs.filter(col("doc_id") < 200)
+      val corpus = docs.filter(col("doc_id") >= 100)
+      Dedup.bloomScrub(corpus, reference, "doc_id", "text",
+          expectedItems = 1000L, fpp = 0.03)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Corpus vocabulary head: top-100 tokens by term frequency (ties by
+    // token) with document frequency — full tokenizer + two-leg aggregate
+    // replayed in SQL
+    "q63_vocab" -> ((s, dir) => {
+      TextStats.vocab(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("tf").desc, col("token").asc)
+        .limit(100)
+    }),
+
     // ---- Extension: token-budget packing / quality gating / strata (§7) -----
 
     // Deterministic token-budget bin packing per source: rows ordered by
@@ -1765,6 +1805,48 @@ object SparkEntry {
         |SELECT c.vec_id FROM corpus c
         |WHERE NOT EXISTS (SELECT 1 FROM near n WHERE n.vec_id = c.vec_id)
         |ORDER BY c.vec_id""".stripMargin,
+
+    // brute-force within-corpus ≥ 0.95 scrub: drop every vector with a
+    // smaller-id near neighbor (components are size ≤ 2 on this data, so
+    // this equals the connected-components min-id keeper rule)
+    "q61_semantic_dedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[])) > 0),
+        |corpus AS (
+        |  SELECT * FROM e
+        |  UNION ALL
+        |  SELECT vec_id + 300000 AS vec_id, v FROM e WHERE vec_id < 10),
+        |losers AS (
+        |  SELECT DISTINCT b.vec_id FROM corpus a JOIN corpus b
+        |  ON a.vec_id < b.vec_id
+        |  AND list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        |      >= 0.95)
+        |SELECT c.vec_id FROM corpus c
+        |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.vec_id = c.vec_id)
+        |ORDER BY c.vec_id""".stripMargin,
+
+    // the exact digest anti-join the Bloom prefilter must reproduce
+    "q62_bloom_scrub" ->
+      """SELECT c.doc_id FROM documents c
+        |WHERE c.doc_id >= 100 AND NOT EXISTS (
+        |  SELECT 1 FROM documents r
+        |  WHERE r.doc_id < 200 AND md5(r.text) = md5(c.text))
+        |ORDER BY c.doc_id""".stripMargin,
+
+    // tokenizer replay + tf/df aggregate; (tf DESC, token) is a total
+    // order, so the LIMIT 100 row set is deterministic on both engines
+    "q63_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+        |      x -> len(x) > 0)) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM toks GROUP BY token
+        |ORDER BY tf DESC, token LIMIT 100""".stripMargin,
 
     // replays packBins: md5 bucket order within source (q43's hex-prefix
     // formula), running-sum window (unique order keys ⇒ RANGE = ROWS on

@@ -2,6 +2,7 @@ package newspipe.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Large-scale deduplication operators (extension track, SURVEY.md §7).
   *
@@ -371,6 +372,43 @@ object Dedup {
           size(array_union(col("__sh__cid"), col("__sh__rid"))) >= threshold)
       .select(col("__cid").as("__nearid")).distinct()
     exactClean.join(nearIds, col(idCol) === col("__nearid"), "left_anti")
+  }
+
+  /** Exact cross-corpus scrub with a Bloom-filter prefilter: remove from
+    * `corpus` every doc whose text digest appears in `reference`, probing a
+    * Bloom filter of the reference digests BEFORE any join. The corpus side
+    * then crosses no shuffle at all: rows failing the probe (the vast
+    * majority, when overlap is rare) are dropped inside the scan-side
+    * projection, and only the fp-rate-bounded candidate slice pays the exact
+    * digest semi-join that removes Bloom false positives. The result is
+    * EXACTLY [[dedupAgainst]]'s exact phase (the digest anti-join) — Bloom
+    * has no false negatives, so the sketch changes the plan, never the
+    * answer.
+    *
+    * Scale shape: the filter is built by one `treeAggregate` over the
+    * reference digests (mergeable sketch, map-side union, no shuffle) and
+    * broadcast once — ~1.2 GB for 10⁹ digests at 1% fpp, the practical
+    * ceiling of this path; past that, range-partition the digest space and
+    * scrub per range. The RDD hop exists only to fold the sketch — the
+    * row-level plan stays declarative.
+    */
+  def bloomScrub(corpus: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val digest = md5(col(textCol).cast("string"))
+    val refDigests = reference.select(digest.as("__refd")).na.drop()
+    val bf = refDigests.rdd.treeAggregate(
+      BloomFilter.create(expectedItems, fpp))(
+      (f, r) => { f.putString(r.getString(0)); f },
+      (a, b) => { a.mergeInPlace(b); a })
+    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((d: String) => d != null && bc.value.mightContainString(d))
+    val dupIds = corpus
+      .select(col(idCol).as("__dupid"), digest.as("__d"))
+      .filter(mightContain(col("__d")))
+      .join(refDigests.distinct(), col("__d") === col("__refd"), "left_semi")
+      .select("__dupid")
+    corpus.join(dupIds, col(idCol) === col("__dupid"), "left_anti")
   }
 
   /** Per-doc (id, band, bucket) MinHash-LSH band stream — the shared front

@@ -379,4 +379,29 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Within-corpus semantic (embedding-space) dedup — the SemDeDup pattern
+    * (Abbas et al. 2023, arXiv:2303.09540): near-duplicate pairs from banded
+    * RHP LSH + exact cosine verification ([[cosineNearDupPairs]]), transitive
+    * grouping by connected components, one keeper (the min id) per semantic
+    * cluster. The embedding-space analog of [[Dedup.minhashDedupClustered]] —
+    * it collapses paraphrase/re-render duplicates that share no exact n-gram.
+    *
+    * Scale shape: inherits the pair generator's — id-only banded candidates
+    * with hot buckets capped at `maxBucket`, vectors joined back once for the
+    * exact verify — and the component step runs pointer-doubling label
+    * propagation over the near-pair EDGE set (duplicate-volume-sized, not
+    * corpus-sized). The corpus itself pays one signature projection and one
+    * final anti-join.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double = 0.95, nbits: Int = 12, bands: Int = 1,
+      seed: Long = 42L, maxBucket: Int = 2000): DataFrame = {
+    val pairs = cosineNearDupPairs(df, idCol, vecCol, dim, threshold, nbits,
+      bands, seed, maxBucket)
+    val losers = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

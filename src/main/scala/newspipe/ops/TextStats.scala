@@ -231,4 +231,29 @@ object TextStats {
     }
   }
   def rollingFingerprint(text: Column): Column = rollingUdf(text)
+
+  // ---- vocabulary statistics -----------------------------------------------
+
+  /** Corpus vocabulary statistics: per-token term frequency (total
+    * occurrences) and document frequency (docs containing the token at least
+    * once), over [[Dedup.tokens]]' lowercased word tokens. The Zipf head and
+    * tail this surfaces drive stopword lists, tokenizer-coverage checks and
+    * df-based term filters ([[Retrieval]] recomputes the same df shape
+    * per-query; this is the corpus-wide standing form).
+    *
+    * Scale shape: one aggregate over the exploded token stream. `tf` enjoys
+    * map-side partial aggregation (each task ships its local token multiset
+    * collapsed to vocab-sized counts); the `countDistinct` doc-frequency leg
+    * expands to a two-phase distinct aggregate on (token, id) — both
+    * exchanges carry (token, id)-bounded rows, never full documents. Null or
+    * token-free texts contribute nothing.
+    *
+    * @return (token, tf, df) — one row per distinct token.
+    */
+  def vocab(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    Par.ensure(df.select(col(idCol).as("__id"), col(textCol).as("__t")))
+      .select(col("__id"), explode(Dedup.tokens(col("__t"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("__id")).as("df"))
 }

@@ -285,4 +285,26 @@ class DedupSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().sorted
     kept shouldBe Array(2L) // 1 caught exactly; 2's near-dup candidates capped away
   }
+
+  test("bloomScrub equals the exact digest anti-join even at fpp 0.5") {
+    val reference = Seq((100L, base), (101L, "ref only text")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, base),                      // exact dup of ref 100 → dropped
+      (2L, nearDup),                   // NEAR dup only → exact scrub keeps it
+      (3L, unrelated),                 // kept
+      (4L, null.asInstanceOf[String])  // null digest: never probed → kept
+    ).toDF("doc_id", "text")
+    // fpp 0.5 forces Bloom false positives through the probe; the exact
+    // semi-join must still strip them, leaving precisely the digest matches
+    val kept = Dedup.bloomScrub(corpus, reference, "doc_id", "text",
+        expectedItems = 10L, fpp = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(2L, 3L, 4L)
+  }
+
+  test("bloomScrub: empty reference removes nothing") {
+    val corpus = Seq((1L, base), (2L, nearDup)).toDF("doc_id", "text")
+    Dedup.bloomScrub(corpus, corpus.filter($"doc_id" < 0L), "doc_id", "text",
+      expectedItems = 10L).count() shouldBe 2L
+  }
 }

@@ -239,4 +239,31 @@ class SimilaritySpec extends SparkTestBase {
     Similarity.knnJoin(many, "vec_id", "embedding", dim = 8, k = 3,
       maxBucket = 10).count() shouldBe 0L
   }
+
+  test("semanticDedup keeps the min id of each exact-duplicate group") {
+    val a = Seq(1.0, 0.0, 0.0, 0.0)
+    val b = Seq(0.0, 1.0, 0.0, 0.0)
+    val c = Seq(0.0, 0.0, 1.0, 0.0)
+    val df = Seq(1L -> a, 2L -> a, 3L -> a, 10L -> b, 11L -> b, 20L -> c)
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding", dim = 4)
+      .select("vec_id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 10L, 20L)
+  }
+
+  test("semanticDedup collapses transitive chains the endpoints never pair on") {
+    // u0–u1 and u1–u2 are 15° apart (cos ≈ 0.966 ≥ 0.95) but u0–u2 is 30°
+    // (cos ≈ 0.866 < 0.95): only connected components can merge all three
+    def at(deg: Double) = {
+      val r = math.toRadians(deg); Seq(math.cos(r), math.sin(r))
+    }
+    val df = Seq(1L -> at(0), 2L -> at(15), 3L -> at(30), 9L -> at(120))
+      .toDF("vec_id", "embedding")
+    // nbits=1/bands=16: per-band collision for a 15° pair is 1 − 15/180,
+    // so the chance any adjacent pair misses all 16 bands is ~2e-18
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding", dim = 2,
+        threshold = 0.95, nbits = 1, bands = 16)
+      .select("vec_id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 9L)
+  }
 }

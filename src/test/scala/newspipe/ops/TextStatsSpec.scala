@@ -100,4 +100,17 @@ class TextStatsSpec extends SparkTestBase {
     one[String]("no contact info here", TextStats.redactPii(_)) shouldBe
       "no contact info here"
   }
+
+  test("vocab: term and document frequency over the shared tokenizer") {
+    val docs = Seq(
+      (1L, "The cat sat. The CAT!"),
+      (2L, "a cat"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "...")                       // tokenizes to nothing
+    ).toDF("doc_id", "text")
+    val out = TextStats.vocab(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    out shouldBe Array(("a", 1L, 1L), ("cat", 3L, 2L), ("sat", 1L, 1L),
+      ("the", 2L, 1L))
+  }
 }
