@@ -209,10 +209,25 @@ object Dedup {
     val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().localCheckpoint(true)
-    var labels = e.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+    // init = min(id, min direct neighbor): the first propagation round folded
+    // into ONE aggregate over the edge set — size-≤2 components (the common
+    // duplicate shape) start at their fixpoint, so the loop below runs a
+    // single verification round instead of two
+    var labels = e.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("id"), least(col("id"), col("__mn")).as("comp"))
+      .localCheckpoint(true)
+    // labels only ever DECREASE, so convergence is one aggregate — the label
+    // checksum is strictly smaller after any change — instead of a
+    // changed-rows join against the previous round
+    def checksum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty label set
+    }
     var converged = false
     var i = 0
+    var last = checksum(labels)
     while (!converged && i < maxIter) {
       val msgs = e.join(labels, e("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
@@ -225,10 +240,10 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("__pcomp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      val improved = next.join(labels.withColumnRenamed("comp", "__old"), "id")
-        .filter(col("comp") < col("__old")).count()
+      val cur = checksum(next)
       labels = next
-      converged = improved == 0
+      converged = cur.compareTo(last) == 0
+      last = cur
       i += 1
     }
     labels

@@ -257,4 +257,25 @@ class PlanSpec extends SparkTestBase {
     plan should include("BroadcastHashJoin")
     plan should not include "SortMergeJoin"
   }
+
+  test("bloomScrub: corpus pays the Bloom probe in the scan stage, no exchange before it") {
+    val corpus = spark.read.parquet(s"$parquetDir/flat")
+      .select($"id", $"name".as("text"))
+    val reference = Seq((1L, "name1"), (2L, "name2")).toDF("id", "text")
+    val plan = executed(newspipe.ops.Dedup.bloomScrub(
+      corpus, reference, "id", "text", expectedItems = 10L))
+    // the probe is a per-row filter: the only joins are the fp-sliver exact
+    // verify and the final anti-join — never a corpus-wide sort-merge
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("vocab: tf aggregate does map-side partial combine") {
+    val docs = spark.read.parquet(s"$parquetDir/flat")
+      .select($"id", $"name".as("text"))
+    val plan = executed(newspipe.ops.TextStats.vocab(docs, "id", "text"))
+    // two-phase hash aggregate: partial_count before the exchange
+    plan should include("partial_count")
+    plan should not include "Window"
+  }
 }
