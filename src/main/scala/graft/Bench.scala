@@ -16,13 +16,23 @@ object Bench {
     // Untimed warm pass: JIT + codegen compile + parquet footer/file-index
     // caches. Without it the first query absorbs ~4s of one-time session
     // setup and the per-query numbers measure startup, not the operator.
+    // Checkpointed stage boundaries (localCheckpoint) pin RDD blocks in the
+    // block manager until unpersisted; without per-query cleanup 63 queries
+    // × 2 passes accumulate blocks and the growing GC pressure inflates
+    // later queries' timings by up to ~2×.
+    def dropCheckpoints(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      dropCheckpoints()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      dropCheckpoints()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
