@@ -929,6 +929,37 @@ object SparkEntry {
           defaultRate = 0.1, salt = "st1")
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    }),
+
+    // Corpus-frequent 3-grams (the boilerplate list): shingles are distinct
+    // per doc, so a plain count after the explode IS document frequency —
+    // no two-phase distinct aggregate. One ngram-keyed shuffle with
+    // map-side combine
+    "q64_frequent_ngrams" -> ((s, dir) => {
+      newspipe.ops.Boilerplate.frequentNgrams(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, minDf = 3L)
+        .orderBy("ngram")
+    }),
+
+    // Per-doc boilerplate fraction against the same frequent set: of each
+    // doc's distinct 3-grams, the share seen in >= 3 docs corpus-wide.
+    // Join-form membership probe (the frequent set is not assumed
+    // broadcast-small), left join so unmatched grams still count in the
+    // denominator
+    "q65_boilerplate_frac" -> ((s, dir) => {
+      newspipe.ops.Boilerplate.boilerplateFraction(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, minDf = 3L)
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic shuffle-shard: shard = md5 bucket mod 8 (q43's hex
+    // formula), pos = rank of the full hash hex within the shard — a
+    // reproducible training-order permutation the oracle replays exactly
+    "q66_shuffle_shard" -> ((s, dir) => {
+      newspipe.ops.Shuffle.shuffleShard(
+          t(s, dir, "documents").select("doc_id"),
+          "doc_id", numShards = 8, salt = "shuf1")
+        .orderBy("doc_id")
     })
   )
 
@@ -1918,6 +1949,61 @@ object SparkEntry {
         |  < (CASE lang WHEN 'en' THEN 2147483648
         |               WHEN 'zh' THEN 1073741824
         |               ELSE 429496729 END)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // tokenizer + distinct-per-doc 3-gram replay (q51's chunking idiom with
+    // a sliding instead of strided start series), then df = count of docs
+    "q64_frequent_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+        |      x -> len(x) > 0) AS tk
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(list_slice(tk, i, i + 2), ' ')
+        |      for i in generate_series(1, greatest(len(tk) - 2, 1))]) AS g
+        |  FROM toks WHERE len(tk) > 0),
+        |e AS (SELECT doc_id, unnest(g) AS ngram FROM grams)
+        |SELECT ngram, count(*) AS doc_freq
+        |FROM e GROUP BY ngram HAVING count(*) >= 3
+        |ORDER BY ngram""".stripMargin,
+
+    // same gram stream, two legs: corpus doc frequency >= 3 marks the
+    // frequent set; per-doc counts of (all, frequent) distinct grams give
+    // the fraction. round(x, 6) matches Spark's HALF_UP on these values
+    "q65_boilerplate_frac" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+        |      x -> len(x) > 0) AS tk
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(list_slice(tk, i, i + 2), ' ')
+        |      for i in generate_series(1, greatest(len(tk) - 2, 1))]) AS g
+        |  FROM toks WHERE len(tk) > 0),
+        |e AS (SELECT doc_id, unnest(g) AS ngram FROM grams),
+        |freq AS (
+        |  SELECT ngram FROM e GROUP BY ngram HAVING count(*) >= 3)
+        |SELECT e.doc_id, count(*) AS n_ngrams,
+        |  count(f.ngram) AS n_frequent,
+        |  round(CAST(count(f.ngram) AS DOUBLE) / count(*), 6)
+        |    AS boilerplate_frac
+        |FROM e LEFT JOIN freq f USING (ngram)
+        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+
+    // permutation replay: q43's hex-prefix bucket mod 8 for the shard, the
+    // FULL md5 hex (ties by key) for within-shard rank
+    "q66_shuffle_shard" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('shuf1' || CAST(doc_id AS VARCHAR)) AS hex,
+        |    CAST(('0x' || substr(md5('shuf1' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::UBIGINT % 8 AS BIGINT) AS shard
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hex, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin
   )
 }
