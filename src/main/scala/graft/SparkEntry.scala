@@ -960,6 +960,41 @@ object SparkEntry {
           t(s, dir, "documents").select("doc_id"),
           "doc_id", numShards = 8, salt = "shuf1")
         .orderBy("doc_id")
+    }),
+
+    // q64 through the Count-Min prefilter: the sketch can only OVER-count,
+    // so the candidate superset + exact recount provably equals the exact
+    // heavy-hitter set — same oracle SQL as q64, different (scale) plan:
+    // the ngram shuffle carries candidates, not the Zipf tail
+    "q67_frequent_ngrams_cms" -> ((s, dir) => {
+      newspipe.ops.Boilerplate.frequentNgramsSketch(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, minDf = 3L)
+        .orderBy("ngram")
+    }),
+
+    // Deterministic fixed-size per-group sample: first 20 docs of each
+    // source in (md5 bucket, key) order — the fixed-COUNT complement of
+    // q43's fixed-rate draw; pure window replay in SQL
+    "q68_take_per_group" -> ((s, dir) => {
+      newspipe.ops.Sampling.takePerGroup(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "source", "doc_id", n = 20, salt = "take1")
+        .orderBy("doc_id")
+    }),
+
+    // Sequence packing: q54's bins materialized as one packed training row
+    // per bin — docs concatenated in the same (hash, key) pack order, plus
+    // the doc count and token budget spent. string_agg replay in SQL
+    "q69_pack_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("wc", TextStats.wordCount(col("text")))
+        .filter(col("text").isNotNull)
+      newspipe.ops.Sampling.packSequences(docs, "doc_id", "text", "wc",
+          budget = 500L, partitionCols = Seq("source"), salt = "bins1")
+        .select(col("source"), col("bin"), col("n_docs"),
+          col("total_weight").cast("bigint").as("total_weight"),
+          col("packed_text"))
+        .orderBy("source", "bin")
     })
   )
 
@@ -2004,6 +2039,66 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hex, doc_id)
         |    AS BIGINT) AS pos
-        |FROM h ORDER BY doc_id""".stripMargin
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // the CMS path must give EXACTLY the exact heavy hitters (Count-Min
+    // never under-counts; the recount removes false positives) — so its
+    // oracle IS q64's exact SQL, unchanged
+    "q67_frequent_ngrams_cms" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+        |      x -> len(x) > 0) AS tk
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(list_slice(tk, i, i + 2), ' ')
+        |      for i in generate_series(1, greatest(len(tk) - 2, 1))]) AS g
+        |  FROM toks WHERE len(tk) > 0),
+        |e AS (SELECT doc_id, unnest(g) AS ngram FROM grams)
+        |SELECT ngram, count(*) AS doc_freq
+        |FROM e GROUP BY ngram HAVING count(*) >= 3
+        |ORDER BY ngram""".stripMargin,
+
+    // per-source rank in (md5-prefix bucket, key) order, keep rank <= 20 —
+    // q66's window idiom with the 8-hex-digit bucket as the sort key
+    "q68_take_per_group" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5('take1' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::UBIGINT AS b
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY b, doc_id)
+        |      AS BIGINT) AS pos
+        |  FROM h)
+        |SELECT doc_id, source, pos FROM r WHERE pos <= 20
+        |ORDER BY doc_id""".stripMargin,
+
+    // q54's bin replay + string_agg of the texts in the same (bucket, key)
+    // pack order; counts and weight sums per (source, bin)
+    "q69_pack_sequences" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, text,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> len(x) > 0)) AS wc,
+        |    ('0x' || substr(md5('bins1' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |      AS b
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, source, text, wc, b,
+        |    sum(wc) OVER (PARTITION BY source ORDER BY b, doc_id) AS cum
+        |  FROM w),
+        |bins AS (
+        |  SELECT source, text, wc, b, doc_id,
+        |    CAST(floor((cum - wc) / 500.0) AS BIGINT) AS bin
+        |  FROM c)
+        |SELECT source, bin, count(*) AS n_docs,
+        |  CAST(sum(wc) AS BIGINT) AS total_weight,
+        |  string_agg(text, ' ' ORDER BY b, doc_id) AS packed_text
+        |FROM bins GROUP BY source, bin
+        |ORDER BY source, bin""".stripMargin
   )
 }

@@ -2,6 +2,7 @@ package newspipe.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
 
 /** Corpus-level boilerplate detection over word n-grams — the CCNet /
   * RefinedWeb-style "same fragment on thousands of pages" signal. The
@@ -49,6 +50,53 @@ object Boilerplate {
     require(minDf >= 1L, s"minDf must be >= 1, got $minDf")
     docGrams(df, idCol, textCol, n)
       .select(explode(col("__grams")).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDf)
+  }
+
+  /** [[frequentNgrams]] through a Count-Min prefilter — the same exact
+    * answer, restructured so the corpus-wide shuffle carries only PLAUSIBLE
+    * heavy hitters instead of the whole Zipf tail. Two passes over the
+    * per-doc gram stream:
+    *
+    *  1. fold every occurrence into a Count-Min sketch (`treeAggregate`:
+    *     map-side partial sketches, log-depth merge, no shuffle — the Bloom
+    *     pattern of [[Dedup.bloomScrub]] with counts instead of membership);
+    *  2. re-stream the grams, keep only those whose sketch estimate reaches
+    *     `minDf`, and exact-count JUST those survivors.
+    *
+    * Count-Min never under-counts (hash collisions only ADD), so pass 2's
+    * candidate set is a strict superset of the true frequent set and the
+    * exact recount removes every false positive: the result provably equals
+    * [[frequentNgrams]] row for row. What changes is the plan: at a Zipfian
+    * 100 TB n-gram stream with a high threshold, the aggregate's shuffle
+    * shrinks from the full distinct vocabulary to the tiny slice the sketch
+    * can't rule out (fp mass ≤ eps·stream per row of depth), while the
+    * sketch itself is a fixed ~`2.7/eps × ln(1/(1-confidence))` counters
+    * regardless of corpus size.
+    *
+    * The compact per-doc gram frame is checkpointed once and feeds both
+    * passes, so tokenize + shingle run once (same shape as
+    * [[boilerplateFraction]]).
+    */
+  def frequentNgramsSketch(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDf: Long = 2L, eps: Double = 1e-4,
+      confidence: Double = 0.99, seed: Int = 1): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDf >= 1L, s"minDf must be >= 1, got $minDf")
+    require(eps > 0.0 && eps < 1.0, s"eps must be in (0,1), got $eps")
+    require(confidence > 0.0 && confidence < 1.0,
+      s"confidence must be in (0,1), got $confidence")
+    val grams = docGrams(df, idCol, textCol, n).localCheckpoint(eager = false)
+    val stream = grams.select(explode(col("__grams")).as("ngram"))
+    val cms = stream.rdd.treeAggregate(
+      CountMinSketch.create(eps, confidence, seed))(
+      (s, r) => { s.addString(r.getString(0)); s },
+      (a, b) => { a.mergeInPlace(b); a })
+    val bc = stream.sparkSession.sparkContext.broadcast(cms)
+    val plausible = udf((g: String) =>
+      g != null && bc.value.estimateCount(g) >= minDf)
+    stream.filter(plausible(col("ngram")))
       .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") >= minDf)
   }

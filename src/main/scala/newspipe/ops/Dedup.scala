@@ -25,23 +25,24 @@ object Dedup {
 
   // ---- shingling ----------------------------------------------------------
 
-  /** Lowercased word tokens. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9']+"), t => length(t) > 0)
-
-  /** Shingles from an ALREADY-MATERIALIZED token array column. Callers must
-    * alias [[tokens]] to a column first (one Project) so the regex split runs
-    * once per row — inlining `tokens(text)` here would re-evaluate the split
-    * for every lambda element (Catalyst does no common-subexpression
-    * elimination inside higher-order functions), turning an O(tokens) row
-    * into O(tokens²).
+  /** Lowercased word tokens — native codegen'd kernel
+    * ([[newspipe.functions.TokenizeKernel]]); SQL replay is
+    * `regexp_split_to_array(lower(text), '[^a-z0-9'']+')` minus empties,
+    * exactly as before the kernel (parity property-pinned).
     */
-  def shinglesFromTokens(toks: Column, n: Int = 3): Column = {
-    val ngrams = transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => array_join(slice(toks, i, lit(n)), " "))
-    array_distinct(ngrams)
-  }
+  def tokens(text: Column): Column =
+    newspipe.functions.TextKernels.tokens(text)
+
+  /** Distinct word n-gram shingles from a token array column — native
+    * codegen'd kernel ([[newspipe.functions.ShinglesKernel]]), one pass, no
+    * interpreted lambda chain. Replaces the
+    * `array_distinct(transform(sequence…, slice+array_join))` HOF form,
+    * whose interpreted evaluation dominated every explode-over-shingles
+    * plan (`InferFiltersFromGenerate` clones the generator child into a
+    * pre-Generate filter, so the chain ran up to 4× per row).
+    */
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column =
+    newspipe.functions.TextKernels.shingles(toks, n)
 
   /** Distinct word n-gram shingles of `text` (n-gram Jaccard's unit).
     * Docs shorter than n words get their whole token string as one shingle

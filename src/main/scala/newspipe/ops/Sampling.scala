@@ -127,6 +127,34 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Deterministic fixed-size per-group sample: the first `n` rows of each
+    * group in content-hash order — "exactly 200 eval docs per source",
+    * reproducible across runs, retries, partition layouts and engines
+    * (the fixed-COUNT complement of [[hashSample]]'s fixed-RATE draw; same
+    * md5 ordering, ties broken by the key itself).
+    *
+    * Scale shape: one window rank per group — right when groups are
+    * bounded. For groups far larger than `n`, prefilter with
+    * [[hashSample]] at a rate comfortably above `n/|group|` first: the
+    * hash order is IDENTICAL in both operators, so a rate prefilter keeps
+    * a superset of the final `n` (any row it drops ranks below every row
+    * it keeps) and the window then sorts only the surviving sliver.
+    *
+    * Null-key rows are excluded (no stable hash position); a NULL group
+    * value forms its own group, as in every grouped operator here.
+    *
+    * @return input columns + `pos` (1-based rank within the group).
+    */
+  def takePerGroup(df: DataFrame, groupCol: String, keyCol: String, n: Int,
+      salt: String = ""): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(hashBucket(col(keyCol), salt).asc, col(keyCol).asc)
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= n)
+  }
+
   /** Exact per-group rank gate: keep the top `fraction` of each group by
     * `scoreCol` (descending; ties broken by `tieCol` ascending so the kept
     * set is deterministic). ceil rounding — a non-empty group always keeps
@@ -185,6 +213,40 @@ object Sampling {
       .drop(thresholds(groupCol))
       .filter(col(scoreCol) >= col("__thr"))
       .drop("__thr")
+  }
+
+  /** [[packBins]] taken to its consumer: materialize each bin as ONE packed
+    * training sequence — documents concatenated in pack order with
+    * `sep` between them, plus the doc count and total weight the loader
+    * needs to budget-check the shard. This is the "sequence packing" step
+    * that turns a curated corpus into fixed-token-budget training rows.
+    *
+    * Determinism carries through: pack order inside a bin is the same
+    * (hash, key) order [[packBins]] assigned bins by, so the packed text is
+    * a pure function of the data — `collect_list` + `array_sort` rather
+    * than an ordered window, because the aggregate's map-side partial
+    * combine ships per-bin slices, not every row, through the shuffle.
+    *
+    * Scale shape: one window (the packBins running sum) + one hash
+    * aggregate on (partitionCols, bin). A bin holds at most
+    * ~`budget` tokens by construction (plus one spillover row), so the
+    * per-bin collect is bounded by the budget, never by the corpus.
+    *
+    * @return partitionCols + `bin`, `n_docs`, `total_weight`, `packed_text`.
+    */
+  def packSequences(df: DataFrame, keyCol: String, textCol: String,
+      weightCol: String, budget: Long, partitionCols: Seq[String] = Nil,
+      salt: String = "", sep: String = " "): DataFrame = {
+    val binned = packBins(df, keyCol, weightCol, budget, partitionCols, salt)
+      .withColumn("__h", hashBucket(col(keyCol), salt))
+    binned.groupBy((partitionCols :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol)).as("total_weight"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__h"), col(keyCol).as("__k"),
+              col(textCol).as("__t")))),
+            x => x("__t")), sep).as("packed_text"))
   }
 
   /** Disjoint deterministic split (train/val/test …): `fractions` must sum

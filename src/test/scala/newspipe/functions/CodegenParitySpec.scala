@@ -91,4 +91,42 @@ class CodegenParitySpec extends SparkTestBase {
     val (g, i) = bothWays(frame)
     g shouldBe i
   }
+
+  test("TokenizeWords + WordShingles: codegen = interpreted") {
+    def frame = docs.select($"id",
+      TextKernels.tokens($"text").as("toks"),
+      TextKernels.shingles(TextKernels.tokens($"text"), 3).as("sh"))
+    val (g, i) = bothWays(frame)
+    g shouldBe i
+  }
+
+  test("TokenizeWords + WordShingles: native = HOF chain they replaced") {
+    // the oracle SQL replays the HOF semantics (regexp_split_to_array +
+    // list_distinct of slice-joins), so the kernels must match the chain
+    // exactly — including the [""] shingle of an all-separator doc, unicode
+    // lowercasing, and first-occurrence distinct order
+    val tricky = docs.union(Seq(
+      (5L, "...!!!   "),
+      (6L, "a b a b a b a b"),
+      (7L, "ÅÉÎ Straße Ⅻ one two three four"),
+      (8L, "o'neill can't '' ' x1 2y z")
+    ).toDF("id", "text"))
+    // qualify length/size — ScalaTest's Matchers shadow the sql.functions
+    val F = org.apache.spark.sql.functions
+    def hofTokens(c: org.apache.spark.sql.Column) =
+      filter(split(lower(c), "[^a-z0-9']+"), t => F.length(t) > 0)
+    def hofShingles(toks: org.apache.spark.sql.Column, n: Int) =
+      array_distinct(transform(
+        sequence(lit(1), greatest(F.size(toks) - (n - 1), lit(1))),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+    val native = tricky.select($"id",
+        TextKernels.tokens($"text").as("toks"),
+        TextKernels.shingles(TextKernels.tokens($"text"), 3).as("sh"))
+      .collect().map(_.toString).sorted
+    val hof = tricky
+      .select($"id", hofTokens($"text").as("toks"))
+      .select($"id", $"toks", hofShingles($"toks", 3).as("sh"))
+      .collect().map(_.toString).sorted
+    native shouldBe hof
+  }
 }

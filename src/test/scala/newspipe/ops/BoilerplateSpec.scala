@@ -74,4 +74,28 @@ class BoilerplateSpec extends SparkTestBase {
       .as[(String, Long)].collect().toMap
     freq shouldBe Map("tiny doc" -> 2L)
   }
+
+  test("frequentNgramsSketch = frequentNgrams exactly (CMS has no false negatives)") {
+    val withNulls = docs.unionByName(Seq(
+      (Option.empty[Long], Option("common footer text here")),
+      (Option(9L), Option.empty[String])
+    ).toDF("id", "text"))
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long)].collect().sortBy(_._1).toSeq
+    for (minDf <- Seq(1L, 2L, 3L, 4L)) {
+      sorted(Boilerplate.frequentNgramsSketch(withNulls, "id", "text", 3, minDf)) shouldBe
+        sorted(Boilerplate.frequentNgrams(withNulls, "id", "text", 3, minDf))
+    }
+  }
+
+  test("frequentNgramsSketch survives a deliberately colliding (tiny) sketch") {
+    // eps 0.5 → width 6: heavy collisions guaranteed; the exact recount
+    // must still strip every false positive the sketch lets through
+    val out = Boilerplate.frequentNgramsSketch(docs, "id", "text", 3, 3L,
+      eps = 0.5, confidence = 0.5)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val exact = Boilerplate.frequentNgrams(docs, "id", "text", 3, 3L)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    out shouldBe exact
+  }
 }

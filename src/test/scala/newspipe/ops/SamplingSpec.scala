@@ -177,4 +177,47 @@ class SamplingSpec extends SparkTestBase {
     Sampling.topFractionByGroup(rows, "grp", "score", 0.5, "id")
       .select("id").as[Long].collect().toSet shouldBe Set(1L, 2L)
   }
+
+  test("takePerGroup: first n of each group in (hash, key) order; null keys excluded") {
+    val rows = (1L to 90L).map(i => (i, Seq("a", "b", "c")((i % 3).toInt)))
+      .toDF("id", "grp")
+      .unionByName(Seq((Option.empty[Long], Option("a"))).toDF("id", "grp"))
+    val got = Sampling.takePerGroup(rows, "grp", "id", n = 5, salt = "tk")
+      .select("id", "grp", "pos").as[(Long, String, Long)].collect()
+    got.length shouldBe 15
+    val byGrp = got.groupBy(_._2)
+    byGrp.keySet shouldBe Set("a", "b", "c")
+    val data = (1L to 90L).map(i => (i, Seq("a", "b", "c")((i % 3).toInt)))
+    byGrp.foreach { case (g, rs) =>
+      val want = data.filter(_._2 == g)
+        .sortBy { case (id, _) => (bucketOf(s"tk$id"), id) }.take(5).map(_._1)
+      rs.sortBy(_._3).map(_._1).toSeq shouldBe want
+      rs.map(_._3).sorted.toSeq shouldBe Seq(1L, 2L, 3L, 4L, 5L)
+    }
+  }
+
+  test("takePerGroup: n past the group size keeps the whole group") {
+    val rows = Seq((1L, "g"), (2L, "g")).toDF("id", "grp")
+    Sampling.takePerGroup(rows, "grp", "id", n = 10).count() shouldBe 2L
+  }
+
+  test("packSequences: one row per bin, texts joined in pack order, weights summed") {
+    val rows = Seq(
+      (1L, "g", "one", 60L), (2L, "g", "two", 60L),
+      (3L, "g", "three", 60L), (4L, "g", "four", 60L))
+      .toDF("id", "grp", "txt", "w")
+    val out = Sampling.packSequences(rows, "id", "txt", "w", budget = 100L,
+        partitionCols = Seq("grp"), salt = "ps")
+      .select("bin", "n_docs", "total_weight", "packed_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // replay: hash order, starts 0,60,120,180 → bins 0,0,1,1
+    val order = Seq(1L, 2L, 3L, 4L)
+      .sortBy(id => (bucketOf(s"ps$id"), id))
+    val txt = Map(1L -> "one", 2L -> "two", 3L -> "three", 4L -> "four")
+    out.length shouldBe 2
+    out.map(_._2).toSeq shouldBe Seq(2L, 2L)
+    out.map(_._3).toSeq shouldBe Seq(120L, 120L)
+    out(0)._4 shouldBe order.take(2).map(txt).mkString(" ")
+    out(1)._4 shouldBe order.drop(2).map(txt).mkString(" ")
+  }
 }
