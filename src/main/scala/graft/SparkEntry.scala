@@ -995,6 +995,25 @@ object SparkEntry {
           col("total_weight").cast("bigint").as("total_weight"),
           col("packed_text"))
         .orderBy("source", "bin")
+    }),
+
+    // Winnowing fingerprints (MOSS): per-doc sorted distinct sliding-window
+    // minima over md5-prefix 4-gram hashes — every hash replayable in SQL
+    // with the repo's ('0x' || substr(md5(g),1,8))::UBIGINT formula
+    "q70_winnow_fingerprints" -> ((s, dir) => {
+      newspipe.ops.Winnow.fingerprints(t(s, dir, "documents"),
+          "doc_id", "text", k = 4, w = 4)
+        .orderBy("doc_id", "fingerprint")
+    }),
+
+    // Winnowing near-dup pairs: docs sharing >= 2 selected fingerprints
+    // (planted exact duplicates share their whole sets); one BucketedPairs
+    // exchange + a pair-count aggregate, bucket-capped like every
+    // candidate generator here
+    "q71_winnow_pairs" -> ((s, dir) => {
+      newspipe.ops.Winnow.nearDupPairs(t(s, dir, "documents"),
+          "doc_id", "text", k = 4, w = 4, minShared = 2L, maxBucket = 1000)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -2099,6 +2118,65 @@ object SparkEntry {
         |  CAST(sum(wc) AS BIGINT) AS total_weight,
         |  string_agg(text, ' ' ORDER BY b, doc_id) AS packed_text
         |FROM bins GROUP BY source, bin
-        |ORDER BY source, bin""".stripMargin
+        |ORDER BY source, bin""".stripMargin,
+
+    // full winnowing replay: positional 4-grams (q64's slice idiom WITHOUT
+    // list_distinct — winnowing is positional), md5-prefix hash per gram,
+    // min of each 4-wide sliding window, distinct + sort per doc
+    "q70_winnow_fingerprints" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+        |      x -> len(x) > 0) AS tk
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |grams AS (
+        |  SELECT doc_id,
+        |    [array_to_string(list_slice(tk, i, i + 3), ' ')
+        |      for i in generate_series(1, greatest(len(tk) - 3, 1))] AS g
+        |  FROM toks WHERE len(tk) > 0),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    [('0x' || substr(md5(x), 1, 8))::UBIGINT for x in g] AS h
+        |  FROM grams),
+        |sel AS (
+        |  SELECT doc_id, list_sort(list_distinct([
+        |      list_min(list_slice(h, j, j + 3))
+        |    for j in generate_series(1, greatest(len(h) - 3, 1))])) AS fps
+        |  FROM hashes)
+        |SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint
+        |FROM sel ORDER BY doc_id, fingerprint""".stripMargin,
+
+    // q70's fingerprint sets self-joined: pairs sharing a fingerprint whose
+    // doc-bucket is within [2, maxBucket], counted per pair, kept at >= 2
+    "q71_winnow_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+        |      x -> len(x) > 0) AS tk
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |grams AS (
+        |  SELECT doc_id,
+        |    [array_to_string(list_slice(tk, i, i + 3), ' ')
+        |      for i in generate_series(1, greatest(len(tk) - 3, 1))] AS g
+        |  FROM toks WHERE len(tk) > 0),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    [('0x' || substr(md5(x), 1, 8))::UBIGINT for x in g] AS h
+        |  FROM grams),
+        |sel AS (
+        |  SELECT doc_id, list_distinct([
+        |      list_min(list_slice(h, j, j + 3))
+        |    for j in generate_series(1, greatest(len(h) - 3, 1))]) AS fps
+        |  FROM hashes),
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+        |ok AS (SELECT fp FROM e GROUP BY fp
+        |       HAVING count(*) BETWEEN 2 AND 1000),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  JOIN ok ON ok.fp = a.fp
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -151,6 +151,101 @@ object WordShingles {
     new GenericArrayData(Array[AnyRef](null))
 }
 
+/** Static winnowing kernel (Schleimer, Wilkerson, Aiken — the MOSS local
+  * fingerprinting algorithm): positional k-grams of the token stream, each
+  * hashed to the first 32 bits of its md5 (the repo-wide engine-replayable
+  * hash: `('0x' || substr(md5(gram), 1, 8))::UBIGINT` in ANSI SQL), then the
+  * MINIMUM hash of every w-wide sliding window is selected. The result is
+  * the doc's sorted distinct selected values.
+  *
+  * Guarantee (the reason winnowing beats "every i-th gram" sampling): any
+  * shared substring of at least w+k−1 tokens forces BOTH docs to select a
+  * common fingerprint, while the expected density is only 2/(w+1) of the
+  * gram stream. Docs shorter than k tokens contribute their whole token
+  * string as one gram; fewer than w hashes form one window — the same
+  * short-doc fallback as [[ShinglesKernel]].
+  */
+object WinnowKernel {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def fingerprints(toks: ArrayData, k: Int, w: Int): ArrayData = {
+    val m = toks.numElements()
+    val nGrams = math.max(m - (k - 1), 1)
+    val h = new Array[Long](nGrams)
+    val md = md5.get()
+    var i = 0
+    while (i < nGrams) {
+      val sb = new java.lang.StringBuilder()
+      var wrote = false
+      var j = i
+      val end = math.min(i + k, m)
+      while (j < end) {
+        if (!toks.isNullAt(j)) {
+          if (wrote) sb.append(' ')
+          sb.append(toks.getUTF8String(j).toString)
+          wrote = true
+        }
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      h(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    val nWin = math.max(h.length - (w - 1), 1)
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    var s = 0
+    while (s < nWin) {
+      var mn = Long.MaxValue
+      var x = s
+      val e = math.min(s + w, h.length)
+      while (x < e) { if (h(x) < mn) mn = h(x); x += 1 }
+      sel.add(mn)
+      s += 1
+    }
+    val out = new Array[Long](sel.size())
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Winnowing fingerprint set of a token array as a native expression
+  * (codegen'd static kernel call; null token array → null — a null-text doc
+  * has no fingerprints and drops out of the explode, unlike the shingle
+  * path whose null contract feeds MinHash banding).
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with Serializable {
+  require(k >= 1, s"k must be >= 1, got $k")
+  require(w >= 1, s"w must be >= 1, got $w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowKernel.fingerprints(input.asInstanceOf[ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = newspipe.functions.WinnowKernel.fingerprints($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 object TextKernels {
   /** Codegen'd tokenizer column (see [[TokenizeKernel]]). */
   def tokens(text: Column): Column =
@@ -159,4 +254,9 @@ object TextKernels {
   /** Codegen'd distinct n-gram shingle column (see [[ShinglesKernel]]). */
   def shingles(toks: Column, n: Int = 3): Column =
     NewspipeSqlBridge.column(WordShingles(NewspipeSqlBridge.expression(toks), n))
+
+  /** Codegen'd winnowing fingerprint column (see [[WinnowKernel]]). */
+  def winnow(toks: Column, k: Int = 4, w: Int = 4): Column =
+    NewspipeSqlBridge.column(WinnowFingerprints(
+      NewspipeSqlBridge.expression(toks), k, w))
 }

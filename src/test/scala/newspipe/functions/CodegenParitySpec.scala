@@ -92,6 +92,13 @@ class CodegenParitySpec extends SparkTestBase {
     g shouldBe i
   }
 
+  test("WinnowFingerprints: codegen = interpreted") {
+    def frame = docs.select($"id",
+      TextKernels.winnow(TextKernels.tokens($"text"), 4, 4).as("fps"))
+    val (g, i) = bothWays(frame)
+    g shouldBe i
+  }
+
   test("TokenizeWords + WordShingles: codegen = interpreted") {
     def frame = docs.select($"id",
       TextKernels.tokens($"text").as("toks"),
