@@ -1014,6 +1014,34 @@ object SparkEntry {
       newspipe.ops.Winnow.nearDupPairs(t(s, dir, "documents"),
           "doc_id", "text", k = 4, w = 4, minShared = 2L, maxBucket = 1000)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Per-group weight-budget resampling: en capped at 2000 words, zh at
+    // 500, de's budget exceeds its actual (rate clamps to 1), other langs
+    // untargeted (kept whole). Membership = q56's chr(0)-joined md5 draw
+    // with a DATA-DEPENDENT threshold — floor() explicit on both engines
+    "q72_budget_resample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("wc", TextStats.wordCount(col("text")))
+      newspipe.ops.Sampling.resampleToBudget(docs, "doc_id", "wc", "lang",
+          budgets = Map("en" -> 2000L, "zh" -> 500L, "de" -> 1000000L),
+          salt = "bud1")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // Corpus snapshot diff: the "new crawl" drops ids %7=0, edits ids %5=0,
+    // adds back ids %11=0 under shifted ids — every doc classified
+    // added/removed/changed/unchanged via one full-outer digest join
+    "q73_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newV = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" updated"))).otherwise(col("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      newspipe.ops.CorpusDiff.diff(docs, newV, "doc_id", Seq("text"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2177,6 +2205,63 @@ object SparkEntry {
         |  JOIN ok ON ok.fp = a.fp
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q56's membership formula with a rate computed FROM the data:
+    // rate = least(1, budget/actual) per lang, threshold floor(rate·2³²).
+    // The double division and floor are the same IEEE ops on both engines
+    "q72_budget_resample" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> len(x) > 0)) AS wc
+        |  FROM documents),
+        |t AS (
+        |  SELECT lang, sum(wc) AS actual FROM w
+        |  WHERE lang IS NOT NULL AND doc_id IS NOT NULL AND wc IS NOT NULL
+        |  GROUP BY lang),
+        |r AS (
+        |  SELECT w.doc_id, w.lang, w.wc,
+        |    CASE WHEN w.lang = 'de' THEN least(1.0, 1000000.0 / t.actual)
+        |         WHEN w.lang = 'en' THEN least(1.0, 2000.0 / t.actual)
+        |         WHEN w.lang = 'zh' THEN least(1.0, 500.0 / t.actual)
+        |         ELSE 1.0 END AS rate
+        |  FROM w LEFT JOIN t ON w.lang = t.lang)
+        |SELECT doc_id, lang FROM r
+        |WHERE lang IS NOT NULL AND doc_id IS NOT NULL AND wc IS NOT NULL
+        |  AND ('0x' || substr(md5('bud1' || chr(0) || lang || chr(0) ||
+        |    CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |  < CAST(floor(rate * 4294967296.0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+
+    // digest-join replay: md5(concat_ws(chr(0), text)) per version (both
+    // engines skip NULLs in concat_ws, so a null text digests as ''), the
+    // same %7/%5/%11 new-version construction, full outer join, CASE status
+    "q73_corpus_diff" ->
+      """WITH oldd AS (
+        |  SELECT doc_id, min(md5(concat_ws(chr(0), text))) AS old_digest
+        |  FROM documents WHERE doc_id IS NOT NULL GROUP BY doc_id),
+        |newv AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' updated' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |newd AS (
+        |  SELECT doc_id, min(md5(concat_ws(chr(0), text))) AS new_digest
+        |  FROM newv WHERE doc_id IS NOT NULL GROUP BY doc_id),
+        |j AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    o.old_digest, n.new_digest
+        |  FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN old_digest IS NULL THEN 'added'
+        |       WHEN new_digest IS NULL THEN 'removed'
+        |       WHEN old_digest = new_digest THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  old_digest, new_digest
+        |FROM j ORDER BY doc_id""".stripMargin
   )
 }

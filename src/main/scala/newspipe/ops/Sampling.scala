@@ -249,6 +249,55 @@ object Sampling {
             x => x("__t")), sep).as("packed_text"))
   }
 
+  /** Downsample each group to a WEIGHT BUDGET (e.g. per-source token
+    * budgets in a training mixture): the kept fraction of group g is
+    * min(1, budget_g / actual_g) and per-row membership is the same
+    * md5(salt \u2016 NUL \u2016 group \u2016 NUL \u2016 key) draw as
+    * [[stratifiedSample]] \u2014 so the expected kept weight of a targeted
+    * group is \u2248 min(budget, actual), groups WITHOUT a target are kept
+    * whole, and membership stays a pure replayable function of the data.
+    *
+    * Scale shape: ONE aggregate for the per-group totals (map-side combine,
+    * group-cardinality output, broadcast back) + the shuffle-free per-row
+    * filter. No sort, no window; the corpus crosses no exchange.
+    *
+    * SQL replay of membership for a targeted group:
+    * `('0x' || substr(md5(salt || chr(0) || grp || chr(0) || CAST(key AS
+    * VARCHAR)), 1, 8))::UBIGINT < floor(least(1.0, budget / actual) *
+    * 4294967296)` \u2014 floor() EXPLICIT on both engines (CAST rounds in
+    * some engines; q43's precomputed thresholds never hit this, a
+    * data-dependent rate does).
+    *
+    * Rows with a NULL group, key or weight are excluded (no stable draw /
+    * no budget contribution).
+    */
+  def resampleToBudget(df: DataFrame, keyCol: String, weightCol: String,
+      groupCol: String, budgets: Map[String, Long],
+      salt: String = ""): DataFrame = {
+    require(budgets.nonEmpty, "resampleToBudget needs at least one budget")
+    require(budgets.values.forall(_ >= 0L),
+      s"budgets must be >= 0, got $budgets")
+    val target = budgets.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("long")) { case (acc, (g, b)) =>
+        when(col(groupCol) === g, lit(b)).otherwise(acc)
+      }
+    val totals = df.filter(col(groupCol).isNotNull && col(keyCol).isNotNull &&
+        col(weightCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(sum(col(weightCol)).as("__actual"))
+    val bucket = conv(substring(md5(concat_ws("\u0000",
+      lit(salt), col(groupCol).cast("string"), col(keyCol).cast("string"))),
+      1, 8), 16, 10).cast("bigint")
+    df.join(broadcast(totals), col(groupCol) === col("__g"), "left")
+      .withColumn("__rate",
+        when(target.isNull, lit(1.0))
+          .otherwise(least(lit(1.0), target.cast("double") / col("__actual"))))
+      .filter(col(groupCol).isNotNull && col(keyCol).isNotNull &&
+        col(weightCol).isNotNull &&
+        bucket < floor(col("__rate") * 4294967296.0).cast("bigint"))
+      .drop("__g", "__actual", "__rate")
+  }
+
   /** Disjoint deterministic split (train/val/test …): `fractions` must sum
     * to ≤ 1; row i of the result holds keys whose bucket falls in the i-th
     * cumulative range. Every NON-NULL-keyed row lands in AT MOST one split

@@ -178,6 +178,37 @@ class SamplingSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSet shouldBe Set(1L, 2L)
   }
 
+  test("resampleToBudget: targeted groups hit ~budget, over-budgeted and untargeted kept whole") {
+    val rows = (1L to 3000L).map(i =>
+      (i, Seq("a", "b", "c")((i % 3).toInt), 10L)).toDF("id", "grp", "w")
+    // group totals are 10000 each; a=2000 (rate .2), b=50000 (rate clamps
+    // to 1), c untargeted (kept whole)
+    val out = Sampling.resampleToBudget(rows, "id", "w", "grp",
+        budgets = Map("a" -> 2000L, "b" -> 50000L), salt = "rb")
+      .select("id", "grp").as[(Long, String)].collect()
+    val byGrp = out.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    byGrp("b") shouldBe 1000L
+    byGrp("c") shouldBe 1000L
+    // kept weight of a ≈ budget: 200 rows ± sampling noise
+    byGrp("a").toDouble shouldBe 200.0 +- 60.0
+    // deterministic: second run identical
+    Sampling.resampleToBudget(rows, "id", "w", "grp",
+        budgets = Map("a" -> 2000L, "b" -> 50000L), salt = "rb")
+      .select("id").as[Long].collect().sorted shouldBe
+      out.map(_._1).sorted
+  }
+
+  test("resampleToBudget: zero budget empties the group; nulls excluded") {
+    val rows = Seq((Some(1L), Some("a"), Some(10L)), (Some(2L), Some("a"), Some(10L)),
+      (Some(3L), Some("b"), Some(10L)), (None, Some("a"), Some(10L)),
+      (Some(5L), None, Some(10L)), (Some(6L), Some("a"), None))
+      .toDF("id", "grp", "w")
+    val kept = Sampling.resampleToBudget(rows, "id", "w", "grp",
+        budgets = Map("a" -> 0L), salt = "z")
+      .select("id").as[Long].collect().toSet
+    kept shouldBe Set(3L) // group a zeroed out, b untargeted, null rows gone
+  }
+
   test("takePerGroup: first n of each group in (hash, key) order; null keys excluded") {
     val rows = (1L to 90L).map(i => (i, Seq("a", "b", "c")((i % 3).toInt)))
       .toDF("id", "grp")
