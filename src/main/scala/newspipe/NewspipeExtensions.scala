@@ -50,7 +50,21 @@ object NewspipeExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "double_dot(a, b) takes exactly 2 arguments")
         DoubleDot(children.head, children(1))
-      })) ++ {
+      }),
+      (new FunctionIdentifier("winnow_fingerprints"),
+        new ExpressionInfo(
+          classOf[newspipe.functions.WinnowFingerprints].getName,
+          "winnow_fingerprints"),
+        (children: Seq[Expression]) => {
+          require(children.length == 3,
+            "winnow_fingerprints(tokens, k, w) takes exactly 3 arguments")
+          def intLit(e: Expression): Int = {
+            require(e.foldable, "winnow_fingerprints k/w must be literals")
+            e.eval().asInstanceOf[Number].intValue()
+          }
+          newspipe.functions.WinnowFingerprints(children.head,
+            intLit(children(1)), intLit(children(2)))
+        })) ++ {
       import newspipe.functions.{SentimentAnalyzer, TextFunctions}
       import newspipe.ops.{Dedup, TextStats}
       Seq(

@@ -67,6 +67,26 @@ class ExtensionsSpec extends SparkTestBase {
     row.getLong(3) shouldBe df
   }
 
+  test("winnow_fingerprints is callable from SQL and matches the DataFrame API") {
+    NewspipeExtensions.register(spark)
+    val sql = spark.sql(
+      "SELECT winnow_fingerprints(tokens('a b c d e f g h'), 4, 4) AS fps")
+      .head().getSeq[Long](0)
+    import spark.implicits._
+    val df = Seq("a b c d e f g h").toDF("t")
+      .select(newspipe.functions.TextKernels.winnow(
+        newspipe.ops.Dedup.tokens(org.apache.spark.sql.functions.col("t")), 4, 4))
+      .head().getSeq[Long](0)
+    sql shouldBe df
+    sql should not be empty
+    // non-literal k (a column reference) is rejected at analysis
+    intercept[Exception] {
+      spark.sql(
+        "SELECT winnow_fingerprints(tokens(t), x, 4) FROM (VALUES ('a b', 2)) AS v(t, x)")
+        .head()
+    }
+  }
+
   test("asof_join is callable in FROM position and matches the DataFrame API") {
     NewspipeExtensions.register(spark)
     import spark.implicits._

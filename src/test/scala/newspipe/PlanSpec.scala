@@ -278,4 +278,56 @@ class PlanSpec extends SparkTestBase {
     plan should include("partial_count")
     plan should not include "Window"
   }
+
+  test("frequentNgramsSketch: CMS probe filters BEFORE the ngram exchange") {
+    val docs = spark.read.parquet(s"$parquetDir/flat")
+      .select($"id", $"name".as("text"))
+    val df = newspipe.ops.Boilerplate.frequentNgramsSketch(
+      docs, "id", "text", n = 2, minDf = 2L)
+    val plan = executed(df)
+    // the plausibility probe must sit below the partial aggregate so only
+    // sketch-plausible candidates cross the exchange — a post-shuffle probe
+    // would ship the whole Zipf tail. Top-down plan print: the probe filter
+    // appears AFTER (deeper than) the exchange line
+    plan should include("partial_count")
+    val exchangeIdx = plan.indexOf("Exchange")
+    val probeIdx = plan.indexOf("UDF(ngram")
+    exchangeIdx should be >= 0
+    probeIdx should be > exchangeIdx
+    plan should not include "Window"
+  }
+
+  test("resampleToBudget: broadcast totals join + per-row filter, no window, no sort-merge") {
+    val df = spark.read.parquet(s"$parquetDir/flat")
+    val plan = executed(newspipe.ops.Sampling.resampleToBudget(
+      df, "id", "bucket", "country", budgets = Map("C1" -> 100L)))
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "Window"
+  }
+
+  test("packSequences: ONE window then hash aggregate with partial combine, never two windows") {
+    val df = spark.read.parquet(s"$parquetDir/flat")
+      .select($"id", $"name".as("text"), $"bucket", $"country")
+    val plan = executed(newspipe.ops.Sampling.packSequences(
+      df, "id", "text", "bucket", budget = 500L,
+      partitionCols = Seq("country")))
+    // the packBins running sum is the only window; bin materialization is
+    // an aggregate (map-side partial collect), not an ordered window walk
+    // AQE prints the final plan plus an "== Initial Plan ==" echo — count
+    // window nodes in the final section only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    "Window \\[".r.findAllIn(finalPlan).length shouldBe 1
+    plan should include("partial_count")
+    plan should not include "SinglePartition"
+  }
+
+  test("CorpusDiff: one outer join on the id, no cartesian, no window") {
+    val a = spark.read.parquet(s"$parquetDir/flat").select($"id", $"name".as("text"))
+    val b = spark.read.parquet(s"$parquetDir/flat").select($"id", $"name".as("text"))
+    val plan = executed(newspipe.ops.CorpusDiff.diff(a, b, "id", Seq("text")))
+    plan should include("FullOuter")
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+  }
 }
