@@ -1042,6 +1042,26 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + lit(1000000L)))
       newspipe.ops.CorpusDiff.diff(docs, newV, "doc_id", Seq("text"))
         .orderBy("doc_id")
+    }),
+
+    // Fixed-size token chunking with overlap (size 30, overlap 10, stride
+    // 20): the RAG/training chunker — q51's stride idiom as a standalone
+    // surface, chunk starts replayed by a strided generate_series
+    "q74_chunk" -> ((s, dir) => {
+      newspipe.ops.Chunker.chunk(t(s, dir, "documents"),
+          "doc_id", "text", size = 30, overlap = 10)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Per-source quality quartiles over word count (ANSI ntile on a fully
+    // deterministic order) — curriculum-bucket assignment
+    "q75_quality_bins" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("wc", TextStats.wordCount(col("text")))
+      newspipe.ops.Sampling.qualityBins(docs, "source", "wc",
+          numBins = 4, tieCol = "doc_id")
+        .select("doc_id", "source", "bin")
+        .orderBy("doc_id")
     })
   )
 
@@ -2262,6 +2282,38 @@ object SparkEntry {
         |       WHEN old_digest = new_digest THEN 'unchanged'
         |       ELSE 'changed' END AS status,
         |  old_digest, new_digest
-        |FROM j ORDER BY doc_id""".stripMargin
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    // strided chunk replay: starts 1, 21, 41, … ≤ max(len−10, 1); chunk =
+    // 30-token slice re-joined; zipped unnest gives the 0-based index
+    "q74_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+        |      x -> len(x) > 0) AS tk
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id,
+        |    [array_to_string(list_slice(tk, s, s + 29), ' ')
+        |      for s in generate_series(1, greatest(len(tk) - 10, 1), 20)]
+        |      AS chunks
+        |  FROM toks WHERE len(tk) > 0)
+        |SELECT doc_id,
+        |  unnest(generate_series(0, len(chunks) - 1)) AS chunk_idx,
+        |  unnest(chunks) AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // ANSI ntile over (wc DESC, doc_id ASC) per source — both engines
+    // implement the same earlier-buckets-larger split on identical orders
+    "q75_quality_bins" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> len(x) > 0)) AS wc
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(ntile(4) OVER (PARTITION BY source ORDER BY wc DESC, doc_id)
+        |    AS BIGINT) AS bin
+        |FROM w ORDER BY doc_id""".stripMargin
   )
 }

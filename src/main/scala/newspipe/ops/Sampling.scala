@@ -155,6 +155,27 @@ object Sampling {
       .filter(col("pos") <= n)
   }
 
+  /** Per-group quantile binning (curriculum buckets): every row gets the
+    * 1-based ntile of its score within its group — "split each source into
+    * quality quartiles", feeding curriculum schedules and quality-stratified
+    * mixtures. ANSI `ntile` semantics on a fully deterministic order
+    * (score desc, tie asc), so any engine reproduces the exact assignment.
+    *
+    * Scale shape: one window rank per group, same boundedness contract as
+    * [[topFractionByGroup]] — for unbounded groups, bin by broadcast
+    * `approx_percentile` thresholds instead (the
+    * [[topFractionByGroupApprox]] pattern, one threshold per bin edge).
+    *
+    * @return input columns + `bin` (1..numBins).
+    */
+  def qualityBins(df: DataFrame, groupCol: String, scoreCol: String,
+      numBins: Int, tieCol: String): DataFrame = {
+    require(numBins >= 1, s"numBins must be >= 1, got $numBins")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    df.withColumn("bin", ntile(numBins).over(w).cast("long"))
+  }
+
   /** Exact per-group rank gate: keep the top `fraction` of each group by
     * `scoreCol` (descending; ties broken by `tieCol` ascending so the kept
     * set is deterministic). ceil rounding — a non-empty group always keeps

@@ -178,6 +178,17 @@ class SamplingSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSet shouldBe Set(1L, 2L)
   }
 
+  test("qualityBins: ANSI ntile per group on a deterministic order") {
+    val rows = (1L to 10L).map(i => (i, "g", i * 10L)).toDF("id", "grp", "score")
+    val bins = Sampling.qualityBins(rows, "grp", "score", numBins = 4, tieCol = "id")
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    // order: score desc → ids 10..1; ntile(4) over 10 rows = sizes 3,3,2,2
+    bins(10L) shouldBe 1L; bins(9L) shouldBe 1L; bins(8L) shouldBe 1L
+    bins(7L) shouldBe 2L; bins(6L) shouldBe 2L; bins(5L) shouldBe 2L
+    bins(4L) shouldBe 3L; bins(3L) shouldBe 3L
+    bins(2L) shouldBe 4L; bins(1L) shouldBe 4L
+  }
+
   test("resampleToBudget: targeted groups hit ~budget, over-budgeted and untargeted kept whole") {
     val rows = (1L to 3000L).map(i =>
       (i, Seq("a", "b", "c")((i % 3).toInt), 10L)).toDF("id", "grp", "w")
