@@ -245,4 +245,47 @@ object InvariantProperties extends Properties("newspipe") {
       df.withColumn("id", newspipe.functions.Keys.legacyRowNumberKey("k"))
         .select("id").collect().forall(_.getString(0).length <= 5)
     }
+
+  // random text incl. unicode, punctuation and quote runs — the native
+  // tokenize/shingle kernels must match the HOF chain they replaced on
+  // EVERY input, since the DuckDB oracles replay the HOF semantics
+  private val noisyText: Gen[String] =
+    Gen.listOf(Gen.oneOf(
+      Gen.oneOf("cat", "DOG", "x1", "2y", "o'neill", "''", "Straße", "ÅÉÎ"),
+      Gen.oneOf(" ", "  ", ", ", "!?", "\t", "\n", "--")
+    )).map(_.mkString)
+
+  property("tokenize/shingle kernels = HOF chain on arbitrary noisy text") =
+    Prop.forAll(Gen.listOfN(6, noisyText)) { texts =>
+      import spark.implicits._
+      val F = org.apache.spark.sql.functions
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val native = df.select($"id",
+          newspipe.ops.Dedup.tokens($"text").as("t"),
+          newspipe.ops.Dedup.shinglesFromTokens(
+            newspipe.ops.Dedup.tokens($"text"), 3).as("sh"))
+        .collect().map(_.toString).sorted.toSeq
+      val hof = df
+        .select($"id", filter(split(lower($"text"), "[^a-z0-9']+"),
+          t => F.length(t) > 0).as("t"))
+        .select($"id", $"t", array_distinct(transform(
+          sequence(lit(1), greatest(F.size($"t") - 2, lit(1))),
+          i => array_join(slice($"t", i, lit(3)), " "))).as("sh"))
+        .collect().map(_.toString).sorted.toSeq
+      native == hof
+    }
+
+  property("winnow: fingerprint set is invariant under token-preserving reformatting") =
+    Prop.forAll(Gen.listOfN(40, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))) { ws =>
+      import spark.implicits._
+      // same token stream, different separators/case → same fingerprints
+      val a = ws.mkString(" ")
+      val b = ws.map(_.toUpperCase).mkString("  ,  ")
+      val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+      val fps = newspipe.ops.Winnow.fingerprints(df, "id", "text")
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      fps(1L) == fps(2L)
+    }
 }
