@@ -193,6 +193,24 @@ object ScaleBench {
         nbits = nbits, probes = 4).count()
     }
     out("q57_embed_scrub") = (nEsc, tEsc)
+
+    // q71 shape: winnowing fingerprint pairs — re-alphabeting is injective
+    // per copy, so within-copy shared token runs (and their fingerprints)
+    // are preserved exactly; cross-copy shared fingerprints would need 4
+    // consecutive stop/short tokens. Pair volume grows linearly
+    val (nWin, tWin) = timed {
+      newspipe.ops.Winnow.nearDupPairs(docs, "doc_id", "text",
+        minShared = 2L).count()
+    }
+    out("q71_winnow_pairs") = (nWin, tWin)
+
+    // q74 shape: fixed-size chunking — pure per-row generate over the
+    // native tokenizer; rows and wall both linear in total tokens
+    val (nCh, tCh) = timed {
+      newspipe.ops.Chunker.chunk(docs, "doc_id", "text",
+        size = 30, overlap = 10).count()
+    }
+    out("q74_chunk") = (nCh, tCh)
     out.toMap
   }
 

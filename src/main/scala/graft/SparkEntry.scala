@@ -1062,6 +1062,16 @@ object SparkEntry {
           numBins = 4, tieCol = "doc_id")
         .select("doc_id", "source", "bin")
         .orderBy("doc_id")
+    }),
+
+    // One-pass column profiling over documents (count/nulls/exact
+    // distinct/min/max per column, min/max string-rendered) — the
+    // "analyze table" surface; all-bigint-or-string columns so the
+    // rendering is engine-identical
+    "q76_profile" -> ((s, dir) => {
+      newspipe.ops.Profile.profile(t(s, dir, "documents"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("col_name")
     })
   )
 
@@ -2314,6 +2324,18 @@ object SparkEntry {
         |SELECT doc_id, source,
         |  CAST(ntile(4) OVER (PARTITION BY source ORDER BY wc DESC, doc_id)
         |    AS BIGINT) AS bin
-        |FROM w ORDER BY doc_id""".stripMargin
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    // per-column UNION ALL replay of the one-pass profile (standard SQL
+    // aggregate null semantics; min/max rendered via CAST AS VARCHAR)
+    "q76_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value
+           |FROM documents""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   )
 }
