@@ -126,7 +126,7 @@ case class WordShingles(child: Expression, n: Int)
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) WordShingles.NullSingleton
+    if (v == null) WordShingles.NullSingleton()
     else ShinglesKernel.shingles(v.asInstanceOf[ArrayData], n)
   }
 
