@@ -1072,6 +1072,29 @@ object SparkEntry {
       newspipe.ops.Profile.profile(t(s, dir, "documents"),
           Seq("doc_id", "text", "lang", "source", "n_chars"))
         .orderBy("col_name")
+    }),
+
+    // Per-doc 3-gram novelty of the %3≠0 corpus slice against the %3=0
+    // reference slice — the memorization/novelty metric; gram-keyed
+    // membership join (q65's shape with a cross-corpus reference)
+    "q77_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      newspipe.ops.Decontaminate.noveltyScore(
+          docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // q47's transitive dup clusters with the keep-BEST policy: each cluster
+    // keeps its highest-word-count doc (ties min id) — the FineWeb keeper
+    // rule. Oracle = q47's recursive closure + per-component argmax
+    "q78_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("wc", TextStats.wordCount(col("text")))
+      newspipe.ops.Dedup.minhashDedupClusteredBy(docs, "doc_id", "text", "wc")
+        .select("doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -2336,6 +2359,70 @@ object SparkEntry {
            |  CAST(min($c) AS VARCHAR) AS min_value,
            |  CAST(max($c) AS VARCHAR) AS max_value
            |FROM documents""".stripMargin)
-      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    // same distinct-gram stream as q65, reference = the %3=0 slice; LEFT
+    // JOIN membership so unseen grams count in the denominator
+    "q77_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+        |      x -> len(x) > 0) AS tk
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(list_slice(tk, i, i + 2), ' ')
+        |      for i in generate_series(1, greatest(len(tk) - 2, 1))]) AS g
+        |  FROM toks WHERE len(tk) > 0),
+        |e AS (SELECT doc_id, unnest(g) AS ngram FROM grams),
+        |ref AS (SELECT DISTINCT ngram FROM e WHERE doc_id % 3 = 0),
+        |c AS (SELECT doc_id, ngram FROM e WHERE doc_id % 3 <> 0)
+        |SELECT c.doc_id, count(*) AS n_ngrams, count(r.ngram) AS n_seen,
+        |  round(1.0 - CAST(count(r.ngram) AS DOUBLE) / count(*), 6)
+        |    AS novelty_frac
+        |FROM c LEFT JOIN ref r USING (ngram)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // q47's recursive transitive closure, then keep the max-word-count doc
+    // (ties min id) per component instead of the min id
+    "q78_dedup_keep_best" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tk) - 2, 1)),
+        |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS s,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> len(x) > 0)) AS wc
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+        |        x -> len(x) > 0) AS tk
+        |    FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS pa, b.doc_id AS pb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) /
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    >= 0.8),
+        |edges AS (
+        |  SELECT pa AS src, pb AS dst FROM pairs
+        |  UNION ALL SELECT pb, pa FROM pairs),
+        |reach(start, node) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        |  UNION
+        |  SELECT r.start, e.dst FROM reach r JOIN edges e ON e.src = r.node),
+        |comp AS (SELECT start AS id, min(node) AS comp FROM reach GROUP BY start),
+        |win AS (
+        |  SELECT id FROM (
+        |    SELECT c.id,
+        |      row_number() OVER (PARTITION BY c.comp
+        |        ORDER BY s.wc DESC, c.id) AS rn
+        |    FROM comp c JOIN sh s ON s.doc_id = c.id)
+        |  WHERE rn = 1),
+        |losers AS (
+        |  SELECT id FROM comp WHERE id NOT IN (SELECT id FROM win))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM losers)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -60,4 +60,40 @@ object Decontaminate {
       .select(col(idCol))
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** Per-doc n-gram NOVELTY against a reference corpus: of each doc's
+    * distinct n-grams, the share NOT present anywhere in the reference —
+    * the memorization/novelty signal ("how much of this doc is new
+    * relative to what the model already trained on"). The complement of
+    * contamination: [[overlapCounts]] asks "does it collide at all",
+    * novelty asks "what fraction is fresh".
+    *
+    * Scale shape: unlike the benchmark probe above, the reference here is
+    * corpus-sized, so its distinct gram set is NOT assumed
+    * broadcast-small — the membership probe is a shuffle join on the
+    * n-gram key (AQE demotes to broadcast when the reference is small),
+    * exactly [[Boilerplate.boilerplateFraction]]'s shape. Both sides ship
+    * short gram strings, never document text.
+    *
+    * @return (idCol, n_ngrams, n_seen, novelty_frac) — one row per
+    *         corpus doc with at least one token.
+    */
+  def noveltyScore(corpus: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def grams(df: DataFrame) =
+      df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+        .select(col(idCol).as("__id"), Dedup.tokens(col(textCol)).as("__toks"))
+        .filter(size(col("__toks")) > 0)
+        .select(col("__id"),
+          explode(Dedup.shinglesFromTokens(col("__toks"), n)).as("__gram"))
+    val refGrams = grams(reference).select(col("__gram"))
+      .distinct().select(col("__gram"), lit(1L).as("__hit"))
+    grams(corpus).join(refGrams, Seq("__gram"), "left")
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_seen"))
+      .withColumn("novelty_frac",
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_ngrams"), 6))
+  }
 }

@@ -266,6 +266,31 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[minhashDedupClustered]] with a KEEPER POLICY: each duplicate cluster
+    * keeps its BEST-scoring doc (`scoreCol` max; ties broken by min id)
+    * instead of the min id — the FineWeb-style rule "of near-identical
+    * pages, keep the highest-quality one". Same candidate/verify/cluster
+    * pipeline; the winner pick is ONE aggregate per component
+    * (`min(struct(-score, id))` — no window, map-side combinable).
+    */
+  def minhashDedupClusteredBy(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String, threshold: Double = 0.8, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val cand = minhashCandidates(df, idCol, textCol, numHashes, bands)
+    val dups = jaccardVerify(cand, df, idCol, textCol, threshold = threshold)
+    val comps = connectedComponents(dups)
+    val scored = comps.join(
+      df.select(col(idCol).as("id"), col(scoreCol).as("__sc")), Seq("id"))
+    val winners = scored.groupBy("comp")
+      .agg(min(struct((-col("__sc")).as("__ns"), col("id").as("__wid")))
+        .as("__w"))
+      .select(col("__w.__wid").as("__winner"))
+    val losers = comps
+      .join(winners, comps("id") === winners("__winner"), "left_anti")
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---- span-level exact dedup ----------------------------------------------
 
   /** Exact duplicate-SPAN removal (the Lee et al. "Deduplicating Training

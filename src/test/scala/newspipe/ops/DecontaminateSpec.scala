@@ -68,4 +68,37 @@ class DecontaminateSpec extends SparkTestBase {
       shortBench, "q", n = 13).as[(Long, Long)].collect().toMap
     out shouldBe Map(4L -> 1L)
   }
+
+  test("noveltyScore: fully-seen docs score 0, fully-fresh docs score 1, mixed in between") {
+    val reference = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.noveltyScore(corpus, reference,
+        "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1 is verbatim in the reference: every 3-gram seen → novelty 0
+    out(1L)._4 shouldBe 0.0
+    // doc 2 shares nothing → novelty 1
+    out(2L)._4 shouldBe 1.0
+    // doc 3 shares a run but has fresh grams too
+    out(3L)._4 should (be > 0.0 and be < 1.0)
+    out(3L)._2 shouldBe (out(3L)._3 +
+      (out(3L)._2 * out(3L)._4).round)
+    // short doc 4: whole-token shingle unseen → novelty 1
+    out(4L)._4 shouldBe 1.0
+  }
+
+  test("noveltyScore excludes null/token-free rows on both sides") {
+    val weird = corpus.unionByName(Seq(
+      (Option.empty[Long], Option("x y z")),
+      (Option(9L), Option.empty[String]),
+      (Option(10L), Option("!!!"))
+    ).toDF("doc_id", "text"))
+    val out = Decontaminate.noveltyScore(weird, weird, "doc_id", "text", n = 3)
+    out.select("doc_id").as[Long].collect().sorted shouldBe
+      Array(1L, 2L, 3L, 4L)
+    // corpus == reference → everything fully seen
+    out.select("novelty_frac").as[Double].collect().foreach(_ shouldBe 0.0)
+  }
 }

@@ -80,6 +80,21 @@ class DedupSpec extends SparkTestBase {
     kept shouldBe Array(1L, 3L, 5L) // {1,2,4} collapse to 1
   }
 
+  test("minhashDedupClusteredBy keeps the best-scoring doc per cluster") {
+    // cluster {1,2,4}: give doc 2 the top score — it must win over min-id 1
+    val scored = docs.filter($"text".isNotNull)
+      .withColumn("score", when($"doc_id" === 2, 100L).otherwise($"doc_id"))
+    val kept = Dedup.minhashDedupClusteredBy(scored, "doc_id", "text",
+      "score", threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(2L, 3L, 5L)
+    // all-tied scores: min id wins — identical to minhashDedupClustered
+    val tied = docs.filter($"text".isNotNull).withColumn("score", lit(7L))
+    Dedup.minhashDedupClusteredBy(tied, "doc_id", "text", "score",
+        threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 3L, 5L)
+  }
+
   test("simhash: identical docs share signatures; near-dups within hamming 3") {
     val pairs = Dedup.simhashCandidates(docs.filter($"text".isNotNull), "doc_id", "text")
       .as[(Long, Long, Int)].collect()
