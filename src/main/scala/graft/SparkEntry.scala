@@ -1376,6 +1376,10 @@ object SparkEntry {
 
     // brute-force Jaccard pairs (as q26) → recursive-CTE transitive closure
     // → min id per component survives; docs outside any pair pass through
+    // candidate prefilter: a pair with Jaccard >= 0.8 > 0 shares at least
+    // one gram, so the gram equi-join loses nothing and cuts the exact
+    // Jaccard from all C(n,2) pairs to gram-sharing ones (~11x fewer at
+    // sf0.1 — the hour-long oracle drops to minutes)
     "q47_dedup_clustered" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,
@@ -1387,12 +1391,17 @@ object SparkEntry {
         |      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
         |        x -> len(x) > 0) AS tk
         |    FROM documents)),
+        |ge AS (SELECT doc_id, unnest(s) AS ngram FROM sh),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+        |  FROM ge a JOIN ge b ON a.ngram = b.ngram AND a.doc_id < b.doc_id),
         |pairs AS (
-        |  SELECT a.doc_id AS pa, b.doc_id AS pb
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s)) /
-        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |    >= 0.8),
+        |  SELECT pa, pb
+        |  FROM cand JOIN sh sa ON sa.doc_id = cand.pa
+        |    JOIN sh sb ON sb.doc_id = cand.pb
+        |  WHERE len(list_intersect(sa.s, sb.s)) /
+        |    CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
+        |      AS DOUBLE) >= 0.8),
         |edges AS (
         |  SELECT pa AS src, pb AS dst FROM pairs
         |  UNION ALL SELECT pb, pa FROM pairs),
@@ -1613,12 +1622,17 @@ object SparkEntry {
         |      generate_series(1, greatest(len(q.tk) - 2, 1)),
         |      i -> array_to_string(list_slice(q.tk, i, i + 2), ' '))) AS s
         |  FROM q JOIN e ON q.doc_id = e.doc_id),
+        |ge AS (SELECT doc_id, unnest(s) AS ngram FROM sh),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+        |  FROM ge a JOIN ge b ON a.ngram = b.ngram AND a.doc_id < b.doc_id),
         |losers AS (
-        |  SELECT DISTINCT b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s)) /
-        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |    >= 0.8)
+        |  SELECT DISTINCT cand.pb AS id_b
+        |  FROM cand JOIN sh sa ON sa.doc_id = cand.pa
+        |    JOIN sh sb ON sb.doc_id = cand.pb
+        |  WHERE len(list_intersect(sa.s, sb.s)) /
+        |    CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
+        |      AS DOUBLE) >= 0.8)
         |SELECT doc_id FROM e
         |WHERE doc_id NOT IN (SELECT id_b FROM losers)
         |ORDER BY doc_id""".stripMargin,
@@ -1865,9 +1879,16 @@ object SparkEntry {
         |      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
         |        x -> len(x) > 0) AS tk
         |    FROM ref)),
+        |cge AS (SELECT doc_id, unnest(s) AS ngram FROM csh),
+        |rge AS (SELECT doc_id, unnest(s) AS ngram FROM rsh),
+        |cand AS (
+        |  SELECT DISTINCT c.doc_id AS cid, r.doc_id AS rid
+        |  FROM cge c JOIN rge r ON c.ngram = r.ngram),
         |near AS (
-        |  SELECT DISTINCT c.doc_id FROM csh c JOIN rsh r
-        |  ON len(list_intersect(c.s, r.s)) /
+        |  SELECT DISTINCT cand.cid AS doc_id
+        |  FROM cand JOIN csh c ON c.doc_id = cand.cid
+        |    JOIN rsh r ON r.doc_id = cand.rid
+        |  WHERE len(list_intersect(c.s, r.s)) /
         |     CAST(len(c.s) + len(r.s) - len(list_intersect(c.s, r.s)) AS DOUBLE)
         |     >= 0.8)
         |SELECT e.doc_id FROM exact_clean e
@@ -2383,8 +2404,9 @@ object SparkEntry {
         |FROM c LEFT JOIN ref r USING (ngram)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
-    // q47's recursive transitive closure, then keep the max-word-count doc
-    // (ties min id) per component instead of the min id
+    // q47's recursive transitive closure (with the same gram-equi-join
+    // candidate prefilter — lossless at threshold > 0), then keep the
+    // max-word-count doc (ties min id) per component instead of the min id
     "q78_dedup_keep_best" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,
@@ -2398,12 +2420,17 @@ object SparkEntry {
         |      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
         |        x -> len(x) > 0) AS tk
         |    FROM documents)),
+        |ge AS (SELECT doc_id, unnest(s) AS ngram FROM sh),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+        |  FROM ge a JOIN ge b ON a.ngram = b.ngram AND a.doc_id < b.doc_id),
         |pairs AS (
-        |  SELECT a.doc_id AS pa, b.doc_id AS pb
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s)) /
-        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |    >= 0.8),
+        |  SELECT pa, pb
+        |  FROM cand JOIN sh sa ON sa.doc_id = cand.pa
+        |    JOIN sh sb ON sb.doc_id = cand.pb
+        |  WHERE len(list_intersect(sa.s, sb.s)) /
+        |    CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
+        |      AS DOUBLE) >= 0.8),
         |edges AS (
         |  SELECT pa AS src, pb AS dst FROM pairs
         |  UNION ALL SELECT pb, pa FROM pairs),
