@@ -59,4 +59,32 @@ object Shuffle {
         .cast("long"))
       .drop("__hex")
   }
+
+  /** The WRITE path of the deterministic shuffle — what [[shuffleShard]]'s
+    * doc promises: when only shard FILES are needed (not explicit row
+    * positions), skip the row-number window entirely. One
+    * `repartitionByRange(shard, hex)` + `sortWithinPartitions` places every
+    * row in its shard file in exactly [[shuffleShard]]'s (hex, key) order
+    * with ZERO per-shard rank state, and `partitionBy("shard")` lays the
+    * lake out as `shard=N/` directories a training loader streams in
+    * order.
+    *
+    * 100 TB: the range exchange is the only shuffle; each shard sorts
+    * locally (caller sizes numShards so a shard fits an executor — ~100k
+    * shards at 1 GiB for 100 TB). No window, no global sort, no driver
+    * state.
+    */
+  def writeShards(df: DataFrame, keyCol: String, numShards: Int,
+      path: String, salt: String = ""): Unit = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val hex = hashHex(col(keyCol), salt)
+    val bucket = conv(substring(hex, 1, 8), 16, 10).cast("bigint")
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("__hex", hex)
+      .withColumn("shard", pmod(bucket, lit(numShards.toLong)))
+      .repartitionByRange(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__hex"), col(keyCol))
+      .drop("__hex")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
 }

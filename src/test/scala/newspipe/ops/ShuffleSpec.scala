@@ -55,4 +55,32 @@ class ShuffleSpec extends SparkTestBase {
     out.select("shard").distinct().as[Long].collect() shouldBe Array(0L)
     out.select("pos").as[Long].collect().sorted shouldBe (1L to 50L).toArray
   }
+
+  test("writeShards: shard=N layout, per-file rows in shuffleShard's exact order, no window") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    Shuffle.writeShards(ids, "id", 4, s"$dir/out", "ws")
+    val back = spark.read.parquet(s"$dir/out")
+    // same shard assignment as the row-numbered operator
+    val want = Shuffle.shuffleShard(ids, "id", 4, "ws")
+    back.select("id", "shard").as[(Long, Long)].collect().toSet shouldBe
+      want.select("id", "shard").as[(Long, Long)].collect().toSet
+    // within every written FILE, rows appear in (hex, id) order — the
+    // training loader streams each shard file in permutation order without
+    // any stored positions
+    val perFile = back
+      .withColumn("__f", input_file_name())
+      .withColumn("__hex", md5(concat(lit("ws"), col("id").cast("string"))))
+      .select("__f", "__hex", "id").collect()
+      .groupBy(_.getString(0))
+    perFile.foreach { case (_, rows) =>
+      val hexes = rows.map(r => (r.getString(1), r.getLong(2))).toSeq
+      hexes shouldBe hexes.sortBy(identity)
+    }
+    // and the write plan carried no window (the point of this path)
+    val plan = ids
+      .withColumn("__hex", md5(concat(lit("ws"), col("id").cast("string"))))
+      .repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id").queryExecution.executedPlan.toString
+    plan should not include "Window"
+  }
 }
