@@ -71,6 +71,50 @@ class EdgeCaseSpec extends SparkTestBase {
     Dedup.connectedComponents(noPairs).count() shouldBe 0
   }
 
+  test("round-5 operators on an empty corpus return empty, not a crash") {
+    val emptyW = Seq.empty[(Long, String, Long)].toDF("id", "grp", "w")
+    Winnow.fingerprints(emptyDocs, "doc_id", "text").count() shouldBe 0
+    Winnow.nearDupPairs(emptyDocs, "doc_id", "text").count() shouldBe 0
+    Chunker.chunk(emptyDocs, "doc_id", "text", size = 10).count() shouldBe 0
+    Boilerplate.frequentNgrams(emptyDocs, "doc_id", "text").count() shouldBe 0
+    Boilerplate.frequentNgramsSketch(emptyDocs, "doc_id", "text").count() shouldBe 0
+    Decontaminate.noveltyScore(emptyDocs, emptyDocs, "doc_id", "text").count() shouldBe 0
+    Sampling.takePerGroup(emptyW, "grp", "id", n = 3).count() shouldBe 0
+    Sampling.packSequences(emptyW, "id", "grp", "w", budget = 10L).count() shouldBe 0
+    Sampling.qualityBins(emptyW, "grp", "w", numBins = 4, tieCol = "id").count() shouldBe 0
+    Sampling.resampleToBudget(emptyW, "id", "w", "grp", Map("a" -> 5L)).count() shouldBe 0
+    Dedup.minhashDedupClusteredBy(
+      emptyW.withColumnRenamed("grp", "text"), "id", "text", "w").count() shouldBe 0
+  }
+
+  test("CorpusDiff with an empty side classifies everything one way") {
+    val docs = Seq((1L, "x")).toDF("id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    CorpusDiff.diff(empty, docs, "id", Seq("text"))
+      .select("status").as[String].collect() shouldBe Array("added")
+    CorpusDiff.diff(docs, empty, "id", Seq("text"))
+      .select("status").as[String].collect() shouldBe Array("removed")
+    CorpusDiff.diff(empty, empty, "id", Seq("text")).count() shouldBe 0
+  }
+
+  test("Profile on an empty table reports zero counts and null min/max") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    val rows = Profile.profile(empty, Seq("id", "s"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    rows("id") shouldBe (("id", 0L, 0L, 0L, None, None))
+    rows("s") shouldBe (("s", 0L, 0L, 0L, None, None))
+  }
+
+  test("noveltyScore with an empty reference: everything is fully novel") {
+    val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = Decontaminate.noveltyScore(docs, emptyDocs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+    out.length shouldBe 1
+    out.head._3 shouldBe 0L
+    out.head._4 shouldBe 1.0
+  }
+
   test("multimodal features feed the ANN operators end to end") {
     // the integration path a real pipeline runs: binary media → fixed-dim
     // features → cosine top-k over the feature space
