@@ -145,6 +145,18 @@ object NewspipeExtensions {
           NewspipeSqlBridge.logicalPlan(newspipe.ops.RangeJoin.intervalJoin(
             spark.table(names(0)), spark.table(names(1)),
             names(2), names(3), names(4), width))
+        }),
+      (new FunctionIdentifier("winnow_pairs"),
+        new ExpressionInfo("newspipe.NewspipeExtensions", "winnow_pairs"),
+        (children: Seq[Expression]) => {
+          require(children.length == 4,
+            "winnow_pairs(table, id_col, text_col, min_shared) takes 4 arguments")
+          val names = children.take(3).map(stringArg("winnow_pairs", _))
+          val minShared = longArg("winnow_pairs", children(3))
+          val spark = SparkSession.active
+          NewspipeSqlBridge.logicalPlan(newspipe.ops.Winnow.nearDupPairs(
+            spark.table(names(0)), names(1), names(2),
+            minShared = minShared))
         }))
 
   /** Register on a live session (the extensions hook only applies at session

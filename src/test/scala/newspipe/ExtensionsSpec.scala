@@ -123,6 +123,25 @@ class ExtensionsSpec extends SparkTestBase {
     out shouldBe Array(("w1", 11L), ("w2", 6L))
   }
 
+  test("winnow_pairs is callable in FROM position and matches the DataFrame API") {
+    NewspipeExtensions.register(spark)
+    import spark.implicits._
+    val run = "the licensed text block appears verbatim in both of these documents here today"
+    Seq(
+      (1L, s"alpha beta gamma $run delta epsilon"),
+      (2L, s"zeta eta theta $run kappa lambda"),
+      (3L, "completely unrelated content about something else entirely new")
+    ).toDF("id", "text").createOrReplaceTempView("wdocs")
+    val sql = spark.sql(
+      "SELECT id_a, id_b, n_shared FROM winnow_pairs('wdocs', 'id', 'text', 2) ORDER BY id_a, id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    val df = newspipe.ops.Winnow.nearDupPairs(spark.table("wdocs"),
+        "id", "text", minShared = 2L)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    sql shouldBe df
+    sql.map(p => (p._1, p._2)) should contain((1L, 2L))
+  }
+
   test("table functions reject non-literal and wrong-arity arguments") {
     NewspipeExtensions.register(spark)
     intercept[Exception] {
