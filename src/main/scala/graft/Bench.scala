@@ -37,7 +37,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // metric/value lead the line so a tail-truncated capture still carries
+    // the headline number, and the full JSON is ALSO written to
+    // target/bench.json (round-5 artifact lost 16 per-query times to stdout
+    // truncation under Spark's INFO noise).
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, json + "\n")
+    } catch { case _: Throwable => () } // stdout line below is the contract
+    println(json)
     spark.stop()
   }
 }

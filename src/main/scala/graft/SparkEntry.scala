@@ -999,7 +999,7 @@ object SparkEntry {
 
     // Winnowing fingerprints (MOSS): per-doc sorted distinct sliding-window
     // minima over md5-prefix 4-gram hashes — every hash replayable in SQL
-    // with the repo's ('0x' || substr(md5(g),1,8))::UBIGINT formula
+    // with the ('0x' || substr(md5(g),2,15))::UBIGINT 60-bit formula
     "q70_winnow_fingerprints" -> ((s, dir) => {
       newspipe.ops.Winnow.fingerprints(t(s, dir, "documents"),
           "doc_id", "text", k = 4, w = 4)
@@ -2238,7 +2238,7 @@ object SparkEntry {
         |  FROM toks WHERE len(tk) > 0),
         |hashes AS (
         |  SELECT doc_id,
-        |    [('0x' || substr(md5(x), 1, 8))::UBIGINT for x in g] AS h
+        |    [('0x' || substr(md5(x), 2, 15))::UBIGINT for x in g] AS h
         |  FROM grams),
         |sel AS (
         |  SELECT doc_id, list_sort(list_distinct([
@@ -2263,7 +2263,7 @@ object SparkEntry {
         |  FROM toks WHERE len(tk) > 0),
         |hashes AS (
         |  SELECT doc_id,
-        |    [('0x' || substr(md5(x), 1, 8))::UBIGINT for x in g] AS h
+        |    [('0x' || substr(md5(x), 2, 15))::UBIGINT for x in g] AS h
         |  FROM grams),
         |sel AS (
         |  SELECT doc_id, list_distinct([

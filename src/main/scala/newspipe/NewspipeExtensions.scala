@@ -58,12 +58,20 @@ object NewspipeExtensions {
         (children: Seq[Expression]) => {
           require(children.length == 3,
             "winnow_fingerprints(tokens, k, w) takes exactly 3 arguments")
-          def intLit(e: Expression): Int = {
-            require(e.foldable, "winnow_fingerprints k/w must be literals")
-            e.eval().asInstanceOf[Number].intValue()
+          def intLit(name: String, e: Expression): Int = {
+            require(e.foldable,
+              s"winnow_fingerprints $name must be an integer literal, got $e")
+            e.eval() match {
+              case n: java.lang.Number => n.intValue()
+              case null => throw new IllegalArgumentException(
+                s"winnow_fingerprints $name must be a non-null integer literal")
+              case other => throw new IllegalArgumentException(
+                s"winnow_fingerprints $name must be an integer literal, " +
+                  s"got non-numeric value '$other'")
+            }
           }
           newspipe.functions.WinnowFingerprints(children.head,
-            intLit(children(1)), intLit(children(2)))
+            intLit("k", children(1)), intLit("w", children(2)))
         })) ++ {
       import newspipe.functions.{SentimentAnalyzer, TextFunctions}
       import newspipe.ops.{Dedup, TextStats}
@@ -109,8 +117,10 @@ object NewspipeExtensions {
     require(e.foldable, s"$fn numeric arguments must be literals; got $e")
     e.eval() match {
       case n: java.lang.Number => n.longValue()
+      case null => throw new IllegalArgumentException(
+        s"$fn expects a non-null numeric literal")
       case other => throw new IllegalArgumentException(
-        s"$fn expects a numeric literal, got $other")
+        s"$fn expects a numeric literal, got '$other'")
     }
   }
 

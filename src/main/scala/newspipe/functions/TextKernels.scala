@@ -153,10 +153,15 @@ object WordShingles {
 
 /** Static winnowing kernel (Schleimer, Wilkerson, Aiken — the MOSS local
   * fingerprinting algorithm): positional k-grams of the token stream, each
-  * hashed to the first 32 bits of its md5 (the repo-wide engine-replayable
-  * hash: `('0x' || substr(md5(gram), 1, 8))::UBIGINT` in ANSI SQL), then the
-  * MINIMUM hash of every w-wide sliding window is selected. The result is
-  * the doc's sorted distinct selected values.
+  * hashed to 60 bits of its md5 — hex digits 2-16, the engine-replayable
+  * `('0x' || substr(md5(gram), 2, 15))::UBIGINT` in ANSI SQL (60 bits
+  * rather than 64 so the value is always positive and signed-BIGINT-safe
+  * on every engine) — then the MINIMUM hash of every w-wide sliding window
+  * is selected. The result is the doc's sorted distinct selected values.
+  * At 60 bits, birthday collisions across distinct grams reach ~50% only
+  * around 2^30 ≈ 10^9 distinct grams — corpus scale — where a 32-bit
+  * prefix (an earlier revision) collided routinely past ~10^5 grams,
+  * inflating shared-fingerprint counts between unrelated docs.
   *
   * Guarantee (the reason winnowing beats "every i-th gram" sampling): any
   * shared substring of at least w+k−1 tokens forces BOTH docs to select a
@@ -193,8 +198,11 @@ object WinnowKernel {
       md.reset()
       val d = md.digest(sb.toString.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
-      h(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      // hex digits 2-16 of the md5: low nibble of byte 0, then bytes 1-7
+      h(i) = ((d(0) & 0x0fL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
       i += 1
     }
     val nWin = math.max(h.length - (w - 1), 1)

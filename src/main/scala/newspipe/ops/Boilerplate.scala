@@ -78,6 +78,19 @@ object Boilerplate {
     * The compact per-doc gram frame is checkpointed once and feeds both
     * passes, so tokenize + shingle run once (same shape as
     * [[boilerplateFraction]]).
+    *
+    * Resource lifecycle: the sketch fold runs EAGERLY at call time (the
+    * `treeAggregate` is an action), and the broadcast sketch + checkpoint
+    * blocks stay live while the RETURNED frame is reachable — the probe
+    * UDF's closure holds the broadcast, the frame's lineage holds the
+    * checkpoint. Both are released by the ContextCleaner once the caller
+    * drops the frame (no eager destroy is possible: the result is lazy and
+    * re-executable). Callers looping over many corpora should drop each
+    * result frame before building the next. `localCheckpoint` blocks live
+    * on executors, not reliable storage — an executor loss invalidates the
+    * truncated lineage and fails downstream jobs; on an unreliable cluster
+    * prefer re-running the call (the fold is one pass) over checkpoint
+    * recovery semantics this operator does not provide.
     */
   def frequentNgramsSketch(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minDf: Long = 2L, eps: Double = 1e-4,

@@ -270,19 +270,36 @@ object Dedup {
     * keeps its BEST-scoring doc (`scoreCol` max; ties broken by min id)
     * instead of the min id — the FineWeb-style rule "of near-identical
     * pages, keep the highest-quality one". Same candidate/verify/cluster
-    * pipeline; the winner pick is ONE aggregate per component
-    * (`min(struct(-score, id))` — no window, map-side combinable).
+    * pipeline; the winner pick is ONE aggregate per component — no window
+    * (a hot million-member cluster would sort inside one task), map-side
+    * combinable.
+    *
+    * Winner ordering is `min(struct(score IS NULL, -score, id))`: the
+    * leading null flag sorts every NULL-scored member AFTER every real
+    * score (a bare `-score` would let NULL sort first and "win"), the
+    * negated DOUBLE rank realizes score-descending without the
+    * `Long.MinValue` overflow of negating an integral column, and the id
+    * realizes the min-id tie-break. `scoreCol` must be numeric (checked);
+    * scores beyond 2^53 lose sub-ulp distinctions in the double rank and
+    * resolve by the id tie-break — documented contract, not silent
+    * misordering of finite ranks.
     */
   def minhashDedupClusteredBy(df: DataFrame, idCol: String, textCol: String,
       scoreCol: String, threshold: Double = 0.8, numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
+    require(df.schema(scoreCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"minhashDedupClusteredBy score column '$scoreCol' must be numeric, " +
+        s"got ${df.schema(scoreCol).dataType.simpleString}")
     val cand = minhashCandidates(df, idCol, textCol, numHashes, bands)
     val dups = jaccardVerify(cand, df, idCol, textCol, threshold = threshold)
     val comps = connectedComponents(dups)
     val scored = comps.join(
       df.select(col(idCol).as("id"), col(scoreCol).as("__sc")), Seq("id"))
     val winners = scored.groupBy("comp")
-      .agg(min(struct((-col("__sc")).as("__ns"), col("id").as("__wid")))
+      .agg(min(struct(
+        col("__sc").isNull.as("__nul"),
+        (-coalesce(col("__sc").cast("double"), lit(0.0))).as("__ns"),
+        col("id").as("__wid")))
         .as("__w"))
       .select(col("__w.__wid").as("__winner"))
     val losers = comps

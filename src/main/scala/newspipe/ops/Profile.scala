@@ -29,19 +29,22 @@ object Profile {
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(count(lit(1)).as(s"__n_$c"),
-        count(when(col(c).isNull, 1)).as(s"__nulls_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+    // aggregate aliases are INDEX-based and the unpivot is the typed Column
+    // API (array of structs + explode), so a profiled column whose name
+    // contains quotes/backticks can never break or inject into generated SQL
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(lit(1)).as(s"__n_$i"),
+        count(when(df(c).isNull, 1)).as(s"__nulls_$i"),
+        countDistinct(df(c)).as(s"__nd_$i"),
+        min(df(c)).cast("string").as(s"__min_$i"),
+        max(df(c)).cast("string").as(s"__max_$i"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map { c =>
-      s"'$c', `__n_$c`, `__nulls_$c`, `__nd_$c`, `__min_$c`, `__max_$c`"
-    }.mkString(", ")
-    one.selectExpr(
-      s"stack(${cols.length}, $stacked) AS " +
-        "(col_name, n_rows, n_nulls, n_distinct, min_value, max_value)")
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"), col(s"__n_$i").as("n_rows"),
+        col(s"__nulls_$i").as("n_nulls"), col(s"__nd_$i").as("n_distinct"),
+        col(s"__min_$i").as("min_value"), col(s"__max_$i").as("max_value"))
+    }
+    one.select(explode(array(rows: _*)).as("__r")).select("__r.*")
   }
 }

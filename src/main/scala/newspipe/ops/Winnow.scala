@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
 object Winnow {
 
   /** Per-doc winnowing fingerprints, exploded to (idCol, fingerprint) rows
-    * — sorted distinct 32-bit md5-prefix hashes, replayable in ANSI SQL as
-    * `('0x' || substr(md5(gram), 1, 8))::UBIGINT` over sliding-window
-    * minima. Null-id / null-text / token-free rows are excluded.
+    * — sorted distinct 60-bit md5 hashes, replayable in ANSI SQL as
+    * `('0x' || substr(md5(gram), 2, 15))::UBIGINT` over sliding-window
+    * minima (see [[newspipe.functions.WinnowKernel]] for the width choice).
+    * Null-id / null-text / token-free rows are excluded.
     */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4): DataFrame = {

@@ -95,6 +95,34 @@ class DedupSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 3L, 5L)
   }
 
+  test("minhashDedupClusteredBy: NULL scores never beat a real score; all-NULL falls back to min id") {
+    // cluster {1,2,4}: doc 2 has NULL score, doc 4 the top real score —
+    // 4 must win (a bare min(struct(-score,…)) would crown the NULL)
+    val withNull = docs.filter($"text".isNotNull)
+      .withColumn("score", when($"doc_id" === 2, lit(null).cast("long"))
+        .otherwise(when($"doc_id" === 4, 100L).otherwise($"doc_id")))
+    Dedup.minhashDedupClusteredBy(withNull, "doc_id", "text", "score",
+        threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(3L, 4L, 5L)
+    // every score NULL: keeper degrades to the min-id policy
+    val allNull = docs.filter($"text".isNotNull)
+      .withColumn("score", lit(null).cast("double"))
+    Dedup.minhashDedupClusteredBy(allNull, "doc_id", "text", "score",
+        threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 3L, 5L)
+    // Long extremes survive the double rank (no unary-minus overflow)
+    val extreme = docs.filter($"text".isNotNull)
+      .withColumn("score", when($"doc_id" === 4, Long.MinValue)
+        .otherwise(lit(0L)))
+    Dedup.minhashDedupClusteredBy(extreme, "doc_id", "text", "score",
+        threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 3L, 5L)
+    // non-numeric score column is rejected loudly, not silently misordered
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.minhashDedupClusteredBy(
+        docs.filter($"text".isNotNull), "doc_id", "text", "text")
+  }
+
   test("simhash: identical docs share signatures; near-dups within hamming 3") {
     val pairs = Dedup.simhashCandidates(docs.filter($"text".isNotNull), "doc_id", "text")
       .as[(Long, Long, Int)].collect()

@@ -32,7 +32,8 @@ class WinnowSpec extends SparkTestBase {
       val vs = rows.map(_._2).toSeq
       vs shouldBe vs.sorted
       vs.distinct.length shouldBe vs.length
-      vs.foreach { v => v should be >= 0L; v should be < 4294967296L }
+      // 60-bit hashes (md5 hex digits 2-16): always in [0, 2^60)
+      vs.foreach { v => v should be >= 0L; v should be < (1L << 60) }
     }
   }
 
