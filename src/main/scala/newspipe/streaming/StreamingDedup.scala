@@ -1,7 +1,9 @@
 package newspipe.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
 
 /** Streaming exact deduplication — the incremental-ingestion form of
   * [[newspipe.ops.Dedup.exact]]: drop any document whose content digest was
@@ -70,5 +72,135 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("__sigkey")
       .drop("__sigkey")
     deduped.unionByName(marked.filter(!hasTokens))
+  }
+
+  /** Streaming near-dedup at BAND granularity — the cross-batch analogue of
+    * batch [[newspipe.ops.Dedup.minhashCandidates]]: a document is suppressed
+    * iff any of its LSH band buckets was already claimed by an earlier
+    * document inside the watermark horizon, i.e. iff the batch operator run
+    * over the same corpus would emit a candidate pair (earlier, this). That
+    * is band-level (Jaccard ≈ threshold) recall, where [[nearBySignature]]
+    * only catches full-signature collisions (J ≈ 1).
+    *
+    * Shape: signatures + banding are per-row projections (the same native
+    * kernels as batch); ONE shuffle keys (band, bucket) into
+    * `flatMapGroupsWithState` whose state is a single timestamp per bucket
+    * ever claimed inside the horizon — watermark-bounded via event-time
+    * timeout, O(bands) entries per distinct doc, each a few bytes (no
+    * signature, no text — skew-proof by construction: a hot bucket holds
+    * ONE state entry regardless of how many docs hash into it). Every
+    * arriving doc claims its buckets whether or not it is itself suppressed
+    * (the batch-candidate parity semantic: chains a~b~c suppress c even
+    * though a,c never shared a bucket). The per-doc combine of the 16 band
+    * verdicts (keep iff EVERY band was fresh) is deliberately NOT a second
+    * stateful operator — Structured Streaming's global-watermark
+    * correctness check rejects stateful-after-flatMapGroupsWithState — but
+    * a STATELESS hash exchange on the doc id plus a per-partition in-memory
+    * group-by (`mapPartitions`): a doc's band rows always share a
+    * micro-batch, so the combine never needs cross-batch state, and its
+    * memory is bounded by the micro-batch, not the stream.
+    *
+    * Differences from the batch pipeline, by design: no Jaccard
+    * verification pass (a streaming state store cannot re-join shingle sets
+    * without unbounded stream-stream lag), so precision is the banding
+    * threshold curve rather than exact-verified — the standard
+    * ingest-time-filter / batch-verify split. Rows arriving later than the
+    * watermark may be re-admitted once their buckets' state expires — the
+    * same late-data trade as [[exact]].
+    *
+    * @param idCol unique doc id (any atomic type; keyed as its string form)
+    */
+  def nearBanded(stream: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String = "1 hour", numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    import newspipe.ops.Dedup
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val horizonMs = horizonMillis(watermark)
+    val rowsPerBand = numHashes / bands
+    val schema = stream.schema
+
+    val toks = Dedup.tokens(col(textCol))
+    val hasTokens = col(textCol).isNotNull && size(toks) > 0
+    val marked = stream.withWatermark(tsCol, watermark)
+
+    // (docid, tsms, row, band, bucket) + the watermarked event-time column
+    // (carried so EventTimeTimeout sees a watermark attribute downstream)
+    val banded = marked.filter(hasTokens)
+      .withColumn("__sig",
+        Dedup.minhashSignature(Dedup.shinglesFromTokens(toks), numHashes))
+      .select(
+        col(idCol).cast("string").as("__docid"),
+        unix_millis(col(tsCol)).as("__tsms"),
+        struct(schema.fieldNames.map(col).toSeq: _*).as("__row"),
+        explode(Dedup.lshBands(col("__sig"), bands, rowsPerBand)).as("__bb"),
+        col(tsCol).as("__evt"))
+      .select(col("__docid"), col("__tsms"), col("__row"),
+        col("__bb.band").as("__band"), col("__bb.bucket").as("__bucket"),
+        col("__evt"))
+
+    val midSchema = StructType(Seq(
+      StructField("__docid", StringType),
+      StructField("__fresh", IntegerType, nullable = false),
+      StructField("__row", schema)))
+    val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+
+    // Stage 1 — per-(band,bucket) claim state. Greedy within a batch: rows
+    // sort by (event time, id) and only the first into a previously-empty
+    // bucket is fresh — exactly the doc the batch operator would pair the
+    // rest against.
+    val perBand: (((Int, Long), Iterator[Row], GroupState[Long]) => Iterator[Row]) =
+      (_, it, state) => {
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val rows = it.toArray.sortBy(r => (r.getLong(1), r.getString(0)))
+          val wasOccupied = state.exists
+          var last = state.getOption.getOrElse(Long.MinValue)
+          rows.foreach(r => last = math.max(last, r.getLong(1)))
+          state.update(last)
+          state.setTimeoutTimestamp(
+            math.max(last + horizonMs, state.getCurrentWatermarkMs() + 1))
+          rows.iterator.zipWithIndex.map { case (r, i) =>
+            Row(r.getString(0), if (!wasOccupied && i == 0) 1 else 0,
+              r.getStruct(2))
+          }
+        }
+      }
+    val tagged = banded
+      .groupByKey(r => (r.getInt(3), r.getLong(4)))(keyEnc)
+      .flatMapGroupsWithState[Long, Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(perBand)(
+        Encoders.scalaLong, Encoders.row(midSchema))
+
+    // Stage 2 — per-doc AND of the band verdicts: hash exchange on the doc
+    // id co-locates a doc's band rows, then a per-partition map combines
+    // them within the micro-batch. Stateless, so the single stateful
+    // operator above is the query's only state.
+    val kept = tagged.repartition(col("__docid"))
+      .mapPartitions { it =>
+        val acc = new java.util.LinkedHashMap[String, (Boolean, Row)]()
+        it.foreach { r =>
+          val id = r.getString(0)
+          val fresh = r.getInt(1) == 1
+          val prev = acc.get(id)
+          if (prev == null) acc.put(id, (fresh, r.getStruct(2)))
+          else acc.put(id, (prev._1 && fresh, prev._2))
+        }
+        import scala.jdk.CollectionConverters._
+        acc.values.iterator.asScala.collect { case (true, row) => row }
+      }(Encoders.row(schema))
+
+    kept.toDF().unionByName(marked.filter(!hasTokens))
+  }
+
+  /** Watermark horizon string → milliseconds (day/time units only — Spark
+    * itself rejects month-based watermark delays as non-fixed durations).
+    */
+  private def horizonMillis(watermark: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+    require(iv.months == 0,
+      s"watermark horizon must use day/time units, got '$watermark'")
+    iv.days * 86400000L + iv.microseconds / 1000L
   }
 }

@@ -96,6 +96,107 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  // ---- nearBanded: band-level streaming near-dedup --------------------------
+
+  // six distinct base docs with disjoint vocabularies, so only the PLANTED
+  // near-dup pairs band together
+  private val bases = Seq(
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa",
+    "quebec romeo sierra tango uniform victor whiskey xray yankee zulu amber bronze copper diamond emerald flint",
+    "gamma helium iodine krypton lithium mercury neon oxygen platinum radon silicon titanium uranium xenon zinc argon",
+    "apple banana cherry date elderberry fig grape honeydew kiwi lemon mango nectarine orange papaya quince raspberry",
+    "anchor beacon cabin dynamo engine flagpole gear harbor island jetty keel lantern mast nautical oar port",
+    "acorn birch cedar dogwood elm fir ginkgo hawthorn ironwood juniper koa larch maple nutmeg oak pine")
+
+  test("nearBanded: cross-batch suppression parity with batch minhashCandidates") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch 1: docs 0-5 (the six bases). batch 2: docs 6-8 = one-word edits
+    // of bases 0-2 (shingle Jaccard ≈ 0.8 — NOT signature-identical), doc 9
+    // = a fresh base, doc 10 = an exact copy of base 3.
+    val b1 = bases.zipWithIndex.map { case (t, i) =>
+      (i.toLong, ts(s"2026-01-01 10:0$i:00"), t) }
+    val b2 = Seq(
+      (6L, ts("2026-01-01 10:10:00"), bases(0).replace("kilo", "kappa")),
+      (7L, ts("2026-01-01 10:11:00"), bases(1).replace("amber", "auburn")),
+      (8L, ts("2026-01-01 10:12:00"), bases(2).replace("neon", "nitrogen")),
+      (9L, ts("2026-01-01 10:13:00"), bases(5).split(" ").reverse.mkString(" ")),
+      (10L, ts("2026-01-01 10:14:00"), bases(3)))
+    val all = (b1 ++ b2).toDF("id", "ts", "text")
+
+    // the batch operator's verdict over the SAME corpus: a doc is suppressed
+    // iff it is the LATER side of any candidate pair (ids follow arrival
+    // order, and minhashCandidates emits id_a < id_b)
+    val suppressed = newspipe.ops.Dedup
+      .minhashCandidates(all, "id", "text")
+      .select("id_b").as[Long].collect().toSet
+    val expectedKept = (0L to 10L).toSet -- suppressed
+    // the test only bites if banding actually pairs the planted edits but
+    // not the unrelated docs
+    suppressed should contain allOf (6L, 7L, 10L)
+    suppressed should not contain 9L
+
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingDedup.nearBanded(stream.toDF().toDF("id", "ts", "text"),
+        "id", "text", "ts", watermark = "1 hour")
+      .writeStream.format("memory").queryName("snb_parity")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+      val kept = spark.table("snb_parity").select("id").as[Long].collect().toSet
+      kept shouldBe expectedKept
+    } finally q.stop()
+  }
+
+  test("nearBanded: suppressed docs still claim buckets (chain parity) and state expires by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val a = bases(0)
+    val b = bases(0).replace("kilo", "kappa")   // ~0.8 vs a
+    val c = bases(0).replace("kilo", "kappa").replace("papa", "peter") // near b
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingDedup.nearBanded(stream.toDF().toDF("id", "ts", "text"),
+        "id", "text", "ts", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("snb_chain")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, ts("2026-01-01 10:00:00"), a))
+      q.processAllAvailable()
+      stream.addData((2L, ts("2026-01-01 10:01:00"), b)) // suppressed by a
+      q.processAllAvailable()
+      stream.addData((3L, ts("2026-01-01 10:02:00"), c)) // suppressed via b's claim
+      q.processAllAvailable()
+      // advance the watermark far past every claim, expiring all state
+      stream.addData((4L, ts("2026-01-01 12:00:00"), bases(4)))
+      q.processAllAvailable()
+      stream.addData((5L, ts("2026-01-01 12:01:00"), a)) // re-admitted
+      q.processAllAvailable()
+      val kept = spark.table("snb_chain").select("id").as[Long].collect().toSet
+      kept shouldBe Set(1L, 4L, 5L)
+    } finally q.stop()
+  }
+
+  test("nearBanded: tokenless rows pass through; distinct docs in one batch all survive") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingDedup.nearBanded(stream.toDF().toDF("id", "ts", "text"),
+        "id", "text", "ts", watermark = "1 hour")
+      .writeStream.format("memory").queryName("snb_null")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (1L, ts("2026-01-01 10:00:00"), null.asInstanceOf[String]),
+        (2L, ts("2026-01-01 10:01:00"), ""),
+        (3L, ts("2026-01-01 10:02:00"), "###"),
+        (4L, ts("2026-01-01 10:03:00"), bases(0)),
+        (5L, ts("2026-01-01 10:04:00"), bases(1)))
+      q.processAllAvailable()
+      spark.table("snb_null").select("id").as[Long].collect().toSet shouldBe
+        Set(1L, 2L, 3L, 4L, 5L)
+    } finally q.stop()
+  }
+
   test("nearBySignature: tokenless rows pass through instead of collapsing onto one state key") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, String)]
