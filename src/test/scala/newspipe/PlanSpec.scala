@@ -59,6 +59,15 @@ class PlanSpec extends SparkTestBase {
     executed(df) should include("*(1) HashAggregate")
   }
 
+  test("sentiment enrichment plans with no ScalaUDF node (native expression, no codegen barrier)") {
+    val df = spark.read.parquet(s"$parquetDir/flat").withColumn("s",
+      newspipe.functions.SentimentAnalyzer.sentiment($"name"))
+    val plan = executed(df)
+    plan should not include "ScalaUDF"
+    // still fused into a WholeStageCodegen span
+    plan should include("*(1)")
+  }
+
   test("native DQ dup detection: key-only aggregate + broadcast join back, no full-row shuffle") {
     import newspipe.dq.{DqConfig, NativeDq}
     val df = spark.read.parquet(s"$parquetDir/flat")

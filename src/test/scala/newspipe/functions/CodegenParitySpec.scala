@@ -99,6 +99,28 @@ class CodegenParitySpec extends SparkTestBase {
     g shouldBe i
   }
 
+  test("SentimentScore: codegen = interpreted = legacy UDF") {
+    val texts = Seq(
+      (1L, "this is a very good and truly wonderful excellent result"),
+      (2L, "a terrible awful disaster, not good at all"),
+      (3L, "not bad, actually quite nice"),
+      (4L, "nothing scored here, plain reporting text"),
+      (5L, null.asInstanceOf[String]),
+      (6L, ""),
+      (7L, "barely helpful but extremely slow and somewhat disappointing")
+    ).toDF("id", "text")
+    def native = texts.select($"id",
+      SentimentAnalyzer.sentiment($"text").as("s"))
+    val (g, i) = bothWays(native)
+    g shouldBe i
+    // the native expression must be float-identical to the UDF it replaced
+    // (q20's oracle replays the UDF's arithmetic)
+    val viaUdf = texts.select($"id",
+        SentimentAnalyzer.sentimentUdf($"text").as("s"))
+      .collect().map(_.toString).toSeq.sorted
+    g shouldBe viaUdf
+  }
+
   test("TokenizeWords + WordShingles: codegen = interpreted") {
     def frame = docs.select($"id",
       TextKernels.tokens($"text").as("toks"),
