@@ -7,12 +7,38 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * `write_to_datalake_and_hive` (_lib_dq_helpers.py:21-54,198-233) and its
   * `spark.read.format("delta").load` call sites, behind a format abstraction.
   *
-  * The reference's storage format is Delta, but the only Delta semantics it
+  * The reference's storage format is Delta, but the Delta semantics it
   * exercises are batch read, append/overwrite write, and partitionBy — all
-  * fully covered by Parquet + directory layout (SURVEY.md §2.1 S3). This
-  * build has no Delta jars (zero-egress image), so `format` defaults to
-  * parquet; ACID/time-travel are not exercised by the reference and not
-  * claimed here.
+  * covered by Parquet + directory layout (SURVEY.md §2.1 S3). This build has
+  * no Delta jars (zero-egress image), so `format` defaults to parquet. The
+  * one Delta property a plain `mode("overwrite")` genuinely lacks — readers
+  * never observing a half-written replacement — is provided by
+  * [[Lake.writeAtomic]]'s snapshot protocol (below); time travel beyond
+  * current-snapshot reads is not claimed.
+  *
+  * === Atomic overwrite protocol ===
+  *
+  * {{{
+  * layer/_v/<version>/        — one complete snapshot per overwrite
+  * layer/_v/<version>/_COMMITTED  — zero-byte marker, created AFTER the data
+  * }}}
+  *
+  * A snapshot write lands entirely under a fresh version directory and only
+  * then creates the `_COMMITTED` marker — a single file creation, atomic in
+  * visibility on local/HDFS semantics (and a single PUT on object stores),
+  * deliberately NOT a rename-over-existing (HDFS refuses those, and
+  * delete-then-rename opens a no-pointer window). Readers list `_v`, keep
+  * committed versions only, and load the lexicographic max — so a reader
+  * racing an overwrite sees the previous complete snapshot or the new one,
+  * never a mix, never partial files. A crashed writer leaves an
+  * uncommitted orphan directory that no reader ever resolves;
+  * [[Lake.vacuum]] reclaims orphans and superseded snapshots (retention
+  * contract: don't vacuum below what in-flight readers may still hold).
+  *
+  * Version ids are zero-padded millis + a random suffix: lexicographic
+  * order = time order; two writers in the same millisecond resolve
+  * arbitrarily (last committed wins on the next read), the same
+  * last-writer-wins contract as Delta's blind overwrite.
   */
 final case class LakeConfig(
     basePath: String,
@@ -21,10 +47,18 @@ final case class LakeConfig(
 
 final class Lake(spark: SparkSession, config: LakeConfig) {
 
+  import org.apache.hadoop.fs.Path
+
   private def layerPath(layer: String): String =
     s"${config.basePath.stripSuffix("/")}/$layer"
 
-  /** Ref _lib:21-54: writer-builder with optional partitioning. */
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Ref _lib:21-54: writer-builder with optional partitioning. Flat layout;
+    * `overwrite` here is the plain non-atomic replace (a concurrent reader
+    * can glimpse a partial layer) — use [[writeAtomic]] where that matters.
+    */
   def write(df: DataFrame, layer: String,
       partitionBy: Seq[String] = Nil, mode: String = "append"): String = {
     val path = layerPath(layer)
@@ -34,18 +68,80 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     path
   }
 
-  /** Ref 02:29, 03:30: batch read of a layer. */
-  def read(layer: String): DataFrame =
-    spark.read.format(config.format).load(layerPath(layer))
+  /** ATOMIC full replacement of a layer (see the protocol in the class doc):
+    * write a complete new snapshot, then commit it with one marker-file
+    * creation. Returns the committed snapshot path.
+    */
+  def writeAtomic(df: DataFrame, layer: String,
+      partitionBy: Seq[String] = Nil): String = {
+    val version = f"${System.currentTimeMillis()}%016d-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val snap = new Path(s"${layerPath(layer)}/_v/$version")
+    var writer = df.write.format(config.format).mode("errorifexists")
+    if (partitionBy.nonEmpty) writer = writer.partitionBy(partitionBy: _*)
+    writer.save(snap.toString)
+    fs(snap).createNewFile(new Path(snap, "_COMMITTED"))
+    snap.toString
+  }
+
+  /** Latest committed snapshot dir of a layer, if the layer uses the
+    * snapshot protocol.
+    */
+  private def latestSnapshot(layer: String): Option[Path] = {
+    val vdir = new Path(s"${layerPath(layer)}/_v")
+    val f = fs(vdir)
+    if (!f.exists(vdir)) None
+    else f.listStatus(vdir).iterator
+      .filter(s => s.isDirectory && f.exists(new Path(s.getPath, "_COMMITTED")))
+      .map(_.getPath)
+      .reduceOption((a, b) => if (a.getName >= b.getName) a else b)
+  }
+
+  /** Ref 02:29, 03:30: batch read of a layer. Resolves the snapshot pointer
+    * when the layer was written with [[writeAtomic]]; falls back to the flat
+    * layout otherwise. `mergeSchema` unions parquet footers across files —
+    * the schema-evolution read for layers whose appends added columns
+    * (rows from pre-evolution files read null for the new columns).
+    */
+  def read(layer: String, mergeSchema: Boolean = false): DataFrame = {
+    val target = latestSnapshot(layer).map(_.toString).getOrElse(layerPath(layer))
+    val reader = spark.read.format(config.format)
+    (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
+      .load(target)
+  }
+
+  /** Reclaim snapshot storage: keep the newest `keep` committed snapshots,
+    * delete older ones plus uncommitted orphans (a crashed writer's debris).
+    * Never deletes the newest committed snapshot. Callers own the retention
+    * window — a reader still scanning a snapshot that vacuum deletes will
+    * fail mid-scan, exactly Delta's VACUUM contract.
+    */
+  def vacuum(layer: String, keep: Int = 2): Unit = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val vdir = new Path(s"${layerPath(layer)}/_v")
+    val f = fs(vdir)
+    if (f.exists(vdir)) {
+      val all = f.listStatus(vdir).filter(_.isDirectory).map(_.getPath)
+      val committed = all.filter(p => f.exists(new Path(p, "_COMMITTED")))
+        .sortBy(_.getName)(Ordering[String].reverse)
+      val keepSet = committed.take(keep).map(_.getName).toSet
+      all.filterNot(p => keepSet.contains(p.getName))
+        .foreach(p => f.delete(p, true))
+    }
+  }
 
   /** Ref _lib:198-233: lake write + catalog publish. The reference writes the
     * data TWICE (delta `save` + hive `saveAsTable`, recomputing the plan);
     * here the second copy is a metastore-managed table written once from the
     * (already narrow) frame. Works against Hive or the in-memory catalog.
+    * Overwrite mode routes the path copy through the atomic snapshot
+    * protocol, so layer readers never see a partial publish.
     */
   def writeAndPublish(df: DataFrame, layer: String, table: String,
       partitionBy: Seq[String] = Nil, mode: String = "overwrite"): String = {
-    val path = write(df, layer, partitionBy, mode)
+    val path =
+      if (mode == "overwrite") writeAtomic(df, layer, partitionBy)
+      else write(df, layer, partitionBy, mode)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${config.database}")
     df.write.format(config.format).mode(SaveMode.valueOf(mode.capitalize))
       .saveAsTable(s"${config.database}.$table")

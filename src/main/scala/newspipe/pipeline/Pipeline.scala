@@ -50,7 +50,9 @@ object Pipeline {
     val qRows = quarantine.map { q =>
       lake.write(q, "quarantine", mode = "append"); q.count()
     }.getOrElse(0L)
-    lake.write(silver, "silver", partitionBy = Seq("COUNTRY"), mode = "overwrite")
+    // atomic snapshot: a gold build re-reading silver mid-overwrite (or any
+    // concurrent reader) resolves a complete snapshot, never partial files
+    lake.writeAtomic(silver, "silver", partitionBy = Seq("COUNTRY"))
     // both DQ branches are written — drop the shared tagged-frame cache so
     // repeated runs on one session don't accumulate pinned executor memory
     dq.release()
@@ -60,7 +62,7 @@ object Pipeline {
     val (ds, da, fact) = Gold.build(silverBack, config.keyMode)
     def sink(df: DataFrame, layer: String, table: String): Unit =
       if (config.publish) lake.writeAndPublish(df, layer, table)
-      else { lake.write(df, layer, mode = "overwrite"); () }
+      else { lake.writeAtomic(df, layer); () }
     sink(ds, "gold/dim_source", "dim_source")
     sink(da, "gold/dim_author", "dim_author")
     sink(fact, "gold/fact_news_articles", "fact_news_articles")

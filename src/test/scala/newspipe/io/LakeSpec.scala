@@ -64,6 +64,75 @@ class LakeSpec extends SparkTestBase {
     spark.sql("DROP TABLE news_articles.t_hive_spec")
   }
 
+  test("writeAtomic: a reader mid-overwrite sees only the old or the new complete snapshot") {
+    val lake = tmpLake()
+    val v1 = lake.writeAtomic(Seq((1, "a"), (2, "b")).toDF("id", "v"), "silver")
+    lake.read("silver").count() shouldBe 2
+
+    // simulate a writer crashed/in-flight: a second snapshot directory with
+    // data files but NO _COMMITTED marker — readers must still resolve v1
+    val uncommitted = new java.io.File(v1).getParentFile.toPath
+      .resolve("9999999999999999-zzzzzzzz")
+    Seq((10, "x"), (11, "y"), (12, "z")).toDF("id", "v")
+      .write.parquet(uncommitted.toString)
+    lake.read("silver").count() shouldBe 2 // still the old snapshot
+
+    // commit marker lands → the new snapshot becomes visible atomically
+    java.nio.file.Files.createFile(uncommitted.resolve("_COMMITTED"))
+    lake.read("silver").count() shouldBe 3
+  }
+
+  test("writeAtomic under a concurrent reader loop: every read is a complete snapshot") {
+    val lake = tmpLake()
+    lake.writeAtomic(Seq.tabulate(10)(i => (i, "v1")).toDF("id", "v"), "layer")
+    @volatile var bad = List.empty[Long]
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        val n = lake.read("layer").count()
+        if (n != 10 && n != 50) bad ::= n
+      }
+    })
+    reader.start()
+    try {
+      (1 to 3).foreach { _ =>
+        lake.writeAtomic(Seq.tabulate(50)(i => (i, "v2")).toDF("id", "v"), "layer")
+        lake.writeAtomic(Seq.tabulate(10)(i => (i, "v3")).toDF("id", "v"), "layer")
+      }
+    } finally { stop = true; reader.join() }
+    bad shouldBe empty // no torn read: always exactly one snapshot's rows
+  }
+
+  test("vacuum keeps the newest snapshots and reclaims orphans") {
+    val lake = tmpLake()
+    val v1 = lake.writeAtomic(Seq((1, "a")).toDF("id", "v"), "layer")
+    val v2 = lake.writeAtomic(Seq((2, "b")).toDF("id", "v"), "layer")
+    val v3 = lake.writeAtomic(Seq((3, "c")).toDF("id", "v"), "layer")
+    // an uncommitted orphan (crashed writer debris)
+    val orphan = new java.io.File(v1).getParentFile.toPath.resolve("0000-orphan")
+    Seq((9, "o")).toDF("id", "v").write.parquet(orphan.toString)
+
+    lake.vacuum("layer", keep = 2)
+    new java.io.File(v1).exists() shouldBe false
+    java.nio.file.Files.exists(orphan) shouldBe false
+    new java.io.File(v2).exists() shouldBe true
+    new java.io.File(v3).exists() shouldBe true
+    lake.read("layer").as[(Int, String)].head() shouldBe ((3, "c"))
+  }
+
+  test("read(mergeSchema): appends that added a column read as one evolved schema") {
+    val lake = tmpLake()
+    lake.write(Seq((1, "a")).toDF("id", "v"), "bronze", mode = "append")
+    lake.write(Seq((2, "b", "extra")).toDF("id", "v", "note"), "bronze",
+      mode = "append")
+    // default read keeps whichever footer schema wins; the evolved read
+    // unions them — old rows read null for the added column
+    val evolved = lake.read("bronze", mergeSchema = true)
+    evolved.schema.fieldNames.sorted shouldBe Array("id", "note", "v")
+    evolved.filter($"id" === 1).select("note").head().isNullAt(0) shouldBe true
+    evolved.filter($"id" === 2).select("note").as[String].head() shouldBe "extra"
+  }
+
   test("JsonSource reads with the EXPLICIT bronze schema — missing keys are null, not errors") {
     val df = JsonSource.fromJsonLines(spark, Seq(
       """{"title":"only title","url":"https://x.com/1"}"""))

@@ -8,6 +8,12 @@ import java.nio.file.Files
 class EndToEndSpec extends SparkTestBase {
   import spark.implicits._
 
+  /** Latest committed snapshot dir of an atomically-written layer. */
+  private def latestSnapshot(layerPath: String): java.io.File =
+    new java.io.File(s"$layerPath/_v").listFiles()
+      .filter(d => new java.io.File(d, "_COMMITTED").exists())
+      .maxBy(_.getName)
+
   private val fixtures = Seq(
     """{"source":{"name":"BBC"},"author":"Alice","title":"Excellent results","description":"d","url":"https://bbc.co.uk/1","publishedAt":"2026-01-02T10:00:00Z","content":"c"}""",
     """{"source":{"name":"CNN"},"author":"Bob","title":null,"description":"bad","url":"https://cnn.com/2","publishedAt":"2026-01-02T11:00:00Z","content":"c"}""",
@@ -26,12 +32,13 @@ class EndToEndSpec extends SparkTestBase {
     result.factRows shouldBe 2
     result.dimSourceRows shouldBe 2 // BBC, CNN
 
-    // layers exist on disk; silver is COUNTRY-partitioned
-    new java.io.File(s"$base/silver").listFiles()
+    // layers exist on disk; silver's committed snapshot is COUNTRY-partitioned
+    val lake = new newspipe.io.Lake(spark, LakeConfig(base))
+    latestSnapshot(s"$base/silver").listFiles()
       .map(_.getName).exists(_.startsWith("COUNTRY=")) shouldBe true
-    spark.read.parquet(s"$base/gold/fact_news_articles").count() shouldBe 2
+    lake.read("gold/fact_news_articles").count() shouldBe 2
     // dim_date spans the fact's published dates (2026-01-02 .. 2026-01-03)
-    val dimDate = spark.read.parquet(s"$base/gold/dim_date")
+    val dimDate = lake.read("gold/dim_date")
     dimDate.count() shouldBe 2
     dimDate.select("DATE_ID").as[String].collect().sorted shouldBe
       Array("20260102", "20260103")
@@ -84,6 +91,10 @@ class EndToEndSpec extends SparkTestBase {
     second.silverRows shouldBe 3
     // the bad row is re-quarantined on the second full-layer pass (appended)
     spark.read.parquet(s"$base/quarantine").count() shouldBe 2
-    spark.read.parquet(s"$base/gold/fact_news_articles").count() shouldBe 3
+    val lake = new newspipe.io.Lake(spark, LakeConfig(base))
+    lake.read("gold/fact_news_articles").count() shouldBe 3
+    // the first run's silver snapshot is still on disk (both committed)
+    new java.io.File(s"$base/silver/_v").listFiles()
+      .count(d => new java.io.File(d, "_COMMITTED").exists()) shouldBe 2
   }
 }
