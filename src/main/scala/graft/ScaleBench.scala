@@ -80,21 +80,31 @@ object ScaleBench {
     }.reduce(_ union _)
   }
 
-  /** Copy-rotated embeddings with q40-style planted near-dups per copy. */
+  /** Copy-transformed embeddings with q40-style planted near-dups per copy.
+    * Copy k applies a SIGNED ROTATION: rotate coordinates by k mod dim, then
+    * multiply coordinate j by a deterministic ±1 drawn from md5(k/dim, j).
+    * Both factors are orthogonal, so within-copy cosines (and the planted
+    * twins) are preserved exactly; the relative transform between any two
+    * copies is a signed permutation with a copy-specific sign pattern, so
+    * cross-copy cosines stay shifted/sign-scrambled autocorrelations of
+    * pseudo-random vectors — far below threshold. The sign factor is what
+    * lifts the old `copies <= dim` rotation-wrap cap: copies k and k+dim
+    * share the rotation but differ in ~half the signs.
+    */
   private def scrambledEmbeddings(spark: SparkSession, dir: String, copies: Int): DataFrame = {
-    // rotation by k wraps at the dimension: copy k+dim would be IDENTICAL
-    // to copy k (cos=1.0 cross-copy pairs → quadratic growth the harness
-    // exists to rule out), so refuse rather than silently mismeasure
-    require(copies <= 64,
-      s"embedding copies capped at dim=64 (rotation wraps); got $copies")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     (0 until copies).map { k =>
-      // rotation by k: orthogonal, so within-copy cosines are exact
+      val signSalt = k / 64 // pure rotation for k < 64 (back-compat with the 10x runs)
       val rotated = emb.select(
         (col("vec_id") + k.toLong * 10000000L).as("vec_id"),
-        transform(col("v"), (x, i) =>
-          element_at(col("v"), pmod(i + lit(k), size(col("v"))) + 1)).as("v"))
+        transform(col("v"), (x, i) => {
+          val r = element_at(col("v"), pmod(i + lit(k % 64), size(col("v"))) + 1)
+          if (signSalt == 0) r
+          else r * when(
+            conv(substring(md5(concat_ws("_", lit(signSalt), i)), 1, 4), 16, 10)
+              .cast("int") % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+        }).as("v"))
       val planted = rotated.filter(col("vec_id") % 10000000L < 50)
         .select((col("vec_id") + 100000L).as("vec_id"),
           transform(col("v"), (x, i) =>

@@ -107,9 +107,8 @@ object Boilerplate {
       (s, r) => { s.addString(r.getString(0)); s },
       (a, b) => { a.mergeInPlace(b); a })
     val bc = stream.sparkSession.sparkContext.broadcast(cms)
-    val plausible = udf((g: String) =>
-      g != null && bc.value.estimateCount(g) >= minDf)
-    stream.filter(plausible(col("ngram")))
+    // native codegen'd probe (no ScalaUDF node), scan-side as before
+    stream.filter(newspipe.functions.CmsAtLeast.probe(col("ngram"), bc, minDf))
       .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") >= minDf)
   }

@@ -460,10 +460,11 @@ object Dedup {
       (f, r) => { f.putString(r.getString(0)); f },
       (a, b) => { a.mergeInPlace(b); a })
     val bc = corpus.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((d: String) => d != null && bc.value.mightContainString(d))
+    // native codegen'd probe (no ScalaUDF node): null digest → null → dropped
+    // by the filter, same as the UDF's `d != null && …` false
     val dupIds = corpus
       .select(col(idCol).as("__dupid"), digest.as("__d"))
-      .filter(mightContain(col("__d")))
+      .filter(newspipe.functions.BloomMightContain.probe(col("__d"), bc))
       .join(refDigests.distinct(), col("__d") === col("__refd"), "left_semi")
       .select("__dupid")
     corpus.join(dupIds, col(idCol) === col("__dupid"), "left_anti")

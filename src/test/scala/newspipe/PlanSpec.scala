@@ -277,6 +277,9 @@ class PlanSpec extends SparkTestBase {
     // verify and the final anti-join — never a corpus-wide sort-merge
     plan should not include "SortMergeJoin"
     plan should not include "CartesianProduct"
+    // and it is the native broadcast-sketch expression, not a ScalaUDF
+    plan should not include "ScalaUDF"
+    plan should include("bloom_might_contain")
   }
 
   test("vocab: tf aggregate does map-side partial combine") {
@@ -300,9 +303,11 @@ class PlanSpec extends SparkTestBase {
     // appears AFTER (deeper than) the exchange line
     plan should include("partial_count")
     val exchangeIdx = plan.indexOf("Exchange")
-    val probeIdx = plan.indexOf("UDF(ngram")
+    val probeIdx = plan.indexOf("cms_at_least")
     exchangeIdx should be >= 0
     probeIdx should be > exchangeIdx
+    // native broadcast-sketch probe, not a ScalaUDF
+    plan should not include "ScalaUDF"
     plan should not include "Window"
   }
 

@@ -99,6 +99,28 @@ class CodegenParitySpec extends SparkTestBase {
     g shouldBe i
   }
 
+  test("BloomMightContain + CmsAtLeast: codegen = interpreted (incl. null propagation)") {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    bf.putString("the quick brown fox jumps over the lazy dog tonight")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.create(0.001, 0.99, 1)
+    (1 to 3).foreach(_ =>
+      cms.addString("completely different text about spark engines at scale"))
+    val bcBf = spark.sparkContext.broadcast(bf)
+    val bcCms = spark.sparkContext.broadcast(cms)
+    def frame = docs.select($"id",
+      BloomMightContain.probe($"text", bcBf).as("bloom"),
+      CmsAtLeast.probe($"text", bcCms, 2L).as("cms"))
+    val (g, i) = bothWays(frame)
+    g shouldBe i
+    // sanity: the planted members actually probe true
+    val byId = frame.collect().map(r => r.getLong(0) ->
+      (r.isNullAt(1), if (r.isNullAt(1)) false else r.getBoolean(1),
+        if (r.isNullAt(2)) false else r.getBoolean(2))).toMap
+    byId(1L)._2 shouldBe true  // bloom member
+    byId(2L)._3 shouldBe true  // cms count 3 >= 2
+    byId(3L)._1 shouldBe true  // null text → null probe
+  }
+
   test("SentimentScore: codegen = interpreted = legacy UDF") {
     val texts = Seq(
       (1L, "this is a very good and truly wonderful excellent result"),
