@@ -110,6 +110,35 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       .load(target)
   }
 
+  /** Committed snapshot version ids of a layer, newest first — empty for
+    * flat (non-snapshot) layers. Pair with [[readVersion]] for pinned
+    * reads: the snapshot protocol keeps every version until [[vacuum]], so
+    * "read the corpus exactly as the last run saw it" is a version id away
+    * (the reproducibility form of time travel; timestamp-resolution syntax
+    * is not claimed).
+    */
+  def listVersions(layer: String): Seq[String] = {
+    val vdir = new Path(s"${layerPath(layer)}/_v")
+    val f = fs(vdir)
+    if (!f.exists(vdir)) Nil
+    else f.listStatus(vdir)
+      .filter(s => s.isDirectory && f.exists(new Path(s.getPath, "_COMMITTED")))
+      .map(_.getPath.getName).sorted(Ordering[String].reverse).toSeq
+  }
+
+  /** Read one specific committed snapshot of a layer (see [[listVersions]]). */
+  def readVersion(layer: String, version: String,
+      mergeSchema: Boolean = false): DataFrame = {
+    val snap = new Path(s"${layerPath(layer)}/_v/$version")
+    val f = fs(snap)
+    require(f.exists(new Path(snap, "_COMMITTED")),
+      s"layer '$layer' has no committed snapshot '$version' " +
+        s"(known: ${listVersions(layer).mkString(", ")})")
+    val reader = spark.read.format(config.format)
+    (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
+      .load(snap.toString)
+  }
+
   /** Reclaim snapshot storage: keep the newest `keep` committed snapshots,
     * delete older ones plus uncommitted orphans (a crashed writer's debris).
     * Never deletes the newest committed snapshot. Callers own the retention

@@ -120,6 +120,31 @@ class LakeSpec extends SparkTestBase {
     lake.read("layer").as[(Int, String)].head() shouldBe ((3, "c"))
   }
 
+  test("writeAtomic with partitionBy keeps the hive layout inside the snapshot") {
+    val lake = tmpLake()
+    val path = lake.writeAtomic(Seq(("x", "US"), ("y", "GB")).toDF("v", "COUNTRY"),
+      "silver", partitionBy = Seq("COUNTRY"))
+    new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("COUNTRY=")).sorted shouldBe Array("COUNTRY=GB", "COUNTRY=US")
+    lake.read("silver").count() shouldBe 2
+  }
+
+  test("listVersions/readVersion: every committed snapshot stays pinned-readable until vacuum") {
+    val lake = tmpLake()
+    lake.writeAtomic(Seq((1, "first")).toDF("id", "v"), "layer")
+    lake.writeAtomic(Seq((2, "second"), (3, "second")).toDF("id", "v"), "layer")
+    val versions = lake.listVersions("layer")
+    versions.length shouldBe 2
+    versions shouldBe versions.sorted(Ordering[String].reverse) // newest first
+    lake.readVersion("layer", versions.head).count() shouldBe 2
+    lake.readVersion("layer", versions.last)
+      .as[(Int, String)].head() shouldBe ((1, "first"))
+    // unknown / uncommitted versions are rejected loudly
+    an[IllegalArgumentException] should be thrownBy
+      lake.readVersion("layer", "not-a-version")
+    lake.listVersions("flat-layer") shouldBe empty
+  }
+
   test("read(mergeSchema): appends that added a column read as one evolved schema") {
     val lake = tmpLake()
     lake.write(Seq((1, "a")).toDF("id", "v"), "bronze", mode = "append")
