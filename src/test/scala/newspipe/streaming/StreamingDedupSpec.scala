@@ -115,12 +115,16 @@ class StreamingDedupSpec extends SparkTestBase {
     // = a fresh base, doc 10 = an exact copy of base 3.
     val b1 = bases.zipWithIndex.map { case (t, i) =>
       (i.toLong, ts(s"2026-01-01 10:0$i:00"), t) }
+    // doc 11 near-dups doc 9 — BOTH arrive in batch 2, so the within-batch
+    // greedy path (first-in-bucket wins) is exercised alongside cross-batch
     val b2 = Seq(
       (6L, ts("2026-01-01 10:10:00"), bases(0).replace("kilo", "kappa")),
       (7L, ts("2026-01-01 10:11:00"), bases(1).replace("amber", "auburn")),
       (8L, ts("2026-01-01 10:12:00"), bases(2).replace("neon", "nitrogen")),
       (9L, ts("2026-01-01 10:13:00"), bases(5).split(" ").reverse.mkString(" ")),
-      (10L, ts("2026-01-01 10:14:00"), bases(3)))
+      (10L, ts("2026-01-01 10:14:00"), bases(3)),
+      (11L, ts("2026-01-01 10:15:00"),
+        bases(5).split(" ").reverse.mkString(" ").replace("acorn", "almond")))
     val all = (b1 ++ b2).toDF("id", "ts", "text")
 
     // the batch operator's verdict over the SAME corpus: a doc is suppressed
@@ -129,10 +133,10 @@ class StreamingDedupSpec extends SparkTestBase {
     val suppressed = newspipe.ops.Dedup
       .minhashCandidates(all, "id", "text")
       .select("id_b").as[Long].collect().toSet
-    val expectedKept = (0L to 10L).toSet -- suppressed
+    val expectedKept = (0L to 11L).toSet -- suppressed
     // the test only bites if banding actually pairs the planted edits but
-    // not the unrelated docs
-    suppressed should contain allOf (6L, 7L, 10L)
+    // not the unrelated docs — cross-batch (6,7,10) AND within-batch (11)
+    suppressed should contain allOf (6L, 7L, 10L, 11L)
     suppressed should not contain 9L
 
     val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
