@@ -121,7 +121,11 @@ object StreamingDedup {
     val schema = stream.schema
 
     val toks = Dedup.tokens(col(textCol))
-    val hasTokens = col(textCol).isNotNull && size(toks) > 0
+    // null id / null event time rows cannot key state or expire it — they
+    // bypass the dedup branch like tokenless rows (the batch operators'
+    // null-key exclusion policy, streamed)
+    val hasTokens = col(textCol).isNotNull && size(toks) > 0 &&
+      col(idCol).isNotNull && col(tsCol).isNotNull
     val marked = stream.withWatermark(tsCol, watermark)
 
     // (docid, tsms, row, band, bucket) + the watermarked event-time column

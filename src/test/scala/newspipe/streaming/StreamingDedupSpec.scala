@@ -181,23 +181,26 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("nearBanded: tokenless rows pass through; distinct docs in one batch all survive") {
+  test("nearBanded: tokenless/null-id rows pass through; distinct docs in one batch all survive") {
     implicit val sqlCtx = spark.sqlContext
-    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val stream = MemoryStream[(Option[Long], java.sql.Timestamp, String)]
     val q = StreamingDedup.nearBanded(stream.toDF().toDF("id", "ts", "text"),
         "id", "text", "ts", watermark = "1 hour")
       .writeStream.format("memory").queryName("snb_null")
       .outputMode("append").start()
     try {
       stream.addData(
-        (1L, ts("2026-01-01 10:00:00"), null.asInstanceOf[String]),
-        (2L, ts("2026-01-01 10:01:00"), ""),
-        (3L, ts("2026-01-01 10:02:00"), "###"),
-        (4L, ts("2026-01-01 10:03:00"), bases(0)),
-        (5L, ts("2026-01-01 10:04:00"), bases(1)))
+        (Some(1L), ts("2026-01-01 10:00:00"), null.asInstanceOf[String]),
+        (Some(2L), ts("2026-01-01 10:01:00"), ""),
+        (Some(3L), ts("2026-01-01 10:02:00"), "###"),
+        (Some(4L), ts("2026-01-01 10:03:00"), bases(0)),
+        (Some(5L), ts("2026-01-01 10:04:00"), bases(1)),
+        // null id: cannot key state — passes through instead of NPE/merge
+        (None, ts("2026-01-01 10:05:00"), bases(2)))
       q.processAllAvailable()
-      spark.table("snb_null").select("id").as[Long].collect().toSet shouldBe
-        Set(1L, 2L, 3L, 4L, 5L)
+      spark.table("snb_null").count() shouldBe 6
+      spark.table("snb_null").select("id").as[Option[Long]].collect().flatten
+        .toSet shouldBe Set(1L, 2L, 3L, 4L, 5L)
     } finally q.stop()
   }
 
