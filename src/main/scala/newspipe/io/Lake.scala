@@ -140,10 +140,13 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   }
 
   /** Reclaim snapshot storage: keep the newest `keep` committed snapshots,
-    * delete older ones plus uncommitted orphans (a crashed writer's debris).
-    * Never deletes the newest committed snapshot. Callers own the retention
-    * window — a reader still scanning a snapshot that vacuum deletes will
-    * fail mid-scan, exactly Delta's VACUUM contract.
+    * delete older committed ones plus uncommitted orphans (a crashed
+    * writer's debris). Never deletes the newest committed snapshot, and
+    * never touches an uncommitted directory NEWER than it — that is what an
+    * in-flight writer's snapshot looks like (version ids are time-ordered),
+    * so vacuum is safe to run concurrently with writers. Callers own the
+    * retention window — a reader still scanning a snapshot that vacuum
+    * deletes will fail mid-scan, exactly Delta's VACUUM contract.
     */
   def vacuum(layer: String, keep: Int = 2): Unit = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
@@ -154,7 +157,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       val committed = all.filter(p => f.exists(new Path(p, "_COMMITTED")))
         .sortBy(_.getName)(Ordering[String].reverse)
       val keepSet = committed.take(keep).map(_.getName).toSet
+      val newestCommitted = committed.headOption.map(_.getName)
       all.filterNot(p => keepSet.contains(p.getName))
+        // an uncommitted dir newer than every committed snapshot may be an
+        // in-flight write — leave it for a later vacuum
+        .filterNot(p => newestCommitted.forall(_ < p.getName) &&
+          !f.exists(new Path(p, "_COMMITTED")))
         .foreach(p => f.delete(p, true))
     }
   }

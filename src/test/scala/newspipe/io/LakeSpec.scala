@@ -112,9 +112,16 @@ class LakeSpec extends SparkTestBase {
     val orphan = new java.io.File(v1).getParentFile.toPath.resolve("0000-orphan")
     Seq((9, "o")).toDF("id", "v").write.parquet(orphan.toString)
 
+    // an uncommitted dir NEWER than every committed snapshot looks like an
+    // in-flight writer — vacuum must leave it alone
+    val inflight = new java.io.File(v1).getParentFile.toPath
+      .resolve("9999999999999999-wip")
+    Seq((8, "w")).toDF("id", "v").write.parquet(inflight.toString)
+
     lake.vacuum("layer", keep = 2)
     new java.io.File(v1).exists() shouldBe false
     java.nio.file.Files.exists(orphan) shouldBe false
+    java.nio.file.Files.exists(inflight) shouldBe true // possible in-flight write
     new java.io.File(v2).exists() shouldBe true
     new java.io.File(v3).exists() shouldBe true
     lake.read("layer").as[(Int, String)].head() shouldBe ((3, "c"))
