@@ -58,10 +58,21 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   /** Ref _lib:21-54: writer-builder with optional partitioning. Flat layout;
     * `overwrite` here is the plain non-atomic replace (a concurrent reader
     * can glimpse a partial layer) — use [[writeAtomic]] where that matters.
+    *
+    * Refuses to write a layer that is snapshot-managed: a flat append there
+    * would be INVISIBLE to readers (they resolve the snapshot pointer and
+    * Spark's listing hides `_`-prefixed dirs from flat reads), and a flat
+    * overwrite would silently destroy the version history — both are data
+    * loss wearing a success exit code.
     */
   def write(df: DataFrame, layer: String,
       partitionBy: Seq[String] = Nil, mode: String = "append"): String = {
     val path = layerPath(layer)
+    val vdir = new Path(s"$path/_v")
+    require(!fs(vdir).exists(vdir),
+      s"layer '$layer' is snapshot-managed (has ${vdir}); flat write would " +
+        "be invisible to snapshot readers (append) or destroy version " +
+        "history (overwrite) — use writeAtomic")
     var writer = df.write.format(config.format).mode(mode)
     if (partitionBy.nonEmpty) writer = writer.partitionBy(partitionBy: _*)
     writer.save(path)
@@ -84,18 +95,26 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     snap.toString
   }
 
+  /** Committed snapshot dirs of a layer, NEWEST FIRST — the one listing all
+    * snapshot resolution shares (read / listVersions / vacuum). One
+    * listStatus + one marker-exists per version; on an object store that is
+    * V+1 requests, which is why vacuum retention should keep V small.
+    */
+  private def committedVersions(layer: String): Seq[Path] = {
+    val vdir = new Path(s"${layerPath(layer)}/_v")
+    val f = fs(vdir)
+    if (!f.exists(vdir)) Nil
+    else f.listStatus(vdir)
+      .filter(s => s.isDirectory && f.exists(new Path(s.getPath, "_COMMITTED")))
+      .map(_.getPath)
+      .sortBy(_.getName)(Ordering[String].reverse).toSeq
+  }
+
   /** Latest committed snapshot dir of a layer, if the layer uses the
     * snapshot protocol.
     */
-  private def latestSnapshot(layer: String): Option[Path] = {
-    val vdir = new Path(s"${layerPath(layer)}/_v")
-    val f = fs(vdir)
-    if (!f.exists(vdir)) None
-    else f.listStatus(vdir).iterator
-      .filter(s => s.isDirectory && f.exists(new Path(s.getPath, "_COMMITTED")))
-      .map(_.getPath)
-      .reduceOption((a, b) => if (a.getName >= b.getName) a else b)
-  }
+  private def latestSnapshot(layer: String): Option[Path] =
+    committedVersions(layer).headOption
 
   /** Ref 02:29, 03:30: batch read of a layer. Resolves the snapshot pointer
     * when the layer was written with [[writeAtomic]]; falls back to the flat
@@ -117,14 +136,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * (the reproducibility form of time travel; timestamp-resolution syntax
     * is not claimed).
     */
-  def listVersions(layer: String): Seq[String] = {
-    val vdir = new Path(s"${layerPath(layer)}/_v")
-    val f = fs(vdir)
-    if (!f.exists(vdir)) Nil
-    else f.listStatus(vdir)
-      .filter(s => s.isDirectory && f.exists(new Path(s.getPath, "_COMMITTED")))
-      .map(_.getPath.getName).sorted(Ordering[String].reverse).toSeq
-  }
+  def listVersions(layer: String): Seq[String] =
+    committedVersions(layer).map(_.getName)
 
   /** Read one specific committed snapshot of a layer (see [[listVersions]]). */
   def readVersion(layer: String, version: String,
@@ -139,30 +152,34 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       .load(snap.toString)
   }
 
-  /** Reclaim snapshot storage: keep the newest `keep` committed snapshots,
-    * delete older committed ones plus uncommitted orphans (a crashed
-    * writer's debris). Never deletes the newest committed snapshot, and
-    * never touches an uncommitted directory NEWER than it — that is what an
-    * in-flight writer's snapshot looks like (version ids are time-ordered),
-    * so vacuum is safe to run concurrently with writers. Callers own the
-    * retention window — a reader still scanning a snapshot that vacuum
-    * deletes will fail mid-scan, exactly Delta's VACUUM contract.
+  /** Reclaim snapshot storage: keep the newest `keep` committed snapshots;
+    * delete older committed ones always, and UNCOMMITTED directories only
+    * when untouched for `orphanGraceMs` (default 24 h) — an uncommitted dir
+    * is indistinguishable from an IN-FLIGHT writer's snapshot (a writer
+    * that started before the newest commit looks "old" by version id while
+    * its save is still running, so a positional rule is not enough; recency
+    * of the files themselves is the honest signal). With the grace period,
+    * vacuum is safe to run concurrently with writers; crashed-writer debris
+    * is reclaimed one grace period later. Callers own the retention
+    * window — a reader still scanning a snapshot that vacuum deletes will
+    * fail mid-scan, exactly Delta's VACUUM contract.
     */
-  def vacuum(layer: String, keep: Int = 2): Unit = {
+  def vacuum(layer: String, keep: Int = 2,
+      orphanGraceMs: Long = 24L * 3600 * 1000): Unit = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val vdir = new Path(s"${layerPath(layer)}/_v")
     val f = fs(vdir)
     if (f.exists(vdir)) {
-      val all = f.listStatus(vdir).filter(_.isDirectory).map(_.getPath)
-      val committed = all.filter(p => f.exists(new Path(p, "_COMMITTED")))
-        .sortBy(_.getName)(Ordering[String].reverse)
+      val now = System.currentTimeMillis()
+      val committed = committedVersions(layer)
+      val committedSet = committed.map(_.getName).toSet
       val keepSet = committed.take(keep).map(_.getName).toSet
-      val newestCommitted = committed.headOption.map(_.getName)
-      all.filterNot(p => keepSet.contains(p.getName))
-        // an uncommitted dir newer than every committed snapshot may be an
-        // in-flight write — leave it for a later vacuum
-        .filterNot(p => newestCommitted.forall(_ < p.getName) &&
-          !f.exists(new Path(p, "_COMMITTED")))
+      f.listStatus(vdir).filter(_.isDirectory).map(_.getPath)
+        .filterNot(p => keepSet.contains(p.getName))
+        .filter { p =>
+          if (committedSet.contains(p.getName)) true // superseded snapshot
+          else now - f.getFileStatus(p).getModificationTime >= orphanGraceMs
+        }
         .foreach(p => f.delete(p, true))
     }
   }
@@ -176,8 +193,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   def writeAndPublish(df: DataFrame, layer: String, table: String,
       partitionBy: Seq[String] = Nil, mode: String = "overwrite"): String = {
+    // case-insensitive like DataFrameWriter.mode — "Overwrite" must not
+    // silently fall through to the non-atomic flat path
     val path =
-      if (mode == "overwrite") writeAtomic(df, layer, partitionBy)
+      if (mode.equalsIgnoreCase("overwrite")) writeAtomic(df, layer, partitionBy)
       else write(df, layer, partitionBy, mode)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${config.database}")
     df.write.format(config.format).mode(SaveMode.valueOf(mode.capitalize))

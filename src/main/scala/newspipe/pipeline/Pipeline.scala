@@ -83,6 +83,14 @@ object Pipeline {
       sink(Gold.dimDate(spark, span.getDate(0).toString, span.getDate(1).toString),
         "gold/dim_date", "dim_date")
 
+    // snapshot retention: every run lands a fresh silver/gold snapshot —
+    // without vacuum the lake grows by one full copy per run. keep=2 leaves
+    // the previous snapshot for readers that resolved it mid-run; the
+    // default orphan grace protects any concurrent in-flight writer.
+    Seq("silver", "gold/dim_source", "gold/dim_author",
+      "gold/fact_news_articles", "gold/dim_date")
+      .foreach(lake.vacuum(_, keep = 2))
+
     // bronzeRows is THIS RUN's page (the layer accumulates across runs, so
     // it cannot be re-read for a batch count) — its lineage is a parse of
     // driver-local JSON lines, one cheap narrow job, not a pipeline re-run.

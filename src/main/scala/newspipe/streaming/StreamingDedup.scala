@@ -129,7 +129,10 @@ object StreamingDedup {
     val marked = stream.withWatermark(tsCol, watermark)
 
     // (docid, tsms, row, band, bucket) + the watermarked event-time column
-    // (carried so EventTimeTimeout sees a watermark attribute downstream)
+    // (carried so EventTimeTimeout sees a watermark attribute downstream).
+    // The payload struct rides ONLY the band-0 row — every band row carrying
+    // the full document would multiply both shuffles' volume by `bands`;
+    // stage 2 coalesces it back (a doc's rows share the micro-batch).
     val banded = marked.filter(hasTokens)
       .withColumn("__sig",
         Dedup.minhashSignature(Dedup.shinglesFromTokens(toks), numHashes))
@@ -139,7 +142,9 @@ object StreamingDedup {
         struct(schema.fieldNames.map(col).toSeq: _*).as("__row"),
         explode(Dedup.lshBands(col("__sig"), bands, rowsPerBand)).as("__bb"),
         col(tsCol).as("__evt"))
-      .select(col("__docid"), col("__tsms"), col("__row"),
+      .select(col("__docid"), col("__tsms"),
+        when(col("__bb.band") === 0, col("__row"))
+          .otherwise(lit(null).cast(schema)).as("__row"),
         col("__bb.band").as("__band"), col("__bb.bucket").as("__bucket"),
         col("__evt"))
 
@@ -166,7 +171,7 @@ object StreamingDedup {
             math.max(last + horizonMs, state.getCurrentWatermarkMs() + 1))
           rows.iterator.zipWithIndex.map { case (r, i) =>
             Row(r.getString(0), if (!wasOccupied && i == 0) 1 else 0,
-              r.getStruct(2))
+              if (r.isNullAt(2)) null else r.getStruct(2))
           }
         }
       }
@@ -176,22 +181,28 @@ object StreamingDedup {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(perBand)(
         Encoders.scalaLong, Encoders.row(midSchema))
 
-    // Stage 2 — per-doc AND of the band verdicts: hash exchange on the doc
-    // id co-locates a doc's band rows, then a per-partition map combines
+    // Stage 2 — per-doc combine of the band verdicts: hash exchange on the
+    // doc id co-locates a doc's band rows, then a per-partition map combines
     // them within the micro-batch. Stateless, so the single stateful
-    // operator above is the query's only state.
+    // operator above is the query's only state. Keep iff the fresh-band
+    // count reaches `bands` — counting (not AND) makes an at-least-once
+    // source's SAME-BATCH redelivery keep exactly one copy: the first
+    // delivery's bands are all fresh (count = bands), the replay's all
+    // stale (adds 0), where a strict every-row AND would drop both.
     val kept = tagged.repartition(col("__docid"))
       .mapPartitions { it =>
-        val acc = new java.util.LinkedHashMap[String, (Boolean, Row)]()
+        val acc = new java.util.LinkedHashMap[String, (Int, Row)]()
         it.foreach { r =>
           val id = r.getString(0)
-          val fresh = r.getInt(1) == 1
+          val fresh = r.getInt(1)
+          val row = if (r.isNullAt(2)) null else r.getStruct(2)
           val prev = acc.get(id)
-          if (prev == null) acc.put(id, (fresh, r.getStruct(2)))
-          else acc.put(id, (prev._1 && fresh, prev._2))
+          if (prev == null) acc.put(id, (fresh, row))
+          else acc.put(id, (prev._1 + fresh, if (prev._2 != null) prev._2 else row))
         }
         import scala.jdk.CollectionConverters._
-        acc.values.iterator.asScala.collect { case (true, row) => row }
+        acc.values.iterator.asScala
+          .collect { case (n, row) if n >= bands && row != null => row }
       }(Encoders.row(schema))
 
     kept.toDF().unionByName(marked.filter(!hasTokens))

@@ -37,9 +37,12 @@ object StreamingSilver {
         col("SENTIMENT_LABEL"), col("count"))
 
   /** Stream→lake sink: micro-batch writer reusing the BATCH lake writer via
-    * foreachBatch — the same partitioned-parquet layout the batch pipeline
-    * produces, so downstream gold reads are source-agnostic. Returns the
-    * started query; caller owns lifecycle.
+    * foreachBatch — the same partitioned-parquet layout as a batch append,
+    * so downstream gold reads are source-agnostic. Target a FLAT
+    * (append-mode) layer: `Lake.write` refuses snapshot-managed layers
+    * (ones written with `writeAtomic`), because flat appends there would be
+    * invisible to snapshot readers. Returns the started query; caller owns
+    * lifecycle.
     */
   def writeToLake(silverStream: DataFrame, lake: newspipe.io.Lake,
       layer: String, partitionBy: Seq[String] = Seq("COUNTRY"),

@@ -112,19 +112,28 @@ class LakeSpec extends SparkTestBase {
     val orphan = new java.io.File(v1).getParentFile.toPath.resolve("0000-orphan")
     Seq((9, "o")).toDF("id", "v").write.parquet(orphan.toString)
 
-    // an uncommitted dir NEWER than every committed snapshot looks like an
-    // in-flight writer — vacuum must leave it alone
-    val inflight = new java.io.File(v1).getParentFile.toPath
-      .resolve("9999999999999999-wip")
-    Seq((8, "w")).toDF("id", "v").write.parquet(inflight.toString)
-
+    // with the default grace period, RECENT uncommitted dirs are protected —
+    // they are indistinguishable from an in-flight writer's snapshot
+    // (regardless of how their version id orders against committed ones)
     lake.vacuum("layer", keep = 2)
-    new java.io.File(v1).exists() shouldBe false
+    java.nio.file.Files.exists(orphan) shouldBe true // recent → possible in-flight
+    new java.io.File(v1).exists() shouldBe false     // superseded committed: gone
+    // grace 0 reclaims crashed-writer debris immediately
+    lake.vacuum("layer", keep = 2, orphanGraceMs = 0L)
     java.nio.file.Files.exists(orphan) shouldBe false
-    java.nio.file.Files.exists(inflight) shouldBe true // possible in-flight write
     new java.io.File(v2).exists() shouldBe true
     new java.io.File(v3).exists() shouldBe true
     lake.read("layer").as[(Int, String)].head() shouldBe ((3, "c"))
+  }
+
+  test("write refuses a snapshot-managed layer (flat append would be invisible)") {
+    val lake = tmpLake()
+    lake.writeAtomic(Seq((1, "a")).toDF("id", "v"), "layer")
+    an[IllegalArgumentException] should be thrownBy
+      lake.write(Seq((2, "b")).toDF("id", "v"), "layer", mode = "append")
+    an[IllegalArgumentException] should be thrownBy
+      lake.write(Seq((2, "b")).toDF("id", "v"), "layer", mode = "overwrite")
+    lake.read("layer").count() shouldBe 1 // nothing was hidden or destroyed
   }
 
   test("writeAtomic with partitionBy keeps the hive layout inside the snapshot") {

@@ -181,6 +181,26 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("nearBanded: same-batch at-least-once redelivery keeps exactly one copy") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingDedup.nearBanded(stream.toDF().toDF("id", "ts", "text"),
+        "id", "text", "ts", watermark = "1 hour")
+      .writeStream.format("memory").queryName("snb_replay")
+      .outputMode("append").start()
+    try {
+      // id 1 delivered twice in ONE micro-batch (source replay): the doc
+      // must survive once — not be dropped as its own duplicate
+      stream.addData(
+        (1L, ts("2026-01-01 10:00:00"), bases(0)),
+        (1L, ts("2026-01-01 10:00:00"), bases(0)),
+        (2L, ts("2026-01-01 10:01:00"), bases(1)))
+      q.processAllAvailable()
+      spark.table("snb_replay").select("id").as[Long].collect().sorted shouldBe
+        Array(1L, 2L)
+    } finally q.stop()
+  }
+
   test("nearBanded: tokenless/null-id rows pass through; distinct docs in one batch all survive") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Option[Long], java.sql.Timestamp, String)]
