@@ -124,6 +124,18 @@ object NewspipeExtensions {
     }
   }
 
+  private def doubleArg(fn: String, e: Expression): Double = {
+    require(e.foldable, s"$fn numeric arguments must be literals; got $e")
+    e.eval() match {
+      case n: java.lang.Number => n.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case null => throw new IllegalArgumentException(
+        s"$fn expects a non-null numeric literal")
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a numeric literal, got '$other'")
+    }
+  }
+
   /** `SELECT … FROM asof_join('clicks', 'purchases', 'user_id', 'ts')` and
     * `… FROM range_join('points', 'windows', 'x', 's', 'e', 16)`: the
     * composite join operators in FROM position. Arguments are literals
@@ -167,6 +179,27 @@ object NewspipeExtensions {
           NewspipeSqlBridge.logicalPlan(newspipe.ops.Winnow.nearDupPairs(
             spark.table(names(0)), names(1), names(2),
             minShared = minShared))
+        }),
+      // verified MinHash near-dup pairs from SQL FROM position:
+      //   SELECT * FROM minhash_pairs('docs', 'id', 'text', 0.8)
+      // → (id_a, id_b, jaccard). Note: jaccardVerify materializes the
+      // candidate set eagerly (localCheckpoint), so resolution of this
+      // table function runs the candidate jobs — the same cost the
+      // DataFrame composition pays, surfaced at analysis time.
+      (new FunctionIdentifier("minhash_pairs"),
+        new ExpressionInfo("newspipe.NewspipeExtensions", "minhash_pairs"),
+        (children: Seq[Expression]) => {
+          require(children.length == 4,
+            "minhash_pairs(table, id_col, text_col, threshold) takes 4 arguments")
+          val names = children.take(3).map(stringArg("minhash_pairs", _))
+          val threshold = doubleArg("minhash_pairs", children(3))
+          require(threshold > 0.0 && threshold <= 1.0,
+            s"minhash_pairs threshold must be in (0, 1], got $threshold")
+          val spark = SparkSession.active
+          val docs = spark.table(names(0))
+          val cand = newspipe.ops.Dedup.minhashCandidates(docs, names(1), names(2))
+          NewspipeSqlBridge.logicalPlan(newspipe.ops.Dedup.jaccardVerify(
+            cand, docs, names(1), names(2), threshold = threshold))
         }))
 
   /** Register on a live session (the extensions hook only applies at session

@@ -142,6 +142,31 @@ class ExtensionsSpec extends SparkTestBase {
     sql.map(p => (p._1, p._2)) should contain((1L, 2L))
   }
 
+  test("minhash_pairs is callable in FROM position and matches the DataFrame API") {
+    NewspipeExtensions.register(spark)
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the deep green forest tonight"
+    Seq(
+      (1L, base),
+      (2L, base.replace("tonight", "today")), // ~0.9 shingle Jaccard vs 1
+      (3L, "completely different text about spark query engines and columnar execution")
+    ).toDF("id", "text").createOrReplaceTempView("mhdocs")
+    val sql = spark.sql(
+      "SELECT id_a, id_b, round(jaccard, 6) AS j FROM minhash_pairs('mhdocs', 'id', 'text', 0.8) ORDER BY id_a, id_b")
+      .as[(Long, Long, Double)].collect().toSeq
+    val cand = newspipe.ops.Dedup.minhashCandidates(
+      spark.table("mhdocs"), "id", "text")
+    val df = newspipe.ops.Dedup.jaccardVerify(cand, spark.table("mhdocs"),
+        "id", "text", threshold = 0.8)
+      .selectExpr("id_a", "id_b", "round(jaccard, 6) AS j")
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect().toSeq
+    sql shouldBe df
+    sql.map(p => (p._1, p._2)) shouldBe Seq((1L, 2L))
+    // threshold is validated at analysis time
+    an[Exception] should be thrownBy
+      spark.sql("SELECT * FROM minhash_pairs('mhdocs', 'id', 'text', 1.5)").collect()
+  }
+
   test("table functions reject non-literal and wrong-arity arguments") {
     NewspipeExtensions.register(spark)
     intercept[Exception] {

@@ -181,6 +181,25 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("nearBanded: state rows are bounded by bands x docs (one claim per bucket, no payload)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingDedup.nearBanded(stream.toDF().toDF("id", "ts", "text"),
+        "id", "text", "ts", watermark = "1 hour", numHashes = 64, bands = 16)
+      .writeStream.format("memory").queryName("snb_state")
+      .outputMode("append").start()
+    try {
+      stream.addData(bases.zipWithIndex.map { case (t, i) =>
+        (i.toLong, ts(s"2026-01-01 10:0$i:00"), t) }: _*)
+      q.processAllAvailable()
+      val state = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // 6 distinct docs x 16 bands = at most 96 claimed buckets; the skew
+      // guarantee: hot buckets do not multiply state (one row per bucket)
+      state should be > 0L
+      state should be <= (6L * 16L)
+    } finally q.stop()
+  }
+
   test("nearBanded: same-batch at-least-once redelivery keeps exactly one copy") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
