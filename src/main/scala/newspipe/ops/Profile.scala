@@ -40,6 +40,31 @@ object Profile {
         max(df(c)).cast("string").as(s"__max_$i"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
+    unpivot(one, cols)
+  }
+
+  /** [[profile]]'s 100 TB form: the distinct leg is `approx_count_distinct`
+    * (HLL++, relative error `rsd`, default 5%). The exact profile plans one
+    * Expand row per distinct-counted column — at P profiled columns the
+    * exchange carries P+1 copies of the input; the HLL sketches are
+    * mergeable accumulators instead, so the plan is ONE ordinary aggregate
+    * with map-side partial merge and no Expand, independent of P. Same
+    * output schema; `n_distinct` is the estimate.
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String],
+      rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "profileApprox needs at least one column")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(lit(1)).as(s"__n_$i"),
+        count(when(df(c).isNull, 1)).as(s"__nulls_$i"),
+        approx_count_distinct(df(c), rsd).as(s"__nd_$i"),
+        min(df(c)).cast("string").as(s"__min_$i"),
+        max(df(c)).cast("string").as(s"__max_$i"))
+    }
+    unpivot(df.agg(aggs.head, aggs.tail: _*), cols)
+  }
+
+  private def unpivot(one: DataFrame, cols: Seq[String]): DataFrame = {
     val rows = cols.zipWithIndex.map { case (c, i) =>
       struct(lit(c).as("col_name"), col(s"__n_$i").as("n_rows"),
         col(s"__nulls_$i").as("n_nulls"), col(s"__nd_$i").as("n_distinct"),
