@@ -123,7 +123,16 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * (rows from pre-evolution files read null for the new columns).
     */
   def read(layer: String, mergeSchema: Boolean = false): DataFrame = {
-    val target = latestSnapshot(layer).map(_.toString).getOrElse(layerPath(layer))
+    val target = latestSnapshot(layer).map(_.toString).getOrElse {
+      // a _v dir with no committed version = first writeAtomic still in
+      // flight (or crashed): say so instead of a bare schema-inference error
+      val vdir = new Path(s"${layerPath(layer)}/_v")
+      require(!fs(vdir).exists(vdir),
+        s"layer '$layer' is snapshot-managed but has no committed snapshot " +
+          "yet — the first writeAtomic has not finished (or crashed before " +
+          "committing)")
+      layerPath(layer)
+    }
     val reader = spark.read.format(config.format)
     (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
       .load(target)

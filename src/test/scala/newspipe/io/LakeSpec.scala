@@ -126,6 +126,20 @@ class LakeSpec extends SparkTestBase {
     lake.read("layer").as[(Int, String)].head() shouldBe ((3, "c"))
   }
 
+  test("writeAtomic of an empty frame commits a readable 0-row snapshot; pre-commit reads fail loudly") {
+    val lake = tmpLake()
+    // simulate an in-flight first write: _v exists, nothing committed
+    val base = java.nio.file.Files.createTempDirectory("lake2")
+    val lake2 = new Lake(spark, LakeConfig(base.toString))
+    java.nio.file.Files.createDirectories(base.resolve("layer/_v/000-wip"))
+    val err = intercept[IllegalArgumentException](lake2.read("layer"))
+    err.getMessage should include("no committed snapshot")
+    // empty snapshot: schema survives, count 0
+    lake.writeAtomic(Seq((1, "a")).toDF("id", "v").filter($"id" > 99), "layer")
+    lake.read("layer").count() shouldBe 0L
+    lake.read("layer").schema.fieldNames shouldBe Array("id", "v")
+  }
+
   test("write refuses a snapshot-managed layer (flat append would be invisible)") {
     val lake = tmpLake()
     lake.writeAtomic(Seq((1, "a")).toDF("id", "v"), "layer")
