@@ -10,10 +10,14 @@ import org.apache.spark.sql.types._
   * typed metadata struct, so the 100 TB pipeline can shuffle/filter/join on
   * metadata without touching bytes, and only the per-partition kernel ever
   * decodes. The Spark-side plumbing — schema, encoders, partition-wise batch
-  * processing, feature extraction shape — is real and tested; the decode
-  * kernels are DETERMINISTIC STUBS (this container has no image/audio
-  * libraries) marked `// STUB:` at each site. Swapping in a real codec is a
-  * one-function change per kernel.
+  * processing, feature extraction shape — is real and tested. Decode is
+  * REAL for uncompressed 8-bit P6 PPM payloads ([[Ppm]] — pure JVM, no
+  * codec library needed): genuine parse → pixel transform → re-encode in
+  * [[resizeImages]] and a real spatial luminance feature in
+  * [[extractFeatures]]. Payloads that are not P6 (compressed formats —
+  * png/jpeg/wav/mp4 — this container has no codecs for) fall back to the
+  * DETERMINISTIC STUBS marked `// STUB:` at each site; swapping in a real
+  * codec is a one-function change per kernel, exactly the Ppm shape.
   */
 object Media {
 
@@ -67,37 +71,60 @@ object Media {
       // per-partition setup would go here (codec init, model load)
       rows.map { r =>
         val bytes = if (r.payload == null) Array.empty[Byte] else r.payload
-        // STUB: real kernel = decode(bytes) → model features. Deterministic
-        // fake: k-strided byte histogram, normalized — stable shape + value.
-        val f = new Array[Float](dim)
-        var i = 0
-        while (i < bytes.length) { f(i % dim) += (bytes(i) & 0xff) / 255.0f; i += 1 }
-        val norm = math.sqrt(f.map(x => x * x).sum).toFloat
-        val feat = if (norm == 0f) f else f.map(_ / norm)
+        val feat = Ppm.decode(bytes) match {
+          // REAL path: decoded image → per-band mean luminance (spatial)
+          case Some(img) => Ppm.bandLuminance(img, dim)
+          case None =>
+            // STUB: real kernel = decode(bytes) → model features.
+            // Deterministic fake: k-strided byte histogram, normalized.
+            val f = new Array[Float](dim)
+            var i = 0
+            while (i < bytes.length) { f(i % dim) += (bytes(i) & 0xff) / 255.0f; i += 1 }
+            val norm = math.sqrt(f.map(x => x * x).sum).toFloat
+            if (norm == 0f) f else f.map(_ / norm)
+        }
         MediaFeatures(r.media_id, r.kind, feat, bytes.length.toLong)
       }
     }
   }
 
-  /** Image resize plumbing: metadata-aware binary→binary map. */
+  /** Image resize: aspect-preserving downscale to fit (maxW, maxH); never
+    * upscales. P6 PPM payloads take the REAL path — decode, nearest-neighbor
+    * resample, re-encode, metadata from the DECODED dimensions (the payload
+    * is the truth, not the meta struct). Other formats take the documented
+    * stub.
+    */
   def resizeImages(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val resized = media.filter(col("kind") === "image").as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val w = r.meta.width.getOrElse(0)
-          val h = r.meta.height.getOrElse(0)
-          val scale = math.min(1.0, math.min(maxW.toDouble / math.max(w, 1),
-            maxH.toDouble / math.max(h, 1)))
-          val nw = math.max(1, (w * scale).toInt)
-          val nh = math.max(1, (h * scale).toInt)
-          // STUB: real kernel = decode → scale → re-encode. Fake keeps the
-          // payload, truncated proportionally to the area ratio, so
-          // downstream size accounting behaves like a real resize.
-          val keep = math.max(1, (r.payload.length * scale * scale).toInt)
-          r.copy(payload = r.payload.take(keep),
-            meta = r.meta.copy(width = Some(nw), height = Some(nh)))
+          Ppm.decode(r.payload) match {
+            case Some(img) =>
+              val scale = math.min(1.0, math.min(
+                maxW.toDouble / img.width, maxH.toDouble / img.height))
+              val nw = math.max(1, (img.width * scale).toInt)
+              val nh = math.max(1, (img.height * scale).toInt)
+              val out = if (nw == img.width && nh == img.height) img
+                else Ppm.resizeNearest(img, nw, nh)
+              r.copy(payload = Ppm.encode(out),
+                meta = r.meta.copy(width = Some(nw), height = Some(nh),
+                  format = Some("ppm")))
+            case None =>
+              val w = r.meta.width.getOrElse(0)
+              val h = r.meta.height.getOrElse(0)
+              val scale = math.min(1.0, math.min(maxW.toDouble / math.max(w, 1),
+                maxH.toDouble / math.max(h, 1)))
+              val nw = math.max(1, (w * scale).toInt)
+              val nh = math.max(1, (h * scale).toInt)
+              // STUB: real kernel = decode → scale → re-encode. Fake keeps
+              // the payload, truncated proportionally to the area ratio, so
+              // downstream size accounting behaves like a real resize.
+              val keep = math.max(1, (r.payload.length * scale * scale).toInt)
+              r.copy(payload = r.payload.take(keep),
+                meta = r.meta.copy(width = Some(nw), height = Some(nh)))
+          }
         }
       }
     resized.toDF()
