@@ -58,20 +58,9 @@ object NewspipeExtensions {
         (children: Seq[Expression]) => {
           require(children.length == 3,
             "winnow_fingerprints(tokens, k, w) takes exactly 3 arguments")
-          def intLit(name: String, e: Expression): Int = {
-            require(e.foldable,
-              s"winnow_fingerprints $name must be an integer literal, got $e")
-            e.eval() match {
-              case n: java.lang.Number => n.intValue()
-              case null => throw new IllegalArgumentException(
-                s"winnow_fingerprints $name must be a non-null integer literal")
-              case other => throw new IllegalArgumentException(
-                s"winnow_fingerprints $name must be an integer literal, " +
-                  s"got non-numeric value '$other'")
-            }
-          }
           newspipe.functions.WinnowFingerprints(children.head,
-            intLit("k", children(1)), intLit("w", children(2)))
+            numericArg("winnow_fingerprints k", children(1)).intValue(),
+            numericArg("winnow_fingerprints w", children(2)).intValue())
         })) ++ {
       import newspipe.functions.{SentimentAnalyzer, TextFunctions}
       import newspipe.ops.{Dedup, TextStats}
@@ -113,10 +102,16 @@ object NewspipeExtensions {
     v.toString
   }
 
-  private def longArg(fn: String, e: Expression): Long = {
+  /** The ONE numeric-literal extractor every function builder shares —
+    * handles integral, floating, and Decimal literal shapes alike (SQL
+    * `0.8` evaluates to a Decimal, not a Number), so every registered
+    * function accepts the same literal forms.
+    */
+  private def numericArg(fn: String, e: Expression): java.math.BigDecimal = {
     require(e.foldable, s"$fn numeric arguments must be literals; got $e")
     e.eval() match {
-      case n: java.lang.Number => n.longValue()
+      case n: java.lang.Number => new java.math.BigDecimal(n.toString)
+      case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
       case null => throw new IllegalArgumentException(
         s"$fn expects a non-null numeric literal")
       case other => throw new IllegalArgumentException(
@@ -124,17 +119,11 @@ object NewspipeExtensions {
     }
   }
 
-  private def doubleArg(fn: String, e: Expression): Double = {
-    require(e.foldable, s"$fn numeric arguments must be literals; got $e")
-    e.eval() match {
-      case n: java.lang.Number => n.doubleValue()
-      case d: org.apache.spark.sql.types.Decimal => d.toDouble
-      case null => throw new IllegalArgumentException(
-        s"$fn expects a non-null numeric literal")
-      case other => throw new IllegalArgumentException(
-        s"$fn expects a numeric literal, got '$other'")
-    }
-  }
+  private def longArg(fn: String, e: Expression): Long =
+    numericArg(fn, e).longValue()
+
+  private def doubleArg(fn: String, e: Expression): Double =
+    numericArg(fn, e).doubleValue()
 
   /** `SELECT … FROM asof_join('clicks', 'purchases', 'user_id', 'ts')` and
     * `… FROM range_join('points', 'windows', 'x', 's', 'e', 16)`: the
@@ -185,7 +174,11 @@ object NewspipeExtensions {
       // → (id_a, id_b, jaccard). Note: jaccardVerify materializes the
       // candidate set eagerly (localCheckpoint), so resolution of this
       // table function runs the candidate jobs — the same cost the
-      // DataFrame composition pays, surfaced at analysis time.
+      // DataFrame composition pays, surfaced at analysis time (an EXPLAIN
+      // pays it too). Consequence: the candidate set snapshots the table AT
+      // RESOLUTION, while the verification legs re-scan at execution — run
+      // it against a stable table/view, not one being mutated between
+      // analysis and collect.
       (new FunctionIdentifier("minhash_pairs"),
         new ExpressionInfo("newspipe.NewspipeExtensions", "minhash_pairs"),
         (children: Seq[Expression]) => {

@@ -124,10 +124,17 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   def read(layer: String, mergeSchema: Boolean = false): DataFrame = {
     val target = latestSnapshot(layer).map(_.toString).getOrElse {
-      // a _v dir with no committed version = first writeAtomic still in
-      // flight (or crashed): say so instead of a bare schema-inference error
-      val vdir = new Path(s"${layerPath(layer)}/_v")
-      require(!fs(vdir).exists(vdir),
+      // No committed snapshot. If flat data exists (a previously-flat layer
+      // whose FIRST writeAtomic is still in flight or crashed pre-commit),
+      // keep serving it — that is exactly the isolation the protocol
+      // promises. Only a layer with an un-committed _v and NO flat data is
+      // unreadable; name that condition instead of letting Spark throw a
+      // bare schema-inference error.
+      val flat = new Path(layerPath(layer))
+      val f = fs(flat)
+      val hasFlatData = f.exists(flat) &&
+        f.listStatus(flat).exists(s => !s.getPath.getName.startsWith("_"))
+      require(hasFlatData || !f.exists(new Path(flat, "_v")),
         s"layer '$layer' is snapshot-managed but has no committed snapshot " +
           "yet — the first writeAtomic has not finished (or crashed before " +
           "committing)")

@@ -100,15 +100,15 @@ object Media {
     val resized = media.filter(col("kind") === "image").as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          Ppm.decode(r.payload) match {
+          if (r.payload == null) r // nothing to resize; row passes through
+          else Ppm.decode(r.payload) match {
             case Some(img) =>
               val scale = math.min(1.0, math.min(
                 maxW.toDouble / img.width, maxH.toDouble / img.height))
               val nw = math.max(1, (img.width * scale).toInt)
               val nh = math.max(1, (img.height * scale).toInt)
-              val out = if (nw == img.width && nh == img.height) img
-                else Ppm.resizeNearest(img, nw, nh)
-              r.copy(payload = Ppm.encode(out),
+              if (nw == img.width && nh == img.height) r // no-op: byte-identical
+              else r.copy(payload = Ppm.encode(Ppm.resizeNearest(img, nw, nh)),
                 meta = r.meta.copy(width = Some(nw), height = Some(nh),
                   format = Some("ppm")))
             case None =>

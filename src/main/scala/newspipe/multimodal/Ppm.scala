@@ -97,7 +97,9 @@ object Ppm {
     val counts = new Array[Int](dim)
     var y = 0
     while (y < img.height) {
-      val band = math.min(dim - 1, y * dim / img.height)
+      // long arithmetic: y * dim overflows Int for the tall-thin images
+      // decode() legitimately accepts (1 x 200M is a valid ~600 MB P6)
+      val band = math.min(dim - 1, (y.toLong * dim / img.height).toInt)
       var x = 0
       while (x < img.width) {
         val s = (y * img.width + x) * 3

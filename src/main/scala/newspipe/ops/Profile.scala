@@ -27,21 +27,8 @@ object Profile {
     * per profiled column; NULLs are excluded from distinct/min/max
     * (standard SQL aggregate semantics, identical in the oracle replay).
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "profile needs at least one column")
-    // aggregate aliases are INDEX-based and the unpivot is the typed Column
-    // API (array of structs + explode), so a profiled column whose name
-    // contains quotes/backticks can never break or inject into generated SQL
-    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(count(lit(1)).as(s"__n_$i"),
-        count(when(df(c).isNull, 1)).as(s"__nulls_$i"),
-        countDistinct(df(c)).as(s"__nd_$i"),
-        min(df(c)).cast("string").as(s"__min_$i"),
-        max(df(c)).cast("string").as(s"__max_$i"))
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    unpivot(one, cols)
-  }
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => countDistinct(c))
 
   /** [[profile]]'s 100 TB form: the distinct leg is `approx_count_distinct`
     * (HLL++, relative error `rsd`, default 5%). The exact profile plans one
@@ -52,12 +39,23 @@ object Profile {
     * output schema; `n_distinct` is the estimate.
     */
   def profileApprox(df: DataFrame, cols: Seq[String],
-      rsd: Double = 0.05): DataFrame = {
-    require(cols.nonEmpty, "profileApprox needs at least one column")
+      rsd: Double = 0.05): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(c, rsd))
+
+  /** Shared five-aggregate builder — the two public forms differ ONLY in
+    * the distinct leg. Aggregate aliases are INDEX-based and the unpivot is
+    * the typed Column API (array of structs + explode), so a profiled
+    * column whose name contains quotes/backticks can never break or inject
+    * into generated SQL.
+    */
+  private def profileWith(df: DataFrame, cols: Seq[String],
+      distinctAgg: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(count(lit(1)).as(s"__n_$i"),
         count(when(df(c).isNull, 1)).as(s"__nulls_$i"),
-        approx_count_distinct(df(c), rsd).as(s"__nd_$i"),
+        distinctAgg(df(c)).as(s"__nd_$i"),
         min(df(c)).cast("string").as(s"__min_$i"),
         max(df(c)).cast("string").as(s"__max_$i"))
     }

@@ -154,23 +154,36 @@ object StreamingDedup {
       StructField("__row", schema)))
     val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
 
-    // Stage 1 — per-(band,bucket) claim state. Greedy within a batch: rows
-    // sort by (event time, id) and only the first into a previously-empty
-    // bucket is fresh — exactly the doc the batch operator would pair the
-    // rest against.
+    // Stage 1 — per-(band,bucket) claim state. Greedy within a batch: only
+    // the (event time, id)-minimal row into a previously-empty bucket is
+    // fresh — exactly the doc the batch operator would pair the rest
+    // against. One O(n) pass finds the winner (no sort); the group array is
+    // batch-bucket-sized, the only batch-local memory this operator holds
+    // (state itself stays one timestamp per bucket).
     val perBand: (((Int, Long), Iterator[Row], GroupState[Long]) => Iterator[Row]) =
       (_, it, state) => {
         if (state.hasTimedOut) { state.remove(); Iterator.empty }
         else {
-          val rows = it.toArray.sortBy(r => (r.getLong(1), r.getString(0)))
+          val rows = it.toArray
           val wasOccupied = state.exists
           var last = state.getOption.getOrElse(Long.MinValue)
-          rows.foreach(r => last = math.max(last, r.getLong(1)))
+          var minIdx = 0
+          var i = 0
+          while (i < rows.length) {
+            val r = rows(i)
+            last = math.max(last, r.getLong(1))
+            val m = rows(minIdx)
+            val ts = r.getLong(1); val mts = m.getLong(1)
+            if (ts < mts || (ts == mts && r.getString(0) < m.getString(0)))
+              minIdx = i
+            i += 1
+          }
           state.update(last)
           state.setTimeoutTimestamp(
             math.max(last + horizonMs, state.getCurrentWatermarkMs() + 1))
-          rows.iterator.zipWithIndex.map { case (r, i) =>
-            Row(r.getString(0), if (!wasOccupied && i == 0) 1 else 0,
+          val win = minIdx
+          rows.iterator.zipWithIndex.map { case (r, j) =>
+            Row(r.getString(0), if (!wasOccupied && j == win) 1 else 0,
               if (r.isNullAt(2)) null else r.getStruct(2))
           }
         }
