@@ -168,6 +168,48 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       .load(snap.toString)
   }
 
+  /** Small-files compaction through the snapshot protocol: read the
+    * layer's current state, rewrite it as one new snapshot with file count
+    * sized by bytes (`ceil(dataBytes / targetFileBytes)`), commit
+    * atomically. Readers see the old snapshot until the commit flips —
+    * compaction is just another atomic overwrite, so it is safe under
+    * concurrent readers; reclaim the old snapshot with [[vacuum]]
+    * afterwards. Returns the new snapshot path.
+    *
+    * At 100 TB this is the maintenance op that keeps scan parallelism
+    * honest: streaming appends and per-run overwrites accrete small files,
+    * and a scan of 10⁶ tiny files pays per-file open/footer cost that
+    * dwarfs the read itself.
+    *
+    * Compacting a FLAT layer migrates it to snapshot management (the new
+    * snapshot becomes the layer's truth; subsequent flat `write`s are
+    * refused). The superseded flat files stay on disk for readers mid-scan
+    * — remove them once drained, the same retention contract as vacuum.
+    */
+  def compact(layer: String, targetFileBytes: Long = 128L * 1024 * 1024,
+      partitionBy: Seq[String] = Nil): String = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive")
+    val src = latestSnapshot(layer).getOrElse(new Path(layerPath(layer)))
+    val f = fs(src)
+    val bytes = {
+      val it = f.listFiles(src, true)
+      var sum = 0L
+      while (it.hasNext) {
+        val s = it.next()
+        if (!s.getPath.getName.startsWith("_")) sum += s.getLen
+      }
+      sum
+    }
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = read(layer)
+    val arranged =
+      if (partitionBy.nonEmpty)
+        // co-locate rows of each output partition dir, bounded file count
+        df.repartition(nFiles, partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(nFiles)
+    writeAtomic(arranged, layer, partitionBy)
+  }
+
   /** Reclaim snapshot storage: keep the newest `keep` committed snapshots;
     * delete older committed ones always, and UNCOMMITTED directories only
     * when untouched for `orphanGraceMs` (default 24 h) — an uncommitted dir

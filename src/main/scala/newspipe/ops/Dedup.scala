@@ -104,6 +104,25 @@ object Dedup {
   def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column =
     newspipe.functions.MinHash.signature(shingleCol, numHashes)
 
+  /** (bands, rowsPerBand) for a target Jaccard threshold — the standard LSH
+    * S-curve tuning: the candidate probability at similarity s is
+    * 1 − (1 − s^r)^b, whose inflection sits near (1/b)^(1/r). Picks the
+    * divisor pair of `numHashes` whose inflection lands closest to
+    * `threshold`, so callers stop hand-guessing band counts:
+    * `val (b, r) = Dedup.lshParams(0.8); minhashCandidates(df, id, text,
+    * bands = b)`.
+    */
+  def lshParams(threshold: Double, numHashes: Int = 64): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+    val candidates = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    candidates.minBy { case (b, r) =>
+      math.abs(math.pow(1.0 / b, 1.0 / r) - threshold)
+    }
+  }
+
   /** LSH banding: (band_id, bucket_hash) pairs for a signature split into
     * `bands` bands of `rows` rows. Docs sharing any bucket are candidates.
     * `xxhash64` hashes the sliced long array DIRECTLY — no per-band string

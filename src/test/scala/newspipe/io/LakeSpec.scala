@@ -175,6 +175,32 @@ class LakeSpec extends SparkTestBase {
     lake.listVersions("flat-layer") shouldBe empty
   }
 
+  test("compact rewrites many small files as one atomic snapshot with fewer files") {
+    val lake = tmpLake()
+    // 40 tiny files via a wide repartition
+    val df = Seq.tabulate(200)(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val p1 = lake.writeAtomic(df.repartition(40), "layer")
+    val before = new java.io.File(p1).listFiles().count(_.getName.endsWith(".parquet"))
+    before should be >= 30
+    val p2 = lake.compact("layer", targetFileBytes = 1L * 1024 * 1024 * 1024)
+    val after = new java.io.File(p2).listFiles().count(_.getName.endsWith(".parquet"))
+    after shouldBe 1
+    lake.read("layer").count() shouldBe 200
+    // compaction is just another committed snapshot; the old one is intact
+    lake.listVersions("layer").length shouldBe 2
+  }
+
+  test("compact migrates a flat layer to snapshot management") {
+    val lake = tmpLake()
+    lake.write(Seq((1, "a"), (2, "b")).toDF("id", "v"), "flat", mode = "append")
+    lake.compact("flat")
+    lake.listVersions("flat").length shouldBe 1
+    lake.read("flat").count() shouldBe 2
+    // further flat writes are refused (snapshot-managed now)
+    an[IllegalArgumentException] should be thrownBy
+      lake.write(Seq((3, "c")).toDF("id", "v"), "flat", mode = "append")
+  }
+
   test("read(mergeSchema): appends that added a column read as one evolved schema") {
     val lake = tmpLake()
     lake.write(Seq((1, "a")).toDF("id", "v"), "bronze", mode = "append")

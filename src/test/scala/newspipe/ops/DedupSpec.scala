@@ -31,6 +31,22 @@ class DedupSpec extends SparkTestBase {
     g.count() shouldBe 5 // 5 distinct contents (null+empty digest counts once)
   }
 
+  test("lshParams picks the divisor pair whose S-curve inflection is nearest the threshold") {
+    // brute-force the optimum over divisors of 64 and compare
+    def inflection(b: Int, r: Int) = math.pow(1.0 / b, 1.0 / r)
+    for (t <- Seq(0.5, 0.7, 0.8, 0.9, 0.95)) {
+      val (b, r) = Dedup.lshParams(t, 64)
+      b * r shouldBe 64
+      val best = (1 to 64).filter(64 % _ == 0)
+        .map(bb => math.abs(inflection(bb, 64 / bb) - t)).min
+      math.abs(inflection(b, r) - t) shouldBe best +- 1e-12
+    }
+    // the operator default (16 bands of 4) corresponds to a mid-0.3s
+    // inflection — intentionally recall-heavy for 0.8-threshold verify
+    an[IllegalArgumentException] should be thrownBy Dedup.lshParams(0.0)
+    an[IllegalArgumentException] should be thrownBy Dedup.lshParams(1.0)
+  }
+
   test("minhash candidates find the planted near-dup and exact-dup pairs") {
     val cand = Dedup.minhashCandidates(docs.filter($"text".isNotNull), "doc_id", "text")
       .as[(Long, Long)].collect().toSet
