@@ -276,6 +276,22 @@ object InvariantProperties extends Properties("newspipe") {
       native == hof
     }
 
+  property("Ppm: decode(encode(img)) == img, same-dims resample is identity, resize dims honored") =
+    Prop.forAll(Gen.choose(1, 16), Gen.choose(1, 16), Gen.long) { (w, h, seed) =>
+      import newspipe.multimodal.Ppm
+      val rnd = new scala.util.Random(seed)
+      val rgb = Array.fill[Byte](w * h * 3)(rnd.nextInt(256).toByte)
+      val img = Ppm.Image(w, h, rgb)
+      val round = Ppm.decode(Ppm.encode(img))
+      val nw = math.max(1, w / 2); val nh = math.max(1, h / 2)
+      val small = Ppm.resizeNearest(img, nw, nh)
+      round.exists(r => r.width == w && r.height == h &&
+        java.util.Arrays.equals(r.rgb, rgb)) &&
+        java.util.Arrays.equals(Ppm.resizeNearest(img, w, h).rgb, rgb) &&
+        small.width == nw && small.height == nh &&
+        small.rgb.length == nw * nh * 3
+    }
+
   property("winnow: fingerprint set is invariant under token-preserving reformatting") =
     Prop.forAll(Gen.listOfN(40, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))) { ws =>
       import spark.implicits._
