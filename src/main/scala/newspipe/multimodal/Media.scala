@@ -139,12 +139,16 @@ object Media {
     import spark.implicits._
     media.filter(col("kind") === "video").as[MediaRow]
       .flatMap { r =>
-        val dur = r.meta.duration_ms.getOrElse(0L)
-        val n = math.min(maxFrames.toLong, math.max(1L, dur / math.max(everyMs, 1L))).toInt
-        (0 until n).map { i =>
-          // STUB: real kernel = seek+decode frame i. Fake: slice of payload.
-          val sliceLen = math.max(1, r.payload.length / n)
-          (r.media_id, i, r.payload.slice(i * sliceLen, (i + 1) * sliceLen))
+        if (r.payload == null) Nil // nothing to sample from
+        else {
+          val dur = r.meta.duration_ms.getOrElse(0L)
+          val n = math.min(maxFrames.toLong,
+            math.max(1L, dur / math.max(everyMs, 1L))).toInt
+          (0 until n).map { i =>
+            // STUB: real kernel = seek+decode frame i. Fake: slice of payload.
+            val sliceLen = math.max(1, r.payload.length / n)
+            (r.media_id, i, r.payload.slice(i * sliceLen, (i + 1) * sliceLen))
+          }
         }
       }
       .toDF("media_id", "frame_idx", "frame_payload")

@@ -108,6 +108,19 @@ class MediaSpec extends SparkTestBase {
     f(3) shouldBe 0.0f     // black band
   }
 
+  test("null payloads: resize passes rows through, sampleFrames emits nothing, features are zero-safe") {
+    val rows = Seq(
+      Media.MediaRow(1L, "image", null, Media.MediaMeta(Some(8), Some(4), Some("png"), None)),
+      Media.MediaRow(2L, "video", null, Media.MediaMeta(None, None, Some("mp4"), Some(5000L))),
+      Media.MediaRow(3L, "audio", null, Media.MediaMeta(None, None, Some("wav"), Some(1000L)))
+    ).toDF()
+    Media.resizeImages(rows, 4, 4).count() shouldBe 1 // image row survives untouched
+    Media.sampleFrames(rows).count() shouldBe 0
+    val f = Media.extractFeatures(rows, dim = 4).collect()
+    f.length shouldBe 3
+    f.foreach(_.n_bytes shouldBe 0L)
+  }
+
   test("sampleFrames: explode shape — ≥1 frame per video, ≤ maxFrames") {
     val media = Media.synthetic(spark, 60L)
     val frames = Media.sampleFrames(media, everyMs = 1000L, maxFrames = 8)
