@@ -190,6 +190,18 @@ class LakeSpec extends SparkTestBase {
     lake.listVersions("layer").length shouldBe 2
   }
 
+  test("compact(partitionBy) keeps the hive layout in the compacted snapshot") {
+    val lake = tmpLake()
+    val df = Seq.tabulate(100)(i => (i.toLong, if (i % 2 == 0) "US" else "GB"))
+      .toDF("id", "COUNTRY")
+    lake.writeAtomic(df.repartition(20), "silver", partitionBy = Seq("COUNTRY"))
+    val p = lake.compact("silver", targetFileBytes = 1L << 30,
+      partitionBy = Seq("COUNTRY"))
+    new java.io.File(p).listFiles().map(_.getName)
+      .filter(_.startsWith("COUNTRY=")).sorted shouldBe Array("COUNTRY=GB", "COUNTRY=US")
+    lake.read("silver").count() shouldBe 100
+  }
+
   test("compact migrates a flat layer to snapshot management") {
     val lake = tmpLake()
     lake.write(Seq((1, "a"), (2, "b")).toDF("id", "v"), "flat", mode = "append")
