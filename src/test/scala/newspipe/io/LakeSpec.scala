@@ -64,6 +64,15 @@ class LakeSpec extends SparkTestBase {
     spark.sql("DROP TABLE news_articles.t_hive_spec")
   }
 
+  test("writeAndPublish routes overwrite atomically regardless of mode casing") {
+    val lake = tmpLake()
+    lake.writeAndPublish(Seq((1, "a")).toDF("id", "v"), "gold", "t_case_spec",
+      mode = "Overwrite") // DataFrameWriter-style casing
+    lake.listVersions("gold").length shouldBe 1 // took the snapshot path
+    spark.table("news_articles.t_case_spec").count() shouldBe 1
+    spark.sql("DROP TABLE news_articles.t_case_spec")
+  }
+
   test("writeAtomic: a reader mid-overwrite sees only the old or the new complete snapshot") {
     val lake = tmpLake()
     val v1 = lake.writeAtomic(Seq((1, "a"), (2, "b")).toDF("id", "v"), "silver")
