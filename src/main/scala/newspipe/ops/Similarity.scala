@@ -89,6 +89,25 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** RHP bucket-space sizing for a corpus of `n` vectors — the LSH density
+    * rule the 10×/100× ScaleBench validated (SCALE.md): expected bucket
+    * occupancy is n / 2^nbits per band, and per-bucket pair volume grows
+    * with occupancy SQUARED, so a fixed nbits turns a 10× corpus into 100×
+    * the pair work. Pick nbits so the expected occupancy stays at
+    * `targetBucketDocs` (default 8 — small enough that a bucket's pair
+    * fan-out is trivial, large enough that near neighbors still collide):
+    * `nbits = ceil(log2(n / targetBucketDocs))`, clamped to [4, 30].
+    * Callers: `cosineNearDupPairs(..., nbits = Similarity.nbitsFor(n))`.
+    */
+  def nbitsFor(n: Long, targetBucketDocs: Int = 8): Int = {
+    require(n > 0, s"corpus size must be positive, got $n")
+    require(targetBucketDocs > 0,
+      s"targetBucketDocs must be positive, got $targetBucketDocs")
+    val raw = math.ceil(
+      math.log(n.toDouble / targetBucketDocs) / math.log(2.0)).toInt
+    math.min(30, math.max(4, raw))
+  }
+
   /** Deterministic random hyperplanes: `nbits × dim` floats in [-1, 1],
     * seeded — identical on every executor and across runs.
     */

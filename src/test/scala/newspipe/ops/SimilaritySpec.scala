@@ -9,6 +9,21 @@ import org.apache.spark.sql.functions._
 class SimilaritySpec extends SparkTestBase {
   import spark.implicits._
 
+  test("nbitsFor tracks the ScaleBench density rule: occupancy-constant bucket sizing") {
+    // expected occupancy n / 2^nbits stays within [target/2, target]
+    for (n <- Seq(100L, 10000L, 1000000L, 100000000L)) {
+      val b = Similarity.nbitsFor(n)
+      val occ = n.toDouble / math.pow(2.0, b)
+      occ should be <= 8.0
+      if (b < 30) occ should be >= 4.0
+    }
+    // 10x the corpus adds ~log2(10) bits — the validated rule's shape
+    (Similarity.nbitsFor(1000000L) - Similarity.nbitsFor(100000L)) shouldBe 3 +- 1
+    Similarity.nbitsFor(1L) shouldBe 4          // clamped floor
+    Similarity.nbitsFor(Long.MaxValue) shouldBe 30 // clamped ceiling
+    an[IllegalArgumentException] should be thrownBy Similarity.nbitsFor(0L)
+  }
+
   test("native dot equals the interpreted aggregate(zip_with) reference form") {
     val rnd = new scala.util.Random(3)
     val rows = Seq.fill(50)((Seq.fill(16)(rnd.nextDouble()), Seq.fill(16)(rnd.nextDouble()))) :+
