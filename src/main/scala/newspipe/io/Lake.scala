@@ -168,6 +168,30 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       .load(snap.toString)
   }
 
+  /** Idempotent micro-batch landing for streaming sinks: the batch writes
+    * under a `__batch_id=<id>` partition with DYNAMIC partition overwrite,
+    * so a replayed batch (foreachBatch reruns after a failure, same epoch
+    * id) overwrites its own partition instead of appending duplicates —
+    * effectively-once landing on top of an at-least-once sink callback.
+    * Readers see `__batch_id` as an ordinary partition column; filter or
+    * drop it downstream. Same flat-layer contract as [[write]].
+    */
+  def writeBatchIdempotent(df: DataFrame, layer: String, batchId: Long,
+      partitionBy: Seq[String] = Nil): String = {
+    val path = layerPath(layer)
+    val vdir = new Path(s"$path/_v")
+    require(!fs(vdir).exists(vdir),
+      s"layer '$layer' is snapshot-managed; streaming batches need a flat " +
+        "append layer")
+    df.withColumn("__batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write.format(config.format)
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(("__batch_id" +: partitionBy): _*)
+      .save(path)
+    path
+  }
+
   /** Small-files compaction through the snapshot protocol: read the
     * layer's current state, rewrite it as one new snapshot with file count
     * sized by bytes (`ceil(dataBytes / targetFileBytes)`), commit

@@ -55,6 +55,25 @@ object StreamingSilver {
       }
       .start()
 
+  /** [[writeToLake]] with EFFECTIVELY-ONCE landing: each micro-batch lands
+    * under its `__batch_id` partition via dynamic partition overwrite
+    * ([[newspipe.io.Lake.writeBatchIdempotent]]), so the at-least-once
+    * foreachBatch replay after a failure overwrites its own partition
+    * instead of appending duplicate rows. Use when the layer feeds exact
+    * counts/dedup downstream; the plain append sink is fine when
+    * duplicates are cleaned later anyway.
+    */
+  def writeToLakeExactlyOnce(silverStream: DataFrame, lake: newspipe.io.Lake,
+      layer: String, partitionBy: Seq[String] = Seq("COUNTRY"),
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    silverStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        lake.writeBatchIdempotent(batch, layer, id, partitionBy); ()
+      }
+      .start()
+
   /** Generic windowed event counts (tumbling or sliding) with watermarked
     * late-data handling — the events-table streaming workload.
     * `ts` is a timestamp column name; slide == size ⇒ tumbling.

@@ -184,6 +184,23 @@ class LakeSpec extends SparkTestBase {
     lake.listVersions("flat-layer") shouldBe empty
   }
 
+  test("writeBatchIdempotent: a replayed batch overwrites itself; distinct batches accumulate") {
+    val lake = tmpLake()
+    lake.writeBatchIdempotent(Seq((1, "a"), (2, "b")).toDF("id", "v"), "stream", 0L)
+    lake.writeBatchIdempotent(Seq((3, "c")).toDF("id", "v"), "stream", 1L)
+    lake.read("stream").count() shouldBe 3
+    // batch 1 REPLAYED (failure rerun) with the same rows: no duplicates
+    lake.writeBatchIdempotent(Seq((3, "c")).toDF("id", "v"), "stream", 1L)
+    lake.read("stream").count() shouldBe 3
+    // replay may even carry corrected rows: its partition is replaced whole
+    lake.writeBatchIdempotent(Seq((3, "c2"), (4, "d")).toDF("id", "v"), "stream", 1L)
+    val rows = lake.read("stream").select("id", "v").as[(Int, String)]
+      .collect().sortBy(_._1)
+    rows shouldBe Array((1, "a"), (2, "b"), (3, "c2"), (4, "d"))
+    // batch 0 untouched by batch 1 replays
+    lake.read("stream").filter($"__batch_id" === 0).count() shouldBe 2
+  }
+
   test("compact rewrites many small files as one atomic snapshot with fewer files") {
     val lake = tmpLake()
     // 40 tiny files via a wide repartition

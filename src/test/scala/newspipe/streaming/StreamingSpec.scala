@@ -104,6 +104,22 @@ class StreamingSpec extends SparkTestBase {
       .map(_.getName).count(_.startsWith("COUNTRY=")) shouldBe 2
   }
 
+  test("exactly-once lake sink: batches land under __batch_id partitions, no duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("slake1x").toString
+    val lake = new newspipe.io.Lake(spark, newspipe.io.LakeConfig(dir))
+    val stream = MemoryStream[(String, String)]
+    stream.addData(("a", "US"), ("b", "GB"))
+    val q = StreamingSilver.writeToLakeExactlyOnce(
+      stream.toDF().toDF("v", "COUNTRY"), lake, "silver",
+      checkpoint = s"$dir/_ckpt")
+    try { stream.addData(("c", "US")); q.processAllAvailable() } finally q.stop()
+    val landed = lake.read("silver")
+    landed.count() shouldBe 3
+    landed.schema.fieldNames should contain("__batch_id")
+    landed.select("__batch_id").distinct().count() should be >= 1L
+  }
+
   test("streaming silver transform: same rows as batch over the same bronze input") {
     implicit val sqlCtx = spark.sqlContext
     val bronzeRows = Seq(
