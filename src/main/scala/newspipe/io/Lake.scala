@@ -68,11 +68,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   def write(df: DataFrame, layer: String,
       partitionBy: Seq[String] = Nil, mode: String = "append"): String = {
     val path = layerPath(layer)
-    val vdir = new Path(s"$path/_v")
-    require(!fs(vdir).exists(vdir),
-      s"layer '$layer' is snapshot-managed (has ${vdir}); flat write would " +
-        "be invisible to snapshot readers (append) or destroy version " +
-        "history (overwrite) — use writeAtomic")
+    requireFlatLayer(layer)
     var writer = df.write.format(config.format).mode(mode)
     if (partitionBy.nonEmpty) writer = writer.partitionBy(partitionBy: _*)
     writer.save(path)
@@ -168,28 +164,58 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       .load(snap.toString)
   }
 
-  /** Idempotent micro-batch landing for streaming sinks: the batch writes
-    * under a `__batch_id=<id>` partition with DYNAMIC partition overwrite,
-    * so a replayed batch (foreachBatch reruns after a failure, same epoch
-    * id) overwrites its own partition instead of appending duplicates —
-    * effectively-once landing on top of an at-least-once sink callback.
-    * Readers see `__batch_id` as an ordinary partition column; filter or
-    * drop it downstream. Same flat-layer contract as [[write]].
+  /** Idempotent micro-batch landing for streaming sinks: each batch lands
+    * under a `__batch_id=<id>` partition; a replay (foreachBatch reruns
+    * after a failure, same epoch id) first DELETES its own partition and
+    * re-lands it whole — effectively-once on top of an at-least-once sink
+    * callback. The explicit delete (rather than dynamic partition
+    * overwrite) matters with secondary `partitionBy`: a failed attempt can
+    * leave committed files in sub-partitions the replay no longer produces,
+    * which dynamic overwrite would leave standing as duplicates.
+    *
+    * Epoch ids must come from ONE streaming checkpoint per layer: Spark
+    * replays only the most recent unfinished batch, so a batchId REGRESSING
+    * by more than one means a wiped/foreign checkpoint is replaying epoch 0
+    * over committed history — refused loudly instead of silently deleting
+    * landed data. Readers see `__batch_id` as an ordinary partition column;
+    * filter or drop it downstream. Same flat-layer contract as [[write]].
     */
   def writeBatchIdempotent(df: DataFrame, layer: String, batchId: Long,
       partitionBy: Seq[String] = Nil): String = {
     val path = layerPath(layer)
-    val vdir = new Path(s"$path/_v")
-    require(!fs(vdir).exists(vdir),
-      s"layer '$layer' is snapshot-managed; streaming batches need a flat " +
-        "append layer")
+    requireFlatLayer(layer)
+    val root = new Path(path)
+    val f = fs(root)
+    val existing =
+      if (!f.exists(root)) Nil
+      else f.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("__batch_id=")).toSeq
+        .flatMap(n => scala.util.Try(n.stripPrefix("__batch_id=").toLong).toOption)
+    existing.maxOption.foreach { maxId =>
+      require(batchId >= maxId - 1,
+        s"layer '$layer' already holds batches up to $maxId but batch " +
+          s"$batchId arrived — a reset/foreign streaming checkpoint would " +
+          "overwrite committed history; use one checkpoint per layer")
+    }
+    val own = new Path(root, s"__batch_id=$batchId")
+    if (f.exists(own)) f.delete(own, true) // failed attempt's debris, whole
     df.withColumn("__batch_id", org.apache.spark.sql.functions.lit(batchId))
       .write.format(config.format)
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
+      .mode("append")
       .partitionBy(("__batch_id" +: partitionBy): _*)
       .save(path)
     path
+  }
+
+  /** Shared flat-layer guard: flat writes to a snapshot-managed layer are
+    * invisible to snapshot readers (append) or destroy version history
+    * (overwrite) — data loss wearing a success exit code.
+    */
+  private def requireFlatLayer(layer: String): Unit = {
+    val vdir = new Path(s"${layerPath(layer)}/_v")
+    require(!fs(vdir).exists(vdir),
+      s"layer '$layer' is snapshot-managed (has $vdir); flat writes are " +
+        "refused — use writeAtomic")
   }
 
   /** Small-files compaction through the snapshot protocol: read the
@@ -209,6 +235,11 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * snapshot becomes the layer's truth; subsequent flat `write`s are
     * refused). The superseded flat files stay on disk for readers mid-scan
     * — remove them once drained, the same retention contract as vacuum.
+    * QUIESCE FLAT WRITERS FIRST: an append racing the migration can land
+    * after compact's read listed files and before the snapshot commits —
+    * those rows would be invisible to every later read, and the writer's
+    * next batch fails the flat-layer guard. Snapshot-managed layers have
+    * no such hazard (compaction is one more last-writer-wins snapshot).
     */
   def compact(layer: String, targetFileBytes: Long = 128L * 1024 * 1024,
       partitionBy: Seq[String] = Nil): String = {
@@ -227,10 +258,16 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = read(layer)
     val arranged =
-      if (partitionBy.nonEmpty)
-        // co-locate rows of each output partition dir, bounded file count
-        df.repartition(nFiles, partitionBy.map(org.apache.spark.sql.functions.col): _*)
-      else df.repartition(nFiles)
+      if (partitionBy.nonEmpty) {
+        // hashing ONLY the hive partition columns would put each partition
+        // value in one task → one (possibly multi-TB) file per value and a
+        // straggler on the hot value; a full-row hash salt spreads every
+        // value across the nFiles tasks so file sizing is honored under skew
+        import org.apache.spark.sql.functions.{col, pmod, xxhash64, struct, lit}
+        val salt = pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)),
+          lit(nFiles.toLong))
+        df.repartition(nFiles, (partitionBy.map(col) :+ salt): _*)
+      } else df.repartition(nFiles)
     writeAtomic(arranged, layer, partitionBy)
   }
 

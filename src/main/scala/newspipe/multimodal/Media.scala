@@ -139,7 +139,7 @@ object Media {
     import spark.implicits._
     media.filter(col("kind") === "video").as[MediaRow]
       .flatMap { r =>
-        if (r.payload == null) Nil // nothing to sample from
+        if (r.payload == null || r.payload.isEmpty) Nil // nothing to sample
         else {
           val dur = r.meta.duration_ms.getOrElse(0L)
           val n = math.min(maxFrames.toLong,

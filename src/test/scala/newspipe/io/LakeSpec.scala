@@ -199,6 +199,25 @@ class LakeSpec extends SparkTestBase {
     rows shouldBe Array((1, "a"), (2, "b"), (3, "c2"), (4, "d"))
     // batch 0 untouched by batch 1 replays
     lake.read("stream").filter($"__batch_id" === 0).count() shouldBe 2
+    // a regressed epoch id (wiped/foreign checkpoint) is refused, not
+    // silently overwriting committed history
+    lake.writeBatchIdempotent(Seq((9, "z")).toDF("id", "v"), "stream", 2L)
+    an[IllegalArgumentException] should be thrownBy
+      lake.writeBatchIdempotent(Seq((0, "x")).toDF("id", "v"), "stream", 0L)
+  }
+
+  test("writeBatchIdempotent with secondary partitionBy: replay replaces the WHOLE batch partition") {
+    val lake = tmpLake()
+    // failed attempt landed GB rows; the replay produces only US rows —
+    // the stale GB sub-partition must not survive as duplicates
+    lake.writeBatchIdempotent(
+      Seq(("a", "US"), ("b", "GB")).toDF("v", "COUNTRY"), "stream", 0L,
+      partitionBy = Seq("COUNTRY"))
+    lake.writeBatchIdempotent(
+      Seq(("a", "US")).toDF("v", "COUNTRY"), "stream", 0L,
+      partitionBy = Seq("COUNTRY"))
+    lake.read("stream").select("v", "COUNTRY").as[(String, String)]
+      .collect() shouldBe Array(("a", "US"))
   }
 
   test("compact rewrites many small files as one atomic snapshot with fewer files") {

@@ -116,6 +116,10 @@ class MediaSpec extends SparkTestBase {
     ).toDF()
     Media.resizeImages(rows, 4, 4).count() shouldBe 1 // image row survives untouched
     Media.sampleFrames(rows).count() shouldBe 0
+    // empty (present-but-zero-byte) payloads are the same no-frames case
+    val empty = Seq(Media.MediaRow(4L, "video", Array.empty[Byte],
+      Media.MediaMeta(None, None, Some("mp4"), Some(8000L)))).toDF()
+    Media.sampleFrames(empty).count() shouldBe 0
     val f = Media.extractFeatures(rows, dim = 4).collect()
     f.length shouldBe 3
     f.foreach(_.n_bytes shouldBe 0L)
