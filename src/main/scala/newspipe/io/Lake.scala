@@ -20,7 +20,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * {{{
   * layer/_v/<version>/        — one complete snapshot per overwrite
-  * layer/_v/<version>/_COMMITTED  — zero-byte marker, created AFTER the data
+  * layer/_v/<version>/_COMMITTED  — marker created AFTER the data; its
+  *                                  content is the parent version id
   * }}}
   *
   * A snapshot write lands entirely under a fresh version directory and only
@@ -77,18 +78,86 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
 
   /** ATOMIC full replacement of a layer (see the protocol in the class doc):
     * write a complete new snapshot, then commit it with one marker-file
-    * creation. Returns the committed snapshot path.
+    * creation. Last-writer-wins between concurrent overwriters (Delta's
+    * blind-overwrite contract); use [[writeAtomicIfLatest]] when a racing
+    * writer must fail instead of silently winning. The marker records the
+    * parent version (the newest committed snapshot when this write began) so
+    * the snapshot lineage is auditable after the fact.
+    * Returns the committed snapshot path.
     */
   def writeAtomic(df: DataFrame, layer: String,
-      partitionBy: Seq[String] = Nil): String = {
+      partitionBy: Seq[String] = Nil): String =
+    writeSnapshot(df, layer, partitionBy, requireParent = None)
+
+  /** Optimistic-concurrency overwrite: commits only if the layer's newest
+    * committed snapshot is still `expectedParent` (`None` = the layer must
+    * have no committed snapshot yet) at commit time. A writer that lost the
+    * race gets a `ConcurrentModificationException` and its uncommitted
+    * snapshot dir is removed — read-modify-write cycles (compaction, upsert
+    * rewrites) can retry from the new state instead of silently clobbering a
+    * concurrent commit.
+    *
+    * The check runs AFTER the data lands, immediately before the marker
+    * creation, so the vulnerable window is one listing + one file create —
+    * not the whole (possibly minutes-long) save. Two writers inside that
+    * window can still both commit (no compare-and-swap primitive on a plain
+    * filesystem; Delta needs a commit service for the same guarantee on S3)
+    * — the recorded parent in each marker makes even that race detectable
+    * after the fact: two siblings sharing a parent.
+    */
+  def writeAtomicIfLatest(df: DataFrame, layer: String,
+      expectedParent: Option[String], partitionBy: Seq[String] = Nil): String =
+    writeSnapshot(df, layer, partitionBy, requireParent = Some(expectedParent))
+
+  private def writeSnapshot(df: DataFrame, layer: String,
+      partitionBy: Seq[String], requireParent: Option[Option[String]]): String = {
     val version = f"${System.currentTimeMillis()}%016d-" +
       java.util.UUID.randomUUID().toString.take(8)
     val snap = new Path(s"${layerPath(layer)}/_v/$version")
     var writer = df.write.format(config.format).mode("errorifexists")
     if (partitionBy.nonEmpty) writer = writer.partitionBy(partitionBy: _*)
     writer.save(snap.toString)
-    fs(snap).createNewFile(new Path(snap, "_COMMITTED"))
+    val f = fs(snap)
+    val parentAtCommit = latestSnapshot(layer).map(_.getName)
+    requireParent.foreach { expected =>
+      if (parentAtCommit != expected) {
+        f.delete(snap, true) // lost the race; leave no orphan for vacuum
+        throw new java.util.ConcurrentModificationException(
+          s"layer '$layer': expected parent snapshot " +
+            s"${expected.getOrElse("<none>")} but newest committed is " +
+            s"${parentAtCommit.getOrElse("<none>")} — a concurrent writer " +
+            "committed first; re-read the layer and retry")
+      }
+    }
+    // marker content = parent version id ("" for first snapshot): lineage
+    // audit + post-hoc detection of the residual commit race. Marker
+    // visibility is still the single-file-creation atomicity the protocol
+    // relies on (content arrives with the create on local/HDFS and as one
+    // PUT on object stores).
+    val out = f.create(new Path(snap, "_COMMITTED"), false)
+    try out.write(parentAtCommit.getOrElse("").getBytes("UTF-8"))
+    finally out.close()
     snap.toString
+  }
+
+  /** Timestamp-resolution time travel: read the newest committed snapshot
+    * whose version timestamp is <= `timestampMs`. Version ids are
+    * zero-padded epoch millis (class doc), so resolution is a pure name
+    * comparison — no extra filesystem metadata round-trips. Fails loudly if
+    * the layer has no committed snapshot that old (vacuumed away, or the
+    * layer is younger than the asked-for instant).
+    */
+  def readAsOf(layer: String, timestampMs: Long,
+      mergeSchema: Boolean = false): DataFrame = {
+    val cutoff = f"$timestampMs%016d~" // '~' > '-' so same-milli versions match
+    val versions = committedVersions(layer).map(_.getName)
+    val resolved = versions.find(_ <= cutoff).getOrElse {
+      throw new NoSuchElementException(
+        s"layer '$layer' has no committed snapshot at or before " +
+          s"$timestampMs (oldest kept: ${versions.lastOption.getOrElse("<none>")}" +
+          ") — it may have been vacuumed below the asked-for instant")
+    }
+    readVersion(layer, resolved, mergeSchema)
   }
 
   /** Committed snapshot dirs of a layer, NEWEST FIRST — the one listing all
@@ -297,10 +366,28 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         .filterNot(p => keepSet.contains(p.getName))
         .filter { p =>
           if (committedSet.contains(p.getName)) true // superseded snapshot
-          else now - f.getFileStatus(p).getModificationTime >= orphanGraceMs
+          else now - newestMtimeUnder(p) >= orphanGraceMs
         }
         .foreach(p => f.delete(p, true))
     }
+  }
+
+  /** Newest modification time of any FILE under `dir`, recursively. The
+    * directory's own mtime is NOT the recency signal: object-store "dirs"
+    * report epoch-0 mtimes, and a partitioned save lands files in nested
+    * subdirs without touching the top-level dir — an in-flight writer whose
+    * save outlives the orphan grace would look stale by dir mtime alone and
+    * be vacuumed out from under it. An empty dir (save hasn't landed a file
+    * yet) and an mtime of 0 (store reports nothing trustworthy) both resolve
+    * to "now", i.e. never reclaimable this pass — losing a racing writer's
+    * snapshot is strictly worse than re-visiting debris next vacuum.
+    */
+  private def newestMtimeUnder(dir: Path): Long = {
+    val f = fs(dir)
+    var newest = 0L
+    val it = f.listFiles(dir, true)
+    while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+    if (newest <= 0L) System.currentTimeMillis() else newest
   }
 
   /** Ref _lib:198-233: lake write + catalog publish. The reference writes the

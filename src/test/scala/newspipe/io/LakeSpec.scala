@@ -135,6 +135,82 @@ class LakeSpec extends SparkTestBase {
     lake.read("layer").as[(Int, String)].head() shouldBe ((3, "c"))
   }
 
+  test("vacuum judges orphan recency by the files INSIDE, not the dir's own mtime") {
+    val lake = tmpLake()
+    val v1 = lake.writeAtomic(Seq((1, "a")).toDF("id", "v"), "layer")
+    // in-flight writer: partitioned save landing files in a NESTED subdir;
+    // top-level dir mtime backdated (object-store dirs report epoch-ish
+    // mtimes; local partitioned saves don't touch the top dir either)
+    val orphan = new java.io.File(v1).getParentFile.toPath.resolve("0001-inflight")
+    val nested = orphan.resolve("COUNTRY=US")
+    java.nio.file.Files.createDirectories(nested)
+    val part = nested.resolve("part-00000.parquet")
+    java.nio.file.Files.writeString(part, "payload")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 48L * 3600 * 1000)
+    java.nio.file.Files.setLastModifiedTime(orphan, old)
+    java.nio.file.Files.setLastModifiedTime(nested, old)
+    // file inside is fresh → the writer may still be alive → protected
+    lake.vacuum("layer", keep = 1, orphanGraceMs = 3600_000L)
+    java.nio.file.Files.exists(orphan) shouldBe true
+    // once the newest FILE is older than the grace, it is crashed debris
+    java.nio.file.Files.setLastModifiedTime(part, old)
+    lake.vacuum("layer", keep = 1, orphanGraceMs = 3600_000L)
+    java.nio.file.Files.exists(orphan) shouldBe false
+  }
+
+  test("writeAtomicIfLatest: stale-parent writer fails loudly and leaves no orphan") {
+    val lake = tmpLake()
+    // first snapshot: expectedParent=None succeeds only while truly empty
+    lake.writeAtomicIfLatest(Seq((1, "a")).toDF("id", "v"), "layer", None)
+    val parent = lake.listVersions("layer").head
+    an[java.util.ConcurrentModificationException] should be thrownBy
+      lake.writeAtomicIfLatest(Seq((2, "b")).toDF("id", "v"), "layer", None)
+    // correct parent: commit succeeds
+    lake.writeAtomicIfLatest(Seq((2, "b")).toDF("id", "v"), "layer", Some(parent))
+    // a read-modify-write that raced and lost: expected parent superseded
+    an[java.util.ConcurrentModificationException] should be thrownBy
+      lake.writeAtomicIfLatest(Seq((3, "c")).toDF("id", "v"), "layer", Some(parent))
+    // losers cleaned up after themselves: only the two committed snapshots
+    lake.listVersions("layer").length shouldBe 2
+    val vdir = new java.io.File(
+      lake.writeAtomic(Seq((4, "d")).toDF("id", "v"), "layer")).getParentFile
+    vdir.listFiles().length shouldBe 3 // no uncommitted debris dirs
+    lake.read("layer").as[(Int, String)].head() shouldBe ((4, "d"))
+  }
+
+  test("_COMMITTED marker records the parent version (lineage audit)") {
+    val lake = tmpLake()
+    val p1 = lake.writeAtomic(Seq((1, "a")).toDF("id", "v"), "layer")
+    val p2 = lake.writeAtomic(Seq((2, "b")).toDF("id", "v"), "layer")
+    val m1 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(p1, "_COMMITTED"))
+    val m2 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(p2, "_COMMITTED"))
+    m1 shouldBe "" // first snapshot: no parent
+    m2 shouldBe new java.io.File(p1).getName
+  }
+
+  test("readAsOf resolves the newest snapshot at or before the asked-for instant") {
+    val lake = tmpLake()
+    lake.writeAtomic(Seq((1, "first")).toDF("id", "v"), "layer")
+    Thread.sleep(15) // distinct millis prefixes for the two versions
+    lake.writeAtomic(Seq((2, "second")).toDF("id", "v"), "layer")
+    val Seq(vNew, vOld) = lake.listVersions("layer")
+    val tOld = vOld.take(16).toLong
+    val tNew = vNew.take(16).toLong
+    // exactly at the old snapshot's commit instant → the old snapshot
+    lake.readAsOf("layer", tOld).as[(Int, String)].head() shouldBe ((1, "first"))
+    // between the two → still the old one
+    lake.readAsOf("layer", tNew - 1).as[(Int, String)].head() shouldBe ((1, "first"))
+    // at/after the new one → the new one
+    lake.readAsOf("layer", tNew).as[(Int, String)].head() shouldBe ((2, "second"))
+    lake.readAsOf("layer", System.currentTimeMillis())
+      .as[(Int, String)].head() shouldBe ((2, "second"))
+    // before the layer existed → loud failure (vacuumed-or-never-existed)
+    a[NoSuchElementException] should be thrownBy lake.readAsOf("layer", tOld - 1)
+  }
+
   test("writeAtomic of an empty frame commits a readable 0-row snapshot; pre-commit reads fail loudly") {
     val lake = tmpLake()
     // simulate an in-flight first write: _v exists, nothing committed
