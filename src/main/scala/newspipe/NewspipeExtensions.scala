@@ -67,7 +67,10 @@ object NewspipeExtensions {
       Seq(
         fn1("html_strip")(TextFunctions.removeHtmlTags),
         fn1("extract_domain")(TextFunctions.extractDomain),
-        fn1("sentiment")(SentimentAnalyzer.sentiment),
+        fn1("sentiment")(SentimentAnalyzer.sentiment(_)),
+        // TextBlob/pattern float-parity mode over the en-sentiment.xml-format
+        // lexicon (see PatternSentiment)
+        fn1("sentiment_textblob")(newspipe.functions.PatternSentiment.sentiment),
         fn1("word_count")(TextStats.wordCount),
         fn1("bpeish_token_count")(TextStats.bpeishTokenCount),
         fn1("punct_ratio")(TextStats.punctRatio),

@@ -133,9 +133,16 @@ object SentimentAnalyzer extends Serializable {
 
   /** STRUCT<polarity FLOAT, label STRING> — same shape the reference
     * registers at 02:21-24, produced by the native codegen'd expression.
+    *
+    * `textblobParity = true` switches to [[PatternSentiment]] — the faithful
+    * port of TextBlob/pattern's published assessment arithmetic over an
+    * en-sentiment.xml-format lexicon (drop-in real lexicon → exact float
+    * parity with the reference's `analyze_sentiment`). Default mode (and its
+    * q20 hashes) is unchanged.
     */
-  def sentiment(c: Column): Column =
-    NewspipeSqlBridge.column(SentimentScore(NewspipeSqlBridge.expression(c)))
+  def sentiment(c: Column, textblobParity: Boolean = false): Column =
+    if (textblobParity) PatternSentiment.sentiment(c)
+    else NewspipeSqlBridge.column(SentimentScore(NewspipeSqlBridge.expression(c)))
 }
 
 /** Static sentiment kernel: one call per row, returning the struct as an

@@ -143,6 +143,29 @@ class CodegenParitySpec extends SparkTestBase {
     g shouldBe viaUdf
   }
 
+  test("PatternSentimentScore: codegen = interpreted = scalar kernel") {
+    val rows = Seq(
+      (1L, "a very good and truly wonderful excellent result"),
+      (2L, "not really good, a terrible awful disaster"),
+      (3L, "really not good but isn't bad :)"),
+      (4L, "nothing scored here"),
+      (5L, null.asInstanceOf[String]),
+      (6L, ""))
+    val texts = rows.toDF("id", "text")
+    def native = texts.select($"id",
+      SentimentAnalyzer.sentiment($"text", textblobParity = true).as("s"))
+    val (g, i) = bothWays(native)
+    g shouldBe i
+    val viaScalar = rows.map { case (id, t) =>
+      val s = PatternSentiment.score(t)
+      (id, s.polarity, s.label)
+    }
+    val fromDf = native.collect().map(r => (r.getLong(0),
+      Option(r.getStruct(1).get(0)).map(_.asInstanceOf[Float]),
+      Option(r.getStruct(1).getString(1)))).toSeq
+    fromDf shouldBe viaScalar
+  }
+
   test("TokenizeWords + WordShingles: codegen = interpreted") {
     def frame = docs.select($"id",
       TextKernels.tokens($"text").as("toks"),
