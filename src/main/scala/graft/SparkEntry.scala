@@ -761,6 +761,28 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // REAL codec round-trip (P6 PPM + baseline PNG, Inflater-backed): solid-
+    // color images with closed-form dims/colors and deliberately WRONG input
+    // meta are resized (container-preserving re-encode), then re-DECODED;
+    // the oracle predicts decoded dims, decode-derived meta (incl. the no-op
+    // branch's meta rewrite) and the exact pixel sum nw*nh*(r+g+b) without
+    // running either codec — a genuine decode→resample→re-encode→decode pin
+    "q79_media_real_roundtrip" -> ((s, dir) => {
+      val media = newspipe.multimodal.Media.syntheticReal(s, 500L)
+      val resized = newspipe.multimodal.Media.resizeImages(media, maxW = 8, maxH = 8)
+      newspipe.multimodal.Media.imagePixelSums(resized)
+        .join(resized.select(col("media_id"),
+          col("meta.width").as("meta_w"), col("meta.height").as("meta_h"),
+          col("meta.format").as("format")), "media_id")
+        .select(col("media_id"),
+          col("dec_w").cast("bigint").as("w"),
+          col("dec_h").cast("bigint").as("h"),
+          col("meta_w").cast("bigint").as("meta_w"),
+          col("meta_h").cast("bigint").as("meta_h"),
+          col("format"), col("pix_sum"))
+        .orderBy("media_id")
+    }),
+
     // Video frame sampling (explode-shaped kernel, 1 row → N frames): frame
     // count and per-frame slice sizes are closed-form too — the oracle
     // asserts the fan-out shape row by row
@@ -1939,6 +1961,29 @@ object SparkEntry {
         |  greatest(1, CAST(floor(h0 * s) AS BIGINT)) AS h,
         |  greatest(1, CAST(floor((len0 * s) * s) AS BIGINT)) AS n_bytes
         |FROM sc ORDER BY media_id""".stripMargin,
+
+    // replays the real-codec round-trip from the closed forms alone: dims
+    // from the same IEEE scale math as q58, pixel sum = w*h*(r+g+b) because
+    // the images are solid-color (nearest-neighbor preserves the color),
+    // meta = decoded dims + container on BOTH branches (resize and no-op)
+    "q79_media_real_roundtrip" ->
+      """WITH m AS (
+        |  SELECT i,
+        |    CAST(i % 23 + 3 AS BIGINT) AS w0,
+        |    CAST(i % 17 + 3 AS BIGINT) AS h0,
+        |    (i % 200 + 20) + (i * 7 % 200 + 20) + (i * 13 % 200 + 20) AS csum,
+        |    CASE WHEN i % 2 = 0 THEN 'ppm' ELSE 'png' END AS fmt
+        |  FROM generate_series(0, 499) AS t(i)),
+        |sc AS (
+        |  SELECT *, least(1.0, least(8.0 / w0, 8.0 / h0)) AS s FROM m),
+        |dims AS (
+        |  SELECT i, fmt, csum,
+        |    greatest(1, CAST(floor(w0 * s) AS BIGINT)) AS w,
+        |    greatest(1, CAST(floor(h0 * s) AS BIGINT)) AS h
+        |  FROM sc)
+        |SELECT i AS media_id, w, h, w AS meta_w, h AS meta_h, fmt AS format,
+        |  w * h * csum AS pix_sum
+        |FROM dims ORDER BY media_id""".stripMargin,
 
     // replays the frame sampler: n = min(8, max(1, duration_ms div 1000)),
     // slice length = max(1, len div n), frame i holds the [i·sl, (i+1)·sl)

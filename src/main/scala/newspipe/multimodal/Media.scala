@@ -11,13 +11,14 @@ import org.apache.spark.sql.types._
   * metadata without touching bytes, and only the per-partition kernel ever
   * decodes. The Spark-side plumbing — schema, encoders, partition-wise batch
   * processing, feature extraction shape — is real and tested. Decode is
-  * REAL for uncompressed 8-bit P6 PPM payloads ([[Ppm]] — pure JVM, no
-  * codec library needed): genuine parse → pixel transform → re-encode in
-  * [[resizeImages]] and a real spatial luminance feature in
-  * [[extractFeatures]]. Payloads that are not P6 (compressed formats —
-  * png/jpeg/wav/mp4 — this container has no codecs for) fall back to the
-  * DETERMINISTIC STUBS marked `// STUB:` at each site; swapping in a real
-  * codec is a one-function change per kernel, exactly the Ppm shape.
+  * REAL for uncompressed 8-bit P6 PPM payloads ([[Ppm]]) AND for baseline
+  * 8-bit PNG ([[Png]] — pure JVM, zlib via `java.util.zip`): genuine parse
+  * → pixel transform → re-encode in [[resizeImages]] (container-preserving:
+  * png in → png out) and a real spatial luminance feature in
+  * [[extractFeatures]]. Payloads that decode as neither (jpeg/wav/mp4 —
+  * this container has no codecs for those) fall back to the DETERMINISTIC
+  * STUBS marked `// STUB:` at each site; swapping in a real codec is a
+  * one-function change per kernel, exactly the Ppm/Png shape.
   */
 object Media {
 
@@ -58,6 +59,63 @@ object Media {
           (col("id") % 3 + 1).cast("int")).as("format"),
         (col("id") % 60000).as("duration_ms")).as("meta"))
 
+  /** Deterministic media table with REAL decodable payloads: solid-color
+    * images, even ids as binary P6 PPM, odd ids as baseline RGB PNG.
+    * Dims `(id % 23 + 3) × (id % 17 + 3)`, color channels
+    * `(id%200+20, id*7%200+20, id*13%200+20)` — all closed-form, so an
+    * external oracle can predict decoded dims and pixel sums without
+    * running either codec. The meta struct is DELIBERATELY wrong (9999×9999
+    * "jpeg"): any correct output meta must come from an actual decode.
+    */
+  def syntheticReal(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (id % 23 + 3).toInt
+        val h = (id % 17 + 3).toInt
+        val rgbv = Array(((id % 200) + 20).toByte,
+          ((id * 7 % 200) + 20).toByte, ((id * 13 % 200) + 20).toByte)
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < rgb.length) { rgb(i) = rgbv(i % 3); i += 1 }
+        val img = Ppm.Image(w, h, rgb)
+        val payload = if (id % 2 == 0) Ppm.encode(img) else Png.encode(img)
+        MediaRow(id, "image", payload,
+          MediaMeta(Some(9999), Some(9999), Some("jpeg"), None))
+      }
+    }.toDF()
+  }
+
+  /** Decode-derived per-image checksum: (media_id, dec_w, dec_h, pix_sum)
+    * where pix_sum is the unsigned sum of all RGB bytes (-1/-1/-1 when the
+    * payload doesn't decode) — the round-trip witness for the real codecs.
+    */
+  def imagePixelSums(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        decodeImage(if (r.payload == null) Array.empty[Byte] else r.payload) match {
+          case Some((img, _)) =>
+            var s = 0L
+            var i = 0
+            while (i < img.rgb.length) { s += img.rgb(i) & 0xff; i += 1 }
+            (r.media_id, img.width, img.height, s)
+          case None => (r.media_id, -1, -1, -1L)
+        }
+      }
+    }.toDF("media_id", "dec_w", "dec_h", "pix_sum")
+  }
+
+  /** Try the real codecs in signature order; returns the image plus its
+    * source container ("ppm" | "png"). None → caller's stub path.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(Ppm.Image, String)] =
+    Ppm.decode(bytes).map((_, "ppm")).orElse(Png.decode(bytes).map((_, "png")))
+
+  private def encodeImage(img: Ppm.Image, container: String): Array[Byte] =
+    if (container == "png") Png.encode(img) else Ppm.encode(img)
+
   /** Per-partition feature extraction: decode → fixed-size float vector.
     * The partition iterator IS the batch boundary (mirrors mapInPandas
     * batch semantics): rows stream through without materializing the
@@ -71,9 +129,9 @@ object Media {
       // per-partition setup would go here (codec init, model load)
       rows.map { r =>
         val bytes = if (r.payload == null) Array.empty[Byte] else r.payload
-        val feat = Ppm.decode(bytes) match {
+        val feat = decodeImage(bytes) match {
           // REAL path: decoded image → per-band mean luminance (spatial)
-          case Some(img) => Ppm.bandLuminance(img, dim)
+          case Some((img, _)) => Ppm.bandLuminance(img, dim)
           case None =>
             // STUB: real kernel = decode(bytes) → model features.
             // Deterministic fake: k-strided byte histogram, normalized.
@@ -89,10 +147,11 @@ object Media {
   }
 
   /** Image resize: aspect-preserving downscale to fit (maxW, maxH); never
-    * upscales. P6 PPM payloads take the REAL path — decode, nearest-neighbor
-    * resample, re-encode, metadata from the DECODED dimensions (the payload
-    * is the truth, not the meta struct). Other formats take the documented
-    * stub.
+    * upscales. P6 PPM and baseline PNG payloads take the REAL path — decode,
+    * nearest-neighbor resample, re-encode in the SAME container, metadata
+    * from the DECODED dimensions (the payload is the truth, not the meta
+    * struct — including on the no-op branch, so wrong input meta never
+    * survives a real decode). Other formats take the documented stub.
     */
   def resizeImages(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val spark = media.sparkSession
@@ -101,16 +160,20 @@ object Media {
       .mapPartitions { rows =>
         rows.map { r =>
           if (r.payload == null) r // nothing to resize; row passes through
-          else Ppm.decode(r.payload) match {
-            case Some(img) =>
+          else decodeImage(r.payload) match {
+            case Some((img, container)) =>
               val scale = math.min(1.0, math.min(
                 maxW.toDouble / img.width, maxH.toDouble / img.height))
               val nw = math.max(1, (img.width * scale).toInt)
               val nh = math.max(1, (img.height * scale).toInt)
-              if (nw == img.width && nh == img.height) r // no-op: byte-identical
-              else r.copy(payload = Ppm.encode(Ppm.resizeNearest(img, nw, nh)),
+              if (nw == img.width && nh == img.height)
+                // no-op resize: payload byte-identical, but meta still comes
+                // from the DECODED truth (drops any wrong upstream dims)
+                r.copy(meta = r.meta.copy(width = Some(img.width),
+                  height = Some(img.height), format = Some(container)))
+              else r.copy(payload = encodeImage(Ppm.resizeNearest(img, nw, nh), container),
                 meta = r.meta.copy(width = Some(nw), height = Some(nh),
-                  format = Some("ppm")))
+                  format = Some(container)))
             case None =>
               val w = r.meta.width.getOrElse(0)
               val h = r.meta.height.getOrElse(0)

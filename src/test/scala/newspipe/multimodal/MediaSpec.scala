@@ -86,10 +86,161 @@ class MediaSpec extends SparkTestBase {
     val px = img.rgb.grouped(3).toArray
     (px(0)(0) & 0xff) shouldBe 255 // (0,0) red
     (px(3)(2) & 0xff) shouldBe 255 // (3,0) blue
-    // never upscales
+    // never upscales — and the no-op branch STILL rewrites meta from the
+    // decoded truth (the planted 999×999 "ppm" meta must not survive)
     val same = Media.resizeImages(media, maxW = 64, maxH = 64)
       .as[Media.MediaRow].head()
     Ppm.decode(same.payload).get.width shouldBe 8
+    same.meta.width shouldBe Some(8)
+    same.meta.height shouldBe Some(4)
+    same.meta.format shouldBe Some("ppm")
+  }
+
+  // ---- real baseline-PNG path ----------------------------------------------
+
+  /** Wrap a raw (filtered) scanline stream into a minimal PNG container.
+    * CRCs are zeroed — the decoder relies on zlib integrity, not chunk CRCs —
+    * so this helper shares no code with Png.encode.
+    */
+  private def pngContainer(w: Int, h: Int, colorType: Int, raw: Array[Byte]): Array[Byte] = {
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length * 2 + 64)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val idat = buf.take(n)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a), 0, 8)
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(t: String, d: Array[Byte]): Unit = {
+      out.write(be32(d.length), 0, 4)
+      out.write(t.getBytes("US-ASCII"), 0, 4)
+      out.write(d, 0, d.length)
+      out.write(Array[Byte](0, 0, 0, 0), 0, 4) // CRC unvalidated
+    }
+    chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0))
+    chunk("IDAT", idat)
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  /** Forward-apply a PNG scanline filter (the inverse of the decoder's
+    * defilter), written independently from the spec.
+    */
+  private def forwardFilter(filter: Int, row: Array[Byte], prev: Array[Byte],
+      bpp: Int): Array[Byte] = {
+    val out = new Array[Byte](row.length + 1)
+    out(0) = filter.toByte
+    for (x <- row.indices) {
+      val a = if (x >= bpp) row(x - bpp) & 0xff else 0
+      val b = if (prev != null) prev(x) & 0xff else 0
+      val c = if (x >= bpp && prev != null) prev(x - bpp) & 0xff else 0
+      val pred = filter match {
+        case 0 => 0
+        case 1 => a
+        case 2 => b
+        case 3 => (a + b) >> 1
+        case 4 =>
+          val p = a + b - c
+          val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+          if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+      }
+      out(x + 1) = ((row(x) & 0xff) - pred).toByte
+    }
+    out
+  }
+
+  test("Png codec: encode/decode round-trips RGB exactly") {
+    val img = Ppm.decode(ppmBytes(6, 4)).get
+    val png = Png.encode(img)
+    png.take(4) shouldBe Array[Byte](0x89.toByte, 'P', 'N', 'G')
+    val back = Png.decode(png).get
+    back.width shouldBe 6
+    back.height shouldBe 4
+    back.rgb shouldBe img.rgb
+  }
+
+  test("Png decode: all five scanline filters reconstruct the same pixels") {
+    val w = 5; val h = 5; val bpp = 3
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 251).toByte)
+    val rows = rgb.grouped(w * bpp).toArray
+    for (filters <- Seq(Seq(0, 1, 2, 3, 4), Seq(4, 4, 3, 1, 2))) {
+      val raw = new java.io.ByteArrayOutputStream()
+      var prev: Array[Byte] = null
+      for ((row, y) <- rows.zipWithIndex) {
+        raw.write(forwardFilter(filters(y), row, prev, bpp))
+        prev = row
+      }
+      val decoded = Png.decode(pngContainer(w, h, 2, raw.toByteArray))
+      decoded.map(_.rgb.toSeq) shouldBe Some(rgb.toSeq)
+    }
+  }
+
+  test("Png decode: gray and alpha color types convert to RGB (alpha dropped)") {
+    // 2x2 grayscale (colorType 0): values 10,20,30,40
+    val grayRaw = Array[Byte](0, 10, 20, 0, 30, 40)
+    val gray = Png.decode(pngContainer(2, 2, 0, grayRaw)).get
+    gray.rgb shouldBe Array[Byte](10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40)
+    // 2x1 RGBA (colorType 6): alpha dropped
+    val rgbaRaw = Array[Byte](0, 1, 2, 3, 99.toByte, 4, 5, 6, 7)
+    Png.decode(pngContainer(2, 1, 6, rgbaRaw)).get.rgb shouldBe
+      Array[Byte](1, 2, 3, 4, 5, 6)
+    // 1x1 gray+alpha (colorType 4)
+    Png.decode(pngContainer(1, 1, 4, Array[Byte](0, 77, 12))).get.rgb shouldBe
+      Array[Byte](77, 77, 77)
+  }
+
+  test("Png decode: rejects non-baseline and corrupt inputs, never throws") {
+    val img = Ppm.decode(ppmBytes(4, 4)).get
+    val good = Png.encode(img)
+    Png.decode(null) shouldBe None
+    Png.decode(Array[Byte](1, 2, 3)) shouldBe None
+    Png.decode(good.dropRight(20)) shouldBe None       // truncated
+    Png.decode(good.take(40)) shouldBe None            // no IDAT/IEND
+    val palette = good.clone; palette(8 + 8 + 9) = 3   // colorType 3 (palette)
+    Png.decode(palette) shouldBe None
+    val interlaced = good.clone; interlaced(8 + 8 + 12) = 1
+    Png.decode(interlaced) shouldBe None
+    val depth16 = good.clone; depth16(8 + 8 + 8) = 16
+    Png.decode(depth16) shouldBe None
+    // corrupted zlib body: flip a byte mid-IDAT
+    val corrupt = good.clone; corrupt(good.length - 20) = (corrupt(good.length - 20) ^ 0x5a).toByte
+    Png.decode(corrupt) // must not throw (None or garbage-free image)
+  }
+
+  test("resizeImages takes the REAL path for PNG payloads, container-preserving") {
+    val img = Ppm.decode(ppmBytes(8, 4)).get
+    val media = Seq(Media.MediaRow(1L, "image", Png.encode(img),
+      Media.MediaMeta(Some(999), Some(999), Some("jpeg"), None))).toDF()
+    val out = Media.resizeImages(media, maxW = 4, maxH = 4)
+      .as[Media.MediaRow].head()
+    out.meta.width shouldBe Some(4)
+    out.meta.height shouldBe Some(2)
+    out.meta.format shouldBe Some("png") // re-encoded in the SAME container
+    val back = Png.decode(out.payload).get
+    back.width shouldBe 4
+    back.height shouldBe 2
+    // left red / right blue preserved through png → resample → png
+    (back.rgb(0) & 0xff) shouldBe 255
+    (back.rgb(3 * 3 + 2) & 0xff) shouldBe 255
+    // no-op branch: meta corrected from decode, payload byte-identical
+    val same = Media.resizeImages(media, maxW = 64, maxH = 64)
+      .as[Media.MediaRow].head()
+    same.meta.width shouldBe Some(8)
+    same.meta.format shouldBe Some("png")
+    same.payload shouldBe Png.encode(img)
+  }
+
+  test("syntheticReal + imagePixelSums: closed-form round-trip witness") {
+    val media = Media.syntheticReal(spark, 40L)
+    val sums = Media.imagePixelSums(media).as[(Long, Int, Int, Long)].collect()
+    sums.length shouldBe 40
+    sums.foreach { case (id, w, h, s) =>
+      w shouldBe (id % 23 + 3).toInt
+      h shouldBe (id % 17 + 3).toInt
+      val csum = (id % 200 + 20) + (id * 7 % 200 + 20) + (id * 13 % 200 + 20)
+      s shouldBe w * h * csum
+    }
   }
 
   test("extractFeatures takes the REAL path for P6: spatial luminance bands, unit norm") {
