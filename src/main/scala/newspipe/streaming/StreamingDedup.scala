@@ -100,19 +100,35 @@ object StreamingDedup {
     * micro-batch, so the combine never needs cross-batch state, and its
     * memory is bounded by the micro-batch, not the stream.
     *
-    * Differences from the batch pipeline, by design: no Jaccard
-    * verification pass (a streaming state store cannot re-join shingle sets
-    * without unbounded stream-stream lag), so precision is the banding
-    * threshold curve rather than exact-verified — the standard
-    * ingest-time-filter / batch-verify split. Rows arriving later than the
+    * Precision: CROSS-batch suppression is band-threshold only, by design —
+    * the state store keeps one timestamp per bucket, not the claimant's
+    * signature, so there is nothing to verify a later arrival against
+    * without unbounded state. WITHIN a micro-batch, though, both members of
+    * a candidate pair are present in the same bucket group, so
+    * `verifyThreshold = Some(t)` turns on a per-collision MinHash-estimate
+    * Jaccard check (matching signature components / numHashes — the
+    * standard unbiased estimator): a spurious band collision with estimated
+    * J < t no longer suppresses the doc, matching what the batch
+    * pipeline's `jaccardVerify` pass would decide for same-batch pairs.
+    * The default (None) keeps pure band-threshold semantics — batch
+    * `minhashCandidates` parity.
+    *
+    * Deliveries are keyed by (id, content digest), and a collision with the
+    * SAME (id, digest) is ignored as a redelivery of itself — so an
+    * at-least-once source's same-batch replay keeps exactly one copy, while
+    * two same-id deliveries with DIFFERENT texts are judged each on their
+    * own bands (a delivery is kept only if ITS OWN bands are clean, never
+    * by pooling fresh bands across variants). Rows arriving later than the
     * watermark may be re-admitted once their buckets' state expires — the
     * same late-data trade as [[exact]].
     *
     * @param idCol unique doc id (any atomic type; keyed as its string form)
+    * @param verifyThreshold within-batch estimated-Jaccard verify level;
+    *   None = band-threshold-only (batch-candidates parity)
     */
   def nearBanded(stream: DataFrame, idCol: String, textCol: String,
       tsCol: String, watermark: String = "1 hour", numHashes: Int = 64,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16, verifyThreshold: Option[Double] = None): DataFrame = {
     import newspipe.ops.Dedup
     require(bands > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
@@ -128,38 +144,49 @@ object StreamingDedup {
       col(idCol).isNotNull && col(tsCol).isNotNull
     val marked = stream.withWatermark(tsCol, watermark)
 
-    // (docid, tsms, row, band, bucket) + the watermarked event-time column
-    // (carried so EventTimeTimeout sees a watermark attribute downstream).
-    // The payload struct rides ONLY the band-0 row — every band row carrying
-    // the full document would multiply both shuffles' volume by `bands`;
-    // stage 2 coalesces it back (a doc's rows share the micro-batch).
+    // (docid, digest, tsms, row, band, bucket, sig) + the watermarked
+    // event-time column (carried so EventTimeTimeout sees a watermark
+    // attribute downstream). The payload struct rides ONLY the band-0 row —
+    // every band row carrying the full document would multiply both
+    // shuffles' volume by `bands`; stage 2 coalesces it back (a doc's rows
+    // share the micro-batch). The SIGNATURE rides every band row (numHashes
+    // ints ≈ a few hundred bytes — small next to document text): it is what
+    // lets a bucket group estimate Jaccard between same-batch colliders.
     val banded = marked.filter(hasTokens)
       .withColumn("__sig",
         Dedup.minhashSignature(Dedup.shinglesFromTokens(toks), numHashes))
       .select(
         col(idCol).cast("string").as("__docid"),
+        md5(col(textCol)).as("__digest"),
         unix_millis(col(tsCol)).as("__tsms"),
         struct(schema.fieldNames.map(col).toSeq: _*).as("__row"),
         explode(Dedup.lshBands(col("__sig"), bands, rowsPerBand)).as("__bb"),
+        col("__sig"),
         col(tsCol).as("__evt"))
-      .select(col("__docid"), col("__tsms"),
+      .select(col("__docid"), col("__digest"), col("__tsms"),
         when(col("__bb.band") === 0, col("__row"))
           .otherwise(lit(null).cast(schema)).as("__row"),
         col("__bb.band").as("__band"), col("__bb.bucket").as("__bucket"),
-        col("__evt"))
+        col("__sig"), col("__evt"))
 
     val midSchema = StructType(Seq(
       StructField("__docid", StringType),
-      StructField("__fresh", IntegerType, nullable = false),
+      StructField("__digest", StringType),
+      StructField("__cross", IntegerType, nullable = false),
+      StructField("__estj", DoubleType, nullable = false),
       StructField("__row", schema)))
     val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
 
-    // Stage 1 — per-(band,bucket) claim state. Greedy within a batch: only
-    // the (event time, id)-minimal row into a previously-empty bucket is
-    // fresh — exactly the doc the batch operator would pair the rest
-    // against. One O(n) pass finds the winner (no sort); the group array is
-    // batch-bucket-sized, the only batch-local memory this operator holds
-    // (state itself stays one timestamp per bucket).
+    // Stage 1 — per-(band,bucket) claim state. Greedy within a batch: the
+    // (event time, id, digest)-minimal delivery into a previously-empty
+    // bucket is the claimant — exactly the doc the batch operator would
+    // pair the rest against. Each OTHER row in the group is tagged with its
+    // estimated Jaccard vs the claimant (NaN when its only collision is a
+    // redelivery of itself); rows in a bucket claimed by an EARLIER batch
+    // are hard-stale (`__cross` = 1 — no signature survives in state to
+    // verify against). One O(n) pass; the group array is batch-bucket-sized,
+    // the only batch-local memory this operator holds (state itself stays
+    // one timestamp per bucket).
     val perBand: (((Int, Long), Iterator[Row], GroupState[Long]) => Iterator[Row]) =
       (_, it, state) => {
         if (state.hasTimedOut) { state.remove(); Iterator.empty }
@@ -171,51 +198,77 @@ object StreamingDedup {
           var i = 0
           while (i < rows.length) {
             val r = rows(i)
-            last = math.max(last, r.getLong(1))
+            last = math.max(last, r.getLong(2))
             val m = rows(minIdx)
-            val ts = r.getLong(1); val mts = m.getLong(1)
-            if (ts < mts || (ts == mts && r.getString(0) < m.getString(0)))
+            val ts = r.getLong(2); val mts = m.getLong(2)
+            if (ts < mts || (ts == mts && (r.getString(0) < m.getString(0) ||
+                (r.getString(0) == m.getString(0) && r.getString(1) < m.getString(1)))))
               minIdx = i
             i += 1
           }
           state.update(last)
           state.setTimeoutTimestamp(
             math.max(last + horizonMs, state.getCurrentWatermarkMs() + 1))
-          val win = minIdx
+          val win = rows(minIdx)
+          val winSig = win.getSeq[Long](6)
           rows.iterator.zipWithIndex.map { case (r, j) =>
-            Row(r.getString(0), if (!wasOccupied && j == win) 1 else 0,
-              if (r.isNullAt(2)) null else r.getStruct(2))
+            val cross = if (wasOccupied) 1 else 0
+            val self = r.getString(0) == win.getString(0) &&
+              r.getString(1) == win.getString(1)
+            val estj =
+              if (wasOccupied || j == minIdx || self) Double.NaN
+              else {
+                val sig = r.getSeq[Long](6)
+                var eq = 0
+                var k = 0
+                while (k < numHashes) { if (sig(k) == winSig(k)) eq += 1; k += 1 }
+                eq.toDouble / numHashes
+              }
+            Row(r.getString(0), r.getString(1), cross, estj,
+              if (r.isNullAt(3)) null else r.getStruct(3))
           }
         }
       }
     val tagged = banded
-      .groupByKey(r => (r.getInt(3), r.getLong(4)))(keyEnc)
+      .groupByKey(r => (r.getInt(4), r.getLong(5)))(keyEnc)
       .flatMapGroupsWithState[Long, Row](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(perBand)(
         Encoders.scalaLong, Encoders.row(midSchema))
 
-    // Stage 2 — per-doc combine of the band verdicts: hash exchange on the
-    // doc id co-locates a doc's band rows, then a per-partition map combines
-    // them within the micro-batch. Stateless, so the single stateful
-    // operator above is the query's only state. Keep iff the fresh-band
-    // count reaches `bands` — counting (not AND) makes an at-least-once
-    // source's SAME-BATCH redelivery keep exactly one copy: the first
-    // delivery's bands are all fresh (count = bands), the replay's all
-    // stale (adds 0), where a strict every-row AND would drop both.
-    val kept = tagged.repartition(col("__docid"))
+    // Stage 2 — per-DELIVERY combine of the band verdicts: hash exchange on
+    // (doc id, digest) co-locates a delivery's band rows, then a
+    // per-partition map combines them within the micro-batch. Stateless, so
+    // the single stateful operator above is the query's only state. A
+    // delivery is kept iff ITS OWN bands are clean: no cross-batch-claimed
+    // bucket, and no same-batch collision that survives the verify rule
+    // (any collision when verifyThreshold is None; estimated J ≥ t when
+    // Some(t)). Self-collisions are NaN and never suppress — an
+    // at-least-once source's same-batch redelivery keeps exactly one copy
+    // (the accumulators coincide), while same-id deliveries with different
+    // texts are judged independently and never pool their fresh bands.
+    val kept = tagged.repartition(col("__docid"), col("__digest"))
       .mapPartitions { it =>
-        val acc = new java.util.LinkedHashMap[String, (Int, Row)]()
+        // (anyCross, maxEstJ, payload) per (docid, digest)
+        val acc = new java.util.LinkedHashMap[(String, String), (Boolean, Double, Row)]()
         it.foreach { r =>
-          val id = r.getString(0)
-          val fresh = r.getInt(1)
-          val row = if (r.isNullAt(2)) null else r.getStruct(2)
-          val prev = acc.get(id)
-          if (prev == null) acc.put(id, (fresh, row))
-          else acc.put(id, (prev._1 + fresh, if (prev._2 != null) prev._2 else row))
+          val key = (r.getString(0), r.getString(1))
+          val cross = r.getInt(2) == 1
+          val estj = r.getDouble(3)
+          val row = if (r.isNullAt(4)) null else r.getStruct(4)
+          val prev = acc.get(key)
+          if (prev == null) acc.put(key, (cross, estj, row))
+          else acc.put(key, (prev._1 || cross,
+            // NaN-aware max: NaN = "no non-self collision seen"
+            if (estj.isNaN) prev._2 else if (prev._2.isNaN) estj else math.max(prev._2, estj),
+            if (prev._3 != null) prev._3 else row))
         }
         import scala.jdk.CollectionConverters._
-        acc.values.iterator.asScala
-          .collect { case (n, row) if n >= bands && row != null => row }
+        acc.values.iterator.asScala.collect {
+          case (anyCross, maxJ, row)
+              if !anyCross && row != null &&
+                (maxJ.isNaN || verifyThreshold.exists(maxJ < _)) =>
+            row
+        }
       }(Encoders.row(schema))
 
     kept.toDF().unionByName(marked.filter(!hasTokens))

@@ -220,6 +220,77 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("nearBanded: same-id deliveries with DIFFERENT texts never pool fresh bands") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingDedup.nearBanded(stream.toDF().toDF("id", "ts", "text"),
+        "id", "text", "ts", watermark = "1 hour")
+      .writeStream.format("memory").queryName("snb_variants")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, ts("2026-01-01 10:00:00"), bases(0)))
+      q.processAllAvailable()
+      // id 99 delivered TWICE with different texts in one batch: variant A
+      // is an exact copy of doc 1 (all bands cross-batch-stale, 0 fresh),
+      // variant B is brand-new (all bands fresh). Pooling the counts
+      // (old bug) reaches bands and could emit the DUP payload; per-
+      // delivery judgment keeps exactly B and drops A.
+      stream.addData(
+        (99L, ts("2026-01-01 10:10:00"), bases(0)),
+        (99L, ts("2026-01-01 10:10:00"), bases(1)))
+      q.processAllAvailable()
+      val out = spark.table("snb_variants").as[(Long, java.sql.Timestamp, String)]
+        .collect().filter(_._1 == 99L)
+      out.length shouldBe 1
+      out.head._3 shouldBe bases(1) // the clean variant, deterministically
+    } finally q.stop()
+  }
+
+  test("nearBanded with verifyThreshold: within-batch precision matches batch minhashDedup") {
+    implicit val sqlCtx = spark.sqlContext
+    // Mixed-Jaccard single-batch corpus: six disjoint bases, plus
+    //  20 = one-word edit of bases(0)   → shingle J ≈ 11/17 ≈ 0.65  (SPURIOUS
+    //       band collision at threshold 0.8 — banding pairs it, verify must keep)
+    //  21 = exact copy of bases(1)      → J = 1.0   (verified dup, dropped)
+    //  22 = one-word edit of a 96-word doc → J = 91/97 ≈ 0.94 (verified dup)
+    val longDoc = bases.mkString(" ")
+    val corpus = Seq(
+      (0L, bases(0)), (1L, bases(1)), (2L, bases(2)), (3L, bases(3)),
+      (4L, bases(4)), (5L, bases(5)), (6L, longDoc),
+      (20L, bases(0).replace("kilo", "kappa")),
+      (21L, bases(1)),
+      (22L, longDoc.replace("mercury", "cobalt")))
+    val df = corpus.toDF("id", "text")
+
+    // the batch pipeline's verdict at the same threshold: minhashDedup keeps
+    // the verified-unique set (greedy by min id)
+    val batchKept = newspipe.ops.Dedup
+      .minhashDedup(df, "id", "text", threshold = 0.8)
+      .select("id").as[Long].collect().toSet
+    // sanity: the spurious pair banded but failed exact-Jaccard verify
+    batchKept should contain (20L)
+    batchKept should not contain 21L
+    batchKept should not contain 22L
+    val bandedPairs = newspipe.ops.Dedup.minhashCandidates(df, "id", "text")
+      .select("id_b").as[Long].collect().toSet
+    bandedPairs should contain (20L) // the collision the verify must overrule
+
+    val rows = corpus.zipWithIndex.map { case ((id, t), i) =>
+      (id, ts(f"2026-01-01 10:${i}%02d:00"), t) }
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingDedup.nearBanded(stream.toDF().toDF("id", "ts", "text"),
+        "id", "text", "ts", watermark = "1 hour",
+        verifyThreshold = Some(0.8))
+      .writeStream.format("memory").queryName("snb_verify")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*) // ONE micro-batch: every pair is within-batch
+      q.processAllAvailable()
+      val kept = spark.table("snb_verify").select("id").as[Long].collect().toSet
+      kept shouldBe batchKept
+    } finally q.stop()
+  }
+
   test("nearBanded: tokenless/null-id rows pass through; distinct docs in one batch all survive") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Option[Long], java.sql.Timestamp, String)]
