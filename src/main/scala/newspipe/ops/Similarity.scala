@@ -263,21 +263,43 @@ object Similarity {
     * corpus into `nlist` cells; each query probes its `nprobe` nearest cells
     * and re-ranks exactly (cosine) within them.
     *
-    * Scale shape: centroids are trained driver-side on a BOUNDED sample
-    * (`takeSample`, dimension-table sized: nlist × dim floats) and shipped by
-    * closure — the corpus-side pass is one narrow projection assigning each
-    * vector to its cell (no shuffle), then one join on cell id. Compared to
+    * Scale shape: two training modes, both ending in centroids that are
+    * dimension-table sized (nlist × dim doubles) and shipped by closure —
+    * the corpus-side pass is one narrow projection assigning each vector to
+    * its cell (no shuffle), then one join on cell id. Compared to
     * [[lshTopK]], IVF adapts its partitioning to the data distribution
     * instead of using data-oblivious hyperplanes.
+    *
+    *   - default: driver-side spherical k-means over a BOUNDED `takeSample`
+    *     (sampleSize rows). Zero extra cluster passes; at extreme corpus
+    *     scale the fixed sample stops seeing distribution tails, degrading
+    *     centroid quality (recall, never correctness — the re-rank inside
+    *     probed cells stays exact).
+    *   - `distributedTrain = true`: k-means|| ([[kMeansParallel]]) — init
+    *     and every Lloyd iteration are executor-side aggregates over the
+    *     FULL vector column; the driver only ever holds O(nlist) centroids
+    *     and candidates. Costs ~(2·initRounds + 1 + iters) narrow passes
+    *     over the (cached) vector column — the 100-TB form.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
-      seed: Long = 42L, sampleSize: Int = 4096, iters: Int = 8): DataFrame = {
-    val sample = corpus.select(col(vecCol)).rdd
-      .takeSample(withReplacement = false, sampleSize, seed)
-      .map(r => unitVec(r.getSeq[Any](0).map(toDouble).toArray))
-      .filter(_ != null)
-    val centroids = sphericalKMeans(sample, nlist, iters, seed)
+      seed: Long = 42L, sampleSize: Int = 4096, iters: Int = 8,
+      distributedTrain: Boolean = false): DataFrame = {
+    val centroids = if (distributedTrain) {
+      val vecs = corpus.select(col(vecCol)).rdd
+        .map(r => if (r.isNullAt(0)) null
+          else unitVec(r.getSeq[Any](0).map(toDouble).toArray))
+        .filter(_ != null)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try kMeansParallel(vecs, nlist, iters, seed)
+      finally { vecs.unpersist(blocking = false); () }
+    } else {
+      val sample = corpus.select(col(vecCol)).rdd
+        .takeSample(withReplacement = false, sampleSize, seed)
+        .map(r => unitVec(r.getSeq[Any](0).map(toDouble).toArray))
+        .filter(_ != null)
+      sphericalKMeans(sample, nlist, iters, seed)
+    }
 
     // native cell assignment (IvfCells.nearestCells — the corpus-side hot
     // loop); null-vector policy layered per site exactly as the UDFs did:
@@ -338,6 +360,145 @@ object Similarity {
       }.toArray
     }
     centroids
+  }
+
+  /** Distributed spherical k-means with k-means|| initialization (Bahmani et
+    * al., VLDB'12 — the public algorithm MLlib's KMeans also implements):
+    *
+    *  1. seed with one sampled vector; for `initRounds` rounds, every point
+    *     joins the candidate set independently with probability
+    *     `oversample · d²(x) / Σd²` (d² = squared chordal distance to the
+    *     nearest current candidate) — an executor-side filter whose expected
+    *     yield is `oversample` per round, never a driver-side corpus sample;
+    *  2. weight each candidate by the number of corpus points nearest to it
+    *     (one `countByValue` pass) and reduce the ~`oversample·initRounds`
+    *     weighted candidates to `nlist` seeds with a driver-side WEIGHTED
+    *     lloyd (driver memory stays O(candidates · dim));
+    *  3. refine with `iters` distributed Lloyd rounds: one `treeAggregate`
+    *     of (per-cell vector sums, counts) per round — map-side combined,
+    *     O(nlist · dim) per task, the exact shape MLlib uses at cluster
+    *     scale.
+    *
+    * Deterministic for a fixed seed AND a fixed partitioning of `vecs` (the
+    * per-partition RNG is seeded with the partition index; re-partitioning
+    * the input may pick different — equally valid — candidates).
+    * Pass `vecs` already unit-normalized and cached: every round re-scans it.
+    */
+  private[ops] def kMeansParallel(vecs: org.apache.spark.rdd.RDD[Array[Double]],
+      nlist: Int, iters: Int, seed: Long, initRounds: Int = 4): Array[Array[Double]] = {
+    val sc = vecs.sparkContext
+    val oversample = 2.0 * nlist
+    val first = vecs.takeSample(withReplacement = false, 1, seed)
+    require(first.nonEmpty, "empty centroid training corpus")
+    var candidates = first
+    var round = 0
+    var degenerate = false
+    while (round < initRounds && !degenerate) {
+      val bc = sc.broadcast(candidates)
+      val total = vecs.map(v => minDist2(bc.value, v)).sum()
+      if (total <= 0.0) degenerate = true // every point already a candidate
+      else {
+        val fresh = vecs.mapPartitionsWithIndex { (pi, it) =>
+          val rnd = new java.util.Random(seed ^ (round * 2654435761L + pi))
+          val cs = bc.value
+          it.filter(v => rnd.nextDouble() < oversample * minDist2(cs, v) / total)
+        }.collect()
+        candidates = candidates ++ fresh
+      }
+      bc.destroy()
+      round += 1
+    }
+    // candidate weights: how much corpus mass each candidate represents
+    val bcCand = sc.broadcast(candidates)
+    val counts = vecs.map(v => nearestCells(bcCand.value, v, 1).head).countByValue()
+    bcCand.destroy()
+    val weights = candidates.indices.map(i => counts.getOrElse(i, 0L).toDouble.max(1.0)).toArray
+    var centroids = weightedKMeans(candidates, weights, nlist, seed)
+    // distributed Lloyd refinement
+    val dim = centroids.head.length
+    for (_ <- 0 until iters) {
+      val bc = sc.broadcast(centroids)
+      val (sums, cnts) = vecs.treeAggregate(
+        (Array.fill(nlist)(new Array[Double](dim)), new Array[Long](nlist)))(
+        seqOp = { case ((s, c), v) =>
+          val cell = nearestCells(bc.value, v, 1).head
+          val row = s(cell)
+          var i = 0
+          while (i < dim && i < v.length) { row(i) += v(i); i += 1 }
+          c(cell) += 1
+          (s, c)
+        },
+        combOp = { case ((s1, c1), (s2, c2)) =>
+          var j = 0
+          while (j < nlist) {
+            val a = s1(j); val b = s2(j)
+            var i = 0
+            while (i < dim) { a(i) += b(i); i += 1 }
+            c1(j) += c2(j)
+            j += 1
+          }
+          (s1, c1)
+        })
+      bc.destroy()
+      centroids = centroids.indices.map { c =>
+        if (cnts(c) == 0) centroids(c)
+        else {
+          val u = unitVec(sums(c).map(_ / cnts(c)))
+          if (u == null) centroids(c) else u
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Driver-side weighted spherical lloyd over the k-means|| candidate set
+    * (a few hundred vectors): seeds = top-`nlist` candidates by weight,
+    * then 20 weighted mean/renormalize rounds.
+    */
+  private def weightedKMeans(cands: Array[Array[Double]], w: Array[Double],
+      nlist: Int, seed: Long): Array[Array[Double]] = {
+    val dim = cands.head.length
+    var centroids = cands.indices.sortBy(i => (-w(i), i)).take(nlist)
+      .map(cands(_)).toArray
+    if (centroids.length < nlist)
+      centroids = Array.tabulate(nlist)(i => centroids(i % centroids.length))
+    for (_ <- 0 until 20) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Double](nlist)
+      cands.indices.foreach { ci =>
+        val v = cands(ci)
+        val c = nearestCells(centroids, v, 1).head
+        counts(c) += w(ci)
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i) * w(ci); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else {
+          val u = unitVec(sums(c).map(_ / counts(c)))
+          if (u == null) centroids(c) else u
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Squared chordal distance to the nearest candidate (2 − 2·maxdot on the
+    * unit sphere), floored at 0 against rounding.
+    */
+  private def minDist2(cands: Array[Array[Double]], v: Array[Double]): Double = {
+    var best = Double.NegativeInfinity
+    var c = 0
+    while (c < cands.length) {
+      val cent = cands(c)
+      var s = 0.0
+      var i = 0
+      val len = math.min(cent.length, v.length)
+      while (i < len) { s += cent(i) * v(i); i += 1 }
+      if (s > best) best = s
+      c += 1
+    }
+    math.max(0.0, 2.0 - 2.0 * best)
   }
 
   /** Indices of the `n` centroids with the largest dot product against `v`. */

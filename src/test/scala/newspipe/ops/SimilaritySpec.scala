@@ -105,6 +105,46 @@ class SimilaritySpec extends SparkTestBase {
     recall should be >= 0.8
   }
 
+  test("ivfTopK with k-means|| training: recall ≥ 0.8 at 100 clusters, deterministic") {
+    // 100-copy-scale corpus: 100 tight clusters × 30 vectors in 16 dims —
+    // the regime where a fixed driver sample starts missing clusters but
+    // full-corpus k-means|| training must not
+    val rnd = new scala.util.Random(11)
+    val centers = Seq.fill(100)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = for (c <- centers.indices; i <- 0 until 30) yield {
+      val v = centers(c).map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+      ((c * 30 + i).toLong, v.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 300 === 0L) // one per 10th cluster
+    val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def run() = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
+        k = 5, nlist = 32, nprobe = 8, iters = 4, distributedTrain = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = run()
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    recall should be >= 0.8 // the documented bound (SCALE.md)
+    // fixed seed + fixed partitioning → reproducible result set
+    run() shouldBe approx
+  }
+
+  test("kMeansParallel: nlist unit-norm centroids from executor-side aggregates") {
+    val rnd = new scala.util.Random(3)
+    val data = Seq.fill(400)(Array.fill(8)(rnd.nextGaussian()))
+    val vecs = spark.sparkContext.parallelize(data, 4)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      }.cache()
+    val cents = Similarity.kMeansParallel(vecs, nlist = 8, iters = 3, seed = 5L)
+    cents.length shouldBe 8
+    cents.foreach { c =>
+      math.sqrt(c.map(x => x * x).sum) shouldBe 1.0 +- 1e-9
+    }
+    vecs.unpersist(blocking = false)
+  }
+
   test("lshTopK: ranks are gap-free and neighbors unique per query") {
     val corpus = clustered
     val queries = corpus.filter($"vec_id" < 3L)
