@@ -840,6 +840,18 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // The SQL-surface twin of q53: same kNN graph via knn_join(...) in FROM
+    // position (lazy plan — no jobs at analysis), oracle = q53's SQL
+    "q81_sql_knn_join" -> ((s, dir) => {
+      newspipe.NewspipeExtensions.register(s)
+      val (_, corpus) = annPlantedCorpus(s, dir)
+      corpus.createOrReplaceTempView("knn_corpus_sql")
+      s.sql("""SELECT query_id, neighbor_id
+              |FROM knn_join('knn_corpus_sql', 'vec_id', 'embedding', 64, 3)
+              |WHERE rank = 1 AND (query_id < 10 OR query_id >= 100000)
+              |ORDER BY query_id""".stripMargin)
+    }),
+
     // Embedding-space cross-corpus dedup: scrub a corpus against a
     // reference set by cosine (the semantic-duplicate form of q52).
     // Construction: reference = vec_id < 100; corpus = the rest ∪ verbatim
@@ -1075,6 +1087,17 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // The SQL-surface twin of q74: same chunker, reached via the chunk(...)
+    // table function in FROM position — its oracle IS q74's SQL, so a green
+    // pass asserts SQL surface = DataFrame API under the driver's own hash
+    "q80_sql_chunk" -> ((s, dir) => {
+      newspipe.NewspipeExtensions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("docs_sql_chunk")
+      s.sql("""SELECT doc_id, chunk_idx, chunk_text
+              |FROM chunk('docs_sql_chunk', 'doc_id', 'text', 30, 10)
+              |ORDER BY doc_id, chunk_idx""".stripMargin)
+    }),
+
     // Per-source quality quartiles over word count (ANSI ntile on a fully
     // deterministic order) — curriculum-bucket assignment
     "q75_quality_bins" -> ((s, dir) => {
@@ -1171,7 +1194,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = Map(
 
     "q20_pipeline_sentiment" -> sentimentOracleSql,
     "q1_agg" ->
@@ -2496,5 +2520,14 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM losers)
         |ORDER BY doc_id""".stripMargin
-  )
+    )
+    // q80/q81 replay the SAME computation as q74/q53 through the SQL
+    // table-function surface (chunk / knn_join in FROM position), so their
+    // oracles are those queries' oracle texts VERBATIM — the q67-IS-q64
+    // precedent: passing both asserts SQL surface = DataFrame API on the
+    // driver's own hash compare.
+    base ++ Map(
+      "q80_sql_chunk" -> base("q74_chunk"),
+      "q81_sql_knn_join" -> base("q53_knn_join"))
+  }
 }

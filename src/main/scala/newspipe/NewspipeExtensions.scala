@@ -174,14 +174,11 @@ object NewspipeExtensions {
         }),
       // verified MinHash near-dup pairs from SQL FROM position:
       //   SELECT * FROM minhash_pairs('docs', 'id', 'text', 0.8)
-      // → (id_a, id_b, jaccard). Note: jaccardVerify materializes the
-      // candidate set eagerly (localCheckpoint), so resolution of this
-      // table function runs the candidate jobs — the same cost the
-      // DataFrame composition pays, surfaced at analysis time (an EXPLAIN
-      // pays it too). Consequence: the candidate set snapshots the table AT
-      // RESOLUTION, while the verification legs re-scan at execution — run
-      // it against a stable table/view, not one being mutated between
-      // analysis and collect.
+      // → (id_a, id_b, jaccard). Built LAZY (`eager = false`): resolution
+      // and EXPLAIN launch no jobs, every leg scans the table at execution
+      // time like any other SQL — the candidate subtree re-evaluates per
+      // verify branch instead of being checkpointed (the DataFrame API
+      // keeps the eager one-materialization form).
       (new FunctionIdentifier("minhash_pairs"),
         new ExpressionInfo("newspipe.NewspipeExtensions", "minhash_pairs"),
         (children: Seq[Expression]) => {
@@ -195,7 +192,41 @@ object NewspipeExtensions {
           val docs = spark.table(names(0))
           val cand = newspipe.ops.Dedup.minhashCandidates(docs, names(1), names(2))
           NewspipeSqlBridge.logicalPlan(newspipe.ops.Dedup.jaccardVerify(
-            cand, docs, names(1), names(2), threshold = threshold))
+            cand, docs, names(1), names(2), threshold = threshold,
+            eager = false))
+        }),
+      // fixed-size token chunking in FROM position:
+      //   SELECT * FROM chunk('docs', 'doc_id', 'text', 128[, 16])
+      // → (doc_id, chunk_idx, chunk_text)
+      (new FunctionIdentifier("chunk"),
+        new ExpressionInfo("newspipe.NewspipeExtensions", "chunk"),
+        (children: Seq[Expression]) => {
+          require(children.length == 4 || children.length == 5,
+            "chunk(table, id_col, text_col, size[, overlap]) takes 4-5 arguments")
+          val names = children.take(3).map(stringArg("chunk", _))
+          val size = longArg("chunk", children(3)).intValue()
+          val overlap =
+            if (children.length == 5) longArg("chunk", children(4)).intValue() else 0
+          val spark = SparkSession.active
+          NewspipeSqlBridge.logicalPlan(newspipe.ops.Chunker.chunk(
+            spark.table(names(0)), names(1), names(2), size, overlap))
+        }),
+      // bulk kNN self-join (knn-graph build) in FROM position:
+      //   SELECT * FROM knn_join('embeddings', 'vec_id', 'embedding', 64, 5)
+      // → (query_id, neighbor_id, cos, rank). Lazy like minhash_pairs:
+      // no jobs until the query executes.
+      (new FunctionIdentifier("knn_join"),
+        new ExpressionInfo("newspipe.NewspipeExtensions", "knn_join"),
+        (children: Seq[Expression]) => {
+          require(children.length == 5,
+            "knn_join(table, id_col, vec_col, dim, k) takes 5 arguments")
+          val names = children.take(3).map(stringArg("knn_join", _))
+          val dim = longArg("knn_join", children(3)).intValue()
+          val k = longArg("knn_join", children(4)).intValue()
+          require(dim > 0 && k > 0, s"knn_join dim/k must be positive, got $dim/$k")
+          val spark = SparkSession.active
+          NewspipeSqlBridge.logicalPlan(newspipe.ops.Similarity.knnJoin(
+            spark.table(names(0)), names(1), names(2), dim, k, eager = false))
         }))
 
   /** Register on a live session (the extensions hook only applies at session

@@ -174,10 +174,18 @@ object Dedup {
     * frame is lazy and keeps consuming the checkpoint); long-lived sessions
     * looping over many corpora hold at most the not-yet-collected candidate
     * frames, each candidate-set-sized.
+    *
+    * `eager = false` skips the checkpoint and keeps the WHOLE composition
+    * lazy: nothing runs until the caller executes, at the price of the
+    * candidate subtree re-evaluating per branch (identical exchanges are
+    * still collapsed by ReusedExchange where Spark can prove them equal).
+    * This is the mode the SQL table function uses — a bare EXPLAIN of
+    * `minhash_pairs(...)` must not launch jobs.
     */
   def jaccardVerify(candidates: DataFrame, df: DataFrame, idCol: String,
-      textCol: String, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val cand = candidates.localCheckpoint(true)
+      textCol: String, n: Int = 3, threshold: Double = 0.8,
+      eager: Boolean = true): DataFrame = {
+    val cand = if (eager) candidates.localCheckpoint(true) else candidates
     val candIds = cand.select(col("id_a").as("__cid"))
       .union(cand.select(col("id_b").as("__cid")))
       .distinct()

@@ -177,14 +177,17 @@ object Similarity {
     */
   def knnJoin(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int = 10, nbits: Int = 8, probes: Int = 4, seed: Long = 42L,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = 4096, eager: Boolean = true): DataFrame = {
     val sigOf = rhpSignature(dim, nbits, seed)
     val vecs = Par.ensure(df.select(col(idCol).as("id"), col(vecCol).as("v")))
     // (id, 64-bit signature) — tiny — but consumed by THREE branches (query
     // probes, neighbor buckets, hot-bucket census); checkpoint so the
-    // vector scan + hyperplane projection run once, not three times
-    val sig = vecs.select(col("id"), sigOf(col("v")).as("__sig"))
-      .localCheckpoint(true)
+    // vector scan + hyperplane projection run once, not three times.
+    // `eager = false` (the SQL table-function mode) keeps the composition
+    // fully lazy instead — no jobs at plan/EXPLAIN time, the narrow
+    // signature projection re-evaluates per branch at execution.
+    val sig0 = vecs.select(col("id"), sigOf(col("v")).as("__sig"))
+    val sig = if (eager) sig0.localCheckpoint(true) else sig0
     val qb = sig.select(col("id").as("query_id"),
       explode(probeBuckets(probes)(col("__sig"))).as("__bucket"))
     val cb = sig.select(col("id").as("neighbor_id"), col("__sig").as("__bucket"))

@@ -167,6 +167,75 @@ class ExtensionsSpec extends SparkTestBase {
       spark.sql("SELECT * FROM minhash_pairs('mhdocs', 'id', 'text', 1.5)").collect()
   }
 
+  test("minhash_pairs resolution and EXPLAIN launch no Spark jobs (lazy SQL path)") {
+    NewspipeExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, "some document text body here"), (2L, "other unrelated text content"))
+      .toDF("id", "text").createOrReplaceTempView("mhlazy")
+    Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("id", "v").createOrReplaceTempView("vecs_lazy")
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // analysis + optimization + physical planning, but NO execution
+      val df = spark.sql("SELECT * FROM minhash_pairs('mhlazy', 'id', 'text', 0.8)")
+      df.queryExecution.executedPlan // force full planning
+      spark.sql("EXPLAIN SELECT * FROM knn_join('vecs_lazy', 'id', 'v', 2, 1)")
+      Thread.sleep(1000) // listener events are async; planning jobs (the old
+                         // eager localCheckpoint) would have posted by now
+      jobs shouldBe 0
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("chunk is callable in FROM position and matches the DataFrame API") {
+    NewspipeExtensions.register(spark)
+    import spark.implicits._
+    Seq(
+      (1L, "one two three four five six seven eight nine ten eleven twelve"),
+      (2L, "alpha beta gamma"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text").createOrReplaceTempView("cdocs")
+    val sql = spark.sql(
+      "SELECT doc_id, chunk_idx, chunk_text FROM chunk('cdocs', 'doc_id', 'text', 5, 2) ORDER BY doc_id, chunk_idx")
+      .as[(Long, Long, String)].collect().toSeq
+    val df = newspipe.ops.Chunker.chunk(spark.table("cdocs"), "doc_id", "text",
+        size = 5, overlap = 2)
+      .orderBy("doc_id", "chunk_idx").as[(Long, Long, String)].collect().toSeq
+    sql shouldBe df
+    sql.head._3 shouldBe "one two three four five"
+    // 4-arg form defaults overlap to 0
+    val noOverlap = spark.sql(
+      "SELECT count(*) AS n FROM chunk('cdocs', 'doc_id', 'text', 5)").head().getLong(0)
+    noOverlap shouldBe newspipe.ops.Chunker.chunk(spark.table("cdocs"),
+      "doc_id", "text", size = 5).count()
+  }
+
+  test("knn_join is callable in FROM position and matches the DataFrame API") {
+    NewspipeExtensions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val centers = Seq.fill(3)(Array.fill(8)(rnd.nextGaussian()))
+    val rows = for (c <- centers.indices; i <- 0 until 8) yield {
+      val v = centers(c).map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+      ((c * 8 + i).toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding").createOrReplaceTempView("kvecs")
+    val sql = spark.sql(
+      "SELECT query_id, neighbor_id, round(cos, 6) AS c, rank FROM knn_join('kvecs', 'vec_id', 'embedding', 8, 3) ORDER BY query_id, rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val df = newspipe.ops.Similarity.knnJoin(spark.table("kvecs"),
+        "vec_id", "embedding", dim = 8, k = 3)
+      .selectExpr("query_id", "neighbor_id", "round(cos, 6) AS c", "rank")
+      .orderBy("query_id", "rank").as[(Long, Long, Double, Int)].collect().toSeq
+    sql shouldBe df
+    // clustered fixture: rank-1 neighbors stay within the home cluster
+    sql.filter(_._4 == 1).foreach { case (q, n, _, _) => (n / 8) shouldBe (q / 8) }
+  }
+
   test("table functions reject non-literal and wrong-arity arguments") {
     NewspipeExtensions.register(spark)
     intercept[Exception] {
