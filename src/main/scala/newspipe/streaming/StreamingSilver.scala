@@ -56,8 +56,11 @@ object StreamingSilver {
       .start()
 
   /** [[writeToLake]] with EFFECTIVELY-ONCE landing: each micro-batch lands
-    * under its `__batch_id` partition via dynamic partition overwrite
-    * ([[newspipe.io.Lake.writeBatchIdempotent]]), so the at-least-once
+    * under its `__batch_id` partition via explicit per-batch partition
+    * delete + re-land ([[newspipe.io.Lake.writeBatchIdempotent]] — NOT
+    * Spark's dynamic partition overwrite, which would leave duplicate
+    * sub-partitions when a replayed batch partitions differently; see that
+    * method's doc), so the at-least-once
     * foreachBatch replay after a failure overwrites its own partition
     * instead of appending duplicate rows. Use when the layer feeds exact
     * counts/dedup downstream; the plain append sink is fine when
