@@ -1140,6 +1140,26 @@ object SparkEntry {
       newspipe.ops.Dedup.minhashDedupClusteredBy(docs, "doc_id", "text", "wc")
         .select("doc_id")
         .orderBy("doc_id")
+    }),
+
+    // Lake data skipping end-to-end: land documents as a snapshot (stats
+    // sidecar from the parquet footers), Z-order compact on
+    // (lang, n_chars), then readWhere a two-dimension selective predicate
+    // — the sidecar prunes files on BOTH columns (fractions pinned in
+    // LakeSkippingSpec) and this aggregate proves pruning loses nothing:
+    // the oracle is the plain full-scan filter
+    "q82_lake_zorder_skipping" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q82_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      lake.writeAtomic(t(s, dir, "documents"), "docs")
+      lake.compact("docs", targetFileBytes = 64 * 1024,
+        zorderBy = Seq("lang", "n_chars"))
+      lake.readWhere("docs",
+          col("lang") === "en" && col("n_chars").between(200, 400))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
     })
   )
 
@@ -2519,7 +2539,17 @@ object SparkEntry {
         |  SELECT id FROM comp WHERE id NOT IN (SELECT id FROM win))
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM losers)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q82 routes the scan through the Z-ordered snapshot + stats-sidecar
+    // file pruning; correctness contract is "pruning loses nothing", so
+    // the oracle is the plain full-scan filter + aggregate
+    "q82_lake_zorder_skipping" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE lang = 'en' AND n_chars BETWEEN 200 AND 400
+        |GROUP BY lang ORDER BY lang""".stripMargin
     )
     // q80/q81 replay the SAME computation as q74/q53 through the SQL
     // table-function surface (chunk / knn_join in FROM position), so their

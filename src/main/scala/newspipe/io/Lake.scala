@@ -41,10 +41,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * arbitrarily (last committed wins on the next read), the same
   * last-writer-wins contract as Delta's blind overwrite.
   */
+/** `collectStats`: land a [[FileStats]] `_STATS.json` sidecar (per-file
+  * min/max/nullCount from the parquet footers) inside every committed
+  * snapshot, enabling [[Lake.readWhere]] file pruning. Parquet-format
+  * layers only; soft-fails to no-sidecar (pruning then degrades to a full
+  * scan — never to a wrong answer).
+  */
 final case class LakeConfig(
     basePath: String,
     format: String = "parquet",
-    database: String = "news_articles")
+    database: String = "news_articles",
+    collectStats: Boolean = true)
 
 final class Lake(spark: SparkSession, config: LakeConfig) {
 
@@ -118,6 +125,22 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     if (partitionBy.nonEmpty) writer = writer.partitionBy(partitionBy: _*)
     writer.save(snap.toString)
     val f = fs(snap)
+    // stats sidecar BEFORE the commit marker: a committed snapshot either
+    // carries complete stats or none — readers can trust what they find.
+    // Runs before the optimistic-concurrency check so the (listing +
+    // marker-create) race window stays small.
+    if (config.collectStats && config.format == "parquet") {
+      try {
+        val stats = FileStats.collect(
+          spark.sparkContext.hadoopConfiguration, snap.toString)
+        val out = f.create(new Path(snap, FileStats.SidecarName), false)
+        try out.write(FileStats.toJson(stats).getBytes("UTF-8"))
+        finally out.close()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Console.err.println(s"[lake] stats sidecar for $snap skipped: $e")
+      }
+    }
     val parentAtCommit = latestSnapshot(layer).map(_.getName)
     requireParent.foreach { expected =>
       if (parentAtCommit != expected) {
@@ -209,6 +232,89 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
       .load(target)
   }
+
+  /** FILTERED read with sidecar data skipping: resolve the newest
+    * snapshot, evaluate `predicate` against its `_STATS.json` (see
+    * [[FileStats]]), and scan ONLY the files that can possibly match —
+    * then re-apply the full predicate, so the result is always exactly
+    * `read(layer).filter(predicate)`. Falls back to that plain form when
+    * the layer is flat, the sidecar is absent, or nothing prunes.
+    *
+    * This is the read path that makes a 10⁵-file layer answer a selective
+    * query without 10⁵ file opens: one driver-side JSON read replaces the
+    * per-file footer round-trips, and with [[newspipe.ops.ZOrder]]-clustered
+    * layouts the surviving set is a small fraction of the layer. When
+    * every file prunes, the residual always-false filter lets Catalyst
+    * fold the scan to an empty relation — zero tasks.
+    */
+  def readWhere(layer: String, predicate: org.apache.spark.sql.Column,
+      mergeSchema: Boolean = false): DataFrame = {
+    val plain = () => read(layer, mergeSchema).filter(predicate)
+    sidecarStats(layer) match {
+      case None => plain()
+      case Some((snap, all)) =>
+        val kept = resolvedCondition(plain())
+          .map(FileStats.prune(all, _)).getOrElse(all)
+        if (kept.size == all.size) plain()
+        else if (kept.isEmpty)
+          plain().filter(org.apache.spark.sql.functions.lit(false))
+        else {
+          val reader = spark.read.format(config.format)
+            .option("basePath", snap)
+          (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
+            .load(kept.map(f => s"$snap/${f.path}"): _*)
+            .filter(predicate)
+        }
+    }
+  }
+
+  /** What [[readWhere]] would prune, without reading data — the
+    * observability hook for specs and benchmarks. None when the layer has
+    * no stats sidecar (flat layout, stats disabled, or collection
+    * soft-failed).
+    */
+  def pruneInfo(layer: String,
+      predicate: org.apache.spark.sql.Column): Option[Lake.PruneInfo] =
+    sidecarStats(layer).map { case (_, all) =>
+      val kept = resolvedCondition(read(layer).filter(predicate))
+        .map(FileStats.prune(all, _)).getOrElse(all)
+      Lake.PruneInfo(kept.size, all.size,
+        kept.map(_.rows).sum, all.map(_.rows).sum)
+    }
+
+  /** The fully-analyzed, constant-folded filter condition of a
+    * `read(layer).filter(predicate)` frame — the Column DSL builds
+    * unresolved function nodes (`'<'(id, 50)`), so [[FileStats.prune]]
+    * must see the OPTIMIZED plan's condition, where attributes are
+    * resolved, implicit casts inserted, and foldable literals folded.
+    * None when the optimizer removed the filter entirely (a trivially-true
+    * predicate) — the caller then keeps every file, which is exact.
+    */
+  private def resolvedCondition(filtered: DataFrame)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+    filtered.queryExecution.optimizedPlan.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+
+  /** Newest committed snapshot's sidecar stats, if any. */
+  private def sidecarStats(layer: String): Option[(String, Seq[FileStats.FileStat])] =
+    latestSnapshot(layer).flatMap { snap =>
+      val p = new Path(snap, FileStats.SidecarName)
+      val f = fs(p)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val json = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](64 * 1024)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          buf.toString("UTF-8")
+        } finally in.close()
+        val stats = FileStats.fromJson(json)
+        if (stats.isEmpty) None else Some((snap.toString, stats))
+      }
+    }
 
   /** Committed snapshot version ids of a layer, newest first — empty for
     * flat (non-snapshot) layers. Pair with [[readVersion]] for pinned
@@ -311,8 +417,11 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * no such hazard (compaction is one more last-writer-wins snapshot).
     */
   def compact(layer: String, targetFileBytes: Long = 128L * 1024 * 1024,
-      partitionBy: Seq[String] = Nil): String = {
+      partitionBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil): String = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive")
+    require(zorderBy.intersect(partitionBy).isEmpty,
+      "zorderBy and partitionBy must be disjoint (a hive partition column " +
+        "is constant within its files — z-ordering it is a no-op)")
     val src = latestSnapshot(layer).getOrElse(new Path(layerPath(layer)))
     val f = fs(src)
     val bytes = {
@@ -327,7 +436,13 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = read(layer)
     val arranged =
-      if (partitionBy.nonEmpty) {
+      if (zorderBy.nonEmpty)
+        // Z-order rewrite (Delta's OPTIMIZE ZORDER BY): range-partition +
+        // sort on the Morton value (within hive partitions when both are
+        // given) so the stats sidecar prunes on every clustered dimension.
+        // Same single shuffle as the plain repartition below.
+        newspipe.ops.ZOrder.arrange(df, zorderBy, nFiles, partitionBy)
+      else if (partitionBy.nonEmpty) {
         // hashing ONLY the hive partition columns would put each partition
         // value in one task → one (possibly multi-TB) file per value and a
         // straggler on the hot value; a full-row hash salt spreads every
@@ -409,6 +524,15 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       .saveAsTable(s"${config.database}.$table")
     path
   }
+}
+
+object Lake {
+  /** [[Lake.pruneInfo]] result: how much of the layer a predicate's
+    * sidecar pruning keeps (row counts are upper bounds from file stats,
+    * not the filtered result size).
+    */
+  final case class PruneInfo(keptFiles: Int, totalFiles: Int,
+      keptRows: Long, totalRows: Long)
 }
 
 /** Raw landing-zone put — ref S8 (`dbutils.fs.put` of the raw API JSON,
