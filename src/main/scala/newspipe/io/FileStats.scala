@@ -483,7 +483,10 @@ object FileStats {
       case (DateType, "part") => // hive encodes date partitions as yyyy-MM-dd
         scala.util.Try(java.time.LocalDate.parse(stat).toEpochDay).toOption
           .map(d => java.lang.Long.compare(litVal.asInstanceOf[Int].toLong, d))
-      case (TimestampType, t) if t.startsWith("ts_") =>
+      case (TimestampType | TimestampNTZType, t) if t.startsWith("ts_") =>
+        // both types compare micros-to-micros against the file's own
+        // written values; TZ columns are UTC-adjusted on both sides, NTZ
+        // columns local on both sides — consistent within a lake
         val micros = litVal.asInstanceOf[Long] // catalyst internal: micros
         scala.util.Try(stat.toLong).toOption.map { raw =>
           val statMicros = t match {

@@ -296,24 +296,35 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
 
+  /** Parsed sidecars by snapshot path — a committed snapshot directory is
+    * immutable (overwrites land NEW versions), so the cache can never go
+    * stale; it exists because interactive use re-prunes the same snapshot
+    * per query and the JSON parse is the dominant fixed cost of a pruned
+    * read at bench scale.
+    */
+  private val sidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[FileStats.FileStat]]()
+
   /** Newest committed snapshot's sidecar stats, if any. */
   private def sidecarStats(layer: String): Option[(String, Seq[FileStats.FileStat])] =
     latestSnapshot(layer).flatMap { snap =>
-      val p = new Path(snap, FileStats.SidecarName)
-      val f = fs(p)
-      if (!f.exists(p)) None
-      else {
-        val in = f.open(p)
-        val json = try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val chunk = new Array[Byte](64 * 1024)
-          var n = in.read(chunk)
-          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-          buf.toString("UTF-8")
-        } finally in.close()
-        val stats = FileStats.fromJson(json)
-        if (stats.isEmpty) None else Some((snap.toString, stats))
-      }
+      val stats = sidecarCache.computeIfAbsent(snap.toString, _ => {
+        val p = new Path(snap, FileStats.SidecarName)
+        val f = fs(p)
+        if (!f.exists(p)) Nil
+        else {
+          val in = f.open(p)
+          val json = try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](64 * 1024)
+            var n = in.read(chunk)
+            while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+            buf.toString("UTF-8")
+          } finally in.close()
+          FileStats.fromJson(json)
+        }
+      })
+      if (stats.isEmpty) None else Some((snap.toString, stats))
     }
 
   /** Committed snapshot version ids of a layer, newest first — empty for

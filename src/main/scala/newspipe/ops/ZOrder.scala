@@ -54,16 +54,7 @@ object ZOrder {
     require(bits >= 1 && cols.size * bits <= 63,
       s"k*bits must be in [1,63], got ${cols.size} cols * $bits bits")
     val schema = df.schema
-    val normalized = cols.map { c =>
-      val dt = schema(c).dataType
-      dt match {
-        case StringType => col(c)
-        case _: NumericType | DateType | TimestampType | BooleanType =>
-          col(c).cast(DoubleType)
-        case other => throw new IllegalArgumentException(
-          s"zorder column '$c' has unsupported type ${other.simpleString}")
-      }
-    }
+    val normalized = cols.map(c => normalizeForRank(col(c), schema(c).dataType, c))
     val n = df.count()
     val fraction = if (n == 0) 0.0 else math.min(1.0, sampleSize.toDouble / n)
     val sampled =
@@ -102,14 +93,26 @@ object ZOrder {
   def zvalue(df: DataFrame, cols: Seq[String], bounds: Seq[Bounds],
       bits: Int = 8): Column = {
     val schema = df.schema
-    val children = cols.map { c =>
-      schema(c).dataType match {
-        case StringType => col(c)
-        case _ => col(c).cast(DoubleType)
-      }
-    }.map(NewspipeSqlBridge.convertedExpression)
+    val children = cols
+      .map(c => normalizeForRank(col(c), schema(c).dataType, c))
+      .map(NewspipeSqlBridge.convertedExpression)
     NewspipeSqlBridge.column(ZValueExpr(children, bounds.toArray, bits))
   }
+
+  /** Rank-comparable form of a column: strings natively (UTF8 byte
+    * order), everything else through a double (timestamp_ntz first via a
+    * session-zone timestamp — the zone cancels out, both the boundaries
+    * and the per-row value go through the same mapping).
+    */
+  private def normalizeForRank(c: Column, dt: DataType, name: String): Column =
+    dt match {
+      case StringType => c
+      case TimestampNTZType => c.cast(TimestampType).cast(DoubleType)
+      case _: NumericType | DateType | TimestampType | BooleanType =>
+        c.cast(DoubleType)
+      case other => throw new IllegalArgumentException(
+        s"zorder column '$name' has unsupported type ${other.simpleString}")
+    }
 
   /** Arrange `df` into `nFiles` Z-ordered output tasks: range-partition on
     * the z-value (optionally AFTER hive partition columns, so clustering
