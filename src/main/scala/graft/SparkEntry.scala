@@ -444,6 +444,26 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // PQ-compressed ANN (Jégou's product quantization, the FAISS IVF-PQ
+    // compression half): corpus vectors stored as 8 BYTES of sub-centroid
+    // ids (32× smaller than 64 float32s), searched by asymmetric distance
+    // — per query one 8×64 lookup table, per corpus row 8 table lookups.
+    // Same planted-twin proof as q37/q38: the twin's code is byte-identical
+    // to its query's, so its ADC dot is the query's maximal self-product
+    // while natural neighbors top out near cos 0.45 — rank 1 is the twin,
+    // reproduced by the shared argmax-cosine oracle
+    "q83_ann_pq" -> ((s, dir) => {
+      val (queries, corpus) = annPlantedCorpus(s, dir)
+      val cb = newspipe.ops.Pq.train(corpus, "embedding", dim = 64,
+        m = 8, k = 64, iters = 8)
+      val encoded = newspipe.ops.Pq.encodeCorpus(corpus, "embedding", cb)
+      newspipe.ops.Pq.adcTopK(queries, encoded, "vec_id", "embedding",
+          "pq_code", cb, k = 5)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    }),
+
     // Embedding-cosine near-dup pairs through the BUCKETED scale path
     // (banded RHP LSH, q29's brute-force oracle). The natural embeddings
     // have no pairs above cos 0.8, so near-dups are planted in-query: the
@@ -1569,6 +1589,11 @@ object SparkEntry {
     // identical ground truth for the IVF plan (different Spark path, same
     // exact argmax oracle)
     "q38_ann_ivf" -> annArgmaxOracleSql,
+
+    // and for the PQ/ADC plan: byte codes + lookup tables change the
+    // arithmetic but not the winner — the byte-identical twin's ADC dot is
+    // the query's own maximal self-product
+    "q83_ann_pq" -> annArgmaxOracleSql,
 
     // the full silver→gold pipeline with md5 keys, re-derived from documents:
     // docsAsArticles reshaping (source/author/url/publishedAt synthesis),
