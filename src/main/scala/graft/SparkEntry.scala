@@ -464,6 +464,22 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // The full FAISS composition, IVF-PQ: k-means cells bound the
+    // candidate set (corpus side carries id + cell + 8 bytes — vectors
+    // never cross the join), ADC ranks inside the probed cells. The twin
+    // shares its query's nearest cell (identical vector) so it is
+    // reachable in probe 1 and its byte-identical code wins the ADC argmax
+    "q84_ann_ivfpq" -> ((s, dir) => {
+      val (queries, corpus) = annPlantedCorpus(s, dir)
+      val cb = newspipe.ops.Pq.train(corpus, "embedding", dim = 64,
+        m = 8, k = 64, iters = 8)
+      newspipe.ops.Pq.ivfPqTopK(queries, corpus, "vec_id", "embedding",
+          cb, k = 5, nlist = 32, nprobe = 4)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    }),
+
     // Embedding-cosine near-dup pairs through the BUCKETED scale path
     // (banded RHP LSH, q29's brute-force oracle). The natural embeddings
     // have no pairs above cos 0.8, so near-dups are planted in-query: the
@@ -1594,6 +1610,10 @@ object SparkEntry {
     // arithmetic but not the winner — the byte-identical twin's ADC dot is
     // the query's own maximal self-product
     "q83_ann_pq" -> annArgmaxOracleSql,
+
+    // and the IVF-PQ composition (cells bound candidates, ADC ranks):
+    // the twin is reachable in the first probed cell and wins the argmax
+    "q84_ann_ivfpq" -> annArgmaxOracleSql,
 
     // the full silver→gold pipeline with md5 keys, re-derived from documents:
     // docsAsArticles reshaping (source/author/url/publishedAt synthesis),

@@ -136,6 +136,44 @@ object Pq {
     * .bruteForceTopK]]'s exact plan shape with the float scan replaced by
     * `m` byte-indexed lookups per row.
     */
+  /** IVF-PQ — the full FAISS composition: spherical-k-means cells bound
+    * the candidate set (each query probes its `nprobe` nearest cells), PQ
+    * codes + ADC rank within them. The corpus side of the cell join
+    * carries (id, cell, `m` bytes) — VECTORS NEVER CROSS THE JOIN, which
+    * at 10⁹ rows is the difference between shuffling 8 GB and 256 GB.
+    * Training reuses [[Similarity.sphericalKMeans]]'s bounded-sample
+    * contract; the re-rank is ADC (approximate), so recall depends on both
+    * nprobe and codebook quality — planted byte-identical twins are exact
+    * by construction (PqSpec, q84).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, cb: Codebooks, k: Int = 10, nlist: Int = 16,
+      nprobe: Int = 4, seed: Long = 42L, sampleSize: Int = 4096,
+      iters: Int = 8): DataFrame = {
+    val sample = corpus.select(col(vecCol)).rdd
+      .takeSample(withReplacement = false, sampleSize, seed)
+      .map(r => if (r.isNullAt(0)) null
+        else Similarity.unitVec(r.getSeq[Any](0).map(Similarity.toDouble).toArray))
+      .filter(_ != null)
+    val centroids = Similarity.sphericalKMeans(sample, nlist, iters, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      encode(col(vecCol), cb).as("__code"),
+      coalesce(element_at(IvfCells.nearestCells(col(vecCol), centroids, 1), 1),
+        lit(-1)).as("__cell"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      lut(col(vecCol), cb).as("__lut"),
+      explode(IvfCells.nearestCells(col(vecCol), centroids, nprobe))
+        .as("__cell")))
+    val scored = c.join(q, Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dot", adcDot(col("__lut"), col("__code"), cb))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("adc_dot"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc_dot", "rank")
+  }
+
   def adcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, codeCol: String, cb: Codebooks,
       k: Int = 10): DataFrame = {

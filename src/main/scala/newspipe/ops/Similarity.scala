@@ -321,13 +321,13 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
-  private def toDouble(a: Any): Double = a match {
+  private[ops] def toDouble(a: Any): Double = a match {
     case f: Float => f.toDouble
     case d: Double => d
     case n: Number => n.doubleValue()
   }
 
-  private def unitVec(v: Array[Double]): Array[Double] = {
+  private[ops] def unitVec(v: Array[Double]): Array[Double] = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i) * v(i); i += 1 }
     val n = math.sqrt(s)

@@ -105,6 +105,23 @@ class PqSpec extends SparkTestBase {
     (0L until 8L).foreach(q => top(q) shouldBe q + 100000)
   }
 
+  test("ivfPqTopK: cells bound candidates, ADC ranks — twin still wins rank 1") {
+    val base = corpusDf(400)
+    val queries = base.filter(col("vec_id") < 8)
+    val planted = queries.select((col("vec_id") + 100000).as("vec_id"),
+      col("embedding"))
+    val corpus = base.union(planted)
+    val cb = Pq.train(corpus, "embedding", dim, m = 8, k = 64, iters = 8)
+    val top = Pq.ivfPqTopK(queries, corpus, "vec_id", "embedding", cb,
+        k = 3, nlist = 8, nprobe = 3)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // an identical vector lands in the identical nearest cell, which is
+    // the query's first probe — reachable by construction, and its
+    // byte-identical code maximizes ADC
+    (0L until 8L).foreach(q => top(q) shouldBe q + 100000)
+  }
+
   test("k=256 codes round-trip through the signed-byte boundary") {
     // force centroid ids > 127: k=256 with >=256 distinct training points
     val df = corpusDf(600)
