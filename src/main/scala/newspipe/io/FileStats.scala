@@ -71,6 +71,13 @@ object FileStats {
 
   val SidecarName = "_STATS.json"
 
+  /** Per-batch sidecar of a flat [[Lake.writeBatchIdempotent]] layer —
+    * zero-padded so a listing sorts in batch order.
+    */
+  val BatchSidecarPrefix = "_STATS_batch_"
+  def batchSidecarName(batchId: Long): String =
+    f"$BatchSidecarPrefix$batchId%020d.json"
+
   // ---------------------------------------------------------------- collect
 
   /** Read footers of every parquet data file under `dir` (recursively, so
@@ -275,6 +282,10 @@ object FileStats {
     */
   def prune(stats: Seq[FileStat], predicate: Expression): Seq[FileStat] =
     stats.filter(f => canMatch(f, predicate))
+
+  /** Per-file form of [[prune]]: can this file hold a matching row? */
+  def matches(f: FileStat, predicate: Expression): Boolean =
+    canMatch(f, predicate)
 
   /** Column name behind an (optionally cast-wrapped) attribute. Unwrapping
     * a Cast is sound because [[compareLit]] then compares in the CAST's

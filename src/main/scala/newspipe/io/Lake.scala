@@ -250,37 +250,113 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   def readWhere(layer: String, predicate: org.apache.spark.sql.Column,
       mergeSchema: Boolean = false): DataFrame = {
     val plain = () => read(layer, mergeSchema).filter(predicate)
-    sidecarStats(layer) match {
+    prunePlan(layer, predicate) match {
       case None => plain()
-      case Some((snap, all)) =>
-        val kept = resolvedCondition(plain())
-          .map(FileStats.prune(all, _)).getOrElse(all)
-        if (kept.size == all.size) plain()
-        else if (kept.isEmpty)
-          plain().filter(org.apache.spark.sql.functions.lit(false))
-        else {
-          val reader = spark.read.format(config.format)
-            .option("basePath", snap)
-          (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
-            .load(kept.map(f => s"$snap/${f.path}"): _*)
-            .filter(predicate)
-        }
+      case Some(p) if p.keptPaths.size == p.totalFiles => plain()
+      case Some(p) if p.keptPaths.isEmpty =>
+        plain().filter(org.apache.spark.sql.functions.lit(false))
+      case Some(p) =>
+        val reader = spark.read.format(config.format)
+          .option("basePath", p.base)
+        (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
+          .load(p.keptPaths.map(rp => s"${p.base}/$rp"): _*)
+          .filter(predicate)
     }
   }
 
   /** What [[readWhere]] would prune, without reading data — the
     * observability hook for specs and benchmarks. None when the layer has
-    * no stats sidecar (flat layout, stats disabled, or collection
-    * soft-failed).
+    * no stats at all (stats disabled, collection soft-failed, or a flat
+    * layer never written through [[writeBatchIdempotent]]). On flat
+    * batch-sidecar layers the row numbers cover stats-known files only
+    * (files landed outside the idempotent writer count in `totalFiles`
+    * and are always kept, but their row counts are unknown).
     */
   def pruneInfo(layer: String,
       predicate: org.apache.spark.sql.Column): Option[Lake.PruneInfo] =
-    sidecarStats(layer).map { case (_, all) =>
-      val kept = resolvedCondition(read(layer).filter(predicate))
-        .map(FileStats.prune(all, _)).getOrElse(all)
-      Lake.PruneInfo(kept.size, all.size,
-        kept.map(_.rows).sum, all.map(_.rows).sum)
+    prunePlan(layer, predicate).map(p =>
+      Lake.PruneInfo(p.keptPaths.size, p.totalFiles, p.keptRows, p.totalRows))
+
+  private final case class PrunePlan(base: String, keptPaths: Seq[String],
+      totalFiles: Int, keptRows: Long, totalRows: Long)
+
+  /** Shared pruning for [[readWhere]]/[[pruneInfo]]. Snapshot layers trust
+    * the sidecar as the complete file inventory (the snapshot is
+    * immutable); flat batch-sidecar layers prune against the ACTUAL
+    * listing, keeping any file the sidecars don't describe — a plain
+    * `write` append next to idempotent batches can never be skipped.
+    */
+  private def prunePlan(layer: String,
+      predicate: org.apache.spark.sql.Column): Option[PrunePlan] = {
+    lazy val cond = resolvedCondition(read(layer).filter(predicate))
+    def keep(st: FileStats.FileStat): Boolean =
+      cond.forall(FileStats.matches(st, _))
+    sidecarStats(layer) match {
+      case Some((snap, all)) =>
+        val kept = all.filter(keep)
+        Some(PrunePlan(snap, kept.map(_.path), all.size,
+          kept.map(_.rows).sum, all.map(_.rows).sum))
+      case None => flatBatchStats(layer).map { stats =>
+        val byPath = stats.map(s => s.path -> s).toMap
+        val listed = listDataFilesRel(layer)
+        val keptPaths = listed.filter(rel => byPath.get(rel).forall(keep))
+        PrunePlan(layerPath(layer), keptPaths, listed.size,
+          keptPaths.flatMap(byPath.get).map(_.rows).sum,
+          listed.flatMap(byPath.get).map(_.rows).sum)
+      }
     }
+  }
+
+  /** Merged per-batch sidecars of a flat [[writeBatchIdempotent]] layer —
+    * None for snapshot-managed layers or when no batch ever landed stats.
+    */
+  private def flatBatchStats(layer: String): Option[Seq[FileStats.FileStat]] = {
+    val root = new Path(layerPath(layer))
+    val f = fs(root)
+    if (!f.exists(root) || latestSnapshot(layer).isDefined) None
+    else {
+      val sidecars = f.listStatus(root)
+        .filter(s => s.isFile &&
+          s.getPath.getName.startsWith(FileStats.BatchSidecarPrefix))
+        .map(_.getPath).sortBy(_.getName).toSeq
+      if (sidecars.isEmpty) None
+      else Some(sidecars.flatMap(p => FileStats.fromJson(readFully(p))))
+    }
+  }
+
+  /** Data files of a flat layer, paths relative to the layer root. Mirrors
+    * Spark's listing rules: `_`/`.`-prefixed names are hidden unless they
+    * are `k=v` partition directories.
+    */
+  private def listDataFilesRel(layer: String): Seq[String] = {
+    val root = new Path(layerPath(layer))
+    val f = fs(root)
+    val rootPrefix = f.makeQualified(root).toString.stripSuffix("/") + "/"
+    val it = f.listFiles(root, true)
+    val buf = Vector.newBuilder[String]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.toString.startsWith(rootPrefix)) {
+        val rel = s.getPath.toString.stripPrefix(rootPrefix)
+        val segments = rel.split('/')
+        val visible = segments.forall(seg =>
+          (!seg.startsWith("_") && !seg.startsWith(".")) || seg.contains("="))
+        if (visible) buf += rel
+      }
+    }
+    buf.result()
+  }
+
+  private def readFully(p: Path): String = {
+    val in = fs(p).open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](64 * 1024)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString("UTF-8")
+    } finally in.close()
+  }
 
   /** The fully-analyzed, constant-folded filter condition of a
     * `read(layer).filter(predicate)` frame — the Column DSL builds
@@ -384,12 +460,34 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           "overwrite committed history; use one checkpoint per layer")
     }
     val own = new Path(root, s"__batch_id=$batchId")
+    val ownStats = new Path(root, FileStats.batchSidecarName(batchId))
     if (f.exists(own)) f.delete(own, true) // failed attempt's debris, whole
+    if (f.exists(ownStats)) f.delete(ownStats, false) // stats replay with it
     df.withColumn("__batch_id", org.apache.spark.sql.functions.lit(batchId))
       .write.format(config.format)
       .mode("append")
       .partitionBy(("__batch_id" +: partitionBy): _*)
       .save(path)
+    // per-batch stats sidecar AFTER the data, same soft-fail contract as
+    // the snapshot sidecar: [[readWhere]] prunes streaming-landed layers
+    // too, and a replay replaces its stats together with its partition
+    // (delete above), so stale stats can never describe re-landed data
+    if (config.collectStats && config.format == "parquet") {
+      try {
+        val stats = FileStats
+          .collect(spark.sparkContext.hadoopConfiguration, own.toString)
+          .map(s => s.copy(
+            path = s"__batch_id=$batchId/${s.path}",
+            partitionValues = s.partitionValues +
+              ("__batch_id" -> batchId.toString)))
+        val out = f.create(ownStats, false)
+        try out.write(FileStats.toJson(stats).getBytes("UTF-8"))
+        finally out.close()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Console.err.println(s"[lake] batch stats for $own skipped: $e")
+      }
+    }
     path
   }
 
