@@ -196,6 +196,68 @@ class PlanSpec extends SparkTestBase {
     plan should include("WindowGroupLimit")
   }
 
+  test("PQ/ADC: code scan broadcasts queries, no shuffle, no ScalaUDF") {
+    val emb = (1 to 500).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => ((i * 31 + j * 17) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cb = newspipe.ops.Pq.train(emb, "embedding", dim = 8, m = 2, k = 16,
+      iters = 3)
+    val encoded = newspipe.ops.Pq.encodeCorpus(emb, "embedding", cb)
+    val out = newspipe.ops.Pq.adcTopK(emb.filter($"vec_id" < 3), encoded,
+      "vec_id", "embedding", "pq_code", cb, k = 3)
+    val plan = executed(out)
+    // encode/LUT/ADC are native expressions in the corpus scan — a UDF
+    // here would break whole-stage codegen on every corpus row
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "ScalaUDF"
+    plan should include("WindowGroupLimit")
+  }
+
+  test("IVF-PQ: cell equi-join broadcasts query probes; corpus leg carries no vectors") {
+    val emb = (1 to 500).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => ((i * 31 + j * 17) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cb = newspipe.ops.Pq.train(emb, "embedding", dim = 8, m = 2, k = 16,
+      iters = 3)
+    val out = newspipe.ops.Pq.ivfPqTopK(emb.filter($"vec_id" < 3), emb,
+      "vec_id", "embedding", cb, k = 3, nlist = 8, nprobe = 2)
+    val plan = executed(out)
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "ScalaUDF"
+    plan should include("WindowGroupLimit")
+    // the join's streamed (corpus) side projects id + cell + CODE only —
+    // the float vector column must not survive into the join. AQE hides
+    // its subtrees (AdaptiveSparkPlanExec / QueryStageExec expose the real
+    // plan as a field, not a child), so walk them explicitly.
+    def deepCollectBhj(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec] = {
+      val here = p match {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          Seq(j)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(deepCollectBhj)
+    }
+    val joined = deepCollectBhj(out.queryExecution.executedPlan)
+    joined should not be empty
+    val j = joined.head
+    val streamed = j.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+      case _ => j.right
+    }
+    val streamedCols = streamed.output.map(_.name)
+    streamedCols should contain("__code")
+    streamedCols should not contain "embedding"
+  }
+
   test("exact dedup: hash aggregate with map-side partial combine, no window sort") {
     val df = spark.read.parquet(s"$parquetDir/flat")
     val plan = executed(newspipe.ops.Dedup.exact(df, "id", Seq("bucket")))
