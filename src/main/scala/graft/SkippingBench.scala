@@ -79,6 +79,19 @@ object SkippingBench {
     val infoPlain = lake.pruneInfo("plain", pred).get
     val infoZ = lake.pruneInfo("zorder", pred).get
 
+    // overheads: what commit-time stats collection costs (re-measured
+    // standalone on the committed snapshot — footer reads only), and what
+    // one prune DECISION costs (sidecar cached, optimizer resolve + the
+    // per-file interval checks)
+    val zSnap = {
+      val vdir = new java.io.File(s"$root/zorder/_v")
+      vdir.listFiles().filter(f => new java.io.File(f, "_COMMITTED").exists())
+        .map(_.toString).max
+    }
+    val statsCollectSec = timed(newspipe.io.FileStats.collect(
+      spark.sparkContext.hadoopConfiguration, zSnap))._2
+    val pruneSec = median3 { lake.pruneInfo("zorder", pred).get; () }
+
     def agg(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
       val r = df.agg(count(lit(1)), sum("l_extendedprice")).as[(Long, Double)]
         .collect().head
@@ -113,6 +126,8 @@ object SkippingBench {
         s""""scan_pruned_plain_sec":$tPrunedPlain,""" +
         s""""scan_full_zorder_sec":$tFullZ,""" +
         s""""scan_pruned_zorder_sec":$tPrunedZ,""" +
+        s""""stats_collect_sec":$statsCollectSec,""" +
+        s""""prune_decision_sec":$pruneSec,""" +
         s""""sf":"$sfDir"}"""
     println(json)
     try {

@@ -288,15 +288,17 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   private def prunePlan(layer: String,
       predicate: org.apache.spark.sql.Column): Option[PrunePlan] = {
-    lazy val cond = resolvedCondition(read(layer).filter(predicate))
-    def keep(st: FileStats.FileStat): Boolean =
-      cond.forall(FileStats.matches(st, _))
     sidecarStats(layer) match {
       case Some((snap, all)) =>
-        val kept = all.filter(keep)
+        lazy val cond = resolveCondition(layer, snap, all, predicate)
+        val kept = all.filter(st => cond.forall(FileStats.matches(st, _)))
         Some(PrunePlan(snap, kept.map(_.path), all.size,
           kept.map(_.rows).sum, all.map(_.rows).sum))
       case None => flatBatchStats(layer).map { stats =>
+        lazy val cond = resolveCondition(layer, layerPath(layer), stats,
+          predicate)
+        def keep(st: FileStats.FileStat): Boolean =
+          cond.forall(FileStats.matches(st, _))
         val byPath = stats.map(s => s.path -> s).toMap
         val listed = listDataFilesRel(layer)
         val keptPaths = listed.filter(rel => byPath.get(rel).forall(keep))
@@ -304,6 +306,47 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           keptPaths.flatMap(byPath.get).map(_.rows).sum,
           listed.flatMap(byPath.get).map(_.rows).sum)
       }
+    }
+  }
+
+  /** One-footer schema cache for [[resolveCondition]] (keyed by the sample
+    * file, which is immutable).
+    */
+  private val schemaCache = new java.util.concurrent
+    .ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Resolve the predicate WITHOUT listing the layer: analyze+optimize the
+    * filter over an empty LogicalRDD with the layer's schema (one cached
+    * footer read + partition keys from the sidecar). An empty LocalRelation
+    * would be folded away with the Filter by PropagateEmptyRelation — a
+    * LogicalRDD's emptiness is not statically known, so the optimized
+    * condition survives with casts folded, exactly what [[FileStats]]
+    * evaluates. At 10⁵ files this is the difference between a
+    * milliseconds-scale decision and paying the full listing the sidecar
+    * exists to avoid. Falls back to the listing-based resolution when the
+    * one-file schema can't resolve the predicate (schema-evolution layers
+    * whose sampled file predates a column).
+    */
+  private def resolveCondition(layer: String, base: String,
+      stats: Seq[FileStats.FileStat],
+      predicate: org.apache.spark.sql.Column)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    try {
+      val first = stats.head
+      val sampleFile = s"$base/${first.path}"
+      val fileSchema = schemaCache.computeIfAbsent(sampleFile,
+        _ => spark.read.format(config.format).load(sampleFile).schema)
+      val partCols = stats.iterator.flatMap(_.partitionValues.keysIterator)
+        .toSeq.distinct.filterNot(fileSchema.fieldNames.contains)
+      val schema = StructType(fileSchema.fields ++
+        partCols.map(StructField(_, StringType)))
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      resolvedCondition(empty.filter(predicate))
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        resolvedCondition(read(layer).filter(predicate))
     }
   }
 
