@@ -118,6 +118,30 @@ object FileStats {
     } finally pool.shutdown()
   }
 
+  /** [[collect]] for an EXPLICIT file list (paths relative to `base`) —
+    * the manifest-snapshot form, where a snapshot's inventory spans
+    * several version directories and a directory walk would see either
+    * too much or too little. Same footer-only cost and thread pool.
+    */
+  def collectFiles(conf: Configuration, base: String,
+      relPaths: Seq[String]): Seq[FileStat] = {
+    if (relPaths.isEmpty) return Nil
+    val root = new Path(base)
+    val fs = root.getFileSystem(conf)
+    val rootPrefix = fs.makeQualified(root).toString.stripSuffix("/") + "/"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, relPaths.size))
+    try {
+      val tasks = relPaths.map { rel =>
+        pool.submit(new java.util.concurrent.Callable[FileStat] {
+          override def call(): FileStat =
+            statFile(conf, rootPrefix, new Path(rootPrefix + rel))
+        })
+      }
+      tasks.map(_.get())
+    } finally pool.shutdown()
+  }
+
   private def statFile(conf: Configuration,
       rootPrefix: String, file: Path): FileStat = {
     require(file.toString.startsWith(rootPrefix),

@@ -116,15 +116,16 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       expectedParent: Option[String], partitionBy: Seq[String] = Nil): String =
     writeSnapshot(df, layer, partitionBy, requireParent = Some(expectedParent))
 
+  private def newVersionId(): String =
+    f"${System.currentTimeMillis()}%016d-" +
+      java.util.UUID.randomUUID().toString.take(8)
+
   private def writeSnapshot(df: DataFrame, layer: String,
       partitionBy: Seq[String], requireParent: Option[Option[String]]): String = {
-    val version = f"${System.currentTimeMillis()}%016d-" +
-      java.util.UUID.randomUUID().toString.take(8)
-    val snap = new Path(s"${layerPath(layer)}/_v/$version")
+    val snap = new Path(s"${layerPath(layer)}/_v/${newVersionId()}")
     var writer = df.write.format(config.format).mode("errorifexists")
     if (partitionBy.nonEmpty) writer = writer.partitionBy(partitionBy: _*)
     writer.save(snap.toString)
-    val f = fs(snap)
     // stats sidecar BEFORE the commit marker: a committed snapshot either
     // carries complete stats or none — readers can trust what they find.
     // Runs before the optimistic-concurrency check so the (listing +
@@ -133,14 +134,34 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       try {
         val stats = FileStats.collect(
           spark.sparkContext.hadoopConfiguration, snap.toString)
-        val out = f.create(new Path(snap, FileStats.SidecarName), false)
-        try out.write(FileStats.toJson(stats).getBytes("UTF-8"))
-        finally out.close()
+        writeSidecar(snap, stats)
       } catch {
         case scala.util.control.NonFatal(e) =>
           Console.err.println(s"[lake] stats sidecar for $snap skipped: $e")
       }
     }
+    commitMarker(layer, snap, requireParent)
+    snap.toString
+  }
+
+  private def writeSidecar(snap: Path, stats: Seq[FileStats.FileStat]): Unit = {
+    val out = fs(snap).create(new Path(snap, FileStats.SidecarName), false)
+    try out.write(FileStats.toJson(stats).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The shared commit tail of every snapshot-producing operation: the
+    * optimistic-concurrency parent check (when asked for) immediately
+    * followed by the single `_COMMITTED` file creation. Marker content =
+    * parent version id ("" for first snapshot): lineage audit + post-hoc
+    * detection of the residual commit race. Marker visibility is the
+    * single-file-creation atomicity the protocol relies on (content
+    * arrives with the create on local/HDFS and as one PUT on object
+    * stores).
+    */
+  private def commitMarker(layer: String, snap: Path,
+      requireParent: Option[Option[String]]): Unit = {
+    val f = fs(snap)
     val parentAtCommit = latestSnapshot(layer).map(_.getName)
     requireParent.foreach { expected =>
       if (parentAtCommit != expected) {
@@ -152,15 +173,9 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
             "committed first; re-read the layer and retry")
       }
     }
-    // marker content = parent version id ("" for first snapshot): lineage
-    // audit + post-hoc detection of the residual commit race. Marker
-    // visibility is still the single-file-creation atomicity the protocol
-    // relies on (content arrives with the create on local/HDFS and as one
-    // PUT on object stores).
     val out = f.create(new Path(snap, "_COMMITTED"), false)
     try out.write(parentAtCommit.getOrElse("").getBytes("UTF-8"))
     finally out.close()
-    snap.toString
   }
 
   /** Timestamp-resolution time travel: read the newest committed snapshot
@@ -204,34 +219,95 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   private def latestSnapshot(layer: String): Option[Path] =
     committedVersions(layer).headOption
 
+  /** Parsed `_MANIFEST.json` of a snapshot, if it is a manifest (row-op)
+    * snapshot: data file paths relative to the LAYER root (they may live
+    * in older version directories) + the read schema (DDL) for the
+    * zero-files case. None = self-contained snapshot (its directory IS
+    * its inventory).
+    */
+  private def manifestOf(snap: Path): Option[SnapshotManifest] = {
+    val p = new Path(snap, SnapshotManifest.FileName)
+    if (!fs(p).exists(p)) None
+    else Some(SnapshotManifest.fromJson(readFully(p)))
+  }
+
+  /** A snapshot's data files, paths relative to the layer root — the
+    * manifest when present, else a walk of the snapshot directory.
+    */
+  private def snapshotInventory(layer: String, snap: Path): Seq[String] =
+    manifestOf(snap) match {
+      case Some(m) => m.files
+      case None =>
+        val f = fs(snap)
+        val prefix = f.makeQualified(snap).toString.stripSuffix("/") + "/"
+        val layerPrefix = s"_v/${snap.getName}/"
+        val it = f.listFiles(snap, true)
+        val buf = Vector.newBuilder[String]
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.isFile) {
+            val rel = s.getPath.toString.stripPrefix(prefix)
+            val visible = rel.split('/').forall(seg =>
+              (!seg.startsWith("_") && !seg.startsWith(".")) || seg.contains("="))
+            if (visible) buf += layerPrefix + rel
+          }
+        }
+        buf.result()
+    }
+
+  /** Read one snapshot, manifest-aware. Manifest snapshots load their
+    * explicit file list with `basePath` = the layer root, so hive `k=v`
+    * segments still surface as partition columns (partition parsing walks
+    * leaf-up and stops at the non-`k=v` version directory); an empty
+    * manifest (every row deleted) resolves to an empty frame with the
+    * recorded schema.
+    */
+  private def loadSnapshot(layer: String, snap: Path,
+      mergeSchema: Boolean): DataFrame =
+    manifestOf(snap) match {
+      case None =>
+        val reader = spark.read.format(config.format)
+        (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
+          .load(snap.toString)
+      case Some(m) if m.files.isEmpty =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      case Some(m) =>
+        val base = layerPath(layer)
+        val reader = spark.read.format(config.format)
+          .option("basePath", base)
+        (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
+          .load(m.files.map(rp => s"$base/$rp"): _*)
+    }
+
   /** Ref 02:29, 03:30: batch read of a layer. Resolves the snapshot pointer
     * when the layer was written with [[writeAtomic]]; falls back to the flat
     * layout otherwise. `mergeSchema` unions parquet footers across files —
     * the schema-evolution read for layers whose appends added columns
     * (rows from pre-evolution files read null for the new columns).
     */
-  def read(layer: String, mergeSchema: Boolean = false): DataFrame = {
-    val target = latestSnapshot(layer).map(_.toString).getOrElse {
-      // No committed snapshot. If flat data exists (a previously-flat layer
-      // whose FIRST writeAtomic is still in flight or crashed pre-commit),
-      // keep serving it — that is exactly the isolation the protocol
-      // promises. Only a layer with an un-committed _v and NO flat data is
-      // unreadable; name that condition instead of letting Spark throw a
-      // bare schema-inference error.
-      val flat = new Path(layerPath(layer))
-      val f = fs(flat)
-      val hasFlatData = f.exists(flat) &&
-        f.listStatus(flat).exists(s => !s.getPath.getName.startsWith("_"))
-      require(hasFlatData || !f.exists(new Path(flat, "_v")),
-        s"layer '$layer' is snapshot-managed but has no committed snapshot " +
-          "yet — the first writeAtomic has not finished (or crashed before " +
-          "committing)")
-      layerPath(layer)
+  def read(layer: String, mergeSchema: Boolean = false): DataFrame =
+    latestSnapshot(layer) match {
+      case Some(snap) => loadSnapshot(layer, snap, mergeSchema)
+      case None =>
+        // No committed snapshot. If flat data exists (a previously-flat layer
+        // whose FIRST writeAtomic is still in flight or crashed pre-commit),
+        // keep serving it — that is exactly the isolation the protocol
+        // promises. Only a layer with an un-committed _v and NO flat data is
+        // unreadable; name that condition instead of letting Spark throw a
+        // bare schema-inference error.
+        val flat = new Path(layerPath(layer))
+        val f = fs(flat)
+        val hasFlatData = f.exists(flat) &&
+          f.listStatus(flat).exists(s => !s.getPath.getName.startsWith("_"))
+        require(hasFlatData || !f.exists(new Path(flat, "_v")),
+          s"layer '$layer' is snapshot-managed but has no committed snapshot " +
+            "yet — the first writeAtomic has not finished (or crashed before " +
+            "committing)")
+        val reader = spark.read.format(config.format)
+        (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
+          .load(layerPath(layer))
     }
-    val reader = spark.read.format(config.format)
-    (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
-      .load(target)
-  }
 
   /** FILTERED read with sidecar data skipping: resolve the newest
     * snapshot, evaluate `predicate` against its `_STATS.json` (see
@@ -424,26 +500,25 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   private val sidecarCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[FileStats.FileStat]]()
 
-  /** Newest committed snapshot's sidecar stats, if any. */
+  /** Newest committed snapshot's sidecar stats, if any, with the base the
+    * stats paths are relative to: the snapshot dir for self-contained
+    * snapshots, the LAYER root for manifest (row-op) snapshots — whose
+    * inventory spans version directories.
+    */
   private def sidecarStats(layer: String): Option[(String, Seq[FileStats.FileStat])] =
     latestSnapshot(layer).flatMap { snap =>
       val stats = sidecarCache.computeIfAbsent(snap.toString, _ => {
         val p = new Path(snap, FileStats.SidecarName)
         val f = fs(p)
         if (!f.exists(p)) Nil
-        else {
-          val in = f.open(p)
-          val json = try {
-            val buf = new java.io.ByteArrayOutputStream()
-            val chunk = new Array[Byte](64 * 1024)
-            var n = in.read(chunk)
-            while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-            buf.toString("UTF-8")
-          } finally in.close()
-          FileStats.fromJson(json)
-        }
+        else FileStats.fromJson(readFully(p))
       })
-      if (stats.isEmpty) None else Some((snap.toString, stats))
+      if (stats.isEmpty) None
+      else {
+        val base =
+          if (manifestOf(snap).isDefined) layerPath(layer) else snap.toString
+        Some((base, stats))
+      }
     }
 
   /** Committed snapshot version ids of a layer, newest first — empty for
@@ -464,9 +539,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     require(f.exists(new Path(snap, "_COMMITTED")),
       s"layer '$layer' has no committed snapshot '$version' " +
         s"(known: ${listVersions(layer).mkString(", ")})")
-    val reader = spark.read.format(config.format)
-    (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
-      .load(snap.toString)
+    loadSnapshot(layer, snap, mergeSchema)
   }
 
   /** Idempotent micro-batch landing for streaming sinks: each batch lands
