@@ -21,6 +21,21 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events.ts` arrives as ns-since-epoch LongType in some driver testdata
+    * generations (parquet timestamp(NANOS) — Spark has no ns timestamp, so
+    * it surfaces nanosAsLong) and as timestamp[us] (TIMESTAMP_NTZ) in
+    * others. Normalize to a session-tz (UTC) TimestampType column either
+    * way so every timestamp query is generation-agnostic; the NTZ→TS cast
+    * is instant-preserving because every entrypoint pins
+    * spark.sql.session.timeZone=UTC.
+    */
+  private def eventTs(ev: DataFrame): org.apache.spark.sql.Column =
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts DIV 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+
   /** documents table re-shaped to the bronze article layout so the real
     * Silver/Gold pipeline code runs over driver testdata (source≈publisher,
     * text≈title/content, lang≈country — see FIXTURES.md §B).
@@ -131,8 +146,9 @@ object SparkEntry {
     // `ts` arrives as LongType ns-since-epoch (nanosAsLong — Spark has no
     // nanosecond timestamp type); convert via timestamp_micros.
     "q11_event_trends" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy(date_format(to_date(timestamp_micros(expr("ts DIV 1000"))),
+      val ev = t(s, dir, "events")
+      ev
+        .groupBy(date_format(to_date(eventTs(ev)),
             "yyyy-MM-dd").as("event_date"),
           col("event_type"))
         .count()
@@ -688,8 +704,8 @@ object SparkEntry {
     // Tumbling 1h windowed counts (batch form; streaming variant with
     // watermark in StreamingSilver, parity-tested in StreamingSpec)
     "q31_window_tumbling" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("ts2", timestamp_micros(expr("ts DIV 1000")))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts2", eventTs(ev0))
       ev.groupBy(window(col("ts2"), "1 hour"), col("event_type"))
         .count()
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
@@ -700,8 +716,8 @@ object SparkEntry {
     // Sessionization (batch form of the flatMapGroupsWithState operator;
     // stream/batch parity in SessionizeSpec): per-user sessions, 30 min gap
     "q34_sessionize" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(col("user_id"), timestamp_micros(expr("ts DIV 1000")).as("ts2"))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.select(col("user_id"), eventTs(ev0).as("ts2"))
       newspipe.streaming.Sessionize.batch(ev, "user_id", "ts2", gapSeconds = 1800)
         .select(col("key").cast(StringType).as("user_key"),
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_start"),
@@ -713,8 +729,8 @@ object SparkEntry {
     // As-of join (operator Spark lacks; union+window composition, oracle is
     // DuckDB's native ASOF LEFT JOIN): latest purchase at/before each click
     "q36_asof_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("ts2", timestamp_micros(expr("ts DIV 1000")))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts2", eventTs(ev0))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts2"), col("event_id"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -742,8 +758,8 @@ object SparkEntry {
     // windows; oracle reproduces the assignment with two shifted
     // date_truncs unioned
     "q39_window_sliding" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("ts2", timestamp_micros(expr("ts DIV 1000")))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts2", eventTs(ev0))
       ev.groupBy(window(col("ts2"), "1 hour", "30 minutes"), col("event_type"))
         .count()
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
@@ -1196,6 +1212,49 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
         .orderBy("lang")
+    }),
+
+    // Row-level DELETE through the lake's manifest-snapshot path
+    // (Lake.deleteWhere): land documents n_chars-clustered so the stats
+    // sidecar lets the delete rewrite only the files that can hold a
+    // matching row (the rest ride the manifest by reference — the
+    // rewrite-1%-reference-99% shape that makes row ops viable at 100 TB),
+    // then read the surviving state back. Oracle = the equivalent
+    // anti-filter over the original table: DELETE means exactly
+    // "subsequent reads see the complement".
+    "q85_lake_delete" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q85_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      lake.writeAtomic(t(s, dir, "documents")
+        .repartitionByRange(8, col("n_chars"))
+        .sortWithinPartitions("n_chars"), "docs")
+      lake.deleteWhere("docs",
+        col("lang") === "en" && col("n_chars") < 300)
+      lake.read("docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
+    // Row-level UPDATE (Lake.updateWhere), same manifest mechanics:
+    // double n_chars on long docs, leave everything else untouched;
+    // oracle replays the assignment as a CASE over the original table.
+    "q86_lake_update" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q86_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      lake.writeAtomic(t(s, dir, "documents")
+        .repartitionByRange(8, col("n_chars"))
+        .sortWithinPartitions("n_chars"), "docs")
+      lake.updateWhere("docs", col("n_chars") >= 500,
+        Map("n_chars" -> (col("n_chars") * 2),
+          "source" -> concat(lit("long:"), col("source"))))
+      lake.read("docs")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("source")
     })
   )
 
@@ -2594,7 +2653,30 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |WHERE lang = 'en' AND n_chars BETWEEN 200 AND 400
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // DELETE's observable contract: subsequent reads see the complement.
+    // NULL-predicate rows survive — NOT(pred) with SQL three-valued logic
+    // would drop them, hence the explicit COALESCE (none exist in this
+    // data, but the oracle should state the semantics, not luck into them)
+    "q85_lake_delete" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |WHERE NOT coalesce(lang = 'en' AND n_chars < 300, FALSE)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // UPDATE replayed as a CASE projection over the original table
+    "q86_lake_update" ->
+      """SELECT
+        |  CASE WHEN n_chars >= 500 THEN 'long:' || source ELSE source END
+        |    AS source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_chars >= 500 THEN n_chars * 2
+        |           ELSE n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY 1 ORDER BY 1""".stripMargin
     )
     // q80/q81 replay the SAME computation as q74/q53 through the SQL
     // table-function surface (chunk / knn_join in FROM position), so their

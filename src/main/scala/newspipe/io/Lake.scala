@@ -238,21 +238,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     manifestOf(snap) match {
       case Some(m) => m.files
       case None =>
-        val f = fs(snap)
-        val prefix = f.makeQualified(snap).toString.stripSuffix("/") + "/"
         val layerPrefix = s"_v/${snap.getName}/"
-        val it = f.listFiles(snap, true)
-        val buf = Vector.newBuilder[String]
-        while (it.hasNext) {
-          val s = it.next()
-          if (s.isFile) {
-            val rel = s.getPath.toString.stripPrefix(prefix)
-            val visible = rel.split('/').forall(seg =>
-              (!seg.startsWith("_") && !seg.startsWith(".")) || seg.contains("="))
-            if (visible) buf += layerPrefix + rel
-          }
-        }
-        buf.result()
+        snapshotDirFilesRel(snap).map(layerPrefix + _)
     }
 
   /** Read one snapshot, manifest-aware. Manifest snapshots load their
@@ -649,14 +636,20 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         "is constant within its files — z-ordering it is a no-op)")
     val src = latestSnapshot(layer).getOrElse(new Path(layerPath(layer)))
     val f = fs(src)
-    val bytes = {
-      val it = f.listFiles(src, true)
-      var sum = 0L
-      while (it.hasNext) {
-        val s = it.next()
-        if (!s.getPath.getName.startsWith("_")) sum += s.getLen
-      }
-      sum
+    // a MANIFEST snapshot's data spans older version dirs — size it from
+    // its inventory, not a walk of the (mostly-empty) snapshot dir
+    val bytes = latestSnapshot(layer).flatMap(manifestOf) match {
+      case Some(m) =>
+        val base = layerPath(layer)
+        m.files.map(rp => f.getFileStatus(new Path(s"$base/$rp")).getLen).sum
+      case None =>
+        val it = f.listFiles(src, true)
+        var sum = 0L
+        while (it.hasNext) {
+          val s = it.next()
+          if (!s.getPath.getName.startsWith("_")) sum += s.getLen
+        }
+        sum
     }
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = read(layer)
@@ -680,6 +673,158 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     writeAtomic(arranged, layer, partitionBy)
   }
 
+  /** Row-level DELETE through the snapshot protocol (Delta's `DELETE FROM`
+    * shape): rewrite ONLY the files that can hold a matching row, carry
+    * every other file over by reference, and commit the result as a
+    * MANIFEST snapshot (see [[SnapshotManifest]]) whose inventory spans the
+    * old and new version directories. SQL semantics: a row is deleted when
+    * the predicate is TRUE; NULL-predicate rows survive.
+    *
+    * At 100 TB this is the difference between a row op and a layer
+    * rewrite: the stats sidecar decides which files a selective predicate
+    * can touch (the same [[FileStats]] pruning [[readWhere]] uses), so a
+    * delete of one source's rows in a source-clustered layout rewrites a
+    * few files and references the rest — no data movement for the
+    * untouched 99%. Commit is parent-checked ([[writeAtomicIfLatest]]
+    * semantics), so a racing writer fails loudly instead of losing rows.
+    */
+  def deleteWhere(layer: String, predicate: org.apache.spark.sql.Column)
+      : Lake.RowOpResult = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    rewriteRows(layer, predicate,
+      df => df.filter(not(coalesce(predicate, lit(false)))))
+  }
+
+  /** Row-level UPDATE, same mechanics as [[deleteWhere]]: each assignment
+    * column is replaced by its new expression on rows where the predicate
+    * is TRUE (NULL/false rows keep their value), only can-match files are
+    * rewritten, everything else rides the manifest by reference.
+    */
+  def updateWhere(layer: String, predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column])
+      : Lake.RowOpResult = {
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    rewriteRows(layer, predicate, df => {
+      assignments.keys.foreach(name => require(df.columns.contains(name),
+        s"updateWhere: layer has no column '$name'"))
+      val hit = coalesce(predicate, lit(false))
+      // ONE simultaneous select, not chained withColumn: SQL UPDATE
+      // evaluates every assignment against the ORIGINAL row, so
+      // `SET a = b, b = a` swaps instead of copying
+      df.select(df.columns.toSeq.map { c =>
+        assignments.get(c) match {
+          case Some(e) => when(hit, e).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    })
+  }
+
+  /** Shared rewrite core of [[deleteWhere]]/[[updateWhere]]. `transform`
+    * receives exactly the rows of the files the predicate can touch and
+    * returns their replacement rows.
+    */
+  private def rewriteRows(layer: String,
+      predicate: org.apache.spark.sql.Column,
+      transform: DataFrame => DataFrame): Lake.RowOpResult = {
+    val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
+      s"layer '$layer' has no committed snapshot — row ops need the " +
+        "snapshot protocol; land the layer with writeAtomic/compact first"))
+    val base = layerPath(layer)
+    val inventory = snapshotInventory(layer, snap)
+    // Decide which files the predicate can possibly touch. Stats paths are
+    // relative to the snapshot dir for self-contained snapshots — rebase to
+    // layer-root-relative so they key the inventory uniformly.
+    val oldStats: Map[String, FileStats.FileStat] =
+      sidecarStats(layer) match {
+        case Some((statsBase, stats)) =>
+          val rebase =
+            if (statsBase == base) (p: String) => p
+            else (p: String) => s"_v/${snap.getName}/$p"
+          stats.map(st => rebase(st.path) -> st.copy(path = rebase(st.path)))
+            .toMap
+        case None => Map.empty
+      }
+    lazy val cond =
+      if (oldStats.isEmpty) None
+      else resolveCondition(layer, base, oldStats.values.toSeq, predicate)
+    def mayMatch(rel: String): Boolean = oldStats.get(rel) match {
+      case Some(st) => cond.forall(FileStats.matches(st, _))
+      case None => true // stats-unknown file: must scan
+    }
+    val (affected, carried) = inventory.partition(mayMatch)
+    if (affected.isEmpty)
+      return Lake.RowOpResult(snap.toString, 0, carried.size, noop = true)
+
+    val schemaDdl = loadSnapshot(layer, snap, mergeSchema = false).schema.toDDL
+    val partCols = affected
+      .flatMap(_.split('/').dropRight(1).toSeq
+        .filter(_.contains('='))
+        .map(seg => seg.substring(0, seg.indexOf('='))))
+      .distinct
+    val reader = spark.read.format(config.format).option("basePath", base)
+    val rewritten = transform(reader.load(affected.map(rp => s"$base/$rp"): _*))
+
+    val newSnap = new Path(s"$base/_v/${newVersionId()}")
+    val f = fs(newSnap)
+    try {
+      var writer = rewritten.write.format(config.format).mode("errorifexists")
+      if (partCols.nonEmpty) writer = writer.partitionBy(partCols: _*)
+      writer.save(newSnap.toString)
+      val newPrefix = s"_v/${newSnap.getName}/"
+      val newFiles = snapshotDirFilesRel(newSnap).map(newPrefix + _)
+      val manifest = SnapshotManifest(carried ++ newFiles, schemaDdl)
+      val out = f.create(new Path(newSnap, SnapshotManifest.FileName), false)
+      try out.write(SnapshotManifest.toJson(manifest).getBytes("UTF-8"))
+      finally out.close()
+      // layer-root-relative stats: carried files keep their (rebased) old
+      // stats, rewritten files get fresh footer reads; files with no prior
+      // stats are re-footered too. Soft-fail like every sidecar — pruning
+      // degrades to a scan, never to a wrong answer.
+      if (config.collectStats && config.format == "parquet") {
+        try {
+          val conf = spark.sparkContext.hadoopConfiguration
+          val carriedStats = carried.flatMap(oldStats.get)
+          val refooter = newFiles ++ carried.filterNot(oldStats.contains)
+          writeSidecar(newSnap,
+            carriedStats ++ FileStats.collectFiles(conf, base, refooter))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Console.err.println(s"[lake] stats sidecar for $newSnap skipped: $e")
+        }
+      }
+      commitMarker(layer, newSnap, requireParent = Some(Some(snap.getName)))
+    } catch {
+      case e: java.util.ConcurrentModificationException => throw e // cleaned
+      case scala.util.control.NonFatal(e) =>
+        f.delete(newSnap, true) // no committed marker — but don't leak debris
+        throw e
+    }
+    Lake.RowOpResult(newSnap.toString, affected.size, carried.size)
+  }
+
+  /** Data files under one snapshot directory, relative to IT (hidden files
+    * and sidecars excluded, `k=v` partition dirs kept) — the walk
+    * [[snapshotInventory]] and [[rewriteRows]] share.
+    */
+  private def snapshotDirFilesRel(snap: Path): Seq[String] = {
+    val f = fs(snap)
+    val prefix = f.makeQualified(snap).toString.stripSuffix("/") + "/"
+    val it = f.listFiles(snap, true)
+    val buf = Vector.newBuilder[String]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile) {
+        val rel = s.getPath.toString.stripPrefix(prefix)
+        val visible = rel.split('/').forall(seg =>
+          (!seg.startsWith("_") && !seg.startsWith(".")) || seg.contains("="))
+        if (visible) buf += rel
+      }
+    }
+    buf.result()
+  }
+
   /** Reclaim snapshot storage: keep the newest `keep` committed snapshots;
     * delete older committed ones always, and UNCOMMITTED directories only
     * when untouched for `orphanGraceMs` (default 24 h) — an uncommitted dir
@@ -701,7 +846,18 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       val now = System.currentTimeMillis()
       val committed = committedVersions(layer)
       val committedSet = committed.map(_.getName).toSet
-      val keepSet = committed.take(keep).map(_.getName).toSet
+      // A kept MANIFEST snapshot's inventory spans older version dirs
+      // (row ops carry untouched files by reference) — deleting those dirs
+      // would gut a snapshot we promised to keep. Pin every version dir any
+      // kept manifest references; no transitive walk is needed because a
+      // manifest lists fully-resolved data-file paths, not other manifests.
+      val pinned = committed.take(keep).flatMap { p =>
+        manifestOf(p).map(_.files.flatMap(_.split('/') match {
+          case Array("_v", v, _*) => Some(v)
+          case _ => None
+        })).getOrElse(Nil)
+      }.toSet
+      val keepSet = committed.take(keep).map(_.getName).toSet ++ pinned
       f.listStatus(vdir).filter(_.isDirectory).map(_.getPath)
         .filterNot(p => keepSet.contains(p.getName))
         .filter { p =>
@@ -758,6 +914,14 @@ object Lake {
     */
   final case class PruneInfo(keptFiles: Int, totalFiles: Int,
       keptRows: Long, totalRows: Long)
+
+  /** [[Lake.deleteWhere]]/[[Lake.updateWhere]] outcome: how many files the
+    * predicate forced through the rewrite vs rode the manifest by
+    * reference. `noop` = stats proved no file could match, so no new
+    * snapshot was committed (`snapshot` is then the UNCHANGED current one).
+    */
+  final case class RowOpResult(snapshot: String, rewrittenFiles: Int,
+      carriedFiles: Int, noop: Boolean = false)
 }
 
 /** Raw landing-zone put — ref S8 (`dbutils.fs.put` of the raw API JSON,

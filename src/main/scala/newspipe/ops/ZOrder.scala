@@ -55,12 +55,17 @@ object ZOrder {
       s"k*bits must be in [1,63], got ${cols.size} cols * $bits bits")
     val schema = df.schema
     val normalized = cols.map(c => normalizeForRank(col(c), schema(c).dataType, c))
-    val n = df.count()
-    val fraction = if (n == 0) 0.0 else math.min(1.0, sampleSize.toDouble / n)
-    val sampled =
-      if (fraction == 0.0) Array.empty[org.apache.spark.sql.Row]
-      else df.select(normalized: _*).sample(withReplacement = false,
-        fraction, seed).collect()
+    // ONE pass, no count(): seeded per-row priority + bottom-k. Catalyst
+    // plans orderBy+limit as TakeOrderedAndProject — each task keeps its
+    // own top-k and the driver merges, so the sample costs a single scan
+    // with no shuffle (a count()-then-sample() pays the scan twice, which
+    // at compaction scale is a full extra read of the layer).
+    val prio = org.apache.spark.sql.functions.rand(seed)
+    val sampled = df.select((normalized :+ prio.as("__zorder_prio")): _*)
+      .orderBy(col("__zorder_prio"))
+      .limit(sampleSize)
+      .drop("__zorder_prio")
+      .collect()
     val nBuckets = 1 << bits
     cols.indices.map { i =>
       schema(cols(i)).dataType match {

@@ -355,4 +355,149 @@ class LakeSpec extends SparkTestBase {
     row.isNullAt(1) shouldBe true
     df.schema.fieldNames should contain("publishedAt") // schema fixed, not inferred
   }
+
+  // ------------------------------------------------------------- row ops
+
+  test("deleteWhere removes matching rows; read equals the filtered original") {
+    val lake = tmpLake()
+    val df = (1 to 100).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "par")
+    lake.writeAtomic(df.repartition(4), "docs")
+    val r = lake.deleteWhere("docs", $"id" <= 30)
+    r.noop shouldBe false
+    lake.read("docs").agg(count("*"), min("id")).as[(Long, Long)].head() shouldBe
+      ((70L, 31L))
+    // old snapshot still time-travels to the pre-delete state
+    val Seq(_, vOld) = lake.listVersions("docs")
+    lake.readVersion("docs", vOld).count() shouldBe 100
+  }
+
+  test("deleteWhere NULL-predicate rows survive (SQL DELETE semantics)") {
+    val lake = tmpLake()
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("x"))).toDF("id", "v")
+    lake.writeAtomic(df, "n")
+    lake.deleteWhere("n", $"v" =!= "a") // NULL on id=2 → keep
+    lake.read("n").select("id").as[Long].collect().sorted shouldBe Array(1L, 2L)
+  }
+
+  test("deleteWhere rewrites only can-match files; the rest ride the manifest by reference") {
+    val lake = tmpLake()
+    // id-clustered files so stats bounds separate the predicate cleanly
+    val df = (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+      .repartitionByRange(10, $"id").sortWithinPartitions("id")
+    lake.writeAtomic(df, "docs")
+    val r = lake.deleteWhere("docs", $"id" <= 100)
+    r.rewrittenFiles should be <= 2 // ~1 file holds ids 1-100 (+boundary)
+    r.carriedFiles should be >= 8
+    lake.read("docs").count() shouldBe 900
+    // and the carried files still prune on later reads (stats carried over)
+    val info = lake.pruneInfo("docs", $"id" > 900).get
+    info.keptFiles should be < info.totalFiles
+  }
+
+  test("deleteWhere of every row commits an empty-manifest snapshot that reads as 0 rows with schema") {
+    val lake = tmpLake()
+    lake.writeAtomic(Seq((1L, "a")).toDF("id", "v"), "docs")
+    lake.deleteWhere("docs", lit(true))
+    val out = lake.read("docs")
+    out.count() shouldBe 0L
+    out.schema.fieldNames.sorted shouldBe Array("id", "v")
+  }
+
+  test("deleteWhere that provably matches nothing is a no-op (no new snapshot)") {
+    val lake = tmpLake()
+    lake.writeAtomic((1 to 50).map(i => (i.toLong, "x")).toDF("id", "v"), "docs")
+    val before = lake.listVersions("docs")
+    val r = lake.deleteWhere("docs", $"id" > 999)
+    r.noop shouldBe true
+    lake.listVersions("docs") shouldBe before
+    lake.read("docs").count() shouldBe 50
+  }
+
+  test("deleteWhere keeps the hive partition layout of rewritten files") {
+    val lake = tmpLake()
+    val df = Seq((1L, "US"), (2L, "US"), (3L, "GB"), (4L, "GB"))
+      .toDF("id", "country")
+    lake.writeAtomic(df, "docs", partitionBy = Seq("country"))
+    lake.deleteWhere("docs", $"country" === "US" && $"id" === 1L)
+    val out = lake.read("docs")
+    out.schema.fieldNames should contain("country")
+    out.select("id").as[Long].collect().sorted shouldBe Array(2L, 3L, 4L)
+    // partition pruning on the manifest snapshot still works
+    lake.read("docs").filter($"country" === "GB").count() shouldBe 2
+  }
+
+  test("updateWhere assigns on matching rows only; row count is preserved") {
+    val lake = tmpLake()
+    val df = (1 to 40).map(i => (i.toLong, 1.0)).toDF("id", "score")
+    lake.writeAtomic(df, "docs")
+    lake.updateWhere("docs", $"id" <= 10, Map("score" -> lit(0.0)))
+    lake.read("docs").agg(count("*"), sum("score")).as[(Long, Double)]
+      .head() shouldBe ((40L, 30.0))
+    an[IllegalArgumentException] should be thrownBy
+      lake.updateWhere("docs", lit(true), Map("nope" -> lit(1)))
+  }
+
+  test("updateWhere assignments all read the ORIGINAL row (SQL UPDATE semantics)") {
+    val lake = tmpLake()
+    lake.writeAtomic(Seq((1L, 10.0, 20.0)).toDF("id", "a", "b"), "t_swap")
+    lake.updateWhere("t_swap", lit(true), Map("a" -> $"b", "b" -> $"a"))
+    lake.read("t_swap").select("a", "b").as[(Double, Double)].head() shouldBe
+      ((20.0, 10.0))
+  }
+
+  test("chained row ops: delete after delete composes manifests correctly") {
+    val lake = tmpLake()
+    lake.writeAtomic((1 to 100).map(i => (i.toLong, "v")).toDF("id", "v")
+      .repartition(5), "docs")
+    lake.deleteWhere("docs", $"id" <= 20)
+    lake.deleteWhere("docs", $"id" > 80)
+    lake.read("docs").agg(min("id"), max("id"), count("*"))
+      .as[(Long, Long, Long)].head() shouldBe ((21L, 80L, 60L))
+  }
+
+  test("vacuum pins older version dirs a kept manifest snapshot references") {
+    val lake = tmpLake()
+    // id-clustered so the delete provably carries files from v1 by reference
+    lake.writeAtomic((1 to 100).map(i => (i.toLong, "v")).toDF("id", "v")
+      .repartitionByRange(5, $"id").sortWithinPartitions("id"), "docs")
+    lake.deleteWhere("docs", $"id" <= 10) // manifest referencing v1's files
+    lake.vacuum("docs", keep = 1, orphanGraceMs = 0L)
+    // v1's dir must survive: the kept (manifest) snapshot reads through it
+    lake.read("docs").count() shouldBe 90
+    lake.listVersions("docs").length shouldBe 2 // v1 pinned, not reclaimed
+  }
+
+  test("compact of a manifest layer re-bases it to a self-contained snapshot") {
+    val lake = tmpLake()
+    lake.writeAtomic((1 to 100).map(i => (i.toLong, "v")).toDF("id", "v")
+      .repartition(5), "docs")
+    lake.deleteWhere("docs", $"id" <= 50)
+    lake.compact("docs")
+    lake.read("docs").count() shouldBe 50
+    // now nothing references v1/v2 — vacuum reclaims down to the compacted one
+    lake.vacuum("docs", keep = 1, orphanGraceMs = 0L)
+    lake.listVersions("docs").length shouldBe 1
+    lake.read("docs").count() shouldBe 50
+  }
+
+  test("readAsOf pins the '~' sentinel: same-millisecond snapshots resolve to the newest by name") {
+    val dir = Files.createTempDirectory("lake").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.writeAtomic(Seq((1, "a")).toDF("id", "v"), "layer")
+    lake.writeAtomic(Seq((2, "b")).toDF("id", "v"), "layer")
+    val Seq(v2, v1) = lake.listVersions("layer")
+    // Force the SAME millisecond prefix deterministically: rename the newer
+    // version dir to v1's millis with a later-sorting suffix ('z' > hex).
+    val vdir = new java.io.File(s"$dir/layer/_v")
+    val forced = v1.take(16) + "-zzzzzzzz"
+    new java.io.File(vdir, v2).renameTo(new java.io.File(vdir, forced)) shouldBe true
+    val millis = v1.take(16).toLong
+    // the '~' cutoff sentinel sorts after every '-'-suffixed id of that
+    // millisecond — the cutoff AT the shared instant must resolve the
+    // newest-by-name same-ms snapshot, not skip both or pick the older
+    lake.readAsOf("layer", millis).as[(Int, String)].head() shouldBe ((2, "b"))
+    a[NoSuchElementException] should be thrownBy
+      lake.readAsOf("layer", millis - 1)
+  }
 }
