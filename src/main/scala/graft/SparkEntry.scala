@@ -1255,6 +1255,34 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
         .orderBy("source")
+    }),
+
+    // Keyed upsert (Lake.mergeInto = Delta MERGE WHEN MATCHED UPDATE SET *
+    // / WHEN NOT MATCHED INSERT *): CDC-shaped source — every 100th doc
+    // re-arrives edited, a disjoint id range arrives new. The doc_id
+    // clustering means the source's key IN-set rewrites only can-match
+    // files; oracle replays the merge as anti-join ∪ source.
+    "q87_lake_merge" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q87_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents")
+      lake.writeAtomic(docs
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"), "docs")
+      val src = docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id"), lit("updated").as("text"), col("lang"),
+            col("source"), lit(-1L).as("n_chars"))
+        .union(docs.filter(col("doc_id") % 100 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))
+      lake.mergeInto("docs", src, Seq("doc_id"))
+      lake.read("docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum(when(col("text") === "updated", 1L).otherwise(0L))
+            .as("n_updated"))
+        .orderBy("lang")
     })
   )
 
@@ -2676,7 +2704,28 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN n_chars >= 500 THEN n_chars * 2
         |           ELSE n_chars END) AS BIGINT) AS sum_chars
         |FROM documents
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // MERGE replayed relationally: target rows not keyed by the source,
+    // union the source itself (updates + inserts)
+    "q87_lake_merge" ->
+      """WITH src AS (
+        |  SELECT doc_id, 'updated' AS text, lang, source,
+        |    CAST(-1 AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 100 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 100 = 1),
+        |merged AS (
+        |  SELECT d.* FROM documents d
+        |  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.doc_id = d.doc_id)
+        |  UNION ALL
+        |  SELECT * FROM src)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN text = 'updated' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_updated
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin
     )
     // q80/q81 replay the SAME computation as q74/q53 through the SQL
     // table-function surface (chunk / knn_join in FROM position), so their

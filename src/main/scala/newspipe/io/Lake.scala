@@ -721,6 +721,81 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     })
   }
 
+  /** Keyed upsert (Delta's `MERGE INTO ... WHEN MATCHED THEN UPDATE SET * /
+    * WHEN NOT MATCHED THEN INSERT *`): target rows whose key matches a
+    * `source` row are replaced by that row; source rows with no target
+    * match are inserted. Same manifest mechanics as [[deleteWhere]] — only
+    * the target files that CAN hold a source key are rewritten (their rows
+    * anti-joined against the source keys), the whole source lands as new
+    * files beside them, everything else rides by reference.
+    *
+    * The can-match predicate is derived from the source keys themselves:
+    * an exact IN-set when the (single-column) key count is ≤
+    * `maxExactKeys`, per-column min/max ranges otherwise — so a CDC batch
+    * touching one day of an ingest-ordered layer rewrites that day's
+    * files, not the layer. Source keys must be unique (multiple source
+    * rows for one target key make the merge ambiguous — same contract as
+    * Delta, refused loudly); disable the uniqueness pass with
+    * `requireUniqueKeys = false` only when the producer guarantees it.
+    */
+  def mergeInto(layer: String, source: DataFrame, keys: Seq[String],
+      maxExactKeys: Int = 8192,
+      requireUniqueKeys: Boolean = true): Lake.RowOpResult = {
+    import org.apache.spark.sql.functions.{col, countDistinct, count, lit, struct}
+    require(keys.nonEmpty, "mergeInto needs at least one key column")
+    val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
+      s"layer '$layer' has no committed snapshot — row ops need the " +
+        "snapshot protocol; land the layer with writeAtomic/compact first"))
+    val targetCols = loadSnapshot(layer, snap, mergeSchema = false)
+      .schema.fieldNames.toSeq
+    require(source.columns.sorted.toSeq == targetCols.sorted,
+      s"mergeInto: source columns ${source.columns.sorted.mkString(",")} " +
+        s"must equal layer columns ${targetCols.sorted.mkString(",")}")
+    keys.foreach(k => require(targetCols.contains(k),
+      s"mergeInto: key '$k' is not a layer column"))
+    val src = source.select(targetCols.map(col): _*).persist()
+    try {
+      if (requireUniqueKeys) {
+        val row = src
+          .agg(count(lit(1)), countDistinct(struct(keys.map(col): _*)))
+          .head()
+        val (n, d) = (row.getLong(0), row.getLong(1))
+        require(n == d, s"mergeInto: source holds $n rows but only $d " +
+          s"distinct keys over (${keys.mkString(", ")}) — ambiguous merge")
+      }
+      // can-match predicate from the source keys: exact IN for a small
+      // single-column key set, conservative per-column ranges otherwise
+      val pred: org.apache.spark.sql.Column =
+        if (keys.size == 1) {
+          val k = keys.head
+          val vals = src.select(k).distinct().limit(maxExactKeys + 1)
+            .collect().map(_.get(0))
+          if (vals.length <= maxExactKeys && !vals.contains(null))
+            col(k).isin(vals.toSeq: _*)
+          else boundsPredicate(src, keys)
+        } else boundsPredicate(src, keys)
+      rewriteCore(layer, snap, pred,
+        affected => affected.join(src, keys, "left_anti"),
+        append = Some(src))
+    } finally src.unpersist()
+  }
+
+  /** Conservative key-range predicate: each key within the source's
+    * observed [min, max]. One aggregate over the source; nulls in a key
+    * make the bound unusable for that column (kept TRUE — conservative).
+    */
+  private def boundsPredicate(src: DataFrame,
+      keys: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    val aggs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
+    val row = src.agg(aggs.head, aggs.tail: _*).head()
+    keys.zipWithIndex.map { case (k, i) =>
+      val (lo, hi) = (row.get(2 * i), row.get(2 * i + 1))
+      if (lo == null || hi == null) lit(true)
+      else col(k).between(lit(lo), lit(hi))
+    }.reduce(_ && _)
+  }
+
   /** Shared rewrite core of [[deleteWhere]]/[[updateWhere]]. `transform`
     * receives exactly the rows of the files the predicate can touch and
     * returns their replacement rows.
@@ -731,6 +806,19 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
       s"layer '$layer' has no committed snapshot — row ops need the " +
         "snapshot protocol; land the layer with writeAtomic/compact first"))
+    rewriteCore(layer, snap, predicate, transform, append = None)
+  }
+
+  /** File-level rewrite shared by every row op: partition the snapshot's
+    * inventory into can-match (rewritten through `transform`) and
+    * provably-untouched (carried by manifest reference), optionally append
+    * `append`'s rows as new files (the merge insert leg), commit the
+    * combined inventory as a parent-checked manifest snapshot.
+    */
+  private def rewriteCore(layer: String, snap: Path,
+      predicate: org.apache.spark.sql.Column,
+      transform: DataFrame => DataFrame,
+      append: Option[DataFrame]): Lake.RowOpResult = {
     val base = layerPath(layer)
     val inventory = snapshotInventory(layer, snap)
     // Decide which files the predicate can possibly touch. Stats paths are
@@ -754,17 +842,28 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       case None => true // stats-unknown file: must scan
     }
     val (affected, carried) = inventory.partition(mayMatch)
-    if (affected.isEmpty)
+    if (affected.isEmpty && append.isEmpty)
       return Lake.RowOpResult(snap.toString, 0, carried.size, noop = true)
 
-    val schemaDdl = loadSnapshot(layer, snap, mergeSchema = false).schema.toDDL
-    val partCols = affected
+    val schema = loadSnapshot(layer, snap, mergeSchema = false).schema
+    val schemaDdl = schema.toDDL
+    // layer-wide partition columns (not affected-only): an append leg with
+    // zero affected files must still land inside the hive layout
+    val partCols = inventory
       .flatMap(_.split('/').dropRight(1).toSeq
         .filter(_.contains('='))
         .map(seg => seg.substring(0, seg.indexOf('='))))
       .distinct
     val reader = spark.read.format(config.format).option("basePath", base)
-    val rewritten = transform(reader.load(affected.map(rp => s"$base/$rp"): _*))
+    val affectedRows =
+      if (affected.nonEmpty)
+        transform(reader.load(affected.map(rp => s"$base/$rp"): _*))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val rewritten = append match {
+      case Some(extra) => affectedRows.unionByName(extra)
+      case None => affectedRows
+    }
 
     val newSnap = new Path(s"$base/_v/${newVersionId()}")
     val f = fs(newSnap)

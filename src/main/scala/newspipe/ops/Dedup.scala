@@ -230,6 +230,17 @@ object Dedup {
     * iterative DataFrame algorithm's plan grows per round until plan
     * stringification alone OOMs the driver (observed on a 40-node chain).
     *
+    * Skew posture at 100 TB: a dominant component (one viral doc near-dup
+    * of millions) concentrates its edges on few `src` keys. The
+    * message-join is a plain equi-join, so AQE's skew-join split
+    * (`spark.sql.adaptive.skewJoin.enabled`, on by default) re-chunks the
+    * hot partitions at runtime — keep AQE on for clustered dedup runs; the
+    * label min-aggregates are safe regardless (partial aggregation
+    * combines hot keys map-side before the shuffle). Upstream,
+    * [[BucketedPairs]]' `maxBucket` cap already bounds how many pairs any
+    * single bucket can emit, which is what keeps the edge list itself from
+    * exploding quadratically.
+    *
     * @return (id, component) — component = min id reachable.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",

@@ -446,6 +446,70 @@ class LakeSpec extends SparkTestBase {
       ((20.0, 10.0))
   }
 
+  test("mergeInto replaces matched rows and inserts unmatched (upsert)") {
+    val lake = tmpLake()
+    lake.writeAtomic(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), "t")
+    val src = Seq((2L, "B2"), (9L, "new")).toDF("id", "v")
+    val r = lake.mergeInto("t", src, Seq("id"))
+    r.noop shouldBe false
+    lake.read("t").as[(Long, String)].collect().sortBy(_._1) shouldBe
+      Array((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new"))
+  }
+
+  test("mergeInto rewrites only files that can hold a source key") {
+    val lake = tmpLake()
+    lake.writeAtomic((1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartitionByRange(10, $"id").sortWithinPartitions("id"), "t")
+    // source keys all in one narrow range → one file rewritten, rest carried
+    val src = (101 to 110).map(i => (i.toLong, "upd")).toDF("id", "v")
+    val r = lake.mergeInto("t", src, Seq("id"))
+    r.rewrittenFiles should be <= 2
+    r.carriedFiles should be >= 8
+    val out = lake.read("t")
+    out.count() shouldBe 1000
+    out.filter($"v" === "upd").count() shouldBe 10
+  }
+
+  test("mergeInto insert-only source (no key overlap) appends without rewriting") {
+    val lake = tmpLake()
+    lake.writeAtomic((1 to 100).map(i => (i.toLong, "x")).toDF("id", "v")
+      .repartitionByRange(4, $"id").sortWithinPartitions("id"), "t")
+    val src = Seq((5000L, "n1"), (5001L, "n2")).toDF("id", "v")
+    val r = lake.mergeInto("t", src, Seq("id"))
+    r.rewrittenFiles shouldBe 0
+    lake.read("t").count() shouldBe 102
+    lake.read("t").filter($"id" >= 5000L).count() shouldBe 2
+  }
+
+  test("mergeInto refuses duplicate source keys (ambiguous merge)") {
+    val lake = tmpLake()
+    lake.writeAtomic(Seq((1L, "a")).toDF("id", "v"), "t")
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("id", "v")
+    an[IllegalArgumentException] should be thrownBy
+      lake.mergeInto("t", dup, Seq("id"))
+    // explicit opt-out for producers that guarantee uniqueness upstream
+    noException should be thrownBy lake.mergeInto("t",
+      Seq((1L, "z")).toDF("id", "v"), Seq("id"), requireUniqueKeys = false)
+  }
+
+  test("mergeInto refuses a source whose columns differ from the layer") {
+    val lake = tmpLake()
+    lake.writeAtomic(Seq((1L, "a")).toDF("id", "v"), "t")
+    an[IllegalArgumentException] should be thrownBy
+      lake.mergeInto("t", Seq((1L, 2L)).toDF("id", "other"), Seq("id"))
+  }
+
+  test("mergeInto composite key uses range bounds; result still exact") {
+    val lake = tmpLake()
+    lake.writeAtomic(Seq((1L, "a", 1.0), (1L, "b", 2.0), (2L, "a", 3.0))
+      .toDF("k1", "k2", "x"), "t")
+    val src = Seq((1L, "b", 20.0), (3L, "c", 30.0)).toDF("k1", "k2", "x")
+    lake.mergeInto("t", src, Seq("k1", "k2"))
+    lake.read("t").as[(Long, String, Double)].collect()
+      .sortBy(r => (r._1, r._2)) shouldBe
+      Array((1L, "a", 1.0), (1L, "b", 20.0), (2L, "a", 3.0), (3L, "c", 30.0))
+  }
+
   test("chained row ops: delete after delete composes manifests correctly") {
     val lake = tmpLake()
     lake.writeAtomic((1 to 100).map(i => (i.toLong, "v")).toDF("id", "v")
