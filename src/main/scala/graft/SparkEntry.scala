@@ -1283,6 +1283,33 @@ object SparkEntry {
           sum(when(col("text") === "updated", 1L).otherwise(0L))
             .as("n_updated"))
         .orderBy("lang")
+    }),
+
+    // Change feed between snapshots (Lake.diff): delete + merge land two
+    // row ops, then the diff from the base snapshot reconstructs the
+    // exact row-level delta from the file inventories alone — carried
+    // files never read, updates surface as delete+insert pairs. Oracle
+    // replays the delta relationally from the original table.
+    "q88_lake_diff" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q88_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents")
+      lake.writeAtomic(docs
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"), "docs")
+      lake.deleteWhere("docs", col("n_chars") < 250)
+      lake.mergeInto("docs", docs
+        .filter(col("n_chars") >= 250 && col("doc_id") % 97 === 0)
+        .select(col("doc_id"), lit("rev2").as("text"), col("lang"),
+          col("source"), col("n_chars")), Seq("doc_id"))
+      val versions = lake.listVersions("docs")
+      val (vBase, vHead) = (versions.last, versions.head)
+      val (ins, del) = lake.diff("docs", vBase, vHead)
+      del.select(lit("delete").as("change"), col("lang"))
+        .union(ins.select(lit("insert").as("change"), col("lang")))
+        .groupBy("change", "lang").agg(count(lit(1)).as("n"))
+        .orderBy("change", "lang")
     })
   )
 
@@ -2725,7 +2752,30 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(sum(CASE WHEN text = 'updated' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_updated
-        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The change feed's delta replayed from the original table: deletes =
+    // the delete predicate's rows plus the pre-update versions of merged
+    // rows; inserts = the post-update versions ('rev2' text differs, so
+    // no delete/insert pair cancels)
+    "q88_lake_diff" ->
+      """WITH upd AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE n_chars >= 250 AND doc_id % 97 = 0),
+        |deleted AS (
+        |  SELECT lang FROM documents WHERE n_chars < 250
+        |  UNION ALL
+        |  SELECT lang FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM upd)),
+        |inserted AS (
+        |  SELECT lang FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM upd))
+        |SELECT 'delete' AS change, lang, count(*) AS n
+        |FROM deleted GROUP BY 2
+        |UNION ALL
+        |SELECT 'insert' AS change, lang, count(*) AS n
+        |FROM inserted GROUP BY 2
+        |ORDER BY 1, 2""".stripMargin
     )
     // q80/q81 replay the SAME computation as q74/q53 through the SQL
     // table-function surface (chunk / knn_join in FROM position), so their

@@ -77,6 +77,52 @@ object StreamingSilver {
       }
       .start()
 
+  /** Streaming CDC upsert sink: each micro-batch MERGEs into a
+    * snapshot-managed layer by key ([[newspipe.io.Lake.mergeInto]]) —
+    * matched rows replaced, new keys inserted, only key-overlapping files
+    * rewritten. mergeInto refuses ambiguous duplicate-key sources, so the
+    * batch is first collapsed to one row per key: by max `seqCol` when
+    * given (the CDC "latest version wins" contract — use the source's
+    * sequence/timestamp column), else an arbitrary representative
+    * (`dropDuplicates` — only sound when a batch can't carry two versions
+    * of one key).
+    *
+    * Replay safety without a batch-id ledger: foreachBatch is
+    * at-least-once, and re-merging an identical batch is a fixpoint — every
+    * key now matches and is replaced with the values it already has — so
+    * the landed layer converges to exactly-once CONTENT even when the
+    * callback fires twice. (Contrast [[writeToLakeExactlyOnce]], which
+    * needs the `__batch_id` partition protocol precisely because blind
+    * appends are NOT idempotent.) A crash mid-merge is also safe: the
+    * snapshot commit is atomic, so the layer holds either the pre-batch or
+    * post-batch state, never half.
+    */
+  def upsertToLake(stream: DataFrame, lake: newspipe.io.Lake,
+      layer: String, keys: Seq[String], checkpoint: String,
+      seqCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val deduped = seqCol match {
+          case Some(s) =>
+            // latest-per-key via one struct-max aggregate (seq leads the
+            // struct, so max orders by it); no window sort needed
+            val cols = batch.columns.toSeq
+            batch.groupBy(keys.map(col): _*)
+              .agg(max(struct((col(s) +: cols.filterNot(keys.contains)
+                .filterNot(_ == s).map(col)): _*)).as("__w"))
+              .select(keys.map(col) ++
+                (s +: cols.filterNot(keys.contains).filterNot(_ == s))
+                  .map(c => col(s"__w.$c").as(c)): _*)
+              .select(cols.map(col): _*)
+          case None => batch.dropDuplicates(keys)
+        }
+        lake.mergeInto(layer, deduped, keys, requireUniqueKeys = false); ()
+      }
+      .start()
+
   /** Generic windowed event counts (tumbling or sliding) with watermarked
     * late-data handling — the events-table streaming workload.
     * `ts` is a timestamp column name; slide == size ⇒ tumbling.

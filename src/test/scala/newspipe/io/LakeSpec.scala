@@ -545,6 +545,52 @@ class LakeSpec extends SparkTestBase {
     lake.read("docs").count() shouldBe 50
   }
 
+  test("diff between snapshots yields exact row-level inserted/deleted sets") {
+    val lake = tmpLake()
+    lake.writeAtomic((1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartitionByRange(5, $"id").sortWithinPartitions("id"), "t")
+    lake.deleteWhere("t", $"id" <= 10)
+    lake.mergeInto("t", Seq((50L, "updated"), (500L, "new")).toDF("id", "v"),
+      Seq("id"))
+    val versions = lake.listVersions("t") // newest first: merge, delete, base
+    val Seq(vMerge, vDelete, vBase) = versions
+    val (ins1, del1) = lake.diff("t", vBase, vDelete)
+    ins1.count() shouldBe 0
+    del1.select("id").as[Long].collect().sorted shouldBe (1L to 10L).toArray
+    val (ins2, del2) = lake.diff("t", vDelete, vMerge)
+    ins2.as[(Long, String)].collect().sortBy(_._1) shouldBe
+      Array((50L, "updated"), (500L, "new")).sortBy(_._1)
+    del2.as[(Long, String)].collect() shouldBe Array((50L, "v50"))
+    // end-to-end diff composes: base → merge
+    val (insAll, delAll) = lake.diff("t", vBase, vMerge)
+    insAll.count() shouldBe 2
+    delAll.count() shouldBe 11 // ids 1-10 + the old id=50 row
+    // and the reverse direction swaps the sets
+    val (insRev, delRev) = lake.diff("t", vMerge, vBase)
+    insRev.count() shouldBe 11
+    delRev.count() shouldBe 2
+  }
+
+  test("diff only reads files changed between the snapshots (plan-level pin)") {
+    val lake = tmpLake()
+    lake.writeAtomic((1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartitionByRange(10, $"id").sortWithinPartitions("id"), "t")
+    lake.deleteWhere("t", $"id" === 5L) // rewrites ~1 file, carries ~9
+    val Seq(v2, v1) = lake.listVersions("t")
+    val (ins, del) = lake.diff("t", v1, v2)
+    // the union of both sides' scanned files must be << the two snapshots'
+    // 20 combined: only the rewritten file appears on each side
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collectLeaves().map {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+        case _ => 0
+      }.sum
+    (scannedFiles(ins) + scannedFiles(del)) should be <= 4
+    ins.count() shouldBe 0
+    del.select("id").as[Long].collect() shouldBe Array(5L)
+  }
+
   test("readAsOf pins the '~' sentinel: same-millisecond snapshots resolve to the newest by name") {
     val dir = Files.createTempDirectory("lake").toString
     val lake = new Lake(spark, LakeConfig(basePath = dir))
