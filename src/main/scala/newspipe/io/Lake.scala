@@ -746,8 +746,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
       s"layer '$layer' has no committed snapshot — row ops need the " +
         "snapshot protocol; land the layer with writeAtomic/compact first"))
-    val targetCols = loadSnapshot(layer, snap, mergeSchema = false)
-      .schema.fieldNames.toSeq
+    val targetCols = snapshotSchema(layer, snap).fieldNames.toSeq
     require(source.columns.sorted.toSeq == targetCols.sorted,
       s"mergeInto: source columns ${source.columns.sorted.mkString(",")} " +
         s"must equal layer columns ${targetCols.sorted.mkString(",")}")
@@ -845,7 +844,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     if (affected.isEmpty && append.isEmpty)
       return Lake.RowOpResult(snap.toString, 0, carried.size, noop = true)
 
-    val schema = loadSnapshot(layer, snap, mergeSchema = false).schema
+    val schema = snapshotSchema(layer, snap)
     val schemaDdl = schema.toDDL
     // layer-wide partition columns (not affected-only): an append leg with
     // zero affected files must still land inside the hive layout
@@ -933,8 +932,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     }
     val from = inv(fromVersion).toSet
     val to = inv(toVersion).toSet
-    val schema = loadSnapshot(layer, new Path(s"$base/_v/$toVersion"),
-      mergeSchema = false).schema
+    val schema = snapshotSchema(layer, new Path(s"$base/_v/$toVersion"))
     def readFiles(rels: Seq[String]): DataFrame =
       if (rels.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -946,6 +944,18 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val onlyFrom = readFiles((from -- to).toSeq.sorted)
     (onlyTo.exceptAll(onlyFrom), onlyFrom.exceptAll(onlyTo))
   }
+
+  /** A snapshot's read schema without touching data files when avoidable:
+    * manifest snapshots RECORD their schema (the zero-files case needs it
+    * anyway), so chained row ops skip the file-listing + footer read a
+    * reader-based schema costs; self-contained snapshots pay it once.
+    */
+  private def snapshotSchema(layer: String,
+      snap: Path): org.apache.spark.sql.types.StructType =
+    manifestOf(snap) match {
+      case Some(m) => m.schema
+      case None => loadSnapshot(layer, snap, mergeSchema = false).schema
+    }
 
   /** Data files under one snapshot directory, relative to IT (hidden files
     * and sidecars excluded, `k=v` partition dirs kept) — the walk
