@@ -945,6 +945,16 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     (onlyTo.exceptAll(onlyFrom), onlyFrom.exceptAll(onlyTo))
   }
 
+  /** The layer's current read schema (manifest-recorded when available —
+    * see [[snapshotSchema]]); the schema surface the change-feed stream
+    * source resolves before any batch runs.
+    */
+  def layerSchema(layer: String): org.apache.spark.sql.types.StructType =
+    latestSnapshot(layer) match {
+      case Some(snap) => snapshotSchema(layer, snap)
+      case None => read(layer).schema
+    }
+
   /** A snapshot's read schema without touching data files when avoidable:
     * manifest snapshots RECORD their schema (the zero-files case needs it
     * anyway), so chained row ops skip the file-listing + footer read a

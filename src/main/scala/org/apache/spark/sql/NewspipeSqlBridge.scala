@@ -46,4 +46,17 @@ object NewspipeSqlBridge {
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.tableFunctionRegistry
       .registerFunction(ident, info, builder)
+
+  /** A computed batch frame re-tagged `isStreaming = true` — what a DSv1
+    * streaming `Source.getBatch` must return (MicroBatchExecution splices
+    * the frame in place of the streaming relation and asserts streaming-
+    * ness). Same access pattern as Delta's `createDataFrame(...,
+    * isStreaming = true)`; the batch plan is materialized to an
+    * InternalRow RDD first, exactly like the built-in file stream source.
+    */
+  def streamingDataFrame(df: Dataset[Row]): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }
