@@ -1310,6 +1310,42 @@ object SparkEntry {
         .union(ins.select(lit("insert").as("change"), col("lang")))
         .groupBy("change", "lang").agg(count(lit(1)).as("n"))
         .orderBy("change", "lang")
+    }),
+
+    // Incremental view maintenance: bootstrap a per-lang aggregate, land a
+    // delete + a merge, refresh the aggregate FROM THE DIFF ONLY
+    // (IncrementalAgg.applyDelta — no corpus re-scan), return the
+    // maintained state. Oracle recomputes the aggregate over the post-op
+    // corpus replayed relationally — incremental must equal recompute.
+    "q89_incremental_agg" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q89_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      lake.writeAtomic(t(s, dir, "documents")
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"), "docs")
+      val v1 = lake.listVersions("docs").head
+      val gold0 = newspipe.ops.IncrementalAgg.compute(
+        lake.read("docs"), Seq("lang"), Seq("n_chars")).localCheckpoint(true)
+      lake.deleteWhere("docs", col("n_chars") < 250)
+      val alive = lake.read("docs").localCheckpoint(true)
+      lake.mergeInto("docs",
+        alive.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            (col("n_chars") + 7).as("n_chars"))
+          .union(alive.filter(col("doc_id") % 101 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+              col("lang"), col("source"), col("n_chars"))),
+        Seq("doc_id"))
+      val vH = lake.listVersions("docs").head
+      val (ins, del) = lake.diff("docs", v1, vH)
+      val delta = ins.withColumn("_change_type", lit("insert"))
+        .unionByName(del.withColumn("_change_type", lit("delete")))
+      newspipe.ops.IncrementalAgg.applyDelta(gold0, delta,
+          Seq("lang"), Seq("n_chars"))
+        .select(col("lang"), col("__n").as("n_docs"),
+          col("sum_n_chars").as("sum_chars"))
+        .orderBy("lang")
     })
   )
 
@@ -2775,7 +2811,27 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'insert' AS change, lang, count(*) AS n
         |FROM inserted GROUP BY 2
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // incremental == recompute: the oracle just recomputes over the
+    // post-delete-post-merge corpus replayed relationally
+    "q89_incremental_agg" ->
+      """WITH alive AS (
+        |  SELECT * FROM documents WHERE NOT coalesce(n_chars < 250, FALSE)),
+        |src AS (
+        |  SELECT doc_id, text, lang, source, n_chars + 7 AS n_chars
+        |  FROM alive WHERE doc_id % 97 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source, n_chars
+        |  FROM alive WHERE doc_id % 101 = 0),
+        |merged AS (
+        |  SELECT a.* FROM alive a
+        |  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.doc_id = a.doc_id)
+        |  UNION ALL
+        |  SELECT * FROM src)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin
     )
     // q80/q81 replay the SAME computation as q74/q53 through the SQL
     // table-function surface (chunk / knn_join in FROM position), so their
