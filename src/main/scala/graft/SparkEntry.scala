@@ -1346,6 +1346,27 @@ object SparkEntry {
         .select(col("lang"), col("__n").as("n_docs"),
           col("sum_n_chars").as("sum_chars"))
         .orderBy("lang")
+    }),
+
+    // Atomic manifest append (Lake.appendAtomic): land only the increment
+    // as new files, carry the whole existing inventory by reference —
+    // O(appended data), no layer rewrite. Oracle = the union replay.
+    "q90_lake_append" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q90_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents")
+      lake.writeAtomic(docs
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"), "docs")
+      lake.appendAtomic(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("lang"), lit("appended").as("source"), col("n_chars")),
+        "docs")
+      lake.read("docs")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("source")
     })
   )
 
@@ -2831,7 +2852,19 @@ object SparkEntry {
         |  SELECT * FROM src)
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // append = original ∪ increment
+    "q90_lake_append" ->
+      """WITH appended AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text, lang,
+        |    'appended' AS source, n_chars
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |unioned AS (
+        |  SELECT * FROM documents UNION ALL SELECT * FROM appended)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM unioned GROUP BY source ORDER BY source""".stripMargin
     )
     // q80/q81 replay the SAME computation as q74/q53 through the SQL
     // table-function surface (chunk / knn_join in FROM position), so their

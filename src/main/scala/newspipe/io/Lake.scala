@@ -243,9 +243,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     }
 
   /** Read one snapshot, manifest-aware. Manifest snapshots load their
-    * explicit file list with `basePath` = the layer root, so hive `k=v`
-    * segments still surface as partition columns (partition parsing walks
-    * leaf-up and stops at the non-`k=v` version directory); an empty
+    * explicit file list through [[readRelFiles]] (per-version-dir groups,
+    * so hive `k=v` segments surface as partition columns); an empty
     * manifest (every row deleted) resolves to an empty frame with the
     * recorded schema.
     */
@@ -260,12 +259,39 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
       case Some(m) =>
-        val base = layerPath(layer)
-        val reader = spark.read.format(config.format)
-          .option("basePath", base)
-        (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
-          .load(m.files.map(rp => s"$base/$rp"): _*)
+        readRelFiles(layer, m.files, mergeSchema)
     }
+
+  /** Read an EXPLICIT layer-root-relative file list with hive partition
+    * columns intact. Spark's partition discovery walks each file leaf-up
+    * and requires every file to stop at the SAME root — a manifest
+    * inventory spanning several `_v/<version>` directories has one stop
+    * per version dir and fails `[CONFLICTING_DIRECTORY_STRUCTURES]` even
+    * with `basePath` set (the option only relocates the root, it can't
+    * split it). So: group the list by version dir, load each group with
+    * ITS dir as the discovery root, and union — group count = referenced
+    * version dirs (small, row-op-bounded), and each group's partition
+    * parsing is the ordinary single-root case. (Delta solves the same
+    * problem with a log-backed FileIndex that bypasses discovery; the
+    * grouped union is the same answer through public API.)
+    */
+  private def readRelFiles(layer: String, rels: Seq[String],
+      mergeSchema: Boolean = false): DataFrame = {
+    val base = layerPath(layer)
+    def versionDirOf(rel: String): String = {
+      val segs = rel.split('/')
+      if (segs.length >= 2 && segs(0) == "_v") s"_v/${segs(1)}" else ""
+    }
+    val groups = rels.groupBy(versionDirOf).toSeq.sortBy(_._1)
+    val frames = groups.map { case (vdir, files) =>
+      val root = if (vdir.isEmpty) base else s"$base/$vdir"
+      val reader = spark.read.format(config.format).option("basePath", root)
+      (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
+        .load(files.map(rp => s"$base/$rp"): _*)
+    }
+    frames.reduce((a, b) =>
+      a.unionByName(b, allowMissingColumns = mergeSchema))
+  }
 
   /** Ref 02:29, 03:30: batch read of a layer. Resolves the snapshot pointer
     * when the layer was written with [[writeAtomic]]; falls back to the flat
@@ -318,6 +344,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       case Some(p) if p.keptPaths.size == p.totalFiles => plain()
       case Some(p) if p.keptPaths.isEmpty =>
         plain().filter(org.apache.spark.sql.functions.lit(false))
+      case Some(p) if p.keptPaths.exists(_.startsWith("_v/")) =>
+        // manifest snapshot: kept files span version dirs — per-dir
+        // discovery roots (see readRelFiles)
+        readRelFiles(layer, p.keptPaths, mergeSchema).filter(predicate)
       case Some(p) =>
         val reader = spark.read.format(config.format)
           .option("basePath", p.base)
@@ -721,6 +751,96 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     })
   }
 
+  /** ATOMIC append to a snapshot-managed layer — the add-files commit a
+    * plain flat append can't give one (flat writes to snapshot layers are
+    * refused: invisible to snapshot readers). Lands ONLY the new rows as
+    * files in a fresh version dir and commits a manifest referencing the
+    * old inventory + the new files — O(appended data), never a layer
+    * rewrite, readers flip atomically from old snapshot to old+new. This
+    * is Delta's `mode("append")`: at 100 TB the difference between landing
+    * a day's increment and rewriting history to add it.
+    *
+    * Parent-checked like every row op: concurrent appends race on the
+    * marker and the loser retries from the new state (its data dir is
+    * removed), so two appends never silently fork the lineage.
+    */
+  def appendAtomic(df: DataFrame, layer: String): Lake.RowOpResult = {
+    val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
+      s"layer '$layer' has no committed snapshot — appendAtomic extends the " +
+        "snapshot protocol; land the layer with writeAtomic first (flat " +
+        "layers take plain write(mode=append))"))
+    val base = layerPath(layer)
+    val carried = snapshotInventory(layer, snap)
+    val schemaDdl = snapshotSchema(layer, snap).toDDL
+    val partCols = carried
+      .flatMap(_.split('/').dropRight(1).toSeq
+        .filter(_.contains('='))
+        .map(seg => seg.substring(0, seg.indexOf('='))))
+      .distinct
+    val newSnap = new Path(s"$base/_v/${newVersionId()}")
+    try {
+      var writer = df.write.format(config.format).mode("errorifexists")
+      if (partCols.nonEmpty) writer = writer.partitionBy(partCols: _*)
+      writer.save(newSnap.toString)
+      commitManifest(layer, snap, newSnap, carried,
+        rebasedStats(layer, snap), schemaDdl)
+    } catch {
+      case e: java.util.ConcurrentModificationException => throw e
+      case scala.util.control.NonFatal(e) =>
+        fs(newSnap).delete(newSnap, true)
+        throw e
+    }
+    Lake.RowOpResult(newSnap.toString, 0, carried.size)
+  }
+
+  /** Current snapshot's sidecar stats keyed by LAYER-ROOT-relative path
+    * (self-contained snapshots' stats are snapshot-relative — rebase them
+    * so every row op keys the inventory uniformly).
+    */
+  private def rebasedStats(layer: String,
+      snap: Path): Map[String, FileStats.FileStat] =
+    sidecarStats(layer) match {
+      case Some((statsBase, stats)) =>
+        val rebase =
+          if (statsBase == layerPath(layer)) (p: String) => p
+          else (p: String) => s"_v/${snap.getName}/$p"
+        stats.map(st => rebase(st.path) -> st.copy(path = rebase(st.path)))
+          .toMap
+      case None => Map.empty
+    }
+
+  /** Shared commit tail of every manifest-snapshot producer: walk the new
+    * version dir, write `_MANIFEST.json` (carried + new files), land the
+    * layer-root-relative stats sidecar (carried stats reused, new and
+    * stats-unknown files re-footered; soft-fail to no-sidecar), then the
+    * parent-checked `_COMMITTED` marker.
+    */
+  private def commitManifest(layer: String, parent: Path, newSnap: Path,
+      carried: Seq[String], oldStats: Map[String, FileStats.FileStat],
+      schemaDdl: String): Unit = {
+    val base = layerPath(layer)
+    val f = fs(newSnap)
+    val newPrefix = s"_v/${newSnap.getName}/"
+    val newFiles = snapshotDirFilesRel(newSnap).map(newPrefix + _)
+    val manifest = SnapshotManifest(carried ++ newFiles, schemaDdl)
+    val out = f.create(new Path(newSnap, SnapshotManifest.FileName), false)
+    try out.write(SnapshotManifest.toJson(manifest).getBytes("UTF-8"))
+    finally out.close()
+    if (config.collectStats && config.format == "parquet") {
+      try {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val carriedStats = carried.flatMap(oldStats.get)
+        val refooter = newFiles ++ carried.filterNot(oldStats.contains)
+        writeSidecar(newSnap,
+          carriedStats ++ FileStats.collectFiles(conf, base, refooter))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Console.err.println(s"[lake] stats sidecar for $newSnap skipped: $e")
+      }
+    }
+    commitMarker(layer, newSnap, requireParent = Some(Some(parent.getName)))
+  }
+
   /** Keyed upsert (Delta's `MERGE INTO ... WHEN MATCHED THEN UPDATE SET * /
     * WHEN NOT MATCHED THEN INSERT *`): target rows whose key matches a
     * `source` row are replaced by that row; source rows with no target
@@ -820,19 +940,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       append: Option[DataFrame]): Lake.RowOpResult = {
     val base = layerPath(layer)
     val inventory = snapshotInventory(layer, snap)
-    // Decide which files the predicate can possibly touch. Stats paths are
-    // relative to the snapshot dir for self-contained snapshots — rebase to
-    // layer-root-relative so they key the inventory uniformly.
-    val oldStats: Map[String, FileStats.FileStat] =
-      sidecarStats(layer) match {
-        case Some((statsBase, stats)) =>
-          val rebase =
-            if (statsBase == base) (p: String) => p
-            else (p: String) => s"_v/${snap.getName}/$p"
-          stats.map(st => rebase(st.path) -> st.copy(path = rebase(st.path)))
-            .toMap
-        case None => Map.empty
-      }
+    // which files can the predicate possibly touch?
+    val oldStats = rebasedStats(layer, snap)
     lazy val cond =
       if (oldStats.isEmpty) None
       else resolveCondition(layer, base, oldStats.values.toSeq, predicate)
@@ -853,10 +962,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         .filter(_.contains('='))
         .map(seg => seg.substring(0, seg.indexOf('='))))
       .distinct
-    val reader = spark.read.format(config.format).option("basePath", base)
     val affectedRows =
-      if (affected.nonEmpty)
-        transform(reader.load(affected.map(rp => s"$base/$rp"): _*))
+      if (affected.nonEmpty) transform(readRelFiles(layer, affected))
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val rewritten = append match {
@@ -865,38 +972,15 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     }
 
     val newSnap = new Path(s"$base/_v/${newVersionId()}")
-    val f = fs(newSnap)
     try {
       var writer = rewritten.write.format(config.format).mode("errorifexists")
       if (partCols.nonEmpty) writer = writer.partitionBy(partCols: _*)
       writer.save(newSnap.toString)
-      val newPrefix = s"_v/${newSnap.getName}/"
-      val newFiles = snapshotDirFilesRel(newSnap).map(newPrefix + _)
-      val manifest = SnapshotManifest(carried ++ newFiles, schemaDdl)
-      val out = f.create(new Path(newSnap, SnapshotManifest.FileName), false)
-      try out.write(SnapshotManifest.toJson(manifest).getBytes("UTF-8"))
-      finally out.close()
-      // layer-root-relative stats: carried files keep their (rebased) old
-      // stats, rewritten files get fresh footer reads; files with no prior
-      // stats are re-footered too. Soft-fail like every sidecar — pruning
-      // degrades to a scan, never to a wrong answer.
-      if (config.collectStats && config.format == "parquet") {
-        try {
-          val conf = spark.sparkContext.hadoopConfiguration
-          val carriedStats = carried.flatMap(oldStats.get)
-          val refooter = newFiles ++ carried.filterNot(oldStats.contains)
-          writeSidecar(newSnap,
-            carriedStats ++ FileStats.collectFiles(conf, base, refooter))
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            Console.err.println(s"[lake] stats sidecar for $newSnap skipped: $e")
-        }
-      }
-      commitMarker(layer, newSnap, requireParent = Some(Some(snap.getName)))
+      commitManifest(layer, snap, newSnap, carried, oldStats, schemaDdl)
     } catch {
       case e: java.util.ConcurrentModificationException => throw e // cleaned
       case scala.util.control.NonFatal(e) =>
-        f.delete(newSnap, true) // no committed marker — but don't leak debris
+        fs(newSnap).delete(newSnap, true) // no marker — don't leak debris
         throw e
     }
     Lake.RowOpResult(newSnap.toString, affected.size, carried.size)
@@ -936,8 +1020,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     def readFiles(rels: Seq[String]): DataFrame =
       if (rels.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.format(config.format).option("basePath", base)
-        .load(rels.map(rp => s"$base/$rp"): _*)
+      else readRelFiles(layer, rels)
         .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
           .toSeq: _*)
     val onlyTo = readFiles((to -- from).toSeq.sorted)

@@ -419,7 +419,11 @@ class LakeSpec extends SparkTestBase {
     val df = Seq((1L, "US"), (2L, "US"), (3L, "GB"), (4L, "GB"))
       .toDF("id", "country")
     lake.writeAtomic(df, "docs", partitionBy = Seq("country"))
-    lake.deleteWhere("docs", $"country" === "US" && $"id" === 1L)
+    val r = lake.deleteWhere("docs", $"country" === "US" && $"id" === 1L)
+    // the GB partition's file must ride by reference — this is what forces
+    // the read below across TWO version dirs, the layout Spark's single-
+    // root partition discovery rejects without per-dir grouped loads
+    r.carriedFiles should be >= 1
     val out = lake.read("docs")
     out.schema.fieldNames should contain("country")
     out.select("id").as[Long].collect().sorted shouldBe Array(2L, 3L, 4L)
@@ -543,6 +547,44 @@ class LakeSpec extends SparkTestBase {
     lake.vacuum("docs", keep = 1, orphanGraceMs = 0L)
     lake.listVersions("docs").length shouldBe 1
     lake.read("docs").count() shouldBe 50
+  }
+
+  test("appendAtomic extends the snapshot without rewriting carried files") {
+    val lake = tmpLake()
+    lake.writeAtomic((1 to 100).map(i => (i.toLong, "v")).toDF("id", "v")
+      .repartition(4), "t")
+    val r = lake.appendAtomic(Seq((200L, "new"), (201L, "new")).toDF("id", "v"), "t")
+    r.rewrittenFiles shouldBe 0
+    r.carriedFiles shouldBe 4
+    lake.read("t").count() shouldBe 102
+    // readers of the OLD version still see the pre-append state
+    val Seq(_, vOld) = lake.listVersions("t")
+    lake.readVersion("t", vOld).count() shouldBe 100
+    // the diff between them is exactly the appended rows
+    val Seq(vNew, _) = lake.listVersions("t")
+    val (ins, del) = lake.diff("t", vOld, vNew)
+    ins.count() shouldBe 2
+    del.count() shouldBe 0
+  }
+
+  test("appendAtomic keeps stats-based pruning across carried and appended files") {
+    val lake = tmpLake()
+    lake.writeAtomic((1 to 100).map(i => (i.toLong, "v")).toDF("id", "v")
+      .repartitionByRange(4, $"id").sortWithinPartitions("id"), "t")
+    lake.appendAtomic((1000 to 1100).map(i => (i.toLong, "n")).toDF("id", "v"), "t")
+    val info = lake.pruneInfo("t", $"id" >= 1000L).get
+    info.keptFiles should be < info.totalFiles
+    lake.readWhere("t", $"id" >= 1000L).count() shouldBe 101
+  }
+
+  test("appendAtomic preserves the hive layout and refuses pre-snapshot layers") {
+    val lake = tmpLake()
+    lake.writeAtomic(Seq((1L, "US"), (2L, "GB")).toDF("id", "country"),
+      "t", partitionBy = Seq("country"))
+    lake.appendAtomic(Seq((3L, "US")).toDF("id", "country"), "t")
+    lake.read("t").filter($"country" === "US").count() shouldBe 2
+    an[IllegalStateException] should be thrownBy
+      lake.appendAtomic(Seq((1L, "x")).toDF("id", "v"), "never_landed")
   }
 
   test("diff between snapshots yields exact row-level inserted/deleted sets") {
