@@ -1348,6 +1348,27 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // q85's computation through the SQL TVF surface: lake_read() in FROM
+    // position over the post-delete manifest snapshot — SQL surface =
+    // DataFrame API on the driver's own hash compare (the q80-is-q74
+    // precedent), so the oracle is q85's verbatim.
+    "q91_sql_lake_read" -> ((s, dir) => {
+      newspipe.NewspipeExtensions.register(s)
+      val root = java.nio.file.Files.createTempDirectory("q91_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      lake.writeAtomic(t(s, dir, "documents")
+        .repartitionByRange(8, col("n_chars"))
+        .sortWithinPartitions("n_chars"), "docs")
+      lake.deleteWhere("docs",
+        col("lang") === "en" && col("n_chars") < 300)
+      s.sql(
+        s"""SELECT lang, count(1) AS n_docs, sum(n_chars) AS sum_chars,
+           |  sum(doc_id) AS id_sum
+           |FROM lake_read('$root', 'docs')
+           |GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
     // Atomic manifest append (Lake.appendAtomic): land only the increment
     // as new files, carry the whole existing inventory by reference —
     // O(appended data), no layer rewrite. Oracle = the union replay.
@@ -2872,6 +2893,7 @@ object SparkEntry {
     // precedent: passing both asserts SQL surface = DataFrame API on the
     // driver's own hash compare.
     base ++ Map(
+      "q91_sql_lake_read" -> base("q85_lake_delete"),
       "q80_sql_chunk" -> base("q74_chunk"),
       "q81_sql_knn_join" -> base("q53_knn_join"))
   }

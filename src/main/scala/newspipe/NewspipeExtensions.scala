@@ -137,6 +137,44 @@ object NewspipeExtensions {
     */
   private val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
     Seq(
+      // lake reads in FROM position — the SQL surface of the snapshot
+      // protocol: SELECT … FROM lake_read('/lake/root', 'docs');
+      // lake_read_version pins a snapshot (reproducibility), lake_read_asof
+      // resolves timestamp-ms time travel. All lazy: building the plan
+      // resolves only the snapshot pointer (one listing), no data jobs.
+      (new FunctionIdentifier("lake_read"),
+        new ExpressionInfo("newspipe.NewspipeExtensions", "lake_read"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            "lake_read(base_path, layer) takes 2 arguments")
+          val args = children.map(stringArg("lake_read", _))
+          val spark = SparkSession.active
+          NewspipeSqlBridge.logicalPlan(new newspipe.io.Lake(spark,
+            newspipe.io.LakeConfig(basePath = args(0))).read(args(1)))
+        }),
+      (new FunctionIdentifier("lake_read_version"),
+        new ExpressionInfo("newspipe.NewspipeExtensions", "lake_read_version"),
+        (children: Seq[Expression]) => {
+          require(children.length == 3,
+            "lake_read_version(base_path, layer, version) takes 3 arguments")
+          val args = children.map(stringArg("lake_read_version", _))
+          val spark = SparkSession.active
+          NewspipeSqlBridge.logicalPlan(new newspipe.io.Lake(spark,
+            newspipe.io.LakeConfig(basePath = args(0)))
+            .readVersion(args(1), args(2)))
+        }),
+      (new FunctionIdentifier("lake_read_asof"),
+        new ExpressionInfo("newspipe.NewspipeExtensions", "lake_read_asof"),
+        (children: Seq[Expression]) => {
+          require(children.length == 3,
+            "lake_read_asof(base_path, layer, timestamp_ms) takes 3 arguments")
+          val base = stringArg("lake_read_asof", children(0))
+          val layer = stringArg("lake_read_asof", children(1))
+          val ts = longArg("lake_read_asof", children(2))
+          val spark = SparkSession.active
+          NewspipeSqlBridge.logicalPlan(new newspipe.io.Lake(spark,
+            newspipe.io.LakeConfig(basePath = base)).readAsOf(layer, ts))
+        }),
       (new FunctionIdentifier("asof_join"),
         new ExpressionInfo("newspipe.NewspipeExtensions", "asof_join"),
         (children: Seq[Expression]) => {

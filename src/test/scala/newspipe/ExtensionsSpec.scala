@@ -246,4 +246,29 @@ class ExtensionsSpec extends SparkTestBase {
         .collect()
     }
   }
+
+  test("lake_read / lake_read_version / lake_read_asof query the snapshot protocol from SQL") {
+    NewspipeExtensions.register(spark)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sql_lake").toString
+    val lake = new newspipe.io.Lake(spark, newspipe.io.LakeConfig(dir))
+    lake.writeAtomic(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "docs")
+    lake.deleteWhere("docs", $"id" === 1L) // manifest snapshot on top
+    // current state through SQL
+    spark.sql(s"SELECT id FROM lake_read('$dir', 'docs')")
+      .as[Long].collect() shouldBe Array(2L)
+    // pinned old version still reads pre-delete
+    val Seq(_, vOld) = lake.listVersions("docs")
+    spark.sql(s"SELECT count(*) AS n FROM lake_read_version('$dir', 'docs', '$vOld')")
+      .as[Long].head() shouldBe 2L
+    // time travel at the old version's commit instant
+    val tOld = vOld.take(16).toLong
+    spark.sql(s"SELECT count(*) AS n FROM lake_read_asof('$dir', 'docs', $tOld)")
+      .as[Long].head() shouldBe 2L
+    // composes with ordinary SQL (joins/filters over the TVF)
+    spark.sql(
+      s"""SELECT count(*) AS n FROM lake_read('$dir', 'docs') l
+         |JOIN lake_read_version('$dir', 'docs', '$vOld') o ON l.id = o.id
+         |""".stripMargin).as[Long].head() shouldBe 1L
+  }
 }
