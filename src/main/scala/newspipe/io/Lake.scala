@@ -259,7 +259,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
       case Some(m) =>
-        readRelFiles(layer, m.files, mergeSchema)
+        // the RECORDED schema is authoritative (Delta's log-schema role):
+        // files predating a schema-evolving merge/append read null for the
+        // added columns, and every group unions to one stable shape
+        readRelFiles(layer, m.files, mergeSchema, schemaHint = Some(m.schema))
     }
 
   /** Read an EXPLICIT layer-root-relative file list with hive partition
@@ -276,7 +279,9 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * grouped union is the same answer through public API.)
     */
   private def readRelFiles(layer: String, rels: Seq[String],
-      mergeSchema: Boolean = false): DataFrame = {
+      mergeSchema: Boolean = false,
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val base = layerPath(layer)
     def versionDirOf(rel: String): String = {
       val segs = rel.split('/')
@@ -285,7 +290,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val groups = rels.groupBy(versionDirOf).toSeq.sortBy(_._1)
     val frames = groups.map { case (vdir, files) =>
       val root = if (vdir.isEmpty) base else s"$base/$vdir"
-      val reader = spark.read.format(config.format).option("basePath", root)
+      var reader = spark.read.format(config.format).option("basePath", root)
+      // an explicit schema makes columns a file predates read as null —
+      // the schema-evolution read — and pins one shape across groups
+      schemaHint.foreach(s => reader = reader.schema(s))
       (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
         .load(files.map(rp => s"$base/$rp"): _*)
     }
@@ -346,8 +354,9 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         plain().filter(org.apache.spark.sql.functions.lit(false))
       case Some(p) if p.keptPaths.exists(_.startsWith("_v/")) =>
         // manifest snapshot: kept files span version dirs — per-dir
-        // discovery roots (see readRelFiles)
-        readRelFiles(layer, p.keptPaths, mergeSchema).filter(predicate)
+        // discovery roots + the recorded schema (see readRelFiles)
+        readRelFiles(layer, p.keptPaths, mergeSchema,
+          schemaHint = Some(layerSchema(layer))).filter(predicate)
       case Some(p) =>
         val reader = spark.read.format(config.format)
           .option("basePath", p.base)
@@ -771,7 +780,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         "layers take plain write(mode=append))"))
     val base = layerPath(layer)
     val carried = snapshotInventory(layer, snap)
-    val schemaDdl = snapshotSchema(layer, snap).toDDL
+    // schema evolution on append: columns the increment adds join the
+    // recorded schema (old files read null for them); columns it lacks
+    // stay recorded (its rows read null)
+    val old = snapshotSchema(layer, snap)
+    val schemaDdl = org.apache.spark.sql.types.StructType(old.fields ++
+      df.schema.fields.filterNot(f => old.fieldNames.contains(f.name))).toDDL
     val partCols = carried
       .flatMap(_.split('/').dropRight(1).toSeq
         .filter(_.contains('='))
@@ -860,19 +874,31 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   def mergeInto(layer: String, source: DataFrame, keys: Seq[String],
       maxExactKeys: Int = 8192,
-      requireUniqueKeys: Boolean = true): Lake.RowOpResult = {
+      requireUniqueKeys: Boolean = true,
+      allowSchemaEvolution: Boolean = false): Lake.RowOpResult = {
     import org.apache.spark.sql.functions.{col, countDistinct, count, lit, struct}
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
       s"layer '$layer' has no committed snapshot — row ops need the " +
         "snapshot protocol; land the layer with writeAtomic/compact first"))
     val targetCols = snapshotSchema(layer, snap).fieldNames.toSeq
-    require(source.columns.sorted.toSeq == targetCols.sorted,
-      s"mergeInto: source columns ${source.columns.sorted.mkString(",")} " +
-        s"must equal layer columns ${targetCols.sorted.mkString(",")}")
+    val extraCols = source.columns.toSeq.filterNot(targetCols.contains)
+    if (allowSchemaEvolution)
+      // evolution contract: the source must still carry every existing
+      // column (replaced rows can't silently lose fields); EXTRA source
+      // columns become new layer columns — carried files read null
+      require(targetCols.forall(source.columns.contains),
+        s"mergeInto(allowSchemaEvolution): source must carry every layer " +
+          s"column; missing ${targetCols.filterNot(source.columns.contains)
+            .mkString(",")}")
+    else
+      require(source.columns.sorted.toSeq == targetCols.sorted,
+        s"mergeInto: source columns ${source.columns.sorted.mkString(",")} " +
+          s"must equal layer columns ${targetCols.sorted.mkString(",")} " +
+          "(pass allowSchemaEvolution = true to add the new columns)")
     keys.foreach(k => require(targetCols.contains(k),
       s"mergeInto: key '$k' is not a layer column"))
-    val src = source.select(targetCols.map(col): _*).persist()
+    val src = source.select((targetCols ++ extraCols).map(col): _*).persist()
     try {
       if (requireUniqueKeys) {
         val row = src
@@ -954,7 +980,6 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       return Lake.RowOpResult(snap.toString, 0, carried.size, noop = true)
 
     val schema = snapshotSchema(layer, snap)
-    val schemaDdl = schema.toDDL
     // layer-wide partition columns (not affected-only): an append leg with
     // zero affected files must still land inside the hive layout
     val partCols = inventory
@@ -963,14 +988,24 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         .map(seg => seg.substring(0, seg.indexOf('='))))
       .distinct
     val affectedRows =
-      if (affected.nonEmpty) transform(readRelFiles(layer, affected))
+      if (affected.nonEmpty)
+        transform(readRelFiles(layer, affected, schemaHint = Some(schema)))
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val rewritten = append match {
-      case Some(extra) => affectedRows.unionByName(extra)
+      // allowMissingColumns: a schema-evolving merge's source carries NEW
+      // columns — affected rows read null for them; a no-evolution merge
+      // has identical columns and this is the plain unionByName
+      case Some(extra) => affectedRows.unionByName(extra,
+        allowMissingColumns = true)
       case None => affectedRows
     }
 
+    // the REWRITTEN frame's schema is what the manifest records: identical
+    // to the old schema for delete/update, the evolved superset when a
+    // merge's source added columns — carried old files then read null for
+    // the additions through the recorded-schema hint
+    val schemaDdl = rewritten.schema.toDDL
     val newSnap = new Path(s"$base/_v/${newVersionId()}")
     try {
       var writer = rewritten.write.format(config.format).mode("errorifexists")
@@ -1020,7 +1055,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     def readFiles(rels: Seq[String]): DataFrame =
       if (rels.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readRelFiles(layer, rels)
+      else readRelFiles(layer, rels, schemaHint = Some(schema))
         .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
           .toSeq: _*)
     val onlyTo = readFiles((to -- from).toSeq.sorted)

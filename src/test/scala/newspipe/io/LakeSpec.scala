@@ -514,6 +514,51 @@ class LakeSpec extends SparkTestBase {
       Array((1L, "a", 1.0), (1L, "b", 20.0), (2L, "a", 3.0), (3L, "c", 30.0))
   }
 
+  test("mergeInto(allowSchemaEvolution) adds source columns; carried files read null") {
+    val lake = tmpLake()
+    lake.writeAtomic((1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartitionByRange(5, $"id").sortWithinPartitions("id"), "t")
+    // without the flag: refused
+    an[IllegalArgumentException] should be thrownBy
+      lake.mergeInto("t", Seq((1L, "x", 0.5)).toDF("id", "v", "score"),
+        Seq("id"))
+    val r = lake.mergeInto("t",
+      Seq((5L, "up", 0.9), (500L, "new", 0.1)).toDF("id", "v", "score"),
+      Seq("id"), allowSchemaEvolution = true)
+    r.carriedFiles should be >= 4 // narrow keys → most files by reference
+    val out = lake.read("t")
+    out.schema.fieldNames.toSeq shouldBe Seq("id", "v", "score")
+    out.count() shouldBe 101
+    // touched rows carry the new column; untouched (incl. CARRIED files,
+    // which predate the column entirely) read null
+    out.filter($"id" === 5L).select("score").as[Double].head() shouldBe 0.9
+    out.filter($"id" === 50L).select("score").isEmpty shouldBe false
+    out.filter($"score".isNull).count() shouldBe 99
+    // evolution survives a FURTHER row op (schema now includes score)
+    lake.deleteWhere("t", $"id" === 500L)
+    lake.read("t").schema.fieldNames.toSeq shouldBe Seq("id", "v", "score")
+    lake.read("t").filter($"score".isNotNull).count() shouldBe 1
+    // the source must still carry every existing column
+    an[IllegalArgumentException] should be thrownBy
+      lake.mergeInto("t", Seq((1L, 0.3)).toDF("id", "score"), Seq("id"),
+        allowSchemaEvolution = true)
+  }
+
+  test("appendAtomic with new columns evolves the recorded schema both ways") {
+    val lake = tmpLake()
+    lake.writeAtomic(Seq((1L, "a")).toDF("id", "v"), "t")
+    lake.appendAtomic(Seq((2L, "b", 7L)).toDF("id", "v", "extra"), "t")
+    val out = lake.read("t")
+    out.schema.fieldNames.toSeq shouldBe Seq("id", "v", "extra")
+    out.filter($"id" === 1L).select("extra").head().isNullAt(0) shouldBe true
+    out.filter($"id" === 2L).select("extra").as[Long].head() shouldBe 7L
+    // an increment MISSING a recorded column reads null for its rows
+    lake.appendAtomic(Seq((3L, "c")).toDF("id", "v"), "t")
+    lake.read("t").filter($"id" === 3L).select("extra").head()
+      .isNullAt(0) shouldBe true
+    lake.read("t").count() shouldBe 3
+  }
+
   test("chained row ops: delete after delete composes manifests correctly") {
     val lake = tmpLake()
     lake.writeAtomic((1 to 100).map(i => (i.toLong, "v")).toDF("id", "v")
