@@ -103,39 +103,45 @@ private[source] class LakeChangeStream(spark: SparkSession, basePath: String,
   override def getOffset: Option[V1Offset] =
     lake.listVersions(layer).headOption.map(VersionOffset)
 
+  /** Conform a delta leg to the DECLARED stream schema: a streaming
+    * source's schema is fixed at query start, but the layer's can evolve
+    * mid-stream (schema-evolving merge/append). Columns the leg predates
+    * pad with null; columns an evolution ADDED after stream start are
+    * projected away until the consumer restarts — the restart re-resolves
+    * the schema and sees them (Delta's contract, minus the hard failure).
+    */
+  private def conform(df: DataFrame,
+      changeType: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val padded = layerSchema.fields.foldLeft(df)((d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType)))
+    padded.select((layerSchema.fieldNames.map(col) :+
+      lit(changeType).as(LakeChangeSource.ChangeTypeCol)).toSeq: _*)
+  }
+
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endV = versionOf(end)
-    val ins = lit("insert").as(LakeChangeSource.ChangeTypeCol)
-    val del = lit("delete").as(LakeChangeSource.ChangeTypeCol)
     val batch: DataFrame = start.map(versionOf).orElse(baseVersion) match {
       case Some(fromV) if fromV == endV =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], layerSchema)
-          .select((layerSchema.fieldNames.map(org.apache.spark.sql.functions.col)
-            :+ ins).toSeq: _*)
+        conform(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], layerSchema),
+          "insert")
       case Some(fromV) =>
         val (inserted, deleted) = lake.diff(layer, fromV, endV)
-        inserted.select((inserted.columns.map(org.apache.spark.sql.functions.col)
-            :+ ins).toSeq: _*)
-          .unionByName(deleted.select((deleted.columns
-            .map(org.apache.spark.sql.functions.col) :+ del).toSeq: _*))
+        conform(inserted, "insert").unionByName(conform(deleted, "delete"))
       case None =>
         // initial load: the OLDEST retained snapshot as inserts, plus the
         // delta up to this batch's end version when more snapshots
         // committed before the first poll — the batch must cover
         // everything at or before `end`, not just the oldest state
         val oldest = lake.listVersions(layer).last
-        val full = lake.readVersion(layer, oldest)
-        val initial = full.select((full.columns
-          .map(org.apache.spark.sql.functions.col) :+ ins).toSeq: _*)
+        val initial = conform(lake.readVersion(layer, oldest), "insert")
         if (oldest == endV) initial
         else {
           val (inserted, deleted) = lake.diff(layer, oldest, endV)
-          initial
-            .unionByName(inserted.select((inserted.columns
-              .map(org.apache.spark.sql.functions.col) :+ ins).toSeq: _*))
-            .unionByName(deleted.select((deleted.columns
-              .map(org.apache.spark.sql.functions.col) :+ del).toSeq: _*))
+          initial.unionByName(conform(inserted, "insert"))
+            .unionByName(conform(deleted, "delete"))
         }
     }
     NewspipeSqlBridge.streamingDataFrame(batch)

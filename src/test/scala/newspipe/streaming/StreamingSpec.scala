@@ -218,6 +218,49 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("lake change-feed stream: mid-stream schema evolution keeps the declared shape; restart sees the new column") {
+    val dir = java.nio.file.Files.createTempDirectory("lakecdf4").toString
+    val lake = new newspipe.io.Lake(spark, newspipe.io.LakeConfig(dir))
+    import spark.implicits._
+    lake.writeAtomic(Seq((1L, "a")).toDF("id", "v"), "t")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    def start() = spark.readStream
+      .format("newspipe.io.source.LakeChangeSource")
+      .option("basePath", dir).option("layer", "t")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(got.add); ()
+      }
+      .start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      got.size shouldBe 1 // initial insert, 3 cols (id, v, _change_type)
+      got.clear()
+      // the layer evolves WHILE the stream runs: the in-flight query keeps
+      // its declared 3-col shape (the added column is projected away)
+      lake.appendAtomic(Seq((2L, "b", 9L)).toDF("id", "v", "extra"), "t")
+      q1.processAllAvailable()
+      val row = got.poll()
+      row.length shouldBe 3
+      row.getLong(0) shouldBe 2L
+    } finally q1.stop()
+    got.clear()
+    // a RESTART re-resolves the schema: the new column is now declared,
+    // and further deltas carry it
+    lake.appendAtomic(Seq((3L, "c", 11L)).toDF("id", "v", "extra"), "t")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val rows = got.toArray(Array.empty[org.apache.spark.sql.Row])
+      rows.length shouldBe 1
+      rows(0).length shouldBe 4 // id, v, extra, _change_type
+      rows(0).getLong(rows(0).fieldIndex("extra")) shouldBe 11L
+    } finally q2.stop()
+  }
+
   test("lake change-feed stream: startingVersion=latest emits deltas only") {
     val dir = java.nio.file.Files.createTempDirectory("lakecdf2").toString
     val lake = new newspipe.io.Lake(spark, newspipe.io.LakeConfig(dir))
