@@ -632,6 +632,20 @@ class LakeSpec extends SparkTestBase {
       lake.appendAtomic(Seq((1L, "x")).toDF("id", "v"), "never_landed")
   }
 
+  test("manifest reads with the recorded-schema hint still push filters and prune columns") {
+    val lake = tmpLake()
+    lake.writeAtomic((1 to 100).map(i => (i.toLong, s"v$i", i % 7))
+      .toDF("id", "v", "bucket").repartitionByRange(4, $"id")
+      .sortWithinPartitions("id"), "t")
+    lake.deleteWhere("t", $"id" === 1L) // HEAD is now a manifest snapshot
+    val plan = lake.read("t").filter($"bucket" === 3).select("id", "bucket")
+      .queryExecution.executedPlan.toString
+    // the explicit reader schema (evolution support) must not cost the
+    // scan its pushdown or projection pruning
+    plan should include("PushedFilters: [IsNotNull(bucket), EqualTo(bucket,3)]")
+    plan should include("ReadSchema: struct<id:bigint,bucket:int>")
+  }
+
   test("diff between snapshots yields exact row-level inserted/deleted sets") {
     val lake = tmpLake()
     lake.writeAtomic((1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
