@@ -855,6 +855,60 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     commitMarker(layer, newSnap, requireParent = Some(Some(parent.getName)))
   }
 
+  /** Roll the layer back to `version` as a NEW commit (Delta's RESTORE):
+    * zero data copies — the restored snapshot is a manifest referencing
+    * the target snapshot's file inventory, so the bad commits stay in
+    * history for audit (and [[diff]]) until [[vacuum]] reclaims them,
+    * readers flip atomically, and a racing writer fails the parent check
+    * instead of resurrecting on top of unseen changes. Restoring a 100 TB
+    * layer costs one manifest write.
+    */
+  def restore(layer: String, version: String): Lake.RowOpResult = {
+    val base = layerPath(layer)
+    val target = new Path(s"$base/_v/$version")
+    require(fs(target).exists(new Path(target, "_COMMITTED")),
+      s"layer '$layer' has no committed snapshot '$version' " +
+        s"(known: ${listVersions(layer).mkString(", ")})")
+    val head = latestSnapshot(layer).get // exists: target is committed
+    if (head.getName == version)
+      return Lake.RowOpResult(head.toString, 0,
+        snapshotInventory(layer, target).size, noop = true)
+    val inv = snapshotInventory(layer, target)
+    val schemaDdl = snapshotSchema(layer, target).toDDL
+    val newSnap = new Path(s"$base/_v/${newVersionId()}")
+    val f = fs(newSnap)
+    try {
+      f.mkdirs(newSnap) // no data files — the manifest IS the snapshot
+      commitManifest(layer, head, newSnap, inv,
+        statsOfSnapshot(layer, target), schemaDdl)
+    } catch {
+      case e: java.util.ConcurrentModificationException => throw e
+      case scala.util.control.NonFatal(e) =>
+        f.delete(newSnap, true)
+        throw e
+    }
+    Lake.RowOpResult(newSnap.toString, 0, inv.size)
+  }
+
+  /** An ARBITRARY snapshot's sidecar stats keyed layer-root-relative (the
+    * [[rebasedStats]] form, but not pinned to the latest snapshot — the
+    * restore path needs the target's stats, not HEAD's).
+    */
+  private def statsOfSnapshot(layer: String,
+      snap: Path): Map[String, FileStats.FileStat] = {
+    val p = new Path(snap, FileStats.SidecarName)
+    val f = fs(p)
+    if (!f.exists(p)) Map.empty
+    else {
+      val stats = FileStats.fromJson(readFully(p))
+      val rebase =
+        if (manifestOf(snap).isDefined) (s: String) => s
+        else (s: String) => s"_v/${snap.getName}/$s"
+      stats.map(st => rebase(st.path) -> st.copy(path = rebase(st.path)))
+        .toMap
+    }
+  }
+
   /** Keyed upsert (Delta's `MERGE INTO ... WHEN MATCHED THEN UPDATE SET * /
     * WHEN NOT MATCHED THEN INSERT *`): target rows whose key matches a
     * `source` row are replaced by that row; source rows with no target

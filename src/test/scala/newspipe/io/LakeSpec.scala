@@ -632,6 +632,35 @@ class LakeSpec extends SparkTestBase {
       lake.appendAtomic(Seq((1L, "x")).toDF("id", "v"), "never_landed")
   }
 
+  test("restore rolls back to an old version as a new commit, no data copies") {
+    val lake = tmpLake()
+    lake.writeAtomic((1 to 100).map(i => (i.toLong, "v")).toDF("id", "v")
+      .repartitionByRange(4, $"id").sortWithinPartitions("id"), "t")
+    val v1 = lake.listVersions("t").head
+    lake.deleteWhere("t", $"id" <= 50) // the "bad" commit
+    lake.read("t").count() shouldBe 50
+    val r = lake.restore("t", v1)
+    r.rewrittenFiles shouldBe 0
+    lake.read("t").count() shouldBe 100
+    // history intact: three versions, the middle one still diffs
+    val versions = lake.listVersions("t")
+    versions.length shouldBe 3
+    val (ins, del) = lake.diff("t", versions(1), versions.head)
+    ins.count() shouldBe 50 // the restore re-inserts what the delete removed
+    del.count() shouldBe 0
+    // restored state still prunes (target's stats carried over)
+    lake.pruneInfo("t", $"id" > 90L).get.keptFiles should be < 4
+    // further row ops compose on top of the restore
+    lake.deleteWhere("t", $"id" === 1L)
+    lake.read("t").count() shouldBe 99
+    // restoring to the CURRENT head is a no-op
+    val head = lake.listVersions("t").head
+    lake.restore("t", head).noop shouldBe true
+    // vacuum pins everything the restored manifest references
+    lake.vacuum("t", keep = 1, orphanGraceMs = 0L)
+    lake.read("t").count() shouldBe 99
+  }
+
   test("manifest reads with the recorded-schema hint still push filters and prune columns") {
     val lake = tmpLake()
     lake.writeAtomic((1 to 100).map(i => (i.toLong, s"v$i", i % 7))
