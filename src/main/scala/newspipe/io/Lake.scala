@@ -1175,24 +1175,54 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   def vacuum(layer: String, keep: Int = 2,
       orphanGraceMs: Long = 24L * 3600 * 1000): Unit = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
+    vacuumKeeping(layer,
+      committed => committed.take(keep).map(_.getName).toSet, orphanGraceMs)
+  }
+
+  /** Time-based retention (Delta's `VACUUM ... RETAIN n HOURS` form):
+    * reclaim committed snapshots whose commit instant (the version-id
+    * millis prefix) is older than `retentionMs`, ALWAYS keeping the newest
+    * committed snapshot — a quiet layer never vacuums itself unreadable —
+    * and, as with count-based [[vacuum]], every version dir a kept
+    * manifest references. Same orphan grace rule.
+    */
+  def vacuumOlderThan(layer: String, retentionMs: Long,
+      orphanGraceMs: Long = 24L * 3600 * 1000): Unit = {
+    require(retentionMs >= 0, s"retentionMs must be >= 0, got $retentionMs")
+    val cutoff = System.currentTimeMillis() - retentionMs
+    vacuumKeeping(layer, committed =>
+      (committed.take(1) ++ committed.filter(
+        _.getName.take(16).toLong >= cutoff)).map(_.getName).toSet,
+      orphanGraceMs)
+  }
+
+  /** Shared reclamation body: `keepOf` names the committed snapshots to
+    * keep; every version dir any KEPT MANIFEST references is pinned too —
+    * row ops carry untouched files by reference across version dirs, so
+    * deleting a referenced dir would gut a snapshot we promised to keep.
+    * No transitive walk is needed: a manifest lists fully-resolved
+    * data-file paths, not other manifests. Superseded committed snapshots
+    * outside the keep set delete immediately; UNCOMMITTED dirs only after
+    * the age grace (an uncommitted dir is indistinguishable from an
+    * in-flight writer's snapshot).
+    */
+  private def vacuumKeeping(layer: String,
+      keepOf: Seq[Path] => Set[String], orphanGraceMs: Long): Unit = {
     val vdir = new Path(s"${layerPath(layer)}/_v")
     val f = fs(vdir)
     if (f.exists(vdir)) {
       val now = System.currentTimeMillis()
       val committed = committedVersions(layer)
       val committedSet = committed.map(_.getName).toSet
-      // A kept MANIFEST snapshot's inventory spans older version dirs
-      // (row ops carry untouched files by reference) — deleting those dirs
-      // would gut a snapshot we promised to keep. Pin every version dir any
-      // kept manifest references; no transitive walk is needed because a
-      // manifest lists fully-resolved data-file paths, not other manifests.
-      val pinned = committed.take(keep).flatMap { p =>
-        manifestOf(p).map(_.files.flatMap(_.split('/') match {
-          case Array("_v", v, _*) => Some(v)
-          case _ => None
-        })).getOrElse(Nil)
-      }.toSet
-      val keepSet = committed.take(keep).map(_.getName).toSet ++ pinned
+      val kept = keepOf(committed)
+      val pinned = committed.filter(p => kept.contains(p.getName))
+        .flatMap { p =>
+          manifestOf(p).map(_.files.flatMap(_.split('/') match {
+            case Array("_v", v, _*) => Some(v)
+            case _ => None
+          })).getOrElse(Nil)
+        }.toSet
+      val keepSet = kept ++ pinned
       f.listStatus(vdir).filter(_.isDirectory).map(_.getPath)
         .filterNot(p => keepSet.contains(p.getName))
         .filter { p =>

@@ -632,6 +632,30 @@ class LakeSpec extends SparkTestBase {
       lake.appendAtomic(Seq((1L, "x")).toDF("id", "v"), "never_landed")
   }
 
+  test("vacuumOlderThan reclaims by age, always keeps the newest, pins manifest refs") {
+    val lake = tmpLake()
+    lake.writeAtomic(Seq((1L, "a")).toDF("id", "v"), "t")
+    Thread.sleep(15)
+    lake.writeAtomic(Seq((2L, "b")).toDF("id", "v"), "t")
+    Thread.sleep(15)
+    lake.writeAtomic(Seq((3L, "c")).toDF("id", "v"), "t")
+    // huge retention: nothing reclaimed
+    lake.vacuumOlderThan("t", retentionMs = 3600 * 1000L, orphanGraceMs = 0L)
+    lake.listVersions("t").length shouldBe 3
+    // zero retention: only the newest survives (the always-keep guarantee)
+    lake.vacuumOlderThan("t", retentionMs = 0L, orphanGraceMs = 0L)
+    lake.listVersions("t").length shouldBe 1
+    lake.read("t").as[(Long, String)].head() shouldBe ((3L, "c"))
+    // a manifest HEAD pins the dirs it references even at zero retention
+    val lake2 = tmpLake()
+    lake2.writeAtomic((1 to 100).map(i => (i.toLong, "v")).toDF("id", "v")
+      .repartitionByRange(4, $"id").sortWithinPartitions("id"), "t2")
+    Thread.sleep(15)
+    lake2.deleteWhere("t2", $"id" <= 10)
+    lake2.vacuumOlderThan("t2", retentionMs = 0L, orphanGraceMs = 0L)
+    lake2.read("t2").count() shouldBe 90 // carried v1 files pinned
+  }
+
   test("restore rolls back to an old version as a new commit, no data copies") {
     val lake = tmpLake()
     lake.writeAtomic((1 to 100).map(i => (i.toLong, "v")).toDF("id", "v")
