@@ -782,10 +782,13 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val carried = snapshotInventory(layer, snap)
     // schema evolution on append: columns the increment adds join the
     // recorded schema (old files read null for them); columns it lacks
-    // stay recorded (its rows read null)
+    // stay recorded (its rows read null); name-matching columns must
+    // type-check at COMMIT time — widen when safe, refuse otherwise
+    // (see SchemaEvolution: one bad append must not poison the layer head)
     val old = snapshotSchema(layer, snap)
-    val schemaDdl = org.apache.spark.sql.types.StructType(old.fields ++
-      df.schema.fields.filterNot(f => old.fieldNames.contains(f.name))).toDDL
+    val schemaDdl =
+      SchemaEvolution.evolve(old, df.schema, allowNew = true,
+        context = s"appendAtomic('$layer')").toDDL
     val partCols = carried
       .flatMap(_.split('/').dropRight(1).toSeq
         .filter(_.contains('='))
@@ -935,7 +938,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
       s"layer '$layer' has no committed snapshot — row ops need the " +
         "snapshot protocol; land the layer with writeAtomic/compact first"))
-    val targetCols = snapshotSchema(layer, snap).fieldNames.toSeq
+    val targetSchema = snapshotSchema(layer, snap)
+    val targetCols = targetSchema.fieldNames.toSeq
     val extraCols = source.columns.toSeq.filterNot(targetCols.contains)
     if (allowSchemaEvolution)
       // evolution contract: the source must still carry every existing
@@ -952,6 +956,11 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           "(pass allowSchemaEvolution = true to add the new columns)")
     keys.foreach(k => require(targetCols.contains(k),
       s"mergeInto: key '$k' is not a layer column"))
+    // commit-time type check (widen-or-refuse): without it the rewrite's
+    // union coercion would happily resolve int vs string to STRING and
+    // record a schema the carried parquet files can never be read with
+    SchemaEvolution.evolve(targetSchema, source.schema,
+      allowNew = allowSchemaEvolution, context = s"mergeInto('$layer')")
     val src = source.select((targetCols ++ extraCols).map(col): _*).persist()
     try {
       if (requireUniqueKeys) {
@@ -961,16 +970,31 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         val (n, d) = (row.getLong(0), row.getLong(1))
         require(n == d, s"mergeInto: source holds $n rows but only $d " +
           s"distinct keys over (${keys.mkString(", ")}) — ambiguous merge")
-      }
+        if (n == 0)
+          return Lake.RowOpResult(snap.toString, 0,
+            snapshotInventory(layer, snap).size, noop = true)
+      } else if (src.isEmpty)
+        // an empty CDC micro-batch must be a NOOP, not a commit: with no
+        // source rows every can-match heuristic degenerates (null bounds,
+        // empty IN-list) and the append leg would land a useless snapshot
+        // per empty batch — upsertToLake fires one per idle trigger
+        return Lake.RowOpResult(snap.toString, 0,
+          snapshotInventory(layer, snap).size, noop = true)
       // can-match predicate from the source keys: exact IN for a small
-      // single-column key set, conservative per-column ranges otherwise
-      val pred: org.apache.spark.sql.Column =
+      // single-column key set, conservative per-column ranges otherwise.
+      // None = PROVABLY no target row matches (all-null key column) — it
+      // must be signalled out-of-band, because a lit(false) Column is
+      // folded away by the optimizer (PruneFilters → empty relation, no
+      // Filter survives) and resolveCondition would read it as
+      // "no constraint" → full-layer rewrite, the exact degradation this
+      // path exists to prevent
+      val pred: Option[org.apache.spark.sql.Column] =
         if (keys.size == 1) {
           val k = keys.head
           val vals = src.select(k).distinct().limit(maxExactKeys + 1)
             .collect().map(_.get(0))
           if (vals.length <= maxExactKeys && !vals.contains(null))
-            col(k).isin(vals.toSeq: _*)
+            Some(col(k).isin(vals.toSeq: _*))
           else boundsPredicate(src, keys)
         } else boundsPredicate(src, keys)
       rewriteCore(layer, snap, pred,
@@ -980,19 +1004,25 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   }
 
   /** Conservative key-range predicate: each key within the source's
-    * observed [min, max]. One aggregate over the source; nulls in a key
-    * make the bound unusable for that column (kept TRUE — conservative).
+    * observed [min, max]. One aggregate over the source. Null bounds mean
+    * the column holds NO non-null value (min/max skip nulls, and they null
+    * together) — an equi-key match on it is then impossible (NULL = x is
+    * never TRUE), so the answer is None = "provably no file matches", NOT
+    * a lit(false) Column (which the optimizer folds away, reading back as
+    * "no constraint" → full-layer rewrite).
     */
   private def boundsPredicate(src: DataFrame,
-      keys: Seq[String]): org.apache.spark.sql.Column = {
+      keys: Seq[String]): Option[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions.{col, lit, max, min}
     val aggs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
     val row = src.agg(aggs.head, aggs.tail: _*).head()
-    keys.zipWithIndex.map { case (k, i) =>
+    val perKey = keys.zipWithIndex.map { case (k, i) =>
       val (lo, hi) = (row.get(2 * i), row.get(2 * i + 1))
-      if (lo == null || hi == null) lit(true)
-      else col(k).between(lit(lo), lit(hi))
-    }.reduce(_ && _)
+      if (lo == null || hi == null) None
+      else Some(col(k).between(lit(lo), lit(hi)))
+    }
+    if (perKey.exists(_.isEmpty)) None
+    else Some(perKey.flatten.reduce(_ && _))
   }
 
   /** Shared rewrite core of [[deleteWhere]]/[[updateWhere]]. `transform`
@@ -1005,7 +1035,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
       s"layer '$layer' has no committed snapshot — row ops need the " +
         "snapshot protocol; land the layer with writeAtomic/compact first"))
-    rewriteCore(layer, snap, predicate, transform, append = None)
+    rewriteCore(layer, snap, Some(predicate), transform, append = None)
   }
 
   /** File-level rewrite shared by every row op: partition the snapshot's
@@ -1013,24 +1043,32 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * provably-untouched (carried by manifest reference), optionally append
     * `append`'s rows as new files (the merge insert leg), commit the
     * combined inventory as a parent-checked manifest snapshot.
+    * `predicate` None = PROVABLY nothing matches (merge's all-null-key
+    * bounds) — zero files rewrite, only the append leg can land.
     */
   private def rewriteCore(layer: String, snap: Path,
-      predicate: org.apache.spark.sql.Column,
+      predicate: Option[org.apache.spark.sql.Column],
       transform: DataFrame => DataFrame,
       append: Option[DataFrame]): Lake.RowOpResult = {
     val base = layerPath(layer)
     val inventory = snapshotInventory(layer, snap)
     // which files can the predicate possibly touch?
     val oldStats = rebasedStats(layer, snap)
-    lazy val cond =
+    lazy val cond = predicate.flatMap { p =>
       if (oldStats.isEmpty) None
-      else resolveCondition(layer, base, oldStats.values.toSeq, predicate)
-    def mayMatch(rel: String): Boolean = oldStats.get(rel) match {
-      case Some(st) => cond.forall(FileStats.matches(st, _))
-      case None => true // stats-unknown file: must scan
+      else resolveCondition(layer, base, oldStats.values.toSeq, p)
     }
+    def mayMatch(rel: String): Boolean = predicate.isDefined &&
+      (oldStats.get(rel) match {
+        case Some(st) => cond.forall(FileStats.matches(st, _))
+        case None => true // stats-unknown file: must scan
+      })
     val (affected, carried) = inventory.partition(mayMatch)
-    if (affected.isEmpty && append.isEmpty)
+    // `forall(_.isEmpty)` asks the DATAFRAME, not the Option: an append leg
+    // with zero rows is a noop too (one limit-1 job, only on this rare
+    // path) — mergeInto pre-checks emptiness, this is the safety net for
+    // any future append-bearing caller
+    if (affected.isEmpty && append.forall(_.isEmpty))
       return Lake.RowOpResult(snap.toString, 0, carried.size, noop = true)
 
     val schema = snapshotSchema(layer, snap)

@@ -48,9 +48,18 @@ object IncrementalAgg {
       sumCols: Seq[String]): DataFrame = {
     require(delta.columns.contains("_change_type"),
       "delta must carry _change_type (insert|delete) — the diff/CDF shape")
+    // an unknown tag must FAIL the refresh, not drift it: sum() skips
+    // nulls, so a null sign would silently drop the row (and an
+    // all-unknown group would read as "no change"). raise_error makes the
+    // first unknown tag abort the job with the offending value — zero
+    // cost on the valid path, no extra validation scan.
     val sign = when(col("_change_type") === "insert", 1L)
       .when(col("_change_type") === "delete", -1L)
-      .otherwise(lit(null)) // unknown tag → null sign → loud null counts
+      .otherwise(raise_error(concat(
+        lit("IncrementalAgg: unknown _change_type '"), col("_change_type"),
+        lit("' — this consumer maintains sums under insert|delete only; " +
+          "rewrite richer CDF tag sets (e.g. update_preimage/postimage) " +
+          "to delete+insert pairs upstream"))).cast("long"))
     val deltaAgg = delta.withColumn("__sign", sign)
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__sign")).as("__dn"),

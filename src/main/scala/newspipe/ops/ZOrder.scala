@@ -53,6 +53,18 @@ object ZOrder {
     require(cols.nonEmpty, "zorder needs at least one column")
     require(bits >= 1 && cols.size * bits <= 63,
       s"k*bits must be in [1,63], got ${cols.size} cols * $bits bits")
+    // the one-pass sample below is cheap ONLY while Catalyst plans
+    // orderBy+limit as TakeOrderedAndProject (per-task top-k, no shuffle);
+    // past spark.sql.execution.topKSortFallbackThreshold it silently
+    // becomes a full global sort of the layer — the exact cost this
+    // sampling path exists to avoid. Refuse loudly instead.
+    val topK = df.sparkSession.conf
+      .get("spark.sql.execution.topKSortFallbackThreshold", "10000").toLong
+    require(sampleSize <= topK,
+      s"zorder sampleSize=$sampleSize exceeds " +
+        s"spark.sql.execution.topKSortFallbackThreshold=$topK: the boundary " +
+        "sample would plan as a full global sort of the layer instead of a " +
+        "per-task top-k merge. Lower sampleSize or raise the threshold.")
     val schema = df.schema
     val normalized = cols.map(c => normalizeForRank(col(c), schema(c).dataType, c))
     // ONE pass, no count(): seeded per-row priority + bottom-k. Catalyst

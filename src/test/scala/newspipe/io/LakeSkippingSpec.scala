@@ -159,6 +159,19 @@ class LakeSkippingSpec extends SparkTestBase {
     }
   }
 
+  test("boundariesFor refuses a sampleSize past the topK fallback threshold") {
+    // above spark.sql.execution.topKSortFallbackThreshold the orderBy+limit
+    // sample silently degrades from per-task top-k to a FULL global sort of
+    // the layer — the exact cost the one-pass sample exists to avoid
+    val df = (1 to 10).map(i => (i.toLong, i.toLong)).toDF("x", "y")
+    val ex = intercept[IllegalArgumentException] {
+      ZOrder.boundariesFor(df, Seq("x"), sampleSize = 1000000)
+    }
+    ex.getMessage should include("topKSortFallbackThreshold")
+    // the default 8192 stays under the default 10000 threshold
+    noException should be thrownBy ZOrder.boundariesFor(df, Seq("x"))
+  }
+
   test("zorder compact: BOTH dimensions prune; a linear sort prunes only one") {
     val lake = tmpLake()
     // 100x100 grid, shuffled: no natural clustering in either column

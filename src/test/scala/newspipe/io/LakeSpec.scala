@@ -559,6 +559,102 @@ class LakeSpec extends SparkTestBase {
     lake.read("t").count() shouldBe 3
   }
 
+  test("mergeInto with an empty source is a NOOP — no new snapshot, no rewrite") {
+    val lake = tmpLake()
+    lake.writeAtomic((1 to 100).map(i => (i.toLong, "x", i % 7))
+      .toDF("id", "v", "g").repartitionByRange(4, $"id")
+      .sortWithinPartitions("id"), "t")
+    val before = lake.listVersions("t")
+    val empty = Seq.empty[(Long, String, Int)].toDF("id", "v", "g")
+    // single-key path (the empty IN-list would otherwise optimize to a
+    // removed filter → every file "can match")
+    val r1 = lake.mergeInto("t", empty, Seq("id"))
+    r1.noop shouldBe true
+    r1.rewrittenFiles shouldBe 0
+    // composite-key path (null min/max bounds would otherwise read TRUE →
+    // full-layer rewrite); also the upsertToLake shape (no uniqueness pass)
+    val r2 = lake.mergeInto("t", empty, Seq("id", "g"),
+      requireUniqueKeys = false)
+    r2.noop shouldBe true
+    // neither committed anything: an idle CDC trigger must not grow history
+    lake.listVersions("t") shouldBe before
+    lake.read("t").count() shouldBe 100
+  }
+
+  test("mergeInto whose key column is ALL NULL in the source cannot rewrite the layer") {
+    val lake = tmpLake()
+    lake.writeAtomic((1 to 60).map(i => (i.toLong, "x", i.toLong))
+      .toDF("id", "v", "g").repartitionByRange(3, $"id")
+      .sortWithinPartitions("id"), "t")
+    // composite key forces the bounds path; a null key never equals
+    // anything, so NO target row can match — the insert leg lands, zero
+    // files rewrite
+    val src = Seq((Option.empty[Long], "n", Option(999L)))
+      .toDF("id", "v", "g")
+    val r = lake.mergeInto("t", src, Seq("id", "g"))
+    r.rewrittenFiles shouldBe 0
+    lake.read("t").count() shouldBe 61
+  }
+
+  test("appendAtomic refuses an incompatible column type at COMMIT time") {
+    val lake = tmpLake()
+    lake.writeAtomic(Seq((1L, "a")).toDF("id", "v"), "t")
+    // v is string in the layer, long in the increment: committing it would
+    // poison every later read (explicit-schema vs physical-type error) —
+    // the append must fail BEFORE writing, and the layer stay readable
+    val before = lake.listVersions("t")
+    an[IllegalArgumentException] should be thrownBy
+      lake.appendAtomic(Seq((2L, 99L)).toDF("id", "v"), "t")
+    lake.listVersions("t") shouldBe before
+    lake.read("t").count() shouldBe 1
+  }
+
+  test("appendAtomic widens int→long / float→double; carried narrow files promote on read") {
+    val lake = tmpLake()
+    lake.writeAtomic(Seq((1, 1.5f)).toDF("n", "x"), "t") // int, float
+    lake.appendAtomic(Seq((2L, 2.5d)).toDF("n", "x"), "t") // long, double
+    val out = lake.read("t")
+    out.schema("n").dataType shouldBe org.apache.spark.sql.types.LongType
+    out.schema("x").dataType shouldBe org.apache.spark.sql.types.DoubleType
+    out.as[(Long, Double)].collect().sorted shouldBe
+      Array((1L, 1.5d), (2L, 2.5d))
+    // and the NARROWER-increment direction keeps the recorded wide type
+    lake.appendAtomic(Seq((3, 3.5f)).toDF("n", "x"), "t")
+    lake.read("t").schema("n").dataType shouldBe
+      org.apache.spark.sql.types.LongType
+    lake.read("t").count() shouldBe 3
+  }
+
+  test("mergeInto refuses incompatible same-name types instead of coercing to string") {
+    val lake = tmpLake()
+    lake.writeAtomic(Seq((1L, 10L)).toDF("id", "v"), "t")
+    // union coercion would silently resolve long-vs-string to STRING and
+    // record a schema the carried parquet files can't be read with
+    val ex = intercept[IllegalArgumentException] {
+      lake.mergeInto("t", Seq((1L, "s")).toDF("id", "v"), Seq("id"))
+    }
+    ex.getMessage should include("'v'")
+    // long→double is lossy (53-bit mantissa) — refused, not widened
+    an[IllegalArgumentException] should be thrownBy
+      lake.mergeInto("t", Seq((1L, 1.0d)).toDF("id", "v"), Seq("id"))
+    lake.read("t").count() shouldBe 1
+  }
+
+  test("mergeInto widens the recorded type when the source is wider") {
+    val lake = tmpLake()
+    lake.writeAtomic((1 to 40).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, $"id").sortWithinPartitions("id"), "t") // int ids
+    lake.mergeInto("t",
+      Seq((5L, "up"), (1000L, "new")).toDF("id", "v"), Seq("id")) // long ids
+    val out = lake.read("t")
+    out.schema("id").dataType shouldBe org.apache.spark.sql.types.LongType
+    out.count() shouldBe 41
+    out.filter($"id" === 5L).select("v").as[String].head() shouldBe "up"
+    // carried int files promoted on read; further row ops see long
+    lake.deleteWhere("t", $"id" === 1000L)
+    lake.read("t").count() shouldBe 40
+  }
+
   test("chained row ops: delete after delete composes manifests correctly") {
     val lake = tmpLake()
     lake.writeAtomic((1 to 100).map(i => (i.toLong, "v")).toDF("id", "v")

@@ -67,12 +67,17 @@ class IncrementalAggSpec extends SparkTestBase {
     next.select("k").as[String].collect() shouldBe Array("b")
   }
 
-  test("an unknown change tag poisons the count loudly instead of silently skewing") {
+  test("an unknown change tag fails the refresh loudly instead of silently skewing") {
     val cur = Seq(("a", 1L, 1L)).toDF("k", "__n", "sum_x")
     val delta = Seq(("a", 2L, "upsert")).toDF("k", "x", "_change_type")
-    // null sign → null count for the group → the filter drops it; the
-    // maintained state visibly loses the group rather than drifting by a
-    // miscounted row (and the require refuses a delta missing the tag col)
+    // raise_error: the FIRST unknown tag aborts the job naming the value —
+    // sum() would otherwise skip the null sign and the state would drift
+    // (a mixed group miscounts; an all-unknown group reads as "no change")
+    val ex = intercept[Exception] {
+      IncrementalAgg.applyDelta(cur, delta, Seq("k"), Seq("x")).collect()
+    }
+    ex.getMessage should include("upsert")
+    // and a delta missing the tag column entirely is refused at build time
     an[IllegalArgumentException] should be thrownBy
       IncrementalAgg.applyDelta(cur, delta.drop("_change_type"),
         Seq("k"), Seq("x"))
