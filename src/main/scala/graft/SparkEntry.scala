@@ -1369,6 +1369,191 @@ object SparkEntry {
            |GROUP BY lang ORDER BY lang""".stripMargin)
     }),
 
+    // q85's row op through the SQL DML statement surface: a session built
+    // with NewspipeExtensions gets the injected parser, so plain
+    // spark.sql("DELETE FROM lake.`base`.layer WHERE …") dispatches to
+    // Lake.deleteWhere — statement form == API form on the driver's own
+    // hash compare (oracle is q85's verbatim).
+    "q92_sql_lake_delete" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q92_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      lake.writeAtomic(t(s, dir, "documents")
+        .repartitionByRange(8, col("n_chars"))
+        .sortWithinPartitions("n_chars"), "docs")
+      val s2 = org.apache.spark.sql.NewspipeSqlBridge.sessionWithExtensions(
+        s, new newspipe.NewspipeExtensions()(_))
+      s2.sql(s"DELETE FROM lake.`$root`.docs " +
+        "WHERE lang = 'en' AND n_chars < 300")
+      lake.read("docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
+    // q86's update as a SQL UPDATE statement (LakeSql.sql — the live-
+    // session entry point; parser injection is exercised by q92). Oracle
+    // is q86's verbatim.
+    "q93_sql_lake_update" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q93_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      lake.writeAtomic(t(s, dir, "documents")
+        .repartitionByRange(8, col("n_chars"))
+        .sortWithinPartitions("n_chars"), "docs")
+      newspipe.io.LakeSql.sql(s,
+        s"""UPDATE lake.`$root`.docs
+           |SET n_chars = n_chars * 2, source = concat('long:', source)
+           |WHERE n_chars >= 500""".stripMargin)
+      lake.read("docs")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("source")
+    }),
+
+    // q87's keyed upsert as a SQL MERGE INTO statement over a temp-view
+    // source — WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *,
+    // the Lake.mergeInto contract. Oracle is q87's verbatim.
+    "q94_sql_lake_merge" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q94_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents")
+      lake.writeAtomic(docs
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"), "docs")
+      docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id"), lit("updated").as("text"), col("lang"),
+            col("source"), lit(-1L).as("n_chars"))
+        .union(docs.filter(col("doc_id") % 100 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))
+        .createOrReplaceTempView("q94_merge_src")
+      newspipe.io.LakeSql.sql(s,
+        s"""MERGE INTO lake.`$root`.docs AS t USING q94_merge_src AS s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      lake.read("docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum(when(col("text") === "updated", 1L).otherwise(0L))
+            .as("n_updated"))
+        .orderBy("lang")
+    }),
+
+    // Streaming CHANGE FEED end-state (io.source.LakeChangeSource): land a
+    // base snapshot + a delete + a merge, then consume the layer's CDF as
+    // a stream run to completion (startingVersion=earliest → initial
+    // snapshot as inserts + every delta), materializing batches via
+    // foreachBatch. Batch split is irrelevant to the aggregate: deltas
+    // between consecutive versions compose (no insert is later deleted
+    // here), so the oracle replays initial + net delta relationally.
+    "q95_stream_changefeed" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q95_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents")
+      lake.writeAtomic(docs
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"), "docs")
+      lake.deleteWhere("docs", col("n_chars") < 250)
+      lake.mergeInto("docs", docs
+        .filter(col("n_chars") >= 250 && col("doc_id") % 97 === 0)
+        .select(col("doc_id"), lit("rev2").as("text"), col("lang"),
+          col("source"), col("n_chars")), Seq("doc_id"))
+      val out = s"$root/cdf_out"
+      val q = s.readStream
+        .format("newspipe.io.source.LakeChangeSource")
+        .option("basePath", root).option("layer", "docs")
+        .option("startingVersion", "earliest")
+        .load()
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(out)
+        .groupBy(col("_change_type").as("change_type"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .orderBy("change_type", "lang")
+    }),
+
+    // Streaming CDC upsert end-state (StreamingSilver.upsertToLake): a
+    // file-source stream of CDC events MERGEs into a snapshot-managed
+    // layer per micro-batch, latest-per-key by seqCol. Event files are
+    // arranged so ANY batch split converges to the same end state (both
+    // versions of each updated key share one file — the struct-max dedup
+    // picks seq=2; the new-key file is key-disjoint), so the oracle is the
+    // relational replay of "latest version wins ∪ inserts".
+    "q96_stream_cdc_upsert" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q96_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents")
+      lake.writeAtomic(docs.withColumn("seq", lit(0L))
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"), "docs")
+      val events = s"$root/events"
+      // file A: BOTH versions of every updated key (seq 1 then 2)
+      docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit("v1").as("text"), col("lang"),
+          col("source"), (col("n_chars") + 1).as("n_chars"), lit(1L).as("seq"))
+        .union(docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), lit("v2").as("text"), col("lang"),
+            col("source"), (col("n_chars") + 2).as("n_chars"),
+            lit(2L).as("seq")))
+        .coalesce(1).write.parquet(events)
+      // file B: brand-new keys (disjoint id range)
+      docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("lang"), lit("cdc").as("source"), col("n_chars"),
+          lit(1L).as("seq"))
+        .coalesce(1).write.mode("append").parquet(events)
+      val stream = s.readStream
+        .schema(lake.layerSchema("docs"))
+        .option("maxFilesPerTrigger", "1") // force multiple micro-batches
+        .parquet(events)
+      val q = newspipe.streaming.StreamingSilver.upsertToLake(
+        stream, lake, "docs", Seq("doc_id"), s"$root/ckpt",
+        seqCol = Some("seq"))
+      q.processAllAvailable(); q.stop()
+      lake.read("docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("seq").as("seq_sum"),
+          sum(when(col("text") === "v2", 1L).otherwise(0L)).as("n_v2"))
+        .orderBy("lang")
+    }),
+
+    // RESTORE + VACUUM protocol ops on the driver: write v1, land two
+    // destructive row ops, roll back to v1 (zero-copy manifest restore),
+    // then vacuum to retention 1 — the restored manifest must PIN v1's
+    // referenced files through the vacuum. Oracle = the original table:
+    // rollback means subsequent reads are exactly the pre-mutation state.
+    "q97_lake_restore" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q97_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      lake.writeAtomic(t(s, dir, "documents")
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"), "docs")
+      val v1 = lake.listVersions("docs").head
+      lake.deleteWhere("docs", col("n_chars") < 400)
+      lake.updateWhere("docs", col("lang") === "en",
+        Map("n_chars" -> (col("n_chars") + 1000000L)))
+      lake.restore("docs", v1)
+      lake.vacuum("docs", keep = 1)
+      lake.read("docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
     // Atomic manifest append (Lake.appendAtomic): land only the increment
     // as new files, carry the whole existing inventory by reference —
     // O(appended data), no layer rewrite. Oracle = the union replay.
@@ -2875,6 +3060,65 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // The change feed run to completion = initial snapshot as inserts +
+    // the net delta: inserts also carry the post-merge rows, deletes the
+    // delete-predicate rows plus the merged rows' pre-images ('rev2' text
+    // differs, so no pair cancels; n_chars is unchanged by the merge)
+    "q95_stream_changefeed" ->
+      """WITH upd AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE n_chars >= 250 AND doc_id % 97 = 0),
+        |ins AS (
+        |  SELECT lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT lang, n_chars FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM upd)),
+        |del AS (
+        |  SELECT lang, n_chars FROM documents WHERE n_chars < 250
+        |  UNION ALL
+        |  SELECT lang, n_chars FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM upd))
+        |SELECT 'delete' AS change_type, lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM del GROUP BY 2
+        |UNION ALL
+        |SELECT 'insert' AS change_type, lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM ins GROUP BY 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // CDC upsert end-state: latest version (seq=2) wins per updated key,
+    // new keys insert, everything else keeps seq=0
+    "q96_stream_cdc_upsert" ->
+      """WITH upd AS (
+        |  SELECT doc_id, 'v2' AS text, lang, source,
+        |    n_chars + 2 AS n_chars, 2 AS seq
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |nw AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text, lang, 'cdc' AS source,
+        |    n_chars, 1 AS seq
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |merged AS (
+        |  SELECT doc_id, text, lang, source, n_chars, 0 AS seq
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM nw)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(seq) AS BIGINT) AS seq_sum,
+        |  CAST(sum(CASE WHEN text = 'v2' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_v2
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // restore-to-v1 then vacuum: reads must be exactly the pre-mutation
+    // table — rollback erases both row ops from the visible state
+    "q97_lake_restore" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     // append = original ∪ increment
     "q90_lake_append" ->
       """WITH appended AS (
@@ -2894,6 +3138,11 @@ object SparkEntry {
     // driver's own hash compare.
     base ++ Map(
       "q91_sql_lake_read" -> base("q85_lake_delete"),
+      // SQL DML statement surface == Scala row-op API (same replayed
+      // computation, so the oracles are q85/q86/q87's texts verbatim)
+      "q92_sql_lake_delete" -> base("q85_lake_delete"),
+      "q93_sql_lake_update" -> base("q86_lake_update"),
+      "q94_sql_lake_merge" -> base("q87_lake_merge"),
       "q80_sql_chunk" -> base("q74_chunk"),
       "q81_sql_knn_join" -> base("q53_knn_join"))
   }

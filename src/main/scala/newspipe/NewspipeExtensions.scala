@@ -21,7 +21,43 @@ class NewspipeExtensions extends (SparkSessionExtensions => Unit) {
     NewspipeExtensions.tableFunctions.foreach { case (ident, info, builder) =>
       ext.injectTableFunction((ident, info, builder))
     }
+    // SQL DML over lake layers (DELETE FROM / UPDATE / MERGE INTO
+    // lake.`<base>`.`<layer>`): the delegate parses the standard grammar,
+    // LakeSql.translate recognizes lake targets and substitutes the
+    // runnable row-op command — zero hand-rolled grammar (see LakeSql)
+    ext.injectParser((_, delegate) => new LakeDmlParser(delegate))
   }
+}
+
+/** Delegating parser: everything parses through `delegate`; the three DML
+  * plan shapes with a `lake`.`base`.`layer` target become
+  * [[newspipe.io.LakeDmlCommand]] (they would otherwise die in analysis —
+  * v1 relations don't support row-level ops).
+  */
+final class LakeDmlParser(
+    delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
+    extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val plan = delegate.parsePlan(sqlText)
+    newspipe.io.LakeSql.translate(plan)
+      .map(newspipe.io.LakeDmlCommand(_)).getOrElse(plan)
+  }
+  override def parseExpression(sqlText: String) =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String) =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String) =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String) =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String) = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String) =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String) =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String) = delegate.parseDataType(sqlText)
 }
 
 object NewspipeExtensions {

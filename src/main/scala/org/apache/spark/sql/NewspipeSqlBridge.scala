@@ -47,6 +47,59 @@ object NewspipeSqlBridge {
     spark.asInstanceOf[classic.SparkSession].sessionState.tableFunctionRegistry
       .registerFunction(ident, info, builder)
 
+  /** Parse a SQL statement with the session's own parser (the injected one
+    * when the session was built with extensions, the stock one otherwise) —
+    * the entry point [[newspipe.io.LakeSql.sql]] shares with `spark.sql`.
+    */
+  def parsePlan(spark: SparkSession, text: String)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser
+      .parsePlan(text)
+
+  /** An UNRESOLVED logical plan as a DataFrame — resolution happens at
+    * first use against the given session (how a MERGE source subquery or
+    * view name becomes a frame at command run time).
+    */
+  def dataFrame(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A SIBLING session over the same SparkContext/SharedState with
+    * `register` applied to a fresh extensions set — the only way to get
+    * parser injection (which happens at session-state BUILD time, unlike
+    * function registration) onto an already-running application: Spark's
+    * own builder returns the existing session and ignores new extensions.
+    * Runtime conf is carried over; temp views and UDFs are not (fresh
+    * session state — same contract as `newSession()`).
+    */
+  def sessionWithExtensions(spark: SparkSession,
+      register: SparkSessionExtensions => Unit): SparkSession = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    // getOrCreate returns an EXISTING default/active session (ignoring new
+    // extensions) — clear both, build (the live SparkContext is reused; a
+    // fresh SessionState applies the extensions, incl. the parser), then
+    // restore, so the caller's session bookkeeping is untouched.
+    val prevActive = classic.SparkSession.getActiveSession
+    val prevDefault = classic.SparkSession.getDefaultSession
+    classic.SparkSession.clearActiveSession()
+    classic.SparkSession.clearDefaultSession()
+    try {
+      var b = classic.SparkSession.builder().withExtensions(register)
+      cs.conf.getAll.foreach { case (k, v) => b = b.config(k, v) }
+      b.getOrCreate()
+    } finally {
+      prevDefault match {
+        case Some(s) => classic.SparkSession.setDefaultSession(s)
+        case None => classic.SparkSession.clearDefaultSession()
+      }
+      prevActive match {
+        case Some(s) => classic.SparkSession.setActiveSession(s)
+        case None => classic.SparkSession.clearActiveSession()
+      }
+    }
+  }
+
   /** A computed batch frame re-tagged `isStreaming = true` — what a DSv1
     * streaming `Source.getBatch` must return (MicroBatchExecution splices
     * the frame in place of the streaming relation and asserts streaming-

@@ -1,0 +1,121 @@
+package newspipe.io
+
+import newspipe.SparkTestBase
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** SQL DML over lake layers (LakeSql + the injected LakeDmlParser):
+  * statement form == Scala API form on every row op, richer clause shapes
+  * refused loudly, and the parser-injection path works on a session built
+  * with NewspipeExtensions.
+  */
+class LakeSqlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshLayer(): (String, Lake) = {
+    val dir = Files.createTempDirectory("lakesql").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.writeAtomic((1 to 100).map(i =>
+      (i.toLong, s"t$i", if (i % 3 == 0) "en" else "de", i.toLong * 10))
+      .toDF("id", "text", "lang", "n")
+      .repartitionByRange(4, $"id").sortWithinPartitions("id"), "docs")
+    (dir, lake)
+  }
+
+  test("DELETE FROM lake.`base`.layer WHERE — statement equals deleteWhere") {
+    val (dir, lake) = freshLayer()
+    val m = LakeSql.sql(spark,
+      s"DELETE FROM lake.`$dir`.docs WHERE lang = 'en' AND n < 500")
+      .collect().head
+    m.getString(0) shouldBe "DELETE"
+    m.getInt(1) should be >= 1 // rewrote at least the matching files
+    lake.read("docs").filter($"lang" === "en" && $"n" < 500)
+      .count() shouldBe 0
+    lake.read("docs").count() shouldBe 100 -
+      (1 to 100).count(i => i % 3 == 0 && i * 10 < 500)
+  }
+
+  test("UPDATE lake.`base`.layer SET — simultaneous assignments, original-row reads") {
+    val (dir, lake) = freshLayer()
+    LakeSql.sql(spark,
+      s"UPDATE lake.`$dir`.docs SET n = n * 2, text = concat('up:', text) " +
+        "WHERE id <= 10")
+    val out = lake.read("docs")
+    out.filter($"id" === 5L).select("n", "text").as[(Long, String)]
+      .head() shouldBe ((100L, "up:t5"))
+    out.filter($"id" === 50L).select("n", "text").as[(Long, String)]
+      .head() shouldBe ((500L, "t50"))
+    out.count() shouldBe 100
+  }
+
+  test("MERGE INTO … USING view ON keys WHEN MATCHED UPDATE SET * / NOT MATCHED INSERT *") {
+    val (dir, lake) = freshLayer()
+    Seq((5L, "patched", "en", -1L), (5000L, "brand-new", "fr", 7L))
+      .toDF("id", "text", "lang", "n").createOrReplaceTempView("lakesql_src")
+    val m = LakeSql.sql(spark,
+      s"""MERGE INTO lake.`$dir`.docs AS t USING lakesql_src AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect().head
+    m.getString(0) shouldBe "MERGE"
+    val out = lake.read("docs")
+    out.count() shouldBe 101
+    out.filter($"id" === 5L).select("text").as[String].head() shouldBe "patched"
+    out.filter($"id" === 5000L).select("lang").as[String].head() shouldBe "fr"
+    // key-clustered layout → narrow source keys rewrite only can-match files
+    m.getInt(2) should be >= 3
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION INTO adds source columns") {
+    val (dir, lake) = freshLayer()
+    Seq((7L, "ev", "en", 1L, 0.9))
+      .toDF("id", "text", "lang", "n", "score")
+      .createOrReplaceTempView("lakesql_evolve_src")
+    LakeSql.sql(spark,
+      s"""MERGE WITH SCHEMA EVOLUTION INTO lake.`$dir`.docs AS t
+         |USING lakesql_evolve_src AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = lake.read("docs")
+    out.schema.fieldNames should contain("score")
+    out.filter($"id" === 7L).select("score").as[Double].head() shouldBe 0.9
+    out.filter($"score".isNull).count() shouldBe 99
+  }
+
+  test("richer DML shapes are refused loudly, not approximated") {
+    val (dir, _) = freshLayer()
+    Seq((1L, "x", "en", 1L)).toDF("id", "text", "lang", "n")
+      .createOrReplaceTempView("lakesql_bad_src")
+    // conditional / DELETE matched action
+    an[IllegalArgumentException] should be thrownBy LakeSql.sql(spark,
+      s"""MERGE INTO lake.`$dir`.docs AS t USING lakesql_bad_src AS s
+         |ON t.id = s.id WHEN MATCHED THEN DELETE""".stripMargin)
+    // non-equi ON clause
+    an[IllegalArgumentException] should be thrownBy LakeSql.sql(spark,
+      s"""MERGE INTO lake.`$dir`.docs AS t USING lakesql_bad_src AS s
+         |ON t.id > s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+  }
+
+  test("non-lake statements fall through untouched") {
+    LakeSql.sql(spark, "SELECT 1 + 1 AS two").as[Int].head() shouldBe 2
+    // DML on a non-lake target keeps Spark's own (v2-table) error path
+    a[Throwable] should be thrownBy
+      LakeSql.sql(spark, "DELETE FROM some_missing_table WHERE x = 1")
+  }
+
+  test("parser injection: plain spark.sql DML on a session built with NewspipeExtensions") {
+    val (dir, lake) = freshLayer()
+    val s2 = org.apache.spark.sql.NewspipeSqlBridge.sessionWithExtensions(
+      spark, new newspipe.NewspipeExtensions()(_))
+    val m = s2.sql(s"DELETE FROM lake.`$dir`.docs WHERE id <= 25").collect().head
+    m.getString(0) shouldBe "DELETE"
+    lake.read("docs").count() shouldBe 75
+    // the injected parser delegates everything else verbatim
+    s2.sql("SELECT 2 + 2 AS four").collect().head.getInt(0) shouldBe 4
+    // and the TVF surface rides along on the same session
+    s2.sql(s"SELECT count(*) AS n FROM lake_read('$dir', 'docs')")
+      .collect().head.getLong(0) shouldBe 75L
+  }
+}
