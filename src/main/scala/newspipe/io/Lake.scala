@@ -47,11 +47,16 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * layers only; soft-fails to no-sidecar (pruning then degrades to a full
   * scan — never to a wrong answer).
   */
+/** `manifestShardSize`: paths per manifest shard document (see
+  * [[SnapshotManifest]]); the default keeps any single driver-side JSON
+  * parse ≲ 3 MB however many files a row-op snapshot references.
+  */
 final case class LakeConfig(
     basePath: String,
     format: String = "parquet",
     database: String = "news_articles",
-    collectStats: Boolean = true)
+    collectStats: Boolean = true,
+    manifestShardSize: Int = SnapshotManifest.DefaultShardSize)
 
 final class Lake(spark: SparkSession, config: LakeConfig) {
 
@@ -228,7 +233,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   private def manifestOf(snap: Path): Option[SnapshotManifest] = {
     val p = new Path(snap, SnapshotManifest.FileName)
     if (!fs(p).exists(p)) None
-    else Some(SnapshotManifest.fromJson(readFully(p)))
+    else Some(SnapshotManifest.read(readFully(p),
+      i => readFully(new Path(snap, SnapshotManifest.shardName(i)))))
   }
 
   /** A snapshot's data files, paths relative to the layer root — the
@@ -840,9 +846,17 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val newPrefix = s"_v/${newSnap.getName}/"
     val newFiles = snapshotDirFilesRel(newSnap).map(newPrefix + _)
     val manifest = SnapshotManifest(carried ++ newFiles, schemaDdl)
-    val out = f.create(new Path(newSnap, SnapshotManifest.FileName), false)
-    try out.write(SnapshotManifest.toJson(manifest).getBytes("UTF-8"))
-    finally out.close()
+    val (head, shards) =
+      SnapshotManifest.toJsonSharded(manifest, config.manifestShardSize)
+    def put(name: String, body: String): Unit = {
+      val out = f.create(new Path(newSnap, name), false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    // shards BEFORE the head: a head naming N shards implies all N exist
+    shards.zipWithIndex.foreach { case (body, i) =>
+      put(SnapshotManifest.shardName(i), body)
+    }
+    put(SnapshotManifest.FileName, head)
     if (config.collectStats && config.format == "parquet") {
       try {
         val conf = spark.sparkContext.hadoopConfiguration

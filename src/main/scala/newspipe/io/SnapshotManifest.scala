@@ -19,11 +19,26 @@ import org.json4s.jackson.JsonMethods
   * manifest or none (self-contained). The `_` prefix hides it from Spark's
   * file listing and from [[Lake]]'s own inventory walks.
   *
+  * === Sharding ===
+  *
+  * Up to `shardSize` paths the inventory is INLINE in `_MANIFEST.json`
+  * (one read, the overwhelmingly common case). Beyond it, the head
+  * document records `{"shards": N, "count": …}` and the paths land in
+  * `_MANIFEST-00000.json … _MANIFEST-0000(N-1).json`, `shardSize` paths
+  * each — so no single driver-side JSON parse ever exceeds ~`shardSize` ×
+  * ~100 bytes regardless of layer size. At 10⁶ files (a 128 TB layer at
+  * 128 MB/file) that is ~31 bounded parses of ~3 MB instead of one
+  * ~100 MB string, and the shard files are written before the head (a
+  * head naming N shards implies all N exist — same
+  * complete-or-absent commit discipline). The driver still holds the
+  * materialized path list (~100 bytes/file) while operating on a
+  * snapshot; [[Lake.compact]] is the escape hatch that keeps file counts
+  * (and with them this list) bounded — see SCALE.md for the budget table.
+  *
   * This is the lake's delta-log-lite: Delta records add/remove actions per
   * commit and replays the log; here each manifest IS the fully-resolved
-  * file set (no replay, one JSON read), trading log compaction machinery
-  * for a driver-side file list — at 10⁵ files and ~100 bytes/path that is
-  * a ~10 MB sidecar, acceptable where a full-layer rewrite is not.
+  * file set (no replay, one-plus-shards JSON reads), trading log
+  * compaction machinery for a driver-side file list.
   */
 final case class SnapshotManifest(files: Seq[String], schemaDdl: String) {
   /** Read schema for the empty-manifest case. */
@@ -33,24 +48,83 @@ final case class SnapshotManifest(files: Seq[String], schemaDdl: String) {
 object SnapshotManifest {
   val FileName = "_MANIFEST.json"
 
-  def toJson(m: SnapshotManifest): String =
-    JsonMethods.compact(JsonMethods.render(JObject(List(
-      "version" -> JInt(1),
-      "schemaDdl" -> JString(m.schemaDdl),
-      "files" -> JArray(m.files.toList.map(JString(_)))))))
+  /** Default paths-per-shard: keeps every single JSON document ≲ 3 MB. */
+  val DefaultShardSize = 32 * 1024
 
-  def fromJson(json: String): SnapshotManifest = {
-    val root = JsonMethods.parse(json)
+  def shardName(i: Int): String = f"_MANIFEST-$i%05d.json"
+
+  private def filesArray(files: Seq[String]): JValue =
+    JArray(files.toList.map(JString(_)))
+
+  /** Serialize as (head document, shard documents). Inline (no shards)
+    * up to `shardSize` paths; sharded head carries the shard count and
+    * total for integrity instead of the list.
+    */
+  def toJsonSharded(m: SnapshotManifest,
+      shardSize: Int = DefaultShardSize): (String, Seq[String]) = {
+    require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    if (m.files.size <= shardSize)
+      (JsonMethods.compact(JsonMethods.render(JObject(List(
+        "version" -> JInt(1),
+        "schemaDdl" -> JString(m.schemaDdl),
+        "files" -> filesArray(m.files))))), Nil)
+    else {
+      val groups = m.files.grouped(shardSize).toSeq
+      val head = JsonMethods.compact(JsonMethods.render(JObject(List(
+        "version" -> JInt(2),
+        "schemaDdl" -> JString(m.schemaDdl),
+        "count" -> JInt(m.files.size),
+        "shards" -> JInt(groups.size)))))
+      (head, groups.map(g =>
+        JsonMethods.compact(JsonMethods.render(JObject(List(
+          "files" -> filesArray(g)))))))
+    }
+  }
+
+  /** Inline-form serialization (tests / tooling); sharded writes go
+    * through [[toJsonSharded]].
+    */
+  def toJson(m: SnapshotManifest): String = toJsonSharded(m, Int.MaxValue)._1
+
+  private def filesOf(root: JValue, where: String): List[String] =
+    (root \ "files") match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case other => throw new IllegalArgumentException(
+        s"$where missing files array (got $other)")
+    }
+
+  /** Parse a head document, pulling shard bodies through `readShard` when
+    * the head is the sharded form. Verifies the reassembled count against
+    * the head's recorded total — a missing/truncated shard fails loudly,
+    * never silently narrows the inventory (which would make [[Lake.diff]]
+    * report phantom deletes and vacuum reclaim LIVE files).
+    */
+  def read(headJson: String, readShard: Int => String): SnapshotManifest = {
+    val root = JsonMethods.parse(headJson)
     val ddl = (root \ "schemaDdl") match {
       case JString(s) => s
       case other => throw new IllegalArgumentException(
         s"$FileName missing schemaDdl (got $other)")
     }
-    val files = (root \ "files") match {
-      case JArray(xs) => xs.collect { case JString(s) => s }
-      case other => throw new IllegalArgumentException(
-        s"$FileName missing files array (got $other)")
+    (root \ "shards") match {
+      case JInt(n) =>
+        val expected = (root \ "count") match {
+          case JInt(c) => c.toLong
+          case _ => throw new IllegalArgumentException(
+            s"sharded $FileName missing count")
+        }
+        val files = (0 until n.toInt).flatMap(i =>
+          filesOf(JsonMethods.parse(readShard(i)), shardName(i)))
+        require(files.size.toLong == expected,
+          s"sharded $FileName reassembled ${files.size} paths but the head " +
+            s"records $expected — a shard is missing or truncated")
+        SnapshotManifest(files, ddl)
+      case _ => SnapshotManifest(filesOf(root, FileName), ddl)
     }
-    SnapshotManifest(files, ddl)
   }
+
+  /** Inline-form parse (legacy + tooling). */
+  def fromJson(json: String): SnapshotManifest =
+    read(json, _ => throw new IllegalStateException(
+      "fromJson cannot read sharded manifests — use read(head, readShard)"))
 }

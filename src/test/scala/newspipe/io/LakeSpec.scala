@@ -655,6 +655,52 @@ class LakeSpec extends SparkTestBase {
     lake.read("t").count() shouldBe 40
   }
 
+  test("manifest sharding: 10^4-path inventory round-trips in bounded shards") {
+    val files = (1 to 10000).map(i => f"_v/v1/part-$i%05d.parquet")
+    val m = SnapshotManifest(files, "id BIGINT, v STRING")
+    val (head, shards) = SnapshotManifest.toJsonSharded(m, shardSize = 1024)
+    shards.size shouldBe 10 // ceil(10000/1024)
+    // every shard document stays bounded regardless of total inventory
+    shards.foreach(_.length should be < 1024 * 60)
+    val back = SnapshotManifest.read(head, shards(_))
+    back.files shouldBe files
+    back.schemaDdl shouldBe m.schemaDdl
+    // a missing/truncated shard fails LOUDLY (silent narrowing would make
+    // diff report phantom deletes and vacuum reclaim live files)
+    an[Exception] should be thrownBy
+      SnapshotManifest.read(head,
+        i => if (i == 7) """{"files":[]}""" else shards(i))
+    // small inventories stay inline: one read, no shard files
+    val (inlineHead, noShards) = SnapshotManifest.toJsonSharded(m)
+    noShards shouldBe empty
+    SnapshotManifest.read(inlineHead,
+      _ => fail("inline manifest must not read shards")).files shouldBe files
+  }
+
+  test("row ops through a SHARDED manifest: read/diff/restore/vacuum all compose") {
+    val dir = Files.createTempDirectory("lake_sharded").toString
+    // shard size 8 forces real sharding at test scale (24 files → 3+ shards)
+    val lake = new Lake(spark, LakeConfig(basePath = dir, manifestShardSize = 8))
+    lake.writeAtomic((1 to 240).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartitionByRange(24, $"id").sortWithinPartitions("id"), "t")
+    val v1 = lake.listVersions("t").head
+    lake.deleteWhere("t", $"id" <= 10)
+    val fsDir = new java.io.File(s"$dir/t/_v")
+    val headSnap = lake.listVersions("t").head
+    new java.io.File(s"$dir/t/_v/$headSnap").listFiles()
+      .count(_.getName.startsWith("_MANIFEST-")) should be >= 2
+    lake.read("t").count() shouldBe 230
+    lake.mergeInto("t", Seq((5000L, "new")).toDF("id", "v"), Seq("id"))
+    val vH = lake.listVersions("t").head
+    val (ins, del) = lake.diff("t", v1, vH)
+    del.count() shouldBe 10
+    ins.count() shouldBe 1
+    lake.restore("t", v1)
+    lake.vacuum("t", keep = 1)
+    lake.read("t").count() shouldBe 240
+    fsDir should exist
+  }
+
   test("chained row ops: delete after delete composes manifests correctly") {
     val lake = tmpLake()
     lake.writeAtomic((1 to 100).map(i => (i.toLong, "v")).toDF("id", "v")
