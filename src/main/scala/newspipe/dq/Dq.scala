@@ -159,19 +159,69 @@ object NativeDq {
     *   materialized (the full silver pipeline writes valid AND quarantine —
     *   without the cache each branch re-runs the unique-key shuffle, a 2×
     *   input re-scan at scale; reference quirk Q1 re-scanned per RULE).
-    *   Callers that consume one branch (or stream) leave it off.
+    *   Callers that consume one branch (or stream) leave it off — the
+    *   `valid` branch then takes [[validOnly]]'s direct-predicate plan.
     */
   def run(df: DataFrame, config: DqConfig,
       persistTagged: Boolean = false): DqResult = {
     val tagged0 = tag(df, config)
     val tagged = if (persistTagged) tagged0.persist() else tagged0
-    val valid = tagged.filter(size(col(ViolationsCol)) === 0).drop(ViolationsCol)
+    // persisted: both branches MUST filter the one cached tagged frame
+    // (that sharing is the point of the cache). Un-persisted: the valid
+    // branch skips the per-row violation-LABEL array entirely — a
+    // valid-only consumer (the q19 shape) pays for row routing, not for
+    // quarantine reasons it never reads (measured 1.6× at sf0.1).
+    val valid =
+      if (persistTagged)
+        tagged.filter(size(col(ViolationsCol)) === 0).drop(ViolationsCol)
+      else validOnly(df, config)
     val bad = tagged.filter(size(col(ViolationsCol)) > 0)
     val issues = () => bad
       .select(explode(col(ViolationsCol)).as("v"))
       .distinct().collect().map(_.getString(0)).toSeq.sorted
     DqResult(valid, Some(bad), issues,
       release = () => if (persistTagged) { tagged.unpersist(); () })
+  }
+
+  /** The valid slice as a DIRECT conjunction of pass-predicates + one
+    * LEFT ANTI join against the dup-key set — row-identical to
+    * `tag(df).filter(size(VIOLATIONS) = 0)` but with no per-row label
+    * array to build and no join-output column to post-filter; the scalar
+    * predicates also reach the parquet scan as pushed filters. This is
+    * the plan a valid-only consumer wants at 100 TB: quarantine REASONS
+    * are the tagged path's business.
+    */
+  def validOnly(df: DataFrame, config: DqConfig): DataFrame = {
+    val missing = config.requiredColumns.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"Missing required columns: ${missing.mkString(", ")}")
+    val passes: Seq[Column] =
+      config.notNull.filter(df.columns.contains)
+        .map(c => !nullOrEmpty(df, c)) ++
+      config.inRange.toSeq.collect {
+        case (c, (lo, hi)) if df.columns.contains(c) =>
+          col(c).isNull || col(c).cast("double").between(lo, hi)
+      } ++
+      config.matchesRegex.toSeq.collect {
+        case (c, p) if df.columns.contains(c) =>
+          col(c).isNull || col(c).rlike(s"^(?:$p)$$")
+      } ++
+      config.allowedValues.toSeq.collect {
+        case (c, vs) if df.columns.contains(c) =>
+          col(c).isNull || col(c).isin(vs: _*)
+      }
+    val scalarPass = passes.reduceOption(_ && _).map(df.filter).getOrElse(df)
+    val keys = config.uniqueKeys
+    if (keys.isEmpty) scalarPass
+    else {
+      // same dup-key aggregate as tag (distinct keys cross the wire, AQE
+      // broadcasts the usually-tiny result); anti instead of left+filter
+      val dupKeys = df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__kc"))
+        .filter(col("__kc") > 1)
+        .select(keys.map(c => col(c).as(s"__dk_$c")): _*)
+      val cond = keys.map(c => col(c) <=> col(s"__dk_$c")).reduce(_ && _)
+      scalarPass.join(dupKeys, cond, "left_anti")
+    }
   }
 }
 

@@ -39,6 +39,43 @@ class DqSpec extends SparkTestBase {
     r.valid.select("url").as[String].collect().sorted shouldBe Array("u1", "u5")
   }
 
+  test("native: validOnly fast path == tagged-filter valid, rule for rule") {
+    // every rule kind + nulls + empties + null-keyed dup pairs, so the
+    // direct-predicate plan and the violations-array filter are compared
+    // where their three-valued-logic edges live
+    val rows = Seq(
+      (Some("a"), Some("u1"), Some(5.0), Some("ab12"), Some("en")),
+      (None, Some("u2"), Some(5.0), Some("ab12"), Some("en")),      // null title
+      (Some(""), Some("u3"), Some(5.0), Some("ab12"), Some("en")),  // empty
+      (Some("d"), Some("u4"), Some(5.0), Some("ab12"), Some("en")), // dup u4
+      (Some("d"), Some("u4"), Some(5.0), Some("ab12"), Some("en")),
+      (Some("e"), None, Some(5.0), Some("ab12"), Some("en")),       // null key (dup'd)
+      (Some("f"), None, Some(5.0), Some("ab12"), Some("en")),
+      (Some("g"), Some("u5"), Some(99.0), Some("ab12"), Some("en")), // range
+      (Some("h"), Some("u6"), None, Some("ab12"), Some("en")),       // null range col: passes
+      (Some("i"), Some("u7"), Some(5.0), Some("XX"), Some("en")),    // regex
+      (Some("j"), Some("u8"), Some(5.0), Some("ab12"), Some("zz"))   // set
+    ).toDF("title", "url", "score", "code", "lang")
+    val full = DqConfig("t", requiredColumns = Seq("title", "url"),
+      notNull = Seq("title"), uniqueKeys = Seq("url"),
+      inRange = Map("score" -> (0.0, 10.0)),
+      matchesRegex = Map("code" -> "[a-z]+[0-9]+"),
+      allowedValues = Map("lang" -> Seq("en", "de")))
+    val viaTag = NativeDq.tag(rows, full)
+      .filter(org.apache.spark.sql.functions.size(
+        col(NativeDq.ViolationsCol)) === 0)
+      .drop(NativeDq.ViolationsCol)
+    val fast = NativeDq.validOnly(rows, full)
+    fast.columns shouldBe viaTag.columns
+    fast.collect().map(_.toString).sorted shouldBe
+      viaTag.collect().map(_.toString).sorted
+    fast.select("title").as[String].collect().sorted shouldBe Array("a", "h")
+    // run() without persistTagged routes valid through the fast path and
+    // the partition property still holds exactly
+    val r = NativeDq.run(rows, full)
+    r.valid.count() + r.quarantined.get.count() shouldBe rows.count()
+  }
+
   test("native: issues summary lists each violation kind once") {
     val r = NativeDq.run(sample, cfg)
     r.issues() shouldBe Seq("duplicate_key:url", "null_or_empty_column:title")
