@@ -1573,6 +1573,96 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
         .orderBy("source")
+    }),
+
+    // Delta-parity table_changes (Lake.changeFeed): delete then merge land
+    // two commits; the feed attributes every row-level change to ITS
+    // commit (q88's diff collapses them to the net delta — here the
+    // per-commit split is the point). _commit_version values are wall
+    // times (nondeterministic), so the query folds them to a commit
+    // SEQUENCE via the version list; the oracle replays each commit
+    // relationally.
+    "q98_lake_changefeed" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q98_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents")
+      lake.writeAtomic(docs
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"), "docs")
+      lake.deleteWhere("docs", col("n_chars") < 250)
+      lake.mergeInto("docs", docs
+        .filter(col("n_chars") >= 250 && col("doc_id") % 97 === 0)
+        .select(col("doc_id"), lit("rev2").as("text"), col("lang"),
+          col("source"), col("n_chars")), Seq("doc_id"))
+      val versions = lake.listVersions("docs").reverse // oldest first
+      val feed = lake.changeFeed("docs", versions.head, versions.last)
+      val seq = versions.zipWithIndex.foldLeft(lit(null).cast("long")) {
+        case (acc, (v, i)) =>
+          when(col("_commit_version") === v, lit(i.toLong)).otherwise(acc)
+      }
+      feed.withColumn("commit_seq", seq)
+        .groupBy(col("commit_seq"), col("_change_type").as("change_type"),
+          col("lang"))
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .orderBy("commit_seq", "change_type", "lang")
+    }),
+
+    // Keyed CDF (Lake.changeFeedKeyed): ONE merge commit carrying updates
+    // (every 97th surviving doc, text→'rev3', n_chars+5) AND brand-new
+    // keys — the classifier must split them into update_pre/postimage vs
+    // insert within the same commit, plus a prior pure-delete commit that
+    // must stay 'delete' (no same-commit key overlap). Oracle replays the
+    // four tag populations relationally.
+    "q99_cdf_keyed" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q99_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents")
+      lake.writeAtomic(docs
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"), "docs")
+      lake.deleteWhere("docs", col("n_chars") < 250)
+      lake.mergeInto("docs", docs
+        .filter(col("n_chars") >= 250 && col("doc_id") % 97 === 0)
+        .select(col("doc_id"), lit("rev3").as("text"), col("lang"),
+          col("source"), (col("n_chars") + 5).as("n_chars"))
+        .union(docs.filter(col("n_chars") >= 250 && col("doc_id") % 101 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            col("lang"), lit("cdc").as("source"), col("n_chars"))),
+        Seq("doc_id"))
+      val versions = lake.listVersions("docs")
+      lake.changeFeedKeyed("docs", versions.last, versions.head,
+          Seq("doc_id"))
+        .groupBy(col("_change_type").as("change_type"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("change_type", "lang")
+    }),
+
+    // The full maintenance SQL surface in one lifecycle: DELETE statement
+    // → OPTIMIZE ZORDER BY (compact + clustered layout, one snapshot) →
+    // VACUUM KEEP 1 SNAPSHOTS (history trimmed; the optimized snapshot is
+    // self-contained so reclamation is real). Read-back must equal the
+    // delete's complement — compaction and vacuum are data-invisible.
+    "q100_sql_lake_maint" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q100_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      lake.writeAtomic(t(s, dir, "documents")
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"), "docs")
+      newspipe.io.LakeSql.sql(s,
+        s"DELETE FROM lake.`$root`.docs WHERE lang = 'en' AND n_chars < 300")
+      newspipe.io.LakeSql.sql(s,
+        s"OPTIMIZE lake.`$root`.docs ZORDER BY (doc_id, n_chars)")
+      newspipe.io.LakeSql.sql(s,
+        s"VACUUM lake.`$root`.docs KEEP 1 SNAPSHOTS")
+      lake.read("docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
     })
   )
 
@@ -3117,6 +3207,62 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // table_changes replayed per commit: seq 1 = the delete commit's
+    // removed rows; seq 2 = the merge commit's pre-images (deletes) and
+    // post-images (inserts) — the same population on both sides here
+    // because the merge only rewrites text
+    "q98_lake_changefeed" ->
+      """WITH upd AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE n_chars >= 250 AND doc_id % 97 = 0),
+        |feed AS (
+        |  SELECT 1 AS commit_seq, 'delete' AS change_type, lang, n_chars
+        |  FROM documents WHERE n_chars < 250
+        |  UNION ALL
+        |  SELECT 2, 'delete', lang, n_chars FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM upd)
+        |  UNION ALL
+        |  SELECT 2, 'insert', lang, n_chars FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM upd))
+        |SELECT CAST(commit_seq AS BIGINT) AS commit_seq, change_type, lang,
+        |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM feed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // keyed CDF replayed: the delete commit stays 'delete'; within the
+    // merge commit, keys on both sides classify as update pre/post-images
+    // (post carries n_chars+5) and disjoint new keys as 'insert'
+    "q99_cdf_keyed" ->
+      """WITH alive AS (
+        |  SELECT * FROM documents WHERE n_chars >= 250),
+        |upd AS (SELECT * FROM alive WHERE doc_id % 97 = 0),
+        |nw AS (
+        |  SELECT doc_id + 1000000 AS doc_id, lang, n_chars
+        |  FROM alive WHERE doc_id % 101 = 0),
+        |feed AS (
+        |  SELECT 'delete' AS change_type, lang, n_chars, doc_id
+        |  FROM documents WHERE n_chars < 250
+        |  UNION ALL
+        |  SELECT 'update_preimage', lang, n_chars, doc_id FROM upd
+        |  UNION ALL
+        |  SELECT 'update_postimage', lang, n_chars + 5, doc_id FROM upd
+        |  UNION ALL
+        |  SELECT 'insert', lang, n_chars, doc_id FROM nw)
+        |SELECT change_type, lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // delete-complement through the whole maintenance lifecycle: OPTIMIZE
+    // ZORDER + VACUUM must be data-invisible, so the oracle is q85's
+    // complement-filter shape verbatim
+    "q100_sql_lake_maint" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |WHERE NOT coalesce(lang = 'en' AND n_chars < 300, FALSE)
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // append = original ∪ increment

@@ -40,6 +40,14 @@ final class LakeDmlParser(
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
   override def parsePlan(sqlText: String): LogicalPlan = {
+    // maintenance statements FIRST: OPTIMIZE/VACUUM/RESTORE are not in
+    // Spark's grammar at all, so the delegate would throw ParseException
+    // before translate could run (anchored-keyword regexes — non-matching
+    // text skips in O(1))
+    newspipe.io.LakeSql.parseMaintenance(sqlText) match {
+      case Some(m) => return newspipe.io.LakeMaintCommand(m)
+      case None => ()
+    }
     val plan = delegate.parsePlan(sqlText)
     newspipe.io.LakeSql.translate(plan)
       .map(newspipe.io.LakeDmlCommand(_)).getOrElse(plan)
@@ -210,6 +218,36 @@ object NewspipeExtensions {
           val spark = SparkSession.active
           NewspipeSqlBridge.logicalPlan(new newspipe.io.Lake(spark,
             newspipe.io.LakeConfig(basePath = base)).readAsOf(layer, ts))
+        }),
+      // Delta's table_changes() in FROM position: every row-level change
+      // between two committed versions, tagged _change_type /
+      // _commit_version / _commit_timestamp. The keyed form classifies
+      // updates into pre/post-images. Lazy like the reads: building the
+      // plan walks only the version slice's manifests.
+      (new FunctionIdentifier("lake_changes"),
+        new ExpressionInfo("newspipe.NewspipeExtensions", "lake_changes"),
+        (children: Seq[Expression]) => {
+          require(children.length == 4,
+            "lake_changes(base_path, layer, from_version, to_version) " +
+              "takes 4 arguments")
+          val args = children.map(stringArg("lake_changes", _))
+          val spark = SparkSession.active
+          NewspipeSqlBridge.logicalPlan(new newspipe.io.Lake(spark,
+            newspipe.io.LakeConfig(basePath = args(0)))
+            .changeFeed(args(1), args(2), args(3)))
+        }),
+      (new FunctionIdentifier("lake_changes_keyed"),
+        new ExpressionInfo("newspipe.NewspipeExtensions", "lake_changes_keyed"),
+        (children: Seq[Expression]) => {
+          require(children.length == 5,
+            "lake_changes_keyed(base_path, layer, from_version, to_version, " +
+              "key_cols_csv) takes 5 arguments")
+          val args = children.map(stringArg("lake_changes_keyed", _))
+          val keys = args(4).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val spark = SparkSession.active
+          NewspipeSqlBridge.logicalPlan(new newspipe.io.Lake(spark,
+            newspipe.io.LakeConfig(basePath = args(0)))
+            .changeFeedKeyed(args(1), args(2), args(3), keys))
         }),
       (new FunctionIdentifier("asof_join"),
         new ExpressionInfo("newspipe.NewspipeExtensions", "asof_join"),

@@ -162,19 +162,122 @@ object LakeSql {
   }
 
   /** Statement entry point for LIVE sessions (parser injection applies at
-    * session build only): lake DML executes through [[run]], anything
-    * else falls through to plain `spark.sql`.
+    * session build only): lake DML and maintenance statements execute
+    * through [[run]]/[[runMaintenance]], anything else falls through to
+    * plain `spark.sql`.
     */
   def sql(spark: SparkSession, text: String): DataFrame = {
+    parseMaintenance(text) match {
+      case Some(m) => return oneRowDf(spark, runMaintenance(spark, m),
+        maintenanceOutput)
+      case None => ()
+    }
     translate(NewspipeSqlBridge.parsePlan(spark, text)) match {
-      case Some(dml) =>
-        val row = run(spark, dml)
-        spark.createDataFrame(
-          java.util.Arrays.asList(row),
-          org.apache.spark.sql.types.StructType(
-            metricsOutput.map(a => org.apache.spark.sql.types
-              .StructField(a.name, a.dataType, a.nullable))))
+      case Some(dml) => oneRowDf(spark, run(spark, dml), metricsOutput)
       case None => spark.sql(text)
+    }
+  }
+
+  private def oneRowDf(spark: SparkSession, row: Row,
+      attrs: Seq[Attribute]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(row),
+      org.apache.spark.sql.types.StructType(
+        attrs.map(a => org.apache.spark.sql.types
+          .StructField(a.name, a.dataType, a.nullable))))
+
+  // ---- maintenance statements (OPTIMIZE / VACUUM / RESTORE) ---------------
+  //
+  // These keywords are NOT in Spark's grammar (they are Delta extensions),
+  // so the zero-hand-rolled-grammar trick above can't apply — the delegate
+  // would throw ParseException before translate ever ran. The statement
+  // forms are three fixed single-table shapes, so a tokenizing recognizer
+  // (not a grammar) covers them exactly; anything that starts with the
+  // keyword but doesn't target `lake`.`…` falls through to Spark's parser
+  // and its own error.
+
+  /** A recognized lake maintenance statement. */
+  sealed trait LakeMaint { def base: String; def layer: String }
+  final case class LakeOptimize(base: String, layer: String,
+      zorderBy: Seq[String]) extends LakeMaint
+  final case class LakeVacuum(base: String, layer: String,
+      retainHours: Option[Double], keep: Option[Int]) extends LakeMaint
+  final case class LakeRestore(base: String, layer: String,
+      version: Option[String], timestampMs: Option[Long]) extends LakeMaint
+
+  // lake.`/base/path`.layer — base always backticked (it carries slashes),
+  // layer backticked or bare
+  private val TargetRe =
+    "(?i)lake\\s*\\.\\s*`([^`]+)`\\s*\\.\\s*(?:`([^`]+)`|([A-Za-z0-9_]+))"
+  private def targetOf(m: java.util.regex.Matcher, g0: Int): (String, String) =
+    (m.group(g0), Option(m.group(g0 + 1)).getOrElse(m.group(g0 + 2)))
+
+  private val OptimizeRe = java.util.regex.Pattern.compile(
+    s"(?is)^\\s*OPTIMIZE\\s+$TargetRe" +
+      "(?:\\s+ZORDER\\s+BY\\s*\\(?\\s*([^)]+?)\\s*\\)?)?\\s*;?\\s*$")
+  private val VacuumRe = java.util.regex.Pattern.compile(
+    s"(?is)^\\s*VACUUM\\s+$TargetRe" +
+      "(?:\\s+RETAIN\\s+([0-9]+(?:\\.[0-9]+)?)\\s+HOURS" +
+      "|\\s+KEEP\\s+([0-9]+)\\s+SNAPSHOTS)?\\s*;?\\s*$")
+  private val RestoreRe = java.util.regex.Pattern.compile(
+    s"(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$TargetRe\\s+TO\\s+" +
+      "(?:VERSION\\s+AS\\s+OF\\s+'([^']+)'" +
+      "|TIMESTAMP\\s+AS\\s+OF\\s+([0-9]+))\\s*;?\\s*$")
+
+  /** Recognize a maintenance statement targeting a lake layer. None = not
+    * ours (wrong leading keyword, or a non-lake target — Spark's parser
+    * then produces the natural error).
+    */
+  def parseMaintenance(sqlText: String): Option[LakeMaint] = {
+    val o = OptimizeRe.matcher(sqlText)
+    if (o.matches()) {
+      val (base, layer) = targetOf(o, 1)
+      val zcols = Option(o.group(4)).toSeq.flatMap(_.split(',')
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
+      return Some(LakeOptimize(base, layer, zcols))
+    }
+    val v = VacuumRe.matcher(sqlText)
+    if (v.matches()) {
+      val (base, layer) = targetOf(v, 1)
+      return Some(LakeVacuum(base, layer,
+        Option(v.group(4)).map(_.toDouble), Option(v.group(5)).map(_.toInt)))
+    }
+    val r = RestoreRe.matcher(sqlText)
+    if (r.matches()) {
+      val (base, layer) = targetOf(r, 1)
+      return Some(LakeRestore(base, layer,
+        Option(r.group(4)), Option(r.group(5)).map(_.toLong)))
+    }
+    None
+  }
+
+  private[io] val maintenanceOutput: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("result", StringType, nullable = false)())
+
+  /** Execute a maintenance statement. `result`: OPTIMIZE → the new
+    * snapshot's version id; VACUUM → committed versions remaining;
+    * RESTORE → the restoring commit's version id (head after rollback).
+    */
+  def runMaintenance(session: SparkSession, m: LakeMaint): Row = {
+    val lake = new Lake(session, LakeConfig(basePath = m.base))
+    m match {
+      case LakeOptimize(_, layer, zcols) =>
+        val snap = lake.compact(layer, zorderBy = zcols)
+        Row("OPTIMIZE", new org.apache.hadoop.fs.Path(snap).getName)
+      case LakeVacuum(_, layer, retainHours, keep) =>
+        (retainHours, keep) match {
+          case (Some(h), _) =>
+            lake.vacuumOlderThan(layer, (h * 3600 * 1000).toLong)
+          case (None, Some(k)) => lake.vacuum(layer, keep = k)
+          case (None, None) => lake.vacuum(layer)
+        }
+        Row("VACUUM", lake.listVersions(layer).size.toString)
+      case LakeRestore(_, layer, version, tsMs) =>
+        val v = version.getOrElse(
+          lake.resolveVersionAt(layer, tsMs.get))
+        val r = lake.restore(layer, v)
+        Row("RESTORE", new org.apache.hadoop.fs.Path(r.snapshot).getName)
     }
   }
 }
@@ -188,4 +291,14 @@ final case class LakeDmlCommand(dml: LakeSql.LakeDml)
   override def output: Seq[Attribute] = LakeSql.metricsOutput
   override def run(session: SparkSession): Seq[Row] =
     Seq(LakeSql.run(session, dml))
+}
+
+/** The runnable form of a recognized maintenance statement —
+  * `spark.sql("OPTIMIZE lake.`…`.docs ZORDER BY (a, b)")` and friends.
+  */
+final case class LakeMaintCommand(m: LakeSql.LakeMaint)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = LakeSql.maintenanceOutput
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(LakeSql.runMaintenance(session, m))
 }

@@ -234,7 +234,13 @@ object Dedup {
     * of millions) concentrates its edges on few `src` keys. The
     * message-join is a plain equi-join, so AQE's skew-join split
     * (`spark.sql.adaptive.skewJoin.enabled`, on by default) re-chunks the
-    * hot partitions at runtime — keep AQE on for clustered dedup runs; the
+    * hot partitions at runtime — PINNED by DedupSpec's "AQE skew split"
+    * case, which also pins the subtlety that makes it work here: the rule
+    * only matches a shuffle DIRECTLY under the join's Sort, so the
+    * per-round `localCheckpoint`s below (already needed for lineage
+    * truncation) are load-bearing — they collapse each side to a plain
+    * scan + shuffle, the one shape OptimizeSkewedJoin rewrites. Keep AQE
+    * on for clustered dedup runs; the
     * label min-aggregates are safe regardless (partial aggregation
     * combines hot keys map-side before the shuffle). Upstream,
     * [[BucketedPairs]]' `maxBucket` cap already bounds how many pairs any

@@ -36,30 +36,34 @@ object IncrementalAgg {
       .agg(count(lit(1)).as(CountCol),
         sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
 
-  /** Apply one change-feed batch (rows tagged `_change_type` =
-    * insert/delete — the [[newspipe.io.source.LakeChangeSource]] /
-    * [[newspipe.io.Lake.diff]] shape) to a maintained aggregate. Groups
-    * whose count reaches zero are dropped (they no longer exist in the
-    * corpus); groups new in the delta appear. One signed aggregate over
-    * the delta + one outer join against the maintained table — no corpus
-    * access at all.
+  /** Apply one change-feed batch (rows tagged `_change_type` — the
+    * [[newspipe.io.source.LakeChangeSource]] / [[newspipe.io.Lake.diff]] /
+    * [[newspipe.io.Lake.changeFeedKeyed]] shape, all four Delta CDF tags
+    * accepted: an `update_postimage` contributes like an insert and its
+    * `update_preimage` like a delete, so keyed and unkeyed feeds maintain
+    * identical state) to a maintained aggregate. Groups whose count
+    * reaches zero are dropped (they no longer exist in the corpus);
+    * groups new in the delta appear. One signed aggregate over the delta
+    * + one outer join against the maintained table — no corpus access at
+    * all.
     */
   def applyDelta(current: DataFrame, delta: DataFrame, keys: Seq[String],
       sumCols: Seq[String]): DataFrame = {
     require(delta.columns.contains("_change_type"),
-      "delta must carry _change_type (insert|delete) — the diff/CDF shape")
+      "delta must carry _change_type (insert|delete|update_pre/postimage)" +
+        " — the diff/CDF shape")
     // an unknown tag must FAIL the refresh, not drift it: sum() skips
     // nulls, so a null sign would silently drop the row (and an
     // all-unknown group would read as "no change"). raise_error makes the
     // first unknown tag abort the job with the offending value — zero
     // cost on the valid path, no extra validation scan.
-    val sign = when(col("_change_type") === "insert", 1L)
-      .when(col("_change_type") === "delete", -1L)
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .when(col("_change_type").isin("delete", "update_preimage"), -1L)
       .otherwise(raise_error(concat(
         lit("IncrementalAgg: unknown _change_type '"), col("_change_type"),
-        lit("' — this consumer maintains sums under insert|delete only; " +
-          "rewrite richer CDF tag sets (e.g. update_preimage/postimage) " +
-          "to delete+insert pairs upstream"))).cast("long"))
+        lit("' — this consumer maintains sums under the four Delta CDF " +
+          "tags (insert|delete|update_preimage|update_postimage) only"))
+        ).cast("long"))
     val deltaAgg = delta.withColumn("__sign", sign)
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__sign")).as("__dn"),

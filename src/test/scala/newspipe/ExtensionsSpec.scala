@@ -271,4 +271,32 @@ class ExtensionsSpec extends SparkTestBase {
          |JOIN lake_read_version('$dir', 'docs', '$vOld') o ON l.id = o.id
          |""".stripMargin).as[Long].head() shouldBe 1L
   }
+
+  test("lake_changes / lake_changes_keyed: table_changes() from SQL equals the API feed") {
+    NewspipeExtensions.register(spark)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sql_cdf").toString
+    val lake = new newspipe.io.Lake(spark, newspipe.io.LakeConfig(dir))
+    lake.writeAtomic(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "docs")
+    lake.mergeInto("docs", Seq((2L, "b2"), (5L, "e")).toDF("id", "v"),
+      Seq("id"))
+    val versions = lake.listVersions("docs")
+    val (vFrom, vTo) = (versions.last, versions.head)
+    spark.sql(
+      s"SELECT id, v, _change_type FROM lake_changes('$dir', 'docs', " +
+        s"'$vFrom', '$vTo')").as[(Long, String, String)].collect().toSet shouldBe
+      Set((2L, "b", "delete"), (2L, "b2", "insert"), (5L, "e", "insert"))
+    spark.sql(
+      s"SELECT id, v, _change_type FROM lake_changes_keyed('$dir', 'docs', " +
+        s"'$vFrom', '$vTo', 'id')").as[(Long, String, String)].collect()
+      .toSet shouldBe Set((2L, "b", "update_preimage"),
+        (2L, "b2", "update_postimage"), (5L, "e", "insert"))
+    // composes: aggregate the feed by change type in plain SQL
+    spark.sql(
+      s"""SELECT _change_type, count(*) AS n
+         |FROM lake_changes_keyed('$dir', 'docs', '$vFrom', '$vTo', 'id')
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+      .as[(String, Long)].collect() shouldBe
+      Array(("insert", 1L), ("update_postimage", 1L), ("update_preimage", 1L))
+  }
 }

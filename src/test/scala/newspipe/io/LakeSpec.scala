@@ -211,6 +211,96 @@ class LakeSpec extends SparkTestBase {
     a[NoSuchElementException] should be thrownBy lake.readAsOf("layer", tOld - 1)
   }
 
+  test("diffSince: timestamp-form change feed shares readAsOf's resolution") {
+    val lake = tmpLake()
+    lake.writeAtomic(Seq((1, "keep"), (2, "drop")).toDF("id", "v"), "t")
+    Thread.sleep(15)
+    lake.deleteWhere("t", col("id") === 2)
+    Thread.sleep(15)
+    lake.appendAtomic(Seq((3, "new")).toDF("id", "v"), "t")
+    val versions = lake.listVersions("t") // newest first: append, delete, base
+    val tBase = versions(2).take(16).toLong
+
+    // since the base snapshot's instant → all changes up to head
+    val (ins, del) = lake.diffSince("t", tBase)
+    ins.as[(Int, String)].collect().sorted shouldBe Array((3, "new"))
+    del.as[(Int, String)].collect().sorted shouldBe Array((2, "drop"))
+
+    // bounded until the delete's instant → only the delete leg
+    val tDelete = versions(1).take(16).toLong
+    val (ins2, del2) = lake.diffSince("t", tBase, Some(tDelete))
+    ins2.count() shouldBe 0L
+    del2.as[(Int, String)].collect().sorted shouldBe Array((2, "drop"))
+
+    // agreement with readAsOf: diffSince(T) applied to readAsOf(T)
+    // reproduces the head exactly
+    val atBase = lake.readAsOf("t", tBase).as[(Int, String)].collect().toSet
+    val head = lake.read("t").as[(Int, String)].collect().toSet
+    val insS = ins.as[(Int, String)].collect().toSet
+    val delS = del.as[(Int, String)].collect().toSet
+    (atBase -- delS ++ insS) shouldBe head
+
+    // before the layer existed → same loud failure as readAsOf
+    a[NoSuchElementException] should be thrownBy lake.diffSince("t", tBase - 1000)
+  }
+
+  test("changeFeed: per-commit attribution with Delta's CDF columns") {
+    val lake = tmpLake()
+    lake.writeAtomic(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), "t")
+    lake.deleteWhere("t", col("id") === 2)
+    lake.appendAtomic(Seq((4, "d")).toDF("id", "v"), "t")
+    val versions = lake.listVersions("t") // newest first
+    val feed = lake.changeFeed("t", versions.last, versions.head)
+    feed.columns.toSeq shouldBe
+      Seq("id", "v", "_change_type", "_commit_version", "_commit_timestamp")
+    val rows = feed
+      .select("id", "v", "_change_type", "_commit_version")
+      .as[(Int, String, String, String)].collect().toSet
+    // each change attributed to the commit that made it — unlike diff's
+    // net delta, the intermediate delete commit is visible
+    rows shouldBe Set(
+      (2, "b", "delete", versions(1)),
+      (4, "d", "insert", versions(0)))
+    // _commit_timestamp is the version id's own instant
+    val ts = feed.filter(col("_change_type") === "insert")
+      .select("_commit_timestamp").head().getTimestamp(0)
+    ts.getTime shouldBe versions.head.take(16).toLong
+    // reversed or unknown endpoints are loud
+    an[IllegalArgumentException] should be thrownBy
+      lake.changeFeed("t", versions.head, versions.last)
+    an[IllegalArgumentException] should be thrownBy
+      lake.changeFeed("t", "nope", versions.head)
+  }
+
+  test("changeFeedKeyed classifies same-commit key overlap as update pre/post-images") {
+    val lake = tmpLake()
+    lake.writeAtomic(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), "t")
+    // one commit carrying an update (id=1), a delete (id=2) and an
+    // insert (id=9) — the classifier must split all three correctly
+    lake.mergeInto("t", Seq((1, "a2"), (9, "z")).toDF("id", "v"), Seq("id"))
+    lake.deleteWhere("t", col("id") === 2)
+    val versions = lake.listVersions("t")
+    val feed = lake.changeFeedKeyed("t", versions.last, versions.head,
+      Seq("id"))
+    val rows = feed.select("id", "v", "_change_type", "_commit_version")
+      .as[(Int, String, String, String)].collect().toSet
+    rows shouldBe Set(
+      (1, "a", "update_preimage", versions(1)),
+      (1, "a2", "update_postimage", versions(1)),
+      (9, "z", "insert", versions(1)),
+      (2, "b", "delete", versions(0)))
+    // the keyed feed maintains the same IVM state as the unkeyed one
+    val gold0 = newspipe.ops.IncrementalAgg.compute(
+      lake.readVersion("t", versions.last), Seq("v"), Nil)
+    val viaKeyed = newspipe.ops.IncrementalAgg.applyDelta(
+      gold0, feed, Seq("v"), Nil)
+    val recomputed = newspipe.ops.IncrementalAgg.compute(
+      lake.read("t"), Seq("v"), Nil)
+    viaKeyed.as[(String, Long)].collect().toSet shouldBe
+      recomputed.as[(String, Long)].collect().toSet
+  }
+
+
   test("writeAtomic of an empty frame commits a readable 0-row snapshot; pre-commit reads fail loudly") {
     val lake = tmpLake()
     // simulate an in-flight first write: _v exists, nothing committed

@@ -105,6 +105,80 @@ class LakeSqlSpec extends SparkTestBase {
       LakeSql.sql(spark, "DELETE FROM some_missing_table WHERE x = 1")
   }
 
+  test("OPTIMIZE statement compacts; ZORDER BY form clusters for skipping") {
+    val (dir, lake) = freshLayer()
+    val m = LakeSql.sql(spark, s"OPTIMIZE lake.`$dir`.docs").collect().head
+    m.getString(0) shouldBe "OPTIMIZE"
+    // result = the new head snapshot's version id
+    lake.listVersions("docs").head shouldBe m.getString(1)
+    lake.read("docs").count() shouldBe 100
+    val m2 = LakeSql.sql(spark,
+      s"OPTIMIZE lake.`$dir`.docs ZORDER BY (id, n)").collect().head
+    m2.getString(0) shouldBe "OPTIMIZE"
+    lake.read("docs").count() shouldBe 100
+    lake.read("docs").agg(sum($"n")).as[Long].head() shouldBe
+      (1 to 100).map(_ * 10L).sum
+  }
+
+  test("VACUUM statement: KEEP n SNAPSHOTS reclaims; manifests pin their references") {
+    val (dir, lake) = freshLayer()
+    LakeSql.sql(spark, s"DELETE FROM lake.`$dir`.docs WHERE id <= 10")
+    // OPTIMIZE lands a SELF-CONTAINED snapshot — without it, the delete's
+    // manifest pins v1's carried files and nothing is reclaimable (the
+    // protection Delta gives data files of live versions)
+    LakeSql.sql(spark, s"OPTIMIZE lake.`$dir`.docs")
+    lake.listVersions("docs").size shouldBe 3
+    val mk = LakeSql.sql(spark,
+      s"VACUUM lake.`$dir`.docs KEEP 1 SNAPSHOTS").collect().head
+    mk.getString(0) shouldBe "VACUUM"
+    mk.getString(1) shouldBe "1"
+    lake.listVersions("docs").size shouldBe 1
+    lake.read("docs").count() shouldBe 90
+    // RETAIN form: the post-compaction layer is ONE file, so this delete
+    // rewrites it fully (self-contained, no carried pins) and RETAIN 0
+    // HOURS trims history to the head alone
+    LakeSql.sql(spark, s"DELETE FROM lake.`$dir`.docs WHERE id > 80")
+    Thread.sleep(15) // commit instants strictly before the RETAIN cutoff
+    val mr = LakeSql.sql(spark,
+      s"VACUUM lake.`$dir`.docs RETAIN 0 HOURS").collect().head
+    mr.getString(1) shouldBe "1"
+    lake.read("docs").count() shouldBe 70
+  }
+
+  test("RESTORE statement: TO VERSION AS OF and TO TIMESTAMP AS OF") {
+    val (dir, lake) = freshLayer()
+    val v1 = lake.listVersions("docs").head
+    Thread.sleep(15)
+    LakeSql.sql(spark, s"DELETE FROM lake.`$dir`.docs WHERE id <= 50")
+    lake.read("docs").count() shouldBe 50
+    val m = LakeSql.sql(spark,
+      s"RESTORE TABLE lake.`$dir`.docs TO VERSION AS OF '$v1'")
+      .collect().head
+    m.getString(0) shouldBe "RESTORE"
+    lake.listVersions("docs").head shouldBe m.getString(1)
+    lake.read("docs").count() shouldBe 100
+    // timestamp form resolves through the same readAsOf rule
+    Thread.sleep(15)
+    LakeSql.sql(spark, s"DELETE FROM lake.`$dir`.docs WHERE id > 50")
+    val t1 = v1.take(16).toLong
+    LakeSql.sql(spark,
+      s"RESTORE lake.`$dir`.docs TO TIMESTAMP AS OF $t1")
+    lake.read("docs").count() shouldBe 100
+  }
+
+  test("maintenance statements ride the injected parser (plain spark.sql)") {
+    val (dir, lake) = freshLayer()
+    val s2 = org.apache.spark.sql.NewspipeSqlBridge.sessionWithExtensions(
+      spark, new newspipe.NewspipeExtensions()(_))
+    val m = s2.sql(s"OPTIMIZE lake.`$dir`.docs ZORDER BY (id)")
+      .collect().head
+    m.getString(0) shouldBe "OPTIMIZE"
+    lake.read("docs").count() shouldBe 100
+    // a non-lake OPTIMIZE still fails in Spark's own parser (not silently
+    // swallowed by the recognizer)
+    a[Throwable] should be thrownBy s2.sql("OPTIMIZE some_table")
+  }
+
   test("parser injection: plain spark.sql DML on a session built with NewspipeExtensions") {
     val (dir, lake) = freshLayer()
     val s2 = org.apache.spark.sql.NewspipeSqlBridge.sessionWithExtensions(

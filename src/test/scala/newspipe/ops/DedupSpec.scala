@@ -89,6 +89,75 @@ class DedupSpec extends SparkTestBase {
     comps.map(_._2).distinct shouldBe Array(1L)
   }
 
+  test("connectedComponents: a dominant component holding half the corpus converges") {
+    // caterpillar: 8 hubs chained, each with 150 spokes — 1208 nodes in ONE
+    // component (diameter 9, so pointer doubling needs real rounds beyond
+    // the folded-in first aggregate) — plus 604 isolated pairs (1208
+    // nodes): the dominant component is exactly 50% of the corpus, the
+    // viral-doc shape the Scaladoc's skew posture describes.
+    val chain = (0L until 7L).map(h => (h * 1000L, (h + 1) * 1000L))
+    val spokes = for { h <- 0L until 8L; s <- 1L to 150L }
+      yield (h * 1000L, h * 1000L + s)
+    val pairs = (0 until 604).map(i => (100000L + 2 * i, 100001L + 2 * i))
+    val edges = (chain ++ spokes ++ pairs).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(edges).as[(Long, Long)].collect()
+    comps.length shouldBe 2416
+    val big = comps.filter(_._1 < 100000L)
+    big.length shouldBe 1208
+    all(big.map(_._2)) shouldBe 0L // every caterpillar node reaches min id 0
+    // isolated pairs untouched by the dominant component: even member wins
+    comps.filter(_._1 >= 100000L).foreach { case (id, comp) =>
+      comp shouldBe (id - id % 2)
+    }
+  }
+
+  test("CC message join: AQE skew split re-chunks a hot src key (pinned, not assumed)") {
+    // The Scaladoc at Dedup.connectedComponents claims AQE's skew-join
+    // split covers a hot hub's message join. Pin it: reproduce the exact
+    // join shape (edges.src ⋈ labels.id) with one key owning ~all edges,
+    // force SMJ, and assert the ADAPTIVE executed plan marked the join
+    // skew-handled rather than leaving one straggler partition.
+    val keep = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // hub 0 near-dups 60k docs; a handful of cold keys for a median.
+      // BOTH sides localCheckpointed — the shape connectedComponents
+      // actually produces (edges once, labels every round), and a
+      // REQUIREMENT for the skew split: OptimizeSkewedJoin matches only
+      // a shuffle directly under the join's Sort, so an un-checkpointed
+      // aggregate between Sort and Exchange disables it entirely
+      val edges = ((1L to 60000L).map(d => (0L, d)) ++
+        (1L to 8L).map(i => (i * 1000000L, i * 1000000L + 1)))
+        .toDF("src", "dst").localCheckpoint(true)
+      val labels = edges.select($"src".as("id")).distinct()
+        .select($"id", $"id".as("comp")).localCheckpoint(true)
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select($"dst".as("id"), $"comp")
+      msgs.collect().length shouldBe 60008
+      val plan = msgs.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not skew-split the hot message join; executed plan:\n$plan")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("minhashDedupClustered keeps one doc per transitive dup group") {
     val kept = Dedup.minhashDedupClustered(docs.filter($"text".isNotNull),
       "doc_id", "text", threshold = 0.8)

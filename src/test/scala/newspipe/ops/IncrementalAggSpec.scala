@@ -67,6 +67,19 @@ class IncrementalAggSpec extends SparkTestBase {
     next.select("k").as[String].collect() shouldBe Array("b")
   }
 
+  test("update pre/post-image tags maintain exactly like their delete+insert pair") {
+    val cur = Seq(("a", 2L, 30L)).toDF("k", "__n", "sum_x")
+    val updates = Seq(("a", 10L, "update_preimage"),
+      ("a", 17L, "update_postimage")).toDF("k", "x", "_change_type")
+    val viaUpdates = IncrementalAgg.applyDelta(cur, updates, Seq("k"), Seq("x"))
+    viaUpdates.as[(String, Long, Long)].collect() shouldBe Array(("a", 2L, 37L))
+    // parity: the same change expressed as delete+insert lands identically
+    val viaPairs = IncrementalAgg.applyDelta(cur,
+      Seq(("a", 10L, "delete"), ("a", 17L, "insert"))
+        .toDF("k", "x", "_change_type"), Seq("k"), Seq("x"))
+    viaPairs.as[(String, Long, Long)].collect() shouldBe Array(("a", 2L, 37L))
+  }
+
   test("an unknown change tag fails the refresh loudly instead of silently skewing") {
     val cur = Seq(("a", 1L, 1L)).toDF("k", "__n", "sum_x")
     val delta = Seq(("a", 2L, "upsert")).toDF("k", "x", "_change_type")
