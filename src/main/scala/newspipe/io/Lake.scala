@@ -289,18 +289,85 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       mergeSchema: Boolean): DataFrame =
     manifestOf(snap) match {
       case None =>
-        val reader = spark.read.format(config.format)
-        (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
-          .load(snap.toString)
+        // self-contained snapshot: the indexed read applies too (one
+        // listing, automatic stats skipping) when non-partitioned parquet;
+        // schema comes from one sample footer (cached) — the same single
+        // file mergeSchema=false discovery would have consulted
+        lazy val rels = snapshotDirFilesRel(snap)
+        if (!mergeSchema && config.format == "parquet" && rels.nonEmpty &&
+            !rels.exists(_.contains("="))) {
+          val sample = s"${snap.toString}/${rels.head}"
+          val schema = schemaCache.computeIfAbsent(sample,
+            _ => spark.read.format(config.format).load(sample).schema)
+          readIndexed(snap.toString, snap, rels, schema)
+        } else {
+          val reader = spark.read.format(config.format)
+          (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
+            .load(snap.toString)
+        }
       case Some(m) if m.files.isEmpty =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
       case Some(m) =>
         // the RECORDED schema is authoritative (Delta's log-schema role):
         // files predating a schema-evolving merge/append read null for the
-        // added columns, and every group unions to one stable shape
-        readRelFiles(layer, m.files, mergeSchema, schemaHint = Some(m.schema))
+        // added columns. Non-partitioned parquet inventories read through
+        // a [[LakeFileIndex]] (one scan node, automatic stats skipping on
+        // any filter); hive-partitioned layers and mergeSchema reads keep
+        // the discovery-based union (partition-column resolution / footer
+        // union live there)
+        if (!mergeSchema && config.format == "parquet" &&
+            !m.files.exists(_.contains("=")))
+          readIndexed(layerPath(layer), snap, m.files, m.schema)
+        else
+          readRelFiles(layer, m.files, mergeSchema, schemaHint = Some(m.schema))
     }
+
+  /** Snapshot read through [[LakeFileIndex]]: statuses resolved with ONE
+    * recursive listing per referenced version dir (not per file — the
+    * object-store-friendly shape), stats keyed by qualified path so
+    * `listFiles` can prune against the exact identities Spark will scan.
+    * `base` is the root the inventory (and the snapshot's sidecar paths)
+    * are relative to: the layer root for manifest snapshots, the snapshot
+    * dir itself for self-contained ones.
+    */
+  private def readIndexed(base: String, snap: Path,
+      rels: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val basePath = new Path(base)
+    val f = fs(basePath)
+    val qualBase = f.makeQualified(basePath).toString.stripSuffix("/")
+    def versionDirOf(rel: String): String = {
+      val segs = rel.split('/')
+      if (segs.length >= 2 && segs(0) == "_v") s"_v/${segs(1)}" else ""
+    }
+    val byDir = rels.groupBy(versionDirOf)
+    val statusByRel = scala.collection.mutable.HashMap.empty[String, org.apache.hadoop.fs.FileStatus]
+    byDir.keysIterator.foreach { vdir =>
+      val dir = if (vdir.isEmpty) basePath else new Path(s"$base/$vdir")
+      val it = f.listFiles(dir, true)
+      val prefix = qualBase + "/"
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile)
+          statusByRel(s.getPath.toString.stripPrefix(prefix)) = s
+      }
+    }
+    val statuses = rels.map(rel => statusByRel.getOrElse(rel,
+      throw new IllegalStateException(
+        s"snapshot ${snap.getName} references missing data file '$rel' " +
+          s"(under $base) — vacuumed past a pinned version, or external " +
+          "deletion")))
+    val statsByPath = snapshotSidecar(snap)
+      .map(st => s"$qualBase/${st.path}" -> st).toMap
+    // asNullable: file sources force every read column nullable (the
+    // DataFrameReader normalization this hand-built relation bypasses) —
+    // without it the vectorized reader REFUSES a file missing a
+    // non-nullable evolved column instead of null-padding it
+    org.apache.spark.sql.NewspipeSqlBridge.fileIndexedDataFrame(spark,
+      new LakeFileIndex(statuses, statsByPath, basePath),
+      org.apache.spark.sql.NewspipeSqlBridge.nullableSchema(schema))
+  }
 
   /** Read an EXPLICIT layer-root-relative file list with hive partition
     * columns intact. Spark's partition discovery walks each file leaf-up
@@ -570,12 +637,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   private def sidecarStats(layer: String): Option[(String, Seq[FileStats.FileStat])] =
     latestSnapshot(layer).flatMap { snap =>
-      val stats = sidecarCache.computeIfAbsent(snap.toString, _ => {
-        val p = new Path(snap, FileStats.SidecarName)
-        val f = fs(p)
-        if (!f.exists(p)) Nil
-        else FileStats.fromJson(readFully(p))
-      })
+      val stats = snapshotSidecar(snap)
       if (stats.isEmpty) None
       else {
         val base =
@@ -583,6 +645,15 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         Some((base, stats))
       }
     }
+
+  /** One snapshot's parsed `_STATS.json`, cached; Nil when absent. */
+  private def snapshotSidecar(snap: Path): Seq[FileStats.FileStat] =
+    sidecarCache.computeIfAbsent(snap.toString, _ => {
+      val p = new Path(snap, FileStats.SidecarName)
+      val f = fs(p)
+      if (!f.exists(p)) Nil
+      else FileStats.fromJson(readFully(p))
+    })
 
   /** Committed snapshot version ids of a layer, newest first — empty for
     * flat (non-snapshot) layers. Pair with [[readVersion]] for pinned

@@ -24,13 +24,31 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * to change volume, not layer size, which is the property that matters
   * when the layer is 100 TB and a delete touched 1% of it.
   *
-  * `startingVersion` option: `earliest` (default) replays the OLDEST
-  * retained snapshot as inserts and then every delta after it; `latest`
-  * starts from the current snapshot (deltas only, no initial load); an
-  * explicit version id starts right after that version. Vacuum contract:
-  * consumers must keep up faster than retention reclaims versions — a
-  * diff against a vacuumed version fails loudly (same as Delta's
-  * data-retention streaming failure), never silently skips.
+  * Options:
+  *  - `startingVersion`: `earliest` (default) replays the OLDEST retained
+  *    snapshot as inserts and then every delta after it; `latest` starts
+  *    from the current snapshot (deltas only, no initial load); an
+  *    explicit version id starts right after that version.
+  *  - `startingTimestamp`: epoch millis; resolves to the snapshot the
+  *    table had at that instant (exactly [[Lake.resolveVersionAt]], the
+  *    `readAsOf` rule) and starts right after it — mutually exclusive
+  *    with `startingVersion`.
+  *  - `maxVersionsPerTrigger`: admission control (Delta's
+  *    `maxFilesPerTrigger` role at this source's natural granularity):
+  *    each micro-batch advances at most N committed versions. BEST
+  *    EFFORT, exactly like Delta's: the first trigger after a (re)start
+  *    serves the full backlog — the DSv1 contract gives the source no
+  *    view of the restored offset until `getBatch`, and capping blind
+  *    risks serving a reversed range. From the second trigger on, the
+  *    cap holds; with N=1 every batch is exactly one commit's delta.
+  *  - `keyColumns` (csv): four-tag CDF — per commit, a key present on
+  *    both sides surfaces as `update_preimage`/`update_postimage`
+  *    instead of delete+insert ([[Lake.changeFeedKeyed]] semantics,
+  *    classified per commit even when one batch spans several commits).
+  *
+  * Vacuum contract: consumers must keep up faster than retention reclaims
+  * versions — a diff against a vacuumed version fails loudly (same as
+  * Delta's data-retention streaming failure), never silently skips.
   *
   * DSv1 `Source` (getOffset/getBatch) rather than DSv2 MicroBatchStream,
   * deliberately: getBatch returns a DataFrame, letting the batch reuse
@@ -45,6 +63,12 @@ class LakeChangeSource extends StreamSourceProvider {
       "LakeChangeSource requires option 'basePath' (the lake root)"))
     val layer = parameters.getOrElse("layer", throw new IllegalArgumentException(
       "LakeChangeSource requires option 'layer'"))
+    // validated here (sourceSchema runs at load(), synchronously) so the
+    // conflict surfaces at stream BUILD time, not as an async query error
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "options 'startingVersion' and 'startingTimestamp' are mutually " +
+        "exclusive — they both pick the stream's starting snapshot")
     (base, layer)
   }
 
@@ -61,7 +85,15 @@ class LakeChangeSource extends StreamSourceProvider {
       parameters: Map[String, String]): Source = {
     val (base, layer) = layerOf(parameters)
     new LakeChangeStream(sqlContext.sparkSession, base, layer,
-      parameters.getOrElse("startingVersion", "earliest"))
+      parameters.getOrElse("startingVersion", "earliest"),
+      parameters.get("startingTimestamp").map(_.toLong),
+      parameters.get("maxVersionsPerTrigger").map { v =>
+        val n = v.toInt
+        require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
+        n
+      },
+      parameters.get("keyColumns").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
   }
 }
 
@@ -75,7 +107,9 @@ object LakeChangeSource {
 
 /** One [[LakeChangeSource]] stream instance. Offset json = version id. */
 private[source] class LakeChangeStream(spark: SparkSession, basePath: String,
-    layer: String, startingVersion: String) extends Source {
+    layer: String, startingVersion: String, startingTimestamp: Option[Long],
+    maxVersionsPerTrigger: Option[Int], keyColumns: Seq[String])
+    extends Source {
 
   private val lake = new Lake(spark, LakeConfig(basePath = basePath))
   private val layerSchema = lake.layerSchema(layer)
@@ -90,18 +124,42 @@ private[source] class LakeChangeStream(spark: SparkSession, basePath: String,
     * snapshot in full. Resolved once at stream start ("latest" must pin
     * what "current" meant then, not at first-batch time).
     */
-  private val baseVersion: Option[String] = startingVersion match {
-    case "earliest" => None
-    case "latest" => lake.listVersions(layer).headOption
-    case v =>
-      require(lake.listVersions(layer).contains(v),
-        s"startingVersion '$v' is not a committed snapshot of '$layer' " +
-          s"(known: ${lake.listVersions(layer).mkString(", ")})")
-      Some(v)
+  private val baseVersion: Option[String] = startingTimestamp match {
+    case Some(ts) => Some(lake.resolveVersionAt(layer, ts))
+    case None => startingVersion match {
+      case "earliest" => None
+      case "latest" => lake.listVersions(layer).headOption
+      case v =>
+        require(lake.listVersions(layer).contains(v),
+          s"startingVersion '$v' is not a committed snapshot of '$layer' " +
+            s"(known: ${lake.listVersions(layer).mkString(", ")})")
+        Some(v)
+    }
   }
 
-  override def getOffset: Option[V1Offset] =
-    lake.listVersions(layer).headOption.map(VersionOffset)
+  /** End version of the last batch THIS process served — the anchor the
+    * admission cap advances from. Deliberately not recovered from the
+    * checkpoint (DSv1 gives the source no committed-offset view before
+    * getBatch), which is why the cap is best-effort on the first trigger.
+    */
+  @volatile private var lastEnd: Option[String] = None
+
+  override def getOffset: Option[V1Offset] = {
+    val newestFirst = lake.listVersions(layer)
+    if (newestFirst.isEmpty) return None
+    val end = (maxVersionsPerTrigger, lastEnd) match {
+      case (Some(n), Some(last)) =>
+        val asc = newestFirst.reverse
+        val i = asc.indexOf(last)
+        // last already vacuumed: advancing blind could reverse the range;
+        // serve the head and let getBatch's diff fail loudly if the START
+        // was reclaimed too (the vacuum contract)
+        if (i < 0) newestFirst.head
+        else asc(math.min(i + n, asc.size - 1))
+      case _ => newestFirst.head
+    }
+    Some(VersionOffset(end))
+  }
 
   /** Conform a delta leg to the DECLARED stream schema: a streaming
     * source's schema is fixed at query start, but the layer's can evolve
@@ -111,25 +169,44 @@ private[source] class LakeChangeStream(spark: SparkSession, basePath: String,
     * the schema and sees them (Delta's contract, minus the hard failure).
     */
   private def conform(df: DataFrame,
-      changeType: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+      changeType: String): DataFrame =
+    conformTagged(df.withColumn(LakeChangeSource.ChangeTypeCol,
+      lit(changeType)))
+
+  /** [[conform]] for frames that already CARRY a per-row `_change_type`
+    * (the keyed four-tag feed).
+    */
+  private def conformTagged(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit => flit}
     val padded = layerSchema.fields.foldLeft(df)((d, f) =>
       if (d.columns.contains(f.name)) d
-      else d.withColumn(f.name, lit(null).cast(f.dataType)))
+      else d.withColumn(f.name, flit(null).cast(f.dataType)))
     padded.select((layerSchema.fieldNames.map(col) :+
-      lit(changeType).as(LakeChangeSource.ChangeTypeCol)).toSeq: _*)
+      col(LakeChangeSource.ChangeTypeCol)).toSeq: _*)
   }
+
+  /** The delta between two committed versions, tagged: the keyed four-tag
+    * classification when `keyColumns` is set (per commit, even across a
+    * multi-commit batch), the plain insert/delete pair otherwise.
+    */
+  private def delta(fromV: String, endV: String): DataFrame =
+    if (keyColumns.nonEmpty)
+      conformTagged(lake.changeFeedKeyed(layer, fromV, endV, keyColumns))
+    else {
+      val (inserted, deleted) = lake.diff(layer, fromV, endV)
+      conform(inserted, "insert").unionByName(conform(deleted, "delete"))
+    }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endV = versionOf(end)
+    lastEnd = Some(endV)
     val batch: DataFrame = start.map(versionOf).orElse(baseVersion) match {
       case Some(fromV) if fromV == endV =>
         conform(spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], layerSchema),
           "insert")
       case Some(fromV) =>
-        val (inserted, deleted) = lake.diff(layer, fromV, endV)
-        conform(inserted, "insert").unionByName(conform(deleted, "delete"))
+        delta(fromV, endV)
       case None =>
         // initial load: the OLDEST retained snapshot as inserts, plus the
         // delta up to this batch's end version when more snapshots
@@ -138,11 +215,7 @@ private[source] class LakeChangeStream(spark: SparkSession, basePath: String,
         val oldest = lake.listVersions(layer).last
         val initial = conform(lake.readVersion(layer, oldest), "insert")
         if (oldest == endV) initial
-        else {
-          val (inserted, deleted) = lake.diff(layer, oldest, endV)
-          initial.unionByName(conform(inserted, "insert"))
-            .unionByName(conform(deleted, "delete"))
-        }
+        else initial.unionByName(delta(oldest, endV))
     }
     NewspipeSqlBridge.streamingDataFrame(batch)
   }

@@ -100,6 +100,35 @@ object NewspipeSqlBridge {
     }
   }
 
+  /** `StructType.asNullable` (private[spark]): the file-source reader
+    * normalization — every column read from files is nullable.
+    */
+  def nullableSchema(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = s.asNullable
+
+  /** A DataFrame over a custom [[org.apache.spark.sql.execution.datasources
+    * .FileIndex]] — the Delta `TahoeFileIndex` pattern: the relation plans
+    * through Spark's own FileSourceStrategy (vectorized parquet scan,
+    * column pruning, filter pushdown), but the FILE LISTING comes from the
+    * index, which receives each query's data filters and can skip files
+    * before any task launches.
+    */
+  def fileIndexedDataFrame(spark: SparkSession,
+      index: org.apache.spark.sql.execution.datasources.FileIndex,
+      dataSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      location = index,
+      partitionSchema = org.apache.spark.sql.types.StructType(Nil),
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetFileFormat(),
+      options = Map.empty)(cs)
+    classic.Dataset.ofRows(cs,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
+  }
+
   /** A computed batch frame re-tagged `isStreaming = true` — what a DSv1
     * streaming `Source.getBatch` must return (MicroBatchExecution splices
     * the frame in place of the streaming relation and asserts streaming-

@@ -61,6 +61,70 @@ class LakeSkippingSpec extends SparkTestBase {
     }
   }
 
+  test("manifest reads plan through LakeFileIndex: one scan node, filters auto-prune files") {
+    val lake = tmpLake()
+    rangedLayer(lake)
+    // manifest head spanning TWO version dirs: 1 rewritten + 3 carried
+    lake.deleteWhere("docs", col("id") === 5L)
+    val df = lake.read("docs")
+    df.count() shouldBe 399
+    // ONE FileSourceScan, no union seam, despite the cross-dir inventory
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    scans.length shouldBe 1
+    df.queryExecution.executedPlan.toString should not include "Union"
+    // AUTOMATIC skipping: a plain .filter (NOT readWhere) reaches the
+    // index as dataFilters and scans only the can-match file
+    val q = lake.read("docs").filter(col("id") >= 350)
+    q.collect().length shouldBe 50 // execute THIS plan — its metrics below
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    scan.metrics("numFiles").value shouldBe 1
+    // and SQL over the TVF-shaped read prunes the same way
+    val all = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    all.map(_.metrics("numFiles").value).sum shouldBe 1
+  }
+
+  test("self-contained snapshots read through the index too: plain filters auto-prune") {
+    val lake = tmpLake()
+    rangedLayer(lake) // writeAtomic only — no row ops, no manifest
+    val q = lake.read("docs").filter(col("id") < 50)
+    q.collect().length shouldBe 50
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    scan.metrics("numFiles").value shouldBe 1 // of 4 range-disjoint files
+  }
+
+  test("indexed manifest read equals the union-based read, incl. schema evolution") {
+    val lake = tmpLake()
+    rangedLayer(lake)
+    lake.deleteWhere("docs", col("id") < 10L)
+    // schema-evolving merge: new column 'extra' — pre-evolution files must
+    // read null through the indexed path exactly as through the union path
+    lake.mergeInto("docs",
+      spark.range(100, 110).select(col("id"),
+        (col("id") % 7).cast("double").as("score"),
+        concat(lit("doc_"), format_string("%03d", col("id"))).as("name"),
+        lit("s9").as("src"), lit(1L).as("extra")),
+      Seq("id"), allowSchemaEvolution = true)
+    val indexed = lake.read("docs")
+    indexed.schema.fieldNames should contain("extra")
+    // parity with the mergeSchema (union-based) read path on shared columns
+    val viaUnion = lake.read("docs", mergeSchema = true)
+    indexed.select("id", "score", "name", "src")
+      .orderBy("id").collect() shouldBe
+      viaUnion.select("id", "score", "name", "src").orderBy("id").collect()
+    // evolution semantics: exactly the merged rows carry 'extra'
+    indexed.filter(col("extra").isNotNull).agg(count(lit(1)))
+      .as[Long].head() shouldBe 10L
+    indexed.count() shouldBe 390
+  }
+
   test("prune-to-zero folds the scan to an empty relation (zero tasks)") {
     val lake = tmpLake()
     rangedLayer(lake)

@@ -285,6 +285,110 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("lake change-feed stream: startingTimestamp resolves like readAsOf, deltas only after it") {
+    val dir = java.nio.file.Files.createTempDirectory("lakecdf5").toString
+    val lake = new newspipe.io.Lake(spark, newspipe.io.LakeConfig(dir))
+    import spark.implicits._
+    lake.writeAtomic((1 to 20).map(i => (i.toLong, "x")).toDF("id", "v"), "t")
+    val v1 = lake.listVersions("t").head
+    Thread.sleep(15)
+    lake.deleteWhere("t", $"id" <= 3L) // commits AFTER the asked-for instant
+    val q = spark.readStream
+      .format("newspipe.io.source.LakeChangeSource")
+      .option("basePath", dir).option("layer", "t")
+      .option("startingTimestamp", v1.take(16).toLong.toString)
+      .load()
+      .writeStream.format("memory").queryName("cdf_ts")
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    try {
+      q.processAllAvailable()
+      // no initial replay (the timestamp pins v1); the later delete arrives
+      val got = spark.table("cdf_ts").as[(Long, String, String)].collect()
+      got.map(_._1).sorted shouldBe Array(1L, 2L, 3L)
+      got.map(_._3).distinct shouldBe Array("delete")
+    } finally q.stop()
+    // both options together are refused loudly, at stream build time
+    an[Exception] should be thrownBy spark.readStream
+      .format("newspipe.io.source.LakeChangeSource")
+      .option("basePath", dir).option("layer", "t")
+      .option("startingVersion", "latest")
+      .option("startingTimestamp", "0")
+      .load()
+  }
+
+  test("lake change-feed stream: maxVersionsPerTrigger=1 serves one commit per micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("lakecdf6").toString
+    val lake = new newspipe.io.Lake(spark, newspipe.io.LakeConfig(dir))
+    import spark.implicits._
+    lake.writeAtomic((1 to 30).map(i => (i.toLong, "x")).toDF("id", "v"), "t")
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[(Long, String)]]()
+    val q = spark.readStream
+      .format("newspipe.io.source.LakeChangeSource")
+      .option("basePath", dir).option("layer", "t")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.as[(Long, String, String)].collect()
+          .map(r => (r._1, r._3)).toSeq
+        if (rows.nonEmpty) batches.add(rows); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable() // initial load (first trigger: uncapped)
+      batches.size shouldBe 1
+      batches.clear()
+      // three commits land while the stream is idle...
+      lake.deleteWhere("t", $"id" === 1L)
+      lake.deleteWhere("t", $"id" === 2L)
+      lake.deleteWhere("t", $"id" === 3L)
+      q.processAllAvailable()
+      // ...and arrive as THREE single-commit batches, in commit order —
+      // the admission cap makes per-commit attribution visible downstream
+      val got = batches.toArray(Array.empty[Seq[(Long, String)]])
+      got.length shouldBe 3
+      got.map(_.size).toSeq shouldBe Seq(1, 1, 1)
+      got.flatten.toSeq shouldBe Seq(
+        (1L, "delete"), (2L, "delete"), (3L, "delete"))
+    } finally q.stop()
+  }
+
+  test("lake change-feed stream: keyColumns emits Delta's four-tag CDF") {
+    val dir = java.nio.file.Files.createTempDirectory("lakecdf7").toString
+    val lake = new newspipe.io.Lake(spark, newspipe.io.LakeConfig(dir))
+    import spark.implicits._
+    lake.writeAtomic(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "t")
+    val q = spark.readStream
+      .format("newspipe.io.source.LakeChangeSource")
+      .option("basePath", dir).option("layer", "t")
+      .option("keyColumns", "id")
+      .load()
+      .writeStream.format("memory").queryName("cdf_keyed")
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    try {
+      q.processAllAvailable()
+      // one commit mixing an update (key 1) and an insert (key 9): the
+      // keyed stream classifies instead of emitting delete+insert
+      lake.mergeInto("t", Seq((1L, "a2"), (9L, "z")).toDF("id", "v"),
+        Seq("id"))
+      q.processAllAvailable()
+      val got = spark.table("cdf_keyed")
+        .filter($"_change_type" =!= "insert" || $"id" === 9L)
+        .as[(Long, String, String)].collect().toSet
+      got shouldBe Set(
+        (1L, "a", "update_preimage"),
+        (1L, "a2", "update_postimage"),
+        (9L, "z", "insert"))
+      // a later pure delete still tags 'delete'
+      lake.deleteWhere("t", $"id" === 2L)
+      q.processAllAvailable()
+      spark.table("cdf_keyed").filter($"_change_type" === "delete")
+        .as[(Long, String, String)].collect() shouldBe
+        Array((2L, "b", "delete"))
+    } finally q.stop()
+  }
+
   test("streaming silver transform: same rows as batch over the same bronze input") {
     implicit val sqlCtx = spark.sqlContext
     val bronzeRows = Seq(
