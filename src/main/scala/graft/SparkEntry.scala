@@ -1663,6 +1663,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
           sum("doc_id").as("id_sum"))
         .orderBy("lang")
+    }),
+
+    // DELETION-VECTOR delete (Lake.deleteWhereDv): the scattered-delete
+    // economics — every 500th doc dies as a position-list commit with ZERO
+    // file rewrites, then a second DV delete unions in, and the diff-based
+    // change feed reports exactly the dead rows. Read-back aggregate must
+    // equal the rewrite-delete semantics (oracle: complement filter).
+    "q101_lake_dv_delete" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q101_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      lake.writeAtomic(t(s, dir, "documents")
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"), "docs")
+      val r1 = lake.deleteWhereDv("docs", col("doc_id") % 500 === 0)
+      require(r1.rewrittenFiles == 0, "DV delete must rewrite nothing")
+      lake.deleteWhereDv("docs", col("doc_id") % 501 === 0)
+      lake.read("docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
     })
   )
 
@@ -3253,6 +3275,16 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // DV deletes replayed as the complement filter: doc_id is never null,
+    // so the two modular predicates compose as plain OR
+    "q101_lake_dv_delete" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |WHERE doc_id % 500 <> 0 AND doc_id % 501 <> 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // delete-complement through the whole maintenance lifecycle: OPTIMIZE
     // ZORDER + VACUUM must be data-invisible, so the oracle is q85's

@@ -49,8 +49,11 @@ final class LakeDmlParser(
       case None => ()
     }
     val plan = delegate.parsePlan(sqlText)
-    newspipe.io.LakeSql.translate(plan)
-      .map(newspipe.io.LakeDmlCommand(_)).getOrElse(plan)
+    newspipe.io.LakeSql.translate(plan).map {
+      case p if newspipe.io.LakeSql.isProps(p) =>
+        newspipe.io.LakePropsCommand(p): LogicalPlan
+      case dml => newspipe.io.LakeDmlCommand(dml): LogicalPlan
+    }.getOrElse(plan)
   }
   override def parseExpression(sqlText: String) =
     delegate.parseExpression(sqlText)

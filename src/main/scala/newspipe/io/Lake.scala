@@ -319,8 +319,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         if (!mergeSchema && config.format == "parquet" &&
             !m.files.exists(_.contains("=")))
           readIndexed(layerPath(layer), snap, m.files, m.schema)
-        else
+        else if (m.dvs.isEmpty)
           readRelFiles(layer, m.files, mergeSchema, schemaHint = Some(m.schema))
+        else
+          dvFilter(readRelFiles(layer, m.files, mergeSchema,
+            schemaHint = Some(m.schema), withMeta = true),
+            dvPairs(layerPath(layer), snap))
     }
 
   /** Snapshot read through [[LakeFileIndex]]: statuses resolved with ONE
@@ -364,9 +368,234 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // DataFrameReader normalization this hand-built relation bypasses) —
     // without it the vectorized reader REFUSES a file missing a
     // non-nullable evolved column instead of null-padding it
-    org.apache.spark.sql.NewspipeSqlBridge.fileIndexedDataFrame(spark,
+    val raw = org.apache.spark.sql.NewspipeSqlBridge.fileIndexedDataFrame(spark,
       new LakeFileIndex(statuses, statsByPath, basePath),
       org.apache.spark.sql.NewspipeSqlBridge.nullableSchema(schema))
+    val dv = dvMapOf(snap)
+    if (dv.isEmpty) raw
+    else {
+      import org.apache.spark.sql.functions.col
+      val metaed = raw.select((raw.columns.map(col) :+
+        col("_metadata.file_path").as("__dv_file") :+
+        col("_metadata.row_index").as("__dv_pos")).toSeq: _*)
+      dvFilter(metaed, dvPairs(base, snap, Some(rels.toSet)))
+    }
+  }
+
+  // ---- deletion vectors ---------------------------------------------------
+
+  /** The head snapshot's deletion-vector map (data-file rel → payload
+    * rel) — observability for specs and tooling, the [[pruneInfo]] role.
+    */
+  def deletionVectors(layer: String): Map[String, String] =
+    latestSnapshot(layer).map(dvMapOf).getOrElse(Map.empty)
+
+  // ---- layer properties ---------------------------------------------------
+
+  /** Layer properties (`_PROPERTIES.json` at the layer root — CONFIG, not
+    * data, so not versioned with snapshots; Delta's TBLPROPERTIES role).
+    * Recognized keys: `lake.enableDeletionVectors` = true routes
+    * [[deleteWhere]] (and the SQL DELETE statement) through
+    * [[deleteWhereDv]], falling back to the rewrite path past
+    * `maxDvRows` — exactly Delta's enableDeletionVectors contract.
+    */
+  def properties(layer: String): Map[String, String] = {
+    val p = new Path(layerPath(layer), "_PROPERTIES.json")
+    val f = fs(p)
+    if (!f.exists(p)) Map.empty
+    else {
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(readFully(p)) match {
+        case JObject(fields) => fields.collect {
+          case (k, JString(v)) => k -> v
+        }.toMap
+        case _ => Map.empty
+      }
+    }
+  }
+
+  /** Merge `updates` into the layer's properties (last-writer-wins — a
+    * property flip is an admin action, not a data commit). A null/empty
+    * value removes the key.
+    */
+  def setProperties(layer: String,
+      updates: Map[String, String]): Map[String, String] = {
+    import org.json4s._
+    val merged = (properties(layer) ++ updates)
+      .filter { case (_, v) => v != null && v.nonEmpty }
+    val p = new Path(layerPath(layer), "_PROPERTIES.json")
+    val f = fs(p)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, true)
+    try out.write(org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(JObject(
+        merged.toList.sortBy(_._1).map { case (k, v) =>
+          k -> (JString(v): JValue) }))).getBytes("UTF-8"))
+    finally out.close()
+    merged
+  }
+
+  private def dvEnabled(layer: String): Boolean =
+    properties(layer).get("lake.enableDeletionVectors")
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** dv map of a snapshot (data-file rel → payload rel); empty when the
+    * snapshot has none (incl. every self-contained snapshot).
+    */
+  private def dvMapOf(snap: Path): Map[String, String] =
+    manifestOf(snap).map(_.dvs).getOrElse(Map.empty)
+
+  private val dvPayloadCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Seq[Long]]]()
+
+  /** Parsed DV payload document (cached — payloads are immutable). */
+  private def dvPayload(base: String,
+      payloadRel: String): Map[String, Seq[Long]] =
+    dvPayloadCache.computeIfAbsent(s"$base/$payloadRel",
+      p => DeletionVectors.fromJson(readFully(new Path(p))))
+
+  /** (qualified absolute file path, deleted position) pairs of a
+    * snapshot's DVs, optionally restricted to a file scope — the
+    * broadcast side of the read-path anti-join. Bounded by the
+    * `maxDvRows` discipline [[deleteWhereDv]] enforces at write time.
+    */
+  private def dvPairs(base: String, snap: Path,
+      scope: Option[Set[String]] = None): Seq[(String, Long)] = {
+    val dv = dvMapOf(snap)
+    val wanted = scope match {
+      case Some(s) => dv.filter { case (rel, _) => s.contains(rel) }
+      case None => dv
+    }
+    if (wanted.isEmpty) return Nil
+    val qualBase = fs(new Path(base)).makeQualified(new Path(base))
+      .toString.stripSuffix("/")
+    wanted.groupBy(_._2).toSeq.flatMap { case (payloadRel, entries) =>
+      val all = dvPayload(base, payloadRel)
+      entries.keysIterator.flatMap(rel =>
+        all.getOrElse(rel, Nil).map(pos => (s"$qualBase/$rel", pos))).toSeq
+    }
+  }
+
+  /** Anti-join out deleted positions; `df` must carry
+    * `__dv_file`/`__dv_pos` (the per-relation `_metadata` projection —
+    * selected BEFORE any union, because metadata columns resolve only on
+    * the file relation itself).
+    */
+  private def dvFilter(df: DataFrame, pairs: Seq[(String, Long)],
+      keepMeta: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val out =
+      if (pairs.isEmpty) df
+      else {
+        import spark.implicits._
+        val del = broadcast(pairs.toDF("__del_file", "__del_pos"))
+        df.join(del, col("__dv_file") === col("__del_file") &&
+          col("__dv_pos") === col("__del_pos"), "left_anti")
+      }
+    if (keepMeta) out else out.drop("__dv_file", "__dv_pos")
+  }
+
+  /** Row-level DELETE as a DELETION VECTOR commit (Delta's DV idea): mark
+    * the matched rows' positions dead in a sidecar payload and carry EVERY
+    * data file by reference — zero file rewrites, cost ∝ matched rows.
+    * The economics for small scattered deletes (GDPR erasure, spot
+    * corrections) on a layer where even one touched 128 MB file dwarfs the
+    * handful of rows being removed; [[deleteWhere]] remains the right tool
+    * for bulk predicates, and `maxDvRows` refuses past the point where the
+    * position list itself stops being driver-small. A file's positions are
+    * CUMULATIVE across DV commits (each commit writes the union into its
+    * own payload and repoints the manifest), so readers resolve one
+    * payload per file, never a chain. [[compact]] materializes DVs
+    * (reads are DV-filtered, so the rewrite drops dead rows and empties
+    * the map) — the escape hatch bounding read-side anti-join size.
+    */
+  def deleteWhereDv(layer: String, predicate: org.apache.spark.sql.Column,
+      maxDvRows: Long = 10000000L): Lake.RowOpResult =
+    dvDelete(layer, predicate, maxDvRows) match {
+      case Right(r) => r
+      case Left(n) => throw new IllegalArgumentException(
+        s"deleteWhereDv matched $n rows — past maxDvRows ($maxDvRows); " +
+          "use deleteWhere (file rewrite) for bulk deletes")
+    }
+
+  /** [[deleteWhereDv]] as the property-routed attempt: None = the match
+    * was bulk, let the caller take the rewrite path instead of failing.
+    */
+  private def deleteWhereDvOrNot(layer: String,
+      predicate: org.apache.spark.sql.Column,
+      maxDvRows: Long = 10000000L): Option[Lake.RowOpResult] =
+    dvDelete(layer, predicate, maxDvRows).toOption
+
+  /** Left(matchedCount) when the match exceeds `maxDvRows` (counted with
+    * an aggregate BEFORE any driver materialization — a bulk match never
+    * lands on the driver just to be refused).
+    */
+  private def dvDelete(layer: String,
+      predicate: org.apache.spark.sql.Column,
+      maxDvRows: Long): Either[Long, Lake.RowOpResult] = {
+    import org.apache.spark.sql.functions.col
+    val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
+      s"layer '$layer' has no committed snapshot — row ops need the " +
+        "snapshot protocol; land the layer with writeAtomic/compact first"))
+    val base = layerPath(layer)
+    val inventory = snapshotInventory(layer, snap)
+    val oldStats = rebasedStats(layer, snap)
+    val cond =
+      if (oldStats.isEmpty) None
+      else resolveCondition(layer, base, oldStats.values.toSeq, predicate)
+    def mayMatch(rel: String): Boolean = oldStats.get(rel) match {
+      case Some(st) => cond.forall(FileStats.matches(st, _))
+      case None => true
+    }
+    val affected = inventory.filter(mayMatch)
+    val carriedDv = dvMapOf(snap)
+    if (affected.isEmpty)
+      return Right(Lake.RowOpResult(snap.toString, 0, inventory.size,
+        noop = true))
+    val schema = snapshotSchema(layer, snap)
+    val raw = readRelFiles(layer, affected, schemaHint = Some(schema),
+      withMeta = true)
+    // already-dead rows must not re-match (their positions are already in
+    // the carried payloads — re-adding would be harmless but skews counts)
+    val alive = dvFilter(raw, dvPairs(base, snap, Some(affected.toSet)),
+      keepMeta = true)
+    val matchedDf = alive.filter(predicate)
+      .select(col("__dv_file"), col("__dv_pos")).persist()
+    val matched = try {
+      val n = matchedDf.count()
+      if (n == 0)
+        return Right(Lake.RowOpResult(snap.toString, 0, inventory.size,
+          noop = true))
+      if (n > maxDvRows) return Left(n)
+      matchedDf.collect().map(r => (r.getString(0), r.getLong(1)))
+    } finally matchedDf.unpersist(blocking = false)
+    val qualBase = fs(new Path(base)).makeQualified(new Path(base))
+      .toString.stripSuffix("/") + "/"
+    val newByRel = matched.groupBy(_._1.stripPrefix(qualBase))
+      .map { case (rel, xs) => rel -> xs.map(_._2).toSeq }
+    val merged = newByRel.map { case (rel, pos) =>
+      val old = carriedDv.get(rel)
+        .map(pr => dvPayload(base, pr).getOrElse(rel, Nil)).getOrElse(Nil)
+      rel -> (old ++ pos).distinct.sorted
+    }
+    val newSnap = new Path(s"$base/_v/${newVersionId()}")
+    val nf = fs(newSnap)
+    try {
+      nf.mkdirs(newSnap) // no data files — positions + manifest only
+      val payloadRel = s"_v/${newSnap.getName}/${DeletionVectors.payloadName(0)}"
+      val out = nf.create(new Path(newSnap, DeletionVectors.payloadName(0)),
+        false)
+      try out.write(DeletionVectors.toJson(merged).getBytes("UTF-8"))
+      finally out.close()
+      commitManifest(layer, snap, newSnap, inventory, oldStats, schema.toDDL,
+        dvs = carriedDv ++ merged.keys.map(_ -> payloadRel))
+    } catch {
+      case e: java.util.ConcurrentModificationException => throw e
+      case scala.util.control.NonFatal(e) =>
+        nf.delete(newSnap, true)
+        throw e
+    }
+    Right(Lake.RowOpResult(newSnap.toString, 0, inventory.size))
   }
 
   /** Read an EXPLICIT layer-root-relative file list with hive partition
@@ -384,8 +613,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   private def readRelFiles(layer: String, rels: Seq[String],
       mergeSchema: Boolean = false,
-      schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None,
+      withMeta: Boolean = false)
       : DataFrame = {
+    import org.apache.spark.sql.functions.col
     val base = layerPath(layer)
     def versionDirOf(rel: String): String = {
       val segs = rel.split('/')
@@ -398,8 +629,16 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       // an explicit schema makes columns a file predates read as null —
       // the schema-evolution read — and pins one shape across groups
       schemaHint.foreach(s => reader = reader.schema(s))
-      (if (mergeSchema) reader.option("mergeSchema", "true") else reader)
+      val frame = (if (mergeSchema) reader.option("mergeSchema", "true")
+        else reader)
         .load(files.map(rp => s"$base/$rp"): _*)
+      // metadata columns resolve only on the file relation itself, so the
+      // DV callers' (file, position) projection must happen INSIDE each
+      // group, before the union erases it
+      if (withMeta) frame.select((frame.columns.map(col) :+
+        col("_metadata.file_path").as("__dv_file") :+
+        col("_metadata.row_index").as("__dv_pos")).toSeq: _*)
+      else frame
     }
     frames.reduce((a, b) =>
       a.unionByName(b, allowMissingColumns = mergeSchema))
@@ -458,9 +697,18 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         plain().filter(org.apache.spark.sql.functions.lit(false))
       case Some(p) if p.keptPaths.exists(_.startsWith("_v/")) =>
         // manifest snapshot: kept files span version dirs — per-dir
-        // discovery roots + the recorded schema (see readRelFiles)
-        readRelFiles(layer, p.keptPaths, mergeSchema,
-          schemaHint = Some(layerSchema(layer))).filter(predicate)
+        // discovery roots + the recorded schema (see readRelFiles); DV'd
+        // files filter through their positions like every other read
+        val snap = latestSnapshot(layer).get // manifest paths ⇒ snapshot
+        val dv = dvMapOf(snap)
+        val hasDv = p.keptPaths.exists(dv.contains)
+        val raw = readRelFiles(layer, p.keptPaths, mergeSchema,
+          schemaHint = Some(layerSchema(layer)), withMeta = hasDv)
+        val alive =
+          if (hasDv) dvFilter(raw,
+            dvPairs(layerPath(layer), snap, Some(p.keptPaths.toSet)))
+          else raw
+        alive.filter(predicate)
       case Some(p) =>
         val reader = spark.read.format(config.format)
           .option("basePath", p.base)
@@ -838,6 +1086,18 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   def deleteWhere(layer: String, predicate: org.apache.spark.sql.Column)
       : Lake.RowOpResult = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
+    // lake.enableDeletionVectors=true (Delta's table property): try the
+    // position-list commit first — zero rewrites for scattered deletes —
+    // and fall back to the rewrite when the match is bulk
+    // (> lake.deletionVectors.maxRows, default 10⁷)
+    if (dvEnabled(layer)) {
+      val cap = properties(layer).get("lake.deletionVectors.maxRows")
+        .map(_.toLong).getOrElse(10000000L)
+      deleteWhereDvOrNot(layer, predicate, cap) match {
+        case Some(r) => return r
+        case None => () // bulk — the rewrite below is the cheaper shape
+      }
+    }
     rewriteRows(layer, predicate,
       df => df.filter(not(coalesce(predicate, lit(false)))))
   }
@@ -908,7 +1168,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       if (partCols.nonEmpty) writer = writer.partitionBy(partCols: _*)
       writer.save(newSnap.toString)
       commitManifest(layer, snap, newSnap, carried,
-        rebasedStats(layer, snap), schemaDdl)
+        rebasedStats(layer, snap), schemaDdl, dvs = dvMapOf(snap))
     } catch {
       case e: java.util.ConcurrentModificationException => throw e
       case scala.util.control.NonFatal(e) =>
@@ -942,12 +1202,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   private def commitManifest(layer: String, parent: Path, newSnap: Path,
       carried: Seq[String], oldStats: Map[String, FileStats.FileStat],
-      schemaDdl: String): Unit = {
+      schemaDdl: String, dvs: Map[String, String] = Map.empty): Unit = {
     val base = layerPath(layer)
     val f = fs(newSnap)
     val newPrefix = s"_v/${newSnap.getName}/"
     val newFiles = snapshotDirFilesRel(newSnap).map(newPrefix + _)
-    val manifest = SnapshotManifest(carried ++ newFiles, schemaDdl)
+    val manifest = SnapshotManifest(carried ++ newFiles, schemaDdl, dvs)
     val (head, shards) =
       SnapshotManifest.toJsonSharded(manifest, config.manifestShardSize)
     def put(name: String, body: String): Unit = {
@@ -999,7 +1259,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     try {
       f.mkdirs(newSnap) // no data files — the manifest IS the snapshot
       commitManifest(layer, head, newSnap, inv,
-        statsOfSnapshot(layer, target), schemaDdl)
+        statsOfSnapshot(layer, target), schemaDdl, dvs = dvMapOf(target))
     } catch {
       case e: java.util.ConcurrentModificationException => throw e
       case scala.util.control.NonFatal(e) =>
@@ -1195,10 +1455,18 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         .filter(_.contains('='))
         .map(seg => seg.substring(0, seg.indexOf('='))))
       .distinct
+    // affected files must be read THROUGH the parent's deletion vectors —
+    // a rewrite that resurrected DV'd rows would silently undo deletes
+    val parentDv = dvMapOf(snap)
     val affectedRows =
-      if (affected.nonEmpty)
-        transform(readRelFiles(layer, affected, schemaHint = Some(schema)))
-      else spark.createDataFrame(
+      if (affected.nonEmpty) {
+        val raw = readRelFiles(layer, affected, schemaHint = Some(schema),
+          withMeta = parentDv.nonEmpty)
+        val aliveRows =
+          if (parentDv.isEmpty) raw
+          else dvFilter(raw, dvPairs(base, snap, Some(affected.toSet)))
+        transform(aliveRows)
+      } else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val rewritten = append match {
       // allowMissingColumns: a schema-evolving merge's source carries NEW
@@ -1219,7 +1487,9 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       var writer = rewritten.write.format(config.format).mode("errorifexists")
       if (partCols.nonEmpty) writer = writer.partitionBy(partCols: _*)
       writer.save(newSnap.toString)
-      commitManifest(layer, snap, newSnap, carried, oldStats, schemaDdl)
+      // rewritten files materialized their DVs; carried files keep theirs
+      commitManifest(layer, snap, newSnap, carried, oldStats, schemaDdl,
+        dvs = parentDv.filter { case (rel, _) => carried.contains(rel) })
     } catch {
       case e: java.util.ConcurrentModificationException => throw e // cleaned
       case scala.util.control.NonFatal(e) =>
@@ -1339,24 +1609,44 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   def diff(layer: String, fromVersion: String, toVersion: String)
       : (DataFrame, DataFrame) = {
     val base = layerPath(layer)
-    def inv(version: String): Seq[String] = {
+    def snapOf(version: String): Path = {
       val snap = new Path(s"$base/_v/$version")
       require(fs(snap).exists(new Path(snap, "_COMMITTED")),
         s"layer '$layer' has no committed snapshot '$version' " +
           s"(known: ${listVersions(layer).mkString(", ")})")
-      snapshotInventory(layer, snap)
+      snap
     }
-    val from = inv(fromVersion).toSet
-    val to = inv(toVersion).toSet
-    val schema = snapshotSchema(layer, new Path(s"$base/_v/$toVersion"))
-    def readFiles(rels: Seq[String]): DataFrame =
+    val fromSnap = snapOf(fromVersion)
+    val toSnap = snapOf(toVersion)
+    // inventory IDENTITY is (file, dv): a file present in both snapshots
+    // whose deletion vector changed DID contribute changes (its newly-dead
+    // rows), so it must be read on both sides — with each side's own DV
+    def pairs(snap: Path): Map[String, String] = {
+      val dv = dvMapOf(snap)
+      snapshotInventory(layer, snap)
+        .map(rel => rel -> dv.getOrElse(rel, "")).toMap
+    }
+    val from = pairs(fromSnap)
+    val to = pairs(toSnap)
+    val schema = snapshotSchema(layer, toSnap)
+    def readSide(snap: Path, rels: Seq[String]): DataFrame =
       if (rels.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readRelFiles(layer, rels, schemaHint = Some(schema))
-        .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
-          .toSeq: _*)
-    val onlyTo = readFiles((to -- from).toSeq.sorted)
-    val onlyFrom = readFiles((from -- to).toSeq.sorted)
+      else {
+        val dv = dvMapOf(snap)
+        val hasDv = rels.exists(dv.contains)
+        val raw = readRelFiles(layer, rels, schemaHint = Some(schema),
+          withMeta = hasDv)
+        val alive =
+          if (hasDv) dvFilter(raw, dvPairs(base, snap, Some(rels.toSet)))
+          else raw
+        alive.select(schema.fieldNames
+          .map(org.apache.spark.sql.functions.col).toSeq: _*)
+      }
+    val changedTo = to.filter { case (rel, d) => !from.get(rel).contains(d) }
+    val changedFrom = from.filter { case (rel, d) => !to.get(rel).contains(d) }
+    val onlyTo = readSide(toSnap, changedTo.keys.toSeq.sorted)
+    val onlyFrom = readSide(fromSnap, changedFrom.keys.toSeq.sorted)
     (onlyTo.exceptAll(onlyFrom), onlyFrom.exceptAll(onlyTo))
   }
 
@@ -1460,10 +1750,14 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       val kept = keepOf(committed)
       val pinned = committed.filter(p => kept.contains(p.getName))
         .flatMap { p =>
-          manifestOf(p).map(_.files.flatMap(_.split('/') match {
-            case Array("_v", v, _*) => Some(v)
-            case _ => None
-          })).getOrElse(Nil)
+          // pin every version dir a kept manifest references — data files
+          // AND dv payload documents (a reclaimed payload would resurrect
+          // its file's deleted rows)
+          manifestOf(p).map(m => (m.files ++ m.dvs.values)
+            .flatMap(_.split('/') match {
+              case Array("_v", v, _*) => Some(v)
+              case _ => None
+            })).getOrElse(Nil)
         }.toSet
       val keepSet = kept ++ pinned
       f.listStatus(vdir).filter(_.isDirectory).map(_.getPath)

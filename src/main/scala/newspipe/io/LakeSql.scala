@@ -63,6 +63,10 @@ object LakeSql {
   final case class LakeMerge(base: String, layer: String,
       source: LogicalPlan, keys: Seq[String],
       schemaEvolution: Boolean) extends LakeDml
+  final case class LakeSetProps(base: String, layer: String,
+      updates: Map[String, String]) extends LakeDml
+  final case class LakeUnsetProps(base: String, layer: String,
+      keys: Seq[String]) extends LakeDml
 
   /** The `lake`.`<basePath>`.`<layer>` target of a DML plan, seen through
     * any alias.
@@ -75,6 +79,13 @@ object LakeSql {
           Some((base, layer))
         case _ => None
       }
+      // ALTER TABLE targets parse as UnresolvedTable, not UnresolvedRelation
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        t.multipartIdentifier match {
+          case Seq(cat, base, layer) if cat.equalsIgnoreCase("lake") =>
+            Some((base, layer))
+          case _ => None
+        }
       case _ => None
     }
 
@@ -132,6 +143,12 @@ object LakeSql {
         LakeMerge(b, l, m.sourceTable, mergeKeys(m.mergeCondition),
           m.withSchemaEvolution)
       }
+    // ALTER TABLE … SET/UNSET TBLPROPERTIES — the switch that flips
+    // lake.enableDeletionVectors (Delta's table-property surface)
+    case SetTableProperties(target, props) =>
+      lakeTarget(target).map { case (b, l) => LakeSetProps(b, l, props) }
+    case UnsetTableProperties(target, keys, _) =>
+      lakeTarget(target).map { case (b, l) => LakeUnsetProps(b, l, keys) }
     case _ => None
   }
 
@@ -141,7 +158,15 @@ object LakeSql {
     AttributeReference("carried_files", IntegerType, nullable = false)(),
     AttributeReference("noop", BooleanType, nullable = false)())
 
-  /** Execute a translated statement against `session`. */
+  /** Is this a property statement (maintenance-shaped output) rather than
+    * a row op (metrics-shaped output)?
+    */
+  def isProps(dml: LakeDml): Boolean = dml match {
+    case _: LakeSetProps | _: LakeUnsetProps => true
+    case _ => false
+  }
+
+  /** Execute a translated ROW-OP statement against `session`. */
   def run(session: SparkSession, dml: LakeDml): Row = {
     val lake = new Lake(session, LakeConfig(basePath = dml.base))
     def asCol(e: Expression) = NewspipeSqlBridge.column(e)
@@ -157,8 +182,28 @@ object LakeSql {
         "MERGE" -> lake.mergeInto(layer,
           NewspipeSqlBridge.dataFrame(session, source), keys,
           allowSchemaEvolution = evolve)
+      case other => throw new IllegalStateException(
+        s"property statement routed to run(): $other") // see runProps
     }
     Row(op, r.rewrittenFiles, r.carriedFiles, r.noop)
+  }
+
+  /** Execute a translated PROPERTY statement. `result` = the layer's
+    * properties after the change, `k=v` comma-joined.
+    */
+  def runProps(session: SparkSession, dml: LakeDml): Row = {
+    val lake = new Lake(session, LakeConfig(basePath = dml.base))
+    val (op, merged) = dml match {
+      case LakeSetProps(_, layer, ups) =>
+        "SET TBLPROPERTIES" -> lake.setProperties(layer, ups)
+      case LakeUnsetProps(_, layer, keys) =>
+        "UNSET TBLPROPERTIES" ->
+          lake.setProperties(layer, keys.map(_ -> "").toMap)
+      case other => throw new IllegalStateException(
+        s"row-op statement routed to runProps(): $other")
+    }
+    Row(op, merged.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString(","))
   }
 
   /** Statement entry point for LIVE sessions (parser injection applies at
@@ -173,6 +218,8 @@ object LakeSql {
       case None => ()
     }
     translate(NewspipeSqlBridge.parsePlan(spark, text)) match {
+      case Some(p) if isProps(p) =>
+        oneRowDf(spark, runProps(spark, p), maintenanceOutput)
       case Some(dml) => oneRowDf(spark, run(spark, dml), metricsOutput)
       case None => spark.sql(text)
     }
@@ -301,4 +348,14 @@ final case class LakeMaintCommand(m: LakeSql.LakeMaint)
   override def output: Seq[Attribute] = LakeSql.maintenanceOutput
   override def run(session: SparkSession): Seq[Row] =
     Seq(LakeSql.runMaintenance(session, m))
+}
+
+/** The runnable form of ALTER TABLE SET/UNSET TBLPROPERTIES on a lake
+  * target (maintenance-shaped output: operation + resulting properties).
+  */
+final case class LakePropsCommand(dml: LakeSql.LakeDml)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = LakeSql.maintenanceOutput
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(LakeSql.runProps(session, dml))
 }

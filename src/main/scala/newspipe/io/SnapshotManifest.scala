@@ -40,7 +40,15 @@ import org.json4s.jackson.JsonMethods
   * file set (no replay, one-plus-shards JSON reads), trading log
   * compaction machinery for a driver-side file list.
   */
-final case class SnapshotManifest(files: Seq[String], schemaDdl: String) {
+/** @param dvs deletion vectors: data-file rel path → the DV payload
+  *   document (also layer-root-relative, inside some version dir) that
+  *   holds the file's deleted row positions. Absent for files with no
+  *   deleted rows — the overwhelmingly common case; the map lives inline
+  *   in the head document because its size is bounded by DV discipline
+  *   (compaction materializes DVs and empties the map), not by layer size.
+  */
+final case class SnapshotManifest(files: Seq[String], schemaDdl: String,
+    dvs: Map[String, String] = Map.empty) {
   /** Read schema for the empty-manifest case. */
   def schema: StructType = StructType.fromDDL(schemaDdl)
 }
@@ -56,9 +64,15 @@ object SnapshotManifest {
   private def filesArray(files: Seq[String]): JValue =
     JArray(files.toList.map(JString(_)))
 
+  private def dvsObject(dvs: Map[String, String]): List[(String, JValue)] =
+    if (dvs.isEmpty) Nil
+    else List("dvs" -> JObject(
+      dvs.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }))
+
   /** Serialize as (head document, shard documents). Inline (no shards)
     * up to `shardSize` paths; sharded head carries the shard count and
-    * total for integrity instead of the list.
+    * total for integrity instead of the list. The dv map stays in the
+    * head in both forms.
     */
   def toJsonSharded(m: SnapshotManifest,
       shardSize: Int = DefaultShardSize): (String, Seq[String]) = {
@@ -67,14 +81,14 @@ object SnapshotManifest {
       (JsonMethods.compact(JsonMethods.render(JObject(List(
         "version" -> JInt(1),
         "schemaDdl" -> JString(m.schemaDdl),
-        "files" -> filesArray(m.files))))), Nil)
+        "files" -> filesArray(m.files)) ++ dvsObject(m.dvs)))), Nil)
     else {
       val groups = m.files.grouped(shardSize).toSeq
       val head = JsonMethods.compact(JsonMethods.render(JObject(List(
         "version" -> JInt(2),
         "schemaDdl" -> JString(m.schemaDdl),
         "count" -> JInt(m.files.size),
-        "shards" -> JInt(groups.size)))))
+        "shards" -> JInt(groups.size)) ++ dvsObject(m.dvs))))
       (head, groups.map(g =>
         JsonMethods.compact(JsonMethods.render(JObject(List(
           "files" -> filesArray(g)))))))
@@ -106,6 +120,12 @@ object SnapshotManifest {
       case other => throw new IllegalArgumentException(
         s"$FileName missing schemaDdl (got $other)")
     }
+    val dvs: Map[String, String] = (root \ "dvs") match {
+      case JObject(fields) => fields.collect {
+        case (k, JString(v)) => k -> v
+      }.toMap
+      case _ => Map.empty
+    }
     (root \ "shards") match {
       case JInt(n) =>
         val expected = (root \ "count") match {
@@ -118,8 +138,8 @@ object SnapshotManifest {
         require(files.size.toLong == expected,
           s"sharded $FileName reassembled ${files.size} paths but the head " +
             s"records $expected — a shard is missing or truncated")
-        SnapshotManifest(files, ddl)
-      case _ => SnapshotManifest(filesOf(root, FileName), ddl)
+        SnapshotManifest(files, ddl, dvs)
+      case _ => SnapshotManifest(filesOf(root, FileName), ddl, dvs)
     }
   }
 

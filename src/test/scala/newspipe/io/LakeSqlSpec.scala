@@ -166,6 +166,30 @@ class LakeSqlSpec extends SparkTestBase {
     lake.read("docs").count() shouldBe 100
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES flips DV mode for the DELETE statement") {
+    val (dir, lake) = freshLayer()
+    val m = LakeSql.sql(spark,
+      s"""ALTER TABLE lake.`$dir`.docs SET TBLPROPERTIES
+         |('lake.enableDeletionVectors'='true')""".stripMargin)
+      .collect().head
+    m.getString(0) shouldBe "SET TBLPROPERTIES"
+    m.getString(1) should include("lake.enableDeletionVectors=true")
+    // the DELETE statement now commits a deletion vector — zero rewrites
+    val d = LakeSql.sql(spark,
+      s"DELETE FROM lake.`$dir`.docs WHERE id = 5").collect().head
+    d.getInt(1) shouldBe 0
+    lake.read("docs").count() shouldBe 99
+    lake.deletionVectors("docs").size shouldBe 1
+    // UNSET restores the rewrite path
+    LakeSql.sql(spark,
+      s"""ALTER TABLE lake.`$dir`.docs UNSET TBLPROPERTIES
+         |('lake.enableDeletionVectors')""".stripMargin)
+    val d2 = LakeSql.sql(spark,
+      s"DELETE FROM lake.`$dir`.docs WHERE id = 6").collect().head
+    d2.getInt(1) should be >= 1
+    lake.read("docs").count() shouldBe 98
+  }
+
   test("maintenance statements ride the injected parser (plain spark.sql)") {
     val (dir, lake) = freshLayer()
     val s2 = org.apache.spark.sql.NewspipeSqlBridge.sessionWithExtensions(
