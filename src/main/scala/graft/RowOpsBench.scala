@@ -102,6 +102,18 @@ object RowOpsBench {
       (ins.count(), del.count())
     }
 
+    // 6. deletion-vector delete of a SCATTERED ~0.1% (every 1000th key):
+    // the shape where even a manifest rewrite touches most files (the
+    // keys hit every file's range) but a DV commit touches none — the
+    // position list IS the commit. Same predicate through the rewrite
+    // path as the honest baseline, on a fresh copy of the layer.
+    val dvPred = col("l_orderkey") % 1000 === 0
+    val (dvRes, dvSec) = timed { lake.deleteWhereDv("li", dvPred) }
+    val (readDv, dvReadSec) = timed { lake.read("li").count() }
+    lake.writeAtomic(li.repartitionByRange(files, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey"), "li_rw")
+    val (rwRes, rwSec) = timed { lake.deleteWhere("li_rw", dvPred) }
+
     val json =
       s"""{"metric":"lake_rowops","files":$files,"sf":"$sfDir",
          |"land_sec":$landSec,
@@ -110,7 +122,12 @@ object RowOpsBench {
          |"delete_full_sec":$delFullSec,
          |"merge_sec":$mergeSec,"merge_rewritten":${mergeRes.rewrittenFiles},
          |"merge_carried":${mergeRes.carriedFiles},
-         |"diff_sec":$diffSec,"diff_inserted":$nIns,"diff_deleted":$nDel}"""
+         |"diff_sec":$diffSec,"diff_inserted":$nIns,"diff_deleted":$nDel,
+         |"dv_delete_sec":$dvSec,"dv_rewritten":${dvRes.rewrittenFiles},
+         |"dv_carried":${dvRes.carriedFiles},
+         |"dv_read_sec":$dvReadSec,"dv_read_rows":$readDv,
+         |"scattered_rewrite_sec":$rwSec,
+         |"scattered_rewritten":${rwRes.rewrittenFiles}}"""
         .stripMargin.replace("\n", "")
     try {
       val out = java.nio.file.Paths.get("target", "lake_rowops.json")

@@ -1685,6 +1685,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
           sum("doc_id").as("id_sum"))
         .orderBy("lang")
+    }),
+
+    // CHECK constraints (ALTER TABLE ADD CONSTRAINT): the commit gate —
+    // a valid append lands, a violating append is REFUSED atomically
+    // (no partial state), so the read-back equals original ∪ the one
+    // valid increment. Enforcement cost ∝ increment (validated here by
+    // the oracle only seeing the accepted rows).
+    "q102_lake_constraints" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q102_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents")
+      lake.writeAtomic(docs
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"), "docs")
+      newspipe.io.LakeSql.sql(s,
+        s"ALTER TABLE lake.`$root`.docs ADD CONSTRAINT nonneg " +
+          "CHECK (n_chars >= 0)")
+      lake.appendAtomic(docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+          col("lang"), lit("ok_inc").as("source"), col("n_chars")), "docs")
+      val refused = try {
+        lake.appendAtomic(docs.limit(10)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+            col("lang"), lit("bad_inc").as("source"),
+            lit(-5L).as("n_chars")), "docs")
+        false
+      } catch { case _: IllegalArgumentException => true }
+      require(refused, "violating append must be refused")
+      lake.read("docs")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("source")
     })
   )
 
@@ -3275,6 +3308,19 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the constraint gate leaves exactly original ∪ the valid increment:
+    // the refused append contributes nothing (atomic refusal, no partial
+    // files)
+    "q102_lake_constraints" ->
+      """WITH merged AS (
+        |  SELECT source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT 'ok_inc' AS source, n_chars FROM documents
+        |  WHERE doc_id % 40 = 0)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // DV deletes replayed as the complement filter: doc_id is never null,
     // so the two modular predicates compose as plain OR

@@ -127,6 +127,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
 
   private def writeSnapshot(df: DataFrame, layer: String,
       partitionBy: Seq[String], requireParent: Option[Option[String]]): String = {
+    enforceConstraints(layer, df, s"writeAtomic('$layer')")
     val snap = new Path(s"${layerPath(layer)}/_v/${newVersionId()}")
     var writer = df.write.format(config.format).mode("errorifexists")
     if (partitionBy.nonEmpty) writer = writer.partitionBy(partitionBy: _*)
@@ -438,6 +439,72 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   private def dvEnabled(layer: String): Boolean =
     properties(layer).get("lake.enableDeletionVectors")
       .exists(_.equalsIgnoreCase("true"))
+
+  // ---- CHECK constraints --------------------------------------------------
+
+  private val ConstraintPrefix = "lake.constraint."
+
+  /** The layer's CHECK constraints (name → condition SQL), stored as
+    * properties (Delta's `delta.constraints.<name>` idea).
+    */
+  def constraints(layer: String): Map[String, String] =
+    properties(layer).collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        k.stripPrefix(ConstraintPrefix) -> v
+    }
+
+  /** Add a CHECK constraint: the EXISTING data must satisfy it (one
+    * validation scan, same as Delta's ALTER TABLE ADD CONSTRAINT), then
+    * every subsequent commit validates only its INCREMENT — enforcement
+    * cost scales with what is written, never with the 100 TB that
+    * already passed. SQL semantics: NULL conditions pass (standard CHECK).
+    */
+  def addConstraint(layer: String, name: String,
+      conditionSql: String): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_'), s"constraint name '$name' must be " +
+      "alphanumeric/underscore (it becomes a property key)")
+    require(!constraints(layer).contains(name),
+      s"layer '$layer' already has a constraint '$name' — drop it first")
+    validateConstraints(layer, read(layer),
+      Seq(name -> conditionSql), s"addConstraint('$layer', '$name')")
+    setProperties(layer, Map(ConstraintPrefix + name -> conditionSql))
+  }
+
+  def dropConstraint(layer: String, name: String,
+      ifExists: Boolean = false): Unit = {
+    if (!constraints(layer).contains(name)) {
+      if (ifExists) return
+      throw new NoSuchElementException(
+        s"layer '$layer' has no constraint '$name' " +
+          s"(defined: ${constraints(layer).keys.toSeq.sorted.mkString(", ")})")
+    }
+    setProperties(layer, Map(ConstraintPrefix + name -> ""))
+  }
+
+  /** Fail loudly if `df` violates any given constraint — the commit-time
+    * gate. One limit-1 job over the increment; zero cost when the layer
+    * has no constraints.
+    */
+  private def validateConstraints(layer: String, df: DataFrame,
+      checks: Seq[(String, String)], context: String): Unit = {
+    if (checks.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val anyViolated = checks.map { case (_, c) =>
+      not(coalesce(expr(c), lit(true)))
+    }.reduce(_ || _)
+    df.filter(anyViolated).limit(1).collect().headOption.foreach { r =>
+      throw new IllegalArgumentException(
+        s"$context violates CHECK constraint(s) " +
+          checks.map { case (n, c) => s"$n CHECK ($c)" }.mkString("; ") +
+          s" — example row: $r")
+    }
+  }
+
+  /** The increments-only enforcement hook every write path calls. */
+  private def enforceConstraints(layer: String, increment: DataFrame,
+      context: String): Unit =
+    validateConstraints(layer, increment, constraints(layer).toSeq, context)
 
   /** dv map of a snapshot (data-file rel → payload rel); empty when the
     * snapshot has none (incl. every self-contained snapshot).
@@ -1157,6 +1224,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val schemaDdl =
       SchemaEvolution.evolve(old, df.schema, allowNew = true,
         context = s"appendAtomic('$layer')").toDDL
+    enforceConstraints(layer, df, s"appendAtomic('$layer')")
     val partCols = carried
       .flatMap(_.split('/').dropRight(1).toSeq
         .filter(_.contains('='))
@@ -1482,6 +1550,11 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // merge's source added columns — carried old files then read null for
     // the additions through the recorded-schema hint
     val schemaDdl = rewritten.schema.toDDL
+    // constraint gate over exactly what this commit writes: the
+    // transformed affected rows + the merge's append leg. Carried files
+    // were valid when they landed; cost ∝ rewritten fraction, zero when
+    // the layer has no constraints
+    enforceConstraints(layer, rewritten, s"row op on '$layer'")
     val newSnap = new Path(s"$base/_v/${newVersionId()}")
     try {
       var writer = rewritten.write.format(config.format).mode("errorifexists")

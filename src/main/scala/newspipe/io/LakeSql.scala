@@ -67,6 +67,10 @@ object LakeSql {
       updates: Map[String, String]) extends LakeDml
   final case class LakeUnsetProps(base: String, layer: String,
       keys: Seq[String]) extends LakeDml
+  final case class LakeAddConstraint(base: String, layer: String,
+      name: String, conditionSql: String) extends LakeDml
+  final case class LakeDropConstraint(base: String, layer: String,
+      name: String, ifExists: Boolean) extends LakeDml
 
   /** The `lake`.`<basePath>`.`<layer>` target of a DML plan, seen through
     * any alias.
@@ -74,6 +78,8 @@ object LakeSql {
   private def lakeTarget(plan: LogicalPlan): Option[(String, String)] =
     plan match {
       case SubqueryAlias(_, child) => lakeTarget(child)
+      // AddCheckConstraint wraps its target in Filter(NOT cond, relation)
+      case Filter(_, child) => lakeTarget(child)
       case r: UnresolvedRelation => r.multipartIdentifier match {
         case Seq(cat, base, layer) if cat.equalsIgnoreCase("lake") =>
           Some((base, layer))
@@ -149,6 +155,20 @@ object LakeSql {
       lakeTarget(target).map { case (b, l) => LakeSetProps(b, l, props) }
     case UnsetTableProperties(target, keys, _) =>
       lakeTarget(target).map { case (b, l) => LakeUnsetProps(b, l, keys) }
+    // ALTER TABLE … ADD CONSTRAINT name CHECK (expr) / DROP CONSTRAINT —
+    // Spark 4 parses these natively; the CheckConstraint node carries the
+    // original condition SQL, which is exactly what the layer stores
+    case AddCheckConstraint(target, check) =>
+      lakeTarget(target).map { case (b, l) =>
+        LakeAddConstraint(b, l, check.userProvidedName, check.condition)
+      }
+    case DropConstraint(target, name, ifExists, cascade) =>
+      lakeTarget(target).map { case (b, l) =>
+        require(!cascade,
+          "lake DROP CONSTRAINT does not support CASCADE (CHECK " +
+            "constraints have no dependents)")
+        LakeDropConstraint(b, l, name, ifExists)
+      }
     case _ => None
   }
 
@@ -163,6 +183,7 @@ object LakeSql {
     */
   def isProps(dml: LakeDml): Boolean = dml match {
     case _: LakeSetProps | _: LakeUnsetProps => true
+    case _: LakeAddConstraint | _: LakeDropConstraint => true
     case _ => false
   }
 
@@ -193,18 +214,26 @@ object LakeSql {
     */
   def runProps(session: SparkSession, dml: LakeDml): Row = {
     val lake = new Lake(session, LakeConfig(basePath = dml.base))
-    val (op, merged) = dml match {
+    dml match {
       case LakeSetProps(_, layer, ups) =>
-        "SET TBLPROPERTIES" -> lake.setProperties(layer, ups)
+        propsRow("SET TBLPROPERTIES", lake.setProperties(layer, ups))
       case LakeUnsetProps(_, layer, keys) =>
-        "UNSET TBLPROPERTIES" ->
-          lake.setProperties(layer, keys.map(_ -> "").toMap)
+        propsRow("UNSET TBLPROPERTIES",
+          lake.setProperties(layer, keys.map(_ -> "").toMap))
+      case LakeAddConstraint(_, layer, name, cond) =>
+        lake.addConstraint(layer, name, cond)
+        Row("ADD CONSTRAINT", s"$name CHECK ($cond)")
+      case LakeDropConstraint(_, layer, name, ifExists) =>
+        lake.dropConstraint(layer, name, ifExists)
+        Row("DROP CONSTRAINT", name)
       case other => throw new IllegalStateException(
         s"row-op statement routed to runProps(): $other")
     }
+  }
+
+  private def propsRow(op: String, merged: Map[String, String]): Row =
     Row(op, merged.toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k=$v" }.mkString(","))
-  }
 
   /** Statement entry point for LIVE sessions (parser injection applies at
     * session build only): lake DML and maintenance statements execute

@@ -1,0 +1,102 @@
+package newspipe.io
+
+import newspipe.SparkTestBase
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** CHECK constraints: add-time validation of existing data, commit-time
+  * validation of every increment (and only the increment), standard-SQL
+  * NULL-passes semantics, and the ALTER TABLE statement surface.
+  */
+class LakeConstraintSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshLake(): Lake = {
+    val lake = new Lake(spark,
+      LakeConfig(basePath = Files.createTempDirectory("lake_ck").toString))
+    lake.writeAtomic((1 to 100).map(i => (i.toLong, i * 10L))
+      .toDF("id", "n").repartitionByRange(4, $"id"), "docs")
+    lake
+  }
+
+  test("addConstraint validates existing data and registers the rule") {
+    val lake = freshLake()
+    lake.addConstraint("docs", "pos_n", "n > 0")
+    lake.constraints("docs") shouldBe Map("pos_n" -> "n > 0")
+    // a constraint the existing data violates is refused with an example
+    val ex = intercept[IllegalArgumentException] {
+      lake.addConstraint("docs", "big_n", "n > 500")
+    }
+    ex.getMessage should include("big_n")
+    lake.constraints("docs").keySet shouldBe Set("pos_n")
+    // duplicate names are refused
+    an[IllegalArgumentException] should be thrownBy
+      lake.addConstraint("docs", "pos_n", "n > 1")
+  }
+
+  test("every write path gates its increment; valid commits pass") {
+    val lake = freshLake()
+    lake.addConstraint("docs", "pos_n", "n > 0")
+    // append
+    an[IllegalArgumentException] should be thrownBy
+      lake.appendAtomic(Seq((200L, -1L)).toDF("id", "n"), "docs")
+    lake.appendAtomic(Seq((200L, 5L)).toDF("id", "n"), "docs")
+    // update
+    an[IllegalArgumentException] should be thrownBy
+      lake.updateWhere("docs", $"id" === 1L, Map("n" -> lit(-5L)))
+    lake.updateWhere("docs", $"id" === 1L, Map("n" -> lit(7L)))
+    // merge
+    an[IllegalArgumentException] should be thrownBy
+      lake.mergeInto("docs", Seq((2L, 0L)).toDF("id", "n"), Seq("id"))
+    lake.mergeInto("docs", Seq((2L, 2L)).toDF("id", "n"), Seq("id"))
+    // overwrite
+    an[IllegalArgumentException] should be thrownBy
+      lake.writeAtomic(Seq((1L, -1L)).toDF("id", "n"), "docs")
+    // deletes never violate (they only remove rows)
+    lake.deleteWhere("docs", $"id" === 3L)
+    lake.read("docs").filter($"n" <= 0).count() shouldBe 0
+    lake.read("docs").filter($"id" === 1L).select("n").as[Long]
+      .head() shouldBe 7L
+  }
+
+  test("NULL conditions pass (standard CHECK); drop restores free writes") {
+    val lake = freshLake()
+    lake.addConstraint("docs", "pos_n", "n > 0")
+    // NULL n → condition NULL → passes
+    lake.appendAtomic(Seq((300L, Option.empty[Long]))
+      .toDF("id", "n"), "docs")
+    lake.read("docs").filter($"n".isNull).count() shouldBe 1
+    // drop, then a violating append is accepted
+    lake.dropConstraint("docs", "pos_n")
+    lake.constraints("docs") shouldBe Map.empty
+    lake.appendAtomic(Seq((301L, -9L)).toDF("id", "n"), "docs")
+    // missing name is loud; ifExists is silent
+    a[NoSuchElementException] should be thrownBy
+      lake.dropConstraint("docs", "nope")
+    lake.dropConstraint("docs", "nope", ifExists = true)
+  }
+
+  test("ALTER TABLE ADD/DROP CONSTRAINT statement surface") {
+    val lake = freshLake()
+    val dir = Files.createTempDirectory("lake_ck_sql").toString
+    val sqlLake = new Lake(spark, LakeConfig(basePath = dir))
+    sqlLake.writeAtomic((1 to 50).map(i => (i.toLong, i * 10L))
+      .toDF("id", "n").repartitionByRange(2, $"id"), "docs")
+    val m = LakeSql.sql(spark,
+      s"ALTER TABLE lake.`$dir`.docs ADD CONSTRAINT pos_n CHECK (n > 0)")
+      .collect().head
+    m.getString(0) shouldBe "ADD CONSTRAINT"
+    m.getString(1) shouldBe "pos_n CHECK (n > 0)"
+    // the UPDATE statement now gates through the same rule
+    an[Exception] should be thrownBy LakeSql.sql(spark,
+      s"UPDATE lake.`$dir`.docs SET n = -1 WHERE id = 5")
+    LakeSql.sql(spark, s"UPDATE lake.`$dir`.docs SET n = 55 WHERE id = 5")
+    val d = LakeSql.sql(spark,
+      s"ALTER TABLE lake.`$dir`.docs DROP CONSTRAINT pos_n").collect().head
+    d.getString(0) shouldBe "DROP CONSTRAINT"
+    LakeSql.sql(spark, s"UPDATE lake.`$dir`.docs SET n = -1 WHERE id = 5")
+    sqlLake.read("docs").filter($"id" === 5L).select("n").as[Long]
+      .head() shouldBe -1L
+    lake.constraints("docs") shouldBe Map.empty // unrelated layer untouched
+  }
+}
