@@ -1718,6 +1718,149 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
         .orderBy("source")
+    }),
+
+    // ---- Extension: OLAP multidimensional aggregates (round 9) -------------
+
+    // ROLLUP hierarchy: detail → per-flag subtotal → grand total in ONE
+    // aggregate pass (Spark expands grouping sets before the shuffle, so
+    // partial aggregation covers all three levels — no self-union of
+    // aggregates). grouping_id disambiguates rolled-up from data nulls;
+    // the integral-valued DOUBLE quantity is cast to bigint so every sum
+    // is exact on both engines.
+    "q103_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // CUBE: all 2^d grouping sets in one pass; money sums compare exactly
+    // via floor-to-cents (floor after one correctly-rounded multiply is
+    // bit-identical on any IEEE engine, unlike float sums or HALF_UP
+    // rounding at a representation boundary)
+    "q104_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100).cast("bigint")).as("sum_cents"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // PIVOT with an EXPLICIT value list — the scale-safe form: inferring
+    // pivot values runs a distinct scan on the driver before planning;
+    // pinned values keep it one pass, and make the output schema stable
+    // (a new event type can't silently widen the table). Missing cells are
+    // 0 (absence of rows), not null.
+    "q105_pivot" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("day", date_format(eventTs(ev0), "yyyy-MM-dd"))
+      ev.groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(col("day"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("error"), lit(0L)).as("error"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"),
+          coalesce(col("signup"), lit(0L)).as("signup"),
+          coalesce(col("view"), lit(0L)).as("view"))
+        .orderBy("day")
+    }),
+
+    // Approx-quantile sketch with an explicit error contract (q32's HLL
+    // pattern): percentile_approx (mergeable KLL-style sketch — the 100 TB
+    // path, map-side partial merge, no per-group value buffering) must
+    // land within the exact ±1-percentile band; the exact percentiles ride
+    // along for the oracle to recompute. accuracy=1000 bounds rank error
+    // at n/1000 ≪ the 2·n/100 band at every SF.
+    "q106_quantile_sketch" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.50)").as("__e50"),
+          expr("percentile(l_extendedprice, 0.49)").as("__l50"),
+          expr("percentile(l_extendedprice, 0.51)").as("__h50"),
+          expr("percentile(l_extendedprice, 0.90)").as("__e90"),
+          expr("percentile(l_extendedprice, 0.89)").as("__l90"),
+          expr("percentile(l_extendedprice, 0.91)").as("__h90"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("__a50"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000))
+            .as("__a90"))
+        .select(col("l_returnflag"),
+          round(col("__e50"), 6).as("p50"),
+          round(col("__e90"), 6).as("p90"),
+          (col("__a50") >= col("__l50") && col("__a50") <= col("__h50"))
+            .as("a50_in_band"),
+          (col("__a90") >= col("__l90") && col("__a90") <= col("__h90"))
+            .as("a90_in_band"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- Extension: corpus curation, round 9 -------------------------------
+
+    // Per-doc TF-IDF keyword profile (smoothed idf, deterministic per-doc
+    // top-3)
+    "q107_tfidf" -> ((s, dir) => {
+      newspipe.ops.Retrieval.tfIdf(t(s, dir, "documents"), "doc_id", "text",
+          k = 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          round(col("tfidf"), 6).as("tfidf"), col("rank"))
+        .orderBy("doc_id", "rank")
+    }),
+
+    // DSIR importance resampling toward the en slice: hashed-unigram
+    // bucket distributions (256 buckets), add-1 smoothing, deterministic
+    // Gumbel-noised top-100 — the oracle replays the full model from the
+    // same md5 feature hash
+    "q108_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      newspipe.ops.Dsir.select(
+          target = docs.filter(col("lang") === "en"),
+          raw = docs, idCol = "doc_id", textCol = "text",
+          n = 100, buckets = 256)
+        .select(col("doc_id"), round(col("log_weight"), 6).as("log_weight"),
+          col("rank"))
+        .orderBy("rank")
+    }),
+
+    // PageRank over the nation-level trade graph (customer nation →
+    // supplier nation), 3 unnormalized power-iteration rounds — the
+    // iterative-join family (CC's sibling) with a closed-form SQL replay
+    "q109_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      newspipe.ops.PageRank.pageRank(edges, iterations = 3)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+        .orderBy("id")
+    }),
+
+    // Prototype pruning (Sorscher et al.): nearest-centroid assignment
+    // against deterministic seed centroids, keep the least prototypical
+    // half of every cluster — double-cast vectors so cosine is
+    // bit-identical to the oracle's DOUBLE[] math (q29's convention)
+    "q110_prototypes" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .filter(Similarity.l2Norm(col("v")) > 0)
+      val cents = newspipe.ops.Prototypes.seedCentroids(emb, "vec_id", "v",
+        k = 8)
+      newspipe.ops.Prototypes.prune(emb, "vec_id", "v", cents,
+          keepFraction = 0.5)
+        .select(col("vec_id"), col("cluster"),
+          round(col("proximity"), 6).as("proximity"), col("keep"))
+        .orderBy("vec_id")
     })
   )
 
@@ -3321,6 +3464,190 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ---- round 9: OLAP multidimensional aggregates -------------------------
+
+    // GROUPING() bitmask semantics are shared (Postgres convention: bit
+    // per column in declaration order, 1 = rolled up); quantity sums cast
+    // to bigint are exact
+    "q103_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin,
+
+    // floor-to-cents before summing: one correctly-rounded multiply + floor
+    // is bit-identical on both engines, so the money totals compare exactly
+    "q104_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+        .stripMargin,
+
+    // pivot = conditional aggregation with the same pinned value list;
+    // FILTER gives 0 (not null) for empty cells, matching the coalesce
+    "q105_pivot" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact percentiles recomputed (quantile_cont = Spark's percentile:
+    // both interpolate at rank p·(n−1)); the sketch's band contract is
+    // asserted Spark-side and lands as constant true
+    "q106_quantile_sketch" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.90), 6) AS p90,
+        |  true AS a50_in_band, true AS a90_in_band
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ---- round 9: corpus curation ------------------------------------------
+
+    // replays tfIdf: house tokenizer, (doc, term) tf, per-term df, smoothed
+    // idf ln((N+1)/(df+1)); per-doc rank (score desc, token asc) — ties in
+    // score only arise from equal (tf, df), which order identically
+    "q107_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+        |      x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, token) AS rank
+        |  FROM scored)
+        |SELECT doc_id, token, tf, df, round(score, 6) AS tfidf, rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // replays the full DSIR model: md5-bucketed unigram features, add-1
+    // smoothed bucket log-probs for target (lang='en') vs raw (all docs),
+    // per-doc summed log ratio, deterministic Gumbel key, top-100
+    "q108_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+        |      x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 256 AS BIGINT)
+        |      AS bucket
+        |  FROM toks),
+        |b AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(256)),
+        |tc AS (
+        |  SELECT bucket, count(*) AS c FROM tb
+        |  JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT bucket, count(*) AS c FROM tb GROUP BY 1),
+        |tt AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS tot FROM tc),
+        |rt AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS tot FROM rc),
+        |ratio AS (
+        |  SELECT b.bucket,
+        |    ln((coalesce(tc.c, 0) + 1.0) / (tt.tot + 256.0)) -
+        |    ln((coalesce(rc.c, 0) + 1.0) / (rt.tot + 256.0)) AS lr
+        |  FROM b LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+        |  CROSS JOIN tt CROSS JOIN rt),
+        |w AS (
+        |  SELECT d.doc_id, coalesce(s.lw, 0.0) AS log_weight
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d
+        |  LEFT JOIN (
+        |    SELECT tb.doc_id, sum(r.lr) AS lw
+        |    FROM tb JOIN ratio r USING (bucket) GROUP BY 1) s USING (doc_id)),
+        |k AS (
+        |  SELECT doc_id, log_weight,
+        |    log_weight + (-ln(-ln(
+        |      (('0x' || substr(md5('dsir' || chr(0) ||
+        |        CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+        |      / 4294967296.0))) AS key
+        |  FROM w),
+        |top AS (
+        |  SELECT doc_id, log_weight,
+        |    row_number() OVER (ORDER BY key DESC, doc_id) AS rank
+        |  FROM k ORDER BY key DESC, doc_id LIMIT 100)
+        |SELECT doc_id, round(log_weight, 6) AS log_weight, rank
+        |FROM top ORDER BY rank""".stripMargin,
+
+    // replays 3 unnormalized power-iteration rounds as chained CTEs (the
+    // loop unrolled — same per-round join/aggregate the engine runs);
+    // (1.0 - 0.85) is written as the same IEEE subtraction the operator
+    // computes
+    "q109_pagerank" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+        |    CAST(s.s_nationkey AS BIGINT) AS dst
+        |  FROM orders o
+        |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |pr0 AS (SELECT id, 1.0 AS rank FROM nodes),
+        |pr1 AS (
+        |  SELECT n.id, (1.0 - 0.85) + 0.85 * coalesce(c.m, 0.0) AS rank
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS id, sum(p.rank / deg.d) AS m
+        |    FROM pr0 p JOIN edges e ON e.src = p.id JOIN deg ON deg.src = p.id
+        |    GROUP BY e.dst) c ON c.id = n.id),
+        |pr2 AS (
+        |  SELECT n.id, (1.0 - 0.85) + 0.85 * coalesce(c.m, 0.0) AS rank
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS id, sum(p.rank / deg.d) AS m
+        |    FROM pr1 p JOIN edges e ON e.src = p.id JOIN deg ON deg.src = p.id
+        |    GROUP BY e.dst) c ON c.id = n.id),
+        |pr3 AS (
+        |  SELECT n.id, (1.0 - 0.85) + 0.85 * coalesce(c.m, 0.0) AS rank
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS id, sum(p.rank / deg.d) AS m
+        |    FROM pr2 p JOIN edges e ON e.src = p.id JOIN deg ON deg.src = p.id
+        |    GROUP BY e.dst) c ON c.id = n.id)
+        |SELECT id, round(rank, 6) AS rank FROM pr3 ORDER BY id""".stripMargin,
+
+    // replays prototype pruning: 8 smallest-id seed centroids, max-cosine
+    // assignment (DOUBLE[] math is bit-identical to the double-cast Spark
+    // side), keep the farthest ceil(n/2) per cluster
+    "q110_prototypes" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[])) > 0),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_dot_product(e.v, c.cv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) *
+        |       sqrt(list_dot_product(c.cv, c.cv))) AS prox
+        |  FROM e CROSS JOIN c),
+        |a AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY prox DESC, cid) AS rn
+        |  FROM scored),
+        |asg AS (SELECT vec_id, cid AS cluster, prox FROM a WHERE rn = 1),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY prox ASC, vec_id) AS rk,
+        |    count(*) OVER (PARTITION BY cluster) AS n
+        |  FROM asg)
+        |SELECT vec_id, cluster, round(prox, 6) AS proximity,
+        |  rk <= CAST(ceil(n * 0.5) AS BIGINT) AS keep
+        |FROM r ORDER BY vec_id""".stripMargin,
 
     // DV deletes replayed as the complement filter: doc_id is never null,
     // so the two modular predicates compose as plain OR

@@ -69,4 +69,40 @@ object Retrieval {
     bm25(corpus, idCol, textCol, queryTerms)
       .orderBy(desc("score"), col(idCol))
       .limit(k)
+
+  /** Top-k TF-IDF terms per document — the per-doc keyword profile used
+    * for topic tagging and domain labeling of corpus slices. Smoothed idf
+    * `ln((N+1)/(df+1))` (never negative, defined for df=N), score
+    * `tf · idf`, deterministic per-doc ranking (score desc, token asc).
+    *
+    * Scale shape: two aggregation shuffles — (doc, term) term frequency and
+    * per-term document frequency — both with map-side partial combine; the
+    * tf⋈df equi-join is on `token`, which AQE broadcast-converts when the
+    * vocabulary is small and shuffles otherwise (a web-scale vocabulary is
+    * NOT broadcastable — don't force it). The final per-doc top-k is a
+    * window over (doc) partitions: rank ≤ k prunes before anything wide.
+    *
+    * @return (idCol, token, tf, df, tfidf, rank), rank 1..k per doc.
+    */
+  def tfIdf(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = Par.ensure(corpus.select(col(idCol), col(textCol).as("__t")))
+      .select(col(idCol), explode(Dedup.tokens(col("__t"))).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = corpus.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("token").asc)
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("__score",
+        col("tf") * log((col("__n") + 1.0) / (col("df") + 1.0)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        col("__score").as("tfidf"), col("rank"))
+  }
 }

@@ -57,4 +57,28 @@ class RetrievalSpec extends SparkTestBase {
       .as[(Long, Double)].collect().toMap
     out(7L) should be > out(6L)
   }
+
+  test("tfIdf: k terms per doc, ubiquitous terms rank below distinctive ones") {
+    val out = Retrieval.tfIdf(corpus, "doc_id", "text", k = 2)
+      .select("doc_id", "token", "rank").as[(Long, String, Int)].collect()
+    out.groupBy(_._1).values.foreach { rows =>
+      rows.length should be <= 2
+      rows.map(_._3).sorted shouldBe (1 to rows.length)
+    }
+    // doc 3's profile is its distinctive cooking vocabulary, never 'and'
+    // ('and' is in 4/5 docs — low idf)
+    val doc3 = out.filter(_._1 == 3L).map(_._2).toSet
+    doc3.intersect(Set("garlic", "onions", "cooking", "recipes")) should not be empty
+    doc3 should not contain "and"
+  }
+
+  test("tfIdf rank is deterministic: ties on score break by token") {
+    // two tokens with identical (tf, df) in the same doc → identical score;
+    // rank must order them lexicographically, stably across partitionings
+    val tiny = Seq((1L, "zeta alpha"), (2L, "beta other")).toDF("doc_id", "text")
+    val r = Retrieval.tfIdf(tiny.repartition(3), "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 1L).orderBy("rank")
+      .select("token").as[String].collect()
+    r shouldBe Array("alpha", "zeta")
+  }
 }
