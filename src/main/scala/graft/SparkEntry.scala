@@ -1861,6 +1861,27 @@ object SparkEntry {
         .select(col("vec_id"), col("cluster"),
           round(col("proximity"), 6).as("proximity"), col("keep"))
         .orderBy("vec_id")
+    }),
+
+    // SQL surface of the round-9 curation ops — same kernels in FROM
+    // position; oracles are q107/q108's texts verbatim (SQL = API)
+    "q111_sql_tfidf" -> ((s, dir) => {
+      newspipe.NewspipeExtensions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("docs_sql_tfidf")
+      s.sql("""SELECT doc_id, token, tf, df, round(tfidf, 6) AS tfidf, rank
+              |FROM tfidf('docs_sql_tfidf', 'doc_id', 'text', 3)
+              |ORDER BY doc_id, rank""".stripMargin)
+    }),
+    "q112_sql_dsir" -> ((s, dir) => {
+      newspipe.NewspipeExtensions.register(s)
+      val docs = t(s, dir, "documents")
+      docs.createOrReplaceTempView("docs_sql_dsir_raw")
+      docs.filter(col("lang") === "en")
+        .createOrReplaceTempView("docs_sql_dsir_tgt")
+      s.sql("""SELECT doc_id, round(log_weight, 6) AS log_weight, rank
+              |FROM dsir_select('docs_sql_dsir_tgt', 'docs_sql_dsir_raw',
+              |  'doc_id', 'text', 100, 256)
+              |ORDER BY rank""".stripMargin)
     })
   )
 
@@ -3695,6 +3716,8 @@ object SparkEntry {
       "q93_sql_lake_update" -> base("q86_lake_update"),
       "q94_sql_lake_merge" -> base("q87_lake_merge"),
       "q80_sql_chunk" -> base("q74_chunk"),
-      "q81_sql_knn_join" -> base("q53_knn_join"))
+      "q81_sql_knn_join" -> base("q53_knn_join"),
+      "q111_sql_tfidf" -> base("q107_tfidf"),
+      "q112_sql_dsir" -> base("q108_dsir"))
   }
 }

@@ -342,6 +342,41 @@ object NewspipeExtensions {
           val spark = SparkSession.active
           NewspipeSqlBridge.logicalPlan(newspipe.ops.Similarity.knnJoin(
             spark.table(names(0)), names(1), names(2), dim, k, eager = false))
+        }),
+      // per-doc TF-IDF keyword profiles in FROM position:
+      //   SELECT * FROM tfidf('docs', 'doc_id', 'text', 3)
+      // → (doc_id, token, tf, df, tfidf, rank). Lazy: pure DataFrame plan.
+      (new FunctionIdentifier("tfidf"),
+        new ExpressionInfo("newspipe.NewspipeExtensions", "tfidf"),
+        (children: Seq[Expression]) => {
+          require(children.length == 4,
+            "tfidf(table, id_col, text_col, k) takes 4 arguments")
+          val names = children.take(3).map(stringArg("tfidf", _))
+          val k = longArg("tfidf", children(3)).intValue()
+          require(k > 0, s"tfidf k must be positive, got $k")
+          val spark = SparkSession.active
+          NewspipeSqlBridge.logicalPlan(newspipe.ops.Retrieval.tfIdf(
+            spark.table(names(0)), names(1), names(2), k))
+        }),
+      // DSIR importance selection in FROM position:
+      //   SELECT * FROM dsir_select('wiki_docs', 'raw_docs', 'doc_id',
+      //                             'text', 100, 1024)
+      // → (doc_id, log_weight, rank), the n most target-like raw docs.
+      // Lazy: the ratio model, scoring and Gumbel top-n are one plan.
+      (new FunctionIdentifier("dsir_select"),
+        new ExpressionInfo("newspipe.NewspipeExtensions", "dsir_select"),
+        (children: Seq[Expression]) => {
+          require(children.length == 6,
+            "dsir_select(target_table, raw_table, id_col, text_col, n, " +
+              "buckets) takes 6 arguments")
+          val names = children.take(4).map(stringArg("dsir_select", _))
+          val n = longArg("dsir_select", children(4)).intValue()
+          val buckets = longArg("dsir_select", children(5)).intValue()
+          require(n > 0, s"dsir_select n must be positive, got $n")
+          val spark = SparkSession.active
+          NewspipeSqlBridge.logicalPlan(newspipe.ops.Dsir.select(
+            spark.table(names(0)), spark.table(names(1)), names(2),
+            names(3), n, buckets))
         }))
 
   /** Register on a live session (the extensions hook only applies at session

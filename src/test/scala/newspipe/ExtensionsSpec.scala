@@ -236,6 +236,49 @@ class ExtensionsSpec extends SparkTestBase {
     sql.filter(_._4 == 1).foreach { case (q, n, _, _) => (n / 8) shouldBe (q / 8) }
   }
 
+  test("tfidf is callable in FROM position and matches the DataFrame API") {
+    NewspipeExtensions.register(spark)
+    import spark.implicits._
+    Seq(
+      (1L, "spark shuffles and spark plans"),
+      (2L, "garlic onions and braising"),
+      (3L, "spark plans for braising garlic")
+    ).toDF("doc_id", "text").createOrReplaceTempView("tdocs")
+    val sql = spark.sql(
+      "SELECT doc_id, token, tf, df, round(tfidf, 6) AS s, rank " +
+        "FROM tfidf('tdocs', 'doc_id', 'text', 2) ORDER BY doc_id, rank")
+      .as[(Long, String, Long, Long, Double, Int)].collect().toSeq
+    val df = newspipe.ops.Retrieval.tfIdf(spark.table("tdocs"),
+        "doc_id", "text", k = 2)
+      .selectExpr("doc_id", "token", "tf", "df", "round(tfidf, 6) AS s", "rank")
+      .orderBy("doc_id", "rank")
+      .as[(Long, String, Long, Long, Double, Int)].collect().toSeq
+    sql shouldBe df
+    sql.count(_._6 == 1) shouldBe 3 // one top term per doc
+  }
+
+  test("dsir_select is callable in FROM position and matches the DataFrame API") {
+    NewspipeExtensions.register(spark)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "stars galaxies telescopes"), (2L, "galaxies stars nebulae"),
+      (10L, "stars galaxies observed"), (11L, "garlic onions dinner"),
+      (12L, "telescopes stars galaxies"), (13L, "braising onions butter")
+    ).toDF("doc_id", "text")
+    docs.filter($"doc_id" < 10).createOrReplaceTempView("dsir_tgt")
+    docs.filter($"doc_id" >= 10).createOrReplaceTempView("dsir_raw")
+    val sql = spark.sql(
+      "SELECT doc_id, round(log_weight, 6) AS w, rank " +
+        "FROM dsir_select('dsir_tgt', 'dsir_raw', 'doc_id', 'text', 2, 4096) " +
+        "ORDER BY rank")
+      .as[(Long, Double, Int)].collect().toSeq
+    val df = newspipe.ops.Dsir.select(spark.table("dsir_tgt"),
+        spark.table("dsir_raw"), "doc_id", "text", n = 2, buckets = 4096)
+      .selectExpr("doc_id", "round(log_weight, 6) AS w", "rank")
+      .orderBy("rank").as[(Long, Double, Int)].collect().toSeq
+    sql shouldBe df
+  }
+
   test("table functions reject non-literal and wrong-arity arguments") {
     NewspipeExtensions.register(spark)
     intercept[Exception] {
