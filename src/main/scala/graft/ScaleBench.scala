@@ -221,6 +221,39 @@ object ScaleBench {
         size = 30, overlap = 10).count()
     }
     out("q74_chunk") = (nCh, tCh)
+
+    // q107 shape: TF-IDF top-3 — two partial-combined aggregates + a
+    // (doc)-partitioned window; rows = 3·docs by construction (every doc
+    // has ≥3 distinct tokens at every copy factor)
+    val (nTf, tTf) = timed {
+      newspipe.ops.Retrieval.tfIdf(docs, "doc_id", "text", k = 3).count()
+    }
+    out("q107_tfidf") = (nTf, tTf)
+
+    // q108 shape: DSIR scoring — the model stays 1024 rows at ANY corpus
+    // size (the broadcast invariant the op is built around); scored rows
+    // = docs. Target = the doc_id%5 fifth of each copy
+    val (nDs, tDs) = timed {
+      val tgt = docs.filter(col("doc_id") % 5 === 0)
+      val ratios = newspipe.ops.Dsir.logRatios(tgt, docs, "text",
+        buckets = 1024)
+      newspipe.ops.Dsir.importanceWeights(docs, "doc_id", "text", ratios,
+        buckets = 1024).count()
+    }
+    out("q108_dsir_weights") = (nDs, tDs)
+
+    // q109 shape: PageRank, 3 rounds over a deterministic 2-out-degree
+    // modular graph on the doc id space — nodes ≈ 3·docs (srcs + mostly
+    // distinct synthetic dsts), per-round join+agg cost linear
+    val idSpace = copies.toLong * 10000000L
+    val (nPr, tPr) = timed {
+      val edges = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7919L) % idSpace).as("dst"))
+        .union(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 104729L) % idSpace).as("dst")))
+      newspipe.ops.PageRank.pageRank(edges, iterations = 3).count()
+    }
+    out("q109_pagerank") = (nPr, tPr)
     out.toMap
   }
 

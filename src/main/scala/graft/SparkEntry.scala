@@ -1882,6 +1882,55 @@ object SparkEntry {
               |FROM dsir_select('docs_sql_dsir_tgt', 'docs_sql_dsir_raw',
               |  'doc_id', 'text', 100, 256)
               |ORDER BY rank""".stripMargin)
+    }),
+
+    // Mergeable sketch COLUMNS (datasketches HLL): per-(lang, source)
+    // sketches unioned per lang without touching rows again — the
+    // incremental-distinct pattern (per-shard/per-day sketches stored
+    // small, merged on read; a 100 TB distinct-users query becomes a
+    // shards-sized union). Estimate must land within ±5% of exact
+    // (lgK=14 ⇒ ~0.8% rse; doc_id is globally unique so per-source
+    // distincts sum exactly per lang), q32's contract pattern.
+    "q113_sketch_union" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang", "source")
+        .agg(expr("hll_sketch_agg(doc_id, 14)").as("sk"),
+          countDistinct("doc_id").as("ex"))
+        .groupBy("lang")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"),
+          sum("ex").as("exact_docs"))
+        .select(col("lang"), col("exact_docs"),
+          (abs(col("approx") - col("exact_docs")) <=
+            col("exact_docs") * lit(0.05)).as("within_5pct"))
+        .orderBy("lang")
+    }),
+
+    // Theta-sketch corpus overlap (set INTERSECTION, which HLL can't do):
+    // estimate |A|, |B|, |A∩B| from two one-pass treeReduce'd sketches —
+    // the pre-scrub contamination estimate that decides whether to pay for
+    // the exact anti-join. Below 2^lgK distinct keys the sketch is in
+    // exact mode, so the bands are tight; exact counts ride along for the
+    // oracle (q32's contract pattern).
+    "q114_theta_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      val a = d.filter(col("doc_id") % 3 =!= 0)
+      val b = d.filter(col("doc_id") % 2 === 0)
+      val rep = newspipe.ops.ThetaOverlap.report(a, b, "doc_id")
+      val exact = d.agg(
+        countDistinct(when(col("doc_id") % 3 =!= 0, col("doc_id")))
+          .as("a_exact"),
+        countDistinct(when(col("doc_id") % 2 === 0, col("doc_id")))
+          .as("b_exact"),
+        countDistinct(when(col("doc_id") % 3 =!= 0 &&
+          col("doc_id") % 2 === 0, col("doc_id"))).as("i_exact"))
+      exact.crossJoin(rep)
+        .select(col("a_exact"), col("b_exact"), col("i_exact"),
+          (abs(col("a_distinct") - col("a_exact")) <=
+            col("a_exact") * lit(0.02)).as("a_in_band"),
+          (abs(col("b_distinct") - col("b_exact")) <=
+            col("b_exact") * lit(0.02)).as("b_in_band"),
+          (abs(col("intersection") - col("i_exact")) <=
+            col("i_exact") * lit(0.05)).as("i_in_band"))
     })
   )
 
@@ -3718,6 +3767,24 @@ object SparkEntry {
       "q80_sql_chunk" -> base("q74_chunk"),
       "q81_sql_knn_join" -> base("q53_knn_join"),
       "q111_sql_tfidf" -> base("q107_tfidf"),
-      "q112_sql_dsir" -> base("q108_dsir"))
+      "q112_sql_dsir" -> base("q108_dsir"),
+      // sketch-union contract: exact per-lang distincts recomputed, the
+      // ±5% band asserted Spark-side lands as constant true
+      "q113_sketch_union" ->
+        """SELECT lang, count(DISTINCT doc_id) AS exact_docs,
+          |  true AS within_5pct
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      // theta-overlap contract: exact slice distincts recomputed, bands
+      // asserted Spark-side land as constant true
+      "q114_theta_overlap" ->
+        """SELECT
+          |  count(DISTINCT CASE WHEN doc_id % 3 <> 0 THEN doc_id END)
+          |    AS a_exact,
+          |  count(DISTINCT CASE WHEN doc_id % 2 = 0 THEN doc_id END)
+          |    AS b_exact,
+          |  count(DISTINCT CASE WHEN doc_id % 3 <> 0 AND doc_id % 2 = 0
+          |    THEN doc_id END) AS i_exact,
+          |  true AS a_in_band, true AS b_in_band, true AS i_in_band
+          |FROM documents""".stripMargin)
   }
 }
