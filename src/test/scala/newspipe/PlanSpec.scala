@@ -406,4 +406,44 @@ class PlanSpec extends SparkTestBase {
     plan should not include "CartesianProduct"
     plan should not include "Window"
   }
+
+
+  test("rollup/cube: ONE Expand + one partial-combined aggregate, never a union of aggregates") {
+    val df = spark.read.parquet(s"$parquetDir/flat")
+    val plan = executed(df.rollup($"country", $"bucket")
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid")))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    "Expand".r.findAllIn(finalPlan).length shouldBe 1
+    plan should include("partial_count")
+    plan should not include "Union"
+  }
+
+  test("tfIdf: per-doc window prunes at rank<=k; tf and df aggregates partial-combine") {
+    val docs = spark.read.parquet(s"$parquetDir/flat")
+      .select($"id", concat_ws(" ", $"name", $"country").as("text"))
+    val plan = executed(newspipe.ops.Retrieval.tfIdf(docs, "id", "text", k = 2))
+    plan should include("partial_count")
+    plan should include("Window")
+    // the only single-partition stage allowed is the 1-row corpus-count
+    // broadcast; the top-k window itself must partition by doc
+    plan should include("windowspecdefinition(id#")
+  }
+
+  test("DSIR scoring: the ratio model rides a BroadcastHashJoin onto the token stream") {
+    val docs = spark.read.parquet(s"$parquetDir/flat")
+      .select($"id", concat_ws(" ", $"name", $"country").as("text"))
+    val target = docs.filter($"id" % 5 === 0)
+    val ratios = newspipe.ops.Dsir.logRatios(target, docs, "text", buckets = 64)
+    val plan = executed(newspipe.ops.Dsir.importanceWeights(
+      docs, "id", "text", ratios, buckets = 64))
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("PageRank round: rank-edge equi-join + partial-combined sum, lineage truncated to checkpoints") {
+    val edges = (1L to 2000L).map(i => (i, i * 13 % 501)).toDF("src", "dst")
+    val out = newspipe.ops.PageRank.pageRank(edges, iterations = 2)
+    // the RETURNED frame is the checkpointed final round: a scan, not a
+    // 2-round join tower (retry cost is one round, not the whole history)
+    out.queryExecution.optimizedPlan.toString should include("LogicalRDD")
+  }
 }

@@ -446,4 +446,52 @@ class StreamingSpec extends SparkTestBase {
     got.select("URL", "SENTIMENT_LABEL").as[(String, String)].collect().toSet shouldBe
       batch.select("URL", "SENTIMENT_LABEL").as[(String, String)].collect().toSet
   }
+
+
+  test("stream-stream interval join: clicks enrich with the preceding impression only") {
+    implicit val sqlCtx = spark.sqlContext
+    val impressions = MemoryStream[(java.sql.Timestamp, String, String)]
+    val clicks = MemoryStream[(java.sql.Timestamp, String, String)]
+    impressions.addData(
+      (ts("2026-01-01 00:00:00"), "u1", "ad_a"),
+      (ts("2026-01-01 00:02:00"), "u2", "ad_b"),
+      (ts("2026-01-01 00:30:00"), "u1", "ad_c"))
+    clicks.addData(
+      (ts("2026-01-01 00:05:00"), "u1", "c1"), // 5 min after ad_a: joins
+      (ts("2026-01-01 00:05:00"), "u2", "c2"), // 3 min after ad_b: joins
+      (ts("2026-01-01 00:25:00"), "u1", "c3")) // 25 min after ad_a: outside tolerance
+
+    val joined = StreamJoin.withinInterval(
+      clicks.toDF().toDF("click_ts", "user", "click_id"),
+      impressions.toDF().toDF("imp_ts", "user", "ad"),
+      key = "user", tsL = "click_ts", tsR = "imp_ts",
+      tolerance = "10 minutes", watermark = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("ss_join").select("click_id", "ad")
+      .as[(String, String)].collect().toSet
+    got shouldBe Set(("c1", "ad_a"), ("c2", "ad_b"))
+  }
+
+  test("stream-stream join state is bounded: the physical plan carries watermarks and the interval condition") {
+    implicit val sqlCtx = spark.sqlContext
+    val l = MemoryStream[(java.sql.Timestamp, String, String)]
+    val r = MemoryStream[(java.sql.Timestamp, String, String)]
+    l.addData((ts("2026-01-01 00:05:00"), "k", "x"))
+    r.addData((ts("2026-01-01 00:04:00"), "k", "y"))
+    val joined = StreamJoin.withinInterval(
+      l.toDF().toDF("lts", "key", "lv"), r.toDF().toDF("rts", "key", "rv"),
+      "key", "lts", "rts", tolerance = "5 minutes", watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ss_state")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      plan should include("StreamingSymmetricHashJoin")
+      spark.table("ss_state").count() shouldBe 1
+    } finally q.stop()
+  }
 }
