@@ -1931,6 +1931,28 @@ object SparkEntry {
             col("b_exact") * lit(0.02)).as("b_in_band"),
           (abs(col("intersection") - col("i_exact")) <=
             col("i_exact") * lit(0.05)).as("i_in_band"))
+    }),
+
+    // DESCRIBE HISTORY (Delta parity): operation labels recorded at commit
+    // time, read back through the SQL statement surface after a
+    // write→delete→append→restore chain. Version ids/timestamps are
+    // run-dependent, so the query exposes the deterministic (ordinal,
+    // operation) projection; the oracle is the literal expected ledger.
+    "q115_lake_history" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q115_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents")
+      lake.writeAtomic(docs, "docs")
+      lake.deleteWhere("docs", col("lang") === "zh")
+      lake.appendAtomic(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")), "docs")
+      val v1 = lake.listVersions("docs").last // oldest = the initial write
+      lake.restore("docs", v1)
+      newspipe.io.LakeSql.sql(s, s"DESCRIBE HISTORY lake.`$root`.docs")
+        .select(col("ordinal"), col("operation"))
+        .orderBy("ordinal")
     })
   )
 
@@ -3785,6 +3807,11 @@ object SparkEntry {
           |  count(DISTINCT CASE WHEN doc_id % 3 <> 0 AND doc_id % 2 = 0
           |    THEN doc_id END) AS i_exact,
           |  true AS a_in_band, true AS b_in_band, true AS i_in_band
-          |FROM documents""".stripMargin)
+          |FROM documents""".stripMargin,
+      // the deterministic commit ledger of q115's op chain
+      "q115_lake_history" ->
+        """SELECT * FROM (VALUES (1, 'WRITE'), (2, 'DELETE'), (3, 'APPEND'),
+          |  (4, 'RESTORE')) AS t(ordinal, operation)
+          |ORDER BY ordinal""".stripMargin)
   }
 }

@@ -252,6 +252,19 @@ object NewspipeExtensions {
             newspipe.io.LakeConfig(basePath = args(0)))
             .changeFeedKeyed(args(1), args(2), args(3), keys))
         }),
+      // commit history in FROM position (Delta's DESCRIBE HISTORY as a
+      // queryable table): SELECT * FROM lake_history('/lake/root','docs')
+      // → (ordinal, version, operation, parent), oldest first
+      (new FunctionIdentifier("lake_history"),
+        new ExpressionInfo("newspipe.NewspipeExtensions", "lake_history"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            "lake_history(base_path, layer) takes 2 arguments")
+          val args = children.map(stringArg("lake_history", _))
+          val spark = SparkSession.active
+          NewspipeSqlBridge.logicalPlan(new newspipe.io.Lake(spark,
+            newspipe.io.LakeConfig(basePath = args(0))).history(args(1)))
+        }),
       (new FunctionIdentifier("asof_join"),
         new ExpressionInfo("newspipe.NewspipeExtensions", "asof_join"),
         (children: Seq[Expression]) => {

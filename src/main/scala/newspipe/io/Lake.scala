@@ -99,7 +99,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   def writeAtomic(df: DataFrame, layer: String,
       partitionBy: Seq[String] = Nil): String =
-    writeSnapshot(df, layer, partitionBy, requireParent = None)
+    writeSnapshot(df, layer, partitionBy, requireParent = None, op = "WRITE")
 
   /** Optimistic-concurrency overwrite: commits only if the layer's newest
     * committed snapshot is still `expectedParent` (`None` = the layer must
@@ -119,14 +119,16 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   def writeAtomicIfLatest(df: DataFrame, layer: String,
       expectedParent: Option[String], partitionBy: Seq[String] = Nil): String =
-    writeSnapshot(df, layer, partitionBy, requireParent = Some(expectedParent))
+    writeSnapshot(df, layer, partitionBy, requireParent = Some(expectedParent),
+      op = "WRITE")
 
   private def newVersionId(): String =
     f"${System.currentTimeMillis()}%016d-" +
       java.util.UUID.randomUUID().toString.take(8)
 
   private def writeSnapshot(df: DataFrame, layer: String,
-      partitionBy: Seq[String], requireParent: Option[Option[String]]): String = {
+      partitionBy: Seq[String], requireParent: Option[Option[String]],
+      op: String): String = {
     enforceConstraints(layer, df, s"writeAtomic('$layer')")
     val snap = new Path(s"${layerPath(layer)}/_v/${newVersionId()}")
     var writer = df.write.format(config.format).mode("errorifexists")
@@ -146,7 +148,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           Console.err.println(s"[lake] stats sidecar for $snap skipped: $e")
       }
     }
-    commitMarker(layer, snap, requireParent)
+    commitMarker(layer, snap, requireParent, op)
     snap.toString
   }
 
@@ -166,7 +168,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * stores).
     */
   private def commitMarker(layer: String, snap: Path,
-      requireParent: Option[Option[String]]): Unit = {
+      requireParent: Option[Option[String]], op: String): Unit = {
     val f = fs(snap)
     val parentAtCommit = latestSnapshot(layer).map(_.getName)
     requireParent.foreach { expected =>
@@ -179,9 +181,47 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
             "committed first; re-read the layer and retry")
       }
     }
+    // operation label BEFORE the marker (same completeness contract as the
+    // stats sidecar: a committed snapshot either has its `_OP` or predates
+    // the feature → DESCRIBE HISTORY shows UNKNOWN, never a torn label)
+    val opOut = f.create(new Path(snap, "_OP"), false)
+    try opOut.write(op.getBytes("UTF-8")) finally opOut.close()
     val out = f.create(new Path(snap, "_COMMITTED"), false)
     try out.write(parentAtCommit.getOrElse("").getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Delta's `DESCRIBE HISTORY`: one row per committed snapshot, OLDEST
+    * first — (ordinal, version, operation, parent). Operation labels are
+    * recorded at commit time (`_OP`); snapshots predating the label (or
+    * from foreign writers) read `UNKNOWN`. Driver-side listing, bounded by
+    * version count — the same metadata walk [[listVersions]] does.
+    */
+  def historyRows(layer: String): Seq[org.apache.spark.sql.Row] = {
+    val versions = committedVersions(layer).reverse
+    versions.zipWithIndex.map { case (snap, i) =>
+      val f = fs(snap)
+      def readOpt(name: String): Option[String] = {
+        val p = new Path(snap, name)
+        if (f.exists(p)) Some(readFully(p)) else None
+      }
+      org.apache.spark.sql.Row(i + 1, snap.getName,
+        readOpt("_OP").getOrElse("UNKNOWN"),
+        readOpt("_COMMITTED").getOrElse(""))
+    }
+  }
+
+  /** [[historyRows]] as a DataFrame (the TVF/statement surface). */
+  def history(layer: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(historyRows(layer)).asJava),
+      StructType(Seq(
+        StructField("ordinal", IntegerType, nullable = false),
+        StructField("version", StringType, nullable = false),
+        StructField("operation", StringType, nullable = false),
+        StructField("parent", StringType, nullable = false))))
   }
 
   /** Timestamp-resolution time travel: read the newest committed snapshot
@@ -655,7 +695,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       try out.write(DeletionVectors.toJson(merged).getBytes("UTF-8"))
       finally out.close()
       commitManifest(layer, snap, newSnap, inventory, oldStats, schema.toDDL,
-        dvs = carriedDv ++ merged.keys.map(_ -> payloadRel))
+        dvs = carriedDv ++ merged.keys.map(_ -> payloadRel), op = "DELETE")
     } catch {
       case e: java.util.ConcurrentModificationException => throw e
       case scala.util.control.NonFatal(e) =>
@@ -1132,7 +1172,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           lit(nFiles.toLong))
         df.repartition(nFiles, (partitionBy.map(col) :+ salt): _*)
       } else df.repartition(nFiles)
-    writeAtomic(arranged, layer, partitionBy)
+    writeSnapshot(arranged, layer, partitionBy, requireParent = None,
+      op = if (zorderBy.nonEmpty) "OPTIMIZE ZORDER" else "OPTIMIZE")
   }
 
   /** Row-level DELETE through the snapshot protocol (Delta's `DELETE FROM`
@@ -1166,7 +1207,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       }
     }
     rewriteRows(layer, predicate,
-      df => df.filter(not(coalesce(predicate, lit(false)))))
+      df => df.filter(not(coalesce(predicate, lit(false)))), op = "DELETE")
   }
 
   /** Row-level UPDATE, same mechanics as [[deleteWhere]]: each assignment
@@ -1179,7 +1220,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       : Lake.RowOpResult = {
     require(assignments.nonEmpty, "updateWhere needs at least one assignment")
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
-    rewriteRows(layer, predicate, df => {
+    rewriteRows(layer, predicate, op = "UPDATE", transform = df => {
       assignments.keys.foreach(name => require(df.columns.contains(name),
         s"updateWhere: layer has no column '$name'"))
       val hit = coalesce(predicate, lit(false))
@@ -1236,7 +1277,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       if (partCols.nonEmpty) writer = writer.partitionBy(partCols: _*)
       writer.save(newSnap.toString)
       commitManifest(layer, snap, newSnap, carried,
-        rebasedStats(layer, snap), schemaDdl, dvs = dvMapOf(snap))
+        rebasedStats(layer, snap), schemaDdl, dvs = dvMapOf(snap),
+        op = "APPEND")
     } catch {
       case e: java.util.ConcurrentModificationException => throw e
       case scala.util.control.NonFatal(e) =>
@@ -1270,7 +1312,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   private def commitManifest(layer: String, parent: Path, newSnap: Path,
       carried: Seq[String], oldStats: Map[String, FileStats.FileStat],
-      schemaDdl: String, dvs: Map[String, String] = Map.empty): Unit = {
+      schemaDdl: String, dvs: Map[String, String] = Map.empty,
+      op: String = "UNKNOWN"): Unit = {
     val base = layerPath(layer)
     val f = fs(newSnap)
     val newPrefix = s"_v/${newSnap.getName}/"
@@ -1299,7 +1342,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           Console.err.println(s"[lake] stats sidecar for $newSnap skipped: $e")
       }
     }
-    commitMarker(layer, newSnap, requireParent = Some(Some(parent.getName)))
+    commitMarker(layer, newSnap, requireParent = Some(Some(parent.getName)),
+      op)
   }
 
   /** Roll the layer back to `version` as a NEW commit (Delta's RESTORE):
@@ -1327,7 +1371,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     try {
       f.mkdirs(newSnap) // no data files — the manifest IS the snapshot
       commitManifest(layer, head, newSnap, inv,
-        statsOfSnapshot(layer, target), schemaDdl, dvs = dvMapOf(target))
+        statsOfSnapshot(layer, target), schemaDdl, dvs = dvMapOf(target),
+        op = "RESTORE")
     } catch {
       case e: java.util.ConcurrentModificationException => throw e
       case scala.util.control.NonFatal(e) =>
@@ -1443,7 +1488,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         } else boundsPredicate(src, keys)
       rewriteCore(layer, snap, pred,
         affected => affected.join(src, keys, "left_anti"),
-        append = Some(src))
+        append = Some(src), op = "MERGE")
     } finally src.unpersist()
   }
 
@@ -1475,11 +1520,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   private def rewriteRows(layer: String,
       predicate: org.apache.spark.sql.Column,
-      transform: DataFrame => DataFrame): Lake.RowOpResult = {
+      transform: DataFrame => DataFrame, op: String): Lake.RowOpResult = {
     val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
       s"layer '$layer' has no committed snapshot — row ops need the " +
         "snapshot protocol; land the layer with writeAtomic/compact first"))
-    rewriteCore(layer, snap, Some(predicate), transform, append = None)
+    rewriteCore(layer, snap, Some(predicate), transform, append = None,
+      op = op)
   }
 
   /** File-level rewrite shared by every row op: partition the snapshot's
@@ -1493,7 +1539,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   private def rewriteCore(layer: String, snap: Path,
       predicate: Option[org.apache.spark.sql.Column],
       transform: DataFrame => DataFrame,
-      append: Option[DataFrame]): Lake.RowOpResult = {
+      append: Option[DataFrame], op: String): Lake.RowOpResult = {
     val base = layerPath(layer)
     val inventory = snapshotInventory(layer, snap)
     // which files can the predicate possibly touch?
@@ -1562,7 +1608,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       writer.save(newSnap.toString)
       // rewritten files materialized their DVs; carried files keep theirs
       commitManifest(layer, snap, newSnap, carried, oldStats, schemaDdl,
-        dvs = parentDv.filter { case (rel, _) => carried.contains(rel) })
+        dvs = parentDv.filter { case (rel, _) => carried.contains(rel) },
+        op = op)
     } catch {
       case e: java.util.ConcurrentModificationException => throw e // cleaned
       case scala.util.control.NonFatal(e) =>

@@ -242,8 +242,8 @@ object LakeSql {
     */
   def sql(spark: SparkSession, text: String): DataFrame = {
     parseMaintenance(text) match {
-      case Some(m) => return oneRowDf(spark, runMaintenance(spark, m),
-        maintenanceOutput)
+      case Some(m) => return rowsDf(spark, runMaintenanceRows(spark, m),
+        maintOutputFor(m))
       case None => ()
     }
     translate(NewspipeSqlBridge.parsePlan(spark, text)) match {
@@ -255,9 +255,13 @@ object LakeSql {
   }
 
   private def oneRowDf(spark: SparkSession, row: Row,
+      attrs: Seq[Attribute]): DataFrame = rowsDf(spark, Seq(row), attrs)
+
+  private def rowsDf(spark: SparkSession, rows: Seq[Row],
       attrs: Seq[Attribute]): DataFrame =
     spark.createDataFrame(
-      java.util.Arrays.asList(row),
+      new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       org.apache.spark.sql.types.StructType(
         attrs.map(a => org.apache.spark.sql.types
           .StructField(a.name, a.dataType, a.nullable))))
@@ -280,6 +284,7 @@ object LakeSql {
       retainHours: Option[Double], keep: Option[Int]) extends LakeMaint
   final case class LakeRestore(base: String, layer: String,
       version: Option[String], timestampMs: Option[Long]) extends LakeMaint
+  final case class LakeHistory(base: String, layer: String) extends LakeMaint
 
   // lake.`/base/path`.layer — base always backticked (it carries slashes),
   // layer backticked or bare
@@ -299,6 +304,8 @@ object LakeSql {
     s"(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$TargetRe\\s+TO\\s+" +
       "(?:VERSION\\s+AS\\s+OF\\s+'([^']+)'" +
       "|TIMESTAMP\\s+AS\\s+OF\\s+([0-9]+))\\s*;?\\s*$")
+  private val HistoryRe = java.util.regex.Pattern.compile(
+    s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$TargetRe" + "\\s*;?\\s*$")
 
   /** Recognize a maintenance statement targeting a lake layer. None = not
     * ours (wrong leading keyword, or a non-lake target — Spark's parser
@@ -324,12 +331,42 @@ object LakeSql {
       return Some(LakeRestore(base, layer,
         Option(r.group(4)), Option(r.group(5)).map(_.toLong)))
     }
+    val h = HistoryRe.matcher(sqlText)
+    if (h.matches()) {
+      val (base, layer) = targetOf(h, 1)
+      return Some(LakeHistory(base, layer))
+    }
     None
   }
 
   private[io] val maintenanceOutput: Seq[Attribute] = Seq(
     AttributeReference("operation", StringType, nullable = false)(),
     AttributeReference("result", StringType, nullable = false)())
+
+  private[io] val historyOutput: Seq[Attribute] = Seq(
+    AttributeReference("ordinal", IntegerType, nullable = false)(),
+    AttributeReference("version", StringType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("parent", StringType, nullable = false)())
+
+  /** Output schema of a maintenance statement (HISTORY is row-per-commit,
+    * everything else is the one-row operation/result shape).
+    */
+  def maintOutputFor(m: LakeMaint): Seq[Attribute] = m match {
+    case _: LakeHistory => historyOutput
+    case _ => maintenanceOutput
+  }
+
+  /** Multi-row runner: DESCRIBE HISTORY returns one row per committed
+    * snapshot; every other maintenance statement returns its single
+    * metrics row.
+    */
+  def runMaintenanceRows(session: SparkSession, m: LakeMaint): Seq[Row] =
+    m match {
+      case LakeHistory(base, layer) =>
+        new Lake(session, LakeConfig(basePath = base)).historyRows(layer)
+      case other => Seq(runMaintenance(session, other))
+    }
 
   /** Execute a maintenance statement. `result`: OPTIMIZE → the new
     * snapshot's version id; VACUUM → committed versions remaining;
@@ -374,9 +411,9 @@ final case class LakeDmlCommand(dml: LakeSql.LakeDml)
   */
 final case class LakeMaintCommand(m: LakeSql.LakeMaint)
     extends LeafRunnableCommand {
-  override def output: Seq[Attribute] = LakeSql.maintenanceOutput
+  override def output: Seq[Attribute] = LakeSql.maintOutputFor(m)
   override def run(session: SparkSession): Seq[Row] =
-    Seq(LakeSql.runMaintenance(session, m))
+    LakeSql.runMaintenanceRows(session, m)
 }
 
 /** The runnable form of ALTER TABLE SET/UNSET TBLPROPERTIES on a lake

@@ -216,4 +216,34 @@ class LakeSqlSpec extends SparkTestBase {
     s2.sql(s"SELECT count(*) AS n FROM lake_read('$dir', 'docs')")
       .collect().head.getLong(0) shouldBe 75L
   }
+
+
+  test("DESCRIBE HISTORY: op labels recorded per commit, oldest first, UNKNOWN fallback") {
+    val (dir, lake) = freshLayer()
+    lake.deleteWhere("docs", $"lang" === "en")
+    lake.appendAtomic((200L to 205L).map(i => (i, s"t$i", "fr", i * 10))
+      .toDF("id", "text", "lang", "n"), "docs")
+    LakeSql.sql(spark, s"OPTIMIZE lake.`$dir`.docs")
+    val v1 = lake.listVersions("docs").last
+    lake.restore("docs", v1)
+
+    val h = LakeSql.sql(spark, s"DESCRIBE HISTORY lake.`$dir`.docs")
+      .orderBy("ordinal").collect()
+    h.map(_.getString(2)).toSeq shouldBe
+      Seq("WRITE", "DELETE", "APPEND", "OPTIMIZE", "RESTORE")
+    h.map(_.getInt(0)).toSeq shouldBe (1 to 5)
+    // parent chain: each row's parent is the previous row's version
+    h.sliding(2).foreach { case Array(prev, cur) =>
+      cur.getString(3) shouldBe prev.getString(1)
+    }
+    h.head.getString(3) shouldBe "" // first commit has no parent
+
+    // a snapshot missing its _OP (pre-feature / foreign writer) reads UNKNOWN
+    val newest = lake.listVersions("docs").head
+    val opFile = new org.apache.hadoop.fs.Path(s"$dir/docs/_v/$newest/_OP")
+    opFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(opFile, false)
+    LakeSql.sql(spark, s"DESCRIBE HISTORY lake.`$dir`.docs")
+      .orderBy("ordinal").collect().last.getString(2) shouldBe "UNKNOWN"
+  }
 }
