@@ -1953,6 +1953,36 @@ object SparkEntry {
       newspipe.io.LakeSql.sql(s, s"DESCRIBE HISTORY lake.`$root`.docs")
         .select(col("ordinal"), col("operation"))
         .orderBy("ordinal")
+    }),
+
+    // Trainable quality classifier (fastText-lite): logistic regression
+    // over hashed binary-presence unigram features, one treeAggregate per
+    // epoch (full-batch — deterministic up to float-add order), scored as
+    // a broadcast dot product. Label = doc mentions the token 'spark'
+    // (text-derived, so it is learnable on the shared-vocabulary synthetic
+    // corpus — the `lang` column there is NOT text-correlated); split by
+    // doc_id parity. The oracle recomputes the exact split counts; the
+    // accuracy contract lands as constant true (measured 1.00 eval
+    // accuracy at these hyperparameters, 0.9 bar for headroom).
+    "q116_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          array_contains(newspipe.ops.Dedup.tokens(col("text")), "spark")
+            .cast("double").as("label"))
+        .filter(col("text").isNotNull)
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val eval = docs.filter(col("doc_id") % 2 =!= 0)
+      val m = newspipe.ops.QualityClassifier.train(train, "text", "label",
+        buckets = 2048, epochs = 40, lr = 2.0, binaryFeatures = true)
+      val scored = eval.select(col("label"),
+        newspipe.ops.QualityClassifier.score(m)(col("text")).as("p"))
+      scored.agg(
+          count(lit(1)).as("n_eval"),
+          sum(when((col("p") >= 0.5) === (col("label") >= 0.5), 1L)
+            .otherwise(0L)).as("__correct"))
+        .crossJoin(train.agg(count(lit(1)).as("n_train")))
+        .select(col("n_train"), col("n_eval"),
+          (col("__correct") >= col("n_eval") * lit(0.9)).as("acc_ge_90pct"))
     })
   )
 
@@ -3812,6 +3842,16 @@ object SparkEntry {
       "q115_lake_history" ->
         """SELECT * FROM (VALUES (1, 'WRITE'), (2, 'DELETE'), (3, 'APPEND'),
           |  (4, 'RESTORE')) AS t(ordinal, operation)
-          |ORDER BY ordinal""".stripMargin)
+          |ORDER BY ordinal""".stripMargin,
+      // classifier contract: exact split counts recomputed, the accuracy
+      // band asserted Spark-side lands as constant true
+      "q116_quality_classifier" ->
+        """SELECT
+          |  count(*) FILTER (WHERE doc_id % 2 = 0 AND text IS NOT NULL)
+          |    AS n_train,
+          |  count(*) FILTER (WHERE doc_id % 2 <> 0 AND text IS NOT NULL)
+          |    AS n_eval,
+          |  true AS acc_ge_90pct
+          |FROM documents""".stripMargin)
   }
 }

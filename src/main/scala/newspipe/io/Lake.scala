@@ -117,6 +117,33 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * — the recorded parent in each marker makes even that race detectable
     * after the fact: two siblings sharing a parent.
     */
+  /** Optimistic-concurrency retry combinator: run a read-modify-write
+    * `body` against this lake, re-running it FROM SCRATCH (so it re-reads
+    * the new head) each time a concurrent writer wins the parent race.
+    * This is the loop every caller of [[writeAtomicIfLatest]] / the row
+    * ops writes by hand; bounded attempts keep a livelocked writer loud
+    * instead of spinning. Exponential backoff with deterministic jitter
+    * (attempt-keyed, not RNG) de-synchronizes two writers retrying in
+    * lockstep.
+    */
+  def retryOnConflict[T](maxAttempts: Int = 5,
+      baseBackoffMs: Long = 50L)(body: => T): T = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return body
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw new java.util.ConcurrentModificationException(
+            s"still conflicting after $maxAttempts attempts: ${e.getMessage}")
+          Thread.sleep(baseBackoffMs * (1L << (attempt - 1)) +
+            (attempt * 7919) % baseBackoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   def writeAtomicIfLatest(df: DataFrame, layer: String,
       expectedParent: Option[String], partitionBy: Seq[String] = Nil): String =
     writeSnapshot(df, layer, partitionBy, requireParent = Some(expectedParent),
@@ -1130,6 +1157,43 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * next batch fails the flat-layer guard. Snapshot-managed layers have
     * no such hazard (compaction is one more last-writer-wins snapshot).
     */
+  /** Partial OPTIMIZE — Delta's ACTUAL compaction shape: bin-pack ONLY
+    * the files smaller than `smallFileBytes` into ~`targetFileBytes`
+    * outputs and carry every already-right-sized file by manifest
+    * reference. Cost is O(small fraction); [[compact]] by contrast
+    * rewrites the whole layer — at 100 TB that is a full-corpus shuffle to
+    * fix a few thousand streaming-landed slivers, exactly the wrong
+    * trade. Small files with deletion vectors are rewritten THROUGH their
+    * DVs (the rewrite materializes the deletes, the DV retires); carried
+    * files keep theirs.
+    *
+    * Noop (no commit) when fewer than `minSmallFiles` qualify — one small
+    * file has nothing to pack with, and committing a snapshot to rename
+    * it would churn history for nothing.
+    */
+  def compactSmall(layer: String, smallFileBytes: Long = 32L * 1024 * 1024,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      minSmallFiles: Int = 2): Lake.RowOpResult = {
+    require(smallFileBytes > 0 && targetFileBytes >= smallFileBytes,
+      "need 0 < smallFileBytes <= targetFileBytes")
+    val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
+      s"layer '$layer' has no committed snapshot — compactSmall extends " +
+        "the snapshot protocol; land the layer with writeAtomic first"))
+    val base = layerPath(layer)
+    val f = fs(new Path(base))
+    val sized = snapshotInventory(layer, snap)
+      .map(rel => rel -> f.getFileStatus(new Path(s"$base/$rel")).getLen)
+    val small = sized.filter(_._2 < smallFileBytes)
+    if (small.size < minSmallFiles)
+      return Lake.RowOpResult(snap.toString, 0, sized.size, noop = true)
+    val bins = math.max(1L,
+      (small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes).toInt
+    rewriteCore(layer, snap, predicate = None,
+      transform = df => df.repartition(bins),
+      append = None, op = "OPTIMIZE",
+      affectedOverride = Some(small.map(_._1).toSet))
+  }
+
   def compact(layer: String, targetFileBytes: Long = 128L * 1024 * 1024,
       partitionBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil): String = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive")
@@ -1539,7 +1603,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   private def rewriteCore(layer: String, snap: Path,
       predicate: Option[org.apache.spark.sql.Column],
       transform: DataFrame => DataFrame,
-      append: Option[DataFrame], op: String): Lake.RowOpResult = {
+      append: Option[DataFrame], op: String,
+      affectedOverride: Option[Set[String]] = None): Lake.RowOpResult = {
     val base = layerPath(layer)
     val inventory = snapshotInventory(layer, snap)
     // which files can the predicate possibly touch?
@@ -1548,11 +1613,15 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       if (oldStats.isEmpty) None
       else resolveCondition(layer, base, oldStats.values.toSeq, p)
     }
-    def mayMatch(rel: String): Boolean = predicate.isDefined &&
-      (oldStats.get(rel) match {
-        case Some(st) => cond.forall(FileStats.matches(st, _))
-        case None => true // stats-unknown file: must scan
-      })
+    def mayMatch(rel: String): Boolean = affectedOverride match {
+      // caller named the files (partial OPTIMIZE): no predicate pruning
+      case Some(set) => set.contains(rel)
+      case None => predicate.isDefined &&
+        (oldStats.get(rel) match {
+          case Some(st) => cond.forall(FileStats.matches(st, _))
+          case None => true // stats-unknown file: must scan
+        })
+    }
     val (affected, carried) = inventory.partition(mayMatch)
     // `forall(_.isEmpty)` asks the DATAFRAME, not the Option: an append leg
     // with zero rows is a noop too (one limit-1 job, only on this rare

@@ -996,4 +996,85 @@ class LakeSpec extends SparkTestBase {
     a[NoSuchElementException] should be thrownBy
       lake.readAsOf("layer", millis - 1)
   }
+
+
+  test("compactSmall: bin-packs only sub-threshold files, carries the rest, noop when nothing to pack") {
+    val dir = Files.createTempDirectory("lake_csmall").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    // 4 tiny files + 1 larger file, via explicit repartitionByRange slices
+    val tiny = (1 to 40).map(i => (i.toLong, s"t$i")).toDF("id", "text")
+      .repartitionByRange(4, $"id")
+    val bigger = (1000 to 2999).map(i =>
+      (i.toLong, "x" * 200 + i)).toDF("id", "text").coalesce(1)
+    lake.writeAtomic(tiny.unionByName(bigger).repartitionByRange(5, $"id")
+      .sortWithinPartitions("id"), "docs")
+    val before = lake.read("docs").collect().toSet
+    val sizes = new java.io.File(s"$dir/docs/_v").listFiles().head
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sorted
+    // threshold between the tiny slices and the big one
+    val threshold = sizes.last // everything below the biggest is "small"
+    val r = lake.compactSmall("docs", smallFileBytes = threshold,
+      targetFileBytes = threshold * 10)
+    r.noop shouldBe false
+    r.carriedFiles should be >= 1 // the big file rode by reference
+    r.rewrittenFiles shouldBe 4
+    lake.read("docs").collect().toSet shouldBe before
+    // history records an OPTIMIZE commit
+    lake.historyRows("docs").map(_.getString(2)) shouldBe Seq("WRITE", "OPTIMIZE")
+    // packing left at most one sub-threshold file -> second call is a noop
+    val r2 = lake.compactSmall("docs", smallFileBytes = threshold,
+      targetFileBytes = threshold * 10)
+    r2.noop shouldBe true
+    lake.historyRows("docs").size shouldBe 2 // no commit churn
+  }
+
+  test("compactSmall rewrites DV'd small files THROUGH their deletion vectors") {
+    val dir = Files.createTempDirectory("lake_csmall_dv").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.writeAtomic((1 to 100).map(i => (i.toLong, s"t$i")).toDF("id", "text")
+      .repartitionByRange(4, $"id").sortWithinPartitions("id"), "docs")
+    lake.deleteWhereDv("docs", $"id" % 10 === 0)
+    val expected = (1 to 100).filter(_ % 10 != 0).map(_.toLong).toSet
+    lake.read("docs").select("id").as[Long].collect().toSet shouldBe expected
+    val r = lake.compactSmall("docs", smallFileBytes = Long.MaxValue / 2,
+      targetFileBytes = Long.MaxValue / 2)
+    r.noop shouldBe false
+    // deletes are materialized, not resurrected
+    lake.read("docs").select("id").as[Long].collect().toSet shouldBe expected
+    lake.deleteWhereDv("docs", $"id" === 1L) // protocol still healthy after
+    lake.read("docs").count() shouldBe expected.size - 1
+  }
+
+
+  test("retryOnConflict: a losing writer re-reads the new head and lands on top of it") {
+    val dir = Files.createTempDirectory("lake_retry").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.writeAtomic(Seq((1L, "a")).toDF("id", "text"), "docs")
+    var attempts = 0
+    lake.retryOnConflict(maxAttempts = 3) {
+      attempts += 1
+      val parent = Some(new org.apache.hadoop.fs.Path(
+        lake.listVersions("docs").head).getName)
+      if (attempts == 1) {
+        // a concurrent writer commits between our read and our commit
+        lake.writeAtomic(Seq((2L, "b")).toDF("id", "text"), "docs")
+      }
+      lake.writeAtomicIfLatest(
+        lake.read("docs").unionByName(Seq((3L, "c")).toDF("id", "text")),
+        "docs", parent)
+    }
+    attempts shouldBe 2 // lost once, succeeded on the re-read
+    lake.read("docs").select("id").as[Long].collect().toSet shouldBe Set(2L, 3L)
+  }
+
+  test("retryOnConflict: exhausting attempts stays loud") {
+    val dir = Files.createTempDirectory("lake_retry2").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.writeAtomic(Seq((1L, "a")).toDF("id", "text"), "docs")
+    intercept[java.util.ConcurrentModificationException] {
+      lake.retryOnConflict(maxAttempts = 2, baseBackoffMs = 1L) {
+        throw new java.util.ConcurrentModificationException("synthetic")
+      }
+    }
+  }
 }
