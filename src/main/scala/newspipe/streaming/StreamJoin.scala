@@ -31,12 +31,18 @@ object StreamJoin {
     */
   def withinInterval(left: DataFrame, right: DataFrame, key: String,
       tsL: String, tsR: String, tolerance: String,
-      watermark: String): DataFrame = {
+      watermark: String, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer", "leftOuter").contains(joinType),
+      s"stream-stream interval join supports inner/left_outer, got $joinType")
     val l = left.withWatermark(tsL, watermark)
     val r = right.withWatermark(tsR, watermark)
     val cond = l(key) === r(key) &&
       r(tsR) >= l(tsL) - expr(s"INTERVAL $tolerance") &&
       r(tsR) <= l(tsL)
-    l.join(r, cond, "inner").drop(r(key))
+    // left_outer: an unmatched left row emits with nulls only once the
+    // right watermark has passed its join window — i.e. when a match has
+    // become IMPOSSIBLE, not merely absent-so-far. Until the watermark
+    // advances past it, the row sits in state awaiting a late match.
+    l.join(r, cond, joinType).drop(r(key))
   }
 }

@@ -494,4 +494,38 @@ class StreamingSpec extends SparkTestBase {
       spark.table("ss_state").count() shouldBe 1
     } finally q.stop()
   }
+
+
+  test("stream-stream LEFT OUTER: unmatched clicks emit with nulls only after the watermark closes their window") {
+    implicit val sqlCtx = spark.sqlContext
+    val impressions = MemoryStream[(java.sql.Timestamp, String, String)]
+    val clicks = MemoryStream[(java.sql.Timestamp, String, String)]
+    val joined = StreamJoin.withinInterval(
+      clicks.toDF().toDF("click_ts", "user", "click_id"),
+      impressions.toDF().toDF("imp_ts", "user", "ad"),
+      key = "user", tsL = "click_ts", tsR = "imp_ts",
+      tolerance = "10 minutes", watermark = "5 minutes",
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ss_outer")
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts("2026-01-01 00:05:00"), "u1", "c1")) // no impression
+      impressions.addData((ts("2026-01-01 00:04:00"), "u2", "ad_b"))
+      clicks.addData((ts("2026-01-01 00:05:00"), "u2", "c2")) // matches ad_b
+      q.processAllAvailable()
+      // c1 is still awaiting a possible late impression — not emitted yet
+      val sofar = spark.table("ss_outer").select("click_id", "ad")
+        .as[(String, String)].collect().toMap
+      sofar.keySet should contain("c2")
+      sofar should not contain key("c1")
+      // watermark advances far past c1's window → the null row flushes
+      impressions.addData((ts("2026-01-01 02:00:00"), "zz", "late"))
+      clicks.addData((ts("2026-01-01 02:00:00"), "zz", "czz"))
+      q.processAllAvailable()
+      val after = spark.table("ss_outer").select("click_id", "ad")
+        .as[(String, String)].collect().toMap
+      after("c1") shouldBe null
+      after("c2") shouldBe "ad_b"
+    } finally q.stop()
+  }
 }
