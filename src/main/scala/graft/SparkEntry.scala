@@ -1973,7 +1973,7 @@ object SparkEntry {
       val train = docs.filter(col("doc_id") % 2 === 0)
       val eval = docs.filter(col("doc_id") % 2 =!= 0)
       val m = newspipe.ops.QualityClassifier.train(train, "text", "label",
-        buckets = 2048, epochs = 40, lr = 2.0, binaryFeatures = true)
+        buckets = 2048, epochs = 25, lr = 5.0, binaryFeatures = true)
       val scored = eval.select(col("label"),
         newspipe.ops.QualityClassifier.score(m)(col("text")).as("p"))
       scored.agg(
