@@ -81,7 +81,12 @@ object QualityClassifier {
         col(textCol).cast("string").as("__t"),
         col(labelCol).cast("double").as("__y")))
       .filter(col("__y").isNotNull)
-    val rdd = rows.rdd.map(r => (r.getString(0), r.getDouble(1)))
+    // featurize ONCE and persist the (sparse features, label) pairs —
+    // tokenize+md5 dominates a pass, and every epoch re-reads the same
+    // features; the persisted form is the sparse vectors, not the text
+    val rdd = rows.rdd
+      .map(r => (featurize(r.getString(0), buckets, binaryFeatures),
+        r.getDouble(1)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = rdd.count().toDouble
     require(n > 0, "training corpus is empty")
@@ -90,8 +95,7 @@ object QualityClassifier {
       val wB = rdd.sparkContext.broadcast(w)
       val grad = rdd.treeAggregate(new Array[Double](buckets + 1))(
         (g, row) => {
-          val (text, y) = row
-          val feats = featurize(text, buckets, binaryFeatures)
+          val (feats, y) = row
           var z = wB.value(buckets)
           feats.foreach { case (b, c) => z += wB.value(b) * c }
           val err = sigmoid(z) - y
