@@ -1983,6 +1983,59 @@ object SparkEntry {
         .crossJoin(train.agg(count(lit(1)).as("n_train")))
         .select(col("n_train"), col("n_eval"),
           (col("__correct") >= col("n_eval") * lit(0.9)).as("acc_ge_90pct"))
+    }),
+
+    // Partial OPTIMIZE is data-invisible: scatter the corpus across many
+    // deliberately-small files, compactSmall them, and read back through
+    // the committed manifest — the oracle is the plain corpus aggregate.
+    // The history tail double-checks a real OPTIMIZE commit happened (so
+    // the query can't silently pass by never compacting).
+    "q117_lake_compact_small" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q117_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents")
+      lake.writeAtomic(docs.repartition(16), "docs") // 16 sliver files
+      val r = lake.compactSmall("docs",
+        smallFileBytes = 512L * 1024 * 1024,
+        targetFileBytes = 512L * 1024 * 1024)
+      require(!r.noop && r.rewrittenFiles >= 16,
+        s"expected a real partial-OPTIMIZE commit, got $r")
+      require(lake.historyRows("docs").map(_.getString(2)) ==
+        Seq("WRITE", "OPTIMIZE"), "history must record the OPTIMIZE")
+      lake.read("docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
+    // The stream-stream interval join's SEMANTICS, oracle-checked in batch
+    // form (the operator runs identically over batch inputs): each
+    // purchase matches the same user's clicks in the preceding 30 minutes.
+    "q118_interval_join" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts2", eventTs(ev0))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts2").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"), col("ts2").as("c_ts"))
+      newspipe.streaming.StreamJoin.withinInterval(
+          purchases, clicks.withColumnRenamed("c_user", "user_id"),
+          key = "user_id", tsL = "p_ts", tsR = "c_ts",
+          tolerance = "30 minutes", watermark = "1 hour")
+        .select(col("purchase_id"), col("user_id"), col("click_id"))
+        .orderBy("purchase_id", "click_id")
+    }),
+
+    // BPE's corpus-linear stage (distributed word counts, the input to
+    // merge training) — deterministic count-desc/word-asc top-200
+    "q119_bpe_wordcounts" -> ((s, dir) => {
+      newspipe.ops.Bpe.wordCounts(t(s, dir, "documents"), "text",
+          maxWords = 200)
+        .orderBy(col("cnt").desc, col("word").asc)
     })
   )
 
@@ -3852,6 +3905,32 @@ object SparkEntry {
           |  count(*) FILTER (WHERE doc_id % 2 <> 0 AND text IS NOT NULL)
           |    AS n_eval,
           |  true AS acc_ge_90pct
-          |FROM documents""".stripMargin)
+          |FROM documents""".stripMargin,
+      // partial OPTIMIZE is data-invisible: the oracle is the corpus itself
+      "q117_lake_compact_small" ->
+        """SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      // the interval join replayed as its ANSI equivalent (inclusive both
+      // bounds, same key + event-time condition)
+      "q118_interval_join" ->
+        """SELECT p.event_id AS purchase_id, p.user_id,
+          |  c.event_id AS click_id
+          |FROM events p JOIN events c
+          |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+          |  AND c.user_id = p.user_id
+          |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+          |ORDER BY 1, 3""".stripMargin,
+      // the house tokenizer's word counts, top-200 (vocabulary ≪ 200, so
+      // the limit never truncates at a tie boundary)
+      "q119_bpe_wordcounts" ->
+        """WITH toks AS (
+          |  SELECT unnest(list_filter(
+          |    regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+          |    x -> len(x) > 0)) AS word
+          |  FROM documents)
+          |SELECT word, count(*) AS cnt FROM toks GROUP BY 1
+          |ORDER BY cnt DESC, word LIMIT 200""".stripMargin)
   }
 }
