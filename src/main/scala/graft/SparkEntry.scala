@@ -2036,6 +2036,78 @@ object SparkEntry {
       newspipe.ops.Bpe.wordCounts(t(s, dir, "documents"), "text",
           maxWords = 200)
         .orderBy(col("cnt").desc, col("word").asc)
+    }),
+
+    // Salted skew join == plain equi-join (the salt is an internal
+    // replication detail; the aggregate is salt-invariant) — the oracle is
+    // the unsalted ANSI join
+    "q120_skew_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("s_suppkey"),
+          col("l_quantity").cast("bigint").as("qty"))
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      newspipe.ops.Skew.saltedEquiJoin(li, sup, Seq("s_suppkey"),
+          saltBuckets = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"))
+        .orderBy("s_nationkey")
+    }),
+
+    // Streaming exact dedup run to completion over a file source: state
+    // machinery end-to-end, output = one representative per distinct text
+    // (projected to the dedup key, so the survivor choice is invisible) —
+    // the oracle is SELECT DISTINCT
+    "q121_stream_dedup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("q121_sd").toString
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(timestamp_seconds(lit(1767225600L) + col("doc_id") % 3600)
+          .as("ts"), col("text"))
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream
+        .schema("ts TIMESTAMP, text STRING")
+        .parquet(s"$tmp/in")
+      val out = s"$tmp/out"
+      val q = newspipe.streaming.StreamingDedup.exact(stream, Seq("text"),
+          "ts", watermark = "24 hours")
+        .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(out)
+        .select(md5(col("text")).as("digest"))
+        .orderBy("digest")
+    }),
+
+    // Corpus-level MinHash Jaccard (MinHashMerge UDAF): two overlapping
+    // corpus slices reduce to 64 longs each, estimate vs the exact
+    // distinct-shingle Jaccard the oracle recomputes; at 64 hashes the
+    // ±0.25 band is ~4σ (estimate is deterministic — validated at both
+    // test SFs)
+    "q122_corpus_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("__sig", newspipe.ops.Dedup.minhashSignature(
+          newspipe.ops.Dedup.shingles(col("text"))))
+      def corpusSig(df: DataFrame) = df
+        .agg(newspipe.ops.MinHashMerge.mergeSignatures(col("__sig"))
+          .as("sig"))
+        .head().getSeq[Long](0)
+      val a = corpusSig(docs.filter(col("doc_id") % 3 =!= 0))
+      val b = corpusSig(docs.filter(col("doc_id") % 2 === 0))
+      val est = newspipe.ops.MinHashMerge.estimatedJaccard(a, b)
+      import s.implicits._
+      // exact Jaccard recomputed Spark-side for the oracle compare; the
+      // estimate participates via the band contract only
+      val sh = docs.select(col("doc_id"),
+        explode(newspipe.ops.Dedup.shingles(col("text"))).as("g"))
+      val ga = sh.filter(col("doc_id") % 3 =!= 0).select("g").distinct()
+      val gb = sh.filter(col("doc_id") % 2 === 0).select("g").distinct()
+      val inter = ga.intersect(gb).count().toDouble
+      val union = ga.union(gb).distinct().count().toDouble
+      val exact = if (union == 0) 0.0 else inter / union
+      Seq((math.rint(exact * 1e6) / 1e6,
+        math.abs(est - exact) <= 0.25)).toDF("exact_jaccard", "est_in_band")
     })
   )
 
@@ -3931,6 +4003,37 @@ object SparkEntry {
           |    x -> len(x) > 0)) AS word
           |  FROM documents)
           |SELECT word, count(*) AS cnt FROM toks GROUP BY 1
-          |ORDER BY cnt DESC, word LIMIT 200""".stripMargin)
+          |ORDER BY cnt DESC, word LIMIT 200""".stripMargin,
+      // the unsalted ANSI join the salted plan must equal
+      "q120_skew_salted_join" ->
+        """SELECT s.s_nationkey, count(*) AS n,
+          |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // streaming dedup keyed on the full text ⇒ survivors = distinct texts
+      "q121_stream_dedup" ->
+        """SELECT DISTINCT md5(text) AS digest FROM documents
+          |WHERE text IS NOT NULL ORDER BY 1""".stripMargin,
+      // exact corpus-slice Jaccard over distinct 3-gram shingles (the q26
+      // shingle replay, corpus-level); the MinHash estimate lands as the
+      // asserted band boolean
+      "q122_corpus_jaccard" ->
+        """WITH sh AS (
+          |  SELECT doc_id,
+          |    list_distinct(list_transform(
+          |      generate_series(1, greatest(len(tk) - 2, 1)),
+          |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS s
+          |  FROM (
+          |    SELECT doc_id,
+          |      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+          |        x -> len(x) > 0) AS tk
+          |    FROM documents WHERE text IS NOT NULL)),
+          |ga AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 3 <> 0),
+          |gb AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 2 = 0),
+          |i AS (SELECT count(*) AS n FROM (SELECT g FROM ga INTERSECT SELECT g FROM gb)),
+          |u AS (SELECT count(*) AS n FROM (SELECT g FROM ga UNION SELECT g FROM gb))
+          |SELECT round(CAST(i.n AS DOUBLE) / u.n, 6) AS exact_jaccard,
+          |  true AS est_in_band
+          |FROM i, u""".stripMargin)
   }
 }
