@@ -304,4 +304,71 @@ object InvariantProperties extends Properties("newspipe") {
         .view.mapValues(_.map(_._2).toSet).toMap
       fps(1L) == fps(2L)
     }
+
+
+  // --- round-9 op invariants ------------------------------------------------
+
+  property("bpe: encoding under a trained merge table never increases token count") =
+    Prop.forAll(Gen.listOfN(8,
+        Gen.oneOf("low", "lower", "lowest", "newer", "newest", "wide"))) { ws =>
+      val vocab = ws.groupBy(identity).map { case (w, g) =>
+        (w.map(_.toString).toArray :+ newspipe.ops.Bpe.EndOfWord, g.size.toLong)
+      }.toArray
+      val merges = newspipe.ops.Bpe.trainLocal(vocab, 6)
+      val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+      ws.forall { w =>
+        val enc = newspipe.ops.Bpe.encodeWord(w, ranks)
+        enc.length <= w.length + 1 && enc.mkString == w + newspipe.ops.Bpe.EndOfWord
+      }
+    }
+
+  property("bpe: the merge table is invariant under vocab order") =
+    Prop.forAll(Gen.listOfN(6,
+        Gen.oneOf("abc", "abd", "bcd", "cde"))) { ws =>
+      val vocab = ws.groupBy(identity).map { case (w, g) =>
+        (w.map(_.toString).toArray :+ newspipe.ops.Bpe.EndOfWord, g.size.toLong)
+      }.toArray
+      newspipe.ops.Bpe.trainLocal(vocab, 4) ==
+        newspipe.ops.Bpe.trainLocal(vocab.reverse, 4)
+    }
+
+  property("pagerank: every rank >= 1-d and dangling-free cycles conserve total mass") =
+    Prop.forAll(Gen.chooseNum(3, 12)) { n =>
+      import spark.implicits._
+      // a pure n-cycle: every node out-degree 1, no dangling mass loss
+      val edges = (0L until n.toLong).map(i => (i, (i + 1) % n)).toDF("src", "dst")
+      val ranks = newspipe.ops.PageRank.pageRank(edges, iterations = 4)
+        .as[(Long, Double)].collect()
+      val total = ranks.map(_._2).sum
+      ranks.forall(_._2 >= 0.1499999) && math.abs(total - n) < 1e-6
+    }
+
+  property("dsir: empty-target smoothing still yields finite weights for any raw corpus") =
+    Prop.forAll(Gen.listOfN(5, Gen.oneOf("aa bb", "cc dd", ""))) { texts =>
+      import spark.implicits._
+      val raw = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val target = raw.filter("id < 0") // empty target: pure smoothing
+      val ratios = newspipe.ops.Dsir.logRatios(target, raw, "text", buckets = 16)
+      val w = newspipe.ops.Dsir.importanceWeights(raw, "id", "text", ratios,
+        buckets = 16).as[(Long, Double)].collect()
+      w.length == texts.length && w.forall(x => !x._2.isNaN && !x._2.isInfinite)
+    }
+
+  property("prototypes: exactly ceil(n*f) keepers per cluster, every vector assigned once") =
+    Prop.forAll(Gen.chooseNum(2, 10), Gen.chooseNum(1, 4)) { (n, k0) =>
+      import spark.implicits._
+      val k = math.min(k0, n)
+      val vecs = (1 to n).map(i =>
+        (i.toLong, Array(math.cos(i * 0.7), math.sin(i * 0.7), 0.1 * i)))
+        .toDF("id", "v")
+      val cents = newspipe.ops.Prototypes.seedCentroids(vecs, "id", "v", k)
+      val out = newspipe.ops.Prototypes.prune(vecs, "id", "v", cents, 0.5)
+        .as[(Long, Long, Double, Boolean)].collect()
+      val perCluster = out.groupBy(_._2)
+      out.length == n && out.map(_._1).distinct.length == n &&
+        perCluster.forall { case (_, rows) =>
+          rows.count(_._4) == math.ceil(rows.length * 0.5).toInt
+        }
+    }
 }
