@@ -2108,6 +2108,39 @@ object SparkEntry {
       val exact = if (union == 0) 0.0 else inter / union
       Seq((math.rint(exact * 1e6) / 1e6,
         math.abs(est - exact) <= 0.25)).toDF("exact_jaccard", "est_in_band")
+    }),
+
+    // Incremental approx-distinct: per-lang HLL sketches bootstrapped from
+    // the base corpus, then maintained from an appendAtomic commit's
+    // change feed (insert-only) WITHOUT re-touching base rows; the q113
+    // ±5% contract against the exact post-append distinct the oracle
+    // recomputes from the same replayed composition.
+    "q123_incremental_distinct" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q123_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents")
+      lake.writeAtomic(docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"), "docs")
+      val state0 = newspipe.ops.IncrementalAgg.computeDistinct(
+        lake.read("docs"), Seq("lang"), "doc_id")
+      lake.appendAtomic(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")), "docs")
+      val vs = lake.listVersions("docs")
+      val (ins, del) = lake.diff("docs", vs.last, vs.head)
+      require(del.isEmpty, "append commit must produce an insert-only feed")
+      val delta = ins.withColumn("_change_type", lit("insert"))
+      val state1 = newspipe.ops.IncrementalAgg.applyDeltaDistinct(
+        state0, delta, Seq("lang"), "doc_id")
+      val exact = lake.read("docs").groupBy("lang")
+        .agg(countDistinct("doc_id").as("exact_docs"))
+      newspipe.ops.IncrementalAgg.distinctEstimates(state1, Seq("lang"))
+        .join(exact, Seq("lang"))
+        .select(col("lang"), col("exact_docs"), col("__n").as("n_rows"),
+          (abs(col("approx_distinct") - col("exact_docs")) <=
+            col("exact_docs") * lit(0.05)).as("within_5pct"))
+        .orderBy("lang")
     })
   )
 
@@ -4034,6 +4067,17 @@ object SparkEntry {
           |u AS (SELECT count(*) AS n FROM (SELECT g FROM ga UNION SELECT g FROM gb))
           |SELECT round(CAST(i.n AS DOUBLE) / u.n, 6) AS exact_jaccard,
           |  true AS est_in_band
-          |FROM i, u""".stripMargin)
+          |FROM i, u""".stripMargin,
+      // post-append corpus replayed; rows == distincts (doc_id unique by
+      // construction on both legs)
+      "q123_incremental_distinct" ->
+        """WITH full_corpus AS (
+          |  SELECT lang, doc_id FROM documents
+          |  UNION ALL
+          |  SELECT lang, doc_id + 500000 AS doc_id FROM documents
+          |  WHERE doc_id % 7 = 0)
+          |SELECT lang, count(DISTINCT doc_id) AS exact_docs,
+          |  count(*) AS n_rows, true AS within_5pct
+          |FROM full_corpus GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 }

@@ -78,4 +78,62 @@ object IncrementalAgg {
             .as(s"sum_$c")): _*)
     merged.filter(col(CountCol) > 0)
   }
+
+  // ---- incremental APPROX-DISTINCT (HLL sketch columns) --------------------
+
+  /** Bootstrap state for incrementally-maintained per-key approx-distinct:
+    * one HLL sketch column per key (datasketches binary form, `lgK`
+    * precision) plus the row count. The sketch is the maintainable
+    * representation — estimates derive on read via
+    * [[distinctEstimates]], and a new batch folds in with one
+    * `hll_union_agg` instead of touching the corpus.
+    */
+  def computeDistinct(corpus: DataFrame, keys: Seq[String],
+      distinctCol: String, lgK: Int = 14): DataFrame =
+    corpus.groupBy(keys.map(col): _*)
+      .agg(expr(s"hll_sketch_agg($distinctCol, $lgK)").as("__sketch"),
+        count(lit(1)).as(CountCol))
+
+  /** Fold one INSERT-ONLY change batch into the maintained sketches: the
+    * delta's per-key sketches union in (HLL union is lossless), new keys
+    * appear. Deletes are REFUSED by construction — an HLL sketch cannot
+    * forget (the deleted value's register survives), so a delete-bearing
+    * feed must re-bootstrap its groups; silently accepting one would
+    * overcount forever. Same loud-refusal principle as MIN/MAX in
+    * [[applyDelta]].
+    */
+  def applyDeltaDistinct(current: DataFrame, delta: DataFrame,
+      keys: Seq[String], distinctCol: String, lgK: Int = 14): DataFrame = {
+    require(delta.columns.contains("_change_type"),
+      "delta must carry _change_type — the diff/CDF shape")
+    // ONLY pure inserts are sketch-safe: a delete cannot be forgotten, and
+    // an update's preimage value survives in the sketch even if only the
+    // postimage were folded — both would overcount forever
+    val guarded = delta.withColumn("__ins",
+      when(col("_change_type") === "insert", 1L)
+        .otherwise(raise_error(concat(
+          lit("IncrementalAgg: _change_type '"), col("_change_type"),
+          lit("' is not sketch-maintainable — HLL registers cannot forget " +
+            "a deleted or pre-update value; re-bootstrap the affected " +
+            "groups with computeDistinct instead"))).cast("long")))
+      .filter(col("__ins") === 1L)
+    val deltaAgg = guarded.groupBy(keys.map(col): _*)
+      .agg(expr(s"hll_sketch_agg($distinctCol, $lgK)").as("__dsk"),
+        count(lit(1)).as("__dn"))
+    current.join(deltaAgg, keys, "full_outer")
+      .select((keys.map(col) :+
+        when(col("__dsk").isNull, col("__sketch"))
+          .when(col("__sketch").isNull, col("__dsk"))
+          .otherwise(expr("hll_union(__sketch, __dsk)")).as("__sketch") :+
+        (coalesce(col(CountCol), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .as(CountCol)): _*)
+  }
+
+  /** Read surface of the maintained sketch state: per-key approx-distinct
+    * estimate + row count.
+    */
+  def distinctEstimates(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select((keys.map(col) :+
+      expr("CAST(hll_sketch_estimate(__sketch) AS BIGINT)")
+        .as("approx_distinct") :+ col(CountCol)): _*)
 }

@@ -133,4 +133,35 @@ class IncrementalAggSpec extends SparkTestBase {
     sortedRows(goldLake.read("gold")) shouldBe
       sortedRows(IncrementalAgg.compute(lake.read("corpus"), Seq("k"), Seq("x")))
   }
+
+
+  test("incremental distinct: folding an insert-only delta equals recomputing the sketches") {
+    import spark.implicits._
+    val base = (1 to 200).map(i => (i % 5, i.toLong)).toDF("grp", "v")
+    val state0 = IncrementalAgg.computeDistinct(base, Seq("grp"), "v")
+    val delta = (201 to 260).map(i => (i % 7, i.toLong, "insert"))
+      .toDF("grp", "v", "_change_type")
+    val state1 = IncrementalAgg.applyDeltaDistinct(state0, delta, Seq("grp"), "v")
+    val full = base.unionByName(delta.drop("_change_type"))
+    val expected = IncrementalAgg.distinctEstimates(
+      IncrementalAgg.computeDistinct(full, Seq("grp"), "v"), Seq("grp"))
+      .as[(Int, Long, Long)].collect().toSet
+    IncrementalAgg.distinctEstimates(state1, Seq("grp"))
+      .as[(Int, Long, Long)].collect().toSet shouldBe expected
+    // new groups (grp 5, 6) appeared
+    expected.map(_._1) should contain allOf (5, 6)
+  }
+
+  test("incremental distinct: delete and update tags are refused loudly") {
+    import spark.implicits._
+    val base = (1 to 50).map(i => (1, i.toLong)).toDF("grp", "v")
+    val state = IncrementalAgg.computeDistinct(base, Seq("grp"), "v")
+    for (tag <- Seq("delete", "update_preimage", "update_postimage")) {
+      val bad = Seq((1, 7L, tag)).toDF("grp", "v", "_change_type")
+      val e = intercept[Exception] {
+        IncrementalAgg.applyDeltaDistinct(state, bad, Seq("grp"), "v").collect()
+      }
+      e.getMessage should include ("not sketch-maintainable")
+    }
+  }
 }
