@@ -2141,6 +2141,36 @@ object SparkEntry {
           (abs(col("approx_distinct") - col("exact_docs")) <=
             col("exact_docs") * lit(0.05)).as("within_5pct"))
         .orderBy("lang")
+    }),
+
+    // Bucketed co-located join: both sides land bucketBy(orderkey), the
+    // repeated fact⋈fact join then needs NO exchange — asserted in-query
+    // against the executed plan (broadcast disabled for the assert so the
+    // co-location, not a broadcast, is what removes the shuffle). The
+    // oracle is the plain ANSI join: bucketing must be invisible to
+    // results.
+    "q124_bucketed_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity").cast("bigint").as("qty"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      li.write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("q124_li")
+      ord.write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("q124_ord")
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = s.table("q124_li").join(s.table("q124_ord"), "l_orderkey")
+        joined.collect()
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin") &&
+          !plan.contains("Exchange hashpartitioning"),
+          "bucketed join must co-locate (no exchange); got:\n" + plan)
+        joined.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"))
+          .orderBy("o_orderstatus")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     })
   )
 
@@ -4078,6 +4108,12 @@ object SparkEntry {
           |  WHERE doc_id % 7 = 0)
           |SELECT lang, count(DISTINCT doc_id) AS exact_docs,
           |  count(*) AS n_rows, true AS within_5pct
-          |FROM full_corpus GROUP BY 1 ORDER BY 1""".stripMargin)
+          |FROM full_corpus GROUP BY 1 ORDER BY 1""".stripMargin,
+      // bucketing is invisible to results: the plain ANSI join
+      "q124_bucketed_join" ->
+        """SELECT o.o_orderstatus, count(*) AS n,
+          |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 }
