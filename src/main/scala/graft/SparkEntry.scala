@@ -2154,6 +2154,16 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_quantity").cast("bigint").as("qty"))
       val ord = t(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      // a FRESH session's in-memory catalog doesn't know last run's tables,
+      // but their warehouse directories persist — clear both or saveAsTable
+      // dies with LOCATION_ALREADY_EXISTS on the second run
+      Seq("q124_li", "q124_ord").foreach { tn =>
+        s.sql(s"DROP TABLE IF EXISTS $tn")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), tn)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
       li.write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable("q124_li")
       ord.write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
