@@ -254,6 +254,46 @@ object ScaleBench {
       newspipe.ops.PageRank.pageRank(edges, iterations = 3).count()
     }
     out("q109_pagerank") = (nPr, tPr)
+
+    // q114 shape: theta sketch of the doc-id sets of two corpus slices +
+    // driver-side overlap — per-partition fold, log-depth bytes reduce;
+    // the driver receives one ~128 KB sketch regardless of corpus size
+    val (nTh, tTh) = timed {
+      val a = newspipe.ops.ThetaOverlap.sketchOf(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id")
+      val b = newspipe.ops.ThetaOverlap.sketchOf(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id")
+      val (_, _, inter, _) = newspipe.ops.ThetaOverlap.overlapOf(a, b)
+      inter.toLong
+    }
+    out("q114_theta_overlap") = (nTh, tTh)
+
+    // q116 shape: classifier training cost — featurize-once persisted
+    // sparse vectors, then 10 full-batch treeAggregate epochs; the
+    // per-epoch cost is corpus-linear, the model is weights-only
+    val (nCl, tCl) = timed {
+      val labeled = docs.withColumn("label",
+        (col("doc_id") % 2 === 0).cast("double"))
+      val m = newspipe.ops.QualityClassifier.train(labeled, "text", "label",
+        buckets = 2048, epochs = 10, binaryFeatures = true)
+      m.weights.length.toLong
+    }
+    out("q116_classifier_train") = (nCl, tCl)
+
+    // q123 shape: incremental HLL distinct — bootstrap per-group sketches
+    // (untimed: that is the one-off full pass), then time the FOLD of a
+    // 1/7 insert-only delta; the fold's cost must track the delta
+    val docsG = docs.withColumn("doc_id_mod", col("doc_id") % 10)
+    val state0 = newspipe.ops.IncrementalAgg.computeDistinct(
+      docsG, Seq("doc_id_mod"), "doc_id").localCheckpoint(true)
+    val (nFold, tFold) = timed {
+      val delta = docsG.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 900000000L)
+        .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert"))
+      newspipe.ops.IncrementalAgg.applyDeltaDistinct(
+        state0, delta, Seq("doc_id_mod"), "doc_id").count()
+    }
+    out("q123_incr_distinct_fold") = (nFold, tFold)
     out.toMap
   }
 

@@ -127,4 +127,44 @@ class EdgeCaseSpec extends SparkTestBase {
     nn.groupBy("query_id").count().as[(Long, Long)].collect()
       .foreach { case (_, n) => n shouldBe 5L }
   }
+
+
+  test("round-9 ops on an empty corpus return empty (or refuse loudly where a model needs data)") {
+    // tfIdf / Dsir scoring / PageRank / Prototypes: empty in → empty out
+    Retrieval.tfIdf(emptyDocs, "doc_id", "text").count() shouldBe 0
+    val ratios = Dsir.logRatios(emptyDocs, emptyDocs, "text", buckets = 16)
+    ratios.count() shouldBe 16 // pure smoothing: the model always exists
+    Dsir.importanceWeights(emptyDocs, "doc_id", "text", ratios, 16)
+      .count() shouldBe 0
+    PageRank.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .count() shouldBe 0
+    val noCents = Prototypes.seedCentroids(
+      Seq.empty[(Long, Array[Double])].toDF("vec_id", "v"), "vec_id", "v", 3)
+    noCents.count() shouldBe 0
+    // classifier training on an empty corpus is a loud error, not a model
+    intercept[IllegalArgumentException] {
+      QualityClassifier.train(
+        Seq.empty[(String, Double)].toDF("text", "label"), "text", "label",
+        buckets = 16, epochs = 1)
+    }
+  }
+
+  test("round-9 ops on single-row / null-text inputs behave sanely") {
+    val one = Seq((1L, "solo words here")).toDF("doc_id", "text")
+    // single doc: its terms all have df=1, rank ladder still total
+    Retrieval.tfIdf(one, "doc_id", "text", k = 10).count() shouldBe 3
+    // null text rows contribute nothing to tf-idf, everything else survives
+    val withNull = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    Retrieval.tfIdf(withNull, "doc_id", "text").select("doc_id")
+      .distinct().as[Long].collect() shouldBe Array(1L)
+    // self-loop-only graph: rank = fixpoint of r = 0.15 + 0.85 r = 1
+    val self = PageRank.pageRank(Seq((7L, 7L)).toDF("src", "dst"),
+      iterations = 20).as[(Long, Double)].collect()
+    self.length shouldBe 1
+    self.head._2 shouldBe 1.0 +- 1e-9
+    // BPE on an empty vocab trains an empty table; encode degrades to chars
+    Bpe.train(Seq.empty[(String, Long)].toDF("word", "cnt"), 5) shouldBe Nil
+    Bpe.encodeWord("ab", Map.empty) shouldBe Seq("a", "b", Bpe.EndOfWord)
+  }
 }
