@@ -194,8 +194,51 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * arrives with the create on local/HDFS and as one PUT on object
     * stores).
     */
+  /** Serialize the [parent-check → marker-create] critical section with an
+    * atomic-exclusive lock file — the plain-filesystem CAS that closes the
+    * residual two-writers-in-the-window race (two same-parent siblings
+    * both committing, the elder silently shadowed; surfaced by LakeSpec's
+    * 4-writer race). `create(overwrite = false)` is atomic on local FS and
+    * HDFS, so exactly one writer holds the section at a time; the DATA
+    * write (the long part) stays outside. A crashed holder's stale lock is
+    * broken after 60 s (the section itself is two metadata ops — any
+    * older lock is debris, not a writer). On object stores without atomic
+    * exclusive create the lock degrades to advisory — the same caveat as
+    * Delta, which needs a commit service there.
+    */
+  private def withCommitLock[T](layer: String)(body: => T): T = {
+    val lockPath = new Path(s"${layerPath(layer)}/_v/_COMMIT_LOCK")
+    val f = fs(lockPath)
+    f.mkdirs(lockPath.getParent)
+    var attempts = 0
+    while (true) {
+      val acquired =
+        try {
+          val out = f.create(lockPath, false) // atomic exclusive create
+          try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (acquired) {
+        try return body
+        finally f.delete(lockPath, false)
+      }
+      attempts += 1
+      try {
+        val st = f.getFileStatus(lockPath)
+        if (System.currentTimeMillis() - st.getModificationTime > 60000L)
+          f.delete(lockPath, false) // stale: holder died mid-section
+      } catch { case _: java.io.FileNotFoundException => () } // just freed
+      if (attempts > 3000) throw new IllegalStateException(
+        s"layer '$layer': commit lock starved after $attempts attempts")
+      Thread.sleep(10L + (attempts % 7) * 5L)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def commitMarker(layer: String, snap: Path,
-      requireParent: Option[Option[String]], op: String): Unit = {
+      requireParent: Option[Option[String]],
+      op: String): Unit = withCommitLock(layer) {
     val f = fs(snap)
     val parentAtCommit = latestSnapshot(layer).map(_.getName)
     requireParent.foreach { expected =>

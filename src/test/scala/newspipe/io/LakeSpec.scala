@@ -1077,4 +1077,28 @@ class LakeSpec extends SparkTestBase {
       }
     }
   }
+
+
+  test("two writers racing appendAtomic under retryOnConflict: both increments land") {
+    val dir = Files.createTempDirectory("lake_race").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.writeAtomic(Seq((0L, "base")).toDF("id", "text"), "docs")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (1 to 4).map { w =>
+      Future {
+        lake.retryOnConflict(maxAttempts = 10, baseBackoffMs = 20L) {
+          lake.appendAtomic(
+            Seq((w.toLong, s"writer$w")).toDF("id", "text"), "docs")
+        }
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    // every writer's row landed exactly once; history shows 5 commits
+    lake.read("docs").select("id").as[Long].collect().sorted shouldBe
+      Array(0L, 1L, 2L, 3L, 4L)
+    lake.historyRows("docs").map(_.getString(2)) shouldBe
+      Seq("WRITE", "APPEND", "APPEND", "APPEND", "APPEND")
+  }
 }
