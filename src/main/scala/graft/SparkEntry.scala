@@ -2181,6 +2181,24 @@ object SparkEntry {
           .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"))
           .orderBy("o_orderstatus")
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }),
+
+    // the commit ledger in FROM position — lake_history() TVF over q115's
+    // op chain; oracle is q115's literal VALUES text verbatim (SQL = API)
+    "q125_sql_lake_history" -> ((s, dir) => {
+      newspipe.NewspipeExtensions.register(s)
+      val root = java.nio.file.Files.createTempDirectory("q125_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents")
+      lake.writeAtomic(docs, "docs")
+      lake.deleteWhere("docs", col("lang") === "zh")
+      lake.appendAtomic(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")), "docs")
+      lake.restore("docs", lake.listVersions("docs").last)
+      s.sql(s"""SELECT ordinal, operation FROM lake_history('$root', 'docs')
+               |ORDER BY ordinal""".stripMargin)
     })
   )
 
@@ -4007,7 +4025,7 @@ object SparkEntry {
     // oracles are those queries' oracle texts VERBATIM — the q67-IS-q64
     // precedent: passing both asserts SQL surface = DataFrame API on the
     // driver's own hash compare.
-    base ++ Map(
+    val ext = Map(
       "q91_sql_lake_read" -> base("q85_lake_delete"),
       // SQL DML statement surface == Scala row-op API (same replayed
       // computation, so the oracles are q85/q86/q87's texts verbatim)
@@ -4125,5 +4143,7 @@ object SparkEntry {
           |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
           |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
           |GROUP BY 1 ORDER BY 1""".stripMargin)
+    base ++ ext +
+      ("q125_sql_lake_history" -> ext("q115_lake_history"))
   }
 }

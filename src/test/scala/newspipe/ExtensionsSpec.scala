@@ -342,4 +342,24 @@ class ExtensionsSpec extends SparkTestBase {
       .as[(String, Long)].collect() shouldBe
       Array(("insert", 1L), ("update_postimage", 1L), ("update_preimage", 1L))
   }
+
+
+  test("lake_history TVF: the commit ledger is queryable in FROM position") {
+    NewspipeExtensions.register(spark)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ext_hist").toString
+    val lake = new newspipe.io.Lake(spark, newspipe.io.LakeConfig(dir))
+    lake.writeAtomic(Seq((1L, "a"), (2L, "b")).toDF("id", "text"), "docs")
+    lake.deleteWhere("docs", $"id" === 1L)
+    val rows = spark.sql(
+      s"SELECT ordinal, operation FROM lake_history('$dir', 'docs') ORDER BY ordinal")
+      .as[(Int, String)].collect().toSeq
+    rows shouldBe Seq((1, "WRITE"), (2, "DELETE"))
+    // composes like any table: join the ledger against itself on parentage
+    val n = spark.sql(
+      s"""SELECT count(*) FROM lake_history('$dir', 'docs') c
+         |JOIN lake_history('$dir', 'docs') p ON c.parent = p.version""".stripMargin)
+      .head().getLong(0)
+    n shouldBe 1 // the DELETE's parent is the WRITE
+  }
 }
