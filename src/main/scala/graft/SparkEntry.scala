@@ -2172,7 +2172,9 @@ object SparkEntry {
       try {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         val joined = s.table("q124_li").join(s.table("q124_ord"), "l_orderkey")
-        joined.collect()
+        // run distributed (foreach noop) purely to finalize the AQE plan —
+        // collect() here would materialize the full join on the driver
+        joined.foreach(_ => ())
         val plan = joined.queryExecution.executedPlan.toString
         require(plan.contains("SortMergeJoin") &&
           !plan.contains("Exchange hashpartitioning"),

@@ -84,7 +84,7 @@ object PatternSentiment extends Serializable {
         def attr(n: String, d: Double): Double = {
           val v = e.getAttribute(n); if (v == null || v.isEmpty) d else v.toDouble
         }
-        val form = e.getAttribute("form").toLowerCase
+        val form = e.getAttribute("form").toLowerCase(java.util.Locale.ROOT)
         val pos = e.getAttribute("pos")
         if (form.nonEmpty)
           senses.getOrElseUpdate((form, pos), ArrayBuffer.empty) +=
@@ -143,7 +143,7 @@ object PatternSentiment extends Serializable {
   def tokenize(text: String): Array[String] = {
     val suffixes = Array("n't", "'d", "'m", "'s", "'ll", "'re", "'ve")
     val out = ArrayBuffer.empty[String]
-    for (raw0 <- text.toLowerCase.split("\\s+") if raw0.nonEmpty) {
+    for (raw0 <- text.toLowerCase(java.util.Locale.ROOT).split("\\s+") if raw0.nonEmpty) {
       var w = raw0
       // keep pure-symbol tokens (emoticons / punctuation runs) intact
       if (w.exists(_.isLetterOrDigit)) {

@@ -99,7 +99,7 @@ object SentimentAnalyzer extends Serializable {
     */
   def score(text: String): Sentiment = {
     if (text == null) return Sentiment(None, None)
-    val tokens = TokenRe.findAllIn(text.toLowerCase).toArray
+    val tokens = TokenRe.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toArray
     var sum = 0.0
     var n = 0
     var i = 0

@@ -122,13 +122,14 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * the new head) each time a concurrent writer wins the parent race.
     * This is the loop every caller of [[writeAtomicIfLatest]] / the row
     * ops writes by hand; bounded attempts keep a livelocked writer loud
-    * instead of spinning. Exponential backoff with deterministic jitter
-    * (attempt-keyed, not RNG) de-synchronizes two writers retrying in
-    * lockstep.
+    * instead of spinning. Exponential backoff with per-writer jitter (keyed
+    * on the thread identity as well as the attempt, so two writers retrying
+    * in lockstep compute DIFFERENT backoffs and de-synchronize).
     */
   def retryOnConflict[T](maxAttempts: Int = 5,
       baseBackoffMs: Long = 50L)(body: => T): T = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val writerKey = Thread.currentThread().getId * 2654435761L
     var attempt = 0
     while (true) {
       attempt += 1
@@ -138,7 +139,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           if (attempt >= maxAttempts) throw new java.util.ConcurrentModificationException(
             s"still conflicting after $maxAttempts attempts: ${e.getMessage}")
           Thread.sleep(baseBackoffMs * (1L << (attempt - 1)) +
-            (attempt * 7919) % baseBackoffMs)
+            java.lang.Long.remainderUnsigned(
+              writerKey + attempt * 7919L, baseBackoffMs))
       }
     }
     throw new IllegalStateException("unreachable")
@@ -202,32 +204,62 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * HDFS, so exactly one writer holds the section at a time; the DATA
     * write (the long part) stays outside. A crashed holder's stale lock is
     * broken after 60 s (the section itself is two metadata ops — any
-    * older lock is debris, not a writer). On object stores without atomic
-    * exclusive create the lock degrades to advisory — the same caveat as
-    * Delta, which needs a commit service there.
+    * older lock is debris, not a writer). Stale breaks are themselves
+    * race-free: the breaker atomically RENAMES the lock to a unique
+    * tombstone (rename fails if the path was already freed/re-created, so
+    * at most one waiter clears a given lock instance and nobody plain-
+    * deletes a lock a peer just re-created); each lock carries an owner
+    * nonce that is (a) re-verified right after acquisition — a holder
+    * whose fresh lock was mis-broken in the stat→rename window detects it
+    * and retries instead of entering the section unprotected — and (b)
+    * checked again at release, so a holder never deletes a successor's
+    * lock. On object stores without atomic exclusive create/rename the
+    * lock degrades to advisory — the same caveat as Delta, which needs a
+    * commit service there.
     */
   private def withCommitLock[T](layer: String)(body: => T): T = {
     val lockPath = new Path(s"${layerPath(layer)}/_v/_COMMIT_LOCK")
     val f = fs(lockPath)
     f.mkdirs(lockPath.getParent)
+    val nonce = java.util.UUID.randomUUID().toString
     var attempts = 0
     while (true) {
       val acquired =
         try {
           val out = f.create(lockPath, false) // atomic exclusive create
-          try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+          try out.write(s"$nonce ${System.currentTimeMillis()}".getBytes("UTF-8"))
           finally out.close()
           true
         } catch { case _: java.io.IOException => false }
       if (acquired) {
-        try return body
-        finally f.delete(lockPath, false)
+        // Ownership re-verify: a waiter that stat'ed the PREVIOUS lock as
+        // stale may have broken ours in its stat→rename window and put its
+        // own in place. Only enter the section if the nonce is still ours.
+        if (readLockNonce(f, lockPath).contains(nonce)) {
+          try return body
+          finally {
+            // release only our own instance — never a successor's lock
+            try if (readLockNonce(f, lockPath).contains(nonce))
+              f.delete(lockPath, false)
+            catch { case _: java.io.IOException => () }
+          }
+        }
+        // lost ownership before entering: loop back to the create race
       }
       attempts += 1
       try {
         val st = f.getFileStatus(lockPath)
-        if (System.currentTimeMillis() - st.getModificationTime > 60000L)
-          f.delete(lockPath, false) // stale: holder died mid-section
+        if (System.currentTimeMillis() - st.getModificationTime > 60000L) {
+          // stale: holder died mid-section. Break via atomic rename to a
+          // unique tombstone; if the rename caught a FRESH lock (created
+          // in the stat→rename window) restore it, else discard debris.
+          val tomb = new Path(lockPath.getParent, s"_COMMIT_LOCK.tomb.$nonce")
+          if (f.rename(lockPath, tomb)) {
+            val fresh = readLockMillis(f, tomb)
+              .exists(t => System.currentTimeMillis() - t <= 60000L)
+            if (!fresh || !f.rename(tomb, lockPath)) f.delete(tomb, false)
+          }
+        }
       } catch { case _: java.io.FileNotFoundException => () } // just freed
       if (attempts > 3000) throw new IllegalStateException(
         s"layer '$layer': commit lock starved after $attempts attempts")
@@ -235,6 +267,28 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Lock content is `"<nonce> <createMillis>"`; both readers tolerate a
+    * concurrently-vanishing file (None) and legacy single-token content.
+    */
+  private def readLockParts(f: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[Array[String]] =
+    try {
+      val in = f.open(p)
+      try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.split("\\s+"))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  private def readLockNonce(f: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[String] =
+    readLockParts(f, p).filter(_.length >= 2).map(_.head)
+
+  private def readLockMillis(f: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[Long] =
+    readLockParts(f, p).flatMap(_.lastOption).flatMap(s => s.toLongOption)
 
   private def commitMarker(layer: String, snap: Path,
       requireParent: Option[Option[String]],

@@ -375,6 +375,12 @@ object LakeSql {
   def runMaintenance(session: SparkSession, m: LakeMaint): Row = {
     val lake = new Lake(session, LakeConfig(basePath = m.base))
     m match {
+      case _: LakeHistory =>
+        // multi-row statement — keep the public single-row API loud
+        // (exhaustive over LakeMaint) instead of a bare MatchError
+        throw new IllegalArgumentException(
+          "DESCRIBE HISTORY returns one row per commit — use " +
+            "runMaintenanceRows, not runMaintenance")
       case LakeOptimize(_, layer, zcols) =>
         val snap = lake.compact(layer, zorderBy = zcols)
         Row("OPTIMIZE", new org.apache.hadoop.fs.Path(snap).getName)

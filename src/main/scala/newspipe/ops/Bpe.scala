@@ -145,7 +145,7 @@ object Bpe {
     val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
     val f = udf { text: String =>
       if (text == null) null
-      else text.toLowerCase.split("[^a-z0-9']+").toSeq
+      else text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9']+").toSeq
         .filter(_.nonEmpty)
         .flatMap(w => encodeWord(w, ranks))
     }

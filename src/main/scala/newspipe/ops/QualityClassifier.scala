@@ -43,6 +43,13 @@ object QualityClassifier {
     if (z >= 0) 1.0 / (1.0 + math.exp(-z))
     else { val e = math.exp(z); e / (1.0 + e) }
 
+  // One digest per thread, not per token — the scoring path hashes every
+  // token of every row (same pattern as TextKernels.WinnowKernel).
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Hashed feature counts of one text (driver/executor-shared scalar
     * kernel; tokenization mirrors [[Dedup.tokens]]).
     */
@@ -50,10 +57,13 @@ object QualityClassifier {
       binary: Boolean): Array[(Int, Double)] = {
     if (text == null) return Array.empty
     val counts = new java.util.HashMap[Int, Double]()
-    text.toLowerCase.split("[^a-z0-9']+").foreach { tok =>
+    val md = md5.get()
+    // Locale.ROOT: the house tokenizer (TextKernels via UTF8String) is
+    // locale-independent; default-locale toLowerCase diverges on tr_TR.
+    text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9']+").foreach { tok =>
       if (tok.nonEmpty) {
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(tok.getBytes("UTF-8"))
+        md.reset()
+        val h = md.digest(tok.getBytes("UTF-8"))
         val b32 = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
           ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
         val b = (b32 % buckets).toInt

@@ -31,7 +31,7 @@ object Skew {
   def saltedEquiJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       saltBuckets: Int = 16, joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
-    require(SupportedJoinTypes(joinType.toLowerCase.replace("_", "")),
+    require(SupportedJoinTypes(joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")),
       s"saltedEquiJoin supports inner/left/left_semi/left_anti joins only " +
         s"(got '$joinType'): the replicated right side would emit unmatched " +
         s"right rows $saltBuckets times under right/full joins")

@@ -116,7 +116,7 @@ object TextStats {
   private val langIdUdf = udf { text: String =>
     if (text == null) null
     else {
-      val lower = text.toLowerCase
+      val lower = text.toLowerCase(java.util.Locale.ROOT)
       val toks = lower.split("[^a-z0-9']+").filter(_.nonEmpty)
       val padded = " " + lower.replaceAll("\\s+", " ").trim + " "
       val tris = (0 until math.max(padded.length - 2, 0)).map(i => padded.substring(i, i + 3))
@@ -223,7 +223,7 @@ object TextStats {
   private val rollingUdf = udf { s: String =>
     if (s == null) null.asInstanceOf[java.lang.Long]
     else {
-      val norm = s.trim.toLowerCase.replaceAll("\\s+", " ")
+      val norm = s.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
       var h = 0L
       var i = 0
       while (i < norm.length) { h = h * 257L + norm.charAt(i); i += 1 }

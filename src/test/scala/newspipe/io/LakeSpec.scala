@@ -1101,4 +1101,48 @@ class LakeSpec extends SparkTestBase {
     lake.historyRows("docs").map(_.getString(2)) shouldBe
       Seq("WRITE", "APPEND", "APPEND", "APPEND", "APPEND")
   }
+
+  test("commit lock: a stale lock (dead holder) is broken and cleaned up") {
+    val dir = Files.createTempDirectory("lake_stale").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.writeAtomic(Seq((0L, "base")).toDF("id", "text"), "docs")
+    // plant a dead holder's lock: old content timestamp AND old mtime
+    val vDir = new org.apache.hadoop.fs.Path(s"$dir/docs/_v")
+    val lock = new org.apache.hadoop.fs.Path(vDir, "_COMMIT_LOCK")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = System.currentTimeMillis() - 120000L
+    val out = fs.create(lock, false)
+    out.write(s"dead-holder-nonce $old".getBytes("UTF-8")); out.close()
+    fs.setTimes(lock, old, old)
+    // a new writer must break the stale lock and commit normally
+    lake.appendAtomic(Seq((1L, "next")).toDF("id", "text"), "docs")
+    lake.read("docs").count() shouldBe 2L
+    // ...leaving neither the stale lock nor any tombstone debris behind
+    val leftovers = fs.listStatus(vDir)
+      .map(_.getPath.getName).filter(_.startsWith("_COMMIT_LOCK"))
+    leftovers shouldBe empty
+  }
+
+  test("commit lock: a FRESH foreign lock is waited out, never broken") {
+    val dir = Files.createTempDirectory("lake_fresh").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.writeAtomic(Seq((0L, "base")).toDF("id", "text"), "docs")
+    val vDir = new org.apache.hadoop.fs.Path(s"$dir/docs/_v")
+    val lock = new org.apache.hadoop.fs.Path(vDir, "_COMMIT_LOCK")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    val out = fs.create(lock, false)
+    out.write(s"live-holder-nonce $now".getBytes("UTF-8")); out.close()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writer = Future {
+      lake.appendAtomic(Seq((1L, "next")).toDF("id", "text"), "docs")
+    }
+    Thread.sleep(1500) // writer must still be blocked on the live lock
+    writer.isCompleted shouldBe false
+    fs.delete(lock, false) // holder releases
+    Await.result(writer, 60.seconds)
+    lake.read("docs").count() shouldBe 2L
+  }
 }

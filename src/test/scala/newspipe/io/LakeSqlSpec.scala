@@ -246,4 +246,11 @@ class LakeSqlSpec extends SparkTestBase {
     LakeSql.sql(spark, s"DESCRIBE HISTORY lake.`$dir`.docs")
       .orderBy("ordinal").collect().last.getString(2) shouldBe "UNKNOWN"
   }
+
+  test("runMaintenance rejects the multi-row HISTORY statement loudly") {
+    val e = intercept[IllegalArgumentException] {
+      LakeSql.runMaintenance(spark, LakeSql.LakeHistory("/tmp/none", "docs"))
+    }
+    e.getMessage should include("runMaintenanceRows")
+  }
 }
