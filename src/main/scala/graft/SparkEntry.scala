@@ -2201,6 +2201,84 @@ object SparkEntry {
       lake.restore("docs", lake.listVersions("docs").last)
       s.sql(s"""SELECT ordinal, operation FROM lake_history('$root', 'docs')
                |ORDER BY ordinal""".stripMargin)
+    }),
+
+    // DSv2 TableCatalog, ZERO extensions: on a vanilla session with only
+    // spark.sql.catalog.lake set, native-parsed DELETE dispatches through
+    // LakeTable's SupportsDelete and the post-state reads back through the
+    // catalog's V1Scan fallback — q85's computation through pure
+    // conf-registered SQL (oracle is q85's verbatim).
+    "q126_catalog_sql_delete" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.lake", "newspipe.io.LakeCatalog")
+      val root = java.nio.file.Files.createTempDirectory("q126_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      lake.writeAtomic(t(s, dir, "documents")
+        .repartitionByRange(8, col("n_chars"))
+        .sortWithinPartitions("n_chars"), "docs")
+      s.sql(s"DELETE FROM lake.`$root`.docs " +
+        "WHERE lang = 'en' AND n_chars < 300")
+      s.sql(
+        s"""SELECT lang, count(1) AS n_docs, sum(n_chars) AS sum_chars,
+           |  sum(doc_id) AS id_sum
+           |FROM lake.`$root`.docs
+           |GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
+    // INSERT INTO through the catalog = Lake.appendAtomic (same commit
+    // protocol, history shows WRITE then APPEND); post-state is q90's
+    // union computation, oracle verbatim.
+    "q127_catalog_sql_insert" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.lake", "newspipe.io.LakeCatalog")
+      val root = java.nio.file.Files.createTempDirectory("q127_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      lake.writeAtomic(t(s, dir, "documents")
+        .repartitionByRange(8, col("n_chars"))
+        .sortWithinPartitions("n_chars"), "docs")
+      s.sql(
+        s"""INSERT INTO lake.`$root`.docs
+           |SELECT doc_id + 1000000 AS doc_id, text, lang,
+           |  'appended' AS source, n_chars
+           |FROM parquet.`$dir/documents.parquet`
+           |WHERE doc_id % 50 = 0""".stripMargin)
+      require(lake.historyRows("docs").map(_.getString(2)) ==
+        Seq("WRITE", "APPEND"),
+        "catalog INSERT INTO must land as an APPEND commit")
+      s.sql(
+        s"""SELECT source, count(1) AS n_docs, sum(n_chars) AS sum_chars
+           |FROM lake.`$root`.docs
+           |GROUP BY source ORDER BY source""".stripMargin)
+    }),
+
+    // Time travel through the catalog: VERSION AS OF 1 on an extension
+    // session — the LakeV2ReadRewrite rule must substitute the v1
+    // manifest-indexed scan (no BatchScan in the physical plan), and the
+    // pinned read sees the pre-DELETE corpus (oracle = the full corpus
+    // agg, the lake_read_version contract).
+    "q128_catalog_version_asof" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.lake", "newspipe.io.LakeCatalog")
+      val root = java.nio.file.Files.createTempDirectory("q128_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      lake.writeAtomic(t(s, dir, "documents")
+        .repartitionByRange(8, col("n_chars"))
+        .sortWithinPartitions("n_chars"), "docs")
+      lake.deleteWhere("docs",
+        col("lang") === "en" && col("n_chars") < 300)
+      val s2 = org.apache.spark.sql.NewspipeSqlBridge.sessionWithExtensions(
+        s, new newspipe.NewspipeExtensions()(_))
+      val df = s2.sql(
+        s"""SELECT lang, count(1) AS n_docs, sum(n_chars) AS sum_chars,
+           |  sum(doc_id) AS id_sum
+           |FROM lake.`$root`.docs VERSION AS OF 1
+           |GROUP BY lang ORDER BY lang""".stripMargin)
+      df.foreach(_ => ()) // finalize the AQE plan distributed-side
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("BatchScan") && plan.contains("FileScan"),
+        "catalog read must rewrite to the v1 indexed file scan; got:\n" +
+          plan)
+      df
     })
   )
 
@@ -4146,6 +4224,11 @@ object SparkEntry {
           |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
           |GROUP BY 1 ORDER BY 1""".stripMargin)
     base ++ ext +
-      ("q125_sql_lake_history" -> ext("q115_lake_history"))
+      ("q125_sql_lake_history" -> ext("q115_lake_history")) +
+      // the DSv2 catalog surface replays q85 / q90 / the full-corpus agg:
+      // catalog SQL == Scala API on the driver's own hash compare
+      ("q126_catalog_sql_delete" -> base("q85_lake_delete")) +
+      ("q127_catalog_sql_insert" -> base("q90_lake_append")) +
+      ("q128_catalog_version_asof" -> ext("q117_lake_compact_small"))
   }
 }

@@ -26,6 +26,11 @@ class NewspipeExtensions extends (SparkSessionExtensions => Unit) {
     // LakeSql.translate recognizes lake targets and substitutes the
     // runnable row-op command — zero hand-rolled grammar (see LakeSql)
     ext.injectParser((_, delegate) => new LakeDmlParser(delegate))
+    // catalog-resolved lake reads (SELECT … FROM lake.db.docs) rewrite to
+    // the Lake.read v1 plan — LakeFileIndex scan, stats skipping, DV
+    // filtering — so SQL and the Scala API share one physical plan
+    ext.injectResolutionRule(session =>
+      new newspipe.io.LakeV2ReadRewrite(session))
   }
 }
 

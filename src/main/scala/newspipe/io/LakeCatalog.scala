@@ -1,0 +1,436 @@
+package newspipe.io
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, NewspipeSqlBridge, Row,
+  SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
+  NoSuchTableException, TableAlreadyExistsException, UnresolvedAttribute}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
+  NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete,
+  SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability,
+  TableCatalog, TableChange, NamespaceChange, Column => V2Column}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
+  SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation,
+  TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource-V2 `TableCatalog` over [[Lake]] layers — the surface that
+  * makes the lake a first-class SQL citizen, the way the reference's gold
+  * layer is published to a metastore for BI consumption (ref
+  * `03_gold_modeling_news_articles.py:84-103`):
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.lake", "newspipe.io.LakeCatalog")
+  * spark.conf.set("spark.sql.catalog.lake.basePath", "/lake/root") // optional
+  *
+  * SELECT * FROM lake.docs                              -- basePath form
+  * SELECT * FROM lake.`/lake/root`.docs                 -- explicit base
+  * SELECT * FROM lake.docs VERSION AS OF 3              -- history ordinal
+  * SELECT * FROM lake.docs TIMESTAMP AS OF '2026-…'     -- time travel
+  * INSERT INTO lake.docs SELECT …                       -- appendAtomic
+  * INSERT OVERWRITE lake.docs SELECT …                  -- writeAtomic
+  * DELETE FROM lake.docs WHERE lang = 'zh'              -- deleteWhere
+  * CREATE TABLE lake.t2 (id BIGINT, text STRING)        -- empty snapshot
+  * }}}
+  *
+  * Identifier → layer mapping: the namespace element is either an absolute
+  * path (backticked, it carries slashes) or a name joined under the
+  * catalog's `basePath` option; an EMPTY namespace means `basePath` itself
+  * — so `lake.docs`, `lake.gold.docs` and `lake.`/abs/path`.docs` all
+  * resolve. `VERSION AS OF` accepts a history ordinal (1-based, the
+  * DESCRIBE HISTORY numbering) or a full snapshot version id.
+  *
+  * Read path: with [[newspipe.NewspipeExtensions]] registered, the
+  * [[LakeV2ReadRewrite]] resolution rule substitutes the catalog relation
+  * with [[Lake.read]]'s v1 plan — the manifest-backed [[LakeFileIndex]]
+  * scan (vectorized parquet, pushdown, stats skipping, DV filtering), so
+  * catalog SQL and the Scala API produce the SAME physical plan. Without
+  * extensions the table still reads through a [[V1Scan]] fallback
+  * (correct, not file-skipping). Writes always route through
+  * [[Lake.appendAtomic]]/[[Lake.writeAtomic]] via the V1 write fallback, so
+  * every commit-protocol guarantee (parent check, commit lock, constraint
+  * enforcement, schema-evolution arbitration) holds identically for SQL.
+  *
+  * DML beyond DELETE (UPDATE / MERGE / OPTIMIZE / VACUUM / RESTORE /
+  * DESCRIBE HISTORY) stays on the [[LakeSql]] statement surface — those
+  * need the row-op rewrite machinery, not a catalog hook.
+  */
+class LakeCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = "lake"
+  private var defaultBase: Option[String] = None
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    defaultBase = Option(options.get("basePath")).map(_.stripSuffix("/"))
+  }
+
+  override def name(): String = catName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def fsOf(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Namespace → layer base directory (see class doc). RENAME targets
+    * arrive with the catalog name still prefixed to the namespace
+    * (RenameTableExec passes the user's multipart name as-is) — strip it.
+    */
+  private def baseOf(ns0: Seq[String]): String = {
+    val ns = if (ns0.headOption.exists(_.equalsIgnoreCase(catName)))
+      ns0.tail else ns0
+    baseOfStripped(ns)
+  }
+
+  private def baseOfStripped(ns: Seq[String]): String = ns.toList match {
+    case Nil => defaultBase.getOrElse(throw new IllegalArgumentException(
+      s"catalog '$catName' has no default base path — set " +
+        s"spark.sql.catalog.$catName.basePath or qualify the table as " +
+        s"$catName.`/base/path`.layer"))
+    case first :: rest if first.startsWith("/") =>
+      (first :: rest).mkString("/")
+    case parts => defaultBase match {
+      case Some(b) => (b :: parts).mkString("/")
+      case None => throw new IllegalArgumentException(
+        s"catalog '$catName': relative namespace ${parts.mkString(".")} " +
+          s"needs spark.sql.catalog.$catName.basePath")
+    }
+  }
+
+  private def layerExists(base: String, layer: String): Boolean = {
+    val lp = new Path(s"$base/$layer")
+    val f = fsOf(lp)
+    f.exists(lp) && {
+      val vdir = new Path(lp, "_v")
+      val hasCommit = f.exists(vdir) && f.listStatus(vdir).exists(s =>
+        s.isDirectory && f.exists(new Path(s.getPath, "_COMMITTED")))
+      hasCommit ||
+        f.listStatus(lp).exists(!_.getPath.getName.startsWith("_"))
+    }
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val base = baseOf(namespace.toSeq)
+    val bp = new Path(base)
+    val f = fsOf(bp)
+    if (!f.exists(bp)) throw new NoSuchNamespaceException(
+      catName +: namespace.toSeq)
+    f.listStatus(bp).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(l => layerExists(base, l))
+      .sorted
+      .map(Identifier.of(namespace, _))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    layerExists(baseOf(ident.namespace.toSeq), ident.name)
+
+  override def loadTable(ident: Identifier): Table = {
+    val base = baseOf(ident.namespace.toSeq)
+    if (!layerExists(base, ident.name)) throw new NoSuchTableException(ident)
+    LakeTable(spark, base, ident.name, None)
+  }
+
+  /** `VERSION AS OF <v>`: a 1-based history ordinal (DESCRIBE HISTORY
+    * numbering — commit 1 is the oldest) or a full snapshot version id.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val base = baseOf(ident.namespace.toSeq)
+    if (!layerExists(base, ident.name)) throw new NoSuchTableException(ident)
+    val lake = new Lake(spark, LakeConfig(basePath = base))
+    val resolved =
+      if (version.forall(_.isDigit) && version.length <= 9) {
+        val all = lake.listVersions(ident.name).sorted // ids sort by commit ms
+        val ord = version.toInt
+        require(ord >= 1 && ord <= all.size,
+          s"${ident.name}: VERSION AS OF $ord out of range 1..${all.size}")
+        all(ord - 1)
+      } else version
+    LakeTable(spark, base, ident.name, Some(resolved))
+  }
+
+  /** `TIMESTAMP AS OF …`: Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val base = baseOf(ident.namespace.toSeq)
+    if (!layerExists(base, ident.name)) throw new NoSuchTableException(ident)
+    val lake = new Lake(spark, LakeConfig(basePath = base))
+    LakeTable(spark, base, ident.name,
+      Some(lake.resolveVersionAt(ident.name, timestampMicros / 1000L)))
+  }
+
+  override def createTable(ident: Identifier, columns: Array[V2Column],
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "lake catalog tables are unpartitioned at CREATE time — write " +
+        "hive-partitioned layers through Lake.writeAtomic(partitionBy)")
+    val base = baseOf(ident.namespace.toSeq)
+    if (layerExists(base, ident.name))
+      throw new TableAlreadyExistsException(ident)
+    val schema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType,
+        c.nullable)))
+    val lake = new Lake(spark, LakeConfig(basePath = base))
+    // an empty-but-schema-carrying first commit: Spark writes one empty
+    // parquet footer for a zero-partition frame, so reads resolve the
+    // declared schema immediately (and CTAS appends land as commit 2)
+    lake.writeAtomic(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+      ident.name)
+    val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_EXTERNAL, "transient_lastDdlTime")
+    val user = properties.asScala.filter { case (k, _) => !reserved(k) }
+    if (user.nonEmpty) lake.setProperties(ident.name, user.toMap)
+    LakeTable(spark, base, ident.name, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val base = baseOf(ident.namespace.toSeq)
+    if (!layerExists(base, ident.name)) throw new NoSuchTableException(ident)
+    val lake = new Lake(spark, LakeConfig(basePath = base))
+    val updates = changes.map {
+      case set: TableChange.SetProperty => set.property -> set.value
+      case rm: TableChange.RemoveProperty => rm.property -> ""
+      case other => throw new IllegalArgumentException(
+        s"lake catalog supports ALTER TABLE SET/UNSET TBLPROPERTIES here; " +
+          s"schema changes go through lake row ops / SchemaEvolution " +
+          s"(got: $other)")
+    }
+    if (updates.nonEmpty) lake.setProperties(ident.name, updates.toMap)
+    LakeTable(spark, base, ident.name, None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val base = baseOf(ident.namespace.toSeq)
+    if (!layerExists(base, ident.name)) return false
+    val lp = new Path(s"$base/${ident.name}")
+    fsOf(lp).delete(lp, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val oldP = new Path(s"${baseOf(oldIdent.namespace.toSeq)}/${oldIdent.name}")
+    val newP = new Path(s"${baseOf(newIdent.namespace.toSeq)}/${newIdent.name}")
+    val f = fsOf(oldP)
+    if (!f.exists(oldP)) throw new NoSuchTableException(oldIdent)
+    if (f.exists(newP)) throw new TableAlreadyExistsException(newIdent)
+    require(f.rename(oldP, newP),
+      s"rename $oldP -> $newP failed (cross-filesystem move?)")
+  }
+
+  // ---- namespaces (base directories) --------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    defaultBase.map(_ => Array(Array.empty[String])).getOrElse(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty && defaultBase.isDefined ||
+      (try fsOf(new Path(baseOf(namespace.toSeq)))
+        .exists(new Path(baseOf(namespace.toSeq)))
+      catch { case _: IllegalArgumentException => false })
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catName +: namespace.toSeq)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    fsOf(new Path(baseOf(namespace.toSeq)))
+      .mkdirs(new Path(baseOf(namespace.toSeq)))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "lake namespaces are plain directories — nothing to alter")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val p = new Path(baseOf(namespace.toSeq))
+    val f = fsOf(p)
+    if (!f.exists(p)) return false
+    if (!cascade && f.listStatus(p).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+    f.delete(p, true)
+  }
+}
+
+/** One lake layer (optionally pinned to a snapshot version) as a DSv2
+  * table. Capabilities are deliberately the V1-fallback trio: reads are
+  * REWRITTEN to [[Lake.read]]'s plan by [[LakeV2ReadRewrite]] (or served
+  * by the [[V1Scan]] fallback), writes run through the commit protocol —
+  * the catalog adds SQL addressing, never a second storage path.
+  */
+final case class LakeTable(spark: SparkSession, base: String, layer: String,
+    pinnedVersion: Option[String])
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  @transient private lazy val lake =
+    new Lake(spark, LakeConfig(basePath = base))
+
+  private[io] def dataFrame(): DataFrame = pinnedVersion match {
+    case Some(v) => lake.readVersion(layer, v)
+    case None => lake.read(layer)
+  }
+
+  override def name(): String =
+    s"lake.`$base`.$layer${pinnedVersion.map("@" + _).getOrElse("")}"
+
+  override lazy val schema: StructType =
+    NewspipeSqlBridge.nullableSchema(dataFrame().schema)
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def properties(): java.util.Map[String, String] =
+    (lake.properties(layer) + ("provider" -> "lake")).asJava
+
+  /** Substitute plan for [[LakeV2ReadRewrite]]: the layer's v1 read plan
+    * with the v2 relation's attribute ids PRESERVED (parents already
+    * reference them), via a Project of id-pinning aliases.
+    */
+  private[newspipe] def toV1Plan(output: Seq[AttributeReference]): LogicalPlan = {
+    val analyzed = NewspipeSqlBridge.analyzedPlan(dataFrame())
+    val byName = analyzed.output.map(a => a.name.toLowerCase -> a).toMap
+    val projList: Seq[NamedExpression] = output.map { o =>
+      val src = byName.getOrElse(o.name.toLowerCase,
+        throw new IllegalStateException(
+          s"${name()}: column '${o.name}' missing from the layer read plan"))
+      Alias(src, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+    }
+    Project(projList, analyzed)
+  }
+
+  // ---- read: V1Scan fallback (correct everywhere; the fast path is the
+  // ---- resolution-rule rewrite above) -------------------------------------
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = schema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new LakeV1Relation(context, dataFrame()).asInstanceOf[T]
+      }
+    }
+
+  // ---- write: V1 fallback into the commit protocol ------------------------
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ignored: Boolean): Unit = {
+              require(pinnedVersion.isEmpty,
+                s"${name()}: cannot write to a time-travel relation")
+              if (overwrite) lake.writeAtomic(data, layer)
+              else lake.appendAtomic(data, layer)
+            }
+          }
+      }
+    }
+
+  // ---- DELETE FROM / TRUNCATE TABLE ---------------------------------------
+
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    filters.forall(f => LakeTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    require(pinnedVersion.isEmpty,
+      s"${name()}: cannot delete from a time-travel relation")
+    val cond = filters.map(f => LakeTable.filterToColumn(f).getOrElse(
+      throw new IllegalArgumentException(
+        s"${name()}: DELETE predicate not translatable: $f — use the " +
+          "extension-session statement form (LakeSql) for rich predicates")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    lake.deleteWhere(layer, cond)
+  }
+}
+
+object LakeTable {
+  import org.apache.spark.sql.functions.lit
+
+  private def attr(name: String): Column =
+    NewspipeSqlBridge.column(UnresolvedAttribute.quoted(name))
+
+  /** v1 source Filter → Column, total over the shapes Spark's DELETE
+    * translation emits; None = not expressible (caller refuses loudly).
+    */
+  private[io] def filterToColumn(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(attr(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(attr(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(attr(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(attr(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(attr(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(attr(a) <= lit(v))
+    case sources.In(a, vs) => Some(attr(a).isin(vs.toSeq: _*))
+    case sources.IsNull(a) => Some(attr(a).isNull)
+    case sources.IsNotNull(a) => Some(attr(a).isNotNull)
+    case sources.And(l, r) =>
+      for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc && rc
+    case sources.Or(l, r) =>
+      for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc || rc
+    case sources.Not(c) => filterToColumn(c).map(!_)
+    case sources.StringStartsWith(a, v) => Some(attr(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(attr(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(attr(a).contains(v))
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+}
+
+/** `needConversion`-default relation serving [[LakeTable]]'s V1Scan
+  * fallback: the whole layer as the underlying DataFrame's row RDD.
+  */
+private[io] class LakeV1Relation(ctx: SQLContext,
+    @transient df: DataFrame) extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = df.schema
+  override def buildScan(): RDD[Row] = df.rdd
+}
+
+/** Resolution rule (injected by [[newspipe.NewspipeExtensions]]): replace
+  * every READ-position [[LakeTable]] relation with [[Lake.read]]'s v1 plan
+  * — manifest-indexed scan, stats skipping, DV filtering — so catalog SQL
+  * gets the Scala API's exact physical plan. Write/DML positions keep the
+  * v2 relation (their resolution machinery needs the `NamedRelation`):
+  * reads INSIDE a write's query still rewrite.
+  */
+final class LakeV2ReadRewrite(session: SparkSession)
+    extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case a: AppendData => a.copy(query = apply(a.query))
+    case o: OverwriteByExpression => o.copy(query = apply(o.query))
+    case o: OverwritePartitionsDynamic => o.copy(query = apply(o.query))
+    case i: InsertIntoStatement => i.copy(query = apply(i.query))
+    case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable => plan
+    case _ => plan.resolveOperatorsDown {
+      case r @ DataSourceV2Relation(t: LakeTable, out, _, _, _, _) =>
+        t.toV1Plan(out)
+    }
+  }
+}

@@ -106,6 +106,14 @@ object NewspipeSqlBridge {
   def nullableSchema(s: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = s.asNullable
 
+  /** The ANALYZED plan of a composed DataFrame — what a resolution rule
+    * must splice in when substituting an already-resolved relation (the
+    * unanalyzed form still carries unresolved nodes with no `output`).
+    */
+  def analyzedPlan(df: Dataset[_])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
   /** A DataFrame over a custom [[org.apache.spark.sql.execution.datasources
     * .FileIndex]] — the Delta `TahoeFileIndex` pattern: the relation plans
     * through Spark's own FileSourceStrategy (vectorized parquet scan,
