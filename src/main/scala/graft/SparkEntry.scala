@@ -2279,6 +2279,98 @@ object SparkEntry {
         "catalog read must rewrite to the v1 indexed file scan; got:\n" +
           plan)
       df
+    }),
+
+    // Streaming banded near-dedup (StreamingDedup.nearBanded) run to
+    // completion over TWO micro-batches. Batch 1 streams a corpus C made
+    // pairwise-dissimilar by an exact-Jaccard < 0.5 filter (gram-equi-join
+    // candidates — lossless for J ≥ 0.5 — then exact verify; the oracle
+    // replays the same filter in SQL): with verifyThreshold = 0.8, a false
+    // same-batch suppression would need 52/64 matching MinHash components
+    // against a J < 0.5 neighbor (~5σ; signatures are deterministic —
+    // validated at both test SFs), so ALL of C survives. Batch 2 streams
+    // exact copies of C (id + 1e6, later event time): every copy's buckets
+    // were claimed by batch 1, so cross-batch suppression must drop ALL of
+    // them. End state ≡ C — the driver-hard row for the claim-state +
+    // verify-threshold operator (batch minhashDedup would decide the same:
+    // no pair in C reaches 0.8, every planted pair is at 1.0).
+    "q129_stream_near_dedup" -> ((s, dir) => {
+      import newspipe.ops.Dedup
+      val tmp = java.nio.file.Files.createTempDirectory("q129_sn").toString
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 97 === 0)
+        .filter(size(Dedup.tokens(col("text"))) > 0)
+        .select("doc_id", "text")
+      val sh = docs.select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(col("text")))).as("g"))
+      val cand = sh.as("a").join(sh.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val near = Dedup.jaccardVerify(cand, docs, "doc_id", "text",
+        threshold = 0.5)
+      val banned = near.select(col("id_a").as("doc_id"))
+        .union(near.select(col("id_b").as("doc_id"))).distinct()
+      val clean = docs.join(banned, Seq("doc_id"), "left_anti")
+        .select(
+          timestamp_seconds(lit(1767225600L) + col("doc_id") % 3600)
+            .as("ts"),
+          col("doc_id"), col("text"))
+        .localCheckpoint(true)
+      clean.coalesce(1).write.parquet(s"$tmp/in")
+      val stream = s.readStream.schema(clean.schema).parquet(s"$tmp/in")
+      val out = s"$tmp/out"
+      val q = newspipe.streaming.StreamingDedup.nearBanded(stream,
+          "doc_id", "text", "ts", watermark = "24 hours",
+          verifyThreshold = Some(0.8))
+        .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start()
+      q.processAllAvailable() // batch 1: the clean corpus
+      clean.select(
+          timestamp_seconds(lit(1767225600L) + 7200L + col("doc_id") % 3600)
+            .as("ts"),
+          (col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable() // batch 2: planted exact copies, all stale
+      q.stop()
+      s.read.parquet(out).select("doc_id").orderBy("doc_id")
+    }),
+
+    // q118's interval join with BOTH sides actually streaming
+    // (StreamJoin.withinInterval over two file-source streams, symmetric
+    // hash join with watermark-bounded state), run to completion — the
+    // stream must emit exactly the batch join's row set, so the oracle is
+    // q118's ANSI replay verbatim.
+    "q130_stream_interval_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("q130_sj").toString
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts2", eventTs(ev0))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts2").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"), col("ts2").as("c_ts"))
+      purchases.write.parquet(s"$tmp/p")
+      clicks.write.parquet(s"$tmp/c")
+      val pStream = s.readStream.schema(purchases.schema).parquet(s"$tmp/p")
+      val cStream = s.readStream.schema(clicks.schema).parquet(s"$tmp/c")
+        .withColumnRenamed("c_user", "user_id")
+      val out = s"$tmp/out"
+      val q = newspipe.streaming.StreamJoin.withinInterval(
+          pStream, cStream, key = "user_id", tsL = "p_ts", tsR = "c_ts",
+          tolerance = "30 minutes", watermark = "1 hour")
+        .select(col("purchase_id"), col("user_id"), col("click_id"))
+        .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(out).orderBy("purchase_id", "click_id")
     })
   )
 
@@ -4229,6 +4321,33 @@ object SparkEntry {
       // catalog SQL == Scala API on the driver's own hash compare
       ("q126_catalog_sql_delete" -> base("q85_lake_delete")) +
       ("q127_catalog_sql_insert" -> base("q90_lake_append")) +
-      ("q128_catalog_version_asof" -> ext("q117_lake_compact_small"))
+      ("q128_catalog_version_asof" -> ext("q117_lake_compact_small")) +
+      // streaming near-dedup end state ≡ the pairwise-dissimilar corpus
+      // (same exact-Jaccard < 0.5 filter replayed; planted copies gone)
+      ("q129_stream_near_dedup" ->
+        """WITH cand AS (
+          |  SELECT doc_id,
+          |    list_distinct(list_transform(
+          |      generate_series(1, greatest(len(tk) - 2, 1)),
+          |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS s
+          |  FROM (
+          |    SELECT doc_id,
+          |      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+          |        x -> len(x) > 0) AS tk
+          |    FROM documents
+          |    WHERE text IS NOT NULL AND doc_id % 97 = 0)
+          |  WHERE len(tk) > 0),
+          |pairs AS (
+          |  SELECT a.doc_id AS ia, b.doc_id AS ib
+          |  FROM cand a JOIN cand b ON a.doc_id < b.doc_id
+          |  WHERE len(list_intersect(a.s, b.s)) /
+          |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+          |      AS DOUBLE) >= 0.5)
+          |SELECT doc_id FROM cand
+          |WHERE doc_id NOT IN (SELECT ia FROM pairs)
+          |  AND doc_id NOT IN (SELECT ib FROM pairs)
+          |ORDER BY doc_id""".stripMargin) +
+      // the stream-stream form must equal the batch ANSI replay
+      ("q130_stream_interval_join" -> ext("q118_interval_join"))
   }
 }
