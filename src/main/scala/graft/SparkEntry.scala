@@ -2371,6 +2371,70 @@ object SparkEntry {
         .start()
       q.processAllAvailable(); q.stop()
       s.read.parquet(out).orderBy("purchase_id", "click_id")
+    }),
+
+    // q79's round-trip with a REAL JPEG leg (javax.imageio — in the JDK,
+    // no new dependency): solid-color JPEGs with closed-form dims and
+    // deliberately wrong meta are resized (container-preserving jpeg
+    // re-encode) and re-decoded. Dims/meta/format are EXACT (the oracle
+    // recomputes the q79 scale math); pixel sums are a contract band —
+    // JPEG is lossy, so the solid color survives decode → resample →
+    // re-encode → decode within a bounded per-channel drift (≤16/channel,
+    // asserted Spark-side, landing as constant true; deterministic JDK
+    // codec — validated at both test SFs).
+    "q131_jpeg_roundtrip" -> ((s, dir) => {
+      val media = newspipe.multimodal.Media.syntheticRealJpeg(s, 500L)
+      val resized = newspipe.multimodal.Media
+        .resizeImages(media, maxW = 8, maxH = 8)
+      val csum = (col("media_id") % 200 + 20) +
+        (col("media_id") * 7 % 200 + 20) + (col("media_id") * 13 % 200 + 20)
+      newspipe.multimodal.Media.imagePixelSums(resized)
+        .join(resized.select(col("media_id"),
+          col("meta.width").as("meta_w"), col("meta.height").as("meta_h"),
+          col("meta.format").as("format")), "media_id")
+        .select(col("media_id"),
+          col("dec_w").cast("bigint").as("w"),
+          col("dec_h").cast("bigint").as("h"),
+          col("meta_w").cast("bigint").as("meta_w"),
+          col("meta_h").cast("bigint").as("meta_h"),
+          col("format"),
+          (abs(col("pix_sum") - col("dec_w") * col("dec_h") * csum) <=
+            col("dec_w") * col("dec_h") * lit(48L)).as("pix_in_band"))
+        .orderBy("media_id")
+    }),
+
+    // Column-mapping lifecycle through SQL: RENAME COLUMN is a
+    // metadata-only commit (mapping redirects the logical name to the
+    // files' physical one), DML then targets the renamed column, DROP
+    // COLUMN hides `text` without touching a file — and the post-state
+    // must STILL be q85's delete-complement (oracle verbatim, aliases on
+    // the renamed column). History pins the op labels.
+    "q132_sql_rename_drop" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.lake", "newspipe.io.LakeCatalog")
+      val root = java.nio.file.Files.createTempDirectory("q132_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      lake.writeAtomic(t(s, dir, "documents")
+        .repartitionByRange(8, col("n_chars"))
+        .sortWithinPartitions("n_chars"), "docs")
+      val s2 = org.apache.spark.sql.NewspipeSqlBridge.sessionWithExtensions(
+        s, new newspipe.NewspipeExtensions()(_))
+      s2.sql(s"ALTER TABLE lake.`$root`.docs SET TBLPROPERTIES " +
+        "('lake.columnMapping.mode' = 'name')")
+      s2.sql(s"ALTER TABLE lake.`$root`.docs RENAME COLUMN n_chars TO len")
+      s2.sql(s"DELETE FROM lake.`$root`.docs WHERE lang = 'en' AND len < 300")
+      s2.sql(s"ALTER TABLE lake.`$root`.docs DROP COLUMN text")
+      require(lake.read("docs").columns.toSeq ==
+        Seq("doc_id", "lang", "source", "len"),
+        "post-drop logical schema must lose text and keep the rename")
+      require(lake.historyRows("docs").map(_.getString(2)) ==
+        Seq("WRITE", "RENAME COLUMN", "DELETE", "DROP COLUMN"),
+        "history must label the metadata-only commits")
+      s2.sql(
+        s"""SELECT lang, count(1) AS n_docs, sum(len) AS sum_chars,
+           |  sum(doc_id) AS id_sum
+           |FROM lake.`$root`.docs
+           |GROUP BY lang ORDER BY lang""".stripMargin)
     })
   )
 
@@ -4348,6 +4412,27 @@ object SparkEntry {
           |  AND doc_id NOT IN (SELECT ib FROM pairs)
           |ORDER BY doc_id""".stripMargin) +
       // the stream-stream form must equal the batch ANSI replay
-      ("q130_stream_interval_join" -> ext("q118_interval_join"))
+      ("q130_stream_interval_join" -> ext("q118_interval_join")) +
+      // the q79 scale math with a jpeg container; the lossy pixel band
+      // lands as the asserted constant-true boolean
+      ("q131_jpeg_roundtrip" ->
+        """WITH m AS (
+          |  SELECT i,
+          |    CAST(i % 23 + 3 AS BIGINT) AS w0,
+          |    CAST(i % 17 + 3 AS BIGINT) AS h0
+          |  FROM generate_series(0, 499) AS t(i)),
+          |sc AS (
+          |  SELECT *, least(1.0, least(8.0 / w0, 8.0 / h0)) AS s FROM m),
+          |dims AS (
+          |  SELECT i,
+          |    greatest(1, CAST(floor(w0 * s) AS BIGINT)) AS w,
+          |    greatest(1, CAST(floor(h0 * s) AS BIGINT)) AS h
+          |  FROM sc)
+          |SELECT i AS media_id, w, h, w AS meta_w, h AS meta_h,
+          |  'jpeg' AS format, true AS pix_in_band
+          |FROM dims ORDER BY media_id""".stripMargin) +
+      // rename+drop are metadata-only: the post-state is still q85's
+      // delete-complement
+      ("q132_sql_rename_drop" -> base("q85_lake_delete"))
   }
 }

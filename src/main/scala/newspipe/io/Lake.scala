@@ -433,6 +433,44 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       i => readFully(new Path(snap, SnapshotManifest.shardName(i)))))
   }
 
+  // ---- column mapping (logical ↔ physical names) ---------------------------
+
+  private def mappingOf(snap: Path): Map[String, String] =
+    manifestOf(snap).map(_.mapping).getOrElse(Map.empty)
+
+  private def droppedOf(snap: Path): Seq[String] =
+    manifestOf(snap).map(_.dropped).getOrElse(Nil)
+
+  /** The recorded (logical) schema with field names translated to what the
+    * data files physically carry — the schema every file READ under a
+    * mapping must request.
+    */
+  private def physicalSchema(logical: org.apache.spark.sql.types.StructType,
+      mapping: Map[String, String]): org.apache.spark.sql.types.StructType =
+    if (mapping.isEmpty) logical
+    else org.apache.spark.sql.types.StructType(logical.fields.map(f =>
+      f.copy(name = mapping.getOrElse(f.name, f.name))))
+
+  /** Rename a logical frame to physical names for a data-file WRITE into a
+    * mapped layer — the invariant that keeps one schema hint readable
+    * across every file of a snapshot: all data files carry PHYSICAL names.
+    */
+  private def toPhysical(df: DataFrame,
+      mapping: Map[String, String]): DataFrame =
+    if (mapping.isEmpty) df
+    else df.select(df.columns.map(c => org.apache.spark.sql.functions
+      .col(s"`$c`").as(mapping.getOrElse(c, c))).toSeq: _*)
+
+  /** Rename a physically-named frame back to logical names after a READ
+    * (keeps any non-data columns — the DV `__dv_file`/`__dv_pos` pair —
+    * untouched).
+    */
+  private def toLogical(df: DataFrame,
+      mapping: Map[String, String]): DataFrame =
+    mapping.foldLeft(df) { case (d, (lg, ph)) =>
+      if (lg == ph) d else d.withColumnRenamed(ph, lg)
+    }
+
   /** A snapshot's data files, paths relative to the layer root — the
     * manifest when present, else a walk of the snapshot directory.
     */
@@ -476,20 +514,25 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       case Some(m) =>
         // the RECORDED schema is authoritative (Delta's log-schema role):
         // files predating a schema-evolving merge/append read null for the
-        // added columns. Non-partitioned parquet inventories read through
+        // added columns. Under COLUMN MAPPING the files carry PHYSICAL
+        // names — scan with the physical schema, rename back to logical
+        // after. Non-partitioned parquet inventories read through
         // a [[LakeFileIndex]] (one scan node, automatic stats skipping on
         // any filter); hive-partitioned layers and mergeSchema reads keep
         // the discovery-based union (partition-column resolution / footer
         // union live there)
-        if (!mergeSchema && config.format == "parquet" &&
-            !m.files.exists(_.contains("=")))
-          readIndexed(layerPath(layer), snap, m.files, m.schema)
-        else if (m.dvs.isEmpty)
-          readRelFiles(layer, m.files, mergeSchema, schemaHint = Some(m.schema))
-        else
-          dvFilter(readRelFiles(layer, m.files, mergeSchema,
-            schemaHint = Some(m.schema), withMeta = true),
-            dvPairs(layerPath(layer), snap))
+        val phys = physicalSchema(m.schema, m.mapping)
+        val raw =
+          if (!mergeSchema && config.format == "parquet" &&
+              !m.files.exists(_.contains("=")))
+            readIndexed(layerPath(layer), snap, m.files, phys)
+          else if (m.dvs.isEmpty)
+            readRelFiles(layer, m.files, mergeSchema, schemaHint = Some(phys))
+          else
+            dvFilter(readRelFiles(layer, m.files, mergeSchema,
+              schemaHint = Some(phys), withMeta = true),
+              dvPairs(layerPath(layer), snap))
+        toLogical(raw, m.mapping)
     }
 
   /** Snapshot read through [[LakeFileIndex]]: statuses resolved with ONE
@@ -770,9 +813,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         "snapshot protocol; land the layer with writeAtomic/compact first"))
     val base = layerPath(layer)
     val inventory = snapshotInventory(layer, snap)
+    val mapping = mappingOf(snap)
     val oldStats = rebasedStats(layer, snap)
     val cond =
-      if (oldStats.isEmpty) None
+      if (oldStats.isEmpty || mapping.nonEmpty) None
       else resolveCondition(layer, base, oldStats.values.toSeq, predicate)
     def mayMatch(rel: String): Boolean = oldStats.get(rel) match {
       case Some(st) => cond.forall(FileStats.matches(st, _))
@@ -784,8 +828,9 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       return Right(Lake.RowOpResult(snap.toString, 0, inventory.size,
         noop = true))
     val schema = snapshotSchema(layer, snap)
-    val raw = readRelFiles(layer, affected, schemaHint = Some(schema),
-      withMeta = true)
+    val raw = toLogical(readRelFiles(layer, affected,
+      schemaHint = Some(physicalSchema(schema, mapping)),
+      withMeta = true), mapping)
     // already-dead rows must not re-match (their positions are already in
     // the carried payloads — re-adding would be harmless but skews counts)
     val alive = dvFilter(raw, dvPairs(base, snap, Some(affected.toSet)),
@@ -819,7 +864,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       try out.write(DeletionVectors.toJson(merged).getBytes("UTF-8"))
       finally out.close()
       commitManifest(layer, snap, newSnap, inventory, oldStats, schema.toDDL,
-        dvs = carriedDv ++ merged.keys.map(_ -> payloadRel), op = "DELETE")
+        dvs = carriedDv ++ merged.keys.map(_ -> payloadRel), op = "DELETE",
+        mapping = mapping, dropped = droppedOf(snap))
     } catch {
       case e: java.util.ConcurrentModificationException => throw e
       case scala.util.control.NonFatal(e) =>
@@ -973,6 +1019,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   private def prunePlan(layer: String,
       predicate: org.apache.spark.sql.Column): Option[PrunePlan] = {
+    // Under column mapping the sidecar stats are keyed by PHYSICAL names
+    // while predicates speak logical names — and a rename can REUSE a
+    // previous physical name for a different logical column, so matching
+    // by name would prune with the WRONG column's min/max. No pruning on
+    // mapped layers (readWhere degrades to read+filter, still correct).
+    if (latestSnapshot(layer).exists(s => mappingOf(s).nonEmpty)) return None
     sidecarStats(layer) match {
       case Some((snap, all)) =>
         lazy val cond = resolveCondition(layer, snap, all, predicate)
@@ -1423,9 +1475,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // type-check at COMMIT time — widen when safe, refuse otherwise
     // (see SchemaEvolution: one bad append must not poison the layer head)
     val old = snapshotSchema(layer, snap)
+    val mapping = mappingOf(snap)
     val schemaDdl =
       SchemaEvolution.evolve(old, df.schema, allowNew = true,
         context = s"appendAtomic('$layer')").toDDL
+    refuseDroppedResurrection(layer, snap,
+      df.schema.fieldNames.filterNot(old.fieldNames.contains))
     enforceConstraints(layer, df, s"appendAtomic('$layer')")
     val partCols = carried
       .flatMap(_.split('/').dropRight(1).toSeq
@@ -1434,12 +1489,13 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       .distinct
     val newSnap = new Path(s"$base/_v/${newVersionId()}")
     try {
-      var writer = df.write.format(config.format).mode("errorifexists")
+      var writer = toPhysical(df, mapping).write
+        .format(config.format).mode("errorifexists")
       if (partCols.nonEmpty) writer = writer.partitionBy(partCols: _*)
       writer.save(newSnap.toString)
       commitManifest(layer, snap, newSnap, carried,
         rebasedStats(layer, snap), schemaDdl, dvs = dvMapOf(snap),
-        op = "APPEND")
+        op = "APPEND", mapping = mapping, dropped = droppedOf(snap))
     } catch {
       case e: java.util.ConcurrentModificationException => throw e
       case scala.util.control.NonFatal(e) =>
@@ -1474,12 +1530,14 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   private def commitManifest(layer: String, parent: Path, newSnap: Path,
       carried: Seq[String], oldStats: Map[String, FileStats.FileStat],
       schemaDdl: String, dvs: Map[String, String] = Map.empty,
-      op: String = "UNKNOWN"): Unit = {
+      op: String = "UNKNOWN", mapping: Map[String, String] = Map.empty,
+      dropped: Seq[String] = Nil): Unit = {
     val base = layerPath(layer)
     val f = fs(newSnap)
     val newPrefix = s"_v/${newSnap.getName}/"
     val newFiles = snapshotDirFilesRel(newSnap).map(newPrefix + _)
-    val manifest = SnapshotManifest(carried ++ newFiles, schemaDdl, dvs)
+    val manifest = SnapshotManifest(carried ++ newFiles, schemaDdl, dvs,
+      mapping, dropped)
     val (head, shards) =
       SnapshotManifest.toJsonSharded(manifest, config.manifestShardSize)
     def put(name: String, body: String): Unit = {
@@ -1533,7 +1591,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       f.mkdirs(newSnap) // no data files — the manifest IS the snapshot
       commitManifest(layer, head, newSnap, inv,
         statsOfSnapshot(layer, target), schemaDdl, dvs = dvMapOf(target),
-        op = "RESTORE")
+        op = "RESTORE", mapping = mappingOf(target),
+        dropped = droppedOf(target))
     } catch {
       case e: java.util.ConcurrentModificationException => throw e
       case scala.util.control.NonFatal(e) =>
@@ -1541,6 +1600,126 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         throw e
     }
     Lake.RowOpResult(newSnap.toString, 0, inv.size)
+  }
+
+  // ---- column rename / drop (metadata-only, via column mapping) ------------
+
+  /** Metadata-only column RENAME (Delta's `columnMapping.mode = name`
+    * shape): the commit rewrites ZERO data files — it re-records the
+    * logical schema under the new name and maps it to the PHYSICAL name
+    * the carried files were written with, so history keeps reading
+    * correctly. Requires the layer property
+    * `lake.columnMapping.mode = name` — without mapping a rename would
+    * silently read as drop+add, nulling the column across all history,
+    * which is exactly the failure this refusal names. Hive partition
+    * columns are refused (their name is encoded in directory paths — that
+    * rename IS a rewrite; use [[compact]] on a renamed frame).
+    */
+  def renameColumn(layer: String, from: String, to: String)
+      : Lake.RowOpResult = {
+    requireColumnMapping(layer, "RENAME COLUMN")
+    val snap = headForMetaOp(layer)
+    val schema = snapshotSchema(layer, snap)
+    require(schema.fieldNames.contains(from),
+      s"renameColumn('$layer'): no column '$from' " +
+        s"(has: ${schema.fieldNames.mkString(", ")})")
+    require(!schema.fieldNames.contains(to),
+      s"renameColumn('$layer'): column '$to' already exists")
+    val inv = snapshotInventory(layer, snap)
+    refusePartitionColumn(layer, inv, from, "renameColumn")
+    val mapping = mappingOf(snap)
+    val physical = mapping.getOrElse(from, from)
+    val newMapping =
+      if (physical == to) mapping - from // renamed back to its file name
+      else mapping - from + (to -> physical)
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    commitMetaOnly(layer, snap, inv, newSchema.toDDL, newMapping,
+      droppedOf(snap), "RENAME COLUMN")
+  }
+
+  /** Metadata-only column DROP: the logical schema loses the field, data
+    * files keep their (now unreferenced) physical column — zero rewrites;
+    * [[compact]] materializes the drop. The physical name is remembered so
+    * schema evolution refuses to RE-ADD a column under it (old files
+    * would resurrect stale values instead of reading null) until a
+    * compaction clears the files. Same `lake.columnMapping.mode = name`
+    * gate and partition-column refusal as [[renameColumn]].
+    */
+  def dropColumn(layer: String, name: String): Lake.RowOpResult = {
+    requireColumnMapping(layer, "DROP COLUMN")
+    val snap = headForMetaOp(layer)
+    val schema = snapshotSchema(layer, snap)
+    require(schema.fieldNames.contains(name),
+      s"dropColumn('$layer'): no column '$name' " +
+        s"(has: ${schema.fieldNames.mkString(", ")})")
+    require(schema.fields.length > 1,
+      s"dropColumn('$layer'): cannot drop the only column")
+    val inv = snapshotInventory(layer, snap)
+    refusePartitionColumn(layer, inv, name, "dropColumn")
+    val mapping = mappingOf(snap)
+    val physical = mapping.getOrElse(name, name)
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == name))
+    commitMetaOnly(layer, snap, inv, newSchema.toDDL, mapping - name,
+      (droppedOf(snap) :+ physical).distinct, "DROP COLUMN")
+  }
+
+  private def requireColumnMapping(layer: String, op: String): Unit =
+    require(properties(layer).get("lake.columnMapping.mode").contains("name"),
+      s"$op on '$layer' needs column mapping: setProperties(\"$layer\", " +
+        "Map(\"lake.columnMapping.mode\" -> \"name\")) first — without it " +
+        "a rename/drop would silently change what historical files mean")
+
+  private def headForMetaOp(layer: String): Path =
+    latestSnapshot(layer).getOrElse(throw new IllegalStateException(
+      s"layer '$layer' has no committed snapshot — column ops need the " +
+        "snapshot protocol; land the layer with writeAtomic first"))
+
+  private def refusePartitionColumn(layer: String, inv: Seq[String],
+      name: String, op: String): Unit =
+    require(!inv.exists(_.split('/').exists(_.startsWith(name + "="))),
+      s"$op('$layer'): '$name' is a hive partition column — its name is " +
+        "encoded in directory paths, so this op is a rewrite, not " +
+        "metadata; compact the layer from a renamed frame instead")
+
+  /** The zero-data-files commit renameColumn/dropColumn share: carry the
+    * whole inventory (+ DVs, + stats) and re-record schema/mapping.
+    */
+  private def commitMetaOnly(layer: String, head: Path, inv: Seq[String],
+      schemaDdl: String, mapping: Map[String, String],
+      dropped: Seq[String], op: String): Lake.RowOpResult = {
+    val base = layerPath(layer)
+    val newSnap = new Path(s"$base/_v/${newVersionId()}")
+    val f = fs(newSnap)
+    try {
+      f.mkdirs(newSnap) // no data files — the manifest IS the change
+      commitManifest(layer, head, newSnap, inv, rebasedStats(layer, head),
+        schemaDdl, dvs = dvMapOf(head), op = op, mapping = mapping,
+        dropped = dropped)
+    } catch {
+      case e: java.util.ConcurrentModificationException => throw e
+      case scala.util.control.NonFatal(e) =>
+        f.delete(newSnap, true)
+        throw e
+    }
+    Lake.RowOpResult(newSnap.toString, 0, inv.size)
+  }
+
+  /** Refuse a schema-evolving commit that re-adds a column whose physical
+    * name a [[dropColumn]] left inside carried files — those files would
+    * resurrect the OLD values instead of reading null.
+    */
+  private def refuseDroppedResurrection(layer: String, snap: Path,
+      added: Seq[String]): Unit = {
+    val dropped = droppedOf(snap)
+    if (dropped.isEmpty) return
+    val clash = added.filter(dropped.contains)
+    require(clash.isEmpty,
+      s"layer '$layer': column(s) ${clash.mkString(", ")} were DROPPED but " +
+        "their data still lives inside carried files — re-adding the name " +
+        "would resurrect stale values. compact(layer) first to materialize " +
+        "the drop, then re-add.")
   }
 
   /** An ARBITRARY snapshot's sidecar stats keyed layer-root-relative (the
@@ -1704,10 +1883,13 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       affectedOverride: Option[Set[String]] = None): Lake.RowOpResult = {
     val base = layerPath(layer)
     val inventory = snapshotInventory(layer, snap)
-    // which files can the predicate possibly touch?
+    val mapping = mappingOf(snap)
+    // which files can the predicate possibly touch? (under column mapping
+    // the stats speak physical names and the predicate logical ones — no
+    // pruning, every file scans; see prunePlan)
     val oldStats = rebasedStats(layer, snap)
     lazy val cond = predicate.flatMap { p =>
-      if (oldStats.isEmpty) None
+      if (oldStats.isEmpty || mapping.nonEmpty) None
       else resolveCondition(layer, base, oldStats.values.toSeq, p)
     }
     def mayMatch(rel: String): Boolean = affectedOverride match {
@@ -1740,8 +1922,9 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val parentDv = dvMapOf(snap)
     val affectedRows =
       if (affected.nonEmpty) {
-        val raw = readRelFiles(layer, affected, schemaHint = Some(schema),
-          withMeta = parentDv.nonEmpty)
+        val raw = toLogical(readRelFiles(layer, affected,
+          schemaHint = Some(physicalSchema(schema, mapping)),
+          withMeta = parentDv.nonEmpty), mapping)
         val aliveRows =
           if (parentDv.isEmpty) raw
           else dvFilter(raw, dvPairs(base, snap, Some(affected.toSet)))
@@ -1762,6 +1945,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // merge's source added columns — carried old files then read null for
     // the additions through the recorded-schema hint
     val schemaDdl = rewritten.schema.toDDL
+    refuseDroppedResurrection(layer, snap,
+      rewritten.schema.fieldNames.filterNot(schema.fieldNames.contains))
     // constraint gate over exactly what this commit writes: the
     // transformed affected rows + the merge's append leg. Carried files
     // were valid when they landed; cost ∝ rewritten fraction, zero when
@@ -1769,13 +1954,15 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     enforceConstraints(layer, rewritten, s"row op on '$layer'")
     val newSnap = new Path(s"$base/_v/${newVersionId()}")
     try {
-      var writer = rewritten.write.format(config.format).mode("errorifexists")
+      var writer = toPhysical(rewritten, mapping).write
+        .format(config.format).mode("errorifexists")
       if (partCols.nonEmpty) writer = writer.partitionBy(partCols: _*)
       writer.save(newSnap.toString)
       // rewritten files materialized their DVs; carried files keep theirs
       commitManifest(layer, snap, newSnap, carried, oldStats, schemaDdl,
         dvs = parentDv.filter { case (rel, _) => carried.contains(rel) },
-        op = op)
+        op = op, mapping = mapping,
+        dropped = if (carried.isEmpty) Nil else droppedOf(snap))
     } catch {
       case e: java.util.ConcurrentModificationException => throw e // cleaned
       case scala.util.control.NonFatal(e) =>
@@ -1915,14 +2102,19 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val from = pairs(fromSnap)
     val to = pairs(toSnap)
     val schema = snapshotSchema(layer, toSnap)
+    // under column mapping both sides' files carry PHYSICAL names (stable
+    // across renames — files are immutable), so the TO snapshot's mapping
+    // translates the shared read schema for either side
+    val diffMapping = mappingOf(toSnap)
     def readSide(snap: Path, rels: Seq[String]): DataFrame =
       if (rels.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else {
         val dv = dvMapOf(snap)
         val hasDv = rels.exists(dv.contains)
-        val raw = readRelFiles(layer, rels, schemaHint = Some(schema),
-          withMeta = hasDv)
+        val raw = toLogical(readRelFiles(layer, rels,
+          schemaHint = Some(physicalSchema(schema, diffMapping)),
+          withMeta = hasDv), diffMapping)
         val alive =
           if (hasDv) dvFilter(raw, dvPairs(base, snap, Some(rels.toSet)))
           else raw

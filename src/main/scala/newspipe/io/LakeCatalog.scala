@@ -201,12 +201,27 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     val base = baseOf(ident.namespace.toSeq)
     if (!layerExists(base, ident.name)) throw new NoSuchTableException(ident)
     val lake = new Lake(spark, LakeConfig(basePath = base))
-    val updates = changes.map {
-      case set: TableChange.SetProperty => set.property -> set.value
-      case rm: TableChange.RemoveProperty => rm.property -> ""
+    def topLevel(parts: Array[String], what: String): String = {
+      require(parts.length == 1,
+        s"lake columns are top-level; got $what ${parts.mkString(".")}")
+      parts.head
+    }
+    val updates = changes.flatMap {
+      case set: TableChange.SetProperty => Some(set.property -> set.value)
+      case rm: TableChange.RemoveProperty => Some(rm.property -> "")
+      case rc: TableChange.RenameColumn =>
+        lake.renameColumn(ident.name,
+          topLevel(rc.fieldNames, "RENAME COLUMN"), rc.newName)
+        None
+      case dc: TableChange.DeleteColumn =>
+        val name = topLevel(dc.fieldNames, "DROP COLUMN")
+        if (!dc.ifExists ||
+            lake.layerSchema(ident.name).fieldNames.contains(name))
+          lake.dropColumn(ident.name, name)
+        None
       case other => throw new IllegalArgumentException(
-        s"lake catalog supports ALTER TABLE SET/UNSET TBLPROPERTIES here; " +
-          s"schema changes go through lake row ops / SchemaEvolution " +
+        s"lake catalog supports SET/UNSET TBLPROPERTIES and RENAME/DROP " +
+          s"COLUMN here; type changes go through SchemaEvolution " +
           s"(got: $other)")
     }
     if (updates.nonEmpty) lake.setProperties(ident.name, updates.toMap)

@@ -71,6 +71,10 @@ object LakeSql {
       name: String, conditionSql: String) extends LakeDml
   final case class LakeDropConstraint(base: String, layer: String,
       name: String, ifExists: Boolean) extends LakeDml
+  final case class LakeRenameColumn(base: String, layer: String,
+      from: String, to: String) extends LakeDml
+  final case class LakeDropColumns(base: String, layer: String,
+      names: Seq[String], ifExists: Boolean) extends LakeDml
 
   /** The `lake`.`<basePath>`.`<layer>` target of a DML plan, seen through
     * any alias.
@@ -169,8 +173,30 @@ object LakeSql {
             "constraints have no dependents)")
         LakeDropConstraint(b, l, name, ifExists)
       }
+    // ALTER TABLE … RENAME COLUMN / DROP COLUMN — metadata-only commits
+    // through column mapping (Lake.renameColumn/dropColumn; refused
+    // without lake.columnMapping.mode=name)
+    case rc: RenameColumn =>
+      lakeTarget(rc.table).map { case (b, l) =>
+        LakeRenameColumn(b, l, topLevelField(rc.column), rc.newName)
+      }
+    case dc: DropColumns =>
+      lakeTarget(dc.table).map { case (b, l) =>
+        LakeDropColumns(b, l, dc.columnsToDrop.map(topLevelField),
+          dc.ifExists)
+      }
     case _ => None
   }
+
+  /** Lake columns are top-level: nested field refs are refused loudly. */
+  private def topLevelField(
+      f: org.apache.spark.sql.catalyst.analysis.FieldName): String =
+    f match {
+      case org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName(parts)
+          if parts.length == 1 => parts.head
+      case other => throw new IllegalArgumentException(
+        s"lake column ops take top-level column names; got: ${other.sql}")
+    }
 
   private[io] val metricsOutput: Seq[Attribute] = Seq(
     AttributeReference("operation", StringType, nullable = false)(),
@@ -184,6 +210,7 @@ object LakeSql {
   def isProps(dml: LakeDml): Boolean = dml match {
     case _: LakeSetProps | _: LakeUnsetProps => true
     case _: LakeAddConstraint | _: LakeDropConstraint => true
+    case _: LakeRenameColumn | _: LakeDropColumns => true
     case _ => false
   }
 
@@ -226,6 +253,15 @@ object LakeSql {
       case LakeDropConstraint(_, layer, name, ifExists) =>
         lake.dropConstraint(layer, name, ifExists)
         Row("DROP CONSTRAINT", name)
+      case LakeRenameColumn(_, layer, from, to) =>
+        lake.renameColumn(layer, from, to)
+        Row("RENAME COLUMN", s"$from -> $to")
+      case LakeDropColumns(_, layer, names, ifExists) =>
+        val present = lake.layerSchema(layer).fieldNames.toSet
+        names.foreach { n =>
+          if (!ifExists || present(n)) lake.dropColumn(layer, n)
+        }
+        Row("DROP COLUMN", names.mkString(","))
       case other => throw new IllegalStateException(
         s"row-op statement routed to runProps(): $other")
     }

@@ -46,10 +46,22 @@ import org.json4s.jackson.JsonMethods
   *   deleted rows — the overwhelmingly common case; the map lives inline
   *   in the head document because its size is bounded by DV discipline
   *   (compaction materializes DVs and empties the map), not by layer size.
+  * @param mapping COLUMN MAPPING (Delta's columnMapping.mode=name shape):
+  *   logical (user-facing, in `schemaDdl`) column name → the PHYSICAL
+  *   name the data files carry. Populated by [[Lake.renameColumn]];
+  *   unmapped columns have physical == logical. Size bounded by schema
+  *   width, lives in the head.
+  * @param dropped physical names of columns removed by
+  *   [[Lake.dropColumn]] that may still exist inside carried data files —
+  *   schema evolution refuses to re-add a column under one of these names
+  *   (the old files would resurrect stale values instead of reading
+  *   null); compaction rewrites the files and clears the list.
   */
 final case class SnapshotManifest(files: Seq[String], schemaDdl: String,
-    dvs: Map[String, String] = Map.empty) {
-  /** Read schema for the empty-manifest case. */
+    dvs: Map[String, String] = Map.empty,
+    mapping: Map[String, String] = Map.empty,
+    dropped: Seq[String] = Nil) {
+  /** Read schema (LOGICAL names) for the empty-manifest case. */
   def schema: StructType = StructType.fromDDL(schemaDdl)
 }
 
@@ -69,6 +81,15 @@ object SnapshotManifest {
     else List("dvs" -> JObject(
       dvs.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }))
 
+  private def mappingFields(m: SnapshotManifest): List[(String, JValue)] = {
+    val mp = if (m.mapping.isEmpty) Nil
+      else List("mapping" -> JObject(
+        m.mapping.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }))
+    val dr = if (m.dropped.isEmpty) Nil
+      else List("dropped" -> JArray(m.dropped.toList.map(JString(_))))
+    mp ++ dr
+  }
+
   /** Serialize as (head document, shard documents). Inline (no shards)
     * up to `shardSize` paths; sharded head carries the shard count and
     * total for integrity instead of the list. The dv map stays in the
@@ -81,14 +102,16 @@ object SnapshotManifest {
       (JsonMethods.compact(JsonMethods.render(JObject(List(
         "version" -> JInt(1),
         "schemaDdl" -> JString(m.schemaDdl),
-        "files" -> filesArray(m.files)) ++ dvsObject(m.dvs)))), Nil)
+        "files" -> filesArray(m.files)) ++ dvsObject(m.dvs)
+        ++ mappingFields(m)))), Nil)
     else {
       val groups = m.files.grouped(shardSize).toSeq
       val head = JsonMethods.compact(JsonMethods.render(JObject(List(
         "version" -> JInt(2),
         "schemaDdl" -> JString(m.schemaDdl),
         "count" -> JInt(m.files.size),
-        "shards" -> JInt(groups.size)) ++ dvsObject(m.dvs))))
+        "shards" -> JInt(groups.size)) ++ dvsObject(m.dvs)
+        ++ mappingFields(m))))
       (head, groups.map(g =>
         JsonMethods.compact(JsonMethods.render(JObject(List(
           "files" -> filesArray(g)))))))
@@ -126,6 +149,16 @@ object SnapshotManifest {
       }.toMap
       case _ => Map.empty
     }
+    val mapping: Map[String, String] = (root \ "mapping") match {
+      case JObject(fields) => fields.collect {
+        case (k, JString(v)) => k -> v
+      }.toMap
+      case _ => Map.empty
+    }
+    val dropped: Seq[String] = (root \ "dropped") match {
+      case JArray(xs) => xs.collect { case JString(v) => v }
+      case _ => Nil
+    }
     (root \ "shards") match {
       case JInt(n) =>
         val expected = (root \ "count") match {
@@ -138,8 +171,9 @@ object SnapshotManifest {
         require(files.size.toLong == expected,
           s"sharded $FileName reassembled ${files.size} paths but the head " +
             s"records $expected — a shard is missing or truncated")
-        SnapshotManifest(files, ddl, dvs)
-      case _ => SnapshotManifest(filesOf(root, FileName), ddl, dvs)
+        SnapshotManifest(files, ddl, dvs, mapping, dropped)
+      case _ => SnapshotManifest(filesOf(root, FileName), ddl, dvs,
+        mapping, dropped)
     }
   }
 

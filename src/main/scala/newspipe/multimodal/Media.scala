@@ -11,14 +11,16 @@ import org.apache.spark.sql.types._
   * metadata without touching bytes, and only the per-partition kernel ever
   * decodes. The Spark-side plumbing — schema, encoders, partition-wise batch
   * processing, feature extraction shape — is real and tested. Decode is
-  * REAL for uncompressed 8-bit P6 PPM payloads ([[Ppm]]) AND for baseline
-  * 8-bit PNG ([[Png]] — pure JVM, zlib via `java.util.zip`): genuine parse
-  * → pixel transform → re-encode in [[resizeImages]] (container-preserving:
-  * png in → png out) and a real spatial luminance feature in
-  * [[extractFeatures]]. Payloads that decode as neither (jpeg/wav/mp4 —
-  * this container has no codecs for those) fall back to the DETERMINISTIC
-  * STUBS marked `// STUB:` at each site; swapping in a real codec is a
-  * one-function change per kernel, exactly the Ppm/Png shape.
+  * REAL for uncompressed 8-bit P6 PPM payloads ([[Ppm]]), baseline 8-bit
+  * PNG ([[Png]] — pure JVM, zlib via `java.util.zip`) AND JPEG ([[Jpeg]] —
+  * the JDK's own `javax.imageio`, headless, no extra dependency): genuine
+  * parse → pixel transform → re-encode in [[resizeImages]]
+  * (container-preserving: png in → png out, jpeg in → jpeg out) and a real
+  * spatial luminance feature in [[extractFeatures]]. Payloads that decode
+  * as none of the three (wav/mp4 — no JVM codec for those) fall back to
+  * the DETERMINISTIC STUBS marked `// STUB:` at each site; swapping in a
+  * real codec is a one-function change per kernel, exactly the
+  * Ppm/Png/Jpeg shape.
   */
 object Media {
 
@@ -108,13 +110,42 @@ object Media {
   }
 
   /** Try the real codecs in signature order; returns the image plus its
-    * source container ("ppm" | "png"). None → caller's stub path.
+    * source container ("ppm" | "png" | "jpeg"). None → caller's stub path.
     */
   def decodeImage(bytes: Array[Byte]): Option[(Ppm.Image, String)] =
-    Ppm.decode(bytes).map((_, "ppm")).orElse(Png.decode(bytes).map((_, "png")))
+    Ppm.decode(bytes).map((_, "ppm"))
+      .orElse(Png.decode(bytes).map((_, "png")))
+      .orElse(Jpeg.decode(bytes).map((_, "jpeg")))
 
   private def encodeImage(img: Ppm.Image, container: String): Array[Byte] =
-    if (container == "png") Png.encode(img) else Ppm.encode(img)
+    container match {
+      case "png" => Png.encode(img)
+      case "jpeg" => Jpeg.encode(img)
+      case _ => Ppm.encode(img)
+    }
+
+  /** [[syntheticReal]]'s JPEG sibling: the same closed-form solid-color
+    * dims/channels, encoded as baseline JPEG ([[Jpeg.encode]]). Because
+    * JPEG is lossy, the external oracle predicts decoded DIMENSIONS exactly
+    * but pixel sums only within a per-channel tolerance — the q131 contract
+    * shape. Meta is the same deliberately-wrong 9999×9999 "png".
+    */
+  def syntheticRealJpeg(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (id % 23 + 3).toInt
+        val h = (id % 17 + 3).toInt
+        val rgbv = Array(((id % 200) + 20).toByte,
+          ((id * 7 % 200) + 20).toByte, ((id * 13 % 200) + 20).toByte)
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < rgb.length) { rgb(i) = rgbv(i % 3); i += 1 }
+        MediaRow(id, "image", Jpeg.encode(Ppm.Image(w, h, rgb)),
+          MediaMeta(Some(9999), Some(9999), Some("png"), None))
+      }
+    }.toDF()
+  }
 
   /** Per-partition feature extraction: decode → fixed-size float vector.
     * The partition iterator IS the batch boundary (mirrors mapInPandas

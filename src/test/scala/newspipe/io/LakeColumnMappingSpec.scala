@@ -1,0 +1,172 @@
+package newspipe.io
+
+import java.nio.file.Files
+
+import newspipe.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Column mapping (Delta's columnMapping.mode=name): RENAME/DROP COLUMN as
+  * metadata-only commits — carried files keep reading correctly through
+  * the logical→physical name map, across row ops, restore and time travel.
+  */
+class LakeColumnMappingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mappedLake(): (Lake, String) = {
+    val dir = Files.createTempDirectory("lakecm").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.writeAtomic(
+      Seq((1L, "alpha", 10), (2L, "beta", 20), (3L, "gamma", 30))
+        .toDF("id", "txt", "n"), "docs")
+    lake.setProperties("docs", Map("lake.columnMapping.mode" -> "name"))
+    (lake, dir)
+  }
+
+  test("rename/drop are refused without the mapping flag") {
+    val dir = Files.createTempDirectory("lakecm_off").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.writeAtomic(Seq((1L, "a")).toDF("id", "txt"), "docs")
+    val e = intercept[IllegalArgumentException] {
+      lake.renameColumn("docs", "txt", "body")
+    }
+    e.getMessage should include("lake.columnMapping.mode")
+    intercept[IllegalArgumentException] { lake.dropColumn("docs", "txt") }
+  }
+
+  test("RENAME COLUMN is metadata-only: zero data files, history reads on") {
+    val (lake, dir) = mappedLake()
+    val before = lake.listVersions("docs").toSet
+    lake.renameColumn("docs", "txt", "body")
+    lake.read("docs").columns.toSeq shouldBe Seq("id", "body", "n")
+    lake.read("docs").orderBy("id").select("body").as[String].collect() shouldBe
+      Array("alpha", "beta", "gamma")
+    // the rename commit carries no data files
+    val renameV = (lake.listVersions("docs").toSet -- before).head
+    val vDir = new java.io.File(s"$dir/docs/_v/$renameV")
+    vDir.listFiles().map(_.getName).filter(n =>
+      !n.startsWith("_") && !n.startsWith(".")) shouldBe empty
+    // time travel: the pre-rename snapshot still answers to the OLD name
+    val v1 = lake.listVersions("docs").sorted.head
+    lake.readVersion("docs", v1).columns.toSeq shouldBe Seq("id", "txt", "n")
+    // DESCRIBE HISTORY labels the commit
+    lake.historyRows("docs").map(_.getString(2)).last shouldBe "RENAME COLUMN"
+  }
+
+  test("row ops keep working on a renamed column (delete/update/append/merge)") {
+    val (lake, _) = mappedLake()
+    lake.renameColumn("docs", "txt", "body")
+    lake.deleteWhere("docs", col("body") === "beta")
+    lake.read("docs").select("body").as[String].collect().sorted shouldBe
+      Array("alpha", "gamma")
+    lake.updateWhere("docs", col("id") === 1L,
+      Map("body" -> concat(col("body"), lit("!"))))
+    lake.read("docs").orderBy("id").select("body").as[String].collect() shouldBe
+      Array("alpha!", "gamma")
+    lake.appendAtomic(Seq((4L, "delta", 40)).toDF("id", "body", "n"), "docs")
+    lake.read("docs").count() shouldBe 3L
+    lake.mergeInto("docs",
+      Seq((3L, "GAMMA", 33), (5L, "eps", 50)).toDF("id", "body", "n"),
+      Seq("id"))
+    lake.read("docs").orderBy("id").as[(Long, String, Int)].collect() shouldBe
+      Array((1L, "alpha!", 10), (3L, "GAMMA", 33), (4L, "delta", 40),
+        (5L, "eps", 50))
+    // readWhere stays correct (pruning is off under mapping, read+filter)
+    lake.readWhere("docs", col("body") === "eps")
+      .select("id").as[Long].collect() shouldBe Array(5L)
+  }
+
+  test("rename chain and rename-back collapse the mapping") {
+    val (lake, _) = mappedLake()
+    lake.renameColumn("docs", "txt", "body")
+    lake.renameColumn("docs", "body", "content")
+    lake.read("docs").columns.toSeq shouldBe Seq("id", "content", "n")
+    lake.read("docs").orderBy("id").select("content").as[String]
+      .collect() shouldBe Array("alpha", "beta", "gamma")
+    lake.renameColumn("docs", "content", "txt") // back to the file name
+    lake.read("docs").columns.toSeq shouldBe Seq("id", "txt", "n")
+    // name reuse: free the original, then move another column onto it
+    lake.renameColumn("docs", "txt", "body")
+    lake.renameColumn("docs", "n", "txt") // logical txt now = physical n!
+    lake.read("docs").orderBy("id").select("txt").as[Int].collect() shouldBe
+      Array(10, 20, 30)
+    lake.read("docs").orderBy("id").select("body").as[String]
+      .collect() shouldBe Array("alpha", "beta", "gamma")
+  }
+
+  test("DROP COLUMN is metadata-only; re-adding the name is refused until compact") {
+    val (lake, _) = mappedLake()
+    lake.dropColumn("docs", "n")
+    lake.read("docs").columns.toSeq shouldBe Seq("id", "txt")
+    // re-adding 'n' via evolving append would resurrect old file values
+    val e = intercept[IllegalArgumentException] {
+      lake.appendAtomic(Seq((9L, "z", 999)).toDF("id", "txt", "n"), "docs")
+    }
+    e.getMessage should include("resurrect")
+    // compact rewrites files (drop materialized) -> re-add is clean
+    lake.compact("docs")
+    lake.appendAtomic(Seq((9L, "z", 999)).toDF("id", "txt", "n"), "docs")
+    lake.read("docs").orderBy("id").select("n").collect().map(r =>
+      if (r.isNullAt(0)) -1 else r.getInt(0)) shouldBe Array(-1, -1, -1, 999)
+  }
+
+  test("restore across a rename restores the old logical schema") {
+    val (lake, _) = mappedLake()
+    val preRename = lake.listVersions("docs").sorted.head
+    lake.renameColumn("docs", "txt", "body")
+    lake.deleteWhere("docs", col("id") === 2L)
+    lake.restore("docs", preRename)
+    lake.read("docs").columns.toSeq shouldBe Seq("id", "txt", "n")
+    lake.read("docs").count() shouldBe 3L
+    lake.historyRows("docs").map(_.getString(2)) shouldBe
+      Seq("WRITE", "RENAME COLUMN", "DELETE", "RESTORE")
+  }
+
+  test("deletion vectors + rename compose") {
+    val (lake, _) = mappedLake()
+    lake.setProperties("docs", Map("lake.enableDeletionVectors" -> "true"))
+    lake.renameColumn("docs", "txt", "body")
+    lake.deleteWhere("docs", col("body") === "beta") // DV path, mapped read
+    lake.deletionVectors("docs") should not be empty
+    lake.read("docs").select("body").as[String].collect().sorted shouldBe
+      Array("alpha", "gamma")
+    // change feed across the DV delete still attributes the delete
+    val vs = lake.listVersions("docs").sorted
+    val feed = lake.changeFeed("docs", vs(vs.size - 2), vs.last)
+    feed.filter(col("_change_type") === "delete")
+      .select("body").as[String].collect() shouldBe Array("beta")
+  }
+
+  test("SQL surface: ALTER TABLE RENAME/DROP COLUMN through the recognizer") {
+    val (lake, dir) = mappedLake()
+    val s2 = org.apache.spark.sql.NewspipeSqlBridge.sessionWithExtensions(
+      spark, new newspipe.NewspipeExtensions()(_))
+    s2.sql(s"ALTER TABLE lake.`$dir`.docs RENAME COLUMN txt TO body")
+    lake.read("docs").columns.toSeq shouldBe Seq("id", "body", "n")
+    s2.sql(s"ALTER TABLE lake.`$dir`.docs DROP COLUMN n")
+    lake.read("docs").columns.toSeq shouldBe Seq("id", "body")
+    lake.read("docs").orderBy("id").select("body")
+      .as[String].collect() shouldBe Array("alpha", "beta", "gamma")
+  }
+
+  test("catalog surface: ALTER TABLE RENAME/DROP COLUMN via TableChange") {
+    val (lake, dir) = mappedLake()
+    spark.conf.set("spark.sql.catalog.lake", classOf[LakeCatalog].getName)
+    spark.sql(s"ALTER TABLE lake.`$dir`.docs RENAME COLUMN txt TO body")
+    lake.read("docs").columns.toSeq shouldBe Seq("id", "body", "n")
+    spark.sql(s"ALTER TABLE lake.`$dir`.docs DROP COLUMN n")
+    lake.read("docs").columns.toSeq shouldBe Seq("id", "body")
+  }
+
+  test("partition columns refuse rename/drop") {
+    val dir = Files.createTempDirectory("lakecm_part").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.writeAtomic(Seq((1L, "en", "a"), (2L, "fr", "b"))
+      .toDF("id", "lang", "txt"), "docs", partitionBy = Seq("lang"))
+    lake.setProperties("docs", Map("lake.columnMapping.mode" -> "name"))
+    val e = intercept[IllegalArgumentException] {
+      lake.renameColumn("docs", "lang", "language")
+    }
+    e.getMessage should include("partition")
+    intercept[IllegalArgumentException] { lake.dropColumn("docs", "lang") }
+  }
+}

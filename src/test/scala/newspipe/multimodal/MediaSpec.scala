@@ -286,4 +286,55 @@ class MediaSpec extends SparkTestBase {
       n should be <= 8L
     }
   }
+
+  test("Jpeg codec: dims exact, solid-color pixels within tolerance") {
+    val img = Ppm.Image(24, 16, {
+      val a = new Array[Byte](24 * 16 * 3)
+      var i = 0
+      while (i < a.length) { a(i) = (Seq(80, 140, 200)(i % 3)).toByte; i += 1 }
+      a
+    })
+    val bytes = Jpeg.encode(img)
+    Jpeg.looksLikeJpeg(bytes) shouldBe true
+    val back = Jpeg.decode(bytes).get
+    back.width shouldBe 24
+    back.height shouldBe 16
+    // lossy codec: every channel within a few code values of the original
+    back.rgb.indices.foreach { i =>
+      math.abs((back.rgb(i) & 0xff) - (img.rgb(i) & 0xff)) should be <= 8
+    }
+    // signature dispatch: non-JPEG payloads are rejected in O(2 bytes)
+    Jpeg.decode("not a jpeg".getBytes) shouldBe None
+    Jpeg.decode(Array[Byte](0xff.toByte, 0xd8.toByte)) shouldBe None
+    Media.decodeImage(bytes).map(_._2) shouldBe Some("jpeg")
+  }
+
+  test("resizeImages takes the REAL path for JPEG payloads, container-preserving") {
+    val media = Media.syntheticRealJpeg(spark, 60L)
+    val resized = Media.resizeImages(media, maxW = 8, maxH = 8)
+    val rows = resized.as[Media.MediaRow].collect()
+    rows.length shouldBe 60
+    rows.foreach { r =>
+      val id = r.media_id
+      val w0 = (id % 23 + 3).toInt
+      val h0 = (id % 17 + 3).toInt
+      val scale = math.min(1.0, math.min(8.0 / w0, 8.0 / h0))
+      val nw = math.max(1, (w0 * scale).toInt)
+      val nh = math.max(1, (h0 * scale).toInt)
+      // meta must come from the DECODE, not the (deliberately wrong) input
+      r.meta.width shouldBe Some(nw)
+      r.meta.height shouldBe Some(nh)
+      r.meta.format shouldBe Some("jpeg") // container-preserving re-encode
+      val dec = Jpeg.decode(r.payload).get
+      dec.width shouldBe nw
+      dec.height shouldBe nh
+      // solid color survives decode→nearest-resample→re-encode within
+      // a per-channel tolerance (two lossy hops)
+      val exp = Array((id % 200 + 20).toInt, (id * 7 % 200 + 20).toInt,
+        (id * 13 % 200 + 20).toInt)
+      dec.rgb.indices.foreach { i =>
+        math.abs((dec.rgb(i) & 0xff) - exp(i % 3)) should be <= 16
+      }
+    }
+  }
 }
