@@ -2435,6 +2435,42 @@ object SparkEntry {
            |  sum(doc_id) AS id_sum
            |FROM lake.`$root`.docs
            |GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
+    // The estimate-then-act composition ThetaOverlap exists for: theta
+    // containment (one treeReduce'd sketch per corpus, NO join) decides
+    // whether the full cross-corpus scrub runs. Two shards vs the
+    // training set: a HOT shard with injected training copies (~33%
+    // digest containment at both SFs) must trip the 5% gate and a clean
+    // shard (≤0.2%) must not — margins are >30× the sketch's 0.78% RSE,
+    // asserted Spark-side. The flagged shard then runs Dedup.dedupAgainst;
+    // the injected copies die in the exact-digest stage, so survivors are
+    // exactly q52's (oracle verbatim) — the estimate routed the work, the
+    // scrub stayed bit-identical.
+    "q133_theta_then_scrub" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val reference = docs.filter(col("doc_id") % 3 === 0)
+      val hot = corpus.unionByName(reference
+        .withColumn("doc_id", col("doc_id") + 2000000L))
+      def containment(shard: DataFrame): Double = {
+        def digests(df: DataFrame) = df.filter(col("text").isNotNull)
+          .select(md5(col("text").cast("string")).as("d"))
+        newspipe.ops.ThetaOverlap.report(
+          digests(reference), digests(shard), "d").head().getDouble(3)
+      }
+      val cHot = containment(hot)
+      val cClean = containment(corpus)
+      require(cHot >= 0.05,
+        s"hot shard containment estimate $cHot must flag the scrub")
+      require(cClean < 0.05,
+        s"clean shard containment estimate $cClean must skip the scrub")
+      val processed =
+        if (cHot >= 0.05)
+          Dedup.dedupAgainst(hot, reference, "doc_id", "text",
+            threshold = 0.8)
+        else hot
+      processed.select("doc_id").orderBy("doc_id")
     })
   )
 
@@ -4290,7 +4326,15 @@ object SparkEntry {
           |    THEN doc_id END) AS i_exact,
           |  true AS a_in_band, true AS b_in_band, true AS i_in_band
           |FROM documents""".stripMargin,
-      // the deterministic commit ledger of q115's op chain
+      // the deterministic commit ledger of q115's op chain. DELIBERATELY a
+      // literal-VALUES golden, not a relational replay: operation labels
+      // are PROTOCOL metadata (written by commitMarker, not derivable from
+      // the parquet tables DuckDB sees), so the only honest "independent
+      // recomputation" is the statically-known statement sequence itself —
+      // a CTE that re-derived it would re-encode the same literals with
+      // extra steps. The protocol side (labels actually land per commit,
+      // UNKNOWN fallback, parent chain) is pinned by LakeSqlSpec's
+      // DESCRIBE HISTORY case against a live lake.
       "q115_lake_history" ->
         """SELECT * FROM (VALUES (1, 'WRITE'), (2, 'DELETE'), (3, 'APPEND'),
           |  (4, 'RESTORE')) AS t(ordinal, operation)
@@ -4433,6 +4477,9 @@ object SparkEntry {
           |FROM dims ORDER BY media_id""".stripMargin) +
       // rename+drop are metadata-only: the post-state is still q85's
       // delete-complement
-      ("q132_sql_rename_drop" -> base("q85_lake_delete"))
+      ("q132_sql_rename_drop" -> base("q85_lake_delete")) +
+      // the estimate routed the scrub; the scrub's survivors are q52's
+      // (injected training copies die in the exact-digest stage)
+      ("q133_theta_then_scrub" -> base("q52_dedup_against"))
   }
 }
