@@ -30,8 +30,13 @@ class LakeCatalogSpec extends SparkTestBase {
   }
 
   test("SELECT via the two-part basePath form") {
+    // a catalog instance is CACHED per session at first use with the confs
+    // of that moment — another suite may have loaded `lake` before our
+    // basePath conf existed, so the basePath form gets its own catalog name
+    spark.conf.set("spark.sql.catalog.lakeb", classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakeb.basePath", base)
     lake.writeAtomic(Seq((7L, "x")).toDF("id", "text"), "twopart")
-    spark.sql("SELECT id, text FROM lake.twopart")
+    spark.sql("SELECT id, text FROM lakeb.twopart")
       .as[(Long, String)].collect() shouldBe Array((7L, "x"))
   }
 
