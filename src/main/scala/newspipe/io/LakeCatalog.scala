@@ -361,7 +361,12 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
               require(pinnedVersion.isEmpty,
                 s"${name()}: cannot write to a time-travel relation")
               if (overwrite) lake.writeAtomic(data, layer)
-              else lake.appendAtomic(data, layer)
+              else
+                // SQL writers expect INSERT INTO to survive a concurrent
+                // commit (Delta retries internally); appendAtomic re-reads
+                // the head each attempt, so the retry is the documented
+                // optimistic-concurrency loop, not a blind replay
+                lake.retryOnConflict() { lake.appendAtomic(data, layer) }
             }
           }
       }

@@ -164,6 +164,24 @@ class LakeCatalogSpec extends SparkTestBase {
       .as[Long].head() shouldBe 1L
   }
 
+  test("four racing SQL INSERT INTO statements all land (OCC retry inside)") {
+    lake.writeAtomic(Seq((0L, "base")).toDF("id", "text"), "race")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (1 to 4).map { w =>
+      Future {
+        spark.sql(s"INSERT INTO lake.`$base`.race VALUES ($w, 'writer$w')")
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    spark.sql(s"SELECT id FROM lake.`$base`.race ORDER BY id")
+      .as[Long].collect() shouldBe Array(0L, 1L, 2L, 3L, 4L)
+    new Lake(spark, LakeConfig(basePath = base))
+      .historyRows("race").map(_.getString(2)) shouldBe
+      Seq("WRITE", "APPEND", "APPEND", "APPEND", "APPEND")
+  }
+
   test("deletion-vector layers read correctly through the catalog") {
     lake.writeAtomic(
       (1L to 100L).map(i => (i, s"t$i")).toDF("id", "text"), "dvcat")
