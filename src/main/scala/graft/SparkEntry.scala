@@ -2471,6 +2471,24 @@ object SparkEntry {
             threshold = 0.8)
         else hot
       processed.select("doc_id").orderBy("doc_id")
+    }),
+
+    // Hybrid retrieval: BM25 (q50's lexical leg) ⊕ embedding cosine vs
+    // one query vector, fused by Reciprocal Rank Fusion. Each leg ranks
+    // on its score ROUNDED to 1e-6 (id tie-break) so a sub-ulp libm
+    // difference can never flip adjacent ranks between engines; the fused
+    // score is a sum of exact reciprocals of small integers. Oracle
+    // replays both legs and the fusion arithmetic in full.
+    "q134_hybrid_rrf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      newspipe.ops.Retrieval.hybridRrf(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("vector", "stream", "window"),
+          emb, "vec_id", "embedding", qv, topK = 20, legK = 50)
+        .orderBy("rank")
     })
   )
 
@@ -4480,6 +4498,61 @@ object SparkEntry {
       ("q132_sql_rename_drop" -> base("q85_lake_delete")) +
       // the estimate routed the scrub; the scrub's survivors are q52's
       // (injected training copies die in the exact-digest stage)
-      ("q133_theta_then_scrub" -> base("q52_dedup_against"))
+      ("q133_theta_then_scrub" -> base("q52_dedup_against")) +
+      // both legs + the RRF fusion replayed: bm25 is q50's CTE chain,
+      // the semantic leg is q28's cosine over DOUBLE[], ranks on
+      // round(score, 6) with id tie-break exactly like the operator
+      ("q134_hybrid_rrf" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+          |      x -> len(x) > 0) AS tk
+          |  FROM documents),
+          |d AS (SELECT doc_id, tk, len(tk) AS dl FROM toks WHERE len(tk) > 0),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+          |q(term) AS (VALUES ('vector'), ('stream'), ('window')),
+          |tf AS (
+          |  SELECT doc_id, dl, term,
+          |    len(list_filter(tk, x -> x = term)) AS tf
+          |  FROM d CROSS JOIN q),
+          |tf2 AS (SELECT * FROM tf WHERE tf > 0),
+          |df AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+          |sc AS (
+          |  SELECT t.doc_id,
+          |    ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+          |      * (t.tf * (1.2 + 1)) /
+          |      (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl)) AS contrib
+          |  FROM tf2 t JOIN df f ON t.term = f.term CROSS JOIN stats s),
+          |lexs AS (
+          |  SELECT doc_id, round(sum(contrib), 6) AS s
+          |  FROM sc GROUP BY doc_id),
+          |lexr AS (
+          |  SELECT doc_id,
+          |    row_number() OVER (ORDER BY s DESC, doc_id) AS lex_rank
+          |  FROM lexs QUALIFY lex_rank <= 50),
+          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings),
+          |qv AS (SELECT v FROM e WHERE vec_id = 0),
+          |sems AS (
+          |  SELECT e.vec_id,
+          |    round(list_dot_product(e.v, qv.v) /
+          |      (sqrt(list_dot_product(e.v, e.v)) *
+          |       sqrt(list_dot_product(qv.v, qv.v))), 6) AS s
+          |  FROM e, qv
+          |  WHERE list_dot_product(e.v, e.v) > 0
+          |    AND list_dot_product(qv.v, qv.v) > 0),
+          |semr AS (
+          |  SELECT vec_id AS doc_id,
+          |    row_number() OVER (ORDER BY s DESC, vec_id) AS sem_rank
+          |  FROM sems QUALIFY sem_rank <= 50),
+          |fused AS (
+          |  SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+          |    l.lex_rank, r.sem_rank,
+          |    coalesce(1.0 / (60 + l.lex_rank), 0) +
+          |    coalesce(1.0 / (60 + r.sem_rank), 0) AS rrf
+          |  FROM lexr l FULL JOIN semr r ON l.doc_id = r.doc_id)
+          |SELECT doc_id, lex_rank, sem_rank, round(rrf, 6) AS rrf,
+          |  row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+          |FROM fused ORDER BY rank LIMIT 20""".stripMargin)
   }
 }

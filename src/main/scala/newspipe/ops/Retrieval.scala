@@ -105,4 +105,68 @@ object Retrieval {
       .select(col(idCol), col("token"), col("tf"), col("df"),
         col("__score").as("tfidf"), col("rank"))
   }
+
+  /** Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.): fuse a
+    * LEXICAL ranking (BM25 over `queryTerms`) and a SEMANTIC ranking
+    * (cosine of each row's embedding against one query vector) by
+    * `rrf(d) = Σ_legs 1 / (rrfK + rank_leg(d))`, docs absent from a leg
+    * contributing nothing — the standard sparse+dense fusion a retrieval
+    * pipeline runs ahead of an LLM (rank-based, so the two legs'
+    * incomparable score scales never need calibration).
+    *
+    * Determinism for the oracle: each leg ranks on its score ROUNDED to
+    * 1e-6 with the id as tie-break, so a sub-ulp libm difference between
+    * engines can never flip adjacent ranks; the fused score is then a sum
+    * of exact reciprocals of small integers — bit-identical everywhere.
+    *
+    * Scale shape: each leg ends in `orderBy(...).limit(legK)` — Spark
+    * plans TakeOrderedAndProject (per-partition partial top-k, no global
+    * sort); the fusion is a full-outer join of two ≤`legK`-row frames.
+    * The semantic leg is ONE scan with the query vector as a broadcast
+    * literal — zero shuffles before the top-k.
+    *
+    * @return (idCol, lex_rank, sem_rank, rrf, rank) — top `topK` by fused
+    *   score; leg ranks null where the doc missed that leg's top-`legK`.
+    */
+  def hybridRrf(corpus: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String],
+      embeddings: DataFrame, embIdCol: String, vecCol: String,
+      queryVec: Seq[Double], topK: Int = 10, rrfK: Int = 60,
+      legK: Int = 50): DataFrame = {
+    require(queryVec.nonEmpty, "hybridRrf needs a non-empty query vector")
+    // topK may exceed legK: the fused pool holds up to 2·legK distinct docs
+    require(topK >= 1 && legK >= 1 && rrfK >= 1,
+      s"need positive topK/legK/rrfK; got topK=$topK legK=$legK rrfK=$rrfK")
+    import org.apache.spark.sql.expressions.Window
+
+    def ranked(leg: DataFrame): DataFrame = {
+      // limit first (distributed partial top-k), then rank the tiny frame
+      val top = leg.orderBy(desc("__s"), asc("__id")).limit(legK)
+      top.withColumn("__r", row_number().over(
+        Window.orderBy(desc("__s"), asc("__id"))))
+    }
+
+    val lex = ranked(bm25(corpus, idCol, textCol, queryTerms)
+      .select(col(idCol).as("__id"), round(col("score"), 6).as("__s")))
+      .select(col("__id"), col("__r").as("lex_rank"))
+
+    val sem = ranked(embeddings
+      .select(col(embIdCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .select(col("__id"),
+        round(Similarity.cosine(col("__v"), typedLit(queryVec)), 6)
+          .as("__s"))
+      .filter(col("__s").isNotNull))
+      .select(col("__id"), col("__r").as("sem_rank"))
+
+    val fused = lex.join(sem, Seq("__id"), "full_outer")
+      .withColumn("__rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")), lit(0.0)))
+    fused.orderBy(desc("__rrf"), asc("__id")).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("__rrf"), asc("__id"))))
+      .select(col("__id").as(idCol), col("lex_rank"), col("sem_rank"),
+        round(col("__rrf"), 6).as("rrf"), col("rank"))
+  }
 }

@@ -81,4 +81,40 @@ class RetrievalSpec extends SparkTestBase {
       .select("token").as[String].collect()
     r shouldBe Array("alpha", "zeta")
   }
+
+  test("hybridRrf: fusion arithmetic, leg-miss nulls, deterministic order") {
+    // doc 1 dominates the lexical leg; doc 3 dominates the semantic leg;
+    // doc 2 places mid-table in both; doc 4 appears ONLY semantically
+    val docs = Seq(
+      (1L, "spark spark spark engine"),
+      (2L, "spark shuffle"),
+      (3L, "unrelated words entirely")).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(0.1f, 0.9f)),
+      (2L, Array(0.6f, 0.4f)),
+      (3L, Array(1.0f, 0.0f)),
+      (4L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val out = Retrieval.hybridRrf(docs, "doc_id", "text", Seq("spark"),
+      emb, "vec_id", "embedding", queryVec = Seq(1.0, 0.0),
+      topK = 4, rrfK = 60, legK = 3)
+      .orderBy("rank")
+      .collect()
+    // lexical leg: 1 (tf 3) then 2 (tf 1); doc 3/4 score no terms.
+    // semantic leg (cos vs [1,0], legK=3): 3 (1.0), 4 (≈.994), 2 (≈.832).
+    val byId = out.map(r => r.getLong(0) ->
+      (Option(r.get(1)), Option(r.get(2)), r.getDouble(3))).toMap
+    byId(1L)._1 shouldBe Some(1) // lex rank 1
+    byId(1L)._2 shouldBe None    // missed the semantic top-3
+    byId(3L)._1 shouldBe None
+    byId(3L)._2 shouldBe Some(1)
+    byId(2L)._1 shouldBe Some(2)
+    byId(2L)._2 shouldBe Some(3)
+    byId(4L)._2 shouldBe Some(2)
+    // rrf is the exact reciprocal sum
+    byId(2L)._3 shouldBe (math.rint((1.0 / 62 + 1.0 / 63) * 1e6) / 1e6)
+    byId(1L)._3 shouldBe (math.rint((1.0 / 61) * 1e6) / 1e6)
+    // doc 2 (both legs) outranks every single-leg doc here
+    out.head.getLong(0) shouldBe 2L
+    out.map(_.getInt(4)).toSeq shouldBe Seq(1, 2, 3, 4)
+  }
 }
