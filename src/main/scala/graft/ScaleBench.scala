@@ -294,6 +294,51 @@ object ScaleBench {
         state0, delta, Seq("doc_id_mod"), "doc_id").count()
     }
     out("q123_incr_distinct_fold") = (nFold, tFold)
+
+    // q134 shape: hybrid RRF — the lexical leg tokenizes the whole corpus
+    // (the honest linear cost), both legs end in distributed partial
+    // top-k, fusion joins two <=50-row frames
+    val (nHy, tHy) = timed {
+      val qv = emb.filter(col("vec_id") === 0L).head().getSeq[Double](1)
+      newspipe.ops.Retrieval.hybridRrf(docs, "doc_id", "text",
+        Seq("vector", "stream", "window"), emb, "vec_id", "v",
+        qv, topK = 20, legK = 50).count()
+    }
+    out("q134_hybrid_rrf") = (nHy, tHy)
+
+    // q132 shape: column mapping. File count grows with the corpus (the
+    // metadata dimension a rename actually touches); the read pays one
+    // extra Project under mapping — measured against the unmapped read.
+    val lakeDir = java.nio.file.Files.createTempDirectory("scale_cm").toString
+    val lake = new newspipe.io.Lake(spark,
+      newspipe.io.LakeConfig(basePath = lakeDir))
+    lake.writeAtomic(docs.repartition(math.max(8, 8 * copies)), "docs")
+    val (nUr, tUr) = timed {
+      lake.read("docs").agg(sum(length(col("text")))).count()
+    }
+    out("q132_unmapped_read") = (nUr, tUr)
+    lake.setProperties("docs", Map("lake.columnMapping.mode" -> "name"))
+    val (nRen, tRen) = timed {
+      lake.renameColumn("docs", "text", "body"); 8L * copies
+    }
+    out("q132_rename_commit") = (nRen, tRen)
+    val (nMr, tMr) = timed {
+      lake.read("docs").agg(sum(length(col("body")))).count()
+    }
+    out("q132_mapped_read") = (nMr, tMr)
+    org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(lakeDir), true)
+
+    // q131 shape: JPEG decode→resample→re-encode→decode, corpus-linear,
+    // embarrassingly parallel (per-row JDK codec work, zero shuffles)
+    val (nJp, tJp) = timed {
+      newspipe.multimodal.Media.imagePixelSums(
+        newspipe.multimodal.Media.resizeImages(
+          newspipe.multimodal.Media.syntheticRealJpeg(spark, 500L * copies)
+            .repartition(par), 8, 8)).count()
+    }
+    out("q131_jpeg_roundtrip") = (nJp, tJp)
     out.toMap
   }
 

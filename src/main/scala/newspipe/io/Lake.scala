@@ -426,11 +426,33 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * zero-files case. None = self-contained snapshot (its directory IS
     * its inventory).
     */
+  /** A committed snapshot's manifest is IMMUTABLE, so positive parses are
+    * cached (bounded: one row op consults the head manifest several times —
+    * inventory, dvs, mapping, dropped — and at 10⁶ files each parse is a
+    * ~100 MB JSON walk; the cache turns that into one). A MISS is never
+    * cached: the not-yet-committed window must stay re-checkable.
+    */
+  private val manifestCache =
+    new java.util.LinkedHashMap[String, SnapshotManifest](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, SnapshotManifest]): Boolean =
+        size() > 8
+    }
+
   private def manifestOf(snap: Path): Option[SnapshotManifest] = {
+    val key = snap.toString
+    manifestCache.synchronized {
+      val hit = manifestCache.get(key)
+      if (hit != null) return Some(hit)
+    }
     val p = new Path(snap, SnapshotManifest.FileName)
     if (!fs(p).exists(p)) None
-    else Some(SnapshotManifest.read(readFully(p),
-      i => readFully(new Path(snap, SnapshotManifest.shardName(i)))))
+    else {
+      val m = SnapshotManifest.read(readFully(p),
+        i => readFully(new Path(snap, SnapshotManifest.shardName(i))))
+      manifestCache.synchronized { manifestCache.put(key, m) }
+      Some(m)
+    }
   }
 
   // ---- column mapping (logical ↔ physical names) ---------------------------
