@@ -493,6 +493,25 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       if (lg == ph) d else d.withColumnRenamed(ph, lg)
     }
 
+  /** Rewrite a (logical-named) predicate's top-level attribute references
+    * to physical names — what makes STATS PRUNING correct on mapped
+    * layers: each file's sidecar stats describe its own PHYSICAL columns,
+    * which is exactly the column a mapped scan reads for the logical name,
+    * so a physically-translated predicate evaluated against physical-keyed
+    * stats attributes every min/max to the right data even after a rename
+    * reuses a previous physical name.
+    */
+  private def predicateToPhysical(p: org.apache.spark.sql.Column,
+      mapping: Map[String, String]): org.apache.spark.sql.Column =
+    if (mapping.isEmpty) p
+    else org.apache.spark.sql.NewspipeSqlBridge.column(
+      org.apache.spark.sql.NewspipeSqlBridge.convertedExpression(p).transform {
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if ua.nameParts.length == 1 && mapping.contains(ua.name) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+            Seq(mapping(ua.name)))
+      })
+
   /** A snapshot's data files, paths relative to the layer root — the
     * manifest when present, else a walk of the snapshot directory.
     */
@@ -838,8 +857,9 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val mapping = mappingOf(snap)
     val oldStats = rebasedStats(layer, snap)
     val cond =
-      if (oldStats.isEmpty || mapping.nonEmpty) None
-      else resolveCondition(layer, base, oldStats.values.toSeq, predicate)
+      if (oldStats.isEmpty) None
+      else resolveCondition(layer, base, oldStats.values.toSeq, predicate,
+        mapping)
     def mayMatch(rel: String): Boolean = oldStats.get(rel) match {
       case Some(st) => cond.forall(FileStats.matches(st, _))
       case None => true
@@ -1000,9 +1020,11 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         // files filter through their positions like every other read
         val snap = latestSnapshot(layer).get // manifest paths ⇒ snapshot
         val dv = dvMapOf(snap)
+        val mapping = mappingOf(snap)
         val hasDv = p.keptPaths.exists(dv.contains)
-        val raw = readRelFiles(layer, p.keptPaths, mergeSchema,
-          schemaHint = Some(layerSchema(layer)), withMeta = hasDv)
+        val raw = toLogical(readRelFiles(layer, p.keptPaths, mergeSchema,
+          schemaHint = Some(physicalSchema(layerSchema(layer), mapping)),
+          withMeta = hasDv), mapping)
         val alive =
           if (hasDv) dvFilter(raw,
             dvPairs(layerPath(layer), snap, Some(p.keptPaths.toSet)))
@@ -1041,15 +1063,15 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   private def prunePlan(layer: String,
       predicate: org.apache.spark.sql.Column): Option[PrunePlan] = {
-    // Under column mapping the sidecar stats are keyed by PHYSICAL names
-    // while predicates speak logical names — and a rename can REUSE a
-    // previous physical name for a different logical column, so matching
-    // by name would prune with the WRONG column's min/max. No pruning on
-    // mapped layers (readWhere degrades to read+filter, still correct).
-    if (latestSnapshot(layer).exists(s => mappingOf(s).nonEmpty)) return None
+    // Sidecar stats are keyed by PHYSICAL names; resolveCondition
+    // translates the (logical) predicate through the head mapping, so
+    // pruning stays exact on renamed layers too.
+    val headMapping = latestSnapshot(layer).map(mappingOf)
+      .getOrElse(Map.empty[String, String])
     sidecarStats(layer) match {
       case Some((snap, all)) =>
-        lazy val cond = resolveCondition(layer, snap, all, predicate)
+        lazy val cond = resolveCondition(layer, snap, all, predicate,
+          headMapping)
         val kept = all.filter(st => cond.forall(FileStats.matches(st, _)))
         Some(PrunePlan(snap, kept.map(_.path), all.size,
           kept.map(_.rows).sum, all.map(_.rows).sum))
@@ -1088,7 +1110,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   private def resolveCondition(layer: String, base: String,
       stats: Seq[FileStats.FileStat],
-      predicate: org.apache.spark.sql.Column)
+      predicate: org.apache.spark.sql.Column,
+      mapping: Map[String, String] = Map.empty)
       : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     try {
@@ -1102,9 +1125,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         partCols.map(StructField(_, StringType)))
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      resolvedCondition(empty.filter(predicate))
+      // the sample-file schema speaks PHYSICAL names — translate the
+      // predicate so stats pruning stays correct under column mapping
+      resolvedCondition(empty.filter(predicateToPhysical(predicate, mapping)))
     } catch {
       case scala.util.control.NonFatal(_) =>
+        // fallback resolves against the LOGICAL read frame — untranslated
         resolvedCondition(read(layer).filter(predicate))
     }
   }
@@ -1906,13 +1932,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val base = layerPath(layer)
     val inventory = snapshotInventory(layer, snap)
     val mapping = mappingOf(snap)
-    // which files can the predicate possibly touch? (under column mapping
-    // the stats speak physical names and the predicate logical ones — no
-    // pruning, every file scans; see prunePlan)
+    // which files can the predicate possibly touch? (the predicate is
+    // translated to physical names, so stats pruning holds under mapping)
     val oldStats = rebasedStats(layer, snap)
     lazy val cond = predicate.flatMap { p =>
-      if (oldStats.isEmpty || mapping.nonEmpty) None
-      else resolveCondition(layer, base, oldStats.values.toSeq, p)
+      if (oldStats.isEmpty) None
+      else resolveCondition(layer, base, oldStats.values.toSeq, p, mapping)
     }
     def mayMatch(rel: String): Boolean = affectedOverride match {
       // caller named the files (partial OPTIMIZE): no predicate pruning
@@ -2169,7 +2194,20 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       snap: Path): org.apache.spark.sql.types.StructType =
     manifestOf(snap) match {
       case Some(m) => m.schema
-      case None => loadSnapshot(layer, snap, mergeSchema = false).schema
+      case None =>
+        // self-contained parquet snapshot: ONE sample footer answers the
+        // schema (the full loadSnapshot frame build walks the dir twice
+        // and constructs a scan — wasteful for metadata-only callers).
+        // Hive-partitioned layouts keep the frame build: partition columns
+        // live in directory names, not footers.
+        lazy val rels = snapshotDirFilesRel(snap)
+        if (config.format == "parquet" && rels.nonEmpty &&
+            !rels.exists(_.contains("="))) {
+          val sample = s"${snap.toString}/${rels.head}"
+          org.apache.spark.sql.NewspipeSqlBridge.nullableSchema(
+            schemaCache.computeIfAbsent(sample,
+              _ => spark.read.format(config.format).load(sample).schema))
+        } else loadSnapshot(layer, snap, mergeSchema = false).schema
     }
 
   /** Data files under one snapshot directory, relative to IT (hidden files

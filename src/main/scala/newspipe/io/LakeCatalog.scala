@@ -365,8 +365,12 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
                 // SQL writers expect INSERT INTO to survive a concurrent
                 // commit (Delta retries internally); appendAtomic re-reads
                 // the head each attempt, so the retry is the documented
-                // optimistic-concurrency loop, not a blind replay
-                lake.retryOnConflict() { lake.appendAtomic(data, layer) }
+                // optimistic-concurrency loop, not a blind replay. Budget
+                // sized for a burst of concurrent INSERTs (each attempt
+                // can lose to at most one sibling commit).
+                lake.retryOnConflict(maxAttempts = 10) {
+                  lake.appendAtomic(data, layer)
+                }
             }
           }
       }

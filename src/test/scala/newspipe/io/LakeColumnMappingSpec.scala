@@ -136,6 +136,30 @@ class LakeColumnMappingSpec extends SparkTestBase {
       .select("body").as[String].collect() shouldBe Array("beta")
   }
 
+  test("stats pruning stays exact under mapping, incl. physical-name reuse") {
+    val dir = Files.createTempDirectory("lakecm_prune").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    // 4 range-clustered files so a selective predicate can prune
+    lake.writeAtomic((1 to 100).map(i => (i.toLong, s"t$i", i))
+      .toDF("id", "txt", "n")
+      .repartitionByRange(4, col("n")).sortWithinPartitions("n"), "docs")
+    lake.setProperties("docs", Map("lake.columnMapping.mode" -> "name"))
+    lake.renameColumn("docs", "txt", "body")
+    lake.renameColumn("docs", "n", "txt") // logical txt = PHYSICAL n (ints)
+    // readWhere on the REUSED logical name: must consult physical-n stats
+    lake.readWhere("docs", col("txt") <= 10)
+      .select("id").as[Long].collect().sorted shouldBe (1L to 10L).toArray
+    // ...and actually skip files, not degrade to a full scan
+    val info = lake.pruneInfo("docs", col("txt") <= 10)
+    info shouldBe defined
+    info.get.keptFiles should be < info.get.totalFiles
+    // row ops prune on the translated predicate too: a top-range delete
+    // must carry the untouched low-range files by reference
+    val r = lake.deleteWhere("docs", col("txt") > 90)
+    r.carriedFiles should be > 0
+    lake.read("docs").count() shouldBe 90L
+  }
+
   test("SQL surface: ALTER TABLE RENAME/DROP COLUMN through the recognizer") {
     val (lake, dir) = mappedLake()
     val s2 = org.apache.spark.sql.NewspipeSqlBridge.sessionWithExtensions(
