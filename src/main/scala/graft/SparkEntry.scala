@@ -2489,6 +2489,32 @@ object SparkEntry {
           Seq("vector", "stream", "window"),
           emb, "vec_id", "embedding", qv, topK = 20, legK = 50)
         .orderBy("rank")
+    }),
+
+    // Catalog CREATE TABLE … PARTITIONED BY lifecycle: the declared
+    // identity layout is recorded as the lake.partitionBy property, so the
+    // first INSERT (empty inventory, no k=v dirs to derive from) still
+    // lands hive-partitioned; the post-state agg must equal the plain
+    // corpus replay (partitioning is invisible to results — oracle is the
+    // full-corpus agg verbatim). The in-query require pins the layout.
+    "q135_catalog_partitioned" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.lake", "newspipe.io.LakeCatalog")
+      val root = java.nio.file.Files.createTempDirectory("q135_lake").toString
+      s.sql(s"CREATE TABLE lake.`$root`.docs " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) PARTITIONED BY (lang)")
+      s.sql(s"INSERT INTO lake.`$root`.docs " +
+        s"SELECT doc_id, lang, n_chars FROM parquet.`$dir/documents.parquet`")
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val head = new java.io.File(s"$root/docs/_v/" +
+        lake.listVersions("docs").head)
+      require(head.listFiles().exists(_.getName.startsWith("lang=")),
+        "declared PARTITIONED BY layout must land as hive directories")
+      s.sql(
+        s"""SELECT lang, count(1) AS n_docs, sum(n_chars) AS sum_chars,
+           |  sum(doc_id) AS id_sum
+           |FROM lake.`$root`.docs
+           |GROUP BY lang ORDER BY lang""".stripMargin)
     })
   )
 
@@ -4553,6 +4579,8 @@ object SparkEntry {
           |  FROM lexr l FULL JOIN semr r ON l.doc_id = r.doc_id)
           |SELECT doc_id, lex_rank, sem_rank, round(rrf, 6) AS rrf,
           |  row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
-          |FROM fused ORDER BY rank LIMIT 20""".stripMargin)
+          |FROM fused ORDER BY rank LIMIT 20""".stripMargin) +
+      // partitioning is invisible to results: the full-corpus agg verbatim
+      ("q135_catalog_partitioned" -> ext("q117_lake_compact_small"))
   }
 }

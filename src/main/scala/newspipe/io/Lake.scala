@@ -163,6 +163,20 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     var writer = df.write.format(config.format).mode("errorifexists")
     if (partitionBy.nonEmpty) writer = writer.partitionBy(partitionBy: _*)
     writer.save(snap.toString)
+    // An EMPTY partitioned save lands no parquet footer at all (Spark only
+    // writes _SUCCESS when there are zero rows to place in partition
+    // dirs) — record the declared schema in a bare manifest so the
+    // committed snapshot reads as a schema-carrying empty frame (the
+    // `files.isEmpty` manifest case) instead of failing schema inference.
+    // This is how `CREATE TABLE … PARTITIONED BY` through [[LakeCatalog]]
+    // commits its empty first version.
+    if (partitionBy.nonEmpty && snapshotDirFilesRel(snap).isEmpty) {
+      val out = fs(snap).create(new Path(snap, SnapshotManifest.FileName),
+        false)
+      try out.write(SnapshotManifest.toJson(
+        SnapshotManifest(Nil, df.schema.toDDL)).getBytes("UTF-8"))
+      finally out.close()
+    }
     // stats sidecar BEFORE the commit marker: a committed snapshot either
     // carries complete stats or none — readers can trust what they find.
     // Runs before the optimistic-concurrency check so the (listing +
@@ -648,6 +662,25 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * [[deleteWhereDv]], falling back to the rewrite path past
     * `maxDvRows` — exactly Delta's enableDeletionVectors contract.
     */
+  /** Hive partition columns of a layer: derived from the inventory's
+    * `k=v` path segments; when the inventory carries none (an EMPTY layer
+    * — e.g. a catalog `CREATE TABLE … PARTITIONED BY` whose first commit
+    * has no rows), the declared `lake.partitionBy` property decides, so
+    * the first real append still lands inside the hive layout.
+    */
+  private def layerPartitionCols(layer: String,
+      inventory: Seq[String]): Seq[String] = {
+    val derived = inventory
+      .flatMap(_.split('/').dropRight(1).toSeq
+        .filter(_.contains('='))
+        .map(seg => seg.substring(0, seg.indexOf('='))))
+      .distinct
+    if (derived.nonEmpty) derived
+    else properties(layer).get("lake.partitionBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+  }
+
   def properties(layer: String): Map[String, String] = {
     val p = new Path(layerPath(layer), "_PROPERTIES.json")
     val f = fs(p)
@@ -1530,11 +1563,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     refuseDroppedResurrection(layer, snap,
       df.schema.fieldNames.filterNot(old.fieldNames.contains))
     enforceConstraints(layer, df, s"appendAtomic('$layer')")
-    val partCols = carried
-      .flatMap(_.split('/').dropRight(1).toSeq
-        .filter(_.contains('='))
-        .map(seg => seg.substring(0, seg.indexOf('='))))
-      .distinct
+    val partCols = layerPartitionCols(layer, carried)
     val newSnap = new Path(s"$base/_v/${newVersionId()}")
     try {
       var writer = toPhysical(df, mapping).write
@@ -1959,11 +1988,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val schema = snapshotSchema(layer, snap)
     // layer-wide partition columns (not affected-only): an append leg with
     // zero affected files must still land inside the hive layout
-    val partCols = inventory
-      .flatMap(_.split('/').dropRight(1).toSeq
-        .filter(_.contains('='))
-        .map(seg => seg.substring(0, seg.indexOf('='))))
-      .distinct
+    val partCols = layerPartitionCols(layer, inventory)
     // affected files must be read THROUGH the parent's deletion vectors —
     // a rewrite that resurrected DV'd rows would silently undo deletes
     val parentDv = dvMapOf(snap)

@@ -173,27 +173,42 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, columns: Array[V2Column],
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "lake catalog tables are unpartitioned at CREATE time — write " +
-        "hive-partitioned layers through Lake.writeAtomic(partitionBy)")
+    // identity transforms only (hive partitioning); bucket/days/etc. have
+    // no lake layout to land in
+    val partCols = partitions.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        t.references.head.fieldNames.head
+      case other => throw new IllegalArgumentException(
+        s"lake catalog supports PARTITIONED BY (col, …) — identity " +
+          s"transforms only; got: $other")
+    }
     val base = baseOf(ident.namespace.toSeq)
     if (layerExists(base, ident.name))
       throw new TableAlreadyExistsException(ident)
     val schema = StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(c.name, c.dataType,
         c.nullable)))
+    partCols.foreach(pc => require(schema.fieldNames.contains(pc),
+      s"PARTITIONED BY column '$pc' is not in the table schema"))
     val lake = new Lake(spark, LakeConfig(basePath = base))
     // an empty-but-schema-carrying first commit: Spark writes one empty
     // parquet footer for a zero-partition frame, so reads resolve the
     // declared schema immediately (and CTAS appends land as commit 2)
     lake.writeAtomic(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
-      ident.name)
+      ident.name, partitionBy = partCols.toSeq)
     val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
       TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER,
       TableCatalog.PROP_EXTERNAL, "transient_lastDdlTime")
     val user = properties.asScala.filter { case (k, _) => !reserved(k) }
-    if (user.nonEmpty) lake.setProperties(ident.name, user.toMap)
+    // the declared layout survives the empty first commit via the
+    // lake.partitionBy property — appendAtomic consults it when the
+    // inventory carries no k=v dirs yet
+    val withPart =
+      if (partCols.isEmpty) user.toMap
+      else user.toMap + ("lake.partitionBy" -> partCols.mkString(","))
+    if (withPart.nonEmpty) lake.setProperties(ident.name, withPart)
     LakeTable(spark, base, ident.name, None)
   }
 
@@ -319,6 +334,13 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
   override def properties(): java.util.Map[String, String] =
     (lake.properties(layer) + ("provider" -> "lake")).asJava
 
+  override def partitioning(): Array[Transform] =
+    lake.properties(layer).get("lake.partitionBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty)
+        .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+        .toArray[Transform])
+      .getOrElse(Array.empty)
+
   /** Substitute plan for [[LakeV2ReadRewrite]]: the layer's v1 read plan
     * with the v2 relation's attribute ids PRESERVED (parents already
     * reference them), via a Project of id-pinning aliases.
@@ -360,7 +382,13 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
             override def insert(data: DataFrame, ignored: Boolean): Unit = {
               require(pinnedVersion.isEmpty,
                 s"${name()}: cannot write to a time-travel relation")
-              if (overwrite) lake.writeAtomic(data, layer)
+              // a declared PARTITIONED BY layout survives INSERT OVERWRITE
+              val declaredPart = lake.properties(layer)
+                .get("lake.partitionBy")
+                .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                .getOrElse(Nil)
+              if (overwrite)
+                lake.writeAtomic(data, layer, partitionBy = declaredPart)
               else
                 // SQL writers expect INSERT INTO to survive a concurrent
                 // commit (Delta retries internally); appendAtomic re-reads

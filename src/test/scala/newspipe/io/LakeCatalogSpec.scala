@@ -164,6 +164,35 @@ class LakeCatalogSpec extends SparkTestBase {
       .as[Long].head() shouldBe 1L
   }
 
+  test("CREATE TABLE PARTITIONED BY: hive layout from the first INSERT on") {
+    spark.sql(s"CREATE TABLE lake.`$base`.part (id BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang)")
+    spark.sql(s"INSERT INTO lake.`$base`.part " +
+      "VALUES (1, 'en'), (2, 'fr'), (3, 'en')")
+    // the declared layout landed as hive k=v directories
+    val vDir = new java.io.File(s"$base/part/_v")
+    val langDirs = vDir.listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).map(_.getName).filter(_.startsWith("lang="))
+    langDirs.toSet shouldBe Set("lang=en", "lang=fr")
+    // further appends and overwrites keep the layout
+    spark.sql(s"INSERT INTO lake.`$base`.part VALUES (4, 'de')")
+    spark.sql(s"SELECT id FROM lake.`$base`.part WHERE lang = 'en' " +
+      "ORDER BY id").as[Long].collect() shouldBe Array(1L, 3L)
+    spark.sql(s"INSERT OVERWRITE lake.`$base`.part VALUES (9, 'zh')")
+    val lake2 = new Lake(spark, LakeConfig(basePath = base))
+    lake2.read("part").as[(Long, String)].collect() shouldBe
+      Array((9L, "zh"))
+    val newest = new java.io.File(
+      s"$base/part/_v/${lake2.listVersions("part").head}")
+    newest.listFiles().map(_.getName).filter(_.startsWith("lang=")) should
+      contain("lang=zh")
+    // non-identity transforms refuse loudly
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE lake.`$base`.badpart (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))")
+    }
+  }
+
   test("four racing SQL INSERT INTO statements all land (OCC retry inside)") {
     lake.writeAtomic(Seq((0L, "base")).toDF("id", "text"), "race")
     import scala.concurrent.{Await, Future}
