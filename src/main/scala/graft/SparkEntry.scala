@@ -2515,6 +2515,42 @@ object SparkEntry {
            |  sum(doc_id) AS id_sum
            |FROM lake.`$root`.docs
            |GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
+    // readStream.table over a lake catalog table, run to completion: the
+    // stream serves the initial snapshot as plain rows, then each APPEND
+    // commit's new rows; the DELETE commit in between contributes nothing
+    // (rows-only posture — the format-based change source carries the
+    // tagged CDF, q95/q96). Materialized sink = every row ever inserted =
+    // the full corpus, so the oracle is the plain corpus agg; a stream
+    // that leaked delete-tagged rows would double-count ids and fail the
+    // hash, and one that missed an append would drop a lang bucket.
+    "q136_catalog_stream" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.lake", "newspipe.io.LakeCatalog")
+      val root = java.nio.file.Files.createTempDirectory("q136_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      lake.writeAtomic(docs.filter(col("doc_id") % 2 === 0), "docs")
+      val s2 = org.apache.spark.sql.NewspipeSqlBridge.sessionWithExtensions(
+        s, new newspipe.NewspipeExtensions()(_))
+      val out = s"$root/_out"
+      val q = s2.readStream.table(s"lake.`$root`.docs")
+        .writeStream.option("checkpointLocation", s"$root/_ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start()
+      q.processAllAvailable() // batch 0: the initial snapshot as rows
+      lake.deleteWhere("docs", col("doc_id") % 10 === 0) // emits no rows
+      lake.appendAtomic(docs.filter(col("doc_id") % 2 === 1), "docs")
+      q.processAllAvailable() // the append's rows, the delete's none
+      q.stop()
+      s.read.parquet(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
     })
   )
 
@@ -4581,6 +4617,9 @@ object SparkEntry {
           |  row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
           |FROM fused ORDER BY rank LIMIT 20""".stripMargin) +
       // partitioning is invisible to results: the full-corpus agg verbatim
-      ("q135_catalog_partitioned" -> ext("q117_lake_compact_small"))
+      ("q135_catalog_partitioned" -> ext("q117_lake_compact_small")) +
+      // inserts-only stream over [write evens, delete, append odds] ends
+      // at exactly the full corpus: the same agg verbatim
+      ("q136_catalog_stream" -> ext("q117_lake_compact_small"))
   }
 }

@@ -9,9 +9,10 @@ import org.apache.spark.sql.{Column, DataFrame, NewspipeSqlBridge, Row,
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
   NoSuchTableException, TableAlreadyExistsException, UnresolvedAttribute}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
-  NamedExpression}
+  EqualTo, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete,
   SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability,
   TableCatalog, TableChange, NamespaceChange, Column => V2Column}
@@ -19,7 +20,9 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
   SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.DataSource
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.execution.streaming.runtime.StreamingRelation
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation,
   TableScan}
@@ -66,6 +69,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * DML beyond DELETE (UPDATE / MERGE / OPTIMIZE / VACUUM / RESTORE /
   * DESCRIBE HISTORY) stays on the [[LakeSql]] statement surface — those
   * need the row-op rewrite machinery, not a catalog hook.
+  *
+  * Streaming: with extensions registered,
+  * `spark.readStream.table("lake.….docs")` resolves to the V1 change
+  * source as a rows-only insert stream (initial snapshot + per-commit
+  * appends; delete/update commits skipped) — see
+  * [[LakeTable.toV1StreamingPlan]].
   */
 class LakeCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -357,6 +366,40 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
     Project(projList, analyzed)
   }
 
+  /** Substitute plan for [[LakeV2ReadRewrite]] in STREAMING position —
+    * `spark.readStream.table("lake.`/base`.docs")`. The stream is the V1
+    * change source ([[source.LakeChangeSource]]) filtered to `insert`
+    * rows: the initial snapshot replays as inserts, then each commit's
+    * new rows arrive incrementally; delete/update commits contribute no
+    * rows (Delta's `skipChangeCommits` posture — read the format-based
+    * change source directly for the tagged CDF). Reader options
+    * (`startingVersion` / `startingTimestamp` / `maxVersionsPerTrigger` /
+    * `keyColumns`) pass through to the source unchanged.
+    */
+  private[newspipe] def toV1StreamingPlan(output: Seq[AttributeReference],
+      extraOptions: Map[String, String]): LogicalPlan = {
+    require(pinnedVersion.isEmpty,
+      s"${name()}: cannot stream a time-travel relation")
+    val ds = DataSource(spark,
+      className = classOf[source.LakeChangeSource].getName,
+      options = extraOptions ++ Map("basePath" -> base, "layer" -> layer))
+    val rel = StreamingRelation(ds)
+    val tag = rel.output
+      .find(_.name == source.LakeChangeSource.ChangeTypeCol)
+      .getOrElse(throw new IllegalStateException(
+        s"${name()}: change source lost its ${
+          source.LakeChangeSource.ChangeTypeCol} column"))
+    val inserts = Filter(EqualTo(tag, Literal("insert")), rel)
+    val byName = rel.output.map(a => a.name.toLowerCase -> a).toMap
+    val projList: Seq[NamedExpression] = output.map { o =>
+      val src = byName.getOrElse(o.name.toLowerCase,
+        throw new IllegalStateException(
+          s"${name()}: column '${o.name}' missing from the change stream"))
+      Alias(src, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+    }
+    Project(projList, inserts)
+  }
+
   // ---- read: V1Scan fallback (correct everywhere; the fast path is the
   // ---- resolution-rule rewrite above) -------------------------------------
 
@@ -483,6 +526,13 @@ final class LakeV2ReadRewrite(session: SparkSession)
     case _ => plan.resolveOperatorsDown {
       case r @ DataSourceV2Relation(t: LakeTable, out, _, _, _, _) =>
         t.toV1Plan(out)
+      // readStream.table("lake.….docs"): the v2 streaming relation becomes
+      // the V1 change-source plan (insert rows only; see toV1StreamingPlan)
+      // — without this rewrite the table has no streaming capability and
+      // Spark refuses the scan
+      case s: StreamingRelationV2 if s.table.isInstanceOf[LakeTable] =>
+        s.table.asInstanceOf[LakeTable]
+          .toV1StreamingPlan(s.output, s.extraOptions.asScala.toMap)
     }
   }
 }

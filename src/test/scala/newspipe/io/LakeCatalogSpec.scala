@@ -164,6 +164,45 @@ class LakeCatalogSpec extends SparkTestBase {
       .as[Long].head() shouldBe 1L
   }
 
+  test("readStream.table over a lake catalog table (extension session)") {
+    lake.writeAtomic(Seq((1L, "a"), (2L, "b")).toDF("id", "text"), "strm")
+    val s2 = org.apache.spark.sql.NewspipeSqlBridge.sessionWithExtensions(
+      spark, new newspipe.NewspipeExtensions()(_))
+    val ckpt = Files.createTempDirectory("strmckpt").toString
+    val q = s2.readStream.table(s"lake.`$base`.strm")
+      .writeStream.format("memory").queryName("cat_stream")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // batch 0: the current snapshot, as plain rows (no _change_type)
+      s2.table("cat_stream").columns.toSeq shouldBe Seq("id", "text")
+      s2.table("cat_stream").orderBy("id").as[(Long, String)]
+        .collect() shouldBe Array((1L, "a"), (2L, "b"))
+      // appends arrive incrementally; delete commits contribute no rows
+      // (rows-only stream — the format-based change source carries tags)
+      lake.appendAtomic(Seq((3L, "c")).toDF("id", "text"), "strm")
+      lake.deleteWhere("strm", $"id" === 1L)
+      q.processAllAvailable()
+      s2.table("cat_stream").orderBy("id").as[(Long, String)]
+        .collect() shouldBe Array((1L, "a"), (2L, "b"), (3L, "c"))
+    } finally q.stop()
+    // reader options pass through: startingVersion=latest starts empty and
+    // sees only commits after stream start
+    val ckpt2 = Files.createTempDirectory("strmckpt2").toString
+    val q2 = s2.readStream.option("startingVersion", "latest")
+      .table(s"lake.`$base`.strm")
+      .writeStream.format("memory").queryName("cat_stream2")
+      .option("checkpointLocation", ckpt2).start()
+    try {
+      q2.processAllAvailable()
+      s2.table("cat_stream2").count() shouldBe 0L
+      lake.appendAtomic(Seq((9L, "z")).toDF("id", "text"), "strm")
+      q2.processAllAvailable()
+      s2.table("cat_stream2").as[(Long, String)].collect() shouldBe
+        Array((9L, "z"))
+    } finally q2.stop()
+  }
+
   test("CREATE TABLE PARTITIONED BY: hive layout from the first INSERT on") {
     spark.sql(s"CREATE TABLE lake.`$base`.part (id BIGINT, lang STRING) " +
       "PARTITIONED BY (lang)")
