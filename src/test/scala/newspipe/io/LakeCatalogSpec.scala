@@ -232,6 +232,38 @@ class LakeCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("partition pruning: a lang filter on a partitioned table scans only its directories") {
+    spark.sql(s"CREATE TABLE lake.`$base`.pp (id BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang)")
+    spark.sql(s"INSERT INTO lake.`$base`.pp " +
+      "VALUES (1,'en'),(2,'fr'),(3,'de'),(4,'en')")
+    spark.sql(s"INSERT INTO lake.`$base`.pp VALUES (5,'fr'),(6,'en')")
+    val s2 = org.apache.spark.sql.NewspipeSqlBridge.sessionWithExtensions(
+      spark, new newspipe.NewspipeExtensions()(_))
+    // AQE off so the executed scan nodes (and their metrics) are directly
+    // collectible; pruning itself is planning-time and AQE-independent
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = s2.sql(
+        s"SELECT id FROM lake.`$base`.pp WHERE lang = 'en' ORDER BY id")
+      df.collect().map(_.getLong(0)) shouldBe Array(1L, 4L, 6L)
+      def parquetFilesUnder(langDir: String): Int =
+        new java.io.File(s"$base/pp/_v").listFiles.filter(_.isDirectory)
+          .flatMap(v => Option(new java.io.File(v, langDir).listFiles)
+            .getOrElse(Array.empty[java.io.File]))
+          .count(_.getName.endsWith(".parquet"))
+      val enFiles = parquetFilesUnder("lang=en")
+      val frFiles = parquetFilesUnder("lang=fr")
+      val scanned = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.metrics("numFiles").value).sum
+      // the filter reached the partition listing: only lang=en files were
+      // opened — a post-scan residual filter would have read fr/de too
+      scanned shouldBe enFiles.toLong
+      frFiles should be > 0
+    } finally s2.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("four racing SQL INSERT INTO statements all land (OCC retry inside)") {
     lake.writeAtomic(Seq((0L, "base")).toDF("id", "text"), "race")
     import scala.concurrent.{Await, Future}
