@@ -2551,6 +2551,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
           sum("doc_id").as("id_sum"))
         .orderBy("lang")
+    }),
+
+    // Optimized partitioned writes (Delta's optimizeWrite): a 32-partition
+    // frame hive-partitioned by lang would land 32×|langs| sliver files;
+    // with lake.optimizeWrite the commit takes ONE AQE rebalance shuffle
+    // on the partition columns first and lands ~one right-sized file per
+    // partition value. The in-query require pins the file count (≤ one
+    // per lang per commit across write+append); results are
+    // layout-invisible, so the oracle is the full-corpus agg verbatim.
+    "q137_optimize_write" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q137_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root, optimizeWrite = true))
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        .repartition(32)
+      lake.writeAtomic(docs.filter(col("doc_id") % 2 === 0), "docs",
+        partitionBy = Seq("lang"))
+      lake.appendAtomic(docs.filter(col("doc_id") % 2 === 1), "docs")
+      val nLangs = docs.select("lang").distinct().count()
+      val files = {
+        val it = org.apache.hadoop.fs.FileSystem.getLocal(
+          s.sparkContext.hadoopConfiguration)
+          .listFiles(new org.apache.hadoop.fs.Path(s"$root/docs/_v"), true)
+        var n = 0
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }
+      require(files <= 2 * nLangs,
+        s"optimizeWrite must land ~one file per lang per commit; " +
+          s"got $files files for $nLangs langs over 2 commits")
+      lake.read("docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
     })
   )
 
@@ -4620,6 +4657,8 @@ object SparkEntry {
       ("q135_catalog_partitioned" -> ext("q117_lake_compact_small")) +
       // inserts-only stream over [write evens, delete, append odds] ends
       // at exactly the full corpus: the same agg verbatim
-      ("q136_catalog_stream" -> ext("q117_lake_compact_small"))
+      ("q136_catalog_stream" -> ext("q117_lake_compact_small")) +
+      // write layout is invisible to results: the same agg verbatim
+      ("q137_optimize_write" -> ext("q117_lake_compact_small"))
   }
 }

@@ -56,7 +56,8 @@ final case class LakeConfig(
     format: String = "parquet",
     database: String = "news_articles",
     collectStats: Boolean = true,
-    manifestShardSize: Int = SnapshotManifest.DefaultShardSize)
+    manifestShardSize: Int = SnapshotManifest.DefaultShardSize,
+    optimizeWrite: Boolean = false)
 
 final class Lake(spark: SparkSession, config: LakeConfig) {
 
@@ -155,10 +156,38 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     f"${System.currentTimeMillis()}%016d-" +
       java.util.UUID.randomUUID().toString.take(8)
 
-  private def writeSnapshot(df: DataFrame, layer: String,
+  /** Delta's `optimizeWrite` for hive-partitioned commits. Without it,
+    * every write TASK emits one file per partition value it holds —
+    * tasks × values files per commit, the small-files problem that makes
+    * a 1000-executor partitioned append produce 10⁵ slivers. With it, the
+    * frame takes one AQE REBALANCE shuffle on the partition columns
+    * first: Spark coalesces to ~advisory-size output partitions and
+    * SPLITS skewed partition values across tasks (the declarative form of
+    * [[compact]]'s full-row salt — no hand-sizing, the runtime statistics
+    * decide). Enabled by the `lake.optimizeWrite=true` layer property
+    * (Delta's `autoOptimize.optimizeWrite` shape, settable through
+    * `ALTER TABLE … SET TBLPROPERTIES` / catalog CREATE TABLE props) or
+    * the [[LakeConfig.optimizeWrite]] default; the property wins.
+    * Unpartitioned frames pass through — their file count is the frame's
+    * own partitioning, which callers already control.
+    */
+  private def maybeRebalance(df: DataFrame, layer: String,
+      partCols: Seq[String]): DataFrame =
+    if (partCols.isEmpty || !optimizeWriteEnabled(layer)) df
+    else df.hint("rebalance", partCols: _*)
+
+  private def optimizeWriteEnabled(layer: String): Boolean =
+    properties(layer).get("lake.optimizeWrite")
+      .map(_.trim.equalsIgnoreCase("true"))
+      .getOrElse(config.optimizeWrite)
+
+  private def writeSnapshot(df0: DataFrame, layer: String,
       partitionBy: Seq[String], requireParent: Option[Option[String]],
-      op: String): String = {
-    enforceConstraints(layer, df, s"writeAtomic('$layer')")
+      op: String, prearranged: Boolean = false): String = {
+    enforceConstraints(layer, df0, s"writeAtomic('$layer')")
+    // compaction/Z-order callers pass deliberately-arranged frames — a
+    // rebalance shuffle would destroy their clustering
+    val df = if (prearranged) df0 else maybeRebalance(df0, layer, partitionBy)
     val snap = new Path(s"${layerPath(layer)}/_v/${newVersionId()}")
     var writer = df.write.format(config.format).mode("errorifexists")
     if (partitionBy.nonEmpty) writer = writer.partitionBy(partitionBy: _*)
@@ -1467,7 +1496,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         df.repartition(nFiles, (partitionBy.map(col) :+ salt): _*)
       } else df.repartition(nFiles)
     writeSnapshot(arranged, layer, partitionBy, requireParent = None,
-      op = if (zorderBy.nonEmpty) "OPTIMIZE ZORDER" else "OPTIMIZE")
+      op = if (zorderBy.nonEmpty) "OPTIMIZE ZORDER" else "OPTIMIZE",
+      prearranged = true)
   }
 
   /** Row-level DELETE through the snapshot protocol (Delta's `DELETE FROM`
@@ -1566,8 +1596,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val partCols = layerPartitionCols(layer, carried)
     val newSnap = new Path(s"$base/_v/${newVersionId()}")
     try {
-      var writer = toPhysical(df, mapping).write
-        .format(config.format).mode("errorifexists")
+      // partition columns are never renameable (column mapping refuses
+      // them), so the rebalance's logical names hold on the physical frame
+      var writer = maybeRebalance(toPhysical(df, mapping), layer, partCols)
+        .write.format(config.format).mode("errorifexists")
       if (partCols.nonEmpty) writer = writer.partitionBy(partCols: _*)
       writer.save(newSnap.toString)
       commitManifest(layer, snap, newSnap, carried,

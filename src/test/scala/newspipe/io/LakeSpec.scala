@@ -15,6 +15,43 @@ class LakeSpec extends SparkTestBase {
     new Lake(spark, LakeConfig(basePath = dir))
   }
 
+  test("optimizeWrite: partitioned commits coalesce to one file per partition value") {
+    val dir = Files.createTempDirectory("lakeow").toString
+    def dataFiles(sub: String): Seq[String] = {
+      val it = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+        .listFiles(new org.apache.hadoop.fs.Path(s"$dir/$sub"), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+          b += s.getPath.toString
+      }
+      b.result()
+    }
+    val langs = Seq("en", "fr", "de")
+    val df = (1 to 300).map(i => (i.toLong, langs(i % 3))).toDF("id", "lang")
+      .repartition(8) // every task holds every lang
+    // control: without optimizeWrite, tasks × values files land
+    val plain = new Lake(spark, LakeConfig(basePath = dir))
+    plain.writeAtomic(df, "off", partitionBy = Seq("lang"))
+    dataFiles("off").size should be > 3
+    // config-enabled: one AQE-rebalanced shuffle → one file per lang here
+    val ow = new Lake(spark, LakeConfig(basePath = dir, optimizeWrite = true))
+    ow.writeAtomic(df, "on", partitionBy = Seq("lang"))
+    dataFiles("on").size shouldBe 3
+    ow.read("on").as[(Long, String)].collect().sortBy(_._1) shouldBe
+      (1 to 300).map(i => (i.toLong, langs(i % 3)))
+    // property-enabled (Delta's autoOptimize shape): appends through a
+    // DEFAULT-config lake still rebalance
+    plain.setProperties("on", Map("lake.optimizeWrite" -> "true"))
+    plain.appendAtomic(df.withColumn("id", col("id") + 1000L), "on")
+    val newest = new Lake(spark, LakeConfig(basePath = dir))
+      .listVersions("on").head
+    dataFiles(s"on/_v/$newest").size shouldBe 3
+    ow.read("on").count() shouldBe 600L
+  }
+
   test("write/read round-trips a layer (ref _lib:21-54, 02:29)") {
     val lake = tmpLake()
     val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
