@@ -2588,6 +2588,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
           sum("doc_id").as("id_sum"))
         .orderBy("lang")
+    }),
+
+    // DESCRIBE DETAIL through the injected parser (Delta's statement): the
+    // deterministic metadata fields (partition column, version count, DV
+    // count) ride the oracle as constants cross-joined with the corpus
+    // replay; the runtime-dependent ones (numFiles, sizeInBytes,
+    // timestamps) are pinned by in-query requires — they vary with task
+    // parallelism and codec, not correctness.
+    "q138_describe_detail" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q138_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root, optimizeWrite = true))
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      lake.writeAtomic(docs.filter(col("doc_id") % 2 === 0), "docs",
+        partitionBy = Seq("lang"))
+      lake.appendAtomic(docs.filter(col("doc_id") % 2 === 1), "docs")
+      val s2 = org.apache.spark.sql.NewspipeSqlBridge.sessionWithExtensions(
+        s, new newspipe.NewspipeExtensions()(_))
+      val d = s2.sql(s"DESCRIBE DETAIL lake.`$root`.docs").collect().head
+      require(d.getAs[String]("location") == s"$root/docs" &&
+        d.getAs[Long]("numFiles") > 0L && d.getAs[Long]("sizeInBytes") > 0L &&
+        d.getAs[java.sql.Timestamp]("createdAt").getTime <=
+          d.getAs[java.sql.Timestamp]("lastModified").getTime,
+        s"DESCRIBE DETAIL physical fields inconsistent: $d")
+      lake.read("docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+        .withColumn("part_col",
+          lit(d.getAs[Seq[String]]("partitionColumns").mkString(",")))
+        .withColumn("num_versions", lit(d.getAs[Int]("numVersions")))
+        .withColumn("num_dvs", lit(d.getAs[Int]("numDeletionVectors")))
     })
   )
 
@@ -4659,6 +4692,13 @@ object SparkEntry {
       // at exactly the full corpus: the same agg verbatim
       ("q136_catalog_stream" -> ext("q117_lake_compact_small")) +
       // write layout is invisible to results: the same agg verbatim
-      ("q137_optimize_write" -> ext("q117_lake_compact_small"))
+      ("q137_optimize_write" -> ext("q117_lake_compact_small")) +
+      // detail's deterministic metadata as constants over the corpus agg
+      ("q138_describe_detail" ->
+        """SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+          |  'lang' AS part_col, 2 AS num_versions, 0 AS num_dvs
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
   }
 }

@@ -378,6 +378,45 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     }
   }
 
+  /** Delta's `DESCRIBE DETAIL`: one row of physical metadata about the
+    * layer's CURRENT snapshot — file count and total bytes of the live
+    * inventory, partition columns, committed-version count, deletion-
+    * vector count, created/last-modified times, and the layer properties.
+    * Metadata-only: manifests and file statuses, never a data scan — the
+    * O(files) status loop is the same driver-side walk a stats-sidecar
+    * write does, bounded by inventory size not data size.
+    */
+  def describeDetail(layer: String): Lake.LayerDetail = {
+    val base = layerPath(layer)
+    latestSnapshot(layer) match {
+      case Some(snap) =>
+        val inv = snapshotInventory(layer, snap)
+        val f = fs(snap)
+        val bytes =
+          inv.map(rp => f.getFileStatus(new Path(s"$base/$rp")).getLen).sum
+        def ms(v: String): Long = v.takeWhile(_ != '-').toLong
+        val versions = listVersions(layer) // newest first
+        Lake.LayerDetail(config.format, base, inv.size, bytes,
+          layerPartitionCols(layer, inv), versions.size, dvMapOf(snap).size,
+          ms(versions.last), ms(versions.head), properties(layer))
+      case None =>
+        val p = new Path(base)
+        require(fs(p).exists(p), s"layer '$layer' does not exist")
+        val rels = snapshotDirFilesRel(p)
+        val f = fs(p)
+        val stats = rels.map(rp => f.getFileStatus(new Path(s"$base/$rp")))
+        val parts = rels
+          .flatMap(_.split('/').dropRight(1).toSeq.filter(_.contains('='))
+            .map(seg => seg.substring(0, seg.indexOf('='))))
+          .distinct
+        Lake.LayerDetail(config.format, base, rels.size,
+          stats.map(_.getLen).sum, parts, 0, 0,
+          if (stats.isEmpty) 0L else stats.map(_.getModificationTime).min,
+          if (stats.isEmpty) 0L else stats.map(_.getModificationTime).max,
+          properties(layer))
+    }
+  }
+
   /** [[historyRows]] as a DataFrame (the TVF/statement surface). */
   def history(layer: String): DataFrame = {
     import org.apache.spark.sql.types._
@@ -2419,6 +2458,17 @@ object Lake {
     */
   final case class RowOpResult(snapshot: String, rewrittenFiles: Int,
       carriedFiles: Int, noop: Boolean = false)
+
+  /** [[Lake.describeDetail]] result — Delta's `DESCRIBE DETAIL` shape:
+    * physical metadata of the CURRENT snapshot. `createdAtMs` /
+    * `lastModifiedMs` come from the oldest / newest committed version ids
+    * (zero-padded epoch millis) for snapshot layers, file mtimes for flat
+    * ones; `numVersions` is 0 for flat layers.
+    */
+  final case class LayerDetail(format: String, location: String,
+      numFiles: Long, sizeInBytes: Long, partitionColumns: Seq[String],
+      numVersions: Int, numDeletionVectors: Int, createdAtMs: Long,
+      lastModifiedMs: Long, properties: Map[String, String])
 }
 
 /** Raw landing-zone put — ref S8 (`dbutils.fs.put` of the raw API JSON,

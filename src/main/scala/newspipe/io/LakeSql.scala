@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRe
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, IntegerType,
+  LongType, MapType, StringType, TimestampType}
 
 /** SQL DML statements for the lake's row ops — the surface a Delta user
   * types first:
@@ -321,6 +322,7 @@ object LakeSql {
   final case class LakeRestore(base: String, layer: String,
       version: Option[String], timestampMs: Option[Long]) extends LakeMaint
   final case class LakeHistory(base: String, layer: String) extends LakeMaint
+  final case class LakeDetail(base: String, layer: String) extends LakeMaint
 
   // lake.`/base/path`.layer — base always backticked (it carries slashes),
   // layer backticked or bare
@@ -342,6 +344,8 @@ object LakeSql {
       "|TIMESTAMP\\s+AS\\s+OF\\s+([0-9]+))\\s*;?\\s*$")
   private val HistoryRe = java.util.regex.Pattern.compile(
     s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$TargetRe" + "\\s*;?\\s*$")
+  private val DetailRe = java.util.regex.Pattern.compile(
+    s"(?is)^\\s*DESCRIBE\\s+DETAIL\\s+$TargetRe" + "\\s*;?\\s*$")
 
   /** Recognize a maintenance statement targeting a lake layer. None = not
     * ours (wrong leading keyword, or a non-lake target — Spark's parser
@@ -372,6 +376,11 @@ object LakeSql {
       val (base, layer) = targetOf(h, 1)
       return Some(LakeHistory(base, layer))
     }
+    val d = DetailRe.matcher(sqlText)
+    if (d.matches()) {
+      val (base, layer) = targetOf(d, 1)
+      return Some(LakeDetail(base, layer))
+    }
     None
   }
 
@@ -385,11 +394,29 @@ object LakeSql {
     AttributeReference("operation", StringType, nullable = false)(),
     AttributeReference("parent", StringType, nullable = false)())
 
+  private[io] val detailOutput: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("numFiles", LongType, nullable = false)(),
+    AttributeReference("sizeInBytes", LongType, nullable = false)(),
+    AttributeReference("partitionColumns",
+      ArrayType(StringType, containsNull = false), nullable = false)(),
+    AttributeReference("numVersions", IntegerType, nullable = false)(),
+    AttributeReference("numDeletionVectors", IntegerType,
+      nullable = false)(),
+    AttributeReference("createdAt", TimestampType, nullable = false)(),
+    AttributeReference("lastModified", TimestampType, nullable = false)(),
+    AttributeReference("properties",
+      MapType(StringType, StringType, valueContainsNull = false),
+      nullable = false)())
+
   /** Output schema of a maintenance statement (HISTORY is row-per-commit,
-    * everything else is the one-row operation/result shape).
+    * DETAIL is the wide metadata row, everything else is the one-row
+    * operation/result shape).
     */
   def maintOutputFor(m: LakeMaint): Seq[Attribute] = m match {
     case _: LakeHistory => historyOutput
+    case _: LakeDetail => detailOutput
     case _ => maintenanceOutput
   }
 
@@ -401,6 +428,13 @@ object LakeSql {
     m match {
       case LakeHistory(base, layer) =>
         new Lake(session, LakeConfig(basePath = base)).historyRows(layer)
+      case LakeDetail(base, layer) =>
+        val d = new Lake(session, LakeConfig(basePath = base))
+          .describeDetail(layer)
+        Seq(Row(d.format, d.location, d.numFiles, d.sizeInBytes,
+          d.partitionColumns, d.numVersions, d.numDeletionVectors,
+          new java.sql.Timestamp(d.createdAtMs),
+          new java.sql.Timestamp(d.lastModifiedMs), d.properties))
       case other => Seq(runMaintenance(session, other))
     }
 
@@ -416,6 +450,11 @@ object LakeSql {
         // (exhaustive over LakeMaint) instead of a bare MatchError
         throw new IllegalArgumentException(
           "DESCRIBE HISTORY returns one row per commit — use " +
+            "runMaintenanceRows, not runMaintenance")
+      case _: LakeDetail =>
+        // wide-schema statement — same loud routing as HISTORY
+        throw new IllegalArgumentException(
+          "DESCRIBE DETAIL returns the wide metadata row — use " +
             "runMaintenanceRows, not runMaintenance")
       case LakeOptimize(_, layer, zcols) =>
         val snap = lake.compact(layer, zorderBy = zcols)

@@ -253,4 +253,41 @@ class LakeSqlSpec extends SparkTestBase {
     }
     e.getMessage should include("runMaintenanceRows")
   }
+
+  test("DESCRIBE DETAIL: physical metadata of the current snapshot") {
+    val (dir, lake) = freshLayer()
+    lake.appendAtomic(Seq((200L, "x", "fr", 5L)).toDF("id", "text", "lang", "n"),
+      "docs")
+    lake.setProperties("docs", Map("owner" -> "pipeline"))
+    val d = LakeSql.sql(spark, s"DESCRIBE DETAIL lake.`$dir`.docs").collect()
+    d.length shouldBe 1
+    val r = d.head
+    r.getAs[String]("format") shouldBe "parquet"
+    r.getAs[String]("location") shouldBe s"$dir/docs"
+    // inventory = 4 write files + 1 append file, all carried live
+    r.getAs[Long]("numFiles") shouldBe 5L
+    r.getAs[Long]("sizeInBytes") should be > 0L
+    r.getAs[Seq[String]]("partitionColumns") shouldBe Seq.empty
+    r.getAs[Int]("numVersions") shouldBe 2
+    r.getAs[Int]("numDeletionVectors") shouldBe 0
+    val created = r.getAs[java.sql.Timestamp]("createdAt").getTime
+    val modified = r.getAs[java.sql.Timestamp]("lastModified").getTime
+    created should be <= modified
+    modified should be <= System.currentTimeMillis()
+    r.getAs[Map[String, String]]("properties") shouldBe
+      Map("owner" -> "pipeline")
+    // partitioned + DV'd layer surfaces both
+    lake.writeAtomic(Seq((1L, "en"), (2L, "fr")).toDF("id", "lang"), "pt",
+      partitionBy = Seq("lang"))
+    lake.deleteWhereDv("pt", $"id" === 1L)
+    val r2 = LakeSql.sql(spark, s"DESCRIBE DETAIL lake.`$dir`.pt")
+      .collect().head
+    r2.getAs[Seq[String]]("partitionColumns") shouldBe Seq("lang")
+    r2.getAs[Int]("numDeletionVectors") shouldBe 1
+    // API-level refusal parity with HISTORY
+    val e = intercept[IllegalArgumentException] {
+      LakeSql.runMaintenance(spark, LakeSql.LakeDetail(dir, "docs"))
+    }
+    e.getMessage should include("runMaintenanceRows")
+  }
 }
