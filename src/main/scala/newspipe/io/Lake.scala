@@ -392,8 +392,25 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       case Some(snap) =>
         val inv = snapshotInventory(layer, snap)
         val f = fs(snap)
-        val bytes =
-          inv.map(rp => f.getFileStatus(new Path(s"$base/$rp")).getLen).sum
+        // one recursive listing per referenced version dir (the object-
+        // store-friendly shape readIndexed uses), not a getFileStatus
+        // round-trip per inventory file — a 10⁵-file layer stays a handful
+        // of LIST calls
+        val qualBase = f.makeQualified(new Path(base)).toString
+          .stripSuffix("/") + "/"
+        val sizeByRel = inv.map(_.split('/').take(2).mkString("/")).distinct
+          .flatMap { vdir =>
+            val it = f.listFiles(new Path(s"$base/$vdir"), true)
+            val b = Seq.newBuilder[(String, Long)]
+            while (it.hasNext) {
+              val st = it.next()
+              if (st.isFile)
+                b += st.getPath.toString.stripPrefix(qualBase) -> st.getLen
+            }
+            b.result()
+          }.toMap
+        val bytes = inv.map(rp => sizeByRel.getOrElse(rp,
+          f.getFileStatus(new Path(s"$base/$rp")).getLen)).sum
         def ms(v: String): Long = v.takeWhile(_ != '-').toLong
         val versions = listVersions(layer) // newest first
         Lake.LayerDetail(config.format, base, inv.size, bytes,
