@@ -330,6 +330,46 @@ object ScaleBench {
       spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(lakeDir), true)
 
+    // q137 shape: optimized partitioned writes — the metric that matters
+    // is the landed FILE COUNT (the `rows` slot records files, not rows):
+    // without the rebalance every task emits one file per partition value
+    // it holds (~par × values), with it ~one per value. Wall includes the
+    // extra shuffle — the cost that buys footer-count linearity on every
+    // subsequent read.
+    val owDir = java.nio.file.Files.createTempDirectory("scale_ow").toString
+    def countFiles(sub: String): Long = {
+      val it = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+        .listFiles(new org.apache.hadoop.fs.Path(s"$owDir/$sub"), true)
+      var n = 0L
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val owDocs = docs.withColumn("lang", (col("doc_id") % 16).cast("string"))
+    val owOff = new newspipe.io.Lake(spark,
+      newspipe.io.LakeConfig(basePath = owDir))
+    val (nOwOff, tOwOff) = timed {
+      owOff.writeAtomic(owDocs, "off", partitionBy = Seq("lang"))
+      countFiles("off")
+    }
+    out("q137_part_write_plain_files") = (nOwOff, tOwOff)
+    val owOn = new newspipe.io.Lake(spark,
+      newspipe.io.LakeConfig(basePath = owDir, optimizeWrite = true))
+    val (nOwOn, tOwOn) = timed {
+      owOn.writeAtomic(owDocs, "on", partitionBy = Seq("lang"))
+      countFiles("on")
+    }
+    out("q137_part_write_optimized_files") = (nOwOn, tOwOn)
+    // q138 shape: DESCRIBE DETAIL on the sliver-heavy layer — metadata
+    // only, bounded by inventory size (one listing per version dir)
+    val (nDd, tDd) = timed { owOff.describeDetail("off").numFiles }
+    out("q138_describe_detail") = (nDd, tDd)
+    org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(owDir), true)
+
     // q131 shape: JPEG decode→resample→re-encode→decode, corpus-linear,
     // embarrassingly parallel (per-row JDK codec work, zero shuffles)
     val (nJp, tJp) = timed {
