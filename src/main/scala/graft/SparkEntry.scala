@@ -2621,6 +2621,21 @@ object SparkEntry {
           lit(d.getAs[Seq[String]]("partitionColumns").mkString(",")))
         .withColumn("num_versions", lit(d.getAs[Int]("numVersions")))
         .withColumn("num_dvs", lit(d.getAs[Int]("numDeletionVectors")))
+    }),
+
+    // SHOW PARTITIONS over a hive-partitioned catalog table: partitions
+    // are data-defined (a k=v dir exists iff rows landed in it), so the
+    // listing is exactly the corpus's distinct lang values — a fully
+    // relational oracle, no golden values.
+    "q139_show_partitions" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.lake", "newspipe.io.LakeCatalog")
+      val root = java.nio.file.Files.createTempDirectory("q139_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root, optimizeWrite = true))
+      lake.writeAtomic(t(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars"), "docs",
+        partitionBy = Seq("lang"))
+      s.sql(s"SHOW PARTITIONS lake.`$root`.docs").orderBy("partition")
     })
   )
 
@@ -4699,6 +4714,10 @@ object SparkEntry {
           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
           |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
           |  'lang' AS part_col, 2 AS num_versions, 0 AS num_dvs
-          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) +
+      // data-defined partitions == the corpus's distinct lang values
+      ("q139_show_partitions" ->
+        """SELECT DISTINCT 'lang=' || lang AS partition
+          |FROM documents ORDER BY 1""".stripMargin)
   }
 }

@@ -378,6 +378,48 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     }
   }
 
+  /** Hive partition columns of the layer (the current snapshot's
+    * inventory `k=v` dirs, else the declared `lake.partitionBy`
+    * property); Nil when unpartitioned. Metadata-only.
+    */
+  def partitionColumns(layer: String): Seq[String] =
+    latestSnapshot(layer) match {
+      case Some(snap) =>
+        layerPartitionCols(layer, snapshotInventory(layer, snap))
+      case None =>
+        val p = new Path(layerPath(layer))
+        if (!fs(p).exists(p)) Nil
+        else layerPartitionCols(layer, snapshotDirFilesRel(p))
+    }
+
+  /** Distinct hive partition-value tuples of the CURRENT snapshot — one
+    * entry per live combination, values in [[partitionColumns]] order;
+    * hive's default-partition marker reads as None (null). Metadata-only
+    * path parsing of the inventory, never a data scan.
+    */
+  def partitionValues(layer: String): Seq[Seq[Option[String]]] = {
+    val cols = partitionColumns(layer)
+    if (cols.isEmpty) return Nil
+    val inv = latestSnapshot(layer) match {
+      case Some(snap) => snapshotInventory(layer, snap)
+      case None => snapshotDirFilesRel(new Path(layerPath(layer)))
+    }
+    inv.flatMap { rp =>
+      val kv = rp.split('/').dropRight(1).toSeq.filter(_.contains('='))
+        .map { seg =>
+          val i = seg.indexOf('=')
+          seg.substring(0, i) -> seg.substring(i + 1)
+        }.toMap
+      if (cols.forall(kv.contains))
+        Some(cols.map(c => kv(c) match {
+          case "__HIVE_DEFAULT_PARTITION__" => None
+          case v => Some(org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(v))
+        }))
+      else None
+    }.distinct
+  }
+
   /** Delta's `DESCRIBE DETAIL`: one row of physical metadata about the
     * layer's CURRENT snapshot — file count and total bytes of the live
     * inventory, partition columns, committed-version count, deletion-

@@ -9,13 +9,15 @@ import org.apache.spark.sql.{Column, DataFrame, NewspipeSqlBridge, Row,
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
   NoSuchTableException, TableAlreadyExistsException, UnresolvedAttribute}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
-  EqualTo, Literal, NamedExpression}
+  Cast, EqualTo, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete,
-  SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability,
-  TableCatalog, TableChange, NamespaceChange, Column => V2Column}
+  SupportsNamespaces, SupportsPartitionManagement, SupportsRead,
+  SupportsWrite, Table, TableCapability, TableCatalog, TableChange,
+  NamespaceChange, Column => V2Column}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
@@ -320,7 +322,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
   */
 final case class LakeTable(spark: SparkSession, base: String, layer: String,
     pinnedVersion: Option[String])
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsPartitionManagement {
 
   @transient private lazy val lake =
     new Lake(spark, LakeConfig(basePath = base))
@@ -349,6 +352,66 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
         .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
         .toArray[Transform])
       .getOrElse(Array.empty)
+
+  // ---- SHOW PARTITIONS (SupportsPartitionManagement, read-only leg) -------
+  //
+  // Partitions are DATA-DEFINED here (a hive k=v directory exists iff rows
+  // landed in it), so the listing legs answer from the current snapshot's
+  // inventory — metadata only — while the mutation legs refuse loudly:
+  // creating/dropping a partition is writing/deleting its rows.
+
+  override def partitionSchema(): StructType = {
+    val cols = lake.partitionColumns(layer)
+    StructType(cols.map(c => schema.fields(schema.fieldIndex(c))))
+  }
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] = {
+    val ps = partitionSchema()
+    require(names.length == ident.numFields,
+      s"${name()}: ${names.length} filter names vs ${ident.numFields} values")
+    val idx = names.map(ps.fieldIndex)
+    val rows = lake.partitionValues(layer).map { vals =>
+      InternalRow.fromSeq(vals.zip(ps.fields).map { case (v, f) =>
+        v.map(s => Cast(Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s),
+            org.apache.spark.sql.types.StringType), f.dataType,
+          Some(java.util.TimeZone.getDefault.getID)).eval(null)).orNull
+      })
+    }
+    rows.filter { r =>
+      idx.indices.forall { i =>
+        val dt = ps.fields(idx(i)).dataType
+        val a = r.get(idx(i), dt)
+        val b = ident.get(i, dt)
+        (a == null && b == null) || (a != null && a.equals(b))
+      }
+    }.toArray
+  }
+
+  override def partitionExists(ident: InternalRow): Boolean =
+    listPartitionIdentifiers(
+      partitionSchema().fieldNames, ident).nonEmpty
+
+  private def refuseMutation(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"${name()}: $what — lake partitions are data-defined; write or " +
+        "delete the rows instead (INSERT / DELETE FROM)")
+
+  override def createPartition(ident: InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    refuseMutation("cannot ADD PARTITION")
+
+  override def dropPartition(ident: InternalRow): Boolean =
+    refuseMutation("cannot DROP PARTITION")
+
+  override def replacePartitionMetadata(ident: InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    refuseMutation("cannot alter partition metadata")
+
+  override def loadPartitionMetadata(ident: InternalRow)
+      : java.util.Map[String, String] =
+    java.util.Collections.emptyMap[String, String]()
 
   /** Substitute plan for [[LakeV2ReadRewrite]]: the layer's v1 read plan
     * with the v2 relation's attribute ids PRESERVED (parents already

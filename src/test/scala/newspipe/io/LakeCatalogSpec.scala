@@ -264,6 +264,29 @@ class LakeCatalogSpec extends SparkTestBase {
     } finally s2.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("SHOW PARTITIONS lists live hive partitions; mutation forms refuse") {
+    spark.sql(s"CREATE TABLE lake.`$base`.sp (id BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang)")
+    // declared but empty: no partitions yet
+    spark.sql(s"SHOW PARTITIONS lake.`$base`.sp").count() shouldBe 0L
+    spark.sql(s"INSERT INTO lake.`$base`.sp " +
+      "VALUES (1,'en'),(2,'fr'),(3,'en')")
+    spark.sql(s"SHOW PARTITIONS lake.`$base`.sp")
+      .as[String].collect().sorted shouldBe Array("lang=en", "lang=fr")
+    // the PARTITION(...) filter form narrows
+    spark.sql(s"SHOW PARTITIONS lake.`$base`.sp PARTITION (lang='fr')")
+      .as[String].collect() shouldBe Array("lang=fr")
+    // a DELETE that empties a partition removes it from the listing
+    spark.sql(s"DELETE FROM lake.`$base`.sp WHERE lang = 'fr'")
+    spark.sql(s"SHOW PARTITIONS lake.`$base`.sp")
+      .as[String].collect() shouldBe Array("lang=en")
+    // partitions are data-defined: ADD/DROP PARTITION refuse loudly
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE lake.`$base`.sp ADD PARTITION (lang='zh')")
+    }
+    e.getMessage should include("data-defined")
+  }
+
   test("four racing SQL INSERT INTO statements all land (OCC retry inside)") {
     lake.writeAtomic(Seq((0L, "base")).toDF("id", "text"), "race")
     import scala.concurrent.{Await, Future}
