@@ -219,7 +219,17 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     val withPart =
       if (partCols.isEmpty) user.toMap
       else user.toMap + ("lake.partitionBy" -> partCols.mkString(","))
-    if (withPart.nonEmpty) lake.setProperties(ident.name, withPart)
+    // NOT NULL column declarations become CHECK constraints (Delta's
+    // enforcement shape): every subsequent commit validates its increment
+    // through the same gate as user CHECKs — reads still normalize to
+    // nullable (file-source contract), the WRITE side is what enforces
+    val notNullChecks = columns.filterNot(_.nullable).map { c =>
+      val cname = "notnull_" +
+        c.name.map(ch => if (ch.isLetterOrDigit) ch else '_')
+      s"lake.constraint.$cname" -> s"`${c.name}` IS NOT NULL"
+    }.toMap
+    val allProps = withPart ++ notNullChecks
+    if (allProps.nonEmpty) lake.setProperties(ident.name, allProps)
     LakeTable(spark, base, ident.name, None)
   }
 

@@ -264,6 +264,27 @@ class LakeCatalogSpec extends SparkTestBase {
     } finally s2.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("CTAS PARTITIONED BY lands the declared hive layout") {
+    spark.sql(s"CREATE TABLE lake.`$base`.ctp PARTITIONED BY (lang) AS " +
+      "SELECT * FROM VALUES (1L,'en'),(2L,'fr'),(3L,'en') AS t(id, lang)")
+    spark.sql(s"SHOW PARTITIONS lake.`$base`.ctp")
+      .as[String].collect().sorted shouldBe Array("lang=en", "lang=fr")
+    spark.sql(s"SELECT id FROM lake.`$base`.ctp WHERE lang='en' ORDER BY id")
+      .as[Long].collect() shouldBe Array(1L, 3L)
+  }
+
+  test("NOT NULL columns enforce as CHECK constraints on every write") {
+    spark.sql(s"CREATE TABLE lake.`$base`.nn " +
+      "(id BIGINT NOT NULL, text STRING)")
+    spark.sql(s"INSERT INTO lake.`$base`.nn VALUES (1, 'a'), (2, NULL)")
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO lake.`$base`.nn VALUES (CAST(NULL AS BIGINT), 'x')")
+    }
+    e.getMessage should include("CHECK")
+    spark.sql(s"SELECT count(*) AS n FROM lake.`$base`.nn")
+      .as[Long].head() shouldBe 2L
+  }
+
   test("SHOW PARTITIONS lists live hive partitions; mutation forms refuse") {
     spark.sql(s"CREATE TABLE lake.`$base`.sp (id BIGINT, lang STRING) " +
       "PARTITIONED BY (lang)")
