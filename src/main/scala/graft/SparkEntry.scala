@@ -2636,6 +2636,46 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars"), "docs",
         partitionBy = Seq("lang"))
       s.sql(s"SHOW PARTITIONS lake.`$root`.docs").orderBy("partition")
+    }),
+
+    // CONVERT TO LAKE on a pre-protocol flat hive-partitioned corpus:
+    // adoption is METADATA-ONLY (zero-copy pinned by the root-file-set
+    // require), then a row op rewrites only affected adopted files and an
+    // append lands beside them — the full lifecycle over adopted data.
+    // Oracle: corpus minus the deleted tenth (relational, no goldens).
+    "q140_convert_to_lake" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q140_lake").toString
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.partitionBy("lang").parquet(s"$root/docs")
+      def rootFiles: Set[String] = {
+        val it = org.apache.hadoop.fs.FileSystem.getLocal(
+          s.sparkContext.hadoopConfiguration)
+          .listFiles(new org.apache.hadoop.fs.Path(s"$root/docs"), true)
+        val b = Set.newBuilder[String]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet") &&
+              !st.getPath.toString.contains("/_v/")) b += st.getPath.toString
+        }
+        b.result()
+      }
+      val before = rootFiles
+      val m = newspipe.io.LakeSql.sql(s, s"CONVERT TO LAKE lake.`$root`.docs")
+        .collect().head
+      require(m.getString(0) == "CONVERT" && rootFiles == before,
+        "CONVERT must be metadata-only: adopted files unmoved")
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      require(lake.historyRows("docs").map(_.getString(2)) == Seq("CONVERT"),
+        "history must record the CONVERT commit")
+      lake.deleteWhere("docs", col("doc_id") % 10 === 0)
+      lake.appendAtomic(docs.filter(col("doc_id") % 2 === 1), "docs")
+      lake.read("docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
     })
   )
 
@@ -4718,6 +4758,14 @@ object SparkEntry {
       // data-defined partitions == the corpus's distinct lang values
       ("q139_show_partitions" ->
         """SELECT DISTINCT 'lang=' || lang AS partition
-          |FROM documents ORDER BY 1""".stripMargin)
+          |FROM documents ORDER BY 1""".stripMargin) +
+      // adopted evens minus the deleted tenth, plus appended odds ==
+      // corpus minus doc_id % 10 = 0
+      ("q140_convert_to_lake" ->
+        """SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |FROM documents WHERE doc_id % 10 <> 0
+          |GROUP BY lang ORDER BY lang""".stripMargin)
   }
 }

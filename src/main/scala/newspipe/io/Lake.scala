@@ -1551,6 +1551,52 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       affectedOverride = Some(small.map(_._1).toSet))
   }
 
+  /** Delta's `CONVERT TO DELTA` for this lake: adopt an existing FLAT
+    * parquet layer into the snapshot protocol IN PLACE, metadata-only —
+    * the first commit is a manifest that references the flat files where
+    * they sit (zero rows move or copy), plus a footer-collected stats
+    * sidecar so skipping works immediately. Subsequent row ops and
+    * appends carry the adopted files by reference like any inventory
+    * file; [[vacuum]] reclaims only `_v` version dirs, so adopted root
+    * files are never swept. Crash-safe: until the commit marker lands the
+    * layer still reads flat. Refuses an already-snapshot-managed layer;
+    * parent-checked against a racing first commit.
+    */
+  def convertToLake(layer: String): String = {
+    val base = layerPath(layer)
+    val root = new Path(base)
+    val f = fs(root)
+    require(f.exists(root), s"layer '$layer' does not exist")
+    require(latestSnapshot(layer).isEmpty,
+      s"layer '$layer' is already snapshot-managed — nothing to convert")
+    val flatFiles = snapshotDirFilesRel(root)
+    require(flatFiles.nonEmpty,
+      s"layer '$layer' has no data files to convert")
+    val schema = read(layer).schema
+    val snap = new Path(s"$base/_v/${newVersionId()}")
+    f.mkdirs(snap)
+    val (head, shards) = SnapshotManifest.toJsonSharded(
+      SnapshotManifest(flatFiles, schema.toDDL), config.manifestShardSize)
+    def put(name: String, body: String): Unit = {
+      val out = f.create(new Path(snap, name), false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    shards.zipWithIndex.foreach { case (body, i) =>
+      put(SnapshotManifest.shardName(i), body)
+    }
+    put(SnapshotManifest.FileName, head)
+    if (config.collectStats && config.format == "parquet") {
+      try writeSidecar(snap, FileStats.collectFiles(
+        spark.sparkContext.hadoopConfiguration, base, flatFiles))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          Console.err.println(s"[lake] stats sidecar for $snap skipped: $e")
+      }
+    }
+    commitMarker(layer, snap, requireParent = Some(None), op = "CONVERT")
+    snap.toString
+  }
+
   def compact(layer: String, targetFileBytes: Long = 128L * 1024 * 1024,
       partitionBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil): String = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive")
@@ -2405,6 +2451,28 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       committed => committed.take(keep).map(_.getName).toSet, orphanGraceMs)
   }
 
+  /** What count-based [[vacuum]] WOULD reclaim, without deleting (Delta's
+    * `VACUUM … DRY RUN`): the version-dir names slated for removal.
+    */
+  def vacuumDryRun(layer: String, keep: Int = 2,
+      orphanGraceMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    vacuumPlan(layer,
+      committed => committed.take(keep).map(_.getName).toSet, orphanGraceMs)
+      .map(_.getName)
+  }
+
+  /** [[vacuumOlderThan]]'s dry run. */
+  def vacuumOlderThanDryRun(layer: String, retentionMs: Long,
+      orphanGraceMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    require(retentionMs >= 0, s"retentionMs must be >= 0, got $retentionMs")
+    val cutoff = System.currentTimeMillis() - retentionMs
+    vacuumPlan(layer, committed =>
+      (committed.take(1) ++ committed.filter(
+        _.getName.take(16).toLong >= cutoff)).map(_.getName).toSet,
+      orphanGraceMs).map(_.getName)
+  }
+
   /** Time-based retention (Delta's `VACUUM ... RETAIN n HOURS` form):
     * reclaim committed snapshots whose commit instant (the version-id
     * millis prefix) is older than `retentionMs`, ALWAYS keeping the newest
@@ -2434,33 +2502,40 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   private def vacuumKeeping(layer: String,
       keepOf: Seq[Path] => Set[String], orphanGraceMs: Long): Unit = {
+    val f = fs(new Path(s"${layerPath(layer)}/_v"))
+    vacuumPlan(layer, keepOf, orphanGraceMs).foreach(p => f.delete(p, true))
+  }
+
+  /** The version dirs a vacuum pass with these parameters would delete —
+    * the shared planning body of [[vacuumKeeping]] and the DRY RUN forms.
+    */
+  private def vacuumPlan(layer: String,
+      keepOf: Seq[Path] => Set[String], orphanGraceMs: Long): Seq[Path] = {
     val vdir = new Path(s"${layerPath(layer)}/_v")
     val f = fs(vdir)
-    if (f.exists(vdir)) {
-      val now = System.currentTimeMillis()
-      val committed = committedVersions(layer)
-      val committedSet = committed.map(_.getName).toSet
-      val kept = keepOf(committed)
-      val pinned = committed.filter(p => kept.contains(p.getName))
-        .flatMap { p =>
-          // pin every version dir a kept manifest references — data files
-          // AND dv payload documents (a reclaimed payload would resurrect
-          // its file's deleted rows)
-          manifestOf(p).map(m => (m.files ++ m.dvs.values)
-            .flatMap(_.split('/') match {
-              case Array("_v", v, _*) => Some(v)
-              case _ => None
-            })).getOrElse(Nil)
-        }.toSet
-      val keepSet = kept ++ pinned
-      f.listStatus(vdir).filter(_.isDirectory).map(_.getPath)
-        .filterNot(p => keepSet.contains(p.getName))
-        .filter { p =>
-          if (committedSet.contains(p.getName)) true // superseded snapshot
-          else now - newestMtimeUnder(p) >= orphanGraceMs
-        }
-        .foreach(p => f.delete(p, true))
-    }
+    if (!f.exists(vdir)) return Nil
+    val now = System.currentTimeMillis()
+    val committed = committedVersions(layer)
+    val committedSet = committed.map(_.getName).toSet
+    val kept = keepOf(committed)
+    val pinned = committed.filter(p => kept.contains(p.getName))
+      .flatMap { p =>
+        // pin every version dir a kept manifest references — data files
+        // AND dv payload documents (a reclaimed payload would resurrect
+        // its file's deleted rows)
+        manifestOf(p).map(m => (m.files ++ m.dvs.values)
+          .flatMap(_.split('/') match {
+            case Array("_v", v, _*) => Some(v)
+            case _ => None
+          })).getOrElse(Nil)
+      }.toSet
+    val keepSet = kept ++ pinned
+    f.listStatus(vdir).filter(_.isDirectory).map(_.getPath)
+      .filterNot(p => keepSet.contains(p.getName))
+      .filter { p =>
+        if (committedSet.contains(p.getName)) true // superseded snapshot
+        else now - newestMtimeUnder(p) >= orphanGraceMs
+      }.toSeq
   }
 
   /** Newest modification time of any FILE under `dir`, recursively. The

@@ -318,7 +318,9 @@ object LakeSql {
   final case class LakeOptimize(base: String, layer: String,
       zorderBy: Seq[String]) extends LakeMaint
   final case class LakeVacuum(base: String, layer: String,
-      retainHours: Option[Double], keep: Option[Int]) extends LakeMaint
+      retainHours: Option[Double], keep: Option[Int],
+      dryRun: Boolean = false) extends LakeMaint
+  final case class LakeConvert(base: String, layer: String) extends LakeMaint
   final case class LakeRestore(base: String, layer: String,
       version: Option[String], timestampMs: Option[Long]) extends LakeMaint
   final case class LakeHistory(base: String, layer: String) extends LakeMaint
@@ -337,7 +339,10 @@ object LakeSql {
   private val VacuumRe = java.util.regex.Pattern.compile(
     s"(?is)^\\s*VACUUM\\s+$TargetRe" +
       "(?:\\s+RETAIN\\s+([0-9]+(?:\\.[0-9]+)?)\\s+HOURS" +
-      "|\\s+KEEP\\s+([0-9]+)\\s+SNAPSHOTS)?\\s*;?\\s*$")
+      "|\\s+KEEP\\s+([0-9]+)\\s+SNAPSHOTS)?" +
+      "(\\s+DRY\\s+RUN)?\\s*;?\\s*$")
+  private val ConvertRe = java.util.regex.Pattern.compile(
+    s"(?is)^\\s*CONVERT\\s+TO\\s+LAKE\\s+$TargetRe" + "\\s*;?\\s*$")
   private val RestoreRe = java.util.regex.Pattern.compile(
     s"(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$TargetRe\\s+TO\\s+" +
       "(?:VERSION\\s+AS\\s+OF\\s+'([^']+)'" +
@@ -363,7 +368,13 @@ object LakeSql {
     if (v.matches()) {
       val (base, layer) = targetOf(v, 1)
       return Some(LakeVacuum(base, layer,
-        Option(v.group(4)).map(_.toDouble), Option(v.group(5)).map(_.toInt)))
+        Option(v.group(4)).map(_.toDouble), Option(v.group(5)).map(_.toInt),
+        dryRun = v.group(6) != null))
+    }
+    val cv = ConvertRe.matcher(sqlText)
+    if (cv.matches()) {
+      val (base, layer) = targetOf(cv, 1)
+      return Some(LakeConvert(base, layer))
     }
     val r = RestoreRe.matcher(sqlText)
     if (r.matches()) {
@@ -459,19 +470,33 @@ object LakeSql {
       case LakeOptimize(_, layer, zcols) =>
         val snap = lake.compact(layer, zorderBy = zcols)
         Row("OPTIMIZE", new org.apache.hadoop.fs.Path(snap).getName)
-      case LakeVacuum(_, layer, retainHours, keep) =>
-        (retainHours, keep) match {
-          case (Some(h), _) =>
-            lake.vacuumOlderThan(layer, (h * 3600 * 1000).toLong)
-          case (None, Some(k)) => lake.vacuum(layer, keep = k)
-          case (None, None) => lake.vacuum(layer)
+      case LakeVacuum(_, layer, retainHours, keep, dryRun) =>
+        if (dryRun) {
+          // Delta's DRY RUN: report what WOULD be reclaimed, touch nothing
+          val would = (retainHours, keep) match {
+            case (Some(h), _) =>
+              lake.vacuumOlderThanDryRun(layer, (h * 3600 * 1000).toLong)
+            case (None, Some(k)) => lake.vacuumDryRun(layer, keep = k)
+            case (None, None) => lake.vacuumDryRun(layer)
+          }
+          Row("VACUUM DRY RUN", would.size.toString)
+        } else {
+          (retainHours, keep) match {
+            case (Some(h), _) =>
+              lake.vacuumOlderThan(layer, (h * 3600 * 1000).toLong)
+            case (None, Some(k)) => lake.vacuum(layer, keep = k)
+            case (None, None) => lake.vacuum(layer)
+          }
+          Row("VACUUM", lake.listVersions(layer).size.toString)
         }
-        Row("VACUUM", lake.listVersions(layer).size.toString)
       case LakeRestore(_, layer, version, tsMs) =>
         val v = version.getOrElse(
           lake.resolveVersionAt(layer, tsMs.get))
         val r = lake.restore(layer, v)
         Row("RESTORE", new org.apache.hadoop.fs.Path(r.snapshot).getName)
+      case LakeConvert(_, layer) =>
+        val snap = lake.convertToLake(layer)
+        Row("CONVERT", new org.apache.hadoop.fs.Path(snap).getName)
     }
   }
 }

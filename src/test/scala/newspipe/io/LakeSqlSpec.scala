@@ -254,6 +254,57 @@ class LakeSqlSpec extends SparkTestBase {
     e.getMessage should include("runMaintenanceRows")
   }
 
+  test("CONVERT TO LAKE adopts a flat layer metadata-only; VACUUM DRY RUN deletes nothing") {
+    val dir = Files.createTempDirectory("lakesqlcv").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    // a pre-protocol FLAT hive-partitioned parquet layer
+    (1 to 50).map(i => (i.toLong, if (i % 2 == 0) "en" else "fr"))
+      .toDF("id", "lang").repartition(2)
+      .write.partitionBy("lang").parquet(s"$dir/docs")
+    def rootDataFiles(): Set[String] = {
+      val f = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val it = f.listFiles(new org.apache.hadoop.fs.Path(s"$dir/docs"), true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet") &&
+            !s.getPath.toString.contains("/_v/"))
+          b += s.getPath.toString
+      }
+      b.result()
+    }
+    val before = rootDataFiles()
+    LakeSql.sql(spark, s"CONVERT TO LAKE lake.`$dir`.docs")
+      .collect().head.getString(0) shouldBe "CONVERT"
+    // snapshot-managed now: same rows, op recorded, ZERO files moved
+    lake.historyRows("docs").map(_.getString(2)) shouldBe Seq("CONVERT")
+    lake.read("docs").count() shouldBe 50L
+    rootDataFiles() shouldBe before
+    // stats sidecar collected at convert: a selective read prunes
+    lake.readWhere("docs", $"id" === 1L).count() shouldBe 1L
+    // row ops rewrite only affected adopted files, carry the rest
+    lake.deleteWhere("docs", $"id" === 2L)
+    lake.read("docs").count() shouldBe 49L
+    // appends keep the adopted hive layout
+    lake.appendAtomic(Seq((100L, "de")).toDF("id", "lang"), "docs")
+    lake.read("docs").filter($"lang" === "de").count() shouldBe 1L
+    // re-convert refuses
+    intercept[IllegalArgumentException] { lake.convertToLake("docs") }
+    // DRY RUN: reports the one superseded reclaimable version, deletes none
+    val nBefore = lake.listVersions("docs").size
+    val m = LakeSql.sql(spark,
+      s"VACUUM lake.`$dir`.docs KEEP 1 SNAPSHOTS DRY RUN").collect().head
+    m.getString(0) shouldBe "VACUUM DRY RUN"
+    m.getString(1) shouldBe "1"
+    lake.listVersions("docs").size shouldBe nBefore
+    // the real vacuum then reclaims it; reads survive (adopted root files
+    // and pinned referenced dirs are never swept)
+    LakeSql.sql(spark, s"VACUUM lake.`$dir`.docs KEEP 1 SNAPSHOTS").collect()
+    lake.listVersions("docs").size shouldBe (nBefore - 1)
+    lake.read("docs").count() shouldBe 50L
+  }
+
   test("DESCRIBE DETAIL: physical metadata of the current snapshot") {
     val (dir, lake) = freshLayer()
     lake.appendAtomic(Seq((200L, "x", "fr", 5L)).toDF("id", "text", "lang", "n"),
