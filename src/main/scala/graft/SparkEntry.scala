@@ -2676,6 +2676,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
           sum("doc_id").as("id_sum"))
         .orderBy("lang")
+    }),
+
+    // N-gram LM perplexity scoring (the CCNet/KenLM quality signal):
+    // train exact unigram+bigram counts on the doc_id%3==0 reference
+    // slice, score the WHOLE corpus with stupid backoff, rank by rounded
+    // avg log-prob (q134 determinism convention). The oracle replays the
+    // entire model — counts, Laplace unigrams, backoff cases — in SQL.
+    "q141_ngram_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val model = newspipe.ops.NgramLm.train(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      newspipe.ops.NgramLm.score(docs, "doc_id", "text", model)
+        .select(col("doc_id"), col("n_tokens"), col("avg_logprob"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(
+            col("avg_logprob").desc, col("doc_id"))))
+        .filter(col("rank") <= 50)
+        .orderBy("rank")
     })
   )
 
@@ -4766,6 +4784,49 @@ object SparkEntry {
           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
           |  CAST(sum(doc_id) AS BIGINT) AS id_sum
           |FROM documents WHERE doc_id % 10 <> 0
-          |GROUP BY lang ORDER BY lang""".stripMargin)
+          |GROUP BY lang ORDER BY lang""".stripMargin) +
+      // full stupid-backoff replay: reference counts, Laplace unigrams
+      // (+1 over N+V+1), bigram ratio when seen, alpha=0.4 backoff when
+      // not, first token (lag NULL) as plain unigram — then the same
+      // rounded ranking
+      ("q141_ngram_lm" ->
+        """WITH tls AS (
+          |  SELECT doc_id, list_filter(
+          |    regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+          |    x -> len(x) > 0) AS l
+          |  FROM documents WHERE text IS NOT NULL),
+          |toks AS (
+          |  SELECT doc_id, unnest(l) AS w,
+          |    unnest(range(1, len(l) + 1)) AS pos
+          |  FROM tls),
+          |ref AS (SELECT * FROM toks WHERE doc_id % 3 = 0),
+          |uni AS (SELECT w, count(*) AS c1 FROM ref GROUP BY 1),
+          |stats AS (SELECT sum(c1) AS n, count(*) AS v FROM uni),
+          |bi AS (
+          |  SELECT w1, w, count(*) AS c2 FROM (
+          |    SELECT w, lag(w) OVER (PARTITION BY doc_id ORDER BY pos)
+          |      AS w1 FROM ref) WHERE w1 IS NOT NULL GROUP BY 1, 2),
+          |scored AS (
+          |  SELECT doc_id, w,
+          |    lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+          |  FROM toks),
+          |lp AS (
+          |  SELECT s.doc_id,
+          |    CASE
+          |      WHEN s.w1 IS NULL THEN
+          |        ln((coalesce(u.c1, 0) + 1) / (st.n + st.v + 1))
+          |      WHEN b.c2 IS NOT NULL THEN ln(b.c2 * 1.0 / up.c1)
+          |      ELSE ln(0.4 * (coalesce(u.c1, 0) + 1) / (st.n + st.v + 1))
+          |    END AS lp
+          |  FROM scored s
+          |  CROSS JOIN stats st
+          |  LEFT JOIN uni u ON u.w = s.w
+          |  LEFT JOIN uni up ON up.w = s.w1
+          |  LEFT JOIN bi b ON b.w1 = s.w1 AND b.w = s.w)
+          |SELECT doc_id, count(*) AS n_tokens,
+          |  round(avg(lp), 6) AS avg_logprob,
+          |  row_number() OVER (ORDER BY round(avg(lp), 6) DESC, doc_id)
+          |    AS rank
+          |FROM lp GROUP BY doc_id ORDER BY rank LIMIT 50""".stripMargin)
   }
 }
