@@ -1560,7 +1560,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * file; [[vacuum]] reclaims only `_v` version dirs, so adopted root
     * files are never swept. Crash-safe: until the commit marker lands the
     * layer still reads flat. Refuses an already-snapshot-managed layer;
-    * parent-checked against a racing first commit.
+    * parent-checked against a racing first commit. Caveat (same as
+    * Delta's CONVERT): pause FLAT writers during conversion — a flat file
+    * landing after the listing is not in the adopted manifest and becomes
+    * invisible to snapshot reads (though still on disk for audit).
     */
   def convertToLake(layer: String): String = {
     val base = layerPath(layer)

@@ -41,20 +41,24 @@ object NgramLm {
   final case class Model(unigrams: DataFrame, bigrams: DataFrame,
       totalTokens: Long, vocabSize: Long, alpha: Double)
 
-  /** Train on a reference corpus. One aggregate job runs eagerly (the two
-    * model scalars); the count tables stay lazy plans.
+  /** Train on a reference corpus. The count tables are MATERIALIZED
+    * eagerly (localCheckpoint): scoring joins the unigram table twice
+    * (current and previous token) — lazy plans would re-tokenize the
+    * whole reference per join, per score call.
     */
   def train(reference: DataFrame, idCol: String, textCol: String,
       alpha: Double = 0.4): Model = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     val pos = tokenPositions(reference, idCol, textCol)
     val uni = pos.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint(true)
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val bi = pos.withColumn("w1", lag(col("w"), 1).over(w))
       .filter(col("w1").isNotNull)
       .groupBy(col("w1"), col("w").as("w2"))
       .agg(count(lit(1)).as("c2"))
       .select(col("w1"), col("w2"), col("c2"))
+      .localCheckpoint(true)
     val stats = uni.agg(sum(col("c1")), count(lit(1))).head()
     Model(uni, bi, stats.getLong(0), stats.getLong(1), alpha)
   }
