@@ -2694,6 +2694,31 @@ object SparkEntry {
             col("avg_logprob").desc, col("doc_id"))))
         .filter(col("rank") <= 50)
         .orderBy("rank")
+    }),
+
+    // Metadata-only count(*) (Delta's OptimizeMetadataOnlyQuery role):
+    // the group-less count over a lake table folds to the stats-sidecar
+    // sum — the plan require pins ZERO file scans. After a DV delete the
+    // plan carries the DV filter, so the count falls back to the scan
+    // path and stays correct; both legs ride the corpus oracle.
+    "q142_metadata_count" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.lake", "newspipe.io.LakeCatalog")
+      val root = java.nio.file.Files.createTempDirectory("q142_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      lake.writeAtomic(t(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars"), "docs")
+      lake.setProperties("docs",
+        Map("lake.enableDeletionVectors" -> "true"))
+      val s2 = org.apache.spark.sql.NewspipeSqlBridge.sessionWithExtensions(
+        s, new newspipe.NewspipeExtensions()(_))
+      val dfAll = s2.sql(s"SELECT count(*) AS n_all FROM lake.`$root`.docs")
+      val nAll = dfAll.collect().head.getLong(0)
+      require(!dfAll.queryExecution.executedPlan.toString.contains("FileScan"),
+        "metadata-only count(*) must fold to the sidecar sum, not scan")
+      lake.deleteWhereDv("docs", col("doc_id") % 10 === 0)
+      s2.sql(s"SELECT count(*) AS n_after FROM lake.`$root`.docs")
+        .withColumn("n_all", lit(nAll))
     })
   )
 
@@ -4827,6 +4852,13 @@ object SparkEntry {
           |  round(avg(lp), 6) AS avg_logprob,
           |  row_number() OVER (ORDER BY round(avg(lp), 6) DESC, doc_id)
           |    AS rank
-          |FROM lp GROUP BY doc_id ORDER BY rank LIMIT 50""".stripMargin)
+          |FROM lp GROUP BY doc_id ORDER BY rank LIMIT 50""".stripMargin) +
+      // the sidecar-folded pre-delete count and the scan-path post-delete
+      // count, both against the corpus
+      ("q142_metadata_count" ->
+        """SELECT CAST(count(*) FILTER (WHERE doc_id % 10 <> 0) AS BIGINT)
+          |    AS n_after,
+          |  count(*) AS n_all
+          |FROM documents""".stripMargin)
   }
 }

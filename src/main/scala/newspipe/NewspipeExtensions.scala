@@ -31,6 +31,10 @@ class NewspipeExtensions extends (SparkSessionExtensions => Unit) {
     // filtering — so SQL and the Scala API share one physical plan
     ext.injectResolutionRule(session =>
       new newspipe.io.LakeV2ReadRewrite(session))
+    // metadata-only count(*) over LakeFileIndex-backed scans (Delta's
+    // OptimizeMetadataOnlyQuery role) — see LakeCountStarShortcut
+    ext.injectOptimizerRule(session =>
+      new newspipe.io.LakeCountStarShortcut(session))
   }
 }
 

@@ -378,6 +378,35 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     }
   }
 
+  /** The layer's current row count answered from METADATA ONLY — the
+    * stats sidecar's per-file row counts over the live inventory, minus
+    * deletion-vector positions — or None when the snapshot lacks complete
+    * stats (stats-off config, soft-failed sidecar, foreign files), in
+    * which case callers fall back to a scan. The Delta
+    * `OptimizeMetadataOnlyQuery` role: a 100 TB `SELECT count(*)` becomes
+    * one cached JSON read instead of a full scan.
+    */
+  def metadataRowCount(layer: String): Option[Long] =
+    latestSnapshot(layer).flatMap { snap =>
+      sidecarStats(layer).flatMap { case (statsBase, stats) =>
+        val inv = snapshotInventory(layer, snap)
+        val rebase =
+          if (statsBase == layerPath(layer)) (p: String) => p
+          else (p: String) => s"_v/${snap.getName}/$p"
+        val rowsByRel = stats.map(st => rebase(st.path) -> st.rows).toMap
+        if (!inv.forall(rowsByRel.contains)) None
+        else {
+          val total = inv.iterator.map(rowsByRel).sum
+          val dvDeleted = dvMapOf(snap).iterator.map {
+            case (fileRel, payloadRel) =>
+              dvPayload(layerPath(layer), payloadRel)
+                .getOrElse(fileRel, Nil).size.toLong
+          }.sum
+          Some(total - dvDeleted)
+        }
+      }
+    }
+
   /** Hive partition columns of the layer (the current snapshot's
     * inventory `k=v` dirs, else the declared `lake.partitionBy`
     * property); Nil when unpartitioned. Metadata-only.

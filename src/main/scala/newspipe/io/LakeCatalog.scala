@@ -343,6 +343,7 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
     case None => lake.read(layer)
   }
 
+
   override def name(): String =
     s"lake.`$base`.$layer${pinnedVersion.map("@" + _).getOrElse("")}"
 
@@ -607,5 +608,60 @@ final class LakeV2ReadRewrite(session: SparkSession)
         s.table.asInstanceOf[LakeTable]
           .toV1StreamingPlan(s.output, s.extraOptions.asScala.toMap)
     }
+  }
+}
+
+/** Optimizer rule (injected by [[newspipe.NewspipeExtensions]]): a
+  * group-less, all-`count(*)` Aggregate whose child is row-preserving
+  * operators (Project/SubqueryAlias) over a [[LakeFileIndex]]-backed scan
+  * answers from the index's sidecar row counts — one cached JSON read
+  * already in memory, zero tasks. This is Delta's
+  * `OptimizeMetadataOnlyQuery` role for the lake. DV-filtered plans,
+  * hive-partitioned discovery reads, filtered/grouped counts, and
+  * stats-incomplete snapshots all fail the shape match and keep the scan
+  * path (correct, just not free).
+  */
+final class LakeCountStarShortcut(session: SparkSession)
+    extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{
+    AggregateExpression, Complete, Count}
+  import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+    LogicalRelation}
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformDown {
+      case a @ Aggregate(Seq(), aggs, child, _)
+          if countStarOnly(aggs) && indexedCount(child).isDefined =>
+        val n = indexedCount(child).get
+        LocalRelation(
+          a.output.map(_.asInstanceOf[AttributeReference]),
+          data = Seq(InternalRow.fromSeq(a.output.map(_ => n))))
+    }
+
+  /** Every aggregate expression is a plain unfiltered, non-distinct
+    * `count(*)` / `count(<non-null literal>)`.
+    */
+  private def countStarOnly(aggs: Seq[NamedExpression]): Boolean =
+    aggs.nonEmpty && aggs.forall {
+      case Alias(AggregateExpression(
+          Count(Seq(Literal(v, _))), Complete, false, None, _), _) =>
+        v != null
+      case _ => false
+    }
+
+  /** The complete sidecar row count under row-count-preserving operators
+    * only — any Filter/Union/Join/generator breaks the chain (None).
+    */
+  private def indexedCount(p: LogicalPlan): Option[Long] = p match {
+    case Project(_, child) => indexedCount(child) // never changes arity
+    case SubqueryAlias(_, child) => indexedCount(child)
+    case l: LogicalRelation => l.relation match {
+      case fs: HadoopFsRelation => fs.location match {
+        case idx: LakeFileIndex => idx.completeRowCount
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
   }
 }

@@ -65,6 +65,17 @@ final class LakeFileIndex(
   override def inputFiles: Array[String] =
     statuses.map(_.getPath.toString).toArray
 
+  /** Total rows across the inventory when the sidecar covers EVERY file —
+    * the metadata-only `count(*)` answer ([[LakeCountStarShortcut]]);
+    * None with any stats-unknown file (the shortcut must never guess).
+    */
+  private[newspipe] def completeRowCount: Option[Long] =
+    if (statuses.isEmpty) Some(0L)
+    else if (statuses.forall(s => statsByPath.contains(s.getPath.toString)))
+      Some(statuses.iterator
+        .map(s => statsByPath(s.getPath.toString).rows).sum)
+    else None
+
   override def refresh(): Unit = () // snapshot inventories are immutable
 
   override def sizeInBytes: Long = statuses.map(_.getLen).sum

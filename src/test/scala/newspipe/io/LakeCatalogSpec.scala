@@ -285,6 +285,39 @@ class LakeCatalogSpec extends SparkTestBase {
       .as[Long].head() shouldBe 2L
   }
 
+  test("metadata-only count(*): answered from the stats sidecar, no scan") {
+    lake.writeAtomic(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+      .repartition(2), "mc")
+    val s2 = org.apache.spark.sql.NewspipeSqlBridge.sessionWithExtensions(
+      spark, new newspipe.NewspipeExtensions()(_))
+    def plan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect(); df.queryExecution.executedPlan.toString
+    }
+    val df1 = s2.sql(s"SELECT count(*) AS n FROM lake.`$base`.mc")
+    df1.as[Long].head() shouldBe 3L
+    plan(df1) should not include "FileScan"
+    plan(df1) should include("LocalTableScan")
+    // DV'd layers fall back to the scan path (the plan carries the DV
+    // filter, breaking the row-preserving shape) and stay correct
+    lake.setProperties("mc", Map("lake.enableDeletionVectors" -> "true"))
+    lake.deleteWhereDv("mc", $"id" === 2L)
+    val df2 = s2.sql(s"SELECT count(*) AS n FROM lake.`$base`.mc")
+    df2.as[Long].head() shouldBe 2L
+    plan(df2) should include("FileScan")
+    // filtered/grouped/derived counts still scan (and stay correct)
+    val df3 = s2.sql(
+      s"SELECT count(*) AS n FROM lake.`$base`.mc WHERE id > 1")
+    df3.as[Long].head() shouldBe 1L
+    plan(df3) should include("FileScan")
+    // a stats-less layer falls back to the scan path
+    val noStats = new Lake(spark,
+      LakeConfig(basePath = base, collectStats = false))
+    noStats.writeAtomic(Seq((9L, "z")).toDF("id", "text"), "mcns")
+    val df4 = s2.sql(s"SELECT count(*) AS n FROM lake.`$base`.mcns")
+    df4.as[Long].head() shouldBe 1L
+    plan(df4) should include("FileScan")
+  }
+
   test("SHOW PARTITIONS lists live hive partitions; mutation forms refuse") {
     spark.sql(s"CREATE TABLE lake.`$base`.sp (id BIGINT, lang STRING) " +
       "PARTITIONED BY (lang)")
