@@ -370,6 +370,30 @@ object ScaleBench {
       spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(owDir), true)
 
+    // q141 shape: n-gram LM — train on a third of the corpus, score all
+    // of it (joins on token keys + per-doc window; model stays
+    // distributed)
+    val (nLm, tLm) = timed {
+      val model = newspipe.ops.NgramLm.train(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      newspipe.ops.NgramLm.score(docs, "doc_id", "text", model).count()
+    }
+    out("q141_ngram_lm") = (nLm, tLm)
+
+    // q142 shape: metadata-only count — the sidecar-sum answer vs the
+    // full scan it replaces (the `rows` slot records the counted rows)
+    val mcDir = java.nio.file.Files.createTempDirectory("scale_mc").toString
+    val mcLake = new newspipe.io.Lake(spark,
+      newspipe.io.LakeConfig(basePath = mcDir))
+    mcLake.writeAtomic(docs.repartition(math.max(8, 8 * copies)), "docs")
+    val (nMc, tMc) = timed { mcLake.metadataRowCount("docs").get }
+    out("q142_metadata_count") = (nMc, tMc)
+    val (nSc, tSc) = timed { mcLake.read("docs").count() }
+    out("q142_scan_count") = (nSc, tSc)
+    org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(mcDir), true)
+
     // q131 shape: JPEG decode→resample→re-encode→decode, corpus-linear,
     // embarrassingly parallel (per-row JDK codec work, zero shuffles)
     val (nJp, tJp) = timed {

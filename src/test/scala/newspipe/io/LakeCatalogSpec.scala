@@ -334,6 +334,13 @@ class LakeCatalogSpec extends SparkTestBase {
     spark.sql(s"DELETE FROM lake.`$base`.sp WHERE lang = 'fr'")
     spark.sql(s"SHOW PARTITIONS lake.`$base`.sp")
       .as[String].collect() shouldBe Array("lang=en")
+    // hive-escaped directory values round-trip: the identifier carries
+    // the UNESCAPED value, the listing shows the hive-escaped form
+    spark.sql(s"INSERT INTO lake.`$base`.sp VALUES (7, 'a/b')")
+    val lakeSp = new Lake(spark, LakeConfig(basePath = base))
+    lakeSp.partitionValues("sp").map(_.head) should contain(Some("a/b"))
+    spark.sql(s"SHOW PARTITIONS lake.`$base`.sp PARTITION (lang='a/b')")
+      .count() shouldBe 1L
     // partitions are data-defined: ADD/DROP PARTITION refuse loudly
     val e = intercept[Exception] {
       spark.sql(s"ALTER TABLE lake.`$base`.sp ADD PARTITION (lang='zh')")
