@@ -70,6 +70,21 @@ class LakeCatalogSpec extends SparkTestBase {
       "ORDER BY id").as[Long].collect() shouldBe Array(1L, 2L)
   }
 
+  test("option-based time travel: read.option(versionAsOf/timestampAsOf).table") {
+    lake.writeAtomic(Seq((1L, "a")).toDF("id", "text"), "ott")
+    Thread.sleep(30)
+    val betwixt = System.currentTimeMillis()
+    Thread.sleep(30)
+    lake.appendAtomic(Seq((2L, "b")).toDF("id", "text"), "ott")
+    spark.read.option("versionAsOf", "1").table(s"lake.`$base`.ott")
+      .as[(Long, String)].collect() shouldBe Array((1L, "a"))
+    spark.read.option("versionAsOf", "2").table(s"lake.`$base`.ott")
+      .count() shouldBe 2L
+    val ts = new java.sql.Timestamp(betwixt).toString
+    spark.read.option("timestampAsOf", ts).table(s"lake.`$base`.ott")
+      .as[(Long, String)].collect() shouldBe Array((1L, "a"))
+  }
+
   test("INSERT INTO appends through the commit protocol") {
     lake.writeAtomic(Seq((1L, "a")).toDF("id", "text"), "ins")
     spark.sql(s"INSERT INTO lake.`$base`.ins VALUES (2, 'b'), (3, 'c')")
