@@ -2687,12 +2687,16 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val model = newspipe.ops.NgramLm.train(
         docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      // distributed partial top-k first (TakeOrderedAndProject), then the
+      // rank window runs over the 50-row result — never a global window
+      // on the full scored corpus
       newspipe.ops.NgramLm.score(docs, "doc_id", "text", model)
         .select(col("doc_id"), col("n_tokens"), col("avg_logprob"))
+        .orderBy(col("avg_logprob").desc, col("doc_id"))
+        .limit(50)
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(
             col("avg_logprob").desc, col("doc_id"))))
-        .filter(col("rank") <= 50)
         .orderBy("rank")
     }),
 
