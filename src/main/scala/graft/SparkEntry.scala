@@ -2723,6 +2723,20 @@ object SparkEntry {
       lake.deleteWhereDv("docs", col("doc_id") % 10 === 0)
       s2.sql(s"SELECT count(*) AS n_after FROM lake.`$root`.docs")
         .withColumn("n_all", lit(nAll))
+    }),
+
+    // Fill-in-the-middle reordering (Bavarian et al.): the apply decision
+    // and both split points are content-addressed (md5 of the doc id), so
+    // the oracle replays the ENTIRE augmentation byte-for-byte —
+    // compared via per-doc md5 of the reordered text.
+    "q143_fim_transform" -> ((s, dir) => {
+      newspipe.ops.Fim.transform(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", fraction = 0.5)
+        .select(col("doc_id"), col("fim_applied"),
+          length(col("fim_text")).as("out_len"),
+          md5(col("fim_text")).as("out_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4863,6 +4877,37 @@ object SparkEntry {
         """SELECT CAST(count(*) FILTER (WHERE doc_id % 10 <> 0) AS BIGINT)
           |    AS n_after,
           |  count(*) AS n_all
-          |FROM documents""".stripMargin)
+          |FROM documents""".stripMargin) +
+      // the FIM augmentation replayed byte-for-byte: same md5-derived
+      // apply decision and split points, same PSM concatenation
+      ("q143_fim_transform" ->
+        """WITH h AS (
+          |  SELECT doc_id, text, len(text) AS l,
+          |    ('0x' || substr(md5('fim:apply' || CAST(doc_id AS VARCHAR)),
+          |      1, 8))::UBIGINT AS ha,
+          |    ('0x' || substr(md5('fim:p1' || CAST(doc_id AS VARCHAR)),
+          |      1, 8))::UBIGINT AS h1,
+          |    ('0x' || substr(md5('fim:p2' || CAST(doc_id AS VARCHAR)),
+          |      1, 8))::UBIGINT AS h2
+          |  FROM documents),
+          |s AS (
+          |  SELECT doc_id, text, l,
+          |    (text IS NOT NULL) AND l > 1 AND ha < 2147483648
+          |      AS fim_applied,
+          |    least(h1 % (l + 1), h2 % (l + 1)) AS a,
+          |    greatest(h1 % (l + 1), h2 % (l + 1)) AS b
+          |  FROM h),
+          |o AS (
+          |  SELECT doc_id, fim_applied,
+          |    CASE WHEN fim_applied THEN
+          |      '<fim_prefix>' || substr(text, 1, CAST(a AS INT)) ||
+          |      '<fim_suffix>' || substr(text, CAST(b AS INT) + 1) ||
+          |      '<fim_middle>' ||
+          |        substr(text, CAST(a AS INT) + 1, CAST(b - a AS INT))
+          |    ELSE text END AS out
+          |  FROM s)
+          |SELECT doc_id, fim_applied, len(out) AS out_len,
+          |  md5(out) AS out_md5
+          |FROM o ORDER BY doc_id""".stripMargin)
   }
 }
