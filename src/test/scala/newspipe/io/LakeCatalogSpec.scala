@@ -70,6 +70,20 @@ class LakeCatalogSpec extends SparkTestBase {
       "ORDER BY id").as[Long].collect() shouldBe Array(1L, 2L)
   }
 
+  test("SHOW TBLPROPERTIES and DESCRIBE TABLE reflect layer metadata") {
+    spark.sql(s"CREATE TABLE lake.`$base`.meta (id BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang) TBLPROPERTIES ('team'='pipeline')")
+    val props = spark.sql(s"SHOW TBLPROPERTIES lake.`$base`.meta")
+      .as[(String, String)].collect().toMap
+    props.get("team") shouldBe Some("pipeline")
+    props.get("lake.partitionBy") shouldBe Some("lang")
+    val desc = spark.sql(s"DESCRIBE TABLE lake.`$base`.meta")
+      .as[(String, String, String)].collect()
+    desc.map(_._1) should contain allOf ("id", "lang")
+    // the partitioning section names the declared column
+    desc.map(_._1) should contain("# Partition Information")
+  }
+
   test("option-based time travel: read.option(versionAsOf/timestampAsOf).table") {
     lake.writeAtomic(Seq((1L, "a")).toDF("id", "text"), "ott")
     Thread.sleep(30)
