@@ -630,12 +630,13 @@ final class LakeCountStarShortcut(session: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformDown {
-      case a @ Aggregate(Seq(), aggs, child, _)
-          if countStarOnly(aggs) && indexedCount(child).isDefined =>
-        val n = indexedCount(child).get
-        LocalRelation(
-          a.output.map(_.asInstanceOf[AttributeReference]),
-          data = Seq(InternalRow.fromSeq(a.output.map(_ => n))))
+      case a @ Aggregate(Seq(), aggs, child, _) if countStarOnly(aggs) =>
+        indexedCount(child) match {
+          case Some(n) => LocalRelation(
+            a.output.map(_.asInstanceOf[AttributeReference]),
+            data = Seq(InternalRow.fromSeq(a.output.map(_ => n))))
+          case None => a
+        }
     }
 
   /** Every aggregate expression is a plain unfiltered, non-distinct
