@@ -260,7 +260,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * lock degrades to advisory — the same caveat as Delta, which needs a
     * commit service there.
     */
-  private def withCommitLock[T](layer: String)(body: => T): T = {
+  private def withCommitLock[T](layer: String)(body: (() => Boolean) => T): T = {
     val lockPath = new Path(s"${layerPath(layer)}/_v/_COMMIT_LOCK")
     val f = fs(lockPath)
     f.mkdirs(lockPath.getParent)
@@ -279,7 +279,13 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         // stale may have broken ours in its stat→rename window and put its
         // own in place. Only enter the section if the nonce is still ours.
         if (readLockNonce(f, lockPath).contains(nonce)) {
-          try return body
+          // Body receives a LATE ownership probe: in the residual window
+          // where a tombstoned-then-restored fresh lock slipped past the
+          // post-acquire check, the section's final metadata op re-verifies
+          // the nonce right before the point of no return (the marker
+          // create) and aborts instead of double-committing.
+          val stillOwned = () => readLockNonce(f, lockPath).contains(nonce)
+          try return body(stillOwned)
           finally {
             // release only our own instance — never a successor's lock
             try if (readLockNonce(f, lockPath).contains(nonce))
@@ -335,7 +341,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
 
   private def commitMarker(layer: String, snap: Path,
       requireParent: Option[Option[String]],
-      op: String): Unit = withCommitLock(layer) {
+      op: String): Unit = withCommitLock(layer) { stillOwned =>
     val f = fs(snap)
     val parentAtCommit = latestSnapshot(layer).map(_.getName)
     requireParent.foreach { expected =>
@@ -353,6 +359,15 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // the feature → DESCRIBE HISTORY shows UNKNOWN, never a torn label)
     val opOut = f.create(new Path(snap, "_OP"), false)
     try opOut.write(op.getBytes("UTF-8")) finally opOut.close()
+    // Last-instant ownership probe before the point of no return: if our
+    // fresh lock was mis-broken (tomb restore raced a third writer), abort
+    // rather than let two writers both reach the marker create.
+    if (!stillOwned()) {
+      f.delete(snap, true)
+      throw new java.util.ConcurrentModificationException(
+        s"layer '$layer': commit lock ownership lost before marker write " +
+          "(stale-lock break race); re-read the layer and retry")
+    }
     val out = f.create(new Path(snap, "_COMMITTED"), false)
     try out.write(parentAtCommit.getOrElse("").getBytes("UTF-8"))
     finally out.close()
@@ -659,8 +674,15 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   private def toLogical(df: DataFrame,
       mapping: Map[String, String]): DataFrame =
-    mapping.foldLeft(df) { case (d, (lg, ph)) =>
-      if (lg == ph) d else d.withColumnRenamed(ph, lg)
+    if (mapping.isEmpty) df
+    else {
+      // One select with the REVERSE mapping — a sequential rename fold is
+      // wrong when a logical name equals another column's physical name
+      // (swap renames: {a->b, c->a} would collide mid-fold).
+      val reverse = mapping.collect { case (lg, ph) if lg != ph => ph -> lg }
+      if (reverse.isEmpty) df
+      else df.select(df.columns.map(c => org.apache.spark.sql.functions
+        .col(s"`$c`").as(reverse.getOrElse(c, c))).toSeq: _*)
     }
 
   /** Rewrite a (logical-named) predicate's top-level attribute references
@@ -1676,6 +1698,109 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       prearranged = true)
   }
 
+  /** Partition-scoped OPTIMIZE (Delta's `OPTIMIZE … WHERE part = v
+    * [ZORDER BY …]`): rewrite ONLY the files of the hive partitions the
+    * predicate selects — right-sized (optionally z-ordered) replacements
+    * — and carry every other file by manifest reference. At 100 TB nobody
+    * compacts a whole layer in one commit: maintenance is bounded to the
+    * partitions a day's ingest touched — O(selected partitions) read,
+    * shuffle and write — while readers stay on the old snapshot until the
+    * atomic flip.
+    *
+    * The predicate must reference PARTITION COLUMNS only (Delta's rule):
+    * it is evaluated per distinct partition tuple, typed through the
+    * layer schema, never against row data — selection is metadata-only.
+    * Data-invisible like every OPTIMIZE; `noop = true` when no partition
+    * matches.
+    */
+  def compactWhere(layer: String, predicate: org.apache.spark.sql.Column,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Nil): Lake.RowOpResult = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
+      s"layer '$layer' has no committed snapshot — scoped OPTIMIZE extends " +
+        "the snapshot protocol; compact()/convertToLake adopt a flat layer"))
+    val inventory = snapshotInventory(layer, snap)
+    val partCols = layerPartitionCols(layer, inventory)
+    require(partCols.nonEmpty,
+      s"layer '$layer' is not hive-partitioned — OPTIMIZE WHERE scopes by " +
+        "partition; use compact() for the whole layer")
+    require(zorderBy.intersect(partCols).isEmpty,
+      "zorderBy and partition columns must be disjoint (a hive partition " +
+        "column is constant within its files — z-ordering it is a no-op)")
+    val refs = org.apache.spark.sql.NewspipeSqlBridge
+      .convertedExpression(predicate).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          a.name
+      }.distinct
+    require(refs.nonEmpty &&
+        refs.forall(r => partCols.exists(_.equalsIgnoreCase(r))),
+      s"OPTIMIZE WHERE predicates may reference partition columns " +
+        s"${partCols.mkString("(", ", ", ")")} only; got " +
+        refs.mkString("(", ", ", ")"))
+    // partition identity of a file = its ordered hive k=v path segments
+    def partKey(rp: String): Option[String] = {
+      val segs = rp.split('/').dropRight(1).toSeq.filter(_.contains('='))
+      if (segs.isEmpty) None else Some(segs.mkString("/"))
+    }
+    val keys = inventory.flatMap(partKey).distinct
+    val schema = snapshotSchema(layer, snap)
+    import org.apache.spark.sql.functions.col
+    // typed predicate evaluation per DISTINCT tuple — bounded by partition
+    // count, the same driver-side scale SHOW PARTITIONS already accepts
+    val rows = keys.map { k =>
+      val kv = k.split('/').map { seg =>
+        val i = seg.indexOf('=')
+        seg.substring(0, i) -> seg.substring(i + 1)
+      }.toMap
+      org.apache.spark.sql.Row.fromSeq(k +: partCols.map(c =>
+        kv.get(c) match {
+          case Some("__HIVE_DEFAULT_PARTITION__") | None => null
+          case Some(v) => org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(v)
+        }))
+    }
+    val keySchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pk",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+        partCols.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType)))
+    var keyDf = spark.createDataFrame(
+      new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), keySchema)
+    partCols.foreach { c =>
+      keyDf = keyDf.withColumn(c, col(c).cast(schema(c).dataType))
+    }
+    val matched = keyDf.filter(predicate).select("__pk")
+      .collect().map(_.getString(0)).toSet
+    val affected = inventory.filter(rp => partKey(rp).exists(matched)).toSet
+    if (affected.isEmpty)
+      return Lake.RowOpResult(snap.toString, 0, inventory.size, noop = true)
+    val base = layerPath(layer)
+    val f = fs(snap)
+    val bytes = affected.toSeq
+      .map(rp => f.getFileStatus(new Path(s"$base/$rp")).getLen).sum
+    val nFiles = math.max(1L,
+      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    rewriteCore(layer, snap, predicate = None,
+      transform = df =>
+        if (zorderBy.nonEmpty)
+          newspipe.ops.ZOrder.arrange(df, zorderBy, nFiles, partCols)
+        else {
+          // same skew-safe full-row salt as compact(): file sizing holds
+          // inside each selected partition value
+          import org.apache.spark.sql.functions.{lit, pmod, struct, xxhash64}
+          val salt = pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)),
+            lit(nFiles.toLong))
+          df.repartition(nFiles, (partCols.map(col) :+ salt): _*)
+        },
+      append = None,
+      op = if (zorderBy.nonEmpty) "OPTIMIZE ZORDER" else "OPTIMIZE",
+      affectedOverride = Some(affected))
+  }
+
   /** Row-level DELETE through the snapshot protocol (Delta's `DELETE FROM`
     * shape): rewrite ONLY the files that can hold a matching row, carry
     * every other file over by reference, and commit the result as a
@@ -1749,7 +1874,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * marker and the loser retries from the new state (its data dir is
     * removed), so two appends never silently fork the lineage.
     */
-  def appendAtomic(df: DataFrame, layer: String): Lake.RowOpResult = {
+  def appendAtomic(df: DataFrame, layer: String,
+      txn: Option[(String, Long)] = None): Lake.RowOpResult = {
     val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
       s"layer '$layer' has no committed snapshot — appendAtomic extends the " +
         "snapshot protocol; land the layer with writeAtomic first (flat " +
@@ -1778,9 +1904,19 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         .write.format(config.format).mode("errorifexists")
       if (partCols.nonEmpty) writer = writer.partitionBy(partCols: _*)
       writer.save(newSnap.toString)
+      // stream-txn ledger entry (Delta's txn appId/version): an underscore
+      // file in the snapshot dir, so it commits ATOMICALLY with the data
+      // (invisible to the manifest walk) — [[txnVersion]] reads it back for
+      // replay fencing of idempotent streaming appends
+      txn.foreach { case (appId, version) =>
+        val out = fs(newSnap).create(new Path(newSnap, "_TXN"), false)
+        try out.write(s"$appId\n$version".getBytes("UTF-8"))
+        finally out.close()
+      }
       commitManifest(layer, snap, newSnap, carried,
         rebasedStats(layer, snap), schemaDdl, dvs = dvMapOf(snap),
-        op = "APPEND", mapping = mapping, dropped = droppedOf(snap))
+        op = if (txn.isDefined) "STREAMING APPEND" else "APPEND",
+        mapping = mapping, dropped = droppedOf(snap))
     } catch {
       case e: java.util.ConcurrentModificationException => throw e
       case scala.util.control.NonFatal(e) =>
@@ -1789,6 +1925,36 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     }
     Lake.RowOpResult(newSnap.toString, 0, carried.size)
   }
+
+  /** Latest version recorded for `appId` in the layer's stream-txn ledger
+    * (the `_TXN` markers [[appendAtomic]] commits atomically with its
+    * data) — Delta's `txnVersion(appId)`: a streaming sink checks this
+    * before landing a micro-batch, so an at-least-once replay of an
+    * already-committed batch is skipped instead of appended twice.
+    *
+    * Newest-first walk over committed snapshots, first match wins; cost is
+    * one small file read per commit walked (bounded by version count, the
+    * same metadata walk DESCRIBE HISTORY does). Vacuum caveat, same as
+    * Delta's: the ledger only reaches as far back as retained versions —
+    * keep retention longer than the longest possible sink outage.
+    */
+  /** Whether the layer is under the snapshot protocol (has a committed
+    * version) — how a path-agnostic writer (the streaming sink) picks
+    * between the atomic-append commit path and the flat
+    * `__batch_id`-partition protocol.
+    */
+  def isSnapshotManaged(layer: String): Boolean =
+    latestSnapshot(layer).isDefined
+
+  def txnVersion(layer: String, appId: String): Option[Long] =
+    committedVersions(layer).iterator.flatMap { snap =>
+      val p = new Path(snap, "_TXN")
+      if (!fs(snap).exists(p)) None
+      else readFully(p).split("\n", 2) match {
+        case Array(a, v) if a == appId => scala.util.Try(v.trim.toLong).toOption
+        case _ => None
+      }
+    }.nextOption()
 
   /** Current snapshot's sidecar stats keyed by LAYER-ROOT-relative path
     * (self-contained snapshots' stats are snapshot-relative — rebase them

@@ -93,6 +93,30 @@ class LakeColumnMappingSpec extends SparkTestBase {
       .collect() shouldBe Array("alpha", "beta", "gamma")
   }
 
+  test("swap renames: logical name equal to another column's physical name") {
+    // Mapping {a->b, c->a}: a sequential rename fold would collide
+    // mid-fold (renaming physical b to logical a while physical a is
+    // still present duplicates the name); toLogical must be one select.
+    val dir = Files.createTempDirectory("lakecm_swap").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.writeAtomic(Seq((1, 10), (2, 20)).toDF("a", "b"), "docs")
+    lake.setProperties("docs", Map("lake.columnMapping.mode" -> "name"))
+    lake.renameColumn("docs", "a", "c") // mapping {c->a}
+    lake.renameColumn("docs", "b", "a") // mapping {a->b, c->a}
+    lake.read("docs").columns.toSeq.sorted shouldBe Seq("a", "c")
+    lake.read("docs").orderBy("c").select("c", "a")
+      .as[(Int, Int)].collect() shouldBe Array((1, 10), (2, 20))
+    // full cycle: a->tmp, b->a, tmp->b (the classic swap)
+    lake.renameColumn("docs", "a", "tmp") // {tmp->b, c->a}
+    lake.renameColumn("docs", "c", "b")   // {tmp->b, b->a}
+    lake.renameColumn("docs", "tmp", "c") // {c->b, b->a}
+    lake.read("docs").orderBy("b").select("b", "c")
+      .as[(Int, Int)].collect() shouldBe Array((1, 10), (2, 20))
+    // row ops still function through the swapped mapping
+    lake.deleteWhere("docs", col("c") === 20)
+    lake.read("docs").select("b").as[Int].collect() shouldBe Array(1)
+  }
+
   test("DROP COLUMN is metadata-only; re-adding the name is refused until compact") {
     val (lake, _) = mappedLake()
     lake.dropColumn("docs", "n")
