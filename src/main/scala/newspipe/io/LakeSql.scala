@@ -316,7 +316,7 @@ object LakeSql {
   /** A recognized lake maintenance statement. */
   sealed trait LakeMaint { def base: String; def layer: String }
   final case class LakeOptimize(base: String, layer: String,
-      zorderBy: Seq[String]) extends LakeMaint
+      zorderBy: Seq[String], where: Option[String] = None) extends LakeMaint
   final case class LakeVacuum(base: String, layer: String,
       retainHours: Option[Double], keep: Option[Int],
       dryRun: Boolean = false) extends LakeMaint
@@ -335,6 +335,7 @@ object LakeSql {
 
   private val OptimizeRe = java.util.regex.Pattern.compile(
     s"(?is)^\\s*OPTIMIZE\\s+$TargetRe" +
+      "(?:\\s+WHERE\\s+(.+?))?" +
       "(?:\\s+ZORDER\\s+BY\\s*\\(?\\s*([^)]+?)\\s*\\)?)?\\s*;?\\s*$")
   private val VacuumRe = java.util.regex.Pattern.compile(
     s"(?is)^\\s*VACUUM\\s+$TargetRe" +
@@ -360,9 +361,10 @@ object LakeSql {
     val o = OptimizeRe.matcher(sqlText)
     if (o.matches()) {
       val (base, layer) = targetOf(o, 1)
-      val zcols = Option(o.group(4)).toSeq.flatMap(_.split(',')
+      val zcols = Option(o.group(5)).toSeq.flatMap(_.split(',')
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
-      return Some(LakeOptimize(base, layer, zcols))
+      return Some(LakeOptimize(base, layer, zcols,
+        where = Option(o.group(4)).map(_.trim).filter(_.nonEmpty)))
     }
     val v = VacuumRe.matcher(sqlText)
     if (v.matches()) {
@@ -467,8 +469,17 @@ object LakeSql {
         throw new IllegalArgumentException(
           "DESCRIBE DETAIL returns the wide metadata row — use " +
             "runMaintenanceRows, not runMaintenance")
-      case LakeOptimize(_, layer, zcols) =>
-        val snap = lake.compact(layer, zorderBy = zcols)
+      case LakeOptimize(_, layer, zcols, where) =>
+        val snap = where match {
+          case Some(w) =>
+            // partition-scoped form: predicate parsed by Spark's own
+            // expression parser, evaluated per partition tuple in
+            // Lake.compactWhere (metadata-only selection)
+            lake.compactWhere(layer,
+              org.apache.spark.sql.functions.expr(w), zorderBy = zcols)
+              .snapshot
+          case None => lake.compact(layer, zorderBy = zcols)
+        }
         Row("OPTIMIZE", new org.apache.hadoop.fs.Path(snap).getName)
       case LakeVacuum(_, layer, retainHours, keep, dryRun) =>
         if (dryRun) {

@@ -120,6 +120,45 @@ class LakeSqlSpec extends SparkTestBase {
       (1 to 100).map(_ * 10L).sum
   }
 
+  test("OPTIMIZE WHERE: scoped compaction rewrites only the matching " +
+      "partitions' files; data-invisible") {
+    val dir = Files.createTempDirectory("lakesql_ow").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.writeAtomic((1 to 100).map(i =>
+        (i.toLong, if (i % 2 == 0) "en" else "de", i.toLong))
+      .toDF("id", "lang", "n").repartition(8), "docs",
+      partitionBy = Seq("lang"))
+    def liveFiles(langV: String): Set[String] =
+      lake.read("docs").where($"lang" === langV)
+        .select(input_file_name()).distinct().as[String].collect().toSet
+    val deBefore = liveFiles("de")
+    val enBefore = liveFiles("en")
+    enBefore.size should be >= 2 // slivers to consolidate
+    val m = LakeSql.sql(spark,
+      s"OPTIMIZE lake.`$dir`.docs WHERE lang = 'en'").collect().head
+    m.getString(0) shouldBe "OPTIMIZE"
+    lake.listVersions("docs").head shouldBe m.getString(1)
+    // untouched partition rides the manifest BY REFERENCE — identical
+    // physical files; the scoped partition consolidated to fresh ones
+    liveFiles("de") shouldBe deBefore
+    val enAfter = liveFiles("en")
+    enAfter.size shouldBe 1
+    enAfter.intersect(enBefore) shouldBe Set.empty
+    lake.read("docs").agg(sum($"n")).as[Long].head() shouldBe
+      (1 to 100).map(_.toLong).sum
+    // no matching partition → explicit noop, head unchanged
+    lake.compactWhere("docs", $"lang" === "zz").noop shouldBe true
+    // non-partition predicate refused loudly (Delta's rule)
+    intercept[IllegalArgumentException] {
+      lake.compactWhere("docs", $"n" > 5)
+    }.getMessage should include("partition columns")
+    // scoped ZORDER form: clusters inside the selected partition only
+    LakeSql.sql(spark,
+      s"OPTIMIZE lake.`$dir`.docs WHERE lang = 'de' ZORDER BY (n)")
+    liveFiles("en") shouldBe enAfter // en untouched this time
+    lake.read("docs").count() shouldBe 100
+  }
+
   test("VACUUM statement: KEEP n SNAPSHOTS reclaims; manifests pin their references") {
     val (dir, lake) = freshLayer()
     LakeSql.sql(spark, s"DELETE FROM lake.`$dir`.docs WHERE id <= 10")
