@@ -149,4 +149,29 @@ object NewspipeSqlBridge {
     cdf.sparkSession.internalCreateDataFrame(
       cdf.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse of [[streamingDataFrame]], for the SINK side: the frame a
+    * DSv1 `Sink.addBatch` receives wraps the trigger's already-planned
+    * incremental execution, and its LOGICAL plan still carries streaming
+    * leaves — any re-planning action on it (`.write`, `.rdd`, a
+    * transformation) fails the batch-mode check. Rebind the PHYSICAL rows
+    * (`queryExecution.toRdd` — this is the sink's one execution of the
+    * micro-batch) as a plain batch frame; the ForeachBatchSink pattern.
+    */
+  def batchDataFrame(df: Dataset[Row]): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }
+
+/** Public face of the `private[sql]` [[org.apache.spark.sql.connector
+  * .catalog.V2TableWithV1Fallback]] — the contract Delta implements so
+  * `writeStream.toTable` on a v2 table routes to a registered DSv1
+  * streaming provider (the table's `provider` + `location`), and
+  * `readStream.table` carries the v1 relation as the capability fallback
+  * inside StreamingRelationV2. Same bridge-package access pattern as
+  * [[NewspipeSqlBridge]].
+  */
+trait NewspipeV1FallbackTable
+  extends connector.catalog.V2TableWithV1Fallback
