@@ -27,7 +27,7 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.execution.streaming.runtime.StreamingRelation
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation,
-  TableScan}
+  PrunedFilteredScan, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -151,7 +151,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     val base = baseOf(ident.namespace.toSeq)
     if (!layerExists(base, ident.name)) throw new NoSuchTableException(ident)
-    LakeTable(spark, base, ident.name, None)
+    LakeTable(spark, base, ident.name, None, catName)
   }
 
   /** `VERSION AS OF <v>`: a 1-based history ordinal (DESCRIBE HISTORY
@@ -169,7 +169,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
           s"${ident.name}: VERSION AS OF $ord out of range 1..${all.size}")
         all(ord - 1)
       } else version
-    LakeTable(spark, base, ident.name, Some(resolved))
+    LakeTable(spark, base, ident.name, Some(resolved), catName)
   }
 
   /** `TIMESTAMP AS OF …`: Spark hands micros since epoch. */
@@ -177,7 +177,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     val base = baseOf(ident.namespace.toSeq)
     if (!layerExists(base, ident.name)) throw new NoSuchTableException(ident)
     val lake = new Lake(spark, LakeConfig(basePath = base))
-    LakeTable(spark, base, ident.name,
+    LakeTable(spark, base, ident.name, catName = catName,
+      pinnedVersion =
       Some(lake.resolveVersionAt(ident.name, timestampMicros / 1000L)))
   }
 
@@ -203,12 +204,6 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     partCols.foreach(pc => require(schema.fieldNames.contains(pc),
       s"PARTITIONED BY column '$pc' is not in the table schema"))
     val lake = new Lake(spark, LakeConfig(basePath = base))
-    // an empty-but-schema-carrying first commit: Spark writes one empty
-    // parquet footer for a zero-partition frame, so reads resolve the
-    // declared schema immediately (and CTAS appends land as commit 2)
-    lake.writeAtomic(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
-      ident.name, partitionBy = partCols.toSeq)
     val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
       TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER,
       TableCatalog.PROP_EXTERNAL, "transient_lastDdlTime")
@@ -222,15 +217,33 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     // NOT NULL column declarations become CHECK constraints (Delta's
     // enforcement shape): every subsequent commit validates its increment
     // through the same gate as user CHECKs — reads still normalize to
-    // nullable (file-source contract), the WRITE side is what enforces
+    // nullable (file-source contract), the WRITE side is what enforces.
+    // Key carries a short md5 of the RAW name so sanitized collisions
+    // (`a b` vs `a_b`) keep distinct constraints.
     val notNullChecks = columns.filterNot(_.nullable).map { c =>
-      val cname = "notnull_" +
+      val sanitized =
         c.name.map(ch => if (ch.isLetterOrDigit) ch else '_')
-      s"lake.constraint.$cname" -> s"`${c.name}` IS NOT NULL"
+      val tag =
+        if (sanitized == c.name) ""
+        else "_" + java.security.MessageDigest.getInstance("MD5")
+          .digest(c.name.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(6)
+      s"lake.constraint.notnull_$sanitized$tag" ->
+        s"`${c.name}` IS NOT NULL"
     }.toMap
+    // Properties land BEFORE the first commit (the layer dir can carry
+    // _PROPERTIES.json ahead of any snapshot): a concurrent INSERT INTO —
+    // or a crash between the two steps — never observes a table missing
+    // its declared partition layout or constraint enforcement.
     val allProps = withPart ++ notNullChecks
     if (allProps.nonEmpty) lake.setProperties(ident.name, allProps)
-    LakeTable(spark, base, ident.name, None)
+    // an empty-but-schema-carrying first commit: Spark writes one empty
+    // parquet footer for a zero-partition frame, so reads resolve the
+    // declared schema immediately (and CTAS appends land as commit 2)
+    lake.writeAtomic(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+      ident.name, partitionBy = partCols.toSeq)
+    LakeTable(spark, base, ident.name, None, catName)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -261,7 +274,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
           s"(got: $other)")
     }
     if (updates.nonEmpty) lake.setProperties(ident.name, updates.toMap)
-    LakeTable(spark, base, ident.name, None)
+    LakeTable(spark, base, ident.name, None, catName)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -331,11 +344,12 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
   * the catalog adds SQL addressing, never a second storage path.
   */
 final case class LakeTable(spark: SparkSession, base: String, layer: String,
-    pinnedVersion: Option[String])
+    pinnedVersion: Option[String], catName: String = "lake")
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsPartitionManagement {
+    with SupportsPartitionManagement
+    with org.apache.spark.sql.NewspipeV1FallbackTable {
 
-  @transient private lazy val lake =
+  @transient private[io] lazy val lake =
     new Lake(spark, LakeConfig(basePath = base))
 
   private[io] def dataFrame(): DataFrame = pinnedVersion match {
@@ -353,6 +367,39 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** `writeStream.toTable("lake.….docs")` — Delta's architecture exactly:
+    * the table advertises a V1 FALLBACK (this synthetic CatalogTable with
+    * `provider = "lake"`), and DataStreamWriter's fallback branch routes
+    * the streaming write to the registered DSv1 provider
+    * ([[source.LakeStreamSink]]) with the table's location as `path` —
+    * the same txn-fenced atomic-append commit path as `format("lake")`.
+    * Advertising STREAMING_WRITE instead would NOT work: MicroBatchExecution
+    * plans any `SupportsWrite` sink table through the DSv2 StreamingWrite
+    * contract (per-task writer factories), while a `Sink`-mixin table
+    * trips the asymmetric v1/v2 dispatch (plan-side checks SupportsWrite
+    * first, run-side checks Sink first → ClassCastException).
+    */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat,
+      CatalogTable, CatalogTableType}
+    require(pinnedVersion.isEmpty,
+      s"${name()}: cannot stream a time-travel relation")
+    CatalogTable(
+      // fully qualified (UnresolvedCatalogRelation asserts a database,
+      // and the engine refreshes this identifier after every streamed
+      // batch — it must resolve through the REAL catalog, and a 2-part
+      // name whose head is a registered datasource would be hijacked by
+      // ResolveSQLOnFile as a direct file query)
+      identifier = TableIdentifier(layer, Some(base), Some(catName)),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new Path(s"$base/$layer").toUri),
+        properties = Map("basePath" -> base, "layer" -> layer)),
+      schema = schema,
+      provider = Some("lake"))
+  }
 
   override def properties(): java.util.Map[String, String] =
     (lake.properties(layer) + ("provider" -> "lake")).asJava
@@ -463,7 +510,6 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
       .getOrElse(throw new IllegalStateException(
         s"${name()}: change source lost its ${
           source.LakeChangeSource.ChangeTypeCol} column"))
-    val inserts = Filter(EqualTo(tag, Literal("insert")), rel)
     val byName = rel.output.map(a => a.name.toLowerCase -> a).toMap
     val projList: Seq[NamedExpression] = output.map { o =>
       val src = byName.getOrElse(o.name.toLowerCase,
@@ -471,19 +517,47 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
           s"${name()}: column '${o.name}' missing from the change stream"))
       Alias(src, o.name)(exprId = o.exprId, qualifier = o.qualifier)
     }
-    Project(projList, inserts)
+    // Delta's `readChangeFeed` option: surface the TAGGED change feed —
+    // delete/update commits included, `_change_type` appended after the
+    // declared columns (this rule runs while the relation resolves, so
+    // parents' star expansion picks the extra attribute up on the next
+    // analyzer pass). Default stays the insert-rows-only posture.
+    val cdf = extraOptions.exists { case (k, v) =>
+      k.equalsIgnoreCase("readChangeFeed") && v.equalsIgnoreCase("true")
+    }
+    if (cdf) Project(projList :+ tag, rel)
+    else Project(projList, Filter(EqualTo(tag, Literal("insert")), rel))
   }
 
   // ---- read: V1Scan fallback (correct everywhere; the fast path is the
   // ---- resolution-rule rewrite above) -------------------------------------
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+        with org.apache.spark.sql.connector.read
+          .SupportsPushDownRequiredColumns {
+      private var pushed: Array[sources.Filter] = Array.empty
+      private var required: StructType = schema
+      override def pushFilters(filters: Array[sources.Filter])
+          : Array[sources.Filter] = {
+        // accept what translates to a Column (readWhere can file-skip on
+        // it); EVERYTHING is returned as post-scan filters — pushdown here
+        // is a pruning accelerator, never an exactness contract
+        pushed = filters.filter(f => LakeTable.filterToColumn(f).isDefined)
+        filters
+      }
+      override def pushedFilters(): Array[sources.Filter] = pushed
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = schema
+        override def readSchema(): StructType = required
+        // the planner calls the relation's no-arg buildScan — the scan
+        // itself must carry the pushdown state into the relation
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
-          new LakeV1Relation(context, dataFrame()).asInstanceOf[T]
+          new LakeV1Relation(context, LakeTable.this, required, pushed)
+            .asInstanceOf[T]
       }
     }
 
@@ -573,13 +647,39 @@ object LakeTable {
 }
 
 /** `needConversion`-default relation serving [[LakeTable]]'s V1Scan
-  * fallback: the whole layer as the underlying DataFrame's row RDD.
+  * fallback — with REAL pushdown: the scan builder's pruned schema and
+  * accepted filters arrive as constructor state, and `buildScan()` routes
+  * the filter conjunction through [[Lake.readWhere]] — the same
+  * stats-sidecar file skipping the extension rewrite gets — then projects
+  * to exactly the pruned columns. The extension-less catalog read path is
+  * no longer a full-layer scan. Spark re-evaluates every pushed filter
+  * above this scan (the V1ScanWrapper keeps them as post-filters), so
+  * pushdown stays a pruning accelerator, never an exactness contract.
   */
 private[io] class LakeV1Relation(ctx: SQLContext,
-    @transient df: DataFrame) extends BaseRelation with TableScan {
+    @transient table: LakeTable, prunedSchema: StructType,
+    pushed: Array[sources.Filter])
+    extends BaseRelation with TableScan {
+  import org.apache.spark.sql.functions.{col => fcol}
+  // the planner REQUIRES relation schema == the v2 scan's (pruned) schema
   override def sqlContext: SQLContext = ctx
-  override def schema: StructType = df.schema
-  override def buildScan(): RDD[Row] = df.rdd
+  override val schema: StructType = prunedSchema
+  override def buildScan(): RDD[Row] = {
+    val cond = pushed.toSeq.flatMap(LakeTable.filterToColumn(_))
+      .reduceOption(_ && _)
+    val base = table.pinnedVersion match {
+      // head read: predicate goes through readWhere = file skipping
+      case None => cond match {
+        case Some(c) => table.lake.readWhere(table.layer, c)
+        case None => table.lake.read(table.layer)
+      }
+      // pinned (time-travel) read: plain filter, correctness first
+      case Some(_) =>
+        val df = table.dataFrame()
+        cond.fold(df)(df.filter)
+    }
+    base.select(prunedSchema.fieldNames.toSeq.map(n => fcol(s"`$n`")): _*).rdd
+  }
 }
 
 /** Resolution rule (injected by [[newspipe.NewspipeExtensions]]): replace

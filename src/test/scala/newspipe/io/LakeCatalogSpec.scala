@@ -232,6 +232,65 @@ class LakeCatalogSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("V1Scan fallback pushes filters, prunes columns and SKIPS files " +
+      "(extension-less session)") {
+    lake.writeAtomic((1L to 40L).map(i => (i, s"t$i", i * 2))
+      .toDF("id", "text", "n")
+      .repartitionByRange(4, $"id").sortWithinPartitions("id"), "v1scan")
+    // a manifest head (not a re-listable self-contained dir) pins the
+    // file inventory, so the corruption probe below is meaningful
+    lake.appendAtomic(Seq((41L, "t41", 82L)).toDF("id", "text", "n"),
+      "v1scan")
+    val q = spark.sql(s"SELECT n FROM lake.`$base`.v1scan WHERE id <= 5")
+    val plan = q.queryExecution.executedPlan.toString
+    plan should include("PushedFilters")
+    plan should include("LessThanOrEqual")
+    // column pruning: the scan node no longer carries the text column
+    plan should not include "text"
+    q.as[Long].collect().sorted shouldBe (1L to 5L).map(_ * 2).toArray
+    // file skipping pinned PHYSICALLY: corrupt a file the stats exclude —
+    // the pruned fallback read never OPENS it, a full scan fails on it
+    val all = lake.read("v1scan").select(input_file_name())
+      .distinct().as[String].collect().toSet
+    val needed = lake.readWhere("v1scan", $"id" <= 5)
+      .select(input_file_name()).distinct().as[String].collect().toSet
+    needed.size should be < all.size
+    val victim = new java.io.File(new java.net.URI(all.diff(needed).head))
+    java.nio.file.Files.write(victim.toPath, Array.fill[Byte](64)(0x5a))
+    spark.sql(s"SELECT sum(n) AS s FROM lake.`$base`.v1scan WHERE id <= 5")
+      .as[Long].head() shouldBe 2L * (1 to 5).sum
+    // …and the same fallback WITHOUT the predicate must open the corrupt
+    // file (proof the skip above was real, not a lucky layout)
+    intercept[Exception] {
+      spark.sql(s"SELECT sum(n) AS s FROM lake.`$base`.v1scan")
+        .as[Long].head()
+    }
+  }
+
+  test("readStream.table with readChangeFeed=true surfaces the tagged CDF") {
+    lake.writeAtomic(Seq((1L, "a"), (2L, "b")).toDF("id", "text"), "cdfstrm")
+    val s2 = org.apache.spark.sql.NewspipeSqlBridge.sessionWithExtensions(
+      spark, new newspipe.NewspipeExtensions()(_))
+    val ckpt = Files.createTempDirectory("cdfck").toString
+    val q = s2.readStream.option("readChangeFeed", "true")
+      .table(s"lake.`$base`.cdfstrm")
+      .writeStream.format("memory").queryName("cat_cdf")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // declared columns keep their ids; the tag appends after them
+      s2.table("cat_cdf").columns.toSeq shouldBe
+        Seq("id", "text", "_change_type")
+      lake.deleteWhere("cdfstrm", $"id" === 1L) // visible, tagged delete
+      lake.appendAtomic(Seq((3L, "c")).toDF("id", "text"), "cdfstrm")
+      q.processAllAvailable()
+      s2.table("cat_cdf").orderBy("id", "_change_type")
+        .as[(Long, String, String)].collect() shouldBe Array(
+          (1L, "a", "delete"), (1L, "a", "insert"), (2L, "b", "insert"),
+          (3L, "c", "insert"))
+    } finally q.stop()
+  }
+
   test("CREATE TABLE PARTITIONED BY: hive layout from the first INSERT on") {
     spark.sql(s"CREATE TABLE lake.`$base`.part (id BIGINT, lang STRING) " +
       "PARTITIONED BY (lang)")
@@ -312,6 +371,34 @@ class LakeCatalogSpec extends SparkTestBase {
     e.getMessage should include("CHECK")
     spark.sql(s"SELECT count(*) AS n FROM lake.`$base`.nn")
       .as[Long].head() shouldBe 2L
+  }
+
+  test("NOT NULL constraint keys stay distinct for sanitize-colliding names") {
+    // `a b` and `a_b` both sanitize to a_b — the property keys must not
+    // collide (raw-name hash suffix), so BOTH columns keep enforcement
+    spark.sql(s"CREATE TABLE lake.`$base`.nncol " +
+      "(`a b` BIGINT NOT NULL, a_b BIGINT NOT NULL, t STRING)")
+    val props = lake.properties("nncol")
+    props.keys.count(_.startsWith("lake.constraint.notnull_")) shouldBe 2
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO lake.`$base`.nncol VALUES (NULL, 1, 'x')")
+    }.getMessage should include("CHECK")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO lake.`$base`.nncol VALUES (1, NULL, 'x')")
+    }.getMessage should include("CHECK")
+    spark.sql(s"INSERT INTO lake.`$base`.nncol VALUES (1, 2, 'ok')")
+    spark.sql(s"SELECT count(*) AS n FROM lake.`$base`.nncol")
+      .as[Long].head() shouldBe 1L
+  }
+
+  test("createTable lands properties before the first commit") {
+    // partition layout + constraints must be visible to any concurrent
+    // INSERT from the instant the table exists
+    spark.sql(s"CREATE TABLE lake.`$base`.propfirst " +
+      "(id BIGINT NOT NULL, lang STRING) PARTITIONED BY (lang)")
+    val props = lake.properties("propfirst")
+    props("lake.partitionBy") shouldBe "lang"
+    props.keys.exists(_.startsWith("lake.constraint.notnull_")) shouldBe true
   }
 
   test("metadata-only count(*): answered from the stats sidecar, no scan") {
