@@ -16,11 +16,13 @@ import org.apache.spark.sql.types._
   * the JDK's own `javax.imageio`, headless, no extra dependency): genuine
   * parse → pixel transform → re-encode in [[resizeImages]]
   * (container-preserving: png in → png out, jpeg in → jpeg out) and a real
-  * spatial luminance feature in [[extractFeatures]]. Payloads that decode
-  * as none of the three (wav/mp4 — no JVM codec for those) fall back to
-  * the DETERMINISTIC STUBS marked `// STUB:` at each site; swapping in a
-  * real codec is a one-function change per kernel, exactly the
-  * Ppm/Png/Jpeg shape.
+  * spatial luminance feature in [[extractFeatures]]. AUDIO is real too:
+  * WAV PCM decodes through the JDK's own `javax.sound.sampled` ([[Wav]] —
+  * headless, no extra dependency), with genuine resample / RMS-window
+  * kernels in [[resampleAudio]]/[[extractFeatures]]. Only mp4 video still
+  * falls back to the DETERMINISTIC STUBS marked `// STUB:` at each site
+  * (the JDK ships no video codec); swapping in a real codec is a
+  * one-function change per kernel, exactly the Ppm/Png/Jpeg/Wav shape.
   */
 object Media {
 
@@ -147,6 +149,83 @@ object Media {
     }.toDF()
   }
 
+  /** [[syntheticReal]]'s AUDIO sibling: mono 16-bit PCM WAV payloads with
+    * closed-form samples — `frames = id % 50 + 10`, rate 8000 Hz, sample
+    * `j` = `(id * 31 + j * 7) % 2003 - 1001` — so an external oracle can
+    * predict resampled frame counts and sample sums without running the
+    * codec (16-bit PCM is lossless through encode/decode). Meta is the
+    * DELIBERATELY wrong image shape: correct output metadata must come
+    * from an actual decode.
+    */
+  def syntheticRealWav(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val frames = (id % 50 + 10).toInt
+        val samples = Array.tabulate(frames)(j =>
+          ((id * 31 + j.toLong * 7) % 2003 - 1001).toShort)
+        MediaRow(id, "audio", Wav.encode(Wav.Audio(8000, 1, samples)),
+          MediaMeta(Some(9999), Some(9999), Some("png"), None))
+      }
+    }.toDF()
+  }
+
+  /** Decode-verified stats of an AUDIO frame — the audio sibling of the
+    * image `decodedStats`: everything from the actual [[Wav]] decode,
+    * `(-1, …)` for payloads the codec rejects.
+    */
+  def audioStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        Wav.decode(if (r.payload == null) Array.empty[Byte] else r.payload)
+          match {
+            case Some(a) =>
+              var s = 0L
+              var i = 0
+              while (i < a.samples.length) { s += a.samples(i); i += 1 }
+              (r.media_id, a.sampleRate, a.channels, a.frames, s,
+                a.durationMs)
+            case None => (r.media_id, -1, -1, -1, -1L, -1L)
+          }
+      }
+    }.toDF("media_id", "sample_rate", "channels", "n_frames",
+      "sample_sum", "duration_ms")
+  }
+
+  /** Audio resample: WAV payloads take the REAL path — decode,
+    * nearest-frame resample ([[Wav.resample]]'s closed-form integer
+    * math), re-encode as WAV, metadata duration from the DECODED truth.
+    * Non-WAV audio (mp4 containers) keeps the documented stub: payload
+    * truncated by the rate ratio so size accounting behaves.
+    */
+  def resampleAudio(media: DataFrame, targetRate: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          if (r.payload == null) r
+          else Wav.decode(r.payload) match {
+            case Some(a) =>
+              val out = Wav.resample(a, targetRate)
+              r.copy(payload = Wav.encode(out),
+                meta = r.meta.copy(width = None, height = None,
+                  format = Some("wav"),
+                  duration_ms = Some(out.durationMs)))
+            case None =>
+              // STUB: real kernel = demux → resample → remux. Fake keeps
+              // a rate-proportional prefix of the payload.
+              val ratio = math.min(1.0,
+                targetRate.toDouble / math.max(targetRate, 1))
+              val keep = math.max(1, (r.payload.length * ratio).toInt)
+              r.copy(payload = r.payload.take(keep))
+          }
+        }
+      }.toDF()
+  }
+
   /** Per-partition feature extraction: decode → fixed-size float vector.
     * The partition iterator IS the batch boundary (mirrors mapInPandas
     * batch semantics): rows stream through without materializing the
@@ -160,10 +239,12 @@ object Media {
       // per-partition setup would go here (codec init, model load)
       rows.map { r =>
         val bytes = if (r.payload == null) Array.empty[Byte] else r.payload
-        val feat = decodeImage(bytes) match {
-          // REAL path: decoded image → per-band mean luminance (spatial)
-          case Some((img, _)) => Ppm.bandLuminance(img, dim)
-          case None =>
+        val feat = decodeImage(bytes)
+          // REAL image path: decoded image → per-band mean luminance
+          .map { case (img, _) => Ppm.bandLuminance(img, dim) }
+          // REAL audio path: decoded waveform → per-window RMS (temporal)
+          .orElse(Wav.decode(bytes).map(Wav.rmsWindows(_, dim)))
+          .getOrElse {
             // STUB: real kernel = decode(bytes) → model features.
             // Deterministic fake: k-strided byte histogram, normalized.
             val f = new Array[Float](dim)
@@ -171,7 +252,7 @@ object Media {
             while (i < bytes.length) { f(i % dim) += (bytes(i) & 0xff) / 255.0f; i += 1 }
             val norm = math.sqrt(f.map(x => x * x).sum).toFloat
             if (norm == 0f) f else f.map(_ / norm)
-        }
+          }
         MediaFeatures(r.media_id, r.kind, feat, bytes.length.toLong)
       }
     }

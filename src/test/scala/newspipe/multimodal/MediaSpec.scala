@@ -287,6 +287,73 @@ class MediaSpec extends SparkTestBase {
     }
   }
 
+  test("Wav codec: 16-bit PCM encode/decode round-trips exactly; bad input None") {
+    val samples = Array.tabulate(1000)(i => ((i * 37) % 2003 - 1001).toShort)
+    val a = Wav.Audio(8000, 1, samples)
+    val bytes = Wav.encode(a)
+    val back = Wav.decode(bytes).get
+    back.sampleRate shouldBe 8000
+    back.channels shouldBe 1
+    back.frames shouldBe 1000
+    back.samples shouldBe samples // lossless container
+    back.durationMs shouldBe 125L // 1000 / 8000 s
+    // stereo interleave round-trips too (field-wise: Audio holds an Array)
+    val st = Wav.Audio(44100, 2, Array.tabulate(400)(i => (i - 200).toShort))
+    val stBack = Wav.decode(Wav.encode(st)).get
+    stBack.sampleRate shouldBe 44100
+    stBack.channels shouldBe 2
+    stBack.samples shouldBe st.samples
+    Wav.decode("not a wav".getBytes) shouldBe None
+    Wav.decode(Array.empty[Byte]) shouldBe None
+  }
+
+  test("Wav.resample: closed-form nearest-frame math, both directions") {
+    val a = Wav.Audio(8000, 1,
+      Array.tabulate(100)(i => (i * 3).toShort))
+    val down = Wav.resample(a, 4000)
+    down.sampleRate shouldBe 4000
+    down.frames shouldBe 50
+    // frame i = source frame 2i
+    down.samples.toSeq shouldBe (0 until 50).map(i => (2 * i * 3).toShort)
+    val up = Wav.resample(a, 16000)
+    up.frames shouldBe 200
+    up.samples.toSeq shouldBe (0 until 200).map(i => ((i / 2) * 3).toShort)
+    Wav.resample(a, 8000) shouldBe a // identity
+  }
+
+  test("resampleAudio takes the REAL path for WAV payloads; decoded truth wins") {
+    val media = Media.syntheticRealWav(spark, 40)
+    val out = Media.resampleAudio(media, 4000)
+    val stats = Media.audioStats(out).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(3), r.getLong(4))))
+      .toMap
+    (0L until 40L).foreach { id =>
+      val f0 = (id % 50 + 10).toInt
+      val f1 = f0 / 2 // 8000 → 4000
+      val expSum = (0 until f1).map(j =>
+        ((id * 31 + (2L * j) * 7) % 2003 - 1001)).sum
+      stats(id) shouldBe ((4000, f1, expSum))
+    }
+    // meta comes from the decode, not the (deliberately wrong) input meta
+    val m = out.select("meta.format", "meta.duration_ms").limit(1).collect()(0)
+    m.getString(0) shouldBe "wav"
+    // the stub path still covers undecodable audio payloads
+    val fake = Media.synthetic(spark, 6).filter($"kind" === "audio")
+    Media.resampleAudio(fake, 4000).count() shouldBe fake.count()
+  }
+
+  test("extractFeatures takes the REAL audio path: RMS windows over frames") {
+    val media = Media.syntheticRealWav(spark, 8)
+    val feats = Media.extractFeatures(media, dim = 4).collect()
+    feats.length shouldBe 8
+    feats.foreach { f =>
+      f.feature.length shouldBe 4
+      // real waveform RMS: positive, bounded by full scale
+      all(f.feature.map(_.toDouble)) should (be >= 0.0 and be <= 1.0)
+      f.feature.exists(_ > 0f) shouldBe true
+    }
+  }
+
   test("Jpeg codec: dims exact, solid-color pixels within tolerance") {
     val img = Ppm.Image(24, 16, {
       val a = new Array[Byte](24 * 16 * 3)
