@@ -2737,8 +2737,259 @@ object SparkEntry {
           length(col("fim_text")).as("out_len"),
           md5(col("fim_text")).as("out_md5"))
         .orderBy("doc_id")
+    }),
+
+    // Streaming lake SINK run to completion: writeStream.format("lake")
+    // into a catalog-created (snapshot-managed) table — each micro-batch
+    // is one txn-fenced STREAMING APPEND commit (newspipe.io.source
+    // .LakeStreamSink). A third of the corpus seeds the table, two
+    // micro-batches stream the rest in, then a WIPED-checkpoint rerun
+    // replays the whole source as batch 0 with the same txnAppId — the
+    // ledger fences it, so the layer holds exactly-once content. In-query
+    // requires pin the protocol (2 streaming commits, fenced replay adds
+    // none); the result is the full-corpus agg, so a double-landed replay
+    // would double id_sum and fail the hash.
+    "q144_stream_sink" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.lake", "newspipe.io.LakeCatalog")
+      val root = java.nio.file.Files.createTempDirectory("q144_lake").toString
+      s.sql(s"CREATE TABLE lake.`$root`.docs " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      s.sql(s"INSERT INTO lake.`$root`.docs SELECT doc_id, lang, n_chars " +
+        s"FROM parquet.`$dir/documents.parquet` WHERE doc_id % 3 = 0")
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val src = s"$root/_src"
+      def stream(ckpt: String, slices: Seq[DataFrame]): Unit = {
+        slices.headOption.foreach(_.write.mode("append").parquet(src))
+        val q = s.readStream.schema(docs.schema).parquet(src)
+          .writeStream.format("lake")
+          .option("basePath", root).option("layer", "docs")
+          .option("txnAppId", "q144")
+          .option("checkpointLocation", ckpt)
+          .start()
+        try slices.drop(1).foreach { sl =>
+          q.processAllAvailable()
+          sl.write.mode("append").parquet(src)
+          q.processAllAvailable()
+        } finally { q.processAllAvailable(); q.stop() }
+      }
+      stream(s"$root/_ck1", Seq(
+        docs.filter(col("doc_id") % 3 === 1),
+        docs.filter(col("doc_id") % 3 === 2)))
+      val n1 = lake.read("docs").count()
+      require(n1 == docs.count(),
+        s"streamed layer must hold the full corpus, got $n1")
+      require(lake.txnVersion("docs", "q144").contains(1L),
+        "txn ledger must record batch 1 for app q144")
+      // wiped checkpoint: the file source replays EVERYTHING as batch 0;
+      // the ledger (latest = 1) fences it — content must not change
+      stream(s"$root/_ck2", Seq(docs.limit(0)))
+      require(lake.read("docs").count() == n1,
+        "checkpoint-reset replay must be fenced by the txn ledger")
+      val nStream = lake.history("docs")
+        .where(col("operation") === "STREAMING APPEND").count()
+      require(nStream == 2L,
+        s"expected exactly 2 streaming commits, got $nStream")
+      s.sql(
+        s"""SELECT lang, count(1) AS n_docs, sum(n_chars) AS sum_chars,
+           |  sum(doc_id) AS id_sum
+           |FROM lake.`$root`.docs
+           |GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
+    // Partition-scoped maintenance: `OPTIMIZE … WHERE <partition pred>
+    // [ZORDER BY …]` — compaction bounded to the matching hive
+    // partitions, every other partition's files carried by MANIFEST
+    // REFERENCE (identity pinned by the in-query requires via
+    // input_file_name). At 100 TB maintenance is per-partition or it
+    // doesn't happen: O(selected partition) read+shuffle+write, not a
+    // layer rewrite. Data-invisible → the oracle is the corpus agg.
+    "q145_optimize_where" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q145_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      lake.writeAtomic(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+          .repartition(8),
+        "docs", partitionBy = Seq("lang"))
+      def liveFiles(l: String): Set[String] =
+        lake.read("docs").where(col("lang") === l)
+          .select(org.apache.spark.sql.functions.input_file_name())
+          .distinct().collect().map(_.getString(0)).toSet
+      val langs = lake.read("docs").select("lang").distinct()
+        .orderBy("lang").collect().map(_.getString(0)).toSeq
+      val target = langs.head
+      val othersBefore = langs.tail.map(l => l -> liveFiles(l)).toMap
+      val before = liveFiles(target)
+      require(before.size >= 2, s"need slivers to compact, got $before")
+      val s2 = org.apache.spark.sql.NewspipeSqlBridge.sessionWithExtensions(
+        s, new newspipe.NewspipeExtensions()(_))
+      s2.sql(s"OPTIMIZE lake.`$root`.docs WHERE lang = '$target'")
+      val after = liveFiles(target)
+      require(after.size == 1 && after.intersect(before).isEmpty,
+        s"scoped OPTIMIZE must consolidate only '$target', got $after")
+      require(langs.tail.forall(l => liveFiles(l) == othersBefore(l)),
+        "untouched partitions must ride the manifest by reference")
+      // scoped ZORDER over a second partition; the first stays put
+      s2.sql(s"OPTIMIZE lake.`$root`.docs WHERE lang = '${langs.tail.head}' " +
+        "ZORDER BY (doc_id)")
+      require(liveFiles(target) == after,
+        "a later scoped OPTIMIZE must not touch the compacted partition")
+      lake.read("docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
+    // readChangeFeed over a catalog streaming read (Delta's option): the
+    // same readStream.table as q136 but with the TAGGED change feed —
+    // the initial snapshot and the append arrive as 'insert' rows, the
+    // mid-stream DELETE commit surfaces its removed rows as 'delete'
+    // (q136's insert-only posture drops them). The materialized feed,
+    // grouped by tag, replays relationally: inserts = the full corpus,
+    // deletes = the seeded evens the predicate removed.
+    "q146_stream_read_cdf" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.lake", "newspipe.io.LakeCatalog")
+      val root = java.nio.file.Files.createTempDirectory("q146_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      lake.writeAtomic(docs.filter(col("doc_id") % 2 === 0), "docs")
+      val s2 = org.apache.spark.sql.NewspipeSqlBridge.sessionWithExtensions(
+        s, new newspipe.NewspipeExtensions()(_))
+      val out = s"$root/_out"
+      val q = s2.readStream.option("readChangeFeed", "true")
+        .table(s"lake.`$root`.docs")
+        .writeStream.option("checkpointLocation", s"$root/_ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start()
+      q.processAllAvailable() // batch 0: initial snapshot, tagged insert
+      lake.deleteWhere("docs", col("doc_id") % 10 === 0) // tagged delete
+      lake.appendAtomic(docs.filter(col("doc_id") % 2 === 1), "docs")
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(out)
+        .groupBy("_change_type", "lang")
+        .agg(count(lit(1)).as("n_rows"), sum("doc_id").as("id_sum"))
+        .orderBy("_change_type", "lang")
+    }),
+
+    // REAL WAV audio: closed-form mono PCM payloads (Media.syntheticRealWav)
+    // decode through the JDK's javax.sound.sampled, resample 8000→4000 Hz
+    // with nearest-frame integer math (Wav.resample), re-encode as WAV, and
+    // the stats are read back from a SECOND decode of the re-encoded
+    // payloads — 16-bit PCM is lossless, so the oracle predicts frame
+    // counts, sample sums and durations exactly without running the codec.
+    // Input meta is deliberately wrong (9999×9999 png): correct output can
+    // only come from genuine decodes.
+    "q147_wav_resample" -> ((s, dir) => {
+      val media = newspipe.multimodal.Media.syntheticRealWav(s, 500)
+      val out = newspipe.multimodal.Media.resampleAudio(media, 4000)
+      newspipe.multimodal.Media.audioStats(out).orderBy("media_id")
+    }),
+
+    // Greedy BPE ENCODE under the driver gate (q119 covers word counts;
+    // training is spec-pinned): the corpus encoded against a merge table
+    // trained on a FIXED embedded vocabulary (Bpe.trainLocal — pure Scala,
+    // deterministic), whose merges the oracle embeds as literals (generated
+    // from the SAME training run — can never drift) and replays the whole
+    // rank-priority encode loop as a recursive CTE. Encoding is per-row
+    // codegen'd map work, zero shuffles — embarrassingly parallel at any
+    // corpus size; the merge table is closure-captured, never a join.
+    "q148_bpe_encode" -> ((s, dir) => {
+      val enc = newspipe.ops.Bpe.encode(bpeFixedMerges)
+      t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(enc(col("text"))).as("n_tokens"),
+          md5(concat_ws(" ", enc(col("text")))).as("tok_md5"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Fixed BPE training vocabulary (the corpus's 31 words, synthetic
+    * rank-derived weights) — embedded HERE so the q148 query and its
+    * oracle share one deterministic merge table.
+    */
+  private val bpeFixedVocab: Seq[(String, Long)] = Seq(
+    "join", "hash", "row", "batch", "scan", "customer", "column", "filter",
+    "small", "slow", "merge", "order", "vector", "line", "data", "table",
+    "agg", "value", "key", "stream", "window", "spark", "a", "group",
+    "part", "big", "sort", "query", "fast", "the", "dup")
+    .zipWithIndex.map { case (w, i) => w -> (100L - i) }
+
+  private lazy val bpeFixedMerges: Seq[newspipe.ops.Bpe.Merge] =
+    newspipe.ops.Bpe.trainLocal(
+      bpeFixedVocab.map { case (w, c) =>
+        (w.map(_.toString).toArray :+ newspipe.ops.Bpe.EndOfWord, c)
+      }.toArray,
+      numMerges = 40)
+
+  /** q148's oracle, GENERATED from [[bpeFixedMerges]] (the merge VALUES
+    * can never drift from the Scala training): per distinct corpus word,
+    * a recursive CTE replays the greedy encode — each iteration finds the
+    * LOWEST-rank applicable merge and applies it to every non-overlapping
+    * occurrence (token list as a space-delimited string; `replace` nested
+    * 6× reaches the within-iteration fixpoint for any word ≤ 2⁶ tokens,
+    * far beyond the corpus's longest) — then reassembles documents in
+    * word order.
+    */
+  private def bpeEncodeOracleSql: String = {
+    def esc(x: String) = x.replace("'", "''")
+    val mergeRows = bpeFixedMerges.map(m =>
+      s"('${esc(m.left)}', '${esc(m.right)}', ${m.rank})").mkString(", ")
+    val rep6 = (1 to 6).foldLeft("s")((e, _) => s"replace($e, pat, rep)")
+    s"""WITH RECURSIVE
+       |merges(l, r, rank) AS (VALUES $mergeRows),
+       |tls AS (
+       |  SELECT doc_id, list_filter(
+       |    regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+       |    x -> len(x) > 0) AS words
+       |  FROM documents WHERE text IS NOT NULL),
+       |vocab AS (SELECT DISTINCT unnest(words) AS w FROM tls),
+       |enc(w, s, iter) AS (
+       |  SELECT w,
+       |    ' ' || array_to_string(list_append(
+       |      list_transform(range(1, len(w) + 1), i -> w[i]), '</w>'), ' ')
+       |      || ' ',
+       |    0
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT w, $rep6, iter + 1
+       |  FROM (
+       |    SELECT w, s, iter,
+       |      (SELECT ' ' || m.l || ' ' || m.r || ' ' FROM merges m
+       |       WHERE position(' ' || m.l || ' ' || m.r || ' ' IN s) > 0
+       |       ORDER BY m.rank LIMIT 1) AS pat,
+       |      (SELECT ' ' || m.l || m.r || ' ' FROM merges m
+       |       WHERE position(' ' || m.l || ' ' || m.r || ' ' IN s) > 0
+       |       ORDER BY m.rank LIMIT 1) AS rep
+       |    FROM enc) t
+       |  WHERE pat IS NOT NULL),
+       |fin AS (
+       |  SELECT w, trim(s) AS toks FROM (
+       |    SELECT w, s, row_number() OVER (PARTITION BY w ORDER BY iter
+       |      DESC) AS rn FROM enc) WHERE rn = 1),
+       |tok AS (
+       |  SELECT x.doc_id, x.pos, f.toks
+       |  FROM (SELECT doc_id, unnest(words) AS w,
+       |          unnest(range(1, len(words) + 1)) AS pos FROM tls) x
+       |  JOIN fin f ON f.w = x.w),
+       |perdoc AS (
+       |  SELECT t.doc_id,
+       |    coalesce(string_agg(k.toks, ' ' ORDER BY k.pos), '') AS enc_text
+       |  FROM tls t LEFT JOIN tok k ON k.doc_id = t.doc_id
+       |  GROUP BY t.doc_id)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN enc_text = '' THEN 0
+       |    ELSE len(string_split(enc_text, ' ')) END AS INT) AS n_tokens,
+       |  md5(enc_text) AS tok_md5
+       |FROM perdoc ORDER BY doc_id""".stripMargin
+  }
 
   /** q20's oracle, GENERATED from [[SentimentAnalyzer]]'s actual maps (the
     * SQL CASE tables can never drift from the Scala lexicon). Replays
@@ -4908,6 +5159,43 @@ object SparkEntry {
           |  FROM s)
           |SELECT doc_id, fim_applied, len(out) AS out_len,
           |  md5(out) AS out_md5
-          |FROM o ORDER BY doc_id""".stripMargin)
+          |FROM o ORDER BY doc_id""".stripMargin) +
+      // streamed-in layer == the full corpus (seed third + two streamed
+      // thirds, replay fenced); protocol pinned by in-query requires
+      ("q144_stream_sink" -> ext("q117_lake_compact_small")) +
+      // scoped OPTIMIZE is data-invisible; file identity pinned in-query
+      ("q145_optimize_where" -> ext("q117_lake_compact_small")) +
+      // the tagged feed replays relationally: every row ever inserted
+      // (seeded evens + appended odds = the corpus) tagged 'insert', the
+      // delete commit's removed rows (evens at doc_id % 10 = 0) tagged
+      // 'delete'
+      ("q146_stream_read_cdf" ->
+        """SELECT * FROM (
+          |  SELECT 'insert' AS _change_type, lang,
+          |    count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |  FROM documents GROUP BY lang
+          |  UNION ALL
+          |  SELECT 'delete' AS _change_type, lang,
+          |    count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+          |  GROUP BY lang)
+          |ORDER BY _change_type, lang""".stripMargin) +
+      // the resample replayed in closed form: out frame i = source frame
+      // 2i, source sample j = (id*31 + j*7) % 2003 - 1001, frames halve
+      ("q147_wav_resample" ->
+        """WITH m AS (
+          |  SELECT i AS media_id, CAST(i % 50 + 10 AS BIGINT) AS f0
+          |  FROM generate_series(0, 499) t(i)),
+          |r AS (SELECT media_id, CAST(f0 // 2 AS INT) AS n_frames FROM m)
+          |SELECT media_id, 4000 AS sample_rate, 1 AS channels, n_frames,
+          |  CAST(list_sum(list_transform(range(0, n_frames),
+          |    j -> (media_id * 31 + (2 * j) * 7) % 2003 - 1001))
+          |    AS BIGINT) AS sample_sum,
+          |  (CAST(n_frames AS BIGINT) * 1000) // 4000 AS duration_ms
+          |FROM r ORDER BY media_id""".stripMargin) +
+      // greedy rank-priority encode replayed as a recursive CTE against
+      // the SAME trained merge table (embedded as literals from
+      // bpeFixedMerges — can never drift)
+      ("q148_bpe_encode" -> bpeEncodeOracleSql)
   }
 }
