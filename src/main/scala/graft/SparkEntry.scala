@@ -2908,6 +2908,85 @@ object SparkEntry {
           size(enc(col("text"))).as("n_tokens"),
           md5(concat_ws(" ", enc(col("text")))).as("tok_md5"))
         .orderBy("doc_id")
+    }),
+
+    // PURE-v2 UPDATE (SupportsRowLevelOperations, group-based): the same
+    // statement as q93 but resolved by Spark's OWN RewriteUpdateTable —
+    // no extensions parser, no LakeSql — against a catalog table. The
+    // driver session has no extensions, so this exercises
+    // LakeRowLevelOperation end to end: stats-pruned group scan, task-side
+    // staged parquet, OCC commit. The in-query require pins the 100 TB
+    // property: files outside the predicate's n_chars range are carried BY
+    // REFERENCE (identical physical paths), never rewritten. Oracle =
+    // q86's verbatim.
+    "q149_v2_update" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.lakev2", "newspipe.io.LakeCatalog")
+      val root = java.nio.file.Files.createTempDirectory("q149_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      lake.writeAtomic(t(s, dir, "documents")
+        .repartitionByRange(8, col("n_chars"))
+        .sortWithinPartitions("n_chars"), "docs")
+      def files() = lake.read("docs").select(input_file_name())
+        .distinct().collect().map(_.getString(0)).toSet
+      val before = files()
+      s.sql(
+        s"""UPDATE lakev2.`$root`.docs
+           |SET n_chars = n_chars * 2, source = concat('long:', source)
+           |WHERE n_chars >= 500""".stripMargin)
+      val after = files()
+      require((before intersect after).nonEmpty,
+        "v2 UPDATE must carry non-matching files by reference")
+      require((after diff before).nonEmpty,
+        "v2 UPDATE must stage rewritten files")
+      require(lake.historyRows("docs").map(_.getString(2)) ==
+        Seq("WRITE", "UPDATE"), "v2 UPDATE must land as an UPDATE commit")
+      lake.read("docs")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("source")
+    }),
+
+    // PURE-v2 MERGE via RewriteMergeIntoTable, using clause forms the
+    // LakeSql keyed-upsert surface deliberately refuses: a CONDITIONAL
+    // matched action and a DELETE action. doc_id%100==0 rows update
+    // (text/n_chars only), %100==2 rows are deleted by the s.n_chars=-2
+    // marker, %100==1 rows insert under shifted ids. The oracle replays
+    // all three branches relationally.
+    "q150_v2_merge" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.lakev2", "newspipe.io.LakeCatalog")
+      val root = java.nio.file.Files.createTempDirectory("q150_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents")
+      lake.writeAtomic(docs
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"), "docs")
+      docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"), lit("updated").as("text"), col("lang"),
+          col("source"), lit(-1L).as("n_chars"))
+        .union(docs.filter(col("doc_id") % 100 === 2)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            lit(-2L).as("n_chars")))
+        .union(docs.filter(col("doc_id") % 100 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))
+        .createOrReplaceTempView("q150_merge_src")
+      s.sql(
+        s"""MERGE INTO lakev2.`$root`.docs AS t USING q150_merge_src AS s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s.n_chars = -2 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET t.text = s.text,
+           |  t.n_chars = s.n_chars
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      require(lake.historyRows("docs").map(_.getString(2)) ==
+        Seq("WRITE", "MERGE"), "v2 MERGE must land as a MERGE commit")
+      lake.read("docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum(when(col("text") === "updated", 1L).otherwise(0L))
+            .as("n_updated"))
+        .orderBy("lang")
     })
   )
 
@@ -5196,6 +5275,29 @@ object SparkEntry {
       // greedy rank-priority encode replayed as a recursive CTE against
       // the SAME trained merge table (embedded as literals from
       // bpeFixedMerges — can never drift)
-      ("q148_bpe_encode" -> bpeEncodeOracleSql)
+      ("q148_bpe_encode" -> bpeEncodeOracleSql) +
+      // pure-v2 UPDATE = the same replayed computation as the LakeSql
+      // statement form (q93) and the Scala API (q86) — oracle verbatim
+      ("q149_v2_update" -> base("q86_lake_update")) +
+      // three-branch MERGE replayed relationally: delete-marker keys drop,
+      // update keys rewrite text/n_chars in place, inserts union in
+      ("q150_v2_merge" ->
+        """WITH merged AS (
+          |  SELECT d.doc_id,
+          |    CASE WHEN d.doc_id % 100 = 0 THEN 'updated' ELSE d.text END
+          |      AS text,
+          |    d.lang, d.source,
+          |    CAST(CASE WHEN d.doc_id % 100 = 0 THEN -1 ELSE d.n_chars END
+          |      AS BIGINT) AS n_chars
+          |  FROM documents d
+          |  WHERE d.doc_id % 100 <> 2
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text, lang, source, n_chars
+          |  FROM documents WHERE doc_id % 100 = 1)
+          |SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(sum(CASE WHEN text = 'updated' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_updated
+          |FROM merged GROUP BY lang ORDER BY lang""".stripMargin)
   }
 }

@@ -2418,6 +2418,114 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     Lake.RowOpResult(newSnap.toString, affected.size, carried.size)
   }
 
+  // ---- DSv2 group-based row-level operations (SupportsRowLevelOperations)
+
+  /** Driver-side planning context for a v2 group-based row-level command
+    * (UPDATE/MERGE/DELETE through Spark's own rewrite rules — see
+    * [[LakeRowLevelOperation]]): the parent snapshot pinned at scan-build
+    * time, the stats-pruned affected file set (the GROUPS the scan reads
+    * whole and the commit replaces), and every schema/mapping fact the
+    * distributed scan and write need. Pruning mirrors [[rewriteCore]]'s
+    * `mayMatch` — translated to physical names so it holds under column
+    * mapping — EXCEPT that an absent predicate means ALL files are
+    * affected (an unconditioned UPDATE rewrites the layer), where
+    * rewriteCore's absent predicate means none.
+    */
+  private[io] def rowLevelSnapshot(layer: String,
+      cond: Option[org.apache.spark.sql.Column]): Lake.RowLevelSnapshot = {
+    val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
+      s"layer '$layer' has no committed snapshot — v2 row-level operations " +
+        "extend the snapshot protocol (catalog tables always qualify)"))
+    val base = layerPath(layer)
+    val inventory = snapshotInventory(layer, snap)
+    val mapping = mappingOf(snap)
+    val oldStats = rebasedStats(layer, snap)
+    lazy val c = cond.flatMap { p =>
+      if (oldStats.isEmpty) None
+      else resolveCondition(layer, base, oldStats.values.toSeq, p, mapping)
+    }
+    def mayMatch(rel: String): Boolean = cond.isEmpty ||
+      (oldStats.get(rel) match {
+        case Some(st) => c.forall(FileStats.matches(st, _))
+        case None => true // stats-unknown file: must scan
+      })
+    val affected = inventory.filter(mayMatch)
+    val dv = dvMapOf(snap)
+    val dvAffected = affected.filter(dv.contains)
+    if (dvAffected.nonEmpty) throw new UnsupportedOperationException(
+      s"layer '$layer': ${dvAffected.size} affected file(s) carry deletion " +
+        "vectors — the v2 group-based rewrite would resurrect DV'd rows. " +
+        "Run OPTIMIZE (compaction materializes DVs) first, or run the DML " +
+        "through a session with NewspipeExtensions (LakeSql reads through " +
+        "DVs)")
+    val logical = snapshotSchema(layer, snap)
+    val partCols = layerPartitionCols(layer, inventory)
+    val dataFields = logical.fields.filterNot(f => partCols.contains(f.name))
+    val readSchema = org.apache.spark.sql.types.StructType(
+      dataFields ++ partCols.map(logical(_)))
+    val physData = org.apache.spark.sql.types.StructType(dataFields.map(f =>
+      f.copy(name = mapping.getOrElse(f.name, f.name), nullable = true)))
+    val fileSizes = affected.map { rel =>
+      rel -> fs(snap).getFileStatus(new Path(s"$base/$rel")).getLen
+    }
+    Lake.RowLevelSnapshot(snap.getName, base, inventory, fileSizes,
+      logical, physData, readSchema, partCols, mapping,
+      constraints(layer).toSeq)
+  }
+
+  /** Allocate the staging snapshot directory a v2 row-level write's tasks
+    * stream their replacement parquet into (created eagerly so per-task
+    * file creates never race the mkdir).
+    */
+  private[io] def rowLevelStagingDir(layer: String): Path = {
+    val p = new Path(s"${layerPath(layer)}/_v/${newVersionId()}")
+    fs(p).mkdirs(p)
+    p
+  }
+
+  /** Commit half of a v2 group-based row-level operation: the snapshot =
+    * (parent inventory − affected, by manifest reference) + the staged
+    * files the tasks landed in `newSnap`. `keep` names the files the
+    * driver's commit messages vouch for — anything else in the staging
+    * dir is speculative/aborted-attempt debris and is swept before the
+    * manifest walk. OCC: [[commitManifest]]'s parent check fails the
+    * commit (and cleans the staging dir) if another writer landed since
+    * the scan pinned `parentName`, so a stale rewrite can never shadow
+    * unseen changes.
+    */
+  private[io] def rowLevelCommit(layer: String, parentName: String,
+      affected: Set[String], newSnap: Path, keep: Set[String],
+      op: String): Lake.RowOpResult = {
+    val base = layerPath(layer)
+    val parent = new Path(s"$base/_v/$parentName")
+    val f = fs(newSnap)
+    try {
+      // sweep stray task files (speculation, failed attempts that
+      // couldn't abort): only message-vouched files may enter the commit
+      val stray = snapshotDirFilesRel(newSnap).filterNot(keep)
+      stray.foreach(rel => f.delete(new Path(newSnap, rel), false))
+      val inventory = snapshotInventory(layer, parent)
+      val carried = inventory.filterNot(affected)
+      if (affected.isEmpty && keep.isEmpty) {
+        f.delete(newSnap, true)
+        return Lake.RowOpResult(parent.toString, 0, carried.size,
+          noop = true)
+      }
+      val schemaDdl = snapshotSchema(layer, parent).toDDL
+      commitManifest(layer, parent, newSnap, carried,
+        rebasedStats(layer, parent), schemaDdl,
+        dvs = dvMapOf(parent).filter { case (rel, _) => !affected(rel) },
+        op = op, mapping = mappingOf(parent),
+        dropped = if (carried.isEmpty) Nil else droppedOf(parent))
+      Lake.RowOpResult(newSnap.toString, affected.size, carried.size)
+    } catch {
+      case e: java.util.ConcurrentModificationException => throw e // cleaned
+      case scala.util.control.NonFatal(e) =>
+        f.delete(newSnap, true)
+        throw e
+    }
+  }
+
   /** Delta-parity `table_changes`: ONE DataFrame of every row-level change
     * between two committed snapshots, each change ATTRIBUTED to the commit
     * that made it — data columns plus `_change_type`
@@ -2790,6 +2898,24 @@ object Lake {
     */
   final case class RowOpResult(snapshot: String, rewrittenFiles: Int,
       carriedFiles: Int, noop: Boolean = false)
+
+  /** [[Lake.rowLevelSnapshot]] result — everything a v2 group-based
+    * row-level scan/write pair needs, pinned at scan-build time:
+    * `affectedSizes` = (layer-relative path, byte size) of every file the
+    * scan reads whole and the commit replaces; `readSchema` = logical
+    * data columns (declared order) with partition columns moved to the
+    * end (the order the parquet reader emits); `physicalDataSchema` = the
+    * same data columns under their physical (column-mapping) names.
+    */
+  final case class RowLevelSnapshot(parent: String, base: String,
+      inventory: Seq[String], affectedSizes: Seq[(String, Long)],
+      logicalSchema: org.apache.spark.sql.types.StructType,
+      physicalDataSchema: org.apache.spark.sql.types.StructType,
+      readSchema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String], mapping: Map[String, String],
+      constraints: Seq[(String, String)]) {
+    def affected: Seq[String] = affectedSizes.map(_._1)
+  }
 
   /** [[Lake.describeDetail]] result — Delta's `DESCRIBE DETAIL` shape:
     * physical metadata of the CURRENT snapshot. `createdAtMs` /

@@ -347,6 +347,8 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
     pinnedVersion: Option[String], catName: String = "lake")
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsPartitionManagement
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.NewspipeV1FallbackTable {
 
   @transient private[io] lazy val lake =
@@ -611,10 +613,45 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     lake.deleteWhere(layer, cond)
   }
+
+  // ---- UPDATE / MERGE INTO (SupportsRowLevelOperations, group-based) ------
+  //
+  // Completes the pure-v2 DML triangle: a session with nothing but
+  // `spark.sql.catalog.lake` configured gets UPDATE / MERGE (and
+  // non-translatable DELETE) through Spark's own group-based rewrite
+  // rules. See [[LakeRowLevelOperation]] for the scan/replace contract.
+
+  /** `_file` (Iceberg parity): the source file of each row, produced only
+    * by scans that support it — today the row-level group scan, which
+    * needs it as [[LakeRowLevelOperation.requiredMetadataAttributes]] so
+    * Spark's ReplaceDataExec applies its row projection before the write
+    * (plain SELECTs resolve through the v1 rewrite, which doesn't carry
+    * metadata columns).
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = LakeTable.FileMetadataCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "layer file the row resides in"
+    })
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"${name()}: cannot run row-level DML on a time-travel relation")
+    LakeRowLevelOperation.builder(spark, base, layer, info)
+  }
 }
 
 object LakeTable {
   import org.apache.spark.sql.functions.lit
+
+  /** Name of the source-file metadata column (Iceberg's `_file`). */
+  val FileMetadataCol = "_file"
 
   private def attr(name: String): Column =
     NewspipeSqlBridge.column(UnresolvedAttribute.quoted(name))
