@@ -2987,6 +2987,50 @@ object SparkEntry {
           sum(when(col("text") === "updated", 1L).otherwise(0L))
             .as("n_updated"))
         .orderBy("lang")
+    }),
+
+    // Per-file BLOOM INDEX (Delta bloomFilterIndex role): the layer is
+    // range-clustered by n_chars, so doc_id values land in EVERY file and
+    // min/max stats can never prune a doc_id point lookup — only the
+    // per-file bloom can. The in-query require pins the 100 TB property:
+    // the point probe plans to a strict subset of the inventory (file
+    // skipping at the driver, zero tasks for skipped files), and a
+    // follow-up append maintains the index incrementally (carried files
+    // keep their entries BY KEY — index cost ∝ commit increment). Oracle
+    // replays the lookups relationally; pruning may only shrink the scan,
+    // never the answer.
+    "q151_bloom_index" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q151_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      lake.writeAtomic(t(s, dir, "documents")
+        .repartitionByRange(8, col("n_chars"))
+        .sortWithinPartitions("n_chars"), "docs")
+      lake.enableBloomIndex("docs", Seq("doc_id", "source"))
+      // an appended commit reuses carried entries and indexes only its
+      // own file: the index survives the commit without a layer rescan
+      lake.appendAtomic(t(s, dir, "documents")
+        .filter(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .repartition(1), "docs")
+      val total = lake.describeDetail("docs").numFiles
+      def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+        df.foreach(_ => ()) // populate metrics with a distributed action
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numFiles").value
+        }.sum
+      }
+      val hit = lake.read("docs").filter(col("doc_id") === 137L)
+      require(scanned(hit) < total,
+        s"bloom index must skip files (scanned of $total)")
+      val miss = lake.read("docs").filter(col("doc_id") === -7L)
+      require(scanned(miss) <= 1,
+        "a value absent from every file must scan ~0 files")
+      lake.read("docs")
+        .filter(col("doc_id").isin(11L, 137L, 421L))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -5281,6 +5325,11 @@ object SparkEntry {
       ("q149_v2_update" -> base("q86_lake_update")) +
       // three-branch MERGE replayed relationally: delete-marker keys drop,
       // update keys rewrite text/n_chars in place, inserts union in
+      // bloom-indexed point lookup: pruning is plan-side only, the
+      // answer is the plain relational filter
+      ("q151_bloom_index" ->
+        """SELECT doc_id, lang, source, n_chars FROM documents
+          |WHERE doc_id IN (11, 137, 421) ORDER BY doc_id""".stripMargin) +
       ("q150_v2_merge" ->
         """WITH merged AS (
           |  SELECT d.doc_id,

@@ -215,6 +215,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         val stats = FileStats.collect(
           spark.sparkContext.hadoopConfiguration, snap.toString)
         writeSidecar(snap, stats)
+        // self-contained snapshot: every file is new, names are logical
+        if (partitionBy.isEmpty)
+          maybeBloomSidecar(layer, snap, base = snap.toString,
+            rels = stats.map(_.path),
+            rowsByRel = stats.map(st => st.path -> st.rows).toMap,
+            mapping = Map.empty, schema = df.schema, carried = Map.empty)
       } catch {
         case scala.util.control.NonFatal(e) =>
           Console.err.println(s"[lake] stats sidecar for $snap skipped: $e")
@@ -805,12 +811,19 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           "deletion")))
     val statsByPath = snapshotSidecar(snap)
       .map(st => s"$qualBase/${st.path}" -> st).toMap
+    val bloomByPath = bloomSidecarRaw(snap) match {
+      case None =>
+        Map.empty[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
+      case Some((_, files)) => files.map { case (rel, m) =>
+        s"$qualBase/$rel" ->
+          m.map { case (c, b) => c -> BloomIndex.deserialize(b) } }
+    }
     // asNullable: file sources force every read column nullable (the
     // DataFrameReader normalization this hand-built relation bypasses) —
     // without it the vectorized reader REFUSES a file missing a
     // non-nullable evolved column instead of null-padding it
     val raw = org.apache.spark.sql.NewspipeSqlBridge.fileIndexedDataFrame(spark,
-      new LakeFileIndex(statuses, statsByPath, basePath),
+      new LakeFileIndex(statuses, statsByPath, basePath, bloomByPath),
       org.apache.spark.sql.NewspipeSqlBridge.nullableSchema(schema))
     val dv = dvMapOf(snap)
     if (dv.isEmpty) raw
@@ -1445,6 +1458,221 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       else FileStats.fromJson(readFully(p))
     })
 
+  // ---- per-file Bloom index (see [[BloomIndex]]) --------------------------
+
+  /** The layer's declared bloom-index columns (logical names); empty when
+    * the index is not enabled.
+    */
+  private def bloomColsOf(layer: String): Seq[String] =
+    properties(layer).get(BloomIndex.ColsProp)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  private def bloomFppOf(layer: String): Double =
+    properties(layer).get(BloomIndex.FppProp)
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .getOrElse(BloomIndex.DefaultFpp)
+
+  /** A snapshot's raw `_BLOOM.json`: (fpp, file rel → physical col →
+    * serialized bloom), keys under the same base convention as the stats
+    * sidecar (layer root for manifest snapshots, the snapshot dir for
+    * self-contained ones). None on absence or parse failure — blooms are
+    * an optimization and degrade to "keep everything".
+    */
+  private def bloomSidecarRaw(snap: Path)
+      : Option[(Double, Map[String, Map[String, Array[Byte]]])] = {
+    val p = new Path(snap, BloomIndex.SidecarName)
+    if (!fs(p).exists(p)) None
+    else scala.util.Try {
+      val (fpp, _, files) = BloomIndex.fromJson(readFully(p))
+      (fpp, files)
+    }.toOption
+  }
+
+  /** [[bloomSidecarRaw]] rebased to LAYER-ROOT-relative keys (the
+    * [[rebasedStats]] convention) — the carry form [[commitManifest]]
+    * consumes when reusing a parent snapshot's entries.
+    */
+  private def bloomOfSnapshot(layer: String,
+      snap: Path): Map[String, Map[String, Array[Byte]]] =
+    bloomSidecarRaw(snap) match {
+      case None => Map.empty
+      case Some((_, files)) =>
+        val rebase =
+          if (manifestOf(snap).isDefined) (s: String) => s
+          else (s: String) => s"_v/${snap.getName}/$s"
+        files.map { case (rel, m) => rebase(rel) -> m }
+    }
+
+  private def writeBloomSidecar(snap: Path, fpp: Double, cols: Seq[String],
+      files: Map[String, Map[String, Array[Byte]]],
+      overwrite: Boolean = false): Unit = {
+    val out = fs(snap).create(new Path(snap, BloomIndex.SidecarName), overwrite)
+    try out.write(BloomIndex.toJson(fpp, cols, files).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Land the `_BLOOM.json` sidecar for a snapshot being committed, when
+    * the layer declares indexed columns: `carried` entries already
+    * covering the current physical column set are reused BY KEY (zero
+    * data reads), only the remaining `rels` are scanned. Soft-fails like
+    * the stats sidecar — a missing bloom costs skipping power, never
+    * correctness (entry-less files are always kept by the reader).
+    */
+  private def maybeBloomSidecar(layer: String, snap: Path, base: String,
+      rels: Seq[String], rowsByRel: Map[String, Long],
+      mapping: Map[String, String],
+      schema: org.apache.spark.sql.types.StructType,
+      carried: Map[String, Map[String, Array[Byte]]]): Unit = {
+    val cols = bloomColsOf(layer)
+    if (cols.isEmpty) return
+    try {
+      val phys = cols.map(c => mapping.getOrElse(c, c))
+      val fpp = bloomFppOf(layer)
+      val (have, need) = rels.partition(r =>
+        carried.get(r).exists(m => phys.forall(m.contains)))
+      val built = buildBloomEntries(base, need, phys, fpp, rowsByRel,
+        physicalSchema(schema, mapping))
+      val entries = have.map(r =>
+        r -> carried(r).filter { case (c, _) => phys.contains(c) }).toMap ++
+        built
+      if (entries.nonEmpty) writeBloomSidecar(snap, fpp, phys, entries)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Console.err.println(s"[lake] bloom sidecar for $snap skipped: $e")
+    }
+  }
+
+  /** Build per-file blooms for `rels` (relative to `base`) over physical
+    * columns `physCols`: one distributed pass reading ONLY the indexed
+    * columns, per-partition partial sketches keyed (file, column), merged
+    * driver-side (sketch bytes cross the wire, never values). Each file's
+    * bloom is sized from its sidecar row count; files with unknown counts
+    * are skipped (the reader keeps entry-less files).
+    */
+  private def buildBloomEntries(base: String, rels: Seq[String],
+      physCols: Seq[String], fpp: Double, rowsByRel: Map[String, Long],
+      physSchema: org.apache.spark.sql.types.StructType)
+      : Map[String, Map[String, Array[Byte]]] = {
+    if (rels.isEmpty || physCols.isEmpty) return Map.empty
+    val readFields = physSchema.fields.filter(f => physCols.contains(f.name))
+    if (readFields.isEmpty) return Map.empty
+    val readSchema = org.apache.spark.sql.NewspipeSqlBridge.nullableSchema(
+      org.apache.spark.sql.types.StructType(readFields))
+    val basePath = new Path(base)
+    val qualBase =
+      fs(basePath).makeQualified(basePath).toString.stripSuffix("/")
+    def pathPart(s: String): String = new Path(s).toUri.getPath
+    val relByPath = rels.map(r => pathPart(s"$qualBase/$r") -> r).toMap
+    val rowsByPath = relByPath.flatMap { case (p, r) =>
+      rowsByRel.get(r).filter(_ > 0L).map(p -> _) }
+    if (rowsByPath.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    // one read per containing dir: explicit file lists spanning version
+    // dirs trip partition discovery (the readRelFiles lesson)
+    val frames = rels.groupBy(r => r.split('/').dropRight(1).mkString("/"))
+      .values.toSeq.map(rs => spark.read.schema(readSchema)
+        .format("parquet").load(rs.map(r => s"$base/$r"): _*))
+    val df = frames.reduce(_ union _)
+      .select((input_file_name().as("__bloom_file") +:
+        readFields.toSeq.map(f => col(s"`${f.name}`"))): _*)
+    val bRows = spark.sparkContext.broadcast(rowsByPath)
+    val names = readFields.map(_.name).toIndexedSeq
+    val theFpp = fpp
+    val partials = df.rdd.mapPartitions { it =>
+      val acc = scala.collection.mutable.HashMap
+        .empty[(String, String), org.apache.spark.util.sketch.BloomFilter]
+      it.foreach { row =>
+        if (!row.isNullAt(0)) {
+          val fp = new org.apache.hadoop.fs.Path(row.getString(0))
+            .toUri.getPath
+          val n = bRows.value.getOrElse(fp, -1L)
+          if (n > 0L) {
+            var i = 0
+            while (i < names.length) {
+              if (!row.isNullAt(i + 1)) {
+                val bf = acc.getOrElseUpdate((fp, names(i)),
+                  org.apache.spark.util.sketch.BloomFilter.create(
+                    math.max(n, 64L), theFpp))
+                BloomIndex.put(bf, row.get(i + 1))
+              }
+              i += 1
+            }
+          }
+        }
+      }
+      acc.iterator.map { case ((fp, c), bf) =>
+        (fp, c, BloomIndex.serialize(bf)) }
+    }.collect()
+    // same-file partials across input splits merge losslessly: identical
+    // (expectedItems, fpp) ⇒ identical bit geometry
+    val merged = scala.collection.mutable.HashMap
+      .empty[(String, String), org.apache.spark.util.sketch.BloomFilter]
+    partials.foreach { case (fp, c, bytes) =>
+      val bf = BloomIndex.deserialize(bytes)
+      merged.get((fp, c)) match {
+        case Some(m) => m.mergeInPlace(bf); ()
+        case None => merged((fp, c)) = bf
+      }
+    }
+    merged.toSeq.flatMap { case ((fp, c), bf) =>
+      relByPath.get(fp).map(r => (r, c, BloomIndex.serialize(bf)))
+    }.groupBy(_._1).map { case (r, xs) =>
+      r -> xs.map(x => x._2 -> x._3).toMap }
+  }
+
+  /** Declare a per-file Bloom index over `cols` (string / integral
+    * columns) and index the CURRENT head snapshot in place; every
+    * subsequent commit maintains the index incrementally — new files
+    * scanned, carried files carried by key ([[maybeBloomSidecar]]).
+    * Point predicates (`=`, `<=>`, `IN`) on indexed columns then skip
+    * files at plan time through [[LakeFileIndex]]: the [[FileStats]]
+    * min/max complement for high-cardinality lookups whose values land
+    * in every file.
+    */
+  def enableBloomIndex(layer: String, cols: Seq[String],
+      fpp: Double = BloomIndex.DefaultFpp): Unit = {
+    require(cols.nonEmpty, "enableBloomIndex needs at least one column")
+    require(fpp > 0.0 && fpp < 0.5, s"fpp must be in (0, 0.5), got $fpp")
+    val schema = layerSchema(layer)
+    cols.foreach { c =>
+      val fd = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"bloom index column '$c' is not in layer '$layer' schema " +
+            s"(${schema.fieldNames.mkString(", ")})"))
+      require(BloomIndex.indexableType(fd.dataType),
+        s"bloom index column '$c' has unsupported type ${fd.dataType.sql} " +
+          "(string and integral columns only)")
+    }
+    setProperties(layer, Map(
+      BloomIndex.ColsProp -> cols.mkString(","),
+      BloomIndex.FppProp -> fpp.toString))
+    latestSnapshot(layer).foreach { snap =>
+      manifestOf(snap) match {
+        case Some(m) =>
+          if (!m.files.exists(_.contains("="))) {
+            val phys = cols.map(c => m.mapping.getOrElse(c, c))
+            val rows = rebasedStats(layer, snap)
+              .map { case (r, st) => r -> st.rows }
+            val built = buildBloomEntries(layerPath(layer), m.files, phys,
+              fpp, rows, physicalSchema(m.schema, m.mapping))
+            if (built.nonEmpty)
+              writeBloomSidecar(snap, fpp, phys, built, overwrite = true)
+          }
+        case None =>
+          val rels = snapshotDirFilesRel(snap)
+          if (!rels.exists(_.contains("="))) {
+            val rows = snapshotSidecar(snap).map(st => st.path -> st.rows)
+              .toMap
+            val built = buildBloomEntries(snap.toString, rels, cols, fpp,
+              rows, schema)
+            if (built.nonEmpty)
+              writeBloomSidecar(snap, fpp, cols, built, overwrite = true)
+          }
+      }
+    }
+  }
+
   /** Committed snapshot version ids of a layer, newest first — empty for
     * flat (non-snapshot) layers. Pair with [[readVersion]] for pinned
     * reads: the snapshot protocol keeps every version until [[vacuum]], so
@@ -1640,9 +1868,15 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     }
     put(SnapshotManifest.FileName, head)
     if (config.collectStats && config.format == "parquet") {
-      try writeSidecar(snap, FileStats.collectFiles(
-        spark.sparkContext.hadoopConfiguration, base, flatFiles))
-      catch {
+      try {
+        val stats = FileStats.collectFiles(
+          spark.sparkContext.hadoopConfiguration, base, flatFiles)
+        writeSidecar(snap, stats)
+        if (!flatFiles.exists(_.contains("=")))
+          maybeBloomSidecar(layer, snap, base = base, rels = flatFiles,
+            rowsByRel = stats.map(st => st.path -> st.rows).toMap,
+            mapping = Map.empty, schema = schema, carried = Map.empty)
+      } catch {
         case scala.util.control.NonFatal(e) =>
           Console.err.println(s"[lake] stats sidecar for $snap skipped: $e")
       }
@@ -2005,8 +2239,18 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         val conf = spark.sparkContext.hadoopConfiguration
         val carriedStats = carried.flatMap(oldStats.get)
         val refooter = newFiles ++ carried.filterNot(oldStats.contains)
-        writeSidecar(newSnap,
-          carriedStats ++ FileStats.collectFiles(conf, base, refooter))
+        val allStats =
+          carriedStats ++ FileStats.collectFiles(conf, base, refooter)
+        writeSidecar(newSnap, allStats)
+        // bloom maintenance ∝ commit increment: carried files keep their
+        // parent entries by key, only this commit's files get scanned
+        if (!(carried ++ newFiles).exists(_.contains("=")))
+          maybeBloomSidecar(layer, newSnap, base = base,
+            rels = carried ++ newFiles,
+            rowsByRel = allStats.map(st => st.path -> st.rows).toMap,
+            mapping = mapping,
+            schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl),
+            carried = bloomOfSnapshot(layer, parent))
       } catch {
         case scala.util.control.NonFatal(e) =>
           Console.err.println(s"[lake] stats sidecar for $newSnap skipped: $e")
@@ -2085,6 +2329,13 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       else mapping - from + (to -> physical)
     val newSchema = org.apache.spark.sql.types.StructType(
       schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    // the bloom-index property tracks LOGICAL names — follow the rename
+    // (the carried per-file entries stay valid untouched: they're keyed
+    // by the physical name, which never changes)
+    val bloomCols = bloomColsOf(layer)
+    if (bloomCols.contains(from))
+      setProperties(layer, Map(BloomIndex.ColsProp ->
+        bloomCols.map(c => if (c == from) to else c).mkString(",")))
     commitMetaOnly(layer, snap, inv, newSchema.toDDL, newMapping,
       droppedOf(snap), "RENAME COLUMN")
   }
@@ -2112,6 +2363,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val physical = mapping.getOrElse(name, name)
     val newSchema = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(_.name == name))
+    // a dropped column leaves the bloom-index declaration too (stale
+    // per-file entries are harmless — probes only consult named columns)
+    val bloomCols = bloomColsOf(layer)
+    if (bloomCols.contains(name))
+      setProperties(layer, Map(BloomIndex.ColsProp ->
+        bloomCols.filterNot(_ == name).mkString(",")))
     commitMetaOnly(layer, snap, inv, newSchema.toDDL, mapping - name,
       (droppedOf(snap) :+ physical).distinct, "DROP COLUMN")
   }

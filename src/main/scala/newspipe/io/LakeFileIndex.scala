@@ -44,20 +44,28 @@ import org.apache.spark.sql.types.StructType
 final class LakeFileIndex(
     statuses: Seq[FileStatus],
     statsByPath: Map[String, FileStats.FileStat],
-    root: Path) extends FileIndex {
+    root: Path,
+    bloomByPath: Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] =
+      Map.empty) extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(root)
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val kept =
-      if (dataFilters.isEmpty || statsByPath.isEmpty) statuses
+      if (dataFilters.isEmpty || (statsByPath.isEmpty && bloomByPath.isEmpty))
+        statuses
       else statuses.filter { s =>
         // unknown-to-stats files are always kept (conservative), and a
         // file survives only if EVERY filter can match it (filters are
-        // conjunctive at this point in planning)
-        statsByPath.get(s.getPath.toString).forall(st =>
-          dataFilters.forall(FileStats.matches(st, _)))
+        // conjunctive at this point in planning); per-file blooms prune
+        // the point predicates min/max can't ([[BloomIndex.mayMatch]],
+        // same tri-state posture)
+        val p = s.getPath.toString
+        statsByPath.get(p).forall(st =>
+          dataFilters.forall(FileStats.matches(st, _))) &&
+        bloomByPath.get(p).forall(b =>
+          dataFilters.forall(BloomIndex.mayMatch(b, _)))
       }
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
   }
