@@ -3031,6 +3031,23 @@ object SparkEntry {
         .filter(col("doc_id").isin(11L, 137L, 421L))
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    // EXACT SUBSTRING-SPAN DEDUP (the Lee et al. 2022 training-data op,
+    // distributed as relational algebra — ops.SubstringDedup Scaladoc):
+    // every position covered by a non-canonical occurrence of a
+    // cross-document duplicated 8-token span is scrubbed; the canonical
+    // occurrence (lexicographic min (doc, start)) keeps one copy. The
+    // oracle replays the ENTIRE rule in SQL — same grams (md5 over
+    // chr(31)-joined token windows), same canonical choice, same
+    // position-level coverage — so scrubbed text matches byte-for-byte
+    // (compared via md5).
+    "q152_substring_dedup" -> ((s, dir) => {
+      newspipe.ops.SubstringDedup
+        .scrubDuplicateSpans(t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("n_kept"),
+          md5(col("scrub_text")).as("scrub_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -5325,6 +5342,42 @@ object SparkEntry {
       ("q149_v2_update" -> base("q86_lake_update")) +
       // three-branch MERGE replayed relationally: delete-marker keys drop,
       // update keys rewrite text/n_chars in place, inserts union in
+      // the whole span-scrub rule replayed: windows → md5 grams →
+      // canonical pick → position coverage → rebuild, k = 8
+      ("q152_substring_dedup" ->
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+          |           FROM documents),
+          |occ AS (SELECT doc_id, p,
+          |          md5(array_to_string(l[p:p+7], chr(31))) AS g
+          |        FROM (SELECT doc_id, l,
+          |                unnest(range(1, greatest(len(l)-8+2, 1))) AS p
+          |              FROM d)),
+          |perdoc AS (SELECT g, doc_id, min(p) AS minp FROM occ
+          |           GROUP BY 1, 2),
+          |canon AS (SELECT g, doc_id AS cid, minp AS cp FROM (
+          |    SELECT g, doc_id, minp,
+          |           row_number() OVER (PARTITION BY g
+          |             ORDER BY doc_id, minp) AS rn,
+          |           count(*) OVER (PARTITION BY g) AS ndocs
+          |    FROM perdoc) WHERE rn = 1 AND ndocs >= 2),
+          |dupocc AS (SELECT o.doc_id, o.p FROM occ o
+          |           JOIN canon c ON o.g = c.g
+          |           WHERE NOT (o.doc_id = c.cid AND o.p = c.cp)),
+          |removed AS (SELECT DISTINCT doc_id,
+          |              p + unnest(range(0, 8)) AS pos FROM dupocc),
+          |tok AS (SELECT doc_id, unnest(l) AS tok,
+          |          unnest(range(1, len(l)+1)) AS pos FROM d),
+          |kept AS (SELECT t.doc_id, t.tok, t.pos FROM tok t
+          |         LEFT JOIN removed r
+          |           ON t.doc_id = r.doc_id AND t.pos = r.pos
+          |         WHERE r.doc_id IS NULL),
+          |reb AS (SELECT doc_id,
+          |          string_agg(tok, ' ' ORDER BY pos) AS scrub_text,
+          |          count(*) AS n_kept FROM kept GROUP BY 1)
+          |SELECT d0.doc_id, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+          |       md5(coalesce(r.scrub_text, '')) AS scrub_md5
+          |FROM documents d0 LEFT JOIN reb r USING (doc_id)
+          |ORDER BY doc_id""".stripMargin) +
       // bloom-indexed point lookup: pruning is plan-side only, the
       // answer is the plain relational filter
       ("q151_bloom_index" ->
