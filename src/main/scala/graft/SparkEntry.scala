@@ -3048,6 +3048,36 @@ object SparkEntry {
         .select(col("doc_id"), col("n_kept"),
           md5(col("scrub_text")).as("scrub_md5"))
         .orderBy("doc_id")
+    }),
+
+    // REAL AUDIO DSP: per-doc pure tones (16-bit PCM WAV, frequency
+    // closed-form in doc_id, an INTEGER number of cycles per analysis
+    // window) run the genuine pipeline — javax.sound decode → radix-2
+    // FFT power spectrum → dominant-bin/centroid features. Exact-bin
+    // tones make the dominant frequency a closed-form function of
+    // doc_id, so a DSP kernel's output is replayable as arithmetic —
+    // the q131 JPEG posture applied to the frequency domain.
+    "q153_audio_spectral" -> ((s, dir) => {
+      import s.implicits._
+      val frame = 512
+      val media = t(s, dir, "documents").filter(col("doc_id") < 24)
+        .select(col("doc_id")).as[Long].mapPartitions { it =>
+          it.map { id =>
+            val b = (16 * (1 + id % 8)).toInt // bins 16..128 = 250..2000 Hz
+            val samples = Array.tabulate(frame * 4)(i =>
+              (11000.0 * StrictMath.sin(
+                2.0 * StrictMath.PI * b * i / frame)).toShort)
+            newspipe.multimodal.Media.MediaRow(id, "audio",
+              newspipe.multimodal.Wav.encode(
+                newspipe.multimodal.Wav.Audio(8000, 1, samples)),
+              newspipe.multimodal.Media.MediaMeta(None, None, Some("wav"),
+                None))
+          }
+        }.toDF()
+      newspipe.multimodal.Media.audioSpectral(media, frame)
+        .select(col("media_id").as("doc_id"), col("sample_rate"),
+          col("n_windows"), round(col("dominant_hz"), 3).as("dominant_hz"))
+        .orderBy("doc_id")
     })
   )
 
@@ -5342,6 +5372,11 @@ object SparkEntry {
       ("q149_v2_update" -> base("q86_lake_update")) +
       // three-branch MERGE replayed relationally: delete-marker keys drop,
       // update keys rewrite text/n_chars in place, inserts union in
+      // exact-bin tones: the FFT's dominant bin is closed-form in doc_id
+      ("q153_audio_spectral" ->
+        """SELECT doc_id, 8000 AS sample_rate, 4 AS n_windows,
+          |       round(250.0 * (1 + doc_id % 8), 3) AS dominant_hz
+          |FROM documents WHERE doc_id < 24 ORDER BY doc_id""".stripMargin) +
       // the whole span-scrub rule replayed: windows → md5 grams →
       // canonical pick → position coverage → rebuild, k = 8
       ("q152_substring_dedup" ->

@@ -194,6 +194,32 @@ object Media {
       "sample_sum", "duration_ms")
   }
 
+  /** Spectral analysis of AUDIO frames — a REAL frequency-domain kernel
+    * over the decoded waveform ([[Wav.spectralFeatures]]: radix-2 FFT,
+    * mean power spectrum over non-overlapping `frame`-sample windows,
+    * dominant-bin and centroid frequencies in Hz). `(-1, …)` rows mark
+    * payloads the codec rejects; audio shorter than one analysis window
+    * reports zero windows. Partition-wise mapPartitions like every
+    * opaque-binary kernel — embarrassingly parallel, no shuffle.
+    */
+  def audioSpectral(media: DataFrame, frame: Int = 512): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio").as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        Wav.decode(if (r.payload == null) Array.empty[Byte] else r.payload)
+          match {
+            case Some(a) =>
+              val f = Wav.spectralFeatures(a, frame)
+              (r.media_id, a.sampleRate, f.windows, f.dominantHz,
+                f.centroidHz)
+            case None => (r.media_id, -1, -1, -1.0, -1.0)
+          }
+      }
+    }.toDF("media_id", "sample_rate", "n_windows", "dominant_hz",
+      "centroid_hz")
+  }
+
   /** Audio resample: WAV payloads take the REAL path — decode,
     * nearest-frame resample ([[Wav.resample]]'s closed-form integer
     * math), re-encode as WAV, metadata duration from the DECODED truth.

@@ -130,6 +130,120 @@ object Wav {
     f
   }
 
+  /** In-place iterative radix-2 Cooley–Tukey FFT. Twiddles via StrictMath
+    * so the transform is bit-deterministic across JVMs/platforms — the
+    * property every other kernel in this tree holds and a distributed
+    * retry needs. Lengths must be powers of two.
+    */
+  def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n == im.length && (n & (n - 1)) == 0,
+      s"fft needs power-of-two equal-length arrays, got ${re.length}/${im.length}")
+    // bit-reversal permutation
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * StrictMath.PI / len
+      val wr = StrictMath.cos(ang)
+      val wi = StrictMath.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val er = re(base + k); val ei = im(base + k)
+          val or0 = re(base + k + len / 2); val oi = im(base + k + len / 2)
+          val tr = or0 * cr - oi * ci
+          val ti = or0 * ci + oi * cr
+          re(base + k) = er + tr; im(base + k) = ei + ti
+          re(base + k + len / 2) = er - tr; im(base + k + len / 2) = ei - ti
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Mean power spectrum of channel-0 over consecutive non-overlapping
+    * `frame`-sample windows (rectangular window — exact-bin tones with an
+    * integer number of cycles per frame land in ONE bin, which is what
+    * makes the feature closed-form replayable): `frame / 2` bins, bin k
+    * centered at `k * sampleRate / frame` Hz. Empty/short audio → all
+    * zeros, zero windows.
+    */
+  def powerSpectrum(a: Audio, frame: Int): (Array[Double], Int) = {
+    require(frame >= 2 && (frame & (frame - 1)) == 0,
+      s"frame must be a power of two >= 2, got $frame")
+    val bins = new Array[Double](frame / 2)
+    val frames = a.frames
+    val windows = frames / frame
+    if (windows == 0) return (bins, 0)
+    val re = new Array[Double](frame)
+    val im = new Array[Double](frame)
+    var w = 0
+    while (w < windows) {
+      var i = 0
+      while (i < frame) {
+        re(i) = a.samples((w * frame + i) * a.channels).toDouble / 32768.0
+        im(i) = 0.0
+        i += 1
+      }
+      fft(re, im)
+      var k = 0
+      while (k < frame / 2) {
+        bins(k) += (re(k) * re(k) + im(k) * im(k)) / windows
+        k += 1
+      }
+      w += 1
+    }
+    (bins, windows)
+  }
+
+  /** Spectral features from [[powerSpectrum]]: the dominant non-DC bin's
+    * center frequency and the power-weighted spectral centroid, both in
+    * Hz. (0, 0) when no full analysis window fits.
+    */
+  def spectralFeatures(a: Audio, frame: Int): SpectralFeatures = {
+    val (bins, windows) = powerSpectrum(a, frame)
+    if (windows == 0) return SpectralFeatures(0.0, 0.0, 0)
+    var best = 1
+    var k = 2
+    while (k < bins.length) {
+      if (bins(k) > bins(best)) best = k
+      k += 1
+    }
+    var pow = 0.0
+    var wsum = 0.0
+    k = 1
+    while (k < bins.length) {
+      pow += bins(k)
+      wsum += bins(k) * k
+      k += 1
+    }
+    val hz = a.sampleRate.toDouble / frame
+    SpectralFeatures(best * hz,
+      if (pow == 0.0) 0.0 else wsum / pow * hz, windows)
+  }
+
+  final case class SpectralFeatures(dominantHz: Double, centroidHz: Double,
+      windows: Int)
+
   private def readAll(in: AudioInputStream): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val buf = new Array[Byte](8192)

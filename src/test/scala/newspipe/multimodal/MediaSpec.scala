@@ -404,4 +404,61 @@ class MediaSpec extends SparkTestBase {
       }
     }
   }
+
+  test("fft matches a naive DFT on a random signal (and Parseval holds)") {
+    val n = 64
+    val rnd = new scala.util.Random(7)
+    val sig = Array.fill(n)(rnd.nextDouble() * 2 - 1)
+    val re = sig.clone(); val im = new Array[Double](n)
+    Wav.fft(re, im)
+    // naive O(n^2) DFT as the independent reference
+    (0 until n).foreach { k =>
+      var sr = 0.0; var si = 0.0
+      (0 until n).foreach { t =>
+        val a = -2.0 * math.Pi * k * t / n
+        sr += sig(t) * math.cos(a); si += sig(t) * math.sin(a)
+      }
+      re(k) shouldBe sr +- 1e-9
+      im(k) shouldBe si +- 1e-9
+    }
+    // Parseval: sum|x|^2 = (1/n) sum|X|^2
+    val t2 = sig.map(v => v * v).sum
+    val f2 = (0 until n).map(k => re(k) * re(k) + im(k) * im(k)).sum / n
+    f2 shouldBe t2 +- 1e-9
+  }
+
+  test("spectralFeatures pins an exact-bin pure tone to its frequency") {
+    val rate = 8000; val frame = 512
+    val binHz = rate.toDouble / frame // 15.625
+    val b = 24 // 375 Hz, integer cycles per frame => single-bin peak
+    val samples = Array.tabulate(frame * 4)(i =>
+      (12000.0 * StrictMath.sin(2.0 * StrictMath.PI * b * i / frame)).toShort)
+    val f = Wav.spectralFeatures(Wav.Audio(rate, 1, samples), frame)
+    f.windows shouldBe 4
+    f.dominantHz shouldBe b * binHz +- 1e-9
+    // quantization spreads negligible energy; centroid hugs the tone bin
+    f.centroidHz shouldBe (b * binHz) +- 1.0
+  }
+
+  test("audioSpectral: real decode -> FFT across the frame; stubs map to -1") {
+    val rate = 8000; val frame = 512
+    val rows = (0L until 6L).map { id =>
+      val b = 16 * (1 + (id % 3)).toInt // bins 16/32/48 -> 250/500/750 Hz
+      val samples = Array.tabulate(frame * 2)(i =>
+        (9000.0 * StrictMath.sin(2.0 * StrictMath.PI * b * i / frame)).toShort)
+      Media.MediaRow(id, "audio", Wav.encode(Wav.Audio(rate, 1, samples)),
+        Media.MediaMeta(None, None, Some("wav"), None))
+    } :+ Media.MediaRow(99L, "audio", Array[Byte](1, 2, 3),
+      Media.MediaMeta(None, None, Some("mp4"), None))
+    import spark.implicits._
+    val out = Media.audioSpectral(rows.toDF(), frame)
+      .select("media_id", "sample_rate", "n_windows", "dominant_hz")
+      .as[(Long, Int, Int, Double)].collect().sortBy(_._1)
+    out.take(6).foreach { case (id, sr, w, hz) =>
+      sr shouldBe rate
+      w shouldBe 2
+      hz shouldBe 250.0 * (1 + (id % 3)) +- 1e-9
+    }
+    out.last shouldBe ((99L, -1, -1, -1.0))
+  }
 }
