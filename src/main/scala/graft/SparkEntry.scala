@@ -3050,6 +3050,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SQL surface of the span scrub — same kernel in FROM position,
+    // oracle is q152's verbatim (SQL = API)
+    "q154_sql_substring_scrub" -> ((s, dir) => {
+      newspipe.NewspipeExtensions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("docs_sql_sscrub")
+      s.sql("""SELECT doc_id, n_kept, md5(scrub_text) AS scrub_md5
+              |FROM substring_scrub('docs_sql_sscrub', 'doc_id', 'text', 8)
+              |ORDER BY doc_id""".stripMargin)
+    }),
+
     // REAL AUDIO DSP: per-doc pure tones (16-bit PCM WAV, frequency
     // closed-form in doc_id, an INTEGER number of cycles per analysis
     // window) run the genuine pipeline — javax.sound decode → radix-2
@@ -3108,6 +3118,44 @@ object SparkEntry {
     * far beyond the corpus's longest) — then reassembles documents in
     * word order.
     */
+  /** q152/q154 shared oracle: the whole substring-span-scrub rule
+    * replayed in SQL (see ops.SubstringDedup).
+    */
+  private def substringScrubOracleSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+          |           FROM documents),
+          |occ AS (SELECT doc_id, p,
+          |          md5(array_to_string(l[p:p+7], chr(31))) AS g
+          |        FROM (SELECT doc_id, l,
+          |                unnest(range(1, greatest(len(l)-8+2, 1))) AS p
+          |              FROM d)),
+          |perdoc AS (SELECT g, doc_id, min(p) AS minp FROM occ
+          |           GROUP BY 1, 2),
+          |canon AS (SELECT g, doc_id AS cid, minp AS cp FROM (
+          |    SELECT g, doc_id, minp,
+          |           row_number() OVER (PARTITION BY g
+          |             ORDER BY doc_id, minp) AS rn,
+          |           count(*) OVER (PARTITION BY g) AS ndocs
+          |    FROM perdoc) WHERE rn = 1 AND ndocs >= 2),
+          |dupocc AS (SELECT o.doc_id, o.p FROM occ o
+          |           JOIN canon c ON o.g = c.g
+          |           WHERE NOT (o.doc_id = c.cid AND o.p = c.cp)),
+          |removed AS (SELECT DISTINCT doc_id,
+          |              p + unnest(range(0, 8)) AS pos FROM dupocc),
+          |tok AS (SELECT doc_id, unnest(l) AS tok,
+          |          unnest(range(1, len(l)+1)) AS pos FROM d),
+          |kept AS (SELECT t.doc_id, t.tok, t.pos FROM tok t
+          |         LEFT JOIN removed r
+          |           ON t.doc_id = r.doc_id AND t.pos = r.pos
+          |         WHERE r.doc_id IS NULL),
+          |reb AS (SELECT doc_id,
+          |          string_agg(tok, ' ' ORDER BY pos) AS scrub_text,
+          |          count(*) AS n_kept FROM kept GROUP BY 1)
+          |SELECT d0.doc_id, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+          |       md5(coalesce(r.scrub_text, '')) AS scrub_md5
+          |FROM documents d0 LEFT JOIN reb r USING (doc_id)
+          |ORDER BY doc_id""".stripMargin
+
   private def bpeEncodeOracleSql: String = {
     def esc(x: String) = x.replace("'", "''")
     val mergeRows = bpeFixedMerges.map(m =>
@@ -5379,40 +5427,9 @@ object SparkEntry {
           |FROM documents WHERE doc_id < 24 ORDER BY doc_id""".stripMargin) +
       // the whole span-scrub rule replayed: windows → md5 grams →
       // canonical pick → position coverage → rebuild, k = 8
-      ("q152_substring_dedup" ->
-        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
-          |           FROM documents),
-          |occ AS (SELECT doc_id, p,
-          |          md5(array_to_string(l[p:p+7], chr(31))) AS g
-          |        FROM (SELECT doc_id, l,
-          |                unnest(range(1, greatest(len(l)-8+2, 1))) AS p
-          |              FROM d)),
-          |perdoc AS (SELECT g, doc_id, min(p) AS minp FROM occ
-          |           GROUP BY 1, 2),
-          |canon AS (SELECT g, doc_id AS cid, minp AS cp FROM (
-          |    SELECT g, doc_id, minp,
-          |           row_number() OVER (PARTITION BY g
-          |             ORDER BY doc_id, minp) AS rn,
-          |           count(*) OVER (PARTITION BY g) AS ndocs
-          |    FROM perdoc) WHERE rn = 1 AND ndocs >= 2),
-          |dupocc AS (SELECT o.doc_id, o.p FROM occ o
-          |           JOIN canon c ON o.g = c.g
-          |           WHERE NOT (o.doc_id = c.cid AND o.p = c.cp)),
-          |removed AS (SELECT DISTINCT doc_id,
-          |              p + unnest(range(0, 8)) AS pos FROM dupocc),
-          |tok AS (SELECT doc_id, unnest(l) AS tok,
-          |          unnest(range(1, len(l)+1)) AS pos FROM d),
-          |kept AS (SELECT t.doc_id, t.tok, t.pos FROM tok t
-          |         LEFT JOIN removed r
-          |           ON t.doc_id = r.doc_id AND t.pos = r.pos
-          |         WHERE r.doc_id IS NULL),
-          |reb AS (SELECT doc_id,
-          |          string_agg(tok, ' ' ORDER BY pos) AS scrub_text,
-          |          count(*) AS n_kept FROM kept GROUP BY 1)
-          |SELECT d0.doc_id, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
-          |       md5(coalesce(r.scrub_text, '')) AS scrub_md5
-          |FROM documents d0 LEFT JOIN reb r USING (doc_id)
-          |ORDER BY doc_id""".stripMargin) +
+      ("q152_substring_dedup" -> substringScrubOracleSql) +
+      // SQL surface = API: the TVF runs the identical kernel
+      ("q154_sql_substring_scrub" -> substringScrubOracleSql) +
       // bloom-indexed point lookup: pruning is plan-side only, the
       // answer is the plain relational filter
       ("q151_bloom_index" ->

@@ -399,6 +399,23 @@ object NewspipeExtensions {
           NewspipeSqlBridge.logicalPlan(newspipe.ops.Dsir.select(
             spark.table(names(0)), spark.table(names(1)), names(2),
             names(3), n, buckets))
+        }),
+      // exact substring-span dedup in FROM position:
+      //   SELECT * FROM substring_scrub('docs', 'doc_id', 'text', 8)
+      // → input columns + (scrub_text, n_kept): cross-document duplicated
+      // k-token spans removed, canonical occurrence kept
+      // ([[newspipe.ops.SubstringDedup]]). Lazy: pure DataFrame plan.
+      (new FunctionIdentifier("substring_scrub"),
+        new ExpressionInfo("newspipe.NewspipeExtensions", "substring_scrub"),
+        (children: Seq[Expression]) => {
+          require(children.length == 4,
+            "substring_scrub(table, id_col, text_col, k) takes 4 arguments")
+          val names = children.take(3).map(stringArg("substring_scrub", _))
+          val k = longArg("substring_scrub", children(3)).intValue()
+          val spark = SparkSession.active
+          NewspipeSqlBridge.logicalPlan(
+            newspipe.ops.SubstringDedup.scrubDuplicateSpans(
+              spark.table(names(0)), names(1), names(2), k))
         }))
 
   /** Register on a live session (the extensions hook only applies at session
