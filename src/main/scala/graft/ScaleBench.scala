@@ -403,6 +403,85 @@ object ScaleBench {
             .repartition(par), 8, 8)).count()
     }
     out("q131_jpeg_roundtrip") = (nJp, tJp)
+
+    // q151 shape: per-file bloom index. Build cost ∝ files × rows (ONE
+    // indexed-columns-only pass over the layer); payoff: the point
+    // lookup's planned scan collapses from every file to ~1 regardless
+    // of layer size (the `rows` slot records SCANNED files from the
+    // executed plan's metric, wall includes the driver-side probe)
+    val blDir = java.nio.file.Files.createTempDirectory("scale_bl").toString
+    val blLake = new newspipe.io.Lake(spark,
+      newspipe.io.LakeConfig(basePath = blDir))
+    blLake.writeAtomic(docs.repartition(math.max(8, 8 * copies)), "docs")
+    val probeId = docs.agg(min(col("doc_id"))).head().getLong(0) + 7L
+    def scannedFiles(df: DataFrame): Long = {
+      // collect() (NOT foreach — that runs on a separate deserialized
+      // QueryExecution and leaves these metrics untouched) so numFiles
+      // lands on THIS plan's scan node
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+    }
+    val (nBp, tBp) = timed {
+      scannedFiles(blLake.read("docs").filter(col("doc_id") === probeId))
+    }
+    out("q151_point_lookup_plain_files") = (nBp, tBp)
+    val (nBb, tBb) = timed {
+      blLake.enableBloomIndex("docs", Seq("doc_id"))
+      math.max(8L, 8L * copies)
+    }
+    out("q151_bloom_build") = (nBb, tBb)
+    val (nBl, tBl) = timed {
+      scannedFiles(blLake.read("docs").filter(col("doc_id") === probeId))
+    }
+    out("q151_point_lookup_bloom_files") = (nBl, tBl)
+    org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(blDir), true)
+
+    // q152 shape: substring-span scrub — occurrence volume is
+    // token-linear (re-alphabeting keeps duplicated spans WITHIN copies,
+    // so dup volume also grows linearly), three key-partitioned shuffles,
+    // no all-pairs stage
+    // force the rebuilt text (a bare count() lets Catalyst elide the
+    // scrub's final left join and under-measures the op)
+    val (nSs, tSs) = timed {
+      newspipe.ops.SubstringDedup.scrubDuplicateSpans(
+        docs, "doc_id", "text", k = 8)
+        .agg(sum(length(col("scrub_text"))), sum(col("n_kept")))
+        .head().getLong(1)
+    }
+    out("q152_substring_scrub") = (nSs, tSs)
+
+    // q153 shape: WAV decode → radix-2 FFT features over 4 windows of
+    // 512 samples per clip — corpus-linear per-row codec+DSP work, zero
+    // shuffles
+    val (nAu, tAu) = timed {
+      import spark.implicits._
+      val media = spark.range(500L * copies).as[Long].repartition(par)
+        .mapPartitions { it =>
+          it.map { id =>
+            val b = (8 + id % 100).toInt
+            val samples = Array.tabulate(2048)(i =>
+              (9000.0 * StrictMath.sin(
+                2.0 * StrictMath.PI * b * i / 512)).toShort)
+            newspipe.multimodal.Media.MediaRow(id, "audio",
+              newspipe.multimodal.Wav.encode(
+                newspipe.multimodal.Wav.Audio(8000, 1, samples)),
+              newspipe.multimodal.Media.MediaMeta(None, None, Some("wav"),
+                None))
+          }
+        }.toDF()
+      newspipe.multimodal.Media.audioSpectral(media, 512).count()
+    }
+    out("q153_audio_fft") = (nAu, tAu)
     out.toMap
   }
 
