@@ -3088,6 +3088,29 @@ object SparkEntry {
         .select(col("media_id").as("doc_id"), col("sample_rate"),
           col("n_windows"), round(col("dominant_hz"), 3).as("dominant_hz"))
         .orderBy("doc_id")
+    }),
+
+    // UNICODE NORMALIZATION (the pre-dedup canonicalization every CCNet/
+    // RedPajama-style pipeline runs): the corpus is ASCII, so the query
+    // appends a DECOMPOSED accent (e + U+0301) per doc and normalizes to
+    // NFC — DuckDB's utf8proc-backed nfc_normalize recomputes that leg
+    // from the same construction, a genuinely independent implementation
+    // of the Unicode algorithm. The NFKC leg folds compatibility forms
+    // (fi ligature, fullwidth A, superscript 2, angstrom sign) whose
+    // folded value is a closed-form literal. Codepoints are built with
+    // toChar, never source escapes (render-hazard-proof).
+    "q155_unicode_normalize" -> ((s, dir) => {
+      val acute = 0x0301.toChar.toString
+      val compat = Seq(0xfb01, 0xff21, 0x00b2, 0x212b)
+        .map(_.toChar).mkString
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          newspipe.functions.UnicodeNormalize(
+            concat(col("text"), lit(" cafe" + acute)), "NFC")
+            .as("nfc_text"),
+          newspipe.functions.UnicodeNormalize(lit(compat), "NFKC")
+            .as("nfkc_fold"))
+        .orderBy("doc_id")
     })
   )
 
@@ -5425,6 +5448,15 @@ object SparkEntry {
         """SELECT doc_id, 8000 AS sample_rate, 4 AS n_windows,
           |       round(250.0 * (1 + doc_id % 8), 3) AS dominant_hz
           |FROM documents WHERE doc_id < 24 ORDER BY doc_id""".stripMargin) +
+      // NFC leg independently recomputed by DuckDB's utf8proc
+      // nfc_normalize over the same decomposed construction (chr(769) =
+      // U+0301 COMBINING ACUTE); NFKC compat folds are closed-form
+      // (chr(197) = U+00C5)
+      ("q155_unicode_normalize" ->
+        """SELECT doc_id,
+          |       nfc_normalize(text || ' cafe' || chr(769)) AS nfc_text,
+          |       'fiA2' || chr(197) AS nfkc_fold
+          |FROM documents ORDER BY doc_id""".stripMargin) +
       // the whole span-scrub rule replayed: windows → md5 grams →
       // canonical pick → position coverage → rebuild, k = 8
       ("q152_substring_dedup" -> substringScrubOracleSql) +

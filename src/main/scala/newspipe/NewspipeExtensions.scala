@@ -117,6 +117,16 @@ object NewspipeExtensions {
           newspipe.functions.WinnowFingerprints(children.head,
             numericArg("winnow_fingerprints k", children(1)).intValue(),
             numericArg("winnow_fingerprints w", children(2)).intValue())
+        }),
+      (new FunctionIdentifier("unicode_normalize"),
+        new ExpressionInfo(
+          classOf[newspipe.functions.UnicodeNormalize].getName,
+          "unicode_normalize"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            "unicode_normalize(text, form) takes exactly 2 arguments")
+          newspipe.functions.UnicodeNormalize(children.head,
+            stringArg("unicode_normalize form", children(1)))
         })) ++ {
       import newspipe.functions.{SentimentAnalyzer, TextFunctions}
       import newspipe.ops.{Dedup, TextStats}

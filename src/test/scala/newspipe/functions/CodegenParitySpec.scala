@@ -203,4 +203,21 @@ class CodegenParitySpec extends SparkTestBase {
       .collect().map(_.toString).sorted
     native shouldBe hof
   }
+
+  test("UnicodeNormalize: codegen = interpreted (all forms, mixed scripts)") {
+    def frame = Seq(
+      (1L, "caf" + "\u00e9"),
+      (2L, "cafe" + "\u0301"),
+      (3L, "\ufb01\uff21\u00b2\u212b"),
+      (4L, "plain ascii"),
+      (5L, null.asInstanceOf[String]),
+      (6L, "")
+    ).toDF("id", "text").select($"id",
+      UnicodeNormalize($"text", "NFC").as("nfc"),
+      UnicodeNormalize($"text", "NFD").as("nfd"),
+      UnicodeNormalize($"text", "NFKC").as("nfkc"),
+      UnicodeNormalize($"text", "NFKD").as("nfkd"))
+    val (g, i) = bothWays(frame)
+    g shouldBe i
+  }
 }
