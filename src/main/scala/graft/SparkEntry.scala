@@ -3090,6 +3090,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SCHEMA-EVOLUTION DDL: `ALTER TABLE … ADD COLUMN` as a METADATA-ONLY
+    // commit (Delta's ALTER TABLE ADD COLUMNS role). The manifest-recorded
+    // schema is the read authority, so every carried file reads null for
+    // the new column with ZERO rewrites — at 100 TB adding a column costs
+    // one manifest write, not a layer rewrite; a follow-up append fills
+    // it. In-query requires pin the scale property (the DDL commit
+    // carries no data files) and the history labels; the oracle replays
+    // the evolved corpus relationally (originals null, appended tenth
+    // closed-form).
+    "q156_add_column" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.lakeac", "newspipe.io.LakeCatalog")
+      val root = java.nio.file.Files.createTempDirectory("q156_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents")
+      lake.writeAtomic(docs, "docs")
+      val before = lake.listVersions("docs").toSet
+      s.sql(s"ALTER TABLE lakeac.`$root`.docs ADD COLUMN (score DOUBLE)")
+      val addV = (lake.listVersions("docs").toSet -- before).head
+      require(new java.io.File(s"$root/docs/_v/$addV").listFiles()
+        .map(_.getName).forall(n => n.startsWith("_") || n.startsWith(".")),
+        "ADD COLUMN must be a metadata-only commit (no data files)")
+      lake.appendAtomic(docs.filter(col("doc_id") % 10 === 3)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("score", col("n_chars").cast("double") / 100.0), "docs")
+      require(lake.historyRows("docs").map(_.getString(2)) ==
+        Seq("WRITE", "ADD COLUMN", "APPEND"),
+        "history must label the evolution commit")
+      lake.read("docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("score").isNull.cast("long")).as("n_null_score"),
+          round(sum(coalesce(col("score"), lit(0.0))), 6).as("sum_score"))
+        .orderBy("lang")
+    }),
+
     // UNICODE NORMALIZATION (the pre-dedup canonicalization every CCNet/
     // RedPajama-style pipeline runs): the corpus is ASCII, so the query
     // appends a DECOMPOSED accent (e + U+0301) per doc and normalizes to
@@ -5448,6 +5484,20 @@ object SparkEntry {
         """SELECT doc_id, 8000 AS sample_rate, 4 AS n_windows,
           |       round(250.0 * (1 + doc_id % 8), 3) AS dominant_hz
           |FROM documents WHERE doc_id < 24 ORDER BY doc_id""".stripMargin) +
+      // evolved corpus replayed: originals read null for the added
+      // column, the re-appended tenth carries the closed-form fill
+      ("q156_add_column" ->
+        """WITH ev AS (
+          |  SELECT lang, CAST(NULL AS DOUBLE) AS score FROM documents
+          |  UNION ALL
+          |  SELECT lang, n_chars / 100.0 AS score FROM documents
+          |  WHERE doc_id % 10 = 3
+          |)
+          |SELECT lang, count(*) AS n_docs,
+          |       sum(CASE WHEN score IS NULL THEN 1 ELSE 0 END)
+          |         AS n_null_score,
+          |       round(sum(coalesce(score, 0)), 6) AS sum_score
+          |FROM ev GROUP BY lang ORDER BY lang""".stripMargin) +
       // NFC leg independently recomputed by DuckDB's utf8proc
       // nfc_normalize over the same decomposed construction (chr(769) =
       // U+0301 COMBINING ACUTE); NFKC compat folds are closed-form

@@ -2373,6 +2373,35 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       (droppedOf(snap) :+ physical).distinct, "DROP COLUMN")
   }
 
+  /** Metadata-only column ADD (Delta's `ALTER TABLE … ADD COLUMNS` role):
+    * the logical schema gains a nullable trailing field in ONE manifest
+    * commit — zero data rewrites; every carried file reads null for it
+    * (the manifest-recorded schema is the read authority, the same
+    * contract append-with-mergeSchema evolution already relies on; the
+    * stats sidecar simply has no entry for the new column, so skipping
+    * treats it as can't-prune). Added columns must be nullable — no
+    * existing row can satisfy NOT NULL; add, backfill, then constrain.
+    * Re-adding a name a [[dropColumn]] left inside carried files is
+    * refused (stale values would resurrect — compact first). Unlike
+    * rename/drop this needs NO column mapping: a brand-new name collides
+    * with no file's physical column.
+    */
+  def addColumn(layer: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Lake.RowOpResult = {
+    val snap = headForMetaOp(layer)
+    val schema = snapshotSchema(layer, snap)
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"addColumn('$layer'): column '$name' already exists " +
+        s"(has: ${schema.fieldNames.mkString(", ")})")
+    refuseDroppedResurrection(layer, snap, Seq(name))
+    val inv = snapshotInventory(layer, snap)
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        name, dataType, nullable = true))
+    commitMetaOnly(layer, snap, inv, newSchema.toDDL, mappingOf(snap),
+      droppedOf(snap), "ADD COLUMN")
+  }
+
   private def requireColumnMapping(layer: String, op: String): Unit =
     require(properties(layer).get("lake.columnMapping.mode").contains("name"),
       s"$op on '$layer' needs column mapping: setProperties(\"$layer\", " +

@@ -268,10 +268,20 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
             lake.layerSchema(ident.name).fieldNames.contains(name))
           lake.dropColumn(ident.name, name)
         None
+      case ac: TableChange.AddColumn =>
+        require(ac.isNullable,
+          "lake ADD COLUMN: added columns must be nullable (no existing " +
+            "row can satisfy NOT NULL) — add, backfill, then constrain")
+        require(ac.position() == null,
+          "lake ADD COLUMN appends at the end of the schema (FIRST/AFTER " +
+            "would reorder carried files' physical layout)")
+        lake.addColumn(ident.name,
+          topLevel(ac.fieldNames, "ADD COLUMN"), ac.dataType)
+        None
       case other => throw new IllegalArgumentException(
-        s"lake catalog supports SET/UNSET TBLPROPERTIES and RENAME/DROP " +
-          s"COLUMN here; type changes go through SchemaEvolution " +
-          s"(got: $other)")
+        s"lake catalog supports SET/UNSET TBLPROPERTIES, ADD COLUMN and " +
+          s"RENAME/DROP COLUMN here; type changes go through " +
+          s"SchemaEvolution (got: $other)")
     }
     if (updates.nonEmpty) lake.setProperties(ident.name, updates.toMap)
     LakeTable(spark, base, ident.name, None, catName)

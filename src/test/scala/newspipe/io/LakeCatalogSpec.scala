@@ -490,4 +490,21 @@ class LakeCatalogSpec extends SparkTestBase {
     spark.sql(s"SELECT count(*) AS n FROM lake.`$base`.dvcat")
       .as[Long].head() shouldBe 90L
   }
+
+  test("ALTER TABLE ADD COLUMN: metadata-only DDL through the catalog") {
+    lake.writeAtomic(Seq((1L, "a")).toDF("id", "text"), "addc")
+    spark.sql(s"ALTER TABLE lake.`$base`.addc ADD COLUMN (score DOUBLE)")
+    spark.sql(s"SELECT score FROM lake.`$base`.addc").collect()
+      .forall(_.isNullAt(0)) shouldBe true
+    spark.sql(s"INSERT INTO lake.`$base`.addc VALUES (2, 'b', 0.25)")
+    spark.sql(s"SELECT id, score FROM lake.`$base`.addc ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1.0 else r.getDouble(1))) shouldBe
+      Array((1L, -1.0), (2L, 0.25))
+    // NOT NULL additions are refused (no existing row can satisfy them)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE lake.`$base`.addc ADD COLUMN (x INT NOT NULL)")
+    }
+    e.getMessage should include("nullable")
+  }
 }

@@ -217,4 +217,44 @@ class LakeColumnMappingSpec extends SparkTestBase {
     e.getMessage should include("partition")
     intercept[IllegalArgumentException] { lake.dropColumn("docs", "lang") }
   }
+
+  test("ADD COLUMN is metadata-only: old files read null, appends fill") {
+    val (lake, dir) = mappedLake()
+    val before = lake.listVersions("docs").toSet
+    lake.addColumn("docs", "score", org.apache.spark.sql.types.DoubleType)
+    lake.read("docs").columns.toSeq shouldBe Seq("id", "txt", "n", "score")
+    lake.read("docs").select("score").collect()
+      .forall(_.isNullAt(0)) shouldBe true
+    // the ADD commit carries no data files
+    val addV = (lake.listVersions("docs").toSet -- before).head
+    new java.io.File(s"$dir/docs/_v/$addV").listFiles().map(_.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith(".")) shouldBe empty
+    lake.historyRows("docs").map(_.getString(2)).last shouldBe "ADD COLUMN"
+    // appends fill the new column; carried rows stay null
+    lake.appendAtomic(
+      Seq((9L, "zeta", 90, 0.5)).toDF("id", "txt", "n", "score"), "docs")
+    lake.read("docs").orderBy("id").select("score").collect().map(r =>
+      if (r.isNullAt(0)) -1.0 else r.getDouble(0)) shouldBe
+      Array(-1.0, -1.0, -1.0, 0.5)
+    // row ops keep working through the evolved schema
+    lake.deleteWhere("docs", col("score").isNull && col("id") === 2L)
+    lake.read("docs").count() shouldBe 3L
+    // duplicate name (case-insensitive) refused
+    intercept[IllegalArgumentException] {
+      lake.addColumn("docs", "TXT", org.apache.spark.sql.types.StringType)
+    }
+  }
+
+  test("ADD COLUMN of a dropped name is refused until compact materializes") {
+    val (lake, _) = mappedLake()
+    lake.dropColumn("docs", "n")
+    val e = intercept[IllegalArgumentException] {
+      lake.addColumn("docs", "n", org.apache.spark.sql.types.IntegerType)
+    }
+    e.getMessage should include("resurrect")
+    lake.compact("docs")
+    lake.addColumn("docs", "n", org.apache.spark.sql.types.IntegerType)
+    lake.read("docs").select("n").collect()
+      .forall(_.isNullAt(0)) shouldBe true // fresh column, not old values
+  }
 }
