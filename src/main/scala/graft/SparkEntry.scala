@@ -3126,6 +3126,26 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+
+    // CORPUS CLEANING COMPOSITE (C4/CCNet posture): NFC -> strip control
+    // chars (newline survives) -> collapse horizontal-whitespace runs ->
+    // trim, all codegen'd column expressions. The corpus is clean ASCII,
+    // so the query grafts a messy suffix (decomposed accent + BEL + tab +
+    // space runs) onto every doc and cleans it; DuckDB replays the exact
+    // chain with its independent nfc_normalize + RE2. Codepoints built
+    // with toChar / chr(), never source escapes.
+    "q157_clean_text" -> ((s, dir) => {
+      newspipe.NewspipeExtensions.register(s)
+      val acute = 0x0301.toChar.toString
+      val bell = 0x07.toChar.toString
+      val tab = 0x09.toChar.toString
+      val messy = concat(col("text"),
+        lit("  cafe" + acute + bell + tab + " x  "))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          newspipe.ops.TextStats.cleanText(messy).as("clean"))
+        .orderBy("doc_id")
+    }),
     // UNICODE NORMALIZATION (the pre-dedup canonicalization every CCNet/
     // RedPajama-style pipeline runs): the corpus is ASCII, so the query
     // appends a DECOMPOSED accent (e + U+0301) per doc and normalizes to
@@ -5484,6 +5504,20 @@ object SparkEntry {
         """SELECT doc_id, 8000 AS sample_rate, 4 AS n_windows,
           |       round(250.0 * (1 + doc_id % 8), 3) AS dominant_hz
           |FROM documents WHERE doc_id < 24 ORDER BY doc_id""".stripMargin) +
+      // the cleaning chain replayed on the identical messy construction:
+      // nfc_normalize composes, the control class strips BEL, the
+      // horizontal-run collapse eats the tab, trim drops the edges; the
+      // control class and the space-tab class are built from chr() so no
+      // escape survives any rendering layer
+      ("q157_clean_text" ->
+        """SELECT doc_id,
+          |  trim(regexp_replace(regexp_replace(
+          |    nfc_normalize(text || '  cafe' || chr(769) || chr(7) ||
+          |                  chr(9) || ' x  '),
+          |    '[' || chr(0) || '-' || chr(8) || chr(11) || chr(12) ||
+          |      chr(14) || '-' || chr(31) || chr(127) || ']', '', 'g'),
+          |    '[ ' || chr(9) || ']+', ' ', 'g')) AS clean
+          |FROM documents ORDER BY doc_id""".stripMargin) +
       // evolved corpus replayed: originals read null for the added
       // column, the re-appended tenth carries the closed-form fill
       ("q156_add_column" ->

@@ -208,6 +208,21 @@ object TextStats {
       size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
       size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
 
+  /** The standard corpus-cleaning composite every training pipeline runs
+    * before stats/dedup (C4/CCNet posture): Unicode NFC (codepoint
+    * canonicalization — [[newspipe.functions.UnicodeNormalize]]), strip
+    * control characters EXCEPT newline (tab dies with the collapse step),
+    * collapse horizontal-whitespace runs to one space, trim. Entirely
+    * codegen'd column expressions — per-row scalar work, shuffle-free,
+    * corpus-linear; null-propagating.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        newspipe.functions.UnicodeNormalize.nfc(text),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t]+", " "))
+
   // ---- fingerprinting ------------------------------------------------------
 
   /** Content fingerprint: md5 of whitespace/case-normalized text — the

@@ -113,4 +113,26 @@ class TextStatsSpec extends SparkTestBase {
     out shouldBe Array(("a", 1L, 1L), ("cat", 3L, 2L), ("sat", 1L, 1L),
       ("the", 2L, 1L))
   }
+
+  test("cleanText: control strip (newline survives), run collapse, trim") {
+    val bell = 0x07.toChar
+    val vt = 0x0b.toChar
+    one[String](s"  a$bell\tb$vt c\nd  ", TextStats.cleanText) shouldBe
+      "a b c\nd"
+  }
+
+  test("cleanText: NFC leg composes decomposed accents") {
+    val combiningAcute = 0x0301.toChar
+    one[String](s"cafe$combiningAcute x", TextStats.cleanText) shouldBe
+      "caf" + 0xe9.toChar + " x"
+  }
+
+  test("cleanText: null propagates; idempotent") {
+    Seq(Option.empty[String]).toDF("t")
+      .select(TextStats.cleanText($"t").as("v"))
+      .collect().head.isNullAt(0) shouldBe true
+    val messy = "  x\t\ty  z "
+    val once = one[String](messy, TextStats.cleanText)
+    one[String](once, TextStats.cleanText) shouldBe once
+  }
 }
