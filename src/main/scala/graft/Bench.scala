@@ -1,13 +1,45 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Recursively delete a directory tree; best-effort, never throws. */
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(root)) {
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+      }
+    } catch { case _: Throwable => () }
+
   def main(args: Array[String]): Unit = {
+    // Lifecycle queries (q82+, the lake family) create their roots via
+    // Files.createTempDirectory, which resolves java.io.tmpdir. Accumulated
+    // /tmp state from prior runs (~8.8k entries at round-11 judging) made the
+    // FS-protocol queries swing 2-6x run-to-run. Redirect the tmpdir to one
+    // fresh per-process root and delete it at exit so each bench run starts
+    // from a clean, small directory. NOTE: the JDK caches the tmpdir at
+    // TempFileHelper class-load, so this must run before the first
+    // createTempDirectory anywhere in the JVM; the probe below detects the
+    // pre-loaded case (e.g. an in-process sbt runMain) and reports it.
+    val benchTmp = java.nio.file.Paths
+      .get("target", s"bench-tmp-${ProcessHandle.current.pid}").toAbsolutePath
+    java.nio.file.Files.createDirectories(benchTmp)
+    System.setProperty("java.io.tmpdir", benchTmp.toString)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(benchTmp)))
+    val probe = java.nio.file.Files.createTempDirectory("tmpdir-probe")
+    if (probe.getParent != benchTmp)
+      System.err.println(s"[bench] tmpdir override ineffective (JVM pre-cached ${probe.getParent})")
+    java.nio.file.Files.deleteIfExists(probe)
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Shuffle spill / block-manager scratch joins the same fresh root so
+      // the run leaves nothing behind in the shared /tmp.
+      .config("spark.local.dir", benchTmp.toString)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet stores TIMESTAMP(NANOS); see Verify.scala.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -3138,9 +3138,10 @@ object SparkEntry {
       newspipe.NewspipeExtensions.register(s)
       val acute = 0x0301.toChar.toString
       val bell = 0x07.toChar.toString
+      val cr = 0x0d.toChar.toString // CRLF-corpus posture: CR must die
       val tab = 0x09.toChar.toString
       val messy = concat(col("text"),
-        lit("  cafe" + acute + bell + tab + " x  "))
+        lit("  cafe" + acute + bell + cr + tab + " x  "))
       t(s, dir, "documents")
         .select(col("doc_id"),
           newspipe.ops.TextStats.cleanText(messy).as("clean"))
@@ -5513,9 +5514,9 @@ object SparkEntry {
         """SELECT doc_id,
           |  trim(regexp_replace(regexp_replace(
           |    nfc_normalize(text || '  cafe' || chr(769) || chr(7) ||
-          |                  chr(9) || ' x  '),
-          |    '[' || chr(0) || '-' || chr(8) || chr(11) || chr(12) ||
-          |      chr(14) || '-' || chr(31) || chr(127) || ']', '', 'g'),
+          |                  chr(13) || chr(9) || ' x  '),
+          |    '[' || chr(0) || '-' || chr(8) || chr(11) ||
+          |      '-' || chr(31) || chr(127) || ']', '', 'g'),
           |    '[ ' || chr(9) || ']+', ' ', 'g')) AS clean
           |FROM documents ORDER BY doc_id""".stripMargin) +
       // evolved corpus replayed: originals read null for the added
@@ -5528,8 +5529,8 @@ object SparkEntry {
           |  WHERE doc_id % 10 = 3
           |)
           |SELECT lang, count(*) AS n_docs,
-          |       sum(CASE WHEN score IS NULL THEN 1 ELSE 0 END)
-          |         AS n_null_score,
+          |       CAST(sum(CASE WHEN score IS NULL THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_null_score,
           |       round(sum(coalesce(score, 0)), 6) AS sum_score
           |FROM ev GROUP BY lang ORDER BY lang""".stripMargin) +
       // NFC leg independently recomputed by DuckDB's utf8proc

@@ -66,6 +66,38 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   private def layerPath(layer: String): String =
     s"${config.basePath.stripSuffix("/")}/$layer"
 
+  /** Resolve a manifest-relative path against its layer root. Plain rels
+    * join directly; a `../<layer>/…` rel — the cross-layer reference a
+    * shallow [[clone]] records — collapses TEXTUALLY (never a literal
+    * `..` path segment on the filesystem), so every resolved path is
+    * canonical and qualified-path comparisons (DV keys, stats keys, scan
+    * identities) agree between a clone and its source layer.
+    */
+  private[io] def resolveRel(base: String, rel: String): String = {
+    var b = base.stripSuffix("/")
+    var r = rel
+    while (r.startsWith("../")) {
+      val cut = b.lastIndexOf('/')
+      require(cut > 0, s"cross-layer ref '$rel' escapes above the lake base")
+      b = b.substring(0, cut)
+      r = r.substring(3)
+    }
+    s"$b/$r"
+  }
+
+  /** The version-dir group key of a manifest rel path — `_v/<v>` for
+    * same-layer refs, `../<layer>/_v/<v>` for cross-layer (clone) refs,
+    * `""` for flat-layout paths. Reads and listings group by this key so
+    * each referenced version dir costs ONE recursive listing (the
+    * object-store-friendly shape) no matter how many files it holds.
+    */
+  private def versionDirOf(rel: String): String = {
+    val segs = rel.split('/')
+    val i = segs.indexOf("_v")
+    if (i >= 0 && segs.length >= i + 2) segs.take(i + 2).mkString("/")
+    else ""
+  }
+
   private def fs(p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -488,21 +520,25 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         // store-friendly shape readIndexed uses), not a getFileStatus
         // round-trip per inventory file — a 10⁵-file layer stays a handful
         // of LIST calls
-        val qualBase = f.makeQualified(new Path(base)).toString
-          .stripSuffix("/") + "/"
-        val sizeByRel = inv.map(_.split('/').take(2).mkString("/")).distinct
+        val sizeByRel = inv.map(versionDirOf).distinct
           .flatMap { vdir =>
-            val it = f.listFiles(new Path(s"$base/$vdir"), true)
+            val dir = if (vdir.isEmpty) new Path(base)
+              else new Path(resolveRel(base, vdir))
+            val it = f.listFiles(dir, true)
+            val dirPrefix = f.makeQualified(dir).toString
+              .stripSuffix("/") + "/"
+            val relPrefix = if (vdir.isEmpty) "" else vdir + "/"
             val b = Seq.newBuilder[(String, Long)]
             while (it.hasNext) {
               val st = it.next()
               if (st.isFile)
-                b += st.getPath.toString.stripPrefix(qualBase) -> st.getLen
+                b += relPrefix + st.getPath.toString
+                  .stripPrefix(dirPrefix) -> st.getLen
             }
             b.result()
           }.toMap
         val bytes = inv.map(rp => sizeByRel.getOrElse(rp,
-          f.getFileStatus(new Path(s"$base/$rp")).getLen)).sum
+          f.getFileStatus(new Path(resolveRel(base, rp))).getLen)).sum
         def ms(v: String): Long = v.takeWhile(_ != '-').toLong
         val versions = listVersions(layer) // newest first
         Lake.LayerDetail(config.format, base, inv.size, bytes,
@@ -788,20 +824,28 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val basePath = new Path(base)
     val f = fs(basePath)
     val qualBase = f.makeQualified(basePath).toString.stripSuffix("/")
-    def versionDirOf(rel: String): String = {
-      val segs = rel.split('/')
-      if (segs.length >= 2 && segs(0) == "_v") s"_v/${segs(1)}" else ""
-    }
+    // cross-layer (clone) rels resolve outside qualBase — qualify through
+    // the textual resolver so keys always match listed canonical paths
+    def qual(rel: String): String =
+      if (rel.startsWith("../"))
+        f.makeQualified(new Path(resolveRel(base, rel))).toString
+      else s"$qualBase/$rel"
     val byDir = rels.groupBy(versionDirOf)
     val statusByRel = scala.collection.mutable.HashMap.empty[String, org.apache.hadoop.fs.FileStatus]
     byDir.keysIterator.foreach { vdir =>
-      val dir = if (vdir.isEmpty) basePath else new Path(s"$base/$vdir")
+      val dir = if (vdir.isEmpty) basePath
+        else new Path(resolveRel(base, vdir))
       val it = f.listFiles(dir, true)
-      val prefix = qualBase + "/"
+      // reconstruct each listed file's manifest-rel key from the GROUP's
+      // key + the path below the listed dir, so cross-layer groups key
+      // exactly as their manifest records them
+      val dirPrefix = f.makeQualified(dir).toString.stripSuffix("/") + "/"
+      val relPrefix = if (vdir.isEmpty) "" else vdir + "/"
       while (it.hasNext) {
         val s = it.next()
         if (s.isFile)
-          statusByRel(s.getPath.toString.stripPrefix(prefix)) = s
+          statusByRel(relPrefix +
+            s.getPath.toString.stripPrefix(dirPrefix)) = s
       }
     }
     val statuses = rels.map(rel => statusByRel.getOrElse(rel,
@@ -810,12 +854,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           s"(under $base) — vacuumed past a pinned version, or external " +
           "deletion")))
     val statsByPath = snapshotSidecar(snap)
-      .map(st => s"$qualBase/${st.path}" -> st).toMap
+      .map(st => qual(st.path) -> st).toMap
     val bloomByPath = bloomSidecarRaw(snap) match {
       case None =>
         Map.empty[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
       case Some((_, files)) => files.map { case (rel, m) =>
-        s"$qualBase/$rel" ->
+        qual(rel) ->
           m.map { case (c, b) => c -> BloomIndex.deserialize(b) } }
     }
     // asNullable: file sources force every read column nullable (the
@@ -990,7 +1034,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   /** Parsed DV payload document (cached — payloads are immutable). */
   private def dvPayload(base: String,
       payloadRel: String): Map[String, Seq[Long]] =
-    dvPayloadCache.computeIfAbsent(s"$base/$payloadRel",
+    dvPayloadCache.computeIfAbsent(resolveRel(base, payloadRel),
       p => DeletionVectors.fromJson(readFully(new Path(p))))
 
   /** (qualified absolute file path, deleted position) pairs of a
@@ -1006,12 +1050,16 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       case None => dv
     }
     if (wanted.isEmpty) return Nil
-    val qualBase = fs(new Path(base)).makeQualified(new Path(base))
-      .toString.stripSuffix("/")
+    val f = fs(new Path(base))
+    val qualBase = f.makeQualified(new Path(base)).toString.stripSuffix("/")
+    def qual(rel: String): String =
+      if (rel.startsWith("../"))
+        f.makeQualified(new Path(resolveRel(base, rel))).toString
+      else s"$qualBase/$rel"
     wanted.groupBy(_._2).toSeq.flatMap { case (payloadRel, entries) =>
       val all = dvPayload(base, payloadRel)
       entries.keysIterator.flatMap(rel =>
-        all.getOrElse(rel, Nil).map(pos => (s"$qualBase/$rel", pos))).toSeq
+        all.getOrElse(rel, Nil).map(pos => (qual(rel), pos))).toSeq
     }
   }
 
@@ -1161,20 +1209,16 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       : DataFrame = {
     import org.apache.spark.sql.functions.col
     val base = layerPath(layer)
-    def versionDirOf(rel: String): String = {
-      val segs = rel.split('/')
-      if (segs.length >= 2 && segs(0) == "_v") s"_v/${segs(1)}" else ""
-    }
     val groups = rels.groupBy(versionDirOf).toSeq.sortBy(_._1)
     val frames = groups.map { case (vdir, files) =>
-      val root = if (vdir.isEmpty) base else s"$base/$vdir"
+      val root = if (vdir.isEmpty) base else resolveRel(base, vdir)
       var reader = spark.read.format(config.format).option("basePath", root)
       // an explicit schema makes columns a file predates read as null —
       // the schema-evolution read — and pins one shape across groups
       schemaHint.foreach(s => reader = reader.schema(s))
       val frame = (if (mergeSchema) reader.option("mergeSchema", "true")
         else reader)
-        .load(files.map(rp => s"$base/$rp"): _*)
+        .load(files.map(rp => resolveRel(base, rp)): _*)
       // metadata columns resolve only on the file relation itself, so the
       // DV callers' (file, position) projection must happen INSIDE each
       // group, before the union erases it
@@ -1340,7 +1384,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     try {
       val first = stats.head
-      val sampleFile = s"$base/${first.path}"
+      val sampleFile = resolveRel(base, first.path)
       val fileSchema = schemaCache.computeIfAbsent(sampleFile,
         _ => spark.read.format(config.format).load(sampleFile).schema)
       val partCols = stats.iterator.flatMap(_.partitionValues.keysIterator)
@@ -1634,6 +1678,19 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       fpp: Double = BloomIndex.DefaultFpp): Unit = {
     require(cols.nonEmpty, "enableBloomIndex needs at least one column")
     require(fpp > 0.0 && fpp < 0.5, s"fpp must be in (0, 0.5), got $fpp")
+    // Hive-partitioned layers are refused up front: the sidecar builder
+    // skips `k=v` paths, so accepting the call would record the index
+    // properties while never building (or maintaining) an index — the
+    // caller would believe point-lookup skipping is active when it never
+    // fires. Partition pruning already covers the partitioned layout.
+    latestSnapshot(layer).foreach { snap =>
+      val rels = manifestOf(snap).map(_.files)
+        .getOrElse(snapshotDirFilesRel(snap))
+      require(layerPartitionCols(layer, rels).isEmpty,
+        s"enableBloomIndex: layer '$layer' is hive-partitioned " +
+          "(bloom sidecars index whole files; use partition pruning for " +
+          "the partitioned layout, or repartitionLayer to a flat layout)")
+    }
     val schema = layerSchema(layer)
     cols.foreach { c =>
       val fd = schema.fields.find(_.name == c).getOrElse(
@@ -1650,6 +1707,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     latestSnapshot(layer).foreach { snap =>
       manifestOf(snap) match {
         case Some(m) =>
+          // cross-layer (clone) refs are refused like partitioned layouts:
+          // the build keys entries by input_file_name, whose canonical
+          // form need not match a `../` rel — materialize first
+          require(!m.files.exists(_.startsWith("../")),
+            s"enableBloomIndex: layer '$layer' holds shallow-clone " +
+              "cross-layer references — materialize with compact() first")
           if (!m.files.exists(_.contains("="))) {
             val phys = cols.map(c => m.mapping.getOrElse(c, c))
             val rows = rebasedStats(layer, snap)
@@ -1818,7 +1881,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val base = layerPath(layer)
     val f = fs(new Path(base))
     val sized = snapshotInventory(layer, snap)
-      .map(rel => rel -> f.getFileStatus(new Path(s"$base/$rel")).getLen)
+      .map(rel => rel -> f.getFileStatus(new Path(resolveRel(base, rel))).getLen)
     val small = sized.filter(_._2 < smallFileBytes)
     if (small.size < minSmallFiles)
       return Lake.RowOpResult(snap.toString, 0, sized.size, noop = true)
@@ -1898,7 +1961,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val bytes = latestSnapshot(layer).flatMap(manifestOf) match {
       case Some(m) =>
         val base = layerPath(layer)
-        m.files.map(rp => f.getFileStatus(new Path(s"$base/$rp")).getLen).sum
+        m.files.map(rp => f.getFileStatus(new Path(resolveRel(base, rp))).getLen).sum
       case None =>
         val it = f.listFiles(src, true)
         var sum = 0L
@@ -2015,7 +2078,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val base = layerPath(layer)
     val f = fs(snap)
     val bytes = affected.toSeq
-      .map(rp => f.getFileStatus(new Path(s"$base/$rp")).getLen).sum
+      .map(rp => f.getFileStatus(new Path(resolveRel(base, rp))).getLen).sum
     val nFiles = math.max(1L,
       (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     rewriteCore(layer, snap, predicate = None,
@@ -2243,8 +2306,11 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           carriedStats ++ FileStats.collectFiles(conf, base, refooter)
         writeSidecar(newSnap, allStats)
         // bloom maintenance ∝ commit increment: carried files keep their
-        // parent entries by key, only this commit's files get scanned
-        if (!(carried ++ newFiles).exists(_.contains("=")))
+        // parent entries by key, only this commit's files get scanned;
+        // cross-layer (clone) refs opt the whole commit out — the clone
+        // carries no index until materialized (enableBloomIndex refuses)
+        if (!(carried ++ newFiles).exists(r =>
+            r.contains("=") || r.startsWith("../")))
           maybeBloomSidecar(layer, newSnap, base = base,
             rels = carried ++ newFiles,
             rowsByRel = allStats.map(st => st.path -> st.rows).toMap,
@@ -2295,6 +2361,94 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         throw e
     }
     Lake.RowOpResult(newSnap.toString, 0, inv.size)
+  }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE` shape,
+    * ref `/root/reference/docs/pipeline_overview.md` positions the lake as
+    * the multi-consumer corpus store — dev/test forks are its most common
+    * day-2 op after OPTIMIZE/VACUUM): make `dst` a NEW layer whose first
+    * snapshot is a manifest referencing the SOURCE snapshot's data files
+    * through cross-layer `../<src>/…` rels — ZERO data files copied, so
+    * cloning a 100 TB corpus costs one manifest write, exactly
+    * [[restore]]'s mechanics pointed at a new layer root.
+    *
+    * Clone and source then evolve independently: each layer's commits land
+    * under its own root; a rewrite on the clone (delete/update/compact)
+    * replaces the touched references with clone-local files and carries
+    * the rest, so [[compact]] doubles as "materialize the clone".
+    * [[vacuum]] on the source pins every version a sibling layer's
+    * committed manifests still reference (the cross-layer walk in
+    * [[vacuumPlan]]), so reclaiming source history never breaks a clone;
+    * vacuum on the clone only ever deletes the clone's own version dirs.
+    *
+    * `version` forks a HISTORICAL snapshot (None = head). Layer properties
+    * are copied EXCEPT the bloom-index declaration — bloom sidecars key by
+    * canonical file path, which a cross-layer rel need not match;
+    * re-enable after the clone is materialized. Returns the committed
+    * snapshot path.
+    */
+  def clone(src: String, dst: String,
+      version: Option[String] = None): String = {
+    require(src != dst, s"clone: source and destination are both '$src'")
+    val srcBase = layerPath(src)
+    val target = version match {
+      case Some(v) =>
+        val t = new Path(s"$srcBase/_v/$v")
+        require(fs(t).exists(new Path(t, "_COMMITTED")),
+          s"layer '$src' has no committed snapshot '$v' " +
+            s"(known: ${listVersions(src).mkString(", ")})")
+        t
+      case None => latestSnapshot(src).getOrElse(throw
+        new IllegalArgumentException(s"clone: layer '$src' has no " +
+          "committed snapshot (flat layers: convertToLake first)"))
+    }
+    val dstBase = new Path(layerPath(dst))
+    val fd = fs(dstBase)
+    require(!latestSnapshot(dst).isDefined && (!fd.exists(dstBase) ||
+        !fd.listStatus(dstBase).exists(s =>
+          !s.getPath.getName.startsWith("_"))),
+      s"clone: destination layer '$dst' already holds data")
+    // same-lake siblings only: `../<layer>/…` escapes exactly one level,
+    // so both layers must share this lake's base path (cross-lake clones
+    // would need absolute refs the vacuum walk can't pin)
+    def rebase(rel: String): String =
+      if (rel.startsWith("../")) rel // already lake-base-scoped (clone of a clone)
+      else s"../$src/$rel"
+    val files = snapshotInventory(src, target).map(rebase)
+    val dvs = dvMapOf(target).map { case (k, v) => rebase(k) -> rebase(v) }
+    val stats = statsOfSnapshot(src, target).values
+      .map(st => st.copy(path = rebase(st.path))).toSeq
+    val schemaDdl = snapshotSchema(src, target).toDDL
+    // config before the commit: constraints / DV opt-in / partition
+    // declaration gate writer behavior from the first post-clone commit
+    val copied = properties(src) -
+      BloomIndex.ColsProp - BloomIndex.FppProp
+    if (copied.nonEmpty) setProperties(dst, copied)
+    val newSnap = new Path(s"${layerPath(dst)}/_v/${newVersionId()}")
+    val f = fs(newSnap)
+    try {
+      f.mkdirs(newSnap) // no data files — the manifest IS the snapshot
+      val manifest = SnapshotManifest(files, schemaDdl, dvs,
+        mappingOf(target), droppedOf(target))
+      val (head, shards) =
+        SnapshotManifest.toJsonSharded(manifest, config.manifestShardSize)
+      def put(name: String, body: String): Unit = {
+        val out = f.create(new Path(newSnap, name), false)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+      }
+      shards.zipWithIndex.foreach { case (body, i) =>
+        put(SnapshotManifest.shardName(i), body)
+      }
+      put(SnapshotManifest.FileName, head)
+      if (config.collectStats && stats.nonEmpty) writeSidecar(newSnap, stats)
+      commitMarker(dst, newSnap, requireParent = Some(None), op = "CLONE")
+    } catch {
+      case e: java.util.ConcurrentModificationException => throw e
+      case scala.util.control.NonFatal(e) =>
+        f.delete(newSnap, true)
+        throw e
+    }
+    newSnap.toString
   }
 
   // ---- column rename / drop (metadata-only, via column mapping) ------------
@@ -2752,7 +2906,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val physData = org.apache.spark.sql.types.StructType(dataFields.map(f =>
       f.copy(name = mapping.getOrElse(f.name, f.name), nullable = true)))
     val fileSizes = affected.map { rel =>
-      rel -> fs(snap).getFileStatus(new Path(s"$base/$rel")).getLen
+      rel -> fs(snap).getFileStatus(new Path(resolveRel(base, rel))).getLen
     }
     Lake.RowLevelSnapshot(snap.getName, base, inventory, fileSizes,
       logical, physData, readSchema, partCols, mapping,
@@ -3121,7 +3275,26 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
             case _ => None
           })).getOrElse(Nil)
       }.toSet
-    val keepSet = kept ++ pinned
+    // cross-layer pins: a shallow [[clone]] references this layer's
+    // version dirs from SIBLING layers' manifests (`../<layer>/_v/<v>/…`);
+    // reclaiming such a version would break every reader of the clone.
+    // Every committed sibling snapshot pins (not just the sibling's kept
+    // set): the clone's own vacuum retires its superseded snapshots first,
+    // after which a LATER source vacuum can reclaim. Cost: one cached
+    // manifest read per committed sibling version, zero when no clones.
+    val clonePrefix = s"../$layer/_v/"
+    val basePath = new Path(config.basePath.stripSuffix("/"))
+    val cloned: Set[String] =
+      if (!f.exists(basePath)) Set.empty
+      else f.listStatus(basePath).iterator
+        .filter(s => s.isDirectory && s.getPath.getName != layer)
+        .flatMap(s => committedVersions(s.getPath.getName))
+        .flatMap(p => manifestOf(p).map(m => m.files ++ m.dvs.values)
+          .getOrElse(Nil))
+        .filter(_.startsWith(clonePrefix))
+        .map(_.stripPrefix(clonePrefix).takeWhile(_ != '/'))
+        .toSet
+    val keepSet = kept ++ pinned ++ cloned
     f.listStatus(vdir).filter(_.isDirectory).map(_.getPath)
       .filterNot(p => keepSet.contains(p.getName))
       .filter { p =>

@@ -325,6 +325,17 @@ object LakeSql {
       version: Option[String], timestampMs: Option[Long]) extends LakeMaint
   final case class LakeHistory(base: String, layer: String) extends LakeMaint
   final case class LakeDetail(base: String, layer: String) extends LakeMaint
+  /** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF 'v']` — both
+    * identifiers kept as raw multiparts; bases resolve at RUN time (the
+    * catalog-qualified form needs the session's catalog conf, which the
+    * parser doesn't have). `base`/`layer` of the trait are the resolved
+    * DESTINATION, available only after [[resolveCloneTarget]].
+    */
+  final case class LakeClone(dstParts: Seq[String], srcParts: Seq[String],
+      version: Option[String]) extends LakeMaint {
+    override def base: String = ""
+    override def layer: String = dstParts.last
+  }
 
   // lake.`/base/path`.layer — base always backticked (it carries slashes),
   // layer backticked or bare
@@ -348,6 +359,12 @@ object LakeSql {
     s"(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$TargetRe\\s+TO\\s+" +
       "(?:VERSION\\s+AS\\s+OF\\s+'([^']+)'" +
       "|TIMESTAMP\\s+AS\\s+OF\\s+([0-9]+))\\s*;?\\s*$")
+  // SHALLOW CLONE is not Spark grammar (a Delta extension), so the
+  // recognizer may claim EVERY statement of this shape: a non-lake target
+  // fails loudly at resolution instead of silently parsing to nothing
+  private val CloneRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*CREATE\\s+TABLE\\s+(.+?)\\s+SHALLOW\\s+CLONE\\s+(.+?)" +
+      "(?:\\s+VERSION\\s+AS\\s+OF\\s+'([^']+)')?\\s*;?\\s*$")
   private val HistoryRe = java.util.regex.Pattern.compile(
     s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$TargetRe" + "\\s*;?\\s*$")
   private val DetailRe = java.util.regex.Pattern.compile(
@@ -384,6 +401,11 @@ object LakeSql {
       return Some(LakeRestore(base, layer,
         Option(r.group(4)), Option(r.group(5)).map(_.toLong)))
     }
+    val cl = CloneRe.matcher(sqlText)
+    if (cl.matches()) {
+      return Some(LakeClone(splitIdent(cl.group(1)),
+        splitIdent(cl.group(2)), Option(cl.group(3))))
+    }
     val h = HistoryRe.matcher(sqlText)
     if (h.matches()) {
       val (base, layer) = targetOf(h, 1)
@@ -395,6 +417,47 @@ object LakeSql {
       return Some(LakeDetail(base, layer))
     }
     None
+  }
+
+  /** Split a multipart identifier on dots OUTSIDE backticks. */
+  private def splitIdent(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inTick = false
+    s.foreach {
+      case '`' => inTick = !inTick
+      case '.' if !inTick => out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    out += cur.result().trim
+    out.result()
+  }
+
+  /** Resolve a CLONE identifier to (lake base, layer): the explicit
+    * lake.`/base`.layer form directly, a catalog-qualified form through
+    * the session's `spark.sql.catalog.<cat>.basePath` conf — the same
+    * namespace rules [[LakeCatalog]] applies (`/abs` namespace = its own
+    * base, relative namespaces nest under basePath).
+    */
+  private def resolveCloneTarget(session: SparkSession,
+      parts: Seq[String]): (String, String) = parts match {
+    case Seq(kw, b, l) if kw.equalsIgnoreCase("lake") && b.startsWith("/") =>
+      (b.stripSuffix("/"), l)
+    case cat +: rest if rest.nonEmpty &&
+        session.conf.getOption(s"spark.sql.catalog.$cat").isDefined =>
+      val ns = rest.dropRight(1)
+      val base =
+        if (ns.headOption.exists(_.startsWith("/"))) ns.mkString("/")
+        else session.conf.getOption(s"spark.sql.catalog.$cat.basePath")
+          .map(b => (b.stripSuffix("/") +: ns).mkString("/"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"SHALLOW CLONE: catalog '$cat' has no basePath conf and the " +
+              "namespace is relative"))
+      (base, rest.last)
+    case _ => throw new IllegalArgumentException(
+      "SHALLOW CLONE targets must be lake.`/base/path`.layer or " +
+        s"<catalog>.<layer> with a registered lake catalog — got " +
+        parts.mkString("."))
   }
 
   private[io] val maintenanceOutput: Seq[Attribute] = Seq(
@@ -508,6 +571,16 @@ object LakeSql {
       case LakeConvert(_, layer) =>
         val snap = lake.convertToLake(layer)
         Row("CONVERT", new org.apache.hadoop.fs.Path(snap).getName)
+      case LakeClone(dstParts, srcParts, version) =>
+        val (dstBase, dst) = resolveCloneTarget(session, dstParts)
+        val (srcBase, src) = resolveCloneTarget(session, srcParts)
+        require(srcBase.stripSuffix("/") == dstBase.stripSuffix("/"),
+          "SHALLOW CLONE requires source and destination in the same " +
+            s"lake base (got '$srcBase' vs '$dstBase') — cross-lake " +
+            "references can't be vacuum-pinned")
+        val cloneLake = new Lake(session, LakeConfig(basePath = dstBase))
+        val snap = cloneLake.clone(src, dst, version)
+        Row("CLONE", new org.apache.hadoop.fs.Path(snap).getName)
     }
   }
 }

@@ -178,7 +178,19 @@ object LakeStreamSink {
     // must not be re-planned (see NewspipeSqlBridge.batchDataFrame)
     val batch = NewspipeSqlBridge.batchDataFrame(data)
     if (lake.isSnapshotManaged(layer)) {
-      val appId = appIdOpt.orElse(threadQueryId()).getOrElse("lake-stream")
+      val appId = appIdOpt.orElse(threadQueryId()).getOrElse {
+        // Shared-constant fallback is only safe for a single writer per
+        // layer: two distinct queries landing here would share one ledger
+        // key and silently fence each other's micro-batches. Loud so the
+        // operator sets txnAppId/checkpointLocation instead.
+        Console.err.println(s"[lake] sink WARNING: layer '$layer' commit " +
+          "falling back to the shared txn app id 'lake-stream' (no " +
+          "txnAppId/checkpointLocation option, query id not recoverable " +
+          "from the execution thread). Safe ONLY if this is the layer's " +
+          "single streaming writer; set option(\"txnAppId\", ...) to fence " +
+          "multiple writers correctly.")
+        "lake-stream"
+      }
       if (lake.txnVersion(layer, appId).exists(_ >= batchId)) {
         Console.err.println(s"[lake] sink skip: layer '$layer' already " +
           s"holds batch $batchId for app '$appId' (replay fenced)")

@@ -242,9 +242,11 @@ object Media {
                   duration_ms = Some(out.durationMs)))
             case None =>
               // STUB: real kernel = demux → resample → remux. Fake keeps
-              // a rate-proportional prefix of the payload.
-              val ratio = math.min(1.0,
-                targetRate.toDouble / math.max(targetRate, 1))
+              // a rate-proportional prefix of the payload, assuming the
+              // CD-standard 44.1 kHz source rate for non-WAV containers
+              // (their headers aren't parsed here).
+              val assumedSourceRate = 44100.0
+              val ratio = math.min(1.0, targetRate / assumedSourceRate)
               val keep = math.max(1, (r.payload.length * ratio).toInt)
               r.copy(payload = r.payload.take(keep))
           }

@@ -211,7 +211,8 @@ object TextStats {
   /** The standard corpus-cleaning composite every training pipeline runs
     * before stats/dedup (C4/CCNet posture): Unicode NFC (codepoint
     * canonicalization — [[newspipe.functions.UnicodeNormalize]]), strip
-    * control characters EXCEPT newline (tab dies with the collapse step),
+    * control characters EXCEPT newline — CR included, so CRLF corpora
+    * clean to bare LF (tab dies with the collapse step instead),
     * collapse horizontal-whitespace runs to one space, trim. Entirely
     * codegen'd column expressions — per-row scalar work, shuffle-free,
     * corpus-linear; null-propagating.
@@ -220,7 +221,7 @@ object TextStats {
     trim(regexp_replace(
       regexp_replace(
         newspipe.functions.UnicodeNormalize.nfc(text),
-        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+        "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
       "[ \\t]+", " "))
 
   // ---- fingerprinting ------------------------------------------------------

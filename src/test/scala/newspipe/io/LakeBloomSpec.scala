@@ -133,6 +133,19 @@ class LakeBloomSpec extends SparkTestBase {
     }
   }
 
+  test("hive-partitioned layers are refused loudly (index would silently " +
+      "never build)") {
+    val lake = new Lake(spark,
+      LakeConfig(basePath = Files.createTempDirectory("lake_bloom").toString))
+    lake.writeAtomic(spark.range(20).select(col("id"),
+      (col("id") % 2).cast("string").as("part")), "p",
+      partitionBy = Seq("part"))
+    val e = intercept[IllegalArgumentException] {
+      lake.enableBloomIndex("p", Seq("id"))
+    }
+    assert(e.getMessage.contains("hive-partitioned"))
+  }
+
   test("fpp drives sidecar size; probes stay correct at loose fpp") {
     val lake = tmpLake()
     lake.enableBloomIndex("docs", Seq("id"), fpp = 0.2)

@@ -121,6 +121,11 @@ class TextStatsSpec extends SparkTestBase {
       "a b c\nd"
   }
 
+  test("cleanText: CR dies — CRLF corpora clean to bare LF") {
+    val cr = 0x0d.toChar
+    one[String](s"a$cr\nb${cr}c", TextStats.cleanText) shouldBe "a\nbc"
+  }
+
   test("cleanText: NFC leg composes decomposed accents") {
     val combiningAcute = 0x0301.toChar
     one[String](s"cafe$combiningAcute x", TextStats.cleanText) shouldBe
