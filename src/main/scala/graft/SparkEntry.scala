@@ -3168,6 +3168,84 @@ object SparkEntry {
           newspipe.functions.UnicodeNormalize(lit(compat), "NFKC")
             .as("nfkc_fold"))
         .orderBy("doc_id")
+    }),
+
+    // MAINTENANCE CONFLICT RESOLUTION (Delta's conflict matrix for
+    // OPTIMIZE vs blind appends): the compaction stages its bin-pack,
+    // an append commits mid-flight (deterministically, through the
+    // race-injection seam), and the OPTIMIZE REBASES onto the new head —
+    // one staging pass, re-parented marker — instead of retrying from
+    // scratch. Data-invisible: the oracle is the union corpus.
+    "q158_optimize_rebase" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q158_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      lake.writeAtomic(docs.repartition(16), "docs") // 16 sliver files
+      val extra = docs.filter(col("doc_id") % 10 === 7)
+      var fired = 0
+      lake.onBeforeManifestCommit = () => {
+        lake.onBeforeManifestCommit = () => () // self-disarm BEFORE the
+        fired += 1                             // inner commit (recursion)
+        lake.appendAtomic(extra, "docs")
+      }
+      val r = lake.compactSmall("docs",
+        smallFileBytes = 512L * 1024 * 1024,
+        targetFileBytes = 512L * 1024 * 1024)
+      require(fired == 1 && !r.noop && r.rewrittenFiles >= 16,
+        s"rebase race not exercised: fired=$fired, $r")
+      val hist = lake.historyRows("docs")
+      require(hist.map(_.getString(2)) == Seq("WRITE", "APPEND", "OPTIMIZE"),
+        s"append must win the race, OPTIMIZE must land rebased on top: " +
+          hist.map(_.getString(2)).mkString(","))
+      require(hist(2).getString(3) == hist(1).getString(1),
+        "the OPTIMIZE commit must be re-parented onto the racing APPEND")
+      lake.read("docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
+    // SHALLOW CLONE (Delta's zero-copy table fork): clone the layer AT a
+    // historical version (pre-delete) via the CREATE TABLE … SHALLOW
+    // CLONE statement, prove ZERO data files copied (the fork's manifest
+    // references ../docs), and read BOTH forks — the clone serves the
+    // full version-1 corpus while the source serves the post-delete head.
+    "q159_shallow_clone" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q159_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      lake.writeAtomic(t(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .repartitionByRange(8, col("n_chars"))
+        .sortWithinPartitions("n_chars"), "docs")
+      val v1 = lake.listVersions("docs").head
+      lake.deleteWhere("docs",
+        col("lang") === "en" && col("n_chars") < 300)
+      newspipe.io.LakeSql.sql(s,
+        s"CREATE TABLE lake.`$root`.fork SHALLOW CLONE " +
+          s"lake.`$root`.docs VERSION AS OF '$v1'").collect()
+      // the zero-copy pin: the fork's tree holds NO parquet of its own
+      val forkParquet = {
+        val it = org.apache.hadoop.fs.FileSystem.getLocal(
+          s.sparkContext.hadoopConfiguration).listFiles(
+          new org.apache.hadoop.fs.Path(s"$root/fork"), true)
+        var n = 0
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }
+      require(forkParquet == 0,
+        s"shallow clone must copy zero data files, found $forkParquet")
+      def agg(layer: String, side: String) =
+        lake.read(layer).groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+            sum("doc_id").as("id_sum"))
+          .withColumn("side", lit(side))
+      agg("fork", "clone").unionByName(agg("docs", "src"))
+        .orderBy("side", "lang")
     })
   )
 
@@ -5544,6 +5622,36 @@ object SparkEntry {
           |FROM documents ORDER BY doc_id""".stripMargin) +
       // the whole span-scrub rule replayed: windows → md5 grams →
       // canonical pick → position coverage → rebuild, k = 8
+      // the rebase is data-invisible: the oracle is the union corpus the
+      // racing append produced (q117's shape plus the appended tenth)
+      ("q158_optimize_rebase" ->
+        """WITH u AS (
+          |  SELECT doc_id, lang, n_chars FROM documents
+          |  UNION ALL
+          |  SELECT doc_id, lang, n_chars FROM documents
+          |  WHERE doc_id % 10 = 7
+          |)
+          |SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |FROM u GROUP BY lang ORDER BY lang""".stripMargin) +
+      // version-sliced corpus, both forks: the clone serves version 1
+      // (full corpus), the source serves the post-delete head
+      ("q159_shallow_clone" ->
+        """WITH c AS (
+          |  SELECT 'clone' AS side, lang, count(*) AS n_docs,
+          |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |         CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |  FROM documents GROUP BY lang
+          |), s AS (
+          |  SELECT 'src' AS side, lang, count(*) AS n_docs,
+          |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |         CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |  FROM documents
+          |  WHERE NOT (lang = 'en' AND n_chars < 300) GROUP BY lang
+          |)
+          |SELECT * FROM c UNION ALL SELECT * FROM s
+          |ORDER BY side, lang""".stripMargin) +
       ("q152_substring_dedup" -> substringScrubOracleSql) +
       // SQL surface = API: the TVF runs the identical kernel
       ("q154_sql_substring_scrub" -> substringScrubOracleSql) +

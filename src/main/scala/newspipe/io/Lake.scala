@@ -379,12 +379,16 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
 
   private def commitMarker(layer: String, snap: Path,
       requireParent: Option[Option[String]],
-      op: String): Unit = withCommitLock(layer) { stillOwned =>
+      op: String,
+      deleteOnConflict: Boolean = true): Unit = withCommitLock(layer) { stillOwned =>
     val f = fs(snap)
     val parentAtCommit = latestSnapshot(layer).map(_.getName)
     requireParent.foreach { expected =>
       if (parentAtCommit != expected) {
-        f.delete(snap, true) // lost the race; leave no orphan for vacuum
+        // deleteOnConflict=false: the caller intends to REBASE the staged
+        // snapshot onto the new head ([[commitManifest]]'s disjoint-file
+        // resolution) — its data files must survive the lost race
+        if (deleteOnConflict) f.delete(snap, true) // no orphan for vacuum
         throw new java.util.ConcurrentModificationException(
           s"layer '$layer': expected parent snapshot " +
             s"${expected.getOrElse("<none>")} but newest committed is " +
@@ -401,7 +405,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // fresh lock was mis-broken (tomb restore raced a third writer), abort
     // rather than let two writers both reach the marker create.
     if (!stillOwned()) {
-      f.delete(snap, true)
+      if (deleteOnConflict) f.delete(snap, true)
+      else f.delete(new Path(snap, "_OP"), false) // rebase retry re-labels
       throw new java.util.ConcurrentModificationException(
         s"layer '$layer': commit lock ownership lost before marker write " +
           "(stale-lock break race); re-read the layer and retry")
@@ -2275,55 +2280,140 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * stats-unknown files re-footered; soft-fail to no-sidecar), then the
     * parent-checked `_COMMITTED` marker.
     */
+  /** Max times one staged maintenance snapshot re-parents onto a newer
+    * head before giving up and surfacing the conflict (each iteration
+    * needs a FRESH concurrent commit to occur, so hitting this means a
+    * write storm where retry-from-scratch is no better).
+    */
+  private val MaxCommitRebases = 10
+
+  /** RACE-INJECTION SEAM: invoked right before every manifest commit's
+    * marker attempt. Lets a spec (or a conflict-resolution demo) land a
+    * concurrent commit deterministically inside the [stage → marker]
+    * window — the OPTIMIZE-vs-append race. A handler that commits through
+    * this same Lake MUST self-disarm first or it recurses. Not for
+    * production use; the default is a no-op with zero overhead.
+    */
+  @volatile var onBeforeManifestCommit: () => Unit = () => ()
+
   private def commitManifest(layer: String, parent: Path, newSnap: Path,
       carried: Seq[String], oldStats: Map[String, FileStats.FileStat],
       schemaDdl: String, dvs: Map[String, String] = Map.empty,
       op: String = "UNKNOWN", mapping: Map[String, String] = Map.empty,
-      dropped: Seq[String] = Nil): Unit = {
+      dropped: Seq[String] = Nil,
+      rebaseRewritten: Option[Set[String]] = None): Path = {
     val base = layerPath(layer)
     val f = fs(newSnap)
-    val newPrefix = s"_v/${newSnap.getName}/"
-    val newFiles = snapshotDirFilesRel(newSnap).map(newPrefix + _)
-    val manifest = SnapshotManifest(carried ++ newFiles, schemaDdl, dvs,
-      mapping, dropped)
-    val (head, shards) =
-      SnapshotManifest.toJsonSharded(manifest, config.manifestShardSize)
+    // vars: a REBASE re-ids the staged snapshot (version ids order history
+    // by name — the re-parented commit must sort after the head it lands on)
+    var curSnap = newSnap
+    var newFiles = {
+      val newPrefix = s"_v/${curSnap.getName}/"
+      snapshotDirFilesRel(curSnap).map(newPrefix + _)
+    }
     def put(name: String, body: String): Unit = {
-      val out = f.create(new Path(newSnap, name), false)
+      val out = f.create(new Path(curSnap, name), true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
     }
-    // shards BEFORE the head: a head naming N shards implies all N exist
-    shards.zipWithIndex.foreach { case (body, i) =>
-      put(SnapshotManifest.shardName(i), body)
-    }
-    put(SnapshotManifest.FileName, head)
-    if (config.collectStats && config.format == "parquet") {
-      try {
-        val conf = spark.sparkContext.hadoopConfiguration
-        val carriedStats = carried.flatMap(oldStats.get)
-        val refooter = newFiles ++ carried.filterNot(oldStats.contains)
-        val allStats =
-          carriedStats ++ FileStats.collectFiles(conf, base, refooter)
-        writeSidecar(newSnap, allStats)
-        // bloom maintenance ∝ commit increment: carried files keep their
-        // parent entries by key, only this commit's files get scanned;
-        // cross-layer (clone) refs opt the whole commit out — the clone
-        // carries no index until materialized (enableBloomIndex refuses)
-        if (!(carried ++ newFiles).exists(r =>
-            r.contains("=") || r.startsWith("../")))
-          maybeBloomSidecar(layer, newSnap, base = base,
-            rels = carried ++ newFiles,
-            rowsByRel = allStats.map(st => st.path -> st.rows).toMap,
-            mapping = mapping,
-            schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl),
-            carried = bloomOfSnapshot(layer, parent))
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          Console.err.println(s"[lake] stats sidecar for $newSnap skipped: $e")
+    def stage(curParent: Path, curCarried: Seq[String],
+        curStats: Map[String, FileStats.FileStat],
+        curDvs: Map[String, String]): Unit = {
+      val manifest = SnapshotManifest(curCarried ++ newFiles, schemaDdl,
+        curDvs, mapping, dropped)
+      val (head, shards) =
+        SnapshotManifest.toJsonSharded(manifest, config.manifestShardSize)
+      // shards BEFORE the head: a head naming N shards implies all N exist
+      // (a rebase that SHRINKS the shard count leaves stale higher-numbered
+      // shard files behind — harmless, the head names what's read)
+      shards.zipWithIndex.foreach { case (body, i) =>
+        put(SnapshotManifest.shardName(i), body)
+      }
+      put(SnapshotManifest.FileName, head)
+      if (config.collectStats && config.format == "parquet") {
+        try {
+          val conf = spark.sparkContext.hadoopConfiguration
+          val carriedStats = curCarried.flatMap(curStats.get)
+          val refooter = newFiles ++ curCarried.filterNot(curStats.contains)
+          val allStats =
+            carriedStats ++ FileStats.collectFiles(conf, base, refooter)
+          f.delete(new Path(curSnap, FileStats.SidecarName), false)
+          writeSidecar(curSnap, allStats)
+          // bloom maintenance ∝ commit increment: carried files keep their
+          // parent entries by key, only this commit's files get scanned;
+          // cross-layer (clone) refs opt the whole commit out — the clone
+          // carries no index until materialized (enableBloomIndex refuses)
+          if (!(curCarried ++ newFiles).exists(r =>
+              r.contains("=") || r.startsWith("../")))
+            maybeBloomSidecar(layer, curSnap, base = base,
+              rels = curCarried ++ newFiles,
+              rowsByRel = allStats.map(st => st.path -> st.rows).toMap,
+              mapping = mapping,
+              schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl),
+              carried = bloomOfSnapshot(layer, curParent))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Console.err.println(s"[lake] stats sidecar for $curSnap skipped: $e")
+        }
       }
     }
-    commitMarker(layer, newSnap, requireParent = Some(Some(parent.getName)),
-      op)
+    val parentDv = dvMapOf(parent)
+    var curParent = parent
+    var curCarried = carried
+    var curStats = oldStats
+    var curDvs = dvs
+    var rebases = 0
+    while (true) {
+      stage(curParent, curCarried, curStats, curDvs)
+      // (loop exits via `return curSnap` on a successful marker)
+      onBeforeManifestCommit()
+      try {
+        commitMarker(layer, curSnap,
+          requireParent = Some(Some(curParent.getName)), op,
+          deleteOnConflict = rebaseRewritten.isEmpty)
+        return curSnap
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          // LOGICAL CONFLICT RESOLUTION (Delta's conflict matrix for
+          // maintenance vs blind appends): when the staged commit's
+          // REWRITTEN file set is untouched by the new head — all still
+          // present, none re-DV'd, schema/mapping unchanged — the staged
+          // data is byte-for-byte what a re-run against the new head
+          // would produce for those files. Re-parent: carry the head's
+          // inventory minus the rewritten set, keep the staged outputs,
+          // retry the marker. A long OPTIMIZE racing a steady append
+          // stream then lands in one pass instead of starving on
+          // retry-from-scratch.
+          val rewritten = rebaseRewritten.getOrElse(throw e) // snap deleted
+          rebases += 1
+          def bail(): Nothing = { f.delete(curSnap, true); throw e }
+          if (rebases > MaxCommitRebases) bail()
+          val head = latestSnapshot(layer).getOrElse(bail())
+          val mH = manifestOf(head).getOrElse(bail()) // self-contained head
+          // = a full overwrite replaced the corpus: staged outputs stale
+          val hFiles = mH.files.toSet
+          val compatible =
+            rewritten.subsetOf(hFiles) &&
+              mH.schemaDdl == schemaDdl &&
+              mH.mapping == mapping &&
+              mH.dropped.toSet == dropped.toSet &&
+              rewritten.forall(r => mH.dvs.get(r) == parentDv.get(r))
+          if (!compatible) bail()
+          curParent = head
+          curCarried = mH.files.filterNot(rewritten)
+          curDvs = mH.dvs -- rewritten
+          curStats = statsOfSnapshot(layer, head)
+          // re-id the staged snapshot so the rebased commit becomes the
+          // name-ordered head (a dir rename: metadata-cheap on FS/HDFS,
+          // bounded by the staged outputs on object stores — still far
+          // cheaper than re-running the rewrite)
+          val fresh = new Path(s"$base/_v/${newVersionId()}")
+          if (!f.rename(curSnap, fresh)) bail()
+          curSnap = fresh
+          val freshPrefix = s"_v/${curSnap.getName}/"
+          newFiles = snapshotDirFilesRel(curSnap).map(freshPrefix + _)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Roll the layer back to `version` as a NEW commit (Delta's RESTORE):
@@ -2844,18 +2934,28 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         .format(config.format).mode("errorifexists")
       if (partCols.nonEmpty) writer = writer.partitionBy(partCols: _*)
       writer.save(newSnap.toString)
-      // rewritten files materialized their DVs; carried files keep theirs
-      commitManifest(layer, snap, newSnap, carried, oldStats, schemaDdl,
+      // rewritten files materialized their DVs; carried files keep theirs.
+      // OPTIMIZE commits are data-invisible rearrangements of `affected`,
+      // so a lost parent race REBASES onto the new head (disjoint-file
+      // conflict resolution) instead of discarding the bin-pack; row ops
+      // (DELETE/UPDATE/MERGE) keep strict retry-from-scratch — their
+      // predicate must re-evaluate against concurrently added files
+      val committed = commitManifest(layer, snap, newSnap, carried,
+        oldStats, schemaDdl,
         dvs = parentDv.filter { case (rel, _) => carried.contains(rel) },
         op = op, mapping = mapping,
-        dropped = if (carried.isEmpty) Nil else droppedOf(snap))
+        dropped = if (carried.isEmpty) Nil else droppedOf(snap),
+        rebaseRewritten =
+          if (op == "OPTIMIZE") Some(affected.toSet) else None)
+      // a rebase may have re-id'd the staged snapshot — report the path
+      // that actually committed
+      Lake.RowOpResult(committed.toString, affected.size, carried.size)
     } catch {
       case e: java.util.ConcurrentModificationException => throw e // cleaned
       case scala.util.control.NonFatal(e) =>
         fs(newSnap).delete(newSnap, true) // no marker — don't leak debris
         throw e
     }
-    Lake.RowOpResult(newSnap.toString, affected.size, carried.size)
   }
 
   // ---- DSv2 group-based row-level operations (SupportsRowLevelOperations)
