@@ -3246,6 +3246,79 @@ object SparkEntry {
           .withColumn("side", lit(side))
       agg("fork", "clone").unionByName(agg("docs", "src"))
         .orderBy("side", "lang")
+    }),
+
+    // PARTITION LAYOUT EVOLUTION: the corpus lands FLAT, then one atomic
+    // rewrite commit re-partitions it by lang; the in-query requires pin
+    // that the new head is hive-laid-out AND that a lang predicate scans
+    // only its partition's files (directory pruning on the NEW layout),
+    // while the pre-evolution version stays time-travel-readable. The
+    // rewrite is data-invisible, so the oracle is the corpus agg.
+    "q160_repartition_layer" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q160_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      lake.writeAtomic(docs.repartition(8), "docs") // flat, 8 files
+      val v1 = lake.listVersions("docs").head
+      lake.repartitionLayer("docs", Seq("lang"))
+      val head = new java.io.File(s"$root/docs/_v/" +
+        lake.listVersions("docs").head)
+      require(head.listFiles().exists(_.getName.startsWith("lang=")),
+        "evolved head must be hive-partitioned on lang")
+      def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect() // finalize the plan so the scan metric populates
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numFiles").value
+        }.sum
+      }
+      val total = scanned(lake.read("docs"))
+      val one = scanned(lake.read("docs").filter(col("lang") === "en"))
+      require(one < total,
+        s"lang predicate must prune to its partition: $one vs $total")
+      require(lake.readVersion("docs", v1).count() == docs.count(),
+        "pre-evolution version must stay time-travel-readable")
+      lake.read("docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
+    // TYPE WIDENING lifecycle (Delta 3.x's ALTER COLUMN TYPE): the corpus
+    // lands with an INT rating, one metadata-only commit widens it to
+    // BIGINT (zero files rewritten — carried int32 parquet reads through
+    // the vectorized reader's type promotion), then an append lands
+    // values only a 64-bit column can hold. Time travel still serves the
+    // pre-widening version at its own narrow schema.
+    "q161_widen_column" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q161_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        (col("n_chars") % 1000).cast("int").as("rating"))
+      lake.writeAtomic(docs.repartition(4), "docs")
+      val v1 = lake.listVersions("docs").head
+      val row = newspipe.io.LakeSql.sql(s,
+        s"ALTER TABLE lake.`$root`.docs ALTER COLUMN rating TYPE BIGINT")
+        .collect().head
+      require(row.getString(0) == "ALTER COLUMN TYPE", s"got $row")
+      require(lake.read("docs").schema("rating").dataType ==
+        org.apache.spark.sql.types.LongType, "head must read BIGINT")
+      require(lake.readVersion("docs", v1).schema("rating").dataType ==
+        org.apache.spark.sql.types.IntegerType,
+        "pre-widening version must keep its narrow schema (time travel)")
+      require(lake.historyRows("docs").last.getString(2) ==
+        "ALTER COLUMN TYPE", "history must record the widening commit")
+      // values only the widened column can hold
+      lake.appendAtomic(docs.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), col("lang"),
+          (col("rating").cast("long") + 5000000000L).as("rating")), "docs")
+      lake.read("docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("rating").as("sum_rating"))
+        .orderBy("lang")
     })
   )
 
@@ -5652,6 +5725,22 @@ object SparkEntry {
           |)
           |SELECT * FROM c UNION ALL SELECT * FROM s
           |ORDER BY side, lang""".stripMargin) +
+      // layout evolution is data-invisible: corpus agg (q117's oracle)
+      ("q160_repartition_layer" -> ext("q117_lake_compact_small")) +
+      // widened corpus replayed: original ratings at int width plus the
+      // re-appended tenth carrying 64-bit-only values (CAST-correct: the
+      // q150/q156 BIGINT discipline on every integer aggregate)
+      ("q161_widen_column" ->
+        """WITH ev AS (
+          |  SELECT lang, CAST(n_chars % 1000 AS BIGINT) AS rating
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT lang, CAST(n_chars % 1000 AS BIGINT) + 5000000000
+          |  FROM documents WHERE doc_id % 10 = 3
+          |)
+          |SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(rating) AS BIGINT) AS sum_rating
+          |FROM ev GROUP BY lang ORDER BY lang""".stripMargin) +
       ("q152_substring_dedup" -> substringScrubOracleSql) +
       // SQL surface = API: the TVF runs the identical kernel
       ("q154_sql_substring_scrub" -> substringScrubOracleSql) +

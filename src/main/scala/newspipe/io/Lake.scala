@@ -2000,6 +2000,42 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       prearranged = true)
   }
 
+  /** PARTITION LAYOUT EVOLUTION (`ALTER TABLE … SET PARTITIONED BY`): a
+    * layer's hive layout is fixed at first write; this rewrites the WHOLE
+    * corpus into the new layout as ONE committed snapshot — history and
+    * time travel stay intact (pre-evolution versions read through their
+    * own manifests/layout), the stats sidecar regenerates for the new
+    * files, and [[layerPartitionCols]] picks the new layout up from the
+    * head inventory so every subsequent append lands inside it. The
+    * declared `lake.partitionBy` property follows the new layout (the
+    * empty-head tiebreaker). `partitionBy = Nil` flattens a partitioned
+    * layer. The rewrite is [[compact]]'s single-shuffle arrangement —
+    * salt-spread within hive values so file sizing holds under skew,
+    * optionally z-ordered within the new partitions. At 100 TB this is
+    * deliberately a full O(corpus) rewrite — the one operation that
+    * cannot be incremental, since every row's directory changes; what
+    * matters is that it is ONE shuffle, one atomic flip, and readers
+    * never see a half-evolved layout.
+    */
+  def repartitionLayer(layer: String, partitionBy: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Nil): String = {
+    val schema = layerSchema(layer)
+    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"repartitionLayer('$layer'): no column '$c' " +
+        s"(has: ${schema.fieldNames.mkString(", ")})"))
+    val current = latestSnapshot(layer)
+      .map(snap => layerPartitionCols(layer, snapshotInventory(layer, snap)))
+      .getOrElse(Nil)
+    require(current != partitionBy,
+      s"layer '$layer' is already partitioned by " +
+        s"${if (partitionBy.isEmpty) "(nothing)" else partitionBy.mkString(", ")}")
+    val snap = compact(layer, targetFileBytes, partitionBy, zorderBy)
+    setProperties(layer,
+      Map("lake.partitionBy" -> partitionBy.mkString(",")))
+    snap
+  }
+
   /** Partition-scoped OPTIMIZE (Delta's `OPTIMIZE … WHERE part = v
     * [ZORDER BY …]`): rewrite ONLY the files of the hive partitions the
     * predicate selects — right-sized (optionally z-ordered) replacements
@@ -2644,6 +2680,46 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         name, dataType, nullable = true))
     commitMetaOnly(layer, snap, inv, newSchema.toDDL, mappingOf(snap),
       droppedOf(snap), "ADD COLUMN")
+  }
+
+  /** TYPE WIDENING (Delta 3.x's `ALTER TABLE … ALTER COLUMN … TYPE`):
+    * re-record the column at a WIDER type as a metadata-only manifest
+    * commit — ZERO files rewritten. Carried files keep their narrow
+    * physical type and read through the parquet reader's type promotion
+    * (the manifest schema is the read authority, exactly [[addColumn]]'s
+    * mechanism); subsequent appends may land at either width — narrow
+    * increments promote on read the same way. Allowed promotions are
+    * [[SchemaEvolution.widens]]'s exact list (byte→short→int→long,
+    * float→double, byte/short/int→double); NARROWING is refused loudly —
+    * it would corrupt every carried file's reads. On a 100 TB layer this
+    * turns the int→long migration every long-lived schema eventually
+    * needs from a full rewrite into one manifest write.
+    */
+  def widenColumn(layer: String, name: String,
+      newType: org.apache.spark.sql.types.DataType): Lake.RowOpResult = {
+    val snap = headForMetaOp(layer)
+    val schema = snapshotSchema(layer, snap)
+    val field = schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"widenColumn('$layer'): no column '$name' " +
+          s"(has: ${schema.fieldNames.mkString(", ")})"))
+    val inv = snapshotInventory(layer, snap)
+    if (field.dataType == newType)
+      return Lake.RowOpResult(snap.toString, 0, inv.size, noop = true)
+    require(SchemaEvolution.widens(field.dataType, newType),
+      s"widenColumn('$layer'): ${field.dataType.simpleString} → " +
+        s"${newType.simpleString} is not a safe widening (allowed: " +
+        "byte→short→int→long, float→double, byte/short/int→double) — " +
+        "narrowing would corrupt carried files' reads; rewrite through " +
+        "compact() on an explicitly cast frame instead")
+    // hive partition values live as PATH STRINGS typed by discovery —
+    // changing their declared type is a layout question, not metadata
+    refusePartitionColumn(layer, inv,
+      mappingOf(snap).getOrElse(name, name), "widenColumn")
+    val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map(
+      f => if (f.name == name) f.copy(dataType = newType) else f))
+    commitMetaOnly(layer, snap, inv, newSchema.toDDL, mappingOf(snap),
+      droppedOf(snap), "ALTER COLUMN TYPE")
   }
 
   private def requireColumnMapping(layer: String, op: String): Unit =

@@ -278,10 +278,14 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
         lake.addColumn(ident.name,
           topLevel(ac.fieldNames, "ADD COLUMN"), ac.dataType)
         None
+      case uc: TableChange.UpdateColumnType =>
+        lake.widenColumn(ident.name,
+          topLevel(uc.fieldNames, "ALTER COLUMN TYPE"), uc.newDataType)
+        None
       case other => throw new IllegalArgumentException(
-        s"lake catalog supports SET/UNSET TBLPROPERTIES, ADD COLUMN and " +
-          s"RENAME/DROP COLUMN here; type changes go through " +
-          s"SchemaEvolution (got: $other)")
+        s"lake catalog supports SET/UNSET TBLPROPERTIES, ADD COLUMN, " +
+          s"RENAME/DROP COLUMN and ALTER COLUMN TYPE (widening only) " +
+          s"here (got: $other)")
     }
     if (updates.nonEmpty) lake.setProperties(ident.name, updates.toMap)
     LakeTable(spark, base, ident.name, None, catName)

@@ -76,6 +76,9 @@ object LakeSql {
       from: String, to: String) extends LakeDml
   final case class LakeDropColumns(base: String, layer: String,
       names: Seq[String], ifExists: Boolean) extends LakeDml
+  final case class LakeWidenColumn(base: String, layer: String,
+      column: String,
+      newType: org.apache.spark.sql.types.DataType) extends LakeDml
 
   /** The `lake`.`<basePath>`.`<layer>` target of a DML plan, seen through
     * any alias.
@@ -186,6 +189,23 @@ object LakeSql {
         LakeDropColumns(b, l, dc.columnsToDrop.map(topLevelField),
           dc.ifExists)
       }
+    // ALTER TABLE … ALTER COLUMN col TYPE t — metadata-only widening
+    // (Lake.widenColumn; narrowing refused). Only the pure type-change
+    // form routes here; comment/position/default specs are not lake ops.
+    case ac: AlterColumns =>
+      lakeTarget(ac.table).flatMap { case (b, l) =>
+        ac.specs match {
+          case Seq(spec) if spec.newDataType.isDefined &&
+              spec.newNullability.isEmpty && spec.newComment.isEmpty &&
+              spec.newPosition.isEmpty &&
+              spec.newDefaultExpression.isEmpty =>
+            Some(LakeWidenColumn(b, l, topLevelField(spec.column),
+              spec.newDataType.get))
+          case _ => throw new IllegalArgumentException(
+            "lake ALTER COLUMN supports exactly one TYPE change per " +
+              "statement (widening only)")
+        }
+      }
     case _ => None
   }
 
@@ -212,6 +232,7 @@ object LakeSql {
     case _: LakeSetProps | _: LakeUnsetProps => true
     case _: LakeAddConstraint | _: LakeDropConstraint => true
     case _: LakeRenameColumn | _: LakeDropColumns => true
+    case _: LakeWidenColumn => true
     case _ => false
   }
 
@@ -263,6 +284,9 @@ object LakeSql {
           if (!ifExists || present(n)) lake.dropColumn(layer, n)
         }
         Row("DROP COLUMN", names.mkString(","))
+      case LakeWidenColumn(_, layer, column, newType) =>
+        lake.widenColumn(layer, column, newType)
+        Row("ALTER COLUMN TYPE", s"$column -> ${newType.simpleString}")
       case other => throw new IllegalStateException(
         s"row-op statement routed to runProps(): $other")
     }
@@ -325,6 +349,11 @@ object LakeSql {
       version: Option[String], timestampMs: Option[Long]) extends LakeMaint
   final case class LakeHistory(base: String, layer: String) extends LakeMaint
   final case class LakeDetail(base: String, layer: String) extends LakeMaint
+  /** `ALTER TABLE … SET PARTITIONED BY (c1, c2)` — partition layout
+    * evolution; empty parens flatten.
+    */
+  final case class LakeRepartition(base: String, layer: String,
+      cols: Seq[String]) extends LakeMaint
   /** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF 'v']` — both
     * identifiers kept as raw multiparts; bases resolve at RUN time (the
     * catalog-qualified form needs the session's catalog conf, which the
@@ -365,6 +394,10 @@ object LakeSql {
   private val CloneRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*CREATE\\s+TABLE\\s+(.+?)\\s+SHALLOW\\s+CLONE\\s+(.+?)" +
       "(?:\\s+VERSION\\s+AS\\s+OF\\s+'([^']+)')?\\s*;?\\s*$")
+  // SET PARTITIONED BY is not Spark grammar either — lake targets only
+  private val RepartitionRe = java.util.regex.Pattern.compile(
+    s"(?is)^\\s*ALTER\\s+TABLE\\s+$TargetRe\\s+SET\\s+PARTITIONED\\s+BY" +
+      "\\s*\\(\\s*([^)]*?)\\s*\\)\\s*;?\\s*$")
   private val HistoryRe = java.util.regex.Pattern.compile(
     s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$TargetRe" + "\\s*;?\\s*$")
   private val DetailRe = java.util.regex.Pattern.compile(
@@ -405,6 +438,13 @@ object LakeSql {
     if (cl.matches()) {
       return Some(LakeClone(splitIdent(cl.group(1)),
         splitIdent(cl.group(2)), Option(cl.group(3))))
+    }
+    val rp = RepartitionRe.matcher(sqlText)
+    if (rp.matches()) {
+      val (base, layer) = targetOf(rp, 1)
+      val cols = rp.group(4).split(',')
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+      return Some(LakeRepartition(base, layer, cols.toSeq))
     }
     val h = HistoryRe.matcher(sqlText)
     if (h.matches()) {
@@ -571,6 +611,9 @@ object LakeSql {
       case LakeConvert(_, layer) =>
         val snap = lake.convertToLake(layer)
         Row("CONVERT", new org.apache.hadoop.fs.Path(snap).getName)
+      case LakeRepartition(_, layer, cols) =>
+        val snap = lake.repartitionLayer(layer, cols)
+        Row("REPARTITION", new org.apache.hadoop.fs.Path(snap).getName)
       case LakeClone(dstParts, srcParts, version) =>
         val (dstBase, dst) = resolveCloneTarget(session, dstParts)
         val (srcBase, src) = resolveCloneTarget(session, srcParts)

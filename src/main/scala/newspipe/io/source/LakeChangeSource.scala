@@ -35,12 +35,22 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *    with `startingVersion`.
   *  - `maxVersionsPerTrigger`: admission control (Delta's
   *    `maxFilesPerTrigger` role at this source's natural granularity):
-  *    each micro-batch advances at most N committed versions. BEST
-  *    EFFORT, exactly like Delta's: the first trigger after a (re)start
-  *    serves the full backlog — the DSv1 contract gives the source no
-  *    view of the restored offset until `getBatch`, and capping blind
-  *    risks serving a reversed range. From the second trigger on, the
-  *    cap holds; with N=1 every batch is exactly one commit's delta.
+  *    each micro-batch advances at most N committed versions; with N=1
+  *    every batch is exactly one commit's delta. Holds from the FIRST
+  *    trigger: fresh starts anchor at the starting version, restarts are
+  *    primed through `commit`/`getBatch` replay before the first poll.
+  *  - `maxBytesPerTrigger`: byte-based admission (Delta's option of the
+  *    same name): admit whole commits until their ADDED-file bytes (from
+  *    each commit's version dir — carried files were admitted with their
+  *    own commits) would exceed the cap; always at least one commit, so
+  *    a single over-budget commit still makes progress. Both caps may be
+  *    set; whichever trips first bounds the batch.
+  *  - `Trigger.AvailableNow`: the source latches the layer head at query
+  *    start and drains exactly to it in admission-capped batches, then
+  *    stops — the 100 TB backfill pattern ("process everything, bounded
+  *    batches, then stop"). Implemented natively so the caps keep
+  *    applying per batch (Spark's generic v1 wrapper would latch one
+  *    capped offset and stop after a single batch).
   *  - `keyColumns` (csv): four-tag CDF — per commit, a key present on
   *    both sides surfaces as `update_preimage`/`update_postimage`
   *    instead of delete+insert ([[Lake.changeFeedKeyed]] semantics,
@@ -92,6 +102,11 @@ class LakeChangeSource extends StreamSourceProvider {
         require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
         n
       },
+      parameters.get("maxBytesPerTrigger").map { v =>
+        val n = v.toLong
+        require(n >= 1, s"maxBytesPerTrigger must be >= 1, got $n")
+        n
+      },
       parameters.get("keyColumns").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
   }
@@ -105,11 +120,23 @@ object LakeChangeSource {
       nullable = false))
 }
 
-/** One [[LakeChangeSource]] stream instance. Offset json = version id. */
+/** One [[LakeChangeSource]] stream instance. Offset json = version id.
+  *
+  * Implements [[SupportsTriggerAvailableNow]] natively (rather than
+  * letting Spark's `AvailableNowSourceWrapper` latch around it): the
+  * wrapper would latch the CAPPED offset [[getOffset]] returns and stop
+  * after one batch, whereas the standard backfill contract — "process the
+  * whole backlog in rate-limited batches, then stop" — needs the latch at
+  * the drain TARGET with admission still applied per batch. A 100 TB CDF
+  * catch-up run is exactly this: `maxBytesPerTrigger` bounds each batch's
+  * scan volume, `Trigger.AvailableNow` bounds the run.
+  */
 private[source] class LakeChangeStream(spark: SparkSession, basePath: String,
     layer: String, startingVersion: String, startingTimestamp: Option[Long],
-    maxVersionsPerTrigger: Option[Int], keyColumns: Seq[String])
-    extends Source {
+    maxVersionsPerTrigger: Option[Int], maxBytesPerTrigger: Option[Long],
+    keyColumns: Seq[String])
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val lake = new Lake(spark, LakeConfig(basePath = basePath))
   private val layerSchema = lake.layerSchema(layer)
@@ -137,29 +164,118 @@ private[source] class LakeChangeStream(spark: SparkSession, basePath: String,
     }
   }
 
-  /** End version of the last batch THIS process served — the anchor the
-    * admission cap advances from. Deliberately not recovered from the
-    * checkpoint (DSv1 gives the source no committed-offset view before
-    * getBatch), which is why the cap is best-effort on the first trigger.
+  /** End version of the last batch served in-process — [[getOffset]]'s
+    * fallback anchor if anything still drives this source through the
+    * plain v1 poll (the admission-control path below receives the start
+    * offset from Spark directly and needs no memory).
     */
   @volatile private var lastEnd: Option[String] = None
 
-  override def getOffset: Option[V1Offset] = {
+  /** Drain target latched by `Trigger.AvailableNow` at query start: the
+    * run processes up to exactly this version (in admission-capped
+    * batches) and stops; commits landing after the latch wait for the
+    * next run.
+    */
+  @volatile private var availableNowTarget: Option[String] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = lake.listVersions(layer).headOption
+
+  /** Bytes a commit ADDED: the data files physically inside its version
+    * dir (carried files live in older dirs and were admitted with their
+    * own commits). One listing per version, driver-side, cached — the
+    * byte cap's accounting cost is O(new files), not O(layer).
+    */
+  private val incrementBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def incrementBytes(version: String): Long =
+    incrementBytesCache.computeIfAbsent(version, { v =>
+      val dir = new org.apache.hadoop.fs.Path(s"$basePath/$layer/_v/$v")
+      val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var sum = 0L
+      if (f.exists(dir)) {
+        val it = f.listFiles(dir, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && !st.getPath.getName.startsWith("_"))
+            sum += st.getLen
+        }
+      }
+      java.lang.Long.valueOf(sum)
+    }).longValue()
+
+  /** The admission decision shared by both poll surfaces: from `anchor`
+    * (None = pre-initial-load), admit committed versions ascending until
+    * either cap trips — always at least one (Delta's soft-cap posture: a
+    * single over-budget commit must still make progress) — never past the
+    * AvailableNow latch. None = no versions at all.
+    */
+  private def cappedEnd(anchor: Option[String]): Option[String] = {
     val newestFirst = lake.listVersions(layer)
     if (newestFirst.isEmpty) return None
-    val end = (maxVersionsPerTrigger, lastEnd) match {
-      case (Some(n), Some(last)) =>
-        val asc = newestFirst.reverse
-        val i = asc.indexOf(last)
-        // last already vacuumed: advancing blind could reverse the range;
-        // serve the head and let getBatch's diff fail loudly if the START
-        // was reclaimed too (the vacuum contract)
-        if (i < 0) newestFirst.head
-        else asc(math.min(i + n, asc.size - 1))
-      case _ => newestFirst.head
-    }
-    Some(VersionOffset(end))
+    val asc = newestFirst.reverse
+    // AvailableNow: never poll past the latched drain target
+    val headIdx = availableNowTarget.map(asc.indexOf).filter(_ >= 0)
+      .getOrElse(asc.size - 1)
+    val anchorIdx = anchor.map(asc.indexOf).getOrElse(-1)
+    val end =
+      if (anchor.isDefined && anchorIdx < 0) {
+        // anchor already vacuumed: advancing blind could reverse the
+        // range; serve the drain head and let getBatch's diff fail loudly
+        // if the start was reclaimed too (the vacuum contract)
+        asc(headIdx)
+      } else if (maxVersionsPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) {
+        asc(math.max(headIdx, math.max(anchorIdx, 0)))
+      } else {
+        var i = anchorIdx
+        var bytes = 0L
+        var done = false
+        while (!done && i < headIdx) {
+          val next = i + 1 // pin BEFORE mutating i — nextBytes is lazy
+          val admitted = i - anchorIdx
+          val countOk = maxVersionsPerTrigger.forall(n => admitted < n)
+          lazy val nextBytes = incrementBytes(asc(next))
+          val bytesOk = admitted == 0 ||
+            maxBytesPerTrigger.forall(b => bytes + nextBytes <= b)
+          if (countOk && bytesOk) {
+            bytes += (if (maxBytesPerTrigger.isDefined) nextBytes else 0L)
+            i = next
+          } else done = true
+        }
+        asc(math.max(i, 0))
+      }
+    Some(end)
   }
+
+  /** Sentinel for "before the initial load" (earliest-start streams have
+    * no base version to anchor at) — sorts before every real version id,
+    * and never escapes into the offset log (only [[latestOffset]]'s
+    * return values are persisted, and it never returns the sentinel).
+    */
+  private val PreInitial = ""
+
+  override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    VersionOffset(baseVersion.getOrElse(PreInitial))
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** The admission-control poll (Spark drives THIS, not [[getOffset]],
+    * because the class declares SupportsAdmissionControl): `start` is the
+    * exact restored/previous offset, so the caps hold from the first
+    * trigger of a fresh start AND of a restart — no best-effort caveat.
+    */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val anchor = Option(start).map(_.json).filter(_ != PreInitial)
+    cappedEnd(anchor).map(VersionOffset(_)).orNull
+  }
+
+  override def getOffset: Option[V1Offset] =
+    cappedEnd(lastEnd.orElse(baseVersion)).map(VersionOffset(_))
 
   /** Conform a delta leg to the DECLARED stream schema: a streaming
     * source's schema is fixed at query start, but the layer's can evolve
@@ -199,6 +315,13 @@ private[source] class LakeChangeStream(spark: SparkSession, basePath: String,
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endV = versionOf(end)
+    // version ids are zero-padded time — lexicographic IS commit order. A
+    // reversed range can only mean offset state diverged from the layer
+    // (e.g. a checkpoint from a different layer): fail loudly, a reversed
+    // diff would silently invert inserts and deletes.
+    start.map(versionOf).foreach(s => require(s <= endV,
+      s"lake change feed: batch range reversed ($s → $endV) — the " +
+        "checkpoint's offsets do not match this layer's history"))
     lastEnd = Some(endV)
     val batch: DataFrame = start.map(versionOf).orElse(baseVersion) match {
       case Some(fromV) if fromV == endV =>

@@ -221,7 +221,38 @@ object LakeStreamSink {
     * each batch just filters to `insert` and drops the tag (Delta's
     * `skipChangeCommits` posture for plain-rows streaming reads).
     */
-  private[io] final class InsertOnlySource(inner: Source) extends Source {
+  private[io] final class InsertOnlySource(inner: Source) extends Source
+      with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+    // forward the AvailableNow latch — Spark's AvailableNowSourceWrapper
+    // would otherwise latch the inner source's CAPPED offset and stop the
+    // backfill after one batch instead of draining it
+    override def prepareForTriggerAvailableNow(): Unit = inner match {
+      case s: org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow =>
+        s.prepareForTriggerAvailableNow()
+      case _ => ()
+    }
+    // the admission-control trio forwards too — declaring the capability
+    // reroutes Spark's poll from getOffset to latestOffset
+    override def initialOffset()
+        : org.apache.spark.sql.connector.read.streaming.Offset =
+      inner.initialOffset()
+    override def getDefaultReadLimit
+        : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+      inner match {
+        case s: org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl =>
+          s.getDefaultReadLimit
+        case _ =>
+          org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+      }
+    override def latestOffset(
+        start: org.apache.spark.sql.connector.read.streaming.Offset,
+        limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+        : org.apache.spark.sql.connector.read.streaming.Offset =
+      inner match {
+        case s: org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl =>
+          s.latestOffset(start, limit)
+        case _ => inner.getOffset.orNull
+      }
     override val schema: StructType = StructType(inner.schema.fields
       .filterNot(_.name == LakeChangeSource.ChangeTypeCol))
     override def getOffset: Option[V1Offset] = inner.getOffset

@@ -257,4 +257,74 @@ class LakeColumnMappingSpec extends SparkTestBase {
     lake.read("docs").select("n").collect()
       .forall(_.isNullAt(0)) shouldBe true // fresh column, not old values
   }
+
+  test("ALTER COLUMN TYPE widening is metadata-only: carried int32 files " +
+      "read as long, appends land at either width") {
+    import org.apache.spark.sql.types.{IntegerType, LongType, DoubleType}
+    val dir = Files.createTempDirectory("lakecm_widen").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.writeAtomic(Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "n"),
+      "docs")
+    val r = lake.widenColumn("docs", "n", LongType)
+    r.rewrittenFiles shouldBe 0 // zero files touched — one manifest commit
+    lake.read("docs").schema("n").dataType shouldBe LongType
+    // the carried int32 parquet reads through the reader's promotion
+    lake.read("docs").agg(sum("n")).as[Long].head() shouldBe 60L
+    // append at the WIDE type
+    lake.appendAtomic(Seq((4L, 4000000000L)).toDF("id", "n"), "docs")
+    // append at the NARROW type still lands (promotes on read)
+    lake.appendAtomic(Seq((5L, 50)).toDF("id",
+      "n").select(col("id"), col("n").cast(IntegerType).as("n")), "docs")
+    lake.read("docs").agg(sum("n")).as[Long].head() shouldBe 4000000110L
+    lake.read("docs").schema("n").dataType shouldBe LongType
+  }
+
+  test("widening refusals: narrowing, long→double, unknown column") {
+    import org.apache.spark.sql.types.{IntegerType, LongType, DoubleType}
+    val dir = Files.createTempDirectory("lakecm_narrow").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.writeAtomic(Seq((1L, 10, 1.5f)).toDF("id", "n", "score"), "docs")
+    val e = intercept[IllegalArgumentException] {
+      lake.widenColumn("docs", "id", IntegerType) // long → int narrows
+    }
+    assert(e.getMessage.contains("not a safe widening"))
+    intercept[IllegalArgumentException] {
+      lake.widenColumn("docs", "id", DoubleType) // 64-bit → 53-bit mantissa
+    }
+    intercept[IllegalArgumentException] {
+      lake.widenColumn("docs", "nope", LongType)
+    }
+    // float → double is legal and the old file reads promoted
+    lake.widenColumn("docs", "score", DoubleType)
+    lake.read("docs").schema("score").dataType shouldBe DoubleType
+    lake.read("docs").agg(sum("score")).as[Double].head() shouldBe 1.5
+    // widen to the SAME type is a recorded noop
+    lake.widenColumn("docs", "n", IntegerType).noop shouldBe true
+  }
+
+  test("widening survives time travel, restore, and the SQL + catalog " +
+      "surfaces") {
+    import org.apache.spark.sql.types.LongType
+    val dir = Files.createTempDirectory("lakecm_widen_sql").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.writeAtomic(Seq((1L, 10), (2L, 20)).toDF("id", "n"), "docs")
+    val v1 = lake.listVersions("docs").head
+    val row = LakeSql.sql(spark,
+      s"ALTER TABLE lake.`$dir`.docs ALTER COLUMN n TYPE BIGINT")
+      .collect().head
+    row.getString(0) shouldBe "ALTER COLUMN TYPE"
+    lake.read("docs").schema("n").dataType shouldBe LongType
+    // pre-widening version still reads with its own (narrow) schema
+    lake.readVersion("docs", v1).schema("n").dataType shouldBe
+      org.apache.spark.sql.types.IntegerType
+    lake.historyRows("docs").last.getString(2) shouldBe "ALTER COLUMN TYPE"
+    // catalog surface (TableChange.UpdateColumnType)
+    spark.conf.set("spark.sql.catalog.widecat",
+      classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.widecat.basePath", dir)
+    lake.writeAtomic(Seq((1L, 2.5f)).toDF("id", "score"), "t2")
+    spark.sql("ALTER TABLE widecat.t2 ALTER COLUMN score TYPE DOUBLE")
+    lake.read("t2").schema("score").dataType shouldBe
+      org.apache.spark.sql.types.DoubleType
+  }
 }

@@ -528,4 +528,96 @@ class StreamingSpec extends SparkTestBase {
       after("c2") shouldBe "ad_b"
     } finally q.stop()
   }
+
+  test("Trigger.AvailableNow drains a multi-commit backlog in capped " +
+      "batches, then STOPS") {
+    val dir = java.nio.file.Files.createTempDirectory("lakecdf8").toString
+    val lake = new newspipe.io.Lake(spark, newspipe.io.LakeConfig(dir))
+    import spark.implicits._
+    // 5-commit history accumulated while no stream is running
+    lake.writeAtomic(Seq((1L, "a")).toDF("id", "v"), "t")
+    (2L to 5L).foreach(i =>
+      lake.appendAtomic(Seq((i, "a")).toDF("id", "v"), "t"))
+    val batches = new java.util.concurrent.atomic.AtomicInteger()
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream
+      .format("newspipe.io.source.LakeChangeSource")
+      .option("basePath", dir).option("layer", "t")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = b.as[(Long, String, String)].collect()
+        if (got.nonEmpty) { batches.incrementAndGet(); got.foreach(r => rows.add(r._1)) }
+        ()
+      }
+      .start()
+    // the run terminates BY ITSELF (the AvailableNow contract)
+    assert(q.awaitTermination(120000), "AvailableNow run must stop itself")
+    // the whole backlog arrived, one commit per batch (cap held from the
+    // FIRST trigger — the admission-control path anchors at the exact
+    // start offset, no best-effort caveat)
+    batches.get() shouldBe 5
+    rows.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted shouldBe
+      Array(1L, 2L, 3L, 4L, 5L)
+    // a commit landing after the latch waits for the NEXT run…
+    lake.appendAtomic(Seq((6L, "a")).toDF("id", "v"), "t")
+    val q2 = spark.readStream
+      .format("newspipe.io.source.LakeChangeSource")
+      .option("basePath", dir).option("layer", "t")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.as[(Long, String, String)].collect().foreach(r => rows.add(r._1))
+        ()
+      }
+      .start()
+    assert(q2.awaitTermination(120000))
+    // …and ONLY the new commit arrives (checkpointed restart, caps intact)
+    rows.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted shouldBe
+      Array(1L, 2L, 3L, 4L, 5L, 6L)
+  }
+
+  test("maxBytesPerTrigger admits whole commits up to the byte budget, " +
+      "at least one per batch") {
+    val dir = java.nio.file.Files.createTempDirectory("lakecdf9").toString
+    val lake = new newspipe.io.Lake(spark, newspipe.io.LakeConfig(dir))
+    import spark.implicits._
+    lake.writeAtomic(Seq((0L, "seed")).toDF("id", "v"), "t")
+    // 4 additional single-file commits, each a few KB
+    (1L to 4L).foreach(i =>
+      lake.appendAtomic(Seq((i, "x" * 64)).toDF("id", "v"), "t"))
+    val perBatch =
+      new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    def run(maxBytes: String): Unit = {
+      perBatch.clear()
+      val ckpt = java.nio.file.Files.createTempDirectory("ck").toString
+      val q = spark.readStream
+        .format("newspipe.io.source.LakeChangeSource")
+        .option("basePath", dir).option("layer", "t")
+        .option("startingVersion", lake.listVersions("t").last)
+        .option("maxBytesPerTrigger", maxBytes)
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.count().toInt
+          if (n > 0) perBatch.add(n); ()
+        }
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    // a 1-byte budget still makes progress: one commit per batch (soft cap)
+    run("1")
+    perBatch.toArray(Array.empty[Integer]).map(_.toInt).toSeq shouldBe
+      Seq(1, 1, 1, 1)
+    // a generous budget takes the whole backlog in one batch
+    run((64L * 1024 * 1024).toString)
+    perBatch.toArray(Array.empty[Integer]).map(_.toInt).toSeq shouldBe Seq(4)
+  }
 }
