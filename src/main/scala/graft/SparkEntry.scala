@@ -3319,6 +3319,51 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("rating").as("sum_rating"))
         .orderBy("lang")
+    }),
+
+    // CLUSTERING KEYS (Delta liquid clustering's declaration role): the
+    // corpus lands ANTI-clustered on n_chars (round-robin — min/max stats
+    // can never prune), `ALTER TABLE … CLUSTER BY (n_chars)` declares the
+    // keys metadata-only, and a plain OPTIMIZE (no ZORDER clause)
+    // converges the layout — the in-query requires pin that a narrow
+    // n_chars predicate then skips files it previously couldn't. The
+    // rewrite is data-invisible, so the oracle is the corpus agg.
+    "q162_cluster_by" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q162_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      lake.writeAtomic(docs.repartition(8), "docs") // anti-clustered
+      val pred = col("n_chars").between(400, 450)
+      val before = lake.pruneInfo("docs", pred).get
+      require(before.keptFiles == before.totalFiles,
+        "round-robin layout must defeat min/max pruning before clustering")
+      newspipe.io.LakeSql.sql(s,
+        s"ALTER TABLE lake.`$root`.docs CLUSTER BY (n_chars)").collect()
+      require(lake.listVersions("docs").size == 1,
+        "CLUSTER BY must be metadata-only (no rewrite at declaration)")
+      // Delta's delta.targetFileSize role — sized from the layer's own
+      // bytes (~6 output files) so the clustered output is multi-file and
+      // skipping observable at EVERY scale factor
+      val target = math.max(1024L,
+        lake.describeDetail("docs").sizeInBytes / 6)
+      newspipe.io.LakeSql.sql(s,
+        s"ALTER TABLE lake.`$root`.docs SET TBLPROPERTIES " +
+          s"('lake.targetFileBytes' = '$target')").collect()
+      newspipe.io.LakeSql.sql(s,
+        s"OPTIMIZE lake.`$root`.docs").collect()
+      require(lake.historyRows("docs").last.getString(2) ==
+        "OPTIMIZE ZORDER",
+        "plain OPTIMIZE must pick the declared clustering keys up")
+      val after = lake.pruneInfo("docs", pred).get
+      require(after.totalFiles > 1 && after.keptFiles < after.totalFiles,
+        s"clustered layout must prune: kept ${after.keptFiles} of " +
+          s"${after.totalFiles}")
+      lake.read("docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
     })
   )
 
@@ -5727,6 +5772,8 @@ object SparkEntry {
           |ORDER BY side, lang""".stripMargin) +
       // layout evolution is data-invisible: corpus agg (q117's oracle)
       ("q160_repartition_layer" -> ext("q117_lake_compact_small")) +
+      // clustering is data-invisible: corpus agg (q117's oracle)
+      ("q162_cluster_by" -> ext("q117_lake_compact_small")) +
       // widened corpus replayed: original ratings at int width plus the
       // re-appended tenth carrying 64-bit-only values (CAST-correct: the
       // q150/q156 BIGINT discipline on every integer aggregate)

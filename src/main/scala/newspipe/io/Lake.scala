@@ -1892,8 +1892,16 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       return Lake.RowOpResult(snap.toString, 0, sized.size, noop = true)
     val bins = math.max(1L,
       (small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes).toInt
+    // declared clustering keys: the incremental pass arranges what it
+    // rewrites anyway (liquid-clustering convergence); otherwise a plain
+    // bin-pack
+    val zcols = clusterByCols(layer)
+    val partCols = layerPartitionCols(layer, sized.map(_._1))
     rewriteCore(layer, snap, predicate = None,
-      transform = df => df.repartition(bins),
+      transform = df =>
+        if (zcols.nonEmpty)
+          newspipe.ops.ZOrder.arrange(df, zcols, bins, partCols)
+        else df.repartition(bins),
       append = None, op = "OPTIMIZE",
       affectedOverride = Some(small.map(_._1).toSet))
   }
@@ -1956,7 +1964,9 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   def compact(layer: String, targetFileBytes: Long = 128L * 1024 * 1024,
       partitionBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil): String = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive")
-    require(zorderBy.intersect(partitionBy).isEmpty,
+    // declared clustering keys apply when no explicit ZORDER BY is given
+    val zcols = effectiveZOrder(layer, zorderBy)
+    require(zcols.intersect(partitionBy).isEmpty,
       "zorderBy and partitionBy must be disjoint (a hive partition column " +
         "is constant within its files — z-ordering it is a no-op)")
     val src = latestSnapshot(layer).getOrElse(new Path(layerPath(layer)))
@@ -1979,12 +1989,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = read(layer)
     val arranged =
-      if (zorderBy.nonEmpty)
+      if (zcols.nonEmpty)
         // Z-order rewrite (Delta's OPTIMIZE ZORDER BY): range-partition +
         // sort on the Morton value (within hive partitions when both are
         // given) so the stats sidecar prunes on every clustered dimension.
         // Same single shuffle as the plain repartition below.
-        newspipe.ops.ZOrder.arrange(df, zorderBy, nFiles, partitionBy)
+        newspipe.ops.ZOrder.arrange(df, zcols, nFiles, partitionBy)
       else if (partitionBy.nonEmpty) {
         // hashing ONLY the hive partition columns would put each partition
         // value in one task → one (possibly multi-TB) file per value and a
@@ -1996,9 +2006,56 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         df.repartition(nFiles, (partitionBy.map(col) :+ salt): _*)
       } else df.repartition(nFiles)
     writeSnapshot(arranged, layer, partitionBy, requireParent = None,
-      op = if (zorderBy.nonEmpty) "OPTIMIZE ZORDER" else "OPTIMIZE",
+      op = if (zcols.nonEmpty) "OPTIMIZE ZORDER" else "OPTIMIZE",
       prearranged = true)
   }
+
+  // ---- clustering keys (Delta liquid clustering's declaration role) -------
+
+  /** Declared clustering columns of a layer (`lake.clusterBy`). */
+  def clusterByCols(layer: String): Seq[String] =
+    properties(layer).get(Lake.ClusterByProp).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  /** Declare (or with `Nil`, clear — `CLUSTER BY NONE`) the layer's
+    * clustering keys: a METADATA-ONLY property write, no rewrite happens
+    * now. From then on every OPTIMIZE form — full [[compact]], small-file
+    * [[compactSmall]], scoped [[compactWhere]], and layout-evolving
+    * [[repartitionLayer]] — arranges the files it rewrites by these keys
+    * (Morton z-order) unless an explicit `ZORDER BY` overrides, so
+    * routine maintenance CONVERGES the layout incrementally instead of
+    * demanding a dedicated full-table clustering pass. That is the
+    * operational shape of Delta's liquid clustering at 100 TB: declare
+    * once, let the maintenance you already run do the clustering, touch
+    * only the files each pass rewrites anyway.
+    */
+  def setClusterBy(layer: String, cols: Seq[String]): Unit = {
+    if (cols.nonEmpty) {
+      require(cols.distinct.size == cols.size,
+        s"setClusterBy('$layer'): duplicate clustering columns in " +
+          cols.mkString(", "))
+      val schema = layerSchema(layer)
+      cols.foreach(c => require(schema.fieldNames.contains(c),
+        s"setClusterBy('$layer'): no column '$c' " +
+          s"(has: ${schema.fieldNames.mkString(", ")})"))
+      val parts = latestSnapshot(layer).map(s =>
+        layerPartitionCols(layer, snapshotInventory(layer, s)))
+        .getOrElse(properties(layer).get("lake.partitionBy").toSeq
+          .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
+      require(cols.intersect(parts).isEmpty,
+        s"setClusterBy('$layer'): ${cols.intersect(parts).mkString(", ")} " +
+          "are hive partition columns — constant within their files, " +
+          "clustering them is a no-op")
+    }
+    setProperties(layer, Map(Lake.ClusterByProp -> cols.mkString(",")))
+  }
+
+  /** The Z-order keys an OPTIMIZE form should use: the explicit
+    * `ZORDER BY` when given, the declared clustering keys otherwise.
+    */
+  private def effectiveZOrder(layer: String,
+      explicit: Seq[String]): Seq[String] =
+    if (explicit.nonEmpty) explicit else clusterByCols(layer)
 
   /** PARTITION LAYOUT EVOLUTION (`ALTER TABLE … SET PARTITIONED BY`): a
     * layer's hive layout is fixed at first write; this rewrites the WHOLE
@@ -2055,6 +2112,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       targetFileBytes: Long = 128L * 1024 * 1024,
       zorderBy: Seq[String] = Nil): Lake.RowOpResult = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    // declared clustering keys apply when no explicit ZORDER BY is given
+    val zcols = effectiveZOrder(layer, zorderBy)
     val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
       s"layer '$layer' has no committed snapshot — scoped OPTIMIZE extends " +
         "the snapshot protocol; compact()/convertToLake adopt a flat layer"))
@@ -2063,7 +2122,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     require(partCols.nonEmpty,
       s"layer '$layer' is not hive-partitioned — OPTIMIZE WHERE scopes by " +
         "partition; use compact() for the whole layer")
-    require(zorderBy.intersect(partCols).isEmpty,
+    require(zcols.intersect(partCols).isEmpty,
       "zorderBy and partition columns must be disjoint (a hive partition " +
         "column is constant within its files — z-ordering it is a no-op)")
     val refs = org.apache.spark.sql.NewspipeSqlBridge
@@ -2124,8 +2183,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     rewriteCore(layer, snap, predicate = None,
       transform = df =>
-        if (zorderBy.nonEmpty)
-          newspipe.ops.ZOrder.arrange(df, zorderBy, nFiles, partCols)
+        if (zcols.nonEmpty)
+          newspipe.ops.ZOrder.arrange(df, zcols, nFiles, partCols)
         else {
           // same skew-safe full-row salt as compact(): file sizing holds
           // inside each selected partition value
@@ -2135,7 +2194,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           df.repartition(nFiles, (partCols.map(col) :+ salt): _*)
         },
       append = None,
-      op = if (zorderBy.nonEmpty) "OPTIMIZE ZORDER" else "OPTIMIZE",
+      op = if (zcols.nonEmpty) "OPTIMIZE ZORDER" else "OPTIMIZE",
       affectedOverride = Some(affected))
   }
 
@@ -3519,6 +3578,9 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
 }
 
 object Lake {
+  /** Layer property holding the declared clustering keys (csv). */
+  val ClusterByProp = "lake.clusterBy"
+
   /** [[Lake.pruneInfo]] result: how much of the layer a predicate's
     * sidecar pruning keeps (row counts are upper bounds from file stats,
     * not the filtered result size).

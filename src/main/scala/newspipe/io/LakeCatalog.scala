@@ -186,8 +186,20 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     // identity transforms only (hive partitioning); bucket/days/etc. have
-    // no lake layout to land in
-    val partCols = partitions.map {
+    // no lake layout to land in. CREATE TABLE … CLUSTER BY arrives as a
+    // ClusterByTransform — split it out into the clustering declaration.
+    val clusterCols = partitions.collectFirst {
+      case org.apache.spark.sql.connector.expressions
+          .ClusterByTransform(refs) =>
+        refs.map { r =>
+          require(r.fieldNames.length == 1,
+            s"lake CLUSTER BY takes top-level columns; got ${r.describe}")
+          r.fieldNames.head
+        }
+    }.getOrElse(Nil)
+    val partCols = partitions.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.connector.expressions
+        .ClusterByTransform]).map {
       case t if t.name == "identity" && t.references.length == 1 &&
           t.references.head.fieldNames.length == 1 =>
         t.references.head.fieldNames.head
@@ -203,6 +215,11 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
         c.nullable)))
     partCols.foreach(pc => require(schema.fieldNames.contains(pc),
       s"PARTITIONED BY column '$pc' is not in the table schema"))
+    clusterCols.foreach(cc => require(schema.fieldNames.contains(cc),
+      s"CLUSTER BY column '$cc' is not in the table schema"))
+    require(clusterCols.intersect(partCols.toSeq).isEmpty,
+      "CLUSTER BY and PARTITIONED BY columns must be disjoint (a hive " +
+        "partition column is constant within its files)")
     val lake = new Lake(spark, LakeConfig(basePath = base))
     val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
       TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER,
@@ -211,9 +228,12 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     // the declared layout survives the empty first commit via the
     // lake.partitionBy property — appendAtomic consults it when the
     // inventory carries no k=v dirs yet
-    val withPart =
-      if (partCols.isEmpty) user.toMap
-      else user.toMap + ("lake.partitionBy" -> partCols.mkString(","))
+    val withPart = {
+      val p = if (partCols.isEmpty) user.toMap
+        else user.toMap + ("lake.partitionBy" -> partCols.mkString(","))
+      if (clusterCols.isEmpty) p
+      else p + (Lake.ClusterByProp -> clusterCols.mkString(","))
+    }
     // NOT NULL column declarations become CHECK constraints (Delta's
     // enforcement shape): every subsequent commit validates its increment
     // through the same gate as user CHECKs — reads still normalize to
@@ -281,6 +301,11 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
       case uc: TableChange.UpdateColumnType =>
         lake.widenColumn(ident.name,
           topLevel(uc.fieldNames, "ALTER COLUMN TYPE"), uc.newDataType)
+        None
+      case cb: TableChange.ClusterBy =>
+        lake.setClusterBy(ident.name,
+          cb.clusteringColumns.toSeq.map(r =>
+            topLevel(r.fieldNames, "CLUSTER BY")))
         None
       case other => throw new IllegalArgumentException(
         s"lake catalog supports SET/UNSET TBLPROPERTIES, ADD COLUMN, " +
@@ -511,7 +536,9 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
     * rows (Delta's `skipChangeCommits` posture — read the format-based
     * change source directly for the tagged CDF). Reader options
     * (`startingVersion` / `startingTimestamp` / `maxVersionsPerTrigger` /
-    * `keyColumns`) pass through to the source unchanged.
+    * `maxBytesPerTrigger` / `keyColumns`) pass through to the source
+    * unchanged, and the source's native `Trigger.AvailableNow` +
+    * admission-control support applies identically here.
     */
   private[newspipe] def toV1StreamingPlan(output: Seq[AttributeReference],
       extraOptions: Map[String, String]): LogicalPlan = {

@@ -79,6 +79,12 @@ object LakeSql {
   final case class LakeWidenColumn(base: String, layer: String,
       column: String,
       newType: org.apache.spark.sql.types.DataType) extends LakeDml
+  /** `ALTER TABLE … CLUSTER BY (c1, c2)` / `CLUSTER BY NONE` — liquid-
+    * clustering-style key declaration (metadata-only; every OPTIMIZE form
+    * then arranges what it rewrites by these keys).
+    */
+  final case class LakeClusterBy(base: String, layer: String,
+      cols: Seq[String]) extends LakeDml
 
   /** The `lake`.`<basePath>`.`<layer>` target of a DML plan, seen through
     * any alias.
@@ -206,6 +212,16 @@ object LakeSql {
               "statement (widening only)")
         }
       }
+    // ALTER TABLE … CLUSTER BY (cols) / CLUSTER BY NONE — Spark 4 grammar
+    case acb: AlterTableClusterBy =>
+      lakeTarget(acb.table).map { case (b, l) =>
+        val cols = acb.clusterBySpec.toSeq.flatMap(_.columnNames).map { r =>
+          require(r.fieldNames.length == 1,
+            s"lake CLUSTER BY takes top-level columns; got ${r.describe}")
+          r.fieldNames.head
+        }
+        LakeClusterBy(b, l, cols)
+      }
     case _ => None
   }
 
@@ -232,7 +248,7 @@ object LakeSql {
     case _: LakeSetProps | _: LakeUnsetProps => true
     case _: LakeAddConstraint | _: LakeDropConstraint => true
     case _: LakeRenameColumn | _: LakeDropColumns => true
-    case _: LakeWidenColumn => true
+    case _: LakeWidenColumn | _: LakeClusterBy => true
     case _ => false
   }
 
@@ -287,6 +303,9 @@ object LakeSql {
       case LakeWidenColumn(_, layer, column, newType) =>
         lake.widenColumn(layer, column, newType)
         Row("ALTER COLUMN TYPE", s"$column -> ${newType.simpleString}")
+      case LakeClusterBy(_, layer, cols) =>
+        lake.setClusterBy(layer, cols)
+        Row("CLUSTER BY", if (cols.isEmpty) "NONE" else cols.mkString(","))
       case other => throw new IllegalStateException(
         s"row-op statement routed to runProps(): $other")
     }
@@ -573,15 +592,21 @@ object LakeSql {
           "DESCRIBE DETAIL returns the wide metadata row — use " +
             "runMaintenanceRows, not runMaintenance")
       case LakeOptimize(_, layer, zcols, where) =>
+        // Delta's delta.targetFileSize role: the statement has no size
+        // clause, so the layer property decides the OPTIMIZE output sizing
+        val target = lake.properties(layer).get("lake.targetFileBytes")
+          .map(_.trim.toLong).getOrElse(128L * 1024 * 1024)
         val snap = where match {
           case Some(w) =>
             // partition-scoped form: predicate parsed by Spark's own
             // expression parser, evaluated per partition tuple in
             // Lake.compactWhere (metadata-only selection)
             lake.compactWhere(layer,
-              org.apache.spark.sql.functions.expr(w), zorderBy = zcols)
+              org.apache.spark.sql.functions.expr(w),
+              targetFileBytes = target, zorderBy = zcols)
               .snapshot
-          case None => lake.compact(layer, zorderBy = zcols)
+          case None =>
+            lake.compact(layer, targetFileBytes = target, zorderBy = zcols)
         }
         Row("OPTIMIZE", new org.apache.hadoop.fs.Path(snap).getName)
       case LakeVacuum(_, layer, retainHours, keep, dryRun) =>
