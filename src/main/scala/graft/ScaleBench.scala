@@ -482,6 +482,62 @@ object ScaleBench {
       newspipe.multimodal.Media.audioSpectral(media, 512).count()
     }
     out("q153_audio_fft") = (nAu, tAu)
+
+    // ---- round-12 lake lifecycle ops. The scale claims under test:
+    // CLONE and ALTER COLUMN TYPE are METADATA-ONLY (flat wall while the
+    // corpus grows N×); the raced OPTIMIZE (rebase) and the layout
+    // evolution are full rewrites whose wall tracks the corpus — linear by
+    // design, what matters is ONE pass each.
+    {
+      val lakeRoot =
+        java.nio.file.Files.createTempDirectory("scale_lake").toString
+      val lake = new newspipe.io.Lake(spark,
+        newspipe.io.LakeConfig(basePath = lakeRoot))
+      val lakeDocs = docs.select(col("doc_id"), col("text"),
+        (col("doc_id") % 5).cast("string").as("lang"),
+        (col("doc_id") % 1000).cast("int").as("rating"))
+      val (nLw, tLw) = timed {
+        lake.writeAtomic(lakeDocs.repartition(par), "docs")
+        lake.describeDetail("docs").numFiles
+      }
+      out("r12_lake_write") = (nLw, tLw) // the linear baseline
+      val (nCl, tCl) = timed {
+        lake.clone("docs", "fork")
+        lake.listVersions("fork").size.toLong
+      }
+      out("r12_clone") = (nCl, tCl) // must stay FLAT at N×
+      val (nWd, tWd) = timed {
+        lake.widenColumn("docs", "rating",
+          org.apache.spark.sql.types.LongType)
+        1L
+      }
+      out("r12_widen_column") = (nWd, tWd) // must stay FLAT at N×
+      // raced OPTIMIZE: an append lands mid-compaction; the rebase keeps
+      // it ONE bin-pack pass (retry-from-scratch would double the wall)
+      val (nRb, tRb) = timed {
+        lake.onBeforeManifestCommit = () => {
+          lake.onBeforeManifestCommit = () => ()
+          lake.appendAtomic(lakeDocs.limit(100), "docs")
+        }
+        val r = lake.compactSmall("docs",
+          smallFileBytes = 512L * 1024 * 1024,
+          targetFileBytes = 512L * 1024 * 1024)
+        r.rewrittenFiles.toLong
+      }
+      out("r12_rebase_optimize") = (nRb, tRb) // linear (one rewrite pass)
+      val (nRp, tRp) = timed {
+        lake.repartitionLayer("fork", Seq("lang"))
+        lake.describeDetail("fork").numFiles
+      }
+      out("r12_repartition_layer") = (nRp, tRp) // linear (full rewrite)
+      // best-effort cleanup — lifecycle dirs are sized like the corpus
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(lakeRoot))
+          .iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
     out.toMap
   }
 

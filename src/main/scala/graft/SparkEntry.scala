@@ -3364,6 +3364,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
           sum("doc_id").as("id_sum"))
         .orderBy("lang")
+    }),
+
+    // GOPHER QUALITY RULES (Rae et al. 2021 Table A1) as one struct-valued
+    // projection: per-rule booleans + conjunctive pass. The corpus is
+    // uniform prose, so disjoint doc_id branches plant rule-specific
+    // pathologies — truncation (word-count floor), '#' spam (symbol
+    // ratio), a stopword graft (the required-stopwords rule: the synthetic
+    // vocabulary carries only 'the' of the eight) — and DuckDB replays
+    // every rule, including the per-doc top-2-gram fraction, relationally.
+    "q163_gopher_rules" -> ((s, dir) => {
+      val t2 = when(col("doc_id") % 5 === 0, substring(col("text"), 1, 30))
+        .when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" "), lit("### " * 20)))
+        .when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" to of and that have with be")))
+        .otherwise(col("text"))
+      val g = newspipe.ops.TextStats.gopherRules(t2)
+      t(s, dir, "documents")
+        .select(col("doc_id"), g.as("g"))
+        .select(col("doc_id"),
+          col("g.word_count_ok"), col("g.mean_word_len_ok"),
+          col("g.symbol_ratio_ok"), col("g.alpha_words_ok"),
+          col("g.stopwords_ok"), col("g.dup_lines_ok"),
+          col("g.top_bigram_ok"), col("g.gopher_pass"))
+        .orderBy("doc_id")
     })
   )
 
@@ -5774,6 +5799,76 @@ object SparkEntry {
       ("q160_repartition_layer" -> ext("q117_lake_compact_small")) +
       // clustering is data-invisible: corpus agg (q117's oracle)
       ("q162_cluster_by" -> ext("q117_lake_compact_small")) +
+      // every Gopher rule replayed relationally, including the per-doc
+      // top-2-gram fraction (unnest + group-by instead of the row kernel)
+      ("q163_gopher_rules" ->
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 5 = 0 THEN substr(text, 1, 30)
+          |         WHEN doc_id % 7 = 0 THEN text || ' ' || repeat('### ', 20)
+          |         WHEN doc_id % 3 = 0 THEN
+          |           text || ' to of and that have with be'
+          |         ELSE text END AS t
+          |  FROM documents
+          |), w AS (
+          |  SELECT doc_id, t,
+          |    list_filter(regexp_split_to_array(t, '\s+'),
+          |                x -> len(x) > 0) AS words,
+          |    list_filter(regexp_split_to_array(lower(t), '[^a-z0-9'']+'),
+          |                x -> len(x) > 0) AS toks,
+          |    list_filter(string_split(t, chr(10)),
+          |                x -> len(x) > 0) AS lines
+          |  FROM d
+          |), m AS (
+          |  SELECT doc_id, toks,
+          |    len(words) AS n,
+          |    CASE WHEN len(words) = 0 THEN 0.0
+          |         ELSE list_sum(list_transform(words, x -> len(x)))::DOUBLE
+          |              / len(words) END AS meanlen,
+          |    CASE WHEN len(words) = 0 THEN 0.0
+          |         ELSE len(regexp_extract_all(t, '#|\.\.\.'))::DOUBLE
+          |              / len(words) END AS symratio,
+          |    CASE WHEN len(words) = 0 THEN 0.0
+          |         ELSE len(list_filter(words,
+          |                x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+          |              / len(words) END AS alphafrac,
+          |    len(list_intersect(list_distinct(toks),
+          |      ['the','be','to','of','and','that','have','with']))
+          |      AS stophits,
+          |    CASE WHEN len(lines) = 0 THEN 0.0
+          |         ELSE 1.0 - len(list_distinct(lines))::DOUBLE
+          |              / len(lines) END AS duplinefrac
+          |  FROM w
+          |), bg AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(toks) >= 2 THEN
+          |      list_transform(range(1, len(toks)),
+          |                     i -> toks[i] || ' ' || toks[i+1])
+          |    ELSE [] END AS gs
+          |  FROM m
+          |), tb AS (
+          |  SELECT doc_id, max(c)::DOUBLE / any_value(tot) AS topfrac
+          |  FROM (
+          |    SELECT doc_id, g, tot, count(*) AS c
+          |    FROM (SELECT doc_id, unnest(gs) AS g, len(gs) AS tot FROM bg
+          |          WHERE len(gs) > 0)
+          |    GROUP BY doc_id, g, tot)
+          |  GROUP BY doc_id
+          |)
+          |SELECT m.doc_id,
+          |  m.n BETWEEN 50 AND 100000 AS word_count_ok,
+          |  m.meanlen BETWEEN 3.0 AND 10.0 AS mean_word_len_ok,
+          |  m.symratio <= 0.1 AS symbol_ratio_ok,
+          |  m.alphafrac >= 0.8 AS alpha_words_ok,
+          |  m.stophits >= 2 AS stopwords_ok,
+          |  m.duplinefrac <= 0.3 AS dup_lines_ok,
+          |  coalesce(tb.topfrac, 0.0) <= 0.18 AS top_bigram_ok,
+          |  (m.n BETWEEN 50 AND 100000) AND (m.meanlen BETWEEN 3.0 AND 10.0)
+          |    AND m.symratio <= 0.1 AND m.alphafrac >= 0.8
+          |    AND m.stophits >= 2 AND m.duplinefrac <= 0.3
+          |    AND coalesce(tb.topfrac, 0.0) <= 0.18 AS gopher_pass
+          |FROM m LEFT JOIN tb ON m.doc_id = tb.doc_id
+          |ORDER BY m.doc_id""".stripMargin) +
       // widened corpus replayed: original ratings at int width plus the
       // re-appended tenth carrying 64-bit-only values (CAST-correct: the
       // q150/q156 BIGINT discipline on every integer aggregate)

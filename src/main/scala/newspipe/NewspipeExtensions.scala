@@ -147,6 +147,7 @@ object NewspipeExtensions {
         fn1("top_bigram_fraction")(TextStats.topBigramFraction),
         fn1("redact_pii")(TextStats.redactPii(_)),
         fn1("clean_text")(TextStats.cleanText),
+        fn1("gopher_rules")(TextStats.gopherRules),
         fn1("pii_match_count")(TextStats.piiMatchCount),
         fn1("lang_id")(TextStats.langId),
         fn1("normalized_fingerprint")(TextStats.normalizedFingerprint),

@@ -180,6 +180,70 @@ object TextStats {
     when(text.isNull, lit(null)).otherwise(topFreqUdf(bigrams(toks)))
   }
 
+  /** The eight stopwords whose presence the Gopher rules require (Rae et
+    * al. 2021 — "contains at least two of").
+    */
+  val GopherRequiredStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher document-quality rules (Rae et al. 2021, Table A1) as ONE
+    * struct-valued column: per-rule booleans plus the conjunctive
+    * `gopher_pass`. Thresholds are the paper's. All rules are pure column
+    * expressions over one row (word/line array math + the house tokenizer
+    * for the stopword rule; the top-2-gram fraction reuses
+    * [[topBigramFraction]]'s per-row hash kernel) — per-row scalar work,
+    * shuffle-free, corpus-linear; null text propagates a null struct. At
+    * 100 TB this is the canonical first-pass filter: one projection, no
+    * aggregation, fuses into the same stage as cleaning and langid.
+    */
+  def gopherRules(text: Column): Column = {
+    val words = filter(split(text, "\\s+"), t => length(t) > 0)
+    val n = size(words)
+    val meanLen = when(n === 0, lit(0.0)).otherwise(
+      aggregate(words, lit(0L), (a, t) => a + length(t)).cast("double") / n)
+    // '#' characters and ellipses, per word (the symbol-to-word ratio)
+    val symbolCount =
+      size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+    val symbolRatio = when(n === 0, lit(0.0))
+      .otherwise(symbolCount.cast("double") / n)
+    val lines = filter(split(text, "\n"), l => length(l) > 0)
+    val nl = size(lines)
+    val bulletFrac = when(nl === 0, lit(0.0)).otherwise(
+      size(filter(lines, l => l.rlike("^\\s*[-*•]")))
+        .cast("double") / nl)
+    val ellipsisFrac = when(nl === 0, lit(0.0)).otherwise(
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+        .cast("double") / nl)
+    val alphaFrac = when(n === 0, lit(0.0)).otherwise(
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / n)
+    val stopHits = size(array_intersect(
+      array_distinct(Dedup.tokens(text)),
+      array(GopherRequiredStopwords.map(lit): _*)))
+    val dupLineFrac = when(nl === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(lines)).cast("double") / nl)
+    val rWordCount = n >= 50 && n <= 100000
+    val rMeanLen = meanLen >= 3.0 && meanLen <= 10.0
+    val rSymbol = symbolRatio <= 0.1
+    val rBullet = bulletFrac <= 0.9
+    val rEllipsis = ellipsisFrac <= 0.3
+    val rAlpha = alphaFrac >= 0.8
+    val rStop = stopHits >= 2
+    val rDupLine = dupLineFrac <= 0.3
+    val rBigram = topBigramFraction(text) <= 0.18
+    when(text.isNull, lit(null)).otherwise(struct(
+      rWordCount.as("word_count_ok"),
+      rMeanLen.as("mean_word_len_ok"),
+      rSymbol.as("symbol_ratio_ok"),
+      rBullet.as("bullet_lines_ok"),
+      rEllipsis.as("ellipsis_lines_ok"),
+      rAlpha.as("alpha_words_ok"),
+      rStop.as("stopwords_ok"),
+      rDupLine.as("dup_lines_ok"),
+      rBigram.as("top_bigram_ok"),
+      (rWordCount && rMeanLen && rSymbol && rBullet && rEllipsis &&
+        rAlpha && rStop && rDupLine && rBigram).as("gopher_pass")))
+  }
+
   // ---- PII-style redaction -------------------------------------------------
   // Patterns stay inside the RE2-compatible subset (no lookaround, no
   // backrefs) so the same pattern runs in Spark (Java regex) and any

@@ -126,6 +126,47 @@ class TextStatsSpec extends SparkTestBase {
     one[String](s"a$cr\nb${cr}c", TextStats.cleanText) shouldBe "a\nbc"
   }
 
+  test("gopherRules: each rule trips on its own pathology") {
+    def rules(s: String): Map[String, Boolean] = {
+      val row = Seq(s).toDF("t")
+        .select(TextStats.gopherRules($"t").as("g")).select("g.*")
+        .collect().head
+      row.schema.fieldNames.zipWithIndex
+        .map { case (n, i) => n -> row.getBoolean(i) }.toMap
+    }
+    // a healthy paragraph: 60 varied words incl. required stopwords
+    val good = (1 to 60).map(i => s"word$i").mkString(" ") +
+      " the data goes to one of the nodes and that will have with it"
+    val g = rules(good)
+    assert(g("gopher_pass"), s"healthy text must pass: $g")
+    // too short
+    rules("the of and short")("word_count_ok") shouldBe false
+    // symbol spam
+    rules(good + " " + ("# " * 40))("symbol_ratio_ok") shouldBe false
+    // numeric tables: words without an alphabetic char
+    rules((1 to 80).map(_.toString).mkString(" "))("alpha_words_ok") shouldBe
+      false
+    // keyword spam: no required stopwords
+    rules((1 to 60).map(i => s"kw$i").mkString(" "))("stopwords_ok") shouldBe
+      false
+    // duplicate lines
+    val lined = (("the data goes to of and that line\n" * 10) +
+      (1 to 60).map(i => s"w$i").mkString(" "))
+    rules(lined)("dup_lines_ok") shouldBe false
+    // one bigram dominating
+    rules(("spam ham " * 60).trim)("top_bigram_ok") shouldBe false
+    // bullet-led lines
+    val bullets = (1 to 20).map(i => s"- item $i").mkString("\n")
+    rules(bullets)("bullet_lines_ok") shouldBe false
+    // ellipsis-terminated lines
+    val ell = (1 to 10).map(i => s"line $i trails off...").mkString("\n")
+    rules(ell)("ellipsis_lines_ok") shouldBe false
+    // null propagates
+    Seq(Option.empty[String]).toDF("t")
+      .select(TextStats.gopherRules($"t").as("g"))
+      .collect().head.isNullAt(0) shouldBe true
+  }
+
   test("cleanText: NFC leg composes decomposed accents") {
     val combiningAcute = 0x0301.toChar
     one[String](s"cafe$combiningAcute x", TextStats.cleanText) shouldBe
