@@ -95,6 +95,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val segs = rel.split('/')
     val i = segs.indexOf("_v")
     if (i >= 0 && segs.length >= i + 2) segs.take(i + 2).mkString("/")
+    // a FLAT cross-layer ref (clone of a convertToLake-adopted layer)
+    // must group under the SOURCE layer's root, not this layer's — an
+    // empty key would make readers list the clone's own base and report
+    // the referenced files missing
+    else if (rel.startsWith("../") && segs.length >= 2)
+      segs.take(2).mkString("/")
     else ""
   }
 
@@ -1061,10 +1067,19 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       if (rel.startsWith("../"))
         f.makeQualified(new Path(resolveRel(base, rel))).toString
       else s"$qualBase/$rel"
+    // a cross-layer (clone) reference pair shares one `../<layer>/` prefix
+    // on BOTH sides, but the payload DOCUMENT was written in the source
+    // layer and keys its positions by SOURCE-relative rels — strip the
+    // prefix for the lookup (the emitted path stays the canonical resolved
+    // one, matching the scan's identities)
+    def payloadKey(rel: String): String =
+      if (!rel.startsWith("../")) rel
+      else rel.split('/').drop(2).mkString("/")
     wanted.groupBy(_._2).toSeq.flatMap { case (payloadRel, entries) =>
       val all = dvPayload(base, payloadRel)
       entries.keysIterator.flatMap(rel =>
-        all.getOrElse(rel, Nil).map(pos => (qual(rel), pos))).toSeq
+        all.getOrElse(payloadKey(rel), Nil).map(pos => (qual(rel), pos)))
+        .toSeq
     }
   }
 
@@ -1105,6 +1120,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       maxDvRows: Long = 10000000L): Lake.RowOpResult =
     dvDelete(layer, predicate, maxDvRows) match {
       case Right(r) => r
+      case Left(-1L) => throw new IllegalArgumentException(
+        s"deleteWhereDv('$layer'): the predicate touches shallow-clone " +
+          "cross-layer references — use deleteWhere (rewrite), or " +
+          "compact() to materialize the clone first")
       case Left(n) => throw new IllegalArgumentException(
         s"deleteWhereDv matched $n rows — past maxDvRows ($maxDvRows); " +
           "use deleteWhere (file rewrite) for bulk deletes")
@@ -1142,6 +1161,13 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       case None => true
     }
     val affected = inventory.filter(mayMatch)
+    // DV commits on cross-layer (clone) references can't land: the new
+    // payload would key positions by the CLONE's `../<src>/` rels while
+    // carried source payloads key source-relative — two spellings of one
+    // file in one map is how deletes get silently lost. Signal the caller
+    // (Left(-1)): the property-routed path falls back to the rewrite, the
+    // explicit deleteWhereDv call refuses loudly.
+    if (affected.exists(_.startsWith("../"))) return Left(-1L)
     val carriedDv = dvMapOf(snap)
     if (affected.isEmpty)
       return Right(Lake.RowOpResult(snap.toString, 0, inventory.size,
@@ -2087,6 +2113,15 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     require(current != partitionBy,
       s"layer '$layer' is already partitioned by " +
         s"${if (partitionBy.isEmpty) "(nothing)" else partitionBy.mkString(", ")}")
+    // a declared clustering key that becomes a partition column would trip
+    // compact()'s disjointness check with an error naming a zorderBy the
+    // caller never passed — refuse HERE with the actual cause
+    val overlap = clusterByCols(layer).intersect(partitionBy)
+    require(overlap.isEmpty,
+      s"repartitionLayer('$layer'): ${overlap.mkString(", ")} " +
+        "are declared clustering keys (lake.clusterBy) — a hive partition " +
+        "column is constant within its files, so clustering it is a no-op; " +
+        "setClusterBy to disjoint keys (or Nil) first")
     val snap = compact(layer, targetFileBytes, partitionBy, zorderBy)
     setProperties(layer,
       Map("lake.partitionBy" -> partitionBy.mkString(",")))
@@ -2431,7 +2466,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           val refooter = newFiles ++ curCarried.filterNot(curStats.contains)
           val allStats =
             carriedStats ++ FileStats.collectFiles(conf, base, refooter)
+          // a rebase RESTAGES into a renamed dir: both sidecars from the
+          // previous staging must go, or the bloom write (create
+          // overwrite=false) fails and the commit keeps entries keyed to
+          // the pre-rename version dir — matching no manifest rel
           f.delete(new Path(curSnap, FileStats.SidecarName), false)
+          f.delete(new Path(curSnap, BloomIndex.SidecarName), false)
           writeSidecar(curSnap, allStats)
           // bloom maintenance ∝ commit increment: carried files keep their
           // parent entries by key, only this commit's files get scanned;
@@ -2609,6 +2649,22 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val copied = properties(src) -
       BloomIndex.ColsProp - BloomIndex.FppProp
     if (copied.nonEmpty) setProperties(dst, copied)
+    // record which layers this clone references (`_CLONE_SOURCES` at the
+    // clone root, before the commit): vacuum on a SOURCE layer consults
+    // only siblings whose marker names it — layers that never cloned pay
+    // zero cross-layer manifest walks
+    val refLayers = files.filter(_.startsWith("../"))
+      .map(_.split('/')(1)).distinct.filter(_.nonEmpty)
+    if (refLayers.nonEmpty) {
+      val mk = new Path(layerPath(dst), "_CLONE_SOURCES")
+      val prior =
+        if (fd.exists(mk)) readFully(mk).split("\n").toSeq else Nil
+      fd.mkdirs(mk.getParent)
+      val out = fd.create(mk, true)
+      try out.write((prior ++ refLayers).distinct.filter(_.nonEmpty)
+        .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
     val newSnap = new Path(s"${layerPath(dst)}/_v/${newVersionId()}")
     val f = fs(newSnap)
     try {
@@ -3513,21 +3569,30 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // cross-layer pins: a shallow [[clone]] references this layer's
     // version dirs from SIBLING layers' manifests (`../<layer>/_v/<v>/…`);
     // reclaiming such a version would break every reader of the clone.
-    // Every committed sibling snapshot pins (not just the sibling's kept
-    // set): the clone's own vacuum retires its superseded snapshots first,
-    // after which a LATER source vacuum can reclaim. Cost: one cached
-    // manifest read per committed sibling version, zero when no clones.
-    val clonePrefix = s"../$layer/_v/"
+    // Only siblings whose `_CLONE_SOURCES` marker names this layer are
+    // walked (clone() writes it), so a lake with no clones pays one
+    // sibling listing and zero manifest reads; for actual clones every
+    // committed snapshot pins (not just the clone's kept set) — the
+    // clone's own vacuum retires superseded snapshots first, after which
+    // a LATER source vacuum can reclaim.
+    val clonePrefix = s"../$layer/"
     val basePath = new Path(config.basePath.stripSuffix("/"))
     val cloned: Set[String] =
       if (!f.exists(basePath)) Set.empty
       else f.listStatus(basePath).iterator
         .filter(s => s.isDirectory && s.getPath.getName != layer)
+        .filter { s =>
+          val mk = new Path(s.getPath, "_CLONE_SOURCES")
+          f.exists(mk) && readFully(mk).split("\n").contains(layer)
+        }
         .flatMap(s => committedVersions(s.getPath.getName))
         .flatMap(p => manifestOf(p).map(m => m.files ++ m.dvs.values)
           .getOrElse(Nil))
         .filter(_.startsWith(clonePrefix))
-        .map(_.stripPrefix(clonePrefix).takeWhile(_ != '/'))
+        .flatMap(_.stripPrefix(clonePrefix).split('/') match {
+          case Array("_v", v, _*) => Some(v)
+          case _ => None // flat-adopted source file: not a version dir
+        })
         .toSet
     val keepSet = kept ++ pinned ++ cloned
     f.listStatus(vdir).filter(_.isDirectory).map(_.getPath)

@@ -270,7 +270,13 @@ private[source] class LakeChangeStream(spark: SparkSession, basePath: String,
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
+    // Spark's v1-source admission path passes the PREVIOUS offset or null
+    // on a fresh start — it never consults initialOffset() here, so the
+    // fresh-start anchor must fall back to the stream's base version or a
+    // capped `startingVersion=latest/…` stream would admit from the
+    // OLDEST retained version and serve a reversed (delete-tagged) diff.
     val anchor = Option(start).map(_.json).filter(_ != PreInitial)
+      .orElse(baseVersion)
     cappedEnd(anchor).map(VersionOffset(_)).orNull
   }
 

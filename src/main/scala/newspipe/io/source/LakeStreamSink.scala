@@ -75,6 +75,7 @@ class LakeStreamSink extends StreamSinkProvider with StreamSourceProvider
       "startingversion" -> "startingVersion",
       "startingtimestamp" -> "startingTimestamp",
       "maxversionspertrigger" -> "maxVersionsPerTrigger",
+      "maxbytespertrigger" -> "maxBytesPerTrigger",
       "keycolumns" -> "keyColumns")
     val rekeyed = parameters.map { case (k, v) =>
       canon.getOrElse(k.toLowerCase(java.util.Locale.ROOT), k) -> v

@@ -153,6 +153,61 @@ class LakeCloneSpec extends SparkTestBase {
     lake.read("c").count() shouldBe 15L
   }
 
+  test("clone of a DV-carrying snapshot keeps the deletes hidden") {
+    val base = newBase()
+    val lake = lakeAt(base)
+    lake.writeAtomic(spark.range(100).toDF("id"), "src")
+    lake.setProperties("src", Map("lake.enableDeletionVectors" -> "true"))
+    lake.deleteWhereDv("src", col("id") < 10)
+    lake.read("src").count() shouldBe 90L
+    lake.clone("src", "fork")
+    // the payload document keys positions by SOURCE-relative rels; the
+    // clone's cross-layer refs must still resolve them (dvPairs strips
+    // the ../src/ prefix for the lookup)
+    lake.read("fork").count() shouldBe 90L
+    lake.read("fork").agg(min("id")).as[Long].head() shouldBe 10L
+    // DV deletes ON the clone are refused (two rel spellings in one map
+    // is how deletes get silently lost); the rewrite path works
+    val e = intercept[IllegalArgumentException] {
+      lake.deleteWhereDv("fork", col("id") < 20)
+    }
+    assert(e.getMessage.contains("cross-layer"))
+    lake.deleteWhere("fork", col("id") < 20)
+    lake.read("fork").count() shouldBe 80L
+    lake.read("src").count() shouldBe 90L
+  }
+
+  test("clone of a convertToLake-adopted layer reads (flat cross refs)") {
+    val base = newBase()
+    val lake = lakeAt(base)
+    // flat parquet landed OUTSIDE the protocol, then adopted in place
+    spark.range(60).toDF("id").write.parquet(s"$base/src")
+    lake.convertToLake("src")
+    lake.clone("src", "fork")
+    dataFilesUnder(base, "fork") shouldBe empty
+    lake.read("fork").count() shouldBe 60L
+    lake.read("fork").agg(sum("id")).as[Long].head() shouldBe (0L until 60L).sum
+    // row ops on the flat-ref clone rewrite clone-locally
+    lake.deleteWhere("fork", col("id") < 10)
+    lake.read("fork").count() shouldBe 50L
+    lake.read("src").count() shouldBe 60L
+  }
+
+  test("vacuum consults only siblings whose _CLONE_SOURCES marker names " +
+      "this layer") {
+    val base = newBase()
+    val lake = lakeAt(base)
+    lake.writeAtomic(spark.range(10).toDF("id"), "src")
+    lake.clone("src", "fork")
+    assert(new java.io.File(s"$base/fork/_CLONE_SOURCES").exists())
+    val named = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/fork/_CLONE_SOURCES")), "UTF-8")
+    named.trim shouldBe "src"
+    // a non-clone sibling has no marker
+    lake.writeAtomic(spark.range(5).toDF("id"), "other")
+    assert(!new java.io.File(s"$base/other/_CLONE_SOURCES").exists())
+  }
+
   test("refusals: occupied destination, missing source, bloom on a clone") {
     val base = newBase()
     val lake = lakeAt(base)

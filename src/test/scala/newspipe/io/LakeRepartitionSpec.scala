@@ -101,4 +101,19 @@ class LakeRepartitionSpec extends SparkTestBase {
       lake.repartitionLayer("docs", Seq("nope"))
     }
   }
+
+  test("evolving to partition by a declared clustering key is refused " +
+      "with the actual cause") {
+    val (lake, _) = tmpLake()
+    lake.writeAtomic(corpus.repartition(2), "docs")
+    lake.setClusterBy("docs", Seq("lang"))
+    val e = intercept[IllegalArgumentException] {
+      lake.repartitionLayer("docs", Seq("lang"))
+    }
+    assert(e.getMessage.contains("lake.clusterBy"))
+    // clearing the keys unblocks the evolution
+    lake.setClusterBy("docs", Nil)
+    lake.repartitionLayer("docs", Seq("lang"))
+    lake.read("docs").count() shouldBe 120L
+  }
 }

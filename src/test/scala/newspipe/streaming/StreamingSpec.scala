@@ -583,6 +583,42 @@ class StreamingSpec extends SparkTestBase {
       Array(1L, 2L, 3L, 4L, 5L, 6L)
   }
 
+  test("admission caps respect startingVersion on a FRESH capped stream " +
+      "(no reversed replay of skipped history)") {
+    val dir = java.nio.file.Files.createTempDirectory("lakecdf10").toString
+    val lake = new newspipe.io.Lake(spark, newspipe.io.LakeConfig(dir))
+    import spark.implicits._
+    lake.writeAtomic(Seq((1L, "a")).toDF("id", "v"), "t")
+    (2L to 4L).foreach(i =>
+      lake.appendAtomic(Seq((i, "a")).toDF("id", "v"), "t"))
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    // startingVersion=latest + a cap: the capped anchor must be the
+    // latched head, NOT the oldest retained version (which would emit the
+    // v2..v4 history reversed as deletes)
+    val q = spark.readStream
+      .format("newspipe.io.source.LakeChangeSource")
+      .option("basePath", dir).option("layer", "t")
+      .option("startingVersion", "latest")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.as[(Long, String, String)].collect()
+          .foreach(r => rows.add((r._1, r._3)))
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      rows.isEmpty shouldBe true // latest = nothing before the pin
+      lake.appendAtomic(Seq((5L, "a")).toDF("id", "v"), "t")
+      q.processAllAvailable()
+      rows.toArray(Array.empty[(Long, String)]).toSeq shouldBe
+        Seq((5L, "insert"))
+    } finally q.stop()
+  }
+
   test("maxBytesPerTrigger admits whole commits up to the byte budget, " +
       "at least one per batch") {
     val dir = java.nio.file.Files.createTempDirectory("lakecdf9").toString
