@@ -3389,6 +3389,37 @@ object SparkEntry {
           col("g.stopwords_ok"), col("g.dup_lines_ok"),
           col("g.top_bigram_ok"), col("g.gopher_pass"))
         .orderBy("doc_id")
+    }),
+
+    // SHALLOW CLONE × DELETION VECTORS: the payload documents key deleted
+    // positions by SOURCE-relative rels while a clone references the same
+    // files through `../src/` — the read path must still resolve them or
+    // cloning silently RESURRECTS deleted rows (the worst failure class a
+    // zero-copy fork can have). Both forks read through the same DV
+    // commit; a later rewrite-delete on the clone diverges them.
+    "q164_clone_dv" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q164_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      lake.writeAtomic(t(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .repartitionByRange(8, col("n_chars"))
+        .sortWithinPartitions("n_chars"), "docs")
+      lake.setProperties("docs", Map("lake.enableDeletionVectors" -> "true"))
+      val dv = lake.deleteWhereDv("docs",
+        col("lang") === "en" && col("n_chars") < 300)
+      require(dv.rewrittenFiles == 0,
+        "a DV delete must rewrite zero files (positions only)")
+      lake.clone("docs", "fork")
+      // the clone must keep the DV-deleted rows hidden (zero data copied)
+      lake.deleteWhere("fork", col("lang") === "de") // rewrite on the fork
+      def agg(layer: String, side: String) =
+        lake.read(layer).groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+            sum("doc_id").as("id_sum"))
+          .withColumn("side", lit(side))
+      agg("fork", "clone").unionByName(agg("docs", "src"))
+        .orderBy("side", "lang")
     })
   )
 
@@ -5799,6 +5830,25 @@ object SparkEntry {
       ("q160_repartition_layer" -> ext("q117_lake_compact_small")) +
       // clustering is data-invisible: corpus agg (q117's oracle)
       ("q162_cluster_by" -> ext("q117_lake_compact_small")) +
+      // DV-deleted rows stay hidden through the clone; the fork's later
+      // rewrite-delete diverges only the clone side
+      ("q164_clone_dv" ->
+        """WITH alive AS (
+          |  SELECT doc_id, lang, n_chars FROM documents
+          |  WHERE NOT (lang = 'en' AND n_chars < 300)
+          |), c AS (
+          |  SELECT 'clone' AS side, lang, count(*) AS n_docs,
+          |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |         CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |  FROM alive WHERE lang <> 'de' GROUP BY lang
+          |), s AS (
+          |  SELECT 'src' AS side, lang, count(*) AS n_docs,
+          |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |         CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |  FROM alive GROUP BY lang
+          |)
+          |SELECT * FROM c UNION ALL SELECT * FROM s
+          |ORDER BY side, lang""".stripMargin) +
       // every Gopher rule replayed relationally, including the per-doc
       // top-2-gram fraction (unnest + group-by instead of the row kernel)
       ("q163_gopher_rules" ->
