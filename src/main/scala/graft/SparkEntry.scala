@@ -3385,7 +3385,8 @@ object SparkEntry {
         .select(col("doc_id"), g.as("g"))
         .select(col("doc_id"),
           col("g.word_count_ok"), col("g.mean_word_len_ok"),
-          col("g.symbol_ratio_ok"), col("g.alpha_words_ok"),
+          col("g.symbol_ratio_ok"), col("g.bullet_lines_ok"),
+          col("g.ellipsis_lines_ok"), col("g.alpha_words_ok"),
           col("g.stopwords_ok"), col("g.dup_lines_ok"),
           col("g.top_bigram_ok"), col("g.gopher_pass"))
         .orderBy("doc_id")
@@ -5876,14 +5877,25 @@ object SparkEntry {
           |         ELSE list_sum(list_transform(words, x -> len(x)))::DOUBLE
           |              / len(words) END AS meanlen,
           |    CASE WHEN len(words) = 0 THEN 0.0
-          |         ELSE len(regexp_extract_all(t, '#|\.\.\.'))::DOUBLE
-          |              / len(words) END AS symratio,
+          |         ELSE len(regexp_extract_all(t, '#'))::DOUBLE
+          |              / len(words) END AS hashratio,
+          |    CASE WHEN len(words) = 0 THEN 0.0
+          |         ELSE len(regexp_extract_all(t, '\.\.\.'))::DOUBLE
+          |              / len(words) END AS ellratio,
+          |    CASE WHEN len(lines) = 0 THEN 0.0
+          |         ELSE len(list_filter(lines,
+          |                x -> regexp_matches(x, '^\s*[-*•]')))::DOUBLE
+          |              / len(lines) END AS bulletfrac,
+          |    CASE WHEN len(lines) = 0 THEN 0.0
+          |         ELSE len(list_filter(lines,
+          |                x -> regexp_matches(x, '(\.\.\.|…)\s*$')))::DOUBLE
+          |              / len(lines) END AS elllinefrac,
           |    CASE WHEN len(words) = 0 THEN 0.0
           |         ELSE len(list_filter(words,
           |                x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
           |              / len(words) END AS alphafrac,
-          |    len(list_intersect(list_distinct(toks),
-          |      ['the','be','to','of','and','that','have','with']))
+          |    len(list_filter(toks, x -> list_contains(
+          |      ['the','be','to','of','and','that','have','with'], x)))
           |      AS stophits,
           |    CASE WHEN len(lines) = 0 THEN 0.0
           |         ELSE 1.0 - len(list_distinct(lines))::DOUBLE
@@ -5908,13 +5920,17 @@ object SparkEntry {
           |SELECT m.doc_id,
           |  m.n BETWEEN 50 AND 100000 AS word_count_ok,
           |  m.meanlen BETWEEN 3.0 AND 10.0 AS mean_word_len_ok,
-          |  m.symratio <= 0.1 AS symbol_ratio_ok,
+          |  m.hashratio <= 0.1 AND m.ellratio <= 0.1 AS symbol_ratio_ok,
+          |  m.bulletfrac <= 0.9 AS bullet_lines_ok,
+          |  m.elllinefrac <= 0.3 AS ellipsis_lines_ok,
           |  m.alphafrac >= 0.8 AS alpha_words_ok,
           |  m.stophits >= 2 AS stopwords_ok,
           |  m.duplinefrac <= 0.3 AS dup_lines_ok,
           |  coalesce(tb.topfrac, 0.0) <= 0.18 AS top_bigram_ok,
           |  (m.n BETWEEN 50 AND 100000) AND (m.meanlen BETWEEN 3.0 AND 10.0)
-          |    AND m.symratio <= 0.1 AND m.alphafrac >= 0.8
+          |    AND m.hashratio <= 0.1 AND m.ellratio <= 0.1
+          |    AND m.bulletfrac <= 0.9 AND m.elllinefrac <= 0.3
+          |    AND m.alphafrac >= 0.8
           |    AND m.stophits >= 2 AND m.duplinefrac <= 0.3
           |    AND coalesce(tb.topfrac, 0.0) <= 0.18 AS gopher_pass
           |FROM m LEFT JOIN tb ON m.doc_id = tb.doc_id

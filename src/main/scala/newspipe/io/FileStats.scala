@@ -142,11 +142,42 @@ object FileStats {
     } finally pool.shutdown()
   }
 
+  /** [[collectFiles]] for rels whose physical location is NOT `base/rel`
+    * — the cross-layer (shallow-clone) refs a manifest records as
+    * `../<layer>/…`: the caller pre-resolves each rel to its canonical
+    * absolute path ([[Lake.resolveRel]] collapses the `..` textually) and
+    * the recorded stat keeps the MANIFEST rel as its key, so sidecar
+    * entries keep matching the inventory while the filesystem never sees
+    * a literal `..` segment (HDFS rejects those path components).
+    */
+  def collectResolved(conf: Configuration,
+      files: Seq[(String, Path)]): Seq[FileStat] = {
+    if (files.isEmpty) return Nil
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, files.size))
+    try {
+      val tasks = files.map { case (rel, p) =>
+        pool.submit(new java.util.concurrent.Callable[FileStat] {
+          override def call(): FileStat = statFileAs(conf, rel, p)
+        })
+      }
+      tasks.map(_.get())
+    } finally pool.shutdown()
+  }
+
   private def statFile(conf: Configuration,
       rootPrefix: String, file: Path): FileStat = {
     require(file.toString.startsWith(rootPrefix),
       s"file $file not under stats root $rootPrefix")
-    val rel = file.toString.stripPrefix(rootPrefix)
+    statFileAs(conf, file.toString.stripPrefix(rootPrefix), file)
+  }
+
+  /** Stat one parquet footer, recording `rel` verbatim as the stat key
+    * (which may differ from the physical path's own suffix for resolved
+    * cross-layer refs).
+    */
+  private def statFileAs(conf: Configuration,
+      rel: String, file: Path): FileStat = {
     val partVals = rel.split('/').dropRight(1).toSeq
       .filter(_.contains('='))
       .map { seg =>

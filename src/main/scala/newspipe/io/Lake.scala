@@ -2464,8 +2464,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           val conf = spark.sparkContext.hadoopConfiguration
           val carriedStats = curCarried.flatMap(curStats.get)
           val refooter = newFiles ++ curCarried.filterNot(curStats.contains)
-          val allStats =
-            carriedStats ++ FileStats.collectFiles(conf, base, refooter)
+          // pre-resolve each rel: clone-carried `../<layer>/…` refs must
+          // reach the filesystem as canonical paths (resolveRel's own
+          // invariant — HDFS rejects literal `..` segments), while the
+          // stat stays KEYED by the manifest rel so sidecar lookups match
+          val allStats = carriedStats ++ FileStats.collectResolved(conf,
+            refooter.map(rel => rel -> new Path(resolveRel(base, rel))))
           // a rebase RESTAGES into a renamed dir: both sidecars from the
           // previous staging must go, or the bloom write (create
           // overwrite=false) fails and the commit keeps entries keyed to
@@ -2497,7 +2501,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     var curStats = oldStats
     var curDvs = dvs
     var rebases = 0
-    while (true) {
+    while (true) try {
       stage(curParent, curCarried, curStats, curDvs)
       // (loop exits via `return curSnap` on a successful marker)
       onBeforeManifestCommit()
@@ -2547,6 +2551,19 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           val freshPrefix = s"_v/${curSnap.getName}/"
           newFiles = snapshotDirFilesRel(curSnap).map(freshPrefix + _)
       }
+    } catch {
+      // A rebase iteration may have RENAMED the staged snapshot (curSnap
+      // != newSnap); callers' own cleanup (rewriteCore's catch) only knows
+      // the original path, so a non-CME failure after a rename would leave
+      // the renamed dir as uncommitted debris until vacuum's orphan grace.
+      // Clean up the LIVE staged path here; CME keeps its existing
+      // discipline (bail()/commitMarker already deleted what should go,
+      // and a rebase-eligible snapshot must survive the lost race).
+      case e if scala.util.control.NonFatal(e) &&
+          !e.isInstanceOf[java.util.ConcurrentModificationException] =>
+        try f.delete(curSnap, true)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
     }
     throw new IllegalStateException("unreachable")
   }

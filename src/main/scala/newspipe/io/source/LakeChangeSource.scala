@@ -174,12 +174,16 @@ private[source] class LakeChangeStream(spark: SparkSession, basePath: String,
   /** Drain target latched by `Trigger.AvailableNow` at query start: the
     * run processes up to exactly this version (in admission-capped
     * batches) and stops; commits landing after the latch wait for the
-    * next run.
+    * next run. Outer None = not an AvailableNow run; `Some(None)` = the
+    * latch fired on an EMPTY layer — the backlog at query start is
+    * nothing, so the drain admits nothing (falling through to "no latch"
+    * here would process commits that land mid-run, violating the
+    * process-exactly-the-backlog contract).
     */
-  @volatile private var availableNowTarget: Option[String] = None
+  @volatile private var availableNowTarget: Option[Option[String]] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = lake.listVersions(layer).headOption
+    availableNowTarget = Some(lake.listVersions(layer).headOption)
 
   /** Bytes a commit ADDED: the data files physically inside its version
     * dir (carried files live in older dirs and were admitted with their
@@ -214,9 +218,29 @@ private[source] class LakeChangeStream(spark: SparkSession, basePath: String,
     val newestFirst = lake.listVersions(layer)
     if (newestFirst.isEmpty) return None
     val asc = newestFirst.reverse
-    // AvailableNow: never poll past the latched drain target
-    val headIdx = availableNowTarget.map(asc.indexOf).filter(_ >= 0)
-      .getOrElse(asc.size - 1)
+    // AvailableNow: never poll past the latched drain target. A latched
+    // target that was VACUUMED mid-run clamps to the newest version still
+    // ≤ it (version ids are zero-padded time — lexicographic is commit
+    // order), never to the live head: falling forward would process
+    // commits that landed after query start, silently breaking the
+    // process-exactly-the-backlog contract. If every version ≤ the target
+    // is gone the drain's entire remaining range was reclaimed — fail
+    // loudly like getBatch's reversed-range check (the vacuum contract).
+    val headIdx = availableNowTarget match {
+      case Some(None) => return anchor // latched on empty layer: admit nothing
+      case Some(Some(target)) =>
+        val exact = asc.indexOf(target)
+        if (exact >= 0) exact
+        else {
+          val clamped = asc.lastIndexWhere(_ <= target)
+          require(clamped >= 0,
+            s"lake change feed: AvailableNow drain target $target and " +
+              "every earlier version were vacuumed mid-run — the " +
+              "checkpointed backlog no longer exists; restart the query")
+          clamped
+        }
+      case None => asc.size - 1
+    }
     val anchorIdx = anchor.map(asc.indexOf).getOrElse(-1)
     val end =
       if (anchor.isDefined && anchorIdx < 0) {

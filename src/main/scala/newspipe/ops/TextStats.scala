@@ -188,9 +188,15 @@ object TextStats {
 
   /** The Gopher document-quality rules (Rae et al. 2021, Table A1) as ONE
     * struct-valued column: per-rule booleans plus the conjunctive
-    * `gopher_pass`. Thresholds are the paper's. All rules are pure column
-    * expressions over one row (word/line array math + the house tokenizer
-    * for the stopword rule; the top-2-gram fraction reuses
+    * `gopher_pass`. Thresholds are the paper's, and two previously-fuzzy
+    * readings now follow the paper + the reference implementations
+    * (DataTrove's GopherQualityFilter): the symbol-to-word ratio is
+    * tested PER SYMBOL CLASS — `#` count/words ≤ 0.1 AND `...` count/words
+    * ≤ 0.1, not the combined count (combined was strictly harsher) — and
+    * the stopword rule counts TOTAL OCCURRENCES of the required words
+    * (≥ 2), not distinct members. All rules are pure column expressions
+    * over one row (word/line array math + the house tokenizer for the
+    * stopword rule; the top-2-gram fraction reuses
     * [[topBigramFraction]]'s per-row hash kernel) — per-row scalar work,
     * shuffle-free, corpus-linear; null text propagates a null struct. At
     * 100 TB this is the canonical first-pass filter: one projection, no
@@ -201,11 +207,15 @@ object TextStats {
     val n = size(words)
     val meanLen = when(n === 0, lit(0.0)).otherwise(
       aggregate(words, lit(0L), (a, t) => a + length(t)).cast("double") / n)
-    // '#' characters and ellipses, per word (the symbol-to-word ratio)
-    val symbolCount =
-      size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
-    val symbolRatio = when(n === 0, lit(0.0))
-      .otherwise(symbolCount.cast("double") / n)
+    // symbol-to-word ratios, one per symbol class (paper: "symbol-to-word
+    // ratio greater than 0.1 for either the hash symbol or the ellipsis")
+    val hashCount = size(regexp_extract_all(text, lit("#"), lit(0)))
+    val ellipsisCount =
+      size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0)))
+    val hashRatio = when(n === 0, lit(0.0))
+      .otherwise(hashCount.cast("double") / n)
+    val ellipsisRatio = when(n === 0, lit(0.0))
+      .otherwise(ellipsisCount.cast("double") / n)
     val lines = filter(split(text, "\n"), l => length(l) > 0)
     val nl = size(lines)
     val bulletFrac = when(nl === 0, lit(0.0)).otherwise(
@@ -216,14 +226,15 @@ object TextStats {
         .cast("double") / nl)
     val alphaFrac = when(n === 0, lit(0.0)).otherwise(
       size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / n)
-    val stopHits = size(array_intersect(
-      array_distinct(Dedup.tokens(text)),
-      array(GopherRequiredStopwords.map(lit): _*)))
+    // total OCCURRENCES of required stopwords (DataTrove's counting — a
+    // doc carrying "the … the" alone passes), not distinct members
+    val stopHits = size(filter(Dedup.tokens(text),
+      t => t.isin(GopherRequiredStopwords: _*)))
     val dupLineFrac = when(nl === 0, lit(0.0)).otherwise(
       lit(1.0) - size(array_distinct(lines)).cast("double") / nl)
     val rWordCount = n >= 50 && n <= 100000
     val rMeanLen = meanLen >= 3.0 && meanLen <= 10.0
-    val rSymbol = symbolRatio <= 0.1
+    val rSymbol = hashRatio <= 0.1 && ellipsisRatio <= 0.1
     val rBullet = bulletFrac <= 0.9
     val rEllipsis = ellipsisFrac <= 0.3
     val rAlpha = alphaFrac >= 0.8

@@ -165,6 +165,18 @@ class TextStatsSpec extends SparkTestBase {
     Seq(Option.empty[String]).toDF("t")
       .select(TextStats.gopherRules($"t").as("g"))
       .collect().head.isNullAt(0) shouldBe true
+    // stopword rule counts OCCURRENCES (DataTrove), not distinct members:
+    // two "the"s alone satisfy it
+    val oneStopTwice = (1 to 60).map(i => s"kw$i").mkString(" ") +
+      " the kwx the"
+    rules(oneStopTwice)("stopwords_ok") shouldBe true
+    // symbol ratio is PER SYMBOL CLASS: 6 hashes + 6 ellipses over 80
+    // words is ≤0.1 for each class (combined 12/92 would have failed)
+    val perClass = (1 to 80).map(i => s"w$i").mkString(" ") +
+      (" #" * 6) + (" ..." * 6)
+    rules(perClass)("symbol_ratio_ok") shouldBe true
+    rules(good + (" #" * 40))("symbol_ratio_ok") shouldBe false
+    rules(good + (" ..." * 40))("symbol_ratio_ok") shouldBe false
   }
 
   test("cleanText: NFC leg composes decomposed accents") {
