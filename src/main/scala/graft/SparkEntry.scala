@@ -3421,6 +3421,47 @@ object SparkEntry {
           .withColumn("side", lit(side))
       agg("fork", "clone").unionByName(agg("docs", "src"))
         .orderBy("side", "lang")
+    }),
+
+    // DECIMAL TYPE WIDENING (Delta 3.x's money-column migration):
+    // decimal(7,2) → decimal(14,4) as ONE metadata commit — zero files
+    // rewritten, carried files read through the parquet reader's decimal
+    // promotion (unscaled-value rescale, verified on this build), time
+    // travel keeps the narrow schema, and the append leg lands values
+    // only the widened type can hold (8 integer digits, 4 decimals).
+    "q165_widen_decimal" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q165_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      // exact decimal from digits (no division — string→decimal parses
+      // identically in Spark and the oracle)
+      val amount = concat(col("n_chars").cast("string"), lit("."),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"))
+        .cast("decimal(7,2)").as("amount")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        amount)
+      lake.writeAtomic(docs.repartition(4), "pay")
+      val v1 = lake.listVersions("pay").head
+      val row = newspipe.io.LakeSql.sql(s,
+        s"ALTER TABLE lake.`$root`.pay ALTER COLUMN amount TYPE " +
+          "DECIMAL(14,4)").collect().head
+      require(row.getString(0) == "ALTER COLUMN TYPE", s"got $row")
+      require(lake.read("pay").schema("amount").dataType ==
+        org.apache.spark.sql.types.DecimalType(14, 4),
+        "head must read DECIMAL(14,4)")
+      require(lake.readVersion("pay", v1).schema("amount").dataType ==
+        org.apache.spark.sql.types.DecimalType(7, 2),
+        "pre-widening version must keep its narrow schema (time travel)")
+      lake.appendAtomic(docs.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), col("lang"),
+          (col("amount").cast("decimal(14,4)") +
+            lit("10000000.0001").cast("decimal(14,4)"))
+            .cast("decimal(14,4)").as("amount")), "pay")
+      lake.read("pay")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("amount").cast("double").as("sum_amount"))
+        .orderBy("lang")
     })
   )
 
@@ -5949,6 +5990,26 @@ object SparkEntry {
           |SELECT lang, count(*) AS n_docs,
           |       CAST(sum(rating) AS BIGINT) AS sum_rating
           |FROM ev GROUP BY lang ORDER BY lang""".stripMargin) +
+      // decimal widening is metadata-only: the corpus at decimal(7,2)
+      // (digits built exactly from n_chars + padded cents) plus the
+      // re-appended tenth shifted into decimal(14,4)-only territory
+      ("q165_widen_decimal" ->
+        """WITH pay AS (
+          |  SELECT doc_id, lang,
+          |    CAST(n_chars::VARCHAR || '.' ||
+          |         lpad((doc_id % 100)::VARCHAR, 2, '0')
+          |      AS DECIMAL(14,4)) AS amount
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT doc_id, lang,
+          |    CAST(n_chars::VARCHAR || '.' ||
+          |         lpad((doc_id % 100)::VARCHAR, 2, '0')
+          |      AS DECIMAL(14,4)) + CAST('10000000.0001' AS DECIMAL(14,4))
+          |  FROM documents WHERE doc_id % 10 = 3
+          |)
+          |SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(amount) AS DOUBLE) AS sum_amount
+          |FROM pay GROUP BY lang ORDER BY lang""".stripMargin) +
       ("q152_substring_dedup" -> substringScrubOracleSql) +
       // SQL surface = API: the TVF runs the identical kernel
       ("q154_sql_substring_scrub" -> substringScrubOracleSql) +

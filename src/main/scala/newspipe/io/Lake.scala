@@ -2822,7 +2822,9 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * mechanism); subsequent appends may land at either width — narrow
     * increments promote on read the same way. Allowed promotions are
     * [[SchemaEvolution.widens]]'s exact list (byte→short→int→long,
-    * float→double, byte/short/int→double); NARROWING is refused loudly —
+    * float→double, byte/short/int→double, the Delta 3.x decimal matrix:
+    * decimal→wider-decimal and integral→decimal); NARROWING is refused
+    * loudly —
     * it would corrupt every carried file's reads. On a 100 TB layer this
     * turns the int→long migration every long-lived schema eventually
     * needs from a full rewrite into one manifest write.
@@ -2841,7 +2843,9 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     require(SchemaEvolution.widens(field.dataType, newType),
       s"widenColumn('$layer'): ${field.dataType.simpleString} → " +
         s"${newType.simpleString} is not a safe widening (allowed: " +
-        "byte→short→int→long, float→double, byte/short/int→double) — " +
+        "byte→short→int→long, float→double, byte/short/int→double, " +
+        "decimal(p,s)→decimal(p′,s′) with p′−s′ ≥ p−s and s′ ≥ s, " +
+        "byte/short/int/long→decimal with enough integer digits) — " +
         "narrowing would corrupt carried files' reads; rewrite through " +
         "compact() on an explicitly cast frame instead")
     // hive partition values live as PATH STRINGS typed by discovery —

@@ -22,9 +22,15 @@ import org.apache.spark.sql.types._
   * Widening is allowed along the exact promotions Spark 4's parquet
   * vectorized reader performs when the requested schema is wider than the
   * file's physical type (verified against this build): the integral chain
-  * `byte → short → int → long`, `float → double`, and exact
+  * `byte → short → int → long`, `float → double`, exact
   * integral-to-double (`byte/short/int → double`; `long → double` is
-  * REFUSED — 64-bit integers don't fit a 53-bit mantissa). A widened
+  * REFUSED — 64-bit integers don't fit a 53-bit mantissa), and the
+  * Delta 3.x decimal matrix (also reader-verified on this build):
+  * `decimal(p,s) → decimal(p′,s′)` whenever no digit can be lost —
+  * integer digits don't shrink (`p′−s′ ≥ p−s`) and scale doesn't shrink
+  * (`s′ ≥ s`) — plus integral-to-decimal when the integral range fits the
+  * target's integer digits (`byte/short/int/long → decimal` with
+  * `p−s ≥ 3/5/10/20`): the money-column migration. A widened
   * commit records the wider type; files written before it read through
   * promotion, no rewrite. An increment NARROWER than the recorded type
   * needs no schema change at all — its files promote on read the same way.
@@ -39,6 +45,17 @@ object SchemaEvolution {
     case (ShortType, IntegerType | LongType | DoubleType) => true
     case (IntegerType, LongType | DoubleType) => true
     case (FloatType, DoubleType) => true
+    // decimal → wider decimal: lossless iff integer digits and scale both
+    // survive (scale-up pads zeros; the reader rescales unscaled values)
+    case (f: DecimalType, t: DecimalType) =>
+      t != f && t.scale >= f.scale &&
+        t.precision - t.scale >= f.precision - f.scale
+    // integral → decimal: the full integral range must fit the target's
+    // integer digits (max digit counts: byte 3, short 5, int 10, long 20)
+    case (ByteType, t: DecimalType) => t.precision - t.scale >= 3
+    case (ShortType, t: DecimalType) => t.precision - t.scale >= 5
+    case (IntegerType, t: DecimalType) => t.precision - t.scale >= 10
+    case (LongType, t: DecimalType) => t.precision - t.scale >= 20
     case _ => false
   }
 

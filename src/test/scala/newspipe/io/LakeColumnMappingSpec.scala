@@ -279,6 +279,50 @@ class LakeColumnMappingSpec extends SparkTestBase {
     lake.read("docs").schema("n").dataType shouldBe LongType
   }
 
+  test("decimal widening: decimal→wider-decimal and integral→decimal are " +
+      "metadata-only; lossy decimal changes refused") {
+    import org.apache.spark.sql.types.DecimalType
+    val dir = Files.createTempDirectory("lakecm_widen_dec").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.writeAtomic(Seq((1L, "12345.67"), (2L, "0.01")).toDF("id", "amt")
+      .select(col("id"), col("amt").cast(DecimalType(10, 2)).as("amt")),
+      "pay")
+    // precision AND scale up: decimal(10,2) → decimal(14,4), zero rewrites
+    lake.widenColumn("pay", "amt", DecimalType(14, 4))
+      .rewrittenFiles shouldBe 0
+    lake.read("pay").schema("amt").dataType shouldBe DecimalType(14, 4)
+    lake.read("pay").agg(sum("amt")).as[java.math.BigDecimal].head()
+      .compareTo(new java.math.BigDecimal("12345.68")) shouldBe 0
+    // append needing the new scale; carried files still promote
+    lake.appendAtomic(Seq((3L, "0.0001")).toDF("id", "amt")
+      .select(col("id"), col("amt").cast(DecimalType(14, 4)).as("amt")),
+      "pay")
+    lake.read("pay").agg(sum("amt")).as[java.math.BigDecimal].head()
+      .compareTo(new java.math.BigDecimal("12345.6801")) shouldBe 0
+    // integral → decimal: the int range must fit the integer digits
+    lake.writeAtomic(Seq((1L, 100), (2L, 23)).toDF("id", "n"), "docs")
+    intercept[IllegalArgumentException] {
+      lake.widenColumn("docs", "n", DecimalType(9, 0)) // int needs p−s ≥ 10
+    }
+    lake.widenColumn("docs", "n", DecimalType(12, 2))
+    lake.read("docs").schema("n").dataType shouldBe DecimalType(12, 2)
+    lake.read("docs").agg(sum("n")).as[java.math.BigDecimal].head()
+      .compareTo(new java.math.BigDecimal("123.00")) shouldBe 0
+    // lossy decimal changes are refused: scale shrink, integer-digit shrink
+    intercept[IllegalArgumentException] {
+      lake.widenColumn("pay", "amt", DecimalType(20, 2)) // scale 4 → 2
+    }
+    intercept[IllegalArgumentException] {
+      lake.widenColumn("pay", "amt", DecimalType(12, 5)) // digits 10 → 7
+    }
+    // SQL surface carries decimal types through Spark's own parser
+    LakeSql.sql(spark,
+      s"ALTER TABLE lake.`$dir`.pay ALTER COLUMN amt TYPE DECIMAL(20,4)")
+    lake.read("pay").schema("amt").dataType shouldBe DecimalType(20, 4)
+    lake.read("pay").agg(sum("amt")).as[java.math.BigDecimal].head()
+      .compareTo(new java.math.BigDecimal("12345.6801")) shouldBe 0
+  }
+
   test("widening refusals: narrowing, long→double, unknown column") {
     import org.apache.spark.sql.types.{IntegerType, LongType, DoubleType}
     val dir = Files.createTempDirectory("lakecm_narrow").toString
