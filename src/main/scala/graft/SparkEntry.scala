@@ -3423,6 +3423,57 @@ object SparkEntry {
         .orderBy("side", "lang")
     }),
 
+    // CROSS-BASE SHALLOW CLONE (Delta's absolute-path clone): the fork
+    // lives in a DIFFERENT lake base (the dev/test-fork-in-another-bucket
+    // shape), referencing the production corpus through absolute
+    // `base:<root>//<rel>` manifest refs — zero data copied (pinned
+    // in-query), the clone serves the pre-delete version while the
+    // source serves its post-delete head, and the clone registered a
+    // `_CLONE_PINS` entry so source vacuums can't reclaim what it reads.
+    "q166_cross_base_clone" -> ((s, dir) => {
+      val rootA = java.nio.file.Files.createTempDirectory("q166_src").toString
+      val rootB = java.nio.file.Files.createTempDirectory("q166_dst").toString
+      val lakeA = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = rootA))
+      val lakeB = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = rootB))
+      lakeA.writeAtomic(t(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .repartitionByRange(8, col("n_chars"))
+        .sortWithinPartitions("n_chars"), "docs")
+      val v1 = lakeA.listVersions("docs").head
+      lakeA.deleteWhere("docs",
+        col("lang") === "en" && col("n_chars") < 300)
+      newspipe.io.LakeSql.sql(s,
+        s"CREATE TABLE lake.`$rootB`.fork SHALLOW CLONE " +
+          s"lake.`$rootA`.docs VERSION AS OF '$v1'").collect()
+      // the zero-copy pin: the fork's tree holds NO parquet of its own
+      val forkParquet = {
+        val it = org.apache.hadoop.fs.FileSystem.getLocal(
+          s.sparkContext.hadoopConfiguration).listFiles(
+          new org.apache.hadoop.fs.Path(s"$rootB/fork"), true)
+        var n = 0
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }
+      require(forkParquet == 0,
+        s"cross-base clone must copy zero data files, found $forkParquet")
+      // the vacuum-pin registration landed at the source
+      require(org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sparkContext.hadoopConfiguration).exists(
+        new org.apache.hadoop.fs.Path(s"$rootA/docs/_CLONE_PINS")),
+        "cross-base clone must register a _CLONE_PINS entry at the source")
+      def agg(lake: newspipe.io.Lake, layer: String, side: String) =
+        lake.read(layer).groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+            sum("doc_id").as("id_sum"))
+          .withColumn("side", lit(side))
+      agg(lakeB, "fork", "clone").unionByName(agg(lakeA, "docs", "src"))
+        .orderBy("side", "lang")
+    }),
+
     // DECIMAL TYPE WIDENING (Delta 3.x's money-column migration):
     // decimal(7,2) → decimal(14,4) as ONE metadata commit — zero files
     // rewritten, carried files read through the parquet reader's decimal
@@ -5990,6 +6041,25 @@ object SparkEntry {
           |SELECT lang, count(*) AS n_docs,
           |       CAST(sum(rating) AS BIGINT) AS sum_rating
           |FROM ev GROUP BY lang ORDER BY lang""".stripMargin) +
+      // cross-base fork: q159's version-sliced oracle verbatim — the
+      // clone serves version 1 (full corpus) from ANOTHER lake base, the
+      // source serves the post-delete head (tail-defined, so the text is
+      // inlined rather than aliased through ext)
+      ("q166_cross_base_clone" ->
+        """WITH c AS (
+          |  SELECT 'clone' AS side, lang, count(*) AS n_docs,
+          |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |         CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |  FROM documents GROUP BY lang
+          |), s AS (
+          |  SELECT 'src' AS side, lang, count(*) AS n_docs,
+          |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |         CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |  FROM documents
+          |  WHERE NOT (lang = 'en' AND n_chars < 300) GROUP BY lang
+          |)
+          |SELECT * FROM c UNION ALL SELECT * FROM s
+          |ORDER BY side, lang""".stripMargin) +
       // decimal widening is metadata-only: the corpus at decimal(7,2)
       // (digits built exactly from n_chars + padded cents) plus the
       // re-appended tenth shifted into decimal(14,4)-only territory

@@ -61,6 +61,11 @@ final case class LakeConfig(
 
 final class Lake(spark: SparkSession, config: LakeConfig) {
 
+  /** This lake's base path — cross-instance ops ([[cloneFrom]], the
+    * vacuum pin walk) need a peer instance's root.
+    */
+  private[io] def basePathOf: String = config.basePath
+
   import org.apache.hadoop.fs.Path
 
   private def layerPath(layer: String): String =
@@ -71,9 +76,20 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * shallow [[clone]] records — collapses TEXTUALLY (never a literal
     * `..` path segment on the filesystem), so every resolved path is
     * canonical and qualified-path comparisons (DV keys, stats keys, scan
-    * identities) agree between a clone and its source layer.
+    * identities) agree between a clone and its source layer. A
+    * `base:<src layer root>//<rel>` ref — the CROSS-BASE form
+    * [[cloneFrom]] records (Delta's absolute-path shallow clone) — keeps
+    * the source layer root and the within-layer rel separated by `//`, so
+    * resolution (and partition-discovery rooting, payload keying) never
+    * has to guess where an absolute layer root ends.
     */
   private[io] def resolveRel(base: String, rel: String): String = {
+    if (rel.startsWith(Lake.BaseRefPrefix)) {
+      val body = rel.substring(Lake.BaseRefPrefix.length)
+      val cut = body.indexOf("//")
+      require(cut > 0, s"malformed cross-base ref '$rel' (no `//` split)")
+      return body.substring(0, cut) + body.substring(cut + 1)
+    }
     var b = base.stripSuffix("/")
     var r = rel
     while (r.startsWith("../")) {
@@ -85,6 +101,28 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     s"$b/$r"
   }
 
+  /** The within-source-layer rel of a cross-base `base:` ref (the part
+    * after the `//` split) — what the SOURCE layer's own metadata (DV
+    * payload documents) keys it by.
+    */
+  private def baseRefRel(rel: String): String = {
+    val cut = rel.indexOf("//")
+    rel.substring(cut + 2)
+  }
+
+  /** The key a DV payload DOCUMENT records for a manifest rel: a foreign
+    * (clone-carried) reference shares the `../<layer>/` or
+    * `base:<root>//` prefix on BOTH sides of the dv map, but the payload
+    * was written in the SOURCE layer and keys positions by
+    * source-relative rels — strip the prefix for the lookup. (DV commits
+    * can't LAND on layers carrying foreign refs — [[dvDelete]] refuses —
+    * so payload keys are always source-layer-relative.)
+    */
+  private def payloadKeyOf(rel: String): String =
+    if (rel.startsWith(Lake.BaseRefPrefix)) baseRefRel(rel)
+    else if (rel.startsWith("../")) rel.split('/').drop(2).mkString("/")
+    else rel
+
   /** The version-dir group key of a manifest rel path — `_v/<v>` for
     * same-layer refs, `../<layer>/_v/<v>` for cross-layer (clone) refs,
     * `""` for flat-layout paths. Reads and listings group by this key so
@@ -92,6 +130,14 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * object-store-friendly shape) no matter how many files it holds.
     */
   private def versionDirOf(rel: String): String = {
+    // cross-base refs group by the WITHIN-layer dir of their own source
+    // root — the `//` split makes the root explicit, so a flat ref still
+    // roots partition discovery at the source layer, not a leaf dir
+    if (rel.startsWith(Lake.BaseRefPrefix)) {
+      val cut = rel.indexOf("//")
+      val inner = versionDirOf(rel.substring(cut + 2))
+      return rel.substring(0, cut) + "//" + inner
+    }
     val segs = rel.split('/')
     val i = segs.indexOf("_v")
     if (i >= 0 && segs.length >= i + 2) segs.take(i + 2).mkString("/")
@@ -463,8 +509,9 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           val total = inv.iterator.map(rowsByRel).sum
           val dvDeleted = dvMapOf(snap).iterator.map {
             case (fileRel, payloadRel) =>
+              // clone-carried refs: the payload keys source-relative rels
               dvPayload(layerPath(layer), payloadRel)
-                .getOrElse(fileRel, Nil).size.toLong
+                .getOrElse(payloadKeyOf(fileRel), Nil).size.toLong
           }.sum
           Some(total - dvDeleted)
         }
@@ -838,7 +885,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // cross-layer (clone) rels resolve outside qualBase — qualify through
     // the textual resolver so keys always match listed canonical paths
     def qual(rel: String): String =
-      if (rel.startsWith("../"))
+      if (Lake.isForeignRel(rel))
         f.makeQualified(new Path(resolveRel(base, rel))).toString
       else s"$qualBase/$rel"
     val byDir = rels.groupBy(versionDirOf)
@@ -1064,17 +1111,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val f = fs(new Path(base))
     val qualBase = f.makeQualified(new Path(base)).toString.stripSuffix("/")
     def qual(rel: String): String =
-      if (rel.startsWith("../"))
+      if (Lake.isForeignRel(rel))
         f.makeQualified(new Path(resolveRel(base, rel))).toString
       else s"$qualBase/$rel"
-    // a cross-layer (clone) reference pair shares one `../<layer>/` prefix
-    // on BOTH sides, but the payload DOCUMENT was written in the source
-    // layer and keys its positions by SOURCE-relative rels — strip the
-    // prefix for the lookup (the emitted path stays the canonical resolved
-    // one, matching the scan's identities)
-    def payloadKey(rel: String): String =
-      if (!rel.startsWith("../")) rel
-      else rel.split('/').drop(2).mkString("/")
+    val payloadKey = payloadKeyOf _
     wanted.groupBy(_._2).toSeq.flatMap { case (payloadRel, entries) =>
       val all = dvPayload(base, payloadRel)
       entries.keysIterator.flatMap(rel =>
@@ -1167,7 +1207,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // file in one map is how deletes get silently lost. Signal the caller
     // (Left(-1)): the property-routed path falls back to the rewrite, the
     // explicit deleteWhereDv call refuses loudly.
-    if (affected.exists(_.startsWith("../"))) return Left(-1L)
+    if (affected.exists(Lake.isForeignRel)) return Left(-1L)
     val carriedDv = dvMapOf(snap)
     if (affected.isEmpty)
       return Right(Lake.RowOpResult(snap.toString, 0, inventory.size,
@@ -1313,10 +1353,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       case Some(p) if p.keptPaths.size == p.totalFiles => plain()
       case Some(p) if p.keptPaths.isEmpty =>
         plain().filter(org.apache.spark.sql.functions.lit(false))
-      case Some(p) if p.keptPaths.exists(_.startsWith("_v/")) =>
-        // manifest snapshot: kept files span version dirs — per-dir
-        // discovery roots + the recorded schema (see readRelFiles); DV'd
-        // files filter through their positions like every other read
+      case Some(p) if p.keptPaths.exists(r =>
+          r.startsWith("_v/") || Lake.isForeignRel(r)) =>
+        // manifest snapshot: kept files span version dirs (and, on
+        // clones, other layers/bases) — per-dir discovery roots + the
+        // recorded schema (see readRelFiles); DV'd files filter through
+        // their positions like every other read
         val snap = latestSnapshot(layer).get // manifest paths ⇒ snapshot
         val dv = dvMapOf(snap)
         val mapping = mappingOf(snap)
@@ -1741,7 +1783,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           // cross-layer (clone) refs are refused like partitioned layouts:
           // the build keys entries by input_file_name, whose canonical
           // form need not match a `../` rel — materialize first
-          require(!m.files.exists(_.startsWith("../")),
+          require(!m.files.exists(Lake.isForeignRel),
             s"enableBloomIndex: layer '$layer' holds shallow-clone " +
               "cross-layer references — materialize with compact() first")
           if (!m.files.exists(_.contains("="))) {
@@ -2482,7 +2524,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           // cross-layer (clone) refs opt the whole commit out — the clone
           // carries no index until materialized (enableBloomIndex refuses)
           if (!(curCarried ++ newFiles).exists(r =>
-              r.contains("=") || r.startsWith("../")))
+              r.contains("=") || Lake.isForeignRel(r)))
             maybeBloomSidecar(layer, curSnap, base = base,
               rels = curCarried ++ newFiles,
               rowsByRel = allStats.map(st => st.path -> st.rows).toMap,
@@ -2630,17 +2672,41 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * snapshot path.
     */
   def clone(src: String, dst: String,
+      version: Option[String] = None): String = cloneImpl(this, src, dst,
+    version)
+
+  /** [[clone]] from a layer in ANOTHER lake base (Delta's cross-table
+    * shallow clone via absolute paths): the dst manifest records
+    * `base:<src layer root>//<rel>` refs, and the clone registers itself
+    * in the source layer's `_CLONE_PINS/` directory so a vacuum running
+    * over THERE pins every version this clone still references — the
+    * cross-base mirror of the sibling `_CLONE_SOURCES` walk. A same-base
+    * `srcBase` falls through to the sibling-rel form.
+    */
+  def cloneFrom(srcBase: String, src: String, dst: String,
       version: Option[String] = None): String = {
-    require(src != dst, s"clone: source and destination are both '$src'")
-    val srcBase = layerPath(src)
+    val sb = srcBase.stripSuffix("/")
+    if (sb == config.basePath.stripSuffix("/")) cloneImpl(this, src, dst,
+      version)
+    else cloneImpl(new Lake(spark, config.copy(basePath = sb)), src, dst,
+      version)
+  }
+
+  private def cloneImpl(srcLake: Lake, src: String, dst: String,
+      version: Option[String]): String = {
+    val sameBase = srcLake.basePathOf.stripSuffix("/") ==
+      config.basePath.stripSuffix("/")
+    require(!sameBase || src != dst,
+      s"clone: source and destination are both '$src'")
+    val srcBase = srcLake.layerPath(src)
     val target = version match {
       case Some(v) =>
         val t = new Path(s"$srcBase/_v/$v")
         require(fs(t).exists(new Path(t, "_COMMITTED")),
           s"layer '$src' has no committed snapshot '$v' " +
-            s"(known: ${listVersions(src).mkString(", ")})")
+            s"(known: ${srcLake.listVersions(src).mkString(", ")})")
         t
-      case None => latestSnapshot(src).getOrElse(throw
+      case None => srcLake.latestSnapshot(src).getOrElse(throw
         new IllegalArgumentException(s"clone: layer '$src' has no " +
           "committed snapshot (flat layers: convertToLake first)"))
     }
@@ -2650,27 +2716,37 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         !fd.listStatus(dstBase).exists(s =>
           !s.getPath.getName.startsWith("_"))),
       s"clone: destination layer '$dst' already holds data")
-    // same-lake siblings only: `../<layer>/…` escapes exactly one level,
-    // so both layers must share this lake's base path (cross-lake clones
-    // would need absolute refs the vacuum walk can't pin)
+    // Same-base: `../<layer>/…` sibling rels (vacuum's sibling walk pins
+    // them). Cross-base: absolute `base:<layer root>//<rel>` refs — the
+    // source's own `../other/…` refs resolve against ITS base first, so
+    // a clone of a clone still references the ORIGINAL data files.
     def rebase(rel: String): String =
-      if (rel.startsWith("../")) rel // already lake-base-scoped (clone of a clone)
-      else s"../$src/$rel"
-    val files = snapshotInventory(src, target).map(rebase)
-    val dvs = dvMapOf(target).map { case (k, v) => rebase(k) -> rebase(v) }
-    val stats = statsOfSnapshot(src, target).values
+      if (rel.startsWith(Lake.BaseRefPrefix)) rel // absolute already
+      else if (sameBase) {
+        if (rel.startsWith("../")) rel // lake-base-scoped (clone of clone)
+        else s"../$src/$rel"
+      } else if (rel.startsWith("../")) {
+        val segs = rel.split('/')
+        s"${Lake.BaseRefPrefix}${srcLake.basePathOf.stripSuffix("/")}/" +
+          s"${segs(1)}//${segs.drop(2).mkString("/")}"
+      } else s"${Lake.BaseRefPrefix}$srcBase//$rel"
+    val files = srcLake.snapshotInventory(src, target).map(rebase)
+    val dvs = srcLake.dvMapOf(target).map { case (k, v) =>
+      rebase(k) -> rebase(v) }
+    val stats = srcLake.statsOfSnapshot(src, target).values
       .map(st => st.copy(path = rebase(st.path))).toSeq
-    val schemaDdl = snapshotSchema(src, target).toDDL
+    val schemaDdl = srcLake.snapshotSchema(src, target).toDDL
     // config before the commit: constraints / DV opt-in / partition
     // declaration gate writer behavior from the first post-clone commit
-    val copied = properties(src) -
+    val copied = srcLake.properties(src) -
       BloomIndex.ColsProp - BloomIndex.FppProp
     if (copied.nonEmpty) setProperties(dst, copied)
     // record which layers this clone references (`_CLONE_SOURCES` at the
     // clone root, before the commit): vacuum on a SOURCE layer consults
     // only siblings whose marker names it — layers that never cloned pay
     // zero cross-layer manifest walks
-    val refLayers = files.filter(_.startsWith("../"))
+    val allRefs = files ++ dvs.values
+    val refLayers = allRefs.filter(_.startsWith("../"))
       .map(_.split('/')(1)).distinct.filter(_.nonEmpty)
     if (refLayers.nonEmpty) {
       val mk = new Path(layerPath(dst), "_CLONE_SOURCES")
@@ -2682,12 +2758,32 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         .mkString("\n").getBytes("UTF-8"))
       finally out.close()
     }
+    // cross-base refs: register this clone at EACH referenced source
+    // layer (`<layer root>/_CLONE_PINS/<md5-of-clone-path>`, content =
+    // this clone's absolute layer root, before the commit) — the source's
+    // vacuum walks registered clones' manifests and pins what they still
+    // reference; a deleted clone's stale pin resolves to nothing
+    val refRoots = allRefs
+      .filter(_.startsWith(Lake.BaseRefPrefix))
+      .map(r => r.substring(Lake.BaseRefPrefix.length, r.indexOf("//")))
+      .distinct
+    refRoots.foreach { root =>
+      val pinDir = new Path(root, "_CLONE_PINS")
+      val pf = fs(pinDir)
+      pf.mkdirs(pinDir)
+      val clonePath = layerPath(dst)
+      val token = java.security.MessageDigest.getInstance("MD5")
+        .digest(clonePath.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val out = pf.create(new Path(pinDir, token), true)
+      try out.write(clonePath.getBytes("UTF-8")) finally out.close()
+    }
     val newSnap = new Path(s"${layerPath(dst)}/_v/${newVersionId()}")
     val f = fs(newSnap)
     try {
       f.mkdirs(newSnap) // no data files — the manifest IS the snapshot
       val manifest = SnapshotManifest(files, schemaDdl, dvs,
-        mappingOf(target), droppedOf(target))
+        srcLake.mappingOf(target), srcLake.droppedOf(target))
       val (head, shards) =
         SnapshotManifest.toJsonSharded(manifest, config.manifestShardSize)
       def put(name: String, body: String): Unit = {
@@ -3615,7 +3711,35 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           case _ => None // flat-adopted source file: not a version dir
         })
         .toSet
-    val keepSet = kept ++ pinned ++ cloned
+    // cross-BASE pins: clones under OTHER lake bases registered
+    // themselves in this layer's `_CLONE_PINS/` at clone time
+    // ([[cloneFrom]]); walk each registered clone's committed manifests
+    // and pin every version dir it still references here. A pin whose
+    // clone was deleted wholesale resolves to nothing (and keeps nothing
+    // pinned); a lake never cross-base-cloned pays one existence check.
+    val layerRoot = layerPath(layer)
+    val pinsDir = new Path(layerRoot, "_CLONE_PINS")
+    val crossBase: Set[String] =
+      if (!f.exists(pinsDir)) Set.empty
+      else f.listStatus(pinsDir).iterator.filter(_.isFile).flatMap { st =>
+        val clonePath = new Path(readFully(st.getPath).trim)
+        val cfs = fs(clonePath)
+        if (!cfs.exists(clonePath)) Nil
+        else {
+          val cloneLake = new Lake(spark, config.copy(
+            basePath = clonePath.getParent.toString))
+          val pfx = s"${Lake.BaseRefPrefix}$layerRoot//"
+          cloneLake.committedVersions(clonePath.getName)
+            .flatMap(p => cloneLake.manifestOf(p)
+              .map(m => m.files ++ m.dvs.values).getOrElse(Nil))
+            .filter(_.startsWith(pfx))
+            .flatMap(_.stripPrefix(pfx).split('/') match {
+              case Array("_v", v, _*) => Some(v)
+              case _ => None
+            })
+        }
+      }.toSet
+    val keepSet = kept ++ pinned ++ cloned ++ crossBase
     f.listStatus(vdir).filter(_.isDirectory).map(_.getPath)
       .filterNot(p => keepSet.contains(p.getName))
       .filter { p =>
@@ -3666,6 +3790,19 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
 object Lake {
   /** Layer property holding the declared clustering keys (csv). */
   val ClusterByProp = "lake.clusterBy"
+
+  /** Manifest-rel prefix of a CROSS-BASE file reference (see
+    * [[Lake.resolveRel]]): `base:<source layer root>//<within-layer rel>`.
+    */
+  val BaseRefPrefix = "base:"
+
+  /** Is this manifest rel a reference into ANOTHER layer (same-lake
+    * sibling `../…` or cross-base `base:…`)? Foreign rels opt out of DV
+    * commits and bloom indexing, and route stats/scan paths through
+    * [[Lake.resolveRel]].
+    */
+  def isForeignRel(rel: String): Boolean =
+    rel.startsWith("../") || rel.startsWith(BaseRefPrefix)
 
   /** [[Lake.pruneInfo]] result: how much of the layer a predicate's
     * sidecar pruning keeps (row counts are upper bounds from file stats,

@@ -642,12 +642,11 @@ object LakeSql {
       case LakeClone(dstParts, srcParts, version) =>
         val (dstBase, dst) = resolveCloneTarget(session, dstParts)
         val (srcBase, src) = resolveCloneTarget(session, srcParts)
-        require(srcBase.stripSuffix("/") == dstBase.stripSuffix("/"),
-          "SHALLOW CLONE requires source and destination in the same " +
-            s"lake base (got '$srcBase' vs '$dstBase') — cross-lake " +
-            "references can't be vacuum-pinned")
+        // same-base clones record sibling `../` rels; cross-base clones
+        // record absolute `base:` refs and register vacuum pins at the
+        // source (Lake.cloneFrom routes both)
         val cloneLake = new Lake(session, LakeConfig(basePath = dstBase))
-        val snap = cloneLake.clone(src, dst, version)
+        val snap = cloneLake.cloneFrom(srcBase, src, dst, version)
         Row("CLONE", new org.apache.hadoop.fs.Path(snap).getName)
     }
   }

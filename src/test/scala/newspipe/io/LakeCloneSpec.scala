@@ -242,14 +242,67 @@ class LakeCloneSpec extends SparkTestBase {
     lake.read("fork2").count() shouldBe 25L
     spark.sql("SELECT count(*) AS n FROM clonecat.fork2")
       .as[Long].head() shouldBe 25L
-    // cross-base refusal is loud
+    // cross-base targets route through cloneFrom (absolute base: refs)
     val other = newBase()
     lakeAt(other).writeAtomic(spark.range(3).toDF("id"), "s2")
-    val err = intercept[Exception] {
-      LakeSql.sql(spark,
-        s"CREATE TABLE lake.`$base`.x SHALLOW CLONE lake.`$other`.s2")
-        .collect()
-    }
-    assert(err.getMessage.contains("same"))
+    LakeSql.sql(spark,
+      s"CREATE TABLE lake.`$base`.x SHALLOW CLONE lake.`$other`.s2")
+      .collect().head.getString(0) shouldBe "CLONE"
+    lake.read("x").count() shouldBe 3L
+    assert(manifestFiles(base, "x").forall(_.startsWith("base:")))
+  }
+
+  test("cross-base clone: zero copies, identical reads, DVs stay hidden") {
+    val srcBase = newBase(); val dstBase = newBase()
+    val srcLake = lakeAt(srcBase); val dstLake = lakeAt(dstBase)
+    srcLake.writeAtomic(spark.range(100).select(col("id"),
+      (col("id") % 7).as("k")), "docs")
+    srcLake.setProperties("docs",
+      Map("lake.enableDeletionVectors" -> "true"))
+    srcLake.deleteWhereDv("docs", col("id") < 10).rewrittenFiles shouldBe 0
+    dstLake.cloneFrom(srcBase, "docs", "fork")
+    // zero data files under the fork; refs are absolute base: form
+    dataFilesUnder(dstBase, "fork") shouldBe empty
+    assert(manifestFiles(dstBase, "fork").nonEmpty)
+    assert(manifestFiles(dstBase, "fork").forall(_.startsWith("base:")))
+    // DV-deleted rows stay hidden through the cross-base refs
+    dstLake.read("fork").count() shouldBe 90L
+    dstLake.read("fork").agg(sum("id")).as[Long].head() shouldBe 4905L
+    // metadata-only count agrees (payload keys resolve through base:)
+    dstLake.metadataRowCount("fork") shouldBe Some(90L)
+    // stats pruning carried across: a selective predicate still prunes
+    dstLake.readWhere("fork", col("id") === 50L)
+      .as[(Long, Long)].collect() shouldBe Array((50L, 1L))
+    // independent evolution: a rewrite-delete on the fork localizes it
+    dstLake.deleteWhere("fork", col("k") === 3)
+    dstLake.read("fork").count() shouldBe 77L
+    srcLake.read("docs").count() shouldBe 90L
+  }
+
+  test("cross-base clone: source vacuum pins referenced versions " +
+      "(_CLONE_PINS), reclaims after the fork materializes") {
+    val srcBase = newBase(); val dstBase = newBase()
+    val srcLake = lakeAt(srcBase); val dstLake = lakeAt(dstBase)
+    srcLake.writeAtomic(spark.range(50).toDF("id"), "docs")
+    val v1 = srcLake.listVersions("docs").head
+    dstLake.cloneFrom(srcBase, "docs", "fork")
+    // bury v1 under FULL overwrites, then vacuum hard at the source
+    srcLake.writeAtomic(spark.range(10).toDF("id"), "docs")
+    srcLake.writeAtomic(spark.range(5).toDF("id"), "docs")
+    srcLake.vacuum("docs", keep = 1, orphanGraceMs = 0L)
+    // v1 survived: the cross-base pin walk found the fork's manifest
+    assert(srcLake.listVersions("docs").contains(v1))
+    dstLake.read("fork").count() shouldBe 50L
+    // materialize the fork, retire its clone manifest, then the source
+    // CAN reclaim
+    dstLake.compact("fork")
+    assert(manifestFiles(dstBase, "fork")
+      .forall(!_.startsWith("base:")))
+    dstLake.vacuum("fork", keep = 1, orphanGraceMs = 0L)
+    srcLake.vacuum("docs", keep = 1, orphanGraceMs = 0L)
+    assert(!srcLake.listVersions("docs").contains(v1))
+    dstLake.read("fork").count() shouldBe 50L
+    // clone-side vacuum never touched the source
+    srcLake.read("docs").count() shouldBe 5L
   }
 }
