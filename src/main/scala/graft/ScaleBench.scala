@@ -538,6 +538,43 @@ object ScaleBench {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case _: Throwable => () }
     }
+
+    // ---- round-13: incremental commit log. The scale claim: a small
+    // append's COMMIT metadata cost is O(increment) regardless of the
+    // inventory size — flat wall while the FILE COUNT grows N× — where
+    // the full-manifest protocol (checkpointInterval=1, the pre-round-13
+    // behavior, kept as the measured baseline) re-serializes the whole
+    // inventory + stats every commit, O(total files). checkpoint() is
+    // the O(files) cost paid once per interval instead of per commit.
+    {
+      val root = java.nio.file.Files.createTempDirectory("scale_dl").toString
+      val incLake = new newspipe.io.Lake(spark,
+        newspipe.io.LakeConfig(basePath = root))
+      val fullLake = new newspipe.io.Lake(spark,
+        newspipe.io.LakeConfig(basePath = root, checkpointInterval = 1))
+      val files = math.max(64, 64 * copies) // inventory grows with scale
+      incLake.writeAtomic(docs.repartition(files), "inc")
+      fullLake.writeAtomic(docs.repartition(files), "full")
+      val one = docs.limit(50).repartition(1)
+      val (nIa, tIa) = timed {
+        incLake.appendAtomic(one, "inc"); 1L
+      }
+      out("r13_incremental_append_commit") = (nIa, tIa) // FLAT at N× files
+      val (nFa, tFa) = timed {
+        fullLake.appendAtomic(one, "full"); files.toLong
+      }
+      out("r13_full_append_commit") = (nFa, tFa) // the O(files) baseline
+      val (nCp, tCp) = timed {
+        incLake.checkpoint("inc"); files.toLong
+      }
+      out("r13_checkpoint") = (nCp, tCp) // O(files), once per interval
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+          .iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
     out.toMap
   }
 

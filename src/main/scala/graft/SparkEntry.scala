@@ -3474,6 +3474,48 @@ object SparkEntry {
         .orderBy("side", "lang")
     }),
 
+    // INCREMENTAL COMMIT LOG (Delta's O(delta) commits + checkpoints):
+    // a 10-commit append chain where every commit records only its OWN
+    // increment (_DELTA.json; the in-query requires pin the form AND that
+    // commit metadata bytes stay FLAT as the inventory grows — the write
+    // amplification a full-inventory-per-commit protocol pays), then a
+    // checkpoint() materializes the fold data-invisibly. The oracle is
+    // the corpus union (the 10 slices re-key the whole corpus).
+    "q167_incremental_commits" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q167_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      lake.writeAtomic(docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"), "docs")
+      val metaBytes = scala.collection.mutable.ArrayBuffer[Long]()
+      (0 until 10).foreach { i =>
+        lake.appendAtomic(docs.filter(col("doc_id") % 10 === i)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            col("n_chars")).repartition(1), "docs")
+        val v = lake.listVersions("docs").head
+        val vd = new java.io.File(s"$root/docs/_v/$v")
+        require(new java.io.File(vd, "_DELTA.json").exists() &&
+          !new java.io.File(vd, "_MANIFEST.json").exists(),
+          s"append $i must land as an incremental commit")
+        metaBytes += vd.listFiles().filter(f =>
+          f.getName.startsWith("_MANIFEST") ||
+            f.getName == "_DELTA.json" || f.getName == "_STATS.json")
+          .map(_.length()).sum
+      }
+      require(metaBytes.last <= metaBytes.head * 2,
+        s"commit metadata must stay O(increment) as the inventory " +
+          s"grows: $metaBytes")
+      val before = lake.read("docs").count()
+      require(lake.checkpoint("docs").nonEmpty)
+      require(lake.read("docs").count() == before,
+        "checkpoint must be data-invisible")
+      lake.read("docs").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
     // DECIMAL TYPE WIDENING (Delta 3.x's money-column migration):
     // decimal(7,2) → decimal(14,4) as ONE metadata commit — zero files
     // rewritten, carried files read through the parquet reader's decimal
@@ -6060,6 +6102,17 @@ object SparkEntry {
           |)
           |SELECT * FROM c UNION ALL SELECT * FROM s
           |ORDER BY side, lang""".stripMargin) +
+      // the 10 appended slices re-key the whole corpus: union oracle
+      ("q167_incremental_commits" ->
+        """WITH u AS (
+          |  SELECT doc_id, lang, n_chars FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, lang, n_chars FROM documents
+          |)
+          |SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |FROM u GROUP BY lang ORDER BY lang""".stripMargin) +
       // decimal widening is metadata-only: the corpus at decimal(7,2)
       // (digits built exactly from n_chars + padded cents) plus the
       // re-appended tenth shifted into decimal(14,4)-only territory

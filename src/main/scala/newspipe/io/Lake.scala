@@ -51,13 +51,21 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * [[SnapshotManifest]]); the default keeps any single driver-side JSON
   * parse ≲ 3 MB however many files a row-op snapshot references.
   */
+/** `checkpointInterval`: max consecutive INCREMENTAL (`_DELTA.json`)
+  * commits before a full-manifest checkpoint is forced (see [[DeltaDoc]]);
+  * bounds fold depth to a handful of small JSON reads. `1` disables
+  * incremental commits entirely (every commit writes the full manifest —
+  * pre-round-13 behavior). Overridable per layer via the
+  * `lake.checkpointInterval` property.
+  */
 final case class LakeConfig(
     basePath: String,
     format: String = "parquet",
     database: String = "news_articles",
     collectStats: Boolean = true,
     manifestShardSize: Int = SnapshotManifest.DefaultShardSize,
-    optimizeWrite: Boolean = false)
+    optimizeWrite: Boolean = false,
+    checkpointInterval: Int = 20)
 
 final class Lake(spark: SparkSession, config: LakeConfig) {
 
@@ -718,25 +726,111 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * cached: the not-yet-committed window must stay re-checkable.
     */
   private val manifestCache =
-    new java.util.LinkedHashMap[String, SnapshotManifest](16, 0.75f, true) {
+    new java.util.LinkedHashMap[String, SnapshotManifest](64, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, SnapshotManifest]): Boolean =
-        size() > 8
+        size() > 32 // holds a full delta chain so head folds stay O(1)
     }
 
-  private def manifestOf(snap: Path): Option[SnapshotManifest] = {
+  /** Parsed `_DELTA.json` of an INCREMENTAL commit (see [[DeltaDoc]]), if
+    * the snapshot is one. Cached like manifests — committed docs are
+    * immutable, misses stay re-checkable.
+    */
+  private val deltaCache =
+    new java.util.LinkedHashMap[String, DeltaDoc](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DeltaDoc]): Boolean = size() > 32
+    }
+
+  private def deltaDocOf(snap: Path): Option[DeltaDoc] = {
     val key = snap.toString
-    manifestCache.synchronized {
-      val hit = manifestCache.get(key)
+    deltaCache.synchronized {
+      val hit = deltaCache.get(key)
       if (hit != null) return Some(hit)
     }
-    val p = new Path(snap, SnapshotManifest.FileName)
+    val p = new Path(snap, DeltaDoc.FileName)
     if (!fs(p).exists(p)) None
     else {
-      val m = SnapshotManifest.read(readFully(p),
-        i => readFully(new Path(snap, SnapshotManifest.shardName(i))))
-      manifestCache.synchronized { manifestCache.put(key, m) }
-      Some(m)
+      val d = DeltaDoc.fromJson(readFully(p))
+      deltaCache.synchronized { deltaCache.put(key, d) }
+      Some(d)
+    }
+  }
+
+  private def hasFullManifest(snap: Path): Boolean =
+    fs(snap).exists(new Path(snap, SnapshotManifest.FileName))
+
+  /** An incremental commit whose fold genuinely depends on its parent
+    * chain (no materialized checkpoint beside it).
+    */
+  private def isDeltaOnly(snap: Path): Boolean =
+    !hasFullManifest(snap) && deltaDocOf(snap).isDefined
+
+  private def checkpointIntervalOf(layer: String): Int =
+    properties(layer).get("lake.checkpointInterval")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .getOrElse(config.checkpointInterval)
+
+  private def manifestOf(snap: Path): Option[SnapshotManifest] = {
+    def cached(p: Path): Option[SnapshotManifest] = manifestCache.synchronized {
+      Option(manifestCache.get(p.toString))
+    }
+    def store(p: Path, m: SnapshotManifest): SnapshotManifest = {
+      manifestCache.synchronized { manifestCache.put(p.toString, m) }
+      m
+    }
+    def fullOf(p: Path): Option[SnapshotManifest] = {
+      val mp = new Path(p, SnapshotManifest.FileName)
+      if (!fs(mp).exists(mp)) None
+      else Some(SnapshotManifest.read(readFully(mp),
+        i => readFully(new Path(p, SnapshotManifest.shardName(i)))))
+    }
+    cached(snap).foreach(m => return Some(m))
+    fullOf(snap).foreach(m => return Some(store(snap, m)))
+    // INCREMENTAL snapshot: walk parent pointers down to the nearest
+    // checkpoint (full manifest) or self-contained terminator — depth
+    // bounded by the checkpoint interval — then fold upward, caching
+    // every intermediate so subsequent head reads are one cache hit
+    deltaDocOf(snap) match {
+      case None => None
+      case Some(headDoc) =>
+        var chain = List((snap, headDoc)) // oldest-first after the pushes
+        var terminalFiles: Seq[String] = null
+        var terminalDvs: Map[String, String] = Map.empty
+        var cur = new Path(snap.getParent, headDoc.parent)
+        while (terminalFiles == null) {
+          cached(cur).orElse(fullOf(cur).map(store(cur, _))) match {
+            case Some(m) =>
+              terminalFiles = m.files
+              terminalDvs = m.dvs
+            case None => deltaDocOf(cur) match {
+              case Some(d) =>
+                chain ::= ((cur, d))
+                cur = new Path(cur.getParent, d.parent)
+              case None =>
+                // self-contained terminator: its directory IS its inventory
+                terminalFiles = snapshotDirFilesRel(cur)
+                  .map(s"_v/${cur.getName}/" + _)
+            }
+          }
+        }
+        var files = terminalFiles
+        var dvs = terminalDvs
+        var result: SnapshotManifest = null
+        chain.foreach { case (p, d) =>
+          val removed = d.remove.toSet
+          files = files.filterNot(removed) ++ d.add
+          require(files.size == d.count,
+            s"delta fold for ${p.getName} produced ${files.size} files " +
+              s"but the commit recorded ${d.count} — the chain is " +
+              "corrupted (vacuumed past a pinned version, or external " +
+              "deletion); refusing to serve a silently-narrowed inventory")
+          dvs = (dvs -- d.dvUnset) ++ d.dvSet
+          result = SnapshotManifest(files, d.schemaDdl, dvs, d.mapping,
+            d.dropped)
+          store(p, result)
+        }
+        Some(result)
     }
   }
 
@@ -858,7 +952,9 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         val raw =
           if (!mergeSchema && config.format == "parquet" &&
               !m.files.exists(_.contains("=")))
-            readIndexed(layerPath(layer), snap, m.files, phys)
+            readIndexed(layerPath(layer), snap, m.files, phys,
+              statsIn = Some(statsOfSnapshot(layer, snap).values.toSeq),
+              bloomIn = Some(bloomOfSnapshot(layer, snap)))
           else if (m.dvs.isEmpty)
             readRelFiles(layer, m.files, mergeSchema, schemaHint = Some(phys))
           else
@@ -878,7 +974,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   private def readIndexed(base: String, snap: Path,
       rels: Seq[String],
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      schema: org.apache.spark.sql.types.StructType,
+      statsIn: Option[Seq[FileStats.FileStat]] = None,
+      bloomIn: Option[Map[String, Map[String, Array[Byte]]]] = None)
+      : DataFrame = {
     val basePath = new Path(base)
     val f = fs(basePath)
     val qualBase = f.makeQualified(basePath).toString.stripSuffix("/")
@@ -911,12 +1010,15 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         s"snapshot ${snap.getName} references missing data file '$rel' " +
           s"(under $base) — vacuumed past a pinned version, or external " +
           "deletion")))
-    val statsByPath = snapshotSidecar(snap)
+    // manifest callers pass FOLDED stats/bloom (incremental snapshots
+    // spread both across their chain); self-contained reads use their own
+    val statsByPath = statsIn.getOrElse(snapshotSidecar(snap))
       .map(st => qual(st.path) -> st).toMap
-    val bloomByPath = bloomSidecarRaw(snap) match {
+    val bloomFiles = bloomIn.orElse(bloomSidecarRaw(snap).map(_._2))
+    val bloomByPath = bloomFiles match {
       case None =>
         Map.empty[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
-      case Some((_, files)) => files.map { case (rel, m) =>
+      case Some(files) => files.map { case (rel, m) =>
         qual(rel) ->
           m.map { case (c, b) => c -> BloomIndex.deserialize(b) } }
     }
@@ -1557,12 +1659,21 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   private def sidecarStats(layer: String): Option[(String, Seq[FileStats.FileStat])] =
     latestSnapshot(layer).flatMap { snap =>
-      val stats = snapshotSidecar(snap)
-      if (stats.isEmpty) None
-      else {
-        val base =
-          if (manifestOf(snap).isDefined) layerPath(layer) else snap.toString
-        Some((base, stats))
+      if (manifestOf(snap).isDefined) {
+        // manifest (or incremental) snapshot: the folded chain stats,
+        // INTERSECTED with the live inventory — pruning treats this list
+        // as the complete file set, so a fold superset (removed files)
+        // would resurrect data and a partial fold (a chain commit's
+        // soft-failed sidecar) would silently drop files; all-or-nothing
+        val inv = snapshotInventory(layer, snap)
+        val folded = statsOfSnapshot(layer, snap)
+        if (inv.nonEmpty && inv.forall(folded.contains))
+          Some((layerPath(layer), inv.map(folded)))
+        else None
+      } else {
+        val stats = snapshotSidecar(snap)
+        if (stats.isEmpty) None
+        else Some((snap.toString, stats))
       }
     }
 
@@ -1611,15 +1722,22 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * consumes when reusing a parent snapshot's entries.
     */
   private def bloomOfSnapshot(layer: String,
-      snap: Path): Map[String, Map[String, Array[Byte]]] =
-    bloomSidecarRaw(snap) match {
-      case None => Map.empty
+      snap: Path): Map[String, Map[String, Array[Byte]]] = {
+    val own = bloomSidecarRaw(snap) match {
+      case None => Map.empty[String, Map[String, Array[Byte]]]
       case Some((_, files)) =>
         val rebase =
           if (manifestOf(snap).isDefined) (s: String) => s
           else (s: String) => s"_v/${snap.getName}/$s"
         files.map { case (rel, m) => rebase(rel) -> m }
     }
+    // incremental commits carry only their own entries — fold the chain
+    // (own wins over parents': a rebuilt entry supersedes the carried one)
+    if (isDeltaOnly(snap))
+      bloomOfSnapshot(layer,
+        new Path(snap.getParent, deltaDocOf(snap).get.parent)) ++ own
+    else own
+  }
 
   private def writeBloomSidecar(snap: Path, fpp: Double, cols: Seq[String],
       files: Map[String, Map[String, Array[Byte]]],
@@ -1640,7 +1758,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       rels: Seq[String], rowsByRel: Map[String, Long],
       mapping: Map[String, String],
       schema: org.apache.spark.sql.types.StructType,
-      carried: Map[String, Map[String, Array[Byte]]]): Unit = {
+      carried: Map[String, Map[String, Array[Byte]]],
+      writeCarried: Boolean = true): Unit = {
     val cols = bloomColsOf(layer)
     if (cols.isEmpty) return
     try {
@@ -1650,9 +1769,11 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         carried.get(r).exists(m => phys.forall(m.contains)))
       val built = buildBloomEntries(base, need, phys, fpp, rowsByRel,
         physicalSchema(schema, mapping))
-      val entries = have.map(r =>
-        r -> carried(r).filter { case (c, _) => phys.contains(c) }).toMap ++
-        built
+      // incremental (delta) commits land only the NEW entries — readers
+      // fold carried entries through the chain ([[bloomOfSnapshot]])
+      val entries = (if (writeCarried) have.map(r =>
+        r -> carried(r).filter { case (c, _) => phys.contains(c) }).toMap
+      else Map.empty[String, Map[String, Array[Byte]]]) ++ built
       if (entries.nonEmpty) writeBloomSidecar(snap, fpp, phys, entries)
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -2490,27 +2611,66 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     def stage(curParent: Path, curCarried: Seq[String],
         curStats: Map[String, FileStats.FileStat],
         curDvs: Map[String, String]): Unit = {
-      val manifest = SnapshotManifest(curCarried ++ newFiles, schemaDdl,
-        curDvs, mapping, dropped)
-      val (head, shards) =
-        SnapshotManifest.toJsonSharded(manifest, config.manifestShardSize)
-      // shards BEFORE the head: a head naming N shards implies all N exist
-      // (a rebase that SHRINKS the shard count leaves stale higher-numbered
-      // shard files behind — harmless, the head names what's read)
-      shards.zipWithIndex.foreach { case (body, i) =>
-        put(SnapshotManifest.shardName(i), body)
+      val newInv = curCarried ++ newFiles
+      // INCREMENTAL COMMIT DECISION (see [[DeltaDoc]]): record only the
+      // change against the parent when (a) incremental commits are on,
+      // (b) the chain since the last checkpoint stays within the
+      // interval, and (c) the change is genuinely small relative to the
+      // inventory — OPTIMIZE/overwrite/restore-shaped commits, whose
+      // delta rivals the full list, checkpoint naturally. This is what
+      // makes a steady append stream's commit cost O(appended files):
+      // a 10⁶-file layer appending 10 files writes ~1 KB of metadata,
+      // not a ~100 MB re-serialized inventory.
+      val parentM = manifestOf(curParent)
+      val parentInv = parentM.map(_.files).getOrElse(
+        snapshotDirFilesRel(curParent).map(s"_v/${curParent.getName}/" + _))
+      val parentDvsAll = parentM.map(_.dvs).getOrElse(Map.empty[String, String])
+      val parentSet = parentInv.toSet
+      val newSet = newInv.toSet
+      val addFiles = newInv.filterNot(parentSet)
+      val removeFiles = parentInv.filterNot(newSet)
+      val chain =
+        if (hasFullManifest(curParent)) 1
+        else deltaDocOf(curParent).map(_.chain + 1).getOrElse(1)
+      val interval = checkpointIntervalOf(layer)
+      val incremental = interval > 1 && chain <= interval &&
+        (addFiles.size + removeFiles.size) * 2 < newInv.size
+      if (incremental) {
+        // a rebase RESTAGE may have left a full manifest from a previous
+        // staging decision — manifestOf prefers it, so it must go
+        f.delete(new Path(curSnap, SnapshotManifest.FileName), false)
+        put(DeltaDoc.FileName, DeltaDoc.toJson(DeltaDoc(
+          curParent.getName, chain, newInv.size, schemaDdl,
+          addFiles, removeFiles,
+          dvSet = curDvs.filter { case (k, v) =>
+            !parentDvsAll.get(k).contains(v) },
+          dvUnset = parentDvsAll.keysIterator.filterNot(curDvs.contains)
+            .toSeq,
+          mapping = mapping, dropped = dropped)))
+      } else {
+        f.delete(new Path(curSnap, DeltaDoc.FileName), false)
+        val manifest = SnapshotManifest(newInv, schemaDdl,
+          curDvs, mapping, dropped)
+        val (head, shards) =
+          SnapshotManifest.toJsonSharded(manifest, config.manifestShardSize)
+        // shards BEFORE the head: a head naming N shards implies all N
+        // exist (a rebase that SHRINKS the shard count leaves stale
+        // higher-numbered shard files behind — harmless, the head names
+        // what's read)
+        shards.zipWithIndex.foreach { case (body, i) =>
+          put(SnapshotManifest.shardName(i), body)
+        }
+        put(SnapshotManifest.FileName, head)
       }
-      put(SnapshotManifest.FileName, head)
       if (config.collectStats && config.format == "parquet") {
         try {
           val conf = spark.sparkContext.hadoopConfiguration
-          val carriedStats = curCarried.flatMap(curStats.get)
           val refooter = newFiles ++ curCarried.filterNot(curStats.contains)
           // pre-resolve each rel: clone-carried `../<layer>/…` refs must
           // reach the filesystem as canonical paths (resolveRel's own
           // invariant — HDFS rejects literal `..` segments), while the
           // stat stays KEYED by the manifest rel so sidecar lookups match
-          val allStats = carriedStats ++ FileStats.collectResolved(conf,
+          val ownStats = FileStats.collectResolved(conf,
             refooter.map(rel => rel -> new Path(resolveRel(base, rel))))
           // a rebase RESTAGES into a renamed dir: both sidecars from the
           // previous staging must go, or the bloom write (create
@@ -2518,19 +2678,27 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           // the pre-rename version dir — matching no manifest rel
           f.delete(new Path(curSnap, FileStats.SidecarName), false)
           f.delete(new Path(curSnap, BloomIndex.SidecarName), false)
-          writeSidecar(curSnap, allStats)
+          // incremental commits land O(increment) stats — this commit's
+          // files only; readers fold the chain ([[statsOfSnapshot]]).
+          // Checkpoints keep the complete-sidecar form.
+          if (incremental) { if (ownStats.nonEmpty) writeSidecar(curSnap, ownStats) }
+          else writeSidecar(curSnap, curCarried.flatMap(curStats.get) ++
+            ownStats)
           // bloom maintenance ∝ commit increment: carried files keep their
-          // parent entries by key, only this commit's files get scanned;
-          // cross-layer (clone) refs opt the whole commit out — the clone
-          // carries no index until materialized (enableBloomIndex refuses)
-          if (!(curCarried ++ newFiles).exists(r =>
-              r.contains("=") || Lake.isForeignRel(r)))
+          // parent entries by key (folded through the chain on incremental
+          // commits, re-serialized on checkpoints), only this commit's
+          // files get scanned; cross-layer (clone) refs opt the whole
+          // commit out — the clone carries no index until materialized
+          // (enableBloomIndex refuses)
+          if (!newInv.exists(r => r.contains("=") || Lake.isForeignRel(r)))
             maybeBloomSidecar(layer, curSnap, base = base,
-              rels = curCarried ++ newFiles,
-              rowsByRel = allStats.map(st => st.path -> st.rows).toMap,
+              rels = newInv,
+              rowsByRel = curStats.map { case (r, st) => r -> st.rows } ++
+                ownStats.map(st => st.path -> st.rows),
               mapping = mapping,
               schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl),
-              carried = bloomOfSnapshot(layer, curParent))
+              carried = bloomOfSnapshot(layer, curParent),
+              writeCarried = !incremental)
         } catch {
           case scala.util.control.NonFatal(e) =>
             Console.err.println(s"[lake] stats sidecar for $curSnap skipped: $e")
@@ -2608,6 +2776,54 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         throw e
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** MATERIALIZE the head's folded state as a full checkpoint (Delta's
+    * checkpoint write, on demand): when the head is an incremental
+    * (`_DELTA.json`) commit, write the complete `_MANIFEST.json`
+    * (+shards), the complete stats sidecar, and the folded bloom sidecar
+    * into its version directory — idempotent re-serialization of content
+    * the fold already produces, so racing readers see either form with
+    * identical results. After it, reads of the head stop walking the
+    * chain and vacuum's chain pins on it are released. No new commit:
+    * the version id (and history) are unchanged. Run it before a deep
+    * vacuum, or on a cadence cheaper than lowering
+    * `lake.checkpointInterval`.
+    */
+  def checkpoint(layer: String): String = {
+    val snap = latestSnapshot(layer).getOrElse(throw
+      new IllegalStateException(s"layer '$layer' has no committed " +
+        "snapshot — nothing to checkpoint"))
+    if (!isDeltaOnly(snap)) return snap.toString // already a checkpoint
+    val m = manifestOf(snap).get
+    val f = fs(snap)
+    def put(name: String, body: String): Unit = {
+      val out = f.create(new Path(snap, name), true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    val (head, shards) =
+      SnapshotManifest.toJsonSharded(m, config.manifestShardSize)
+    shards.zipWithIndex.foreach { case (body, i) =>
+      put(SnapshotManifest.shardName(i), body)
+    }
+    if (config.collectStats && config.format == "parquet") {
+      val folded = statsOfSnapshot(layer, snap)
+      if (m.files.forall(folded.contains)) {
+        f.delete(new Path(snap, FileStats.SidecarName), false)
+        writeSidecar(snap, m.files.map(folded))
+      }
+      val inv = m.files.toSet
+      val bloom = bloomOfSnapshot(layer, snap)
+        .filter { case (rel, _) => inv.contains(rel) }
+      if (bloom.nonEmpty)
+        writeBloomSidecar(snap, bloomFppOf(layer),
+          bloomColsOf(layer).map(c => m.mapping.getOrElse(c, c)), bloom,
+          overwrite = true)
+    }
+    // the head LAST (same complete-or-absent discipline as commits: a
+    // manifest naming N shards implies all N exist)
+    put(SnapshotManifest.FileName, head)
+    snap.toString
   }
 
   /** Roll the layer back to `version` as a NEW commit (Delta's RESTORE):
@@ -2730,11 +2946,15 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         s"${Lake.BaseRefPrefix}${srcLake.basePathOf.stripSuffix("/")}/" +
           s"${segs(1)}//${segs.drop(2).mkString("/")}"
       } else s"${Lake.BaseRefPrefix}$srcBase//$rel"
-    val files = srcLake.snapshotInventory(src, target).map(rebase)
+    val srcInv = srcLake.snapshotInventory(src, target)
+    val files = srcInv.map(rebase)
     val dvs = srcLake.dvMapOf(target).map { case (k, v) =>
       rebase(k) -> rebase(v) }
-    val stats = srcLake.statsOfSnapshot(src, target).values
-      .map(st => st.copy(path = rebase(st.path))).toSeq
+    // folded stats restricted to the cloned inventory (an incremental
+    // source head's fold is a chain union that may cover removed files)
+    val srcStats = srcLake.statsOfSnapshot(src, target)
+    val stats = srcInv.flatMap(srcStats.get)
+      .map(st => st.copy(path = rebase(st.path)))
     val schemaDdl = srcLake.snapshotSchema(src, target).toDDL
     // config before the commit: constraints / DV opt-in / partition
     // declaration gate writer behavior from the first post-clone commit
@@ -3015,19 +3235,50 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * [[rebasedStats]] form, but not pinned to the latest snapshot — the
     * restore path needs the target's stats, not HEAD's).
     */
+  /** Bounded cache of FOLDED per-snapshot stats maps — an incremental
+    * (delta) head's stats are its chain's union, and commit/prune paths
+    * consult the head several times.
+    */
+  private val foldedStatsCache =
+    new java.util.LinkedHashMap[String, Map[String, FileStats.FileStat]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, FileStats.FileStat]])
+          : Boolean = size() > 8
+    }
+
   private def statsOfSnapshot(layer: String,
       snap: Path): Map[String, FileStats.FileStat] = {
+    foldedStatsCache.synchronized {
+      val hit = foldedStatsCache.get(snap.toString)
+      if (hit != null) return hit
+    }
     val p = new Path(snap, FileStats.SidecarName)
     val f = fs(p)
-    if (!f.exists(p)) Map.empty
-    else {
-      val stats = FileStats.fromJson(readFully(p))
-      val rebase =
-        if (manifestOf(snap).isDefined) (s: String) => s
-        else (s: String) => s"_v/${snap.getName}/$s"
-      stats.map(st => rebase(st.path) -> st.copy(path = rebase(st.path)))
-        .toMap
+    val own: Map[String, FileStats.FileStat] =
+      if (!f.exists(p)) Map.empty
+      else {
+        val stats = FileStats.fromJson(readFully(p))
+        val rebase =
+          if (manifestOf(snap).isDefined) (s: String) => s
+          else (s: String) => s"_v/${snap.getName}/$s"
+        stats.map(st => rebase(st.path) -> st.copy(path = rebase(st.path)))
+          .toMap
+      }
+    // incremental commits land O(increment) sidecars — fold the chain
+    // (own wins; the union may cover files no longer in the inventory,
+    // callers key by inventory). May still be PARTIAL when a chain
+    // commit's sidecar soft-failed — [[sidecarStats]] enforces the
+    // all-or-nothing discipline before pruning trusts it.
+    val folded =
+      if (isDeltaOnly(snap))
+        statsOfSnapshot(layer,
+          new Path(snap.getParent, deltaDocOf(snap).get.parent)) ++ own
+      else own
+    foldedStatsCache.synchronized {
+      foldedStatsCache.put(snap.toString, folded)
     }
+    folded
   }
 
   /** Keyed upsert (Delta's `MERGE INTO ... WHEN MATCHED THEN UPDATE SET * /
@@ -3683,6 +3934,23 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
             case _ => None
           })).getOrElse(Nil)
       }.toSet
+    // pin every version dir a kept INCREMENTAL commit's fold chain walks
+    // through (the delta/checkpoint documents live there — without the
+    // chain the kept snapshot's inventory can no longer be resolved);
+    // [[checkpoint]] materializes the head and releases these pins
+    val chainPinned = committed.filter(p => kept.contains(p.getName))
+      .flatMap { p =>
+        val buf = Seq.newBuilder[String]
+        var cur = p
+        var steps = 0
+        while (steps < 1000000 && isDeltaOnly(cur)) {
+          val parent = deltaDocOf(cur).get.parent
+          buf += parent
+          cur = new Path(cur.getParent, parent)
+          steps += 1
+        }
+        buf.result()
+      }.toSet
     // cross-layer pins: a shallow [[clone]] references this layer's
     // version dirs from SIBLING layers' manifests (`../<layer>/_v/<v>/…`);
     // reclaiming such a version would break every reader of the clone.
@@ -3739,7 +4007,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
             })
         }
       }.toSet
-    val keepSet = kept ++ pinned ++ cloned ++ crossBase
+    val keepSet = kept ++ pinned ++ chainPinned ++ cloned ++ crossBase
     f.listStatus(vdir).filter(_.isDirectory).map(_.getPath)
       .filterNot(p => keepSet.contains(p.getName))
       .filter { p =>

@@ -182,3 +182,83 @@ object SnapshotManifest {
     read(json, _ => throw new IllegalStateException(
       "fromJson cannot read sharded manifests — use read(head, readShard)"))
 }
+
+/** INCREMENTAL commit document (`_DELTA.json`) — Delta's add/remove-action
+  * log entry re-expressed on the manifest protocol: a commit that changes
+  * a small fraction of a large inventory records only the CHANGE against
+  * its parent, making commit cost O(increment) instead of O(total files).
+  * Readers fold the chain: walk `parent` pointers down to the nearest
+  * CHECKPOINT (a version with a full `_MANIFEST.json` — or a
+  * self-contained snapshot, whose directory is its inventory), then apply
+  * each delta's remove/add (and dvUnset/dvSet) oldest-first. Schema,
+  * column mapping, and dropped-columns are recorded IN FULL in every
+  * delta (bounded by schema width, so they cost O(1), and the fold never
+  * depends on older schema state). [[Lake]] writes a checkpoint whenever
+  * the chain would exceed the layer's `lake.checkpointInterval` (bounding
+  * fold depth) or the change touches a large fraction of the inventory
+  * (OPTIMIZE/overwrite/restore — a delta would be bigger than the full
+  * list).
+  *
+  * @param parent version id the delta applies to (also recorded in
+  *   `_COMMITTED`, but kept here so the fold works on the staged doc and
+  *   survives commit-marker ordering)
+  * @param chain  number of consecutive delta commits since the last
+  *   checkpoint, THIS one included — the writer's O(1) cadence counter
+  * @param count  folded inventory size — integrity check: a truncated or
+  *   mis-parented fold fails loudly instead of silently narrowing the
+  *   inventory (vacuum would reclaim live files)
+  */
+final case class DeltaDoc(parent: String, chain: Int, count: Int,
+    schemaDdl: String, add: Seq[String], remove: Seq[String],
+    dvSet: Map[String, String] = Map.empty, dvUnset: Seq[String] = Nil,
+    mapping: Map[String, String] = Map.empty, dropped: Seq[String] = Nil)
+
+object DeltaDoc {
+  val FileName = "_DELTA.json"
+
+  private def arr(xs: Seq[String]): JValue = JArray(xs.toList.map(JString(_)))
+  private def obj(m: Map[String, String]): JValue =
+    JObject(m.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) })
+
+  def toJson(d: DeltaDoc): String =
+    JsonMethods.compact(JsonMethods.render(JObject(List(
+      "version" -> JInt(1),
+      "parent" -> JString(d.parent),
+      "chain" -> JInt(d.chain),
+      "count" -> JInt(d.count),
+      "schemaDdl" -> JString(d.schemaDdl),
+      "add" -> arr(d.add),
+      "remove" -> arr(d.remove)) ++
+      (if (d.dvSet.isEmpty) Nil else List("dvSet" -> obj(d.dvSet))) ++
+      (if (d.dvUnset.isEmpty) Nil else List("dvUnset" -> arr(d.dvUnset))) ++
+      (if (d.mapping.isEmpty) Nil else List("mapping" -> obj(d.mapping))) ++
+      (if (d.dropped.isEmpty) Nil
+       else List("dropped" -> arr(d.dropped))))))
+
+  def fromJson(json: String): DeltaDoc = {
+    val root = JsonMethods.parse(json)
+    def str(k: String): String = (root \ k) match {
+      case JString(s) => s
+      case other => throw new IllegalArgumentException(
+        s"$FileName missing $k (got $other)")
+    }
+    def int(k: String): Int = (root \ k) match {
+      case JInt(n) => n.toInt
+      case other => throw new IllegalArgumentException(
+        s"$FileName missing $k (got $other)")
+    }
+    def strs(k: String): Seq[String] = (root \ k) match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _ => Nil
+    }
+    def strMap(k: String): Map[String, String] = (root \ k) match {
+      case JObject(fields) => fields.collect {
+        case (n, JString(v)) => n -> v
+      }.toMap
+      case _ => Map.empty
+    }
+    DeltaDoc(str("parent"), int("chain"), int("count"), str("schemaDdl"),
+      strs("add"), strs("remove"), strMap("dvSet"), strs("dvUnset"),
+      strMap("mapping"), strs("dropped"))
+  }
+}

@@ -15,9 +15,10 @@ class LakeBloomSpec extends SparkTestBase {
   /** 8 files clustered by `grp` so `id` values spread across EVERY file —
     * min/max stats can never prune an id lookup, only the bloom can.
     */
-  private def tmpLake(): Lake = {
+  private def tmpLake(checkpointInterval: Int = 20): Lake = {
     val lake = new Lake(spark,
-      LakeConfig(basePath = Files.createTempDirectory("lake_bloom").toString))
+      LakeConfig(basePath = Files.createTempDirectory("lake_bloom").toString,
+        checkpointInterval = checkpointInterval))
     val df = spark.range(0, 800).select(
       col("id"),
       (col("id") % 8).as("grp"),
@@ -66,7 +67,10 @@ class LakeBloomSpec extends SparkTestBase {
   }
 
   test("commits carry entries by reference and index only new files") {
-    val lake = tmpLake()
+    // checkpointInterval=1 forces FULL sidecars — this test pins the
+    // byte-identical carry of the checkpoint form; the incremental form
+    // (own-entries-only sidecar + chain fold) is pinned separately below
+    val lake = tmpLake(checkpointInterval = 1)
     lake.enableBloomIndex("docs", Seq("id"))
     val head0 = lake.listVersions("docs").head
     val v0 = bloomFilesOf(lake, "docs")
@@ -91,7 +95,7 @@ class LakeBloomSpec extends SparkTestBase {
   }
 
   test("appendAtomic extends the index to appended files only") {
-    val lake = tmpLake()
+    val lake = tmpLake(checkpointInterval = 1)
     lake.enableBloomIndex("docs", Seq("id"))
     val before = bloomFilesOf(lake, "docs")
     lake.appendAtomic(
@@ -103,6 +107,32 @@ class LakeBloomSpec extends SparkTestBase {
     before.keySet.foreach(k => after(k)("id").toSeq shouldBe before(k)("id").toSeq)
     val hit = lake.read("docs").filter(col("id") === 10050L)
     hit.count() shouldBe 1L
+    assert(scannedFiles(lake.read("docs").filter(col("id") === 10050L)) <= 2)
+  }
+
+  test("incremental commits land O(increment) bloom sidecars; lookups " +
+      "fold the chain") {
+    val lake = tmpLake() // default interval: row-op commits are deltas
+    lake.enableBloomIndex("docs", Seq("id"))
+    val v0 = bloomFilesOf(lake, "docs")
+    assert(v0.nonEmpty)
+    lake.deleteWhere("docs", col("grp") === 3L)
+    // the head's OWN sidecar holds only the rewritten file's entry —
+    // carried entries live down the chain, never re-serialized
+    val own = bloomFilesOf(lake, "docs")
+    assert(own.size <= 2, s"incremental sidecar should be O(increment), " +
+      s"got ${own.keySet}")
+    // folded lookups still prune AND answer correctly
+    val probe = lake.read("docs").filter(col("id") === 42L)
+    probe.select("id").as[Long].collect() shouldBe Array(42L)
+    assert(scannedFiles(lake.read("docs").filter(col("id") === 42L)) <
+      v0.size)
+    // an appended increment is found through its own (new) entry
+    lake.appendAtomic(
+      spark.range(10000, 10100).select(col("id"), (col("id") % 8).as("grp"),
+        concat(lit("tag_"), col("id") % 200).as("tag")).repartition(1),
+      "docs")
+    lake.read("docs").filter(col("id") === 10050L).count() shouldBe 1L
     assert(scannedFiles(lake.read("docs").filter(col("id") === 10050L)) <= 2)
   }
 

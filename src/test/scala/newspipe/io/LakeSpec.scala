@@ -806,8 +806,11 @@ class LakeSpec extends SparkTestBase {
 
   test("row ops through a SHARDED manifest: read/diff/restore/vacuum all compose") {
     val dir = Files.createTempDirectory("lake_sharded").toString
-    // shard size 8 forces real sharding at test scale (24 files → 3+ shards)
-    val lake = new Lake(spark, LakeConfig(basePath = dir, manifestShardSize = 8))
+    // shard size 8 forces real sharding at test scale (24 files → 3+
+    // shards); checkpointInterval=1 forces every commit to write the full
+    // sharded manifest (the incremental form is spec'd separately)
+    val lake = new Lake(spark, LakeConfig(basePath = dir,
+      manifestShardSize = 8, checkpointInterval = 1))
     lake.writeAtomic((1 to 240).map(i => (i.toLong, s"v$i")).toDF("id", "v")
       .repartitionByRange(24, $"id").sortWithinPartitions("id"), "t")
     val v1 = lake.listVersions("t").head
