@@ -291,6 +291,53 @@ class LakeCatalogSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("readStream.table + readChangeFeed: AvailableNow drains a backlog " +
+      "in byte-capped batches THROUGH the catalog path, then stops") {
+    // end-to-end pin of the wrapper forwarding (the canon-map drop that
+    // once swallowed maxBytesPerTrigger): the catalog streaming plan must
+    // hand BOTH the admission cap and the native AvailableNow latch down
+    // to LakeChangeSource untouched, or this either runs as one giant
+    // batch (cap lost) or never self-terminates (latch lost)
+    lake.writeAtomic(Seq((1L, "a")).toDF("id", "text"), "cdfcap")
+    (2L to 5L).foreach(i =>
+      lake.appendAtomic(Seq((i, "a")).toDF("id", "text"), "cdfcap"))
+    val s2 = org.apache.spark.sql.NewspipeSqlBridge.sessionWithExtensions(
+      spark, new newspipe.NewspipeExtensions()(_))
+    val ckpt = Files.createTempDirectory("cdfcapck").toString
+    val batches = new java.util.concurrent.atomic.AtomicInteger()
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    def drain(): Unit = {
+      val q = s2.readStream
+        .option("readChangeFeed", "true")
+        .option("maxBytesPerTrigger", "1") // every commit exceeds 1 byte
+        .table(s"lake.`$base`.cdfcap")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val got = b.select("id", "_change_type")
+            .as[(Long, String)].collect()
+          if (got.nonEmpty) { batches.incrementAndGet(); got.foreach(rows.add) }
+          ()
+        }
+        .start()
+      assert(q.awaitTermination(120000),
+        "catalog AvailableNow run must stop itself")
+    }
+    drain()
+    // one commit per batch (byte cap held from the first trigger) and the
+    // whole 5-commit backlog arrived tagged
+    batches.get() shouldBe 5
+    rows.toArray(Array.empty[(Long, String)]).sorted shouldBe
+      (1L to 5L).map(_ -> "insert").toArray
+    // restart after a delete commit: checkpoint anchors, the CDF tag and
+    // the caps both survive the catalog wrapper on the second run too
+    lake.deleteWhere("cdfcap", $"id" === 1L)
+    drain()
+    rows.toArray(Array.empty[(Long, String)]).count(_._2 == "delete") shouldBe 1
+    batches.get() shouldBe 6
+  }
+
   test("CREATE TABLE PARTITIONED BY: hive layout from the first INSERT on") {
     spark.sql(s"CREATE TABLE lake.`$base`.part (id BIGINT, lang STRING) " +
       "PARTITIONED BY (lang)")
