@@ -3555,6 +3555,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum("amount").cast("double").as("sum_amount"))
         .orderBy("lang")
+    }),
+
+    // GENERATED COLUMNS (Delta's generated-column feature): `d GENERATED
+    // ALWAYS AS (CAST(ts AS DATE))` partitions the layer; neither commit
+    // ever carries the column — the commit gate computes it — and a
+    // ts-only predicate prunes THROUGH the generated partition column
+    // (Lake.augmentGenerated derives the implied d-conjunct), pinned
+    // in-query before the relational answer.
+    "q168_generated_columns" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q168_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      lake.addGeneratedColumn("ev", "d", "CAST(ts AS DATE)")
+      lake.setProperties("ev", Map("lake.partitionBy" -> "d"))
+      val evRaw = t(s, dir, "events")
+      val ev = evRaw.select(col("event_id"), eventTs(evRaw).as("ts"),
+        col("event_type"), col("value"))
+      lake.writeAtomic(ev.filter(col("event_id") % 2 === 0), "ev",
+        partitionBy = Seq("d"))
+      lake.appendAtomic(ev.filter(col("event_id") % 2 === 1), "ev")
+      require(lake.read("ev").columns.contains("d"),
+        "generated column must join the layer schema")
+      val head = lake.listVersions("ev").head
+      require(new java.io.File(s"$root/ev/_v/$head").listFiles()
+        .exists(_.getName.startsWith("d=")),
+        "layout must land as hive dirs on the generated column")
+      val info = lake.pruneInfo("ev",
+        col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00"))
+          && col("ts") <=
+            lit(java.sql.Timestamp.valueOf("2024-01-12 23:59:59"))).get
+      require(info.keptFiles < info.totalFiles,
+        s"ts predicate must prune via the generated partition column: $info")
+      lake.read("ev").groupBy(col("d"))
+        .agg(count(lit(1)).as("n_events"),
+          min("event_id").as("min_id"),
+          sum(floor(col("value")).cast("long")).as("sum_floor"))
+        .select(col("d").cast("string").as("d"), col("n_events"),
+          col("min_id"), col("sum_floor"))
+        .orderBy("d")
     })
   )
 
@@ -6133,6 +6172,15 @@ object SparkEntry {
           |SELECT lang, count(*) AS n_docs,
           |       CAST(sum(amount) AS DOUBLE) AS sum_amount
           |FROM pay GROUP BY lang ORDER BY lang""".stripMargin) +
+      // generated column d = CAST(ts AS DATE) replayed literally; floor
+      // keeps the value aggregate integer-exact across engines
+      ("q168_generated_columns" ->
+        """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+          |       count(*) AS n_events,
+          |       CAST(min(event_id) AS BIGINT) AS min_id,
+          |       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT)
+          |         AS sum_floor
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) +
       ("q152_substring_dedup" -> substringScrubOracleSql) +
       // SQL surface = API: the TVF runs the identical kernel
       ("q154_sql_substring_scrub" -> substringScrubOracleSql) +

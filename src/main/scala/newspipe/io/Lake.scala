@@ -276,10 +276,14 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   private def writeSnapshot(df0: DataFrame, layer: String,
       partitionBy: Seq[String], requireParent: Option[Option[String]],
       op: String, prearranged: Boolean = false): String = {
-    enforceConstraints(layer, df0, s"writeAtomic('$layer')")
+    // generated columns: fill-or-validate first (a prearranged frame's
+    // values are already correct, so the projection is order-preserving)
+    val dfGen = applyGenerated(layer, df0, s"writeAtomic('$layer')")
+    enforceConstraints(layer, dfGen, s"writeAtomic('$layer')")
     // compaction/Z-order callers pass deliberately-arranged frames — a
     // rebalance shuffle would destroy their clustering
-    val df = if (prearranged) df0 else maybeRebalance(df0, layer, partitionBy)
+    val df = if (prearranged) dfGen
+      else maybeRebalance(dfGen, layer, partitionBy)
     val snap = new Path(s"${layerPath(layer)}/_v/${newVersionId()}")
     var writer = df.write.format(config.format).mode("errorifexists")
     if (partitionBy.nonEmpty) writer = writer.partitionBy(partitionBy: _*)
@@ -1182,6 +1186,239 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       context: String): Unit =
     validateConstraints(layer, increment, constraints(layer).toSeq, context)
 
+  // ---- generated columns --------------------------------------------------
+
+  private val GeneratedPrefix = "lake.generated."
+
+  /** The layer's GENERATED ALWAYS AS columns (name → generation SQL),
+    * stored as properties — Delta's `delta.generationExpression` column
+    * metadata, relocated to the property surface every other layer-level
+    * declaration (constraints, clustering, partition layout) already uses.
+    */
+  def generatedColumns(layer: String): Map[String, String] =
+    properties(layer).collect {
+      case (k, v) if k.startsWith(GeneratedPrefix) =>
+        k.stripPrefix(GeneratedPrefix) -> v
+    }
+
+  /** Declare `name` GENERATED ALWAYS AS (`exprSql`). From then on every
+    * commit increment either OMITS the column (the engine computes it) or
+    * carries values that MATCH the expression (a mismatch refuses the
+    * commit; NULL values mean "fill for me" — the shape a SQL INSERT with
+    * a column list produces). Row-level ops recompute, so an UPDATE to a
+    * source column keeps the invariant without the caller's help.
+    *
+    * Like Delta, generation expressions may not reference the generated
+    * column itself or another generated column, and a layer that already
+    * has commits can only declare over a column whose existing values
+    * ALREADY satisfy the expression (one limit-1 validation scan — the
+    * addConstraint posture; backfilling a column that does not exist yet
+    * would silently change what old snapshots' rows read).
+    */
+  def addGeneratedColumn(layer: String, name: String,
+      exprSql: String): Unit = {
+    require(name.nonEmpty, "generated column name must be non-empty")
+    require(!generatedColumns(layer).keys.exists(_.equalsIgnoreCase(name)),
+      s"layer '$layer' already declares generated column '$name'")
+    val refs = generationRefs(exprSql)
+    require(!refs.exists(_.equalsIgnoreCase(name)),
+      s"generated column '$name' cannot reference itself " +
+        s"(GENERATED ALWAYS AS ($exprSql))")
+    val otherGen = generatedColumns(layer).keys
+      .filter(g => refs.exists(_.equalsIgnoreCase(g)))
+    require(otherGen.isEmpty,
+      s"generated column '$name' cannot reference other generated " +
+        s"column(s) ${otherGen.mkString(", ")}")
+    latestSnapshot(layer).foreach { snap =>
+      val schema = snapshotSchema(layer, snap)
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"layer '$layer' has commits but no column '$name' — generated " +
+          "columns over existing layers must validate existing values " +
+          "(declare at creation, or add + backfill the column first)")
+      import org.apache.spark.sql.functions.{col, expr, not}
+      val target = schema(schema.fieldIndex(name)).dataType
+      val bad = read(layer).filter(col(name).isNotNull &&
+        not(col(name) <=> expr(exprSql).cast(target))).limit(1)
+      bad.collect().headOption.foreach { r =>
+        throw new IllegalArgumentException(
+          s"addGeneratedColumn('$layer', '$name'): existing data does " +
+            s"not satisfy GENERATED ALWAYS AS ($exprSql) — example row: $r")
+      }
+    }
+    setProperties(layer, Map(GeneratedPrefix + name -> exprSql))
+  }
+
+  def dropGeneratedColumn(layer: String, name: String): Unit = {
+    require(generatedColumns(layer).contains(name),
+      s"layer '$layer' has no generated column '$name' " +
+        s"(declared: ${generatedColumns(layer).keys.toSeq.sorted
+          .mkString(", ")})")
+    setProperties(layer, Map(GeneratedPrefix + name -> ""))
+  }
+
+  /** Top-level column names a generation expression references. */
+  private def generationRefs(exprSql: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    spark.sessionState.sqlParser.parseExpression(exprSql).collect {
+      case a: UnresolvedAttribute => a.nameParts.head
+    }.distinct
+  }
+
+  /** The fill-or-validate gate every commit increment passes: missing
+    * generated columns are COMPUTED (cast to the layer's declared type so
+    * the schema never drifts), present ones are validated against the
+    * expression in one limit-1 probe (NULLs fill instead — the
+    * DEFAULT-mediated INSERT shape), and row-level rewrites RECOMPUTE so
+    * updates to source columns propagate (Delta's update semantics).
+    * Cost ∝ the increment, zero when the layer declares nothing.
+    */
+  private def applyGenerated(layer: String, df: DataFrame, context: String,
+      recompute: Boolean = false): DataFrame = {
+    val gens = generatedColumns(layer)
+    if (gens.isEmpty) return df
+    import org.apache.spark.sql.functions.{coalesce, col, expr, not}
+    val declared: Map[String, org.apache.spark.sql.types.DataType] =
+      latestSnapshot(layer)
+        .map(snap => snapshotSchema(layer, snap).fields
+          .map(f => f.name.toLowerCase -> f.dataType).toMap)
+        .getOrElse(Map.empty)
+    def genExpr(name: String, sql: String): org.apache.spark.sql.Column = {
+      val raw = expr(sql)
+      declared.get(name.toLowerCase).map(raw.cast).getOrElse(raw)
+    }
+    val ordered = gens.toSeq.sortBy(_._1)
+    val present = ordered.filter { case (n, _) =>
+      df.columns.exists(_.equalsIgnoreCase(n)) }
+    if (present.nonEmpty && !recompute) {
+      val anyMismatch = present.map { case (n, sql) =>
+        col(n).isNotNull && not(col(n) <=> genExpr(n, sql))
+      }.reduce(_ || _)
+      df.filter(anyMismatch).limit(1).collect().headOption.foreach { r =>
+        throw new IllegalArgumentException(
+          s"$context violates GENERATED ALWAYS AS: " +
+            present.map { case (n, sql) => s"$n AS ($sql)" }
+              .mkString("; ") + s" — example row: $r")
+      }
+    }
+    ordered.foldLeft(df) { case (acc, (n, sql)) =>
+      if (!acc.columns.exists(_.equalsIgnoreCase(n)))
+        acc.withColumn(n, genExpr(n, sql))
+      else if (recompute) acc.withColumn(n, genExpr(n, sql))
+      else acc.withColumn(n, coalesce(col(n), genExpr(n, sql)))
+    }
+  }
+
+  /** Derive partition-prunable conjuncts from a predicate over a
+    * generated column's SOURCE column — the Delta headline: a layer
+    * partitioned by `d GENERATED ALWAYS AS (CAST(ts AS DATE))` must
+    * answer `ts BETWEEN …` by scanning only the matching `d=` partitions,
+    * without the caller ever mentioning `d`.
+    *
+    * Sound because the supported generation shapes — cast-to-date,
+    * `to_date`, `date_trunc`, `year` — are all NON-DECREASING in their
+    * argument: `ts ⋈ lit` implies `f(ts) ⋈' f(lit)` (strict comparisons
+    * weaken to their inclusive forms). The derived conjuncts are
+    * implied, so they are added to BOTH the pruning predicate and the
+    * residual filter — semantics never change, files (and whole hive
+    * partition directories) stop being read.
+    */
+  private def augmentGenerated(layer: String,
+      predicate: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val gens = generatedColumns(layer)
+    if (gens.isEmpty) return predicate
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.functions.col
+    val bridge = org.apache.spark.sql.NewspipeSqlBridge
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(a.nameParts.head)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // (source column, literal-side transform) for the monotonic shapes
+    def monotonic(sql: String)
+        : Option[(String, org.apache.spark.sql.Column =>
+          org.apache.spark.sql.Column)] =
+      try spark.sessionState.sqlParser.parseExpression(sql) match {
+        case Cast(a, org.apache.spark.sql.types.DateType, _, _) =>
+          attrName(a).map(_ -> ((c: org.apache.spark.sql.Column) =>
+            c.cast("date")))
+        case f: UnresolvedFunction if f.arguments.length == 1 &&
+            Seq("to_date", "year").contains(
+              f.nameParts.last.toLowerCase) =>
+          val fn = f.nameParts.last.toLowerCase
+          attrName(f.arguments.head).map(_ ->
+            ((c: org.apache.spark.sql.Column) =>
+              if (fn == "to_date") org.apache.spark.sql.functions.to_date(c)
+              else org.apache.spark.sql.functions.year(c)))
+        case f: UnresolvedFunction if f.arguments.length == 2 &&
+            f.nameParts.last.equalsIgnoreCase("date_trunc") =>
+          (f.arguments.head, attrName(f.arguments(1))) match {
+            case (Literal(u, org.apache.spark.sql.types.StringType), Some(a)) =>
+              Some(a -> ((c: org.apache.spark.sql.Column) =>
+                org.apache.spark.sql.functions.date_trunc(u.toString, c)))
+            case _ => None
+          }
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    // the Column DSL converts to UnresolvedFunction nodes (">=", "and",
+    // …) rather than resolved BinaryComparisons — recognize both forms
+    def fname(f: UnresolvedFunction): String = f.nameParts.last.toLowerCase
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case f: UnresolvedFunction if f.arguments.length == 2 &&
+          fname(f) == "and" =>
+        conjuncts(f.arguments.head) ++ conjuncts(f.arguments(1))
+      case other => Seq(other)
+    }
+    // (op symbol, left, right) of a comparison in either form
+    def cmpOf(e: Expression): Option[(String, Expression, Expression)] =
+      e match {
+        case c: EqualTo => Some(("=", c.left, c.right))
+        case c: GreaterThan => Some((">", c.left, c.right))
+        case c: GreaterThanOrEqual => Some((">=", c.left, c.right))
+        case c: LessThan => Some(("<", c.left, c.right))
+        case c: LessThanOrEqual => Some(("<=", c.left, c.right))
+        case f: UnresolvedFunction if f.arguments.length == 2 &&
+            Set("=", "==", ">", ">=", "<", "<=").contains(fname(f)) =>
+          Some((fname(f).replace("==", "="),
+            f.arguments.head, f.arguments(1)))
+        case _ => None
+      }
+    val preds = conjuncts(bridge.convertedExpression(predicate))
+    val derived = for {
+      (g, sql) <- gens.toSeq.sortBy(_._1)
+      (src, f) <- monotonic(sql).toSeq
+      p <- preds
+      (sym, left, right) <- cmpOf(p).toSeq
+      d <- {
+        val fwd = (attrName(left), right) match {
+          case (Some(a), l: Literal) if a.equalsIgnoreCase(src) =>
+            Some(l -> true)
+          case _ => None
+        }
+        val rev = (left, attrName(right)) match {
+          case (l: Literal, Some(a)) if a.equalsIgnoreCase(src) =>
+            Some(l -> false)
+          case _ => None
+        }
+        (fwd orElse rev).flatMap { case (l, attrLeft) =>
+          val fl = f(bridge.column(l))
+          sym match {
+            case "=" => Some(col(g) === fl)
+            case ">" | ">=" =>
+              Some(if (attrLeft) col(g) >= fl else col(g) <= fl)
+            case "<" | "<=" =>
+              Some(if (attrLeft) col(g) <= fl else col(g) >= fl)
+            case _ => None
+          }
+        }.toSeq
+      }
+    } yield d
+    derived.foldLeft(predicate)(_ && _)
+  }
+
   /** dv map of a snapshot (data-file rel → payload rel); empty when the
     * snapshot has none (incl. every self-contained snapshot).
     */
@@ -1447,8 +1684,13 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * every file prunes, the residual always-false filter lets Catalyst
     * fold the scan to an empty relation — zero tasks.
     */
-  def readWhere(layer: String, predicate: org.apache.spark.sql.Column,
+  def readWhere(layer: String, predicate0: org.apache.spark.sql.Column,
       mergeSchema: Boolean = false): DataFrame = {
+    // generated-column derivation first: a ts predicate on a layer
+    // partitioned by a generated date(ts) gains the implied partition
+    // conjunct, so both the sidecar pruning below AND Spark's own hive
+    // partition pruning in the fallback paths skip whole directories
+    val predicate = augmentGenerated(layer, predicate0)
     val plain = () => read(layer, mergeSchema).filter(predicate)
     prunePlan(layer, predicate) match {
       case None => plain()
@@ -1492,7 +1734,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   def pruneInfo(layer: String,
       predicate: org.apache.spark.sql.Column): Option[Lake.PruneInfo] =
-    prunePlan(layer, predicate).map(p =>
+    prunePlan(layer, augmentGenerated(layer, predicate)).map(p =>
       Lake.PruneInfo(p.keptPaths.size, p.totalFiles, p.keptRows, p.totalRows))
 
   private final case class PrunePlan(base: String, keptPaths: Seq[String],
@@ -2484,18 +2726,21 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // (see SchemaEvolution: one bad append must not poison the layer head)
     val old = snapshotSchema(layer, snap)
     val mapping = mappingOf(snap)
+    // generated columns fill/validate BEFORE evolution so a filled column
+    // joins the evolved schema like any caller-provided one
+    val dfG = applyGenerated(layer, df, s"appendAtomic('$layer')")
     val schemaDdl =
-      SchemaEvolution.evolve(old, df.schema, allowNew = true,
+      SchemaEvolution.evolve(old, dfG.schema, allowNew = true,
         context = s"appendAtomic('$layer')").toDDL
     refuseDroppedResurrection(layer, snap,
-      df.schema.fieldNames.filterNot(old.fieldNames.contains))
-    enforceConstraints(layer, df, s"appendAtomic('$layer')")
+      dfG.schema.fieldNames.filterNot(old.fieldNames.contains))
+    enforceConstraints(layer, dfG, s"appendAtomic('$layer')")
     val partCols = layerPartitionCols(layer, carried)
     val newSnap = new Path(s"$base/_v/${newVersionId()}")
     try {
       // partition columns are never renameable (column mapping refuses
       // them), so the rebalance's logical names hold on the physical frame
-      var writer = maybeRebalance(toPhysical(df, mapping), layer, partCols)
+      var writer = maybeRebalance(toPhysical(dfG, mapping), layer, partCols)
         .write.format(config.format).mode("errorifexists")
       if (partCols.nonEmpty) writer = writer.partitionBy(partCols: _*)
       writer.save(newSnap.toString)
@@ -3466,7 +3711,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         transform(aliveRows)
       } else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val rewritten = append match {
+    val rewritten0 = append match {
       // allowMissingColumns: a schema-evolving merge's source carries NEW
       // columns — affected rows read null for them; a no-evolution merge
       // has identical columns and this is the plain unionByName
@@ -3475,21 +3720,27 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       case None => affectedRows
     }
 
+    // generated columns RECOMPUTE on row-level rewrites: an UPDATE/MERGE
+    // that touched a source column keeps the invariant without the caller
+    // setting the generated column (Delta's update semantics); untouched
+    // rows recompute to their existing values
+    val rewrittenG = applyGenerated(layer, rewritten0,
+      s"row op on '$layer'", recompute = true)
     // the REWRITTEN frame's schema is what the manifest records: identical
     // to the old schema for delete/update, the evolved superset when a
     // merge's source added columns — carried old files then read null for
     // the additions through the recorded-schema hint
-    val schemaDdl = rewritten.schema.toDDL
+    val schemaDdl = rewrittenG.schema.toDDL
     refuseDroppedResurrection(layer, snap,
-      rewritten.schema.fieldNames.filterNot(schema.fieldNames.contains))
+      rewrittenG.schema.fieldNames.filterNot(schema.fieldNames.contains))
     // constraint gate over exactly what this commit writes: the
     // transformed affected rows + the merge's append leg. Carried files
     // were valid when they landed; cost ∝ rewritten fraction, zero when
     // the layer has no constraints
-    enforceConstraints(layer, rewritten, s"row op on '$layer'")
+    enforceConstraints(layer, rewrittenG, s"row op on '$layer'")
     val newSnap = new Path(s"$base/_v/${newVersionId()}")
     try {
-      var writer = toPhysical(rewritten, mapping).write
+      var writer = toPhysical(rewrittenG, mapping).write
         .format(config.format).mode("errorifexists")
       if (partCols.nonEmpty) writer = writer.partitionBy(partCols: _*)
       writer.save(newSnap.toString)
@@ -3569,7 +3820,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     }
     Lake.RowLevelSnapshot(snap.getName, base, inventory, fileSizes,
       logical, physData, readSchema, partCols, mapping,
-      constraints(layer).toSeq)
+      constraints(layer).toSeq, generatedColumns(layer).toSeq)
   }
 
   /** Allocate the staging snapshot directory a v2 row-level write's tasks
@@ -4101,7 +4352,8 @@ object Lake {
       physicalDataSchema: org.apache.spark.sql.types.StructType,
       readSchema: org.apache.spark.sql.types.StructType,
       partCols: Seq[String], mapping: Map[String, String],
-      constraints: Seq[(String, String)]) {
+      constraints: Seq[(String, String)],
+      generated: Seq[(String, String)] = Nil) {
     def affected: Seq[String] = affectedSizes.map(_._1)
   }
 

@@ -91,6 +91,18 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catName
 
+  /** Opt into Spark's `GENERATED ALWAYS AS (expr)` column syntax: the
+    * parser only admits generation expressions for catalogs declaring
+    * this capability, and hands them to [[createTable]] on the V2Column
+    * (`generationExpression()`); enforcement is ours from there (the
+    * lake.generated.* property + every commit path's fill/validate gate).
+    */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+
   private def spark: SparkSession = SparkSession.active
 
   private def fsOf(p: Path) =
@@ -251,11 +263,34 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
       s"lake.constraint.notnull_$sanitized$tag" ->
         s"`${c.name}` IS NOT NULL"
     }.toMap
+    // GENERATED ALWAYS AS columns: one property per declaration. The
+    // reference rules are Delta's — no self-reference, no reference to
+    // another generated column — checked here so a bad declaration fails
+    // the CREATE, not the first INSERT. Partitioning ON a generated
+    // column is the headline use (date(ts) layouts; see
+    // Lake.augmentGenerated for the ts-predicate pruning derivation).
+    val genNames = columns.filter(_.generationExpression() != null)
+      .map(_.name()).toSet
+    val genProps = columns.filter(_.generationExpression() != null).map { c =>
+      val genSql = c.generationExpression()
+      val refs = spark.sessionState.sqlParser.parseExpression(genSql)
+        .collect {
+          case a: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute => a.nameParts.head
+        }.distinct
+      require(!refs.exists(_.equalsIgnoreCase(c.name())),
+        s"generated column '${c.name()}' cannot reference itself")
+      val bad = refs.filter(r => genNames.exists(g =>
+        g.equalsIgnoreCase(r) && !g.equalsIgnoreCase(c.name())))
+      require(bad.isEmpty, s"generated column '${c.name()}' cannot " +
+        s"reference other generated column(s) ${bad.mkString(", ")}")
+      s"lake.generated.${c.name()}" -> genSql
+    }.toMap
     // Properties land BEFORE the first commit (the layer dir can carry
     // _PROPERTIES.json ahead of any snapshot): a concurrent INSERT INTO —
     // or a crash between the two steps — never observes a table missing
     // its declared partition layout or constraint enforcement.
-    val allProps = withPart ++ notNullChecks
+    val allProps = withPart ++ notNullChecks ++ genProps
     if (allProps.nonEmpty) lake.setProperties(ident.name, allProps)
     // an empty-but-schema-carrying first commit: Spark writes one empty
     // parquet footer for a zero-partition frame, so reads resolve the

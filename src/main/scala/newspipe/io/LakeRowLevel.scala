@@ -13,9 +13,10 @@ import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.catalyst.expressions.{BindReferences,
+import org.apache.spark.sql.catalyst.expressions.{Alias, BindReferences,
   BoundReference, Cast, Expression, Literal, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation,
+  Project}
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
@@ -325,7 +326,7 @@ final class LakeRowLevelWrite(spark: SparkSession, base: String,
       new LakeRowLevelWriterFactory(new SerializableConfiguration(hc),
         newSnap.toString, rowSchema, partIdx, partStr,
         ctx.partCols.toArray, dataIdx, codec,
-        boundConstraints(rowSchema), layer)
+        boundConstraints(rowSchema), boundGenerated(rowSchema), layer)
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -366,6 +367,32 @@ final class LakeRowLevelWrite(spark: SparkSession, base: String,
       (name, sql, BindReferences.bindReference(cond, attrs))
     }.toArray
   }
+
+  /** GENERATED ALWAYS AS expressions compiled once on the driver and
+    * RECOMPUTED per row in the tasks — the batch row-op path's recompute
+    * mode, so a v2 UPDATE/MERGE that touches a source column keeps the
+    * invariant without the statement ever mentioning the generated
+    * column. Analyzed against the write schema with a cast to the
+    * column's declared type, bound to row ordinals.
+    */
+  private def boundGenerated(schema: StructType): Array[(Int, Expression)] =
+    op.pinned.toSeq.flatMap(_.generated).flatMap { case (name, sql) =>
+      val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      if (idx < 0) None
+      else {
+        val attrs = DataTypeUtils.toAttributes(schema)
+        val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+        val analyzed = spark.sessionState.analyzer.execute(Project(
+          Seq(Alias(Cast(parsed, schema(idx).dataType), name)()),
+          LocalRelation(attrs)))
+        val e = analyzed.collectFirst {
+          case Project(Seq(a: Alias), _) => a.child
+        }.getOrElse(throw new IllegalStateException(
+          s"generated column '$name' AS ($sql) did not analyze to an " +
+            "expression"))
+        Some(idx -> BindReferences.bindReference(e, attrs))
+      }
+    }.toArray
 }
 
 private[io] final case class LakeRowLevelCommitMessage(files: Seq[String])
@@ -382,7 +409,8 @@ private[io] final class LakeRowLevelWriterFactory(
     rowSchema: StructType, partIdx: Array[Int],
     partStr: Array[Expression], partNames: Array[String],
     dataIdx: Array[Int], codec: String,
-    checks: Array[(String, String, Expression)], layer: String)
+    checks: Array[(String, String, Expression)],
+    gens: Array[(Int, Expression)], layer: String)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
@@ -393,9 +421,21 @@ private[io] final class LakeRowLevelWriterFactory(
     private val dataProj = UnsafeProjection.create(dataIdx.map(i =>
       BoundReference(i, rowSchema(i).dataType, nullable = true)
         .asInstanceOf[Expression]))
+    // full-row projection with generated ordinals replaced by their
+    // recomputed expressions — identity when the layer declares none
+    private val genProj: InternalRow => InternalRow =
+      if (gens.isEmpty) identity
+      else {
+        val byIdx = gens.toMap
+        val p = UnsafeProjection.create(rowSchema.indices.map(i =>
+          byIdx.getOrElse(i, BoundReference(i, rowSchema(i).dataType,
+            nullable = true): Expression)).toArray)
+        r => p(r)
+      }
     private var closed = false
 
-    override def write(row: InternalRow): Unit = {
+    override def write(row0: InternalRow): Unit = {
+      val row = genProj(row0)
       var i = 0
       while (i < checks.length) {
         val (name, sql, e) = checks(i)
