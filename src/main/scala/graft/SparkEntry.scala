@@ -3594,6 +3594,48 @@ object SparkEntry {
         .select(col("d").cast("string").as("d"), col("n_events"),
           col("min_id"), col("sum_floor"))
         .orderBy("d")
+    }),
+
+    // ROW TRACKING (Delta's stable row ids; q99's CDF shape WITHOUT key
+    // columns): enableRowTracking backfills bases, then an UPDATE →
+    // DELETE → OPTIMIZE → APPEND churn; changeFeedTracked attributes the
+    // update to pre/postimage purely by row identity. In-query pins:
+    // every surviving original row keeps its id across the whole churn
+    // (a distributed anti-equality join, no collect), and the OPTIMIZE
+    // step contributes ZERO feed rows (same ids + same data cancel in
+    // the multiset diff — compaction is invisible to the tracked feed).
+    "q169_row_tracking" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q169_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents")
+      lake.writeAtomic(docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"), "docs")
+      lake.enableRowTracking("docs")
+      val v1 = lake.listVersions("docs").sorted.head
+      lake.updateWhere("docs", col("doc_id") % 97 === 0,
+        Map("n_chars" -> (col("n_chars") + 5)))
+      lake.deleteWhere("docs", col("n_chars") < 250)
+      lake.compact("docs")
+      lake.appendAtomic(docs.filter(col("doc_id") % 101 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")), "docs")
+      // id stability across the churn, checked distributed
+      val rid1 = lake.readVersionWithRowIds("docs", v1)
+        .select(col("doc_id"), col("_row_id").as("rid1"))
+      val ridH = lake.readWithRowIds("docs")
+        .select(col("doc_id"), col("_row_id").as("rid2"))
+      require(ridH.join(rid1, "doc_id")
+        .filter(col("rid1") =!= col("rid2")).count() == 0L,
+        "surviving rows must keep their ids through update/delete/compact")
+      val vs = lake.listVersions("docs").sorted
+      require(lake.changeFeedTracked("docs", vs(2), vs(3)).count() == 0L,
+        "OPTIMIZE must contribute nothing to the tracked feed")
+      lake.changeFeedTracked("docs", v1, vs.last)
+        .groupBy(col("_change_type").as("change_type"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("change_type", "lang")
     })
   )
 
@@ -6181,6 +6223,32 @@ object SparkEntry {
           |       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT)
           |         AS sum_floor
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) +
+      // tracked CDF replay: update (+5 on %97) then delete (<250 against
+      // the POST-update state) then a feed-invisible OPTIMIZE then the
+      // +1000000 insert slice; attribution is by row identity, which the
+      // relational replay reproduces from the operation order alone
+      ("q169_row_tracking" ->
+        """WITH upd AS (
+          |  SELECT doc_id, lang,
+          |    CASE WHEN doc_id % 97 = 0 THEN n_chars + 5 ELSE n_chars END
+          |      AS n_chars
+          |  FROM documents),
+          |feed AS (
+          |  SELECT 'update_preimage' AS change_type, lang, n_chars, doc_id
+          |  FROM documents WHERE doc_id % 97 = 0
+          |  UNION ALL
+          |  SELECT 'update_postimage', lang, n_chars + 5, doc_id
+          |  FROM documents WHERE doc_id % 97 = 0
+          |  UNION ALL
+          |  SELECT 'delete', lang, n_chars, doc_id FROM upd
+          |  WHERE n_chars < 250
+          |  UNION ALL
+          |  SELECT 'insert', lang, n_chars, doc_id + 1000000
+          |  FROM documents WHERE doc_id % 101 = 0)
+          |SELECT change_type, lang, count(*) AS n,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
       ("q152_substring_dedup" -> substringScrubOracleSql) +
       // SQL surface = API: the TVF runs the identical kernel
       ("q154_sql_substring_scrub" -> substringScrubOracleSql) +

@@ -280,10 +280,20 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // values are already correct, so the projection is order-preserving)
     val dfGen = applyGenerated(layer, df0, s"writeAtomic('$layer')")
     enforceConstraints(layer, dfGen, s"writeAtomic('$layer')")
+    val tracking = rowTrackingEnabled(layer)
+    require(!tracking || prearranged ||
+      !df0.columns.exists(_.equalsIgnoreCase(Lake.RowIdCol)),
+      s"writeAtomic('$layer'): '${Lake.RowIdCol}' is reserved on a " +
+        "row-tracking layer (only internal rewrites carry it)")
     // compaction/Z-order callers pass deliberately-arranged frames — a
     // rebalance shuffle would destroy their clustering
     val df = if (prearranged) dfGen
       else maybeRebalance(dfGen, layer, partitionBy)
+    // the logical schema NEVER records the hidden materialized row-id
+    // column a compaction carries — it is physical-file state, like a
+    // mapped physical name
+    val recordedSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields.filterNot(_.name.equalsIgnoreCase(Lake.RowIdCol)))
     val snap = new Path(s"${layerPath(layer)}/_v/${newVersionId()}")
     var writer = df.write.format(config.format).mode("errorifexists")
     if (partitionBy.nonEmpty) writer = writer.partitionBy(partitionBy: _*)
@@ -299,8 +309,33 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       val out = fs(snap).create(new Path(snap, SnapshotManifest.FileName),
         false)
       try out.write(SnapshotManifest.toJson(
-        SnapshotManifest(Nil, df.schema.toDDL)).getBytes("UTF-8"))
+        SnapshotManifest(Nil, recordedSchema.toDDL)).getBytes("UTF-8"))
       finally out.close()
+    }
+    // ROW TRACKING: an overwrite snapshot still carries a manifest (the
+    // bases have to live somewhere) — fresh files allocate from the PRIOR
+    // head's watermark so ids stay history-unique; materialized ids a
+    // prearranged compaction carried win over the fresh ranges at read
+    // (coalesce order in [[withRowIdsFrame]])
+    if (tracking && snapshotDirFilesRel(snap).nonEmpty) {
+      val rels = snapshotDirFilesRel(snap).map(s"_v/${snap.getName}/" + _)
+      var wm = latestSnapshot(layer).flatMap(manifestOf)
+        .map(_.rowWatermark).getOrElse(0L)
+      val counts = parquetRowCounts(layer, rels)
+      val bases = rels.sorted.map { rel =>
+        val b = wm; wm += math.max(counts(rel), 1L); rel -> b
+      }.toMap
+      val (head, shards) = SnapshotManifest.toJsonSharded(
+        SnapshotManifest(rels, recordedSchema.toDDL,
+          rowBases = bases, rowWatermark = wm), config.manifestShardSize)
+      val f = fs(snap)
+      shards.zipWithIndex.foreach { case (body, i) =>
+        val out = f.create(new Path(snap, SnapshotManifest.shardName(i)),
+          false)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+      }
+      val out = f.create(new Path(snap, SnapshotManifest.FileName), false)
+      try out.write(head.getBytes("UTF-8")) finally out.close()
     }
     // stats sidecar BEFORE the commit marker: a committed snapshot either
     // carries complete stats or none — readers can trust what they find.
@@ -308,15 +343,23 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // marker-create) race window stays small.
     if (config.collectStats && config.format == "parquet") {
       try {
-        val stats = FileStats.collect(
+        val stats0 = FileStats.collect(
           spark.sparkContext.hadoopConfiguration, snap.toString)
+        // a manifest-carrying snapshot (row tracking) keys its stats by
+        // MANIFEST rel — sidecarStats would otherwise reject the sidecar
+        // as incomplete and silently disable pruning
+        val stats = if (!tracking) stats0
+          else stats0.map(st =>
+            st.copy(path = s"_v/${snap.getName}/${st.path}"))
         writeSidecar(snap, stats)
         // self-contained snapshot: every file is new, names are logical
         if (partitionBy.isEmpty)
-          maybeBloomSidecar(layer, snap, base = snap.toString,
+          maybeBloomSidecar(layer, snap,
+            base = if (tracking) layerPath(layer) else snap.toString,
             rels = stats.map(_.path),
             rowsByRel = stats.map(st => st.path -> st.rows).toMap,
-            mapping = Map.empty, schema = df.schema, carried = Map.empty)
+            mapping = Map.empty, schema = recordedSchema,
+            carried = Map.empty)
       } catch {
         case scala.util.control.NonFatal(e) =>
           Console.err.println(s"[lake] stats sidecar for $snap skipped: $e")
@@ -801,12 +844,16 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         var chain = List((snap, headDoc)) // oldest-first after the pushes
         var terminalFiles: Seq[String] = null
         var terminalDvs: Map[String, String] = Map.empty
+        var terminalBases: Map[String, Long] = Map.empty
+        var terminalWm = 0L
         var cur = new Path(snap.getParent, headDoc.parent)
         while (terminalFiles == null) {
           cached(cur).orElse(fullOf(cur).map(store(cur, _))) match {
             case Some(m) =>
               terminalFiles = m.files
               terminalDvs = m.dvs
+              terminalBases = m.rowBases
+              terminalWm = m.rowWatermark
             case None => deltaDocOf(cur) match {
               case Some(d) =>
                 chain ::= ((cur, d))
@@ -820,6 +867,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         }
         var files = terminalFiles
         var dvs = terminalDvs
+        var bases = terminalBases
+        var wm = terminalWm
         var result: SnapshotManifest = null
         chain.foreach { case (p, d) =>
           val removed = d.remove.toSet
@@ -830,8 +879,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
               "corrupted (vacuumed past a pinned version, or external " +
               "deletion); refusing to serve a silently-narrowed inventory")
           dvs = (dvs -- d.dvUnset) ++ d.dvSet
+          bases = bases.filter { case (r, _) => !removed(r) } ++ d.addBases
+          wm = math.max(wm, d.rowWatermark)
           result = SnapshotManifest(files, d.schemaDdl, dvs, d.mapping,
-            d.dropped)
+            d.dropped, bases, wm)
           store(p, result)
         }
         Some(result)
@@ -1119,6 +1170,158 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   private def dvEnabled(layer: String): Boolean =
     properties(layer).get("lake.enableDeletionVectors")
       .exists(_.equalsIgnoreCase("true"))
+
+  // ---- row tracking (stable row ids) ---------------------------------------
+
+  /** Row tracking on/off (`lake.rowTracking=true` — Delta's
+    * `delta.enableRowTracking` role). See [[enableRowTracking]].
+    */
+  def rowTrackingEnabled(layer: String): Boolean =
+    properties(layer).get("lake.rowTracking")
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** Turn on ROW TRACKING: from this point every row of the layer has a
+    * STABLE identity (`_row_id`) that survives carry, deletion vectors,
+    * compaction, and row-level rewrites — the identity
+    * [[changeFeedTracked]] uses to attribute an UPDATE to pre/postimage
+    * without the caller declaring key columns (Delta's row-tracking
+    * feature).
+    *
+    * Mechanics: each data file owns a base id recorded in the manifest
+    * (`rowBases`); a fresh file's rows are `base + ordinal` — free, no
+    * physical column. A REWRITE (update/merge/compact) would reorder
+    * rows, so rewrite paths materialize the ids they carry into a hidden
+    * physical `_row_id` column of the new files; readers take
+    * `coalesce(materialized, base + ordinal)`. The `rowWatermark` high
+    * bound makes every allocation unique across the layer's history.
+    *
+    * Enablement BACKFILLS bases for the current inventory (one footer
+    * read per file — the declared O(files) admin action, like Delta's
+    * backfill job) by re-footing the HEAD manifest in place
+    * ([[checkpoint]]'s data-invisible move); subsequent commits pay
+    * O(increment). Parquet-only (the ordinal comes from the parquet
+    * row index).
+    */
+  def enableRowTracking(layer: String): Unit = {
+    require(config.format == "parquet",
+      s"row tracking needs parquet row indexes; layer format is " +
+        s"'${config.format}'")
+    setProperties(layer, Map("lake.rowTracking" -> "true"))
+    latestSnapshot(layer).foreach { snap =>
+      val m = manifestOf(snap).getOrElse {
+        val rels = snapshotDirFilesRel(snap).map(s"_v/${snap.getName}/" + _)
+        SnapshotManifest(rels, snapshotSchema(layer, snap).toDDL,
+          dvMapOf(snap))
+      }
+      val missing = m.files.filterNot(m.rowBases.contains)
+      if (missing.nonEmpty) {
+        val counts = parquetRowCounts(layer, missing)
+        var wm = m.rowWatermark
+        val assigned = missing.sorted.map { rel =>
+          val b = wm; wm += math.max(counts(rel), 1L); rel -> b
+        }
+        val backfilled = m.copy(rowBases = m.rowBases ++ assigned,
+          rowWatermark = wm)
+        val f = fs(snap)
+        val (head, shards) = SnapshotManifest.toJsonSharded(backfilled,
+          config.manifestShardSize)
+        def put(name: String, body: String): Unit = {
+          val out = f.create(new Path(snap, name), true)
+          try out.write(body.getBytes("UTF-8")) finally out.close()
+        }
+        shards.zipWithIndex.foreach { case (body, i) =>
+          put(SnapshotManifest.shardName(i), body)
+        }
+        put(SnapshotManifest.FileName, head) // head last (checkpoint rule)
+        f.delete(new Path(snap, DeltaDoc.FileName), false)
+        manifestCache.synchronized {
+          manifestCache.put(snap.toString, backfilled)
+        }
+      }
+    }
+  }
+
+  /** Exact row count per file from parquet footers — must NOT soft-fail
+    * (unlike the stats sidecar): a wrong base would alias two rows'
+    * identities. O(requested files), parallel footer reads.
+    */
+  private def parquetRowCounts(layer: String,
+      rels: Seq[String]): Map[String, Long] = {
+    val base = layerPath(layer)
+    FileStats.collectResolved(spark.sparkContext.hadoopConfiguration,
+      rels.map(r => r -> new Path(resolveRel(base, r))))
+      .map(st => st.path -> st.rows).toMap
+  }
+
+  /** The layer head with the stable `_row_id` column attached — data
+    * columns plus one LongType id per row. See [[enableRowTracking]] for
+    * the identity contract. The rel→base map joins in as a BROADCAST
+    * (O(files) driver memory — the same class as the manifest itself),
+    * so the scan stays one pass with no shuffle.
+    */
+  def readWithRowIds(layer: String): DataFrame = {
+    val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
+      s"layer '$layer' has no committed snapshot"))
+    withRowIdsFrame(layer, snap, snapshotInventory(layer, snap))
+  }
+
+  def readVersionWithRowIds(layer: String, version: String): DataFrame = {
+    val snap = new Path(s"${layerPath(layer)}/_v/$version")
+    require(fs(snap).exists(new Path(snap, "_COMMITTED")),
+      s"layer '$layer' has no committed snapshot '$version'")
+    withRowIdsFrame(layer, snap, snapshotInventory(layer, snap))
+  }
+
+  /** Core id-attaching read: `coalesce(materialized _row_id,
+    * base + parquet row index)`, DV-filtered with the snapshot's own
+    * vectors, logical column names, schema columns + `_row_id`.
+    */
+  private def withRowIdsFrame(layer: String, snap: Path,
+      rels: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col}
+    require(rowTrackingEnabled(layer),
+      s"layer '$layer' does not track row ids — enableRowTracking first")
+    val schema = snapshotSchema(layer, snap)
+    if (rels.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField(Lake.RowIdCol,
+            org.apache.spark.sql.types.LongType)))
+    val m = manifestOf(snap).getOrElse(throw new IllegalStateException(
+      s"layer '$layer' snapshot ${snap.getName} has no manifest — row " +
+        "tracking requires manifest commits (enableRowTracking backfills)"))
+    val missing = rels.filterNot(m.rowBases.contains)
+    require(missing.isEmpty,
+      s"layer '$layer' snapshot ${snap.getName}: ${missing.size} file(s) " +
+        s"have no row-id base (e.g. ${missing.take(3).mkString(", ")}) — " +
+        "committed before enableRowTracking? Re-run enableRowTracking")
+    val mapping = mappingOf(snap)
+    val base = layerPath(layer)
+    val hint = org.apache.spark.sql.types.StructType(
+      physicalSchema(schema, mapping).fields :+
+        org.apache.spark.sql.types.StructField(Lake.RowIdCol,
+          org.apache.spark.sql.types.LongType))
+    val raw = readRelFiles(layer, rels, schemaHint = Some(hint),
+      withMeta = true)
+    val f = fs(new Path(base))
+    val qualBase = f.makeQualified(new Path(base)).toString.stripSuffix("/")
+    def qual(rel: String): String =
+      if (Lake.isForeignRel(rel))
+        f.makeQualified(new Path(resolveRel(base, rel))).toString
+      else s"$qualBase/$rel"
+    import spark.implicits._
+    val basesDf = broadcast(rels.map(r => (qual(r), m.rowBases(r)))
+      .toDF("__rb_file", "__rb_base"))
+    val withId = raw.join(basesDf, col("__dv_file") === col("__rb_file"),
+      "left")
+      .withColumn(Lake.RowIdCol, coalesce(col(Lake.RowIdCol),
+        col("__rb_base") + col("__dv_pos")))
+      .drop("__rb_file", "__rb_base")
+    val alive = dvFilter(withId, dvPairs(base, snap, Some(rels.toSet)))
+    toLogical(alive, mapping).select((schema.fieldNames.map(col) :+
+      col(Lake.RowIdCol)).toSeq: _*)
+  }
 
   // ---- CHECK constraints --------------------------------------------------
 
@@ -2418,7 +2621,14 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         sum
     }
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val df = read(layer)
+    // row tracking: compaction reorders rows, so the rewrite CARRIES the
+    // ids and materializes them into the new files (an extra LongType
+    // column through the same shuffle — the id column z-orders/salts
+    // along for free and never enters the recorded schema)
+    val df =
+      if (rowTrackingEnabled(layer) && latestSnapshot(layer).isDefined)
+        readWithRowIds(layer)
+      else read(layer)
     val arranged =
       if (zcols.nonEmpty)
         // Z-order rewrite (Delta's OPTIMIZE ZORDER BY): range-partition +
@@ -2726,6 +2936,11 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // (see SchemaEvolution: one bad append must not poison the layer head)
     val old = snapshotSchema(layer, snap)
     val mapping = mappingOf(snap)
+    require(!rowTrackingEnabled(layer) ||
+      !df.columns.exists(_.equalsIgnoreCase(Lake.RowIdCol)),
+      s"appendAtomic('$layer'): '${Lake.RowIdCol}' is reserved on a " +
+        "row-tracking layer — appended rows get fresh ids from the " +
+        "file base ranges")
     // generated columns fill/validate BEFORE evolution so a filled column
     // joins the evolved schema like any caller-provided one
     val dfG = applyGenerated(layer, df, s"appendAtomic('$layer')")
@@ -2839,7 +3054,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       schemaDdl: String, dvs: Map[String, String] = Map.empty,
       op: String = "UNKNOWN", mapping: Map[String, String] = Map.empty,
       dropped: Seq[String] = Nil,
-      rebaseRewritten: Option[Set[String]] = None): Path = {
+      rebaseRewritten: Option[Set[String]] = None,
+      baseHints: Map[String, Long] = Map.empty): Path = {
     val base = layerPath(layer)
     val f = fs(newSnap)
     // vars: a REBASE re-ids the staged snapshot (version ids order history
@@ -2880,6 +3096,30 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       val interval = checkpointIntervalOf(layer)
       val incremental = interval > 1 && chain <= interval &&
         (addFiles.size + removeFiles.size) * 2 < newInv.size
+      // ROW TRACKING base allocation — O(added files): each added file
+      // takes a fresh [watermark, watermark+rows) range (one footer read
+      // per file, never soft-failed), EXCEPT files a RESTORE resurrects —
+      // baseHints hands them their historical bases so their rows keep
+      // their identities. Carried files keep their parent entries.
+      val tracking = rowTrackingEnabled(layer)
+      val parentBases =
+        if (!tracking) Map.empty[String, Long]
+        else parentM.map(_.rowBases).getOrElse(Map.empty)
+      val (addBases, rowWm) =
+        if (!tracking) (Map.empty[String, Long], 0L)
+        else {
+          var wm = parentM.map(_.rowWatermark).getOrElse(0L)
+          val toAssign = addFiles.filterNot(parentBases.contains)
+          val hinted = toAssign.flatMap(r => baseHints.get(r).map(r -> _))
+          val fresh = toAssign.filterNot(baseHints.contains)
+          // stage() runs before the marker lands — the staged dir's rels
+          // resolve through the same resolveRel as committed ones
+          val counts = parquetRowCounts(layer, fresh)
+          val assigned = fresh.sorted.map { rel =>
+            val b = wm; wm += math.max(counts(rel), 1L); rel -> b
+          }
+          ((hinted ++ assigned).toMap, wm)
+        }
       if (incremental) {
         // a rebase RESTAGE may have left a full manifest from a previous
         // staging decision — manifestOf prefers it, so it must go
@@ -2891,11 +3131,16 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
             !parentDvsAll.get(k).contains(v) },
           dvUnset = parentDvsAll.keysIterator.filterNot(curDvs.contains)
             .toSeq,
-          mapping = mapping, dropped = dropped)))
+          mapping = mapping, dropped = dropped,
+          addBases = addBases, rowWatermark = rowWm)))
       } else {
         f.delete(new Path(curSnap, DeltaDoc.FileName), false)
         val manifest = SnapshotManifest(newInv, schemaDdl,
-          curDvs, mapping, dropped)
+          curDvs, mapping, dropped,
+          rowBases = if (!tracking) Map.empty
+            else (parentBases.filter { case (r, _) => newSet(r) }
+              ++ addBases),
+          rowWatermark = rowWm)
         val (head, shards) =
           SnapshotManifest.toJsonSharded(manifest, config.manifestShardSize)
         // shards BEFORE the head: a head naming N shards implies all N
@@ -3098,7 +3343,11 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       commitManifest(layer, head, newSnap, inv,
         statsOfSnapshot(layer, target), schemaDdl, dvs = dvMapOf(target),
         op = "RESTORE", mapping = mappingOf(target),
-        dropped = droppedOf(target))
+        dropped = droppedOf(target),
+        // row tracking: files the restore RESURRECTS (absent from the
+        // head) get their HISTORICAL bases back, so restored rows keep
+        // the identities they always had
+        baseHints = manifestOf(target).map(_.rowBases).getOrElse(Map.empty))
     } catch {
       case e: java.util.ConcurrentModificationException => throw e
       case scala.util.control.NonFatal(e) =>
@@ -3247,8 +3496,15 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val f = fs(newSnap)
     try {
       f.mkdirs(newSnap) // no data files — the manifest IS the snapshot
+      // row tracking rides the clone: the same data files keep the same
+      // bases (keys rebased to the clone's ref form), so a row's id is
+      // identical whether read through the source or the fork
+      val srcM = srcLake.manifestOf(target)
       val manifest = SnapshotManifest(files, schemaDdl, dvs,
-        srcLake.mappingOf(target), srcLake.droppedOf(target))
+        srcLake.mappingOf(target), srcLake.droppedOf(target),
+        rowBases = srcM.map(_.rowBases).getOrElse(Map.empty)
+          .map { case (k, v) => rebase(k) -> v },
+        rowWatermark = srcM.map(_.rowWatermark).getOrElse(0L))
       val (head, shards) =
         SnapshotManifest.toJsonSharded(manifest, config.manifestShardSize)
       def put(name: String, body: String): Unit = {
@@ -3613,7 +3869,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         } else boundsPredicate(src, keys)
       rewriteCore(layer, snap, pred,
         affected => affected.join(src, keys, "left_anti"),
-        append = Some(src), op = "MERGE")
+        append = Some(src), op = "MERGE", appendIdKeys = keys)
     } finally src.unpersist()
   }
 
@@ -3665,7 +3921,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       predicate: Option[org.apache.spark.sql.Column],
       transform: DataFrame => DataFrame,
       append: Option[DataFrame], op: String,
-      affectedOverride: Option[Set[String]] = None): Lake.RowOpResult = {
+      affectedOverride: Option[Set[String]] = None,
+      appendIdKeys: Seq[String] = Nil): Lake.RowOpResult = {
     val base = layerPath(layer)
     val inventory = snapshotInventory(layer, snap)
     val mapping = mappingOf(snap)
@@ -3700,23 +3957,55 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // affected files must be read THROUGH the parent's deletion vectors —
     // a rewrite that resurrected DV'd rows would silently undo deletes
     val parentDv = dvMapOf(snap)
-    val affectedRows =
-      if (affected.nonEmpty) {
+    // ROW TRACKING: affected rows carry their stable `_row_id` through
+    // the transform (every house transform is column-preserving — filter,
+    // simultaneous-select over df.columns, anti-join on the target side),
+    // so the rewritten files MATERIALIZE the ids and row identity
+    // survives the rewrite. The id column is physical-file state: it
+    // never enters the recorded schema or the generated/constraint gates'
+    // semantics, and fresh (appended) rows leave it null → they allocate
+    // from the new file's base range at read.
+    val tracking = rowTrackingEnabled(layer)
+    val alive0 =
+      if (affected.isEmpty) None
+      else if (tracking) Some(withRowIdsFrame(layer, snap, affected))
+      else {
         val raw = toLogical(readRelFiles(layer, affected,
           schemaHint = Some(physicalSchema(schema, mapping)),
           withMeta = parentDv.nonEmpty), mapping)
-        val aliveRows =
-          if (parentDv.isEmpty) raw
-          else dvFilter(raw, dvPairs(base, snap, Some(affected.toSet)))
-        transform(aliveRows)
-      } else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        Some(if (parentDv.isEmpty) raw
+          else dvFilter(raw, dvPairs(base, snap, Some(affected.toSet))))
+      }
+    val affectedRows = alive0.map(transform).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    if (tracking && affected.nonEmpty)
+      require(affectedRows.columns.exists(
+          _.equalsIgnoreCase(Lake.RowIdCol)),
+        s"row op on '$layer': the transform dropped '${Lake.RowIdCol}' — " +
+          "a row-tracking rewrite must carry it (column-preserving " +
+          "transforms only)")
     val rewritten0 = append match {
       // allowMissingColumns: a schema-evolving merge's source carries NEW
       // columns — affected rows read null for them; a no-evolution merge
       // has identical columns and this is the plain unionByName
-      case Some(extra) => affectedRows.unionByName(extra,
-        allowMissingColumns = true)
+      case Some(extra) =>
+        // merge UPDATE attribution: a source row replacing a matched
+        // target row INHERITS the target row's id (per-key min for the
+        // duplicate-keyed-target edge) — that is what lets
+        // changeFeedTracked tag it update_pre/postimage instead of
+        // delete+insert. Unmatched source rows stay id-less (fresh).
+        val extraWithIds =
+          if (!tracking || appendIdKeys.isEmpty || alive0.isEmpty) extra
+          else {
+            import org.apache.spark.sql.functions.{col, min}
+            val matched = alive0.get
+              .groupBy(appendIdKeys.map(col): _*)
+              .agg(min(Lake.RowIdCol).as(Lake.RowIdCol))
+            extra.join(matched, appendIdKeys, "left")
+          }
+        affectedRows.unionByName(extraWithIds,
+          allowMissingColumns = true)
       case None => affectedRows
     }
 
@@ -3730,9 +4019,13 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // to the old schema for delete/update, the evolved superset when a
     // merge's source added columns — carried old files then read null for
     // the additions through the recorded-schema hint
-    val schemaDdl = rewrittenG.schema.toDDL
+    val schemaDdl = org.apache.spark.sql.types.StructType(
+      rewrittenG.schema.fields.filterNot(
+        _.name.equalsIgnoreCase(Lake.RowIdCol))).toDDL
     refuseDroppedResurrection(layer, snap,
-      rewrittenG.schema.fieldNames.filterNot(schema.fieldNames.contains))
+      rewrittenG.schema.fieldNames.filterNot(n =>
+        schema.fieldNames.contains(n) ||
+          n.equalsIgnoreCase(Lake.RowIdCol)))
     // constraint gate over exactly what this commit writes: the
     // transformed affected rows + the merge's append leg. Carried files
     // were valid when they landed; cost ∝ rewritten fraction, zero when
@@ -3808,6 +4101,11 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         "Run OPTIMIZE (compaction materializes DVs) first, or run the DML " +
         "through a session with NewspipeExtensions (LakeSql reads through " +
         "DVs)")
+    if (rowTrackingEnabled(layer)) throw new UnsupportedOperationException(
+      s"layer '$layer' tracks row ids — the v2 group-based rewrite does " +
+        "not carry them (rewritten rows would silently lose identity). " +
+        "Run the DML through a session with NewspipeExtensions (the " +
+        "LakeSql path materializes ids through rewrites)")
     val logical = snapshotSchema(layer, snap)
     val partCols = layerPartitionCols(layer, inventory)
     val dataFields = logical.fields.filterNot(f => partCols.contains(f.name))
@@ -3935,6 +4233,87 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         tagChange(del.join(insKeys, keys, "left_anti"), "delete", b))
     }
     legs.reduce(_.unionByName(_))
+  }
+
+  /** [[changeFeedKeyed]] WITHOUT caller-supplied keys: on a row-tracking
+    * layer ([[enableRowTracking]]) the stable `_row_id` IS the key, so
+    * update attribution needs no declared key columns — an id on both
+    * sides of one commit is an update (`update_preimage` /
+    * `update_postimage`), one-sided ids keep `insert`/`delete`
+    * (Delta CDF's four tags, driven by its row-tracking feature).
+    *
+    * Because the per-commit diff compares (data + id), a rewrite that
+    * carried rows UNCHANGED cancels out exactly (same id, same data on
+    * both sides) — a compaction or a partial update contributes only the
+    * rows whose data actually changed, not everything the files held.
+    * Cost contract is [[changeFeed]]'s: ∝ touched fraction per commit.
+    */
+  def changeFeedTracked(layer: String, fromVersion: String,
+      toVersion: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(rowTrackingEnabled(layer),
+      s"layer '$layer' does not track row ids — enableRowTracking first " +
+        "(or use changeFeedKeyed with explicit keys)")
+    val slice = versionSlice(layer, fromVersion, toVersion)
+    val steps = slice.zip(slice.tail)
+    val legs = steps.flatMap { case (a, b) =>
+      val (ins, del) = diffWithIds(layer, a, b)
+      val insKeys = ins.select(col(Lake.RowIdCol)).distinct()
+      val delKeys = del.select(col(Lake.RowIdCol)).distinct()
+      Seq(
+        tagChange(ins.join(delKeys, Seq(Lake.RowIdCol), "left_semi"),
+          "update_postimage", b),
+        tagChange(ins.join(delKeys, Seq(Lake.RowIdCol), "left_anti"),
+          "insert", b),
+        tagChange(del.join(insKeys, Seq(Lake.RowIdCol), "left_semi"),
+          "update_preimage", b),
+        tagChange(del.join(insKeys, Seq(Lake.RowIdCol), "left_anti"),
+          "delete", b))
+    }
+    legs.reduce(_.unionByName(_))
+  }
+
+  /** [[diff]] with each side's stable row ids attached — the multiset
+    * difference then keys on (data, id), so carried-unchanged rows cancel
+    * even across rewrites. Both sides surface in the TO version's schema
+    * (columns the from-side predates read null, like every evolved read).
+    */
+  private def diffWithIds(layer: String, fromVersion: String,
+      toVersion: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = layerPath(layer)
+    def snapOf(version: String): Path = {
+      val snap = new Path(s"$base/_v/$version")
+      require(fs(snap).exists(new Path(snap, "_COMMITTED")),
+        s"layer '$layer' has no committed snapshot '$version' " +
+          s"(known: ${listVersions(layer).mkString(", ")})")
+      snap
+    }
+    val fromSnap = snapOf(fromVersion)
+    val toSnap = snapOf(toVersion)
+    def pairs(snap: Path): Map[String, String] = {
+      val dv = dvMapOf(snap)
+      snapshotInventory(layer, snap)
+        .map(rel => rel -> dv.getOrElse(rel, "")).toMap
+    }
+    val from = pairs(fromSnap)
+    val to = pairs(toSnap)
+    val outSchema = snapshotSchema(layer, toSnap)
+    val outCols = outSchema.fieldNames.toSeq :+ Lake.RowIdCol
+    def readSide(snap: Path, rels: Seq[String]): DataFrame = {
+      val f = withRowIdsFrame(layer, snap, rels.sorted)
+      val have = f.columns.map(_.toLowerCase).toSet
+      val widened = outSchema.fields.filterNot(fd =>
+        have.contains(fd.name.toLowerCase)).foldLeft(f) { (acc, fd) =>
+        acc.withColumn(fd.name, lit(null).cast(fd.dataType))
+      }
+      widened.select(outCols.map(col): _*)
+    }
+    val changedTo = to.filter { case (rel, d) => !from.get(rel).contains(d) }
+    val changedFrom = from.filter { case (rel, d) => !to.get(rel).contains(d) }
+    val onlyTo = readSide(toSnap, changedTo.keys.toSeq)
+    val onlyFrom = readSide(fromSnap, changedFrom.keys.toSeq)
+    (onlyTo.exceptAll(onlyFrom), onlyFrom.exceptAll(onlyTo))
   }
 
   /** Committed versions from `fromVersion` to `toVersion` inclusive,
@@ -4314,6 +4693,12 @@ object Lake {
     * [[Lake.resolveRel]]): `base:<source layer root>//<within-layer rel>`.
     */
   val BaseRefPrefix = "base:"
+
+  /** The stable row-id column row tracking surfaces (and the hidden
+    * physical column rewrites materialize) — Delta's `_metadata.row_id`
+    * role. Reserved on row-tracking layers.
+    */
+  val RowIdCol = "_row_id"
 
   /** Is this manifest rel a reference into ANOTHER layer (same-lake
     * sibling `../…` or cross-base `base:…`)? Foreign rels opt out of DV

@@ -57,10 +57,26 @@ import org.json4s.jackson.JsonMethods
   *   (the old files would resurrect stale values instead of reading
   *   null); compaction rewrites the files and clears the list.
   */
+/** @param rowBases ROW TRACKING (Delta's row-tracking feature): data-file
+  *   rel path → the file's base row id. A row's stable id is
+  *   `base + ordinal-in-file` for freshly written files, or the
+  *   materialized hidden `_row_id` column a rewrite carried (rewrites
+  *   reorder rows, so position-derived ids must be pinned physically).
+  *   Serialized as an array ALIGNED with `files` (and per-shard in the
+  *   sharded form) so a 10⁶-file checkpoint pays ~10 bytes/entry, not a
+  *   repeated path key; absent entries encode as -1. Empty map = row
+  *   tracking off.
+  * @param rowWatermark first UNALLOCATED row id — the next commit's
+  *   fresh files allocate `[watermark, watermark + rows)` ranges from
+  *   here, which is what makes ids unique across the layer's whole
+  *   history without coordination.
+  */
 final case class SnapshotManifest(files: Seq[String], schemaDdl: String,
     dvs: Map[String, String] = Map.empty,
     mapping: Map[String, String] = Map.empty,
-    dropped: Seq[String] = Nil) {
+    dropped: Seq[String] = Nil,
+    rowBases: Map[String, Long] = Map.empty,
+    rowWatermark: Long = 0L) {
   /** Read schema (LOGICAL names) for the empty-manifest case. */
   def schema: StructType = StructType.fromDDL(schemaDdl)
 }
@@ -95,14 +111,26 @@ object SnapshotManifest {
     * total for integrity instead of the list. The dv map stays in the
     * head in both forms.
     */
+  /** `rowBases` aligned with a files group (-1 = no base recorded). */
+  private def basesArray(files: Seq[String],
+      bases: Map[String, Long]): JValue =
+    JArray(files.toList.map(f => JInt(BigInt(bases.getOrElse(f, -1L)))))
+
+  private def trackingFields(m: SnapshotManifest): List[(String, JValue)] =
+    if (m.rowBases.isEmpty && m.rowWatermark == 0L) Nil
+    else List("rowWatermark" -> JInt(m.rowWatermark))
+
   def toJsonSharded(m: SnapshotManifest,
       shardSize: Int = DefaultShardSize): (String, Seq[String]) = {
     require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    val tracked = m.rowBases.nonEmpty
     if (m.files.size <= shardSize)
       (JsonMethods.compact(JsonMethods.render(JObject(List(
         "version" -> JInt(1),
         "schemaDdl" -> JString(m.schemaDdl),
-        "files" -> filesArray(m.files)) ++ dvsObject(m.dvs)
+        "files" -> filesArray(m.files)) ++
+        (if (tracked) List("rowBases" -> basesArray(m.files, m.rowBases))
+         else Nil) ++ trackingFields(m) ++ dvsObject(m.dvs)
         ++ mappingFields(m)))), Nil)
     else {
       val groups = m.files.grouped(shardSize).toSeq
@@ -110,11 +138,13 @@ object SnapshotManifest {
         "version" -> JInt(2),
         "schemaDdl" -> JString(m.schemaDdl),
         "count" -> JInt(m.files.size),
-        "shards" -> JInt(groups.size)) ++ dvsObject(m.dvs)
-        ++ mappingFields(m))))
+        "shards" -> JInt(groups.size)) ++ trackingFields(m)
+        ++ dvsObject(m.dvs) ++ mappingFields(m))))
       (head, groups.map(g =>
         JsonMethods.compact(JsonMethods.render(JObject(List(
-          "files" -> filesArray(g)))))))
+          "files" -> filesArray(g)) ++
+          (if (tracked) List("rowBases" -> basesArray(g, m.rowBases))
+           else Nil))))))
     }
   }
 
@@ -136,6 +166,21 @@ object SnapshotManifest {
     * never silently narrows the inventory (which would make [[Lake.diff]]
     * report phantom deletes and vacuum reclaim LIVE files).
     */
+  /** Aligned rowBases array of one document, zipped back over its files
+    * (-1 entries drop out). Empty when the document carries none.
+    */
+  private def basesOf(root: JValue,
+      files: Seq[String]): Map[String, Long] = (root \ "rowBases") match {
+    case JArray(xs) =>
+      require(xs.size == files.size,
+        s"rowBases array (${xs.size}) does not align with files " +
+          s"(${files.size}) — corrupted manifest document")
+      files.zip(xs).collect {
+        case (f, JInt(b)) if b >= 0 => f -> b.toLong
+      }.toMap
+    case _ => Map.empty
+  }
+
   def read(headJson: String, readShard: Int => String): SnapshotManifest = {
     val root = JsonMethods.parse(headJson)
     val ddl = (root \ "schemaDdl") match {
@@ -159,6 +204,10 @@ object SnapshotManifest {
       case JArray(xs) => xs.collect { case JString(v) => v }
       case _ => Nil
     }
+    val watermark: Long = (root \ "rowWatermark") match {
+      case JInt(w) => w.toLong
+      case _ => 0L
+    }
     (root \ "shards") match {
       case JInt(n) =>
         val expected = (root \ "count") match {
@@ -166,14 +215,21 @@ object SnapshotManifest {
           case _ => throw new IllegalArgumentException(
             s"sharded $FileName missing count")
         }
-        val files = (0 until n.toInt).flatMap(i =>
-          filesOf(JsonMethods.parse(readShard(i)), shardName(i)))
+        val parts = (0 until n.toInt).map { i =>
+          val shardRoot = JsonMethods.parse(readShard(i))
+          val fs = filesOf(shardRoot, shardName(i))
+          (fs, basesOf(shardRoot, fs))
+        }
+        val files = parts.flatMap(_._1)
         require(files.size.toLong == expected,
           s"sharded $FileName reassembled ${files.size} paths but the head " +
             s"records $expected — a shard is missing or truncated")
-        SnapshotManifest(files, ddl, dvs, mapping, dropped)
-      case _ => SnapshotManifest(filesOf(root, FileName), ddl, dvs,
-        mapping, dropped)
+        SnapshotManifest(files, ddl, dvs, mapping, dropped,
+          parts.flatMap(_._2).toMap, watermark)
+      case _ =>
+        val files = filesOf(root, FileName)
+        SnapshotManifest(files, ddl, dvs, mapping, dropped,
+          basesOf(root, files), watermark)
     }
   }
 
@@ -208,10 +264,16 @@ object SnapshotManifest {
   *   mis-parented fold fails loudly instead of silently narrowing the
   *   inventory (vacuum would reclaim live files)
   */
+/** @param addBases row-tracking base ids of THIS commit's added files
+  *   (aligned with `add` in serialized form); carried files keep their
+  *   checkpoint/fold entries. Empty when tracking is off.
+  * @param rowWatermark post-commit first unallocated row id (0 = off).
+  */
 final case class DeltaDoc(parent: String, chain: Int, count: Int,
     schemaDdl: String, add: Seq[String], remove: Seq[String],
     dvSet: Map[String, String] = Map.empty, dvUnset: Seq[String] = Nil,
-    mapping: Map[String, String] = Map.empty, dropped: Seq[String] = Nil)
+    mapping: Map[String, String] = Map.empty, dropped: Seq[String] = Nil,
+    addBases: Map[String, Long] = Map.empty, rowWatermark: Long = 0L)
 
 object DeltaDoc {
   val FileName = "_DELTA.json"
@@ -233,7 +295,12 @@ object DeltaDoc {
       (if (d.dvUnset.isEmpty) Nil else List("dvUnset" -> arr(d.dvUnset))) ++
       (if (d.mapping.isEmpty) Nil else List("mapping" -> obj(d.mapping))) ++
       (if (d.dropped.isEmpty) Nil
-       else List("dropped" -> arr(d.dropped))))))
+       else List("dropped" -> arr(d.dropped))) ++
+      (if (d.addBases.isEmpty && d.rowWatermark == 0L) Nil
+       else List(
+         "addBases" -> JArray(d.add.toList.map(f =>
+           JInt(BigInt(d.addBases.getOrElse(f, -1L))))),
+         "rowWatermark" -> JInt(d.rowWatermark))))))
 
   def fromJson(json: String): DeltaDoc = {
     val root = JsonMethods.parse(json)
@@ -257,8 +324,23 @@ object DeltaDoc {
       }.toMap
       case _ => Map.empty
     }
+    val add = strs("add")
+    val addBases: Map[String, Long] = (root \ "addBases") match {
+      case JArray(xs) =>
+        require(xs.size == add.size,
+          s"$FileName addBases (${xs.size}) does not align with add " +
+            s"(${add.size})")
+        add.zip(xs).collect {
+          case (f, JInt(b)) if b >= 0 => f -> b.toLong
+        }.toMap
+      case _ => Map.empty
+    }
+    val watermark: Long = (root \ "rowWatermark") match {
+      case JInt(w) => w.toLong
+      case _ => 0L
+    }
     DeltaDoc(str("parent"), int("chain"), int("count"), str("schemaDdl"),
-      strs("add"), strs("remove"), strMap("dvSet"), strs("dvUnset"),
-      strMap("mapping"), strs("dropped"))
+      add, strs("remove"), strMap("dvSet"), strs("dvUnset"),
+      strMap("mapping"), strs("dropped"), addBases, watermark)
   }
 }
