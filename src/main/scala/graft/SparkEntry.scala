@@ -3636,6 +3636,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
           sum("doc_id").as("id_sum"))
         .orderBy("change_type", "lang")
+    }),
+
+    // IDENTITY COLUMNS (Delta's GENERATED ALWAYS AS IDENTITY): dense
+    // start/step allocation per commit — the allocated SET is exactly
+    // the arithmetic series {1000 + 7k}, deterministic even though row
+    // assignment is not, so the oracle derives min/max/sum per commit in
+    // closed form from the corpus counts alone. In-query pins: the
+    // ALWAYS mode refuses an explicit value, and the series is gap-free
+    // across the two commits (watermark carried through the manifest).
+    "q170_identity_columns" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q170_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      lake.addIdentityColumn("docs", "rid", start = 1000L, step = 7L)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      lake.writeAtomic(docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("batch", lit(1L)).drop("doc_id"), "docs")
+      lake.appendAtomic(docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("batch", lit(2L)).drop("doc_id"), "docs")
+      val e = try {
+        lake.appendAtomic(docs.limit(1)
+          .select(lit(999999L).as("rid"), col("lang"), col("n_chars"),
+            lit(3L).as("batch")), "docs")
+        false
+      } catch { case _: IllegalArgumentException => true }
+      require(e, "ALWAYS identity must refuse an explicit value")
+      lake.read("docs").groupBy("batch")
+        .agg(count(lit(1)).as("n"),
+          min("rid").as("min_rid"), max("rid").as("max_rid"),
+          sum("rid").as("sum_rid"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("batch")
     })
   )
 
@@ -6249,6 +6281,36 @@ object SparkEntry {
           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
           |  CAST(sum(doc_id) AS BIGINT) AS id_sum
           |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
+      // identity series in closed form: batch 1 allocates k∈[0,n1),
+      // batch 2 continues k∈[n1,n1+n2) on the 1000+7k grid — min/max/sum
+      // derive from the triangular numbers; n_chars sums replay the
+      // even/odd split
+      ("q170_identity_columns" ->
+        """WITH c AS (
+          |  SELECT
+          |    CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS n1,
+          |    CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS n2,
+          |    CAST(sum(n_chars) FILTER (WHERE doc_id % 2 = 0) AS BIGINT)
+          |      AS sc1,
+          |    CAST(sum(n_chars) FILTER (WHERE doc_id % 2 = 1) AS BIGINT)
+          |      AS sc2
+          |  FROM documents)
+          |SELECT * FROM (
+          |  SELECT CAST(1 AS BIGINT) AS batch, n1 AS n,
+          |    CAST(1000 AS BIGINT) AS min_rid,
+          |    CAST(1000 + 7*(n1-1) AS BIGINT) AS max_rid,
+          |    CAST(1000*n1 + 7*((n1-1)*n1/2) AS BIGINT) AS sum_rid,
+          |    sc1 AS sum_chars
+          |  FROM c
+          |  UNION ALL
+          |  SELECT CAST(2 AS BIGINT), n2,
+          |    CAST(1000 + 7*n1 AS BIGINT),
+          |    CAST(1000 + 7*(n1+n2-1) AS BIGINT),
+          |    CAST(1000*n2 +
+          |      7*((n1+n2-1)*(n1+n2)/2 - (n1-1)*n1/2) AS BIGINT),
+          |    sc2
+          |  FROM c)
+          |ORDER BY batch""".stripMargin) +
       ("q152_substring_dedup" -> substringScrubOracleSql) +
       // SQL surface = API: the TVF runs the identical kernel
       ("q154_sql_substring_scrub" -> substringScrubOracleSql) +

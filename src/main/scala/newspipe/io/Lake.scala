@@ -276,11 +276,16 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   private def writeSnapshot(df0: DataFrame, layer: String,
       partitionBy: Seq[String], requireParent: Option[Option[String]],
       op: String, prearranged: Boolean = false): String = {
-    // generated columns: fill-or-validate first (a prearranged frame's
-    // values are already correct, so the projection is order-preserving)
-    val dfGen = applyGenerated(layer, df0, s"writeAtomic('$layer')")
+    // identity allocation first (prearranged = internal rewrite: carried
+    // values are data, not explicit inserts), then generated columns'
+    // fill-or-validate (both projections are order-preserving on
+    // prearranged frames — their values are already correct)
+    val dfId = applyIdentity(layer, df0, s"writeAtomic('$layer')",
+      internalRewrite = prearranged)
+    val dfGen = applyGenerated(layer, dfId, s"writeAtomic('$layer')")
     enforceConstraints(layer, dfGen, s"writeAtomic('$layer')")
     val tracking = rowTrackingEnabled(layer)
+    val idCols = identityColumns(layer)
     require(!tracking || prearranged ||
       !df0.columns.exists(_.equalsIgnoreCase(Lake.RowIdCol)),
       s"writeAtomic('$layer'): '${Lake.RowIdCol}' is reserved on a " +
@@ -312,22 +317,43 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         SnapshotManifest(Nil, recordedSchema.toDDL)).getBytes("UTF-8"))
       finally out.close()
     }
-    // ROW TRACKING: an overwrite snapshot still carries a manifest (the
-    // bases have to live somewhere) — fresh files allocate from the PRIOR
-    // head's watermark so ids stay history-unique; materialized ids a
-    // prearranged compaction carried win over the fresh ranges at read
-    // (coalesce order in [[withRowIdsFrame]])
-    if (tracking && snapshotDirFilesRel(snap).nonEmpty) {
+    // ROW TRACKING / IDENTITY: an overwrite snapshot still carries a
+    // manifest (the counters have to live somewhere) — fresh files
+    // allocate from the PRIOR head's watermark so row ids stay
+    // history-unique, and identity highs advance from the new files'
+    // column stats; materialized row ids a prearranged compaction
+    // carried win over the fresh ranges at read (coalesce order in
+    // [[withRowIdsFrame]])
+    if ((tracking || idCols.nonEmpty) && snapshotDirFilesRel(snap).nonEmpty) {
       val rels = snapshotDirFilesRel(snap).map(s"_v/${snap.getName}/" + _)
-      var wm = latestSnapshot(layer).flatMap(manifestOf)
-        .map(_.rowWatermark).getOrElse(0L)
-      val counts = parquetRowCounts(layer, rels)
-      val bases = rels.sorted.map { rel =>
-        val b = wm; wm += math.max(counts(rel), 1L); rel -> b
-      }.toMap
+      val priorM = latestSnapshot(layer).flatMap(manifestOf)
+      val newStats = FileStats.collectResolved(
+        spark.sparkContext.hadoopConfiguration,
+        rels.map(r => r -> new Path(resolveRel(layerPath(layer), r))))
+      var wm = priorM.map(_.rowWatermark).getOrElse(0L)
+      val bases: Map[String, Long] = if (!tracking) Map.empty else {
+        val counts = newStats.map(st => st.path -> st.rows).toMap
+        rels.sorted.map { rel =>
+          val b = wm; wm += math.max(counts(rel), 1L); rel -> b
+        }.toMap
+      }
+      val highs = idCols.map { case (name, spec) =>
+        val prior = priorM.flatMap(_.idHighs.get(name))
+          .getOrElse(spec.start)
+        val beyond = newStats.flatMap(_.cols.get(name))
+          .flatMap(cs => if (spec.step > 0) cs.max else cs.min)
+          .flatMap(s => scala.util.Try(s.toLong).toOption)
+          .reduceOption((a, b) =>
+            if (spec.step > 0) math.max(a, b) else math.min(a, b))
+          .map(v => Lake.alignBeyond(v, spec.start, spec.step))
+        name -> beyond.map(b =>
+          if (spec.step > 0) math.max(prior, b)
+          else math.min(prior, b)).getOrElse(prior)
+      }
       val (head, shards) = SnapshotManifest.toJsonSharded(
         SnapshotManifest(rels, recordedSchema.toDDL,
-          rowBases = bases, rowWatermark = wm), config.manifestShardSize)
+          rowBases = bases, rowWatermark = wm, idHighs = highs),
+        config.manifestShardSize)
       val f = fs(snap)
       shards.zipWithIndex.foreach { case (body, i) =>
         val out = f.create(new Path(snap, SnapshotManifest.shardName(i)),
@@ -846,6 +872,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         var terminalDvs: Map[String, String] = Map.empty
         var terminalBases: Map[String, Long] = Map.empty
         var terminalWm = 0L
+        var terminalHighs: Map[String, Long] = Map.empty
         var cur = new Path(snap.getParent, headDoc.parent)
         while (terminalFiles == null) {
           cached(cur).orElse(fullOf(cur).map(store(cur, _))) match {
@@ -854,6 +881,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
               terminalDvs = m.dvs
               terminalBases = m.rowBases
               terminalWm = m.rowWatermark
+              terminalHighs = m.idHighs
             case None => deltaDocOf(cur) match {
               case Some(d) =>
                 chain ::= ((cur, d))
@@ -869,6 +897,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         var dvs = terminalDvs
         var bases = terminalBases
         var wm = terminalWm
+        var highs = terminalHighs
         var result: SnapshotManifest = null
         chain.foreach { case (p, d) =>
           val removed = d.remove.toSet
@@ -881,8 +910,9 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           dvs = (dvs -- d.dvUnset) ++ d.dvSet
           bases = bases.filter { case (r, _) => !removed(r) } ++ d.addBases
           wm = math.max(wm, d.rowWatermark)
+          if (d.idHighs.nonEmpty) highs = d.idHighs // recorded in full
           result = SnapshotManifest(files, d.schemaDdl, dvs, d.mapping,
-            d.dropped, bases, wm)
+            d.dropped, bases, wm, highs)
           store(p, result)
         }
         Some(result)
@@ -1208,36 +1238,18 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         s"'${config.format}'")
     setProperties(layer, Map("lake.rowTracking" -> "true"))
     latestSnapshot(layer).foreach { snap =>
-      val m = manifestOf(snap).getOrElse {
-        val rels = snapshotDirFilesRel(snap).map(s"_v/${snap.getName}/" + _)
-        SnapshotManifest(rels, snapshotSchema(layer, snap).toDDL,
-          dvMapOf(snap))
-      }
-      val missing = m.files.filterNot(m.rowBases.contains)
-      if (missing.nonEmpty) {
-        val counts = parquetRowCounts(layer, missing)
-        var wm = m.rowWatermark
-        val assigned = missing.sorted.map { rel =>
-          val b = wm; wm += math.max(counts(rel), 1L); rel -> b
+      refootHeadManifest(layer, snap, { m =>
+        val missing = m.files.filterNot(m.rowBases.contains)
+        if (missing.isEmpty) m
+        else {
+          val counts = parquetRowCounts(layer, missing)
+          var wm = m.rowWatermark
+          val assigned = missing.sorted.map { rel =>
+            val b = wm; wm += math.max(counts(rel), 1L); rel -> b
+          }
+          m.copy(rowBases = m.rowBases ++ assigned, rowWatermark = wm)
         }
-        val backfilled = m.copy(rowBases = m.rowBases ++ assigned,
-          rowWatermark = wm)
-        val f = fs(snap)
-        val (head, shards) = SnapshotManifest.toJsonSharded(backfilled,
-          config.manifestShardSize)
-        def put(name: String, body: String): Unit = {
-          val out = f.create(new Path(snap, name), true)
-          try out.write(body.getBytes("UTF-8")) finally out.close()
-        }
-        shards.zipWithIndex.foreach { case (body, i) =>
-          put(SnapshotManifest.shardName(i), body)
-        }
-        put(SnapshotManifest.FileName, head) // head last (checkpoint rule)
-        f.delete(new Path(snap, DeltaDoc.FileName), false)
-        manifestCache.synchronized {
-          manifestCache.put(snap.toString, backfilled)
-        }
-      }
+      })
     }
   }
 
@@ -1251,6 +1263,178 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     FileStats.collectResolved(spark.sparkContext.hadoopConfiguration,
       rels.map(r => r -> new Path(resolveRel(base, r))))
       .map(st => st.path -> st.rows).toMap
+  }
+
+  /** Re-foot the HEAD manifest in place (checkpoint-style — idempotent,
+    * data-invisible, no new commit): used by declarations that must seed
+    * manifest-carried counters ([[enableRowTracking]] bases,
+    * [[addIdentityColumn]] watermarks). Self-contained heads synthesize
+    * their manifest first (the directory IS the inventory).
+    */
+  private def refootHeadManifest(layer: String, snap: Path,
+      update: SnapshotManifest => SnapshotManifest): Unit = {
+    val m = manifestOf(snap).getOrElse {
+      val rels = snapshotDirFilesRel(snap).map(s"_v/${snap.getName}/" + _)
+      SnapshotManifest(rels, snapshotSchema(layer, snap).toDDL,
+        dvMapOf(snap))
+    }
+    val updated = update(m)
+    if (updated == m) return
+    val f = fs(snap)
+    val (head, shards) = SnapshotManifest.toJsonSharded(updated,
+      config.manifestShardSize)
+    def put(name: String, body: String): Unit = {
+      val out = f.create(new Path(snap, name), true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    shards.zipWithIndex.foreach { case (body, i) =>
+      put(SnapshotManifest.shardName(i), body)
+    }
+    put(SnapshotManifest.FileName, head) // head LAST (checkpoint rule)
+    f.delete(new Path(snap, DeltaDoc.FileName), false)
+    manifestCache.synchronized {
+      manifestCache.put(snap.toString, updated)
+    }
+  }
+
+  // ---- identity columns ----------------------------------------------------
+
+  private val IdentityPrefix = "lake.identity."
+
+  /** Declared identity columns: name → (start, step, allowExplicitInsert).
+    * Delta's `GENERATED { ALWAYS | BY DEFAULT } AS IDENTITY`.
+    */
+  def identityColumns(layer: String): Map[String, Lake.Identity] =
+    properties(layer).collect {
+      case (k, v) if k.startsWith(IdentityPrefix) =>
+        val p = v.split(",")
+        k.stripPrefix(IdentityPrefix) ->
+          Lake.Identity(p(0).toLong, p(1).toLong, p(2).toBoolean)
+    }
+
+  /** Declare `name` an IDENTITY column. From then on commits ALLOCATE the
+    * column for rows that omit it (or carry NULL): dense `next + step*i`
+    * ranges — one zipWithIndex pass over exactly the rows being filled,
+    * O(increment). `ALWAYS` mode (allowExplicitInsert=false) refuses
+    * explicit values on append/overwrite increments; `BY DEFAULT` keeps
+    * them. The high watermark lives in the MANIFEST (`idHighs`, advanced
+    * at commit time from the added files' column stats), so it is
+    * transactional with the commit it covers, survives restarts, and —
+    * unlike Delta, which only re-syncs on `SYNC IDENTITY` — explicit
+    * BY-DEFAULT inserts bump it immediately and can never collide with a
+    * later allocation.
+    *
+    * Declaring over a layer WITH commits is the `SYNC IDENTITY` move: the
+    * column must already exist (integral type); one scan seeds the
+    * watermark just past the aligned max (min, for negative step).
+    */
+  def addIdentityColumn(layer: String, name: String, start: Long = 1L,
+      step: Long = 1L, allowExplicitInsert: Boolean = false): Unit = {
+    require(step != 0L, "identity step must be non-zero")
+    require(!identityColumns(layer).keys.exists(_.equalsIgnoreCase(name)),
+      s"layer '$layer' already declares identity column '$name'")
+    require(!generatedColumns(layer).keys.exists(_.equalsIgnoreCase(name)),
+      s"'$name' is already GENERATED ALWAYS AS (expr) — a column cannot " +
+        "be both")
+    latestSnapshot(layer).foreach { snap =>
+      val schema = snapshotSchema(layer, snap)
+      val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(idx >= 0,
+        s"layer '$layer' has commits but no column '$name' — identity " +
+          "over existing layers seeds from existing values (declare at " +
+          "creation, or add + backfill the column first)")
+      import org.apache.spark.sql.types._
+      require(Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(schema(idx).dataType),
+        s"identity column '$name' must be integral; found " +
+          s"${schema(idx).dataType.simpleString}")
+      import org.apache.spark.sql.functions.{col, max, min}
+      val agg = read(layer).agg(
+        (if (step > 0) max(col(name)) else min(col(name)))
+          .cast("long")).head()
+      val next =
+        if (agg.isNullAt(0)) start
+        else Lake.alignBeyond(agg.getLong(0), start, step)
+      setProperties(layer, Map(
+        IdentityPrefix + name -> s"$start,$step,$allowExplicitInsert"))
+      refootHeadManifest(layer, snap,
+        m => m.copy(idHighs = m.idHighs + (name -> next)))
+      return
+    }
+    setProperties(layer, Map(
+      IdentityPrefix + name -> s"$start,$step,$allowExplicitInsert"))
+  }
+
+  /** The allocate-or-validate gate commit increments pass BEFORE the
+    * generated-columns gate: missing identity columns are allocated for
+    * every row, present ones allocate only the NULL rows (one limit-1
+    * probe skips the all-explicit case — rewrites carrying existing
+    * values pay nothing). `internalRewrite` marks row-op frames, whose
+    * non-null values are CARRIED data, not explicit inserts — the ALWAYS
+    * refusal applies only to user-facing append/overwrite increments.
+    */
+  private def applyIdentity(layer: String, df: DataFrame, context: String,
+      internalRewrite: Boolean = false): DataFrame = {
+    val ids = identityColumns(layer)
+    if (ids.isEmpty) return df
+    import org.apache.spark.sql.functions.col
+    val headM = latestSnapshot(layer).flatMap(manifestOf)
+    val declared: Map[String, org.apache.spark.sql.types.DataType] =
+      latestSnapshot(layer)
+        .map(s => snapshotSchema(layer, s).fields
+          .map(f => f.name.toLowerCase -> f.dataType).toMap)
+        .getOrElse(Map.empty)
+    ids.toSeq.sortBy(_._1).foldLeft(df) { case (acc, (name, spec)) =>
+      val next = headM.flatMap(_.idHighs.get(name)).getOrElse(spec.start)
+      val dt = declared.getOrElse(name.toLowerCase,
+        org.apache.spark.sql.types.LongType)
+      if (!acc.columns.exists(_.equalsIgnoreCase(name)))
+        denseIdentityFill(acc, name, next, spec.step, dt,
+          columnExisted = false)
+      else {
+        if (!internalRewrite && !spec.allowExplicitInsert) {
+          acc.filter(col(name).isNotNull).limit(1).collect()
+            .headOption.foreach { r =>
+              throw new IllegalArgumentException(
+                s"$context: column '$name' is GENERATED ALWAYS AS " +
+                  "IDENTITY — explicit values are refused (declare BY " +
+                  s"DEFAULT to allow them); example row: $r")
+            }
+        }
+        val anyNull =
+          acc.filter(col(name).isNull).limit(1).collect().nonEmpty
+        if (!anyNull) acc
+        else denseIdentityFill(acc.filter(col(name).isNull), name, next,
+          spec.step, dt, columnExisted = true)
+          .unionByName(acc.filter(col(name).isNotNull))
+      }
+    }
+  }
+
+  /** Dense `next + step*i` allocation over exactly the rows that need a
+    * value: one zipWithIndex pass (an internal count job + the zip) —
+    * O(rows being filled), distributed, no single-partition shuffle. The
+    * RDD hop is confined to the increment being written; Delta's
+    * allocator pays the same shape (and, unlike its per-task ranges, the
+    * allocated SET here is exactly {next, next+step, …} — deterministic
+    * for oracles even though row assignment is not).
+    */
+  private def denseIdentityFill(df: DataFrame, name: String, next: Long,
+      step: Long, dt: org.apache.spark.sql.types.DataType,
+      columnExisted: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val order =
+      if (columnExisted) df.columns.toSeq
+      else df.columns.toSeq :+ name
+    val dropped = if (columnExisted) df.drop(name) else df
+    val rdd = dropped.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (next + step * i))
+    }
+    val filled = spark.createDataFrame(rdd, dropped.schema
+      .add(name, org.apache.spark.sql.types.LongType, nullable = true))
+    filled.select(order.map(c =>
+      if (c.equalsIgnoreCase(name)) col(s"`$c`").cast(dt).as(c)
+      else col(s"`$c`")): _*)
   }
 
   /** The layer head with the stable `_row_id` column attached — data
@@ -2941,9 +3125,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       s"appendAtomic('$layer'): '${Lake.RowIdCol}' is reserved on a " +
         "row-tracking layer — appended rows get fresh ids from the " +
         "file base ranges")
-    // generated columns fill/validate BEFORE evolution so a filled column
-    // joins the evolved schema like any caller-provided one
-    val dfG = applyGenerated(layer, df, s"appendAtomic('$layer')")
+    // identity allocation, then generated fill/validate, BEFORE evolution
+    // so a filled column joins the evolved schema like any caller-provided
+    // one
+    val dfG = applyGenerated(layer,
+      applyIdentity(layer, df, s"appendAtomic('$layer')"),
+      s"appendAtomic('$layer')")
     val schemaDdl =
       SchemaEvolution.evolve(old, dfG.schema, allowNew = true,
         context = s"appendAtomic('$layer')").toDDL
@@ -3120,6 +3307,34 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           }
           ((hinted ++ assigned).toMap, wm)
         }
+      // IDENTITY watermarks: advanced from the ADDED files' column stats
+      // (hard footer reads, O(added files), never soft-failed) so even
+      // explicit BY-DEFAULT values bump the counter transactionally with
+      // the commit that landed them — no later allocation can collide
+      val idCols = identityColumns(layer)
+      val idHighs: Map[String, Long] =
+        if (idCols.isEmpty) Map.empty
+        else {
+          val parentHighs = parentM.map(_.idHighs).getOrElse(Map.empty)
+          val addStats: Seq[FileStats.FileStat] =
+            if (addFiles.isEmpty) Nil
+            else FileStats.collectResolved(
+              spark.sparkContext.hadoopConfiguration,
+              addFiles.map(r => r -> new Path(resolveRel(base, r))))
+          idCols.map { case (name, spec) =>
+            val phys = mapping.getOrElse(name, name)
+            val prior = parentHighs.getOrElse(name, spec.start)
+            val beyond = addStats.flatMap(_.cols.get(phys))
+              .flatMap(cs => if (spec.step > 0) cs.max else cs.min)
+              .flatMap(s => scala.util.Try(s.toLong).toOption)
+              .reduceOption((a, b) =>
+                if (spec.step > 0) math.max(a, b) else math.min(a, b))
+              .map(v => Lake.alignBeyond(v, spec.start, spec.step))
+            name -> beyond.map(b =>
+              if (spec.step > 0) math.max(prior, b)
+              else math.min(prior, b)).getOrElse(prior)
+          }
+        }
       if (incremental) {
         // a rebase RESTAGE may have left a full manifest from a previous
         // staging decision — manifestOf prefers it, so it must go
@@ -3132,7 +3347,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           dvUnset = parentDvsAll.keysIterator.filterNot(curDvs.contains)
             .toSeq,
           mapping = mapping, dropped = dropped,
-          addBases = addBases, rowWatermark = rowWm)))
+          addBases = addBases, rowWatermark = rowWm, idHighs = idHighs)))
       } else {
         f.delete(new Path(curSnap, DeltaDoc.FileName), false)
         val manifest = SnapshotManifest(newInv, schemaDdl,
@@ -3140,7 +3355,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           rowBases = if (!tracking) Map.empty
             else (parentBases.filter { case (r, _) => newSet(r) }
               ++ addBases),
-          rowWatermark = rowWm)
+          rowWatermark = rowWm, idHighs = idHighs)
         val (head, shards) =
           SnapshotManifest.toJsonSharded(manifest, config.manifestShardSize)
         // shards BEFORE the head: a head naming N shards implies all N
@@ -3504,7 +3719,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         srcLake.mappingOf(target), srcLake.droppedOf(target),
         rowBases = srcM.map(_.rowBases).getOrElse(Map.empty)
           .map { case (k, v) => rebase(k) -> v },
-        rowWatermark = srcM.map(_.rowWatermark).getOrElse(0L))
+        rowWatermark = srcM.map(_.rowWatermark).getOrElse(0L),
+        idHighs = srcM.map(_.idHighs).getOrElse(Map.empty))
       val (head, shards) =
         SnapshotManifest.toJsonSharded(manifest, config.manifestShardSize)
       def put(name: String, body: String): Unit = {
@@ -4009,11 +4225,16 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       case None => affectedRows
     }
 
-    // generated columns RECOMPUTE on row-level rewrites: an UPDATE/MERGE
-    // that touched a source column keeps the invariant without the caller
-    // setting the generated column (Delta's update semantics); untouched
-    // rows recompute to their existing values
-    val rewrittenG = applyGenerated(layer, rewritten0,
+    // identity: a merge's NOT-MATCHED insert rows carry NULL → allocate;
+    // carried/updated rows keep their existing values (internalRewrite —
+    // the ALWAYS refusal is for user-facing increments only). Then
+    // generated columns RECOMPUTE: an UPDATE/MERGE that touched a source
+    // column keeps the invariant without the caller setting the generated
+    // column (Delta's update semantics); untouched rows recompute to
+    // their existing values
+    val rewrittenG = applyGenerated(layer,
+      applyIdentity(layer, rewritten0, s"row op on '$layer'",
+        internalRewrite = true),
       s"row op on '$layer'", recompute = true)
     // the REWRITTEN frame's schema is what the manifest records: identical
     // to the old schema for delete/update, the evolved superset when a
@@ -4699,6 +4920,26 @@ object Lake {
     * role. Reserved on row-tracking layers.
     */
   val RowIdCol = "_row_id"
+
+  /** An IDENTITY column declaration (Delta's
+    * `GENERATED { ALWAYS | BY DEFAULT } AS IDENTITY (START WITH start
+    * INCREMENT BY step)`).
+    */
+  final case class Identity(start: Long, step: Long,
+      allowExplicitInsert: Boolean)
+
+  /** Smallest start-aligned value STRICTLY beyond `seen` in step
+    * direction (the identity watermark re-seed after explicit values):
+    * `start + k*step` with k minimal such that the result passes `seen`.
+    */
+  def alignBeyond(seen: Long, start: Long, step: Long): Long =
+    if (step > 0) {
+      if (seen < start) start
+      else start + ((seen - start) / step + 1) * step
+    } else {
+      if (seen > start) start
+      else start + ((seen - start) / step + 1) * step
+    }
 
   /** Is this manifest rel a reference into ANOTHER layer (same-lake
     * sibling `../…` or cross-base `base:…`)? Foreign rels opt out of DV

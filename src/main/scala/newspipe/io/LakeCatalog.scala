@@ -100,8 +100,11 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
   override def capabilities()
       : java.util.Set[org.apache.spark.sql.connector.catalog
         .TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -286,11 +289,26 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
         s"reference other generated column(s) ${bad.mkString(", ")}")
       s"lake.generated.${c.name()}" -> genSql
     }.toMap
+    // IDENTITY columns: `GENERATED { ALWAYS | BY DEFAULT } AS IDENTITY
+    // (START WITH s INCREMENT BY k)` — one property per declaration;
+    // allocation/enforcement is the commit gate's (Lake.applyIdentity).
+    val idProps = columns.filter(_.identityColumnSpec() != null).map { c =>
+      val sp = c.identityColumnSpec()
+      require(Seq("tinyint", "smallint", "int", "bigint")
+          .contains(c.dataType.simpleString),
+        s"identity column '${c.name()}' must be integral; found " +
+          c.dataType.simpleString)
+      require(c.generationExpression() == null,
+        s"column '${c.name()}' cannot be both IDENTITY and GENERATED " +
+          "ALWAYS AS (expr)")
+      s"lake.identity.${c.name()}" ->
+        s"${sp.getStart},${sp.getStep},${sp.isAllowExplicitInsert}"
+    }.toMap
     // Properties land BEFORE the first commit (the layer dir can carry
     // _PROPERTIES.json ahead of any snapshot): a concurrent INSERT INTO —
     // or a crash between the two steps — never observes a table missing
     // its declared partition layout or constraint enforcement.
-    val allProps = withPart ++ notNullChecks ++ genProps
+    val allProps = withPart ++ notNullChecks ++ genProps ++ idProps
     if (allProps.nonEmpty) lake.setProperties(ident.name, allProps)
     // an empty-but-schema-carrying first commit: Spark writes one empty
     // parquet footer for a zero-partition frame, so reads resolve the

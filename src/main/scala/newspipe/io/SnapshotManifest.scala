@@ -70,13 +70,20 @@ import org.json4s.jackson.JsonMethods
   *   fresh files allocate `[watermark, watermark + rows)` ranges from
   *   here, which is what makes ids unique across the layer's whole
   *   history without coordination.
+  * @param idHighs IDENTITY column high watermarks: column name → the
+  *   next UNALLOCATED identity value (start+step-aligned). Bounded by
+  *   the number of identity columns (O(1)), recorded in full in every
+  *   commit document like mapping/dropped; advanced at commit time from
+  *   the added files' column stats, so explicit inserts (BY DEFAULT
+  *   mode) bump it too and can never cause a future collision.
   */
 final case class SnapshotManifest(files: Seq[String], schemaDdl: String,
     dvs: Map[String, String] = Map.empty,
     mapping: Map[String, String] = Map.empty,
     dropped: Seq[String] = Nil,
     rowBases: Map[String, Long] = Map.empty,
-    rowWatermark: Long = 0L) {
+    rowWatermark: Long = 0L,
+    idHighs: Map[String, Long] = Map.empty) {
   /** Read schema (LOGICAL names) for the empty-manifest case. */
   def schema: StructType = StructType.fromDDL(schemaDdl)
 }
@@ -116,9 +123,14 @@ object SnapshotManifest {
       bases: Map[String, Long]): JValue =
     JArray(files.toList.map(f => JInt(BigInt(bases.getOrElse(f, -1L)))))
 
-  private def trackingFields(m: SnapshotManifest): List[(String, JValue)] =
-    if (m.rowBases.isEmpty && m.rowWatermark == 0L) Nil
-    else List("rowWatermark" -> JInt(m.rowWatermark))
+  private def trackingFields(m: SnapshotManifest): List[(String, JValue)] = {
+    val wm = if (m.rowBases.isEmpty && m.rowWatermark == 0L) Nil
+      else List("rowWatermark" -> (JInt(m.rowWatermark): JValue))
+    val ih = if (m.idHighs.isEmpty) Nil
+      else List("idHighs" -> (JObject(m.idHighs.toList.sortBy(_._1)
+        .map { case (k, v) => k -> (JInt(BigInt(v)): JValue) }): JValue))
+    wm ++ ih
+  }
 
   def toJsonSharded(m: SnapshotManifest,
       shardSize: Int = DefaultShardSize): (String, Seq[String]) = {
@@ -208,6 +220,12 @@ object SnapshotManifest {
       case JInt(w) => w.toLong
       case _ => 0L
     }
+    val idHighs: Map[String, Long] = (root \ "idHighs") match {
+      case JObject(fields) => fields.collect {
+        case (k, JInt(v)) => k -> v.toLong
+      }.toMap
+      case _ => Map.empty
+    }
     (root \ "shards") match {
       case JInt(n) =>
         val expected = (root \ "count") match {
@@ -225,11 +243,11 @@ object SnapshotManifest {
           s"sharded $FileName reassembled ${files.size} paths but the head " +
             s"records $expected — a shard is missing or truncated")
         SnapshotManifest(files, ddl, dvs, mapping, dropped,
-          parts.flatMap(_._2).toMap, watermark)
+          parts.flatMap(_._2).toMap, watermark, idHighs)
       case _ =>
         val files = filesOf(root, FileName)
         SnapshotManifest(files, ddl, dvs, mapping, dropped,
-          basesOf(root, files), watermark)
+          basesOf(root, files), watermark, idHighs)
     }
   }
 
@@ -273,7 +291,8 @@ final case class DeltaDoc(parent: String, chain: Int, count: Int,
     schemaDdl: String, add: Seq[String], remove: Seq[String],
     dvSet: Map[String, String] = Map.empty, dvUnset: Seq[String] = Nil,
     mapping: Map[String, String] = Map.empty, dropped: Seq[String] = Nil,
-    addBases: Map[String, Long] = Map.empty, rowWatermark: Long = 0L)
+    addBases: Map[String, Long] = Map.empty, rowWatermark: Long = 0L,
+    idHighs: Map[String, Long] = Map.empty)
 
 object DeltaDoc {
   val FileName = "_DELTA.json"
@@ -298,9 +317,12 @@ object DeltaDoc {
        else List("dropped" -> arr(d.dropped))) ++
       (if (d.addBases.isEmpty && d.rowWatermark == 0L) Nil
        else List(
-         "addBases" -> JArray(d.add.toList.map(f =>
-           JInt(BigInt(d.addBases.getOrElse(f, -1L))))),
-         "rowWatermark" -> JInt(d.rowWatermark))))))
+         "addBases" -> (JArray(d.add.toList.map(f =>
+           JInt(BigInt(d.addBases.getOrElse(f, -1L))))): JValue),
+         "rowWatermark" -> (JInt(d.rowWatermark): JValue))) ++
+      (if (d.idHighs.isEmpty) Nil
+       else List("idHighs" -> (JObject(d.idHighs.toList.sortBy(_._1)
+         .map { case (k, v) => k -> (JInt(BigInt(v)): JValue) }): JValue))))))
 
   def fromJson(json: String): DeltaDoc = {
     val root = JsonMethods.parse(json)
@@ -339,8 +361,14 @@ object DeltaDoc {
       case JInt(w) => w.toLong
       case _ => 0L
     }
+    val idHighs: Map[String, Long] = (root \ "idHighs") match {
+      case JObject(fields) => fields.collect {
+        case (k, JInt(v)) => k -> v.toLong
+      }.toMap
+      case _ => Map.empty
+    }
     DeltaDoc(str("parent"), int("chain"), int("count"), str("schemaDdl"),
       add, strs("remove"), strMap("dvSet"), strs("dvUnset"),
-      strMap("mapping"), strs("dropped"), addBases, watermark)
+      strMap("mapping"), strs("dropped"), addBases, watermark, idHighs)
   }
 }
