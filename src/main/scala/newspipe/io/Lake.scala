@@ -93,10 +93,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   private[io] def resolveRel(base: String, rel: String): String = {
     if (rel.startsWith(Lake.BaseRefPrefix)) {
-      val body = rel.substring(Lake.BaseRefPrefix.length)
-      val cut = body.indexOf("//")
-      require(cut > 0, s"malformed cross-base ref '$rel' (no `//` split)")
-      return body.substring(0, cut) + body.substring(cut + 1)
+      val (root, r) = Lake.splitBaseRef(rel)
+      return s"$root/$r"
     }
     var b = base.stripSuffix("/")
     var r = rel
@@ -113,10 +111,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * after the `//` split) — what the SOURCE layer's own metadata (DV
     * payload documents) keys it by.
     */
-  private def baseRefRel(rel: String): String = {
-    val cut = rel.indexOf("//")
-    rel.substring(cut + 2)
-  }
+  private def baseRefRel(rel: String): String = Lake.splitBaseRef(rel)._2
 
   /** The key a DV payload DOCUMENT records for a manifest rel: a foreign
     * (clone-carried) reference shares the `../<layer>/` or
@@ -142,9 +137,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // root — the `//` split makes the root explicit, so a flat ref still
     // roots partition discovery at the source layer, not a leaf dir
     if (rel.startsWith(Lake.BaseRefPrefix)) {
-      val cut = rel.indexOf("//")
-      val inner = versionDirOf(rel.substring(cut + 2))
-      return rel.substring(0, cut) + "//" + inner
+      val (root, r) = Lake.splitBaseRef(rel)
+      return s"${Lake.BaseRefPrefix}$root//${versionDirOf(r)}"
     }
     val segs = rel.split('/')
     val i = segs.indexOf("_v")
@@ -371,17 +365,19 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       try {
         val stats0 = FileStats.collect(
           spark.sparkContext.hadoopConfiguration, snap.toString)
-        // a manifest-carrying snapshot (row tracking) keys its stats by
-        // MANIFEST rel — sidecarStats would otherwise reject the sidecar
-        // as incomplete and silently disable pruning
-        val stats = if (!tracking) stats0
+        // a manifest-carrying snapshot (row tracking OR identity columns
+        // — the SAME condition that wrote the manifest above) keys its
+        // stats by MANIFEST rel — sidecarStats would otherwise reject the
+        // sidecar as incomplete and silently disable pruning
+        val manifested = tracking || idCols.nonEmpty
+        val stats = if (!manifested) stats0
           else stats0.map(st =>
             st.copy(path = s"_v/${snap.getName}/${st.path}"))
         writeSidecar(snap, stats)
         // self-contained snapshot: every file is new, names are logical
         if (partitionBy.isEmpty)
           maybeBloomSidecar(layer, snap,
-            base = if (tracking) layerPath(layer) else snap.toString,
+            base = if (manifested) layerPath(layer) else snap.toString,
             rels = stats.map(_.path),
             rowsByRel = stats.map(st => st.path -> st.rows).toMap,
             mapping = Map.empty, schema = recordedSchema,
@@ -1273,6 +1269,13 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   private def refootHeadManifest(layer: String, snap: Path,
       update: SnapshotManifest => SnapshotManifest): Unit = {
+    // A delta-only head folds its inventory AND its stats/bloom sidecars
+    // off the parent chain. Refooting writes a full manifest and deletes
+    // _DELTA.json below, which stops the chain fold — so the folded
+    // sidecars must be MATERIALIZED first (checkpoint does exactly that),
+    // or the head's own-increment-only sidecar reads as partial and
+    // pruning silently turns off until the next natural checkpoint.
+    if (isDeltaOnly(snap)) checkpoint(layer)
     val m = manifestOf(snap).getOrElse {
       val rels = snapshotDirFilesRel(snap).map(s"_v/${snap.getName}/" + _)
       SnapshotManifest(rels, snapshotSchema(layer, snap).toDDL,
@@ -1427,8 +1430,27 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       if (columnExisted) df.columns.toSeq
       else df.columns.toSeq :+ name
     val dropped = if (columnExisted) df.drop(name) else df
+    // identity-space exhaustion must fail LOUDLY: the cast below is
+    // non-ANSI, so a watermark past the declared type's range would
+    // otherwise silently wrap into duplicate/negative ids. Bounds check
+    // per allocated value (free in the same pass — no extra count job),
+    // exact arithmetic so even LongType overflow throws.
+    val (lo, hi) = dt match {
+      case org.apache.spark.sql.types.ByteType =>
+        (Byte.MinValue.toLong, Byte.MaxValue.toLong)
+      case org.apache.spark.sql.types.ShortType =>
+        (Short.MinValue.toLong, Short.MaxValue.toLong)
+      case org.apache.spark.sql.types.IntegerType =>
+        (Int.MinValue.toLong, Int.MaxValue.toLong)
+      case _ => (Long.MinValue, Long.MaxValue)
+    }
     val rdd = dropped.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (next + step * i))
+      val v = Math.addExact(next, Math.multiplyExact(step, i))
+      if (v < lo || v > hi)
+        throw new ArithmeticException(
+          s"identity column '$name' exhausted: allocated value $v is " +
+            s"outside the declared type's range [$lo, $hi]")
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v)
     }
     val filled = spark.createDataFrame(rdd, dropped.schema
       .add(name, org.apache.spark.sql.types.LongType, nullable = true))
@@ -3694,7 +3716,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // reference; a deleted clone's stale pin resolves to nothing
     val refRoots = allRefs
       .filter(_.startsWith(Lake.BaseRefPrefix))
-      .map(r => r.substring(Lake.BaseRefPrefix.length, r.indexOf("//")))
+      .map(r => Lake.splitBaseRef(r)._1)
       .distinct
     refRoots.foreach { root =>
       val pinDir = new Path(root, "_CLONE_PINS")
@@ -4026,6 +4048,14 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         "snapshot protocol; land the layer with writeAtomic/compact first"))
     val targetSchema = snapshotSchema(layer, snap)
     val targetCols = targetSchema.fieldNames.toSeq
+    // mirror writeAtomic/appendAtomic's reservation: a source that still
+    // carries _row_id (e.g. built from readWithRowIds) would make the
+    // id-inheritance left join ambiguous / silently wrong
+    require(!rowTrackingEnabled(layer) ||
+        !source.columns.exists(_.equalsIgnoreCase(Lake.RowIdCol)),
+      s"mergeInto('$layer'): '${Lake.RowIdCol}' is reserved on a " +
+        "row-tracking layer — drop it from the merge source (ids are " +
+        "inherited from matched target rows, never caller-supplied)")
     val extraCols = source.columns.toSeq.filterNot(targetCols.contains)
     if (allowSchemaEvolution)
       // evolution contract: the source must still carry every existing
@@ -4914,6 +4944,23 @@ object Lake {
     * [[Lake.resolveRel]]): `base:<source layer root>//<within-layer rel>`.
     */
   val BaseRefPrefix = "base:"
+
+  /** Split a cross-base ref (`base:<root>//<rel>`, prefix optional) at
+    * the LAST `//`. The within-layer rel never holds an empty path
+    * segment, while a scheme-qualified root (`file:///tmp/lake`,
+    * `hdfs://nn/lake`, `s3a://bucket/lake`) contains `//` right after
+    * its scheme — splitting on the FIRST occurrence would land inside
+    * the scheme and mangle every resolved path (and register vacuum
+    * pins under a bogus root). Returns (source layer root, rel).
+    */
+  def splitBaseRef(ref: String): (String, String) = {
+    val body =
+      if (ref.startsWith(BaseRefPrefix)) ref.substring(BaseRefPrefix.length)
+      else ref
+    val cut = body.lastIndexOf("//")
+    require(cut > 0, s"malformed cross-base ref '$ref' (no `//` split)")
+    (body.substring(0, cut), body.substring(cut + 2))
+  }
 
   /** The stable row-id column row tracking surfaces (and the hidden
     * physical column rewrites materialize) — Delta's `_metadata.row_id`

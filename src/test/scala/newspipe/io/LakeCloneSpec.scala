@@ -279,6 +279,39 @@ class LakeCloneSpec extends SparkTestBase {
     srcLake.read("docs").count() shouldBe 90L
   }
 
+  test("cross-base clone: scheme-qualified (file:///) source base — refs " +
+      "split at the LAST //, never inside the scheme") {
+    // a scheme-qualified root contains `//` right after the scheme; a
+    // first-`//` split would mangle every resolved path and register the
+    // vacuum pin under a bogus root
+    val srcLocal = newBase()
+    val srcBase = "file://" + srcLocal
+    val dstBase = newBase()
+    val srcLake = lakeAt(srcBase); val dstLake = lakeAt(dstBase)
+    srcLake.writeAtomic(spark.range(100).select(col("id"),
+      (col("id") % 7).as("k")), "docs")
+    val v1 = srcLake.listVersions("docs").head
+    dstLake.cloneFrom(srcBase, "docs", "fork")
+    dataFilesUnder(dstBase, "fork") shouldBe empty
+    val refs = manifestFiles(dstBase, "fork")
+    assert(refs.nonEmpty && refs.forall(_.startsWith("base:file://")))
+    // reads resolve through the scheme-qualified root
+    dstLake.read("fork").count() shouldBe 100L
+    dstLake.read("fork").agg(sum("id")).as[Long].head() shouldBe 4950L
+    // the vacuum pin landed under the TRUE source layer root
+    // exactly one pin under the TRUE source layer root (filter the
+    // Hadoop local-FS .crc sidecars)
+    assert(java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$srcLocal/docs/_CLONE_PINS"))
+      .filter(p => !p.getFileName.toString.startsWith("."))
+      .count() == 1L)
+    // and the pin actually protects: bury v1, vacuum hard, v1 survives
+    srcLake.writeAtomic(spark.range(5).toDF("id"), "docs")
+    srcLake.vacuum("docs", keep = 1, orphanGraceMs = 0L)
+    assert(srcLake.listVersions("docs").contains(v1))
+    dstLake.read("fork").count() shouldBe 100L
+  }
+
   test("cross-base clone: source vacuum pins referenced versions " +
       "(_CLONE_PINS), reclaims after the fork materializes") {
     val srcBase = newBase(); val dstBase = newBase()

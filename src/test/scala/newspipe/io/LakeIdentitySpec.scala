@@ -147,4 +147,37 @@ class LakeIdentitySpec extends SparkTestBase {
     lake.read("d").orderBy("id").select("id", "text")
       .as[(Long, String)].collect() shouldBe Array((1L, "y"), (42L, "x"))
   }
+
+  test("identity-only layer (no row tracking): overwrite snapshot keeps " +
+      "stats pruning (manifest-rel sidecar keys)") {
+    val (_, lake) = freshLake()
+    lake.addIdentityColumn("t", "id")
+    // overwrite snapshot carries a manifest (idHighs live there) — the
+    // stats sidecar must be keyed by MANIFEST rels or pruning silently
+    // turns off for the layer head
+    lake.writeAtomic((1 to 200).map(i => (i, s"d$i")).toDF("n", "text")
+      .repartition(4), "t")
+    val info = lake.pruneInfo("t", col("n") === 5).get
+    info.totalFiles shouldBe 4
+    info.keptFiles should be < 4
+    // and the identity values themselves are intact
+    lake.read("t").select("id").distinct().count() shouldBe 200L
+  }
+
+  test("identity-space exhaustion fails loudly (no silent int wrap)") {
+    val (_, lake) = freshLake()
+    // int column close to Int.MaxValue; SYNC-style declaration seeds the
+    // watermark just past it
+    lake.writeAtomic(Seq(Int.MaxValue - 7).toDF("id")
+      .select(col("id").cast("int").as("id"), lit("x").as("text")), "t")
+    lake.addIdentityColumn("t", "id", start = 1L, step = 10L)
+    val e = intercept[Exception] {
+      lake.appendAtomic(Seq("a", "b", "c").toDF("text"), "t")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => Option(t.getMessage).exists(
+        _.contains("exhausted"))))
+  }
 }

@@ -151,6 +151,46 @@ class LakeRowTrackingSpec extends SparkTestBase {
     idsByKey(fresh, "inc") shouldBe folded
   }
 
+  test("enableRowTracking on a DELTA-ONLY head materializes the folded " +
+      "stats (pruning stays on after the refoot)") {
+    val (root, lake) = freshLake()
+    lake.setProperties("inc", Map("lake.checkpointInterval" -> "50"))
+    lake.writeAtomic((1L to 100L).map(i => (i, s"d$i")).toDF("id", "text"),
+      "inc")
+    (1 to 3).foreach(k => lake.appendAtomic(
+      (1L to 10L).map(i => (100L + 30 * k + i, "x")).toDF("id", "text"),
+      "inc"))
+    val head = lake.listVersions("inc").head
+    assert(new java.io.File(s"$root/inc/_v/$head/_DELTA.json").exists())
+    // refoot converts the delta-only head to a full manifest; without
+    // materializing the FOLDED sidecars first, stats would cover only
+    // the head's own increment and pruning would silently turn off
+    lake.enableRowTracking("inc")
+    assert(!new java.io.File(s"$root/inc/_v/$head/_DELTA.json").exists())
+    val fresh = new Lake(spark, LakeConfig(basePath = root)) // cold cache
+    val info = fresh.pruneInfo("inc", col("id") === 5L).get
+    info.keptFiles should be < info.totalFiles
+    fresh.readWithRowIds("inc").select("_row_id").distinct()
+      .count() shouldBe 130L
+  }
+
+  test("mergeInto refuses a caller-supplied _row_id on the source " +
+      "(ids are inherited, never caller-set)") {
+    val (_, lake) = freshLake()
+    lake.writeAtomic((1L to 10L).map(i => (i, s"d$i")).toDF("id", "text"),
+      "t")
+    lake.enableRowTracking("t")
+    val src = lake.readWithRowIds("t").limit(2)
+      .withColumn("text", lit("upd"))
+    val e = intercept[IllegalArgumentException] {
+      lake.mergeInto("t", src, Seq("id"))
+    }
+    e.getMessage should include("_row_id")
+    // dropping it makes the same merge legal
+    lake.mergeInto("t", src.drop("_row_id"), Seq("id"))
+    lake.read("t").filter($"text" === "upd").count() shouldBe 2L
+  }
+
   test("clone carries identities; refusals: reserved column, v2 DML") {
     val (root, lake) = freshLake()
     lake.writeAtomic((1L to 15L).map(i => (i, s"d$i")).toDF("id", "text"),
