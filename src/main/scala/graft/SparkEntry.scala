@@ -3668,6 +3668,101 @@ object SparkEntry {
           sum("rid").as("sum_rid"),
           sum("n_chars").as("sum_chars"))
         .orderBy("batch")
+    }),
+
+    // FULL MERGE CLAUSE MATRIX (Delta's CDC-apply surface): conditional
+    // WHEN MATCHED DELETE + UPDATE with cross-side assignments, a
+    // conditional INSERT (cols) VALUES, and WHEN NOT MATCHED BY SOURCE
+    // DELETE — one SQL statement, one commit. Scale shape: matched rows
+    // rewrite IN PLACE through one left join (no anti-join + re-append),
+    // the by-source clause's reach is stats-pruned by its condition, the
+    // insert leg anti-joins only the key-pruned target slice. The oracle
+    // replays all four clauses relationally.
+    "q171_merge_matrix" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.lake", "newspipe.io.LakeCatalog")
+      val root = java.nio.file.Files.createTempDirectory("q171_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      lake.writeAtomic(docs.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(6, col("doc_id"))
+        .sortWithinPartitions("doc_id"), "docs")
+      docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 7L).as("n_chars"))
+        .createOrReplaceTempView("q171_src")
+      val m = newspipe.io.LakeSql.sql(s,
+        s"""MERGE INTO lake.`$root`.docs AS t USING q171_src AS s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s.n_chars % 5 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + s.n_chars
+           |WHEN NOT MATCHED AND s.n_chars > 300 THEN
+           |  INSERT (doc_id, lang, n_chars)
+           |  VALUES (s.doc_id, s.lang, s.n_chars)
+           |WHEN NOT MATCHED BY SOURCE AND t.n_chars < 100 THEN DELETE
+           |""".stripMargin).collect().head
+      require(m.getString(0) == "MERGE" && !m.getBoolean(3),
+        s"merge must commit, got $m")
+      lake.read("docs").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
+    // SNAPSHOT SYNC (the dimension-refresh pattern): Lake.syncFrom =
+    // MERGE with UPDATE */INSERT */NOT MATCHED BY SOURCE DELETE — after
+    // one call the layer holds EXACTLY the source snapshot. The oracle is
+    // simply the source definition (the whole point of the op).
+    "q172_sync_from" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q172_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      lake.writeAtomic(docs.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(6, col("doc_id"))
+        .sortWithinPartitions("doc_id"), "docs")
+      val snapshot = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1L).as("n_chars"))
+      lake.syncFrom("docs", snapshot, Seq("doc_id"))
+      require(lake.read("docs").count() == snapshot.count(),
+        "syncFrom must converge the layer to the source snapshot")
+      lake.read("docs").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
+    // DEFAULT COLUMN VALUES (ALTER COLUMN SET/DROP DEFAULT): write-time
+    // fill for increments that OMIT the column; already-written rows
+    // never rewrite (metadata-only declaration, like Delta). The oracle
+    // replays the timeline: pre-default rows read NULL, defaulted-era
+    // appends read the constant, post-DROP appends read NULL again.
+    "q173_default_values" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.lake", "newspipe.io.LakeCatalog")
+      val root = java.nio.file.Files.createTempDirectory("q173_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      lake.writeAtomic(docs.filter(col("doc_id") % 2 === 0), "docs")
+      lake.addColumn("docs", "quality",
+        org.apache.spark.sql.types.StringType)
+      newspipe.io.LakeSql.sql(s,
+        s"ALTER TABLE lake.`$root`.docs ALTER COLUMN quality " +
+          "SET DEFAULT 'bulk'").collect()
+      lake.appendAtomic(docs.filter(col("doc_id") % 2 === 1), "docs")
+      newspipe.io.LakeSql.sql(s,
+        s"ALTER TABLE lake.`$root`.docs ALTER COLUMN quality " +
+          "DROP DEFAULT").collect()
+      lake.appendAtomic(docs.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          col("n_chars")), "docs")
+      lake.read("docs")
+        .groupBy(coalesce(col("quality"), lit("none")).as("quality"),
+          col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("quality", "lang")
     })
   )
 
@@ -6311,6 +6406,62 @@ object SparkEntry {
           |    sc2
           |  FROM c)
           |ORDER BY batch""".stripMargin) +
+      // full merge clause matrix replayed relationally: the kept target
+      // rows (matched-delete and by-source-delete filtered out, matched
+      // rows updated t.n+s.n) union the conditional insert leg
+      ("q171_merge_matrix" ->
+        """WITH t AS (
+          |  SELECT doc_id, lang, n_chars FROM documents
+          |  WHERE doc_id % 2 = 0),
+          |s AS (
+          |  SELECT doc_id, lang, n_chars + 7 AS n_chars FROM documents
+          |  WHERE doc_id % 3 = 0),
+          |m AS (
+          |  SELECT t.doc_id, t.lang, t.n_chars AS tn, s.n_chars AS sn,
+          |         s.doc_id IS NOT NULL AS matched
+          |  FROM t LEFT JOIN s ON t.doc_id = s.doc_id),
+          |kept AS (
+          |  SELECT doc_id, lang,
+          |         CASE WHEN matched THEN tn + sn ELSE tn END AS n_chars
+          |  FROM m
+          |  WHERE NOT (matched AND sn % 5 = 0)
+          |    AND NOT ((NOT matched) AND tn < 100)),
+          |ins AS (
+          |  SELECT s.doc_id, s.lang, s.n_chars
+          |  FROM s LEFT JOIN t ON s.doc_id = t.doc_id
+          |  WHERE t.doc_id IS NULL AND s.n_chars > 300),
+          |result AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+          |SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |FROM result GROUP BY lang ORDER BY lang""".stripMargin) +
+      // syncFrom converges the layer to the source snapshot — the oracle
+      // IS the source definition
+      ("q172_sync_from" ->
+        """WITH s AS (
+          |  SELECT doc_id, lang, n_chars + 1 AS n_chars FROM documents
+          |  WHERE doc_id % 3 = 0)
+          |SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |FROM s GROUP BY lang ORDER BY lang""".stripMargin) +
+      // default-column timeline: pre-default rows NULL, defaulted-era
+      // appends 'bulk', post-DROP appends NULL
+      ("q173_default_values" ->
+        """WITH rows AS (
+          |  SELECT doc_id, lang, n_chars, NULL AS quality
+          |  FROM documents WHERE doc_id % 2 = 0
+          |  UNION ALL
+          |  SELECT doc_id, lang, n_chars, 'bulk'
+          |  FROM documents WHERE doc_id % 2 = 1
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, lang, n_chars, NULL
+          |  FROM documents WHERE doc_id % 2 = 1)
+          |SELECT coalesce(quality, 'none') AS quality, lang,
+          |       count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |FROM rows GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
       ("q152_substring_dedup" -> substringScrubOracleSql) +
       // SQL surface = API: the TVF runs the identical kernel
       ("q154_sql_substring_scrub" -> substringScrubOracleSql) +

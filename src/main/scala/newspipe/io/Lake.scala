@@ -274,7 +274,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // values are data, not explicit inserts), then generated columns'
     // fill-or-validate (both projections are order-preserving on
     // prearranged frames — their values are already correct)
-    val dfId = applyIdentity(layer, df0, s"writeAtomic('$layer')",
+    val dfId = applyIdentity(layer, applyDefaults(layer, df0),
+      s"writeAtomic('$layer')",
       internalRewrite = prearranged)
     val dfGen = applyGenerated(layer, dfId, s"writeAtomic('$layer')")
     enforceConstraints(layer, dfGen, s"writeAtomic('$layer')")
@@ -1663,6 +1664,94 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         s"(declared: ${generatedColumns(layer).keys.toSeq.sorted
           .mkString(", ")})")
     setProperties(layer, Map(GeneratedPrefix + name -> ""))
+  }
+
+  // ---- DEFAULT column values ---------------------------------------------
+
+  private val DefaultValPrefix = "lake.defaultValue."
+
+  /** Declared DEFAULT values: column → default expression SQL (the
+    * `DEFAULT expr` column clause of Spark 4 / Delta, on the same
+    * property surface as constraints/generated/identity declarations).
+    */
+  def columnDefaults(layer: String): Map[String, String] =
+    properties(layer).collect {
+      case (k, v) if k.startsWith(DefaultValPrefix) && v.nonEmpty =>
+        k.stripPrefix(DefaultValPrefix) -> v
+    }
+
+  /** `ALTER TABLE … ALTER COLUMN name SET DEFAULT exprSql`. From then on
+    * a commit increment that OMITS the column fills it with the
+    * expression (cast to the declared type); a PRESENT column's values —
+    * including explicit NULLs — are kept verbatim (explicit wins, the
+    * ANSI DEFAULT contract). [[mergeApply]]'s `INSERT (cols)` clauses
+    * fill unlisted default columns the same way. Dropping the default
+    * stops the filling; existing data never rewrites (a default is a
+    * write-time rule, not a read-time one — Delta's semantics exactly).
+    *
+    * The expression must be CONSTANT (no column references — ANSI
+    * requires it; `current_date()`-style deterministic-per-statement
+    * functions are fine), and the column must exist on a layer that
+    * already has commits.
+    */
+  def setColumnDefault(layer: String, name: String, exprSql: String): Unit = {
+    require(name.nonEmpty && exprSql.trim.nonEmpty,
+      "setColumnDefault needs a column name and an expression")
+    require(!generatedColumns(layer).keys.exists(_.equalsIgnoreCase(name)),
+      s"'$name' is GENERATED ALWAYS AS (expr) — a column cannot also " +
+        "carry a DEFAULT")
+    require(!identityColumns(layer).keys.exists(_.equalsIgnoreCase(name)),
+      s"'$name' is an IDENTITY column — a column cannot also carry a " +
+        "DEFAULT")
+    val refs = generationRefs(exprSql)
+    require(refs.isEmpty,
+      s"DEFAULT must be a constant expression; '$exprSql' references " +
+        s"column(s) ${refs.mkString(", ")}")
+    latestSnapshot(layer).foreach { snap =>
+      require(snapshotSchema(layer, snap).fieldNames
+          .exists(_.equalsIgnoreCase(name)),
+        s"layer '$layer' has commits but no column '$name' — add the " +
+          "column first (ALTER TABLE ADD COLUMN), then set its default")
+    }
+    // fail at declaration, not at first write, if the expression is bad
+    spark.range(1).select(
+      org.apache.spark.sql.functions.expr(exprSql)).collect()
+    setProperties(layer, Map(DefaultValPrefix + name -> exprSql))
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN name DROP DEFAULT` — stops the
+    * fill-at-commit; already-written values are untouched.
+    */
+  def dropColumnDefault(layer: String, name: String): Unit = {
+    require(columnDefaults(layer).keys.exists(_.equalsIgnoreCase(name)),
+      s"layer '$layer' has no DEFAULT on column '$name' (declared: " +
+        s"${columnDefaults(layer).keys.toSeq.sorted.mkString(", ")})")
+    setProperties(layer, Map(DefaultValPrefix + name -> ""))
+  }
+
+  /** Fill-at-commit for DEFAULT columns: increments that omit a declared
+    * column get it computed (cast to the layer's declared type so the
+    * schema never drifts); present columns pass through verbatim. One
+    * literal projection per missing column — zero cost when nothing is
+    * declared.
+    */
+  private def applyDefaults(layer: String, df: DataFrame): DataFrame = {
+    val defs = columnDefaults(layer)
+    if (defs.isEmpty) return df
+    import org.apache.spark.sql.functions.expr
+    val declared: Map[String, org.apache.spark.sql.types.DataType] =
+      latestSnapshot(layer)
+        .map(snap => snapshotSchema(layer, snap).fields
+          .map(f => f.name.toLowerCase -> f.dataType).toMap)
+        .getOrElse(Map.empty)
+    defs.toSeq.sortBy(_._1).foldLeft(df) { case (acc, (n, sql)) =>
+      if (acc.columns.exists(_.equalsIgnoreCase(n))) acc
+      else {
+        val raw = expr(sql)
+        acc.withColumn(n,
+          declared.get(n.toLowerCase).map(raw.cast).getOrElse(raw))
+      }
+    }
   }
 
   /** Top-level column names a generation expression references. */
@@ -3151,7 +3240,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // so a filled column joins the evolved schema like any caller-provided
     // one
     val dfG = applyGenerated(layer,
-      applyIdentity(layer, df, s"appendAtomic('$layer')"),
+      applyIdentity(layer, applyDefaults(layer, df),
+        s"appendAtomic('$layer')"),
       s"appendAtomic('$layer')")
     val schemaDdl =
       SchemaEvolution.evolve(old, dfG.schema, allowNew = true,
@@ -4119,6 +4209,282 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     } finally src.unpersist()
   }
 
+  /** Generalized MERGE — Delta's FULL clause matrix, everything
+    * [[mergeInto]]'s star/star fast path can't express:
+    *
+    *  - `WHEN MATCHED [AND cond] THEN UPDATE SET …` / `THEN DELETE`
+    *  - `WHEN NOT MATCHED [AND cond] THEN INSERT …`
+    *  - `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE …` / `DELETE`
+    *
+    * First-match-wins within each clause group (Delta semantics); a row
+    * no clause claims is carried unchanged. Matched-context conditions
+    * and UPDATE values may reference source columns via [[Lake.srcCol]];
+    * insert values evaluate against the SOURCE frame (plain source
+    * names); by-source conditions/values see TARGET columns only.
+    *
+    * Scale shape — same file-level rewrite as every row op:
+    *  - affected files = (stats-can-match the source keys) ∪ (stats-can-
+    *    match some by-source condition); with no by-source clause this is
+    *    exactly [[mergeInto]]'s pruning, with an UNconditioned by-source
+    *    clause it is the whole layer (inherent: every unmatched row must
+    *    be visited — Delta pays the same);
+    *  - matched rows rewrite IN PLACE (one left join against the source,
+    *    CASE per column), so on a row-tracking layer updates keep their
+    *    row ids and [[changeFeedTracked]] attributes them as
+    *    update_pre/postimage pairs;
+    *  - the insert leg anti-joins the source against only the key-pruned
+    *    target slice; inserts land as fresh files (fresh row ids).
+    *
+    * The source must not carry [[Lake.SrcColPrefix]]-named columns (the
+    * join-side rename namespace) nor `_row_id` on tracking layers. With
+    * `requireUniqueKeys` (default) a source with duplicate keys is
+    * refused when any rewrite clause exists — a multi-matched target row
+    * would otherwise duplicate through the join (Delta throws the same
+    * error at runtime); pass false ONLY with a pre-deduplicated source
+    * (the join leg then takes an arbitrary per-key winner).
+    */
+  def mergeApply(layer: String, source: DataFrame, keys: Seq[String],
+      matched: Seq[Lake.MergeClause] = Nil,
+      notMatched: Seq[Lake.MergeClause] = Nil,
+      notMatchedBySource: Seq[Lake.MergeClause] = Nil,
+      maxExactKeys: Int = 8192,
+      requireUniqueKeys: Boolean = true): Lake.RowOpResult = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{coalesce, col, count,
+      countDistinct, lit, struct, when}
+    require(keys.nonEmpty, "mergeApply needs at least one key column")
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+        notMatchedBySource.nonEmpty,
+      "mergeApply needs at least one WHEN clause")
+    def checkGroup(cs: Seq[Lake.MergeClause], group: String)(
+        ok: Lake.MergeAction => Boolean): Unit = {
+      cs.foreach(c => require(ok(c.action),
+        s"mergeApply: a $group clause cannot carry ${c.action}"))
+      require(cs.isEmpty || cs.init.forall(_.condition.isDefined),
+        s"mergeApply: every $group clause except the last needs a " +
+          "condition (first-match-wins would make later clauses dead)")
+    }
+    checkGroup(matched, "WHEN MATCHED") {
+      case _: Lake.MergeUpdate | Lake.MergeUpdateStar | Lake.MergeDelete =>
+        true
+      case _ => false
+    }
+    checkGroup(notMatched, "WHEN NOT MATCHED") {
+      case _: Lake.MergeInsert | Lake.MergeInsertStar => true
+      case _ => false
+    }
+    checkGroup(notMatchedBySource, "WHEN NOT MATCHED BY SOURCE") {
+      case _: Lake.MergeUpdate | Lake.MergeDelete => true
+      case _ => false
+    }
+    val snap = latestSnapshot(layer).getOrElse(throw
+      new IllegalStateException(s"layer '$layer' has no committed " +
+        "snapshot — land the layer with writeAtomic first"))
+    val targetSchema = snapshotSchema(layer, snap)
+    val tCols = targetSchema.fieldNames.toSeq
+    keys.foreach(k => require(tCols.exists(_.equalsIgnoreCase(k)),
+      s"mergeApply: key '$k' is not a layer column"))
+    keys.foreach(k => require(source.columns.exists(_.equalsIgnoreCase(k)),
+      s"mergeApply: key '$k' is not a source column"))
+    require(!rowTrackingEnabled(layer) ||
+        !source.columns.exists(_.equalsIgnoreCase(Lake.RowIdCol)),
+      s"mergeApply('$layer'): '${Lake.RowIdCol}' is reserved on a " +
+        "row-tracking layer — drop it from the merge source")
+    require(!source.columns.exists(_.startsWith(Lake.SrcColPrefix)),
+      s"mergeApply: source column names must not start with " +
+        s"'${Lake.SrcColPrefix}' (the merge join namespace)")
+    val hasStar = (matched ++ notMatched).exists(c =>
+      c.action == Lake.MergeUpdateStar || c.action == Lake.MergeInsertStar)
+    if (hasStar)
+      require(tCols.forall(c => source.columns.exists(_.equalsIgnoreCase(c))),
+        "mergeApply: star actions need the source to carry every layer " +
+          s"column; missing ${tCols.filterNot(c =>
+            source.columns.exists(_.equalsIgnoreCase(c))).mkString(",")}")
+    (matched ++ notMatchedBySource).foreach(c => c.action match {
+      case Lake.MergeUpdate(set) => set.keys.foreach(k =>
+        require(tCols.exists(_.equalsIgnoreCase(k)),
+          s"mergeApply: UPDATE sets unknown column '$k'"))
+      case _ => ()
+    })
+    notMatched.foreach(c => c.action match {
+      case Lake.MergeInsert(vs) => vs.keys.foreach(k =>
+        require(tCols.exists(_.equalsIgnoreCase(k)),
+          s"mergeApply: INSERT names unknown column '$k'"))
+      case _ => ()
+    })
+    // a source column name resolved case-insensitively (star actions)
+    def srcSpelling(c: String): String =
+      source.columns.find(_.equalsIgnoreCase(c)).get
+
+    val src = source.persist()
+    try {
+      val srcEmpty = src.isEmpty
+      if (srcEmpty && notMatchedBySource.isEmpty)
+        return Lake.RowOpResult(snap.toString, 0,
+          snapshotInventory(layer, snap).size, noop = true)
+      val rewriteClauses = matched.nonEmpty || notMatchedBySource.nonEmpty
+      if (requireUniqueKeys && rewriteClauses && !srcEmpty) {
+        val row = src
+          .agg(count(lit(1)), countDistinct(struct(keys.map(col): _*)))
+          .head()
+        val (n, d) = (row.getLong(0), row.getLong(1))
+        require(n == d, s"mergeApply: source holds $n rows but only $d " +
+          s"distinct keys over (${keys.mkString(", ")}) — a multi-" +
+          "matched target row is ambiguous (dedupe the source or pass " +
+          "requireUniqueKeys = false with a pre-deduplicated source)")
+      }
+      // files the source KEYS can reach (mergeInto's exact-IN / bounds)
+      val keyPred: Option[Column] =
+        if (srcEmpty) None
+        else if (keys.size == 1) {
+          val k = keys.head
+          val vals = src.select(k).distinct().limit(maxExactKeys + 1)
+            .collect().map(_.get(0))
+          if (vals.length <= maxExactKeys && !vals.contains(null))
+            Some(col(k).isin(vals.toSeq: _*))
+          else boundsPredicate(src, keys)
+        } else boundsPredicate(src, keys)
+      // files some by-source condition can reach (target-column exprs
+      // only — srcCol references are meaningless against unmatched rows)
+      val bySourceReach: Option[Column] =
+        if (notMatchedBySource.isEmpty) None
+        else Some(notMatchedBySource.map(_.condition.getOrElse(lit(true)))
+          .reduce(_ || _))
+      val predicate: Option[Column] = (keyPred, bySourceReach) match {
+        case (Some(k), Some(b)) => Some(k || b)
+        case (Some(k), None) => if (matched.nonEmpty) Some(k) else None
+        case (None, b) => b
+      }
+
+      // insert leg: source rows matching NO target key, first-match
+      // insert clause applied; anti-join only against the key-pruned
+      // target slice (lossless: a target row outside keyPred can't
+      // equal any source key)
+      val PresentCol = "__src_present"
+      val TagCol = "__merge_tag"
+      val appendRows: Option[DataFrame] =
+        if (notMatched.isEmpty || srcEmpty) None
+        else {
+          val unmatchedSrc = keyPred match {
+            case Some(p) =>
+              src.join(read(layer).where(p)
+                  .select(keys.map(k => col(k).as(srcSpelling(k))): _*),
+                keys.map(srcSpelling), "left_anti")
+            case None => src // all-null source keys: nothing matches
+          }
+          val insTag = notMatched.zipWithIndex.map { case (cl, i) =>
+            (cl.condition.getOrElse(lit(true)), i)
+          }
+          val tagExpr = insTag.tail
+            .foldLeft(when(insTag.head._1, lit(insTag.head._2))) {
+              case (acc, (c, i)) => acc.when(c, lit(i))
+            }.otherwise(lit(-1))
+          val tagged = unmatchedSrc.withColumn(TagCol, tagExpr)
+            .filter(col(TagCol) >= 0)
+          // an INSERT clause's unlisted columns take the layer's DEFAULT
+          // (declared via setColumnDefault) and NULL otherwise — the
+          // ANSI INSERT-with-column-list contract
+          val defaults = columnDefaults(layer)
+          def unlisted(c: String): Column =
+            defaults.find(_._1.equalsIgnoreCase(c))
+              .map(d => org.apache.spark.sql.functions.expr(d._2))
+              .getOrElse(lit(null))
+          val outCols = targetSchema.fields.toSeq.map { f =>
+            val cases = notMatched.zipWithIndex.map { case (cl, i) =>
+              cl.action match {
+                case Lake.MergeInsertStar =>
+                  i -> col(s"`${srcSpelling(f.name)}`")
+                case Lake.MergeInsert(vs) =>
+                  i -> vs.find(_._1.equalsIgnoreCase(f.name)).map(_._2)
+                    .getOrElse(unlisted(f.name))
+                case other => throw new IllegalStateException(
+                  s"insert group holds $other") // excluded by checkGroup
+              }
+            }
+            cases.tail.foldLeft(
+                when(col(TagCol) === cases.head._1, cases.head._2)) {
+              case (acc, (i, v)) => acc.when(col(TagCol) === i, v)
+            }.cast(f.dataType).as(f.name)
+          }
+          Some(tagged.select(outCols: _*))
+        }
+
+      // rewrite leg: matched rows update/delete in place, unmatched rows
+      // take the first applicable by-source clause, everything else
+      // carries — ONE left join + CASE per column
+      val srcJoin0 = src.select(src.columns.map(c =>
+        col(s"`$c`").as(Lake.SrcColPrefix + c)): _*)
+        .withColumn(PresentCol, lit(true))
+      val srcJoin =
+        if (requireUniqueKeys) srcJoin0
+        else srcJoin0.dropDuplicates(
+          keys.map(k => Lake.SrcColPrefix + srcSpelling(k)))
+      def transform(affected: DataFrame): DataFrame = {
+        val joined = affected.join(srcJoin,
+          keys.map(k => col(s"`$k`") ===
+            col(Lake.SrcColPrefix + srcSpelling(k))).reduce(_ && _),
+          "left")
+        val matchedFlag = coalesce(col(PresentCol), lit(false))
+        val actions: Seq[Lake.MergeAction] =
+          matched.map(_.action) ++ notMatchedBySource.map(_.action)
+        val whens: Seq[(Column, Int)] =
+          matched.zipWithIndex.map { case (cl, i) =>
+            (matchedFlag && cl.condition.getOrElse(lit(true)), i)
+          } ++ notMatchedBySource.zipWithIndex.map { case (cl, i) =>
+            (!matchedFlag && cl.condition.getOrElse(lit(true)),
+              matched.size + i)
+          }
+        val tagExpr = whens.tail
+          .foldLeft(when(whens.head._1, lit(whens.head._2))) {
+            case (acc, (c, i)) => acc.when(c, lit(i))
+          }.otherwise(lit(-1)) // -1 = carry
+        val deleteTags = actions.zipWithIndex.collect {
+          case (Lake.MergeDelete, i) => i
+        }
+        val tagged = joined.withColumn(TagCol, tagExpr)
+        val kept =
+          if (deleteTags.isEmpty) tagged
+          else tagged.filter(!col(TagCol).isin(deleteTags.map(Int.box): _*))
+        val carryId =
+          affected.columns.exists(_.equalsIgnoreCase(Lake.RowIdCol))
+        val outCols = targetSchema.fields.toSeq.map { f =>
+          val cases: Seq[(Int, Column)] =
+            actions.zipWithIndex.flatMap { case (a, i) => a match {
+              case Lake.MergeUpdateStar =>
+                Some(i -> col(Lake.SrcColPrefix + srcSpelling(f.name)))
+              case Lake.MergeUpdate(set) =>
+                set.find(_._1.equalsIgnoreCase(f.name)).map(v => i -> v._2)
+              case _ => None
+            } }
+          val e =
+            if (cases.isEmpty) col(s"`${f.name}`")
+            else cases.tail.foldLeft(
+                when(col(TagCol) === cases.head._1, cases.head._2)) {
+              case (acc, (i, v)) => acc.when(col(TagCol) === i, v)
+            }.otherwise(col(s"`${f.name}`"))
+          e.cast(f.dataType).as(f.name)
+        }
+        kept.select(outCols ++
+          (if (carryId) Seq(col(Lake.RowIdCol)) else Nil): _*)
+      }
+      rewriteCore(layer, snap, predicate, transform,
+        append = appendRows, op = "MERGE")
+    } finally src.unpersist()
+  }
+
+  /** Full-snapshot reconciliation (the dimension-refresh pattern):
+    * make `layer` hold EXACTLY `source`'s rows keyed by `keys` —
+    * matched rows update to the source's values, new keys insert,
+    * keys absent from the source delete. One [[mergeApply]] with
+    * `WHEN NOT MATCHED BY SOURCE THEN DELETE`.
+    */
+  def syncFrom(layer: String, source: DataFrame,
+      keys: Seq[String]): Lake.RowOpResult =
+    mergeApply(layer, source, keys,
+      matched = Seq(Lake.MergeClause(None, Lake.MergeUpdateStar)),
+      notMatched = Seq(Lake.MergeClause(None, Lake.MergeInsertStar)),
+      notMatchedBySource = Seq(Lake.MergeClause(None, Lake.MergeDelete)))
+
   /** Conservative key-range predicate: each key within the source's
     * observed [min, max]. One aggregate over the source. Null bounds mean
     * the column holds NO non-null value (min/max skip nulls, and they null
@@ -4987,6 +5353,46 @@ object Lake {
       if (seen > start) start
       else start + ((seen - start) / step + 1) * step
     }
+
+  /** Prefix under which [[Lake.mergeApply]] exposes SOURCE columns to
+    * matched-clause conditions and UPDATE assignments (target columns
+    * keep their own names): `srcCol("price")` is the programmatic
+    * `s.price`. The prefix is reserved on merge sources.
+    */
+  val SrcColPrefix = "__src_"
+
+  /** The merge source's `name` column, for use inside
+    * [[Lake.mergeApply]] matched-clause conditions/assignments. */
+  def srcCol(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col(SrcColPrefix + name)
+
+  /** One action of [[Lake.mergeApply]]'s clause matrix (Delta's MERGE
+    * WHEN clauses). Update/insert assignment maps are target-column →
+    * value; matched-context values may reference source columns via
+    * [[srcCol]]; insert values evaluate against the source frame (plain
+    * source column names); by-source actions evaluate against target
+    * rows only (plain target column names).
+    */
+  sealed trait MergeAction
+  /** UPDATE SET <assignments> (matched or not-matched-by-source). */
+  final case class MergeUpdate(
+      set: Map[String, org.apache.spark.sql.Column]) extends MergeAction
+  /** UPDATE SET * — every target column takes the source's value. */
+  case object MergeUpdateStar extends MergeAction
+  /** DELETE (matched or not-matched-by-source). */
+  case object MergeDelete extends MergeAction
+  /** INSERT (cols) VALUES (exprs) — unlisted target columns get NULL. */
+  final case class MergeInsert(
+      values: Map[String, org.apache.spark.sql.Column]) extends MergeAction
+  /** INSERT * — the whole source row. */
+  case object MergeInsertStar extends MergeAction
+
+  /** A WHEN clause: optional AND-condition + action. Clauses of a group
+    * apply FIRST-MATCH-WINS in declaration order (Delta semantics); only
+    * the last clause of a group may omit its condition.
+    */
+  final case class MergeClause(
+      condition: Option[org.apache.spark.sql.Column], action: MergeAction)
 
   /** Is this manifest rel a reference into ANOTHER layer (same-lake
     * sibling `../…` or cross-base `base:…`)? Foreign rels opt out of DV

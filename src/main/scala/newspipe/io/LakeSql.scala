@@ -38,11 +38,13 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, IntegerType,
   *  - [[LakeSql.sql]] runs the same translation against ANY live session
   *    (parser injection only applies at session build).
   *
-  * MERGE supports the `WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED
-  * THEN INSERT *` form (the [[Lake.mergeInto]] contract) with an ON clause
-  * of ANDed key equalities, plus Spark 4's `MERGE WITH SCHEMA EVOLUTION
-  * INTO` prefix for [[Lake.mergeInto]]'s `allowSchemaEvolution`. Richer
-  * clause forms (conditional actions, DELETE actions, non-equi ON) are
+  * MERGE supports the FULL clause matrix (an ON clause of ANDed key
+  * equalities in every form): the unconditional `UPDATE SET * / INSERT *`
+  * pair routes to [[Lake.mergeInto]]'s anti-join fast path (the only form
+  * with `MERGE WITH SCHEMA EVOLUTION`); conditional MATCHED/NOT-MATCHED
+  * actions, `WHEN MATCHED … DELETE`, explicit assignment lists, and
+  * `WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE` route to
+  * [[Lake.mergeApply]]'s in-place CASE rewrite. Non-equi ON clauses are
   * refused loudly — never silently approximated.
   *
   * Each statement returns one metrics row `(operation, rewritten_files,
@@ -64,6 +66,22 @@ object LakeSql {
   final case class LakeMerge(base: String, layer: String,
       source: LogicalPlan, keys: Seq[String],
       schemaEvolution: Boolean) extends LakeDml
+  /** One WHEN clause of the FULL merge form, still unresolved: kind ∈
+    * {update, updateStar, delete, insert, insertStar}; assignments are
+    * (target column → value expression).
+    */
+  final case class MergeClauseSpec(condition: Option[Expression],
+      kind: String, assignments: Seq[(String, Expression)])
+  /** The full clause matrix (conditional actions, DELETE, BY SOURCE) —
+    * routed to [[Lake.mergeApply]]; `srcQuals`/`tgtQuals` are the
+    * qualifier spellings (aliases or relation names, lowercase) that
+    * resolve an attribute to the source/target side.
+    */
+  final case class LakeMergeFull(base: String, layer: String,
+      source: LogicalPlan, keys: Seq[String],
+      matched: Seq[MergeClauseSpec], notMatched: Seq[MergeClauseSpec],
+      bySource: Seq[MergeClauseSpec],
+      srcQuals: Set[String], tgtQuals: Set[String]) extends LakeDml
   final case class LakeSetProps(base: String, layer: String,
       updates: Map[String, String]) extends LakeDml
   final case class LakeUnsetProps(base: String, layer: String,
@@ -79,6 +97,11 @@ object LakeSql {
   final case class LakeWidenColumn(base: String, layer: String,
       column: String,
       newType: org.apache.spark.sql.types.DataType) extends LakeDml
+  /** `ALTER TABLE … ALTER COLUMN c SET DEFAULT expr` (exprSql = the
+    * statement's original DEFAULT text) / `… DROP DEFAULT` (None).
+    */
+  final case class LakeColumnDefault(base: String, layer: String,
+      column: String, exprSql: Option[String]) extends LakeDml
   /** `ALTER TABLE … CLUSTER BY (c1, c2)` / `CLUSTER BY NONE` — liquid-
     * clustering-style key declaration (metadata-only; every OPTIMIZE form
     * then arranges what it rewrites by these keys).
@@ -114,6 +137,17 @@ object LakeSql {
     case other => Seq(other)
   }
 
+  /** Qualifier spellings (lowercase) that name one side of a MERGE: the
+    * alias when present (it SHADOWS the relation name in SQL scope),
+    * else the relation's last name part.
+    */
+  private def qualsOf(p: LogicalPlan): Set[String] = p match {
+    case SubqueryAlias(id, _) => Set(id.name.toLowerCase)
+    case r: UnresolvedRelation =>
+      Set(r.multipartIdentifier.last.toLowerCase)
+    case _ => Set.empty
+  }
+
   /** Equi-key columns of a MERGE ON clause: ANDed `t.k = s.k` equalities
     * (in either order); anything else is refused — [[Lake.mergeInto]] is
     * keyed, and pretending a non-equi ON is a key would merge wrong rows.
@@ -146,22 +180,53 @@ object LakeSql {
       }
     case m: MergeIntoTable =>
       lakeTarget(m.targetTable).map { case (b, l) =>
-        val okMatched = m.matchedActions match {
+        val fastPath = (m.matchedActions match {
           case Seq(UpdateStarAction(None)) => true
           case _ => false
-        }
-        val okNotMatched = m.notMatchedActions match {
+        }) && (m.notMatchedActions match {
           case Seq(InsertStarAction(None)) => true
           case _ => false
+        }) && m.notMatchedBySourceActions.isEmpty
+        if (fastPath)
+          // the star/star keyed upsert — Lake.mergeInto's anti-join +
+          // bulk-append shape (and the only form with schema evolution)
+          LakeMerge(b, l, m.sourceTable, mergeKeys(m.mergeCondition),
+            m.withSchemaEvolution)
+        else {
+          if (m.withSchemaEvolution) throw new IllegalArgumentException(
+            "lake MERGE WITH SCHEMA EVOLUTION is supported on the " +
+              "unconditional UPDATE SET * / INSERT * form only")
+          def clause(a: MergeAction): MergeClauseSpec = a match {
+            case UpdateStarAction(cond) =>
+              MergeClauseSpec(cond, "updateStar", Nil)
+            case UpdateAction(cond, assigns, _) =>
+              MergeClauseSpec(cond, "update", assigns.map {
+                case Assignment(k: UnresolvedAttribute, v) =>
+                  k.nameParts.last -> v
+                case Assignment(k, _) => throw new IllegalArgumentException(
+                  s"lake MERGE assigns top-level columns; got: ${k.sql}")
+              })
+            case DeleteAction(cond) => MergeClauseSpec(cond, "delete", Nil)
+            case InsertStarAction(cond) =>
+              MergeClauseSpec(cond, "insertStar", Nil)
+            case InsertAction(cond, assigns) =>
+              MergeClauseSpec(cond, "insert", assigns.map {
+                case Assignment(k: UnresolvedAttribute, v) =>
+                  k.nameParts.last -> v
+                case Assignment(k, _) => throw new IllegalArgumentException(
+                  s"lake MERGE inserts top-level columns; got: ${k.sql}")
+              })
+            case other => throw new IllegalArgumentException(
+              s"lake MERGE: unsupported action ${other.getClass.getSimpleName}")
+          }
+          LakeMergeFull(b, l, m.sourceTable,
+            mergeKeys(m.mergeCondition),
+            m.matchedActions.map(clause),
+            m.notMatchedActions.map(clause),
+            m.notMatchedBySourceActions.map(clause),
+            srcQuals = qualsOf(m.sourceTable),
+            tgtQuals = qualsOf(m.targetTable) + l.toLowerCase)
         }
-        if (!okMatched || !okNotMatched || m.notMatchedBySourceActions.nonEmpty)
-          throw new IllegalArgumentException(
-            "lake MERGE supports exactly WHEN MATCHED THEN UPDATE SET * " +
-              "and WHEN NOT MATCHED THEN INSERT * (no conditions, no " +
-              "DELETE actions, no BY SOURCE clauses) — the keyed-upsert " +
-              "contract of Lake.mergeInto")
-        LakeMerge(b, l, m.sourceTable, mergeKeys(m.mergeCondition),
-          m.withSchemaEvolution)
       }
     // ALTER TABLE … SET/UNSET TBLPROPERTIES — the switch that flips
     // lake.enableDeletionVectors (Delta's table-property surface)
@@ -204,12 +269,24 @@ object LakeSql {
           case Seq(spec) if spec.newDataType.isDefined &&
               spec.newNullability.isEmpty && spec.newComment.isEmpty &&
               spec.newPosition.isEmpty &&
-              spec.newDefaultExpression.isEmpty =>
+              spec.newDefaultExpression.isEmpty && !spec.dropDefault =>
             Some(LakeWidenColumn(b, l, topLevelField(spec.column),
               spec.newDataType.get))
+          // SET DEFAULT expr — keep the statement's ORIGINAL expression
+          // text (the layer stores and re-parses it at fill time)
+          case Seq(spec) if spec.newDefaultExpression.isDefined &&
+              spec.newDataType.isEmpty && spec.newNullability.isEmpty &&
+              spec.newComment.isEmpty && spec.newPosition.isEmpty =>
+            Some(LakeColumnDefault(b, l, topLevelField(spec.column),
+              Some(spec.newDefaultExpression.get.originalSQL)))
+          // DROP DEFAULT
+          case Seq(spec) if spec.dropDefault &&
+              spec.newDataType.isEmpty && spec.newNullability.isEmpty &&
+              spec.newComment.isEmpty && spec.newPosition.isEmpty =>
+            Some(LakeColumnDefault(b, l, topLevelField(spec.column), None))
           case _ => throw new IllegalArgumentException(
-            "lake ALTER COLUMN supports exactly one TYPE change per " +
-              "statement (widening only)")
+            "lake ALTER COLUMN supports exactly one change per " +
+              "statement: TYPE widening, SET DEFAULT, or DROP DEFAULT")
         }
       }
     // ALTER TABLE … CLUSTER BY (cols) / CLUSTER BY NONE — Spark 4 grammar
@@ -249,6 +326,7 @@ object LakeSql {
     case _: LakeAddConstraint | _: LakeDropConstraint => true
     case _: LakeRenameColumn | _: LakeDropColumns => true
     case _: LakeWidenColumn | _: LakeClusterBy => true
+    case _: LakeColumnDefault => true
     case _ => false
   }
 
@@ -268,6 +346,75 @@ object LakeSql {
         "MERGE" -> lake.mergeInto(layer,
           NewspipeSqlBridge.dataFrame(session, source), keys,
           allowSchemaEvolution = evolve)
+      case LakeMergeFull(_, layer, source, keys, matched, notMatched,
+          bySource, srcQuals, tgtQuals) =>
+        val srcDf = NewspipeSqlBridge.dataFrame(session, source)
+        val srcCols = srcDf.columns.map(_.toLowerCase).toSet
+        val tgtCols = lake.layerSchema(layer).fieldNames
+          .map(_.toLowerCase).toSet
+        // Rewrite qualified/unqualified attribute references for the
+        // frame each clause context evaluates against (Lake.mergeApply's
+        // contract): matched-context source refs become __src_-prefixed
+        // columns of the join frame; insert values see the SOURCE frame
+        // (plain source names, target refs illegal); by-source exprs see
+        // TARGET rows only (source refs illegal).
+        def rewrite(e: Expression, ctx: String): org.apache.spark.sql.Column = {
+          val rewritten = e.transformUp {
+            case a: UnresolvedAttribute =>
+              val name = a.nameParts.last
+              val qual = a.nameParts.init.lastOption.map(_.toLowerCase)
+              val side: String = qual match {
+                case Some(q) if srcQuals(q) && !tgtQuals(q) => "src"
+                case Some(q) if tgtQuals(q) && !srcQuals(q) => "tgt"
+                case Some(q) => throw new IllegalArgumentException(
+                  s"lake MERGE: qualifier '$q' names neither side " +
+                    s"(source: ${srcQuals.mkString("/")}, target: " +
+                    s"${tgtQuals.mkString("/")})")
+                case None => ctx match {
+                  case "insert" => "src"
+                  case "bysource" => "tgt"
+                  case _ =>
+                    val inS = srcCols(name.toLowerCase)
+                    val inT = tgtCols(name.toLowerCase)
+                    if (inS && inT) throw new IllegalArgumentException(
+                      s"lake MERGE: reference '$name' is ambiguous " +
+                        "(both sides carry it) — qualify it")
+                    else if (inS) "src" else "tgt"
+                }
+              }
+              (side, ctx) match {
+                case ("src", "insert") => UnresolvedAttribute(Seq(name))
+                case ("src", "bysource") =>
+                  throw new IllegalArgumentException(
+                    "lake MERGE: a NOT MATCHED BY SOURCE clause cannot " +
+                      s"reference source column '$name' (no source row " +
+                      "matches, by definition)")
+                case ("src", _) =>
+                  UnresolvedAttribute(Seq(Lake.SrcColPrefix + name))
+                case ("tgt", "insert") =>
+                  throw new IllegalArgumentException(
+                    "lake MERGE: an INSERT value cannot reference " +
+                      s"target column '$name' (no target row matches, " +
+                      "by definition)")
+                case ("tgt", _) => UnresolvedAttribute(Seq(name))
+              }
+          }
+          NewspipeSqlBridge.column(rewritten)
+        }
+        def toClause(s: MergeClauseSpec, ctx: String): Lake.MergeClause =
+          Lake.MergeClause(s.condition.map(rewrite(_, ctx)), s.kind match {
+            case "updateStar" => Lake.MergeUpdateStar
+            case "delete" => Lake.MergeDelete
+            case "insertStar" => Lake.MergeInsertStar
+            case "update" => Lake.MergeUpdate(s.assignments.map {
+              case (k, v) => k -> rewrite(v, ctx) }.toMap)
+            case "insert" => Lake.MergeInsert(s.assignments.map {
+              case (k, v) => k -> rewrite(v, ctx) }.toMap)
+          })
+        "MERGE" -> lake.mergeApply(layer, srcDf, keys,
+          matched = matched.map(toClause(_, "matched")),
+          notMatched = notMatched.map(toClause(_, "insert")),
+          notMatchedBySource = bySource.map(toClause(_, "bysource")))
       case other => throw new IllegalStateException(
         s"property statement routed to run(): $other") // see runProps
     }
@@ -303,6 +450,12 @@ object LakeSql {
       case LakeWidenColumn(_, layer, column, newType) =>
         lake.widenColumn(layer, column, newType)
         Row("ALTER COLUMN TYPE", s"$column -> ${newType.simpleString}")
+      case LakeColumnDefault(_, layer, column, Some(exprSql)) =>
+        lake.setColumnDefault(layer, column, exprSql)
+        Row("SET DEFAULT", s"$column DEFAULT $exprSql")
+      case LakeColumnDefault(_, layer, column, None) =>
+        lake.dropColumnDefault(layer, column)
+        Row("DROP DEFAULT", column)
       case LakeClusterBy(_, layer, cols) =>
         lake.setClusterBy(layer, cols)
         Row("CLUSTER BY", if (cols.isEmpty) "NONE" else cols.mkString(","))

@@ -97,6 +97,23 @@ class LakeRowLevelSpec extends SparkTestBase {
     lake.historyRows("mrg").last.getString(2) shouldBe "MERGE"
   }
 
+  test("MERGE INTO: WHEN NOT MATCHED BY SOURCE UPDATE/DELETE (Spark's " +
+    "own group-based rewrite carries the clause)") {
+    lake.writeAtomic(Seq((1L, "live", 10L), (2L, "live", 20L),
+      (3L, "live", 5L)).toDF("id", "status", "v"), "mrgbs")
+    Seq((1L, 100L)).toDF("id", "v")
+      .createOrReplaceTempView("rlv_mrgbs_src")
+    spark.sql(
+      s"""MERGE INTO rlv.`$base`.mrgbs AS t USING rlv_mrgbs_src AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET t.v = s.v
+         |WHEN NOT MATCHED BY SOURCE AND t.v < 10 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.status = 'stale'
+         |""".stripMargin)
+    lake.read("mrgbs").orderBy("id").as[(Long, String, Long)]
+      .collect() shouldBe Array((1L, "live", 100L), (2L, "stale", 20L))
+  }
+
   test("DELETE with a non-filter-translatable predicate routes to the " +
     "group rewrite (canDeleteWhere is false for it)") {
     lake.writeAtomic((1L to 10L).map(n => (n, s"t$n")).toDF("n", "text"),

@@ -82,15 +82,17 @@ class LakeSqlSpec extends SparkTestBase {
     out.filter($"score".isNull).count() shouldBe 99
   }
 
-  test("richer DML shapes are refused loudly, not approximated") {
-    val (dir, _) = freshLayer()
+  test("unsupported DML shapes are refused loudly, not approximated") {
+    val (dir, lake) = freshLayer()
     Seq((1L, "x", "en", 1L)).toDF("id", "text", "lang", "n")
       .createOrReplaceTempView("lakesql_bad_src")
-    // conditional / DELETE matched action
-    an[IllegalArgumentException] should be thrownBy LakeSql.sql(spark,
+    // a MATCHED-DELETE clause ROUTES (round 14: the full clause matrix)
+    LakeSql.sql(spark,
       s"""MERGE INTO lake.`$dir`.docs AS t USING lakesql_bad_src AS s
          |ON t.id = s.id WHEN MATCHED THEN DELETE""".stripMargin)
-    // non-equi ON clause
+      .collect().head.getString(0) shouldBe "MERGE"
+    lake.read("docs").filter($"id" === 1L).count() shouldBe 0L
+    // non-equi ON clause stays refused
     an[IllegalArgumentException] should be thrownBy LakeSql.sql(spark,
       s"""MERGE INTO lake.`$dir`.docs AS t USING lakesql_bad_src AS s
          |ON t.id > s.id
