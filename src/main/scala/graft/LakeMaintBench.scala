@@ -54,14 +54,9 @@ object LakeMaintBench {
     def fileCountAt(path: String): Long = {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(p, true)
-      var n = 0L
-      while (it.hasNext) {
-        val s = it.next()
-        if (!s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith(".")) n += 1
-      }
-      n
+      newspipe.io.FsListing.filesRecursive(fs, p).count(s =>
+        !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".")).toLong
     }
     def fileCount(layer: String): Long = fileCountAt(s"$root/$layer")
     // newest committed snapshot dir (what a post-compaction reader scans);

@@ -337,16 +337,12 @@ object ScaleBench {
     // extra shuffle — the cost that buys footer-count linearity on every
     // subsequent read.
     val owDir = java.nio.file.Files.createTempDirectory("scale_ow").toString
-    def countFiles(sub: String): Long = {
-      val it = org.apache.hadoop.fs.FileSystem.getLocal(
-        spark.sparkContext.hadoopConfiguration)
-        .listFiles(new org.apache.hadoop.fs.Path(s"$owDir/$sub"), true)
-      var n = 0L
-      while (it.hasNext) {
-        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      }
-      n
-    }
+    def countFiles(sub: String): Long =
+      newspipe.io.FsListing.filesRecursive(
+        org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(s"$owDir/$sub"))
+        .count(_.getPath.getName.endsWith(".parquet")).toLong
     val owDocs = docs.withColumn("lang", (col("doc_id") % 16).cast("string"))
     val owOff = new newspipe.io.Lake(spark,
       newspipe.io.LakeConfig(basePath = owDir))

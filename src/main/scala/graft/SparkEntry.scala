@@ -2570,16 +2570,11 @@ object SparkEntry {
         partitionBy = Seq("lang"))
       lake.appendAtomic(docs.filter(col("doc_id") % 2 === 1), "docs")
       val nLangs = docs.select("lang").distinct().count()
-      val files = {
-        val it = org.apache.hadoop.fs.FileSystem.getLocal(
-          s.sparkContext.hadoopConfiguration)
-          .listFiles(new org.apache.hadoop.fs.Path(s"$root/docs/_v"), true)
-        var n = 0
-        while (it.hasNext) {
-          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-        }
-        n
-      }
+      val files = newspipe.io.FsListing.filesRecursive(
+        org.apache.hadoop.fs.FileSystem.getLocal(
+          s.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(s"$root/docs/_v"))
+        .count(_.getPath.getName.endsWith(".parquet"))
       require(files <= 2 * nLangs,
         s"optimizeWrite must land ~one file per lang per commit; " +
           s"got $files files for $nLangs langs over 2 commits")
@@ -2648,18 +2643,14 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
       docs.filter(col("doc_id") % 2 === 0)
         .write.partitionBy("lang").parquet(s"$root/docs")
-      def rootFiles: Set[String] = {
-        val it = org.apache.hadoop.fs.FileSystem.getLocal(
-          s.sparkContext.hadoopConfiguration)
-          .listFiles(new org.apache.hadoop.fs.Path(s"$root/docs"), true)
-        val b = Set.newBuilder[String]
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.getPath.getName.endsWith(".parquet") &&
-              !st.getPath.toString.contains("/_v/")) b += st.getPath.toString
-        }
-        b.result()
-      }
+      def rootFiles: Set[String] = newspipe.io.FsListing.filesRecursive(
+        org.apache.hadoop.fs.FileSystem.getLocal(
+          s.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(s"$root/docs"))
+        .collect { case st if st.getPath.getName.endsWith(".parquet") &&
+            !st.getPath.toString.contains("/_v/") =>
+          st.getPath.toString
+        }.toSet
       val before = rootFiles
       val m = newspipe.io.LakeSql.sql(s, s"CONVERT TO LAKE lake.`$root`.docs")
         .collect().head
@@ -3763,6 +3754,93 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
           sum("doc_id").as("id_sum"))
         .orderBy("quality", "lang")
+    }),
+
+    // VARIANT METADATA COLUMNS (Spark 4 VariantType): heterogeneous
+    // per-document metadata as ONE open-schema column — parse_json at
+    // ingest, binary-encoded variant through the lake write/read path,
+    // typed variant_get extraction at query time. No more
+    // one-string-column-per-consumer or get_json_object re-parsing per
+    // query (the variant stores a parsed, navigable encoding). Stats
+    // limit documented in LakeVariantSpec: the variant column itself
+    // contributes no min/max pruning; sibling scalars keep pruning.
+    "q174_variant_metadata" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q174_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), expr(
+          "parse_json(to_json(named_struct(" +
+            "'lang', lang, 'n_chars', n_chars, 'src', source)))")
+          .as("meta"))
+      lake.writeAtomic(docs.repartitionByRange(4, col("doc_id")), "docs")
+      require(lake.layerSchema("docs")("meta").dataType ==
+          org.apache.spark.sql.types.VariantType,
+        "the layer must record the VARIANT type, not a string")
+      lake.read("docs")
+        .select(
+          expr("variant_get(meta, '$.lang', 'string')").as("lang"),
+          expr("variant_get(meta, '$.src', 'string')").as("src"),
+          expr("variant_get(meta, '$.n_chars', 'bigint')").as("n_chars"),
+          col("doc_id"))
+        .groupBy("lang", "src")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang", "src")
+    }),
+
+    // TRACKED CHANGE FEED through the STREAMING source (trackedFeed=true):
+    // consumers get update pre/post PAIRS attributed by stable row ids —
+    // no key declaration — and maintenance (OPTIMIZE) commits are
+    // feed-invisible. Each batch reads only the commit's symmetric-
+    // difference files; the id join is per-commit and O(changed rows).
+    // In-query requires pin the id attribution (every update pre/post
+    // pair shares ONE _row_id); the oracle replays the operation order
+    // relationally.
+    "q175_stream_tracked_feed" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q175_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      lake.writeAtomic(docs.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(4, col("doc_id")), "docs")
+      lake.enableRowTracking("docs")
+      val out = s"$root/_out"
+      val q = s.readStream
+        .format("newspipe.io.source.LakeChangeSource")
+        .option("basePath", root).option("layer", "docs")
+        .option("trackedFeed", "true")
+        .load()
+        .writeStream.option("checkpointLocation", s"$root/_ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start()
+      q.processAllAvailable() // batch 0: initial snapshot WITH row ids
+      lake.updateWhere("docs", col("doc_id") % 7 === 0,
+        Map("n_chars" -> (col("n_chars") + 7L)))
+      lake.compact("docs") // maintenance: must be feed-INVISIBLE
+      lake.deleteWhere("docs", col("doc_id") % 10 === 0)
+      lake.appendAtomic(docs.filter(col("doc_id") % 2 === 1), "docs")
+      q.processAllAvailable()
+      q.stop()
+      val feed = s.read.parquet(out)
+      // id attribution: every update surfaces as a pre/post pair under
+      // exactly one shared row id
+      val nUpd = feed.filter(col("_change_type") === "update_preimage")
+        .count()
+      val pairs = feed
+        .filter(col("_change_type").startsWith("update"))
+        .groupBy("_row_id")
+        .agg(countDistinct("_change_type").as("sides"))
+        .filter(col("sides") === 2).count()
+      require(nUpd > 0 && pairs == nUpd,
+        s"expected $nUpd update pre/post pairs sharing one row id, " +
+          s"got $pairs")
+      feed.groupBy(col("_change_type").as("change_type"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("change_type", "lang")
     })
   )
 
@@ -6462,6 +6540,43 @@ object SparkEntry {
           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
           |       CAST(sum(doc_id) AS BIGINT) AS id_sum
           |FROM rows GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
+      // variant extraction is exact — the oracle is the plain relational
+      // aggregate over the source columns the variant was built from
+      ("q174_variant_metadata" ->
+        """SELECT lang, source AS src, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
+      // tracked streaming feed replay: initial snapshot as inserts, then
+      // update pre/post (+7 on %7), delete (<pos-update state, %10),
+      // appended odd slice as inserts; the compaction contributes NOTHING
+      ("q175_stream_tracked_feed" ->
+        """WITH tgt AS (
+          |  SELECT doc_id, lang, n_chars FROM documents
+          |  WHERE doc_id % 2 = 0),
+          |upd AS (
+          |  SELECT doc_id, lang,
+          |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 7 ELSE n_chars END
+          |      AS n_chars
+          |  FROM tgt),
+          |feed AS (
+          |  SELECT 'insert' AS change_type, lang, n_chars, doc_id FROM tgt
+          |  UNION ALL
+          |  SELECT 'update_preimage', lang, n_chars, doc_id FROM tgt
+          |  WHERE doc_id % 7 = 0
+          |  UNION ALL
+          |  SELECT 'update_postimage', lang, n_chars + 7, doc_id FROM tgt
+          |  WHERE doc_id % 7 = 0
+          |  UNION ALL
+          |  SELECT 'delete', lang, n_chars, doc_id FROM upd
+          |  WHERE doc_id % 10 = 0
+          |  UNION ALL
+          |  SELECT 'insert', lang, n_chars, doc_id FROM documents
+          |  WHERE doc_id % 2 = 1)
+          |SELECT change_type, lang, count(*) AS n,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
       ("q152_substring_dedup" -> substringScrubOracleSql) +
       // SQL surface = API: the TVF runs the identical kernel
       ("q154_sql_substring_scrub" -> substringScrubOracleSql) +

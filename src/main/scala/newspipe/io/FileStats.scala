@@ -92,10 +92,8 @@ object FileStats {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     val files = {
-      val it = fs.listFiles(root, true)
       val buf = Vector.newBuilder[Path]
-      while (it.hasNext) {
-        val s = it.next()
+      FsListing.filesRecursive(fs, root).foreach { s =>
         val n = s.getPath.getName
         if (s.isFile && !n.startsWith("_") && !n.startsWith(".") &&
           n.endsWith(".parquet")) buf += s.getPath
@@ -163,6 +161,31 @@ object FileStats {
       }
       tasks.map(_.get())
     } finally pool.shutdown()
+  }
+
+  /** Exact per-file row counts from parquet footers as a SPARK JOB over
+    * the file list — the 100 TB form of [[collectResolved]]'s count-only
+    * use ([[Lake.enableRowTracking]]'s one-time backfill): at 10⁶ files a
+    * driver thread pool is the bottleneck, so each task opens its slice's
+    * footers and ships back only (rel, rows) pairs. Driver memory stays
+    * O(files) — the same class as the manifest itself. Footer-only reads:
+    * no row group is decoded.
+    */
+  def rowCountsDistributed(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[(String, String)]): Map[String, Long] = {
+    if (files.isEmpty) return Map.empty
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val slices = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism * 2))
+    spark.sparkContext.parallelize(files, slices)
+      .map { case (rel, p) =>
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(p), conf.value))
+        try rel ->
+          reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally reader.close()
+      }.collect().toMap
   }
 
   private def statFile(conf: Configuration,

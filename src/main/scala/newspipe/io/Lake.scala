@@ -65,7 +65,12 @@ final case class LakeConfig(
     collectStats: Boolean = true,
     manifestShardSize: Int = SnapshotManifest.DefaultShardSize,
     optimizeWrite: Boolean = false,
-    checkpointInterval: Int = 20)
+    checkpointInterval: Int = 20,
+    /** File count above which [[Lake.enableRowTracking]]'s one-time
+      * backfill counts footers with a SPARK JOB instead of a driver
+      * thread pool — the 10⁶-file inventory path.
+      */
+    backfillJobThreshold: Int = 512)
 
 final class Lake(spark: SparkSession, config: LakeConfig) {
 
@@ -660,13 +665,11 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           .flatMap { vdir =>
             val dir = if (vdir.isEmpty) new Path(base)
               else new Path(resolveRel(base, vdir))
-            val it = f.listFiles(dir, true)
             val dirPrefix = f.makeQualified(dir).toString
               .stripSuffix("/") + "/"
             val relPrefix = if (vdir.isEmpty) "" else vdir + "/"
             val b = Seq.newBuilder[(String, Long)]
-            while (it.hasNext) {
-              val st = it.next()
+            FsListing.filesRecursive(f, dir).foreach { st =>
               if (st.isFile)
                 b += relPrefix + st.getPath.toString
                   .stripPrefix(dirPrefix) -> st.getLen
@@ -1074,14 +1077,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     byDir.keysIterator.foreach { vdir =>
       val dir = if (vdir.isEmpty) basePath
         else new Path(resolveRel(base, vdir))
-      val it = f.listFiles(dir, true)
       // reconstruct each listed file's manifest-rel key from the GROUP's
       // key + the path below the listed dir, so cross-layer groups key
       // exactly as their manifest records them
       val dirPrefix = f.makeQualified(dir).toString.stripSuffix("/") + "/"
       val relPrefix = if (vdir.isEmpty) "" else vdir + "/"
-      while (it.hasNext) {
-        val s = it.next()
+      FsListing.filesRecursive(f, dir).foreach { s =>
         if (s.isFile)
           statusByRel(relPrefix +
             s.getPath.toString.stripPrefix(dirPrefix)) = s
@@ -1252,14 +1253,20 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
 
   /** Exact row count per file from parquet footers — must NOT soft-fail
     * (unlike the stats sidecar): a wrong base would alias two rows'
-    * identities. O(requested files), parallel footer reads.
+    * identities. O(requested files): a driver thread pool below
+    * `backfillJobThreshold` files (latency-optimal for the common small
+    * backfill), a distributed Spark job over the file list above it
+    * (a 10⁶-file inventory would bottleneck 16 driver threads).
     */
   private def parquetRowCounts(layer: String,
       rels: Seq[String]): Map[String, Long] = {
     val base = layerPath(layer)
-    FileStats.collectResolved(spark.sparkContext.hadoopConfiguration,
-      rels.map(r => r -> new Path(resolveRel(base, r))))
-      .map(st => st.path -> st.rows).toMap
+    if (rels.size <= config.backfillJobThreshold)
+      FileStats.collectResolved(spark.sparkContext.hadoopConfiguration,
+        rels.map(r => r -> new Path(resolveRel(base, r))))
+        .map(st => st.path -> st.rows).toMap
+    else FileStats.rowCountsDistributed(spark,
+      rels.map(r => r -> resolveRel(base, r)))
   }
 
   /** Re-foot the HEAD manifest in place (checkpoint-style — idempotent,
@@ -2343,10 +2350,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val root = new Path(layerPath(layer))
     val f = fs(root)
     val rootPrefix = f.makeQualified(root).toString.stripSuffix("/") + "/"
-    val it = f.listFiles(root, true)
     val buf = Vector.newBuilder[String]
-    while (it.hasNext) {
-      val s = it.next()
+    FsListing.filesRecursive(f, root).foreach { s =>
       if (s.isFile && s.getPath.toString.startsWith(rootPrefix)) {
         val rel = s.getPath.toString.stripPrefix(rootPrefix)
         val segments = rel.split('/')
@@ -2907,13 +2912,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         val base = layerPath(layer)
         m.files.map(rp => f.getFileStatus(new Path(resolveRel(base, rp))).getLen).sum
       case None =>
-        val it = f.listFiles(src, true)
-        var sum = 0L
-        while (it.hasNext) {
-          val s = it.next()
-          if (!s.getPath.getName.startsWith("_")) sum += s.getLen
-        }
-        sum
+        FsListing.filesRecursive(f, src)
+          .filterNot(_.getPath.getName.startsWith("_")).map(_.getLen).sum
     }
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     // row tracking: compaction reorders rows, so the rewrite CARRIES the
@@ -4930,7 +4930,29 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val changedFrom = from.filter { case (rel, d) => !to.get(rel).contains(d) }
     val onlyTo = readSide(toSnap, changedTo.keys.toSeq)
     val onlyFrom = readSide(fromSnap, changedFrom.keys.toSeq)
-    (onlyTo.exceptAll(onlyFrom), onlyFrom.exceptAll(onlyTo))
+    exceptBothWays(onlyTo, onlyFrom)
+  }
+
+  /** `exceptAll` both ways, VARIANT-safe: Spark refuses set operations
+    * over VariantType columns, so variant columns round-trip through
+    * their canonical JSON text for the multiset difference and parse
+    * back after — value-equal variants cancel, and the emitted rows
+    * carry real variant values again. Identity on variant-free frames.
+    */
+  private def exceptBothWays(a: DataFrame,
+      b: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, expr, to_json}
+    val variantCols = a.schema.fields.filter(
+      _.dataType == org.apache.spark.sql.types.VariantType).map(_.name)
+    if (variantCols.isEmpty) (a.exceptAll(b), b.exceptAll(a))
+    else {
+      def enc(df: DataFrame) = variantCols.foldLeft(df)((d, c) =>
+        d.withColumn(c, to_json(col(s"`$c`"))))
+      def dec(df: DataFrame) = variantCols.foldLeft(df)((d, c) =>
+        d.withColumn(c, expr(s"parse_json(`$c`)")))
+      val (ea, eb) = (enc(a), enc(b))
+      (dec(ea.exceptAll(eb)), dec(eb.exceptAll(ea)))
+    }
   }
 
   /** Committed versions from `fromVersion` to `toVersion` inclusive,
@@ -5025,7 +5047,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val changedFrom = from.filter { case (rel, d) => !to.get(rel).contains(d) }
     val onlyTo = readSide(toSnap, changedTo.keys.toSeq.sorted)
     val onlyFrom = readSide(fromSnap, changedFrom.keys.toSeq.sorted)
-    (onlyTo.exceptAll(onlyFrom), onlyFrom.exceptAll(onlyTo))
+    exceptBothWays(onlyTo, onlyFrom)
   }
 
   /** The layer's current read schema (manifest-recorded when available —
@@ -5070,10 +5092,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   private def snapshotDirFilesRel(snap: Path): Seq[String] = {
     val f = fs(snap)
     val prefix = f.makeQualified(snap).toString.stripSuffix("/") + "/"
-    val it = f.listFiles(snap, true)
     val buf = Vector.newBuilder[String]
-    while (it.hasNext) {
-      val s = it.next()
+    FsListing.filesRecursive(f, snap).foreach { s =>
       if (s.isFile) {
         val rel = s.getPath.toString.stripPrefix(prefix)
         val visible = rel.split('/').forall(seg =>
@@ -5275,9 +5295,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   private def newestMtimeUnder(dir: Path): Long = {
     val f = fs(dir)
-    var newest = 0L
-    val it = f.listFiles(dir, true)
-    while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+    val newest = FsListing.filesRecursive(f, dir)
+      .foldLeft(0L)((m, s) => math.max(m, s.getModificationTime))
     if (newest <= 0L) System.currentTimeMillis() else newest
   }
 

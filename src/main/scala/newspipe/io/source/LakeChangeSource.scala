@@ -55,6 +55,14 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *    both sides surfaces as `update_preimage`/`update_postimage`
   *    instead of delete+insert ([[Lake.changeFeedKeyed]] semantics,
   *    classified per commit even when one batch spans several commits).
+  *  - `trackedFeed=true` (row-tracking layers): four-tag CDF attributed
+  *    by STABLE ROW IDS with no key declaration —
+  *    [[Lake.changeFeedTracked]] per commit; every emitted row carries
+  *    `_row_id`, update pre/post images share one id, and compactions
+  *    are feed-invisible. Mutually exclusive with `keyColumns`. The
+  *    initial load emits `readVersionWithRowIds` rows as inserts, so a
+  *    downstream materialization can key its state by `_row_id` from
+  *    the first batch.
   *
   * Vacuum contract: consumers must keep up faster than retention reclaims
   * versions — a diff against a vacuumed version fails loudly (same as
@@ -82,12 +90,26 @@ class LakeChangeSource extends StreamSourceProvider {
     (base, layer)
   }
 
+  private def trackedOf(parameters: Map[String, String]): Boolean = {
+    val tracked = parameters.get("trackedFeed").exists(_.toBoolean)
+    require(!tracked || !parameters.get("keyColumns").exists(_.nonEmpty),
+      "options 'trackedFeed' and 'keyColumns' are mutually exclusive — " +
+        "tracked feeds attribute updates by row id, not declared keys")
+    tracked
+  }
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val (base, layer) = layerOf(parameters)
     val lake = new Lake(sqlContext.sparkSession, LakeConfig(basePath = base))
-    (providerName, LakeChangeSource.cdfSchema(lake.layerSchema(layer)))
+    val tracked = trackedOf(parameters)
+    // fail at load() time, not asynchronously on the stream thread
+    if (tracked) require(lake.rowTrackingEnabled(layer),
+      s"trackedFeed=true needs row tracking on layer '$layer' — " +
+        "enableRowTracking first (or use keyColumns)")
+    (providerName, LakeChangeSource.cdfSchema(lake.layerSchema(layer),
+      tracked = tracked))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -108,16 +130,23 @@ class LakeChangeSource extends StreamSourceProvider {
         n
       },
       parameters.get("keyColumns").toSeq
-        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+      tracked = trackedOf(parameters))
   }
 }
 
 object LakeChangeSource {
   val ChangeTypeCol = "_change_type"
 
-  def cdfSchema(layerSchema: StructType): StructType =
-    StructType(layerSchema.fields :+ StructField(ChangeTypeCol, StringType,
+  def cdfSchema(layerSchema: StructType,
+      tracked: Boolean = false): StructType = {
+    val dataFields =
+      if (!tracked) layerSchema.fields
+      else layerSchema.fields :+ StructField(Lake.RowIdCol,
+        org.apache.spark.sql.types.LongType, nullable = true)
+    StructType(dataFields :+ StructField(ChangeTypeCol, StringType,
       nullable = false))
+  }
 }
 
 /** One [[LakeChangeSource]] stream instance. Offset json = version id.
@@ -134,13 +163,22 @@ object LakeChangeSource {
 private[source] class LakeChangeStream(spark: SparkSession, basePath: String,
     layer: String, startingVersion: String, startingTimestamp: Option[Long],
     maxVersionsPerTrigger: Option[Int], maxBytesPerTrigger: Option[Long],
-    keyColumns: Seq[String])
+    keyColumns: Seq[String], tracked: Boolean = false)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val lake = new Lake(spark, LakeConfig(basePath = basePath))
   private val layerSchema = lake.layerSchema(layer)
-  override val schema: StructType = LakeChangeSource.cdfSchema(layerSchema)
+  override val schema: StructType =
+    LakeChangeSource.cdfSchema(layerSchema, tracked)
+  /** Data columns each emitted row carries (the schema minus the tag):
+    * a tracked feed surfaces `_row_id` as a first-class column.
+    */
+  private val dataCols: Seq[String] =
+    schema.fieldNames.toSeq.filterNot(_ == LakeChangeSource.ChangeTypeCol)
+  if (tracked) require(lake.rowTrackingEnabled(layer),
+    s"trackedFeed=true needs row tracking on layer '$layer' — " +
+      "enableRowTracking first (or use keyColumns)")
 
   private case class VersionOffset(version: String) extends V1Offset {
     override def json: String = version
@@ -198,9 +236,7 @@ private[source] class LakeChangeStream(spark: SparkSession, basePath: String,
       val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       var sum = 0L
       if (f.exists(dir)) {
-        val it = f.listFiles(dir, true)
-        while (it.hasNext) {
-          val st = it.next()
+        newspipe.io.FsListing.filesRecursive(f, dir).foreach { st =>
           if (st.isFile && !st.getPath.getName.startsWith("_"))
             sum += st.getLen
         }
@@ -324,19 +360,24 @@ private[source] class LakeChangeStream(spark: SparkSession, basePath: String,
     */
   private def conformTagged(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit => flit}
-    val padded = layerSchema.fields.foldLeft(df)((d, f) =>
-      if (d.columns.contains(f.name)) d
-      else d.withColumn(f.name, flit(null).cast(f.dataType)))
-    padded.select((layerSchema.fieldNames.map(col) :+
-      col(LakeChangeSource.ChangeTypeCol)).toSeq: _*)
+    val padded = schema.fields
+      .filterNot(_.name == LakeChangeSource.ChangeTypeCol)
+      .foldLeft(df)((d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name, flit(null).cast(f.dataType)))
+    padded.select((dataCols.map(col) :+
+      col(LakeChangeSource.ChangeTypeCol)): _*)
   }
 
-  /** The delta between two committed versions, tagged: the keyed four-tag
+  /** The delta between two committed versions, tagged: row-id-attributed
+    * four tags when `trackedFeed` is set, the keyed four-tag
     * classification when `keyColumns` is set (per commit, even across a
     * multi-commit batch), the plain insert/delete pair otherwise.
     */
   private def delta(fromV: String, endV: String): DataFrame =
-    if (keyColumns.nonEmpty)
+    if (tracked)
+      conformTagged(lake.changeFeedTracked(layer, fromV, endV))
+    else if (keyColumns.nonEmpty)
       conformTagged(lake.changeFeedKeyed(layer, fromV, endV, keyColumns))
     else {
       val (inserted, deleted) = lake.diff(layer, fromV, endV)
@@ -366,7 +407,10 @@ private[source] class LakeChangeStream(spark: SparkSession, basePath: String,
         // committed before the first poll — the batch must cover
         // everything at or before `end`, not just the oldest state
         val oldest = lake.listVersions(layer).last
-        val initial = conform(lake.readVersion(layer, oldest), "insert")
+        val initialRows =
+          if (tracked) lake.readVersionWithRowIds(layer, oldest)
+          else lake.readVersion(layer, oldest)
+        val initial = conform(initialRows, "insert")
         if (oldest == endV) initial
         else initial.unionByName(delta(oldest, endV))
     }

@@ -174,6 +174,26 @@ class LakeRowTrackingSpec extends SparkTestBase {
       .count() shouldBe 130L
   }
 
+  test("backfill via the DISTRIBUTED footer job (threshold 0) equals " +
+      "the driver-pool path") {
+    val dir = Files.createTempDirectory("lakerowtrk").toString
+    val driverLake = new Lake(spark, LakeConfig(basePath = dir))
+    val jobLake = new Lake(spark,
+      LakeConfig(basePath = dir, backfillJobThreshold = 0))
+    driverLake.writeAtomic((1L to 60L).map(i => (i, s"d$i"))
+      .toDF("id", "text").repartition(7), "a")
+    jobLake.writeAtomic((1L to 60L).map(i => (i, s"d$i"))
+      .toDF("id", "text").repartition(7), "b")
+    driverLake.enableRowTracking("a")
+    jobLake.enableRowTracking("b") // 7 files > 0 → Spark-job footer counts
+    val a = driverLake.readWithRowIds("a").select("_row_id").as[Long]
+      .collect().sorted
+    val b = jobLake.readWithRowIds("b").select("_row_id").as[Long]
+      .collect().sorted
+    a.length shouldBe 60
+    b shouldBe a // same dense 0..59 identity space, either path
+  }
+
   test("mergeInto refuses a caller-supplied _row_id on the source " +
       "(ids are inherited, never caller-set)") {
     val (_, lake) = freshLake()

@@ -656,4 +656,60 @@ class StreamingSpec extends SparkTestBase {
     run((64L * 1024 * 1024).toString)
     perBatch.toArray(Array.empty[Integer]).map(_.toInt).toSeq shouldBe Seq(4)
   }
+
+  test("trackedFeed=true: streaming consumers get row-id-attributed " +
+      "update pre/post pairs (no key columns declared)") {
+    val dir = java.nio.file.Files.createTempDirectory("lakecdf_trk").toString
+    val lake = new newspipe.io.Lake(spark, newspipe.io.LakeConfig(dir))
+    import spark.implicits._
+    lake.writeAtomic(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      "t")
+    lake.enableRowTracking("t")
+    val stream = spark.readStream
+      .format("newspipe.io.source.LakeChangeSource")
+      .option("basePath", dir).option("layer", "t")
+      .option("trackedFeed", "true")
+      .load()
+    stream.schema.fieldNames.toSeq should contain allOf
+      ("_row_id", "_change_type")
+    val q = stream.writeStream.format("memory").queryName("trk_sink")
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    try {
+      q.processAllAvailable()
+      // initial load: inserts WITH row ids
+      val init = spark.table("trk_sink")
+        .as[(Long, String, Long, String)].collect()
+      init.map(_._4).toSet shouldBe Set("insert")
+      init.map(_._3).distinct.length shouldBe 3
+      val idOf = init.map(r => r._1 -> r._3).toMap
+      // an update commits → pre/post PAIR sharing one row id
+      lake.updateWhere("t", $"id" === 2L,
+        Map("v" -> org.apache.spark.sql.functions.lit("B")))
+      // a compaction commits → must be feed-INVISIBLE
+      lake.compact("t")
+      lake.deleteWhere("t", $"id" === 3L)
+      q.processAllAvailable()
+      val feed = spark.table("trk_sink")
+        .filter($"_change_type" =!= "insert")
+        .as[(Long, String, Long, String)].collect()
+      feed.map(r => (r._1, r._2, r._4)).toSet shouldBe Set(
+        (2L, "b", "update_preimage"), (2L, "B", "update_postimage"),
+        (3L, "c", "delete"))
+      // the attribution property: both images carry row 2's ORIGINAL id
+      feed.filter(_._1 == 2L).map(_._3).toSet shouldBe Set(idOf(2L))
+      feed.filter(_._1 == 3L).map(_._3).toSet shouldBe Set(idOf(3L))
+    } finally q.stop()
+    // refusals: keyColumns conflict, non-tracking layer
+    val lake2 = new newspipe.io.Lake(spark, newspipe.io.LakeConfig(dir))
+    lake2.writeAtomic(Seq((1L, "x")).toDF("id", "v"), "plain")
+    an[Exception] should be thrownBy spark.readStream
+      .format("newspipe.io.source.LakeChangeSource")
+      .option("basePath", dir).option("layer", "plain")
+      .option("trackedFeed", "true").load()
+    an[Exception] should be thrownBy spark.readStream
+      .format("newspipe.io.source.LakeChangeSource")
+      .option("basePath", dir).option("layer", "t")
+      .option("trackedFeed", "true").option("keyColumns", "id")
+      .load()
+  }
 }
