@@ -571,6 +571,31 @@ object ScaleBench {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case _: Throwable => () }
     }
+
+    // ---- round-14: distributed row-tracking backfill. The scale claim:
+    // enableRowTracking's one-time exact-row-count backfill runs the
+    // parquet-footer reads as a SPARK JOB over the file list (above
+    // backfillJobThreshold), so DRIVER wall grows with job latency, not
+    // with 16-driver-threads × files — at 10⁶ files the thread pool is
+    // the bottleneck, the job is not. Threshold forced to 0 here so the
+    // job path is what's measured at both scales.
+    {
+      val root = java.nio.file.Files.createTempDirectory("scale_rt").toString
+      val lake = new newspipe.io.Lake(spark,
+        newspipe.io.LakeConfig(basePath = root, backfillJobThreshold = 0))
+      val files = math.max(64, 64 * copies)
+      lake.writeAtomic(docs.repartition(files), "rt")
+      val (nRt, tRt) = timed {
+        lake.enableRowTracking("rt"); files.toLong
+      }
+      out("r14_rowtracking_backfill_job") = (nRt, tRt)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+          .iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
     out.toMap
   }
 

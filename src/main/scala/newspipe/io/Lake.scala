@@ -4350,11 +4350,14 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         if (notMatchedBySource.isEmpty) None
         else Some(notMatchedBySource.map(_.condition.getOrElse(lit(true)))
           .reduce(_ || _))
-      val predicate: Option[Column] = (keyPred, bySourceReach) match {
-        case (Some(k), Some(b)) => Some(k || b)
-        case (Some(k), None) => if (matched.nonEmpty) Some(k) else None
-        case (None, b) => b
-      }
+      // with no matched clause, key-reachable files have nothing to
+      // rewrite (matched rows carry) — only the by-source reach matters
+      val predicate: Option[Column] =
+        (if (matched.nonEmpty) keyPred else None, bySourceReach) match {
+          case (Some(k), Some(b)) => Some(k || b)
+          case (Some(k), None) => Some(k)
+          case (None, b) => b
+        }
 
       // insert leg: source rows matching NO target key, first-match
       // insert clause applied; anti-join only against the key-pruned
