@@ -3841,6 +3841,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
           sum("doc_id").as("id_sum"))
         .orderBy("change_type", "lang")
+    }),
+
+    // REORG TABLE … APPLY (PURGE) (Delta's DV materialization): soft
+    // deletes accumulate as deletion vectors (zero rewrites at delete
+    // time); the purge rewrites ONLY the DV-carrying files — deletes
+    // materialize, vectors drop, reads stop paying the DV filter — and
+    // every clean file rides the manifest by reference. O(DV'd files),
+    // data-invisible; the oracle is the post-delete corpus.
+    "q176_reorg_purge" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q176_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      lake.writeAtomic(docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"), "docs")
+      lake.setProperties("docs",
+        Map("lake.enableDeletionVectors" -> "true"))
+      // a selective soft delete bounded to the FIRST QUARTER of the id
+      // range: DVs land on the range files covering it, the rest stay
+      // clean (integer ids make the Spark/DuckDB bound agree exactly)
+      val bound = docs.agg(max("doc_id")).head().getLong(0) / 4
+      require(lake.deleteWhereDv("docs",
+          col("doc_id") % 20 === 3 && col("doc_id") <= bound)
+          .rewrittenFiles == 0,
+        "DV delete must rewrite nothing")
+      val nDv = lake.describeDetail("docs").numDeletionVectors
+      require(nDv > 0 && nDv < 8, s"expected a strict subset of the 8 " +
+        s"files to carry DVs, got $nDv")
+      val m = newspipe.io.LakeSql.sql(s,
+        s"REORG TABLE lake.`$root`.docs APPLY (PURGE)").collect().head
+      require(m.getString(0) == "REORG" &&
+          m.getString(1).contains(s"rewritten=$nDv"),
+        s"purge must rewrite exactly the $nDv DV-carrying files: $m")
+      require(lake.describeDetail("docs").numDeletionVectors == 0,
+        "purge must drop every deletion vector")
+      lake.read("docs").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
     })
   )
 
@@ -6577,6 +6616,15 @@ object SparkEntry {
           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
           |       CAST(sum(doc_id) AS BIGINT) AS id_sum
           |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
+      // purge is data-invisible over the post-delete state
+      ("q176_reorg_purge" ->
+        """SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |FROM documents
+          |WHERE NOT (doc_id % 20 = 3 AND
+          |           doc_id <= (SELECT max(doc_id)/4 FROM documents))
+          |GROUP BY lang ORDER BY lang""".stripMargin) +
       ("q152_substring_dedup" -> substringScrubOracleSql) +
       // SQL surface = API: the TVF runs the identical kernel
       ("q154_sql_substring_scrub" -> substringScrubOracleSql) +

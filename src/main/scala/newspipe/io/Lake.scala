@@ -2840,6 +2840,45 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       affectedOverride = Some(small.map(_._1).toSet))
   }
 
+  /** Delta's `REORG TABLE … APPLY (PURGE)`: rewrite ONLY the files
+    * carrying deletion vectors — materializing their soft deletes into
+    * plain files and dropping the vectors — so reads stop paying the DV
+    * filter and [[vacuum]] can reclaim the payloads. O(DV'd files): the
+    * affected set IS the DV key set, everything else rides the manifest
+    * by reference; declared clustering keys arrange the rewritten rows
+    * (the same convergence rule as every other maintenance rewrite).
+    * Data-invisible (the DV'd rows were already hidden). Refused when a
+    * DV key is a clone-carried foreign ref — materialize the clone
+    * ([[compact]]) instead.
+    */
+  def purgeDeletionVectors(layer: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Lake.RowOpResult = {
+    val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
+      s"layer '$layer' has no committed snapshot — nothing to purge"))
+    val dv = dvMapOf(snap)
+    if (dv.isEmpty)
+      return Lake.RowOpResult(snap.toString, 0,
+        snapshotInventory(layer, snap).size, noop = true)
+    require(!dv.keys.exists(Lake.isForeignRel),
+      s"purge on '$layer': deletion vectors ride clone-carried refs — " +
+        "materialize the clone first (compact), then purge")
+    val base = layerPath(layer)
+    val f = fs(new Path(base))
+    val bytes = dv.keys.map(rel =>
+      f.getFileStatus(new Path(resolveRel(base, rel))).getLen).sum
+    val bins = math.max(1L,
+      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val zcols = clusterByCols(layer)
+    val partCols = layerPartitionCols(layer, snapshotInventory(layer, snap))
+    rewriteCore(layer, snap, predicate = None,
+      transform = df =>
+        if (zcols.nonEmpty)
+          newspipe.ops.ZOrder.arrange(df, zcols, bins, partCols)
+        else df.repartition(bins),
+      append = None, op = "REORG",
+      affectedOverride = Some(dv.keys.toSet))
+  }
+
   /** Delta's `CONVERT TO DELTA` for this lake: adopt an existing FLAT
     * parquet layer into the snapshot protocol IN PLACE, metadata-only —
     * the first commit is a manifest that references the flat files where

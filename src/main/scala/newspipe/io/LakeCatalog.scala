@@ -104,7 +104,9 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
         .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -304,11 +306,36 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
       s"lake.identity.${c.name()}" ->
         s"${sp.getStart},${sp.getStep},${sp.isAllowExplicitInsert}"
     }.toMap
+    // DEFAULT column values: `CREATE TABLE … (c T DEFAULT expr)` — one
+    // property per declaration; the commit gate (Lake.applyDefaults)
+    // fills increments that omit the column, and Spark's own INSERT
+    // analysis fills column-list statements through the defaults
+    // LakeTable.columns() reports back. ANSI constant rule checked here
+    // so a bad declaration fails the CREATE, not the first INSERT.
+    val defProps = columns.filter(_.defaultValue() != null).map { c =>
+      val sql = c.defaultValue().getSql
+      require(sql != null && sql.trim.nonEmpty,
+        s"column '${c.name()}' DEFAULT must carry its SQL text")
+      val refs = spark.sessionState.sqlParser.parseExpression(sql)
+        .collect {
+          case a: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute => a.nameParts.head
+        }.distinct
+      require(refs.isEmpty,
+        s"column '${c.name()}' DEFAULT must be a constant expression; " +
+          s"'$sql' references ${refs.mkString(", ")}")
+      require(c.generationExpression() == null &&
+          c.identityColumnSpec() == null,
+        s"column '${c.name()}' cannot combine DEFAULT with " +
+          "GENERATED/IDENTITY")
+      s"lake.defaultValue.${c.name()}" -> sql
+    }.toMap
     // Properties land BEFORE the first commit (the layer dir can carry
     // _PROPERTIES.json ahead of any snapshot): a concurrent INSERT INTO —
     // or a crash between the two steps — never observes a table missing
     // its declared partition layout or constraint enforcement.
-    val allProps = withPart ++ notNullChecks ++ genProps ++ idProps
+    val allProps = withPart ++ notNullChecks ++ genProps ++ idProps ++
+      defProps
     if (allProps.nonEmpty) lake.setProperties(ident.name, allProps)
     // an empty-but-schema-carrying first commit: Spark writes one empty
     // parquet footer for a zero-partition frame, so reads resolve the
@@ -359,6 +386,15 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
         lake.setClusterBy(ident.name,
           cb.clusteringColumns.toSeq.map(r =>
             topLevel(r.fieldNames, "CLUSTER BY")))
+        None
+      case ud: TableChange.UpdateColumnDefaultValue =>
+        val name = topLevel(ud.fieldNames, "ALTER COLUMN DEFAULT")
+        val sql = Option(ud.newCurrentDefault()).map(_.getSql)
+          .orElse(Option(ud.newDefaultValue()).filter(_.nonEmpty))
+        sql match {
+          case Some(s) => lake.setColumnDefault(ident.name, name, s)
+          case None => lake.dropColumnDefault(ident.name, name)
+        }
         None
       case other => throw new IllegalArgumentException(
         s"lake catalog supports SET/UNSET TBLPROPERTIES, ADD COLUMN, " +
@@ -457,6 +493,36 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
 
   override lazy val schema: StructType =
     NewspipeSqlBridge.nullableSchema(dataFrame().schema)
+
+  /** Columns WITH their declared DEFAULT values (the layer's
+    * `lake.defaultValue.<col>` properties): Spark's own INSERT analysis
+    * reads these to fill column-list statements (`INSERT INTO t (a)
+    * VALUES (…)` → omitted default columns take their expression, not
+    * an error/NULL). EXISTS_DEFAULT wants the folded literal — computed
+    * once per default (constant by declaration rule), cached with the
+    * table handle.
+    */
+  override lazy val columns: Array[V2Column] = {
+    val defaults = lake.columnDefaults(layer)
+    if (defaults.isEmpty) NewspipeSqlBridge.v2Columns(schema)
+    else schema.fields.map { f =>
+      defaults.find(_._1.equalsIgnoreCase(f.name)) match {
+        case Some((_, sql)) =>
+          val ext = spark.sql(
+            s"SELECT CAST(($sql) AS ${f.dataType.sql})").head().get(0)
+          val lit = org.apache.spark.sql.catalyst.expressions.Literal
+            .create(ext, f.dataType)
+          V2Column.create(f.name, f.dataType, f.nullable,
+            null,
+            new org.apache.spark.sql.connector.catalog.ColumnDefaultValue(
+              sql, NewspipeSqlBridge.connectorLiteral(lit.value,
+                f.dataType)),
+            null)
+        case None =>
+          V2Column.create(f.name, f.dataType, f.nullable)
+      }
+    }
+  }
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,

@@ -517,6 +517,8 @@ object LakeSql {
       retainHours: Option[Double], keep: Option[Int],
       dryRun: Boolean = false) extends LakeMaint
   final case class LakeConvert(base: String, layer: String) extends LakeMaint
+  /** `REORG TABLE … APPLY (PURGE)` — rewrite only DV-carrying files. */
+  final case class LakeReorg(base: String, layer: String) extends LakeMaint
   final case class LakeRestore(base: String, layer: String,
       version: Option[String], timestampMs: Option[Long]) extends LakeMaint
   final case class LakeHistory(base: String, layer: String) extends LakeMaint
@@ -556,6 +558,9 @@ object LakeSql {
       "(\\s+DRY\\s+RUN)?\\s*;?\\s*$")
   private val ConvertRe = java.util.regex.Pattern.compile(
     s"(?is)^\\s*CONVERT\\s+TO\\s+LAKE\\s+$TargetRe" + "\\s*;?\\s*$")
+  private val ReorgRe = java.util.regex.Pattern.compile(
+    s"(?is)^\\s*REORG\\s+TABLE\\s+$TargetRe" +
+      "\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$")
   private val RestoreRe = java.util.regex.Pattern.compile(
     s"(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$TargetRe\\s+TO\\s+" +
       "(?:VERSION\\s+AS\\s+OF\\s+'([^']+)'" +
@@ -599,6 +604,11 @@ object LakeSql {
     if (cv.matches()) {
       val (base, layer) = targetOf(cv, 1)
       return Some(LakeConvert(base, layer))
+    }
+    val rg = ReorgRe.matcher(sqlText)
+    if (rg.matches()) {
+      val (base, layer) = targetOf(rg, 1)
+      return Some(LakeReorg(base, layer))
     }
     val r = RestoreRe.matcher(sqlText)
     if (r.matches()) {
@@ -789,6 +799,10 @@ object LakeSql {
       case LakeConvert(_, layer) =>
         val snap = lake.convertToLake(layer)
         Row("CONVERT", new org.apache.hadoop.fs.Path(snap).getName)
+      case LakeReorg(_, layer) =>
+        val r = lake.purgeDeletionVectors(layer)
+        Row("REORG", s"rewritten=${r.rewrittenFiles} " +
+          s"carried=${r.carriedFiles} noop=${r.noop}")
       case LakeRepartition(_, layer, cols) =>
         val snap = lake.repartitionLayer(layer, cols)
         Row("REPARTITION", new org.apache.hadoop.fs.Path(snap).getName)

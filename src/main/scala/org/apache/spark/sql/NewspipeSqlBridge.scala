@@ -100,6 +100,21 @@ object NewspipeSqlBridge {
     }
   }
 
+  /** `CatalogV2Util.structTypeToV2Columns` (private[sql]): the default
+    * schema→columns conversion a DSv2 Table overriding `columns()` wants
+    * for its non-special fields.
+    */
+  def v2Columns(schema: types.StructType)
+      : Array[connector.catalog.Column] =
+    connector.catalog.CatalogV2Util.structTypeToV2Columns(schema)
+
+  /** `LiteralValue` (private[sql] constructor path): the connector
+    * literal a `ColumnDefaultValue` carries as its folded EXISTS_DEFAULT.
+    */
+  def connectorLiteral(value: Any, dt: types.DataType)
+      : connector.expressions.Literal[_] =
+    connector.expressions.LiteralValue(value, dt)
+
   /** `StructType.asNullable` (private[spark]): the file-source reader
     * normalization — every column read from files is nullable.
     */

@@ -83,6 +83,41 @@ class LakeDefaultSpec extends SparkTestBase {
     lake.columnDefaults("t") shouldBe Map.empty
   }
 
+  test("catalog surface: CREATE TABLE (c T DEFAULT expr); INSERT with a " +
+      "column list fills the default via Spark's own analysis") {
+    val (dir, lake) = freshLake()
+    spark.conf.set("spark.sql.catalog.lakedef", classOf[LakeCatalog].getName)
+    spark.sql(s"CREATE TABLE lakedef.`$dir`.d " +
+      "(id BIGINT, status STRING DEFAULT 'pending', n BIGINT DEFAULT 42)")
+    lake.columnDefaults("d") shouldBe
+      Map("status" -> "'pending'", "n" -> "42")
+    // column-list INSERT: omitted default columns take their expression
+    spark.sql(s"INSERT INTO lakedef.`$dir`.d (id) VALUES (1)")
+    // full-row INSERT: explicit values win
+    spark.sql(s"INSERT INTO lakedef.`$dir`.d VALUES (2, 'done', 7)")
+    // the DEFAULT keyword resolves per column
+    spark.sql(s"INSERT INTO lakedef.`$dir`.d VALUES (3, DEFAULT, DEFAULT)")
+    lake.read("d").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))) shouldBe
+      Array((1L, "pending", 42L), (2L, "done", 7L), (3L, "pending", 42L))
+    // ALTER through the v2 catalog path (UpdateColumnDefaultValue)
+    spark.sql(s"ALTER TABLE lakedef.`$dir`.d ALTER COLUMN status " +
+      "SET DEFAULT 'queued'")
+    lake.columnDefaults("d")("status") shouldBe "'queued'"
+    spark.sql(s"INSERT INTO lakedef.`$dir`.d (id) VALUES (4)")
+    lake.read("d").filter($"id" === 4L).select("status").as[String]
+      .head() shouldBe "queued"
+    spark.sql(s"ALTER TABLE lakedef.`$dir`.d ALTER COLUMN n DROP DEFAULT")
+    lake.columnDefaults("d") shouldBe Map("status" -> "'queued'")
+    // CREATE-time refusal: non-constant default fails the CREATE
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE lakedef.`$dir`.bad " +
+        "(a BIGINT, b BIGINT DEFAULT a + 1)")
+    }
+    e.getMessage.toLowerCase should include("default")
+  }
+
   test("refusals: non-constant expression, generated/identity overlap, " +
       "unknown column on a committed layer") {
     val (_, lake) = freshLake()

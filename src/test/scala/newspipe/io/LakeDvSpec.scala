@@ -172,4 +172,45 @@ class LakeDvSpec extends SparkTestBase {
     back("_v/a/f1.parquet") shouldBe Seq(1L, 2L, 3L) // sorted on write
     back("f2.parquet") shouldBe Seq(0L)
   }
+
+  test("REORG APPLY (PURGE): rewrites ONLY DV-carrying files, drops the " +
+      "vectors, data-invisible; noop without DVs") {
+    val lake = tmpLake()
+    // DVs land on exactly 2 of the 4 range files (ids 5, 105)
+    lake.deleteWhereDv("docs", col("id").isin(5L, 105L))
+      .rewrittenFiles shouldBe 0
+    lake.describeDetail("docs").numDeletionVectors should be >= 1
+    val before = lake.read("docs").agg(sum("id")).as[Long].head()
+    val r = lake.purgeDeletionVectors("docs")
+    r.noop shouldBe false
+    r.rewrittenFiles shouldBe 2 // the two DV'd files only
+    r.carriedFiles shouldBe 2
+    lake.describeDetail("docs").numDeletionVectors shouldBe 0
+    lake.read("docs").count() shouldBe 398L
+    lake.read("docs").agg(sum("id")).as[Long].head() shouldBe before
+    // already clean → noop
+    lake.purgeDeletionVectors("docs").noop shouldBe true
+    lake.historyRows("docs").last.getString(2) shouldBe "REORG"
+  }
+
+  test("REORG statement form; row-tracking ids survive the purge") {
+    val dir = Files.createTempDirectory("lake_dvrg").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.writeAtomic(spark.range(100).select(col("id"),
+      (col("id") % 5).as("k")).repartitionByRange(2, col("id")), "t")
+    lake.enableRowTracking("t")
+    lake.setProperties("t", Map("lake.enableDeletionVectors" -> "true"))
+    val idsBefore = lake.readWithRowIds("t").select("id", "_row_id")
+      .as[(Long, Long)].collect().toMap
+    lake.deleteWhereDv("t", col("id") === 7L).rewrittenFiles shouldBe 0
+    val m = LakeSql.sql(spark,
+      s"REORG TABLE lake.`$dir`.t APPLY (PURGE)").collect().head
+    m.getString(0) shouldBe "REORG"
+    m.getString(1) should include("rewritten=1")
+    lake.describeDetail("t").numDeletionVectors shouldBe 0
+    val after = lake.readWithRowIds("t").select("id", "_row_id")
+      .as[(Long, Long)].collect().toMap
+    after.size shouldBe 99
+    after.foreach { case (id, rid) => rid shouldBe idsBefore(id) }
+  }
 }
