@@ -80,6 +80,25 @@ class LakeVariantSpec extends SparkTestBase {
     info.keptFiles should be < 4
   }
 
+  test("catalog DDL surface: CREATE TABLE … (meta VARIANT), INSERT with " +
+      "parse_json, variant_get in SQL") {
+    val (dir, lake) = freshLake()
+    spark.conf.set("spark.sql.catalog.lakevar", classOf[LakeCatalog].getName)
+    spark.sql(s"CREATE TABLE lakevar.`$dir`.d (id BIGINT, meta VARIANT)")
+    lake.layerSchema("d")("meta").dataType shouldBe
+      org.apache.spark.sql.types.VariantType
+    spark.sql(s"INSERT INTO lakevar.`$dir`.d SELECT 1L, " +
+      """parse_json('{"k":"a","v":10}')""")
+    spark.sql(s"INSERT INTO lakevar.`$dir`.d SELECT 2L, " +
+      """parse_json('{"k":"b","v":20}')""")
+    spark.sql(
+      s"""SELECT id, variant_get(meta, '$$.k', 'string') AS k,
+         |       variant_get(meta, '$$.v', 'bigint') AS v
+         |FROM lakevar.`$dir`.d ORDER BY id""".stripMargin)
+      .as[(Long, String, Long)].collect() shouldBe
+      Array((1L, "a", 10L), (2L, "b", 20L))
+  }
+
   test("time travel and CDF serve variant rows") {
     val (_, lake) = freshLake()
     lake.writeAtomic(docs, "t")
