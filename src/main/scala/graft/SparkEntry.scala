@@ -3880,6 +3880,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
           sum("doc_id").as("id_sum"))
         .orderBy("lang")
+    }),
+
+    // COPY INTO (Delta's idempotent staged ingestion): the per-commit
+    // loaded-file ledger makes retries and overlapping staging listings
+    // converge to exactly-once CONTENT — the at-least-once batch-load
+    // contract every 100 TB ingestion pipeline needs. In-query requires
+    // pin the idempotency (the re-run is a NOOP) and the incremental
+    // load (only the new batch's files load).
+    "q177_copy_into" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q177_lake").toString
+      val stage = java.nio.file.Files.createTempDirectory("q177_stg").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      lake.writeAtomic(docs.limit(0), "docs") // the target table
+      docs.filter(col("doc_id") % 3 === 0)
+        .write.parquet(s"$stage/batch1")
+      docs.filter(col("doc_id") % 3 === 1)
+        .write.parquet(s"$stage/batch2")
+      require(!lake.copyInto("docs", stage).noop, "first load must land")
+      require(lake.copyInto("docs", stage).noop,
+        "re-running the same COPY INTO must be a NOOP (ledger)")
+      docs.filter(col("doc_id") % 3 === 2)
+        .write.parquet(s"$stage/batch3")
+      require(!newspipe.io.LakeSql.sql(s,
+          s"COPY INTO lake.`$root`.docs FROM '$stage' " +
+            "FILEFORMAT = PARQUET").collect().head.getString(1)
+          .contains("noop=true"),
+        "the new batch must load incrementally")
+      require(lake.read("docs").count() == docs.count(),
+        "three loads must cover the corpus exactly once")
+      lake.read("docs").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
     })
   )
 
@@ -6625,6 +6660,12 @@ object SparkEntry {
           |WHERE NOT (doc_id % 20 = 3 AND
           |           doc_id <= (SELECT max(doc_id)/4 FROM documents))
           |GROUP BY lang ORDER BY lang""".stripMargin) +
+      // idempotent staged loads cover the corpus exactly once
+      ("q177_copy_into" ->
+        """SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) +
       ("q152_substring_dedup" -> substringScrubOracleSql) +
       // SQL surface = API: the TVF runs the identical kernel
       ("q154_sql_substring_scrub" -> substringScrubOracleSql) +

@@ -2840,6 +2840,67 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       affectedOverride = Some(small.map(_._1).toSet))
   }
 
+  /** Delta's idempotent `COPY INTO`: load parquet files from a staging
+    * location into `layer`, tracking WHICH source files each commit
+    * loaded (a `_COPY.json` marker inside the snapshot dir — atomic with
+    * the commit) so re-running the same statement skips already-loaded
+    * files instead of duplicating rows. The at-least-once ingestion
+    * contract batch pipelines need: a scheduler retry, a crashed job
+    * re-run, or an overlapping staging listing all converge to
+    * exactly-once CONTENT. New files landing in the staging dir load
+    * incrementally on the next call.
+    *
+    * Scale shape: one staging listing (FsListing — flat LIST on object
+    * stores), the ledger walk is one small read per committed version
+    * (the txnVersion shape), and the load itself is Spark's own
+    * vectorized parquet scan over exactly the fresh files →
+    * [[appendAtomic]]'s O(increment) commit. Source partition columns
+    * are NOT derived from paths (explicit-file-list read) — stage files
+    * must carry their columns, like Delta's COPY INTO.
+    *
+    * `pattern` is a glob over the path RELATIVE to `srcDir`
+    * (`*.parquet`, `batch_7/part-*`). Returns rewritten=0 and
+    * carried = prior file count; noop when nothing fresh matched.
+    */
+  def copyInto(layer: String, srcDir: String,
+      pattern: Option[String] = None): Lake.RowOpResult = {
+    val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
+      s"layer '$layer' has no committed snapshot — COPY INTO targets an " +
+        "existing table (CREATE TABLE or writeAtomic first)"))
+    val src = new Path(srcDir)
+    val f = fs(src)
+    require(f.exists(src), s"COPY INTO source '$srcDir' does not exist")
+    val qualSrc = f.makeQualified(src).toString.stripSuffix("/") + "/"
+    val matcher = pattern.map(g => java.nio.file.FileSystems.getDefault
+      .getPathMatcher("glob:" + g))
+    val candidates = FsListing.filesRecursive(f, src)
+      .filter(_.isFile)
+      .map(st => st.getPath)
+      .filter { p =>
+        val n = p.getName
+        !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet")
+      }
+      .map(p => f.makeQualified(p).toString)
+      .filter(p => matcher.forall(_.matches(
+        java.nio.file.Paths.get(p.stripPrefix(qualSrc)))))
+      .sorted
+    // loaded-file ledger: union of _COPY.json markers across committed
+    // versions (one small read per version that has one)
+    val loaded: Set[String] = committedVersions(layer).iterator.flatMap {
+      v =>
+        val p = new Path(v, Lake.CopyMarker)
+        if (!fs(v).exists(p)) Nil
+        else readFully(p).split("\n").toSeq.filter(_.nonEmpty)
+    }.toSet
+    val fresh = candidates.filterNot(loaded)
+    if (fresh.isEmpty)
+      return Lake.RowOpResult(snap.toString, 0,
+        snapshotInventory(layer, snap).size, noop = true)
+    val df = spark.read.format(config.format).load(fresh: _*)
+    appendAtomic(df, layer,
+      markers = Map(Lake.CopyMarker -> fresh.mkString("\n")))
+  }
+
   /** Delta's `REORG TABLE … APPLY (PURGE)`: rewrite ONLY the files
     * carrying deletion vectors — materializing their soft deletes into
     * plain files and dropping the vectors — so reads stop paying the DV
@@ -3256,7 +3317,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * removed), so two appends never silently fork the lineage.
     */
   def appendAtomic(df: DataFrame, layer: String,
-      txn: Option[(String, Long)] = None): Lake.RowOpResult = {
+      txn: Option[(String, Long)] = None,
+      markers: Map[String, String] = Map.empty): Lake.RowOpResult = {
     val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
       s"layer '$layer' has no committed snapshot — appendAtomic extends the " +
         "snapshot protocol; land the layer with writeAtomic first (flat " +
@@ -3305,6 +3367,15 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         val out = fs(newSnap).create(new Path(newSnap, "_TXN"), false)
         try out.write(s"$appId\n$version".getBytes("UTF-8"))
         finally out.close()
+      }
+      // caller-supplied underscore markers (e.g. [[copyInto]]'s loaded-
+      // file ledger entry) land INSIDE the snapshot dir before the
+      // commit marker — atomic with the data, invisible to listings
+      markers.foreach { case (name, body) =>
+        require(name.startsWith("_"),
+          s"appendAtomic marker '$name' must be underscore-hidden")
+        val out = fs(newSnap).create(new Path(newSnap, name), false)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
       }
       commitManifest(layer, snap, newSnap, carried,
         rebasedStats(layer, snap), schemaDdl, dvs = dvMapOf(snap),
@@ -5371,6 +5442,12 @@ object Lake {
     * [[Lake.resolveRel]]): `base:<source layer root>//<within-layer rel>`.
     */
   val BaseRefPrefix = "base:"
+
+  /** Snapshot-dir marker listing the staging files a [[Lake.copyInto]]
+    * commit loaded (newline-joined qualified paths) — the idempotency
+    * ledger, committed atomically with the data.
+    */
+  val CopyMarker = "_COPY.json"
 
   /** Split a cross-base ref (`base:<root>//<rel>`, prefix optional) at
     * the LAST `//`. The within-layer rel never holds an empty path

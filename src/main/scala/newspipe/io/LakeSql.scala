@@ -519,6 +519,11 @@ object LakeSql {
   final case class LakeConvert(base: String, layer: String) extends LakeMaint
   /** `REORG TABLE … APPLY (PURGE)` — rewrite only DV-carrying files. */
   final case class LakeReorg(base: String, layer: String) extends LakeMaint
+  /** `COPY INTO … FROM 'dir' [FILEFORMAT = PARQUET] [PATTERN = 'glob']`
+    * — idempotent staged-file ingestion ([[Lake.copyInto]]).
+    */
+  final case class LakeCopyInto(base: String, layer: String,
+      srcDir: String, pattern: Option[String]) extends LakeMaint
   final case class LakeRestore(base: String, layer: String,
       version: Option[String], timestampMs: Option[Long]) extends LakeMaint
   final case class LakeHistory(base: String, layer: String) extends LakeMaint
@@ -561,6 +566,11 @@ object LakeSql {
   private val ReorgRe = java.util.regex.Pattern.compile(
     s"(?is)^\\s*REORG\\s+TABLE\\s+$TargetRe" +
       "\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$")
+  private val CopyIntoRe = java.util.regex.Pattern.compile(
+    s"(?is)^\\s*COPY\\s+INTO\\s+$TargetRe" +
+      "\\s+FROM\\s+'([^']+)'" +
+      "(?:\\s+FILEFORMAT\\s*=\\s*PARQUET)?" +
+      "(?:\\s+PATTERN\\s*=\\s*'([^']+)')?\\s*;?\\s*$")
   private val RestoreRe = java.util.regex.Pattern.compile(
     s"(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$TargetRe\\s+TO\\s+" +
       "(?:VERSION\\s+AS\\s+OF\\s+'([^']+)'" +
@@ -609,6 +619,12 @@ object LakeSql {
     if (rg.matches()) {
       val (base, layer) = targetOf(rg, 1)
       return Some(LakeReorg(base, layer))
+    }
+    val cp = CopyIntoRe.matcher(sqlText)
+    if (cp.matches()) {
+      val (base, layer) = targetOf(cp, 1)
+      return Some(LakeCopyInto(base, layer, cp.group(4),
+        Option(cp.group(5))))
     }
     val r = RestoreRe.matcher(sqlText)
     if (r.matches()) {
@@ -803,6 +819,10 @@ object LakeSql {
         val r = lake.purgeDeletionVectors(layer)
         Row("REORG", s"rewritten=${r.rewrittenFiles} " +
           s"carried=${r.carriedFiles} noop=${r.noop}")
+      case LakeCopyInto(_, layer, srcDir, pattern) =>
+        val r = lake.copyInto(layer, srcDir, pattern)
+        Row("COPY INTO", s"noop=${r.noop} " +
+          new org.apache.hadoop.fs.Path(r.snapshot).getName)
       case LakeRepartition(_, layer, cols) =>
         val snap = lake.repartitionLayer(layer, cols)
         Row("REPARTITION", new org.apache.hadoop.fs.Path(snap).getName)

@@ -1,0 +1,88 @@
+package newspipe.io
+
+import java.nio.file.Files
+
+import newspipe.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Idempotent `COPY INTO` ([[Lake.copyInto]]): staged parquet loads with
+  * a per-commit loaded-file ledger — retries and overlapping listings
+  * converge to exactly-once content; new staging files load
+  * incrementally; PATTERN filters; the statement form.
+  */
+class LakeCopyIntoSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fresh(): (String, String, Lake) = {
+    val dir = Files.createTempDirectory("lakecp").toString
+    val stage = Files.createTempDirectory("lakecp_stage").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.writeAtomic(Seq.empty[(Long, String)].toDF("id", "v"), "t")
+    (dir, stage, lake)
+  }
+
+  private def land(stage: String, sub: String, rows: Seq[(Long, String)]): Unit =
+    rows.toDF("id", "v").coalesce(1).write.mode("overwrite")
+      .parquet(s"$stage/$sub")
+
+  test("loads staged files once; re-run is a NOOP; new files load " +
+      "incrementally") {
+    val (_, stage, lake) = fresh()
+    land(stage, "b1", Seq((1L, "a"), (2L, "b")))
+    land(stage, "b2", Seq((3L, "c")))
+    val r1 = lake.copyInto("t", stage)
+    r1.noop shouldBe false
+    lake.read("t").count() shouldBe 3L
+    // exact same call again: ledger skips every file
+    lake.copyInto("t", stage).noop shouldBe true
+    lake.read("t").count() shouldBe 3L
+    // a new staging batch lands: only IT loads
+    land(stage, "b3", Seq((4L, "d"), (5L, "e")))
+    lake.copyInto("t", stage).noop shouldBe false
+    lake.read("t").orderBy("id").as[(Long, String)].collect() shouldBe
+      Array((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+    lake.copyInto("t", stage).noop shouldBe true
+  }
+
+  test("PATTERN restricts the load to matching relative paths") {
+    val (_, stage, lake) = fresh()
+    land(stage, "keep", Seq((1L, "a")))
+    land(stage, "skip", Seq((2L, "b")))
+    lake.copyInto("t", stage, Some("keep/*")).noop shouldBe false
+    lake.read("t").select("id").as[Long].collect() shouldBe Array(1L)
+    // widening the pattern later loads the remainder only
+    lake.copyInto("t", stage).noop shouldBe false
+    lake.read("t").count() shouldBe 2L
+  }
+
+  test("COPY INTO statement form; ledger survives other commits between " +
+      "loads") {
+    val (dir, stage, lake) = fresh()
+    land(stage, "b1", Seq((1L, "a")))
+    val m = LakeSql.sql(spark,
+      s"COPY INTO lake.`$dir`.t FROM '$stage' FILEFORMAT = PARQUET")
+      .collect().head
+    m.getString(0) shouldBe "COPY INTO"
+    m.getString(1) should include("noop=false")
+    // unrelated commits between loads must not break the ledger walk
+    lake.appendAtomic(Seq((100L, "x")).toDF("id", "v"), "t")
+    LakeSql.sql(spark,
+      s"COPY INTO lake.`$dir`.t FROM '$stage'").collect()
+      .head.getString(1) should include("noop=true")
+    land(stage, "b2", Seq((2L, "b")))
+    LakeSql.sql(spark,
+      s"COPY INTO lake.`$dir`.t FROM '$stage' PATTERN = '*/part-*'")
+      .collect().head.getString(1) should include("noop=false")
+    lake.read("t").count() shouldBe 3L
+  }
+
+  test("refusals: missing table, missing source dir") {
+    val (dir, stage, lake) = fresh()
+    intercept[IllegalStateException] {
+      lake.copyInto("nope", stage)
+    }.getMessage should include("COPY INTO")
+    intercept[IllegalArgumentException] {
+      lake.copyInto("t", s"$stage/_missing")
+    }.getMessage should include("does not exist")
+  }
+}
