@@ -76,7 +76,8 @@ class LakeStreamSink extends StreamSinkProvider with StreamSourceProvider
       "startingtimestamp" -> "startingTimestamp",
       "maxversionspertrigger" -> "maxVersionsPerTrigger",
       "maxbytespertrigger" -> "maxBytesPerTrigger",
-      "keycolumns" -> "keyColumns")
+      "keycolumns" -> "keyColumns",
+      "trackedfeed" -> "trackedFeed")
     val rekeyed = parameters.map { case (k, v) =>
       canon.getOrElse(k.toLowerCase(java.util.Locale.ROOT), k) -> v
     }
@@ -85,7 +86,10 @@ class LakeStreamSink extends StreamSinkProvider with StreamSourceProvider
 
   private def wantsCdf(parameters: Map[String, String]): Boolean =
     parameters.exists { case (k, v) =>
-      k.equalsIgnoreCase("readChangeFeed") && v.equalsIgnoreCase("true")
+      // a tracked feed IS a change feed — asking for row-id attribution
+      // implies the tagged surface, with or without readChangeFeed
+      (k.equalsIgnoreCase("readChangeFeed") ||
+        k.equalsIgnoreCase("trackedFeed")) && v.equalsIgnoreCase("true")
     }
 
   override def sourceSchema(sqlContext: SQLContext,

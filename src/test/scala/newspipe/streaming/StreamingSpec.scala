@@ -712,4 +712,38 @@ class StreamingSpec extends SparkTestBase {
       .option("trackedFeed", "true").option("keyColumns", "id")
       .load()
   }
+
+  test("trackedFeed through readStream.table (the catalog path re-keys " +
+      "the lowercased option and implies the CDF surface)") {
+    val dir = java.nio.file.Files.createTempDirectory("lakecdf_trkt").toString
+    val lake = new newspipe.io.Lake(spark, newspipe.io.LakeConfig(dir))
+    import spark.implicits._
+    lake.writeAtomic(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "t")
+    lake.enableRowTracking("t")
+    val s2 = org.apache.spark.sql.NewspipeSqlBridge.sessionWithExtensions(
+      spark, new newspipe.NewspipeExtensions()(_))
+    s2.conf.set("spark.sql.catalog.lake", "newspipe.io.LakeCatalog")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long, String)]()
+    val q = s2.readStream.option("trackedFeed", "true")
+      .table(s"lake.`$dir`.t")
+      .writeStream.option("checkpointLocation", s"$dir/_ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got.add((r.getLong(0), r.getString(1),
+          r.getLong(2), r.getString(3)))); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val init = got.toArray(Array.empty[(Long, String, Long, String)])
+      init.map(_._4).toSet shouldBe Set("insert")
+      val idOf = init.map(r => r._1 -> r._3).toMap
+      got.clear()
+      lake.updateWhere("t", $"id" === 1L,
+        Map("v" -> org.apache.spark.sql.functions.lit("A")))
+      q.processAllAvailable()
+      val feed = got.toArray(Array.empty[(Long, String, Long, String)])
+      feed.map(r => (r._1, r._2, r._4)).toSet shouldBe Set(
+        (1L, "a", "update_preimage"), (1L, "A", "update_postimage"))
+      feed.map(_._3).toSet shouldBe Set(idOf(1L))
+    } finally q.stop()
+  }
 }
