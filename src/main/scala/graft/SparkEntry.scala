@@ -3915,6 +3915,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
           sum("doc_id").as("id_sum"))
         .orderBy("lang")
+    }),
+
+    // lake_changes_tracked() TVF: the row-id-attributed CDF queryable in
+    // FROM position (SQL = API). In-query require pins the attribution
+    // invariant (pre/post pairs share exactly one _row_id each); the
+    // oracle replays the operation order relationally.
+    "q178_sql_tracked_changes" -> ((s, dir) => {
+      newspipe.NewspipeExtensions.register(s)
+      val root = java.nio.file.Files.createTempDirectory("q178_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      lake.writeAtomic(docs.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(4, col("doc_id")), "docs")
+      lake.enableRowTracking("docs")
+      val v0 = lake.listVersions("docs").head
+      lake.updateWhere("docs", col("doc_id") % 7 === 0,
+        Map("n_chars" -> (col("n_chars") + 7L)))
+      lake.deleteWhere("docs", col("doc_id") % 10 === 0)
+      val v1 = lake.listVersions("docs").head
+      val feed = s.sql(s"SELECT * FROM lake_changes_tracked('$root', " +
+        s"'docs', '$v0', '$v1')")
+      val nPre = feed.filter(col("_change_type") === "update_preimage")
+        .count()
+      val pairs = feed.filter(col("_change_type").startsWith("update"))
+        .groupBy("_row_id")
+        .agg(countDistinct("_change_type").as("sides"))
+        .filter(col("sides") === 2).count()
+      require(nPre > 0 && pairs == nPre,
+        s"expected $nPre pre/post pairs sharing one row id, got $pairs")
+      feed.groupBy(col("_change_type").as("change_type"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("change_type", "lang")
     })
   )
 
@@ -6666,6 +6700,30 @@ object SparkEntry {
           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
           |       CAST(sum(doc_id) AS BIGINT) AS id_sum
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) +
+      // tracked TVF feed: update pre/post (+7 on %7) then delete
+      // (post-update state, %10); no insert legs in this slice
+      ("q178_sql_tracked_changes" ->
+        """WITH tgt AS (
+          |  SELECT doc_id, lang, n_chars FROM documents
+          |  WHERE doc_id % 2 = 0),
+          |upd AS (
+          |  SELECT doc_id, lang,
+          |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 7 ELSE n_chars END
+          |      AS n_chars
+          |  FROM tgt),
+          |feed AS (
+          |  SELECT 'update_preimage' AS change_type, lang, n_chars, doc_id
+          |  FROM tgt WHERE doc_id % 7 = 0
+          |  UNION ALL
+          |  SELECT 'update_postimage', lang, n_chars + 7, doc_id FROM tgt
+          |  WHERE doc_id % 7 = 0
+          |  UNION ALL
+          |  SELECT 'delete', lang, n_chars, doc_id FROM upd
+          |  WHERE doc_id % 10 = 0)
+          |SELECT change_type, lang, count(*) AS n,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
       ("q152_substring_dedup" -> substringScrubOracleSql) +
       // SQL surface = API: the TVF runs the identical kernel
       ("q154_sql_substring_scrub" -> substringScrubOracleSql) +

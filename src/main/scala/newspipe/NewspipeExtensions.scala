@@ -273,6 +273,22 @@ object NewspipeExtensions {
             newspipe.io.LakeConfig(basePath = args(0)))
             .changeFeedKeyed(args(1), args(2), args(3), keys))
         }),
+      // the ROW-ID-attributed change feed in FROM position (row-tracking
+      // layers, no key declaration): update pre/post images share one
+      // _row_id, compactions contribute nothing
+      (new FunctionIdentifier("lake_changes_tracked"),
+        new ExpressionInfo("newspipe.NewspipeExtensions",
+          "lake_changes_tracked"),
+        (children: Seq[Expression]) => {
+          require(children.length == 4,
+            "lake_changes_tracked(base_path, layer, from_version, " +
+              "to_version) takes 4 arguments")
+          val args = children.map(stringArg("lake_changes_tracked", _))
+          val spark = SparkSession.active
+          NewspipeSqlBridge.logicalPlan(new newspipe.io.Lake(spark,
+            newspipe.io.LakeConfig(basePath = args(0)))
+            .changeFeedTracked(args(1), args(2), args(3)))
+        }),
       // commit history in FROM position (Delta's DESCRIBE HISTORY as a
       // queryable table): SELECT * FROM lake_history('/lake/root','docs')
       // → (ordinal, version, operation, parent), oldest first

@@ -2896,7 +2896,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     if (fresh.isEmpty)
       return Lake.RowOpResult(snap.toString, 0,
         snapshotInventory(layer, snap).size, noop = true)
-    val df = spark.read.format(config.format).load(fresh: _*)
+    // basePath roots partition discovery at the staging dir: k=v staging
+    // layouts surface their partition columns, and mixed-depth staging
+    // trees never trip CONFLICTING_DIRECTORY_STRUCTURES on the explicit
+    // file list
+    val df = spark.read.option("basePath", srcDir)
+      .format(config.format).load(fresh: _*)
     appendAtomic(df, layer,
       markers = Map(Lake.CopyMarker -> fresh.mkString("\n")))
   }
@@ -5447,7 +5452,7 @@ object Lake {
     * commit loaded (newline-joined qualified paths) — the idempotency
     * ledger, committed atomically with the data.
     */
-  val CopyMarker = "_COPY.json"
+  val CopyMarker = "_COPY"
 
   /** Split a cross-base ref (`base:<root>//<rel>`, prefix optional) at
     * the LAST `//`. The within-layer rel never holds an empty path

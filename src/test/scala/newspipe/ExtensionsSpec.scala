@@ -315,6 +315,27 @@ class ExtensionsSpec extends SparkTestBase {
          |""".stripMargin).as[Long].head() shouldBe 1L
   }
 
+  test("lake_changes_tracked: the row-id-attributed feed from SQL — " +
+      "pre/post images share one _row_id, no key declaration") {
+    NewspipeExtensions.register(spark)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sql_trk").toString
+    val lake = new newspipe.io.Lake(spark, newspipe.io.LakeConfig(dir))
+    lake.writeAtomic(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "docs")
+    lake.enableRowTracking("docs")
+    val v0 = lake.listVersions("docs").head
+    lake.updateWhere("docs", $"id" === 2L,
+      Map("v" -> org.apache.spark.sql.functions.lit("B")))
+    val v1 = lake.listVersions("docs").head
+    val rows = spark.sql(
+      s"SELECT id, v, _row_id, _change_type FROM " +
+        s"lake_changes_tracked('$dir', 'docs', '$v0', '$v1')")
+      .as[(Long, String, Long, String)].collect()
+    rows.map(r => (r._1, r._2, r._4)).toSet shouldBe Set(
+      (2L, "b", "update_preimage"), (2L, "B", "update_postimage"))
+    rows.map(_._3).toSet.size shouldBe 1 // ONE shared row id
+  }
+
   test("lake_changes / lake_changes_keyed: table_changes() from SQL equals the API feed") {
     NewspipeExtensions.register(spark)
     import spark.implicits._

@@ -76,6 +76,20 @@ class LakeCopyIntoSpec extends SparkTestBase {
     lake.read("t").count() shouldBe 3L
   }
 
+  test("hive-partitioned staging: k=v directories surface their " +
+      "partition column through the load") {
+    val dir = Files.createTempDirectory("lakecp_hv").toString
+    val stage = Files.createTempDirectory("lakecp_hvs").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.writeAtomic(Seq.empty[(Long, String)].toDF("id", "lang"), "t")
+    Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("id", "lang")
+      .write.partitionBy("lang").parquet(s"$stage/load1")
+    lake.copyInto("t", stage).noop shouldBe false
+    lake.read("t").orderBy("id").as[(Long, String)].collect() shouldBe
+      Array((1L, "en"), (2L, "de"), (3L, "en"))
+    lake.copyInto("t", stage).noop shouldBe true
+  }
+
   test("refusals: missing table, missing source dir") {
     val (dir, stage, lake) = fresh()
     intercept[IllegalStateException] {
