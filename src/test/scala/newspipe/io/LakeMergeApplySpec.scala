@@ -144,6 +144,30 @@ class LakeMergeApplySpec extends SparkTestBase {
     feed should contain ((9L, "insert"))
   }
 
+  test("hive-partitioned target: the full matrix lands inside the " +
+      "layout; untouched partitions' files carry") {
+    val (_, lake) = freshLake()
+    lake.writeAtomic(Seq(
+      (1L, "en", 10L), (2L, "en", 20L), (3L, "de", 30L), (4L, "de", 5L))
+      .toDF("id", "lang", "v"), "t", partitionBy = Seq("lang"))
+    val src = Seq((2L, "en", 200L), (9L, "fr", 90L)).toDF("id", "lang", "v")
+    lake.mergeApply("t", src, Seq("id"),
+      matched = Seq(Lake.MergeClause(None, Lake.MergeUpdateStar)),
+      notMatched = Seq(Lake.MergeClause(None, Lake.MergeInsertStar)),
+      notMatchedBySource = Seq(Lake.MergeClause(Some(col("v") < 10L),
+        Lake.MergeDelete)))
+    lake.read("t").select("id", "lang", "v").orderBy("id")
+      .as[(Long, String, Long)]
+      .collect() shouldBe Array((1L, "en", 10L), (2L, "en", 200L),
+        (3L, "de", 30L), (9L, "fr", 90L))
+    // the inserted row landed under its own lang= directory and the
+    // partition column still prunes
+    lake.read("t").filter($"lang" === "fr").count() shouldBe 1L
+    lake.readWhere("t", $"lang" === "de").select("id", "lang", "v")
+      .as[(Long, String, Long)]
+      .collect() shouldBe Array((3L, "de", 30L))
+  }
+
   test("syncFrom: layer converges to exactly the source snapshot") {
     val (_, lake) = freshLake()
     lake.writeAtomic(Seq((1L, "a"), (2L, "b"), (3L, "c"))
