@@ -95,6 +95,15 @@ class LakeChangeSource extends StreamSourceProvider {
     require(!tracked || !parameters.get("keyColumns").exists(_.nonEmpty),
       "options 'trackedFeed' and 'keyColumns' are mutually exclusive — " +
         "tracked feeds attribute updates by row id, not declared keys")
+    // skipChangeCommits is the PLAIN-ROWS posture (Delta's option): this
+    // source's own surface is the change feed, which exists to carry
+    // changes — only the rows-only wrapper (LakeStreamSink, which sets
+    // the internal plain-rows marker) may pass it through
+    require(!parameters.get("skipChangeCommits").exists(_.toBoolean) ||
+        parameters.get(LakeChangeSource.PlainRowsMarker).exists(_.toBoolean),
+      "skipChangeCommits applies to plain-rows table streams " +
+        "(readStream.format(\"lake\")/readStream.table WITHOUT " +
+        "readChangeFeed) — a change feed exists to carry changes")
     tracked
   }
 
@@ -131,12 +140,19 @@ class LakeChangeSource extends StreamSourceProvider {
       },
       parameters.get("keyColumns").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
-      tracked = trackedOf(parameters))
+      tracked = trackedOf(parameters),
+      skipChangeCommits =
+        parameters.get("skipChangeCommits").exists(_.toBoolean))
   }
 }
 
 object LakeChangeSource {
   val ChangeTypeCol = "_change_type"
+
+  /** Internal option the plain-rows wrapper ([[LakeStreamSink]]) sets so
+    * `skipChangeCommits` is accepted — never user-facing.
+    */
+  val PlainRowsMarker = "__plainRows"
 
   def cdfSchema(layerSchema: StructType,
       tracked: Boolean = false): StructType = {
@@ -163,9 +179,14 @@ object LakeChangeSource {
 private[source] class LakeChangeStream(spark: SparkSession, basePath: String,
     layer: String, startingVersion: String, startingTimestamp: Option[Long],
     maxVersionsPerTrigger: Option[Int], maxBytesPerTrigger: Option[Long],
-    keyColumns: Seq[String], tracked: Boolean = false)
+    keyColumns: Seq[String], tracked: Boolean = false,
+    skipChangeCommits: Boolean = false)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  require(!skipChangeCommits || (keyColumns.isEmpty && !tracked),
+    "skipChangeCommits applies to PLAIN-ROWS streams (the change-feed " +
+      "surfaces exist to carry changes, not skip them)")
 
   private val lake = new Lake(spark, LakeConfig(basePath = basePath))
   private val layerSchema = lake.layerSchema(layer)
@@ -379,7 +400,26 @@ private[source] class LakeChangeStream(spark: SparkSession, basePath: String,
       conformTagged(lake.changeFeedTracked(layer, fromV, endV))
     else if (keyColumns.nonEmpty)
       conformTagged(lake.changeFeedKeyed(layer, fromV, endV, keyColumns))
-    else {
+    else if (skipChangeCommits) {
+      // Delta's skipChangeCommits: COMMIT granularity — a commit whose
+      // diff contains ANY delete (update/delete/merge rewrite) is
+      // skipped WHOLE, so an update's post-image can never leak into an
+      // append-only consumer as a duplicate insert. One diff per commit
+      // (the batch's commit count is admission-bounded); the emptiness
+      // probe reads only the commit's symmetric-difference files.
+      val asc = lake.listVersions(layer).reverse
+        .filter(v => v > fromV && v <= endV)
+      val steps = (fromV +: asc).zip(asc)
+      val legs = steps.map { case (a, b) =>
+        val (ins, del) = lake.diff(layer, a, b)
+        if (del.isEmpty) conform(ins, "insert")
+        else conform(ins.limit(0), "insert") // change commit: skip whole
+      }
+      legs.reduceOption(_.unionByName(_)).getOrElse(
+        conform(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          layerSchema), "insert"))
+    } else {
       val (inserted, deleted) = lake.diff(layer, fromV, endV)
       conform(inserted, "insert").unionByName(conform(deleted, "delete"))
     }

@@ -58,10 +58,15 @@ class LakeStreamSink extends StreamSinkProvider with StreamSourceProvider
   // ---- source half: `readStream.format("lake")`, and the resolver of
   // ---- `readStream.table`'s V1 FALLBACK (LakeTable.v1Table carries
   // ---- provider = "lake", so FindDataSourceTable builds THIS source).
-  // ---- Default posture = table rows, insert commits only (Delta's
-  // ---- skipChangeCommits); option readChangeFeed=true surfaces the
-  // ---- tagged CDF — both are thin wrappers over LakeChangeSource,
-  // ---- which owns offsets/versions/admission control.
+  // ---- Default posture = plain table rows at ROW granularity: delete
+  // ---- legs drop and an UPDATE's post-image emits as an insert —
+  // ---- consumers that key their state see the newest values, but an
+  // ---- APPEND-ONLY consumer would duplicate updated rows; set
+  // ---- skipChangeCommits=true for Delta's COMMIT-granular contract (a
+  // ---- commit containing any change contributes nothing). Option
+  // ---- readChangeFeed=true surfaces the tagged CDF; trackedFeed=true
+  // ---- the row-id-attributed CDF — all thin wrappers over
+  // ---- LakeChangeSource, which owns offsets/versions/admission.
 
   /** The v1-fallback path (DataSourceUtils.generateDatasourceOptions)
     * LOWERCASES every option key before they reach a provider — re-key
@@ -77,11 +82,16 @@ class LakeStreamSink extends StreamSinkProvider with StreamSourceProvider
       "maxversionspertrigger" -> "maxVersionsPerTrigger",
       "maxbytespertrigger" -> "maxBytesPerTrigger",
       "keycolumns" -> "keyColumns",
-      "trackedfeed" -> "trackedFeed")
+      "trackedfeed" -> "trackedFeed",
+      "skipchangecommits" -> "skipChangeCommits")
     val rekeyed = parameters.map { case (k, v) =>
       canon.getOrElse(k.toLowerCase(java.util.Locale.ROOT), k) -> v
     }
-    rekeyed ++ Map("basePath" -> base, "layer" -> layer)
+    rekeyed ++ Map("basePath" -> base, "layer" -> layer) ++
+      // plain-rows streams may skip change commits; the CDF surfaces
+      // refuse the option (the inner source checks the marker)
+      (if (wantsCdf(parameters)) Map.empty[String, String]
+       else Map(LakeChangeSource.PlainRowsMarker -> "true"))
   }
 
   private def wantsCdf(parameters: Map[String, String]): Boolean =

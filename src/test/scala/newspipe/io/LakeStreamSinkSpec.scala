@@ -238,6 +238,55 @@ class LakeStreamSinkSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("skipChangeCommits=true: a commit containing ANY change " +
+      "contributes nothing (commit granularity); default row " +
+      "granularity emits an update's post-image") {
+    val base = freshDir("src_scc")
+    val lake = new Lake(spark, LakeConfig(basePath = base))
+    lake.writeAtomic(Seq((1L, "a"), (2L, "b")).toDF("id", "text"), "docs")
+    // default (row granularity): the update's post-image leaks as an
+    // insert — documented, key-your-state consumers want it
+    val q1 = spark.readStream.format("lake")
+      .option("basePath", base).option("layer", "docs").load()
+      .writeStream.format("memory").queryName("scc_rows")
+      .option("checkpointLocation", freshDir("scc_ck1")).start()
+    try {
+      q1.processAllAvailable()
+      lake.updateWhere("docs", $"id" === 2L, Map("text" -> lit("B")))
+      lake.appendAtomic(Seq((3L, "c")).toDF("id", "text"), "docs")
+      q1.processAllAvailable()
+      spark.table("scc_rows").orderBy("id", "text").as[(Long, String)]
+        .collect() shouldBe Array((1L, "a"), (2L, "B"), (2L, "b"),
+          (3L, "c"))
+    } finally q1.stop()
+    // skipChangeCommits: the update COMMIT is skipped whole; appends
+    // (before and after) still flow
+    val q2 = spark.readStream.format("lake")
+      .option("skipChangeCommits", "true")
+      .option("basePath", base).option("layer", "docs").load()
+      .writeStream.format("memory").queryName("scc_commits")
+      .option("checkpointLocation", freshDir("scc_ck2")).start()
+    try {
+      q2.processAllAvailable()
+      // earliest = the OLDEST retained snapshot as inserts, then per-
+      // commit deltas with change commits skipped WHOLE: the update to
+      // id=2 never surfaces (no post-image leak), appends flow
+      lake.updateWhere("docs", $"id" === 1L, Map("text" -> lit("A")))
+      lake.appendAtomic(Seq((4L, "d")).toDF("id", "text"), "docs")
+      q2.processAllAvailable()
+      spark.table("scc_commits").orderBy("id").as[(Long, String)]
+        .collect() shouldBe Array((1L, "a"), (2L, "b"), (3L, "c"),
+          (4L, "d"))
+    } finally q2.stop()
+    // refusal: commit-skipping contradicts the change-feed surfaces
+    an[Exception] should be thrownBy spark.readStream.format("lake")
+      .option("skipChangeCommits", "true")
+      .option("readChangeFeed", "true")
+      .option("basePath", base).option("layer", "docs").load()
+      .writeStream.format("noop")
+      .option("checkpointLocation", freshDir("scc_ck3")).start()
+  }
+
   test("extension-less readStream.table rides the v1 fallback source") {
     val base = freshDir("src_tbl")
     spark.conf.set("spark.sql.catalog.lakefb", classOf[LakeCatalog].getName)
