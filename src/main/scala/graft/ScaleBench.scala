@@ -596,6 +596,50 @@ object ScaleBench {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case _: Throwable => () }
     }
+
+    // ---- round-15: O(1) snapshot-head resolution. The scale claim: a
+    // table's HEAD resolves through the `_v/_LAST` pointer in one read +
+    // one (cached) marker probe — FLAT while the COMMIT COUNT grows N× —
+    // where the pre-round-15 behavior (still measurable as the full
+    // history listing, listVersions) pays one `_v` listing plus marker
+    // probes per resolution, O(versions). Version history is fabricated
+    // (older committed dirs minted directly — head resolution reads only
+    // dir names + markers, never manifests) so the stage measures
+    // resolution, not commit cost. 200 reps per metric: head resolution
+    // is paid on EVERY read/commit/stream trigger, so per-call wall is
+    // the number that matters.
+    {
+      val root = java.nio.file.Files.createTempDirectory("scale_hr").toString
+      val lake = new newspipe.io.Lake(spark,
+        newspipe.io.LakeConfig(basePath = root))
+      lake.writeAtomic(docs.limit(50).repartition(1), "hr")
+      val versions = math.max(64, 64 * copies)
+      val vdir = java.nio.file.Paths.get(s"$root/hr/_v")
+      (1 to versions).foreach { i =>
+        val d = vdir.resolve(f"${1000000000000L + i}%016d-fabr${i}%04d")
+        java.nio.file.Files.createDirectories(d)
+        java.nio.file.Files.write(d.resolve("_COMMITTED"),
+          Array.empty[Byte])
+      }
+      val (nHd, tHd) = timed {
+        var n = 0L
+        (1 to 200).foreach(_ => if (lake.headVersion("hr").isDefined) n += 1)
+        n
+      }
+      out("r15_head_resolution_x200") = (nHd, tHd) // FLAT at N× versions
+      val (nFl, tFl) = timed {
+        var n = 0L
+        (1 to 200).foreach(_ => n += lake.listVersions("hr").size.toLong)
+        n
+      }
+      out("r15_full_history_listing_x200") = (nFl, tFl) // O(versions)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+          .iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
     out.toMap
   }
 

@@ -22,6 +22,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * layer/_v/<version>/        — one complete snapshot per overwrite
   * layer/_v/<version>/_COMMITTED  — marker created AFTER the data; its
   *                                  content is the parent version id
+  * layer/_v/_LAST             — best-effort head pointer (newest committed
+  *                              version name), written inside the commit
+  *                              lock right after the marker; readers
+  *                              verify-then-trust, so head resolution is
+  *                              O(1) in commit count (Delta's
+  *                              `_last_checkpoint` role)
   * }}}
   *
   * A snapshot write lands entirely under a fresh version directory and only
@@ -517,9 +523,16 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       op: String,
       deleteOnConflict: Boolean = true): Unit = withCommitLock(layer) { stillOwned =>
     val f = fs(snap)
-    val parentAtCommit = latestSnapshot(layer).map(_.getName)
+    // AUTHORITATIVE head, never the `_LAST` pointer: a pointer left stale
+    // by a crashed commit must not fork lineage or falsely pass the CAS
+    val parentAtCommit = latestSnapshotByScan(layer).map(_.getName)
     requireParent.foreach { expected =>
       if (parentAtCommit != expected) {
+        // repair a stale pointer before bouncing the caller: the retry
+        // loop re-reads the head through latestSnapshot (pointer-first),
+        // so without this a crash-window-stale pointer would livelock
+        // every optimistic retry against the same wrong parent
+        parentAtCommit.foreach(writeHeadPointer(layer, _))
         // deleteOnConflict=false: the caller intends to REBASE the staged
         // snapshot onto the new head ([[commitManifest]]'s disjoint-file
         // resolution) — its data files must survive the lost race
@@ -549,6 +562,9 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val out = f.create(new Path(snap, "_COMMITTED"), false)
     try out.write(parentAtCommit.getOrElse("").getBytes("UTF-8"))
     finally out.close()
+    // head pointer LAST (still inside the lock): every subsequent
+    // latestSnapshot is one read + one (cached) marker probe, flat in V
+    writeHeadPointer(layer, snap.getName)
   }
 
   /** Delta's `DESCRIBE HISTORY`: one row per committed snapshot, OLDEST
@@ -765,26 +781,112 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     diff(layer, from, to)
   }
 
-  /** Committed snapshot dirs of a layer, NEWEST FIRST — the one listing all
-    * snapshot resolution shares (read / listVersions / vacuum). One
-    * listStatus + one marker-exists per version; on an object store that is
-    * V+1 requests, which is why vacuum retention should keep V small.
+  /** Committed snapshot dirs of a layer, NEWEST FIRST — the full-history
+    * listing (listVersions / vacuum / history / change feeds). One
+    * listStatus, then a marker probe ONLY for versions not already in the
+    * global committed cache ([[Lake.committedCache]] — committedness, once
+    * true, is immutable, so positives cache forever): a streaming trigger
+    * or vacuum on a long-lived table pays V HEAD requests exactly once per
+    * JVM, O(new commits) after. Head-only resolution should use
+    * [[latestSnapshot]] (O(1) via the `_LAST` pointer), not this.
     */
   private def committedVersions(layer: String): Seq[Path] = {
     val vdir = new Path(s"${layerPath(layer)}/_v")
     val f = fs(vdir)
     if (!f.exists(vdir)) Nil
     else f.listStatus(vdir)
-      .filter(s => s.isDirectory && f.exists(new Path(s.getPath, "_COMMITTED")))
+      .filter(s => s.isDirectory && isCommittedDir(f, s.getPath))
       .map(_.getPath)
       .sortBy(_.getName)(Ordering[String].reverse).toSeq
   }
 
-  /** Latest committed snapshot dir of a layer, if the layer uses the
-    * snapshot protocol.
+  /** Marker probe with the global positive cache. A MISS is never cached:
+    * the not-yet-committed window must stay re-checkable. Vacuumed
+    * (deleted) version dirs can linger as cached positives — harmless,
+    * because every consumer starts from a fresh listing or the verified
+    * head pointer, so a deleted dir's name is never offered for lookup.
     */
-  private def latestSnapshot(layer: String): Option[Path] =
-    committedVersions(layer).headOption
+  private def isCommittedDir(f: org.apache.hadoop.fs.FileSystem,
+      snap: Path): Boolean = {
+    val key = snap.toString
+    if (Lake.committedCacheContains(key)) true
+    else if (f.exists(new Path(snap, "_COMMITTED"))) {
+      Lake.committedCacheAdd(key); true
+    } else false
+  }
+
+  /** `_v/_LAST` — best-effort O(1) head pointer, the Delta
+    * `_last_checkpoint` role for snapshot-head resolution. Content = the
+    * newest committed version's name; written inside the commit lock
+    * immediately after the `_COMMITTED` marker, so writers never race each
+    * other on it. Readers VERIFY-then-trust ([[latestSnapshot]]): a
+    * pointed-at version whose marker probe fails (torn write, manual
+    * debris) falls back to the listing scan. The one staleness window is a
+    * writer crashing between marker and pointer — that commit was never
+    * acknowledged, readers see the prior head until the NEXT commit
+    * repairs the pointer (commits resolve their parent by authoritative
+    * scan, never the pointer, so lineage/CAS are unaffected — see
+    * [[commitMarker]]).
+    */
+  private def headPointerPath(layer: String): Path =
+    new Path(s"${layerPath(layer)}/_v/_LAST")
+
+  private def readHeadPointer(layer: String): Option[String] =
+    try {
+      val p = headPointerPath(layer)
+      val in = fs(p).open(p)
+      try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
+          .filter(_.nonEmpty)
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Best-effort (an IO failure just leaves readers on the fallback scan);
+    * single small create-overwrite — callers hold the commit lock, so the
+    * only race is a concurrent READER catching the truncate window, which
+    * the reader's marker verification absorbs.
+    */
+  private def writeHeadPointer(layer: String, version: String): Unit =
+    try {
+      val p = headPointerPath(layer)
+      val out = fs(p).create(p, true)
+      try out.write(version.getBytes("UTF-8")) finally out.close()
+    } catch { case _: java.io.IOException => () }
+
+  /** Latest committed snapshot dir of a layer, if the layer uses the
+    * snapshot protocol. O(1) on the happy path: one `_LAST` read + one
+    * marker probe (usually a cache hit). Fallback (no pointer / pointer
+    * unverifiable — pre-pointer layers, foreign writers, torn write): one
+    * listing + a DESCENDING probe scan that stops at the first committed
+    * dir, so even the fallback pays O(uncommitted debris), not O(V).
+    */
+  private def latestSnapshot(layer: String): Option[Path] = {
+    readHeadPointer(layer) match {
+      case Some(name) =>
+        val snap = new Path(s"${layerPath(layer)}/_v/$name")
+        if (isCommittedDir(fs(snap), snap)) Some(snap)
+        else latestSnapshotByScan(layer)
+      case None => latestSnapshotByScan(layer)
+    }
+  }
+
+  /** Authoritative head resolution — a fresh listing, newest-first, first
+    * committed dir wins. The commit path uses THIS (never the pointer):
+    * a stale pointer must not corrupt parent lineage or falsely pass the
+    * optimistic-concurrency check.
+    */
+  private def latestSnapshotByScan(layer: String): Option[Path] = {
+    val vdir = new Path(s"${layerPath(layer)}/_v")
+    val f = fs(vdir)
+    if (!f.exists(vdir)) None
+    else f.listStatus(vdir)
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .sortBy(_.getName)(Ordering[String].reverse)
+      .iterator.find(isCommittedDir(f, _))
+  }
 
   /** Parsed `_MANIFEST.json` of a snapshot, if it is a manifest (row-op)
     * snapshot: data file paths relative to the LAYER root (they may live
@@ -2684,6 +2786,15 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   def listVersions(layer: String): Seq[String] =
     committedVersions(layer).map(_.getName)
+
+  /** The layer's current committed head version id, if any — resolved in
+    * O(1) through the `_LAST` pointer (one pointer read + one cached
+    * marker probe; Delta's DESCRIBE DETAIL `version` role), falling back
+    * to the stop-at-first-committed listing scan. Unlike
+    * [[listVersions]].headOption this never pays O(V) marker probes.
+    */
+  def headVersion(layer: String): Option[String] =
+    latestSnapshot(layer).map(_.getName)
 
   /** Read one specific committed snapshot of a layer (see [[listVersions]]). */
   def readVersion(layer: String, version: String,
@@ -5442,6 +5553,26 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
 object Lake {
   /** Layer property holding the declared clustering keys (csv). */
   val ClusterByProp = "lake.clusterBy"
+
+  /** JVM-global positive cache of committed snapshot dirs (absolute path
+    * string → known committed). Sound because committedness, once true, is
+    * immutable — and version names are millis+uuid, so a dropped-and-
+    * recreated layer can never mint a colliding path. LRU-bounded; shared
+    * across [[Lake]] instances (the catalog mints one per call, so an
+    * instance-level cache would never warm).
+    */
+  private val committedCache =
+    new java.util.LinkedHashMap[String, java.lang.Boolean](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+        size() > 65536
+    }
+
+  private[io] def committedCacheContains(key: String): Boolean =
+    committedCache.synchronized(committedCache.containsKey(key))
+
+  private[io] def committedCacheAdd(key: String): Unit =
+    committedCache.synchronized(committedCache.put(key, java.lang.Boolean.TRUE))
 
   /** Manifest-rel prefix of a CROSS-BASE file reference (see
     * [[Lake.resolveRel]]): `base:<source layer root>//<within-layer rel>`.

@@ -142,11 +142,18 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     val lp = new Path(s"$base/$layer")
     val f = fsOf(lp)
     f.exists(lp) && {
-      val vdir = new Path(lp, "_v")
-      val hasCommit = f.exists(vdir) && f.listStatus(vdir).exists(s =>
-        s.isDirectory && f.exists(new Path(s.getPath, "_COMMITTED")))
-      hasCommit ||
-        f.listStatus(lp).exists(!_.getPath.getName.startsWith("_"))
+      // O(1) fast path: a verified `_LAST` head pointer proves a committed
+      // snapshot without listing `_v` (the pointer is written inside the
+      // commit lock right after the marker — see Lake.latestSnapshot)
+      val pointed = new Lake(spark, LakeConfig(basePath = base))
+        .headVersion(layer).isDefined
+      pointed || {
+        val vdir = new Path(lp, "_v")
+        val hasCommit = f.exists(vdir) && f.listStatus(vdir).exists(s =>
+          s.isDirectory && f.exists(new Path(s.getPath, "_COMMITTED")))
+        hasCommit ||
+          f.listStatus(lp).exists(!_.getPath.getName.startsWith("_"))
+      }
     }
   }
 

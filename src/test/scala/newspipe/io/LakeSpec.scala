@@ -123,8 +123,18 @@ class LakeSpec extends SparkTestBase {
       .write.parquet(uncommitted.toString)
     lake.read("silver").count() shouldBe 2 // still the old snapshot
 
-    // commit marker lands → the new snapshot becomes visible atomically
+    // commit completes: marker + head-pointer update (a conforming writer
+    // maintains `_v/_LAST` right after the marker — see the protocol doc)
+    // → the new snapshot becomes visible atomically
     java.nio.file.Files.createFile(uncommitted.resolve("_COMMITTED"))
+    java.nio.file.Files.write(
+      uncommitted.getParent.resolve("_LAST"),
+      "9999999999999999-zzzzzzzz".getBytes("UTF-8"))
+    lake.read("silver").count() shouldBe 3
+
+    // a POINTERLESS foreign commit (marker only) is still resolvable
+    // through the fallback scan once the pointer is absent
+    java.nio.file.Files.delete(uncommitted.getParent.resolve("_LAST"))
     lake.read("silver").count() shouldBe 3
   }
 
@@ -212,7 +222,8 @@ class LakeSpec extends SparkTestBase {
     lake.listVersions("layer").length shouldBe 2
     val vdir = new java.io.File(
       lake.writeAtomic(Seq((4, "d")).toDF("id", "v"), "layer")).getParentFile
-    vdir.listFiles().length shouldBe 3 // no uncommitted debris dirs
+    // no uncommitted debris DIRS (the `_LAST` head pointer is a file)
+    vdir.listFiles().count(_.isDirectory) shouldBe 3
     lake.read("layer").as[(Int, String)].head() shouldBe ((4, "d"))
   }
 
@@ -1049,7 +1060,8 @@ class LakeSpec extends SparkTestBase {
     lake.writeAtomic(tiny.unionByName(bigger).repartitionByRange(5, $"id")
       .sortWithinPartitions("id"), "docs")
     val before = lake.read("docs").collect().toSet
-    val sizes = new java.io.File(s"$dir/docs/_v").listFiles().head
+    val sizes = new java.io.File(s"$dir/docs/_v").listFiles()
+      .filter(_.isDirectory).head
       .listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sorted
     // threshold between the tiny slices and the big one
     val threshold = sizes.last // everything below the biggest is "small"
