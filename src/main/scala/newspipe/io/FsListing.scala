@@ -17,8 +17,17 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   * the native recursive listing everywhere else.
   */
 object FsListing {
+  /** Scheme via the FS URI: `FileSystem.getScheme`'s base implementation
+    * throws UnsupportedOperationException, so FilterFileSystem/custom
+    * wrappers that don't override it would crash every listing. The URI
+    * scheme is always populated. */
+  private def scheme(fs: FileSystem): String = {
+    val s = fs.getUri.getScheme
+    if (s == null) "" else s
+  }
+
   def filesRecursive(fs: FileSystem, dir: Path): Seq[FileStatus] =
-    if (fs.getScheme == "file") {
+    if (scheme(fs) == "file") {
       val out = Seq.newBuilder[FileStatus]
       def walk(d: Path): Unit = fs.listStatus(d).foreach { s =>
         if (s.isDirectory) walk(s.getPath) else out += s

@@ -1855,12 +1855,39 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         .getOrElse(Map.empty)
     defs.toSeq.sortBy(_._1).foldLeft(df) { case (acc, (n, sql)) =>
       if (acc.columns.exists(_.equalsIgnoreCase(n))) acc
+      // a default whose column is no longer in the layer schema must not
+      // resurrect it (rename/drop re-key these properties, but a manifest
+      // written before that fix — or a hand-set property — could still
+      // carry a stale name; the declared schema is the authority)
+      else if (declared.nonEmpty && !declared.contains(n.toLowerCase)) acc
       else {
         val raw = expr(sql)
         acc.withColumn(n,
           declared.get(n.toLowerCase).map(raw.cast).getOrElse(raw))
       }
     }
+  }
+
+  /** Per-column layer properties (DEFAULT / GENERATED / IDENTITY) follow
+    * a RENAME and vanish on a DROP — otherwise [[applyDefaults]] or the
+    * generation/identity fill would silently resurrect the old name on
+    * the next commit increment. Bloom-index columns are handled inline by
+    * the callers (their property is one list, not per-column keys).
+    */
+  private def rekeyColumnProperties(layer: String, from: String,
+      to: Option[String]): Unit = {
+    val updates = Seq(DefaultValPrefix, GeneratedPrefix, IdentityPrefix)
+      .flatMap { prefix =>
+        properties(layer).collect {
+          case (k, v) if k.startsWith(prefix) && v.nonEmpty &&
+              k.stripPrefix(prefix).equalsIgnoreCase(from) =>
+            to match {
+              case Some(t) => Seq(k -> "", prefix + t -> v)
+              case None    => Seq(k -> "")
+            }
+        }.flatten
+      }
+    if (updates.nonEmpty) setProperties(layer, updates.toMap)
   }
 
   /** Top-level column names a generation expression references. */
@@ -2965,9 +2992,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * stores), the ledger walk is one small read per committed version
     * (the txnVersion shape), and the load itself is Spark's own
     * vectorized parquet scan over exactly the fresh files →
-    * [[appendAtomic]]'s O(increment) commit. Source partition columns
-    * are NOT derived from paths (explicit-file-list read) — stage files
-    * must carry their columns, like Delta's COPY INTO.
+    * [[appendAtomic]]'s O(increment) commit. A hive-layout staging tree
+    * (`k=v` directories under `srcDir`) CONTRIBUTES those path-derived
+    * partition columns to the loaded rows (discovery is rooted at
+    * `srcDir` via `basePath`) and they schema-evolve into the target
+    * like any other increment column; flat staging files must carry
+    * their columns in the file.
     *
     * `pattern` is a glob over the path RELATIVE to `srcDir`
     * (`*.parquet`, `batch_7/part-*`). Returns rewritten=0 and
@@ -3659,9 +3689,20 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
             else FileStats.collectResolved(
               spark.sparkContext.hadoopConfiguration,
               addFiles.map(r => r -> new Path(resolveRel(base, r))))
+          val parentMapping = parentM.map(_.mapping).getOrElse(
+            Map.empty[String, String])
           idCols.map { case (name, spec) =>
             val phys = mapping.getOrElse(name, name)
-            val prior = parentHighs.getOrElse(name, spec.start)
+            // a RENAME re-keys the identity property to the new logical
+            // name, but the parent manifest's watermark still sits under
+            // the old one — follow the (never-changing) physical name
+            // back to the parent's logical key so the counter carries
+            // instead of silently restarting at spec.start
+            val prior = parentHighs.get(name)
+              .orElse(parentHighs.collectFirst {
+                case (pn, v) if parentMapping.getOrElse(pn, pn) == phys => v
+              })
+              .getOrElse(spec.start)
             val beyond = addStats.flatMap(_.cols.get(phys))
               .flatMap(cs => if (spec.step > 0) cs.max else cs.min)
               .flatMap(s => scala.util.Try(s.toLong).toOption)
@@ -4119,6 +4160,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     if (bloomCols.contains(from))
       setProperties(layer, Map(BloomIndex.ColsProp ->
         bloomCols.map(c => if (c == from) to else c).mkString(",")))
+    // DEFAULT / GENERATED / IDENTITY declarations keyed by the old name
+    // follow the rename — a stale key would re-add the old column on the
+    // next fill-at-commit
+    rekeyColumnProperties(layer, from, Some(to))
     commitMetaOnly(layer, snap, inv, newSchema.toDDL, newMapping,
       droppedOf(snap), "RENAME COLUMN")
   }
@@ -4152,6 +4197,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     if (bloomCols.contains(name))
       setProperties(layer, Map(BloomIndex.ColsProp ->
         bloomCols.filterNot(_ == name).mkString(",")))
+    // a dropped column takes its DEFAULT / GENERATED / IDENTITY
+    // declaration with it — otherwise the next commit's fill-at-commit
+    // would silently resurrect the column with constant values
+    rekeyColumnProperties(layer, name, None)
     commitMetaOnly(layer, snap, inv, newSchema.toDDL, mapping - name,
       (droppedOf(snap) :+ physical).distinct, "DROP COLUMN")
   }
@@ -4519,6 +4568,9 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     require(!source.columns.exists(_.startsWith(Lake.SrcColPrefix)),
       s"mergeApply: source column names must not start with " +
         s"'${Lake.SrcColPrefix}' (the merge join namespace)")
+    require(!source.columns.exists(_.startsWith("__merge_")),
+      "mergeApply: source column names must not start with '__merge_' " +
+        "(the merge bookkeeping namespace)")
     val hasStar = (matched ++ notMatched).exists(c =>
       c.action == Lake.MergeUpdateStar || c.action == Lake.MergeInsertStar)
     if (hasStar)
@@ -4589,7 +4641,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       // insert clause applied; anti-join only against the key-pruned
       // target slice (lossless: a target row outside keyPred can't
       // equal any source key)
-      val PresentCol = "__src_present"
+      // match-flag and insert-tag columns live OUTSIDE the __src_ rename
+      // image: a source column literally named 'present' renames to
+      // __src_present, so a flag under that name would silently shadow
+      // real source data (srcCol("present") and UPDATE SET * would read
+      // the boolean). The __merge_ namespace is refused on sources above.
+      val PresentCol = "__merge_present"
       val TagCol = "__merge_tag"
       val appendRows: Option[DataFrame] =
         if (notMatched.isEmpty || srcEmpty) None
@@ -5167,12 +5224,37 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * their canonical JSON text for the multiset difference and parse
     * back after — value-equal variants cancel, and the emitted rows
     * carry real variant values again. Identity on variant-free frames.
+    *
+    * Type-fidelity caveat: the re-parsed variants carry JSON's type
+    * lattice, not the stored one — a variant that held a timestamp or
+    * decimal re-emerges as a JSON string/number variant (its JSON text
+    * is identical, its variant type tag is not). diff/changeFeed
+    * consumers comparing variant TYPE TAGS on emitted rows must re-read
+    * the source table; value comparisons and round-trips through
+    * `to_json` are unaffected. Variants NESTED inside struct/array/map
+    * columns have no such encode hook and are refused loudly (Spark's
+    * set-operation refusal would otherwise surface as an opaque analysis
+    * error).
     */
   private def exceptBothWays(a: DataFrame,
       b: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions.{col, expr, to_json}
+    import org.apache.spark.sql.types._
+    def hasNestedVariant(dt: DataType): Boolean = dt match {
+      case s: StructType => s.fields.exists(f => hasNestedVariant(f.dataType))
+      case ArrayType(e, _) => hasNestedVariant(e)
+      case MapType(k, v, _) => hasNestedVariant(k) || hasNestedVariant(v)
+      case _ => dt == VariantType
+    }
+    val nested = a.schema.fields.filter(f =>
+      f.dataType != VariantType && hasNestedVariant(f.dataType)).map(_.name)
+    require(nested.isEmpty,
+      s"diff/changeFeed: column(s) ${nested.mkString(", ")} nest VARIANT " +
+        "inside struct/array/map — set-difference over nested variants is " +
+        "unsupported (top-level VARIANT columns are; restructure or " +
+        "project them out)")
     val variantCols = a.schema.fields.filter(
-      _.dataType == org.apache.spark.sql.types.VariantType).map(_.name)
+      _.dataType == VariantType).map(_.name)
     if (variantCols.isEmpty) (a.exceptAll(b), b.exceptAll(a))
     else {
       def enc(df: DataFrame) = variantCols.foldLeft(df)((d, c) =>

@@ -138,4 +138,33 @@ class LakeDefaultSpec extends SparkTestBase {
       lake2.setColumnDefault("g", "d", "date'2020-01-01'")
     }.getMessage should include("GENERATED")
   }
+
+  test("DROP COLUMN takes the DEFAULT with it — the next append must " +
+      "not resurrect the dropped column") {
+    val (_, lake) = freshLake()
+    lake.setColumnDefault("t", "status", "'new'")
+    lake.writeAtomic(Seq((1L, "a")).toDF("id", "text"), "t")
+    lake.setProperties("t", Map("lake.columnMapping.mode" -> "name"))
+    lake.dropColumn("t", "status")
+    lake.columnDefaults("t") shouldBe empty
+    lake.appendAtomic(Seq((2L, "b")).toDF("id", "text"), "t")
+    lake.read("t").columns.sorted shouldBe Array("id", "text")
+    // compact (prearranged writeAtomic path) must not resurrect either
+    lake.compact("t")
+    lake.read("t").columns.sorted shouldBe Array("id", "text")
+  }
+
+  test("RENAME COLUMN re-keys the DEFAULT — fills under the new name, " +
+      "never re-adds the old one") {
+    val (_, lake) = freshLake()
+    lake.setColumnDefault("t", "status", "'new'")
+    lake.writeAtomic(Seq((1L, "a")).toDF("id", "text"), "t")
+    lake.setProperties("t", Map("lake.columnMapping.mode" -> "name"))
+    lake.renameColumn("t", "status", "state")
+    lake.columnDefaults("t") shouldBe Map("state" -> "'new'")
+    lake.appendAtomic(Seq((2L, "b")).toDF("id", "text"), "t")
+    lake.read("t").columns.sorted shouldBe Array("id", "state", "text")
+    lake.read("t").orderBy("id").select("state").as[String]
+      .collect() shouldBe Array("new", "new")
+  }
 }

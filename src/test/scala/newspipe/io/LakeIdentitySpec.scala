@@ -180,4 +180,31 @@ class LakeIdentitySpec extends SparkTestBase {
       chain(e).exists(t => Option(t.getMessage).exists(
         _.contains("exhausted"))))
   }
+
+  test("RENAME COLUMN on an identity column carries the watermark — " +
+      "allocations after the rename never reuse pre-rename values") {
+    val (_, lake) = freshLake()
+    lake.addIdentityColumn("t", "id", start = 1L, step = 1L)
+    lake.writeAtomic(Seq("a", "b", "c").toDF("text"), "t") // ids 1..3
+    lake.setProperties("t", Map("lake.columnMapping.mode" -> "name"))
+    lake.renameColumn("t", "id", "row_id")
+    lake.identityColumns("t").keySet shouldBe Set("row_id")
+    lake.appendAtomic(Seq("d", "e").toDF("text"), "t")
+    val ids = lake.read("t").select("row_id").as[Long].collect().sorted
+    ids shouldBe Array(1L, 2L, 3L, 4L, 5L) // NOT 1,1,2,2,3
+  }
+
+  test("DROP COLUMN on an identity column removes the declaration — " +
+      "the next append does not resurrect it") {
+    val (_, lake) = freshLake()
+    lake.addIdentityColumn("t", "id")
+    lake.writeAtomic(Seq("a").toDF("text")
+      .withColumn("note", lit("n")), "t")
+    lake.setProperties("t", Map("lake.columnMapping.mode" -> "name"))
+    lake.dropColumn("t", "id")
+    lake.identityColumns("t") shouldBe empty
+    lake.appendAtomic(Seq("b").toDF("text")
+      .withColumn("note", lit("n")), "t")
+    lake.read("t").columns.sorted shouldBe Array("note", "text")
+  }
 }

@@ -293,4 +293,26 @@ class LakeMergeApplySpec extends SparkTestBase {
     }
     e.getMessage should include("SCHEMA EVOLUTION")
   }
+
+  test("a source column literally named 'present' is real data, not the " +
+      "match flag — UPDATE SET * writes it through") {
+    val (_, lake) = freshLake()
+    lake.writeAtomic(Seq((1L, "old", "keep"), (2L, "old", "keep"))
+      .toDF("id", "present", "text"), "docs")
+    val src = Seq((1L, "fresh", "upd")).toDF("id", "present", "text")
+    lake.mergeApply("docs", src, Seq("id"),
+      matched = Seq(Lake.MergeClause(None, Lake.MergeUpdateStar)))
+    lake.read("docs").orderBy("id").select("present").as[String]
+      .collect() shouldBe Array("fresh", "old")
+  }
+
+  test("source columns in the __merge_ bookkeeping namespace are refused") {
+    val (_, lake) = freshLake()
+    lake.writeAtomic(Seq((1L, "a")).toDF("id", "text"), "docs")
+    val src = Seq((1L, "b", true)).toDF("id", "text", "__merge_present")
+    intercept[IllegalArgumentException] {
+      lake.mergeApply("docs", src, Seq("id"),
+        matched = Seq(Lake.MergeClause(None, Lake.MergeUpdateStar)))
+    }.getMessage should include("__merge_")
+  }
 }

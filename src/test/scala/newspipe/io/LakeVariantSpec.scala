@@ -111,4 +111,21 @@ class LakeVariantSpec extends SparkTestBase {
     ins.count() shouldBe 0L
     del.select($"id").as[Long].collect() shouldBe Array(2L)
   }
+
+  test("diff over a variant NESTED in a struct refuses loudly (no " +
+      "opaque set-operation analysis error)") {
+    val (_, lake) = freshLake()
+    val nested = Seq((1L, """{"k":1}"""), (2L, """{"k":2}"""))
+      .toDF("id", "j")
+      .select($"id", struct(expr("parse_json(j)").as("v")).as("wrap"))
+    lake.writeAtomic(nested, "t")
+    val v1 = lake.listVersions("t").head
+    lake.deleteWhere("t", $"id" === 2L)
+    val head = lake.listVersions("t").head
+    val e = intercept[IllegalArgumentException] {
+      val (ins, del) = lake.diff("t", v1, head)
+      ins.count(); del.count()
+    }
+    e.getMessage should include("nest VARIANT")
+  }
 }
