@@ -3949,6 +3949,46 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
           sum("doc_id").as("id_sum"))
         .orderBy("change_type", "lang")
+    }),
+
+    // Atomic CREATE OR REPLACE / RTAS (StagingTableCatalog): REPLACE
+    // supersedes schema + declaration in ONE commit while history keeps
+    // every pre-replace version (Delta's REPLACE semantics). In-query
+    // requires pin the atomicity shape (exactly one new version; the
+    // pre-replace snapshot still serves; REPLACE on a missing table
+    // refuses with nothing written); the oracle replays the pre and post
+    // corpora relationally.
+    "q179_replace_table" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.lake", "newspipe.io.LakeCatalog")
+      val root = java.nio.file.Files.createTempDirectory("q179_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      lake.writeAtomic(docs.filter(col("doc_id") % 2 === 0), "docs")
+      val preV = lake.listVersions("docs")
+      docs.filter(col("doc_id") % 3 === 0)
+        .createOrReplaceTempView("q179_src")
+      s.sql(s"REPLACE TABLE lake.`$root`.docs AS " +
+        "SELECT doc_id, lang, n_chars * 2L AS n2 FROM q179_src")
+      val postV = lake.listVersions("docs")
+      require(postV.size == preV.size + 1,
+        s"REPLACE must land as ONE commit: ${preV.size} -> ${postV.size}")
+      require(scala.util.Try(s.sql(
+          s"REPLACE TABLE lake.`$root`.q179_missing (id BIGINT)")).isFailure,
+        "REPLACE on a missing table must refuse")
+      require(lake.listVersions("q179_missing").isEmpty,
+        "the refused REPLACE must write nothing")
+      val pre = lake.readVersion("docs", preV.sorted.last)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("metric"), sum("doc_id").as("id_sum"))
+        .withColumn("snapshot", lit("pre"))
+      val post = lake.read("docs")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          sum("n2").as("metric"), sum("doc_id").as("id_sum"))
+        .withColumn("snapshot", lit("post"))
+      pre.unionByName(post)
+        .select("snapshot", "lang", "n_docs", "metric", "id_sum")
+        .orderBy("snapshot", "lang")
     })
   )
 
@@ -6724,6 +6764,23 @@ object SparkEntry {
           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
           |       CAST(sum(doc_id) AS BIGINT) AS id_sum
           |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
+      // pre-replace snapshot (even ids, n_chars) + post-replace head
+      // (ids %3, doubled metric) — REPLACE keeps history serving both
+      ("q179_replace_table" ->
+        """WITH pre AS (
+          |  SELECT lang, count(*) AS n_docs,
+          |         CAST(sum(n_chars) AS BIGINT) AS metric,
+          |         CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |  FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+          |post AS (
+          |  SELECT lang, count(*) AS n_docs,
+          |         CAST(sum(n_chars) * 2 AS BIGINT) AS metric,
+          |         CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |  FROM documents WHERE doc_id % 3 = 0 GROUP BY lang)
+          |SELECT 'pre' AS snapshot, lang, n_docs, metric, id_sum FROM pre
+          |UNION ALL
+          |SELECT 'post', lang, n_docs, metric, id_sum FROM post
+          |ORDER BY 1, 2""".stripMargin) +
       ("q152_substring_dedup" -> substringScrubOracleSql) +
       // SQL surface = API: the TVF runs the identical kernel
       ("q154_sql_substring_scrub" -> substringScrubOracleSql) +

@@ -1211,9 +1211,20 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // DataFrameReader normalization this hand-built relation bypasses) —
     // without it the vectorized reader REFUSES a file missing a
     // non-nullable evolved column instead of null-padding it
+    // exact plan-time cardinality from the sidecar (None when any file
+    // lacks stats — the optimizer then falls back to size-only, never a
+    // wrong count). DV'd rows are NOT subtracted here: the dv filter
+    // plans ABOVE this relation, so the relation's count is the pre-
+    // filter truth.
+    val metaRowCount: Option[Long] = {
+      val counts = rels.map(rel => statsByPath.get(qual(rel)).map(_.rows))
+      if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+    }
     val raw = org.apache.spark.sql.NewspipeSqlBridge.fileIndexedDataFrame(spark,
       new LakeFileIndex(statuses, statsByPath, basePath, bloomByPath),
-      org.apache.spark.sql.NewspipeSqlBridge.nullableSchema(schema))
+      org.apache.spark.sql.NewspipeSqlBridge.nullableSchema(schema),
+      rowCount = metaRowCount,
+      statsName = snap.getName)
     val dv = dvMapOf(snap)
     if (dv.isEmpty) raw
     else {

@@ -14,10 +14,11 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete,
-  SupportsNamespaces, SupportsPartitionManagement, SupportsRead,
-  SupportsWrite, Table, TableCapability, TableCatalog, TableChange,
-  NamespaceChange, Column => V2Column}
+import org.apache.spark.sql.connector.catalog.{Identifier, StagedTable,
+  StagingTableCatalog, SupportsDelete, SupportsNamespaces,
+  SupportsPartitionManagement, SupportsRead, SupportsWrite, Table,
+  TableCapability, TableCatalog, TableChange, NamespaceChange,
+  Column => V2Column}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
@@ -78,7 +79,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * appends; delete/update commits skipped) — see
   * [[LakeTable.toV1StreamingPlan]].
   */
-class LakeCatalog extends TableCatalog with SupportsNamespaces {
+class LakeCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catName: String = "lake"
   private var defaultBase: Option[String] = None
@@ -209,6 +211,32 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, columns: Array[V2Column],
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
+    val base = baseOf(ident.namespace.toSeq)
+    if (layerExists(base, ident.name))
+      throw new TableAlreadyExistsException(ident)
+    val decl = deriveDecl(columns, partitions, properties)
+    val lake = new Lake(spark, LakeConfig(basePath = base))
+    // Properties land BEFORE the first commit (the layer dir can carry
+    // _PROPERTIES.json ahead of any snapshot): a concurrent INSERT INTO —
+    // or a crash between the two steps — never observes a table missing
+    // its declared partition layout or constraint enforcement.
+    if (decl.props.nonEmpty) lake.setProperties(ident.name, decl.props)
+    // an empty-but-schema-carrying first commit: Spark writes one empty
+    // parquet footer for a zero-partition frame, so reads resolve the
+    // declared schema immediately (and CTAS appends land as commit 2)
+    lake.writeAtomic(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], decl.schema),
+      ident.name, partitionBy = decl.partCols)
+    LakeTable(spark, base, ident.name, None, catName)
+  }
+
+  /** Schema + partition layout + property-set derivation shared by
+    * [[createTable]] and the staged atomic paths ([[stageCreate]] /
+    * [[stageReplace]] / [[stageCreateOrReplace]]).
+    */
+  private def deriveDecl(columns: Array[V2Column],
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): LakeTableDecl = {
     // identity transforms only (hive partitioning); bucket/days/etc. have
     // no lake layout to land in. CREATE TABLE … CLUSTER BY arrives as a
     // ClusterByTransform — split it out into the clustering declaration.
@@ -231,9 +259,6 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
         s"lake catalog supports PARTITIONED BY (col, …) — identity " +
           s"transforms only; got: $other")
     }
-    val base = baseOf(ident.namespace.toSeq)
-    if (layerExists(base, ident.name))
-      throw new TableAlreadyExistsException(ident)
     val schema = StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(c.name, c.dataType,
         c.nullable)))
@@ -244,7 +269,6 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     require(clusterCols.intersect(partCols.toSeq).isEmpty,
       "CLUSTER BY and PARTITIONED BY columns must be disjoint (a hive " +
         "partition column is constant within its files)")
-    val lake = new Lake(spark, LakeConfig(basePath = base))
     val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
       TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER,
       TableCatalog.PROP_EXTERNAL, "transient_lastDdlTime")
@@ -337,20 +361,51 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
           "GENERATED/IDENTITY")
       s"lake.defaultValue.${c.name()}" -> sql
     }.toMap
-    // Properties land BEFORE the first commit (the layer dir can carry
-    // _PROPERTIES.json ahead of any snapshot): a concurrent INSERT INTO —
-    // or a crash between the two steps — never observes a table missing
-    // its declared partition layout or constraint enforcement.
     val allProps = withPart ++ notNullChecks ++ genProps ++ idProps ++
       defProps
-    if (allProps.nonEmpty) lake.setProperties(ident.name, allProps)
-    // an empty-but-schema-carrying first commit: Spark writes one empty
-    // parquet footer for a zero-partition frame, so reads resolve the
-    // declared schema immediately (and CTAS appends land as commit 2)
-    lake.writeAtomic(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
-      ident.name, partitionBy = partCols.toSeq)
-    LakeTable(spark, base, ident.name, None, catName)
+    LakeTableDecl(schema, partCols.toSeq, allProps)
+  }
+
+  // ---- atomic CREATE OR REPLACE / RTAS (StagingTableCatalog) --------------
+  //
+  // Spark plans REPLACE TABLE [AS SELECT] through the Atomic*Exec nodes
+  // when the catalog stages: the query writes into a [[StagedLakeTable]]
+  // that touches NOTHING visible, and `commitStagedChanges()` lands the
+  // whole replacement — declaration swap + data — with the data flip
+  // riding [[Lake.writeAtomic]]'s one-marker commit. Readers see the old
+  // incarnation until that marker exists; history (time travel, CDF)
+  // keeps every pre-replace version, Delta's REPLACE semantics.
+
+  override def stageCreate(ident: Identifier, columns: Array[V2Column],
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    val base = baseOf(ident.namespace.toSeq)
+    if (layerExists(base, ident.name))
+      throw new TableAlreadyExistsException(ident)
+    new StagedLakeTable(spark, base, ident.name,
+      deriveDecl(columns, partitions, properties),
+      requireNoParent = true, catName)
+  }
+
+  override def stageReplace(ident: Identifier, columns: Array[V2Column],
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    val base = baseOf(ident.namespace.toSeq)
+    // ANSI: REPLACE (without OR CREATE) on a missing table refuses at
+    // stage time — nothing is written before the refusal
+    if (!layerExists(base, ident.name)) throw new NoSuchTableException(ident)
+    new StagedLakeTable(spark, base, ident.name,
+      deriveDecl(columns, partitions, properties),
+      requireNoParent = false, catName)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      columns: Array[V2Column], partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    val base = baseOf(ident.namespace.toSeq)
+    new StagedLakeTable(spark, base, ident.name,
+      deriveDecl(columns, partitions, properties),
+      requireNoParent = false, catName)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -478,6 +533,92 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
   * by the [[V1Scan]] fallback), writes run through the commit protocol —
   * the catalog adds SQL addressing, never a second storage path.
   */
+/** A CREATE/REPLACE statement's derived declaration: logical schema, hive
+  * partition columns, and the layer property set (layout, NOT NULL
+  * checks, GENERATED/IDENTITY/DEFAULT declarations, user properties).
+  */
+private[io] final case class LakeTableDecl(schema: StructType,
+    partCols: Seq[String], props: Map[String, String])
+
+/** The staged side of atomic CREATE OR REPLACE / CTAS / RTAS: Spark's
+  * Atomic*Exec nodes write the query into this table (V1 write fallback,
+  * like [[LakeTable]]) and then call [[commitStagedChanges]] — until that
+  * point NOTHING visible changes (the write merely captures the frame;
+  * the job itself runs inside the commit, landing in an uncommitted
+  * `_v/<version>` dir whose visibility flips at the `_COMMITTED` marker).
+  * [[abortStagedChanges]] therefore has nothing to clean.
+  *
+  * REPLACE supersedes the previous incarnation's whole declaration: the
+  * per-column property families (constraints, generated, identity,
+  * defaults) and the layout keys are cleared and the new declaration
+  * overlaid — while table HISTORY is retained (time travel and the
+  * change feed still serve pre-replace versions; Delta's REPLACE
+  * semantics). The property swap itself is a separate admin write
+  * immediately before the data commit: a reader in that window sees old
+  * data under the new declaration (the same documented window CREATE
+  * has); a failed commit restores the prior declaration best-effort.
+  */
+private[io] final class StagedLakeTable(spark: SparkSession, base: String,
+    layer: String, decl: LakeTableDecl, requireNoParent: Boolean,
+    catName: String) extends StagedTable with SupportsWrite {
+
+  @volatile private var staged: Option[DataFrame] = None
+  @transient private lazy val lake =
+    new Lake(spark, LakeConfig(basePath = base))
+
+  override def name(): String = s"$catName.`$base`.$layer (staged)"
+  override def schema(): StructType = decl.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // the staged incarnation is born empty — truncate-then-write and
+      // plain write are the same thing
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              staged = Some(data)
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val prior = lake.properties(layer)
+    val declPrefixes = Seq("lake.constraint.", "lake.generated.",
+      "lake.identity.", "lake.defaultValue.")
+    val declKeys = Set("lake.partitionBy", Lake.ClusterByProp)
+    val cleared = prior.keysIterator
+      .filter(k => declKeys(k) || declPrefixes.exists(k.startsWith))
+      .map(_ -> "").toMap
+    val updates = cleared ++ decl.props
+    if (updates.nonEmpty) lake.setProperties(layer, updates)
+    try {
+      val df = staged.getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], decl.schema))
+      // CREATE commits only if the layer is STILL uncommitted (a racing
+      // creator loses loudly); REPLACE lands over whatever head exists
+      if (requireNoParent)
+        lake.writeAtomicIfLatest(df, layer, expectedParent = None,
+          partitionBy = decl.partCols)
+      else
+        lake.writeAtomic(df, layer, partitionBy = decl.partCols)
+    } catch {
+      case e: Throwable =>
+        // data never became visible — restore the prior declaration
+        try lake.setProperties(layer,
+          updates.keysIterator.map(k => k -> prior.getOrElse(k, "")).toMap)
+        catch { case scala.util.control.NonFatal(_) => }
+        throw e
+    }
+  }
+
+  override def abortStagedChanges(): Unit = staged = None
+}
+
 final case class LakeTable(spark: SparkSession, base: String, layer: String,
     pinnedVersion: Option[String], catName: String = "lake")
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
@@ -701,6 +842,30 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
   // ---- read: V1Scan fallback (correct everywhere; the fast path is the
   // ---- resolution-rule rewrite above) -------------------------------------
 
+  /** Metadata-exact scan statistics: byte size from the snapshot's live
+    * inventory (the same exact total the v1 plan's file index reports)
+    * and row count from the manifest/sidecar ([[Lake.metadataRowCount]]) —
+    * so the optimizer's broadcast-vs-SMJ choice on a lake table uses the
+    * protocol's own numbers, not a guess. Cached per table handle: one
+    * listing, amortized over every scan of the handle.
+    *
+    * Spark caveat, documented: once V2ScanRelationPushDown wraps a
+    * [[V1Scan]] in its `V1ScanWrapper`, `DataSourceV2ScanRelation
+    * .computeStats` no longer sees this interface — the EXTENSION path
+    * ([[LakeV2ReadRewrite]] → v1 LogicalRelation with CatalogStatistics)
+    * is where these stats reach join planning today; this scan-side
+    * surface keeps the pure-v2 contract complete for engines (and future
+    * Spark versions) that consult the unwrapped scan.
+    */
+  private lazy val scanStats: (Long, Option[Long]) = {
+    val size = NewspipeSqlBridge.planStatistics(dataFrame())._1
+    val rows = pinnedVersion match {
+      case None => lake.metadataRowCount(layer)
+      case Some(_) => None
+    }
+    (size.min(BigInt(Long.MaxValue)).toLong, rows)
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
         with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -719,7 +884,8 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
       override def pushedFilters(): Array[sources.Filter] = pushed
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
-      override def build(): Scan = new V1Scan {
+      override def build(): Scan = new V1Scan
+          with org.apache.spark.sql.connector.read.SupportsReportStatistics {
         override def readSchema(): StructType = required
         // the planner calls the relation's no-arg buildScan — the scan
         // itself must carry the pushdown state into the relation
@@ -727,6 +893,17 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
             context: SQLContext): T =
           new LakeV1Relation(context, LakeTable.this, required, pushed)
             .asInstanceOf[T]
+        override def estimateStatistics()
+            : org.apache.spark.sql.connector.read.Statistics = {
+          val (size, rows) = scanStats
+          new org.apache.spark.sql.connector.read.Statistics {
+            override def sizeInBytes(): java.util.OptionalLong =
+              java.util.OptionalLong.of(size)
+            override def numRows(): java.util.OptionalLong =
+              rows.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+          }
+        }
       }
     }
 
@@ -868,6 +1045,10 @@ private[io] class LakeV1Relation(ctx: SQLContext,
   // the planner REQUIRES relation schema == the v2 scan's (pruned) schema
   override def sqlContext: SQLContext = ctx
   override val schema: StructType = prunedSchema
+  // exact inventory bytes, not BaseRelation's defaultSizeInBytes guess
+  override def sizeInBytes: Long =
+    NewspipeSqlBridge.planStatistics(table.dataFrame())._1
+      .min(BigInt(Long.MaxValue)).toLong
   override def buildScan(): RDD[Row] = {
     val cond = pushed.toSeq.flatMap(LakeTable.filterToColumn(_))
       .reduceOption(_ && _)

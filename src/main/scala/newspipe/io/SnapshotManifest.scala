@@ -77,15 +77,99 @@ import org.json4s.jackson.JsonMethods
   *   the added files' column stats, so explicit inserts (BY DEFAULT
   *   mode) bump it too and can never cause a future collision.
   */
+/** @param features protocol features a reader MUST understand to serve
+  *   this snapshot correctly (Delta's readerFeatures role). The writer
+  *   derives the content-borne ones automatically at serialization
+  *   ([[ProtocolFeatures.derive]]); this field carries any EXTRA declared
+  *   features, and parsing REFUSES a document naming a feature outside
+  *   [[ProtocolFeatures.Supported]] — an older build reading a
+  *   newer-featured layer fails loudly at the protocol layer instead of
+  *   silently misreading (resurrecting DV'd rows, reading physical column
+  *   names, double-allocating row ids).
+  */
 final case class SnapshotManifest(files: Seq[String], schemaDdl: String,
     dvs: Map[String, String] = Map.empty,
     mapping: Map[String, String] = Map.empty,
     dropped: Seq[String] = Nil,
     rowBases: Map[String, Long] = Map.empty,
     rowWatermark: Long = 0L,
-    idHighs: Map[String, Long] = Map.empty) {
+    idHighs: Map[String, Long] = Map.empty,
+    features: Seq[String] = Nil) {
   /** Read schema (LOGICAL names) for the empty-manifest case. */
   def schema: StructType = StructType.fromDDL(schemaDdl)
+}
+
+/** Protocol feature gates (Delta's minReader/readerFeatures role, on the
+  * feature-set model): every commit document records which protocol
+  * features its content requires of a reader; parsing any document that
+  * names a feature this build does not know refuses loudly. Existing
+  * feature-free layers record nothing and are unaffected.
+  */
+object ProtocolFeatures {
+  /** Reader features THIS build understands. */
+  val Supported: Set[String] = Set(
+    "columnMapping",   // logical→physical name mapping + dropped ghosts
+    "deletionVectors", // soft-deleted row positions filtered at read
+    "rowTracking",     // stable row ids (bases + materialized _row_id)
+    "identity",        // identity high watermarks (write-side, but a
+                       //   reader-visible manifest field)
+    "variant")         // VARIANT columns in the recorded schema
+
+  /** The features a manifest's CONTENT requires — derived, so every
+    * construction site stays feature-oblivious. */
+  def derive(m: SnapshotManifest): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    if (m.mapping.nonEmpty || m.dropped.nonEmpty) b += "columnMapping"
+    if (m.dvs.nonEmpty) b += "deletionVectors"
+    if (m.rowBases.nonEmpty || m.rowWatermark > 0L) b += "rowTracking"
+    if (m.idHighs.nonEmpty) b += "identity"
+    if (ddlHasVariant(m.schemaDdl)) b += "variant"
+    b.result()
+  }
+
+  def derive(d: DeltaDoc): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    if (d.mapping.nonEmpty || d.dropped.nonEmpty) b += "columnMapping"
+    if (d.dvSet.nonEmpty) b += "deletionVectors"
+    if (d.addBases.nonEmpty || d.rowWatermark > 0L) b += "rowTracking"
+    if (d.idHighs.nonEmpty) b += "identity"
+    if (ddlHasVariant(d.schemaDdl)) b += "variant"
+    b.result()
+  }
+
+  /** VARIANT detection by PARSING the DDL (a backquoted column literally
+    * named VARIANT must not trip it). Nested variants count — any reader
+    * that can't decode the type misreads the file. */
+  private def ddlHasVariant(ddl: String): Boolean = {
+    def has(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case s: StructType => s.fields.exists(f => has(f.dataType))
+      case org.apache.spark.sql.types.ArrayType(e, _) => has(e)
+      case org.apache.spark.sql.types.MapType(k, v, _) => has(k) || has(v)
+      case other => other == org.apache.spark.sql.types.VariantType
+    }
+    try has(StructType.fromDDL(ddl))
+    catch { case scala.util.control.NonFatal(_) => false }
+  }
+
+  def refuseUnknown(feats: Seq[String], where: String): Unit = {
+    val unknown = feats.filterNot(Supported)
+    if (unknown.nonEmpty) throw new IllegalStateException(
+      s"$where requires protocol feature(s) ${unknown.mkString(", ")} " +
+        s"this build does not support (supported: " +
+        s"${Supported.toSeq.sorted.mkString(", ")}) — upgrade the engine " +
+        "to read this table")
+  }
+
+  private[io] def featuresOf(root: JValue): Seq[String] =
+    (root \ "features") match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _ => Nil
+    }
+
+  private[io] def featuresField(feats: Seq[String]): List[(String, JValue)] =
+    if (feats.isEmpty) Nil
+    else List("features" -> JArray(
+      feats.distinct.sorted.toList.map(s => JString(s): JValue)))
 }
 
 object SnapshotManifest {
@@ -136,11 +220,13 @@ object SnapshotManifest {
       shardSize: Int = DefaultShardSize): (String, Seq[String]) = {
     require(shardSize > 0, s"shardSize must be positive, got $shardSize")
     val tracked = m.rowBases.nonEmpty
+    val feats = ProtocolFeatures.featuresField(
+      m.features ++ ProtocolFeatures.derive(m))
     if (m.files.size <= shardSize)
       (JsonMethods.compact(JsonMethods.render(JObject(List(
         "version" -> JInt(1),
         "schemaDdl" -> JString(m.schemaDdl),
-        "files" -> filesArray(m.files)) ++
+        "files" -> filesArray(m.files)) ++ feats ++
         (if (tracked) List("rowBases" -> basesArray(m.files, m.rowBases))
          else Nil) ++ trackingFields(m) ++ dvsObject(m.dvs)
         ++ mappingFields(m)))), Nil)
@@ -150,7 +236,7 @@ object SnapshotManifest {
         "version" -> JInt(2),
         "schemaDdl" -> JString(m.schemaDdl),
         "count" -> JInt(m.files.size),
-        "shards" -> JInt(groups.size)) ++ trackingFields(m)
+        "shards" -> JInt(groups.size)) ++ feats ++ trackingFields(m)
         ++ dvsObject(m.dvs) ++ mappingFields(m))))
       (head, groups.map(g =>
         JsonMethods.compact(JsonMethods.render(JObject(List(
@@ -195,6 +281,9 @@ object SnapshotManifest {
 
   def read(headJson: String, readShard: Int => String): SnapshotManifest = {
     val root = JsonMethods.parse(headJson)
+    // feature gate FIRST: refuse before interpreting any other field
+    val features = ProtocolFeatures.featuresOf(root)
+    ProtocolFeatures.refuseUnknown(features, FileName)
     val ddl = (root \ "schemaDdl") match {
       case JString(s) => s
       case other => throw new IllegalArgumentException(
@@ -243,11 +332,11 @@ object SnapshotManifest {
           s"sharded $FileName reassembled ${files.size} paths but the head " +
             s"records $expected — a shard is missing or truncated")
         SnapshotManifest(files, ddl, dvs, mapping, dropped,
-          parts.flatMap(_._2).toMap, watermark, idHighs)
+          parts.flatMap(_._2).toMap, watermark, idHighs, features)
       case _ =>
         val files = filesOf(root, FileName)
         SnapshotManifest(files, ddl, dvs, mapping, dropped,
-          basesOf(root, files), watermark, idHighs)
+          basesOf(root, files), watermark, idHighs, features)
     }
   }
 
@@ -310,6 +399,7 @@ object DeltaDoc {
       "schemaDdl" -> JString(d.schemaDdl),
       "add" -> arr(d.add),
       "remove" -> arr(d.remove)) ++
+      ProtocolFeatures.featuresField(ProtocolFeatures.derive(d)) ++
       (if (d.dvSet.isEmpty) Nil else List("dvSet" -> obj(d.dvSet))) ++
       (if (d.dvUnset.isEmpty) Nil else List("dvUnset" -> arr(d.dvUnset))) ++
       (if (d.mapping.isEmpty) Nil else List("mapping" -> obj(d.mapping))) ++
@@ -326,6 +416,9 @@ object DeltaDoc {
 
   def fromJson(json: String): DeltaDoc = {
     val root = JsonMethods.parse(json)
+    // feature gate FIRST: refuse before interpreting any other field
+    ProtocolFeatures.refuseUnknown(ProtocolFeatures.featuresOf(root),
+      FileName)
     def str(k: String): String = (root \ k) match {
       case JString(s) => s
       case other => throw new IllegalArgumentException(

@@ -129,6 +129,14 @@ object NewspipeSqlBridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 
+  /** The logical-plan statistics Catalyst would use for this frame —
+    * (sizeInBytes, rowCount). */
+  def planStatistics(df: Dataset[_]): (BigInt, Option[BigInt]) = {
+    val s = df.asInstanceOf[classic.Dataset[_]]
+      .queryExecution.analyzed.stats
+    (s.sizeInBytes, s.rowCount)
+  }
+
   /** A DataFrame over a custom [[org.apache.spark.sql.execution.datasources
     * .FileIndex]] — the Delta `TahoeFileIndex` pattern: the relation plans
     * through Spark's own FileSourceStrategy (vectorized parquet scan,
@@ -138,7 +146,9 @@ object NewspipeSqlBridge {
     */
   def fileIndexedDataFrame(spark: SparkSession,
       index: org.apache.spark.sql.execution.datasources.FileIndex,
-      dataSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+      dataSchema: org.apache.spark.sql.types.StructType,
+      rowCount: Option[Long] = None,
+      statsName: String = "lake_layer"): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       location = index,
@@ -148,8 +158,35 @@ object NewspipeSqlBridge {
       fileFormat = new org.apache.spark.sql.execution.datasources.parquet
         .ParquetFileFormat(),
       options = Map.empty)(cs)
-    classic.Dataset.ofRows(cs,
-      org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
+    // Surface the protocol's EXACT metadata statistics to Catalyst:
+    // size-based decisions (broadcast-vs-SMJ) already see the file
+    // index's exact byte total through HadoopFsRelation.sizeInBytes; the
+    // manifest row count reaches the cost-based optimizer through a
+    // stats-only CatalogTable (LogicalRelation.computeStats prefers
+    // catalogTable.stats when CBO/plan-stats is enabled — the Delta/
+    // Iceberg posture of handing the optimizer protocol-exact cardinality
+    // instead of a size/row-width guess).
+    val catalogTable = rowCount.map { n =>
+      import org.apache.spark.sql.catalyst.catalog.{CatalogStatistics,
+        CatalogStorageFormat, CatalogTable, CatalogTableType}
+      CatalogTable(
+        identifier = org.apache.spark.sql.catalyst
+          .TableIdentifier(statsName, Some("lake")),
+        tableType = CatalogTableType.EXTERNAL,
+        storage = CatalogStorageFormat.empty,
+        schema = dataSchema,
+        provider = Some("lake"),
+        stats = Some(CatalogStatistics(
+          sizeInBytes = BigInt(index.sizeInBytes),
+          rowCount = Some(BigInt(n)))))
+    }
+    val plan = catalogTable match {
+      case Some(ct) =>
+        org.apache.spark.sql.execution.datasources.LogicalRelation(rel, ct)
+      case None =>
+        org.apache.spark.sql.execution.datasources.LogicalRelation(rel)
+    }
+    classic.Dataset.ofRows(cs, plan)
   }
 
   /** A computed batch frame re-tagged `isStreaming = true` — what a DSv1

@@ -446,4 +446,46 @@ class PlanSpec extends SparkTestBase {
     // 2-round join tower (retry cost is one round, not the whole history)
     out.queryExecution.optimizedPlan.toString should include("LogicalRDD")
   }
+
+  test("lake metadata statistics drive join planning: a small lake table " +
+      "auto-broadcasts with NO hint, a large one does not") {
+    import newspipe.io.{Lake, LakeConfig}
+    val dir = Files.createTempDirectory("planstats").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.writeAtomic(Seq((0L, "d0"), (1L, "d1")).toDF("bucket", "label"),
+      "smalldim")
+    lake.writeAtomic((1L to 60000L).map(i => (i % 50, s"big$i"))
+      .toDF("bucket", "label"), "bigdim")
+    val fact = spark.read.parquet(s"$parquetDir/flat")
+      .withColumn("bucket", $"bucket".cast("long"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // threshold between the two tables' exact byte sizes: the planner
+      // must measure, not guess
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+      val smallPlan = executed(fact.join(lake.read("smalldim"), "bucket"))
+      smallPlan should include("BroadcastHashJoin")
+      val bigPlan = executed(fact.join(lake.read("bigdim"), "bucket"))
+      bigPlan should include("SortMergeJoin")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("lake reads carry the manifest row count as plan-time cardinality " +
+      "(CatalogStatistics -> CBO)") {
+    import newspipe.io.{Lake, LakeConfig}
+    import org.apache.spark.sql.NewspipeSqlBridge
+    val dir = Files.createTempDirectory("planstats2").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.writeAtomic((1L to 1234L).map(i => (i, s"t$i")).toDF("id", "text"),
+      "counted")
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val (_, rows) = NewspipeSqlBridge.planStatistics(lake.read("counted"))
+      rows shouldBe Some(BigInt(1234L))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
 }

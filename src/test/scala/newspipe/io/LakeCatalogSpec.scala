@@ -554,4 +554,77 @@ class LakeCatalogSpec extends SparkTestBase {
     }
     e.getMessage should include("nullable")
   }
+
+  // ---- atomic CREATE OR REPLACE / RTAS (StagingTableCatalog) --------------
+
+  test("REPLACE TABLE AS SELECT: new data and schema visible only after " +
+      "the commit; pre-replace versions keep serving (history retained)") {
+    lake.writeAtomic(Seq((1L, "a"), (2L, "b")).toDF("id", "text"), "rtas")
+    val preVersions = lake.listVersions("rtas")
+    spark.sql(s"REPLACE TABLE lake.`$base`.rtas AS " +
+      "SELECT * FROM VALUES (10L, 'x', 1.5D), (20L, 'y', 2.5D) " +
+      "AS t(id, label, score)")
+    // post-replace: new schema + new rows
+    spark.sql(s"SELECT id, label, score FROM lake.`$base`.rtas ORDER BY id")
+      .as[(Long, String, Double)].collect() shouldBe
+      Array((10L, "x", 1.5), (20L, "y", 2.5))
+    // the replacement is ONE new committed version; every pre-replace
+    // version still serves the old incarnation via time travel
+    val postVersions = lake.listVersions("rtas")
+    postVersions.size shouldBe preVersions.size + 1
+    spark.sql(s"SELECT id, text FROM lake.`$base`.rtas " +
+      s"VERSION AS OF '${preVersions.sorted.last}' ORDER BY id")
+      .as[(Long, String)].collect() shouldBe Array((1L, "a"), (2L, "b"))
+  }
+
+  test("REPLACE TABLE without AS: schema-only replacement reads empty; " +
+      "declaration (partitioning, defaults) wholly superseded") {
+    spark.sql(s"CREATE TABLE lake.`$base`.repl " +
+      "(id BIGINT, lang STRING, note STRING DEFAULT 'n') " +
+      "PARTITIONED BY (lang)")
+    spark.sql(s"INSERT INTO lake.`$base`.repl VALUES (1, 'en', 'x')")
+    spark.sql(s"REPLACE TABLE lake.`$base`.repl (k BIGINT, v STRING)")
+    spark.sql(s"SELECT * FROM lake.`$base`.repl").columns.toSeq shouldBe
+      Seq("k", "v")
+    spark.sql(s"SELECT count(*) AS n FROM lake.`$base`.repl")
+      .as[Long].head() shouldBe 0L
+    // the old incarnation's declaration is gone with it
+    lake.properties("repl").get("lake.partitionBy") shouldBe None
+    lake.columnDefaults("repl") shouldBe empty
+    // and the new incarnation accepts writes under the new schema
+    spark.sql(s"INSERT INTO lake.`$base`.repl VALUES (5, 'z')")
+    spark.sql(s"SELECT k, v FROM lake.`$base`.repl")
+      .as[(Long, String)].collect() shouldBe Array((5L, "z"))
+  }
+
+  test("REPLACE TABLE on a missing table refuses at stage time; CREATE " +
+      "OR REPLACE creates it") {
+    intercept[Exception] {
+      spark.sql(s"REPLACE TABLE lake.`$base`.ghost (id BIGINT)")
+    }
+    lake.listVersions("ghost") shouldBe empty
+    spark.sql(s"CREATE OR REPLACE TABLE lake.`$base`.corw AS " +
+      "SELECT 1L AS id, 'a' AS text")
+    spark.sql(s"SELECT id, text FROM lake.`$base`.corw")
+      .as[(Long, String)].collect() shouldBe Array((1L, "a"))
+    // and again over the existing incarnation
+    spark.sql(s"CREATE OR REPLACE TABLE lake.`$base`.corw AS " +
+      "SELECT 9L AS id")
+    spark.sql(s"SELECT id FROM lake.`$base`.corw")
+      .as[Long].collect() shouldBe Array(9L)
+  }
+
+  test("RTAS with PARTITIONED BY lands the new hive layout") {
+    lake.writeAtomic(Seq((1L, "en")).toDF("id", "lang"), "rpart")
+    spark.sql(s"REPLACE TABLE lake.`$base`.rpart PARTITIONED BY (lang) AS " +
+      "SELECT * FROM VALUES (1L, 'en'), (2L, 'de'), (3L, 'en') " +
+      "AS t(id, lang)")
+    lake.properties("rpart").get("lake.partitionBy") shouldBe Some("lang")
+    spark.sql(s"SELECT id FROM lake.`$base`.rpart WHERE lang = 'en' " +
+      "ORDER BY id").as[Long].collect() shouldBe Array(1L, 3L)
+    // partition dirs really exist in the new snapshot (layout, not just rows)
+    val head = lake.listVersions("rpart").sorted.last
+    val snapDir = new java.io.File(s"$base/rpart/_v/$head")
+    snapDir.listFiles().map(_.getName).count(_.startsWith("lang=")) shouldBe 2
+  }
 }

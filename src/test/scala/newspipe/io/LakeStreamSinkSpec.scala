@@ -308,6 +308,44 @@ class LakeStreamSinkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("fill-at-commit applies to streamed batches: a batch omitting a " +
+      "DEFAULTed and an IDENTITY column lands filled, and the tracked " +
+      "feed attributes the streamed rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = freshDir("sink_fill")
+    val lake = new Lake(spark, LakeConfig(basePath = base))
+    // snapshot-managed target with declarations BEFORE the stream starts
+    lake.writeAtomic(Seq((0L, "seed", "s")).toDF("rid", "text", "status")
+      .select($"rid".cast("long").as("rid"), $"text", $"status"), "docs")
+    lake.addIdentityColumn("docs", "rid", start = 100L, step = 1L)
+    lake.setColumnDefault("docs", "status", "'streamed'")
+    lake.enableRowTracking("docs")
+    val stream = MemoryStream[String]
+    val q = stream.toDF().toDF("text").writeStream
+      .format("lake")
+      .option("basePath", base).option("layer", "docs")
+      .option("checkpointLocation", freshDir("sink_fill_ck"))
+      .start()
+    val v0 = lake.listVersions("docs").head
+    try {
+      stream.addData("a", "b"); q.processAllAvailable()
+      stream.addData("c"); q.processAllAvailable()
+    } finally q.stop()
+    val rows = lake.read("docs").orderBy("rid")
+      .select("rid", "text", "status").collect()
+    // identity allocated densely from the declared start, default filled
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(0L, 100L, 101L, 102L)
+    rows.filter(_.getString(1) != "seed")
+      .map(_.getString(2)).toSet shouldBe Set("streamed")
+    // streamed increments are attributed by the tracked feed as inserts
+    // with DISTINCT stable row ids
+    val head = lake.listVersions("docs").head
+    val feed = lake.changeFeedTracked("docs", v0, head)
+    val ins = feed.filter($"_change_type" === "insert")
+    ins.count() shouldBe 3L
+    ins.select("_row_id").distinct().count() shouldBe 3L
+  }
+
   test("update/complete output modes are refused at sink build time") {
     implicit val sqlCtx = spark.sqlContext
     val base = freshDir("sink_mode")
