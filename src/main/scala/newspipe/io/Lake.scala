@@ -1879,6 +1879,31 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     }
   }
 
+  /** RENAME/DROP COLUMN refusal for columns other declarations READ:
+    * a CHECK constraint or another column's generation expression that
+    * references the column would break at the NEXT commit (analysis
+    * error at fill/validate time) — refuse NOW with the fix named, the
+    * Delta posture.
+    */
+  private def refuseReferencedColumn(layer: String, col: String,
+      op: String): Unit = {
+    val badChecks = constraints(layer).filter { case (_, sql) =>
+      generationRefs(sql).exists(_.equalsIgnoreCase(col))
+    }.keys.toSeq.sorted
+    require(badChecks.isEmpty,
+      s"$op('$layer', '$col'): CHECK constraint(s) " +
+        s"${badChecks.mkString(", ")} reference the column — drop them " +
+        "first (ALTER TABLE DROP CONSTRAINT)")
+    val badGen = generatedColumns(layer).filter { case (g, sql) =>
+      !g.equalsIgnoreCase(col) &&
+        generationRefs(sql).exists(_.equalsIgnoreCase(col))
+    }.keys.toSeq.sorted
+    require(badGen.isEmpty,
+      s"$op('$layer', '$col'): generated column(s) " +
+        s"${badGen.mkString(", ")} reference it in their expression — " +
+        "drop the generated declaration first")
+  }
+
   /** Per-column layer properties (DEFAULT / GENERATED / IDENTITY) follow
     * a RENAME and vanish on a DROP — otherwise [[applyDefaults]] or the
     * generation/identity fill would silently resurrect the old name on
@@ -3534,17 +3559,30 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         val out = fs(newSnap).create(new Path(newSnap, name), false)
         try out.write(body.getBytes("UTF-8")) finally out.close()
       }
-      commitManifest(layer, snap, newSnap, carried,
+      // APPEND REBASE (Delta's append-vs-append conflict class): an
+      // append rewrites NOTHING, so losing the parent race to a
+      // compatible sibling needs only a re-parent of the staged commit —
+      // the (possibly GBs of) increment data is NOT rewritten. Rebase is
+      // refused (→ ConcurrentModificationException → the caller's full
+      // retry, which re-runs identity allocation) when the head's schema/
+      // mapping/dropped changed, or when this increment baked freshly
+      // allocated identity values and a sibling allocated too
+      // (rebaseRequireIdHighs pins the watermark we allocated from).
+      val committed = commitManifest(layer, snap, newSnap, carried,
         rebasedStats(layer, snap), schemaDdl, dvs = dvMapOf(snap),
         op = if (txn.isDefined) "STREAMING APPEND" else "APPEND",
-        mapping = mapping, dropped = droppedOf(snap))
+        mapping = mapping, dropped = droppedOf(snap),
+        rebaseRewritten = Some(Set.empty),
+        rebaseRequireIdHighs =
+          if (identityColumns(layer).isEmpty) None
+          else Some(manifestOf(snap).map(_.idHighs).getOrElse(Map.empty)))
+      Lake.RowOpResult(committed.toString, 0, carried.size)
     } catch {
       case e: java.util.ConcurrentModificationException => throw e
       case scala.util.control.NonFatal(e) =>
         fs(newSnap).delete(newSnap, true)
         throw e
     }
-    Lake.RowOpResult(newSnap.toString, 0, carried.size)
   }
 
   /** Latest version recorded for `appId` in the layer's stream-txn ledger
@@ -3615,13 +3653,27 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   @volatile var onBeforeManifestCommit: () => Unit = () => ()
 
+  /** @param rebaseRewritten enables LOGICAL CONFLICT RESOLUTION on a lost
+    *   parent race (see the CME handler): `Some(set)` = the staged
+    *   commit's rewritten file set (EMPTY for a pure append — nothing
+    *   rewritten, everything carried), `None` = no rebase, the conflict
+    *   propagates for a full retry.
+    * @param rebaseRequireIdHighs when the staged DATA baked freshly
+    *   ALLOCATED identity values (appends with identity columns), a
+    *   rebase is only sound if no sibling allocated too — the head's
+    *   `idHighs` must still equal this captured map, else the baked
+    *   values would collide and the rebase bails to a full retry (which
+    *   re-allocates). Maintenance rewrites carry EXISTING values and
+    *   pass None (sibling allocation is compatible).
+    */
   private def commitManifest(layer: String, parent: Path, newSnap: Path,
       carried: Seq[String], oldStats: Map[String, FileStats.FileStat],
       schemaDdl: String, dvs: Map[String, String] = Map.empty,
       op: String = "UNKNOWN", mapping: Map[String, String] = Map.empty,
       dropped: Seq[String] = Nil,
       rebaseRewritten: Option[Set[String]] = None,
-      baseHints: Map[String, Long] = Map.empty): Path = {
+      baseHints: Map[String, Long] = Map.empty,
+      rebaseRequireIdHighs: Option[Map[String, Long]] = None): Path = {
     val base = layerPath(layer)
     val f = fs(newSnap)
     // vars: a REBASE re-ids the staged snapshot (version ids order history
@@ -3840,7 +3892,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
               mH.schemaDdl == schemaDdl &&
               mH.mapping == mapping &&
               mH.dropped.toSet == dropped.toSet &&
-              rewritten.forall(r => mH.dvs.get(r) == parentDv.get(r))
+              rewritten.forall(r => mH.dvs.get(r) == parentDv.get(r)) &&
+              rebaseRequireIdHighs.forall(_ == mH.idHighs)
           if (!compatible) bail()
           curParent = head
           curCarried = mH.files.filterNot(rewritten)
@@ -4167,10 +4220,16 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // the bloom-index property tracks LOGICAL names — follow the rename
     // (the carried per-file entries stay valid untouched: they're keyed
     // by the physical name, which never changes)
+    refuseReferencedColumn(layer, from, "renameColumn")
     val bloomCols = bloomColsOf(layer)
     if (bloomCols.contains(from))
       setProperties(layer, Map(BloomIndex.ColsProp ->
         bloomCols.map(c => if (c == from) to else c).mkString(",")))
+    // clustering keys are logical names too — follow the rename
+    val zcols = clusterByCols(layer)
+    if (zcols.contains(from))
+      setProperties(layer, Map(Lake.ClusterByProp ->
+        zcols.map(c => if (c == from) to else c).mkString(",")))
     // DEFAULT / GENERATED / IDENTITY declarations keyed by the old name
     // follow the rename — a stale key would re-add the old column on the
     // next fill-at-commit
@@ -4204,10 +4263,17 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       schema.fields.filterNot(_.name == name))
     // a dropped column leaves the bloom-index declaration too (stale
     // per-file entries are harmless — probes only consult named columns)
+    refuseReferencedColumn(layer, name, "dropColumn")
     val bloomCols = bloomColsOf(layer)
     if (bloomCols.contains(name))
       setProperties(layer, Map(BloomIndex.ColsProp ->
         bloomCols.filterNot(_ == name).mkString(",")))
+    // a dropped column leaves the clustering declaration (OPTIMIZE would
+    // otherwise fail resolving it on the next maintenance pass)
+    val zcols = clusterByCols(layer)
+    if (zcols.contains(name))
+      setProperties(layer, Map(Lake.ClusterByProp ->
+        zcols.filterNot(_ == name).mkString(",")))
     // a dropped column takes its DEFAULT / GENERATED / IDENTITY
     // declaration with it — otherwise the next commit's fill-at-commit
     // would silently resurrect the column with constant values

@@ -371,4 +371,38 @@ class LakeColumnMappingSpec extends SparkTestBase {
     lake.read("t2").schema("score").dataType shouldBe
       org.apache.spark.sql.types.DoubleType
   }
+
+  test("RENAME follows the clustering declaration; DROP removes the " +
+      "column from it (OPTIMIZE keeps working)") {
+    val (lake, _) = mappedLake()
+    lake.setClusterBy("docs", Seq("txt", "n"))
+    lake.renameColumn("docs", "txt", "body")
+    lake.clusterByCols("docs") shouldBe Seq("body", "n")
+    lake.dropColumn("docs", "n")
+    lake.clusterByCols("docs") shouldBe Seq("body")
+    // the maintenance pass resolves the re-keyed declaration
+    lake.compact("docs")
+    lake.read("docs").columns.sorted shouldBe Array("body", "id")
+  }
+
+  test("RENAME/DROP of a column a CHECK constraint or another column's " +
+      "generation expression reads is refused loudly, naming the fix") {
+    val (lake, _) = mappedLake()
+    lake.addConstraint("docs", "n_positive", "n > 0")
+    intercept[IllegalArgumentException] {
+      lake.renameColumn("docs", "n", "count")
+    }.getMessage should include("n_positive")
+    intercept[IllegalArgumentException] {
+      lake.dropColumn("docs", "n")
+    }.getMessage should include("DROP CONSTRAINT")
+    lake.dropConstraint("docs", "n_positive")
+    lake.addGeneratedColumn("docs", "n", "id * 10")
+    intercept[IllegalArgumentException] {
+      lake.renameColumn("docs", "id", "doc_id")
+    }.getMessage should include("generated")
+    lake.dropGeneratedColumn("docs", "n")
+    // with the readers gone, the rename proceeds
+    lake.renameColumn("docs", "txt", "body")
+    lake.read("docs").columns should contain("body")
+  }
 }

@@ -140,4 +140,56 @@ class LakeRebaseSpec extends SparkTestBase {
     lake.read("t").filter(col("p") === "gz").count() shouldBe 10L
     lake.historyRows("t").last.getString(2) shouldBe "OPTIMIZE"
   }
+
+  test("APPEND losing the race to a sibling append REBASES: one staged " +
+      "write, no increment rewrite, both increments land") {
+    val lake = tmpLake()
+    lake.writeAtomic(spark.range(100).toDF("id").repartition(2), "t")
+    val fired = onceBeforeCommit(lake) {
+      lake.appendAtomic(spark.range(100, 120).toDF("id"), "t")
+    }
+    lake.appendAtomic(spark.range(120, 150).toDF("id"), "t")
+    fired() shouldBe 1
+    lake.read("t").count() shouldBe 150L
+    lake.read("t").agg(sum("id")).as[Long].head() shouldBe (0L until 150L).sum
+    // history: WRITE, the sibling APPEND that won, then OUR append
+    // re-parented onto it — three commits, no fourth (no full retry)
+    val hist = lake.historyRows("t").map(r =>
+      (r.getString(1), r.getString(2), r.getString(3)))
+    hist.map(_._2) shouldBe Seq("WRITE", "APPEND", "APPEND")
+    hist(2)._3 shouldBe hist(1)._1 // re-parented onto the winner
+  }
+
+  test("append rebase bails to the full retry when identity values were " +
+      "allocated on BOTH sides — no id collision") {
+    val lake = tmpLake()
+    lake.addIdentityColumn("t", "rid")
+    lake.writeAtomic(Seq("s1", "s2").toDF("text"), "t")
+    onceBeforeCommit(lake) {
+      lake.appendAtomic(Seq("w1", "w2", "w3").toDF("text"), "t")
+    }
+    // without the idHighs guard this would rebase and bake colliding rids;
+    // the guard forces ConcurrentModificationException → caller retry
+    lake.retryOnConflict() {
+      lake.appendAtomic(Seq("l1", "l2").toDF("text"), "t")
+    }
+    val ids = lake.read("t").select("rid").as[Long].collect()
+    ids.length shouldBe 7
+    ids.distinct.length shouldBe 7 // every identity value unique
+  }
+
+  test("append rebase bails when the winner evolved the schema (the " +
+      "retry re-evolves against the new head)") {
+    val lake = tmpLake()
+    lake.writeAtomic(spark.range(10).toDF("id"), "t")
+    onceBeforeCommit(lake) {
+      lake.appendAtomic(spark.range(10, 20).toDF("id")
+        .withColumn("extra", lit("x")), "t")
+    }
+    lake.retryOnConflict() {
+      lake.appendAtomic(spark.range(20, 30).toDF("id"), "t")
+    }
+    lake.read("t").count() shouldBe 30L
+    lake.read("t").columns.sorted shouldBe Array("extra", "id")
+  }
 }
