@@ -3989,6 +3989,42 @@ object SparkEntry {
       pre.unionByName(post)
         .select("snapshot", "lang", "n_docs", "metric", "id_sum")
         .orderBy("snapshot", "lang")
+    }),
+
+    // Append commit rebase (Delta's append-vs-append conflict class): an
+    // append losing the parent race to a compatible sibling re-parents
+    // its staged commit instead of rewriting the increment. The race is
+    // injected deterministically via the onBeforeManifestCommit seam;
+    // in-query requires pin the rebase shape (seam fired once, exactly
+    // three commits — no retry-from-scratch fourth, the loser
+    // re-parented onto the winner); the oracle replays the union of the
+    // three increments relationally.
+    "q180_append_rebase" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q180_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      lake.writeAtomic(docs.filter(col("doc_id") % 3 === 0), "docs")
+      var fired = 0
+      lake.onBeforeManifestCommit = () => {
+        lake.onBeforeManifestCommit = () => ()
+        fired += 1
+        lake.appendAtomic(docs.filter(col("doc_id") % 3 === 1), "docs")
+      }
+      try lake.appendAtomic(docs.filter(col("doc_id") % 3 === 2), "docs")
+      finally lake.onBeforeManifestCommit = () => ()
+      require(fired == 1, s"race seam must fire exactly once, fired $fired")
+      val hist = lake.historyRows("docs").map(r =>
+        (r.getString(1), r.getString(2), r.getString(3)))
+      require(hist.map(_._2) == Seq("WRITE", "APPEND", "APPEND"),
+        s"rebase must land THREE commits (no retry-from-scratch): " +
+          hist.map(_._2).mkString(","))
+      require(hist(2)._3 == hist(1)._1,
+        "the losing append must re-parent onto the winner")
+      lake.read("docs").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
     })
   )
 
@@ -6781,6 +6817,13 @@ object SparkEntry {
           |UNION ALL
           |SELECT 'post', lang, n_docs, metric, id_sum FROM post
           |ORDER BY 1, 2""".stripMargin) +
+      // three racing increments (%3 slices) cover the corpus exactly once
+      // — the rebase must lose no rows and duplicate none
+      ("q180_append_rebase" ->
+        """SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) +
       ("q152_substring_dedup" -> substringScrubOracleSql) +
       // SQL surface = API: the TVF runs the identical kernel
       ("q154_sql_substring_scrub" -> substringScrubOracleSql) +
