@@ -640,6 +640,41 @@ object ScaleBench {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case _: Throwable => () }
     }
+
+    // ---- round-15: APPEND COMMIT REBASE. The scale claim: an append
+    // that loses the parent race to a compatible sibling re-parents its
+    // staged commit (dir rename + restaged metadata) instead of
+    // re-running the increment write — so the raced append's wall tracks
+    // the PLAIN append's wall as the increment grows N× (retry-from-
+    // scratch would track ~2× plain: the increment is written twice).
+    // The race is injected via the onBeforeManifestCommit seam.
+    {
+      val root = java.nio.file.Files.createTempDirectory("scale_ar").toString
+      val lake = new newspipe.io.Lake(spark,
+        newspipe.io.LakeConfig(basePath = root))
+      val increment = docs.select(col("doc_id"), col("text"))
+      lake.writeAtomic(increment.limit(10), "ar")
+      val (nPl, tPl) = timed {
+        lake.appendAtomic(increment, "ar"); increment.count()
+      }
+      out("r15_append_plain") = (nPl, tPl)
+      val (nRb, tRb) = timed {
+        lake.onBeforeManifestCommit = () => {
+          lake.onBeforeManifestCommit = () => ()
+          lake.appendAtomic(increment.limit(100), "ar")
+        }
+        try lake.appendAtomic(increment, "ar")
+        finally lake.onBeforeManifestCommit = () => ()
+        increment.count()
+      }
+      out("r15_append_raced_rebase") = (nRb, tRb)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+          .iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
     out.toMap
   }
 

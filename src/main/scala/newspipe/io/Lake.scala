@@ -518,10 +518,33 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       p: Path): Option[Long] =
     readLockParts(f, p).flatMap(_.lastOption).flatMap(s => s.toLongOption)
 
+  /** WRITER feature gate (the minWriter half of the protocol-versioning
+    * story; the reader half is [[ProtocolFeatures]] in the commit
+    * documents): a layer may declare `lake.requiredWriterFeatures` — a
+    * comma list of features every COMMITTER must understand (a future
+    * build setting it protects property-borne semantics like defaults or
+    * generation rules from an older writer that would commit increments
+    * without applying them). This build refuses to commit on any feature
+    * outside its known set; reads are unaffected.
+    */
+  private def requireWriterFeatures(layer: String): Unit = {
+    val declared = properties(layer).get(Lake.WriterFeaturesProp).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    if (declared.isEmpty) return
+    val unknown = declared.filterNot(Lake.SupportedWriterFeatures)
+    if (unknown.nonEmpty) throw new IllegalStateException(
+      s"layer '$layer' requires writer feature(s) " +
+        s"${unknown.mkString(", ")} this build does not support " +
+        s"(supported: ${Lake.SupportedWriterFeatures.toSeq.sorted
+          .mkString(", ")}) — upgrade the engine to write to this table " +
+        "(reads are unaffected)")
+  }
+
   private def commitMarker(layer: String, snap: Path,
       requireParent: Option[Option[String]],
       op: String,
       deleteOnConflict: Boolean = true): Unit = withCommitLock(layer) { stillOwned =>
+    requireWriterFeatures(layer)
     val f = fs(snap)
     // AUTHORITATIVE head, never the `_LAST` pointer: a pointer left stale
     // by a crashed commit must not fork lineage or falsely pass the CAS
@@ -3061,14 +3084,26 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       .filter(p => matcher.forall(_.matches(
         java.nio.file.Paths.get(p.stripPrefix(qualSrc)))))
       .sorted
-    // loaded-file ledger: union of _COPY.json markers across committed
-    // versions (one small read per version that has one)
-    val loaded: Set[String] = committedVersions(layer).iterator.flatMap {
-      v =>
-        val p = new Path(v, Lake.CopyMarker)
-        if (!fs(v).exists(p)) Nil
-        else readFully(p).split("\n").toSeq.filter(_.nonEmpty)
+    // loaded-file ledger: union of _COPY markers across committed
+    // versions, folded INCREMENTALLY through the JVM-global cache — a
+    // committed version's marker is immutable, so each call probes only
+    // versions no prior call scanned (O(new commits), not O(history)).
+    // Caveat, documented: the ledger lives in version dirs, so vacuuming
+    // a version past retention drops its entries — re-staging files whose
+    // loading commit was vacuumed will reload them (keep staging dirs
+    // groomed within the retention window, Delta's operational posture).
+    val layerKey = new Path(layerPath(layer)).toString
+    val (scanned0, loaded0) = Lake.copyLedgerGet(layerKey)
+    val versions = committedVersions(layer)
+    val freshVers = versions.filterNot(v => scanned0.contains(v.getName))
+    val newEntries: Set[String] = freshVers.iterator.flatMap { v =>
+      val p = new Path(v, Lake.CopyMarker)
+      if (!fs(v).exists(p)) Nil
+      else readFully(p).split("\n").toSeq.filter(_.nonEmpty)
     }.toSet
+    val loaded: Set[String] = loaded0 ++ newEntries
+    Lake.copyLedgerPut(layerKey,
+      scanned0 ++ freshVers.map(_.getName), loaded)
     val fresh = candidates.filterNot(loaded)
     if (fresh.isEmpty)
       return Lake.RowOpResult(snap.toString, 0,
@@ -5732,6 +5767,51 @@ object Lake {
 
   private[io] def committedCacheAdd(key: String): Unit =
     committedCache.synchronized(committedCache.put(key, java.lang.Boolean.TRUE))
+
+  /** JVM-global incremental COPY INTO ledger: layer root → (version names
+    * already scanned for a `_COPY` marker, union of loaded staging
+    * files). Sound because a committed version's `_COPY` content is
+    * immutable (written inside the snapshot dir BEFORE the marker), so a
+    * scanned version never needs re-reading — a steady ingestion loop
+    * pays O(new versions) marker probes per call instead of O(history).
+    * Bounded; eviction only costs a rescan.
+    */
+  private val copyLedgerCache =
+    new java.util.LinkedHashMap[String, (Set[String], Set[String])](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Set[String], Set[String])])
+          : Boolean = size() > 256
+    }
+
+  private[io] def copyLedgerGet(layerKey: String): (Set[String], Set[String]) =
+    copyLedgerCache.synchronized(
+      Option(copyLedgerCache.get(layerKey))
+        .getOrElse((Set.empty[String], Set.empty[String])))
+
+  private[io] def copyLedgerPut(layerKey: String,
+      scanned: Set[String], loaded: Set[String]): Unit =
+    copyLedgerCache.synchronized(
+      copyLedgerCache.put(layerKey, (scanned, loaded)))
+
+  /** Dropping a layer must drop its cached ledger — a table recreated at
+    * the same path starts with a blank loading history. */
+  private[io] def copyLedgerInvalidate(layerKey: String): Unit =
+    copyLedgerCache.synchronized(copyLedgerCache.remove(layerKey))
+
+  /** Layer property naming WRITER features every committer must support
+    * (see `Lake.requireWriterFeatures`). */
+  val WriterFeaturesProp = "lake.requiredWriterFeatures"
+
+  /** Writer features THIS build understands — everything its commit gates
+    * implement. A future build adding a property-borne write-side
+    * semantic declares it in [[WriterFeaturesProp]] so older engines
+    * refuse to commit instead of silently skipping the rule.
+    */
+  val SupportedWriterFeatures: Set[String] = Set(
+    "constraints", "generated", "defaults", "identity", "clusterBy",
+    "bloomIndex", "rowTracking", "deletionVectors", "columnMapping",
+    "variant", "copyLedger", "txnLedger")
 
   /** Manifest-rel prefix of a CROSS-BASE file reference (see
     * [[Lake.resolveRel]]): `base:<source layer root>//<within-layer rel>`.

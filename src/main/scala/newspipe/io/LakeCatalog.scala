@@ -108,7 +108,9 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
         .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORT_COLUMN_DEFAULT_VALUE)
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -210,11 +212,26 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, columns: Array[V2Column],
       partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table = {
+      properties: java.util.Map[String, String]): Table =
+    createFromDecl(ident, deriveDecl(columns, partitions, properties))
+
+  /** TableInfo form — the one Spark's exec nodes call; carries TABLE
+    * CONSTRAINTS (`CREATE TABLE … (…, CONSTRAINT c CHECK (…))`) that the
+    * Column[] delegation would silently drop.
+    */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val decl = deriveDecl(info.columns(), info.partitions(),
+      info.properties())
+    val cProps = info.constraints().map(LakeConstraints.toProperty).toMap
+    createFromDecl(ident, decl.copy(props = decl.props ++ cProps))
+  }
+
+  private def createFromDecl(ident: Identifier,
+      decl: LakeTableDecl): Table = {
     val base = baseOf(ident.namespace.toSeq)
     if (layerExists(base, ident.name))
       throw new TableAlreadyExistsException(ident)
-    val decl = deriveDecl(columns, partitions, properties)
     val lake = new Lake(spark, LakeConfig(basePath = base))
     // Properties land BEFORE the first commit (the layer dir can carry
     // _PROPERTIES.json ahead of any snapshot): a concurrent INSERT INTO —
@@ -408,6 +425,42 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       requireNoParent = false, catName)
   }
 
+  /** TableInfo staged forms: keep the TABLE CONSTRAINTS the Column[]
+    * delegation would drop (same role as the createTable TableInfo
+    * override). */
+  private def declOf(info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : LakeTableDecl = {
+    val decl = deriveDecl(info.columns(), info.partitions(),
+      info.properties())
+    decl.copy(props = decl.props ++
+      info.constraints().map(LakeConstraints.toProperty))
+  }
+
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : StagedTable = {
+    val base = baseOf(ident.namespace.toSeq)
+    if (layerExists(base, ident.name))
+      throw new TableAlreadyExistsException(ident)
+    new StagedLakeTable(spark, base, ident.name, declOf(info),
+      requireNoParent = true, catName)
+  }
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : StagedTable = {
+    val base = baseOf(ident.namespace.toSeq)
+    if (!layerExists(base, ident.name)) throw new NoSuchTableException(ident)
+    new StagedLakeTable(spark, base, ident.name, declOf(info),
+      requireNoParent = false, catName)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : StagedTable =
+    new StagedLakeTable(spark, baseOf(ident.namespace.toSeq), ident.name,
+      declOf(info), requireNoParent = false, catName)
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val base = baseOf(ident.namespace.toSeq)
     if (!layerExists(base, ident.name)) throw new NoSuchTableException(ident)
@@ -458,10 +511,31 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
           case None => lake.dropColumnDefault(ident.name, name)
         }
         None
+      case ac: TableChange.AddConstraint =>
+        val (key, value) = LakeConstraints.toProperty(ac.constraint())
+        if (key.startsWith(LakeConstraints.CheckPrefix))
+          // enforced CHECK: existing data must satisfy it (one validation
+          // scan, then increments-only) — Lake.addConstraint's contract
+          lake.addConstraint(ident.name,
+            key.stripPrefix(LakeConstraints.CheckPrefix), value)
+        else
+          lake.setProperties(ident.name, Map(key -> value))
+        None
+      case dc: TableChange.DropConstraint =>
+        val n = dc.name()
+        val props = lake.properties(ident.name)
+        if (props.contains(LakeConstraints.CheckPrefix + n))
+          lake.dropConstraint(ident.name, n)
+        else if (props.contains(LakeConstraints.InfoPrefix + n))
+          lake.setProperties(ident.name,
+            Map(LakeConstraints.InfoPrefix + n -> ""))
+        else if (!dc.ifExists) throw new IllegalArgumentException(
+          s"table ${ident.name} has no constraint '$n'")
+        None
       case other => throw new IllegalArgumentException(
         s"lake catalog supports SET/UNSET TBLPROPERTIES, ADD COLUMN, " +
-          s"RENAME/DROP COLUMN and ALTER COLUMN TYPE (widening only) " +
-          s"here (got: $other)")
+          s"RENAME/DROP COLUMN, ALTER COLUMN TYPE (widening only) and " +
+          s"ADD/DROP CONSTRAINT here (got: $other)")
     }
     if (updates.nonEmpty) lake.setProperties(ident.name, updates.toMap)
     LakeTable(spark, base, ident.name, None, catName)
@@ -471,6 +545,10 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     val base = baseOf(ident.namespace.toSeq)
     if (!layerExists(base, ident.name)) return false
     val lp = new Path(s"$base/${ident.name}")
+    // a recreated table at the same path must start with a blank
+    // COPY INTO loading history (key = normalized unqualified path,
+    // matching copyInto's layerPath-derived key)
+    Lake.copyLedgerInvalidate(lp.toString)
     fsOf(lp).delete(lp, true)
   }
 
@@ -539,6 +617,102 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
   */
 private[io] final case class LakeTableDecl(schema: StructType,
     partCols: Seq[String], props: Map[String, String])
+
+/** The v2 table-constraint surface (Spark 4's `Constraint` framework,
+  * Delta's posture): CHECK constraints ENFORCE (they land on the same
+  * `lake.constraint.<name>` property as [[Lake.addConstraint]] — every
+  * commit increment validates); PRIMARY KEY / FOREIGN KEY / UNIQUE are
+  * INFORMATIONAL (`NOT ENFORCED` required, like Delta) — recorded as
+  * `lake.constraintInfo.<name>` properties and reported back through
+  * `Table.constraints()` for optimizers and tools that RELY on them.
+  */
+private[io] object LakeConstraints {
+  import org.apache.spark.sql.connector.catalog.constraints._
+  import org.apache.spark.sql.connector.expressions.{Expressions,
+    NamedReference}
+
+  val CheckPrefix = "lake.constraint."
+  val InfoPrefix = "lake.constraintInfo."
+
+  private def colsOf(refsIn: Array[NamedReference]): String =
+    refsIn.map { r =>
+      require(r.fieldNames.length == 1,
+        s"lake constraints take top-level columns; got ${r.describe}")
+      val n = r.fieldNames.head
+      require(!n.contains(",") && !n.contains("|"),
+        s"constraint column name '$n' cannot contain ',' or '|'")
+      n
+    }.mkString(",")
+
+  /** Constraint → the layer property it lands as. Loud on enforced
+    * key constraints (no global index to enforce them with). */
+  def toProperty(c: Constraint): (String, String) = {
+    require(c.name != null && c.name.nonEmpty &&
+        c.name.forall(ch => ch.isLetterOrDigit || ch == '_'),
+      s"constraint name '${c.name}' must be alphanumeric/underscore " +
+        "(it becomes a property key)")
+    c match {
+      case ck: Check =>
+        require(ck.predicateSql != null && ck.predicateSql.trim.nonEmpty,
+          s"CHECK constraint '${ck.name}' must carry its SQL text")
+        if (ck.enforced)
+          (CheckPrefix + ck.name, ck.predicateSql)
+        else // NOT ENFORCED CHECK: informational only, never validated
+          (InfoPrefix + ck.name, s"CHECK|${ck.predicateSql}|${ck.rely}")
+      case pk: PrimaryKey =>
+        require(!pk.enforced, s"PRIMARY KEY '${pk.name}' must be NOT " +
+          "ENFORCED — the lake records key constraints as informational " +
+          "metadata (Delta's posture); CHECK and NOT NULL enforce")
+        (InfoPrefix + pk.name,
+          s"PRIMARY KEY|${colsOf(pk.columns)}|${pk.rely}")
+      case u: Unique =>
+        require(!u.enforced, s"UNIQUE '${u.name}' must be NOT ENFORCED " +
+          "— informational metadata only")
+        (InfoPrefix + u.name, s"UNIQUE|${colsOf(u.columns)}|${u.rely}")
+      case fk: ForeignKey =>
+        require(!fk.enforced, s"FOREIGN KEY '${fk.name}' must be NOT " +
+          "ENFORCED — informational metadata only")
+        val ref = (fk.referencedTable.namespace :+
+          fk.referencedTable.name).mkString(".")
+        (InfoPrefix + fk.name,
+          s"FOREIGN KEY|${colsOf(fk.columns)}|$ref|" +
+            s"${colsOf(fk.referencedColumns)}|${fk.rely}")
+      case other => throw new IllegalArgumentException(
+        s"unsupported constraint kind: $other")
+    }
+  }
+
+  private def refs(csv: String): Array[NamedReference] =
+    csv.split(',').filter(_.nonEmpty).map(Expressions.column)
+
+  /** `lake.constraintInfo.<name>` property → the reported Constraint. */
+  def fromInfoProperty(name: String, value: String): Constraint = {
+    val parts = value.split('|')
+    parts(0) match {
+      case "CHECK" =>
+        Constraint.check(name).predicateSql(parts(1))
+          .enforced(false).rely(parts(2).toBoolean)
+          .validationStatus(Constraint.ValidationStatus.UNVALIDATED).build()
+      case "PRIMARY KEY" =>
+        Constraint.primaryKey(name, refs(parts(1)))
+          .enforced(false).rely(parts(2).toBoolean)
+          .validationStatus(Constraint.ValidationStatus.UNVALIDATED).build()
+      case "UNIQUE" =>
+        Constraint.unique(name, refs(parts(1)))
+          .enforced(false).rely(parts(2).toBoolean)
+          .validationStatus(Constraint.ValidationStatus.UNVALIDATED).build()
+      case "FOREIGN KEY" =>
+        val refParts = parts(2).split('.')
+        Constraint.foreignKey(name, refs(parts(1)),
+            Identifier.of(refParts.dropRight(1), refParts.last),
+            refs(parts(3)))
+          .enforced(false).rely(parts(4).toBoolean)
+          .validationStatus(Constraint.ValidationStatus.UNVALIDATED).build()
+      case other => throw new IllegalStateException(
+        s"unknown constraintInfo kind '$other' for '$name'")
+    }
+  }
+}
 
 /** The staged side of atomic CREATE OR REPLACE / CTAS / RTAS: Spark's
   * Atomic*Exec nodes write the query into this table (V1 write fallback,
@@ -675,6 +849,31 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** The declared constraints, reported back through the v2 surface:
+    * enforced CHECKs from `lake.constraint.*` (validated at declaration,
+    * then increments-only — so VALID), informational key constraints
+    * from `lake.constraintInfo.*` (NOT ENFORCED / UNVALIDATED).
+    */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints
+        .Constraint] = {
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    val props = lake.properties(layer)
+    val checks = props.collect {
+      case (k, v) if k.startsWith(LakeConstraints.CheckPrefix) =>
+        Constraint.check(k.stripPrefix(LakeConstraints.CheckPrefix))
+          .predicateSql(v).enforced(true)
+          .validationStatus(Constraint.ValidationStatus.VALID).build()
+          : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }
+    val infos = props.collect {
+      case (k, v) if k.startsWith(LakeConstraints.InfoPrefix) =>
+        LakeConstraints.fromInfoProperty(
+          k.stripPrefix(LakeConstraints.InfoPrefix), v)
+    }
+    (checks ++ infos).toArray
+  }
 
   /** `writeStream.toTable("lake.….docs")` — Delta's architecture exactly:
     * the table advertises a V1 FALLBACK (this synthetic CatalogTable with

@@ -614,6 +614,17 @@ class LakeCatalogSpec extends SparkTestBase {
       .as[Long].collect() shouldBe Array(9L)
   }
 
+  test("SHOW CREATE TABLE reproduces schema, partitioning and properties") {
+    spark.sql(s"CREATE TABLE lake.`$base`.sct (id BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang) TBLPROPERTIES ('team'='pipeline')")
+    val ddl = spark.sql(s"SHOW CREATE TABLE lake.`$base`.sct")
+      .as[String].head()
+    ddl should include("id BIGINT")
+    ddl should include("lang STRING")
+    ddl should include("PARTITIONED BY (lang)")
+    ddl should include("'team' = 'pipeline'")
+  }
+
   test("RTAS with PARTITIONED BY lands the new hive layout") {
     lake.writeAtomic(Seq((1L, "en")).toDF("id", "lang"), "rpart")
     spark.sql(s"REPLACE TABLE lake.`$base`.rpart PARTITIONED BY (lang) AS " +

@@ -99,4 +99,68 @@ class LakeConstraintSpec extends SparkTestBase {
       .head() shouldBe -1L
     lake.constraints("docs") shouldBe Map.empty // unrelated layer untouched
   }
+
+  // ---- v2 constraint surface (Spark 4's Constraint framework) ------------
+
+  test("CREATE TABLE with table constraints: CHECK enforces, PRIMARY " +
+      "KEY NOT ENFORCED records informationally; constraints() reports " +
+      "both back") {
+    val dir = Files.createTempDirectory("lake_ck_v2").toString
+    spark.conf.set("spark.sql.catalog.ckcat", classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ckcat.basePath", dir)
+    spark.sql(
+      """CREATE TABLE ckcat.t (
+        |  id BIGINT, n BIGINT,
+        |  CONSTRAINT n_pos CHECK (n > 0),
+        |  CONSTRAINT pk PRIMARY KEY (id) NOT ENFORCED
+        |)""".stripMargin)
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    // PRIMARY KEY implies NOT NULL on its column (Spark's analysis) — the
+    // catalog's usual NOT-NULL-as-CHECK rule picks that up alongside
+    lake.constraints("t") shouldBe
+      Map("n_pos" -> "n > 0", "notnull_id" -> "`id` IS NOT NULL")
+    lake.properties("t").get("lake.constraintInfo.pk") shouldBe
+      Some("PRIMARY KEY|id|false")
+    // the CHECK really enforces
+    spark.sql("INSERT INTO ckcat.t VALUES (1, 5)")
+    an[Exception] should be thrownBy
+      spark.sql("INSERT INTO ckcat.t VALUES (2, -1)")
+    spark.sql("SELECT count(*) AS n FROM ckcat.t").as[Long]
+      .head() shouldBe 1L
+    // report-back through the v2 Table surface
+    import org.apache.spark.sql.connector.catalog.{Identifier,
+      TableCatalog}
+    val cat = spark.sessionState.catalogManager.catalog("ckcat")
+      .asInstanceOf[TableCatalog]
+    val cons = cat.loadTable(Identifier.of(Array.empty, "t")).constraints()
+    cons.map(_.name()).sorted.toSeq shouldBe
+      Seq("n_pos", "notnull_id", "pk")
+    val pk = cons.find(_.name() == "pk").get
+    pk.enforced() shouldBe false
+    pk.toDDL should include("PRIMARY KEY")
+  }
+
+  test("v2 ALTER TABLE ADD/DROP CONSTRAINT; enforced key constraints " +
+      "refuse loudly") {
+    val dir = Files.createTempDirectory("lake_ck_v2b").toString
+    spark.conf.set("spark.sql.catalog.ckcatb", classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ckcatb.basePath", dir)
+    spark.sql("CREATE TABLE ckcatb.t (id BIGINT, n BIGINT)")
+    spark.sql("INSERT INTO ckcatb.t VALUES (1, 5)")
+    spark.sql("ALTER TABLE ckcatb.t ADD CONSTRAINT n_pos CHECK (n > 0)")
+    an[Exception] should be thrownBy
+      spark.sql("INSERT INTO ckcatb.t VALUES (2, -7)")
+    // adding a CHECK the existing data violates is refused
+    an[Exception] should be thrownBy spark.sql(
+      "ALTER TABLE ckcatb.t ADD CONSTRAINT n_small CHECK (n < 3)")
+    spark.sql("ALTER TABLE ckcatb.t DROP CONSTRAINT n_pos")
+    spark.sql("INSERT INTO ckcatb.t VALUES (2, -7)")
+    spark.sql("SELECT count(*) AS n FROM ckcatb.t").as[Long]
+      .head() shouldBe 2L
+    // FK records informationally; UNIQUE must be NOT ENFORCED
+    spark.sql("ALTER TABLE ckcatb.t ADD CONSTRAINT fk FOREIGN KEY (id) " +
+      "REFERENCES ckcatb.other (id) NOT ENFORCED")
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.properties("t").keys should contain("lake.constraintInfo.fk")
+  }
 }

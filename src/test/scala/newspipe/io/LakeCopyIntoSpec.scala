@@ -90,6 +90,24 @@ class LakeCopyIntoSpec extends SparkTestBase {
     lake.copyInto("t", stage).noop shouldBe true
   }
 
+  test("ledger fold is instance-independent (JVM cache) and a DROPPED " +
+      "table's recreation starts with a blank loading history") {
+    val (dir, stage, lake) = fresh()
+    land(stage, "b1", Seq((1L, "a"), (2L, "b")))
+    lake.copyInto("t", stage).noop shouldBe false
+    // a FRESH engine instance still skips the loaded files
+    val lake2 = new Lake(spark, LakeConfig(basePath = dir))
+    lake2.copyInto("t", stage).noop shouldBe true
+    // drop + recreate at the same path → the same staged files load again
+    spark.conf.set("spark.sql.catalog.cpcat", classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cpcat.basePath", dir)
+    spark.sql("DROP TABLE cpcat.t")
+    val lake3 = new Lake(spark, LakeConfig(basePath = dir))
+    lake3.writeAtomic(Seq.empty[(Long, String)].toDF("id", "v"), "t")
+    lake3.copyInto("t", stage).noop shouldBe false
+    lake3.read("t").count() shouldBe 2L
+  }
+
   test("refusals: missing table, missing source dir") {
     val (dir, stage, lake) = fresh()
     intercept[IllegalStateException] {

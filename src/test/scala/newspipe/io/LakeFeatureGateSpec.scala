@@ -100,6 +100,32 @@ class LakeFeatureGateSpec extends SparkTestBase {
     e.getMessage should include("quantumMerge")
   }
 
+  test("writer feature gate: an unknown lake.requiredWriterFeatures " +
+      "entry refuses COMMITS loudly; reads stay unaffected") {
+    val (_, lake) = freshLake()
+    lake.writeAtomic(Seq((1L, "a")).toDF("id", "text"), "t")
+    // known features pass
+    lake.setProperties("t", Map(Lake.WriterFeaturesProp ->
+      "constraints,defaults"))
+    lake.appendAtomic(Seq((2L, "b")).toDF("id", "text"), "t")
+    // an unknown one refuses every commit path, reads keep serving
+    lake.setProperties("t", Map(Lake.WriterFeaturesProp ->
+      "constraints,futureWriteRule"))
+    val e = intercept[IllegalStateException] {
+      lake.appendAtomic(Seq((3L, "c")).toDF("id", "text"), "t")
+    }
+    e.getMessage should include("futureWriteRule")
+    e.getMessage should include("reads are unaffected")
+    intercept[IllegalStateException] {
+      lake.deleteWhere("t", $"id" === 1L)
+    }.getMessage should include("futureWriteRule")
+    lake.read("t").count() shouldBe 2L
+    // clearing the declaration restores writability
+    lake.setProperties("t", Map(Lake.WriterFeaturesProp -> ""))
+    lake.appendAtomic(Seq((4L, "d")).toDF("id", "text"), "t")
+    lake.read("t").count() shouldBe 3L
+  }
+
   test("round-trip: supported features survive re-serialization and " +
       "VARIANT schemas declare the variant feature") {
     val m = SnapshotManifest(Seq("f1.parquet"), "`id` BIGINT,`v` VARIANT",
