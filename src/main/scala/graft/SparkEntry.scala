@@ -4025,6 +4025,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
           sum("doc_id").as("id_sum"))
         .orderBy("lang")
+    }),
+
+    // v2 table constraints (Spark 4's Constraint framework through the
+    // catalog): CREATE TABLE with an enforcing CHECK + an informational
+    // PRIMARY KEY NOT ENFORCED (whose implied NOT NULL also enforces).
+    // In-query requires pin enforcement (violating INSERTs refuse, the
+    // corpus INSERT passes) and the metadata report-back; the oracle
+    // replays the loaded corpus.
+    "q181_v2_constraints" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.lake", "newspipe.io.LakeCatalog")
+      val root = java.nio.file.Files.createTempDirectory("q181_lake").toString
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      docs.createOrReplaceTempView("q181_src")
+      s.sql(
+        s"""CREATE TABLE lake.`$root`.docs (
+           |  doc_id BIGINT, lang STRING, n_chars BIGINT,
+           |  CONSTRAINT chars_nonneg CHECK (n_chars >= 0),
+           |  CONSTRAINT pk PRIMARY KEY (doc_id) NOT ENFORCED
+           |)""".stripMargin)
+      s.sql(s"INSERT INTO lake.`$root`.docs " +
+        "SELECT doc_id, lang, n_chars FROM q181_src")
+      require(scala.util.Try(s.sql(
+          s"INSERT INTO lake.`$root`.docs VALUES (-1, 'xx', -5)"))
+          .isFailure, "the CHECK constraint must refuse a negative " +
+          "n_chars increment")
+      require(scala.util.Try(s.sql(
+          s"INSERT INTO lake.`$root`.docs VALUES (CAST(NULL AS BIGINT), " +
+            "'xx', 1)")).isFailure,
+        "PRIMARY KEY's implied NOT NULL must refuse a null key")
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      require(lake.constraints("docs").contains("chars_nonneg") &&
+          lake.properties("docs").contains("lake.constraintInfo.pk"),
+        "declared constraints must be recorded on the layer")
+      lake.read("docs").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
     })
   )
 
@@ -6820,6 +6858,13 @@ object SparkEntry {
       // three racing increments (%3 slices) cover the corpus exactly once
       // — the rebase must lose no rows and duplicate none
       ("q180_append_rebase" ->
+        """SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) +
+      // the constrained table holds exactly the corpus (violating
+      // increments were refused whole)
+      ("q181_v2_constraints" ->
         """SELECT lang, count(*) AS n_docs,
           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
           |       CAST(sum(doc_id) AS BIGINT) AS id_sum
