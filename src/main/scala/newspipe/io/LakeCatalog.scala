@@ -657,8 +657,10 @@ private[io] object LakeConstraints {
           s"CHECK constraint '${ck.name}' must carry its SQL text")
         if (ck.enforced)
           (CheckPrefix + ck.name, ck.predicateSql)
-        else // NOT ENFORCED CHECK: informational only, never validated
-          (InfoPrefix + ck.name, s"CHECK|${ck.predicateSql}|${ck.rely}")
+        else // NOT ENFORCED CHECK: informational only, never validated.
+          // SQL goes LAST (parse splits at most 3) — a predicate holding
+          // '|' (string concat `a || b`) must survive the encoding
+          (InfoPrefix + ck.name, s"CHECK|${ck.rely}|${ck.predicateSql}")
       case pk: PrimaryKey =>
         require(!pk.enforced, s"PRIMARY KEY '${pk.name}' must be NOT " +
           "ENFORCED — the lake records key constraints as informational " +
@@ -690,8 +692,9 @@ private[io] object LakeConstraints {
     val parts = value.split('|')
     parts(0) match {
       case "CHECK" =>
-        Constraint.check(name).predicateSql(parts(1))
-          .enforced(false).rely(parts(2).toBoolean)
+        val Array(_, rely, sql) = value.split("\\|", 3)
+        Constraint.check(name).predicateSql(sql)
+          .enforced(false).rely(rely.toBoolean)
           .validationStatus(Constraint.ValidationStatus.UNVALIDATED).build()
       case "PRIMARY KEY" =>
         Constraint.primaryKey(name, refs(parts(1)))
@@ -868,7 +871,14 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
           : org.apache.spark.sql.connector.catalog.constraints.Constraint
     }
     val infos = props.collect {
-      case (k, v) if k.startsWith(LakeConstraints.InfoPrefix) =>
+      case (k, v) if k.startsWith(LakeConstraints.InfoPrefix) &&
+          // a NOT ENFORCED CHECK stays metadata-only: Spark's v2 write
+          // path injects CheckInvariant for EVERY Check a table reports
+          // (regardless of the enforced flag), which would enforce a
+          // declaration that promised not to — so it is recorded on the
+          // layer but not reported back; key constraints have no
+          // predicate for Spark to inject and report fine
+          !v.startsWith("CHECK|") =>
         LakeConstraints.fromInfoProperty(
           k.stripPrefix(LakeConstraints.InfoPrefix), v)
     }
@@ -1245,7 +1255,9 @@ private[io] class LakeV1Relation(ctx: SQLContext,
   override def sqlContext: SQLContext = ctx
   override val schema: StructType = prunedSchema
   // exact inventory bytes, not BaseRelation's defaultSizeInBytes guess
-  override def sizeInBytes: Long =
+  // (lazy: the derivation lists the inventory — pay it at most once per
+  // relation instance, and only if something actually consults it)
+  override lazy val sizeInBytes: Long =
     NewspipeSqlBridge.planStatistics(table.dataFrame())._1
       .min(BigInt(Long.MaxValue)).toLong
   override def buildScan(): RDD[Row] = {

@@ -163,4 +163,43 @@ class LakeConstraintSpec extends SparkTestBase {
     val lake = new Lake(spark, LakeConfig(basePath = dir))
     lake.properties("t").keys should contain("lake.constraintInfo.fk")
   }
+
+  test("NOT ENFORCED CHECK is informational and its predicate survives " +
+      "the encoding even when it contains '||'") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog,
+      TableChange}
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    val dir = Files.createTempDirectory("lake_ck_v2c").toString
+    spark.conf.set("spark.sql.catalog.ckcatc", classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ckcatc.basePath", dir)
+    spark.sql("CREATE TABLE ckcatc.t (a STRING, b STRING)")
+    val cat = spark.sessionState.catalogManager.catalog("ckcatc")
+      .asInstanceOf[TableCatalog]
+    val ident = Identifier.of(Array.empty, "t")
+    val pred = "a || b != 'xy'"
+    cat.alterTable(ident, TableChange.addConstraint(
+      Constraint.check("concat_rule").predicateSql(pred)
+        .enforced(false).rely(true)
+        .validationStatus(Constraint.ValidationStatus.UNVALIDATED).build(),
+      null))
+    // recorded on the layer with the predicate intact ('||' survives the
+    // pipe encoding), and the decode round-trips
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    val recorded = lake.properties("t")("lake.constraintInfo.concat_rule")
+    val decoded = LakeConstraints
+      .fromInfoProperty("concat_rule", recorded)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog
+        .constraints.Check]
+    decoded.predicateSql() shouldBe pred
+    decoded.enforced() shouldBe false
+    decoded.rely() shouldBe true
+    // NOT reported through constraints(): Spark's v2 write path would
+    // inject enforcement for any reported Check, violating NOT ENFORCED
+    cat.loadTable(ident).constraints()
+      .exists(_.name == "concat_rule") shouldBe false
+    // informational: a violating insert is NOT blocked
+    spark.sql("INSERT INTO ckcatc.t VALUES ('x', 'y')")
+    spark.sql("SELECT count(*) AS n FROM ckcatc.t").as[Long]
+      .head() shouldBe 1L
+  }
 }
