@@ -199,6 +199,16 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       partitionBy: Seq[String] = Nil): String =
     writeSnapshot(df, layer, partitionBy, requireParent = None, op = "WRITE")
 
+  /** The REPLACE TABLE commit: a [[writeAtomic]] overwrite labeled
+    * `REPLACE TABLE` in history, with identity numbering RESTARTED from
+    * the declared START (Delta's identity-reset-on-replace; row-tracking
+    * watermarks do NOT restart — stable row ids stay history-unique).
+    */
+  def replaceAtomic(df: DataFrame, layer: String,
+      partitionBy: Seq[String] = Nil): String =
+    writeSnapshot(df, layer, partitionBy, requireParent = None,
+      op = "REPLACE TABLE")
+
   /** Optimistic-concurrency overwrite: commits only if the layer's newest
     * committed snapshot is still `expectedParent` (`None` = the layer must
     * have no committed snapshot yet) at commit time. A writer that lost the
@@ -285,9 +295,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // values are data, not explicit inserts), then generated columns'
     // fill-or-validate (both projections are order-preserving on
     // prearranged frames — their values are already correct)
+    val replace = op == "REPLACE TABLE"
     val dfId = applyIdentity(layer, applyDefaults(layer, df0),
       s"writeAtomic('$layer')",
-      internalRewrite = prearranged)
+      internalRewrite = prearranged, freshStart = replace)
     val dfGen = applyGenerated(layer, dfId, s"writeAtomic('$layer')")
     enforceConstraints(layer, dfGen, s"writeAtomic('$layer')")
     val tracking = rowTrackingEnabled(layer)
@@ -344,8 +355,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         }.toMap
       }
       val highs = idCols.map { case (name, spec) =>
-        val prior = priorM.flatMap(_.idHighs.get(name))
-          .getOrElse(spec.start)
+        // REPLACE restarts identity numbering (row-id watermarks do NOT
+        // restart: stable row ids must stay history-unique for the
+        // tracked CDF across the replace boundary)
+        val prior =
+          (if (replace) None else priorM.flatMap(_.idHighs.get(name)))
+            .getOrElse(spec.start)
         val beyond = newStats.flatMap(_.cols.get(name))
           .flatMap(cs => if (spec.step > 0) cs.max else cs.min)
           .flatMap(s => scala.util.Try(s.toLong).toOption)
@@ -1521,11 +1536,15 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * refusal applies only to user-facing append/overwrite increments.
     */
   private def applyIdentity(layer: String, df: DataFrame, context: String,
-      internalRewrite: Boolean = false): DataFrame = {
+      internalRewrite: Boolean = false,
+      freshStart: Boolean = false): DataFrame = {
     val ids = identityColumns(layer)
     if (ids.isEmpty) return df
     import org.apache.spark.sql.functions.col
-    val headM = latestSnapshot(layer).flatMap(manifestOf)
+    // freshStart (REPLACE TABLE): the new incarnation numbers from the
+    // declared START again — Delta's identity-reset-on-replace semantics
+    val headM =
+      if (freshStart) None else latestSnapshot(layer).flatMap(manifestOf)
     val declared: Map[String, org.apache.spark.sql.types.DataType] =
       latestSnapshot(layer)
         .map(s => snapshotSchema(layer, s).fields

@@ -777,12 +777,13 @@ private[io] final class StagedLakeTable(spark: SparkSession, base: String,
       val df = staged.getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], decl.schema))
       // CREATE commits only if the layer is STILL uncommitted (a racing
-      // creator loses loudly); REPLACE lands over whatever head exists
+      // creator loses loudly); REPLACE lands over whatever head exists —
+      // labeled REPLACE TABLE in history, identity numbering restarted
       if (requireNoParent)
         lake.writeAtomicIfLatest(df, layer, expectedParent = None,
           partitionBy = decl.partCols)
       else
-        lake.writeAtomic(df, layer, partitionBy = decl.partCols)
+        lake.replaceAtomic(df, layer, partitionBy = decl.partCols)
     } catch {
       case e: Throwable =>
         // data never became visible — restore the prior declaration

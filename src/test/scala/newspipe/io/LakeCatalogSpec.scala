@@ -614,6 +614,33 @@ class LakeCatalogSpec extends SparkTestBase {
       .as[Long].collect() shouldBe Array(9L)
   }
 
+  test("REPLACE TABLE restarts identity numbering (Delta semantics) and " +
+      "labels history REPLACE TABLE") {
+    spark.sql(s"CREATE TABLE lake.`$base`.rident (" +
+      "rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 " +
+      "INCREMENT BY 5), text STRING)")
+    spark.sql(s"INSERT INTO lake.`$base`.rident (text) VALUES ('a'), ('b')")
+    lake.read("rident").select("rid").as[Long].collect().sorted shouldBe
+      Array(10L, 15L)
+    spark.sql(s"REPLACE TABLE lake.`$base`.rident (" +
+      "rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 " +
+      "INCREMENT BY 5), text STRING)")
+    lake.historyRows("rident").last.getString(2) shouldBe "REPLACE TABLE"
+    spark.sql(s"INSERT INTO lake.`$base`.rident (text) VALUES ('c')")
+    lake.read("rident").select("rid", "text").as[(Long, String)]
+      .collect() shouldBe Array((10L, "c")) // numbering restarted
+  }
+
+  test("replaceAtomic with rows on a retained identity declaration " +
+      "restarts numbering from START") {
+    lake.addIdentityColumn("rident2", "rid", start = 1L, step = 1L)
+    lake.writeAtomic(Seq("a", "b", "c").toDF("text"), "rident2") // 1..3
+    lake.replaceAtomic(Seq("z").toDF("text"), "rident2")
+    lake.read("rident2").select("rid").as[Long].collect() shouldBe
+      Array(1L) // not 4
+    lake.historyRows("rident2").last.getString(2) shouldBe "REPLACE TABLE"
+  }
+
   test("SHOW CREATE TABLE reproduces schema, partitioning and properties") {
     spark.sql(s"CREATE TABLE lake.`$base`.sct (id BIGINT, lang STRING) " +
       "PARTITIONED BY (lang) TBLPROPERTIES ('team'='pipeline')")
