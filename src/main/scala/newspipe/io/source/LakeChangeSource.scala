@@ -384,8 +384,16 @@ private[source] class LakeChangeStream(spark: SparkSession, basePath: String,
     val padded = schema.fields
       .filterNot(_.name == LakeChangeSource.ChangeTypeCol)
       .foldLeft(df)((d, f) =>
-        if (d.columns.contains(f.name)) d
-        else d.withColumn(f.name, flit(null).cast(f.dataType)))
+        if (!d.columns.contains(f.name))
+          d.withColumn(f.name, flit(null).cast(f.dataType))
+        // a mid-stream REPLACE/widening can change a KEPT column's type:
+        // the declared stream schema is fixed at query start, so the leg
+        // casts back to it (unconvertible values fail loudly under ANSI —
+        // better than handing the sink a mistyped frame)
+        else if (d.schema(d.schema.fieldIndex(f.name)).dataType
+            != f.dataType)
+          d.withColumn(f.name, col(s"`${f.name}`").cast(f.dataType))
+        else d)
     padded.select((dataCols.map(col) :+
       col(LakeChangeSource.ChangeTypeCol)): _*)
   }

@@ -218,6 +218,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("lake change-feed stream survives a mid-stream REPLACE TABLE: " +
+      "the overwrite emits conformed rows (vanished columns null-pad, " +
+      "changed types cast back to the declared shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("lakecdf5").toString
+    val lake = new newspipe.io.Lake(spark, newspipe.io.LakeConfig(dir))
+    import spark.implicits._
+    lake.writeAtomic(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "t")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.Row]()
+    val q = spark.readStream
+      .format("newspipe.io.source.LakeChangeSource")
+      .option("basePath", dir).option("layer", "t")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/_ckpt5")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(got.add); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      got.size shouldBe 2 // initial snapshot as inserts
+      got.clear()
+      // REPLACE mid-stream: id type widens-compatible (long), v vanishes,
+      // a new column appears (projected away for the in-flight query)
+      lake.replaceAtomic(Seq((10L, 7.5)).toDF("id", "score"), "t")
+      q.processAllAvailable()
+      val rows = got.toArray(Array.empty[org.apache.spark.sql.Row])
+      // overwrite delta: 2 deletes (old corpus) + 1 insert (new corpus)
+      rows.length shouldBe 3
+      val byType = rows.groupBy(_.getString(2))
+      byType("delete").map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 2L)
+      val ins = byType("insert").head
+      ins.getLong(0) shouldBe 10L
+      ins.isNullAt(1) shouldBe true // 'v' vanished → null-padded
+    } finally q.stop()
+  }
+
   test("lake change-feed stream: mid-stream schema evolution keeps the declared shape; restart sees the new column") {
     val dir = java.nio.file.Files.createTempDirectory("lakecdf4").toString
     val lake = new newspipe.io.Lake(spark, newspipe.io.LakeConfig(dir))
