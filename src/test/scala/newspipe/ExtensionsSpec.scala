@@ -383,4 +383,40 @@ class ExtensionsSpec extends SparkTestBase {
       .head().getLong(0)
     n shouldBe 1 // the DELETE's parent is the WRITE
   }
+
+  test("catalog SQL joins auto-broadcast a small lake table with NO " +
+      "hint (stats flow through the LakeV2ReadRewrite v1 plan)") {
+    import newspipe.io.{Lake, LakeCatalog, LakeConfig}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("extstats").toString
+    // a REAL extension session (resolution rules can't be injected into a
+    // live session) — the LakeV2ReadRewrite path is what's under test
+    val s2 = org.apache.spark.sql.NewspipeSqlBridge.sessionWithExtensions(
+      spark, new NewspipeExtensions()(_))
+    s2.conf.set("spark.sql.catalog.exstat", classOf[LakeCatalog].getName)
+    s2.conf.set("spark.sql.catalog.exstat.basePath", dir)
+    val lake = new Lake(s2, LakeConfig(basePath = dir))
+    lake.writeAtomic(
+      Seq((0L, "d0"), (1L, "d1")).toDF("bucket", "label"), "dim")
+    import scala.jdk.CollectionConverters._
+    s2.createDataFrame(
+      (1L to 20000L).map(i => org.apache.spark.sql.Row(i, i % 2)).asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, bucket BIGINT"))
+      .createOrReplaceTempView("exstat_fact")
+    val prev = s2.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+      val df = s2.sql(
+        "SELECT f.id, d.label FROM exstat_fact f " +
+          "JOIN exstat.dim d ON f.bucket = d.bucket")
+      // the STATIC plan (pre-AQE) must already pick the broadcast — that
+      // proves the decision came from the relation's metadata statistics,
+      // not from AQE's runtime shuffle sizes
+      val static = df.queryExecution.sparkPlan.toString
+      static should include("BroadcastHashJoin")
+      static should not include "SortMergeJoin"
+    } finally
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
