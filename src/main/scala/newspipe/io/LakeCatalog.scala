@@ -765,9 +765,14 @@ private[io] final class StagedLakeTable(spark: SparkSession, base: String,
 
   override def commitStagedChanges(): Unit = {
     val prior = lake.properties(layer)
-    val declPrefixes = Seq("lake.constraint.", "lake.generated.",
-      "lake.identity.", "lake.defaultValue.")
-    val declKeys = Set("lake.partitionBy", Lake.ClusterByProp)
+    // the DECLARATION property families + layout/index keys are wholly
+    // superseded; table-level FEATURES (rowTracking, columnMapping mode,
+    // deletion vectors, checkpoint cadence) survive a replace — they
+    // describe how the TABLE operates, not what the statement declared
+    val declPrefixes = Seq("lake.constraint.", "lake.constraintInfo.",
+      "lake.generated.", "lake.identity.", "lake.defaultValue.")
+    val declKeys = Set("lake.partitionBy", Lake.ClusterByProp,
+      BloomIndex.ColsProp, BloomIndex.FppProp)
     val cleared = prior.keysIterator
       .filter(k => declKeys(k) || declPrefixes.exists(k.startsWith))
       .map(_ -> "").toMap

@@ -236,4 +236,27 @@ class LakeRowTrackingSpec extends SparkTestBase {
     }
     e.getMessage should include("row ids")
   }
+
+  test("row ids stay history-unique across a REPLACE: the tracked feed " +
+      "attributes old deletes and new inserts with disjoint id sets") {
+    val (_, lake) = freshLake()
+    lake.writeAtomic((1L to 20L).map(i => (i, s"d$i")).toDF("id", "text"),
+      "t")
+    lake.enableRowTracking("t")
+    val v0 = lake.listVersions("t").head
+    val oldIds = lake.readWithRowIds("t").select("_row_id")
+      .as[Long].collect().toSet
+    lake.replaceAtomic((100L to 104L).map(i => (i, s"n$i"))
+      .toDF("id", "text"), "t")
+    val head = lake.listVersions("t").head
+    val newIds = lake.readWithRowIds("t").select("_row_id")
+      .as[Long].collect().toSet
+    newIds.size shouldBe 5
+    oldIds.intersect(newIds) shouldBe empty // watermark never restarts
+    val feed = lake.changeFeedTracked("t", v0, head)
+    feed.filter($"_change_type" === "delete").select("_row_id")
+      .as[Long].collect().toSet shouldBe oldIds
+    feed.filter($"_change_type" === "insert").select("_row_id")
+      .as[Long].collect().toSet shouldBe newIds
+  }
 }
