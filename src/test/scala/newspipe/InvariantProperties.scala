@@ -371,4 +371,46 @@ object InvariantProperties extends Properties("newspipe") {
           rows.count(_._4) == math.ceil(rows.length * 0.5).toInt
         }
     }
+
+  // --- manifest protocol round-trip ----------------------------------------
+
+  private val relPath: Gen[String] = for {
+    v <- Gen.choose(1000L, 9999L)
+    n <- Gen.choose(0, 99)
+  } yield f"_v/$v%04d-aaaa/part-$n%05d.parquet"
+
+  private val manifests: Gen[newspipe.io.SnapshotManifest] = for {
+    files <- Gen.choose(0, 40).flatMap(k =>
+      Gen.listOfN(k, relPath)).map(_.distinct)
+    nDv <- Gen.choose(0, math.min(3, files.size))
+    nMap <- Gen.choose(0, 3)
+    watermark <- Gen.oneOf(Gen.const(0L), Gen.choose(1L, 1000000L))
+    tracked <- Gen.oneOf(true, false)
+    nId <- Gen.choose(0, 2)
+    variant <- Gen.oneOf(true, false)
+  } yield newspipe.io.SnapshotManifest(
+    files = files,
+    schemaDdl =
+      if (variant) "`id` BIGINT,`meta` VARIANT" else "`id` BIGINT",
+    dvs = files.take(nDv).map(f => f -> s"${f}_dv.json").toMap,
+    mapping = (1 to nMap).map(i => s"col$i" -> s"phys$i").toMap,
+    dropped = (1 to nMap).map(i => s"gone$i"),
+    rowBases =
+      if (tracked && files.nonEmpty)
+        files.zipWithIndex.map { case (f, i) => f -> i * 100L }.toMap
+      else Map.empty,
+    rowWatermark = if (tracked) watermark else 0L,
+    idHighs = (1 to nId).map(i => s"rid$i" -> (i * 7L)).toMap)
+
+  property("manifest: toJson/fromJson round-trips every field (incl. " +
+      "derived protocol features) at both inline and sharded sizes") =
+    Prop.forAll(manifests, Gen.oneOf(3, 1 << 20)) { (m, shardSize) =>
+      val (head, shards) =
+        newspipe.io.SnapshotManifest.toJsonSharded(m, shardSize)
+      val back = newspipe.io.SnapshotManifest.read(head, shards(_))
+      val expectedFeatures =
+        newspipe.io.ProtocolFeatures.derive(m).distinct.sorted
+      back.copy(features = Nil) == m.copy(features = Nil) &&
+        back.features.sorted == expectedFeatures
+    }
 }
