@@ -597,12 +597,17 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         s"layer '$layer': commit lock ownership lost before marker write " +
           "(stale-lock break race); re-read the layer and retry")
     }
+    // head pointer BEFORE the marker (fail-closed, not fail-stale): a
+    // crash in the window between the two writes leaves a pointer naming
+    // an UNCOMMITTED dir — readers' verify fails and they fall back to
+    // the correct listing scan (slow until the next commit repairs, never
+    // wrong). The reverse order would leave a stale-but-COMMITTED pointer
+    // that verifies, silently serving the previous head to every reader
+    // until some writer happens to commit again.
+    writeHeadPointer(layer, snap.getName)
     val out = f.create(new Path(snap, "_COMMITTED"), false)
     try out.write(parentAtCommit.getOrElse("").getBytes("UTF-8"))
     finally out.close()
-    // head pointer LAST (still inside the lock): every subsequent
-    // latestSnapshot is one read + one (cached) marker probe, flat in V
-    writeHeadPointer(layer, snap.getName)
   }
 
   /** Delta's `DESCRIBE HISTORY`: one row per committed snapshot, OLDEST
@@ -855,16 +860,17 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
 
   /** `_v/_LAST` — best-effort O(1) head pointer, the Delta
     * `_last_checkpoint` role for snapshot-head resolution. Content = the
-    * newest committed version's name; written inside the commit lock
-    * immediately after the `_COMMITTED` marker, so writers never race each
-    * other on it. Readers VERIFY-then-trust ([[latestSnapshot]]): a
-    * pointed-at version whose marker probe fails (torn write, manual
-    * debris) falls back to the listing scan. The one staleness window is a
-    * writer crashing between marker and pointer — that commit was never
-    * acknowledged, readers see the prior head until the NEXT commit
-    * repairs the pointer (commits resolve their parent by authoritative
-    * scan, never the pointer, so lineage/CAS are unaffected — see
-    * [[commitMarker]]).
+    * committing version's name; written inside the commit lock
+    * immediately BEFORE the `_COMMITTED` marker, so the only crash-window
+    * artifact is a pointer naming an uncommitted dir — readers'
+    * VERIFY-then-trust ([[latestSnapshot]]) fails the marker probe and
+    * falls back to the correct listing scan (fail-CLOSED: slow until the
+    * next commit repairs the pointer, never a stale answer). The reverse
+    * order would leave a stale-but-committed pointer that VERIFIES,
+    * silently serving the previous head to every reader. Writers never
+    * race each other on the file (commit lock), and commits resolve
+    * their parent by authoritative scan, never the pointer, so
+    * lineage/CAS are unaffected — see [[commitMarker]].
     */
   private def headPointerPath(layer: String): Path =
     new Path(s"${layerPath(layer)}/_v/_LAST")

@@ -57,6 +57,26 @@ class LakeHeadPointerSpec extends SparkTestBase {
     assert(readPointer(base, "docs") === lake.listVersions("docs").head)
   }
 
+  test("crash-window pointer (names an UNCOMMITTED dir) fails CLOSED: " +
+      "reads fall back to the true head, never a stale answer") {
+    val (base, lake) = newLake()
+    lake.writeAtomic(Seq((1L, "a")).toDF("id", "s"), "docs")
+    lake.appendAtomic(Seq((2L, "b")).toDF("id", "s"), "docs")
+    val head = lake.listVersions("docs").head
+    // simulate a writer that crashed AFTER the pointer write and BEFORE
+    // the marker: the pointer names a minted-but-uncommitted version dir
+    // (the only artifact the pointer-before-marker order can leave)
+    val phantom = f"${9999999999999L}%016d-deadbeef"
+    new java.io.File(s"$base/docs/_v/$phantom").mkdirs()
+    writePointer(base, "docs", phantom)
+    // verification fails the marker probe → fallback scan → TRUE head
+    assert(lake.headVersion("docs").contains(head))
+    assert(lake.read("docs").count() === 2)
+    // the next successful commit repairs the pointer
+    lake.appendAtomic(Seq((3L, "c")).toDF("id", "s"), "docs")
+    assert(readPointer(base, "docs") === lake.listVersions("docs").head)
+  }
+
   test("stale pointer cannot fork lineage: commits resolve parent by scan") {
     val (base, lake) = newLake()
     lake.writeAtomic(Seq((1L, "a")).toDF("id", "s"), "docs")
