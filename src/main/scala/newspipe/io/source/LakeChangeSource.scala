@@ -272,6 +272,17 @@ private[source] class LakeChangeStream(spark: SparkSession, basePath: String,
     * AvailableNow latch. None = no versions at all.
     */
   private def cappedEnd(anchor: Option[String]): Option[String] = {
+    // O(1) IDLE fast path: when the (fail-closed, pointer-first) head
+    // resolution says nothing committed past the anchor, the trigger is
+    // empty — skip the full-history listing. A steady-state idle stream's
+    // per-trigger cost becomes one pointer read + one cached marker
+    // probe, not an O(versions-dir) LIST. The pointer order guarantees
+    // headVersion is never behind the committed truth (a crash-window
+    // pointer fails verification → fallback scan), so this can never
+    // silently skip a real commit.
+    anchor.foreach { a =>
+      if (lake.headVersion(layer).contains(a)) return Some(a)
+    }
     val newestFirst = lake.listVersions(layer)
     if (newestFirst.isEmpty) return None
     val asc = newestFirst.reverse
