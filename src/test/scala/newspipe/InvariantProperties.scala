@@ -413,4 +413,36 @@ object InvariantProperties extends Properties("newspipe") {
       back.copy(features = Nil) == m.copy(features = Nil) &&
         back.features.sorted == expectedFeatures
     }
+
+  private val deltaDocs: Gen[newspipe.io.DeltaDoc] = for {
+    add <- Gen.choose(0, 10).flatMap(k =>
+      Gen.listOfN(k, relPath)).map(_.distinct)
+    remove <- Gen.choose(0, 10).flatMap(k =>
+      Gen.listOfN(k, relPath)).map(_.distinct.filterNot(add.contains))
+    chain <- Gen.choose(1, 8)
+    count <- Gen.choose(0, 1000)
+    nDv <- Gen.choose(0, math.min(2, add.size))
+    nMap <- Gen.choose(0, 2)
+    tracked <- Gen.oneOf(true, false)
+    wm <- Gen.choose(1L, 100000L)
+    nId <- Gen.choose(0, 2)
+  } yield newspipe.io.DeltaDoc(
+    parent = "0000000000001000-aaaa", chain = chain, count = count,
+    schemaDdl = "`id` BIGINT,`text` STRING",
+    add = add, remove = remove,
+    dvSet = add.take(nDv).map(f => f -> s"${f}_dv.json").toMap,
+    dvUnset = remove.take(1),
+    mapping = (1 to nMap).map(i => s"c$i" -> s"p$i").toMap,
+    dropped = (1 to nMap).map(i => s"g$i"),
+    addBases =
+      if (tracked && add.nonEmpty)
+        add.zipWithIndex.map { case (f, i) => f -> i * 10L }.toMap
+      else Map.empty,
+    rowWatermark = if (tracked) wm else 0L,
+    idHighs = (1 to nId).map(i => s"rid$i" -> (i * 3L)).toMap)
+
+  property("delta doc: toJson/fromJson round-trips every field") =
+    Prop.forAll(deltaDocs) { d =>
+      newspipe.io.DeltaDoc.fromJson(newspipe.io.DeltaDoc.toJson(d)) == d
+    }
 }
