@@ -445,4 +445,23 @@ object InvariantProperties extends Properties("newspipe") {
     Prop.forAll(deltaDocs) { d =>
       newspipe.io.DeltaDoc.fromJson(newspipe.io.DeltaDoc.toJson(d)) == d
     }
+
+  property("identity alignBeyond: result is on the start/step grid, " +
+      "strictly beyond seen, and minimally so") =
+    Prop.forAll(
+      Gen.choose(-100000L, 100000L),
+      Gen.choose(-1000L, 1000L),
+      Gen.oneOf(Gen.choose(1L, 97L), Gen.choose(-97L, -1L))) {
+      (seen, start, step) =>
+      val next = newspipe.io.Lake.alignBeyond(seen, start, step)
+      val onGrid = (next - start) % step == 0
+      val beyond = if (step > 0) next > seen else next < seen
+      // minimal: stepping BACK one lands at-or-behind seen (or behind
+      // start — the grid never allocates before its declared origin)
+      val prev = next - step
+      val minimal =
+        if (step > 0) prev <= seen || prev < start
+        else prev >= seen || prev > start
+      onGrid && beyond && minimal
+    }
 }
