@@ -164,6 +164,49 @@ class LakeConstraintSpec extends SparkTestBase {
     lake.properties("t").keys should contain("lake.constraintInfo.fk")
   }
 
+  test("constraint info encoding round-trips across kinds, rely flags, " +
+      "multi-column keys and pipe-bearing predicates") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.connector.catalog.constraints._
+    import org.apache.spark.sql.connector.expressions.Expressions
+    def roundtrip(c: Constraint): Constraint = {
+      val (k, v) = LakeConstraints.toProperty(c)
+      k should startWith(LakeConstraints.InfoPrefix)
+      LakeConstraints.fromInfoProperty(
+        k.stripPrefix(LakeConstraints.InfoPrefix), v)
+    }
+    for (rely <- Seq(true, false)) {
+      val pk = Constraint.primaryKey("pk1",
+          Array(Expressions.column("a"), Expressions.column("b")))
+        .enforced(false).rely(rely)
+        .validationStatus(Constraint.ValidationStatus.UNVALIDATED).build()
+      val pkBack = roundtrip(pk).asInstanceOf[PrimaryKey]
+      pkBack.columns.map(_.describe).toSeq shouldBe Seq("a", "b")
+      pkBack.rely shouldBe rely
+      val u = Constraint.unique("u1", Array(Expressions.column("x")))
+        .enforced(false).rely(rely)
+        .validationStatus(Constraint.ValidationStatus.UNVALIDATED).build()
+      roundtrip(u).asInstanceOf[Unique]
+        .columns.map(_.describe).toSeq shouldBe Seq("x")
+      val fk = Constraint.foreignKey("fk1",
+          Array(Expressions.column("cust")),
+          Identifier.of(Array("ns"), "dim"),
+          Array(Expressions.column("id")))
+        .enforced(false).rely(rely)
+        .validationStatus(Constraint.ValidationStatus.UNVALIDATED).build()
+      val fkBack = roundtrip(fk).asInstanceOf[ForeignKey]
+      fkBack.referencedTable.name shouldBe "dim"
+      fkBack.referencedColumns.map(_.describe).toSeq shouldBe Seq("id")
+      for (pred <- Seq("a || b = 'x|y'", "n > 0", "x IS NOT NULL")) {
+        val ck = Constraint.check("ck1").predicateSql(pred)
+          .enforced(false).rely(rely)
+          .validationStatus(Constraint.ValidationStatus.UNVALIDATED)
+          .build()
+        roundtrip(ck).asInstanceOf[Check].predicateSql() shouldBe pred
+      }
+    }
+  }
+
   test("NOT ENFORCED CHECK is informational and its predicate survives " +
       "the encoding even when it contains '||'") {
     import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog,
