@@ -641,6 +641,21 @@ class LakeCatalogSpec extends SparkTestBase {
     lake.historyRows("rident2").last.getString(2) shouldBe "REPLACE TABLE"
   }
 
+  test("REPLACE over a DV-carrying table: the new head is DV-free; the " +
+      "pre-replace version still hides its soft-deleted rows") {
+    lake.writeAtomic((1L to 50L).map(i => (i, s"t$i")).toDF("id", "text"),
+      "rdv")
+    lake.setProperties("rdv", Map("lake.enableDeletionVectors" -> "true"))
+    lake.deleteWhereDv("rdv", $"id" <= 10L)
+    val preV = lake.listVersions("rdv").head
+    spark.sql(s"REPLACE TABLE lake.`$base`.rdv AS SELECT 99L AS id")
+    lake.deletionVectors("rdv") shouldBe empty
+    spark.sql(s"SELECT id FROM lake.`$base`.rdv").as[Long]
+      .collect() shouldBe Array(99L)
+    // the pinned pre-replace read applies ITS version's DV map
+    lake.readVersion("rdv", preV).count() shouldBe 40L
+  }
+
   test("SHOW CREATE TABLE reproduces schema, partitioning and properties") {
     spark.sql(s"CREATE TABLE lake.`$base`.sct (id BIGINT, lang STRING) " +
       "PARTITIONED BY (lang) TBLPROPERTIES ('team'='pipeline')")
