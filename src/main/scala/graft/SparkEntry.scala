@@ -4063,6 +4063,72 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
           sum("doc_id").as("id_sum"))
         .orderBy("lang")
+    }),
+
+    // Predicate-scoped atomic overwrite (Delta's replaceWhere — the
+    // production daily-re-land pattern): one partition's files rewrite
+    // in ONE parent-checked commit while every other partition rides the
+    // manifest by reference, via BOTH spellings — the API
+    // (Lake.overwriteWhere, 'en' region, doubled metric) and SQL
+    // (`INSERT OVERWRITE … PARTITION (lang='de')`, +1000 metric).
+    // In-query requires pin the scale shape (carried >= rewritten files,
+    // never a layer rewrite) and Delta's data contract (incoming rows
+    // outside the region refuse, nothing lands). Oracle = complement ∪
+    // the two re-landed regions.
+    "q182_replace_where" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.lake", "newspipe.io.LakeCatalog")
+      val root = java.nio.file.Files.createTempDirectory("q182_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      lake.writeAtomic(docs, "docs", partitionBy = Seq("lang"))
+      val r = lake.overwriteWhere("docs",
+        docs.filter(col("lang") === "en")
+          .withColumn("n_chars", col("n_chars") * 2L),
+        col("lang") === "en")
+      require(r.rewrittenFiles >= 1 && r.carriedFiles >= 1 &&
+          r.carriedFiles >= r.rewrittenFiles,
+        s"replaceWhere must rewrite the region and CARRY the rest by " +
+          s"reference: rewritten=${r.rewrittenFiles} " +
+          s"carried=${r.carriedFiles}")
+      require(scala.util.Try(lake.overwriteWhere("docs",
+          docs.filter(col("lang") === "fr"), col("lang") === "en"))
+          .isFailure,
+        "rows outside the replace region must refuse (Delta's contract)")
+      docs.createOrReplaceTempView("q182_src")
+      s.sql(s"INSERT OVERWRITE lake.`$root`.docs PARTITION (lang = 'de') " +
+        "SELECT doc_id, n_chars + 1000 AS n_chars FROM q182_src " +
+        "WHERE lang = 'de'")
+      require(lake.historyRows("docs").map(_.getString(2))
+          .count(_ == "REPLACE WHERE") == 2,
+        "both spellings must land as REPLACE WHERE commits")
+      lake.read("docs").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
+    // DESCRIBE HISTORY operationMetrics (Delta parity): numAddedFiles /
+    // numRemovedFiles / numAddedRows recorded AT COMMIT TIME from the
+    // increment the commit funnel already computes (O(increment), no
+    // post-hoc recomputation), surfaced through the SQL statement. The
+    // commits are single-file by construction (coalesce(1), and the
+    // stats-pruned DELETE touches exactly the one file whose lang range
+    // covers 'zh'), so the file metrics are oracle constants while the
+    // row metrics derive from the corpus relationally.
+    "q183_history_metrics" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q183_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents")
+      lake.writeAtomic(docs.coalesce(1), "docs")
+      lake.appendAtomic(docs.filter(col("lang") === "en").coalesce(1),
+        "docs")
+      lake.deleteWhere("docs", col("lang") === "zh")
+      newspipe.io.LakeSql.sql(s, s"DESCRIBE HISTORY lake.`$root`.docs")
+        .select(col("ordinal"), col("operation"), col("num_added_files"),
+          col("num_removed_files"), col("num_added_rows"))
+        .orderBy("ordinal")
     })
   )
 
@@ -6869,6 +6935,36 @@ object SparkEntry {
           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
           |       CAST(sum(doc_id) AS BIGINT) AS id_sum
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) +
+      // complement ∪ the two re-landed regions (en doubled via the API,
+      // de +1000 via INSERT OVERWRITE PARTITION)
+      ("q182_replace_where" ->
+        """WITH merged AS (
+          |  SELECT doc_id, lang, n_chars FROM documents
+          |  WHERE lang NOT IN ('en', 'de')
+          |  UNION ALL
+          |  SELECT doc_id, lang, n_chars * 2 FROM documents
+          |  WHERE lang = 'en'
+          |  UNION ALL
+          |  SELECT doc_id, lang, n_chars + 1000 FROM documents
+          |  WHERE lang = 'de')
+          |SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |FROM merged GROUP BY lang ORDER BY lang""".stripMargin) +
+      // single-file commits by construction → file metrics are constants;
+      // row metrics recomputed from the corpus
+      ("q183_history_metrics" ->
+        """SELECT CAST(1 AS INT) AS ordinal, 'WRITE' AS operation,
+          |       CAST(1 AS BIGINT) AS num_added_files,
+          |       CAST(0 AS BIGINT) AS num_removed_files,
+          |       (SELECT count(*) FROM documents) AS num_added_rows
+          |UNION ALL
+          |SELECT 2, 'APPEND', 1, 0,
+          |       (SELECT count(*) FROM documents WHERE lang = 'en')
+          |UNION ALL
+          |SELECT 3, 'DELETE', 1, 1,
+          |       (SELECT count(*) FROM documents WHERE lang <> 'zh')
+          |ORDER BY ordinal""".stripMargin) +
       ("q152_substring_dedup" -> substringScrubOracleSql) +
       // SQL surface = API: the TVF runs the identical kernel
       ("q154_sql_substring_scrub" -> substringScrubOracleSql) +

@@ -24,10 +24,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *                                  content is the parent version id
   * layer/_v/_LAST             — best-effort head pointer (newest committed
   *                              version name), written inside the commit
-  *                              lock right after the marker; readers
-  *                              verify-then-trust, so head resolution is
-  *                              O(1) in commit count (Delta's
-  *                              `_last_checkpoint` role)
+  *                              lock immediately BEFORE the marker
+  *                              (fail-closed: a crash between the two
+  *                              leaves a pointer that fails the marker
+  *                              probe, never a stale verified head);
+  *                              readers verify-then-trust, so head
+  *                              resolution is O(1) in commit count
+  *                              (Delta's `_last_checkpoint` role)
   * }}}
   *
   * A snapshot write lands entirely under a fresh version directory and only
@@ -259,9 +262,23 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     writeSnapshot(df, layer, partitionBy, requireParent = Some(expectedParent),
       op = "WRITE")
 
-  private def newVersionId(): String =
-    f"${System.currentTimeMillis()}%016d-" +
+  /** Fresh version id (zero-padded millis + random suffix) with the
+    * ORDERING FLOOR: version names are the
+    * lineage order (history, "newest", restore targets, the rebase re-id
+    * all sort by name), so a writer whose clock runs BEHIND the writer
+    * that committed the current head must not mint a name that sorts
+    * below it — the new commit would silently not be "newest". Floor =
+    * head's millis + 1: one O(1) head resolution per mint. The
+    * [[commitMarker]] ordering guard backstops the race window between
+    * this mint and the marker.
+    */
+  private def newVersionIdAfterHead(layer: String): String = {
+    val headMs = latestSnapshot(layer)
+      .flatMap(p => scala.util.Try(p.getName.take(16).toLong).toOption)
+      .getOrElse(0L)
+    f"${math.max(System.currentTimeMillis(), headMs + 1)}%016d-" +
       java.util.UUID.randomUUID().toString.take(8)
+  }
 
   /** Delta's `optimizeWrite` for hive-partitioned commits. Without it,
     * every write TASK emits one file per partition value it holds —
@@ -316,7 +333,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // mapped physical name
     val recordedSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields.filterNot(_.name.equalsIgnoreCase(Lake.RowIdCol)))
-    val snap = new Path(s"${layerPath(layer)}/_v/${newVersionId()}")
+    val snap = new Path(s"${layerPath(layer)}/_v/${newVersionIdAfterHead(layer)}")
     var writer = df.write.format(config.format).mode("errorifexists")
     if (partitionBy.nonEmpty) writer = writer.partitionBy(partitionBy: _*)
     writer.save(snap.toString)
@@ -388,10 +405,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // carries complete stats or none — readers can trust what they find.
     // Runs before the optimistic-concurrency check so the (listing +
     // marker-create) race window stays small.
+    var addedRowsOpt: Option[Long] = None
     if (config.collectStats && config.format == "parquet") {
       try {
         val stats0 = FileStats.collect(
           spark.sparkContext.hadoopConfiguration, snap.toString)
+        addedRowsOpt = Some(stats0.iterator.map(_.rows).sum)
         // a manifest-carrying snapshot (row tracking OR identity columns
         // — the SAME condition that wrote the manifest above) keys its
         // stats by MANIFEST rel — sidecarStats would otherwise reject the
@@ -414,7 +433,36 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           Console.err.println(s"[lake] stats sidecar for $snap skipped: $e")
       }
     }
+    // operation metrics (Delta's operationMetrics): a full overwrite adds
+    // every file of the new snapshot and removes the prior head's whole
+    // inventory — both already known, O(increment) to record
+    locally {
+      val removedCount =
+        latestSnapshot(layer).map(p => snapshotInventory(layer, p).size)
+          .getOrElse(0)
+      val out = fs(snap).create(new Path(snap, "_METRICS"), true)
+      try out.write(Lake.metricsJson(snapshotDirFilesRel(snap).size,
+        removedCount, addedRowsOpt).getBytes("UTF-8"))
+      finally out.close()
+    }
     commitMarker(layer, snap, requireParent, op)
+    // Keep the DECLARED layout property in sync with what this full
+    // overwrite actually committed: a `writeAtomic(partitionBy = …)` is a
+    // layout declaration too (the catalog's `partitioning()` — and so the
+    // static `INSERT OVERWRITE … PARTITION (k=v)` resolution — read it),
+    // and a FLAT overwrite of a previously-partitioned layer must not
+    // leave the property claiming a hive layout the data no longer has.
+    // After the marker (property file is layer-root metadata, not part of
+    // the snapshot commit); prearranged maintenance rewrites keep the
+    // declaration they inherited.
+    if (!prearranged) {
+      val declared = properties(layer).get("lake.partitionBy")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      if (declared != partitionBy)
+        setProperties(layer,
+          Map("lake.partitionBy" -> partitionBy.mkString(",")))
+    }
     snap.toString
   }
 
@@ -569,8 +617,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         // repair a stale pointer before bouncing the caller: the retry
         // loop re-reads the head through latestSnapshot (pointer-first),
         // so without this a crash-window-stale pointer would livelock
-        // every optimistic retry against the same wrong parent
-        parentAtCommit.foreach(writeHeadPointer(layer, _))
+        // every optimistic retry against the same wrong parent.
+        // bestEffort: we are about to throw CME — an IO error here must
+        // not mask it (a failed repair just leaves retries on the scan)
+        parentAtCommit.foreach(writeHeadPointer(layer, _, bestEffort = true))
         // deleteOnConflict=false: the caller intends to REBASE the staged
         // snapshot onto the new head ([[commitManifest]]'s disjoint-file
         // resolution) — its data files must survive the lost race
@@ -580,6 +630,26 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
             s"${expected.getOrElse("<none>")} but newest committed is " +
             s"${parentAtCommit.getOrElse("<none>")} — a concurrent writer " +
             "committed first; re-read the layer and retry")
+      }
+    }
+    // ORDERING GUARD (backstop for [[newVersionIdAfterHead]]'s mint
+    // floor): a committing name must sort STRICTLY ABOVE the current
+    // head, or "newest" becomes ambiguous — history, restore targets and
+    // the rebase re-id all order by name, so a below-head commit would
+    // silently not be the head it just won. Only reachable when a
+    // concurrent writer with a faster clock committed between OUR mint
+    // and this marker (the floor covers the mint-time head) — thrown as
+    // the conflict it is, so [[retryOnConflict]] re-runs and re-mints
+    // above the new head.
+    parentAtCommit.foreach { pn =>
+      if (snap.getName <= pn) {
+        if (deleteOnConflict) f.delete(snap, true)
+        throw new java.util.ConcurrentModificationException(
+          s"layer '$layer': staged version name '${snap.getName}' does " +
+            s"not sort above the committed head '$pn' (writer clock " +
+            "skew or a concurrent commit with a faster clock) — " +
+            "re-read the layer and retry (the retry re-mints above the " +
+            "head)")
       }
     }
     // operation label BEFORE the marker (same completeness contract as the
@@ -611,10 +681,13 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   }
 
   /** Delta's `DESCRIBE HISTORY`: one row per committed snapshot, OLDEST
-    * first — (ordinal, version, operation, parent). Operation labels are
-    * recorded at commit time (`_OP`); snapshots predating the label (or
-    * from foreign writers) read `UNKNOWN`. Driver-side listing, bounded by
-    * version count — the same metadata walk [[listVersions]] does.
+    * first — (ordinal, version, operation, parent, numAddedFiles,
+    * numRemovedFiles, numAddedRows). Operation labels and metrics are
+    * recorded at commit time (`_OP` / `_METRICS` — O(increment), the
+    * funnel already knows the delta); snapshots predating either feature
+    * (or from foreign writers) read `UNKNOWN` / null. Driver-side
+    * listing, bounded by version count — the same metadata walk
+    * [[listVersions]] does.
     */
   def historyRows(layer: String): Seq[org.apache.spark.sql.Row] = {
     val versions = committedVersions(layer).reverse
@@ -624,9 +697,14 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         val p = new Path(snap, name)
         if (f.exists(p)) Some(readFully(p)) else None
       }
+      val (af, rf, ar) = readOpt("_METRICS").map(Lake.parseMetrics)
+        .getOrElse((None, None, None))
+      def box(o: Option[Long]): java.lang.Long =
+        o.map(java.lang.Long.valueOf).orNull
       org.apache.spark.sql.Row(i + 1, snap.getName,
         readOpt("_OP").getOrElse("UNKNOWN"),
-        readOpt("_COMMITTED").getOrElse(""))
+        readOpt("_COMMITTED").getOrElse(""),
+        box(af), box(rf), box(ar))
     }
   }
 
@@ -770,7 +848,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         StructField("ordinal", IntegerType, nullable = false),
         StructField("version", StringType, nullable = false),
         StructField("operation", StringType, nullable = false),
-        StructField("parent", StringType, nullable = false))))
+        StructField("parent", StringType, nullable = false),
+        StructField("num_added_files", LongType, nullable = true),
+        StructField("num_removed_files", LongType, nullable = true),
+        StructField("num_added_rows", LongType, nullable = true))))
   }
 
   /** Timestamp-resolution time travel: read the newest committed snapshot
@@ -887,17 +968,45 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       } finally in.close()
     } catch { case _: java.io.IOException => None }
 
-  /** Best-effort (an IO failure just leaves readers on the fallback scan);
-    * single small create-overwrite — callers hold the commit lock, so the
+  /** Single small create-overwrite — callers hold the commit lock, so the
     * only race is a concurrent READER catching the truncate window, which
     * the reader's marker verification absorbs.
+    *
+    * An IO FAILURE here must stay fail-closed too: the commit path calls
+    * this immediately before creating the `_COMMITTED` marker, and if the
+    * write fails without touching the file, `_LAST` still names the
+    * PREVIOUS committed version — which would VERIFY after the marker
+    * lands, silently hiding the new commit from every pointer-trusting
+    * reader (the idle change-stream fast path most of all). So on
+    * failure the pointer is DELETED (missing pointer → readers take the
+    * authoritative listing fallback), and only if even the delete cannot
+    * restore the invariant does the commit itself abort — loudly, before
+    * the marker exists, so nothing half-committed becomes visible.
+    * `bestEffort = true` (the stale-pointer REPAIR inside the conflict
+    * path) keeps the old swallow-and-continue contract: the caller is
+    * about to throw `ConcurrentModificationException`, and replacing that
+    * with an IO error would break every optimistic retry loop.
     */
-  private def writeHeadPointer(layer: String, version: String): Unit =
+  private def writeHeadPointer(layer: String, version: String,
+      bestEffort: Boolean = false): Unit =
     try {
       val p = headPointerPath(layer)
       val out = fs(p).create(p, true)
       try out.write(version.getBytes("UTF-8")) finally out.close()
-    } catch { case _: java.io.IOException => () }
+    } catch {
+      case e: java.io.IOException if bestEffort => ()
+      case e: java.io.IOException =>
+        val p = headPointerPath(layer)
+        val gone =
+          try !fs(p).exists(p) || fs(p).delete(p, false)
+          catch { case _: java.io.IOException => false }
+        if (!gone) throw new IllegalStateException(
+          s"layer '$layer': head pointer write failed AND the stale " +
+            "pointer could not be removed — committing now would leave " +
+            "a verified-but-stale _LAST hiding this commit from " +
+            "pointer-trusting readers; aborting before the marker " +
+            s"(nothing became visible): ${e.getMessage}", e)
+    }
 
   /** Latest committed snapshot dir of a layer, if the layer uses the
     * snapshot protocol. O(1) on the happy path: one `_LAST` read + one
@@ -2296,7 +2405,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         .map(pr => dvPayload(base, pr).getOrElse(rel, Nil)).getOrElse(Nil)
       rel -> (old ++ pos).distinct.sorted
     }
-    val newSnap = new Path(s"$base/_v/${newVersionId()}")
+    val newSnap = new Path(s"$base/_v/${newVersionIdAfterHead(layer)}")
     val nf = fs(newSnap)
     try {
       nf.mkdirs(newSnap) // no data files — positions + manifest only
@@ -3110,25 +3219,55 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         java.nio.file.Paths.get(p.stripPrefix(qualSrc)))))
       .sorted
     // loaded-file ledger: union of _COPY markers across committed
-    // versions, folded INCREMENTALLY through the JVM-global cache — a
-    // committed version's marker is immutable, so each call probes only
-    // versions no prior call scanned (O(new commits), not O(history)).
-    // Caveat, documented: the ledger lives in version dirs, so vacuuming
-    // a version past retention drops its entries — re-staging files whose
-    // loading commit was vacuumed will reload them (keep staging dirs
-    // groomed within the retention window, Delta's operational posture).
-    val layerKey = new Path(layerPath(layer)).toString
-    val (scanned0, loaded0) = Lake.copyLedgerGet(layerKey)
+    // versions PLUS relocated ledgers of vacuumed versions
+    // (`_v/_COPY_LEDGER/`), folded INCREMENTALLY through the JVM-global
+    // cache — a committed version's marker and a relocated ledger are
+    // both immutable, so each call probes only entries no prior call
+    // scanned (O(new commits), not O(history)). Vacuum preserves the
+    // ledger by relocating markers before reclaiming their version dirs,
+    // so a retried COPY INTO never re-ingests — however deep the vacuum.
+    // cache key = FS-QUALIFIED layer root (scheme + authority), the same
+    // discipline committedCache keys follow: `file:///data/t` and
+    // `hdfs:/data/t` are different tables and must not share a ledger.
+    val layerRootPath = new Path(layerPath(layer))
+    val layerKey = fs(layerRootPath).makeQualified(layerRootPath).toString
     val versions = committedVersions(layer)
+    // relocated ledgers of VACUUMED versions (`_v/_COPY_LEDGER/<v>`,
+    // written by vacuum before reclaiming a `_COPY`-bearing dir) fold
+    // exactly like live markers; their cache identity is prefixed so a
+    // version name can't collide with its own relocation
+    val ledgerDirPath = copyLedgerDir(layer)
+    val ledgerFiles: Seq[Path] =
+      if (!fs(ledgerDirPath).exists(ledgerDirPath)) Nil
+      else fs(ledgerDirPath).listStatus(ledgerDirPath)
+        .filter(_.isFile).map(_.getPath).toSeq
+    val currentNames = versions.map(_.getName).toSet ++
+      ledgerFiles.map(p => s"ledger:${p.getName}")
+    // cached state is only trusted when every version it scanned still
+    // exists: a scanned name missing from the live listing means either a
+    // vacuum (rescan is what a fresh JVM would compute — ledger-bearing
+    // versions are vacuum-pinned, so the fold rebuilds completely) or a
+    // table DELETED AND RECREATED at the same path outside the catalog,
+    // where trusting the old incarnation's 'loaded' set would silently
+    // skip staging files the new table never ingested.
+    val (scanned0, loaded0) = {
+      val (s, l) = Lake.copyLedgerGet(layerKey)
+      if (s.subsetOf(currentNames)) (s, l)
+      else (Set.empty[String], Set.empty[String])
+    }
     val freshVers = versions.filterNot(v => scanned0.contains(v.getName))
+    val freshLedgers = ledgerFiles.filterNot(p =>
+      scanned0.contains(s"ledger:${p.getName}"))
     val newEntries: Set[String] = freshVers.iterator.flatMap { v =>
       val p = new Path(v, Lake.CopyMarker)
       if (!fs(v).exists(p)) Nil
       else readFully(p).split("\n").toSeq.filter(_.nonEmpty)
-    }.toSet
+    }.toSet ++ freshLedgers.iterator.flatMap(p =>
+      readFully(p).split("\n").toSeq.filter(_.nonEmpty))
     val loaded: Set[String] = loaded0 ++ newEntries
     Lake.copyLedgerPut(layerKey,
-      scanned0 ++ freshVers.map(_.getName), loaded)
+      scanned0 ++ freshVers.map(_.getName) ++
+        freshLedgers.map(p => s"ledger:${p.getName}"), loaded)
     val fresh = candidates.filterNot(loaded)
     if (fresh.isEmpty)
       return Lake.RowOpResult(snap.toString, 0,
@@ -3207,7 +3346,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     require(flatFiles.nonEmpty,
       s"layer '$layer' has no data files to convert")
     val schema = read(layer).schema
-    val snap = new Path(s"$base/_v/${newVersionId()}")
+    val snap = new Path(s"$base/_v/${newVersionIdAfterHead(layer)}")
     f.mkdirs(snap)
     val (head, shards) = SnapshotManifest.toJsonSharded(
       SnapshotManifest(flatFiles, schema.toDDL), config.manifestShardSize)
@@ -3519,6 +3658,45 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       df => df.filter(not(coalesce(predicate, lit(false)))), op = "DELETE")
   }
 
+  /** Predicate-scoped atomic overwrite — Delta's `option("replaceWhere",
+    * …)` and the engine behind `INSERT INTO t REPLACE WHERE …` /
+    * `INSERT OVERWRITE t PARTITION (k=v)` (reference's Delta write sites,
+    * _lib_dq_helpers.py:21-54): in ONE commit, delete every existing row
+    * matching `predicate` and land `df`'s rows in their place. The
+    * production daily-re-land pattern at 100 TB: the stats sidecar (which
+    * carries hive partition values as well as column min/max) selects the
+    * files the predicate can touch, ONLY those rewrite, and the untouched
+    * 99% of the layer rides the manifest by reference — a one-partition
+    * re-land moves one partition's bytes, never the layer.
+    *
+    * Delta's data contract is enforced: every incoming row must SATISFY
+    * the predicate (a row outside the replaced region would silently land
+    * beside data the statement promised not to touch — refused loudly;
+    * NULL-predicate rows count as outside). Commit is parent-checked like
+    * every row op; racing writers bounce with
+    * `ConcurrentModificationException` for [[retryOnConflict]].
+    */
+  def overwriteWhere(layer: String, df: DataFrame,
+      predicate: org.apache.spark.sql.Column): Lake.RowOpResult = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
+      s"layer '$layer' has no committed snapshot — overwriteWhere replaces " +
+        "a region of an existing table (writeAtomic/CREATE TABLE first; " +
+        "a full overwrite is writeAtomic itself)"))
+    val outside = df.filter(not(coalesce(predicate, lit(false))))
+    if (!outside.isEmpty) {
+      val sample = outside.limit(3).collect().mkString("; ")
+      throw new IllegalArgumentException(
+        s"overwriteWhere('$layer'): incoming rows violate the replace " +
+          s"predicate — every written row must satisfy it (Delta's " +
+          s"replaceWhere contract), or the commit would touch data " +
+          s"outside the declared region. Examples: $sample")
+    }
+    rewriteCore(layer, snap, Some(predicate),
+      transform = old => old.filter(not(coalesce(predicate, lit(false)))),
+      append = Some(df), op = "REPLACE WHERE")
+  }
+
   /** Row-level UPDATE, same mechanics as [[deleteWhere]]: each assignment
     * column is replaced by its new expression on rows where the predicate
     * is TRUE (NULL/false rows keep their value), only can-match files are
@@ -3593,7 +3771,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       dfG.schema.fieldNames.filterNot(old.fieldNames.contains))
     enforceConstraints(layer, dfG, s"appendAtomic('$layer')")
     val partCols = layerPartitionCols(layer, carried)
-    val newSnap = new Path(s"$base/_v/${newVersionId()}")
+    val newSnap = new Path(s"$base/_v/${newVersionIdAfterHead(layer)}")
     try {
       // partition columns are never renameable (column mapping refuses
       // them), so the rebalance's logical names hold on the physical frame
@@ -3750,6 +3928,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     def stage(curParent: Path, curCarried: Seq[String],
         curStats: Map[String, FileStats.FileStat],
         curDvs: Map[String, String]): Unit = {
+      // operation metrics for DESCRIBE HISTORY (Delta's operationMetrics
+      // role): recorded AT COMMIT from the increment the funnel already
+      // computes — O(increment), never a post-hoc recomputation. Row
+      // count rides the stats harvest below (absent when stats are off
+      // or soft-failed: history then shows null, never a wrong number).
+      var addedRowsOpt: Option[Long] = None
       val newInv = curCarried ++ newFiles
       // INCREMENTAL COMMIT DECISION (see [[DeltaDoc]]): record only the
       // change against the parent when (a) incremental commits are on,
@@ -3879,6 +4063,9 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           // stat stays KEYED by the manifest rel so sidecar lookups match
           val ownStats = FileStats.collectResolved(conf,
             refooter.map(rel => rel -> new Path(resolveRel(base, rel))))
+          val newSet0 = newFiles.toSet
+          addedRowsOpt = Some(ownStats.iterator
+            .filter(st => newSet0(st.path)).map(_.rows).sum)
           // a rebase RESTAGES into a renamed dir: both sidecars from the
           // previous staging must go, or the bloom write (create
           // overwrite=false) fails and the commit keeps entries keyed to
@@ -3911,6 +4098,11 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
             Console.err.println(s"[lake] stats sidecar for $curSnap skipped: $e")
         }
       }
+      // end of staging: the metrics doc lands INSIDE the snapshot dir
+      // (atomic with the commit's visibility, like _OP); a rebase
+      // restages and overwrites it against the new parent
+      put("_METRICS", Lake.metricsJson(
+        addFiles.size, removeFiles.size, addedRowsOpt))
     }
     val parentDv = dvMapOf(parent)
     var curParent = parent
@@ -3963,7 +4155,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           // name-ordered head (a dir rename: metadata-cheap on FS/HDFS,
           // bounded by the staged outputs on object stores — still far
           // cheaper than re-running the rewrite)
-          val fresh = new Path(s"$base/_v/${newVersionId()}")
+          val fresh = new Path(s"$base/_v/${newVersionIdAfterHead(layer)}")
           if (!f.rename(curSnap, fresh)) bail()
           curSnap = fresh
           val freshPrefix = s"_v/${curSnap.getName}/"
@@ -4054,7 +4246,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         snapshotInventory(layer, target).size, noop = true)
     val inv = snapshotInventory(layer, target)
     val schemaDdl = snapshotSchema(layer, target).toDDL
-    val newSnap = new Path(s"$base/_v/${newVersionId()}")
+    val newSnap = new Path(s"$base/_v/${newVersionIdAfterHead(layer)}")
     val f = fs(newSnap)
     try {
       f.mkdirs(newSnap) // no data files — the manifest IS the snapshot
@@ -4210,7 +4402,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       val out = pf.create(new Path(pinDir, token), true)
       try out.write(clonePath.getBytes("UTF-8")) finally out.close()
     }
-    val newSnap = new Path(s"${layerPath(dst)}/_v/${newVersionId()}")
+    val newSnap = new Path(s"${layerPath(dst)}/_v/${newVersionIdAfterHead(dst)}")
     val f = fs(newSnap)
     try {
       f.mkdirs(newSnap) // no data files — the manifest IS the snapshot
@@ -4440,7 +4632,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       schemaDdl: String, mapping: Map[String, String],
       dropped: Seq[String], op: String): Lake.RowOpResult = {
     val base = layerPath(layer)
-    val newSnap = new Path(s"$base/_v/${newVersionId()}")
+    val newSnap = new Path(s"$base/_v/${newVersionIdAfterHead(layer)}")
     val f = fs(newSnap)
     try {
       f.mkdirs(newSnap) // no data files — the manifest IS the change
@@ -5071,7 +5263,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // were valid when they landed; cost ∝ rewritten fraction, zero when
     // the layer has no constraints
     enforceConstraints(layer, rewrittenG, s"row op on '$layer'")
-    val newSnap = new Path(s"$base/_v/${newVersionId()}")
+    val newSnap = new Path(s"$base/_v/${newVersionIdAfterHead(layer)}")
     try {
       var writer = toPhysical(rewrittenG, mapping).write
         .format(config.format).mode("errorifexists")
@@ -5166,7 +5358,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * file creates never race the mkdir).
     */
   private[io] def rowLevelStagingDir(layer: String): Path = {
-    val p = new Path(s"${layerPath(layer)}/_v/${newVersionId()}")
+    val p = new Path(s"${layerPath(layer)}/_v/${newVersionIdAfterHead(layer)}")
     fs(p).mkdirs(p)
     p
   }
@@ -5623,8 +5815,32 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   private def vacuumKeeping(layer: String,
       keepOf: Seq[Path] => Set[String], orphanGraceMs: Long): Unit = {
     val f = fs(new Path(s"${layerPath(layer)}/_v"))
-    vacuumPlan(layer, keepOf, orphanGraceMs).foreach(p => f.delete(p, true))
+    vacuumPlan(layer, keepOf, orphanGraceMs).foreach { p =>
+      // COPY INTO ledger survival: the loaded-file ledger lives as
+      // `_COPY` markers inside version dirs — reclaiming one would
+      // forget its loads, and a retried COPY INTO against a still-extant
+      // staging dir would silently RE-INGEST those files. Relocate the
+      // marker into the root ledger dir (`_v/_COPY_LEDGER/<version>`,
+      // immutable once written) BEFORE the version dir goes, so vacuum
+      // reclaims the data bytes while the idempotence contract holds
+      // forever. Crash-safe: copy-then-delete — a crash between the two
+      // leaves the version in place and the next vacuum re-copies
+      // (create-overwrite of identical content).
+      val cm = new Path(p, Lake.CopyMarker)
+      if (f.exists(cm)) {
+        val dst = new Path(copyLedgerDir(layer), p.getName)
+        f.mkdirs(dst.getParent)
+        val out = f.create(dst, true)
+        try out.write(readFully(cm).getBytes("UTF-8")) finally out.close()
+      }
+      f.delete(p, true)
+    }
   }
+
+  /** Root dir holding relocated COPY INTO ledgers of vacuumed versions
+    * (one immutable file per reclaimed ledger-bearing version). */
+  private def copyLedgerDir(layer: String): Path =
+    new Path(s"${layerPath(layer)}/_v/${Lake.CopyLedgerDirName}")
 
   /** The version dirs a vacuum pass with these parameters would delete —
     * the shared planning body of [[vacuumKeeping]] and the DRY RUN forms.
@@ -5724,6 +5940,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       }.toSet
     val keepSet = kept ++ pinned ++ chainPinned ++ cloned ++ crossBase
     f.listStatus(vdir).filter(_.isDirectory).map(_.getPath)
+      // underscore dirs are PROTOCOL metadata, never version candidates
+      // (`_COPY_LEDGER` holds relocated COPY INTO ledgers — reclaiming
+      // it would re-ingest on retried COPY INTO)
+      .filterNot(_.getName.startsWith("_"))
       .filterNot(p => keepSet.contains(p.getName))
       .filter { p =>
         if (committedSet.contains(p.getName)) true // superseded snapshot
@@ -5824,6 +6044,26 @@ object Lake {
   private[io] def copyLedgerInvalidate(layerKey: String): Unit =
     copyLedgerCache.synchronized(copyLedgerCache.remove(layerKey))
 
+  /** Serialized `_METRICS` commit document (DESCRIBE HISTORY's
+    * operationMetrics): file deltas always, row count only when the
+    * stats harvest supplied it.
+    */
+  private[io] def metricsJson(addedFiles: Int, removedFiles: Int,
+      addedRows: Option[Long]): String =
+    s"""{"numAddedFiles":$addedFiles,"numRemovedFiles":$removedFiles""" +
+      addedRows.map(r => s""","numAddedRows":$r""").getOrElse("") + "}"
+
+  /** Parse of [[metricsJson]]; None on absent/garbled fields (foreign
+    * writers) — history shows null, never a wrong number. */
+  private[io] def parseMetrics(body: String)
+      : (Option[Long], Option[Long], Option[Long]) = {
+    def field(name: String): Option[Long] =
+      (s""""$name"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(body))
+        .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
+    (field("numAddedFiles"), field("numRemovedFiles"),
+      field("numAddedRows"))
+  }
+
   /** Layer property naming WRITER features every committer must support
     * (see `Lake.requireWriterFeatures`). */
   val WriterFeaturesProp = "lake.requiredWriterFeatures"
@@ -5848,6 +6088,10 @@ object Lake {
     * ledger, committed atomically with the data.
     */
   val CopyMarker = "_COPY"
+
+  /** Dir under `_v/` holding relocated COPY INTO ledgers of vacuumed
+    * versions (see `Lake.vacuumKeeping`). */
+  val CopyLedgerDirName = "_COPY_LEDGER"
 
   /** Split a cross-base ref (`base:<root>//<rel>`, prefix optional) at
     * the LAST `//`. The within-layer rel never holds an empty path

@@ -546,9 +546,11 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     if (!layerExists(base, ident.name)) return false
     val lp = new Path(s"$base/${ident.name}")
     // a recreated table at the same path must start with a blank
-    // COPY INTO loading history (key = normalized unqualified path,
-    // matching copyInto's layerPath-derived key)
-    Lake.copyLedgerInvalidate(lp.toString)
+    // COPY INTO loading history (key = FS-QUALIFIED path, matching
+    // copyInto's cache key; copyInto ALSO self-heals by validating the
+    // cached scanned-version set against the live listing, so even an
+    // out-of-band delete+recreate never reuses a stale ledger)
+    Lake.copyLedgerInvalidate(fsOf(lp).makeQualified(lp).toString)
     fsOf(lp).delete(lp, true)
   }
 
@@ -634,6 +636,10 @@ private[io] object LakeConstraints {
   val CheckPrefix = "lake.constraint."
   val InfoPrefix = "lake.constraintInfo."
 
+  /** Unit separator framing FK referenced-identifier parts whose names
+    * hold a literal '.' — never typed by users, so unambiguous. */
+  private val RefSep = '\u001F'
+
   private def colsOf(refsIn: Array[NamedReference]): String =
     refsIn.map { r =>
       require(r.fieldNames.length == 1,
@@ -674,8 +680,24 @@ private[io] object LakeConstraints {
       case fk: ForeignKey =>
         require(!fk.enforced, s"FOREIGN KEY '${fk.name}' must be NOT " +
           "ENFORCED — informational metadata only")
-        val ref = (fk.referencedTable.namespace :+
-          fk.referencedTable.name).mkString(".")
+        // the referenced identifier rides the same '|'-framed value as
+        // the column lists, so its parts get the same guard the column
+        // names do — a '|' would shift every later field (and blow up
+        // parts(4).toBoolean at parse). A namespace element containing
+        // '.' cannot survive a '.'-join (parse would mis-split it into
+        // extra namespace levels), so such identifiers join on the
+        // non-printing unit separator instead; the common dot-free case
+        // keeps the readable '.' join (and older stored values parse
+        // unchanged).
+        val refParts = fk.referencedTable.namespace :+
+          fk.referencedTable.name
+        refParts.foreach(p => require(!p.contains("|"),
+          s"FOREIGN KEY '${fk.name}': referenced identifier part '$p' " +
+            "cannot contain '|' (it frames the stored constraint)"))
+        val ref =
+          if (refParts.exists(_.contains(".")))
+            refParts.mkString(RefSep.toString)
+          else refParts.mkString(".")
         (InfoPrefix + fk.name,
           s"FOREIGN KEY|${colsOf(fk.columns)}|$ref|" +
             s"${colsOf(fk.referencedColumns)}|${fk.rely}")
@@ -705,7 +727,11 @@ private[io] object LakeConstraints {
           .enforced(false).rely(parts(2).toBoolean)
           .validationStatus(Constraint.ValidationStatus.UNVALIDATED).build()
       case "FOREIGN KEY" =>
-        val refParts = parts(2).split('.')
+        // RefSep framing = identifier parts holding literal '.'; plain
+        // '.' join otherwise (including every pre-existing stored value)
+        val refParts =
+          if (parts(2).indexOf(RefSep) >= 0) parts(2).split(RefSep)
+          else parts(2).split('.')
         Constraint.foreignKey(name, refs(parts(1)),
             Identifier.of(refParts.dropRight(1), refParts.last),
             refs(parts(3)))
@@ -791,15 +817,47 @@ private[io] final class StagedLakeTable(spark: SparkSession, base: String,
         lake.replaceAtomic(df, layer, partitionBy = decl.partCols)
     } catch {
       case e: Throwable =>
-        // data never became visible — restore the prior declaration
-        try lake.setProperties(layer,
-          updates.keysIterator.map(k => k -> prior.getOrElse(k, "")).toMap)
-        catch { case scala.util.control.NonFatal(_) => }
+        // Data never became visible — back out OUR declaration overlay.
+        // NOT a blind restore of `prior`: if a CONCURRENT creator/writer
+        // committed its own declaration between the `prior` read and our
+        // failed CAS, its commit stands (it won the race) and restoring
+        // the pre-race snapshot would silently erase the winner's
+        // constraints/defaults/identity declarations. So re-read the
+        // properties as they are NOW and revert only the keys still
+        // holding the exact values THIS staging wrote — keys the winner
+        // overwrote are its property, keys still ours roll back to prior.
+        try {
+          val revert = StagedRestore.revertOwnKeys(
+            lake.properties(layer), prior, updates)
+          if (revert.nonEmpty) lake.setProperties(layer, revert)
+        } catch { case scala.util.control.NonFatal(_) => }
         throw e
     }
   }
 
   override def abortStagedChanges(): Unit = staged = None
+}
+
+/** Failed-staging property rollback, value-checked so a lost CREATE/CAS
+  * race never clobbers the racing winner's just-committed declarations
+  * (see [[StagedLakeTable.commitStagedChanges]]'s catch block).
+  */
+private[io] object StagedRestore {
+  /** The property updates that undo `wrote` WITHOUT touching concurrent
+    * edits: a key reverts (to its `prior` value, "" = clear) only while
+    * the live `current` value is still exactly what this staging wrote —
+    * a differing live value means another writer owns the key now.
+    * No-op reverts (prior == current) are dropped so the common
+    * clean-failure path writes the minimal property delta.
+    */
+  def revertOwnKeys(current: Map[String, String],
+      prior: Map[String, String],
+      wrote: Map[String, String]): Map[String, String] =
+    wrote.iterator.flatMap { case (k, v) =>
+      val live = current.getOrElse(k, "")
+      val restored = prior.getOrElse(k, "")
+      if (live == v && restored != live) Some(k -> restored) else None
+    }.toMap
 }
 
 final case class LakeTable(spark: SparkSession, base: String, layer: String,
@@ -857,7 +915,11 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      // INSERT OVERWRITE … PARTITION (k=v) / INSERT INTO … REPLACE WHERE
+      // — OverwriteByExpression routes to the write builder's
+      // SupportsOverwrite.overwrite(filters) → Lake.overwriteWhere
+      TableCapability.OVERWRITE_BY_FILTER)
 
   /** The declared constraints, reported back through the v2 surface:
     * enforced CHECKs from `lake.constraint.*` (validated at declaration,
@@ -1125,9 +1187,20 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
   // ---- write: V1 fallback into the commit protocol ------------------------
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
-      private var overwrite = false
-      override def truncate(): WriteBuilder = { overwrite = true; this }
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      // None = append; Some(Nil / AlwaysTrue-only) = full truncate-and-
+      // write; Some(filters) = predicate-scoped REPLACE WHERE. Spark
+      // routes `INSERT OVERWRITE t` here as truncate() (the interface
+      // default = overwrite(AlwaysTrue)), `INSERT OVERWRITE t PARTITION
+      // (k=v)` (static mode) and `INSERT INTO t REPLACE WHERE …` both as
+      // overwrite(translated filters) — one OverwriteByExpression plan,
+      // three user spellings.
+      private var overwriteFilters: Option[Seq[sources.Filter]] = None
+      override def overwrite(filters: Array[sources.Filter]): WriteBuilder = {
+        overwriteFilters = Some(filters.toSeq
+          .filterNot(_.isInstanceOf[sources.AlwaysTrue]))
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -1139,18 +1212,33 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
                 .get("lake.partitionBy")
                 .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
                 .getOrElse(Nil)
-              if (overwrite)
-                lake.writeAtomic(data, layer, partitionBy = declaredPart)
-              else
-                // SQL writers expect INSERT INTO to survive a concurrent
-                // commit (Delta retries internally); appendAtomic re-reads
-                // the head each attempt, so the retry is the documented
-                // optimistic-concurrency loop, not a blind replay. Budget
-                // sized for a burst of concurrent INSERTs (each attempt
-                // can lose to at most one sibling commit).
-                lake.retryOnConflict(maxAttempts = 10) {
-                  lake.appendAtomic(data, layer)
-                }
+              overwriteFilters match {
+                case Some(Seq()) =>
+                  lake.writeAtomic(data, layer, partitionBy = declaredPart)
+                case Some(filters) =>
+                  val cond = filters.map(f =>
+                    LakeTable.filterToColumn(f).getOrElse(
+                      throw new IllegalArgumentException(
+                        s"${name()}: REPLACE WHERE / static-partition " +
+                          s"predicate not translatable: $f")))
+                    .reduce(_ && _)
+                  // same OCC retry budget as INSERT INTO: the rewrite
+                  // re-reads the head each attempt (Delta's internal
+                  // retry posture for replaceWhere)
+                  lake.retryOnConflict(maxAttempts = 10) {
+                    lake.overwriteWhere(layer, data, cond)
+                  }
+                case None =>
+                  // SQL writers expect INSERT INTO to survive a concurrent
+                  // commit (Delta retries internally); appendAtomic re-reads
+                  // the head each attempt, so the retry is the documented
+                  // optimistic-concurrency loop, not a blind replay. Budget
+                  // sized for a burst of concurrent INSERTs (each attempt
+                  // can lose to at most one sibling commit).
+                  lake.retryOnConflict(maxAttempts = 10) {
+                    lake.appendAtomic(data, layer)
+                  }
+              }
             }
           }
       }

@@ -706,7 +706,10 @@ object LakeSql {
     AttributeReference("ordinal", IntegerType, nullable = false)(),
     AttributeReference("version", StringType, nullable = false)(),
     AttributeReference("operation", StringType, nullable = false)(),
-    AttributeReference("parent", StringType, nullable = false)())
+    AttributeReference("parent", StringType, nullable = false)(),
+    AttributeReference("num_added_files", LongType, nullable = true)(),
+    AttributeReference("num_removed_files", LongType, nullable = true)(),
+    AttributeReference("num_added_rows", LongType, nullable = true)())
 
   private[io] val detailOutput: Seq[Attribute] = Seq(
     AttributeReference("format", StringType, nullable = false)(),

@@ -241,6 +241,10 @@ private[source] class LakeChangeStream(spark: SparkSession, basePath: String,
     */
   @volatile private var availableNowTarget: Option[Option[String]] = None
 
+  /** Idle-trigger counter driving the periodic authoritative-listing
+    * confirmation of the O(1) fast path (see [[cappedEnd]]). */
+  private val idleFastPathHits = new java.util.concurrent.atomic.AtomicLong(0L)
+
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(lake.listVersions(layer).headOption)
 
@@ -277,11 +281,27 @@ private[source] class LakeChangeStream(spark: SparkSession, basePath: String,
     // empty — skip the full-history listing. A steady-state idle stream's
     // per-trigger cost becomes one pointer read + one cached marker
     // probe, not an O(versions-dir) LIST. The pointer order guarantees
-    // headVersion is never behind the committed truth (a crash-window
-    // pointer fails verification → fallback scan), so this can never
-    // silently skip a real commit.
+    // THIS build's writers never leave a stale-but-committed pointer
+    // (pointer lands before the marker, and a failed pointer write either
+    // deletes `_LAST` or aborts the commit — see Lake.writeHeadPointer),
+    // so for same-build writers the shortcut can never skip a commit.
+    // Two residual defenses against FOREIGN/old-build writers whose crash
+    // window could leave a stale pointer that still verifies:
+    //  - an AvailableNow run whose latched drain target (resolved by the
+    //    authoritative LISTING at query start) is still ahead of the
+    //    anchor never takes the shortcut — the run must reach its target
+    //    even if the pointer lags, or it would terminate mid-backlog;
+    //  - a continuous stream lets every 64th idle trigger fall through to
+    //    the authoritative listing, bounding any foreign-writer staleness
+    //    to 63 triggers while keeping the amortized cost O(listing/64).
     anchor.foreach { a =>
-      if (lake.headVersion(layer).contains(a)) return Some(a)
+      val drainSatisfied = availableNowTarget match {
+        case Some(Some(target)) => target == a
+        case Some(None) => true
+        case None => true
+      }
+      if (drainSatisfied && idleFastPathHits.incrementAndGet() % 64L != 0L &&
+          lake.headVersion(layer).contains(a)) return Some(a)
     }
     val newestFirst = lake.listVersions(layer)
     if (newestFirst.isEmpty) return None

@@ -614,6 +614,41 @@ class LakeCatalogSpec extends SparkTestBase {
       .as[Long].collect() shouldBe Array(9L)
   }
 
+  test("failed-staging property rollback is VALUE-CHECKED: keys a racing " +
+      "winner overwrote stay the winner's; keys still ours revert") {
+    // the race window (prior read → failed CAS) is a timing interleave,
+    // so the guard is pinned at the decision function commitStagedChanges
+    // restores through: revert exactly the keys whose live value is
+    // still what THIS staging wrote, back to their pre-staging values
+    val prior = Map("lake.constraint.old" -> "a > 0", "other" -> "v")
+    val wrote = Map(
+      "lake.constraint.old" -> "", // we cleared the old declaration
+      "lake.identity.id" -> "1|1", // we declared identity
+      "lake.partitionBy" -> "k") // we declared layout
+    // nothing intervened: every written key still holds our value →
+    // full rollback (clears what we set, restores what we cleared)
+    StagedRestore.revertOwnKeys(
+      current = Map("lake.identity.id" -> "1|1",
+        "lake.partitionBy" -> "k", "other" -> "v"),
+      prior = prior, wrote = wrote) shouldBe Map(
+      "lake.constraint.old" -> "a > 0",
+      "lake.identity.id" -> "",
+      "lake.partitionBy" -> "")
+    // a concurrent winner re-declared the constraint and the identity
+    // between our prior read and the failed CAS: those keys are the
+    // WINNER's now and must survive; only the key still holding our
+    // value rolls back
+    StagedRestore.revertOwnKeys(
+      current = Map("lake.constraint.old" -> "b < 9",
+        "lake.identity.id" -> "5|2", "lake.partitionBy" -> "k"),
+      prior = prior, wrote = wrote) shouldBe Map("lake.partitionBy" -> "")
+    // no-op reverts are dropped (prior value == live value)
+    StagedRestore.revertOwnKeys(
+      current = Map("x" -> "same"),
+      prior = Map("x" -> "same"),
+      wrote = Map("x" -> "same")) shouldBe Map.empty
+  }
+
   test("REPLACE TABLE restarts identity numbering (Delta semantics) and " +
       "labels history REPLACE TABLE") {
     spark.sql(s"CREATE TABLE lake.`$base`.rident (" +

@@ -197,6 +197,27 @@ class LakeConstraintSpec extends SparkTestBase {
       val fkBack = roundtrip(fk).asInstanceOf[ForeignKey]
       fkBack.referencedTable.name shouldBe "dim"
       fkBack.referencedColumns.map(_.describe).toSeq shouldBe Seq("id")
+      // a referenced-identifier part holding a literal '.' must survive
+      // the encoding as ONE part, not mis-split into namespace levels
+      val fkDot = Constraint.foreignKey("fk2",
+          Array(Expressions.column("cust")),
+          Identifier.of(Array("v2.1"), "dim.events"),
+          Array(Expressions.column("id")))
+        .enforced(false).rely(rely)
+        .validationStatus(Constraint.ValidationStatus.UNVALIDATED).build()
+      val fkDotBack = roundtrip(fkDot).asInstanceOf[ForeignKey]
+      fkDotBack.referencedTable.namespace.toSeq shouldBe Seq("v2.1")
+      fkDotBack.referencedTable.name shouldBe "dim.events"
+      // a '|' in any referenced-identifier part would shift the stored
+      // fields (rely would parse from the wrong slot) — refused loudly
+      val fkPipe = Constraint.foreignKey("fk3",
+          Array(Expressions.column("cust")),
+          Identifier.of(Array("ns"), "bad|name"),
+          Array(Expressions.column("id")))
+        .enforced(false).rely(rely)
+        .validationStatus(Constraint.ValidationStatus.UNVALIDATED).build()
+      an[IllegalArgumentException] should be thrownBy
+        LakeConstraints.toProperty(fkPipe)
       for (pred <- Seq("a || b = 'x|y'", "n > 0", "x IS NOT NULL")) {
         val ck = Constraint.check("ck1").predicateSql(pred)
           .enforced(false).rely(rely)

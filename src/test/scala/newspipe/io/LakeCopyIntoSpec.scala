@@ -108,6 +108,57 @@ class LakeCopyIntoSpec extends SparkTestBase {
     lake3.read("t").count() shouldBe 2L
   }
 
+  test("OUT-OF-BAND delete + recreate at the same path: the ledger cache " +
+      "self-heals (no catalog drop involved) — staged files load again") {
+    val (dir, stage, lake) = fresh()
+    land(stage, "b1", Seq((1L, "a"), (2L, "b")))
+    lake.copyInto("t", stage).noop shouldBe false
+    lake.read("t").count() shouldBe 2L
+    // delete the layer directly on the filesystem — another tool's drop,
+    // which never reaches LakeCatalog.dropTable's cache invalidation
+    val lp = new org.apache.hadoop.fs.Path(s"$dir/t")
+    lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(lp, true)
+    // recreate at the same path: the cached scanned-version names no
+    // longer exist in the new incarnation's listing, so the stale
+    // 'loaded' set is discarded and the staging files ingest again
+    val lake2 = new Lake(spark, LakeConfig(basePath = dir))
+    lake2.writeAtomic(Seq.empty[(Long, String)].toDF("id", "v"), "t")
+    lake2.copyInto("t", stage).noop shouldBe false
+    lake2.read("t").count() shouldBe 2L
+  }
+
+  test("vacuum PAST the ledger: the marker relocates to _v/_COPY_LEDGER " +
+      "before its version dir is reclaimed — a retried COPY INTO " +
+      "re-ingests NOTHING, and the data bytes still vacuum away") {
+    val (dir, stage, lake) = fresh()
+    land(stage, "b1", Seq((1L, "a"), (2L, "b")))
+    lake.copyInto("t", stage).noop shouldBe false
+    val copyVersion = lake.listVersions("t").head
+    // supersede the COPY INTO version's files so vacuum can reclaim it
+    lake.compact("t")
+    lake.checkpoint("t")
+    lake.vacuum("t", keep = 1, orphanGraceMs = 0L)
+    // the ledger-bearing version is GONE (bytes reclaimed, not pinned)…
+    lake.listVersions("t") should not contain copyVersion
+    // …but its ledger survived, relocated
+    val relocated = new java.io.File(
+      s"$dir/t/_v/${Lake.CopyLedgerDirName}/$copyVersion")
+    assert(relocated.isFile, "vacuum must relocate the _COPY marker")
+    // cold-cache retry (a fresh JVM's state): the fold must pick the
+    // relocated ledger up and skip every already-loaded staging file
+    val lp = new org.apache.hadoop.fs.Path(s"$dir/t")
+    Lake.copyLedgerInvalidate(
+      lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(lp).toString)
+    lake.copyInto("t", stage).noop shouldBe true
+    lake.read("t").count() shouldBe 2L
+    // and genuinely new staging files still load
+    land(stage, "b2", Seq((3L, "c")))
+    lake.copyInto("t", stage).noop shouldBe false
+    lake.read("t").count() shouldBe 3L
+  }
+
   test("refusals: missing table, missing source dir") {
     val (dir, stage, lake) = fresh()
     intercept[IllegalStateException] {

@@ -116,6 +116,48 @@ class LakeHeadPointerSpec extends SparkTestBase {
     assert(lake.read("docs").count() === 1)
   }
 
+  test("stale-but-COMMITTED pointer (foreign/old-build writer artifact) " +
+      "cannot starve an AvailableNow drain: the latched target overrides " +
+      "the idle fast path until the backlog is fully processed") {
+    import org.apache.spark.sql.functions.col
+    val (base, lake) = newLake()
+    lake.writeAtomic(Seq((1L, "a")).toDF("id", "s"), "docs")
+    val v1 = lake.listVersions("docs").head
+    lake.appendAtomic(Seq((2L, "b")).toDF("id", "s"), "docs")
+    lake.appendAtomic(Seq((3L, "c")).toDF("id", "s"), "docs")
+    // a writer built BEFORE the pointer-before-marker ordering (or a
+    // foreign tool) can crash leaving _LAST one or more commits behind
+    // while still naming a COMMITTED dir — it verifies, so the O(1)
+    // idle fast path alone would report "nothing new" at anchor v1 and
+    // a rate-limited AvailableNow run would terminate mid-backlog
+    writePointer(base, "docs", v1)
+    val s2 = org.apache.spark.sql.NewspipeSqlBridge.sessionWithExtensions(
+      spark, new newspipe.NewspipeExtensions()(_))
+    s2.conf.set("spark.sql.catalog.hptr",
+      classOf[LakeCatalog].getName)
+    s2.conf.set("spark.sql.catalog.hptr.basePath", base)
+    val ckpt = Files.createTempDirectory("hptr_ck").toString
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = s2.readStream
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1") // forces idle-path consults
+      .table("hptr.docs")
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select(col("id")).collect().foreach(r => rows.add(r.getLong(0)))
+        ()
+      }
+      .start()
+    assert(q.awaitTermination(120000), "drain must self-terminate")
+    rows.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted shouldBe
+      Array(1L, 2L, 3L)
+    assert(readPointer(base, "docs") === v1,
+      "no commit ran — the stale pointer artifact is still in place, " +
+        "and the drain read THROUGH it via the authoritative listing")
+  }
+
   test("vacuum keeps the pointer valid (head survives, file untouched)") {
     val (base, lake) = newLake()
     lake.writeAtomic(Seq((1L, "a")).toDF("id", "s"), "docs")

@@ -1,0 +1,173 @@
+package newspipe.io
+
+import java.nio.file.Files
+
+import newspipe.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Predicate-scoped atomic overwrite ([[Lake.overwriteWhere]] — Delta's
+  * `replaceWhere`) and its SQL spellings (`INSERT INTO … REPLACE WHERE`,
+  * `INSERT OVERWRITE … PARTITION (k=v)`): the region's files rewrite,
+  * everything else rides the manifest by reference, incoming rows outside
+  * the region refuse loudly, and the whole thing is one parent-checked
+  * commit.
+  */
+class LakeReplaceWhereSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def newLake(): (String, Lake) = {
+    val base = Files.createTempDirectory("lake_rw").toString
+    (base, new Lake(spark, LakeConfig(basePath = base)))
+  }
+
+  test("partitioned layer: one partition rewrites, the rest carry; " +
+      "result = complement ∪ new data") {
+    val (_, lake) = newLake()
+    lake.writeAtomic(Seq(
+      (1L, "a", 10), (2L, "a", 20),
+      (3L, "b", 30), (4L, "b", 40),
+      (5L, "c", 50)).toDF("id", "k", "v"),
+      "t", partitionBy = Seq("k"))
+    val r = lake.overwriteWhere("t",
+      Seq((30L, "b", 300), (31L, "b", 310)).toDF("id", "k", "v"),
+      col("k") === "b")
+    r.noop shouldBe false
+    // hive layout: exactly partition b's file(s) rewrite
+    r.rewrittenFiles should be >= 1
+    r.carriedFiles should be >= 2 // a and c ride by reference
+    // hive layout moves the partition column last — select explicitly
+    lake.read("t").select("id", "k", "v").orderBy("id")
+      .as[(Long, String, Int)].collect() shouldBe
+      Array((1L, "a", 10), (2L, "a", 20), (5L, "c", 50),
+        (30L, "b", 300), (31L, "b", 310))
+    // the layout survives: partition b's new rows sit under k=b
+    lake.partitionValues("t").map(_.head).toSet shouldBe
+      Set(Some("a"), Some("b"), Some("c"))
+  }
+
+  test("non-partition predicate: stats pruning keeps untouched ranges " +
+      "by reference") {
+    val (_, lake) = newLake()
+    lake.writeAtomic((1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartitionByRange(10, $"id").sortWithinPartitions("id"), "t")
+    val r = lake.overwriteWhere("t",
+      Seq((50L, "NEW")).toDF("id", "v"), col("id").between(1L, 100L))
+    r.rewrittenFiles should be <= 2 // ~1 range file holds ids 1-100
+    r.carriedFiles should be >= 8
+    val out = lake.read("t")
+    out.count() shouldBe 901L // 900 untouched + 1 new
+    out.filter($"id" <= 100L).as[(Long, String)].collect() shouldBe
+      Array((50L, "NEW"))
+  }
+
+  test("incoming rows OUTSIDE the predicate refuse loudly (Delta's " +
+      "replaceWhere data contract); NULL-predicate rows count as outside") {
+    val (_, lake) = newLake()
+    lake.writeAtomic(Seq((1L, "a"), (2L, "b")).toDF("id", "k"), "t")
+    intercept[IllegalArgumentException] {
+      lake.overwriteWhere("t",
+        Seq((9L, "c")).toDF("id", "k"), col("k") === "b")
+    }.getMessage should include("violate the replace predicate")
+    // NULL evaluates the predicate to NULL → outside the region
+    intercept[IllegalArgumentException] {
+      lake.overwriteWhere("t",
+        Seq((9L, null.asInstanceOf[String])).toDF("id", "k"),
+        col("k") === "b")
+    }.getMessage should include("violate the replace predicate")
+    // nothing landed
+    lake.read("t").count() shouldBe 2L
+  }
+
+  test("empty source clears the region (REPLACE WHERE … of nothing) and " +
+      "existing NULL-predicate rows SURVIVE the delete leg") {
+    val (_, lake) = newLake()
+    lake.writeAtomic(Seq((1L, "a"), (2L, "b"),
+      (3L, null.asInstanceOf[String])).toDF("id", "k"), "t")
+    lake.overwriteWhere("t",
+      Seq.empty[(Long, String)].toDF("id", "k"), col("k") === "b")
+    // SQL delete semantics: only predicate-TRUE rows go; NULL keeps
+    lake.read("t").select("id").as[Long].collect().sorted shouldBe
+      Array(1L, 3L)
+  }
+
+  test("SQL spellings through the catalog: INSERT INTO … REPLACE WHERE, " +
+      "INSERT OVERWRITE … PARTITION (k=v), and full INSERT OVERWRITE") {
+    val (base, lake) = newLake()
+    spark.conf.set("spark.sql.catalog.rwcat", classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rwcat.basePath", base)
+    spark.sql("CREATE TABLE rwcat.t (id BIGINT, v INT, k STRING) " +
+      "PARTITIONED BY (k)")
+    spark.sql("INSERT INTO rwcat.t VALUES (1, 10, 'a'), (2, 20, 'b'), " +
+      "(3, 30, 'c')")
+    // REPLACE WHERE: only the b region is replaced
+    spark.sql("INSERT INTO rwcat.t REPLACE WHERE k = 'b' " +
+      "VALUES (20, 200, 'b')")
+    spark.sql("SELECT id, v, k FROM rwcat.t ORDER BY id")
+      .as[(Long, Int, String)].collect() shouldBe
+      Array((1L, 10, "a"), (3L, 30, "c"), (20L, 200, "b"))
+    // static-partition INSERT OVERWRITE: the daily re-land idiom
+    spark.sql("INSERT OVERWRITE rwcat.t PARTITION (k = 'c') " +
+      "SELECT 33L AS id, 333 AS v")
+    spark.sql("SELECT id, v, k FROM rwcat.t ORDER BY id")
+      .as[(Long, Int, String)].collect() shouldBe
+      Array((1L, 10, "a"), (20L, 200, "b"), (33L, 333, "c"))
+    // history records the scoped commits distinctly from full overwrites
+    lake.historyRows("t").map(_.getString(2))
+      .count(_ == "REPLACE WHERE") shouldBe 2
+    // full overwrite still truncates the whole table atomically
+    spark.sql("INSERT OVERWRITE rwcat.t VALUES (9, 90, 'z')")
+    spark.sql("SELECT id, v, k FROM rwcat.t")
+      .as[(Long, Int, String)].collect() shouldBe Array((9L, 90, "z"))
+  }
+
+  test("REPLACE WHERE rows violating the region refuse through SQL too") {
+    val (base, _) = newLake()
+    spark.conf.set("spark.sql.catalog.rwcat2", classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rwcat2.basePath", base)
+    spark.sql("CREATE TABLE rwcat2.t (id BIGINT, k STRING)")
+    spark.sql("INSERT INTO rwcat2.t VALUES (1, 'a')")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO rwcat2.t REPLACE WHERE k = 'b' " +
+        "VALUES (2, 'zzz')")
+    }
+    e.getMessage should include("violate the replace predicate")
+    spark.sql("SELECT count(*) FROM rwcat2.t").as[Long].head() shouldBe 1L
+  }
+
+  test("row ops compose: overwriteWhere on a deletion-vector-bearing " +
+      "region materializes through the parent's DVs (no resurrection)") {
+    val (_, lake) = newLake()
+    lake.writeAtomic(Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "k"),
+      "t", partitionBy = Seq("k"))
+    lake.setProperties("t", Map("lake.enableDeletionVectors" -> "true"))
+    lake.deleteWhere("t", col("id") === 1L) // lands as a DV, no rewrite
+    // replace region a: the DV'd row 1 must NOT resurrect into the
+    // complement — only row 2 was alive there, and it gets replaced
+    lake.overwriteWhere("t", Seq((20L, "a")).toDF("id", "k"),
+      col("k") === "a")
+    lake.read("t").select("id").as[Long].collect().sorted shouldBe
+      Array(3L, 20L)
+  }
+
+  test("concurrent commit bounces with ConcurrentModificationException " +
+      "(parent-checked), retryOnConflict lands it") {
+    val (_, lake) = newLake()
+    lake.writeAtomic(Seq((1L, "a"), (2L, "b")).toDF("id", "k"), "t")
+    // inject a sibling commit between read and commit via the seam
+    // (self-disarm FIRST or the sibling's own commit recurses)
+    lake.onBeforeManifestCommit = () => {
+      lake.onBeforeManifestCommit = () => ()
+      lake.appendAtomic(Seq((7L, "x")).toDF("id", "k"), "t")
+    }
+    try {
+      // row ops keep strict retry-from-scratch (no rebase): the retry
+      // re-evaluates the predicate against the concurrently added file
+      lake.retryOnConflict() {
+        lake.overwriteWhere("t", Seq((20L, "b")).toDF("id", "k"),
+          col("k") === "b")
+      }
+    } finally lake.onBeforeManifestCommit = () => ()
+    lake.read("t").select("id").as[Long].collect().sorted shouldBe
+      Array(1L, 7L, 20L)
+  }
+}

@@ -278,6 +278,22 @@ class LakeSqlSpec extends SparkTestBase {
       cur.getString(3) shouldBe prev.getString(1)
     }
     h.head.getString(3) shouldBe "" // first commit has no parent
+    // operationMetrics (recorded at commit, O(increment)): every commit
+    // of this build carries file deltas + added-row counts
+    h.foreach { r =>
+      withClue(s"commit ${r.getString(2)}: ") {
+        r.isNullAt(4) shouldBe false // num_added_files
+        r.isNullAt(5) shouldBe false // num_removed_files
+        r.isNullAt(6) shouldBe false // num_added_rows
+      }
+    }
+    val byOp = h.map(r => r.getString(2) ->
+      (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    byOp("WRITE")._2 shouldBe 0L // first commit removed nothing
+    byOp("APPEND")._2 shouldBe 0L // pure append removes nothing
+    byOp("APPEND")._3 shouldBe 6L // the six appended rows
+    byOp("DELETE")._1 should be >= 1L // rewrote the matching file(s)
+    byOp("DELETE")._2 should be >= 1L
 
     // a snapshot missing its _OP (pre-feature / foreign writer) reads UNKNOWN
     val newest = lake.listVersions("docs").head
