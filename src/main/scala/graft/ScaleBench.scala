@@ -675,6 +675,45 @@ object ScaleBench {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case _: Throwable => () }
     }
+
+    // ---- round-16: COMPOSITE-KEY MERGE PRUNING. The scale claim: a
+    // selective CDC batch on a COMPOSITE key rewrites the files its
+    // exact per-column IN sets reach — FLAT while the layer's file count
+    // grows N× — where per-column [min,max] bounds (the pre-round-16
+    // composite path) reach every file between the batch's extreme key
+    // values, O(files). The batch deliberately touches the two extreme
+    // g values so its bounds span the whole layer: the metric VALUE is
+    // the rewritten-file count (flat ≈ 2), wall is the merge cost.
+    {
+      val root = java.nio.file.Files.createTempDirectory("scale_cm").toString
+      val lake = new newspipe.io.Lake(spark,
+        newspipe.io.LakeConfig(basePath = root))
+      val nFiles = 8 * copies
+      val target = spark.range(nFiles.toLong * 200)
+        .select((col("id") / 200).cast("long").as("g"), col("id"),
+          org.apache.spark.sql.functions.md5(col("id").cast("string"))
+            .as("v"))
+        .repartitionByRange(nFiles, col("g"))
+        .sortWithinPartitions("g", "id")
+      lake.writeAtomic(target, "cm")
+      val src = spark.range(2).select(
+        org.apache.spark.sql.functions
+          .when(col("id") === 0, 0L).otherwise(nFiles.toLong - 1).as("g"),
+        org.apache.spark.sql.functions
+          .when(col("id") === 0, 3L).otherwise(nFiles.toLong * 200 - 3)
+          .as("id"),
+        org.apache.spark.sql.functions.lit("NEW").as("v"))
+      val (nCm, tCm) = timed {
+        lake.mergeInto("cm", src, Seq("g", "id")).rewrittenFiles.toLong
+      }
+      out("r16_composite_merge_rewritten") = (nCm, tCm) // FLAT at N× files
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+          .iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
     out.toMap
   }
 

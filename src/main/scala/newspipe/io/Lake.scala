@@ -4648,6 +4648,43 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     Lake.RowOpResult(newSnap.toString, 0, inv.size)
   }
 
+  /** `ANALYZE TABLE … COMPUTE STATISTICS`: re-harvest per-file stats for
+    * the WHOLE live inventory (parquet footer reads, one per file —
+    * never a data scan) and land them as a METADATA-ONLY commit
+    * (`ANALYZE` in history), so layers that lack a complete sidecar —
+    * CONVERT-adopted files whose harvest soft-failed, foreign writers,
+    * `collectStats = false` writes — gain file skipping, metadata-only
+    * row counts, and exact Catalyst statistics after the fact.
+    * Committed-sidecar immutability is preserved (every cache layer
+    * relies on it): the refresh is a NEW commit whose own sidecar covers
+    * the full inventory, never an in-place rewrite of an existing
+    * snapshot's `_STATS.json`. O(files) footer reads + one commit;
+    * parent-checked like every metadata op.
+    */
+  def analyzeStats(layer: String): Lake.RowOpResult = {
+    val snap = headForMetaOp(layer)
+    val inv = snapshotInventory(layer, snap)
+    val base = layerPath(layer)
+    val newSnap = new Path(s"$base/_v/${newVersionIdAfterHead(layer)}")
+    val f = fs(newSnap)
+    try {
+      f.mkdirs(newSnap) // no data files — the refreshed sidecar IS the change
+      // oldStats EMPTY on purpose: the commit funnel's stats harvest
+      // re-footers every carried file instead of reusing a (possibly
+      // absent or partial) prior sidecar
+      commitManifest(layer, snap, newSnap, inv, Map.empty,
+        snapshotSchema(layer, snap).toDDL, dvs = dvMapOf(snap),
+        op = "ANALYZE", mapping = mappingOf(snap),
+        dropped = droppedOf(snap))
+    } catch {
+      case e: java.util.ConcurrentModificationException => throw e
+      case scala.util.control.NonFatal(e) =>
+        f.delete(newSnap, true)
+        throw e
+    }
+    Lake.RowOpResult(newSnap.toString, 0, inv.size)
+  }
+
   /** Refuse a schema-evolving commit that re-adds a column whose physical
     * name a [[dropColumn]] left inside carried files — those files would
     * resurrect the OLD values instead of reading null.
@@ -4799,14 +4836,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       // "no constraint" → full-layer rewrite, the exact degradation this
       // path exists to prevent
       val pred: Option[org.apache.spark.sql.Column] =
-        if (keys.size == 1) {
-          val k = keys.head
-          val vals = src.select(k).distinct().limit(maxExactKeys + 1)
-            .collect().map(_.get(0))
-          if (vals.length <= maxExactKeys && !vals.contains(null))
-            Some(col(k).isin(vals.toSeq: _*))
-          else boundsPredicate(src, keys)
-        } else boundsPredicate(src, keys)
+        exactKeysPredicate(src, keys, maxExactKeys) match {
+          case Some(exact) => exact // IN-set conjunction, or provably none
+          case None => boundsPredicate(src, keys) // cap blown → ranges
+        }
       rewriteCore(layer, snap, pred,
         affected => affected.join(src, keys, "left_anti"),
         append = Some(src), op = "MERGE", appendIdKeys = keys)
@@ -4943,14 +4976,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       // files the source KEYS can reach (mergeInto's exact-IN / bounds)
       val keyPred: Option[Column] =
         if (srcEmpty) None
-        else if (keys.size == 1) {
-          val k = keys.head
-          val vals = src.select(k).distinct().limit(maxExactKeys + 1)
-            .collect().map(_.get(0))
-          if (vals.length <= maxExactKeys && !vals.contains(null))
-            Some(col(k).isin(vals.toSeq: _*))
-          else boundsPredicate(src, keys)
-        } else boundsPredicate(src, keys)
+        else exactKeysPredicate(src, keys, maxExactKeys) match {
+          case Some(exact) => exact // IN-set conjunction, or provably none
+          case None => boundsPredicate(src, keys) // cap blown → ranges
+        }
       // files some by-source condition can reach (target-column exprs
       // only — srcCol references are meaningless against unmatched rows)
       val bySourceReach: Option[Column] =
@@ -5099,6 +5128,39 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       matched = Seq(Lake.MergeClause(None, Lake.MergeUpdateStar)),
       notMatched = Seq(Lake.MergeClause(None, Lake.MergeInsertStar)),
       notMatchedBySource = Seq(Lake.MergeClause(None, Lake.MergeDelete)))
+
+  /** EXACT key-reach predicate for merge file pruning: the source's
+    * distinct NON-NULL values per key column, as a conjunction of
+    * per-column IN sets. Sound for equi-keys: a target row can only
+    * match when EVERY key column holds one of its source column's
+    * values (null keys match nothing, so dropping them tightens the
+    * predicate without losing a match). For composite keys this prunes
+    * far harder than per-column [min, max] bounds — a CDC batch touching
+    * customers {3, 9M} reaches two files' worth of stats ranges, not
+    * every file between them.
+    *
+    * Outer None = some column exceeded `maxExactKeys` distinct values —
+    * the caller falls back to [[boundsPredicate]]. Inner None = some key
+    * column holds NO non-null value → provably nothing matches (the same
+    * out-of-band signal as boundsPredicate: a lit(false) would be folded
+    * away and read back as "no constraint" → full-layer rewrite).
+    * Cost: one distinct-limit job per key over the (cached) source.
+    */
+  private def exactKeysPredicate(src: DataFrame, keys: Seq[String],
+      maxExactKeys: Int): Option[Option[org.apache.spark.sql.Column]] = {
+    import org.apache.spark.sql.functions.col
+    val perKey = keys.map { k =>
+      val vals = src.select(k).distinct().limit(maxExactKeys + 1)
+        .collect().map(_.get(0))
+      if (vals.length > maxExactKeys) None else Some(vals)
+    }
+    if (perKey.contains(None)) return None // cap blown → bounds fallback
+    val nonNull = perKey.flatten.map(_.filterNot(_ == null))
+    if (nonNull.exists(_.isEmpty)) Some(None) // all-null key: no match
+    else Some(Some(keys.zip(nonNull).map { case (k, vs) =>
+      col(k).isin(vs.toSeq: _*)
+    }.reduce(_ && _)))
+  }
 
   /** Conservative key-range predicate: each key within the source's
     * observed [min, max]. One aggregate over the source. Null bounds mean

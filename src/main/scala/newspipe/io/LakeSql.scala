@@ -527,6 +527,10 @@ object LakeSql {
   final case class LakeRestore(base: String, layer: String,
       version: Option[String], timestampMs: Option[Long]) extends LakeMaint
   final case class LakeHistory(base: String, layer: String) extends LakeMaint
+  /** `ANALYZE TABLE … COMPUTE STATISTICS` — full-inventory stats
+    * re-harvest as a metadata-only commit ([[Lake.analyzeStats]]).
+    */
+  final case class LakeAnalyze(base: String, layer: String) extends LakeMaint
   final case class LakeDetail(base: String, layer: String) extends LakeMaint
   /** `ALTER TABLE … SET PARTITIONED BY (c1, c2)` — partition layout
     * evolution; empty parens flatten.
@@ -587,6 +591,13 @@ object LakeSql {
       "\\s*\\(\\s*([^)]*?)\\s*\\)\\s*;?\\s*$")
   private val HistoryRe = java.util.regex.Pattern.compile(
     s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$TargetRe" + "\\s*;?\\s*$")
+  // ANALYZE TABLE IS Spark grammar — but only the lake.`…` target form is
+  // claimed here, so catalog/session tables still reach Spark's own
+  // ANALYZE. NOSCAN / FOR COLUMNS variants fall through too (the lake's
+  // stats are always per-file footer stats; there is no cheaper form).
+  private val AnalyzeRe = java.util.regex.Pattern.compile(
+    s"(?is)^\\s*ANALYZE\\s+TABLE\\s+$TargetRe" +
+      "\\s+COMPUTE\\s+STATISTICS\\s*;?\\s*$")
   private val DetailRe = java.util.regex.Pattern.compile(
     s"(?is)^\\s*DESCRIBE\\s+DETAIL\\s+$TargetRe" + "\\s*;?\\s*$")
 
@@ -648,6 +659,11 @@ object LakeSql {
     if (h.matches()) {
       val (base, layer) = targetOf(h, 1)
       return Some(LakeHistory(base, layer))
+    }
+    val an = AnalyzeRe.matcher(sqlText)
+    if (an.matches()) {
+      val (base, layer) = targetOf(an, 1)
+      return Some(LakeAnalyze(base, layer))
     }
     val d = DetailRe.matcher(sqlText)
     if (d.matches()) {
@@ -825,6 +841,10 @@ object LakeSql {
       case LakeCopyInto(_, layer, srcDir, pattern) =>
         val r = lake.copyInto(layer, srcDir, pattern)
         Row("COPY INTO", s"noop=${r.noop} " +
+          new org.apache.hadoop.fs.Path(r.snapshot).getName)
+      case LakeAnalyze(_, layer) =>
+        val r = lake.analyzeStats(layer)
+        Row("ANALYZE", s"files=${r.carriedFiles} " +
           new org.apache.hadoop.fs.Path(r.snapshot).getName)
       case LakeRepartition(_, layer, cols) =>
         val snap = lake.repartitionLayer(layer, cols)

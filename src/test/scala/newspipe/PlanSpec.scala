@@ -470,6 +470,30 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ANALYZE TABLE gives a stats-less layer the same exact-size join " +
+      "planning (SQL-driven stats refresh -> auto-broadcast)") {
+    import newspipe.io.{Lake, LakeConfig, LakeSql}
+    val dir = Files.createTempDirectory("planstats3").toString
+    // collectStats = false: no sidecar lands — the foreign-writer shape
+    val statless = new Lake(spark,
+      LakeConfig(basePath = dir, collectStats = false))
+    statless.writeAtomic(Seq((0L, "d0"), (1L, "d1")).toDF("bucket", "label"),
+      "smalldim")
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    val fact = spark.read.parquet(s"$parquetDir/flat")
+      .withColumn("bucket", $"bucket".cast("long"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+      LakeSql.sql(spark,
+        s"ANALYZE TABLE lake.`$dir`.smalldim COMPUTE STATISTICS")
+      // fresh instance: the refreshed stats come off DISK, not a warm cache
+      val lake2 = new Lake(spark, LakeConfig(basePath = dir))
+      val plan = executed(fact.join(lake2.read("smalldim"), "bucket"))
+      plan should include("BroadcastHashJoin")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("lake reads carry the manifest row count as plan-time cardinality " +
       "(CatalogStatistics -> CBO)") {
     import newspipe.io.{Lake, LakeConfig}

@@ -19,6 +19,39 @@ class LakeMergeApplySpec extends SparkTestBase {
     (dir, new Lake(spark, LakeConfig(basePath = dir)))
   }
 
+  test("composite-key pruning: a selective CDC batch rewrites only the " +
+      "files its exact key SETS reach — not every file between the " +
+      "per-column bounds") {
+    val (_, lake) = freshLake()
+    // 10 range files on g; a batch touching g∈{0,9} has per-column
+    // bounds [0,9] × [id-range] = EVERY file; the exact IN-set
+    // conjunction reaches only the two extreme files
+    val target = (0 until 10).flatMap(g =>
+      (0 until 50).map(i => (g.toLong, (g * 100 + i).toLong, "old")))
+      .toDF("g", "id", "v")
+      .repartitionByRange(10, $"g").sortWithinPartitions("g", "id")
+    lake.writeAtomic(target, "t")
+    val src = Seq((0L, 3L, "NEW"), (9L, 947L, "NEW")).toDF("g", "id", "v")
+    val r = lake.mergeInto("t", src, Seq("g", "id"))
+    r.rewrittenFiles should be <= 2
+    r.carriedFiles should be >= 8
+    lake.read("t").filter($"v" === "NEW").count() shouldBe 2L
+    lake.read("t").count() shouldBe 500L
+    // an all-null key column proves NOTHING matches: zero rewrites, the
+    // insert leg still lands (nulls never equi-match)
+    val nullSrc = Seq((java.lang.Long.valueOf(5L), null.asInstanceOf[java.lang.Long],
+      "null-key")).toDF("g", "id", "v")
+    val r2 = lake.mergeInto("t", nullSrc, Seq("g", "id"))
+    r2.rewrittenFiles shouldBe 0
+    lake.read("t").count() shouldBe 501L
+    // mergeApply with composite keys prunes the same way
+    val r3 = lake.mergeApply("t",
+      Seq((0L, 7L, "APPLIED")).toDF("g", "id", "v"), Seq("g", "id"),
+      matched = Seq(Lake.MergeClause(None, Lake.MergeUpdateStar)))
+    r3.rewrittenFiles should be <= 2
+    lake.read("t").filter($"v" === "APPLIED").count() shouldBe 1L
+  }
+
   test("CDC apply: conditional matched delete + update, conditional " +
       "insert, by-source delete — one commit") {
     val (_, lake) = freshLake()

@@ -304,6 +304,44 @@ class LakeSqlSpec extends SparkTestBase {
       .orderBy("ordinal").collect().last.getString(2) shouldBe "UNKNOWN"
   }
 
+  test("ANALYZE TABLE COMPUTE STATISTICS: a stats-less layer gains file " +
+      "skipping and metadata-only counts through ONE metadata commit") {
+    val dir = Files.createTempDirectory("lakesql_an").toString
+    // collectStats = false: the writes land NO sidecar — the shape of a
+    // foreign writer or a soft-failed harvest
+    val statless = new Lake(spark,
+      LakeConfig(basePath = dir, collectStats = false))
+    statless.writeAtomic((1 to 100).map(i => (i.toLong, s"t$i"))
+      .toDF("id", "text")
+      .repartitionByRange(5, $"id").sortWithinPartitions("id"), "docs")
+    val v1 = statless.listVersions("docs").head
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    lake.metadataRowCount("docs") shouldBe None // no stats, no shortcut
+    // stats-less delete: every file COULD match — full rewrite (run via
+    // the stats-off instance so ITS commit doesn't harvest a sidecar)
+    val blind = statless.deleteWhere("docs", $"id" === -1L)
+    blind.rewrittenFiles shouldBe 5
+    // roll back to the original 5-file range layout (still stats-less)
+    statless.restore("docs", v1)
+    lake.metadataRowCount("docs") shouldBe None
+    val m = LakeSql.sql(spark,
+      s"ANALYZE TABLE lake.`$dir`.docs COMPUTE STATISTICS").head()
+    m.getString(0) shouldBe "ANALYZE"
+    m.getString(1) should startWith("files=5")
+    // metadata-only count works now, and a selective delete prunes
+    lake.metadataRowCount("docs") shouldBe Some(100L)
+    val pruned = lake.deleteWhere("docs", $"id".between(1L, 10L))
+    pruned.rewrittenFiles should be <= 2
+    pruned.carriedFiles should be >= 3
+    lake.read("docs").count() shouldBe 90L
+    lake.historyRows("docs").map(_.getString(2)) should contain("ANALYZE")
+    // non-lake ANALYZE still reaches Spark's own implementation
+    (1 to 3).map(i => (i, s"x$i")).toDF("a", "b")
+      .write.mode("overwrite").saveAsTable("an_plain")
+    LakeSql.sql(spark, "ANALYZE TABLE an_plain COMPUTE STATISTICS")
+    spark.sql("DROP TABLE an_plain")
+  }
+
   test("runMaintenance rejects the multi-row HISTORY statement loudly") {
     val e = intercept[IllegalArgumentException] {
       LakeSql.runMaintenance(spark, LakeSql.LakeHistory("/tmp/none", "docs"))
