@@ -4129,6 +4129,21 @@ object SparkEntry {
         .select(col("ordinal"), col("operation"), col("num_added_files"),
           col("num_removed_files"), col("num_added_rows"))
         .orderBy("ordinal")
+    }),
+
+    // HNSW graph ANN (Malkov-Yashunin 2016) — the Lucene-segment shape:
+    // per-shard graphs built in one mapPartitions pass, broadcast query
+    // batch, global top-k merge. Same planted-twin proof as q37/q38/q53:
+    // the twin is the query's exact vector, so cosine 1.0 must win
+    // rank 1 THROUGH the graph search, reproduced by the shared
+    // argmax-cosine oracle; multi-shard forces the merge path.
+    "q184_ann_hnsw" -> ((s, dir) => {
+      val (queries, corpus) = annPlantedCorpus(s, dir)
+      newspipe.ops.Hnsw.hnswTopK(queries, corpus, "vec_id", "embedding",
+          k = 5, shards = 4)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
     })
   )
 
@@ -4656,6 +4671,7 @@ object SparkEntry {
     // identical ground truth for the IVF plan (different Spark path, same
     // exact argmax oracle)
     "q38_ann_ivf" -> annArgmaxOracleSql,
+    "q184_ann_hnsw" -> annArgmaxOracleSql,
 
     // and for the PQ/ADC plan: byte codes + lookup tables change the
     // arithmetic but not the winner — the byte-identical twin's ADC dot is

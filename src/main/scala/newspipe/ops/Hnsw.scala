@@ -1,0 +1,241 @@
+package newspipe.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** HNSW approximate nearest neighbor (Malkov & Yashunin 2016,
+  * "Efficient and robust approximate nearest neighbor search using
+  * Hierarchical Navigable Small World graphs") — the graph-ANN standard
+  * beside the IVF/PQ family ([[Similarity.ivfTopK]], [[Pq]]).
+  *
+  * Spark shape — the Lucene-segment arrangement, not a single global
+  * graph: the corpus is hash-sharded, each partition builds its own
+  * in-memory HNSW over its shard inside ONE `mapPartitions` pass and
+  * immediately searches it for the (broadcast) query batch; per-shard
+  * top-k candidates then merge to the global top-k with one
+  * small-keyspace window. Build cost O((n/P)·log(n/P)·M) per shard IN
+  * PARALLEL, search cost O(P·ef·log) per query — at 100 TB the graphs
+  * never leave executor memory, nothing all-pairs, and the shuffle is
+  * only the (queries × P × k)-row candidate set. Queries ride a
+  * broadcast (the [[Similarity.bruteForceTopK]] contract: queries are
+  * the small side).
+  *
+  * DETERMINISM: node levels derive from a splitmix64 hash of the vector
+  * id (not a Random), shards are hash-of-id, and each shard inserts in
+  * ascending-id order — two runs build byte-identical graphs, so the
+  * driver's hash-compare contract holds.
+  *
+  * Reference: the reference pipeline has no ANN (790-line demo); this is
+  * part of the LLM-training-data extension track (SemDeDup/retrieval
+  * need a fast neighbor primitive at corpus scale).
+  */
+object Hnsw {
+
+  /** splitmix64 → uniform in (0, 1]; the deterministic level source. */
+  private def levelOf(id: Long, mL: Double): Int = {
+    var z = id + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    // map to (0,1]: top 53 bits as a double, never exactly 0
+    val u = ((z >>> 11) + 1).toDouble / (1L << 53).toDouble
+    (-math.log(u) * mL).toInt
+  }
+
+  /** One shard's HNSW graph over unit vectors; similarity = dot product
+    * (cosine on unit vectors), higher is nearer.
+    */
+  private final class ShardGraph(m: Int, efConstruction: Int) {
+    private val mL = 1.0 / math.log(m.toDouble)
+    private val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    private val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    private val levels = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // adjacency(node)(level) = neighbor node indexes
+    private val adj = scala.collection.mutable.ArrayBuffer
+      .empty[Array[scala.collection.mutable.ArrayBuffer[Int]]]
+    private var entry: Int = -1
+    private var topLevel: Int = -1
+
+    private def sim(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+
+    /** Beam search one layer: the ef most similar nodes to q reachable
+      * from `eps`, standard candidate/result double heap.
+      */
+    private def searchLayer(q: Array[Double], eps: Seq[Int], ef: Int,
+        level: Int): Array[Int] = {
+      val visited = new java.util.HashSet[Integer]()
+      // candidates: BEST first; results: WORST first (bounded to ef)
+      val cand = new java.util.PriorityQueue[(Double, Int)](
+        (a: (Double, Int), b: (Double, Int)) => java.lang.Double.compare(b._1, a._1))
+      val res = new java.util.PriorityQueue[(Double, Int)](
+        (a: (Double, Int), b: (Double, Int)) => java.lang.Double.compare(a._1, b._1))
+      eps.foreach { e =>
+        if (visited.add(e)) {
+          val s = sim(q, vecs(e)); cand.add((s, e)); res.add((s, e))
+          if (res.size > ef) res.poll()
+        }
+      }
+      var done = false
+      while (!done && !cand.isEmpty) {
+        val (cs, c) = cand.poll()
+        if (res.size >= ef && cs < res.peek()._1) done = true
+        else {
+          val ns = adj(c)(level)
+          var i = 0
+          while (i < ns.length) {
+            val n = ns(i)
+            if (visited.add(n)) {
+              val s = sim(q, vecs(n))
+              if (res.size < ef || s > res.peek()._1) {
+                cand.add((s, n)); res.add((s, n))
+                if (res.size > ef) res.poll()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      val out = new Array[Int](res.size)
+      var i = out.length - 1
+      while (i >= 0) { out(i) = res.poll()._2; i -= 1 } // best first
+      out
+    }
+
+    /** Keep a node's neighbor list at its cap, best-similarity first. */
+    private def prune(node: Int, level: Int, cap: Int): Unit = {
+      val ns = adj(node)(level)
+      if (ns.length <= cap) return
+      val v = vecs(node)
+      val kept = ns.map(n => (sim(v, vecs(n)), n)).sortBy(-_._1)
+        .take(cap).map(_._2)
+      ns.clear(); ns ++= kept
+    }
+
+    def insert(id: Long, vec: Array[Double]): Unit = {
+      val node = vecs.length
+      val level = levelOf(id, mL)
+      vecs += vec; ids += id; levels += level
+      adj += Array.fill(level + 1)(
+        scala.collection.mutable.ArrayBuffer.empty[Int])
+      if (entry < 0) { entry = node; topLevel = level; return }
+      var ep = entry
+      // greedy descent through layers above the node's level
+      var l = topLevel
+      while (l > level) {
+        var improved = true
+        while (improved) {
+          improved = false
+          val best = sim(vec, vecs(ep))
+          val ns = adj(ep)(l)
+          var i = 0
+          while (i < ns.length) {
+            if (sim(vec, vecs(ns(i))) > best + 0.0) {
+              ep = ns(i); improved = true; i = ns.length
+            } else i += 1
+          }
+        }
+        l -= 1
+      }
+      // connect on layers min(level, topLevel)..0
+      var eps: Seq[Int] = Seq(ep)
+      l = math.min(level, topLevel)
+      while (l >= 0) {
+        val cands = searchLayer(vec, eps, efConstruction, l)
+        val cap = if (l == 0) 2 * m else m
+        val chosen = cands.take(m)
+        chosen.foreach { n =>
+          adj(node)(l) += n
+          adj(n)(l) += node
+          prune(n, l, cap)
+        }
+        eps = cands.take(math.max(1, m)).toSeq
+        l -= 1
+      }
+      if (level > topLevel) { topLevel = level; entry = node }
+    }
+
+    /** Top-k (id, similarity) for a query vector; the query's own id is
+      * the CALLER's concern (global filter). */
+    def search(q: Array[Double], k: Int, efSearch: Int): Array[(Long, Double)] = {
+      if (entry < 0) return Array.empty
+      var ep = entry
+      var l = topLevel
+      while (l > 0) {
+        var improved = true
+        while (improved) {
+          improved = false
+          val best = sim(q, vecs(ep))
+          val ns = adj(ep)(l)
+          var i = 0
+          while (i < ns.length) {
+            if (sim(q, vecs(ns(i))) > best) {
+              ep = ns(i); improved = true; i = ns.length
+            } else i += 1
+          }
+        }
+        l -= 1
+      }
+      val found = searchLayer(q, Seq(ep), math.max(efSearch, k), 0)
+      found.take(k).map(n => (ids(n), sim(q, vecs(n))))
+    }
+  }
+
+  private def toUnit(a: Any): Array[Double] = {
+    val v = a match {
+      case s: scala.collection.Seq[_] =>
+        s.iterator.map(Similarity.toDouble).toArray
+      case arr: Array[_] => arr.iterator.map(Similarity.toDouble).toArray
+    }
+    Similarity.unitVec(v)
+  }
+
+  /** ANN top-k over `corpus` for each row of `queries` — HNSW per shard,
+    * global merge; output (query_id, neighbor_id, cos, rank), the
+    * [[Similarity.bruteForceTopK]] shape. `shards` 0 = one graph per
+    * existing corpus partition (the scale default: graphs build where
+    * the data sits); > 0 forces a hash re-shard.
+    */
+  def hnswTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 16, efConstruction: Int = 128, efSearch: Int = 96,
+      shards: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // queries are the SMALL side (bruteForce's broadcast contract):
+    // collected once, shipped to every shard as one broadcast
+    val qRows: Array[(Long, Array[Double])] = queries
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), toUnit(r.get(1))))
+      .sortBy(_._1)
+    val qB = spark.sparkContext.broadcast(qRows)
+    val c0 = corpus.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+    val sharded = if (shards > 0) c0.repartition(shards, col("__id")) else c0
+    val perShard = sharded.mapPartitions { it =>
+      // ascending-id insertion: byte-identical graphs run to run
+      val rows = it.map(r => (r.getLong(0), toUnit(r.get(1)))).toArray
+        .sortBy(_._1)
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val g = new ShardGraph(m, efConstruction)
+        rows.foreach { case (id, v) => g.insert(id, v) }
+        qB.value.iterator.flatMap { case (qid, qv) =>
+          // k+1: the query's own row may occupy one slot in its shard
+          g.search(qv, k + 1, efSearch).iterator
+            .filter(_._1 != qid)
+            .map { case (nid, s) => (qid, nid, s) }
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    perShard.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+}
