@@ -4131,6 +4131,51 @@ object SparkEntry {
         .orderBy("ordinal")
     }),
 
+    // DYNAMIC partition overwrite (Hive/Delta partitionOverwriteMode=
+    // dynamic): the replaced region derives from the DATA — the API form
+    // re-lands the en partition (tripled metric), the SQL form (session
+    // conf + plain INSERT OVERWRITE through the real v2 batch write)
+    // re-lands de (+2000). In-query requires pin carry-by-reference, the
+    // Hive empty-increment NOOP, and both history labels; oracle =
+    // complement ∪ the two re-derived regions.
+    "q185_dynamic_overwrite" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.lake", "newspipe.io.LakeCatalog")
+      val root = java.nio.file.Files.createTempDirectory("q185_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      lake.writeAtomic(docs, "docs", partitionBy = Seq("lang"))
+      val r = lake.overwritePartitionsDynamic("docs",
+        docs.filter(col("lang") === "en")
+          .withColumn("n_chars", col("n_chars") * 3L))
+      require(!r.noop && r.carriedFiles >= 1,
+        "untouched partitions must carry by reference")
+      require(lake.overwritePartitionsDynamic("docs",
+          docs.filter(col("lang") === "zz")).noop,
+        "an empty increment must replace NOTHING (the Hive contract)")
+      docs.filter(col("lang") === "de")
+        .withColumn("n_chars", col("n_chars") + 2000L)
+        .createOrReplaceTempView("q185_src")
+      val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      try {
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        s.sql(s"INSERT OVERWRITE lake.`$root`.docs " +
+          "SELECT doc_id, n_chars, lang FROM q185_src")
+      } finally prevMode match {
+        case Some(v) =>
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      require(lake.historyRows("docs").map(_.getString(2))
+          .count(_ == "DYNAMIC OVERWRITE") == 2,
+        "both routes must land as DYNAMIC OVERWRITE commits")
+      lake.read("docs").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
     // HNSW graph ANN (Malkov-Yashunin 2016) — the Lucene-segment shape:
     // per-shard graphs built in one mapPartitions pass, broadcast query
     // batch, global top-k merge. Same planted-twin proof as q37/q38/q53:
@@ -4672,6 +4717,22 @@ object SparkEntry {
     // exact argmax oracle)
     "q38_ann_ivf" -> annArgmaxOracleSql,
     "q184_ann_hnsw" -> annArgmaxOracleSql,
+    // complement ∪ the two data-derived regions (en tripled via the API,
+    // de +2000 via dynamic-mode INSERT OVERWRITE)
+    "q185_dynamic_overwrite" ->
+      """WITH merged AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE lang NOT IN ('en', 'de')
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars * 3 FROM documents
+        |  WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars + 2000 FROM documents
+        |  WHERE lang = 'de')
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
 
     // and for the PQ/ADC plan: byte codes + lookup tables change the
     // arithmetic but not the winner — the byte-identical twin's ADC dot is

@@ -3697,6 +3697,52 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       append = Some(df), op = "REPLACE WHERE")
   }
 
+  /** DYNAMIC partition overwrite (Hive/Spark `INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`, Delta's
+    * `partitionOverwriteMode=dynamic` option): replace EXACTLY the hive
+    * partitions `df` holds rows for, in one parent-checked commit —
+    * partitions the increment doesn't touch ride the manifest by
+    * reference. The complement of [[overwriteWhere]]'s explicit
+    * predicate: here the replaced region is DERIVED from the data (one
+    * distinct over the partition columns, bounded by `maxPartitions`),
+    * so a daily re-land job just writes the day's frame and the right
+    * partitions turn over. Zero rows = zero partitions replaced (the
+    * Hive contract — an empty increment is a noop, NOT a truncate).
+    * Refused on unpartitioned layers (there "overwrite" can only mean
+    * the whole table — say [[writeAtomic]]).
+    */
+  def overwritePartitionsDynamic(layer: String, df: DataFrame,
+      maxPartitions: Int = 10000): Lake.RowOpResult = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
+      s"layer '$layer' has no committed snapshot — dynamic overwrite " +
+        "replaces partitions of an existing table"))
+    val inv = snapshotInventory(layer, snap)
+    val partCols = layerPartitionCols(layer, inv)
+    require(partCols.nonEmpty,
+      s"overwritePartitionsDynamic('$layer'): the layer is not " +
+        "partitioned — a dynamic overwrite has no partitions to derive " +
+        "(a full overwrite is writeAtomic)")
+    val tuples = df.select(partCols.map(col): _*).distinct()
+      .limit(maxPartitions + 1).collect()
+    require(tuples.length <= maxPartitions,
+      s"overwritePartitionsDynamic('$layer'): the increment touches " +
+        s"more than $maxPartitions partition values — a replacement " +
+        "this broad should be an explicit overwriteWhere/writeAtomic " +
+        "(or raise maxPartitions)")
+    if (tuples.isEmpty)
+      return Lake.RowOpResult(snap.toString, 0, inv.size, noop = true)
+    val pred = tuples.map { r =>
+      partCols.zipWithIndex.map { case (c, i) =>
+        val v = r.get(i)
+        if (v == null) col(c).isNull else col(c) === lit(v)
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    rewriteCore(layer, snap, Some(pred),
+      transform = old => old.filter(not(coalesce(pred, lit(false)))),
+      append = Some(df), op = "DYNAMIC OVERWRITE")
+  }
+
   /** Row-level UPDATE, same mechanics as [[deleteWhere]]: each assignment
     * column is replaced by its new expression on rows where the predicate
     * is TRUE (NULL/false rows keep their value), only can-match files are

@@ -919,7 +919,16 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
       // INSERT OVERWRITE … PARTITION (k=v) / INSERT INTO … REPLACE WHERE
       // — OverwriteByExpression routes to the write builder's
       // SupportsOverwrite.overwrite(filters) → Lake.overwriteWhere
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      // partitionOverwriteMode=dynamic `INSERT OVERWRITE` /
+      // `overwritePartitions()` — OverwritePartitionsDynamic routes to
+      // the real v2 LakeDynamicOverwriteWrite. BATCH_WRITE is declared
+      // because the dynamic capability check demands it specifically
+      // (V1_BATCH_WRITE does not count there); append/overwrite still
+      // take the V1 execs — the strategy routes on the built Write being
+      // a V1Write, not on this capability set.
+      TableCapability.BATCH_WRITE,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   /** The declared constraints, reported back through the v2 surface:
     * enforced CHECKs from `lake.constraint.*` (validated at declaration,
@@ -1187,21 +1196,34 @@ final case class LakeTable(spark: SparkSession, base: String, layer: String,
   // ---- write: V1 fallback into the commit protocol ------------------------
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsOverwrite
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       // None = append; Some(Nil / AlwaysTrue-only) = full truncate-and-
       // write; Some(filters) = predicate-scoped REPLACE WHERE. Spark
       // routes `INSERT OVERWRITE t` here as truncate() (the interface
       // default = overwrite(AlwaysTrue)), `INSERT OVERWRITE t PARTITION
       // (k=v)` (static mode) and `INSERT INTO t REPLACE WHERE …` both as
       // overwrite(translated filters) — one OverwriteByExpression plan,
-      // three user spellings.
+      // three user spellings. Under partitionOverwriteMode=dynamic the
+      // analyzer plans OverwritePartitionsDynamic instead, which needs a
+      // REAL v2 batch write (no V1 fallback exec exists) — that one
+      // path builds [[LakeDynamicOverwriteWrite]].
       private var overwriteFilters: Option[Seq[sources.Filter]] = None
+      private var dynamic = false
       override def overwrite(filters: Array[sources.Filter]): WriteBuilder = {
         overwriteFilters = Some(filters.toSeq
           .filterNot(_.isInstanceOf[sources.AlwaysTrue]))
         this
       }
-      override def build(): Write = new V1Write {
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        dynamic = true; this
+      }
+      override def build(): Write = if (dynamic) {
+        require(pinnedVersion.isEmpty,
+          s"${name()}: cannot write to a time-travel relation")
+        new LakeDynamicOverwriteWrite(spark, base, layer, info)
+      } else new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, ignored: Boolean): Unit = {

@@ -269,64 +269,12 @@ final class LakeRowLevelWrite(spark: SparkSession, base: String,
 
     override def createBatchWriterFactory(pinfo: PhysicalWriteInfo)
         : DataWriterFactory = {
-      val rowSchema = info.schema() // rows as the rewrite plan emits them
       if (sys.env.contains("NEWSPIPE_ROWLEVEL_DEBUG"))
-        println(s"ROWLEVEL write schema: ${rowSchema.toDDL} | read: " +
+        println(s"ROWLEVEL write schema: ${info.schema().toDDL} | read: " +
           s"${ctx.readSchema.toDDL}")
-      val conf = spark.sessionState.conf
-      val resolve = (n: String) => rowSchema.fieldNames
-        .indexWhere(_.equalsIgnoreCase(n))
-      val partIdx = ctx.partCols.map { c =>
-        val i = resolve(c)
-        require(i >= 0, s"partition column '$c' missing from the " +
-          s"row-level write schema ${rowSchema.fieldNames.mkString(",")}")
-        i
-      }.toArray
-      // Spark 4's rewrite plans prepend metadata columns (e.g.
-      // __row_operation on ReplaceData rows — every row of a group-based
-      // write is a WRITE, so its value is noise here). Data columns are
-      // resolved BY NAME against the table schema; an unresolvable
-      // non-metadata column fails loudly rather than landing misaligned.
-      val tableCols = ctx.logicalSchema.fieldNames
-        .map(_.toLowerCase).toSet
-      val dataIdx = rowSchema.fieldNames.indices.filter { i =>
-        val n = rowSchema.fieldNames(i)
-        val isTableCol = tableCols.contains(n.toLowerCase)
-        require(isTableCol || n.startsWith("__"),
-          s"row-level write column '$n' is neither a table column of " +
-            s"'$layer' (${ctx.logicalSchema.fieldNames.mkString(",")}) " +
-            "nor Spark rewrite metadata")
-        isTableCol && !partIdx.contains(i)
-      }.toArray
-      // staged files carry PHYSICAL names (column mapping), logical order
-      val fileSchema = StructType(dataIdx.map { i =>
-        val f = rowSchema(i)
-        f.copy(name = ctx.mapping.getOrElse(f.name, f.name))
-      })
-      val zone = conf.sessionLocalTimeZone
-      // hive path fragment rendering: value cast to string, then escaped
-      val partStr: Array[Expression] = partIdx.map(i =>
-        Cast(BoundReference(i, rowSchema(i).dataType, nullable = true),
-          StringType, Option(zone)))
-      val hc = spark.sessionState.newHadoopConf()
-      // the four keys SparkToParquetSchemaConverter(Configuration) reads
-      // unguarded (ParquetWriteSupport.init constructs it from the conf)
-      hc.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
-        conf.writeLegacyParquetFormat.toString)
-      hc.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
-        conf.parquetOutputTimestampType.toString)
-      hc.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
-        conf.parquetFieldIdWriteEnabled.toString)
-      hc.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
-        conf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
-      hc.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, zone)
-      ParquetWriteSupport.setSchema(fileSchema, hc)
-      val codec = new ParquetOptions(Map.empty[String, String], conf)
-        .compressionCodecClassName
-      new LakeRowLevelWriterFactory(new SerializableConfiguration(hc),
-        newSnap.toString, rowSchema, partIdx, partStr,
-        ctx.partCols.toArray, dataIdx, codec,
-        boundConstraints(rowSchema), boundGenerated(rowSchema), layer)
+      LakeTaskWrite.factory(spark, layer, newSnap, info.schema(),
+        ctx.partCols, ctx.mapping, ctx.logicalSchema,
+        ctx.constraints, ctx.generated)
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -353,10 +301,83 @@ final class LakeRowLevelWrite(spark: SparkSession, base: String,
     * ([[Lake.validateConstraints]]): violated iff the predicate is FALSE
     * (null passes).
     */
-  private def boundConstraints(schema: StructType)
+}
+
+/** Driver-side task-writer setup shared by the row-level write and the
+  * dynamic-partition-overwrite write: both stream hive-partitioned
+  * parquet task files into a staging version dir through
+  * [[LakeRowLevelWriterFactory]], with CHECK constraints and GENERATED
+  * expressions compiled once here and evaluated per row in the tasks.
+  */
+private[io] object LakeTaskWrite {
+
+  def factory(spark: SparkSession, layer: String, stagingDir: Path,
+      rowSchema: StructType, partCols: Seq[String],
+      mapping: Map[String, String], logicalSchema: StructType,
+      constraints: Seq[(String, String)],
+      generated: Seq[(String, String)]): DataWriterFactory = {
+    val conf = spark.sessionState.conf
+    val resolve = (n: String) => rowSchema.fieldNames
+      .indexWhere(_.equalsIgnoreCase(n))
+    val partIdx = partCols.map { c =>
+      val i = resolve(c)
+      require(i >= 0, s"partition column '$c' missing from the " +
+        s"staged write schema ${rowSchema.fieldNames.mkString(",")}")
+      i
+    }.toArray
+    // Spark 4's rewrite plans prepend metadata columns (e.g.
+    // __row_operation on ReplaceData rows — every row of a group-based
+    // write is a WRITE, so its value is noise here). Data columns are
+    // resolved BY NAME against the table schema; an unresolvable
+    // non-metadata column fails loudly rather than landing misaligned.
+    val tableCols = logicalSchema.fieldNames
+      .map(_.toLowerCase).toSet
+    val dataIdx = rowSchema.fieldNames.indices.filter { i =>
+      val n = rowSchema.fieldNames(i)
+      val isTableCol = tableCols.contains(n.toLowerCase)
+      require(isTableCol || n.startsWith("__"),
+        s"staged write column '$n' is neither a table column of " +
+          s"'$layer' (${logicalSchema.fieldNames.mkString(",")}) " +
+          "nor Spark rewrite metadata")
+      isTableCol && !partIdx.contains(i)
+    }.toArray
+    // staged files carry PHYSICAL names (column mapping), logical order
+    val fileSchema = StructType(dataIdx.map { i =>
+      val f = rowSchema(i)
+      f.copy(name = mapping.getOrElse(f.name, f.name))
+    })
+    val zone = conf.sessionLocalTimeZone
+    // hive path fragment rendering: value cast to string, then escaped
+    val partStr: Array[Expression] = partIdx.map(i =>
+      Cast(BoundReference(i, rowSchema(i).dataType, nullable = true),
+        StringType, Option(zone)))
+    val hc = spark.sessionState.newHadoopConf()
+    // the four keys SparkToParquetSchemaConverter(Configuration) reads
+    // unguarded (ParquetWriteSupport.init constructs it from the conf)
+    hc.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      conf.writeLegacyParquetFormat.toString)
+    hc.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      conf.parquetOutputTimestampType.toString)
+    hc.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      conf.parquetFieldIdWriteEnabled.toString)
+    hc.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      conf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    hc.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, zone)
+    ParquetWriteSupport.setSchema(fileSchema, hc)
+    val codec = new ParquetOptions(Map.empty[String, String], conf)
+      .compressionCodecClassName
+    new LakeRowLevelWriterFactory(new SerializableConfiguration(hc),
+      stagingDir.toString, rowSchema, partIdx, partStr,
+      partCols.toArray, dataIdx, codec,
+      boundConstraints(spark, rowSchema, constraints),
+      boundGenerated(spark, rowSchema, generated), layer)
+  }
+
+  private def boundConstraints(spark: SparkSession, schema: StructType,
+      constraints: Seq[(String, String)])
       : Array[(String, String, Expression)] = {
     val attrs = DataTypeUtils.toAttributes(schema)
-    op.pinned.toSeq.flatMap(_.constraints).map { case (name, sql) =>
+    constraints.map { case (name, sql) =>
       val parsed = spark.sessionState.sqlParser.parseExpression(sql)
       val analyzed = spark.sessionState.analyzer
         .execute(Filter(parsed, LocalRelation(attrs)))
@@ -375,8 +396,9 @@ final class LakeRowLevelWrite(spark: SparkSession, base: String,
     * column. Analyzed against the write schema with a cast to the
     * column's declared type, bound to row ordinals.
     */
-  private def boundGenerated(schema: StructType): Array[(Int, Expression)] =
-    op.pinned.toSeq.flatMap(_.generated).flatMap { case (name, sql) =>
+  private def boundGenerated(spark: SparkSession, schema: StructType,
+      generated: Seq[(String, String)]): Array[(Int, Expression)] =
+    generated.flatMap { case (name, sql) =>
       val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
       if (idx < 0) None
       else {
@@ -393,6 +415,78 @@ final class LakeRowLevelWrite(spark: SparkSession, base: String,
         Some(idx -> BindReferences.bindReference(e, attrs))
       }
     }.toArray
+}
+
+/** The v2 write behind `INSERT OVERWRITE` (and
+  * `df.writeTo(t).overwritePartitions()`) under
+  * `spark.sql.sources.partitionOverwriteMode=dynamic`: stage the
+  * increment as hive-partitioned parquet task files, then in ONE
+  * parent-checked commit replace exactly the partitions the staged
+  * files landed in — every untouched partition rides the manifest by
+  * reference. The touched set derives from the staged `k=v` path
+  * fragments at COMMIT time (no pre-scan of the query), and the commit
+  * reuses the row-level funnel ([[Lake.rowLevelCommit]]): stray-task
+  * sweep, metrics, OCC parent check, rebase-free strict conflict.
+  * Zero staged rows = zero partitions replaced (the Hive contract).
+  * Identity layers refuse (dense allocation needs the batch funnel —
+  * use [[Lake.overwritePartitionsDynamic]]); DV/row-tracking refusals
+  * ride [[Lake.rowLevelSnapshot]] like every v2 write.
+  */
+private[io] final class LakeDynamicOverwriteWrite(spark: SparkSession,
+    base: String, layer: String, info: LogicalWriteInfo) extends Write {
+
+  override def description(): String =
+    s"lake dynamic partition overwrite on $base/$layer"
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val lake = new Lake(spark, LakeConfig(basePath = base))
+    private val ctx = lake.rowLevelSnapshot(layer, None)
+    require(ctx.partCols.nonEmpty,
+      s"INSERT OVERWRITE in dynamic mode on '$layer': the table is not " +
+        "partitioned — dynamic overwrite has no partitions to derive " +
+        "(static mode replaces the whole table)")
+    require(lake.identityColumns(layer).isEmpty,
+      s"dynamic partition overwrite on '$layer': the layer declares " +
+        "IDENTITY columns — dense allocation needs the batch funnel; " +
+        "use Lake.overwritePartitionsDynamic")
+    private val newSnap = lake.rowLevelStagingDir(layer)
+
+    override def createBatchWriterFactory(pinfo: PhysicalWriteInfo)
+        : DataWriterFactory =
+      LakeTaskWrite.factory(spark, layer, newSnap, info.schema(),
+        ctx.partCols, ctx.mapping, ctx.logicalSchema,
+        ctx.constraints, ctx.generated)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val keep = messages.iterator.flatMap {
+        case m: LakeRowLevelCommitMessage => m.files
+        case _ => Nil
+      }.toSet
+      // touched partitions = the ordered k=v fragment tuples of the
+      // staged rels; head files matching a touched tuple are replaced.
+      // Both sides render fragments through the same hive escaping
+      // (Spark's layout writes and LakeRowLevelWriterFactory.partDirOf),
+      // so tuple equality is exact string equality.
+      val prefixes = ctx.partCols.map(c =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(c) + "=")
+      def tupleOf(rel: String): Seq[String] =
+        rel.split('/').iterator
+          .filter(seg => prefixes.exists(seg.startsWith)).toSeq
+      val touched = keep.map(tupleOf)
+      val affected = ctx.inventory
+        .filter(rel => touched.contains(tupleOf(rel))).toSet
+      lake.rowLevelCommit(layer, ctx.parent, affected, newSnap, keep,
+        "DYNAMIC OVERWRITE")
+      ()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      val f = newSnap.getFileSystem(spark.sessionState.newHadoopConf())
+      f.delete(newSnap, true)
+      ()
+    }
+  }
 }
 
 private[io] final case class LakeRowLevelCommitMessage(files: Seq[String])

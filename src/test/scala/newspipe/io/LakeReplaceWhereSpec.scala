@@ -134,6 +134,59 @@ class LakeReplaceWhereSpec extends SparkTestBase {
     spark.sql("SELECT count(*) FROM rwcat2.t").as[Long].head() shouldBe 1L
   }
 
+  test("DYNAMIC partition overwrite: exactly the increment's partitions " +
+      "replace; untouched partitions carry; empty increment is a NOOP " +
+      "(never a truncate); unpartitioned layers refuse") {
+    val (_, lake) = newLake()
+    lake.writeAtomic(Seq(
+      (1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "k", "v"),
+      "t", partitionBy = Seq("k"))
+    val r = lake.overwritePartitionsDynamic("t",
+      Seq((20L, "b", 200), (40L, "d", 400)).toDF("id", "k", "v"))
+    r.noop shouldBe false
+    r.carriedFiles should be >= 2 // a and c by reference
+    // b replaced, d created, a and c untouched
+    lake.read("t").select("id", "k", "v").orderBy("id")
+      .as[(Long, String, Int)].collect() shouldBe
+      Array((1L, "a", 10), (3L, "c", 30), (20L, "b", 200), (40L, "d", 400))
+    lake.historyRows("t").last.getString(2) shouldBe "DYNAMIC OVERWRITE"
+    // zero-row increment: Hive's contract — nothing replaced
+    lake.overwritePartitionsDynamic("t",
+      Seq.empty[(Long, String, Int)].toDF("id", "k", "v")).noop shouldBe true
+    lake.read("t").count() shouldBe 4L
+    // unpartitioned layer refuses (dynamic has nothing to derive)
+    lake.writeAtomic(Seq((1L, "x")).toDF("id", "k"), "flat")
+    intercept[IllegalArgumentException] {
+      lake.overwritePartitionsDynamic("flat", Seq((2L, "y")).toDF("id", "k"))
+    }.getMessage should include("not partitioned")
+  }
+
+  test("SQL: INSERT OVERWRITE under partitionOverwriteMode=dynamic " +
+      "replaces only the produced partitions; static mode still truncates") {
+    val (base, lake) = newLake()
+    spark.conf.set("spark.sql.catalog.rwdyn", classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rwdyn.basePath", base)
+    spark.sql("CREATE TABLE rwdyn.t (id BIGINT, v INT, k STRING) " +
+      "PARTITIONED BY (k)")
+    spark.sql("INSERT INTO rwdyn.t VALUES (1, 10, 'a'), (2, 20, 'b'), " +
+      "(3, 30, 'c')")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      spark.sql("INSERT OVERWRITE rwdyn.t VALUES (22, 220, 'b')")
+      spark.sql("SELECT id, v, k FROM rwdyn.t ORDER BY id")
+        .as[(Long, Int, String)].collect() shouldBe
+        Array((1L, 10, "a"), (3L, 30, "c"), (22L, 220, "b"))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // static (default) mode: full truncate-and-write, unchanged
+    spark.sql("INSERT OVERWRITE rwdyn.t VALUES (9, 90, 'z')")
+    spark.sql("SELECT id, v, k FROM rwdyn.t")
+      .as[(Long, Int, String)].collect() shouldBe Array((9L, 90, "z"))
+  }
+
   test("row ops compose: overwriteWhere on a deletion-vector-bearing " +
       "region materializes through the parent's DVs (no resurrection)") {
     val (_, lake) = newLake()
