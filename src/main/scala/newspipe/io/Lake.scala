@@ -697,14 +697,22 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         val p = new Path(snap, name)
         if (f.exists(p)) Some(readFully(p)) else None
       }
-      val (af, rf, ar) = readOpt("_METRICS").map(Lake.parseMetrics)
-        .getOrElse((None, None, None))
+      val (af, rf, ar, ts, params) = readOpt("_METRICS")
+        .map(Lake.parseMetrics)
+        .getOrElse((None, None, None, None, None))
       def box(o: Option[Long]): java.lang.Long =
         o.map(java.lang.Long.valueOf).orNull
+      // commit instant: the recorded wall clock when present, else the
+      // version id's millis (zero-padded epoch millis by construction —
+      // may run AHEAD of the wall clock under the ordering floor)
+      val tsMs = ts.orElse(
+        scala.util.Try(snap.getName.take(16).toLong).toOption)
       org.apache.spark.sql.Row(i + 1, snap.getName,
         readOpt("_OP").getOrElse("UNKNOWN"),
         readOpt("_COMMITTED").getOrElse(""),
-        box(af), box(rf), box(ar))
+        box(af), box(rf), box(ar),
+        tsMs.map(m => new java.sql.Timestamp(m)).orNull,
+        params.orNull)
     }
   }
 
@@ -851,7 +859,9 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         StructField("parent", StringType, nullable = false),
         StructField("num_added_files", LongType, nullable = true),
         StructField("num_removed_files", LongType, nullable = true),
-        StructField("num_added_rows", LongType, nullable = true))))
+        StructField("num_added_rows", LongType, nullable = true),
+        StructField("commit_ts", TimestampType, nullable = true),
+        StructField("operation_parameters", StringType, nullable = true))))
   }
 
   /** Timestamp-resolution time travel: read the newest committed snapshot
@@ -3655,7 +3665,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       }
     }
     rewriteRows(layer, predicate,
-      df => df.filter(not(coalesce(predicate, lit(false)))), op = "DELETE")
+      df => df.filter(not(coalesce(predicate, lit(false)))), op = "DELETE",
+      opParams = Map("predicate" -> predSql(predicate)))
   }
 
   /** Predicate-scoped atomic overwrite — Delta's `option("replaceWhere",
@@ -3694,7 +3705,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     }
     rewriteCore(layer, snap, Some(predicate),
       transform = old => old.filter(not(coalesce(predicate, lit(false)))),
-      append = Some(df), op = "REPLACE WHERE")
+      append = Some(df), op = "REPLACE WHERE",
+      opParams = Map("predicate" -> predSql(predicate)))
   }
 
   /** DYNAMIC partition overwrite (Hive/Spark `INSERT OVERWRITE` under
@@ -3740,7 +3752,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     }.reduce(_ || _)
     rewriteCore(layer, snap, Some(pred),
       transform = old => old.filter(not(coalesce(pred, lit(false)))),
-      append = Some(df), op = "DYNAMIC OVERWRITE")
+      append = Some(df), op = "DYNAMIC OVERWRITE",
+      opParams = Map(
+        "partitionBy" -> partCols.mkString(","),
+        "replacedPartitions" -> tuples.length.toString))
   }
 
   /** Row-level UPDATE, same mechanics as [[deleteWhere]]: each assignment
@@ -3753,7 +3768,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       : Lake.RowOpResult = {
     require(assignments.nonEmpty, "updateWhere needs at least one assignment")
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
-    rewriteRows(layer, predicate, op = "UPDATE", transform = df => {
+    rewriteRows(layer, predicate, op = "UPDATE",
+      opParams = Map("predicate" -> predSql(predicate),
+        "columns" -> assignments.keys.toSeq.sorted.mkString(",")),
+      transform = df => {
       assignments.keys.foreach(name => require(df.columns.contains(name),
         s"updateWhere: layer has no column '$name'"))
       val hit = coalesce(predicate, lit(false))
@@ -3957,7 +3975,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       dropped: Seq[String] = Nil,
       rebaseRewritten: Option[Set[String]] = None,
       baseHints: Map[String, Long] = Map.empty,
-      rebaseRequireIdHighs: Option[Map[String, Long]] = None): Path = {
+      rebaseRequireIdHighs: Option[Map[String, Long]] = None,
+      opParams: Map[String, String] = Map.empty): Path = {
     val base = layerPath(layer)
     val f = fs(newSnap)
     // vars: a REBASE re-ids the staged snapshot (version ids order history
@@ -4148,7 +4167,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       // (atomic with the commit's visibility, like _OP); a rebase
       // restages and overwrites it against the new parent
       put("_METRICS", Lake.metricsJson(
-        addFiles.size, removeFiles.size, addedRowsOpt))
+        addFiles.size, removeFiles.size, addedRowsOpt, opParams))
     }
     val parentDv = dvMapOf(parent)
     var curParent = parent
@@ -4888,7 +4907,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         }
       rewriteCore(layer, snap, pred,
         affected => affected.join(src, keys, "left_anti"),
-        append = Some(src), op = "MERGE", appendIdKeys = keys)
+        append = Some(src), op = "MERGE", appendIdKeys = keys,
+        opParams = Map("keys" -> keys.mkString(",")))
     } finally src.unpersist()
   }
 
@@ -5158,7 +5178,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           (if (carryId) Seq(col(Lake.RowIdCol)) else Nil): _*)
       }
       rewriteCore(layer, snap, predicate, transform,
-        append = appendRows, op = "MERGE")
+        append = appendRows, op = "MERGE",
+        opParams = Map("keys" -> keys.mkString(",")))
     } finally src.unpersist()
   }
 
@@ -5230,18 +5251,28 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     else Some(perKey.flatten.reduce(_ && _))
   }
 
+  /** A predicate's SQL text for the history operationParameters —
+    * display/audit payload, best-effort (falls back to toString for
+    * expressions without a SQL rendering).
+    */
+  private def predSql(p: org.apache.spark.sql.Column): String =
+    scala.util.Try(
+      org.apache.spark.sql.NewspipeSqlBridge.convertedExpression(p).sql)
+      .getOrElse(p.toString)
+
   /** Shared rewrite core of [[deleteWhere]]/[[updateWhere]]. `transform`
     * receives exactly the rows of the files the predicate can touch and
     * returns their replacement rows.
     */
   private def rewriteRows(layer: String,
       predicate: org.apache.spark.sql.Column,
-      transform: DataFrame => DataFrame, op: String): Lake.RowOpResult = {
+      transform: DataFrame => DataFrame, op: String,
+      opParams: Map[String, String] = Map.empty): Lake.RowOpResult = {
     val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
       s"layer '$layer' has no committed snapshot — row ops need the " +
         "snapshot protocol; land the layer with writeAtomic/compact first"))
     rewriteCore(layer, snap, Some(predicate), transform, append = None,
-      op = op)
+      op = op, opParams = opParams)
   }
 
   /** File-level rewrite shared by every row op: partition the snapshot's
@@ -5257,7 +5288,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       transform: DataFrame => DataFrame,
       append: Option[DataFrame], op: String,
       affectedOverride: Option[Set[String]] = None,
-      appendIdKeys: Seq[String] = Nil): Lake.RowOpResult = {
+      appendIdKeys: Seq[String] = Nil,
+      opParams: Map[String, String] = Map.empty): Lake.RowOpResult = {
     val base = layerPath(layer)
     val inventory = snapshotInventory(layer, snap)
     val mapping = mappingOf(snap)
@@ -5389,7 +5421,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         op = op, mapping = mapping,
         dropped = if (carried.isEmpty) Nil else droppedOf(snap),
         rebaseRewritten =
-          if (op == "OPTIMIZE") Some(affected.toSet) else None)
+          if (op == "OPTIMIZE") Some(affected.toSet) else None,
+        opParams = opParams)
       // a rebase may have re-id'd the staged snapshot — report the path
       // that actually committed
       Lake.RowOpResult(committed.toString, affected.size, carried.size)
@@ -6153,23 +6186,52 @@ object Lake {
     copyLedgerCache.synchronized(copyLedgerCache.remove(layerKey))
 
   /** Serialized `_METRICS` commit document (DESCRIBE HISTORY's
-    * operationMetrics): file deltas always, row count only when the
-    * stats harvest supplied it.
+    * operationMetrics + operationParameters + commit instant): file
+    * deltas and the wall-clock commit time always, row count only when
+    * the stats harvest supplied it, operation parameters (predicate
+    * text, merge keys, …) when the operation declared any. The wall
+    * clock is recorded separately from the version id because the
+    * ordering-floored mint may deliberately name a version AHEAD of the
+    * writer's clock — history should still report when the commit
+    * actually happened.
     */
   private[io] def metricsJson(addedFiles: Int, removedFiles: Int,
-      addedRows: Option[Long]): String =
+      addedRows: Option[Long],
+      params: Map[String, String] = Map.empty): String = {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val p =
+      if (params.isEmpty) ""
+      else params.toSeq.sortBy(_._1).map { case (k, v) =>
+        s""""${esc(k)}":"${esc(v)}"""" }
+        .mkString(""","params":{""", ",", "}")
     s"""{"numAddedFiles":$addedFiles,"numRemovedFiles":$removedFiles""" +
-      addedRows.map(r => s""","numAddedRows":$r""").getOrElse("") + "}"
+      s""","commitTimeMs":${System.currentTimeMillis()}""" +
+      addedRows.map(r => s""","numAddedRows":$r""").getOrElse("") + p + "}"
+  }
 
   /** Parse of [[metricsJson]]; None on absent/garbled fields (foreign
-    * writers) — history shows null, never a wrong number. */
+    * writers) — history shows null, never a wrong number. The params
+    * object is surfaced as its RAW JSON text (display/audit payload,
+    * not re-parsed into typed fields).
+    */
   private[io] def parseMetrics(body: String)
-      : (Option[Long], Option[Long], Option[Long]) = {
+      : (Option[Long], Option[Long], Option[Long], Option[Long],
+        Option[String]) = {
     def field(name: String): Option[Long] =
       (s""""$name"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(body))
         .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
+    val params = """"params"\s*:\s*(\{.*\})\s*\}\s*$""".r
+      .findFirstMatchIn(body).map(_.group(1))
     (field("numAddedFiles"), field("numRemovedFiles"),
-      field("numAddedRows"))
+      field("numAddedRows"), field("commitTimeMs"), params)
   }
 
   /** Layer property naming WRITER features every committer must support

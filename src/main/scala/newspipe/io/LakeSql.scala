@@ -725,7 +725,10 @@ object LakeSql {
     AttributeReference("parent", StringType, nullable = false)(),
     AttributeReference("num_added_files", LongType, nullable = true)(),
     AttributeReference("num_removed_files", LongType, nullable = true)(),
-    AttributeReference("num_added_rows", LongType, nullable = true)())
+    AttributeReference("num_added_rows", LongType, nullable = true)(),
+    AttributeReference("commit_ts", TimestampType, nullable = true)(),
+    AttributeReference("operation_parameters", StringType,
+      nullable = true)())
 
   private[io] val detailOutput: Seq[Attribute] = Seq(
     AttributeReference("format", StringType, nullable = false)(),

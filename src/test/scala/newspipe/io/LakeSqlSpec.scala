@@ -294,6 +294,11 @@ class LakeSqlSpec extends SparkTestBase {
     byOp("APPEND")._3 shouldBe 6L // the six appended rows
     byOp("DELETE")._1 should be >= 1L // rewrote the matching file(s)
     byOp("DELETE")._2 should be >= 1L
+    // operationParameters: the DELETE records its predicate text; the
+    // commit instant is recorded wall-clock (non-null on every commit)
+    val del = h.find(_.getString(2) == "DELETE").get
+    del.getString(8) should include("lang")
+    h.foreach(r => r.getTimestamp(7) should not be null)
 
     // a snapshot missing its _OP (pre-feature / foreign writer) reads UNKNOWN
     val newest = lake.listVersions("docs").head
