@@ -347,6 +347,28 @@ class LakeSqlSpec extends SparkTestBase {
     spark.sql("DROP TABLE an_plain")
   }
 
+  test("metrics document round-trips adversarial operation parameters " +
+      "(quotes, backslashes, newlines, control chars)") {
+    val params = Map(
+      "predicate" -> "(text = \"a\\\"b\")",
+      "keys" -> "k1,k2",
+      "weird" -> "line1\nline2\ttab\r\u0001ctl",
+      "path" -> "C:\\tmp\\x")
+    val body = Lake.metricsJson(3, 1, Some(42L), params)
+    // the document must stay parseable JSON (the driver-side contract)
+    val parsed = org.json4s.jackson.JsonMethods.parse(body)
+    val back = (parsed \ "params").asInstanceOf[org.json4s.JObject]
+      .obj.map { case (k, v) =>
+        k -> v.asInstanceOf[org.json4s.JString].s }.toMap
+    back shouldBe params
+    val (af, rf, ar, ts, raw) = Lake.parseMetrics(body)
+    (af, rf, ar) shouldBe ((Some(3L), Some(1L), Some(42L)))
+    ts.isDefined shouldBe true
+    raw.isDefined shouldBe true
+    // and the surfaced raw text is itself valid JSON
+    org.json4s.jackson.JsonMethods.parse(raw.get)
+  }
+
   test("runMaintenance rejects the multi-row HISTORY statement loudly") {
     val e = intercept[IllegalArgumentException] {
       LakeSql.runMaintenance(spark, LakeSql.LakeHistory("/tmp/none", "docs"))
