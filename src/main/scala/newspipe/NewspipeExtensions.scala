@@ -291,16 +291,20 @@ object NewspipeExtensions {
         }),
       // commit history in FROM position (Delta's DESCRIBE HISTORY as a
       // queryable table): SELECT * FROM lake_history('/lake/root','docs')
-      // → (ordinal, version, operation, parent), oldest first
+      // → (ordinal, version, operation, parent), oldest first; an
+      // optional 3rd arg is DESCRIBE HISTORY's LIMIT (n newest commits)
       (new FunctionIdentifier("lake_history"),
         new ExpressionInfo("newspipe.NewspipeExtensions", "lake_history"),
         (children: Seq[Expression]) => {
-          require(children.length == 2,
-            "lake_history(base_path, layer) takes 2 arguments")
-          val args = children.map(stringArg("lake_history", _))
+          require(children.length == 2 || children.length == 3,
+            "lake_history(base_path, layer[, limit]) takes 2 or 3 arguments")
+          val args = children.take(2).map(stringArg("lake_history", _))
+          val limit = children.drop(2).headOption
+            .map(longArg("lake_history", _).toInt)
           val spark = SparkSession.active
           NewspipeSqlBridge.logicalPlan(new newspipe.io.Lake(spark,
-            newspipe.io.LakeConfig(basePath = args(0))).history(args(1)))
+            newspipe.io.LakeConfig(basePath = args(0)))
+            .history(args(1), limit))
         }),
       (new FunctionIdentifier("asof_join"),
         new ExpressionInfo("newspipe.NewspipeExtensions", "asof_join"),

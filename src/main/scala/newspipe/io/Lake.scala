@@ -688,10 +688,24 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * (or from foreign writers) read `UNKNOWN` / null. Driver-side
     * listing, bounded by version count — the same metadata walk
     * [[listVersions]] does.
+    *
+    * `limit`: Delta's `DESCRIBE HISTORY … LIMIT n` — only the n NEWEST
+    * commits materialize (the listing walks newest-first and stops, so a
+    * 100k-commit table answers `LIMIT 20` with 20 commit-doc reads, not
+    * 100k); ordinals keep their ABSOLUTE positions (the newest commit's
+    * ordinal is the total version count with or without a limit), and
+    * the returned rows stay oldest-first like the unlimited form.
     */
-  def historyRows(layer: String): Seq[org.apache.spark.sql.Row] = {
-    val versions = committedVersions(layer).reverse
-    versions.zipWithIndex.map { case (snap, i) =>
+  def historyRows(layer: String,
+      limit: Option[Int] = None): Seq[org.apache.spark.sql.Row] = {
+    limit.foreach(n => require(n > 0, s"DESCRIBE HISTORY LIMIT $n: the " +
+      "limit must be a positive commit count"))
+    val newestFirst = committedVersions(layer) // newest-first by contract
+    val total = newestFirst.size
+    val versions = limit.fold(newestFirst)(newestFirst.take).reverse
+    val ordinalBase = total - versions.size
+    versions.zipWithIndex.map { case (snap, i0) =>
+      val i = ordinalBase + i0
       val f = fs(snap)
       def readOpt(name: String): Option[String] = {
         val p = new Path(snap, name)
@@ -847,11 +861,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   }
 
   /** [[historyRows]] as a DataFrame (the TVF/statement surface). */
-  def history(layer: String): DataFrame = {
+  def history(layer: String, limit: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(
       new java.util.ArrayList(
-        scala.jdk.CollectionConverters.SeqHasAsJava(historyRows(layer)).asJava),
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          historyRows(layer, limit)).asJava),
       StructType(Seq(
         StructField("ordinal", IntegerType, nullable = false),
         StructField("version", StringType, nullable = false),
@@ -3680,33 +3695,49 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * 99% of the layer rides the manifest by reference — a one-partition
     * re-land moves one partition's bytes, never the layer.
     *
-    * Delta's data contract is enforced: every incoming row must SATISFY
-    * the predicate (a row outside the replaced region would silently land
-    * beside data the statement promised not to touch — refused loudly;
-    * NULL-predicate rows count as outside). Commit is parent-checked like
-    * every row op; racing writers bounce with
-    * `ConcurrentModificationException` for [[retryOnConflict]].
+    * Delta's data contract is enforced AT WRITE TIME, per row: every
+    * incoming row must SATISFY the predicate (a row outside the replaced
+    * region would silently land beside data the statement promised not
+    * to touch — refused loudly; NULL-predicate rows count as outside).
+    * The check rides INSIDE the write plan (a codegen'd assert over the
+    * predicate, Delta's replaceWhere row-constraint shape), so the
+    * increment is evaluated exactly ONCE — there is no pre-probe a
+    * nondeterministic source (a `rand()`-derived frame, a re-read of a
+    * concurrently-mutating table) could pass and then betray at write
+    * time: what lands is exactly what was checked, or nothing lands.
+    * Commit is parent-checked like every row op; racing writers bounce
+    * with `ConcurrentModificationException` for [[retryOnConflict]].
     */
   def overwriteWhere(layer: String, df: DataFrame,
       predicate: org.apache.spark.sql.Column): Lake.RowOpResult = {
-    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    import org.apache.spark.sql.functions.{assert_true, coalesce, isnull,
+      lit, not}
     val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
       s"layer '$layer' has no committed snapshot — overwriteWhere replaces " +
         "a region of an existing table (writeAtomic/CREATE TABLE first; " +
         "a full overwrite is writeAtomic itself)"))
-    val outside = df.filter(not(coalesce(predicate, lit(false))))
-    if (!outside.isEmpty) {
-      val sample = outside.limit(3).collect().mkString("; ")
-      throw new IllegalArgumentException(
-        s"overwriteWhere('$layer'): incoming rows violate the replace " +
-          s"predicate — every written row must satisfy it (Delta's " +
-          s"replaceWhere contract), or the commit would touch data " +
-          s"outside the declared region. Examples: $sample")
+    // per-row write gate: assert_true yields NULL for conforming rows (the
+    // filter keeps every one) and ABORTS the job on the first violator —
+    // single evaluation, enforcement on exactly the rows being written
+    val gated = df.filter(isnull(assert_true(
+      coalesce(predicate, lit(false)), lit(Lake.ReplaceWhereGateMarker))))
+    try {
+      rewriteCore(layer, snap, Some(predicate),
+        transform = old => old.filter(not(coalesce(predicate, lit(false)))),
+        append = Some(gated), op = "REPLACE WHERE",
+        opParams = Map("predicate" -> predSql(predicate)))
+    } catch {
+      // surface the gate trip as the loud contract error (the raw form is
+      // a task-failure wrap around the assert's RuntimeException)
+      case e: Throwable if Lake.causeChain(e).exists(c =>
+          Option(c.getMessage).exists(
+            _.contains(Lake.ReplaceWhereGateMarker))) =>
+        throw new IllegalArgumentException(
+          s"overwriteWhere('$layer'): incoming rows violate the replace " +
+            s"predicate (${predSql(predicate)}) — every written row must " +
+            "satisfy it (Delta's replaceWhere contract), or the commit " +
+            "would touch data outside the declared region", e)
     }
-    rewriteCore(layer, snap, Some(predicate),
-      transform = old => old.filter(not(coalesce(predicate, lit(false)))),
-      append = Some(df), op = "REPLACE WHERE",
-      opParams = Map("predicate" -> predSql(predicate)))
   }
 
   /** DYNAMIC partition overwrite (Hive/Spark `INSERT OVERWRITE` under
@@ -3735,7 +3766,15 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       s"overwritePartitionsDynamic('$layer'): the layer is not " +
         "partitioned — a dynamic overwrite has no partitions to derive " +
         "(a full overwrite is writeAtomic)")
-    val tuples = df.select(partCols.map(col): _*).distinct()
+    // ONE evaluation of the increment: the frame is materialized (eager
+    // localCheckpoint, increment-sized — the same bytes the write must
+    // move anyway) BEFORE the partition-tuple derivation, and the write
+    // appends the SAME materialized rows — a nondeterministic source can
+    // no longer derive one partition set and then land rows in partitions
+    // that were never cleared (Delta's dynamic-overwrite contract: the
+    // replaced region and the landed rows come from one evaluation).
+    val inc = df.localCheckpoint()
+    val tuples = inc.select(partCols.map(col): _*).distinct()
       .limit(maxPartitions + 1).collect()
     require(tuples.length <= maxPartitions,
       s"overwritePartitionsDynamic('$layer'): the increment touches " +
@@ -3744,15 +3783,86 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         "(or raise maxPartitions)")
     if (tuples.isEmpty)
       return Lake.RowOpResult(snap.toString, 0, inv.size, noop = true)
-    val pred = tuples.map { r =>
-      partCols.zipWithIndex.map { case (c, i) =>
-        val v = r.get(i)
-        if (v == null) col(c).isNull else col(c) === lit(v)
-      }.reduce(_ && _)
-    }.reduce(_ || _)
-    rewriteCore(layer, snap, Some(pred),
-      transform = old => old.filter(not(coalesce(pred, lit(false)))),
-      append = Some(df), op = "DYNAMIC OVERWRITE",
+    // IN-set membership, never an N-term OR chain (the composite-key
+    // merge-pruning posture): a 10k-partition replacement is one In/InSet
+    // per column — O(cols) expression nodes driver-side and against
+    // per-file stats, codegen-friendly if it reaches an executor plan.
+    // Single partition column: one exact `isin`. Composite: a
+    // length-prefixed tuple-digest `isin` is the EXACT membership test
+    // (the digest column is computed by the same expression on both the
+    // increment and the old rows, so rendering agrees by construction)
+    // while a per-column IN conjunction — a strict superset of the tuple
+    // set — drives the per-file stats pruning.
+    val (exactPred, prunePred) =
+      if (partCols.lengthCompare(1) == 0) {
+        val p = Lake.inSetPredicate(partCols.head, tuples.map(_.get(0)))
+        (p, p)
+      } else {
+        val digest = Lake.tupleDigestExpr(partCols)
+        val digests = inc.select(digest.as("__d")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val prune = partCols.zipWithIndex.map { case (c, i) =>
+          Lake.inSetPredicate(c, tuples.map(_.get(i)).distinct)
+        }.reduce(_ && _)
+        (digest.isin(digests: _*), prune)
+      }
+    // EXACT affected-file set from METADATA: on a hive layout a file's
+    // partition tuple IS its path — parse each inventory rel's k=v
+    // fragments, cast them through the increment's partition types (the
+    // same cast partition READING applies, so dirs `b=01` and `b=1` agree
+    // as int 1), and test typed membership against the increment's
+    // tuples. This is Delta's file→partition log-lookup shape: a
+    // composite increment touching (x,1) and (y,2) carries the (x,2) and
+    // (y,1) cross-product files BY REFERENCE, which the per-column IN
+    // conjunction alone cannot (its match set is the cross product). Any
+    // unparsable or uncastable path falls back to AFFECTED — rewritten
+    // through the exact filter, conservative in the correct direction.
+    // O(files) driver-side + one local cast job, no data scan.
+    val affectedExact: Set[String] = {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      val fragPrefixes = partCols.map(c =>
+        ExternalCatalogUtils.escapePathName(c) + "=")
+      def tupleStringsOf(rel: String): Option[Seq[Option[String]]] = {
+        val segs = rel.split('/')
+        val vs = fragPrefixes.map(pre =>
+          segs.find(_.startsWith(pre)).map(_.substring(pre.length)))
+        if (vs.exists(_.isEmpty)) None
+        else Some(vs.map { v =>
+          val u = ExternalCatalogUtils.unescapePathName(v.get)
+          if (u == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
+          else Some(u)
+        })
+      }
+      val parsed = inv.map(rel => rel -> tupleStringsOf(rel))
+      val parseable = parsed.collect { case (rel, Some(t)) => rel -> t }
+      val typedByRel: Map[String, Seq[Any]] =
+        if (parseable.isEmpty) Map.empty
+        else {
+          import org.apache.spark.sql.types.{StringType, StructField,
+            StructType}
+          val strSchema = StructType(partCols.map(
+            StructField(_, StringType, nullable = true)))
+          val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+          parseable.foreach { case (_, t) =>
+            rows.add(org.apache.spark.sql.Row(t.map(_.orNull): _*)) }
+          val typed = spark.createDataFrame(rows, strSchema)
+            .select(partCols.map(c => col(c).cast(
+              inc.schema(inc.schema.fieldIndex(c)).dataType)): _*)
+            .collect()
+          parseable.map(_._1).zip(typed.map(_.toSeq)).toMap
+        }
+      val incTuples: Set[Seq[Any]] = tuples.map(_.toSeq).toSet
+      inv.filter { rel =>
+        typedByRel.get(rel) match {
+          case Some(t) => incTuples.contains(t)
+          case None => true // unparsable: the exact filter decides
+        }
+      }.toSet
+    }
+    rewriteCore(layer, snap, Some(prunePred),
+      transform = old => old.filter(not(coalesce(exactPred, lit(false)))),
+      append = Some(inc), op = "DYNAMIC OVERWRITE",
+      affectedOverride = Some(affectedExact),
       opParams = Map(
         "partitionBy" -> partCols.mkString(","),
         "replacedPartitions" -> tuples.length.toString))
@@ -6133,6 +6243,55 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
 object Lake {
   /** Layer property holding the declared clustering keys (csv). */
   val ClusterByProp = "lake.clusterBy"
+
+  /** Marker text of the REPLACE WHERE per-row write gate's assert — the
+    * catch in [[Lake.overwriteWhere]] keys on it to re-surface a task
+    * failure as the loud contract refusal.
+    */
+  private[io] val ReplaceWhereGateMarker: String =
+    "REPLACE WHERE write gate: a written row violates the replace predicate"
+
+  /** The exception's cause chain (self first), cycle-safe. */
+  private[io] def causeChain(e: Throwable): Seq[Throwable] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Throwable]
+    var cur = e
+    while (cur != null && !buf.exists(_ eq cur)) {
+      buf += cur; cur = cur.getCause
+    }
+    buf.toSeq
+  }
+
+  /** `col(name) IN (values…)` with SQL-correct null handling: null
+    * membership becomes an `isNull` disjunct (a plain IN never matches
+    * null), an all-null value set is just the `isNull`, an empty set is
+    * `false`. Both shapes evaluate against per-file stats
+    * ([[FileStats.matches]] handles In/InSet and IsNull).
+    */
+  private[io] def inSetPredicate(name: String,
+      values: Seq[Any]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val nonNull = values.filter(_ != null)
+    val in = if (nonNull.isEmpty) lit(false) else col(name).isin(nonNull: _*)
+    if (values.exists(_ == null)) in || col(name).isNull else in
+  }
+
+  /** Deterministic tuple digest over `cols` as a Column — md5 over
+    * length-prefixed string renderings (`len:value`, null → `~`; the
+    * length prefix makes the concatenation injective, so distinct tuples
+    * can never collide textually). Used for composite-key tuple
+    * membership as ONE `isin` instead of an N-term OR chain; both sides
+    * of a membership test must compute it with THIS expression so the
+    * string rendering agrees by construction.
+    */
+  private[io] def tupleDigestExpr(
+      cols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, col, concat, length,
+      lit, md5}
+    md5(concat(cols.map { c =>
+      val s = col(c).cast("string")
+      coalesce(concat(length(s).cast("string"), lit(":"), s), lit("~"))
+    }: _*))
+  }
 
   /** JVM-global positive cache of committed snapshot dirs (absolute path
     * string → known committed). Sound because committedness, once true, is

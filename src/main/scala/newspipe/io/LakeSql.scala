@@ -526,7 +526,11 @@ object LakeSql {
       srcDir: String, pattern: Option[String]) extends LakeMaint
   final case class LakeRestore(base: String, layer: String,
       version: Option[String], timestampMs: Option[Long]) extends LakeMaint
-  final case class LakeHistory(base: String, layer: String) extends LakeMaint
+  /** `DESCRIBE HISTORY … [LIMIT n]` — `limit` caps the walk to the n
+    * NEWEST commits (Delta's LIMIT clause; O(n) commit-doc reads).
+    */
+  final case class LakeHistory(base: String, layer: String,
+      limit: Option[Int] = None) extends LakeMaint
   /** `ANALYZE TABLE … COMPUTE STATISTICS` — full-inventory stats
     * re-harvest as a metadata-only commit ([[Lake.analyzeStats]]).
     */
@@ -590,7 +594,8 @@ object LakeSql {
     s"(?is)^\\s*ALTER\\s+TABLE\\s+$TargetRe\\s+SET\\s+PARTITIONED\\s+BY" +
       "\\s*\\(\\s*([^)]*?)\\s*\\)\\s*;?\\s*$")
   private val HistoryRe = java.util.regex.Pattern.compile(
-    s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$TargetRe" + "\\s*;?\\s*$")
+    s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$TargetRe" +
+      "(?:\\s+LIMIT\\s+([0-9]+))?\\s*;?\\s*$")
   // ANALYZE TABLE IS Spark grammar — but only the lake.`…` target form is
   // claimed here, so catalog/session tables still reach Spark's own
   // ANALYZE. NOSCAN / FOR COLUMNS variants fall through too (the lake's
@@ -658,7 +663,8 @@ object LakeSql {
     val h = HistoryRe.matcher(sqlText)
     if (h.matches()) {
       val (base, layer) = targetOf(h, 1)
-      return Some(LakeHistory(base, layer))
+      return Some(LakeHistory(base, layer,
+        Option(h.group(4)).map(_.toInt)))
     }
     val an = AnalyzeRe.matcher(sqlText)
     if (an.matches()) {
@@ -762,8 +768,9 @@ object LakeSql {
     */
   def runMaintenanceRows(session: SparkSession, m: LakeMaint): Seq[Row] =
     m match {
-      case LakeHistory(base, layer) =>
-        new Lake(session, LakeConfig(basePath = base)).historyRows(layer)
+      case LakeHistory(base, layer, limit) =>
+        new Lake(session, LakeConfig(basePath = base))
+          .historyRows(layer, limit)
       case LakeDetail(base, layer) =>
         val d = new Lake(session, LakeConfig(basePath = base))
           .describeDetail(layer)

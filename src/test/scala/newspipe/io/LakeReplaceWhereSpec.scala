@@ -202,6 +202,98 @@ class LakeReplaceWhereSpec extends SparkTestBase {
       Array(3L, 20L)
   }
 
+  test("NONDETERMINISTIC increment (rand()-filtered source): the per-row " +
+      "write gate refuses or lands a fully-conforming sample — rows " +
+      "outside the region can NEVER land") {
+    val (_, lake) = newLake()
+    lake.writeAtomic(Seq(
+      (1L, "in", 10), (2L, "out", 20)).toDF("id", "k", "v"), "t")
+    // violators appear per-EVALUATION with p=0.5 each: a pre-probe could
+    // sample an all-conforming frame while the write lands a violator
+    // (round-16's double-evaluation hazard); the write-time gate checks
+    // exactly the rows being written, so across many attempts the
+    // invariant must hold every single time
+    val conforming = Seq((10L, "in", 100), (11L, "in", 110))
+      .toDF("id", "k", "v")
+    val violators = Seq((90L, "out", 900), (91L, "out", 910))
+      .toDF("id", "k", "v")
+    (1 to 8).foreach { _ =>
+      val inc = violators.filter(rand() < 0.5).unionAll(conforming)
+      try {
+        lake.overwriteWhere("t", inc, col("k") === "in")
+        // landed: every written row must be inside the region
+        lake.read("t").filter(col("k") =!= "in" && col("id") >= 10L)
+          .count() shouldBe 0L
+      } catch {
+        case e: IllegalArgumentException =>
+          e.getMessage should include("replace predicate")
+      }
+      // in BOTH outcomes the out-of-region base row is intact and no
+      // out-of-region increment row ever landed
+      lake.read("t").filter(col("k") === "out")
+        .select("id").as[Long].collect().sorted shouldBe Array(2L)
+    }
+  }
+
+  test("NONDETERMINISTIC increment (rand()-filtered partitions): dynamic " +
+      "overwrite derives and lands ONE evaluation — a partition is " +
+      "either fully replaced or untouched, never blended") {
+    val (_, lake) = newLake()
+    (1 to 8).foreach { i =>
+      val layer = s"dyn$i"
+      lake.writeAtomic(Seq(
+        (1L, "a", 10), (2L, "b", 20), (3L, "d", 30)).toDF("id", "k", "v"),
+        layer, partitionBy = Seq("k"))
+      // the d-partition row appears per-evaluation with p=0.5: deriving
+      // {b} then landing {b, d} would blend old and new rows inside d
+      val inc = Seq((40L, "d", 400)).toDF("id", "k", "v")
+        .filter(rand() < 0.5)
+        .unionAll(Seq((20L, "b", 200)).toDF("id", "k", "v"))
+      lake.overwritePartitionsDynamic(layer, inc)
+      val dIds = lake.read(layer).filter(col("k") === "d")
+        .select("id").as[Long].collect().sorted.toSeq
+      // replaced entirely (40) or untouched (3) — NEVER both
+      Seq(Seq(3L), Seq(40L)) should contain(dIds)
+      // b always replaced, a always carried
+      lake.read(layer).filter(col("k") === "b")
+        .select("id").as[Long].collect().sorted shouldBe Array(20L)
+      lake.read(layer).filter(col("k") === "a")
+        .select("id").as[Long].collect().sorted shouldBe Array(1L)
+    }
+  }
+
+  test("COMPOSITE partition columns: tuple-digest membership is EXACT — " +
+      "cross-product tuples the increment never held stay untouched " +
+      "(per-column IN sets alone would clear them)") {
+    val (_, lake) = newLake()
+    lake.writeAtomic(Seq(
+      (1L, "x", 1, 10), (2L, "x", 2, 20),
+      (3L, "y", 1, 30), (4L, "y", 2, 40)).toDF("id", "a", "b", "v"),
+      "t", partitionBy = Seq("a", "b"))
+    // increment touches (x,1) and (y,2): the per-column value sets are
+    // a∈{x,y}, b∈{1,2} — a set-conjunction predicate would also clear
+    // (x,2) and (y,1); the digest membership must not
+    val r = lake.overwritePartitionsDynamic("t", Seq(
+      (10L, "x", 1, 100), (40L, "y", 2, 400)).toDF("id", "a", "b", "v"))
+    r.noop shouldBe false
+    r.carriedFiles should be >= 2 // (x,2) and (y,1) by reference
+    lake.read("t").select("id", "a", "b", "v").orderBy("id")
+      .as[(Long, String, Int, Int)].collect() shouldBe Array(
+      (2L, "x", 2, 20), (3L, "y", 1, 30),
+      (10L, "x", 1, 100), (40L, "y", 2, 400))
+    // null partition value round-trips through the digest (hive default
+    // partition): replacing the (x, null) tuple touches nothing else
+    lake.writeAtomic(Seq[(Long, String, Option[Int], Int)](
+      (1L, "x", Some(1), 10), (2L, "x", None, 20),
+      (3L, "y", Some(1), 30)).toDF("id", "a", "b", "v"),
+      "tn", partitionBy = Seq("a", "b"))
+    lake.overwritePartitionsDynamic("tn",
+      Seq[(Long, String, Option[Int], Int)]((20L, "x", None, 200))
+        .toDF("id", "a", "b", "v"))
+    lake.read("tn").select("id").as[Long].collect().sorted shouldBe
+      Array(1L, 3L, 20L)
+  }
+
   test("concurrent commit bounces with ConcurrentModificationException " +
       "(parent-checked), retryOnConflict lands it") {
     val (_, lake) = newLake()

@@ -309,6 +309,39 @@ class LakeSqlSpec extends SparkTestBase {
       .orderBy("ordinal").collect().last.getString(2) shouldBe "UNKNOWN"
   }
 
+  test("DESCRIBE HISTORY LIMIT n: only the n newest commits materialize, " +
+      "absolute ordinals, oldest-first within the window") {
+    val (dir, lake) = freshLayer()
+    lake.deleteWhere("docs", $"lang" === "en")
+    lake.appendAtomic((200L to 205L).map(i => (i, s"t$i", "fr", i * 10))
+      .toDF("id", "text", "lang", "n"), "docs")
+    LakeSql.sql(spark, s"OPTIMIZE lake.`$dir`.docs")
+
+    val limited = LakeSql.sql(spark,
+      s"DESCRIBE HISTORY lake.`$dir`.docs LIMIT 2")
+      .orderBy("ordinal").collect()
+    limited.map(_.getString(2)).toSeq shouldBe Seq("APPEND", "OPTIMIZE")
+    // ordinals keep their ABSOLUTE positions (4 commits total)
+    limited.map(_.getInt(0)).toSeq shouldBe Seq(3, 4)
+    // the limited rows are byte-identical to the unlimited tail
+    val full = LakeSql.sql(spark, s"DESCRIBE HISTORY lake.`$dir`.docs")
+      .orderBy("ordinal").collect()
+    full.length shouldBe 4
+    limited.toSeq shouldBe full.takeRight(2).toSeq
+    // LIMIT larger than history = the whole history; LIMIT 0 refused
+    LakeSql.sql(spark, s"DESCRIBE HISTORY lake.`$dir`.docs LIMIT 99")
+      .collect().length shouldBe 4
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, s"DESCRIBE HISTORY lake.`$dir`.docs LIMIT 0")
+        .collect()
+    }
+    // the TVF surface takes the same optional limit
+    newspipe.NewspipeExtensions.register(spark)
+    spark.sql(s"SELECT operation FROM lake_history('$dir', 'docs', 2) " +
+        "ORDER BY ordinal").collect().map(_.getString(0)).toSeq shouldBe
+      Seq("APPEND", "OPTIMIZE")
+  }
+
   test("ANALYZE TABLE COMPUTE STATISTICS: a stats-less layer gains file " +
       "skipping and metadata-only counts through ONE metadata commit") {
     val dir = Files.createTempDirectory("lakesql_an").toString
