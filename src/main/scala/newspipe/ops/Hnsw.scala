@@ -106,13 +106,55 @@ object Hnsw {
       out
     }
 
-    /** Keep a node's neighbor list at its cap, best-similarity first. */
+    /** Malkov & Yashunin Algorithm 4 (SELECT-NEIGHBORS-HEURISTIC, the
+      * diversity heuristic): walk `cands` nearest-to-base first and keep
+      * a candidate only if it is closer to the base than to every
+      * already-kept neighbor. Plain top-M selection drops all of a
+      * node's degree budget inside its own cluster — on clustered
+      * corpora the shard graph fragments into islands and recall
+      * collapses for cross-cluster queries; the heuristic forces kept
+      * edges to point in DIFFERENT directions, so inter-cluster bridges
+      * survive. Skipped candidates backfill to `cap` nearest-first
+      * (keepPrunedConnections) so easy corpora keep full degree.
+      * Deterministic: `cands` arrives sorted by (-sim, node).
+      */
+    private def selectDiverse(base: Array[Double], cands: Array[Int],
+        cap: Int): Array[Int] = {
+      if (cands.length <= cap) return cands
+      val kept = new scala.collection.mutable.ArrayBuffer[Int](cap)
+      var i = 0
+      while (i < cands.length && kept.length < cap) {
+        val e = cands(i)
+        val toBase = sim(base, vecs(e))
+        var diverse = true
+        var j = 0
+        while (diverse && j < kept.length) {
+          if (sim(vecs(e), vecs(kept(j))) > toBase) diverse = false
+          j += 1
+        }
+        if (diverse) kept += e
+        i += 1
+      }
+      if (kept.length < cap) { // backfill with the best skipped
+        i = 0
+        while (i < cands.length && kept.length < cap) {
+          if (!kept.contains(cands(i))) kept += cands(i)
+          i += 1
+        }
+      }
+      kept.toArray
+    }
+
+    /** Keep a node's neighbor list at its cap via the diversity
+      * heuristic over the (-sim, node)-ordered list.
+      */
     private def prune(node: Int, level: Int, cap: Int): Unit = {
       val ns = adj(node)(level)
       if (ns.length <= cap) return
       val v = vecs(node)
-      val kept = ns.map(n => (sim(v, vecs(n)), n)).sortBy(-_._1)
-        .take(cap).map(_._2)
+      val ordered = ns.map(n => (sim(v, vecs(n)), n))
+        .sortBy(t => (-t._1, t._2)).map(_._2).toArray
+      val kept = selectDiverse(v, ordered, cap)
       ns.clear(); ns ++= kept
     }
 
@@ -141,13 +183,14 @@ object Hnsw {
         }
         l -= 1
       }
-      // connect on layers min(level, topLevel)..0
+      // connect on layers min(level, topLevel)..0 — new-node edges pick
+      // by the diversity heuristic, not plain top-M (Algorithm 4)
       var eps: Seq[Int] = Seq(ep)
       l = math.min(level, topLevel)
       while (l >= 0) {
         val cands = searchLayer(vec, eps, efConstruction, l)
         val cap = if (l == 0) 2 * m else m
-        val chosen = cands.take(m)
+        val chosen = selectDiverse(vec, cands, m)
         chosen.foreach { n =>
           adj(node)(l) += n
           adj(n)(l) += node
@@ -157,6 +200,31 @@ object Hnsw {
         l -= 1
       }
       if (level > topLevel) { topLevel = level; entry = node }
+    }
+
+    def size: Int = vecs.length
+
+    /** Nodes reachable from the entry point following level-0 edges
+      * (directed — prune can drop one direction): the searchable set. A
+      * healthy graph reaches every node; fragmentation here is exactly
+      * what the diversity heuristic prevents on clustered corpora.
+      */
+    def reachableAtLevel0: Int = {
+      if (entry < 0) return 0
+      val seen = new java.util.BitSet(vecs.length)
+      var stack: List[Int] = entry :: Nil
+      seen.set(entry)
+      var count = 0
+      while (stack.nonEmpty) {
+        val n = stack.head; stack = stack.tail; count += 1
+        val ns = adj(n)(0)
+        var i = 0
+        while (i < ns.length) {
+          if (!seen.get(ns(i))) { seen.set(ns(i)); stack = ns(i) :: stack }
+          i += 1
+        }
+      }
+      count
     }
 
     /** Top-k (id, similarity) for a query vector; the query's own id is
@@ -183,6 +251,18 @@ object Hnsw {
       val found = searchLayer(q, Seq(ep), math.max(efSearch, k), 0)
       found.take(k).map(n => (ids(n), sim(q, vecs(n))))
     }
+  }
+
+  /** Diagnostic/spec hook: build ONE in-memory shard graph exactly the
+    * way a shard task does (unit-normalize, ascending-id insertion) and
+    * report (size, nodes reachable from the entry point at level 0).
+    */
+  private[ops] def localGraphStats(rows: Array[(Long, Array[Double])],
+      m: Int = 16, efConstruction: Int = 128): (Int, Int) = {
+    val g = new ShardGraph(m, efConstruction)
+    rows.sortBy(_._1).foreach { case (id, v) =>
+      g.insert(id, Similarity.unitVec(v)) }
+    (g.size, g.reachableAtLevel0)
   }
 
   private def toUnit(a: Any): Array[Double] = {

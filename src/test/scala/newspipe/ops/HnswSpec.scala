@@ -57,6 +57,52 @@ class HnswSpec extends SparkTestBase {
     }
   }
 
+  /** Multi-cluster corpus: `k` well-separated centroids (near-orthogonal
+    * axis bumps), `per` points jittered around each — the shape that
+    * fragments a plain-top-M HNSW graph into per-cluster islands.
+    * Deterministic (same hash source as [[corpus]]).
+    */
+  private def clustered(k: Int, per: Int, dim: Int)
+      : Seq[(Long, Array[Double])] = {
+    def h(i: Long, j: Long): Double = {
+      var z = i * 1000003L + j + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z ^ (z >>> 31)) & 0xffffffL).toDouble / 0xffffffL.toDouble - 0.5
+    }
+    (0 until k).flatMap { c =>
+      (0 until per).map { p =>
+        val id = (c * per + p).toLong
+        val v = (0 until dim).map(j => h(id, j) * 0.15).toArray
+        v(c % dim) += 2.0 // the cluster's axis bump dominates
+        (id, v)
+      }
+    }
+  }
+
+  test("clustered corpus: level-0 graph stays CONNECTED (every node " +
+      "reachable from the entry point) and recall@10 >= 0.9 — the " +
+      "Algorithm-4 diversity heuristic's job") {
+    val rows = clustered(k = 8, per = 75, dim = 16)
+    // connectivity: one shard graph over all 8 clusters
+    val (size, reachable) = Hnsw.localGraphStats(rows.toArray)
+    size shouldBe 600
+    reachable shouldBe size // no islands: search can reach every node
+    // recall on the SAME clustered shape through the distributed path,
+    // queries drawn from every cluster
+    val c = rows.toDF("id", "vec").cache()
+    val q = c.filter($"id" % 75 < 3) // 3 queries per cluster
+    val exact = Similarity.bruteForceTopK(q, c, "id", "vec", k = 10)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val approx = Hnsw.hnswTopK(q, c, "id", "vec", k = 10)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"clustered recall@10 = $recall")
+    c.unpersist()
+  }
+
   test("deterministic: two runs return identical rows") {
     val c = corpus(400, 8)
     val q = c.filter($"id" < 10)
