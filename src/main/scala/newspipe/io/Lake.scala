@@ -79,7 +79,14 @@ final case class LakeConfig(
       * backfill counts footers with a SPARK JOB instead of a driver
       * thread pool — the 10⁶-file inventory path.
       */
-    backfillJobThreshold: Int = 512)
+    backfillJobThreshold: Int = 512,
+    /** Commit-coordination primitive for the [parent-check →
+      * marker-create] critical section ([[CommitStore]]): the default
+      * [[FsCommitStore]] is correct on local FS / HDFS (atomic exclusive
+      * create); S3-class stores need a real coordinator plugged here —
+      * the same storage caveat as Delta's LogStore.
+      */
+    commitStore: CommitStore = FsCommitStore)
 
 final class Lake(spark: SparkSession, config: LakeConfig) {
 
@@ -481,105 +488,18 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * arrives with the create on local/HDFS and as one PUT on object
     * stores).
     */
-  /** Serialize the [parent-check → marker-create] critical section with an
-    * atomic-exclusive lock file — the plain-filesystem CAS that closes the
-    * residual two-writers-in-the-window race (two same-parent siblings
-    * both committing, the elder silently shadowed; surfaced by LakeSpec's
-    * 4-writer race). `create(overwrite = false)` is atomic on local FS and
-    * HDFS, so exactly one writer holds the section at a time; the DATA
-    * write (the long part) stays outside. A crashed holder's stale lock is
-    * broken after 60 s (the section itself is two metadata ops — any
-    * older lock is debris, not a writer). Stale breaks are themselves
-    * race-free: the breaker atomically RENAMES the lock to a unique
-    * tombstone (rename fails if the path was already freed/re-created, so
-    * at most one waiter clears a given lock instance and nobody plain-
-    * deletes a lock a peer just re-created); each lock carries an owner
-    * nonce that is (a) re-verified right after acquisition — a holder
-    * whose fresh lock was mis-broken in the stat→rename window detects it
-    * and retries instead of entering the section unprotected — and (b)
-    * checked again at release, so a holder never deletes a successor's
-    * lock. On object stores without atomic exclusive create/rename the
-    * lock degrades to advisory — the same caveat as Delta, which needs a
-    * commit service there.
+  /** Serialize the [parent-check → marker-create] critical section
+    * through the configured [[CommitStore]] — by default
+    * [[FsCommitStore]]'s atomic-exclusive lock file (see its doc for the
+    * full lock-file/stale-break mechanics and the object-store caveat);
+    * deployments on stores without atomic exclusive create plug a real
+    * coordinator through `LakeConfig.commitStore` and the rest of the
+    * protocol is unchanged.
     */
   private def withCommitLock[T](layer: String)(body: (() => Boolean) => T): T = {
-    val lockPath = new Path(s"${layerPath(layer)}/_v/_COMMIT_LOCK")
-    val f = fs(lockPath)
-    f.mkdirs(lockPath.getParent)
-    val nonce = java.util.UUID.randomUUID().toString
-    var attempts = 0
-    while (true) {
-      val acquired =
-        try {
-          val out = f.create(lockPath, false) // atomic exclusive create
-          try out.write(s"$nonce ${System.currentTimeMillis()}".getBytes("UTF-8"))
-          finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
-      if (acquired) {
-        // Ownership re-verify: a waiter that stat'ed the PREVIOUS lock as
-        // stale may have broken ours in its stat→rename window and put its
-        // own in place. Only enter the section if the nonce is still ours.
-        if (readLockNonce(f, lockPath).contains(nonce)) {
-          // Body receives a LATE ownership probe: in the residual window
-          // where a tombstoned-then-restored fresh lock slipped past the
-          // post-acquire check, the section's final metadata op re-verifies
-          // the nonce right before the point of no return (the marker
-          // create) and aborts instead of double-committing.
-          val stillOwned = () => readLockNonce(f, lockPath).contains(nonce)
-          try return body(stillOwned)
-          finally {
-            // release only our own instance — never a successor's lock
-            try if (readLockNonce(f, lockPath).contains(nonce))
-              f.delete(lockPath, false)
-            catch { case _: java.io.IOException => () }
-          }
-        }
-        // lost ownership before entering: loop back to the create race
-      }
-      attempts += 1
-      try {
-        val st = f.getFileStatus(lockPath)
-        if (System.currentTimeMillis() - st.getModificationTime > 60000L) {
-          // stale: holder died mid-section. Break via atomic rename to a
-          // unique tombstone; if the rename caught a FRESH lock (created
-          // in the stat→rename window) restore it, else discard debris.
-          val tomb = new Path(lockPath.getParent, s"_COMMIT_LOCK.tomb.$nonce")
-          if (f.rename(lockPath, tomb)) {
-            val fresh = readLockMillis(f, tomb)
-              .exists(t => System.currentTimeMillis() - t <= 60000L)
-            if (!fresh || !f.rename(tomb, lockPath)) f.delete(tomb, false)
-          }
-        }
-      } catch { case _: java.io.FileNotFoundException => () } // just freed
-      if (attempts > 3000) throw new IllegalStateException(
-        s"layer '$layer': commit lock starved after $attempts attempts")
-      Thread.sleep(10L + (attempts % 7) * 5L)
-    }
-    throw new IllegalStateException("unreachable")
+    val root = new Path(layerPath(layer))
+    config.commitStore.withExclusive(root, fs(root))(body)
   }
-
-  /** Lock content is `"<nonce> <createMillis>"`; both readers tolerate a
-    * concurrently-vanishing file (None) and legacy single-token content.
-    */
-  private def readLockParts(f: org.apache.hadoop.fs.FileSystem,
-      p: Path): Option[Array[String]] =
-    try {
-      val in = f.open(p)
-      try {
-        val buf = new Array[Byte](256)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.split("\\s+"))
-      } finally in.close()
-    } catch { case _: java.io.IOException => None }
-
-  private def readLockNonce(f: org.apache.hadoop.fs.FileSystem,
-      p: Path): Option[String] =
-    readLockParts(f, p).filter(_.length >= 2).map(_.head)
-
-  private def readLockMillis(f: org.apache.hadoop.fs.FileSystem,
-      p: Path): Option[Long] =
-    readLockParts(f, p).flatMap(_.lastOption).flatMap(s => s.toLongOption)
 
   /** WRITER feature gate (the minWriter half of the protocol-versioning
     * story; the reader half is [[ProtocolFeatures]] in the commit
