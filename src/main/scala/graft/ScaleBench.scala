@@ -714,6 +714,98 @@ object ScaleBench {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case _: Throwable => () }
     }
+
+    // ---- round-17: PERSISTED VECTOR INDEX. The scale claims: (build)
+    // createVectorIndex pays one pass over the corpus ONCE — the cost a
+    // per-query rebuild (hnswTopK, measured as the contrast) pays on
+    // EVERY search call; (search) vectorSearch reads index artifacts
+    // only — per-call wall stays near-FLAT while the corpus grows N×
+    // (one tiny task per shard graph vs a full corpus re-read+rebuild).
+    {
+      val root = java.nio.file.Files.createTempDirectory("scale_vi").toString
+      val lake = new newspipe.io.Lake(spark,
+        newspipe.io.LakeConfig(basePath = root))
+      val nFiles = 4 * copies
+      val corpus = spark.range(nFiles.toLong * 500)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(15)), j =>
+            (pmod(xxhash64(col("id"), j), lit(2001L)) - lit(1000L))
+              .cast("double") / 1000.0).as("vec"))
+        .repartitionByRange(nFiles, col("vec_id"))
+        .sortWithinPartitions("vec_id")
+      lake.writeAtomic(corpus, "vi")
+      val (nB, tB) = timed {
+        lake.createVectorIndex("vi", "idx", "vec", "vec_id").toLong
+      }
+      out("r17_vindex_build") = (nB, tB) // O(corpus), paid ONCE
+      val queries = lake.read("vi").filter(col("vec_id") < 16)
+      val (nS, tS) = timed {
+        (1 to 5).map(_ =>
+          lake.vectorSearch("vi", queries, k = 10).count()).sum
+      }
+      out("r17_vindex_search_x5") = (nS, tS) // near-FLAT at N× corpus
+      val (nR, tR) = timed {
+        newspipe.ops.Hnsw.hnswTopK(queries, lake.read("vi"),
+          "vec_id", "vec", k = 10).count()
+      }
+      out("r17_rebuild_search_x1") = (nR, tR) // O(corpus) EVERY call
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+          .iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+
+    // ---- round-17: IN-SET PREDICATES (the dynamic-overwrite shape). The
+    // scale claims: (stat filter) a 1000-value IN-set over per-file stats
+    // costs ONE hash probe per file — wall stays tiny while the file
+    // count grows N× (the pre-round-17 OR chain evaluated O(values)
+    // comparison nodes per file); (e2e) overwritePartitionsDynamic
+    // touching 2 of N× hive partitions rewrites exactly 2 files — FLAT —
+    // with the replaced set derived from path metadata, not a predicate
+    // chain.
+    {
+      val root = java.nio.file.Files.createTempDirectory("scale_is").toString
+      val lake = new newspipe.io.Lake(spark,
+        newspipe.io.LakeConfig(basePath = root))
+      val nFiles = 16 * copies
+      val target = spark.range(nFiles.toLong * 200)
+        .select((col("id") / 200).cast("long").as("g"), col("id"),
+          md5(col("id").cast("string")).as("v"))
+        .repartitionByRange(nFiles, col("g"))
+        .sortWithinPartitions("g", "id")
+      lake.writeAtomic(target, "is")
+      // 1000-value IN set, 2 values real (files 3 and nFiles-2): the
+      // stats pass must prune to 2 files however many files exist
+      val vals: Seq[Long] = Seq(3L, nFiles.toLong - 2) ++
+        (0 until 998).map(i => 10000000L + i)
+      val (nIs, tIs) = timed {
+        (1 to 5).map(_ =>
+          lake.readWhere("is", col("g").isin(vals: _*)).count()).sum
+      }
+      out("r17_inset_stat_filter_1k_x5") = (nIs, tIs)
+      // hive-partitioned dynamic overwrite: 2 of nParts partitions turn
+      // over (metric VALUE = rewritten files, flat ≈ 2; wall = op cost)
+      val nParts = 8 * copies
+      val pt = spark.range(nParts.toLong * 40)
+        .select(pmod(col("id"), lit(nParts.toLong)).as("p"), col("id"),
+          md5(col("id").cast("string")).as("v"))
+      lake.writeAtomic(pt, "dyn", partitionBy = Seq("p"))
+      val inc = spark.range(2).select(
+        when(col("id") === 0, 0L).otherwise(nParts.toLong - 1).as("p"),
+        (col("id") + 900000L).as("id"), lit("NEW").as("v"))
+      val (nDo, tDo) = timed {
+        lake.overwritePartitionsDynamic("dyn", inc).rewrittenFiles.toLong
+      }
+      out("r17_dynamic_overwrite_rewritten") = (nDo, tDo) // FLAT at N×
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+          .iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
     out.toMap
   }
 

@@ -4189,6 +4189,38 @@ object SparkEntry {
         .filter(col("rank") === 1)
         .select("query_id", "neighbor_id")
         .orderBy("query_id")
+    }),
+
+    // PERSISTED vector index (build-once, O(increment) maintenance): the
+    // base corpus lands and indexes FIRST; the planted twins arrive by
+    // appendAtomic AFTERWARDS — the post-commit maintenance makes them
+    // searchable with zero rebuild (in-query pin: nothing left to build),
+    // and the search runs through the SQL TVF against index artifacts
+    // alone (the corpus is never re-scanned). Same argmax ground truth as
+    // q37/q38/q184.
+    "q186_vector_index" -> ((s, dir) => {
+      newspipe.NewspipeExtensions.register(s)
+      val root = java.nio.file.Files.createTempDirectory("q186_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        .filter(newspipe.ops.Similarity.l2Norm(col("embedding")) > 0)
+      val queries = emb.filter(col("vec_id") < 10)
+      lake.writeAtomic(emb.repartitionByRange(6, col("vec_id"))
+        .sortWithinPartitions("vec_id"), "emb")
+      lake.createVectorIndex("emb", "idx", "embedding", "vec_id")
+      lake.appendAtomic(queries
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        .coalesce(1), "emb")
+      require(lake.maintainVectorIndexes("emb") == 0,
+        "appendAtomic must maintain the index (new shard graphs only) — " +
+          "a search must never need a rebuild")
+      queries.createOrReplaceTempView("q186_queries")
+      s.sql(
+        s"""SELECT query_id, neighbor_id
+           |FROM lake_vector_search('$root', 'emb', 'q186_queries', 5, 'idx')
+           |WHERE rank = 1""".stripMargin)
+        .orderBy("query_id")
     })
   )
 
@@ -4717,6 +4749,9 @@ object SparkEntry {
     // exact argmax oracle)
     "q38_ann_ivf" -> annArgmaxOracleSql,
     "q184_ann_hnsw" -> annArgmaxOracleSql,
+    // the persisted-index path answers the SAME exact argmax ground truth
+    // (planted twins land via append + incremental index maintenance)
+    "q186_vector_index" -> annArgmaxOracleSql,
     // complement ∪ the two data-derived regions (en tripled via the API,
     // de +2000 via dynamic-mode INSERT OVERWRITE)
     "q185_dynamic_overwrite" ->

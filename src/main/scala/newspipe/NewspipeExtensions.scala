@@ -306,6 +306,27 @@ object NewspipeExtensions {
             newspipe.io.LakeConfig(basePath = args(0)))
             .history(args(1), limit))
         }),
+      // persisted-ANN search in FROM position: SELECT * FROM
+      // lake_vector_search('/lake/root', 'docs', 'queries_view', 5
+      // [, 'index_name']) → (query_id, neighbor_id, cos, rank) — reads
+      // index artifacts only, never the corpus (Lake.vectorSearch)
+      (new FunctionIdentifier("lake_vector_search"),
+        new ExpressionInfo("newspipe.NewspipeExtensions",
+          "lake_vector_search"),
+        (children: Seq[Expression]) => {
+          require(children.length == 4 || children.length == 5,
+            "lake_vector_search(base_path, layer, queries_table, k" +
+              "[, index_name]) takes 4 or 5 arguments")
+          val base = stringArg("lake_vector_search", children(0))
+          val layer = stringArg("lake_vector_search", children(1))
+          val qTable = stringArg("lake_vector_search", children(2))
+          val k = longArg("lake_vector_search", children(3)).toInt
+          val idx = children.lift(4).map(stringArg("lake_vector_search", _))
+          val spark = SparkSession.active
+          NewspipeSqlBridge.logicalPlan(new newspipe.io.Lake(spark,
+            newspipe.io.LakeConfig(basePath = base))
+            .vectorSearch(layer, spark.table(qTable), k, idx))
+        }),
       (new FunctionIdentifier("asof_join"),
         new ExpressionInfo("newspipe.NewspipeExtensions", "asof_join"),
         (children: Seq[Expression]) => {

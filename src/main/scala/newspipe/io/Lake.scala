@@ -3367,9 +3367,15 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           lit(nFiles.toLong))
         df.repartition(nFiles, (partitionBy.map(col) :+ salt): _*)
       } else df.repartition(nFiles)
-    writeSnapshot(arranged, layer, partitionBy, requireParent = None,
+    val snap = writeSnapshot(arranged, layer, partitionBy,
+      requireParent = None,
       op = if (zcols.nonEmpty) "OPTIMIZE ZORDER" else "OPTIMIZE",
       prearranged = true)
+    // index-aware OPTIMIZE: the rewrite replaced every data file — build
+    // shard graphs for the new files (content addressing makes this
+    // O(rewritten files); the inputs' graphs become debris VACUUM prunes)
+    maintainVectorIndexesSoftly(layer)
+    snap
   }
 
   // ---- clustering keys (Delta liquid clustering's declaration role) -------
@@ -3908,6 +3914,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         rebaseRequireIdHighs =
           if (identityColumns(layer).isEmpty) None
           else Some(manifestOf(snap).map(_.idHighs).getOrElse(Map.empty)))
+      // persisted-vector-index maintenance: shard graphs for the NEW
+      // files only (O(increment)); soft-fail like the stats sidecar — an
+      // uncovered file rides the exact-scan fallback until the next pass
+      maintainVectorIndexesSoftly(layer)
       Lake.RowOpResult(committed.toString, 0, carried.size)
     } catch {
       case e: java.util.ConcurrentModificationException => throw e
@@ -3916,6 +3926,18 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         throw e
     }
   }
+
+  /** Post-commit vector-index upkeep — soft-failing (the index is DERIVED
+    * state: a failed build leaves files uncovered, which search handles
+    * exactly, so a maintenance error must never fail the commit). One
+    * `_vindex` existence probe when the layer declares no index.
+    */
+  private def maintainVectorIndexesSoftly(layer: String): Unit =
+    try { maintainVectorIndexes(layer); () }
+    catch {
+      case scala.util.control.NonFatal(e) => Console.err.println(
+        s"[lake] vector index maintenance on '$layer' skipped: $e")
+    }
 
   /** Latest version recorded for `appId` in the layer's stream-txn ledger
     * (the `_TXN` markers [[appendAtomic]] commits atomically with its
@@ -5453,6 +5475,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         rebaseRewritten =
           if (op == "OPTIMIZE") Some(affected.toSet) else None,
         opParams = opParams)
+      // index upkeep for whatever files this rewrite created (rewritten
+      // regions, merge insert legs, partial-OPTIMIZE outputs) — content
+      // addressing makes it O(new files), soft-fail by contract
+      maintainVectorIndexesSoftly(layer)
       // a rebase may have re-id'd the staged snapshot — report the path
       // that actually committed
       Lake.RowOpResult(committed.toString, affected.size, carried.size)
@@ -5915,6 +5941,271 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     buf.result()
   }
 
+  // ---- persisted vector index (ANN) ---------------------------------------
+
+  /** Declare + build a persisted ANN index over `vecCol` (layout and
+    * rationale: [[VectorIndex]]): ONE serialized HNSW graph per live data
+    * file, content-addressed by the file's qualified path — built in a
+    * single Spark pass over the corpus (graphs build where the data
+    * sits), searched by [[vectorSearch]] WITHOUT ever re-reading the
+    * corpus, and maintained incrementally: [[appendAtomic]] and the
+    * OPTIMIZE/compaction family build graphs for their NEW files only
+    * (O(increment) — an immutable file's graph never invalidates).
+    * Returns the number of shard graphs built.
+    *
+    * The 100 TB posture this buys over [[newspipe.ops.Hnsw.hnswTopK]]:
+    * hnswTopK re-reads the corpus and rebuilds every graph per CALL;
+    * here build cost is paid once (then per-increment), and a search
+    * batch costs one task per shard artifact + a broadcast of the
+    * queries.
+    */
+  def createVectorIndex(layer: String, name: String, vecCol: String,
+      idCol: String, kind: String = "hnsw", m: Int = 16,
+      efConstruction: Int = 128): Int = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"vector index name '$name' must be alphanumeric/underscore")
+    require(kind == "hnsw",
+      s"vector index kind '$kind' not supported (supported: hnsw)")
+    val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
+      s"layer '$layer' has no committed snapshot — a vector index " +
+        "indexes committed data files (writeAtomic first)"))
+    require(mappingOf(snap).isEmpty,
+      s"createVectorIndex('$layer'): column-mapped layers are not " +
+        "supported (shards key logical columns by name)")
+    val schema = snapshotSchema(layer, snap)
+    Seq(vecCol, idCol).foreach(c => require(
+      schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"createVectorIndex('$layer'): layer has no column '$c'"))
+    require(vectorIndexes(layer).forall(_.name != name),
+      s"layer '$layer' already has a vector index '$name' — drop it first")
+    val meta = VectorIndex.Meta(name, kind, idCol, vecCol, m, efConstruction)
+    val root = VectorIndex.indexRoot(layerPath(layer), name)
+    val f = fs(root)
+    f.mkdirs(root)
+    val out = f.create(new Path(root, VectorIndex.MetaFile), true)
+    try out.write(VectorIndex.toJson(meta).getBytes("UTF-8"))
+    finally out.close()
+    maintainVectorIndexes(layer)
+  }
+
+  def dropVectorIndex(layer: String, name: String): Unit = {
+    val root = VectorIndex.indexRoot(layerPath(layer), name)
+    val f = fs(root)
+    if (!f.exists(new Path(root, VectorIndex.MetaFile)))
+      throw new NoSuchElementException(
+        s"layer '$layer' has no vector index '$name'")
+    f.delete(root, true)
+    ()
+  }
+
+  /** Declared vector indexes of the layer (metadata-only listing). */
+  def vectorIndexes(layer: String): Seq[VectorIndex.Meta] = {
+    val dir = new Path(s"${layerPath(layer)}/${VectorIndex.DirName}")
+    val f = fs(dir)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).iterator.filter(_.isDirectory).flatMap { st =>
+      val mf = new Path(st.getPath, VectorIndex.MetaFile)
+      if (f.exists(mf)) Some(VectorIndex.fromJson(readFully(mf))) else None
+    }.toSeq.sortBy(_.name)
+  }
+
+  /** Build missing shard graphs for every declared index against the
+    * CURRENT snapshot — O(new files), because content addressing makes
+    * already-covered files no-ops. Called automatically post-commit by
+    * [[appendAtomic]] and the compaction family; idempotent and safe to
+    * call any time (a concurrent maintainer writes identical bytes).
+    * Returns the number of shards built.
+    */
+  def maintainVectorIndexes(layer: String): Int =
+    vectorIndexes(layer).iterator.map(maintainVectorIndex(layer, _)).sum
+
+  private def maintainVectorIndex(layer: String,
+      meta: VectorIndex.Meta): Int = {
+    val snap = latestSnapshot(layer).getOrElse(return 0)
+    if (mappingOf(snap).nonEmpty) return 0 // mapped post-creation: fallback
+    val base = layerPath(layer)
+    val f = fs(new Path(base))
+    val existing = VectorIndex.existingShards(f, base, meta.name)
+    val inv = snapshotInventory(layer, snap)
+    def qualify(rel: String): String =
+      f.makeQualified(new Path(resolveRel(base, rel))).toString
+    val missing = inv.map(rel => rel -> VectorIndex.digestOf(qualify(rel)))
+      .filterNot { case (_, d) => existing.contains(d) }
+    if (missing.isEmpty) return 0
+    // rows route to their file's builder by input_file_name; the task
+    // resolves the artifact name through a broadcast last-segment → digest
+    // map (part-file names carry a UUID, so collisions are theoretical —
+    // an ambiguous name is skipped and stays on the brute-force fallback)
+    val nameGroups = missing.groupBy { case (rel, _) =>
+      new Path(rel).getName }
+    val unique: Map[String, String] = nameGroups.collect {
+      case (n, Seq((_, d))) => n -> d }
+    val ambiguous = nameGroups.size - unique.size
+    if (ambiguous > 0) Console.err.println(
+      s"[lake] vector index '${meta.name}' on '$layer': $ambiguous " +
+        "ambiguous file name(s) skipped (exact-scan fallback covers them)")
+    val targetRels = missing.collect {
+      case (rel, _) if unique.contains(new Path(rel).getName) => rel }
+    if (targetRels.isEmpty) return 0
+    val schema = snapshotSchema(layer, snap)
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val rows = readRelFiles(layer, targetRels, schemaHint = Some(schema))
+      .select(input_file_name().as("__f"),
+        col(meta.idCol).cast("long").as("__id"), col(meta.vecCol).as("__v"))
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val namesB = spark.sparkContext.broadcast(unique)
+    val (mName, mBase, mM, mEf) = (meta.name, base, meta.m, meta.efConstruction)
+    val nParts = math.max(1, math.min(targetRels.size,
+      spark.sparkContext.defaultParallelism * 2))
+    import spark.implicits._
+    val built = rows.repartition(nParts, col("__f"))
+      .mapPartitions { it =>
+        val byFile = scala.collection.mutable.HashMap.empty[String,
+          scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]]
+        it.foreach { r =>
+          val p = r.getString(0)
+          val last = p.substring(p.lastIndexOf('/') + 1)
+          byFile.getOrElseUpdate(last,
+            scala.collection.mutable.ArrayBuffer.empty) +=
+            ((r.getLong(1), newspipe.ops.Hnsw.toRaw(r.get(2))))
+        }
+        val fsys = new org.apache.hadoop.fs.Path(mBase)
+          .getFileSystem(confB.value.value)
+        byFile.iterator.flatMap { case (lastSeg, buf) =>
+          namesB.value.get(lastSeg).map { digest =>
+            VectorIndex.writeShard(fsys, mBase, mName, digest,
+              newspipe.ops.Hnsw.buildGraphBytes(buf.toArray, mM, mEf))
+            digest
+          }
+        }
+      }.collect()
+    built.length
+  }
+
+  /** ANN top-k through the persisted index — (query_id, neighbor_id,
+    * cos, rank), the [[newspipe.ops.Similarity.bruteForceTopK]] shape.
+    * Covered files are searched from their index artifacts alone (one
+    * task per shard graph, queries broadcast — the corpus is NOT read);
+    * files without an artifact (a crash window, a fresh OPTIMIZE output
+    * pre-maintenance, a foreign writer) — or carrying deletion vectors,
+    * whose graphs would surface deleted rows — fall back to an exact
+    * scan of THOSE FILES ONLY. Search degrades in cost, never in
+    * correctness; deterministic run to run.
+    */
+  def vectorSearch(layer: String, queries: DataFrame, k: Int,
+      indexName: Option[String] = None, efSearch: Int = 96): DataFrame = {
+    import org.apache.spark.sql.functions.{asc, col, desc, row_number}
+    val metas = vectorIndexes(layer)
+    require(metas.nonEmpty,
+      s"layer '$layer' has no vector index — createVectorIndex first")
+    val meta = indexName match {
+      case Some(n) => metas.find(_.name == n).getOrElse(
+        throw new NoSuchElementException(s"layer '$layer' has no vector " +
+          s"index '$n' (declared: ${metas.map(_.name).mkString(", ")})"))
+      case None =>
+        require(metas.lengthCompare(1) == 0, s"layer '$layer' declares " +
+          s"${metas.size} vector indexes — name one " +
+          s"(${metas.map(_.name).mkString(", ")})")
+        metas.head
+    }
+    val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
+      s"layer '$layer' has no committed snapshot"))
+    val base = layerPath(layer)
+    val f = fs(new Path(base))
+    val inv = snapshotInventory(layer, snap)
+    val dv = dvMapOf(snap)
+    val existing = VectorIndex.existingShards(f, base, meta.name)
+    def qualify(rel: String): String =
+      f.makeQualified(new Path(resolveRel(base, rel))).toString
+    val withDigest = inv.map(rel => rel -> VectorIndex.digestOf(qualify(rel)))
+    val (covered, uncovered) = withDigest.partition { case (rel, d) =>
+      existing.contains(d) && !dv.contains(rel) }
+    // queries are the SMALL side (the bruteForceTopK contract): collected
+    // once, shipped to every shard task as one broadcast
+    val qRows: Array[(Long, Array[Double])] = queries
+      .select(col(meta.idCol).cast("long"), col(meta.vecCol))
+      .collect()
+      .map(r => (r.getLong(0), newspipe.ops.Hnsw.toRaw(r.get(1))))
+      .sortBy(_._1)
+    val qB = spark.sparkContext.broadcast(qRows)
+    import spark.implicits._
+    def emptyCands: DataFrame =
+      spark.emptyDataset[(Long, Long, Double)]
+        .toDF("query_id", "neighbor_id", "cos")
+    val ann: DataFrame =
+      if (covered.isEmpty) emptyCands
+      else {
+        val confB = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration))
+        val paths = covered.map { case (_, d) =>
+          new Path(VectorIndex.shardsDir(base, meta.name), s"$d.ann").toString }
+        val nSlices = math.max(1, math.min(paths.size,
+          spark.sparkContext.defaultParallelism * 2))
+        val (kk, ef) = (k, efSearch)
+        spark.sparkContext.parallelize(paths, nSlices).mapPartitions { ps =>
+          val hc = confB.value.value
+          ps.flatMap { p =>
+            val path = new org.apache.hadoop.fs.Path(p)
+            val fsys = path.getFileSystem(hc)
+            val bytes = new Array[Byte](fsys.getFileStatus(path).getLen.toInt)
+            val in = fsys.open(path)
+            try in.readFully(bytes) finally in.close()
+            // k+1: a query's own row may occupy one slot in its file
+            newspipe.ops.Hnsw.searchGraphBytes(bytes, qB.value, kk + 1, ef)
+          }
+        }.toDF("query_id", "neighbor_id", "cos")
+      }
+    val brute: DataFrame =
+      if (uncovered.isEmpty) emptyCands
+      else {
+        val schema = snapshotSchema(layer, snap)
+        val rels = uncovered.map(_._1)
+        val metaed = readRelFiles(layer, rels, schemaHint = Some(schema),
+          withMeta = dv.nonEmpty)
+        val alive = if (dv.isEmpty) metaed
+          else dvFilter(metaed, dvPairs(base, snap, Some(rels.toSet)))
+        newspipe.ops.Similarity.bruteForceTopK(
+          queries.select(col(meta.idCol).cast("long").as(meta.idCol),
+            col(meta.vecCol)),
+          alive.select(col(meta.idCol).cast("long").as(meta.idCol),
+            col(meta.vecCol)),
+          meta.idCol, meta.vecCol, k + 1)
+          .select(col("query_id"), col("neighbor_id"),
+            col("cos").cast("double").as("cos"))
+      }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    ann.unionByName(brute)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Reclaim index artifacts no RETAINED snapshot's data file backs any
+    * more (post-vacuum: rewritten-away or deleted files' graphs) — the
+    * index-side leg of VACUUM, O(retained inventory + artifacts).
+    */
+  private def pruneVectorIndexShards(layer: String): Unit = {
+    val metas = vectorIndexes(layer)
+    if (metas.isEmpty) return
+    val base = layerPath(layer)
+    val f = fs(new Path(base))
+    val live: Set[String] = committedVersions(layer).flatMap { snap =>
+      snapshotInventory(layer, snap).map(rel => VectorIndex.digestOf(
+        f.makeQualified(new Path(resolveRel(base, rel))).toString))
+    }.toSet
+    metas.foreach { meta =>
+      (VectorIndex.existingShards(f, base, meta.name) -- live).foreach { d =>
+        f.delete(new Path(VectorIndex.shardsDir(base, meta.name),
+          s"$d.ann"), false)
+      }
+    }
+  }
+
   /** Reclaim snapshot storage: keep the newest `keep` committed snapshots;
     * delete older committed ones always, and UNCOMMITTED directories only
     * when untouched for `orphanGraceMs` (default 24 h) — an uncommitted dir
@@ -6006,6 +6297,9 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       }
       f.delete(p, true)
     }
+    // index-side leg: artifacts whose data file no retained snapshot
+    // references any more (rewritten-away/deleted files) are debris now
+    pruneVectorIndexShards(layer)
   }
 
   /** Root dir holding relocated COPY INTO ledgers of vacuumed versions

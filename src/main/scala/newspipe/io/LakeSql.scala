@@ -531,6 +531,15 @@ object LakeSql {
     */
   final case class LakeHistory(base: String, layer: String,
       limit: Option[Int] = None) extends LakeMaint
+  /** `CREATE VECTOR INDEX <name> ON lake.`…`.layer (vecCol) ID idCol
+    * [USING HNSW] [M n] [EF n]` — persisted per-file ANN index
+    * ([[Lake.createVectorIndex]]).
+    */
+  final case class LakeCreateVectorIndex(base: String, layer: String,
+      name: String, vecCol: String, idCol: String, kind: String,
+      m: Option[Int], ef: Option[Int]) extends LakeMaint
+  final case class LakeDropVectorIndex(base: String, layer: String,
+      name: String) extends LakeMaint
   /** `ANALYZE TABLE … COMPUTE STATISTICS` — full-inventory stats
     * re-harvest as a metadata-only commit ([[Lake.analyzeStats]]).
     */
@@ -605,6 +614,19 @@ object LakeSql {
       "\\s+COMPUTE\\s+STATISTICS\\s*;?\\s*$")
   private val DetailRe = java.util.regex.Pattern.compile(
     s"(?is)^\\s*DESCRIBE\\s+DETAIL\\s+$TargetRe" + "\\s*;?\\s*$")
+  // CREATE/DROP VECTOR INDEX is not Spark grammar (a lake extension) —
+  // non-lake targets fall through to Spark's parser and its natural error
+  private val CreateVIdxRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*CREATE\\s+VECTOR\\s+INDEX\\s+([A-Za-z0-9_]+)\\s+ON\\s+" +
+      TargetRe +
+      "\\s*\\(\\s*`?([A-Za-z0-9_]+)`?\\s*\\)" +
+      "\\s+ID\\s+`?([A-Za-z0-9_]+)`?" +
+      "(?:\\s+USING\\s+([A-Za-z0-9_]+))?" +
+      "(?:\\s+M\\s+([0-9]+))?" +
+      "(?:\\s+EF\\s+([0-9]+))?\\s*;?\\s*$")
+  private val DropVIdxRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*DROP\\s+VECTOR\\s+INDEX\\s+([A-Za-z0-9_]+)\\s+ON\\s+" +
+      TargetRe + "\\s*;?\\s*$")
 
   /** Recognize a maintenance statement targeting a lake layer. None = not
     * ours (wrong leading keyword, or a non-lake target — Spark's parser
@@ -670,6 +692,20 @@ object LakeSql {
     if (an.matches()) {
       val (base, layer) = targetOf(an, 1)
       return Some(LakeAnalyze(base, layer))
+    }
+    val cvi = CreateVIdxRe.matcher(sqlText)
+    if (cvi.matches()) {
+      val (base, layer) = targetOf(cvi, 2)
+      return Some(LakeCreateVectorIndex(base, layer, cvi.group(1),
+        vecCol = cvi.group(5), idCol = cvi.group(6),
+        kind = Option(cvi.group(7)).map(_.toLowerCase).getOrElse("hnsw"),
+        m = Option(cvi.group(8)).map(_.toInt),
+        ef = Option(cvi.group(9)).map(_.toInt)))
+    }
+    val dvi = DropVIdxRe.matcher(sqlText)
+    if (dvi.matches()) {
+      val (base, layer) = targetOf(dvi, 2)
+      return Some(LakeDropVectorIndex(base, layer, dvi.group(1)))
     }
     val d = DetailRe.matcher(sqlText)
     if (d.matches()) {
@@ -856,6 +892,14 @@ object LakeSql {
         val r = lake.analyzeStats(layer)
         Row("ANALYZE", s"files=${r.carriedFiles} " +
           new org.apache.hadoop.fs.Path(r.snapshot).getName)
+      case LakeCreateVectorIndex(_, layer, name, vecCol, idCol, kind,
+          m, ef) =>
+        val built = lake.createVectorIndex(layer, name, vecCol, idCol,
+          kind, m = m.getOrElse(16), efConstruction = ef.getOrElse(128))
+        Row("CREATE VECTOR INDEX", s"shards=$built")
+      case LakeDropVectorIndex(_, layer, name) =>
+        lake.dropVectorIndex(layer, name)
+        Row("DROP VECTOR INDEX", name)
       case LakeRepartition(_, layer, cols) =>
         val snap = lake.repartitionLayer(layer, cols)
         Row("REPARTITION", new org.apache.hadoop.fs.Path(snap).getName)

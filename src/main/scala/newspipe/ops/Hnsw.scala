@@ -44,18 +44,20 @@ object Hnsw {
   }
 
   /** One shard's HNSW graph over unit vectors; similarity = dot product
-    * (cosine on unit vectors), higher is nearer.
+    * (cosine on unit vectors), higher is nearer. Members are
+    * object-default-visible (the class itself is Hnsw-private) so the
+    * companion-style [[Hnsw.readGraph]] can restore state byte-exactly.
     */
-  private final class ShardGraph(m: Int, efConstruction: Int) {
+  private final class ShardGraph(val m: Int, val efConstruction: Int) {
     private val mL = 1.0 / math.log(m.toDouble)
-    private val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
-    private val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-    private val levels = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val levels = scala.collection.mutable.ArrayBuffer.empty[Int]
     // adjacency(node)(level) = neighbor node indexes
-    private val adj = scala.collection.mutable.ArrayBuffer
+    val adj = scala.collection.mutable.ArrayBuffer
       .empty[Array[scala.collection.mutable.ArrayBuffer[Int]]]
-    private var entry: Int = -1
-    private var topLevel: Int = -1
+    var entry: Int = -1
+    var topLevel: Int = -1
 
     private def sim(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -265,14 +267,122 @@ object Hnsw {
     (g.size, g.reachableAtLevel0)
   }
 
-  private def toUnit(a: Any): Array[Double] = {
-    val v = a match {
-      case s: scala.collection.Seq[_] =>
-        s.iterator.map(Similarity.toDouble).toArray
-      case arr: Array[_] => arr.iterator.map(Similarity.toDouble).toArray
+  // ---- persisted-index (de)serialization -----------------------------------
+  //
+  // The [[newspipe.io.Lake]] vector-index layer stores ONE serialized
+  // shard graph per immutable data file (content-addressed — a data file
+  // never changes, so its graph never invalidates). Build and search are
+  // exposed as byte-level functions so the lake side never touches graph
+  // internals. Format (all big-endian via DataOutputStream):
+  //   magic 'LKG1', m, efConstruction, n, dim,
+  //   ids[n], levels[n], vecs[n*dim] (unit-normalized doubles — the exact
+  //   values the in-memory path computes, so persisted and rebuilt
+  //   searches return identical results), adjacency (per node, per level
+  //   0..levels(node): count + neighbor indexes), entry, topLevel.
+
+  private val GraphMagic = 0x4c4b4731 // "LKG1"
+
+  /** Build one shard graph over `(id, rawVector)` rows (any numeric array
+    * element type; unit-normalized and inserted ascending-id exactly like
+    * the in-memory path) and serialize it.
+    */
+  private[newspipe] def buildGraphBytes(rows: Array[(Long, Array[Double])],
+      m: Int = 16, efConstruction: Int = 128): Array[Byte] = {
+    val g = new ShardGraph(m, efConstruction)
+    rows.sortBy(_._1).foreach { case (id, v) =>
+      g.insert(id, Similarity.unitVec(v)) }
+    val bos = new java.io.ByteArrayOutputStream(
+      64 + rows.length * (8 + 4) + rows.map(_._2.length).sum * 8)
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(GraphMagic)
+    out.writeInt(g.m); out.writeInt(g.efConstruction)
+    out.writeInt(g.vecs.length)
+    out.writeInt(if (g.vecs.isEmpty) 0 else g.vecs(0).length)
+    g.ids.foreach(out.writeLong)
+    g.levels.foreach(out.writeInt)
+    g.vecs.foreach(v => v.foreach(out.writeDouble))
+    var n = 0
+    while (n < g.vecs.length) {
+      var l = 0
+      while (l <= g.levels(n)) {
+        val ns = g.adj(n)(l)
+        out.writeInt(ns.length)
+        ns.foreach(out.writeInt)
+        l += 1
+      }
+      n += 1
     }
-    Similarity.unitVec(v)
+    out.writeInt(g.entry); out.writeInt(g.topLevel)
+    out.flush()
+    bos.toByteArray
   }
+
+  private def readGraph(bytes: Array[Byte]): ShardGraph = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    require(in.readInt() == GraphMagic,
+      "not a serialized HNSW shard graph (bad magic)")
+    val m = in.readInt(); val efC = in.readInt()
+    val g = new ShardGraph(m, efC)
+    val n = in.readInt(); val dim = in.readInt()
+    var i = 0
+    while (i < n) { g.ids += in.readLong(); i += 1 }
+    i = 0
+    while (i < n) { g.levels += in.readInt(); i += 1 }
+    i = 0
+    while (i < n) {
+      val v = new Array[Double](dim)
+      var j = 0
+      while (j < dim) { v(j) = in.readDouble(); j += 1 }
+      g.vecs += v
+      i += 1
+    }
+    i = 0
+    while (i < n) {
+      val lvls = new Array[scala.collection.mutable.ArrayBuffer[Int]](
+        g.levels(i) + 1)
+      var l = 0
+      while (l <= g.levels(i)) {
+        val cnt = in.readInt()
+        val buf = new scala.collection.mutable.ArrayBuffer[Int](cnt)
+        var c = 0
+        while (c < cnt) { buf += in.readInt(); c += 1 }
+        lvls(l) = buf
+        l += 1
+      }
+      g.adj += lvls
+      i += 1
+    }
+    g.entry = in.readInt(); g.topLevel = in.readInt()
+    g
+  }
+
+  /** Search a serialized shard graph for every query in the batch —
+    * (query_id, neighbor_id, cos) candidates, the query's own id
+    * filtered by the CALLER (global concern, same as [[hnswTopK]]).
+    */
+  private[newspipe] def searchGraphBytes(bytes: Array[Byte],
+      queries: Array[(Long, Array[Double])], k: Int,
+      efSearch: Int = 96): Iterator[(Long, Long, Double)] = {
+    val g = readGraph(bytes)
+    queries.iterator.flatMap { case (qid, qv) =>
+      g.search(Similarity.unitVec(qv), k, efSearch).iterator
+        .map { case (nid, s) => (qid, nid, s) }
+    }
+  }
+
+  /** Raw double extraction from a Spark array value (float or double
+    * elements) — NO normalization; [[buildGraphBytes]]/[[searchGraphBytes]]
+    * normalize exactly once, the same single normalization the in-memory
+    * path applies, so persisted and rebuilt searches agree bit-for-bit.
+    */
+  private[newspipe] def toRaw(a: Any): Array[Double] = a match {
+    case s: scala.collection.Seq[_] =>
+      s.iterator.map(Similarity.toDouble).toArray
+    case arr: Array[_] => arr.iterator.map(Similarity.toDouble).toArray
+  }
+
+  private def toUnit(a: Any): Array[Double] = Similarity.unitVec(toRaw(a))
 
   /** ANN top-k over `corpus` for each row of `queries` — HNSW per shard,
     * global merge; output (query_id, neighbor_id, cos, rank), the

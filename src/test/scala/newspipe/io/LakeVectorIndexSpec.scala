@@ -1,0 +1,196 @@
+package newspipe.io
+
+import java.nio.file.Files
+
+import newspipe.SparkTestBase
+import newspipe.ops.Similarity
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persisted vector index ([[Lake.createVectorIndex]] /
+  * [[Lake.vectorSearch]] / [[VectorIndex]]): build-once per-file HNSW
+  * shards, O(increment) maintenance on append and OPTIMIZE, exact-scan
+  * fallback for uncovered or DV-bearing files, VACUUM pruning of orphan
+  * artifacts, and the SQL surface (CREATE/DROP VECTOR INDEX +
+  * lake_vector_search).
+  */
+class LakeVectorIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Deterministic corpus: hash-derived 16-dim vectors, ids 0..n-1. */
+  private def vectors(ids: Range): DataFrame = {
+    def h(i: Long, j: Long): Double = {
+      var z = i * 1000003L + j + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z ^ (z >>> 31)) & 0xffffffL).toDouble / 0xffffffL.toDouble - 0.5
+    }
+    ids.map(i => (i.toLong, (0 until 16).map(j => h(i, j)).toArray))
+      .toDF("vec_id", "vec")
+  }
+
+  private def newLake(): (String, Lake) = {
+    val base = Files.createTempDirectory("lake_vidx").toString
+    (base, new Lake(spark, LakeConfig(basePath = base)))
+  }
+
+  private def shardCount(base: String, layer: String, name: String): Int = {
+    val f = new Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    VectorIndex.existingShards(f, s"$base/$layer", name).size
+  }
+
+  private def fileCount(lake: Lake, layer: String): Int =
+    lake.describeDetail(layer).numFiles.toInt
+
+  test("create + search: one artifact per data file, results match brute " +
+      "force, deterministic, corpus not rescanned by search") {
+    val (base, lake) = newLake()
+    lake.writeAtomic(vectors(0 until 400)
+      .repartitionByRange(5, $"vec_id").sortWithinPartitions("vec_id"),
+      "emb")
+    val built = lake.createVectorIndex("emb", "idx", "vec", "vec_id")
+    built shouldBe 5
+    shardCount(base, "emb", "idx") shouldBe fileCount(lake, "emb")
+    val queries = vectors(0 until 8)
+    val exact = Similarity.bruteForceTopK(queries, lake.read("emb"),
+      "vec_id", "vec", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def run() = lake.vectorSearch("emb", queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = run()
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"index recall@5 = $recall")
+    run() shouldBe approx // deterministic
+    // idempotent maintenance: nothing new to build
+    lake.maintainVectorIndexes("emb") shouldBe 0
+  }
+
+  test("append-then-search: appendAtomic maintains the index (new shard " +
+      "graphs only) and the new vectors are searchable WITHOUT a rebuild") {
+    val (base, lake) = newLake()
+    lake.writeAtomic(vectors(0 until 300)
+      .repartitionByRange(4, $"vec_id").sortWithinPartitions("vec_id"),
+      "emb")
+    lake.createVectorIndex("emb", "idx", "vec", "vec_id") shouldBe 4
+    // planted twins of queries 0..3, appended AFTER the index was built
+    val queries = vectors(0 until 4)
+    lake.appendAtomic(queries.select(($"vec_id" + 100000L).as("vec_id"),
+      $"vec".cast("array<double>").as("vec")).coalesce(1), "emb")
+    // the append's post-commit hook built EXACTLY the increment's shard
+    shardCount(base, "emb", "idx") shouldBe 5
+    lake.maintainVectorIndexes("emb") shouldBe 0 // nothing left to do
+    val top = lake.vectorSearch("emb", queries, k = 3)
+      .filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 4L).foreach { i => top(i) shouldBe (i + 100000L) }
+  }
+
+  test("uncovered files fall back to an exact scan: deleting a shard " +
+      "artifact changes cost, never results") {
+    val (base, lake) = newLake()
+    lake.writeAtomic(vectors(0 until 300)
+      .repartitionByRange(4, $"vec_id").sortWithinPartitions("vec_id"),
+      "emb")
+    lake.createVectorIndex("emb", "idx", "vec", "vec_id")
+    val queries = vectors(0 until 6)
+    val before = lake.vectorSearch("emb", queries, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    // knock one artifact out (crash window / foreign writer shape)
+    val f = new Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val shards = VectorIndex.shardsDir(s"$base/emb", "idx")
+    val victim = f.listStatus(shards).map(_.getPath)
+      .filter(_.getName.endsWith(".ann")).sortBy(_.getName).head
+    f.delete(victim, false)
+    val after = lake.vectorSearch("emb", queries, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    // the uncovered file's vectors come back through the exact scan; on
+    // this corpus the exact leg can only IMPROVE agreement with brute
+    // force, and the planted determinism holds — results identical here
+    // because HNSW recall on the covered files is exact for these queries
+    after shouldBe before
+    // maintenance heals the hole
+    lake.maintainVectorIndexes("emb") shouldBe 1
+  }
+
+  test("deletion vectors: a DV-bearing file leaves the index path (its " +
+      "graph would resurrect deleted rows) and deleted vectors never " +
+      "surface as neighbors") {
+    val (_, lake) = newLake()
+    lake.writeAtomic(vectors(0 until 200)
+      .repartitionByRange(3, $"vec_id").sortWithinPartitions("vec_id"),
+      "emb")
+    lake.createVectorIndex("emb", "idx", "vec", "vec_id")
+    val queries = vectors(0 until 2)
+    // plant a twin, index it, then DV-delete it: the twin's file now
+    // carries a deletion vector and must be searched via the exact scan
+    lake.appendAtomic(queries.filter($"vec_id" === 0L)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        $"vec".cast("array<double>").as("vec")).coalesce(1), "emb")
+    lake.vectorSearch("emb", queries, k = 1)
+      .filter($"query_id" === 0L && $"rank" === 1)
+      .select("neighbor_id").as[Long].head() shouldBe 100000L
+    lake.deleteWhereDv("emb", $"vec_id" === 100000L)
+    lake.vectorSearch("emb", queries, k = 3)
+      .filter($"neighbor_id" === 100000L).count() shouldBe 0L
+  }
+
+  test("OPTIMIZE rebuilds coverage for its outputs; VACUUM prunes the " +
+      "rewritten-away files' orphan artifacts") {
+    val (base, lake) = newLake()
+    lake.writeAtomic(vectors(0 until 300)
+      .repartitionByRange(6, $"vec_id").sortWithinPartitions("vec_id"),
+      "emb")
+    lake.createVectorIndex("emb", "idx", "vec", "vec_id") shouldBe 6
+    lake.compact("emb") // full OPTIMIZE: every data file replaced
+    // the post-OPTIMIZE hook covered the new files; old artifacts linger
+    val live = fileCount(lake, "emb")
+    shardCount(base, "emb", "idx") shouldBe (6 + live)
+    lake.vacuum("emb", keep = 1, orphanGraceMs = 0L)
+    shardCount(base, "emb", "idx") shouldBe live // orphans pruned
+    val queries = vectors(0 until 5)
+    val exact = Similarity.bruteForceTopK(queries, lake.read("emb"),
+      "vec_id", "vec", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = lake.vectorSearch("emb", queries, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"post-OPTIMIZE recall@3 = $recall")
+  }
+
+  test("SQL surface: CREATE VECTOR INDEX / lake_vector_search TVF / " +
+      "DROP VECTOR INDEX") {
+    val (base, lake) = newLake()
+    newspipe.NewspipeExtensions.register(spark)
+    lake.writeAtomic(vectors(0 until 200)
+      .repartitionByRange(3, $"vec_id").sortWithinPartitions("vec_id"),
+      "emb")
+    val r = LakeSql.sql(spark,
+      s"CREATE VECTOR INDEX idx ON lake.`$base`.emb (vec) ID vec_id " +
+        "USING HNSW M 16 EF 128").collect().head
+    r.getString(0) shouldBe "CREATE VECTOR INDEX"
+    r.getString(1) shouldBe "shards=3"
+    lake.vectorIndexes("emb").map(_.name) shouldBe Seq("idx")
+    vectors(0 until 4).createOrReplaceTempView("vidx_queries")
+    val top = spark.sql(
+      s"""SELECT query_id, neighbor_id
+         |FROM lake_vector_search('$base', 'emb', 'vidx_queries', 3, 'idx')
+         |WHERE rank = 1 ORDER BY query_id""".stripMargin)
+      .as[(Long, Long)].collect()
+    top.length shouldBe 4
+    // parity with the API route
+    top.toSet shouldBe lake.vectorSearch("emb", vectors(0 until 4), k = 3)
+      .filter($"rank" === 1).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    LakeSql.sql(spark, s"DROP VECTOR INDEX idx ON lake.`$base`.emb")
+      .collect().head.getString(0) shouldBe "DROP VECTOR INDEX"
+    lake.vectorIndexes("emb") shouldBe empty
+    intercept[IllegalArgumentException] {
+      lake.vectorSearch("emb", vectors(0 until 2), k = 1)
+    }
+  }
+}
