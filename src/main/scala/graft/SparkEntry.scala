@@ -4221,6 +4221,37 @@ object SparkEntry {
            |FROM lake_vector_search('$root', 'emb', 'q186_queries', 5, 'idx')
            |WHERE rank = 1""".stripMargin)
         .orderBy("query_id")
+    }),
+
+    // IVF-Flat persisted index (the second index kind): per-file k-means
+    // cells, exact in-cell distances, selective nprobe at search — a twin
+    // shares its query's nearest centroid, so selective probes still
+    // always find it. Same append-then-search shape and argmax ground
+    // truth as q186, through the SQL statement + TVF route.
+    "q187_vector_index_ivf" -> ((s, dir) => {
+      newspipe.NewspipeExtensions.register(s)
+      val root = java.nio.file.Files.createTempDirectory("q187_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        .filter(newspipe.ops.Similarity.l2Norm(col("embedding")) > 0)
+      val queries = emb.filter(col("vec_id") < 10)
+      lake.writeAtomic(emb.repartitionByRange(6, col("vec_id"))
+        .sortWithinPartitions("vec_id"), "emb")
+      newspipe.io.LakeSql.sql(s,
+        s"CREATE VECTOR INDEX ivx ON lake.`$root`.emb (embedding) " +
+          "ID vec_id USING IVF NLIST 32 NPROBE 4")
+      lake.appendAtomic(queries
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        .coalesce(1), "emb")
+      require(lake.maintainVectorIndexes("emb") == 0,
+        "appendAtomic must maintain the IVF index incrementally")
+      queries.createOrReplaceTempView("q187_queries")
+      s.sql(
+        s"""SELECT query_id, neighbor_id
+           |FROM lake_vector_search('$root', 'emb', 'q187_queries', 5, 'ivx')
+           |WHERE rank = 1""".stripMargin)
+        .orderBy("query_id")
     })
   )
 
@@ -4749,9 +4780,10 @@ object SparkEntry {
     // exact argmax oracle)
     "q38_ann_ivf" -> annArgmaxOracleSql,
     "q184_ann_hnsw" -> annArgmaxOracleSql,
-    // the persisted-index path answers the SAME exact argmax ground truth
+    // the persisted-index paths answer the SAME exact argmax ground truth
     // (planted twins land via append + incremental index maintenance)
     "q186_vector_index" -> annArgmaxOracleSql,
+    "q187_vector_index_ivf" -> annArgmaxOracleSql,
     // complement ∪ the two data-derived regions (en tripled via the API,
     // de +2000 via dynamic-mode INSERT OVERWRITE)
     "q185_dynamic_overwrite" ->

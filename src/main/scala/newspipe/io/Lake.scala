@@ -5961,11 +5961,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   def createVectorIndex(layer: String, name: String, vecCol: String,
       idCol: String, kind: String = "hnsw", m: Int = 16,
-      efConstruction: Int = 128): Int = {
+      efConstruction: Int = 128, nlist: Int = 64, nprobe: Int = 8): Int = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
       s"vector index name '$name' must be alphanumeric/underscore")
-    require(kind == "hnsw",
-      s"vector index kind '$kind' not supported (supported: hnsw)")
+    require(VectorIndex.Kinds.contains(kind),
+      s"vector index kind '$kind' not supported (supported: " +
+        s"${VectorIndex.Kinds.toSeq.sorted.mkString(", ")})")
     val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
       s"layer '$layer' has no committed snapshot — a vector index " +
         "indexes committed data files (writeAtomic first)"))
@@ -5978,7 +5979,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       s"createVectorIndex('$layer'): layer has no column '$c'"))
     require(vectorIndexes(layer).forall(_.name != name),
       s"layer '$layer' already has a vector index '$name' — drop it first")
-    val meta = VectorIndex.Meta(name, kind, idCol, vecCol, m, efConstruction)
+    val meta = VectorIndex.Meta(name, kind, idCol, vecCol, m,
+      efConstruction, nlist, nprobe)
     val root = VectorIndex.indexRoot(layerPath(layer), name)
     val f = fs(root)
     f.mkdirs(root)
@@ -6056,7 +6058,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
     val namesB = spark.sparkContext.broadcast(unique)
-    val (mName, mBase, mM, mEf) = (meta.name, base, meta.m, meta.efConstruction)
+    val (mName, mBase, mMeta) = (meta.name, base, meta)
     val nParts = math.max(1, math.min(targetRels.size,
       spark.sparkContext.defaultParallelism * 2))
     import spark.implicits._
@@ -6075,8 +6077,13 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           .getFileSystem(confB.value.value)
         byFile.iterator.flatMap { case (lastSeg, buf) =>
           namesB.value.get(lastSeg).map { digest =>
-            VectorIndex.writeShard(fsys, mBase, mName, digest,
-              newspipe.ops.Hnsw.buildGraphBytes(buf.toArray, mM, mEf))
+            val bytes = mMeta.kind match {
+              case "ivf" => newspipe.ops.IvfFlat.buildShardBytes(
+                buf.toArray, mMeta.nlist)
+              case _ => newspipe.ops.Hnsw.buildGraphBytes(
+                buf.toArray, mMeta.m, mMeta.efConstruction)
+            }
+            VectorIndex.writeShard(fsys, mBase, mName, digest, bytes)
             digest
           }
         }
@@ -6144,7 +6151,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           new Path(VectorIndex.shardsDir(base, meta.name), s"$d.ann").toString }
         val nSlices = math.max(1, math.min(paths.size,
           spark.sparkContext.defaultParallelism * 2))
-        val (kk, ef) = (k, efSearch)
+        val (kk, ef, mMeta) = (k, efSearch, meta)
         spark.sparkContext.parallelize(paths, nSlices).mapPartitions { ps =>
           val hc = confB.value.value
           ps.flatMap { p =>
@@ -6154,7 +6161,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
             val in = fsys.open(path)
             try in.readFully(bytes) finally in.close()
             // k+1: a query's own row may occupy one slot in its file
-            newspipe.ops.Hnsw.searchGraphBytes(bytes, qB.value, kk + 1, ef)
+            mMeta.kind match {
+              case "ivf" => newspipe.ops.IvfFlat.searchShardBytes(
+                bytes, qB.value, kk + 1, mMeta.nprobe)
+              case _ => newspipe.ops.Hnsw.searchGraphBytes(
+                bytes, qB.value, kk + 1, ef)
+            }
           }
         }.toDF("query_id", "neighbor_id", "cos")
       }

@@ -537,7 +537,8 @@ object LakeSql {
     */
   final case class LakeCreateVectorIndex(base: String, layer: String,
       name: String, vecCol: String, idCol: String, kind: String,
-      m: Option[Int], ef: Option[Int]) extends LakeMaint
+      m: Option[Int], ef: Option[Int], nlist: Option[Int] = None,
+      nprobe: Option[Int] = None) extends LakeMaint
   final case class LakeDropVectorIndex(base: String, layer: String,
       name: String) extends LakeMaint
   /** `ANALYZE TABLE … COMPUTE STATISTICS` — full-inventory stats
@@ -623,7 +624,9 @@ object LakeSql {
       "\\s+ID\\s+`?([A-Za-z0-9_]+)`?" +
       "(?:\\s+USING\\s+([A-Za-z0-9_]+))?" +
       "(?:\\s+M\\s+([0-9]+))?" +
-      "(?:\\s+EF\\s+([0-9]+))?\\s*;?\\s*$")
+      "(?:\\s+EF\\s+([0-9]+))?" +
+      "(?:\\s+NLIST\\s+([0-9]+))?" +
+      "(?:\\s+NPROBE\\s+([0-9]+))?\\s*;?\\s*$")
   private val DropVIdxRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*DROP\\s+VECTOR\\s+INDEX\\s+([A-Za-z0-9_]+)\\s+ON\\s+" +
       TargetRe + "\\s*;?\\s*$")
@@ -700,7 +703,9 @@ object LakeSql {
         vecCol = cvi.group(5), idCol = cvi.group(6),
         kind = Option(cvi.group(7)).map(_.toLowerCase).getOrElse("hnsw"),
         m = Option(cvi.group(8)).map(_.toInt),
-        ef = Option(cvi.group(9)).map(_.toInt)))
+        ef = Option(cvi.group(9)).map(_.toInt),
+        nlist = Option(cvi.group(10)).map(_.toInt),
+        nprobe = Option(cvi.group(11)).map(_.toInt)))
     }
     val dvi = DropVIdxRe.matcher(sqlText)
     if (dvi.matches()) {
@@ -893,9 +898,10 @@ object LakeSql {
         Row("ANALYZE", s"files=${r.carriedFiles} " +
           new org.apache.hadoop.fs.Path(r.snapshot).getName)
       case LakeCreateVectorIndex(_, layer, name, vecCol, idCol, kind,
-          m, ef) =>
+          m, ef, nlist, nprobe) =>
         val built = lake.createVectorIndex(layer, name, vecCol, idCol,
-          kind, m = m.getOrElse(16), efConstruction = ef.getOrElse(128))
+          kind, m = m.getOrElse(16), efConstruction = ef.getOrElse(128),
+          nlist = nlist.getOrElse(64), nprobe = nprobe.getOrElse(8))
         Row("CREATE VECTOR INDEX", s"shards=$built")
       case LakeDropVectorIndex(_, layer, name) =>
         lake.dropVectorIndex(layer, name)

@@ -33,12 +33,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object VectorIndex {
 
-  /** A declared index. `kind` is `hnsw` (per-file graphs); `m` /
-    * `efConstruction` are the HNSW build parameters baked into every
-    * shard (changing them means a new index).
+  /** A declared index. `kind` is `hnsw` (per-file graphs; `m` /
+    * `efConstruction` are the build parameters) or `ivf` (per-file
+    * IVF-Flat cells — [[newspipe.ops.IvfFlat]]; `nlist` cells at build,
+    * `nprobe` probed at search). Parameters are baked into every shard —
+    * changing them means a new index.
     */
   final case class Meta(name: String, kind: String, idCol: String,
-      vecCol: String, m: Int, efConstruction: Int)
+      vecCol: String, m: Int, efConstruction: Int,
+      nlist: Int = 64, nprobe: Int = 8)
+
+  val Kinds: Set[String] = Set("hnsw", "ivf")
 
   val DirName = "_vindex"
   val MetaFile = "_INDEX.json"
@@ -64,7 +69,8 @@ object VectorIndex {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     s"""{"name": ${q(m.name)}, "kind": ${q(m.kind)}, """ +
       s""""idCol": ${q(m.idCol)}, "vecCol": ${q(m.vecCol)}, """ +
-      s""""m": ${m.m}, "efConstruction": ${m.efConstruction}}"""
+      s""""m": ${m.m}, "efConstruction": ${m.efConstruction}, """ +
+      s""""nlist": ${m.nlist}, "nprobe": ${m.nprobe}}"""
   }
 
   def fromJson(s: String): Meta = {
@@ -75,14 +81,16 @@ object VectorIndex {
         .getOrElse(throw new IllegalStateException(
           s"vector index metadata missing '$k': $s"))
     }
-    def num(k: String): Int = {
+    def num(k: String, default: Option[Int] = None): Int = {
       val re = ("\"" + k + "\"\\s*:\\s*(\\d+)").r
       re.findFirstMatchIn(s).map(_.group(1).toInt)
+        .orElse(default)
         .getOrElse(throw new IllegalStateException(
           s"vector index metadata missing '$k': $s"))
     }
     Meta(str("name"), str("kind"), str("idCol"), str("vecCol"),
-      num("m"), num("efConstruction"))
+      num("m"), num("efConstruction"),
+      nlist = num("nlist", Some(64)), nprobe = num("nprobe", Some(8)))
   }
 
   /** Digests of the artifacts currently present (one listing). */

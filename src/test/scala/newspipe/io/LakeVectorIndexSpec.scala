@@ -162,6 +162,47 @@ class LakeVectorIndexSpec extends SparkTestBase {
     assert(recall >= 0.9, s"post-OPTIMIZE recall@3 = $recall")
   }
 
+  test("kind=ivf (IVF-Flat cells): exhaustive-probe parity with brute " +
+      "force, selective-probe twins via append maintenance, determinism") {
+    val (base, lake) = newLake()
+    lake.writeAtomic(vectors(0 until 400)
+      .repartitionByRange(5, $"vec_id").sortWithinPartitions("vec_id"),
+      "emb")
+    // nprobe == nlist probes every cell → exact in-cell distances make
+    // the search EQUAL to brute force (pins the cell machinery end to
+    // end); a second index with selective probes serves the twin check
+    lake.createVectorIndex("emb", "ivx_all", "vec", "vec_id",
+      kind = "ivf", nlist = 8, nprobe = 8) shouldBe 5
+    // artifacts are content-addressed PER INDEX DIR: the second create
+    // builds its own 5 shards (ivx_all's are already complete)
+    lake.createVectorIndex("emb", "ivx", "vec", "vec_id",
+      kind = "ivf", nlist = 16, nprobe = 2) shouldBe 5
+    shardCount(base, "emb", "ivx") shouldBe 5
+    val queries = vectors(0 until 6)
+    val exact = Similarity.bruteForceTopK(queries, lake.read("emb"),
+      "vec_id", "vec", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val allProbe = lake.vectorSearch("emb", queries, k = 5,
+      indexName = Some("ivx_all"))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    allProbe shouldBe exact // exhaustive probes = brute force
+    // twins appended AFTER the builds: maintenance covers both indexes
+    lake.appendAtomic(queries.select(($"vec_id" + 100000L).as("vec_id"),
+      $"vec".cast("array<double>").as("vec")).coalesce(1), "emb")
+    shardCount(base, "emb", "ivx") shouldBe 6
+    shardCount(base, "emb", "ivx_all") shouldBe 6
+    def run() = lake.vectorSearch("emb", queries, k = 3,
+        indexName = Some("ivx")).filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val top = run()
+    (0L until 6L).foreach { i =>
+      // a twin shares its query's nearest centroid — selective probes
+      // (nprobe 2 of 16) still always find it
+      top(i) shouldBe (i + 100000L)
+    }
+    run() shouldBe top // deterministic
+  }
+
   test("SQL surface: CREATE VECTOR INDEX / lake_vector_search TVF / " +
       "DROP VECTOR INDEX") {
     val (base, lake) = newLake()
