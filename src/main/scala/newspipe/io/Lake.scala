@@ -6100,9 +6100,17 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * whose graphs would surface deleted rows — fall back to an exact
     * scan of THOSE FILES ONLY. Search degrades in cost, never in
     * correctness; deterministic run to run.
+    *
+    * `version`: TIME-TRAVEL search — answer against an older retained
+    * snapshot's inventory. Content addressing makes this free: a
+    * carried file's artifact is the same artifact, so an old snapshot
+    * is typically fully covered (rows appended AFTER it simply aren't
+    * in its inventory); vacuum prunes artifacts together with the
+    * versions that referenced them, so retention is one contract.
     */
   def vectorSearch(layer: String, queries: DataFrame, k: Int,
-      indexName: Option[String] = None, efSearch: Int = 96): DataFrame = {
+      indexName: Option[String] = None, efSearch: Int = 96,
+      version: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.{asc, col, desc, row_number}
     val metas = vectorIndexes(layer)
     require(metas.nonEmpty,
@@ -6117,8 +6125,16 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           s"(${metas.map(_.name).mkString(", ")})")
         metas.head
     }
-    val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
-      s"layer '$layer' has no committed snapshot"))
+    val snap = version match {
+      case Some(v) =>
+        val p = new Path(s"${layerPath(layer)}/_v/$v")
+        require(fs(p).exists(new Path(p, "_COMMITTED")),
+          s"layer '$layer' has no committed snapshot '$v'")
+        p
+      case None => latestSnapshot(layer).getOrElse(
+        throw new IllegalStateException(
+          s"layer '$layer' has no committed snapshot"))
+    }
     val base = layerPath(layer)
     val f = fs(new Path(base))
     val inv = snapshotInventory(layer, snap)

@@ -162,6 +162,31 @@ class LakeVectorIndexSpec extends SparkTestBase {
     assert(recall >= 0.9, s"post-OPTIMIZE recall@3 = $recall")
   }
 
+  test("time-travel search: an older snapshot answers from the SAME " +
+      "artifacts — later-appended vectors don't exist in its inventory") {
+    val (_, lake) = newLake()
+    lake.writeAtomic(vectors(0 until 200)
+      .repartitionByRange(3, $"vec_id").sortWithinPartitions("vec_id"),
+      "emb")
+    lake.createVectorIndex("emb", "idx", "vec", "vec_id")
+    val v1 = lake.listVersions("emb").head // the pre-append head
+    val queries = vectors(0 until 3)
+    lake.appendAtomic(queries.select(($"vec_id" + 100000L).as("vec_id"),
+      $"vec".cast("array<double>").as("vec")).coalesce(1), "emb")
+    // current head sees the twins at rank 1…
+    lake.vectorSearch("emb", queries, k = 1).filter($"rank" === 1)
+      .select("neighbor_id").as[Long].collect()
+      .forall(_ >= 100000L) shouldBe true
+    // …the pinned older snapshot never does (its inventory predates them)
+    val old = lake.vectorSearch("emb", queries, k = 3,
+      version = Some(v1))
+    old.filter($"neighbor_id" >= 100000L).count() shouldBe 0L
+    old.filter($"rank" === 1).count() shouldBe 3L
+    intercept[IllegalArgumentException] {
+      lake.vectorSearch("emb", queries, k = 1, version = Some("nope"))
+    }
+  }
+
   test("kind=ivf (IVF-Flat cells): exhaustive-probe parity with brute " +
       "force, selective-probe twins via append maintenance, determinism") {
     val (base, lake) = newLake()
