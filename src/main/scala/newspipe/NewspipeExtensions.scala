@@ -314,18 +314,24 @@ object NewspipeExtensions {
         new ExpressionInfo("newspipe.NewspipeExtensions",
           "lake_vector_search"),
         (children: Seq[Expression]) => {
-          require(children.length == 4 || children.length == 5,
+          require(children.length >= 4 && children.length <= 6,
             "lake_vector_search(base_path, layer, queries_table, k" +
-              "[, index_name]) takes 4 or 5 arguments")
+              "[, index_name[, filter_sql]]) takes 4 to 6 arguments")
           val base = stringArg("lake_vector_search", children(0))
           val layer = stringArg("lake_vector_search", children(1))
           val qTable = stringArg("lake_vector_search", children(2))
           val k = longArg("lake_vector_search", children(3)).toInt
           val idx = children.lift(4).map(stringArg("lake_vector_search", _))
+            .filter(_.nonEmpty)
+          val filt = children.lift(5)
+            .map(stringArg("lake_vector_search", _))
+            .filter(_.nonEmpty)
+            .map(org.apache.spark.sql.functions.expr)
           val spark = SparkSession.active
           NewspipeSqlBridge.logicalPlan(new newspipe.io.Lake(spark,
             newspipe.io.LakeConfig(basePath = base))
-            .vectorSearch(layer, spark.table(qTable), k, idx))
+            .vectorSearch(layer, spark.table(qTable), k, idx,
+              filter = filt))
         }),
       (new FunctionIdentifier("asof_join"),
         new ExpressionInfo("newspipe.NewspipeExtensions", "asof_join"),

@@ -6021,6 +6021,20 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   def maintainVectorIndexes(layer: String): Int =
     vectorIndexes(layer).iterator.map(maintainVectorIndex(layer, _)).sum
 
+  /** Rebuild coverage for ONE named index (`REFRESH VECTOR INDEX`): the
+    * explicit maintenance trigger for the paths that deliberately don't
+    * auto-maintain — a full [[writeAtomic]] overwrite (auto-rebuilding
+    * the whole index inside a write would be a surprise O(corpus) cost)
+    * or a foreign writer's commits. O(uncovered files), idempotent.
+    */
+  def refreshVectorIndex(layer: String, name: String): Int = {
+    val meta = vectorIndexes(layer).find(_.name == name).getOrElse(
+      throw new NoSuchElementException(
+        s"layer '$layer' has no vector index '$name' (declared: " +
+          s"${vectorIndexes(layer).map(_.name).mkString(", ")})"))
+    maintainVectorIndex(layer, meta)
+  }
+
   private def maintainVectorIndex(layer: String,
       meta: VectorIndex.Meta): Int = {
     val snap = latestSnapshot(layer).getOrElse(return 0)
@@ -6107,10 +6121,24 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * is typically fully covered (rows appended AFTER it simply aren't
     * in its inventory); vacuum prunes artifacts together with the
     * versions that referenced them, so retention is one contract.
+    *
+    * `filter`: FILTERED ANN (the "vector search WHERE …" production
+    * shape). Files the predicate provably cannot match leave BOTH legs
+    * via the per-file stats — none of their rows can be a qualifying
+    * neighbor (readWhere's pruning rule applied to ANN). The graph leg
+    * then OVER-FETCHES (`k × oversample`) and its candidates validate
+    * against the predicate through one column-pruned, predicate-pushed
+    * id scan of the qualifying covered files; the exact leg filters
+    * inline. Results contain only qualifying neighbors; a highly
+    * selective filter can return fewer than k graph hits per shard —
+    * raise `oversample` (the standard filtered-ANN recall trade,
+    * documented rather than hidden).
     */
   def vectorSearch(layer: String, queries: DataFrame, k: Int,
       indexName: Option[String] = None, efSearch: Int = 96,
-      version: Option[String] = None): DataFrame = {
+      version: Option[String] = None,
+      filter: Option[org.apache.spark.sql.Column] = None,
+      oversample: Int = 4): DataFrame = {
     import org.apache.spark.sql.functions.{asc, col, desc, row_number}
     val metas = vectorIndexes(layer)
     require(metas.nonEmpty,
@@ -6143,7 +6171,27 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     def qualify(rel: String): String =
       f.makeQualified(new Path(resolveRel(base, rel))).toString
     val withDigest = inv.map(rel => rel -> VectorIndex.digestOf(qualify(rel)))
-    val (covered, uncovered) = withDigest.partition { case (rel, d) =>
+    // filter-driven file pruning: a file whose stats refute the predicate
+    // holds no qualifying neighbor — drop it from BOTH legs. Conservative
+    // on stats-less/unknown files; head-snapshot searches only (the
+    // sidecar rebases against the head, so time travel skips pruning and
+    // relies on validation alone).
+    val schema = snapshotSchema(layer, snap)
+    val qualifies: String => Boolean = filter match {
+      case Some(p) if version.isEmpty =>
+        val oldStats = rebasedStats(layer, snap)
+        lazy val cond =
+          if (oldStats.isEmpty) None
+          else resolveCondition(layer, base, oldStats.values.toSeq, p,
+            mappingOf(snap))
+        rel => oldStats.get(rel) match {
+          case Some(st) => cond.forall(FileStats.matches(st, _))
+          case None => true
+        }
+      case _ => _ => true
+    }
+    val qualified = withDigest.filter { case (rel, _) => qualifies(rel) }
+    val (covered, uncovered) = qualified.partition { case (rel, d) =>
       existing.contains(d) && !dv.contains(rel) }
     // queries are the SMALL side (the bruteForceTopK contract): collected
     // once, shipped to every shard task as one broadcast
@@ -6167,34 +6215,51 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           new Path(VectorIndex.shardsDir(base, meta.name), s"$d.ann").toString }
         val nSlices = math.max(1, math.min(paths.size,
           spark.sparkContext.defaultParallelism * 2))
-        val (kk, ef, mMeta) = (k, efSearch, meta)
-        spark.sparkContext.parallelize(paths, nSlices).mapPartitions { ps =>
-          val hc = confB.value.value
-          ps.flatMap { p =>
-            val path = new org.apache.hadoop.fs.Path(p)
-            val fsys = path.getFileSystem(hc)
-            val bytes = new Array[Byte](fsys.getFileStatus(path).getLen.toInt)
-            val in = fsys.open(path)
-            try in.readFully(bytes) finally in.close()
-            // k+1: a query's own row may occupy one slot in its file
-            mMeta.kind match {
-              case "ivf" => newspipe.ops.IvfFlat.searchShardBytes(
-                bytes, qB.value, kk + 1, mMeta.nprobe)
-              case _ => newspipe.ops.Hnsw.searchGraphBytes(
-                bytes, qB.value, kk + 1, ef)
+        // +1: a query's own row may occupy one slot in its file; a
+        // filter over-fetches so post-validation still fills k
+        val fetch =
+          if (filter.isDefined) k * math.max(1, oversample) + 1 else k + 1
+        val (ef, mMeta) = (efSearch, meta)
+        val raw = spark.sparkContext.parallelize(paths, nSlices)
+          .mapPartitions { ps =>
+            val hc = confB.value.value
+            ps.flatMap { p =>
+              val path = new org.apache.hadoop.fs.Path(p)
+              val fsys = path.getFileSystem(hc)
+              val bytes =
+                new Array[Byte](fsys.getFileStatus(path).getLen.toInt)
+              val in = fsys.open(path)
+              try in.readFully(bytes) finally in.close()
+              mMeta.kind match {
+                case "ivf" => newspipe.ops.IvfFlat.searchShardBytes(
+                  bytes, qB.value, fetch, mMeta.nprobe)
+                case _ => newspipe.ops.Hnsw.searchGraphBytes(
+                  bytes, qB.value, fetch, ef)
+              }
             }
-          }
-        }.toDF("query_id", "neighbor_id", "cos")
+          }.toDF("query_id", "neighbor_id", "cos")
+        filter match {
+          case Some(p) =>
+            // candidate VALIDATION: one column-pruned, predicate-pushed
+            // id scan of the qualifying covered files — the only time a
+            // filtered search touches data files, and only theirs
+            val validIds = readRelFiles(layer, covered.map(_._1),
+                schemaHint = Some(schema))
+              .filter(p)
+              .select(col(meta.idCol).cast("long").as("neighbor_id"))
+            raw.join(validIds.distinct(), Seq("neighbor_id"), "left_semi")
+          case None => raw
+        }
       }
     val brute: DataFrame =
       if (uncovered.isEmpty) emptyCands
       else {
-        val schema = snapshotSchema(layer, snap)
         val rels = uncovered.map(_._1)
         val metaed = readRelFiles(layer, rels, schemaHint = Some(schema),
           withMeta = dv.nonEmpty)
-        val alive = if (dv.isEmpty) metaed
+        val alive0 = if (dv.isEmpty) metaed
           else dvFilter(metaed, dvPairs(base, snap, Some(rels.toSet)))
+        val alive = filter.fold(alive0)(alive0.filter) // exact leg: inline
         newspipe.ops.Similarity.bruteForceTopK(
           queries.select(col(meta.idCol).cast("long").as(meta.idCol),
             col(meta.vecCol)),

@@ -541,6 +541,12 @@ object LakeSql {
       nprobe: Option[Int] = None) extends LakeMaint
   final case class LakeDropVectorIndex(base: String, layer: String,
       name: String) extends LakeMaint
+  /** `REFRESH VECTOR INDEX [name] ON lake.`…`.layer` — explicit
+    * coverage rebuild (post-writeAtomic / foreign-writer commits);
+    * no name = every declared index.
+    */
+  final case class LakeRefreshVectorIndex(base: String, layer: String,
+      name: Option[String]) extends LakeMaint
   /** `ANALYZE TABLE … COMPUTE STATISTICS` — full-inventory stats
     * re-harvest as a metadata-only commit ([[Lake.analyzeStats]]).
     */
@@ -630,6 +636,9 @@ object LakeSql {
   private val DropVIdxRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*DROP\\s+VECTOR\\s+INDEX\\s+([A-Za-z0-9_]+)\\s+ON\\s+" +
       TargetRe + "\\s*;?\\s*$")
+  private val RefreshVIdxRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*REFRESH\\s+VECTOR\\s+INDEX(?:\\s+([A-Za-z0-9_]+))?\\s+ON\\s+" +
+      TargetRe + "\\s*;?\\s*$")
 
   /** Recognize a maintenance statement targeting a lake layer. None = not
     * ours (wrong leading keyword, or a non-lake target — Spark's parser
@@ -711,6 +720,12 @@ object LakeSql {
     if (dvi.matches()) {
       val (base, layer) = targetOf(dvi, 2)
       return Some(LakeDropVectorIndex(base, layer, dvi.group(1)))
+    }
+    val rvi = RefreshVIdxRe.matcher(sqlText)
+    if (rvi.matches()) {
+      val (base, layer) = targetOf(rvi, 2)
+      return Some(LakeRefreshVectorIndex(base, layer,
+        Option(rvi.group(1))))
     }
     val d = DetailRe.matcher(sqlText)
     if (d.matches()) {
@@ -906,6 +921,12 @@ object LakeSql {
       case LakeDropVectorIndex(_, layer, name) =>
         lake.dropVectorIndex(layer, name)
         Row("DROP VECTOR INDEX", name)
+      case LakeRefreshVectorIndex(_, layer, name) =>
+        val built = name match {
+          case Some(n) => lake.refreshVectorIndex(layer, n)
+          case None => lake.maintainVectorIndexes(layer)
+        }
+        Row("REFRESH VECTOR INDEX", s"shards=$built")
       case LakeRepartition(_, layer, cols) =>
         val snap = lake.repartitionLayer(layer, cols)
         Row("REPARTITION", new org.apache.hadoop.fs.Path(snap).getName)

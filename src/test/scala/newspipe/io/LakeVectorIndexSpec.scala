@@ -228,6 +228,47 @@ class LakeVectorIndexSpec extends SparkTestBase {
     run() shouldBe top // deterministic
   }
 
+  test("filtered search: only qualifying neighbors return (validated " +
+      "against the predicate), near-parity with brute force over the " +
+      "filtered corpus; REFRESH rebuilds coverage after a full overwrite") {
+    val (base, lake) = newLake()
+    newspipe.NewspipeExtensions.register(spark)
+    lake.writeAtomic(vectors(0 until 300)
+      .repartitionByRange(3, $"vec_id").sortWithinPartitions("vec_id"),
+      "emb")
+    lake.createVectorIndex("emb", "idx", "vec", "vec_id")
+    val queries = vectors(0 until 5)
+    val pred = $"vec_id" % 2 === 0
+    val got = lake.vectorSearch("emb", queries, k = 5,
+        filter = Some(pred))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    got.forall(_._2 % 2 == 0) shouldBe true // every neighbor qualifies
+    val exact = Similarity.bruteForceTopK(queries,
+      lake.read("emb").filter(pred), "vec_id", "vec", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got.toSet).size.toDouble / exact.size
+    assert(recall >= 0.85, s"filtered recall@5 = $recall")
+    // the TVF's 6th arg is the filter SQL
+    queries.createOrReplaceTempView("vf_queries")
+    spark.sql(s"""SELECT neighbor_id FROM lake_vector_search('$base',
+        |'emb', 'vf_queries', 5, 'idx', 'vec_id % 2 = 0')""".stripMargin)
+      .as[Long].collect().forall(_ % 2 == 0) shouldBe true
+    // a FULL overwrite deliberately does not auto-maintain (surprise
+    // O(corpus) cost inside a write) — search stays CORRECT through the
+    // all-uncovered exact fallback, and REFRESH restores coverage
+    lake.writeAtomic(vectors(500 until 700)
+      .repartitionByRange(2, $"vec_id").sortWithinPartitions("vec_id"),
+      "emb")
+    val q2 = vectors(500 until 503)
+    lake.vectorSearch("emb", q2, k = 2)
+      .filter($"rank" === 1).count() shouldBe 3L // fallback answers
+    val r = LakeSql.sql(spark,
+      s"REFRESH VECTOR INDEX idx ON lake.`$base`.emb").collect().head
+    r.getString(0) shouldBe "REFRESH VECTOR INDEX"
+    r.getString(1) shouldBe "shards=2"
+    lake.maintainVectorIndexes("emb") shouldBe 0
+  }
+
   test("SQL surface: CREATE VECTOR INDEX / lake_vector_search TVF / " +
       "DROP VECTOR INDEX") {
     val (base, lake) = newLake()
