@@ -3700,6 +3700,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // that were never cleared (Delta's dynamic-overwrite contract: the
     // replaced region and the landed rows come from one evaluation).
     val inc = df.localCheckpoint()
+    try {
     val tuples = inc.select(partCols.map(col): _*).distinct()
       .limit(maxPartitions + 1).collect()
     require(tuples.length <= maxPartitions,
@@ -3792,6 +3793,16 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       opParams = Map(
         "partitionBy" -> partCols.mkString(","),
         "replacedPartitions" -> tuples.length.toString))
+    // the materialized increment's blocks are this call's working state —
+    // release them however the commit ends (a checkpointed RDD otherwise
+    // pins block-manager memory for the session's lifetime; the blocks
+    // hang off the plan's LogicalRDD leaf, not the cache manager, so
+    // Dataset.unpersist would be a no-op here)
+    } finally inc.queryExecution.logical.collectLeaves().foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
   }
 
   /** Row-level UPDATE, same mechanics as [[deleteWhere]]: each assignment

@@ -239,6 +239,7 @@ class LakeReplaceWhereSpec extends SparkTestBase {
       "overwrite derives and lands ONE evaluation — a partition is " +
       "either fully replaced or untouched, never blended") {
     val (_, lake) = newLake()
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
     (1 to 8).foreach { i =>
       val layer = s"dyn$i"
       lake.writeAtomic(Seq(
@@ -260,6 +261,10 @@ class LakeReplaceWhereSpec extends SparkTestBase {
       lake.read(layer).filter(col("k") === "a")
         .select("id").as[Long].collect().sorted shouldBe Array(1L)
     }
+    // the 8 materialized increments released their checkpoint blocks —
+    // a leak here pins block-manager memory for the session's lifetime
+    (spark.sparkContext.getPersistentRDDs.keySet -- rddsBefore) shouldBe
+      empty
   }
 
   test("COMPOSITE partition columns: tuple-digest membership is EXACT — " +
