@@ -52,6 +52,32 @@ class PlanSpec extends SparkTestBase {
     df.count() shouldBe (1 to 10000).count(i => i % 7 == 3)
   }
 
+  test("filtered vector search: the validation leg is ONE column-pruned, " +
+      "predicate-pushed id scan of qualifying files — never a full-row " +
+      "corpus read") {
+    val dir = Files.createTempDirectory("plan_vidx").toString
+    val lake = new newspipe.io.Lake(spark,
+      newspipe.io.LakeConfig(basePath = dir))
+    lake.writeAtomic((0 until 300).map(i => (i.toLong, s"payload$i" * 10,
+        (0 until 8).map(j => (i * 31 + j) % 97 / 97.0 - 0.5).toArray))
+      .toDF("vec_id", "big_payload", "vec")
+      .repartitionByRange(3, $"vec_id").sortWithinPartitions("vec_id"),
+      "emb")
+    lake.createVectorIndex("emb", "idx", "vec", "vec_id")
+    val queries = lake.read("emb").filter($"vec_id" < 3)
+      .select("vec_id", "vec")
+    val out = lake.vectorSearch("emb", queries, k = 3,
+      filter = Some($"vec_id" % 2 === 0))
+    val plan = executed(out)
+    // the only data-file scan is the validation leg: pushed predicate,
+    // schema pruned to the id + filter columns — big_payload and the
+    // vectors themselves are never read from the corpus
+    plan should include("PushedFilters: [IsNotNull(vec_id)")
+    plan should include("ReadSchema: struct<vec_id:bigint>")
+    plan should not include "big_payload"
+    plan should not include "vec:array"
+  }
+
   test("aggregation pipeline stays inside whole-stage codegen") {
     val df = spark.read.parquet(s"$parquetDir/flat")
       .groupBy("bucket").agg(sum("id").as("s"), count(lit(1)).as("n"))
