@@ -6032,6 +6032,31 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   def maintainVectorIndexes(layer: String): Int =
     vectorIndexes(layer).iterator.map(maintainVectorIndex(layer, _)).sum
 
+  /** Per-index coverage against the CURRENT snapshot: (meta, files whose
+    * artifact exists and that carry no deletion vector — the set a search
+    * answers from the index, the rest fall back to exact scans — total
+    * live files). Metadata-only: one inventory walk + one shards listing
+    * per index (`SHOW VECTOR INDEXES`' engine).
+    */
+  def vectorIndexStatus(layer: String)
+      : Seq[(VectorIndex.Meta, Int, Int)] = {
+    val metas = vectorIndexes(layer)
+    if (metas.isEmpty) return Nil
+    val base = layerPath(layer)
+    val f = fs(new Path(base))
+    val snapOpt = latestSnapshot(layer)
+    val inv = snapOpt.map(snapshotInventory(layer, _)).getOrElse(Nil)
+    val dv = snapOpt.map(dvMapOf).getOrElse(Map.empty)
+    val digests = inv.map(rel => rel -> VectorIndex.digestOf(
+      f.makeQualified(new Path(resolveRel(base, rel))).toString))
+    metas.map { meta =>
+      val existing = VectorIndex.existingShards(f, base, meta.name)
+      val covered = digests.count { case (rel, d) =>
+        existing.contains(d) && !dv.contains(rel) }
+      (meta, covered, inv.size)
+    }
+  }
+
   /** Rebuild coverage for ONE named index (`REFRESH VECTOR INDEX`): the
     * explicit maintenance trigger for the paths that deliberately don't
     * auto-maintain — a full [[writeAtomic]] overwrite (auto-rebuilding

@@ -547,6 +547,11 @@ object LakeSql {
     */
   final case class LakeRefreshVectorIndex(base: String, layer: String,
       name: Option[String]) extends LakeMaint
+  /** `SHOW VECTOR INDEXES ON lake.`…`.layer` — one row per declared
+    * index with parameters + live-file coverage.
+    */
+  final case class LakeShowVectorIndexes(base: String,
+      layer: String) extends LakeMaint
   /** `ANALYZE TABLE … COMPUTE STATISTICS` — full-inventory stats
     * re-harvest as a metadata-only commit ([[Lake.analyzeStats]]).
     */
@@ -639,6 +644,9 @@ object LakeSql {
   private val RefreshVIdxRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*REFRESH\\s+VECTOR\\s+INDEX(?:\\s+([A-Za-z0-9_]+))?\\s+ON\\s+" +
       TargetRe + "\\s*;?\\s*$")
+  private val ShowVIdxRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*SHOW\\s+VECTOR\\s+INDEXES\\s+ON\\s+" + TargetRe +
+      "\\s*;?\\s*$")
 
   /** Recognize a maintenance statement targeting a lake layer. None = not
     * ours (wrong leading keyword, or a non-lake target — Spark's parser
@@ -727,6 +735,11 @@ object LakeSql {
       return Some(LakeRefreshVectorIndex(base, layer,
         Option(rvi.group(1))))
     }
+    val svi = ShowVIdxRe.matcher(sqlText)
+    if (svi.matches()) {
+      val (base, layer) = targetOf(svi, 1)
+      return Some(LakeShowVectorIndexes(base, layer))
+    }
     val d = DetailRe.matcher(sqlText)
     if (d.matches()) {
       val (base, layer) = targetOf(d, 1)
@@ -812,9 +825,22 @@ object LakeSql {
     * DETAIL is the wide metadata row, everything else is the one-row
     * operation/result shape).
     */
+  private[io] val vectorIndexOutput: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("id_col", StringType, nullable = false)(),
+    AttributeReference("vec_col", StringType, nullable = false)(),
+    AttributeReference("m", IntegerType, nullable = false)(),
+    AttributeReference("ef_construction", IntegerType, nullable = false)(),
+    AttributeReference("nlist", IntegerType, nullable = false)(),
+    AttributeReference("nprobe", IntegerType, nullable = false)(),
+    AttributeReference("covered_files", IntegerType, nullable = false)(),
+    AttributeReference("total_files", IntegerType, nullable = false)())
+
   def maintOutputFor(m: LakeMaint): Seq[Attribute] = m match {
     case _: LakeHistory => historyOutput
     case _: LakeDetail => detailOutput
+    case _: LakeShowVectorIndexes => vectorIndexOutput
     case _ => maintenanceOutput
   }
 
@@ -827,6 +853,12 @@ object LakeSql {
       case LakeHistory(base, layer, limit) =>
         new Lake(session, LakeConfig(basePath = base))
           .historyRows(layer, limit)
+      case LakeShowVectorIndexes(base, layer) =>
+        new Lake(session, LakeConfig(basePath = base))
+          .vectorIndexStatus(layer).map { case (m, covered, total) =>
+            Row(m.name, m.kind, m.idCol, m.vecCol, m.m, m.efConstruction,
+              m.nlist, m.nprobe, covered, total)
+          }
       case LakeDetail(base, layer) =>
         val d = new Lake(session, LakeConfig(basePath = base))
           .describeDetail(layer)
@@ -854,6 +886,10 @@ object LakeSql {
         // wide-schema statement — same loud routing as HISTORY
         throw new IllegalArgumentException(
           "DESCRIBE DETAIL returns the wide metadata row — use " +
+            "runMaintenanceRows, not runMaintenance")
+      case _: LakeShowVectorIndexes =>
+        throw new IllegalArgumentException(
+          "SHOW VECTOR INDEXES returns one row per index — use " +
             "runMaintenanceRows, not runMaintenance")
       case LakeOptimize(_, layer, zcols, where) =>
         // Delta's delta.targetFileSize role: the statement has no size

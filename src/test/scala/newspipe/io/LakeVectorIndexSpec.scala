@@ -293,6 +293,19 @@ class LakeVectorIndexSpec extends SparkTestBase {
     top.toSet shouldBe lake.vectorSearch("emb", vectors(0 until 4), k = 3)
       .filter($"rank" === 1).select("query_id", "neighbor_id")
       .as[(Long, Long)].collect().toSet
+    // SHOW VECTOR INDEXES: one row per index, parameters + coverage
+    LakeSql.sql(spark,
+      s"CREATE VECTOR INDEX ivx ON lake.`$base`.emb (vec) ID vec_id " +
+        "USING IVF NLIST 8 NPROBE 3")
+    val shows = LakeSql.sql(spark,
+      s"SHOW VECTOR INDEXES ON lake.`$base`.emb")
+      .orderBy("name").collect()
+    shows.map(r => (r.getString(0), r.getString(1), r.getInt(8),
+      r.getInt(9))).toSeq shouldBe Seq(
+      ("idx", "hnsw", 3, 3), ("ivx", "ivf", 3, 3))
+    shows.find(_.getString(0) == "ivx").get.getInt(6) shouldBe 8 // nlist
+    LakeSql.sql(spark, s"DROP VECTOR INDEX ivx ON lake.`$base`.emb")
+
     LakeSql.sql(spark, s"DROP VECTOR INDEX idx ON lake.`$base`.emb")
       .collect().head.getString(0) shouldBe "DROP VECTOR INDEX"
     lake.vectorIndexes("emb") shouldBe empty
