@@ -6085,20 +6085,19 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       .filterNot { case (_, d) => existing.contains(d) }
     if (missing.isEmpty) return 0
     // rows route to their file's builder by input_file_name; the task
-    // resolves the artifact name through a broadcast last-segment → digest
-    // map (part-file names carry a UUID, so collisions are theoretical —
-    // an ambiguous name is skipped and stays on the brute-force fallback)
-    val nameGroups = missing.groupBy { case (rel, _) =>
-      new Path(rel).getName }
-    val unique: Map[String, String] = nameGroups.collect {
-      case (n, Seq((_, d))) => n -> d }
-    val ambiguous = nameGroups.size - unique.size
-    if (ambiguous > 0) Console.err.println(
-      s"[lake] vector index '${meta.name}' on '$layer': $ambiguous " +
-        "ambiguous file name(s) skipped (exact-scan fallback covers them)")
-    val targetRels = missing.collect {
-      case (rel, _) if unique.contains(new Path(rel).getName) => rel }
-    if (targetRels.isEmpty) return 0
+    // resolves the artifact name through a broadcast decoded-path →
+    // digest map. Keys are the DECODED URI paths (scheme/authority
+    // dropped, percent-encoding resolved) because the two sides render
+    // the same file differently (`file:/` vs `file:///`, hive `k=v`
+    // escaping) — and last-segment keys are NOT unique: a hive write's
+    // single task reuses one part-file name across every partition dir.
+    val pathKeyOf: String => String = s =>
+      try new java.net.URI(s).getPath catch { case _: Exception => s }
+    val byPath: Map[String, String] = missing.map { case (rel, d) =>
+      pathKeyOf(f.makeQualified(new Path(resolveRel(base, rel)))
+        .toUri.toString) -> d
+    }.toMap
+    val targetRels = missing.map(_._1)
     val schema = snapshotSchema(layer, snap)
     import org.apache.spark.sql.functions.{col, input_file_name}
     val rows = readRelFiles(layer, targetRels, schemaHint = Some(schema))
@@ -6107,26 +6106,26 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val confB = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
-    val namesB = spark.sparkContext.broadcast(unique)
+    val pathsB = spark.sparkContext.broadcast(byPath)
     val (mName, mBase, mMeta) = (meta.name, base, meta)
     val nParts = math.max(1, math.min(targetRels.size,
       spark.sparkContext.defaultParallelism * 2))
     import spark.implicits._
     val built = rows.repartition(nParts, col("__f"))
       .mapPartitions { it =>
+        val keyOf: String => String = s =>
+          try new java.net.URI(s).getPath catch { case _: Exception => s }
         val byFile = scala.collection.mutable.HashMap.empty[String,
           scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]]
         it.foreach { r =>
-          val p = r.getString(0)
-          val last = p.substring(p.lastIndexOf('/') + 1)
-          byFile.getOrElseUpdate(last,
+          byFile.getOrElseUpdate(keyOf(r.getString(0)),
             scala.collection.mutable.ArrayBuffer.empty) +=
             ((r.getLong(1), newspipe.ops.Hnsw.toRaw(r.get(2))))
         }
         val fsys = new org.apache.hadoop.fs.Path(mBase)
           .getFileSystem(confB.value.value)
-        byFile.iterator.flatMap { case (lastSeg, buf) =>
-          namesB.value.get(lastSeg).map { digest =>
+        byFile.iterator.flatMap { case (pathKey, buf) =>
+          pathsB.value.get(pathKey).map { digest =>
             val bytes = mMeta.kind match {
               case "ivf" => newspipe.ops.IvfFlat.buildShardBytes(
                 buf.toArray, mMeta.nlist)

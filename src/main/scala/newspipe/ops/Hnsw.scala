@@ -282,6 +282,15 @@ object Hnsw {
 
   private val GraphMagic = 0x4c4b4731 // "LKG1"
 
+  /** All-zero vectors normalize to themselves (cos 0 against everything,
+    * never a top-k hit) instead of unitVec's null — a corpus row with a
+    * zero embedding must not poison its file's shard build.
+    */
+  private[newspipe] def unitOrZero(v: Array[Double]): Array[Double] = {
+    val u = Similarity.unitVec(v)
+    if (u == null) new Array[Double](v.length) else u
+  }
+
   /** Build one shard graph over `(id, rawVector)` rows (any numeric array
     * element type; unit-normalized and inserted ascending-id exactly like
     * the in-memory path) and serialize it.
@@ -290,7 +299,7 @@ object Hnsw {
       m: Int = 16, efConstruction: Int = 128): Array[Byte] = {
     val g = new ShardGraph(m, efConstruction)
     rows.sortBy(_._1).foreach { case (id, v) =>
-      g.insert(id, Similarity.unitVec(v)) }
+      g.insert(id, unitOrZero(v)) }
     val bos = new java.io.ByteArrayOutputStream(
       64 + rows.length * (8 + 4) + rows.map(_._2.length).sum * 8)
     val out = new java.io.DataOutputStream(bos)
@@ -366,7 +375,7 @@ object Hnsw {
       efSearch: Int = 96): Iterator[(Long, Long, Double)] = {
     val g = readGraph(bytes)
     queries.iterator.flatMap { case (qid, qv) =>
-      g.search(Similarity.unitVec(qv), k, efSearch).iterator
+      g.search(unitOrZero(qv), k, efSearch).iterator
         .map { case (nid, s) => (qid, nid, s) }
     }
   }

@@ -52,7 +52,7 @@ object IvfFlat {
       nlist: Int = 64, iters: Int = 8): Array[Byte] = {
     val sorted = rows.sortBy(_._1)
     val ids = sorted.map(_._1)
-    val vecs = sorted.map(r => Similarity.unitVec(r._2))
+    val vecs = sorted.map(r => Hnsw.unitOrZero(r._2))
     val k = math.max(1, math.min(nlist, vecs.length))
     val dim = if (vecs.isEmpty) 0 else vecs(0).length
     // deterministic seeding: the first k rows of the sorted input
@@ -72,7 +72,7 @@ object IvfFlat {
       }
       centroids = Array.tabulate(k)(c =>
         if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
-        else Similarity.unitVec(sums(c).map(_ / counts(c))))
+        else Hnsw.unitOrZero(sums(c).map(_ / counts(c))))
       it += 1
     }
     val cells = if (vecs.isEmpty) Array.empty[Int] else assign(vecs, centroids)
@@ -137,7 +137,7 @@ object IvfFlat {
     }
     val _ = n
     queries.iterator.flatMap { case (qid, qraw) =>
-      val q = Similarity.unitVec(qraw)
+      val q = Hnsw.unitOrZero(qraw)
       // rank cells by centroid dot (ties → lowest cell), probe the best
       val order = centroids.indices
         .sortBy(ci => (-dot(q, centroids(ci)), ci))

@@ -187,6 +187,32 @@ class LakeVectorIndexSpec extends SparkTestBase {
     }
   }
 
+  test("hive-partitioned layers index per file, and a STREAMING-sink " +
+      "micro-batch (landBatch = appendAtomic + txn ledger) maintains " +
+      "coverage like any append") {
+    val (base, lake) = newLake()
+    lake.writeAtomic(vectors(0 until 200)
+      .withColumn("part", pmod($"vec_id", lit(2L)))
+      .repartition(2, $"part"), "emb", partitionBy = Seq("part"))
+    val built = lake.createVectorIndex("emb", "idx", "vec", "vec_id")
+    built shouldBe fileCount(lake, "emb") // every hive file got a shard
+    val queries = vectors(0 until 3)
+    val before = shardCount(base, "emb", "idx")
+    // a lake-sink micro-batch is an appendAtomic with a _TXN ledger
+    // entry — the same post-commit hook covers the batch's files
+    newspipe.io.source.LakeStreamSink.landBatch(base, "emb", Nil,
+      Some("vidx_app"), 0L,
+      queries.select(($"vec_id" + 100000L).as("vec_id"),
+        $"vec".cast("array<double>").as("vec"),
+        pmod($"vec_id", lit(2L)).as("part")).coalesce(1))
+    shardCount(base, "emb", "idx") should be > before
+    lake.maintainVectorIndexes("emb") shouldBe 0
+    val top = lake.vectorSearch("emb", queries, k = 1)
+      .filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 3L).foreach { i => top(i) shouldBe (i + 100000L) }
+  }
+
   test("kind=ivf (IVF-Flat cells): exhaustive-probe parity with brute " +
       "force, selective-probe twins via append maintenance, determinism") {
     val (base, lake) = newLake()
