@@ -446,6 +446,50 @@ object InvariantProperties extends Properties("newspipe") {
       newspipe.io.DeltaDoc.fromJson(newspipe.io.DeltaDoc.toJson(d)) == d
     }
 
+  // --- persisted vector-index kernels ---------------------------------------
+
+  private val vecRows: Gen[List[(Long, List[Double])]] =
+    Gen.choose(2, 40).flatMap { n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0L, 1000L),
+        Gen.listOfN(6, Gen.choose(-4, 4).map(_.toDouble))))
+    }.map(_.distinctBy(_._1)) // one vector per id (files key rows by id)
+
+  property("hnsw shard: serialize/deserialize round-trip searches " +
+      "IDENTICALLY to the freshly-built graph (any ids, zero vectors " +
+      "included)") = Prop.forAll(vecRows) { data =>
+    val rows = data.map { case (id, v) => (id, v.toArray) }.toArray
+    val bytes = newspipe.ops.Hnsw.buildGraphBytes(rows, m = 4,
+      efConstruction = 16)
+    val persisted = newspipe.ops.Hnsw
+      .searchGraphBytes(bytes, rows.take(3), k = 5, efSearch = 16).toSet
+    val rebuilt = newspipe.ops.Hnsw
+      .searchGraphBytes(newspipe.ops.Hnsw.buildGraphBytes(rows, 4, 16),
+        rows.take(3), k = 5, efSearch = 16).toSet
+    persisted == rebuilt && bytes.sameElements(
+      newspipe.ops.Hnsw.buildGraphBytes(rows, 4, 16)) // byte-determinism
+  }
+
+  property("ivf shard: exhaustive probes (nprobe >= nlist) return the " +
+      "exact global top-k (sim + id tie-break), matching a naive scan") =
+    Prop.forAll(vecRows) { data =>
+      val rows = data.map { case (id, v) => (id, v.toArray) }.toArray
+      val bytes = newspipe.ops.IvfFlat.buildShardBytes(rows, nlist = 4)
+      val qs = rows.take(2)
+      val k = 3
+      qs.forall { case (qid, qraw) =>
+        val q = newspipe.ops.Hnsw.unitOrZero(qraw)
+        val naive = rows.map { case (id, v) =>
+          val u = newspipe.ops.Hnsw.unitOrZero(v)
+          (id, u.zip(q).map { case (a, b) => a * b }.sum)
+        }.sortBy { case (id, s) => (-s, id) }.take(k)
+          .map { case (id, s) => (qid, id, s) }.toSet
+        val got = newspipe.ops.IvfFlat
+          .searchShardBytes(bytes, Array((qid, qraw)), k, nprobe = 99)
+          .toSet
+        got.map(t => (t._1, t._2)) == naive.map(t => (t._1, t._2))
+      }
+    }
+
   property("identity alignBeyond: result is on the start/step grid, " +
       "strictly beyond seen, and minimally so") =
     Prop.forAll(
