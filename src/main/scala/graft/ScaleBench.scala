@@ -757,6 +757,59 @@ object ScaleBench {
       } catch { case _: Throwable => () }
     }
 
+    // ---- round-17 cont.: PERSISTED DEDUP INDEX. The scale claims:
+    // (sign) the shingle+hash pass over text runs once per file EVER —
+    // an append signs its own files only; (incremental) nearDups(since)
+    // joins the batch's signatures against the PERSISTED corpus
+    // signatures, so per-batch dedup cost stays near-FLAT while the
+    // corpus grows N× — the from-scratch pipeline (the contrast)
+    // re-shingles the WHOLE corpus on every batch.
+    {
+      val root = java.nio.file.Files.createTempDirectory("scale_di").toString
+      val lake = new newspipe.io.Lake(spark,
+        newspipe.io.LakeConfig(basePath = root))
+      val nFiles = 4 * copies
+      def textOf(idc: org.apache.spark.sql.Column) =
+        concat_ws(" ", transform(sequence(lit(0), lit(11)), j =>
+          pmod(xxhash64(idc, j), lit(1000L)).cast("string")))
+      val corpus = spark.range(nFiles.toLong * 500)
+        .select(col("id").as("doc_id"), textOf(col("id")).as("text"))
+        .repartitionByRange(nFiles, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+      lake.writeAtomic(corpus, "di")
+      val (nSign, tSign) = timed {
+        lake.createDedupIndex("di", "dix", "text", "doc_id").toLong
+      }
+      out("r17_dindex_sign") = (nSign, tSign) // O(corpus), paid ONCE
+      val v1 = lake.listVersions("di").head
+      // the daily batch: 100 near-dups of old docs + 100 fresh docs
+      val batch = spark.range(100)
+        .select((col("id") * 7 + 3).as("src"))
+        .select((col("src") + 10000000L).as("doc_id"),
+          textOf(col("src")).as("text"))
+        .union(spark.range(100).select(
+          (col("id") + 20000000L).as("doc_id"),
+          textOf(col("id") + 20000000L).as("text")))
+      lake.appendAtomic(batch.coalesce(1), "di")
+      val (nInc, tInc) = timed {
+        lake.nearDups("di", sinceVersion = Some(v1)).count()
+      }
+      out("r17_dindex_incremental") = (nInc, tInc) // near-FLAT at N×
+      val (nFs, tFs) = timed {
+        val all = lake.read("di")
+        Dedup.jaccardVerify(
+          Dedup.minhashCandidates(all, "doc_id", "text"),
+          all, "doc_id", "text").count()
+      }
+      out("r17_dindex_scratch_x1") = (nFs, tFs) // O(corpus) EVERY batch
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+          .iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+
     // ---- round-17: IN-SET PREDICATES (the dynamic-overwrite shape). The
     // scale claims: (stat filter) a 1000-value IN-set over per-file stats
     // costs ONE hash probe per file — wall stays tiny while the file

@@ -4252,6 +4252,42 @@ object SparkEntry {
            |FROM lake_vector_search('$root', 'emb', 'q187_queries', 5, 'ivx')
            |WHERE rank = 1""".stripMargin)
         .orderBy("query_id")
+    }),
+
+    // PERSISTED near-dedup index (the MinHash sibling of q186): the base
+    // corpus lands and signs FIRST (one banded-signature artifact per
+    // data file, `layer/_dindex/`); verbatim copies of doc_id < 20 land
+    // at +1000000 by appendAtomic AFTERWARDS — post-commit maintenance
+    // signs the increment's files ONLY (in-query pin: nothing left to
+    // build), and the incremental `lake_near_dups(..., since)` TVF joins
+    // the new signatures against the PERSISTED corpus signatures — the
+    // corpus text is never re-shingled; it is re-read only to
+    // exact-verify candidate pairs. Emitted = every pair with exact
+    // 3-gram Jaccard >= 0.8 touching a new doc (LSH banding at 16×4 is
+    // recall-saturated for this corpus — the q26 premise, planted copies
+    // share their original's signature exactly).
+    "q188_dedup_index" -> ((s, dir) => {
+      newspipe.NewspipeExtensions.register(s)
+      val root = java.nio.file.Files.createTempDirectory("q188_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      lake.writeAtomic(docs.repartitionByRange(6, col("doc_id"))
+        .sortWithinPartitions("doc_id"), "docs")
+      newspipe.io.LakeSql.sql(s,
+        s"CREATE DEDUP INDEX dix ON lake.`$root`.docs (text) ID doc_id " +
+          "THRESHOLD 0.8 HASHES 64 BANDS 16 SHINGLE 3")
+      val v1 = lake.listVersions("docs").head
+      lake.appendAtomic(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .coalesce(1), "docs")
+      require(lake.maintainDedupIndexes("docs") == 0,
+        "appendAtomic must sign the increment's files only — " +
+          "incremental dedup must never re-shingle the corpus")
+      s.sql(
+        s"""SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+           |FROM lake_near_dups('$root', 'docs', '$v1')
+           |ORDER BY id_a, id_b""".stripMargin)
     })
   )
 
@@ -4784,6 +4820,37 @@ object SparkEntry {
     // (planted twins land via append + incremental index maintenance)
     "q186_vector_index" -> annArgmaxOracleSql,
     "q187_vector_index_ivf" -> annArgmaxOracleSql,
+    // the q26 exact-Jaccard oracle over the union with the planted
+    // copies, restricted to pairs TOUCHING a new doc (planted ids are
+    // the 1000000+ range; id_b is the greater side, so `id_b >= 1000000`
+    // ⇔ at least one side is new — exactly nearDups' incremental
+    // contract)
+    "q188_dedup_index" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id < 20),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tk) - 2, 1)),
+        |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS s
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+        |        x -> len(x) > 0) AS tk
+        |    FROM all_docs))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.s, b.s)) /
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE),
+        |    6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE b.doc_id >= 1000000
+        |  AND len(list_intersect(a.s, b.s)) /
+        |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |  >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     // complement ∪ the two data-derived regions (en tripled via the API,
     // de +2000 via dynamic-mode INSERT OVERWRITE)
     "q185_dynamic_overwrite" ->

@@ -333,6 +333,29 @@ object NewspipeExtensions {
             .vectorSearch(layer, spark.table(qTable), k, idx,
               filter = filt))
         }),
+      // persisted-signature near-dedup in FROM position: SELECT * FROM
+      // lake_near_dups('/lake/root', 'docs'[, 'since_version'[,
+      // 'index_name']]) → (id_a, id_b, jaccard) — candidates join
+      // artifact against artifact; text is read only to verify. Lazy
+      // (eager=false): a bare EXPLAIN must not launch jobs.
+      (new FunctionIdentifier("lake_near_dups"),
+        new ExpressionInfo("newspipe.NewspipeExtensions",
+          "lake_near_dups"),
+        (children: Seq[Expression]) => {
+          require(children.length >= 2 && children.length <= 4,
+            "lake_near_dups(base_path, layer[, since_version[, " +
+              "index_name]]) takes 2 to 4 arguments")
+          val base = stringArg("lake_near_dups", children(0))
+          val layer = stringArg("lake_near_dups", children(1))
+          val since = children.lift(2).map(stringArg("lake_near_dups", _))
+            .filter(_.nonEmpty)
+          val idx = children.lift(3).map(stringArg("lake_near_dups", _))
+            .filter(_.nonEmpty)
+          val spark = SparkSession.active
+          NewspipeSqlBridge.logicalPlan(new newspipe.io.Lake(spark,
+            newspipe.io.LakeConfig(basePath = base))
+            .nearDups(layer, idx, since, eager = false))
+        }),
       (new FunctionIdentifier("asof_join"),
         new ExpressionInfo("newspipe.NewspipeExtensions", "asof_join"),
         (children: Seq[Expression]) => {

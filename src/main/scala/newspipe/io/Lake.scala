@@ -3374,7 +3374,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // index-aware OPTIMIZE: the rewrite replaced every data file — build
     // shard graphs for the new files (content addressing makes this
     // O(rewritten files); the inputs' graphs become debris VACUUM prunes)
-    maintainVectorIndexesSoftly(layer)
+    maintainIndexesSoftly(layer)
     snap
   }
 
@@ -3928,7 +3928,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       // persisted-vector-index maintenance: shard graphs for the NEW
       // files only (O(increment)); soft-fail like the stats sidecar — an
       // uncovered file rides the exact-scan fallback until the next pass
-      maintainVectorIndexesSoftly(layer)
+      maintainIndexesSoftly(layer)
       Lake.RowOpResult(committed.toString, 0, carried.size)
     } catch {
       case e: java.util.ConcurrentModificationException => throw e
@@ -3938,17 +3938,25 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     }
   }
 
-  /** Post-commit vector-index upkeep — soft-failing (the index is DERIVED
-    * state: a failed build leaves files uncovered, which search handles
+  /** Post-commit index upkeep, BOTH families (vector shard graphs, dedup
+    * signature shards) — soft-failing (an index is DERIVED state: a
+    * failed build leaves files uncovered, which search/nearDups handle
     * exactly, so a maintenance error must never fail the commit). One
-    * `_vindex` existence probe when the layer declares no index.
+    * `_vindex` + one `_dindex` existence probe when the layer declares
+    * no index.
     */
-  private def maintainVectorIndexesSoftly(layer: String): Unit =
+  private def maintainIndexesSoftly(layer: String): Unit = {
     try { maintainVectorIndexes(layer); () }
     catch {
       case scala.util.control.NonFatal(e) => Console.err.println(
         s"[lake] vector index maintenance on '$layer' skipped: $e")
     }
+    try { maintainDedupIndexes(layer); () }
+    catch {
+      case scala.util.control.NonFatal(e) => Console.err.println(
+        s"[lake] dedup index maintenance on '$layer' skipped: $e")
+    }
+  }
 
   /** Latest version recorded for `appId` in the layer's stream-txn ledger
     * (the `_TXN` markers [[appendAtomic]] commits atomically with its
@@ -4493,6 +4501,29 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val copied = srcLake.properties(src) -
       BloomIndex.ColsProp - BloomIndex.FppProp
     if (copied.nonEmpty) setProperties(dst, copied)
+    // persisted indexes (vector AND dedup) ride the clone DECLARATIVELY:
+    // only the tiny `_INDEX.json` metas copy — shard artifacts are
+    // BORROWED from the source by content address (a digest keys the
+    // FS-qualified data-file path, exactly what the clone's rels resolve
+    // to), so a clone of a 100 TB indexed corpus is searchable
+    // immediately with zero artifact bytes copied; post-clone rewrites
+    // build local artifacts for THEIR files only. Bloom sidecars
+    // (excluded above) cannot ride: they key canonical paths a rel need
+    // not match.
+    srcLake.vectorIndexes(src).foreach { m =>
+      val root = VectorIndex.indexRoot(layerPath(dst), m.name)
+      fd.mkdirs(root)
+      val out = fd.create(new Path(root, VectorIndex.MetaFile), true)
+      try out.write(VectorIndex.toJson(m).getBytes("UTF-8"))
+      finally out.close()
+    }
+    srcLake.dedupIndexes(src).foreach { m =>
+      val root = DedupIndex.indexRoot(layerPath(dst), m.name)
+      fd.mkdirs(root)
+      val out = fd.create(new Path(root, DedupIndex.MetaFile), true)
+      try out.write(DedupIndex.toJson(m).getBytes("UTF-8"))
+      finally out.close()
+    }
     // record which layers this clone references (`_CLONE_SOURCES` at the
     // clone root, before the commit): vacuum on a SOURCE layer consults
     // only siblings whose marker names it — layers that never cloned pay
@@ -5489,7 +5520,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       // index upkeep for whatever files this rewrite created (rewritten
       // regions, merge insert legs, partial-OPTIMIZE outputs) — content
       // addressing makes it O(new files), soft-fail by contract
-      maintainVectorIndexesSoftly(layer)
+      maintainIndexesSoftly(layer)
       // a rebase may have re-id'd the staged snapshot — report the path
       // that actually committed
       Lake.RowOpResult(committed.toString, affected.size, carried.size)
@@ -6050,9 +6081,9 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val digests = inv.map(rel => rel -> VectorIndex.digestOf(
       f.makeQualified(new Path(resolveRel(base, rel))).toString))
     metas.map { meta =>
-      val existing = VectorIndex.existingShards(f, base, meta.name)
+      val reachable = reachableShardArtifacts(layer, meta.name, inv).keySet
       val covered = digests.count { case (rel, d) =>
-        existing.contains(d) && !dv.contains(rel) }
+        reachable.contains(d) && !dv.contains(rel) }
       (meta, covered, inv.size)
     }
   }
@@ -6077,8 +6108,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     if (mappingOf(snap).nonEmpty) return 0 // mapped post-creation: fallback
     val base = layerPath(layer)
     val f = fs(new Path(base))
-    val existing = VectorIndex.existingShards(f, base, meta.name)
     val inv = snapshotInventory(layer, snap)
+    // reachable, not just local: a shallow clone BORROWS the source's
+    // artifacts by content address — shared files need no local build
+    val existing = reachableShardArtifacts(layer, meta.name, inv).keySet
     def qualify(rel: String): String =
       f.makeQualified(new Path(resolveRel(base, rel))).toString
     val missing = inv.map(rel => rel -> VectorIndex.digestOf(qualify(rel)))
@@ -6202,7 +6235,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val f = fs(new Path(base))
     val inv = snapshotInventory(layer, snap)
     val dv = dvMapOf(snap)
-    val existing = VectorIndex.existingShards(f, base, meta.name)
+    val artifacts = reachableShardArtifacts(layer, meta.name, inv)
     def qualify(rel: String): String =
       f.makeQualified(new Path(resolveRel(base, rel))).toString
     val withDigest = inv.map(rel => rel -> VectorIndex.digestOf(qualify(rel)))
@@ -6227,7 +6260,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     }
     val qualified = withDigest.filter { case (rel, _) => qualifies(rel) }
     val (covered, uncovered) = qualified.partition { case (rel, d) =>
-      existing.contains(d) && !dv.contains(rel) }
+      artifacts.contains(d) && !dv.contains(rel) }
     // queries are the SMALL side (the bruteForceTopK contract): collected
     // once, shipped to every shard task as one broadcast
     val qRows: Array[(Long, Array[Double])] = queries
@@ -6246,8 +6279,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         val confB = spark.sparkContext.broadcast(
           new org.apache.spark.util.SerializableConfiguration(
             spark.sparkContext.hadoopConfiguration))
-        val paths = covered.map { case (_, d) =>
-          new Path(VectorIndex.shardsDir(base, meta.name), s"$d.ann").toString }
+        val paths = covered.map { case (_, d) => artifacts(d).toString }
         val nSlices = math.max(1, math.min(paths.size,
           spark.sparkContext.defaultParallelism * 2))
         // +1: a query's own row may occupy one slot in its file; a
@@ -6313,25 +6345,398 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
-  /** Reclaim index artifacts no RETAINED snapshot's data file backs any
-    * more (post-vacuum: rewritten-away or deleted files' graphs) — the
+  /** The layer root a cross-layer rel points into (None = the rel is
+    * layer-local): `../<layer>/…` sibling refs resolve against the lake
+    * base; `base:<root>//<rel>` refs carry their root explicitly. Used
+    * to locate a SHALLOW CLONE source's index artifacts.
+    */
+  private def foreignLayerRootOfRel(base: String, rel: String)
+      : Option[String] = {
+    if (rel.startsWith(Lake.BaseRefPrefix))
+      return Some(Lake.splitBaseRef(rel)._1)
+    if (!rel.startsWith("../")) return None
+    var b = base.stripSuffix("/")
+    var r = rel
+    while (r.startsWith("../")) {
+      val cut = b.lastIndexOf('/')
+      if (cut <= 0) return None
+      b = b.substring(0, cut)
+      r = r.substring(3)
+    }
+    val seg = r.indexOf('/')
+    if (seg <= 0) None else Some(s"$b/${r.substring(0, seg)}")
+  }
+
+  /** digest → artifact path for every shard of index `name` REACHABLE
+    * from this layer: its own shards directory first (a locally built
+    * artifact always wins), then — for each distinct foreign layer root
+    * the inventory references (a shallow clone's rels) — that root's
+    * shards directory for the same index name. Content addressing makes
+    * borrowing sound: the digest keys the FS-qualified DATA-file path,
+    * which a clone's rel resolves to, so the source's artifact for a
+    * shared file is byte-identical to what a local rebuild would
+    * produce — a clone searches the source's index with ZERO artifact
+    * bytes copied, and maintenance skips shared files entirely. One
+    * listing per distinct root (clones reference few sources); a source
+    * that drops its index degrades the clone's search to exact scans of
+    * the shared files, never to a wrong answer.
+    */
+  private def reachableShardArtifacts(layer: String, name: String,
+      inv: Seq[String], dirName: String = VectorIndex.DirName,
+      ext: String = ".ann"): Map[String, Path] = {
+    val base = layerPath(layer)
+    val roots: Seq[String] = base +:
+      inv.flatMap(foreignLayerRootOfRel(base, _)).distinct
+    roots.foldLeft(Map.empty[String, Path]) { (acc, root) =>
+      val f = fs(new Path(root))
+      val extra = IndexArtifacts.existingShards(dirName, ext, f, root, name)
+        .iterator
+        .filterNot(acc.contains)
+        .map(d => d ->
+          f.makeQualified(new Path(
+            IndexArtifacts.shardsDir(dirName, root, name), s"$d$ext")))
+        .toMap
+      acc ++ extra
+    }
+  }
+
+  /** Reclaim index artifacts (both families: `_vindex` shard graphs,
+    * `_dindex` signature shards) no RETAINED snapshot's data file backs
+    * any more (post-vacuum: rewritten-away or deleted files') — the
     * index-side leg of VACUUM, O(retained inventory + artifacts).
     */
-  private def pruneVectorIndexShards(layer: String): Unit = {
-    val metas = vectorIndexes(layer)
-    if (metas.isEmpty) return
+  private def pruneIndexShards(layer: String): Unit = {
+    val vMetas = vectorIndexes(layer)
+    val dMetas = dedupIndexes(layer)
+    if (vMetas.isEmpty && dMetas.isEmpty) return
     val base = layerPath(layer)
     val f = fs(new Path(base))
     val live: Set[String] = committedVersions(layer).flatMap { snap =>
-      snapshotInventory(layer, snap).map(rel => VectorIndex.digestOf(
+      snapshotInventory(layer, snap).map(rel => IndexArtifacts.digestOf(
         f.makeQualified(new Path(resolveRel(base, rel))).toString))
     }.toSet
-    metas.foreach { meta =>
+    vMetas.foreach { meta =>
       (VectorIndex.existingShards(f, base, meta.name) -- live).foreach { d =>
         f.delete(new Path(VectorIndex.shardsDir(base, meta.name),
           s"$d.ann"), false)
       }
     }
+    dMetas.foreach { meta =>
+      (DedupIndex.existingShards(f, base, meta.name) -- live).foreach { d =>
+        f.delete(new Path(DedupIndex.shardsDir(base, meta.name),
+          s"$d${DedupIndex.Ext}"), false)
+      }
+    }
+  }
+
+  // ---- persisted dedup index (MinHash near-dup) ---------------------------
+
+  /** Declare + build a persisted near-dedup index over `textCol` (layout
+    * and rationale: [[DedupIndex]]): one banded-MinHash signature
+    * artifact per live data file, content-addressed by the file's
+    * qualified path — the expensive shingle+hash pass over the text runs
+    * ONCE per file ever. [[appendAtomic]] and the compaction family sign
+    * their NEW files only (O(increment)); [[nearDups]] then finds
+    * near-duplicate pairs by joining artifact against artifact and
+    * re-reads text only to exact-verify candidates.
+    *
+    * `bands` defaults to the recall-heavy 16×4 shape (64 hashes): at the
+    * default 0.8 threshold a true near-dup pair shares a band with
+    * probability ≈ 0.9998. [[newspipe.ops.Dedup.lshParams]] documents
+    * the S-curve when a different precision/recall trade is wanted.
+    * Returns the number of signature shards built.
+    */
+  def createDedupIndex(layer: String, name: String, textCol: String,
+      idCol: String, threshold: Double = 0.8, numHashes: Int = 64,
+      bands: Int = 16, shingle: Int = 3): Int = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"dedup index name '$name' must be alphanumeric/underscore")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    require(numHashes > 0 && bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    require(shingle >= 1, s"shingle must be >= 1, got $shingle")
+    val snap = latestSnapshot(layer).getOrElse(throw new IllegalStateException(
+      s"layer '$layer' has no committed snapshot — a dedup index " +
+        "indexes committed data files (writeAtomic first)"))
+    require(mappingOf(snap).isEmpty,
+      s"createDedupIndex('$layer'): column-mapped layers are not " +
+        "supported (shards key logical columns by name)")
+    val schema = snapshotSchema(layer, snap)
+    Seq(textCol, idCol).foreach(c => require(
+      schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"createDedupIndex('$layer'): layer has no column '$c'"))
+    require(dedupIndexes(layer).forall(_.name != name),
+      s"layer '$layer' already has a dedup index '$name' — drop it first")
+    val meta = DedupIndex.Meta(name, idCol, textCol, numHashes, bands,
+      numHashes / bands, shingle, threshold)
+    val root = DedupIndex.indexRoot(layerPath(layer), name)
+    val f = fs(root)
+    f.mkdirs(root)
+    val out = f.create(new Path(root, DedupIndex.MetaFile), true)
+    try out.write(DedupIndex.toJson(meta).getBytes("UTF-8"))
+    finally out.close()
+    maintainDedupIndexes(layer)
+  }
+
+  def dropDedupIndex(layer: String, name: String): Unit = {
+    val root = DedupIndex.indexRoot(layerPath(layer), name)
+    val f = fs(root)
+    if (!f.exists(new Path(root, DedupIndex.MetaFile)))
+      throw new NoSuchElementException(
+        s"layer '$layer' has no dedup index '$name'")
+    f.delete(root, true)
+    ()
+  }
+
+  /** Declared dedup indexes of the layer (metadata-only listing). */
+  def dedupIndexes(layer: String): Seq[DedupIndex.Meta] = {
+    val dir = new Path(s"${layerPath(layer)}/${DedupIndex.DirName}")
+    val f = fs(dir)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).iterator.filter(_.isDirectory).flatMap { st =>
+      val mf = new Path(st.getPath, DedupIndex.MetaFile)
+      if (f.exists(mf)) Some(DedupIndex.fromJson(readFully(mf))) else None
+    }.toSeq.sortBy(_.name)
+  }
+
+  /** Per-index coverage against the CURRENT snapshot (meta, files with a
+    * reachable signature artifact, total live files) — `SHOW DEDUP
+    * INDEXES`' engine; metadata-only.
+    */
+  def dedupIndexStatus(layer: String): Seq[(DedupIndex.Meta, Int, Int)] = {
+    val metas = dedupIndexes(layer)
+    if (metas.isEmpty) return Nil
+    val base = layerPath(layer)
+    val f = fs(new Path(base))
+    val inv = latestSnapshot(layer).map(snapshotInventory(layer, _))
+      .getOrElse(Nil)
+    val digests = inv.map(rel => IndexArtifacts.digestOf(
+      f.makeQualified(new Path(resolveRel(base, rel))).toString))
+    metas.map { meta =>
+      val reachable = reachableShardArtifacts(layer, meta.name, inv,
+        DedupIndex.DirName, DedupIndex.Ext).keySet
+      (meta, digests.count(reachable.contains), inv.size)
+    }
+  }
+
+  /** Sign missing files for every declared dedup index — O(new files);
+    * the post-commit hook's dedup leg. Idempotent; returns shards built.
+    */
+  def maintainDedupIndexes(layer: String): Int =
+    dedupIndexes(layer).iterator.map(maintainDedupIndex(layer, _)).sum
+
+  /** Rebuild coverage for ONE named dedup index (`REFRESH DEDUP
+    * INDEX`) — the explicit trigger after a full overwrite or a foreign
+    * writer's commits. O(uncovered files), idempotent.
+    */
+  def refreshDedupIndex(layer: String, name: String): Int = {
+    val meta = dedupIndexes(layer).find(_.name == name).getOrElse(
+      throw new NoSuchElementException(
+        s"layer '$layer' has no dedup index '$name' (declared: " +
+          s"${dedupIndexes(layer).map(_.name).mkString(", ")})"))
+    maintainDedupIndex(layer, meta)
+  }
+
+  private def maintainDedupIndex(layer: String,
+      meta: DedupIndex.Meta): Int = {
+    val snap = latestSnapshot(layer).getOrElse(return 0)
+    if (mappingOf(snap).nonEmpty) return 0 // mapped post-creation: fallback
+    val base = layerPath(layer)
+    val f = fs(new Path(base))
+    val inv = snapshotInventory(layer, snap)
+    val existing = reachableShardArtifacts(layer, meta.name, inv,
+      DedupIndex.DirName, DedupIndex.Ext).keySet
+    def qualify(rel: String): String =
+      f.makeQualified(new Path(resolveRel(base, rel))).toString
+    val missing = inv.map(rel => rel -> IndexArtifacts.digestOf(qualify(rel)))
+      .filterNot { case (_, d) => existing.contains(d) }
+    if (missing.isEmpty) return 0
+    // same file-routing shape as the vector maintainer: rows reach their
+    // file's signer via input_file_name, decoded-URI-path keyed (the two
+    // sides render the same file differently; last segments alone are
+    // not unique across hive partition dirs)
+    val pathKeyOf: String => String = s =>
+      try new java.net.URI(s).getPath catch { case _: Exception => s }
+    val byPath: Map[String, String] = missing.map { case (rel, d) =>
+      pathKeyOf(f.makeQualified(new Path(resolveRel(base, rel)))
+        .toUri.toString) -> d
+    }.toMap
+    val targetRels = missing.map(_._1)
+    val schema = snapshotSchema(layer, snap)
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val bandsExpr = newspipe.ops.Dedup.lshBands(
+      newspipe.ops.Dedup.minhashSignature(
+        newspipe.ops.Dedup.shingles(col(meta.textCol), meta.shingle),
+        meta.numHashes),
+      meta.bands, meta.rows)
+    val rows = readRelFiles(layer, targetRels, schemaHint = Some(schema))
+      .select(input_file_name().as("__f"),
+        col(meta.idCol).cast("long").as("__id"), bandsExpr.as("__bb"))
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val pathsB = spark.sparkContext.broadcast(byPath)
+    val (mName, mBase) = (meta.name, base)
+    val nParts = math.max(1, math.min(targetRels.size,
+      spark.sparkContext.defaultParallelism * 2))
+    import spark.implicits._
+    val built = rows.repartition(nParts, col("__f"))
+      .mapPartitions { it =>
+        val keyOf: String => String = s =>
+          try new java.net.URI(s).getPath catch { case _: Exception => s }
+        val byFile = scala.collection.mutable.HashMap.empty[String,
+          scala.collection.mutable.ArrayBuffer[(Long, Int, Long)]]
+        it.foreach { r =>
+          val buf = byFile.getOrElseUpdate(keyOf(r.getString(0)),
+            scala.collection.mutable.ArrayBuffer.empty)
+          // null id / null signature (null text) sign nothing — exactly
+          // the rows the from-scratch pipeline's explode drops
+          if (!r.isNullAt(1) && !r.isNullAt(2)) {
+            val id = r.getLong(1)
+            r.getSeq[org.apache.spark.sql.Row](2).foreach { bb =>
+              if (!bb.isNullAt(0) && !bb.isNullAt(1))
+                buf += ((id, bb.getInt(0), bb.getLong(1)))
+            }
+          }
+        }
+        val fsys = new org.apache.hadoop.fs.Path(mBase)
+          .getFileSystem(confB.value.value)
+        byFile.iterator.flatMap { case (pathKey, buf) =>
+          pathsB.value.get(pathKey).map { digest =>
+            DedupIndex.writeShard(fsys, mBase, mName, digest,
+              DedupIndex.serialize(buf.toArray))
+            digest
+          }
+        }
+      }.collect()
+    built.length
+  }
+
+  /** Near-duplicate pairs THROUGH the persisted index: candidates from
+    * an artifact-against-artifact `(band, bucket)` join (document text
+    * is NOT read), exact n-gram-Jaccard verification of the candidates
+    * against the ALIVE corpus (rows a deletion vector removed verify
+    * away, as do ids from stale artifacts), emitted as
+    * `(id_a, id_b, jaccard)` with `jaccard >= threshold`, `id_a < id_b`.
+    *
+    * `sinceVersion`: INCREMENTAL dedup — only pairs with at least one
+    * side in a file added AFTER that committed snapshot (the "dedup the
+    * new batch against the whole corpus" production shape: cost is the
+    * new files' signatures against the persisted ones; the corpus text
+    * is never re-shingled). None = all corpus pairs.
+    *
+    * Files without an artifact (crash window, foreign writer, fresh
+    * overwrite) have signatures computed inline — cost, never
+    * correctness. `maxBucket` is the LSH skew guard: hotter buckets are
+    * dropped (their members still meet through other bands), and in
+    * incremental mode buckets holding no NEW member leave before the
+    * join — old-old buckets cannot produce a wanted pair.
+    */
+  def nearDups(layer: String, indexName: Option[String] = None,
+      sinceVersion: Option[String] = None, maxBucket: Int = 1000,
+      eager: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, explode, greatest,
+      least, lit, max}
+    val metas = dedupIndexes(layer)
+    require(metas.nonEmpty,
+      s"layer '$layer' has no dedup index — createDedupIndex first")
+    val meta = indexName match {
+      case Some(n) => metas.find(_.name == n).getOrElse(
+        throw new NoSuchElementException(s"layer '$layer' has no dedup " +
+          s"index '$n' (declared: ${metas.map(_.name).mkString(", ")})"))
+      case None =>
+        require(metas.lengthCompare(1) == 0, s"layer '$layer' declares " +
+          s"${metas.size} dedup indexes — name one " +
+          s"(${metas.map(_.name).mkString(", ")})")
+        metas.head
+    }
+    val snap = latestSnapshot(layer).getOrElse(
+      throw new IllegalStateException(
+        s"layer '$layer' has no committed snapshot"))
+    val base = layerPath(layer)
+    val f = fs(new Path(base))
+    val inv = snapshotInventory(layer, snap)
+    val newRels: Set[String] = sinceVersion match {
+      case Some(v) =>
+        val p = new Path(s"$base/_v/$v")
+        require(f.exists(new Path(p, "_COMMITTED")),
+          s"layer '$layer' has no committed snapshot '$v'")
+        val oldInv = snapshotInventory(layer, p).toSet
+        inv.filterNot(oldInv).toSet
+      case None => Set.empty
+    }
+    val artifacts = reachableShardArtifacts(layer, meta.name, inv,
+      DedupIndex.DirName, DedupIndex.Ext)
+    def qualify(rel: String): String =
+      f.makeQualified(new Path(resolveRel(base, rel))).toString
+    val withDigest = inv.map(rel =>
+      rel -> IndexArtifacts.digestOf(qualify(rel)))
+    val (covered, uncovered) = withDigest.partition { case (_, d) =>
+      artifacts.contains(d) }
+    import spark.implicits._
+    def emptySigs: DataFrame =
+      spark.emptyDataset[(Long, Int, Long, Boolean)]
+        .toDF("id", "band", "bucket", "is_new")
+    val fromArtifacts: DataFrame =
+      if (covered.isEmpty) emptySigs
+      else {
+        val confB = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration))
+        val paths = covered.map { case (rel, d) =>
+          (artifacts(d).toString, newRels.contains(rel)) }
+        val nSlices = math.max(1, math.min(paths.size,
+          spark.sparkContext.defaultParallelism * 2))
+        spark.sparkContext.parallelize(paths, nSlices)
+          .mapPartitions { ps =>
+            val hc = confB.value.value
+            ps.flatMap { case (p, isNew) =>
+              val path = new org.apache.hadoop.fs.Path(p)
+              val fsys = path.getFileSystem(hc)
+              val bytes =
+                new Array[Byte](fsys.getFileStatus(path).getLen.toInt)
+              val in = fsys.open(path)
+              try in.readFully(bytes) finally in.close()
+              DedupIndex.deserialize(bytes).iterator.map {
+                case (id, band, bucket) => (id, band, bucket, isNew) }
+            }
+          }.toDF("id", "band", "bucket", "is_new")
+      }
+    val schema = snapshotSchema(layer, snap)
+    def scanned(rels: Seq[String], isNew: Boolean): Option[DataFrame] =
+      if (rels.isEmpty) None
+      else Some(readRelFiles(layer, rels, schemaHint = Some(schema))
+        .select(col(meta.idCol).cast("long").as("id"),
+          explode(newspipe.ops.Dedup.lshBands(
+            newspipe.ops.Dedup.minhashSignature(
+              newspipe.ops.Dedup.shingles(col(meta.textCol), meta.shingle),
+              meta.numHashes), meta.bands, meta.rows)).as("__bb"))
+        .select(col("id"), col("__bb.band").as("band"),
+          col("__bb.bucket").as("bucket"), lit(isNew).as("is_new")))
+    val (uncovNew, uncovOld) = uncovered.map(_._1).partition(newRels.contains)
+    val all = (Seq(fromArtifacts) ++ scanned(uncovNew, isNew = true) ++
+      scanned(uncovOld, isNew = false)).reduce(_.unionByName(_))
+    val keptBuckets = all.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n"), max(col("is_new")).as("__hasNew"))
+      .filter(col("__n").between(2, maxBucket) &&
+        (if (sinceVersion.isEmpty) lit(true) else col("__hasNew")))
+      .select("band", "bucket")
+    val kept = all.join(keptBuckets, Seq("band", "bucket"))
+    val leftSide =
+      (if (sinceVersion.isEmpty) kept else kept.filter(col("is_new")))
+        .select(col("band"), col("bucket"), col("id").as("__l"))
+    val cand = leftSide
+      .join(kept.select(col("band"), col("bucket"), col("id").as("__r")),
+        Seq("band", "bucket"))
+      .filter(col("__l") =!= col("__r"))
+      .select(least(col("__l"), col("__r")).as("id_a"),
+        greatest(col("__l"), col("__r")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val alive = read(layer).select(
+      col(meta.idCol).cast("long").as(meta.idCol), col(meta.textCol))
+    newspipe.ops.Dedup.jaccardVerify(cand, alive, meta.idCol, meta.textCol,
+      n = meta.shingle, threshold = meta.threshold, eager = eager)
   }
 
   /** Reclaim snapshot storage: keep the newest `keep` committed snapshots;
@@ -6427,7 +6832,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     }
     // index-side leg: artifacts whose data file no retained snapshot
     // references any more (rewritten-away/deleted files) are debris now
-    pruneVectorIndexShards(layer)
+    pruneIndexShards(layer)
   }
 
   /** Root dir holding relocated COPY INTO ledgers of vacuumed versions

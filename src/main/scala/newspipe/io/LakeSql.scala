@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRe
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{ArrayType, BooleanType, IntegerType,
-  LongType, MapType, StringType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DoubleType,
+  IntegerType, LongType, MapType, StringType, TimestampType}
 
 /** SQL DML statements for the lake's row ops — the surface a Delta user
   * types first:
@@ -552,6 +552,26 @@ object LakeSql {
     */
   final case class LakeShowVectorIndexes(base: String,
       layer: String) extends LakeMaint
+  /** `CREATE DEDUP INDEX <name> ON lake.`…`.layer (textCol) ID idCol
+    * [THRESHOLD f] [HASHES n] [BANDS n] [SHINGLE n]` — persisted
+    * per-file MinHash signature index ([[Lake.createDedupIndex]]).
+    */
+  final case class LakeCreateDedupIndex(base: String, layer: String,
+      name: String, textCol: String, idCol: String,
+      threshold: Option[Double], hashes: Option[Int], bands: Option[Int],
+      shingle: Option[Int]) extends LakeMaint
+  final case class LakeDropDedupIndex(base: String, layer: String,
+      name: String) extends LakeMaint
+  /** `REFRESH DEDUP INDEX [name] ON lake.`…`.layer` — explicit signature
+    * coverage rebuild; no name = every declared index.
+    */
+  final case class LakeRefreshDedupIndex(base: String, layer: String,
+      name: Option[String]) extends LakeMaint
+  /** `SHOW DEDUP INDEXES ON lake.`…`.layer` — one row per declared
+    * index with parameters + live-file coverage.
+    */
+  final case class LakeShowDedupIndexes(base: String,
+      layer: String) extends LakeMaint
   /** `ANALYZE TABLE … COMPUTE STATISTICS` — full-inventory stats
     * re-harvest as a metadata-only commit ([[Lake.analyzeStats]]).
     */
@@ -647,6 +667,26 @@ object LakeSql {
   private val ShowVIdxRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*SHOW\\s+VECTOR\\s+INDEXES\\s+ON\\s+" + TargetRe +
       "\\s*;?\\s*$")
+  // CREATE/DROP/REFRESH/SHOW DEDUP INDEX — the MinHash sibling of the
+  // vector-index statements; same lake-extension routing
+  private val CreateDIdxRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*CREATE\\s+DEDUP\\s+INDEX\\s+([A-Za-z0-9_]+)\\s+ON\\s+" +
+      TargetRe +
+      "\\s*\\(\\s*`?([A-Za-z0-9_]+)`?\\s*\\)" +
+      "\\s+ID\\s+`?([A-Za-z0-9_]+)`?" +
+      "(?:\\s+THRESHOLD\\s+([0-9]*\\.?[0-9]+))?" +
+      "(?:\\s+HASHES\\s+([0-9]+))?" +
+      "(?:\\s+BANDS\\s+([0-9]+))?" +
+      "(?:\\s+SHINGLE\\s+([0-9]+))?\\s*;?\\s*$")
+  private val DropDIdxRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*DROP\\s+DEDUP\\s+INDEX\\s+([A-Za-z0-9_]+)\\s+ON\\s+" +
+      TargetRe + "\\s*;?\\s*$")
+  private val RefreshDIdxRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*REFRESH\\s+DEDUP\\s+INDEX(?:\\s+([A-Za-z0-9_]+))?\\s+ON\\s+" +
+      TargetRe + "\\s*;?\\s*$")
+  private val ShowDIdxRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*SHOW\\s+DEDUP\\s+INDEXES\\s+ON\\s+" + TargetRe +
+      "\\s*;?\\s*$")
 
   /** Recognize a maintenance statement targeting a lake layer. None = not
     * ours (wrong leading keyword, or a non-lake target — Spark's parser
@@ -739,6 +779,32 @@ object LakeSql {
     if (svi.matches()) {
       val (base, layer) = targetOf(svi, 1)
       return Some(LakeShowVectorIndexes(base, layer))
+    }
+    val cdi = CreateDIdxRe.matcher(sqlText)
+    if (cdi.matches()) {
+      val (base, layer) = targetOf(cdi, 2)
+      return Some(LakeCreateDedupIndex(base, layer, cdi.group(1),
+        textCol = cdi.group(5), idCol = cdi.group(6),
+        threshold = Option(cdi.group(7)).map(_.toDouble),
+        hashes = Option(cdi.group(8)).map(_.toInt),
+        bands = Option(cdi.group(9)).map(_.toInt),
+        shingle = Option(cdi.group(10)).map(_.toInt)))
+    }
+    val ddi = DropDIdxRe.matcher(sqlText)
+    if (ddi.matches()) {
+      val (base, layer) = targetOf(ddi, 2)
+      return Some(LakeDropDedupIndex(base, layer, ddi.group(1)))
+    }
+    val rdi = RefreshDIdxRe.matcher(sqlText)
+    if (rdi.matches()) {
+      val (base, layer) = targetOf(rdi, 2)
+      return Some(LakeRefreshDedupIndex(base, layer,
+        Option(rdi.group(1))))
+    }
+    val sdi = ShowDIdxRe.matcher(sqlText)
+    if (sdi.matches()) {
+      val (base, layer) = targetOf(sdi, 1)
+      return Some(LakeShowDedupIndexes(base, layer))
     }
     val d = DetailRe.matcher(sqlText)
     if (d.matches()) {
@@ -837,10 +903,23 @@ object LakeSql {
     AttributeReference("covered_files", IntegerType, nullable = false)(),
     AttributeReference("total_files", IntegerType, nullable = false)())
 
+  private[io] val dedupIndexOutput: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("id_col", StringType, nullable = false)(),
+    AttributeReference("text_col", StringType, nullable = false)(),
+    AttributeReference("num_hashes", IntegerType, nullable = false)(),
+    AttributeReference("bands", IntegerType, nullable = false)(),
+    AttributeReference("rows_per_band", IntegerType, nullable = false)(),
+    AttributeReference("shingle", IntegerType, nullable = false)(),
+    AttributeReference("threshold", DoubleType, nullable = false)(),
+    AttributeReference("covered_files", IntegerType, nullable = false)(),
+    AttributeReference("total_files", IntegerType, nullable = false)())
+
   def maintOutputFor(m: LakeMaint): Seq[Attribute] = m match {
     case _: LakeHistory => historyOutput
     case _: LakeDetail => detailOutput
     case _: LakeShowVectorIndexes => vectorIndexOutput
+    case _: LakeShowDedupIndexes => dedupIndexOutput
     case _ => maintenanceOutput
   }
 
@@ -858,6 +937,12 @@ object LakeSql {
           .vectorIndexStatus(layer).map { case (m, covered, total) =>
             Row(m.name, m.kind, m.idCol, m.vecCol, m.m, m.efConstruction,
               m.nlist, m.nprobe, covered, total)
+          }
+      case LakeShowDedupIndexes(base, layer) =>
+        new Lake(session, LakeConfig(basePath = base))
+          .dedupIndexStatus(layer).map { case (m, covered, total) =>
+            Row(m.name, m.idCol, m.textCol, m.numHashes, m.bands, m.rows,
+              m.shingle, m.threshold, covered, total)
           }
       case LakeDetail(base, layer) =>
         val d = new Lake(session, LakeConfig(basePath = base))
@@ -890,6 +975,10 @@ object LakeSql {
       case _: LakeShowVectorIndexes =>
         throw new IllegalArgumentException(
           "SHOW VECTOR INDEXES returns one row per index — use " +
+            "runMaintenanceRows, not runMaintenance")
+      case _: LakeShowDedupIndexes =>
+        throw new IllegalArgumentException(
+          "SHOW DEDUP INDEXES returns one row per index — use " +
             "runMaintenanceRows, not runMaintenance")
       case LakeOptimize(_, layer, zcols, where) =>
         // Delta's delta.targetFileSize role: the statement has no size
@@ -963,6 +1052,22 @@ object LakeSql {
           case None => lake.maintainVectorIndexes(layer)
         }
         Row("REFRESH VECTOR INDEX", s"shards=$built")
+      case LakeCreateDedupIndex(_, layer, name, textCol, idCol, threshold,
+          hashes, bands, shingle) =>
+        val built = lake.createDedupIndex(layer, name, textCol, idCol,
+          threshold = threshold.getOrElse(0.8),
+          numHashes = hashes.getOrElse(64), bands = bands.getOrElse(16),
+          shingle = shingle.getOrElse(3))
+        Row("CREATE DEDUP INDEX", s"shards=$built")
+      case LakeDropDedupIndex(_, layer, name) =>
+        lake.dropDedupIndex(layer, name)
+        Row("DROP DEDUP INDEX", name)
+      case LakeRefreshDedupIndex(_, layer, name) =>
+        val built = name match {
+          case Some(n) => lake.refreshDedupIndex(layer, n)
+          case None => lake.maintainDedupIndexes(layer)
+        }
+        Row("REFRESH DEDUP INDEX", s"shards=$built")
       case LakeRepartition(_, layer, cols) =>
         val snap = lake.repartitionLayer(layer, cols)
         Row("REPARTITION", new org.apache.hadoop.fs.Path(snap).getName)

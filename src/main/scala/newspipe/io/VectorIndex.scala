@@ -46,24 +46,19 @@ object VectorIndex {
   val Kinds: Set[String] = Set("hnsw", "ivf")
 
   val DirName = "_vindex"
-  val MetaFile = "_INDEX.json"
+  val MetaFile: String = IndexArtifacts.MetaFile
 
   def indexRoot(layerPath: String, name: String): Path =
-    new Path(s"$layerPath/$DirName/$name")
+    IndexArtifacts.indexRoot(DirName, layerPath, name)
 
   def shardsDir(layerPath: String, name: String): Path =
-    new Path(indexRoot(layerPath, name), "shards")
+    IndexArtifacts.shardsDir(DirName, layerPath, name)
 
-  /** Content address of a data file's shard artifact: md5 of the
-    * FS-qualified absolute path (stable across snapshots — a carried
-    * file keeps its path; scheme+authority qualified so two lakes on
-    * different stores never alias).
+  /** Content address of a data file's shard artifact — see
+    * [[IndexArtifacts.digestOf]].
     */
-  def digestOf(qualifiedPath: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(qualifiedPath.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-  }
+  def digestOf(qualifiedPath: String): String =
+    IndexArtifacts.digestOf(qualifiedPath)
 
   def toJson(m: Meta): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -95,28 +90,16 @@ object VectorIndex {
 
   /** Digests of the artifacts currently present (one listing). */
   def existingShards(f: FileSystem, layerPath: String,
-      name: String): Set[String] = {
-    val dir = shardsDir(layerPath, name)
-    if (!f.exists(dir)) Set.empty
-    else f.listStatus(dir).iterator.map(_.getPath.getName)
-      .filter(_.endsWith(".ann")).map(_.stripSuffix(".ann")).toSet
-  }
+      name: String): Set[String] =
+    IndexArtifacts.existingShards(DirName, ".ann", f, layerPath, name)
 
-  /** Write one shard artifact crash-safely: temp file + rename. The
-    * content is DETERMINISTIC for a given data file (ascending-id
-    * insertion over immutable bytes), so a lost rename race with a
-    * concurrent maintainer is benign — whoever wins wrote the same
-    * bytes; the loser just drops its temp.
+  /** Write one shard artifact crash-safely (temp + rename; content is
+    * deterministic per data file — ascending-id insertion over immutable
+    * bytes — so a lost rename race is benign): see
+    * [[IndexArtifacts.writeShard]].
     */
   def writeShard(f: FileSystem, layerPath: String, name: String,
-      digest: String, bytes: Array[Byte]): Unit = {
-    val dir = shardsDir(layerPath, name)
-    f.mkdirs(dir)
-    val tmp = new Path(dir,
-      s".$digest.ann.tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    val dst = new Path(dir, s"$digest.ann")
-    if (!f.rename(tmp, dst)) f.delete(tmp, false)
-  }
+      digest: String, bytes: Array[Byte]): Unit =
+    IndexArtifacts.writeShard(DirName, ".ann", f, layerPath, name, digest,
+      bytes)
 }

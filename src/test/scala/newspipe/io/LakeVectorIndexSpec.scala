@@ -87,6 +87,73 @@ class LakeVectorIndexSpec extends SparkTestBase {
     (0L until 4L).foreach { i => top(i) shouldBe (i + 100000L) }
   }
 
+  test("shallow clone: index metas ride the clone, shard artifacts are " +
+      "BORROWED by content address — searchable with zero local bytes; " +
+      "post-clone appends build local shards only") {
+    val (base, lake) = newLake()
+    lake.writeAtomic(vectors(0 until 300)
+      .repartitionByRange(4, $"vec_id").sortWithinPartitions("vec_id"),
+      "emb")
+    lake.createVectorIndex("emb", "idx", "vec", "vec_id") shouldBe 4
+    lake.clone("emb", "fork")
+    // the declaration rode; not one artifact byte copied
+    lake.vectorIndexes("fork").map(_.name) shouldBe Seq("idx")
+    shardCount(base, "fork", "idx") shouldBe 0
+    // maintenance sees every shared file already covered by the source
+    lake.maintainVectorIndexes("fork") shouldBe 0
+    val (_, covered, total) = lake.vectorIndexStatus("fork").head
+    covered shouldBe total
+    // the fork answers from the SOURCE's artifacts
+    val queries = vectors(0 until 6)
+    val exact = Similarity.bruteForceTopK(queries, lake.read("fork"),
+      "vec_id", "vec", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = lake.vectorSearch("fork", queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert((exact & approx).size.toDouble / exact.size >= 0.9)
+    // post-clone append: the fork builds a LOCAL shard for its new file
+    // only; the source's artifact set is untouched
+    lake.appendAtomic(queries.limit(4)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        $"vec".cast("array<double>").as("vec")).coalesce(1), "fork")
+    shardCount(base, "fork", "idx") shouldBe 1
+    shardCount(base, "emb", "idx") shouldBe 4
+    val top = lake.vectorSearch("fork", vectors(0 until 4), k = 3)
+      .filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 4L).foreach { i => top(i) shouldBe (i + 100000L) }
+    // the source never sees the fork's rows
+    lake.vectorSearch("emb", vectors(0 until 4), k = 3)
+      .filter($"neighbor_id" >= 100000L).count() shouldBe 0L
+    // source drops its index: the fork's shared files degrade to exact
+    // scans — cost, never correctness (its own file stays covered)
+    lake.dropVectorIndex("emb", "idx")
+    val degraded = lake.vectorSearch("fork", vectors(0 until 4), k = 3)
+      .filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 4L).foreach { i => degraded(i) shouldBe (i + 100000L) }
+  }
+
+  test("cross-base clone borrows index artifacts through base: refs") {
+    val (srcBase, srcLake) = newLake()
+    srcLake.writeAtomic(vectors(0 until 200)
+      .repartitionByRange(3, $"vec_id").sortWithinPartitions("vec_id"),
+      "emb")
+    srcLake.createVectorIndex("emb", "idx", "vec", "vec_id") shouldBe 3
+    val (dstBase, dstLake) = newLake()
+    dstLake.cloneFrom(srcBase, "emb", "fork")
+    dstLake.vectorIndexes("fork").map(_.name) shouldBe Seq("idx")
+    shardCount(dstBase, "fork", "idx") shouldBe 0
+    dstLake.maintainVectorIndexes("fork") shouldBe 0
+    val queries = vectors(0 until 5)
+    val exact = Similarity.bruteForceTopK(queries, dstLake.read("fork"),
+      "vec_id", "vec", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = dstLake.vectorSearch("fork", queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert((exact & approx).size.toDouble / exact.size >= 0.9)
+  }
+
   test("uncovered files fall back to an exact scan: deleting a shard " +
       "artifact changes cost, never results") {
     val (base, lake) = newLake()
