@@ -4288,6 +4288,80 @@ object SparkEntry {
         s"""SELECT id_a, id_b, round(jaccard, 6) AS jaccard
            |FROM lake_near_dups('$root', 'docs', '$v1')
            |ORDER BY id_a, id_b""".stripMargin)
+    }),
+
+    // Ingest-time near-dedup through the persisted index (appendDeduped,
+    // the production landing primitive): a batch of [15 verbatim copies
+    // of existing docs + 10 fresh disjoint-vocabulary docs + one
+    // identical fresh twin pair] lands ONLY its 11 non-duplicates.
+    // Every copy sheds (intra-batch when two originals near-dup each
+    // other, vs-corpus otherwise — the attribution may split, the TOTAL
+    // is pinned in-query), the twin's larger id sheds, fresh rows land,
+    // and the landing signs its own file (zero re-sign pin rides the
+    // spec). Emitted = the post-landing NEW ids — a fully static oracle
+    // independent of corpus scale.
+    "q189_append_deduped" -> ((s, dir) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("q189_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val baseN = docs.count()
+      lake.writeAtomic(docs.repartitionByRange(6, col("doc_id"))
+        .sortWithinPartitions("doc_id"), "docs")
+      lake.createDedupIndex("docs", "dix", "text", "doc_id")
+      val fresh = (0 until 10).map(i =>
+        (2000000L + i, (0 until 30).map(j => s"zq${i}w$j").mkString(" ")))
+      val twinText = (0 until 30).map(j => s"zt${j}x").mkString(" ")
+      val batch = docs.filter(col("doc_id") < 15)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .union(fresh.toDF("doc_id", "text"))
+        .union(Seq((3000000L, twinText), (3000001L, twinText))
+          .toDF("doc_id", "text"))
+      val r = lake.appendDeduped(batch, "docs")
+      require(r.landed == 11 &&
+        r.droppedInBatch + r.droppedVsCorpus == 16 &&
+        r.droppedInBatch >= 1,
+        s"appendDeduped contract: landed=${r.landed} " +
+          s"inBatch=${r.droppedInBatch} vsCorpus=${r.droppedVsCorpus}")
+      require(lake.read("docs").count() == baseN + 11,
+        "the corpus must grow by exactly the non-duplicates")
+      lake.read("docs").filter(col("doc_id") >= 1000000L)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // Incremental SEMANTIC near-dedup through the persisted vector
+    // index (vectorNearDups, the embedding-space sibling of q188): the
+    // corpus lands and indexes first; q40's perturbed copies of
+    // vec_id < 50 arrive by appendAtomic (+100000) — then every
+    // cosine >= 0.95 pair touching the new batch comes from EXACT
+    // linear scans of the per-file artifacts (a threshold join cannot
+    // ride a top-k walk; recall 1.0 by construction, so the exact
+    // brute-force oracle applies with no planted-recall caveat). The
+    // corpus parquet is read only for the landing itself.
+    "q190_vector_near_dups" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q190_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      lake.writeAtomic(emb.repartitionByRange(6, col("vec_id"))
+        .sortWithinPartitions("vec_id"), "emb")
+      lake.createVectorIndex("emb", "idx", "v", "vec_id")
+      val v1 = lake.listVersions("emb").head
+      lake.appendAtomic(emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("v"), (x, i) =>
+            x * when(pmod(i, lit(2)) === 0, lit(1.05)).otherwise(lit(0.95)))
+            .as("v")).coalesce(1), "emb")
+      require(lake.maintainVectorIndexes("emb") == 0,
+        "appendAtomic must index the landing — semantic dedup must " +
+          "never rebuild")
+      lake.vectorNearDups("emb", v1, threshold = 0.95)
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -4851,6 +4925,38 @@ object SparkEntry {
         |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
         |  >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q40's exact brute-force cosine oracle over the union with the
+    // perturbed copies, restricted to pairs TOUCHING the new batch
+    // (planted ids are the 100000+ range; id_b is the greater side) —
+    // applicable with no recall caveat because vectorNearDups scans
+    // shards exactly
+    "q190_vector_near_dups" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |planted AS (
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(generate_series(1, len(v)),
+        |      i -> v[i] * (CASE WHEN i % 2 = 1 THEN 1.05 ELSE 0.95 END)) AS v
+        |  FROM e WHERE vec_id < 50),
+        |u AS (SELECT * FROM e UNION ALL SELECT * FROM planted)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE b.vec_id >= 100000
+        |  AND list_dot_product(a.v, b.v) /
+        |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        |  >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // appendDeduped's survivors are STATIC by construction: the 10 fresh
+    // disjoint-vocabulary docs land, the twin keeper lands, every copy
+    // sheds — independent of corpus scale (the in-query requires pin the
+    // counts and corpus integrity)
+    "q189_append_deduped" ->
+      """SELECT CAST(v AS BIGINT) AS doc_id FROM (VALUES
+        |  (2000000), (2000001), (2000002), (2000003), (2000004),
+        |  (2000005), (2000006), (2000007), (2000008), (2000009),
+        |  (3000000)) t(v)
+        |ORDER BY doc_id""".stripMargin,
     // complement ∪ the two data-derived regions (en tripled via the API,
     // de +2000 via dynamic-mode INSERT OVERWRITE)
     "q185_dynamic_overwrite" ->

@@ -6202,16 +6202,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * raise `oversample` (the standard filtered-ANN recall trade,
     * documented rather than hidden).
     */
-  def vectorSearch(layer: String, queries: DataFrame, k: Int,
-      indexName: Option[String] = None, efSearch: Int = 96,
-      version: Option[String] = None,
-      filter: Option[org.apache.spark.sql.Column] = None,
-      oversample: Int = 4): DataFrame = {
-    import org.apache.spark.sql.functions.{asc, col, desc, row_number}
+  private def resolveVectorIndex(layer: String,
+      indexName: Option[String]): VectorIndex.Meta = {
     val metas = vectorIndexes(layer)
     require(metas.nonEmpty,
       s"layer '$layer' has no vector index — createVectorIndex first")
-    val meta = indexName match {
+    indexName match {
       case Some(n) => metas.find(_.name == n).getOrElse(
         throw new NoSuchElementException(s"layer '$layer' has no vector " +
           s"index '$n' (declared: ${metas.map(_.name).mkString(", ")})"))
@@ -6221,6 +6217,15 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           s"(${metas.map(_.name).mkString(", ")})")
         metas.head
     }
+  }
+
+  def vectorSearch(layer: String, queries: DataFrame, k: Int,
+      indexName: Option[String] = None, efSearch: Int = 96,
+      version: Option[String] = None,
+      filter: Option[org.apache.spark.sql.Column] = None,
+      oversample: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions.{asc, col, desc, row_number}
+    val meta = resolveVectorIndex(layer, indexName)
     val snap = version match {
       case Some(v) =>
         val p = new Path(s"${layerPath(layer)}/_v/$v")
@@ -6343,6 +6348,134 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Incremental SEMANTIC near-dedup through the persisted vector
+    * index: every `(id_a, id_b, cos)` with `cos >= threshold` between a
+    * vector in a file added AFTER `sinceVersion` and any live vector
+    * (old or new), `id_a < id_b` — the embedding-space sibling of
+    * [[nearDups]]' text pass, and EXACT: covered shards are scanned
+    * linearly from their artifacts (a threshold join cannot ride a
+    * top-k graph walk — a query may have more than k qualifying
+    * partners in one shard; per-file shards are small, so the exact
+    * pass costs little and recall is 1.0 by construction); uncovered or
+    * DV-bearing files scan from parquet, alive rows only.
+    *
+    * The new batch rides a broadcast (the vectorSearch query-batch
+    * contract): landing-sized, against an unbounded corpus whose bytes
+    * are never re-read beyond the index artifacts — one task per shard,
+    * zero shuffles before the final pair dedup. All-pairs semantic
+    * dedup over the WHOLE corpus is a different shape (broadcast would
+    * not scale): that remains the cluster-bucketed SemDeDup path in
+    * [[newspipe.ops.Dedup]].
+    */
+  def vectorNearDups(layer: String, sinceVersion: String,
+      threshold: Double, indexName: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, greatest, least}
+    require(threshold > -1.0 && threshold <= 1.0,
+      s"cosine threshold must be in (-1, 1], got $threshold")
+    val meta = resolveVectorIndex(layer, indexName)
+    val snap = latestSnapshot(layer).getOrElse(
+      throw new IllegalStateException(
+        s"layer '$layer' has no committed snapshot"))
+    val base = layerPath(layer)
+    val f = fs(new Path(base))
+    val inv = snapshotInventory(layer, snap)
+    val since = new Path(s"$base/_v/$sinceVersion")
+    require(f.exists(new Path(since, "_COMMITTED")),
+      s"layer '$layer' has no committed snapshot '$sinceVersion'")
+    val oldInv = snapshotInventory(layer, since).toSet
+    val newRels = inv.filterNot(oldInv)
+    import spark.implicits._
+    def emptyPairs: DataFrame = spark.emptyDataset[(Long, Long, Double)]
+      .toDF("id_a", "id_b", "cos")
+    if (newRels.isEmpty) return emptyPairs
+    val dv = dvMapOf(snap)
+    val schema = snapshotSchema(layer, snap)
+    // the NEW side: the landing's alive vectors, collected + broadcast
+    val newMetaed = readRelFiles(layer, newRels,
+      schemaHint = Some(schema), withMeta = dv.nonEmpty)
+    val newAlive = if (dv.isEmpty) newMetaed
+      else dvFilter(newMetaed, dvPairs(base, snap, Some(newRels.toSet)))
+    val newRows: Array[(Long, Array[Double])] = newAlive
+      .select(col(meta.idCol).cast("long"), col(meta.vecCol))
+      .collect()
+      .map(r => (r.getLong(0), newspipe.ops.Hnsw.toRaw(r.get(1))))
+      .sortBy(_._1)
+    if (newRows.isEmpty) return emptyPairs
+    val qB = spark.sparkContext.broadcast(newRows)
+    val artifacts = reachableShardArtifacts(layer, meta.name, inv)
+    def qualify(rel: String): String =
+      f.makeQualified(new Path(resolveRel(base, rel))).toString
+    val withDigest = inv.map(rel =>
+      rel -> IndexArtifacts.digestOf(qualify(rel)))
+    val (covered, uncovered) = withDigest.partition { case (rel, d) =>
+      artifacts.contains(d) && !dv.contains(rel) }
+    val fromArtifacts: DataFrame =
+      if (covered.isEmpty) emptyPairs
+      else {
+        val confB = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration))
+        val paths = covered.map { case (_, d) => artifacts(d).toString }
+        val nSlices = math.max(1, math.min(paths.size,
+          spark.sparkContext.defaultParallelism * 2))
+        val (t, kind) = (threshold, meta.kind)
+        spark.sparkContext.parallelize(paths, nSlices)
+          .mapPartitions { ps =>
+            val hc = confB.value.value
+            ps.flatMap { p =>
+              val path = new org.apache.hadoop.fs.Path(p)
+              val fsys = path.getFileSystem(hc)
+              val bytes =
+                new Array[Byte](fsys.getFileStatus(path).getLen.toInt)
+              val in = fsys.open(path)
+              try in.readFully(bytes) finally in.close()
+              kind match {
+                case "ivf" => newspipe.ops.IvfFlat.scanShardBytes(
+                  bytes, qB.value, t)
+                case _ => newspipe.ops.Hnsw.scanGraphBytes(
+                  bytes, qB.value, t)
+              }
+            }
+          }.toDF("id_a", "id_b", "cos")
+      }
+    val fromScan: DataFrame =
+      if (uncovered.isEmpty) emptyPairs
+      else {
+        val rels = uncovered.map(_._1)
+        val metaed = readRelFiles(layer, rels, schemaHint = Some(schema),
+          withMeta = dv.nonEmpty)
+        val alive = if (dv.isEmpty) metaed
+          else dvFilter(metaed, dvPairs(base, snap, Some(rels.toSet)))
+        val t = threshold
+        alive.select(col(meta.idCol).cast("long"), col(meta.vecCol)).rdd
+          .mapPartitions { rows =>
+            // normalize the broadcast batch ONCE per task; the corpus
+            // row normalizes with the same unitOrZero the artifact
+            // builder used, so both legs' cosines agree bit-for-bit
+            val qs = qB.value.map { case (qid, qv) =>
+              (qid, newspipe.ops.Hnsw.unitOrZero(qv)) }
+            rows.flatMap { r =>
+              val id = r.getLong(0)
+              val v = newspipe.ops.Hnsw.unitOrZero(
+                newspipe.ops.Hnsw.toRaw(r.get(1)))
+              qs.iterator.flatMap { case (qid, q) =>
+                var s = 0.0
+                var j = 0
+                val n = math.min(q.length, v.length)
+                while (j < n) { s += q(j) * v(j); j += 1 }
+                if (s >= t) Iterator.single((qid, id, s))
+                else Iterator.empty
+              }
+            }
+          }.toDF("id_a", "id_b", "cos")
+      }
+    fromArtifacts.unionByName(fromScan)
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** The layer root a cross-layer rel points into (None = the rel is
@@ -6633,15 +6766,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * incremental mode buckets holding no NEW member leave before the
     * join — old-old buckets cannot produce a wanted pair.
     */
-  def nearDups(layer: String, indexName: Option[String] = None,
-      sinceVersion: Option[String] = None, maxBucket: Int = 1000,
-      eager: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.functions.{col, count, explode, greatest,
-      least, lit, max}
+  private def resolveDedupIndex(layer: String,
+      indexName: Option[String]): DedupIndex.Meta = {
     val metas = dedupIndexes(layer)
     require(metas.nonEmpty,
       s"layer '$layer' has no dedup index — createDedupIndex first")
-    val meta = indexName match {
+    indexName match {
       case Some(n) => metas.find(_.name == n).getOrElse(
         throw new NoSuchElementException(s"layer '$layer' has no dedup " +
           s"index '$n' (declared: ${metas.map(_.name).mkString(", ")})"))
@@ -6651,21 +6781,32 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           s"(${metas.map(_.name).mkString(", ")})")
         metas.head
     }
-    val snap = latestSnapshot(layer).getOrElse(
-      throw new IllegalStateException(
-        s"layer '$layer' has no committed snapshot"))
+  }
+
+  /** The index's banded-signature expression — the ONE definition both
+    * the artifact builder and every inline-signing path evaluate, so
+    * persisted and computed signatures always agree.
+    */
+  private def dedupBandsExpr(meta: DedupIndex.Meta)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    newspipe.ops.Dedup.lshBands(
+      newspipe.ops.Dedup.minhashSignature(
+        newspipe.ops.Dedup.shingles(col(meta.textCol), meta.shingle),
+        meta.numHashes), meta.bands, meta.rows)
+  }
+
+  /** `(id, band, bucket, is_new)` signature rows for the snapshot's
+    * WHOLE inventory: persisted artifacts where they exist (text not
+    * read), inline signing for uncovered files (cost, never
+    * correctness). `newRels` tags rows from those files `is_new`.
+    */
+  private def dedupSignatures(layer: String, meta: DedupIndex.Meta,
+      snap: Path, newRels: Set[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, lit}
     val base = layerPath(layer)
     val f = fs(new Path(base))
     val inv = snapshotInventory(layer, snap)
-    val newRels: Set[String] = sinceVersion match {
-      case Some(v) =>
-        val p = new Path(s"$base/_v/$v")
-        require(f.exists(new Path(p, "_COMMITTED")),
-          s"layer '$layer' has no committed snapshot '$v'")
-        val oldInv = snapshotInventory(layer, p).toSet
-        inv.filterNot(oldInv).toSet
-      case None => Set.empty
-    }
     val artifacts = reachableShardArtifacts(layer, meta.name, inv,
       DedupIndex.DirName, DedupIndex.Ext)
     def qualify(rel: String): String =
@@ -6708,15 +6849,36 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       if (rels.isEmpty) None
       else Some(readRelFiles(layer, rels, schemaHint = Some(schema))
         .select(col(meta.idCol).cast("long").as("id"),
-          explode(newspipe.ops.Dedup.lshBands(
-            newspipe.ops.Dedup.minhashSignature(
-              newspipe.ops.Dedup.shingles(col(meta.textCol), meta.shingle),
-              meta.numHashes), meta.bands, meta.rows)).as("__bb"))
+          explode(dedupBandsExpr(meta)).as("__bb"))
         .select(col("id"), col("__bb.band").as("band"),
           col("__bb.bucket").as("bucket"), lit(isNew).as("is_new")))
     val (uncovNew, uncovOld) = uncovered.map(_._1).partition(newRels.contains)
-    val all = (Seq(fromArtifacts) ++ scanned(uncovNew, isNew = true) ++
+    (Seq(fromArtifacts) ++ scanned(uncovNew, isNew = true) ++
       scanned(uncovOld, isNew = false)).reduce(_.unionByName(_))
+  }
+
+  def nearDups(layer: String, indexName: Option[String] = None,
+      sinceVersion: Option[String] = None, maxBucket: Int = 1000,
+      eager: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, greatest, least,
+      lit, max}
+    val meta = resolveDedupIndex(layer, indexName)
+    val snap = latestSnapshot(layer).getOrElse(
+      throw new IllegalStateException(
+        s"layer '$layer' has no committed snapshot"))
+    val base = layerPath(layer)
+    val f = fs(new Path(base))
+    val inv = snapshotInventory(layer, snap)
+    val newRels: Set[String] = sinceVersion match {
+      case Some(v) =>
+        val p = new Path(s"$base/_v/$v")
+        require(f.exists(new Path(p, "_COMMITTED")),
+          s"layer '$layer' has no committed snapshot '$v'")
+        val oldInv = snapshotInventory(layer, p).toSet
+        inv.filterNot(oldInv).toSet
+      case None => Set.empty
+    }
+    val all = dedupSignatures(layer, meta, snap, newRels)
     val keptBuckets = all.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__n"), max(col("is_new")).as("__hasNew"))
       .filter(col("__n").between(2, maxBucket) &&
@@ -6737,6 +6899,97 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       col(meta.idCol).cast("long").as(meta.idCol), col(meta.textCol))
     newspipe.ops.Dedup.jaccardVerify(cand, alive, meta.idCol, meta.textCol,
       n = meta.shingle, threshold = meta.threshold, eager = eager)
+  }
+
+  /** Ingest-time near-dedup — the production primitive the dedup index
+    * exists for: land ONLY the rows of `df` that are near-duplicates of
+    * neither the existing corpus nor an earlier row of the batch itself.
+    *
+    * Two passes, both candidate-bounded: (1) intra-batch keep-min-id —
+    * the batch's own signatures self-join on `(band, bucket)` and every
+    * exact-verified pair sheds its LARGER id; (2) survivors' signatures
+    * join the PERSISTED corpus signatures, and a survivor with any
+    * exact-verified corpus partner is shed. Landing a batch therefore
+    * costs [shingle the batch] + [signature joins] + [verify candidates
+    * — the only time corpus text is read, and only the candidates'] +
+    * [appendAtomic of the survivors, which signs their files for the
+    * NEXT batch]. The corpus is never re-shingled: this is the
+    * steady-state "dedup the daily landing against 100 TB" shape.
+    *
+    * The batch is materialized once (eager localCheckpoint) — the rows
+    * signed are exactly the rows landed, the same one-evaluation
+    * contract as the overwrite family. Ids must be corpus-unique (the
+    * engine-wide id contract); an all-duplicate batch commits nothing
+    * and returns `snapshot = None`.
+    */
+  def appendDeduped(df: DataFrame, layer: String,
+      indexName: Option[String] = None, maxBucket: Int = 1000)
+      : Lake.AppendDedupResult = {
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    val meta = resolveDedupIndex(layer, indexName)
+    val snap = latestSnapshot(layer).getOrElse(
+      throw new IllegalStateException(
+        s"layer '$layer' has no committed snapshot — appendDeduped lands " +
+          "increments against an existing corpus (writeAtomic first)"))
+    val batch = df.localCheckpoint(true)
+    val batchN = batch.count()
+    if (batchN == 0)
+      return Lake.AppendDedupResult(None, 0L, 0L, 0L)
+    val sigs = batch.select(col(meta.idCol).cast("long").as("id"),
+        explode(dedupBandsExpr(meta)).as("__bb"))
+      .select(col("id"), col("__bb.band").as("band"),
+        col("__bb.bucket").as("bucket"))
+      .localCheckpoint(true) // three joins reuse it; batch-sized
+    // (1) intra-batch: greedy keep-min-id over verified pairs
+    val intraCand = sigs.select(col("band"), col("bucket"),
+        col("id").as("__l"))
+      .join(sigs.select(col("band"), col("bucket"), col("id").as("__r")),
+        Seq("band", "bucket"))
+      .filter(col("__l") < col("__r"))
+      .select(col("__l").as("id_a"), col("__r").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val batchKeyed = batch.select(
+      col(meta.idCol).cast("long").as(meta.idCol), col(meta.textCol))
+    val dropIntra = newspipe.ops.Dedup.jaccardVerify(intraCand, batchKeyed,
+        meta.idCol, meta.textCol, n = meta.shingle,
+        threshold = meta.threshold)
+      .select(col("id_b").as("__drop")).distinct().localCheckpoint(true)
+    val nIntra = dropIntra.count()
+    val surv = batch.join(dropIntra,
+      col(meta.idCol).cast("long") === col("__drop"), "left_anti")
+    val survSigs = sigs.join(dropIntra, col("id") === col("__drop"),
+      "left_anti")
+    // (2) vs corpus: survivors' signatures against the persisted ones;
+    // the skew cap drops only corpus-hot buckets (other bands still
+    // carry their members)
+    val corpusSigs = dedupSignatures(layer, meta, snap, Set.empty)
+    val keptBuckets = corpusSigs.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
+      .select("band", "bucket")
+    val crossCand = survSigs.select(col("band"), col("bucket"),
+        col("id").as("id_b"))
+      .join(corpusSigs.join(keptBuckets, Seq("band", "bucket"))
+        .select(col("band"), col("bucket"), col("id").as("id_a")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val combined = read(layer).select(
+        col(meta.idCol).cast("long").as(meta.idCol), col(meta.textCol))
+      .unionByName(surv.select(
+        col(meta.idCol).cast("long").as(meta.idCol), col(meta.textCol)))
+    val dropCross = newspipe.ops.Dedup.jaccardVerify(crossCand, combined,
+        meta.idCol, meta.textCol, n = meta.shingle,
+        threshold = meta.threshold)
+      .select(col("id_b").as("__drop2")).distinct().localCheckpoint(true)
+    val nCross = dropCross.count()
+    val landedDf = surv.join(dropCross,
+      col(meta.idCol).cast("long") === col("__drop2"), "left_anti")
+    val landedN = batchN - nIntra - nCross
+    val snapOut =
+      if (landedN == 0L) None
+      else Some(appendAtomic(landedDf, layer).snapshot)
+    Lake.AppendDedupResult(snapOut, landedN, nIntra, nCross)
   }
 
   /** Reclaim snapshot storage: keep the newest `keep` committed snapshots;
@@ -7274,6 +7527,14 @@ object Lake {
     */
   final case class RowOpResult(snapshot: String, rewrittenFiles: Int,
       carriedFiles: Int, noop: Boolean = false)
+
+  /** [[Lake.appendDeduped]] outcome: `snapshot` is None when every batch
+    * row was a near-duplicate (nothing landed, no commit);
+    * `droppedInBatch` counts rows shed by the intra-batch keep-min-id
+    * pass, `droppedVsCorpus` rows shed against the existing corpus.
+    */
+  final case class AppendDedupResult(snapshot: Option[String],
+      landed: Long, droppedInBatch: Long, droppedVsCorpus: Long)
 
   /** [[Lake.rowLevelSnapshot]] result — everything a v2 group-based
     * row-level scan/write pair needs, pinned at scan-build time:

@@ -380,6 +380,35 @@ object Hnsw {
     }
   }
 
+  /** EXACT cosine-threshold scan of a serialized shard graph: every
+    * (query_id, node_id, cos) with `cos >= threshold` — one linear pass
+    * over the shard's stored (already unit-normalized) vectors, NO graph
+    * traversal, so recall is 1.0 by construction. The semantic-near-dup
+    * leg: a threshold join cannot ride a top-k walk (a query may have
+    * more than k qualifying partners in one shard), and per-file shards
+    * are small enough that the exact pass costs little.
+    */
+  private[newspipe] def scanGraphBytes(bytes: Array[Byte],
+      queries: Array[(Long, Array[Double])],
+      threshold: Double): Iterator[(Long, Long, Double)] = {
+    val g = readGraph(bytes)
+    queries.iterator.flatMap { case (qid, qv) =>
+      val q = unitOrZero(qv)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < g.vecs.length) {
+        val v = g.vecs(i)
+        var s = 0.0
+        var j = 0
+        val n = math.min(q.length, v.length)
+        while (j < n) { s += q(j) * v(j); j += 1 }
+        if (s >= threshold) out += ((qid, g.ids(i), s))
+        i += 1
+      }
+      out.iterator
+    }
+  }
+
   /** Raw double extraction from a Spark array value (float or double
     * elements) — NO normalization; [[buildGraphBytes]]/[[searchGraphBytes]]
     * normalize exactly once, the same single normalization the in-memory

@@ -169,4 +169,49 @@ object IvfFlat {
       buf.iterator
     }
   }
+
+  /** EXACT cosine-threshold scan of a serialized shard: every
+    * (query_id, member_id, cos) with `cos >= threshold`, visiting ALL
+    * cells — no probe selection, so recall is 1.0 by construction (the
+    * semantic-near-dup leg; [[Hnsw.scanGraphBytes]]'s contract for the
+    * ivf kind).
+    */
+  private[newspipe] def scanShardBytes(bytes: Array[Byte],
+      queries: Array[(Long, Array[Double])],
+      threshold: Double): Iterator[(Long, Long, Double)] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    require(in.readInt() == Magic,
+      "not a serialized IVF-Flat shard (bad magic)")
+    val nlist = in.readInt(); val dim = in.readInt(); in.readInt()
+    var skip = 0
+    while (skip < nlist * dim) { in.readDouble(); skip += 1 }
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    var c = 0
+    while (c < nlist) {
+      val cnt = in.readInt()
+      var m = 0
+      while (m < cnt) {
+        ids += in.readLong()
+        val v = new Array[Double](dim)
+        var j = 0
+        while (j < dim) { v(j) = in.readDouble(); j += 1 }
+        vecs += v
+        m += 1
+      }
+      c += 1
+    }
+    queries.iterator.flatMap { case (qid, qraw) =>
+      val q = Hnsw.unitOrZero(qraw)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < vecs.length) {
+        val s = dot(q, vecs(i))
+        if (s >= threshold) out += ((qid, ids(i), s))
+        i += 1
+      }
+      out.iterator
+    }
+  }
 }

@@ -182,6 +182,48 @@ class LakeDedupIndexSpec extends SparkTestBase {
     cov3 shouldBe 2
   }
 
+  test("appendDeduped: only non-duplicate rows land — intra-batch " +
+      "keep-min-id, corpus near-dups shed through persisted signatures, " +
+      "an all-duplicate batch commits nothing") {
+    val (_, lake) = newLake()
+    lake.writeAtomic(docs(0 until 50).repartitionByRange(3, $"doc_id")
+      .sortWithinPartitions("doc_id"), "docs")
+    lake.createDedupIndex("docs", "dix", "text", "doc_id")
+    // batch: 6 verbatim copies of old docs + 4 fresh docs + a fresh twin
+    // pair (identical text, distinct ids)
+    val twinText = (0 until 15).map(j => s"zulu$j").mkString(" ")
+    val batch = docs(10 until 16)
+      .select(($"doc_id" + 1000).as("doc_id"), $"text")
+      .toDF("doc_id", "text")
+      .union(docs(900 until 904))
+      .union(Seq((2000L, twinText), (2001L, twinText))
+        .toDF("doc_id", "text"))
+    val r = lake.appendDeduped(batch, "docs")
+    r.droppedInBatch shouldBe 1 // the twin's larger id
+    r.droppedVsCorpus shouldBe 6 // every verbatim copy
+    r.landed shouldBe 5
+    r.snapshot.isDefined shouldBe true
+    lake.read("docs").filter($"doc_id" >= 900)
+      .select("doc_id").as[Long].collect().toSet shouldBe
+      Set(900L, 901L, 902L, 903L, 2000L)
+    // the landing signed its own file — the next batch re-signs nothing
+    lake.maintainDedupIndexes("docs") shouldBe 0
+    // an all-duplicate batch (the fresh docs re-landed under new ids)
+    // commits NOTHING — no snapshot, no version bump
+    val head = lake.listVersions("docs").head
+    val r2 = lake.appendDeduped(docs(900 until 904)
+      .select(($"doc_id" + 5000).as("doc_id"), $"text")
+      .toDF("doc_id", "text"), "docs")
+    r2.landed shouldBe 0
+    r2.droppedVsCorpus shouldBe 4
+    r2.snapshot shouldBe None
+    lake.listVersions("docs").head shouldBe head
+    // empty batch: noop
+    val r3 = lake.appendDeduped(docs(0 until 0), "docs")
+    r3.landed shouldBe 0
+    r3.snapshot shouldBe None
+  }
+
   test("SQL surface: CREATE DEDUP INDEX / lake_near_dups TVF / SHOW / " +
       "REFRESH / DROP") {
     val (base, lake) = newLake()

@@ -154,6 +154,74 @@ class LakeVectorIndexSpec extends SparkTestBase {
     assert((exact & approx).size.toDouble / exact.size >= 0.9)
   }
 
+  test("vectorNearDups: incremental cosine-threshold pairs through the " +
+      "persisted artifacts match exact ground truth — multi-partner " +
+      "pairs prove it scans (not top-k), DV-deleted vectors drop, both " +
+      "kinds agree") {
+    val (_, lake) = newLake()
+    lake.writeAtomic(vectors(0 until 300)
+      .repartitionByRange(4, $"vec_id").sortWithinPartitions("vec_id"),
+      "emb")
+    lake.createVectorIndex("emb", "idx", "vec", "vec_id")
+    lake.createVectorIndex("emb", "ivx", "vec", "vec_id", kind = "ivf",
+      nlist = 8, nprobe = 2)
+    val v1 = lake.listVersions("emb").head
+    // the landing: exact copies of 0..5 (+100000) and THREE copies of
+    // doc 7 — doc 7 then has more qualifying partners than a small
+    // top-k would surface from one shard
+    val planted = vectors(0 until 6)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        $"vec".cast("array<double>").as("vec"))
+      .union(vectors(7 until 8).select(($"vec_id" + 200000L).as("vec_id"),
+        $"vec".cast("array<double>").as("vec")))
+      .union(vectors(7 until 8).select(($"vec_id" + 200001L).as("vec_id"),
+        $"vec".cast("array<double>").as("vec")))
+      .union(vectors(7 until 8).select(($"vec_id" + 200002L).as("vec_id"),
+        $"vec".cast("array<double>").as("vec")))
+    lake.appendAtomic(planted.coalesce(1), "emb")
+    lake.maintainVectorIndexes("emb") shouldBe 0
+    // exact ground truth, driver-side over the union (309 vectors)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val all: Array[(Long, Array[Double])] =
+      lake.read("emb").select($"vec_id", $"vec")
+        .as[(Long, Seq[Double])].collect()
+        .map(r => (r._1, unit(r._2.toArray)))
+    val newIds = all.map(_._1).filter(_ >= 100000L).toSet
+    def truthAt(t: Double): Set[(Long, Long)] = {
+      val out = scala.collection.mutable.Set.empty[(Long, Long)]
+      for (a <- all; b <- all) {
+        if (a._1 < b._1 && (newIds(a._1) || newIds(b._1))) {
+          var s = 0.0
+          var j = 0
+          val n = math.min(a._2.length, b._2.length)
+          while (j < n) { s += a._2(j) * b._2(j); j += 1 }
+          if (s >= t) out += ((a._1, b._1))
+        }
+      }
+      out.toSet
+    }
+    val expect = truthAt(0.95)
+    // copies give cos 1.0 pairs; doc 7's clique alone is 6 pairs
+    assert(expect.size >= 9)
+    def got(idx: String): Set[(Long, Long)] =
+      lake.vectorNearDups("emb", v1, threshold = 0.95,
+          indexName = Some(idx))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    got("idx") shouldBe expect
+    got("ivx") shouldBe expect // exact by construction for BOTH kinds
+    // DV-delete one planted copy: its pairs drop, nothing else changes
+    lake.deleteWhereDv("emb", $"vec_id" === 100003L)
+    got("idx") shouldBe expect.filterNot(p =>
+      p._1 == 100003L || p._2 == 100003L)
+    // unknown since-version refused
+    intercept[IllegalArgumentException] {
+      lake.vectorNearDups("emb", "nope", 0.95, Some("idx"))
+    }
+  }
+
   test("uncovered files fall back to an exact scan: deleting a shard " +
       "artifact changes cost, never results") {
     val (base, lake) = newLake()
