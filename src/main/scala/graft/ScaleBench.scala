@@ -769,8 +769,11 @@ object ScaleBench {
       val lake = new newspipe.io.Lake(spark,
         newspipe.io.LakeConfig(basePath = root))
       val nFiles = 4 * copies
+      // 120-word documents: long enough that the shingle+hash pass over
+      // text (what the index amortizes away) is the visible cost, not
+      // the per-job fixed overheads
       def textOf(idc: org.apache.spark.sql.Column) =
-        concat_ws(" ", transform(sequence(lit(0), lit(11)), j =>
+        concat_ws(" ", transform(sequence(lit(0), lit(119)), j =>
           pmod(xxhash64(idc, j), lit(1000L)).cast("string")))
       val corpus = spark.range(nFiles.toLong * 500)
         .select(col("id").as("doc_id"), textOf(col("id")).as("text"))

@@ -4331,6 +4331,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PQ persisted index (the third kind, memory-compressed): per-file
+    // product-quantization codebooks + m-byte codes (~64× smaller than
+    // raw vectors at dim 64), searched by ADC shortlist + EXACT refine
+    // of the candidates' true vectors — the twin's byte-identical code
+    // tops its shard's ADC shortlist, and the refine pins cos 1.0 at
+    // rank 1 exactly. Same append-then-search shape and argmax ground
+    // truth as q186/q187, through the statement + TVF route.
+    "q191_vector_index_pq" -> ((s, dir) => {
+      newspipe.NewspipeExtensions.register(s)
+      val root = java.nio.file.Files.createTempDirectory("q191_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        .filter(newspipe.ops.Similarity.l2Norm(col("embedding")) > 0)
+      val queries = emb.filter(col("vec_id") < 10)
+      lake.writeAtomic(emb.repartitionByRange(6, col("vec_id"))
+        .sortWithinPartitions("vec_id"), "emb")
+      newspipe.io.LakeSql.sql(s,
+        s"CREATE VECTOR INDEX pqx ON lake.`$root`.emb (embedding) " +
+          "ID vec_id USING PQ PQM 8 PQK 128")
+      lake.appendAtomic(queries
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        .coalesce(1), "emb")
+      require(lake.maintainVectorIndexes("emb") == 0,
+        "appendAtomic must code the increment's files only")
+      queries.createOrReplaceTempView("q191_queries")
+      s.sql(
+        s"""SELECT query_id, neighbor_id
+           |FROM lake_vector_search('$root', 'emb', 'q191_queries', 5, 'pqx')
+           |WHERE rank = 1""".stripMargin)
+        .orderBy("query_id")
+    }),
+
     // Incremental SEMANTIC near-dedup through the persisted vector
     // index (vectorNearDups, the embedding-space sibling of q188): the
     // corpus lands and indexes first; q40's perturbed copies of
@@ -4894,6 +4927,7 @@ object SparkEntry {
     // (planted twins land via append + incremental index maintenance)
     "q186_vector_index" -> annArgmaxOracleSql,
     "q187_vector_index_ivf" -> annArgmaxOracleSql,
+    "q191_vector_index_pq" -> annArgmaxOracleSql,
     // the q26 exact-Jaccard oracle over the union with the planted
     // copies, restricted to pairs TOUCHING a new doc (planted ids are
     // the 1000000+ range; id_b is the greater side, so `id_b >= 1000000`

@@ -356,6 +356,29 @@ object NewspipeExtensions {
             newspipe.io.LakeConfig(basePath = base))
             .nearDups(layer, idx, since, eager = false))
         }),
+      // incremental SEMANTIC near-dedup in FROM position: SELECT * FROM
+      // lake_vector_near_dups('/lake/root', 'docs', 'since_version',
+      // 0.95 [, 'index_name']) → (id_a, id_b, cos) — exact
+      // cosine-threshold pairs of the post-since landing vs the whole
+      // corpus, answered from the vector index artifacts
+      (new FunctionIdentifier("lake_vector_near_dups"),
+        new ExpressionInfo("newspipe.NewspipeExtensions",
+          "lake_vector_near_dups"),
+        (children: Seq[Expression]) => {
+          require(children.length == 4 || children.length == 5,
+            "lake_vector_near_dups(base_path, layer, since_version, " +
+              "threshold[, index_name]) takes 4 or 5 arguments")
+          val base = stringArg("lake_vector_near_dups", children(0))
+          val layer = stringArg("lake_vector_near_dups", children(1))
+          val since = stringArg("lake_vector_near_dups", children(2))
+          val threshold = doubleArg("lake_vector_near_dups", children(3))
+          val idx = children.lift(4)
+            .map(stringArg("lake_vector_near_dups", _)).filter(_.nonEmpty)
+          val spark = SparkSession.active
+          NewspipeSqlBridge.logicalPlan(new newspipe.io.Lake(spark,
+            newspipe.io.LakeConfig(basePath = base))
+            .vectorNearDups(layer, since, threshold, idx))
+        }),
       (new FunctionIdentifier("asof_join"),
         new ExpressionInfo("newspipe.NewspipeExtensions", "asof_join"),
         (children: Seq[Expression]) => {

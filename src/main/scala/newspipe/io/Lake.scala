@@ -6003,7 +6003,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     */
   def createVectorIndex(layer: String, name: String, vecCol: String,
       idCol: String, kind: String = "hnsw", m: Int = 16,
-      efConstruction: Int = 128, nlist: Int = 64, nprobe: Int = 8): Int = {
+      efConstruction: Int = 128, nlist: Int = 64, nprobe: Int = 8,
+      pqM: Int = 8, pqK: Int = 256): Int = {
+    require(pqM >= 1 && pqK >= 1 && pqK <= 256,
+      s"pq parameters out of range: pqM=$pqM, pqK=$pqK (codes are bytes)")
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
       s"vector index name '$name' must be alphanumeric/underscore")
     require(VectorIndex.Kinds.contains(kind),
@@ -6022,7 +6025,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     require(vectorIndexes(layer).forall(_.name != name),
       s"layer '$layer' already has a vector index '$name' — drop it first")
     val meta = VectorIndex.Meta(name, kind, idCol, vecCol, m,
-      efConstruction, nlist, nprobe)
+      efConstruction, nlist, nprobe, pqM, pqK)
     val root = VectorIndex.indexRoot(layerPath(layer), name)
     val f = fs(root)
     f.mkdirs(root)
@@ -6162,6 +6165,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
             val bytes = mMeta.kind match {
               case "ivf" => newspipe.ops.IvfFlat.buildShardBytes(
                 buf.toArray, mMeta.nlist)
+              case "pq" => newspipe.ops.PqShard.buildShardBytes(
+                buf.toArray, mMeta.pqM, mMeta.pqK)
               case _ => newspipe.ops.Hnsw.buildGraphBytes(
                 buf.toArray, mMeta.m, mMeta.efConstruction)
             }
@@ -6288,11 +6293,15 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         val nSlices = math.max(1, math.min(paths.size,
           spark.sparkContext.defaultParallelism * 2))
         // +1: a query's own row may occupy one slot in its file; a
-        // filter over-fetches so post-validation still fills k
+        // filter over-fetches so post-validation still fills k, and PQ
+        // over-fetches so the exact refine can reorder the quantized
+        // shortlist without losing true top-k members
         val fetch =
-          if (filter.isDefined) k * math.max(1, oversample) + 1 else k + 1
+          if (filter.isDefined || meta.kind == "pq")
+            k * math.max(1, oversample) + 1
+          else k + 1
         val (ef, mMeta) = (efSearch, meta)
-        val raw = spark.sparkContext.parallelize(paths, nSlices)
+        val raw0 = spark.sparkContext.parallelize(paths, nSlices)
           .mapPartitions { ps =>
             val hc = confB.value.value
             ps.flatMap { p =>
@@ -6305,11 +6314,35 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
               mMeta.kind match {
                 case "ivf" => newspipe.ops.IvfFlat.searchShardBytes(
                   bytes, qB.value, fetch, mMeta.nprobe)
+                case "pq" => newspipe.ops.PqShard.searchShardBytes(
+                  bytes, qB.value, fetch)
                 case _ => newspipe.ops.Hnsw.searchGraphBytes(
                   bytes, qB.value, fetch, ef)
               }
             }
           }.toDF("query_id", "neighbor_id", "cos")
+        // PQ emits QUANTIZED scores — refine the shortlist exactly
+        // (FAISS's refine step): one column-pruned id scan of the
+        // covered files for the candidate ids only, cosine recomputed
+        // with the same expression the exact leg uses
+        val raw =
+          if (meta.kind != "pq") raw0
+          else {
+            val qDf = org.apache.spark.sql.functions.broadcast(
+              qRows.toSeq.toDF("query_id", "__qv"))
+            val cand = raw0.select("query_id", "neighbor_id")
+            val vecsDf = readRelFiles(layer, covered.map(_._1),
+                schemaHint = Some(schema))
+              .select(col(meta.idCol).cast("long").as("neighbor_id"),
+                col(meta.vecCol).cast("array<double>").as("__cv"))
+              .join(cand.select("neighbor_id").distinct(),
+                Seq("neighbor_id"), "left_semi")
+            cand.join(vecsDf, Seq("neighbor_id"))
+              .join(qDf, Seq("query_id"))
+              .withColumn("cos", newspipe.ops.Similarity.cosine(
+                col("__qv"), col("__cv")).cast("double"))
+              .select("query_id", "neighbor_id", "cos")
+          }
         filter match {
           case Some(p) =>
             // candidate VALIDATION: one column-pruned, predicate-pushed
@@ -6409,8 +6442,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       f.makeQualified(new Path(resolveRel(base, rel))).toString
     val withDigest = inv.map(rel =>
       rel -> IndexArtifacts.digestOf(qualify(rel)))
+    // pq artifacts hold lossy codes, not vectors — a threshold join must
+    // stay exact, so under a pq index every file takes the exact parquet
+    // leg (the index still accelerates top-k SEARCH; dedup correctness
+    // beats reusing its bytes)
     val (covered, uncovered) = withDigest.partition { case (rel, d) =>
-      artifacts.contains(d) && !dv.contains(rel) }
+      meta.kind != "pq" && artifacts.contains(d) && !dv.contains(rel) }
     val fromArtifacts: DataFrame =
       if (covered.isEmpty) emptyPairs
       else {

@@ -538,7 +538,8 @@ object LakeSql {
   final case class LakeCreateVectorIndex(base: String, layer: String,
       name: String, vecCol: String, idCol: String, kind: String,
       m: Option[Int], ef: Option[Int], nlist: Option[Int] = None,
-      nprobe: Option[Int] = None) extends LakeMaint
+      nprobe: Option[Int] = None, pqM: Option[Int] = None,
+      pqK: Option[Int] = None) extends LakeMaint
   final case class LakeDropVectorIndex(base: String, layer: String,
       name: String) extends LakeMaint
   /** `REFRESH VECTOR INDEX [name] ON lake.`…`.layer` — explicit
@@ -657,7 +658,9 @@ object LakeSql {
       "(?:\\s+M\\s+([0-9]+))?" +
       "(?:\\s+EF\\s+([0-9]+))?" +
       "(?:\\s+NLIST\\s+([0-9]+))?" +
-      "(?:\\s+NPROBE\\s+([0-9]+))?\\s*;?\\s*$")
+      "(?:\\s+NPROBE\\s+([0-9]+))?" +
+      "(?:\\s+PQM\\s+([0-9]+))?" +
+      "(?:\\s+PQK\\s+([0-9]+))?\\s*;?\\s*$")
   private val DropVIdxRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*DROP\\s+VECTOR\\s+INDEX\\s+([A-Za-z0-9_]+)\\s+ON\\s+" +
       TargetRe + "\\s*;?\\s*$")
@@ -762,7 +765,9 @@ object LakeSql {
         m = Option(cvi.group(8)).map(_.toInt),
         ef = Option(cvi.group(9)).map(_.toInt),
         nlist = Option(cvi.group(10)).map(_.toInt),
-        nprobe = Option(cvi.group(11)).map(_.toInt)))
+        nprobe = Option(cvi.group(11)).map(_.toInt),
+        pqM = Option(cvi.group(12)).map(_.toInt),
+        pqK = Option(cvi.group(13)).map(_.toInt)))
     }
     val dvi = DropVIdxRe.matcher(sqlText)
     if (dvi.matches()) {
@@ -901,7 +906,10 @@ object LakeSql {
     AttributeReference("nlist", IntegerType, nullable = false)(),
     AttributeReference("nprobe", IntegerType, nullable = false)(),
     AttributeReference("covered_files", IntegerType, nullable = false)(),
-    AttributeReference("total_files", IntegerType, nullable = false)())
+    AttributeReference("total_files", IntegerType, nullable = false)(),
+    // appended (consumers stay index-stable): the pq kind's parameters
+    AttributeReference("pq_m", IntegerType, nullable = false)(),
+    AttributeReference("pq_k", IntegerType, nullable = false)())
 
   private[io] val dedupIndexOutput: Seq[Attribute] = Seq(
     AttributeReference("name", StringType, nullable = false)(),
@@ -936,7 +944,7 @@ object LakeSql {
         new Lake(session, LakeConfig(basePath = base))
           .vectorIndexStatus(layer).map { case (m, covered, total) =>
             Row(m.name, m.kind, m.idCol, m.vecCol, m.m, m.efConstruction,
-              m.nlist, m.nprobe, covered, total)
+              m.nlist, m.nprobe, covered, total, m.pqM, m.pqK)
           }
       case LakeShowDedupIndexes(base, layer) =>
         new Lake(session, LakeConfig(basePath = base))
@@ -1038,10 +1046,11 @@ object LakeSql {
         Row("ANALYZE", s"files=${r.carriedFiles} " +
           new org.apache.hadoop.fs.Path(r.snapshot).getName)
       case LakeCreateVectorIndex(_, layer, name, vecCol, idCol, kind,
-          m, ef, nlist, nprobe) =>
+          m, ef, nlist, nprobe, pqM, pqK) =>
         val built = lake.createVectorIndex(layer, name, vecCol, idCol,
           kind, m = m.getOrElse(16), efConstruction = ef.getOrElse(128),
-          nlist = nlist.getOrElse(64), nprobe = nprobe.getOrElse(8))
+          nlist = nlist.getOrElse(64), nprobe = nprobe.getOrElse(8),
+          pqM = pqM.getOrElse(8), pqK = pqK.getOrElse(256))
         Row("CREATE VECTOR INDEX", s"shards=$built")
       case LakeDropVectorIndex(_, layer, name) =>
         lake.dropVectorIndex(layer, name)

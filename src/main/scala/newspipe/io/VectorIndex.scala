@@ -34,16 +34,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object VectorIndex {
 
   /** A declared index. `kind` is `hnsw` (per-file graphs; `m` /
-    * `efConstruction` are the build parameters) or `ivf` (per-file
+    * `efConstruction` are the build parameters), `ivf` (per-file
     * IVF-Flat cells — [[newspipe.ops.IvfFlat]]; `nlist` cells at build,
-    * `nprobe` probed at search). Parameters are baked into every shard —
-    * changing them means a new index.
+    * `nprobe` probed at search), or `pq` (per-file product-quantization
+    * codes — [[newspipe.ops.PqShard]]; `pqM` subspaces × `pqK ≤ 256`
+    * centroids; search = ADC shortlist + exact refine). Parameters are
+    * baked into every shard — changing them means a new index.
     */
   final case class Meta(name: String, kind: String, idCol: String,
       vecCol: String, m: Int, efConstruction: Int,
-      nlist: Int = 64, nprobe: Int = 8)
+      nlist: Int = 64, nprobe: Int = 8, pqM: Int = 8, pqK: Int = 256)
 
-  val Kinds: Set[String] = Set("hnsw", "ivf")
+  val Kinds: Set[String] = Set("hnsw", "ivf", "pq")
 
   val DirName = "_vindex"
   val MetaFile: String = IndexArtifacts.MetaFile
@@ -65,7 +67,8 @@ object VectorIndex {
     s"""{"name": ${q(m.name)}, "kind": ${q(m.kind)}, """ +
       s""""idCol": ${q(m.idCol)}, "vecCol": ${q(m.vecCol)}, """ +
       s""""m": ${m.m}, "efConstruction": ${m.efConstruction}, """ +
-      s""""nlist": ${m.nlist}, "nprobe": ${m.nprobe}}"""
+      s""""nlist": ${m.nlist}, "nprobe": ${m.nprobe}, """ +
+      s""""pqM": ${m.pqM}, "pqK": ${m.pqK}}"""
   }
 
   def fromJson(s: String): Meta = {
@@ -85,7 +88,8 @@ object VectorIndex {
     }
     Meta(str("name"), str("kind"), str("idCol"), str("vecCol"),
       num("m"), num("efConstruction"),
-      nlist = num("nlist", Some(64)), nprobe = num("nprobe", Some(8)))
+      nlist = num("nlist", Some(64)), nprobe = num("nprobe", Some(8)),
+      pqM = num("pqM", Some(8)), pqK = num("pqK", Some(256)))
   }
 
   /** Digests of the artifacts currently present (one listing). */

@@ -490,6 +490,64 @@ object InvariantProperties extends Properties("newspipe") {
       }
     }
 
+  property("threshold scan (hnsw + ivf shards): exactly the naive " +
+      "unit-dot pairs >= t — the vectorNearDups recall-1.0 contract, " +
+      "zero vectors included") =
+    Prop.forAll(vecRows, Gen.choose(-1.0, 1.0)) { (data, t) =>
+      val rows = data.map { case (id, v) => (id, v.toArray) }.toArray
+      val qs = rows.take(3)
+      def naivePairs: Set[(Long, Long)] = (for {
+        (qid, qraw) <- qs.toSeq
+        q = newspipe.ops.Hnsw.unitOrZero(qraw)
+        (id, vraw) <- rows.toSeq
+        v = newspipe.ops.Hnsw.unitOrZero(vraw)
+        s = {
+          var acc = 0.0; var j = 0
+          val n = math.min(q.length, v.length)
+          while (j < n) { acc += q(j) * v(j); j += 1 }
+          acc
+        }
+        if s >= t
+      } yield (qid, id)).toSet
+      val hnsw = newspipe.ops.Hnsw.scanGraphBytes(
+        newspipe.ops.Hnsw.buildGraphBytes(rows, 4, 16), qs, t)
+        .map(r => (r._1, r._2)).toSet
+      val ivf = newspipe.ops.IvfFlat.scanShardBytes(
+        newspipe.ops.IvfFlat.buildShardBytes(rows, nlist = 4), qs, t)
+        .map(r => (r._1, r._2)).toSet
+      hnsw == naivePairs && ivf == naivePairs
+    }
+
+  // --- persisted dedup-index serde -----------------------------------------
+
+  private val sigTriples: Gen[List[(Long, Int, Long)]] =
+    Gen.listOfN(40, Gen.zip(Gen.choose(-500L, 500L), Gen.choose(0, 15),
+      Gen.choose(Long.MinValue, Long.MaxValue)))
+      .map(_.distinctBy(t => (t._1, t._2))) // one bucket per (id, band)
+
+  property("dedup sig artifact: deserialize(serialize) round-trips every " +
+      "triple and bytes are input-order-insensitive (deterministic " +
+      "artifacts make maintenance races benign)") =
+    Prop.forAll(sigTriples) { ts =>
+      val triples = ts.toArray
+      val bytes = newspipe.io.DedupIndex.serialize(triples)
+      newspipe.io.DedupIndex.deserialize(bytes).toSet == triples.toSet &&
+        bytes.sameElements(newspipe.io.DedupIndex.serialize(triples.reverse))
+    }
+
+  property("dedup index meta: toJson/fromJson round-trips every field, " +
+      "quotes and backslashes in names included") =
+    Prop.forAll(
+      Gen.oneOf("dix", "a_b", "x\"y", "p\\q", "m\\\"n"),
+      Gen.oneOf("doc_id", "id\"col"), Gen.oneOf("text", "t\\xt"),
+      Gen.choose(1, 256), Gen.choose(1, 64), Gen.choose(1, 8),
+      Gen.choose(0.01, 0.99)) { (name, idc, txc, nh, b, sh, thr) =>
+      val m = newspipe.io.DedupIndex.Meta(name, idc, txc,
+        numHashes = nh, bands = b, rows = math.max(1, nh / math.max(1, b)),
+        shingle = sh, threshold = thr)
+      newspipe.io.DedupIndex.fromJson(newspipe.io.DedupIndex.toJson(m)) == m
+    }
+
   property("identity alignBeyond: result is on the start/step grid, " +
       "strictly beyond seen, and minimally so") =
     Prop.forAll(

@@ -182,6 +182,26 @@ class LakeDedupIndexSpec extends SparkTestBase {
     cov3 shouldBe 2
   }
 
+  test("a STREAMING-sink micro-batch (landBatch = appendAtomic + txn " +
+      "ledger) signs its file like any append — the next incremental " +
+      "dedup re-shingles nothing") {
+    val (base, lake) = newLake()
+    lake.writeAtomic(docs(0 until 40).repartitionByRange(2, $"doc_id")
+      .sortWithinPartitions("doc_id"), "docs")
+    lake.createDedupIndex("docs", "dix", "text", "doc_id")
+    val v1 = lake.listVersions("docs").head
+    val before = shardCount(base, "docs", "dix")
+    newspipe.io.source.LakeStreamSink.landBatch(base, "docs", Nil,
+      Some("didx_app"), 0L,
+      docs(5 until 8).select(($"doc_id" + 7000).as("doc_id"), $"text")
+        .toDF("doc_id", "text").coalesce(1))
+    shardCount(base, "docs", "dix") shouldBe before + 1
+    lake.maintainDedupIndexes("docs") shouldBe 0
+    pairsOf(lake.nearDups("docs", sinceVersion = Some(v1)))
+      .map(p => (p._1, p._2)) shouldBe
+      (5L until 8L).map(i => (i, i + 7000L)).toSet
+  }
+
   test("appendDeduped: only non-duplicate rows land — intra-batch " +
       "keep-min-id, corpus near-dups shed through persisted signatures, " +
       "an all-duplicate batch commits nothing") {

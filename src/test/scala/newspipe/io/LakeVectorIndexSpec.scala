@@ -158,7 +158,7 @@ class LakeVectorIndexSpec extends SparkTestBase {
       "persisted artifacts match exact ground truth — multi-partner " +
       "pairs prove it scans (not top-k), DV-deleted vectors drop, both " +
       "kinds agree") {
-    val (_, lake) = newLake()
+    val (base, lake) = newLake()
     lake.writeAtomic(vectors(0 until 300)
       .repartitionByRange(4, $"vec_id").sortWithinPartitions("vec_id"),
       "emb")
@@ -212,6 +212,18 @@ class LakeVectorIndexSpec extends SparkTestBase {
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     got("idx") shouldBe expect
     got("ivx") shouldBe expect // exact by construction for BOTH kinds
+    // pq artifacts are lossy codes: its dedup leg reads the vectors
+    // exactly instead — same answers, different bytes touched
+    lake.createVectorIndex("emb", "pqd", "vec", "vec_id", kind = "pq",
+      pqK = 16)
+    got("pqd") shouldBe expect
+    // TVF route ≡ API route
+    newspipe.NewspipeExtensions.register(spark)
+    spark.sql(
+      s"""SELECT id_a, id_b
+         |FROM lake_vector_near_dups('$base', 'emb', '$v1', 0.95, 'idx')
+         |""".stripMargin)
+      .as[(Long, Long)].collect().toSet shouldBe expect
     // DV-delete one planted copy: its pairs drop, nothing else changes
     lake.deleteWhereDv("emb", $"vec_id" === 100003L)
     got("idx") shouldBe expect.filterNot(p =>
@@ -387,6 +399,53 @@ class LakeVectorIndexSpec extends SparkTestBase {
       top(i) shouldBe (i + 100000L)
     }
     run() shouldBe top // deterministic
+  }
+
+  test("kind=pq (per-file product quantization): codes ~dim×8/m smaller " +
+      "than raw vectors, ADC shortlist + exact refine matches brute " +
+      "force on recall, twins via append maintenance, deterministic") {
+    val (base, lake) = newLake()
+    lake.writeAtomic(vectors(0 until 400)
+      .repartitionByRange(5, $"vec_id").sortWithinPartitions("vec_id"),
+      "emb")
+    // pqK sized to the shard (80 vectors/file): at toy file sizes the
+    // codebooks dominate the artifact; production 128 MB files amortize
+    // them over ~10⁶ vectors
+    lake.createVectorIndex("emb", "pqx", "vec", "vec_id", kind = "pq",
+      pqM = 8, pqK = 16) shouldBe 5
+    // compression pin: the artifact set is far smaller than the raw
+    // vectors it indexes (400 × 16 dims × 8 B = 51 200 B of vector data;
+    // codes are 8 B/vector + codebooks)
+    val f = new Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val shardBytes = f.listStatus(
+        VectorIndex.shardsDir(s"$base/emb", "pqx"))
+      .filter(_.getPath.getName.endsWith(".ann")).map(_.getLen).sum
+    assert(shardBytes < 400L * 16 * 8 / 2,
+      s"pq shards should compress well below raw vectors, got $shardBytes")
+    val queries = vectors(0 until 8)
+    val exact = Similarity.bruteForceTopK(queries, lake.read("emb"),
+      "vec_id", "vec", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def run() = lake.vectorSearch("emb", queries, k = 5,
+      indexName = Some("pqx"))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = run()
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"pq recall@5 = $recall")
+    run() shouldBe approx // deterministic
+    // append-then-search: post-commit maintenance codes the new file
+    // only; the twin is byte-identical so ADC ranks it into the
+    // shortlist and the exact refine pins cos 1.0 at rank 1
+    lake.appendAtomic(queries.limit(4)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        $"vec".cast("array<double>").as("vec")).coalesce(1), "emb")
+    lake.maintainVectorIndexes("emb") shouldBe 0
+    val top = lake.vectorSearch("emb", vectors(0 until 4), k = 3,
+        indexName = Some("pqx"))
+      .filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 4L).foreach { i => top(i) shouldBe (i + 100000L) }
   }
 
   test("filtered search: only qualifying neighbors return (validated " +
