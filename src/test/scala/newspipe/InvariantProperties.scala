@@ -518,6 +518,23 @@ object InvariantProperties extends Properties("newspipe") {
       hnsw == naivePairs && ivf == naivePairs
     }
 
+  property("pq shard: build is byte-deterministic (input-order-free), an " +
+      "exhaustive-fetch ADC shortlist covers every row, and search is " +
+      "repeatable — the shortlist contract the exact refine relies on") =
+    Prop.forAll(vecRows) { data =>
+      val rows = data.map { case (id, v) => (id, v.toArray) }.toArray
+      val bytes = newspipe.ops.PqShard.buildShardBytes(rows, mWant = 3,
+        kWant = 8)
+      val deterministic = bytes.sameElements(
+        newspipe.ops.PqShard.buildShardBytes(rows.reverse, 3, 8))
+      val q = rows.head
+      def run() = newspipe.ops.PqShard
+        .searchShardBytes(bytes, Array(q), fetch = rows.length + 5).toSeq
+      val all = run()
+      val complete = all.map(_._2).toSet == rows.map(_._1).toSet
+      deterministic && complete && all == run()
+    }
+
   // --- persisted dedup-index serde -----------------------------------------
 
   private val sigTriples: Gen[List[(Long, Int, Long)]] =
