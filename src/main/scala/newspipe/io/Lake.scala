@@ -6958,9 +6958,19 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * contract as the overwrite family. Ids must be corpus-unique (the
     * engine-wide id contract); an all-duplicate batch commits nothing
     * and returns `snapshot = None`.
+    *
+    * `txn`: the streaming (appId, batchId) ledger fence — a replayed
+    * micro-batch with a RECORDED batch id is skipped whole (exactly-once
+    * by id, before any dedup work), while content dedup handles the
+    * same text arriving again under NEW ids. The two layers compose:
+    * ledger for replays, signatures for re-crawls — and the ledger leg
+    * matters because a same-ID replay is INVISIBLE to content dedup
+    * (a row never pairs with itself). An all-duplicate batch commits
+    * nothing and so records no ledger entry; its replay just re-noops.
     */
   def appendDeduped(df: DataFrame, layer: String,
-      indexName: Option[String] = None, maxBucket: Int = 1000)
+      indexName: Option[String] = None, maxBucket: Int = 1000,
+      txn: Option[(String, Long)] = None)
       : Lake.AppendDedupResult = {
     import org.apache.spark.sql.functions.{col, count, explode, lit}
     val meta = resolveDedupIndex(layer, indexName)
@@ -6968,6 +6978,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       throw new IllegalStateException(
         s"layer '$layer' has no committed snapshot — appendDeduped lands " +
           "increments against an existing corpus (writeAtomic first)"))
+    txn.foreach { case (appId, batchId) =>
+      if (txnVersion(layer, appId).exists(_ >= batchId))
+        return Lake.AppendDedupResult(None, 0L, 0L, 0L)
+    }
     val batch = df.localCheckpoint(true)
     val batchN = batch.count()
     if (batchN == 0)
@@ -7025,7 +7039,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val landedN = batchN - nIntra - nCross
     val snapOut =
       if (landedN == 0L) None
-      else Some(appendAtomic(landedDf, layer).snapshot)
+      else Some(appendAtomic(landedDf, layer, txn = txn).snapshot)
     Lake.AppendDedupResult(snapOut, landedN, nIntra, nCross)
   }
 

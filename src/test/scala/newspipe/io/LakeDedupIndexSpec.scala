@@ -242,6 +242,23 @@ class LakeDedupIndexSpec extends SparkTestBase {
     val r3 = lake.appendDeduped(docs(0 until 0), "docs")
     r3.landed shouldBe 0
     r3.snapshot shouldBe None
+    // txn fence: a same-ID replay is INVISIBLE to content dedup (a row
+    // never pairs with itself) — the (appId, batchId) ledger catches it
+    val rt = lake.appendDeduped(docs(950 until 952), "docs",
+      txn = Some(("dd_app", 7L)))
+    rt.landed shouldBe 2
+    val headT = lake.listVersions("docs").head
+    val replay = lake.appendDeduped(docs(950 until 952), "docs",
+      txn = Some(("dd_app", 7L)))
+    replay shouldBe Lake.AppendDedupResult(None, 0L, 0L, 0L)
+    lake.listVersions("docs").head shouldBe headT
+    // …while the same CONTENT under new ids in a NEW batch id is
+    // content-deduped as usual
+    val rc = lake.appendDeduped(docs(950 until 952)
+      .select(($"doc_id" + 8000).as("doc_id"), $"text")
+      .toDF("doc_id", "text"), "docs", txn = Some(("dd_app", 8L)))
+    rc.landed shouldBe 0
+    rc.droppedVsCorpus shouldBe 2
   }
 
   test("SQL surface: CREATE DEDUP INDEX / lake_near_dups TVF / SHOW / " +
