@@ -2004,6 +2004,22 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       s"$op('$layer', '$col'): generated column(s) " +
         s"${badGen.mkString(", ")} reference it in their expression — " +
         "drop the generated declaration first")
+    // persisted indexes key LOGICAL column names into immutable shard
+    // artifacts — renaming or dropping a keyed column would strand every
+    // artifact and declaration (the bloom-sidecar rule applied to the
+    // index families); unrelated columns stay free to evolve
+    val badIdx =
+      vectorIndexes(layer).collect {
+        case m if m.idCol.equalsIgnoreCase(col) ||
+            m.vecCol.equalsIgnoreCase(col) => s"vector index '${m.name}'"
+      } ++ dedupIndexes(layer).collect {
+        case m if m.idCol.equalsIgnoreCase(col) ||
+            m.textCol.equalsIgnoreCase(col) => s"dedup index '${m.name}'"
+      }
+    require(badIdx.isEmpty,
+      s"$op('$layer', '$col'): ${badIdx.mkString(" and ")} key(s) the " +
+        "column — drop the index first (shard artifacts key logical " +
+        "column names)")
   }
 
   /** Per-column layer properties (DEFAULT / GENERATED / IDENTITY) follow

@@ -339,5 +339,13 @@ class LakeDedupIndexSpec extends SparkTestBase {
     intercept[NoSuchElementException] {
       lake.dropDedupIndex("docs", "dix")
     }
+    // a keyed column cannot be renamed away from a live index
+    lake.setProperties("docs", Map("lake.columnMapping.mode" -> "name"))
+    lake.createDedupIndex("docs", "dix2", "text", "doc_id")
+    intercept[IllegalArgumentException] {
+      lake.renameColumn("docs", "text", "body")
+    }
+    lake.dropDedupIndex("docs", "dix2")
+    lake.renameColumn("docs", "text", "body") // free once the index is gone
   }
 }

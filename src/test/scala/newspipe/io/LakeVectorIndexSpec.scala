@@ -489,6 +489,37 @@ class LakeVectorIndexSpec extends SparkTestBase {
     lake.maintainVectorIndexes("emb") shouldBe 0
   }
 
+  test("column evolution vs indexes: renaming/dropping a KEYED column " +
+      "is refused (artifacts key logical names); unrelated columns " +
+      "evolve freely and search still answers exactly") {
+    val (_, lake) = newLake()
+    lake.setProperties("emb", Map("lake.columnMapping.mode" -> "name"))
+    lake.writeAtomic(vectors(0 until 100).withColumn("note", lit("x"))
+      .repartitionByRange(2, $"vec_id").sortWithinPartitions("vec_id"),
+      "emb")
+    lake.createVectorIndex("emb", "idx", "vec", "vec_id")
+    intercept[IllegalArgumentException] {
+      lake.renameColumn("emb", "vec", "v2")
+    }
+    intercept[IllegalArgumentException] {
+      lake.dropColumn("emb", "vec_id")
+    }
+    lake.vectorIndexes("emb").map(_.name) shouldBe Seq("idx") // intact
+    // an UNRELATED column renames fine; covered files keep answering
+    // from their artifacts, and a post-rename append answers through
+    // the conservative fallback (mapped layers skip auto-maintenance)
+    lake.renameColumn("emb", "note", "note2")
+    val queries = vectors(0 until 4)
+    lake.appendAtomic(queries
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        $"vec".cast("array<double>").as("vec"), lit("y").as("note2"))
+      .coalesce(1), "emb")
+    val top = lake.vectorSearch("emb", queries, k = 1)
+      .filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 4L).foreach { i => top(i) shouldBe (i + 100000L) }
+  }
+
   test("SQL surface: CREATE VECTOR INDEX / lake_vector_search TVF / " +
       "DROP VECTOR INDEX") {
     val (base, lake) = newLake()
