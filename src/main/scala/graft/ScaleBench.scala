@@ -757,6 +757,54 @@ object ScaleBench {
       } catch { case _: Throwable => () }
     }
 
+    // ---- round-18: COARSE SHARD ROUTING. The scale claim: a selective
+    // shardProbe search touches ~probe·files shard artifacts per query
+    // (plus a tiny routing-segment read) while the full-probe search
+    // touches EVERY artifact — so on a cluster-coherent corpus the
+    // routed wall stays near-FLAT as the file count grows N× and the
+    // full-probe wall grows with it. Corpus: one cluster per data file
+    // (the CLUSTER BY layout routing is designed for), 64-dim centers
+    // hash-derived (near-orthogonal), members = center + 0.15·noise.
+    {
+      val root = java.nio.file.Files.createTempDirectory("scale_vr").toString
+      val lake = new newspipe.io.Lake(spark,
+        newspipe.io.LakeConfig(basePath = root))
+      val nFiles = 4 * copies
+      val dim = 64
+      val corpus = spark.range(nFiles.toLong * 500)
+        .select(col("id").as("vec_id"), (col("id") / 500L).as("cl"))
+        .select(col("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)), j =>
+            (pmod(xxhash64(col("cl"), j), lit(2001L)) - lit(1000L))
+              .cast("double") / 1000.0 +
+            (pmod(xxhash64(col("vec_id"), j, lit(7)), lit(2001L))
+              - lit(1000L)).cast("double") / 1000.0 * 0.15).as("vec"))
+        .repartitionByRange(nFiles, col("vec_id"))
+        .sortWithinPartitions("vec_id")
+      lake.writeAtomic(corpus, "vr")
+      lake.createVectorIndex("vr", "idx", "vec", "vec_id")
+      val queries = lake.read("vr")
+        .filter(pmod(col("vec_id"), lit(500L)) === 0 &&
+          col("vec_id") < 4000L)
+      val (nF, tF) = timed {
+        (1 to 5).map(_ =>
+          lake.vectorSearch("vr", queries, k = 10).count()).sum
+      }
+      out("r18_vroute_full_x5") = (nF, tF) // touches EVERY shard: O(files)
+      val probe = 2.0 / nFiles // ~2 shards per query at any scale
+      val (nP, tP) = timed {
+        (1 to 5).map(_ => lake.vectorSearch("vr", queries, k = 10,
+          shardProbe = probe).count()).sum
+      }
+      out("r18_vroute_probed_x5") = (nP, tP) // ~2 shards/query: FLAT at N×
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+          .iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+
     // ---- round-17 cont.: PERSISTED DEDUP INDEX. The scale claims:
     // (sign) the shingle+hash pass over text runs once per file EVER —
     // an append signs its own files only; (incremental) nearDups(since)

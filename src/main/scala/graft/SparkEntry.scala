@@ -4395,6 +4395,89 @@ object SparkEntry {
         .select(col("id_a").cast("long").as("id_a"),
           col("id_b").cast("long").as("id_b"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // COARSE SHARD ROUTING (round 18): each query ranks the covered
+    // shards by query·centroid from the persisted routing segments
+    // (`_vindex/<name>/routing/`) and probes only its own top
+    // `shardProbe` fraction — the 10⁶-file lever: full probe touches
+    // every artifact per batch, a selective probe touches the promising
+    // few. Here the planted-twin file (10 query twins, own file) has by
+    // far the most query-aligned centroid, so a half-probe search still
+    // pins every twin at rank 1 — and the Spark-side require proves the
+    // routed result IS the full-probe result, so q186's argmax ground
+    // truth applies unchanged. The 7-arg TVF form carries the probe.
+    "q192_vector_routed" -> ((s, dir) => {
+      newspipe.NewspipeExtensions.register(s)
+      val root = java.nio.file.Files.createTempDirectory("q192_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        .filter(newspipe.ops.Similarity.l2Norm(col("embedding")) > 0)
+      val queries = emb.filter(col("vec_id") < 10)
+      lake.writeAtomic(emb.repartitionByRange(6, col("vec_id"))
+        .sortWithinPartitions("vec_id"), "emb")
+      lake.createVectorIndex("emb", "idx", "embedding", "vec_id")
+      lake.appendAtomic(queries
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        .coalesce(1), "emb")
+      require(lake.maintainVectorIndexes("emb") == 0,
+        "appendAtomic must maintain shards AND routing — a routed " +
+          "search must never need a rebuild")
+      val full = lake.vectorSearch("emb", queries, k = 5)
+        .filter(col("rank") === 1).select("query_id", "neighbor_id")
+      val routed = lake.vectorSearch("emb", queries, k = 5,
+        shardProbe = 0.5)
+        .filter(col("rank") === 1).select("query_id", "neighbor_id")
+      require(routed.exceptAll(full).isEmpty &&
+          full.exceptAll(routed).isEmpty,
+        "half-probe routing must keep every query's rank-1 twin (the " +
+          "twin file's centroid routes top per query)")
+      queries.createOrReplaceTempView("q192_queries")
+      s.sql(
+        s"""SELECT query_id, neighbor_id
+           |FROM lake_vector_search('$root', 'emb', 'q192_queries', 5,
+           |  'idx', '', 0.5)
+           |WHERE rank = 1""".stripMargin)
+        .orderBy("query_id")
+    }),
+
+    // SQL spelling of the flagship ingest path (round 18): q189's exact
+    // scenario — 15 verbatim copies, 10 fresh docs, one twin pair —
+    // landed through `INSERT INTO … DEDUPED BY INDEX …` instead of the
+    // Scala API, so the production landing primitive is scriptable.
+    // Same survivor-id ground truth; the statement's metrics row is
+    // require-pinned in-query.
+    "q193_sql_insert_deduped" -> ((s, dir) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("q193_lake").toString
+      val lake = new newspipe.io.Lake(s,
+        newspipe.io.LakeConfig(basePath = root))
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val baseN = docs.count()
+      lake.writeAtomic(docs.repartitionByRange(6, col("doc_id"))
+        .sortWithinPartitions("doc_id"), "docs")
+      lake.createDedupIndex("docs", "dix", "text", "doc_id")
+      val fresh = (0 until 10).map(i =>
+        (2000000L + i, (0 until 30).map(j => s"zq${i}w$j").mkString(" ")))
+      val twinText = (0 until 30).map(j => s"zt${j}x").mkString(" ")
+      docs.filter(col("doc_id") < 15)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .union(fresh.toDF("doc_id", "text"))
+        .union(Seq((3000000L, twinText), (3000001L, twinText))
+          .toDF("doc_id", "text"))
+        .createOrReplaceTempView("q193_batch")
+      val row = newspipe.io.LakeSql.sql(s,
+        s"INSERT INTO lake.`$root`.docs DEDUPED BY INDEX dix " +
+          "SELECT * FROM q193_batch").collect().head
+      require(row.getString(0) == "INSERT DEDUPED" &&
+          row.getString(1).startsWith("landed=11 "),
+        s"INSERT DEDUPED metrics: ${row.getString(1)}")
+      require(lake.read("docs").count() == baseN + 11,
+        "the corpus must grow by exactly the non-duplicates")
+      lake.read("docs").filter(col("doc_id") >= 1000000L)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4928,6 +5011,10 @@ object SparkEntry {
     "q186_vector_index" -> annArgmaxOracleSql,
     "q187_vector_index_ivf" -> annArgmaxOracleSql,
     "q191_vector_index_pq" -> annArgmaxOracleSql,
+    // the routed search answers the same argmax ground truth: a
+    // half-probe keeps every rank-1 twin (Spark-side require pins
+    // routed == full at rank 1 before the oracle sees anything)
+    "q192_vector_routed" -> annArgmaxOracleSql,
     // the q26 exact-Jaccard oracle over the union with the planted
     // copies, restricted to pairs TOUCHING a new doc (planted ids are
     // the 1000000+ range; id_b is the greater side, so `id_b >= 1000000`
@@ -4986,6 +5073,13 @@ object SparkEntry {
     // sheds — independent of corpus scale (the in-query requires pin the
     // counts and corpus integrity)
     "q189_append_deduped" ->
+      """SELECT CAST(v AS BIGINT) AS doc_id FROM (VALUES
+        |  (2000000), (2000001), (2000002), (2000003), (2000004),
+        |  (2000005), (2000006), (2000007), (2000008), (2000009),
+        |  (3000000)) t(v)
+        |ORDER BY doc_id""".stripMargin,
+    // the SQL route lands the SAME batch: identical survivor set
+    "q193_sql_insert_deduped" ->
       """SELECT CAST(v AS BIGINT) AS doc_id FROM (VALUES
         |  (2000000), (2000001), (2000002), (2000003), (2000004),
         |  (2000005), (2000006), (2000007), (2000008), (2000009),

@@ -314,9 +314,10 @@ object NewspipeExtensions {
         new ExpressionInfo("newspipe.NewspipeExtensions",
           "lake_vector_search"),
         (children: Seq[Expression]) => {
-          require(children.length >= 4 && children.length <= 6,
+          require(children.length >= 4 && children.length <= 7,
             "lake_vector_search(base_path, layer, queries_table, k" +
-              "[, index_name[, filter_sql]]) takes 4 to 6 arguments")
+              "[, index_name[, filter_sql[, shard_probe]]]) takes 4 to " +
+              "7 arguments")
           val base = stringArg("lake_vector_search", children(0))
           val layer = stringArg("lake_vector_search", children(1))
           val qTable = stringArg("lake_vector_search", children(2))
@@ -327,11 +328,15 @@ object NewspipeExtensions {
             .map(stringArg("lake_vector_search", _))
             .filter(_.nonEmpty)
             .map(org.apache.spark.sql.functions.expr)
+          // 7th arg: coarse-routing probe fraction (default 1.0 probes
+          // every covered shard — identical to the unrouted plan)
+          val probe = children.lift(6)
+            .map(doubleArg("lake_vector_search", _)).getOrElse(1.0)
           val spark = SparkSession.active
           NewspipeSqlBridge.logicalPlan(new newspipe.io.Lake(spark,
             newspipe.io.LakeConfig(basePath = base))
             .vectorSearch(layer, spark.table(qTable), k, idx,
-              filter = filt))
+              filter = filt, shardProbe = probe))
         }),
       // persisted-signature near-dedup in FROM position: SELECT * FROM
       // lake_near_dups('/lake/root', 'docs'[, 'since_version'[,
@@ -360,7 +365,10 @@ object NewspipeExtensions {
       // lake_vector_near_dups('/lake/root', 'docs', 'since_version',
       // 0.95 [, 'index_name']) → (id_a, id_b, cos) — exact
       // cosine-threshold pairs of the post-since landing vs the whole
-      // corpus, answered from the vector index artifacts
+      // corpus, answered from the vector index artifacts. EAGER by
+      // design (unlike lake_near_dups): the bounded-chunk landing loop
+      // streams at plan-build time, so a bare EXPLAIN launches the
+      // landing jobs — documented in Lake.vectorNearDups
       (new FunctionIdentifier("lake_vector_near_dups"),
         new ExpressionInfo("newspipe.NewspipeExtensions",
           "lake_vector_near_dups"),

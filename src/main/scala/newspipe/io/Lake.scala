@@ -6100,7 +6100,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val digests = inv.map(rel => rel -> VectorIndex.digestOf(
       f.makeQualified(new Path(resolveRel(base, rel))).toString))
     metas.map { meta =>
-      val reachable = reachableShardArtifacts(layer, meta.name, inv).keySet
+      val reachable = reachableShardArtifacts(layer, meta.name, inv,
+        vectorCompat(meta)).keySet
       val covered = digests.count { case (rel, d) =>
         reachable.contains(d) && !dv.contains(rel) }
       (meta, covered, inv.size)
@@ -6130,12 +6131,15 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val inv = snapshotInventory(layer, snap)
     // reachable, not just local: a shallow clone BORROWS the source's
     // artifacts by content address — shared files need no local build
-    val existing = reachableShardArtifacts(layer, meta.name, inv).keySet
+    val artifacts = reachableShardArtifacts(layer, meta.name, inv,
+      vectorCompat(meta))
+    val existing = artifacts.keySet
     def qualify(rel: String): String =
       f.makeQualified(new Path(resolveRel(base, rel))).toString
     val missing = inv.map(rel => rel -> VectorIndex.digestOf(qualify(rel)))
       .filterNot { case (_, d) => existing.contains(d) }
-    if (missing.isEmpty) return 0
+    if (missing.isEmpty)
+      return { backfillVectorRouting(layer, meta, inv, artifacts); 0 }
     // rows route to their file's builder by input_file_name; the task
     // resolves the artifact name through a broadcast decoded-path →
     // digest map. Keys are the DECODED URI paths (scheme/authority
@@ -6187,11 +6191,94 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
                 buf.toArray, mMeta.m, mMeta.efConstruction)
             }
             VectorIndex.writeShard(fsys, mBase, mName, digest, bytes)
-            digest
+            // routing summary: mean of the shard's unit vectors — the
+            // builder already holds them, so the centroid is one extra
+            // O(n·dim) pass, not a second read
+            val unit = buf.map(r => newspipe.ops.Hnsw.unitOrZero(r._2))
+            val dim = unit.headOption.map(_.length).getOrElse(0)
+            val sum = new Array[Double](dim)
+            unit.foreach { v =>
+              var j = 0
+              while (j < dim) { sum(j) += v(j); j += 1 }
+            }
+            (digest, unit.length,
+              if (unit.isEmpty) Array.empty[Double]
+              else sum.map(_ / unit.length))
           }
         }
       }.collect()
+    if (built.nonEmpty)
+      VectorIndex.writeRoutingSegment(f, base, meta.name,
+        VectorIndex.serializeRouting(built.toSeq))
+    backfillVectorRouting(layer, meta, inv, artifacts,
+      justRouted = built.map(_._1).toSet)
     built.length
+  }
+
+  /** Routing-segment BACKFILL: write summaries for covered shards that
+    * lack a reachable routing entry (artifacts built before routing
+    * existed, a crashed segment write, or a borrowed source that never
+    * routed). One distributed pass over the unrouted artifacts only —
+    * idempotent, O(unrouted); no-op in steady state. Runs inside
+    * maintenance, so `REFRESH VECTOR INDEX` upgrades an old index.
+    */
+  private def backfillVectorRouting(layer: String, meta: VectorIndex.Meta,
+      inv: Seq[String], artifacts: Map[String, Path],
+      justRouted: Set[String] = Set.empty): Unit = {
+    val base = layerPath(layer)
+    val f = fs(new Path(base))
+    val routed = reachableRoutingEntries(layer, meta, inv).keySet
+    def qualify(rel: String): String =
+      f.makeQualified(new Path(resolveRel(base, rel))).toString
+    val unrouted = inv.iterator
+      .map(rel => VectorIndex.digestOf(qualify(rel)))
+      .filter(d => artifacts.contains(d) && !routed.contains(d) &&
+        !justRouted.contains(d))
+      .toSeq.distinct
+    if (unrouted.isEmpty) return
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val paths = unrouted.map(d => (d, artifacts(d).toString))
+    val nSlices = math.max(1, math.min(paths.size,
+      spark.sparkContext.defaultParallelism * 2))
+    val kind = meta.kind
+    val entries = spark.sparkContext.parallelize(paths, nSlices)
+      .mapPartitions { ps =>
+        val hc = confB.value.value
+        ps.map { case (d, p) =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          val fsys = path.getFileSystem(hc)
+          val bytes = new Array[Byte](fsys.getFileStatus(path).getLen.toInt)
+          val in = fsys.open(path)
+          try in.readFully(bytes) finally in.close()
+          val (n, c) = kind match {
+            case "ivf" => newspipe.ops.IvfFlat.centroidOfShardBytes(bytes)
+            case "pq" => newspipe.ops.PqShard.centroidOfShardBytes(bytes)
+            case _ => newspipe.ops.Hnsw.centroidOfGraphBytes(bytes)
+          }
+          (d, n, c)
+        }
+      }.collect()
+    if (entries.nonEmpty)
+      VectorIndex.writeRoutingSegment(f, base, meta.name,
+        VectorIndex.serializeRouting(entries.toSeq))
+  }
+
+  /** digest → routing summary for every shard of index `name` reachable
+    * from this layer ([[reachableShardArtifacts]]' routing sibling —
+    * same compatible-roots walk, local entries win).
+    */
+  private def reachableRoutingEntries(layer: String,
+      meta: VectorIndex.Meta,
+      inv: Seq[String]): Map[String, VectorIndex.Route] = {
+    val roots = reachableIndexRoots(layer, meta.name, inv,
+      VectorIndex.DirName, vectorCompat(meta))
+    roots.foldLeft(Map.empty[String, VectorIndex.Route]) { (acc, root) =>
+      val f = fs(new Path(root))
+      acc ++ VectorIndex.readRoutingEntries(f, root, meta.name)
+        .filterNot { case (d, _) => acc.contains(d) }
+    }
   }
 
   /** ANN top-k through the persisted index — (query_id, neighbor_id,
@@ -6222,6 +6309,20 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * selective filter can return fewer than k graph hits per shard —
     * raise `oversample` (the standard filtered-ANN recall trade,
     * documented rather than hidden).
+    *
+    * `shardProbe`: COARSE ROUTING — EACH QUERY probes only this
+    * fraction of the covered shards, ranked by query·centroid against
+    * each shard's persisted routing summary (maintenance writes one
+    * tiny (digest, count, centroid) entry per shard into
+    * `_vindex/<name>/routing/` segments); the job reads the union of
+    * probed shards. THE 10⁶-file lever: at full probe a top-k batch
+    * touches every artifact; at `shardProbe = 0.05` each query touches
+    * its 5% most promising plus any unrouted shards. An
+    * approximation knob exactly like `efSearch`/`nprobe` — skipped
+    * shards are not searched, so recall relies on files being
+    * cluster-coherent (CLUSTER BY / sorted landings); 1.0 (default)
+    * probes everything, byte-identical to the unrouted plan with zero
+    * routing overhead.
     */
   private def resolveVectorIndex(layer: String,
       indexName: Option[String]): VectorIndex.Meta = {
@@ -6244,8 +6345,10 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       indexName: Option[String] = None, efSearch: Int = 96,
       version: Option[String] = None,
       filter: Option[org.apache.spark.sql.Column] = None,
-      oversample: Int = 4): DataFrame = {
+      oversample: Int = 4, shardProbe: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.functions.{asc, col, desc, row_number}
+    require(shardProbe > 0.0 && shardProbe <= 1.0,
+      s"shardProbe must be in (0, 1], got $shardProbe")
     val meta = resolveVectorIndex(layer, indexName)
     val snap = version match {
       case Some(v) =>
@@ -6261,7 +6364,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val f = fs(new Path(base))
     val inv = snapshotInventory(layer, snap)
     val dv = dvMapOf(snap)
-    val artifacts = reachableShardArtifacts(layer, meta.name, inv)
+    val artifacts = reachableShardArtifacts(layer, meta.name, inv,
+      vectorCompat(meta))
     def qualify(rel: String): String =
       f.makeQualified(new Path(resolveRel(base, rel))).toString
     val withDigest = inv.map(rel => rel -> VectorIndex.digestOf(qualify(rel)))
@@ -6285,7 +6389,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       case _ => _ => true
     }
     val qualified = withDigest.filter { case (rel, _) => qualifies(rel) }
-    val (covered, uncovered) = qualified.partition { case (rel, d) =>
+    val (coveredAll, uncovered) = qualified.partition { case (rel, d) =>
       artifacts.contains(d) && !dv.contains(rel) }
     // queries are the SMALL side (the bruteForceTopK contract): collected
     // once, shipped to every shard task as one broadcast
@@ -6294,6 +6398,56 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       .collect()
       .map(r => (r.getLong(0), newspipe.ops.Hnsw.toRaw(r.get(1))))
       .sortBy(_._1)
+    // COARSE ROUTING (shardProbe < 1): EACH QUERY ranks the covered
+    // shards by query·centroid and probes only its own top fraction;
+    // the job reads the UNION of probed shards — the step that keeps a
+    // top-k search sublinear in FILE COUNT at 10⁶ shards (per-query,
+    // not per-batch: a batch spanning many clusters must not squeeze
+    // into one query's shards). Routing is an approximation knob
+    // exactly like efSearch/nprobe: shards no query probed are NOT
+    // searched (that is the point), so recall depends on the corpus
+    // being clustered across files (CLUSTER BY / sorted writes); the
+    // default 1.0 probes everything — identical results and zero
+    // routing overhead. Shards with no routing entry (pre-routing
+    // artifacts, crashed segment writes, zero-norm centroids) are
+    // ALWAYS probed — degrade adds work, never removes a shard
+    // silently.
+    val covered: Seq[(String, String)] =
+      if (shardProbe >= 1.0 || coveredAll.size <= 1) coveredAll
+      else {
+        val routes = reachableRoutingEntries(layer, meta, inv)
+        val qUnit = qRows.map(q => newspipe.ops.Hnsw.unitOrZero(q._2))
+        // normalized centroid per routable covered digest
+        val cent: Map[String, Array[Double]] = coveredAll.iterator
+          .flatMap { case (_, d) =>
+            routes.get(d).flatMap { r =>
+              var n2 = 0.0
+              r.centroid.foreach(x => n2 += x.toDouble * x.toDouble)
+              if (n2 == 0.0) None
+              else {
+                val scale = 1.0 / math.sqrt(n2)
+                Some(d -> r.centroid.map(_.toDouble * scale))
+              }
+            }
+          }.toMap
+        val (routed, unrouted) = coveredAll.partition { case (_, d) =>
+          cent.contains(d) }
+        val nKeep = math.max(1, math.ceil(shardProbe * routed.size).toInt)
+        val probedDigests = scala.collection.mutable.HashSet.empty[String]
+        qUnit.foreach { q =>
+          routed.map { case (_, d) =>
+            val c = cent(d)
+            var s = 0.0
+            var j = 0
+            val m = math.min(q.length, c.length)
+            while (j < m) { s += q(j) * c(j); j += 1 }
+            (d, s)
+          }.sortBy { case (d, s) => (-s, d) }.take(nKeep)
+            .foreach(p => probedDigests += p._1)
+        }
+        routed.filter { case (_, d) => probedDigests.contains(d) } ++
+          unrouted
+      }
     val qB = spark.sparkContext.broadcast(qRows)
     import spark.implicits._
     def emptyCands: DataFrame =
@@ -6411,18 +6565,32 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * DV-bearing files scan from parquet, alive rows only.
     *
     * The new batch rides a broadcast (the vectorSearch query-batch
-    * contract): landing-sized, against an unbounded corpus whose bytes
-    * are never re-read beyond the index artifacts — one task per shard,
-    * zero shuffles before the final pair dedup. All-pairs semantic
-    * dedup over the WHOLE corpus is a different shape (broadcast would
-    * not scale): that remains the cluster-bucketed SemDeDup path in
-    * [[newspipe.ops.Dedup]].
+    * contract) in BOUNDED chunks: the landing streams to the driver
+    * `chunkRows` at a time (driver memory ∝ chunk, never ∝ landing),
+    * each chunk scanning the artifacts once — against an unbounded
+    * corpus whose bytes are never re-read beyond the index artifacts;
+    * one task per shard, zero shuffles before the final pair dedup.
+    * `maxLandingRows` refuses the pathological shape where an OPTIMIZE
+    * between the versions rewrote every file (the "landing" is the
+    * whole corpus): all-pairs semantic dedup over the WHOLE corpus is
+    * a different shape (broadcast would not scale) — that remains the
+    * cluster-bucketed SemDeDup path in [[newspipe.ops.Dedup]].
+    *
+    * EAGER: the landing streams at CALL time (unlike the lazy
+    * `nearDups(eager = false)` TVF leg) — `lake_vector_near_dups` in an
+    * EXPLAIN launches the landing jobs; documented trade for the
+    * bounded-chunk loop.
     */
   def vectorNearDups(layer: String, sinceVersion: String,
-      threshold: Double, indexName: Option[String] = None): DataFrame = {
+      threshold: Double, indexName: Option[String] = None,
+      maxLandingRows: Long = 2L * 1000 * 1000,
+      chunkRows: Int = 65536): DataFrame = {
     import org.apache.spark.sql.functions.{col, greatest, least}
     require(threshold > -1.0 && threshold <= 1.0,
       s"cosine threshold must be in (-1, 1], got $threshold")
+    require(maxLandingRows >= 1 && chunkRows >= 1,
+      s"maxLandingRows/chunkRows must be >= 1, got " +
+        s"$maxLandingRows/$chunkRows")
     val meta = resolveVectorIndex(layer, indexName)
     val snap = latestSnapshot(layer).getOrElse(
       throw new IllegalStateException(
@@ -6441,19 +6609,40 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     if (newRels.isEmpty) return emptyPairs
     val dv = dvMapOf(snap)
     val schema = snapshotSchema(layer, snap)
-    // the NEW side: the landing's alive vectors, collected + broadcast
+    // the NEW side: the landing's alive vectors. BOUNDED-MEMORY (round
+    // 18): the landing streams to the driver (toLocalIterator) in
+    // fixed-size broadcast chunks instead of one unbounded collect —
+    // driver memory is ∝ chunkRows regardless of landing size, and each
+    // chunk runs the same exact per-shard scan (per-chunk artifact
+    // re-reads are the honest trade; a daily batch is one chunk). The
+    // maxLandingRows guard catches the pathological shape: an OPTIMIZE/
+    // compaction between sinceVersion and head rewrites every file, so
+    // the WHOLE corpus classifies as "new" — that is not an incremental
+    // landing, and all-pairs whole-corpus dedup belongs to the
+    // cluster-bucketed SemDeDup path in [[newspipe.ops.Dedup]].
     val newMetaed = readRelFiles(layer, newRels,
       schemaHint = Some(schema), withMeta = dv.nonEmpty)
     val newAlive = if (dv.isEmpty) newMetaed
       else dvFilter(newMetaed, dvPairs(base, snap, Some(newRels.toSet)))
-    val newRows: Array[(Long, Array[Double])] = newAlive
+    val newSel = newAlive
       .select(col(meta.idCol).cast("long"), col(meta.vecCol))
-      .collect()
-      .map(r => (r.getLong(0), newspipe.ops.Hnsw.toRaw(r.get(1))))
-      .sortBy(_._1)
-    if (newRows.isEmpty) return emptyPairs
-    val qB = spark.sparkContext.broadcast(newRows)
-    val artifacts = reachableShardArtifacts(layer, meta.name, inv)
+    val landingN = newSel.count()
+    if (landingN == 0) return emptyPairs
+    if (landingN > maxLandingRows) {
+      val rewriteHint =
+        if (newRels.size == inv.size)
+          " Every live file postdates the since-version (an OPTIMIZE/" +
+            "compaction rewrote the corpus): this is a whole-corpus " +
+            "pass, not an incremental landing — use the SemDeDup path " +
+            "(newspipe.ops.Dedup) or pick a post-rewrite sinceVersion."
+        else ""
+      throw new IllegalArgumentException(
+        s"vectorNearDups('$layer'): the post-$sinceVersion landing " +
+          s"holds $landingN vectors, above maxLandingRows " +
+          s"($maxLandingRows).$rewriteHint")
+    }
+    val artifacts = reachableShardArtifacts(layer, meta.name, inv,
+      vectorCompat(meta))
     def qualify(rel: String): String =
       f.makeQualified(new Path(resolveRel(base, rel))).toString
     val withDigest = inv.map(rel =>
@@ -6464,67 +6653,88 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // beats reusing its bytes)
     val (covered, uncovered) = withDigest.partition { case (rel, d) =>
       meta.kind != "pq" && artifacts.contains(d) && !dv.contains(rel) }
-    val fromArtifacts: DataFrame =
-      if (covered.isEmpty) emptyPairs
-      else {
-        val confB = spark.sparkContext.broadcast(
-          new org.apache.spark.util.SerializableConfiguration(
-            spark.sparkContext.hadoopConfiguration))
-        val paths = covered.map { case (_, d) => artifacts(d).toString }
-        val nSlices = math.max(1, math.min(paths.size,
-          spark.sparkContext.defaultParallelism * 2))
-        val (t, kind) = (threshold, meta.kind)
-        spark.sparkContext.parallelize(paths, nSlices)
-          .mapPartitions { ps =>
-            val hc = confB.value.value
-            ps.flatMap { p =>
-              val path = new org.apache.hadoop.fs.Path(p)
-              val fsys = path.getFileSystem(hc)
-              val bytes =
-                new Array[Byte](fsys.getFileStatus(path).getLen.toInt)
-              val in = fsys.open(path)
-              try in.readFully(bytes) finally in.close()
-              kind match {
-                case "ivf" => newspipe.ops.IvfFlat.scanShardBytes(
-                  bytes, qB.value, t)
-                case _ => newspipe.ops.Hnsw.scanGraphBytes(
-                  bytes, qB.value, t)
+    // one chunk's pairs: the chunk rides a broadcast through both legs
+    // (the vectorSearch query-batch contract)
+    def pairsFor(chunk: Array[(Long, Array[Double])]): DataFrame = {
+      val qB = spark.sparkContext.broadcast(chunk)
+      val fromArtifacts: DataFrame =
+        if (covered.isEmpty) emptyPairs
+        else {
+          val confB = spark.sparkContext.broadcast(
+            new org.apache.spark.util.SerializableConfiguration(
+              spark.sparkContext.hadoopConfiguration))
+          val paths = covered.map { case (_, d) => artifacts(d).toString }
+          val nSlices = math.max(1, math.min(paths.size,
+            spark.sparkContext.defaultParallelism * 2))
+          val (t, kind) = (threshold, meta.kind)
+          spark.sparkContext.parallelize(paths, nSlices)
+            .mapPartitions { ps =>
+              val hc = confB.value.value
+              ps.flatMap { p =>
+                val path = new org.apache.hadoop.fs.Path(p)
+                val fsys = path.getFileSystem(hc)
+                val bytes =
+                  new Array[Byte](fsys.getFileStatus(path).getLen.toInt)
+                val in = fsys.open(path)
+                try in.readFully(bytes) finally in.close()
+                kind match {
+                  case "ivf" => newspipe.ops.IvfFlat.scanShardBytes(
+                    bytes, qB.value, t)
+                  case _ => newspipe.ops.Hnsw.scanGraphBytes(
+                    bytes, qB.value, t)
+                }
               }
-            }
-          }.toDF("id_a", "id_b", "cos")
-      }
-    val fromScan: DataFrame =
-      if (uncovered.isEmpty) emptyPairs
-      else {
-        val rels = uncovered.map(_._1)
-        val metaed = readRelFiles(layer, rels, schemaHint = Some(schema),
-          withMeta = dv.nonEmpty)
-        val alive = if (dv.isEmpty) metaed
-          else dvFilter(metaed, dvPairs(base, snap, Some(rels.toSet)))
-        val t = threshold
-        alive.select(col(meta.idCol).cast("long"), col(meta.vecCol)).rdd
-          .mapPartitions { rows =>
-            // normalize the broadcast batch ONCE per task; the corpus
-            // row normalizes with the same unitOrZero the artifact
-            // builder used, so both legs' cosines agree bit-for-bit
-            val qs = qB.value.map { case (qid, qv) =>
-              (qid, newspipe.ops.Hnsw.unitOrZero(qv)) }
-            rows.flatMap { r =>
-              val id = r.getLong(0)
-              val v = newspipe.ops.Hnsw.unitOrZero(
-                newspipe.ops.Hnsw.toRaw(r.get(1)))
-              qs.iterator.flatMap { case (qid, q) =>
-                var s = 0.0
-                var j = 0
-                val n = math.min(q.length, v.length)
-                while (j < n) { s += q(j) * v(j); j += 1 }
-                if (s >= t) Iterator.single((qid, id, s))
-                else Iterator.empty
+            }.toDF("id_a", "id_b", "cos")
+        }
+      val fromScan: DataFrame =
+        if (uncovered.isEmpty) emptyPairs
+        else {
+          val rels = uncovered.map(_._1)
+          val metaed = readRelFiles(layer, rels, schemaHint = Some(schema),
+            withMeta = dv.nonEmpty)
+          val alive = if (dv.isEmpty) metaed
+            else dvFilter(metaed, dvPairs(base, snap, Some(rels.toSet)))
+          val t = threshold
+          alive.select(col(meta.idCol).cast("long"), col(meta.vecCol)).rdd
+            .mapPartitions { rows =>
+              // normalize the broadcast batch ONCE per task; the corpus
+              // row normalizes with the same unitOrZero the artifact
+              // builder used, so both legs' cosines agree bit-for-bit
+              val qs = qB.value.map { case (qid, qv) =>
+                (qid, newspipe.ops.Hnsw.unitOrZero(qv)) }
+              rows.flatMap { r =>
+                val id = r.getLong(0)
+                val v = newspipe.ops.Hnsw.unitOrZero(
+                  newspipe.ops.Hnsw.toRaw(r.get(1)))
+                qs.iterator.flatMap { case (qid, q) =>
+                  var s = 0.0
+                  var j = 0
+                  val n = math.min(q.length, v.length)
+                  while (j < n) { s += q(j) * v(j); j += 1 }
+                  if (s >= t) Iterator.single((qid, id, s))
+                  else Iterator.empty
+                }
               }
-            }
-          }.toDF("id_a", "id_b", "cos")
+            }.toDF("id_a", "id_b", "cos")
+        }
+      fromArtifacts.unionByName(fromScan)
+    }
+    // stream the landing into sorted fixed-size chunks; pair results
+    // don't depend on the chunking (each query row is independent)
+    val chunkDfs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[Double])]
+    val rows = newSel.toLocalIterator()
+    while (rows.hasNext) {
+      val r = rows.next()
+      buf += ((r.getLong(0), newspipe.ops.Hnsw.toRaw(r.get(1))))
+      if (buf.length >= chunkRows) {
+        chunkDfs += pairsFor(buf.toArray.sortBy(_._1))
+        buf.clear()
       }
-    fromArtifacts.unionByName(fromScan)
+    }
+    if (buf.nonEmpty) chunkDfs += pairsFor(buf.toArray.sortBy(_._1))
+    chunkDfs.reduce(_.unionByName(_))
       .filter(col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
@@ -6553,26 +6763,51 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     if (seg <= 0) None else Some(s"$b/${r.substring(0, seg)}")
   }
 
+  /** Layer roots whose index `name` may serve this layer: the local
+    * root always, plus each distinct foreign root the inventory
+    * references (a shallow clone's rels) WHOSE `_INDEX.json` passes
+    * `compatible` — borrowing is keyed by index NAME, and a source that
+    * dropped and recreated the name with different parameters must be
+    * refused, or the borrowed bytes stop meaning what the local meta
+    * says (a kind swap crashes the deserializer; a different LSH split
+    * silently misses near-dup pairs). A refused or missing foreign
+    * declaration degrades the clone to exact scans / local rebuilds of
+    * the shared files — cost, never correctness. One meta read per
+    * distinct foreign root (clones reference few sources).
+    */
+  private def reachableIndexRoots(layer: String, name: String,
+      inv: Seq[String], dirName: String,
+      compatible: String => Boolean): Seq[String] = {
+    val base = layerPath(layer)
+    val foreign = inv.flatMap(foreignLayerRootOfRel(base, _)).distinct
+      .filter { root =>
+        val mf = new Path(IndexArtifacts.indexRoot(dirName, root, name),
+          IndexArtifacts.MetaFile)
+        try fs(mf).exists(mf) && compatible(readFully(mf))
+        catch { case _: Exception => false }
+      }
+    base +: foreign
+  }
+
   /** digest → artifact path for every shard of index `name` REACHABLE
     * from this layer: its own shards directory first (a locally built
-    * artifact always wins), then — for each distinct foreign layer root
-    * the inventory references (a shallow clone's rels) — that root's
-    * shards directory for the same index name. Content addressing makes
-    * borrowing sound: the digest keys the FS-qualified DATA-file path,
-    * which a clone's rel resolves to, so the source's artifact for a
-    * shared file is byte-identical to what a local rebuild would
-    * produce — a clone searches the source's index with ZERO artifact
-    * bytes copied, and maintenance skips shared files entirely. One
-    * listing per distinct root (clones reference few sources); a source
-    * that drops its index degrades the clone's search to exact scans of
-    * the shared files, never to a wrong answer.
+    * artifact always wins), then — for each PARAMETER-COMPATIBLE foreign
+    * layer root the inventory references ([[reachableIndexRoots]]) —
+    * that root's shards directory for the same index name. Content
+    * addressing makes borrowing sound: the digest keys the FS-qualified
+    * DATA-file path, which a clone's rel resolves to, so the source's
+    * artifact for a shared file is byte-identical to what a local
+    * rebuild would produce — a clone searches the source's index with
+    * ZERO artifact bytes copied, and maintenance skips shared files
+    * entirely. One listing per distinct root; a source that drops (or
+    * incompatibly recreates) its index degrades the clone's search to
+    * exact scans of the shared files, never to a wrong answer.
     */
   private def reachableShardArtifacts(layer: String, name: String,
-      inv: Seq[String], dirName: String = VectorIndex.DirName,
+      inv: Seq[String], compatible: String => Boolean,
+      dirName: String = VectorIndex.DirName,
       ext: String = ".ann"): Map[String, Path] = {
-    val base = layerPath(layer)
-    val roots: Seq[String] = base +:
-      inv.flatMap(foreignLayerRootOfRel(base, _)).distinct
+    val roots = reachableIndexRoots(layer, name, inv, dirName, compatible)
     roots.foldLeft(Map.empty[String, Path]) { (acc, root) =>
       val f = fs(new Path(root))
       val extra = IndexArtifacts.existingShards(dirName, ext, f, root, name)
@@ -6585,6 +6820,17 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       acc ++ extra
     }
   }
+
+  /** [[reachableShardArtifacts]]' `compatible` check for a vector
+    * index: the foreign declaration must bake the same artifact
+    * parameters ([[VectorIndex.artifactCompatible]]).
+    */
+  private def vectorCompat(meta: VectorIndex.Meta): String => Boolean =
+    json => VectorIndex.artifactCompatible(meta, VectorIndex.fromJson(json))
+
+  /** The dedup-index sibling of [[vectorCompat]]. */
+  private def dedupCompat(meta: DedupIndex.Meta): String => Boolean =
+    json => DedupIndex.artifactCompatible(meta, DedupIndex.fromJson(json))
 
   /** Reclaim index artifacts (both families: `_vindex` shard graphs,
     * `_dindex` signature shards) no RETAINED snapshot's data file backs
@@ -6605,6 +6851,29 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       (VectorIndex.existingShards(f, base, meta.name) -- live).foreach { d =>
         f.delete(new Path(VectorIndex.shardsDir(base, meta.name),
           s"$d.ann"), false)
+      }
+      // routing-segment compaction: fold every segment into ONE holding
+      // only live digests (dead entries are harmless — search ignores
+      // them — but segments would otherwise accumulate one per
+      // maintenance call forever). Write-merged-then-delete-olds: a
+      // racing reader that loses a segment mid-read just over-probes.
+      val segs = VectorIndex.routingSegmentFiles(f, base, meta.name)
+      if (segs.nonEmpty) {
+        val entries = VectorIndex.readRoutingEntries(f, base, meta.name)
+          .filter { case (d, _) => live.contains(d) }
+          .map { case (d, r) => (d, r.count, r.centroid.map(_.toDouble)) }
+          .toSeq
+        val keep: Option[String] =
+          if (entries.isEmpty) None
+          else {
+            val bytes = VectorIndex.serializeRouting(entries)
+            VectorIndex.writeRoutingSegment(f, base, meta.name, bytes)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            Some(md.digest(bytes).map("%02x".format(_)).mkString +
+              VectorIndex.RoutingExt)
+          }
+        segs.filterNot(p => keep.contains(p.getName))
+          .foreach(f.delete(_, false))
       }
     }
     dMetas.foreach { meta =>
@@ -6689,6 +6958,16 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   /** Per-index coverage against the CURRENT snapshot (meta, files with a
     * reachable signature artifact, total live files) — `SHOW DEDUP
     * INDEXES`' engine; metadata-only.
+    *
+    * DELIBERATE asymmetry with [[vectorIndexStatus]]: DV-bearing files
+    * COUNT as covered here, because [[nearDups]] genuinely serves them
+    * from their artifacts — a signature of a DV-deleted row only
+    * produces candidates, and candidates exact-verify against the ALIVE
+    * corpus, so stale ids verify away (LakeDedupIndexSpec pins it). A
+    * vector search has no verification leg — its graphs would resurrect
+    * deleted rows as neighbors, so its status excludes DV files exactly
+    * as its search path does. Each status reports what its OWN search
+    * path answers from the index.
     */
   def dedupIndexStatus(layer: String): Seq[(DedupIndex.Meta, Int, Int)] = {
     val metas = dedupIndexes(layer)
@@ -6701,7 +6980,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       f.makeQualified(new Path(resolveRel(base, rel))).toString))
     metas.map { meta =>
       val reachable = reachableShardArtifacts(layer, meta.name, inv,
-        DedupIndex.DirName, DedupIndex.Ext).keySet
+        dedupCompat(meta), DedupIndex.DirName, DedupIndex.Ext).keySet
       (meta, digests.count(reachable.contains), inv.size)
     }
   }
@@ -6732,7 +7011,7 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     val f = fs(new Path(base))
     val inv = snapshotInventory(layer, snap)
     val existing = reachableShardArtifacts(layer, meta.name, inv,
-      DedupIndex.DirName, DedupIndex.Ext).keySet
+      dedupCompat(meta), DedupIndex.DirName, DedupIndex.Ext).keySet
     def qualify(rel: String): String =
       f.makeQualified(new Path(resolveRel(base, rel))).toString
     val missing = inv.map(rel => rel -> IndexArtifacts.digestOf(qualify(rel)))
@@ -6818,6 +7097,15 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * dropped (their members still meet through other bands), and in
     * incremental mode buckets holding no NEW member leave before the
     * join — old-old buckets cannot produce a wanted pair.
+    *
+    * Incremental reads are BUCKET-PRUNED (round 18): every v2 signature
+    * artifact leads with a Bloom over its distinct `(band, bucket)`
+    * keys, and the landing's key set is probed against each corpus
+    * artifact's header — an artifact sharing no bucket with the landing
+    * skips its body entirely, so the steady-state landing cost is ∝ the
+    * batch and its bucket-mates, not corpus signature volume. Exact for
+    * pair recall (no Bloom false negatives); the lazy TVF route and
+    * over-sized probes skip pruning, never correctness.
     */
   private def resolveDedupIndex(layer: String,
       indexName: Option[String]): DedupIndex.Meta = {
@@ -6849,65 +7137,93 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         meta.numHashes), meta.bands, meta.rows)
   }
 
-  /** `(id, band, bucket, is_new)` signature rows for the snapshot's
-    * WHOLE inventory: persisted artifacts where they exist (text not
-    * read), inline signing for uncovered files (cost, never
-    * correctness). `newRels` tags rows from those files `is_new`.
+  /** The broadcast-size bound on a landing's distinct bucket-key set:
+    * above it, incremental pruning is skipped (correct either way —
+    * pruning only saves IO) rather than shipping an oversized probe.
     */
-  private def dedupSignatures(layer: String, meta: DedupIndex.Meta,
-      snap: Path, newRels: Set[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, explode, lit}
+  private val MaxDedupProbeKeys = 4 * 1000 * 1000
+
+  /** `(id, band, bucket)` signature rows for `rels` (any subset of the
+    * snapshot's inventory): persisted artifacts where they exist (text
+    * not read), inline signing for uncovered files (cost, never
+    * correctness). `probe`: the landing's bucket keys
+    * ([[DedupIndex.bucketKey]]) — a v2 artifact whose bucket Bloom
+    * proves no probe key can be a member is SKIPPED after its header
+    * read, so an incremental pass costs ∝ artifacts sharing the
+    * landing's buckets, not corpus signature volume. Exact for pair
+    * recall (Blooms have no false negatives); v1 artifacts and
+    * inline-signed files always read fully.
+    */
+  private def dedupSignaturesFor(layer: String, meta: DedupIndex.Meta,
+      snap: Path, rels: Seq[String],
+      probe: Option[Array[Long]] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode}
     val base = layerPath(layer)
     val f = fs(new Path(base))
+    // reachability spans the FULL inventory (clone roots), even when
+    // rels is a subset of it
     val inv = snapshotInventory(layer, snap)
     val artifacts = reachableShardArtifacts(layer, meta.name, inv,
-      DedupIndex.DirName, DedupIndex.Ext)
+      dedupCompat(meta), DedupIndex.DirName, DedupIndex.Ext)
     def qualify(rel: String): String =
       f.makeQualified(new Path(resolveRel(base, rel))).toString
-    val withDigest = inv.map(rel =>
+    val withDigest = rels.map(rel =>
       rel -> IndexArtifacts.digestOf(qualify(rel)))
     val (covered, uncovered) = withDigest.partition { case (_, d) =>
       artifacts.contains(d) }
     import spark.implicits._
     def emptySigs: DataFrame =
-      spark.emptyDataset[(Long, Int, Long, Boolean)]
-        .toDF("id", "band", "bucket", "is_new")
+      spark.emptyDataset[(Long, Int, Long)].toDF("id", "band", "bucket")
     val fromArtifacts: DataFrame =
       if (covered.isEmpty) emptySigs
       else {
         val confB = spark.sparkContext.broadcast(
           new org.apache.spark.util.SerializableConfiguration(
             spark.sparkContext.hadoopConfiguration))
-        val paths = covered.map { case (rel, d) =>
-          (artifacts(d).toString, newRels.contains(rel)) }
+        val probeB = probe.map(spark.sparkContext.broadcast(_))
+        val paths = covered.map { case (_, d) => artifacts(d).toString }
         val nSlices = math.max(1, math.min(paths.size,
           spark.sparkContext.defaultParallelism * 2))
         spark.sparkContext.parallelize(paths, nSlices)
           .mapPartitions { ps =>
             val hc = confB.value.value
-            ps.flatMap { case (p, isNew) =>
+            val pr = probeB.map(_.value)
+            ps.flatMap { p =>
               val path = new org.apache.hadoop.fs.Path(p)
               val fsys = path.getFileSystem(hc)
-              val bytes =
-                new Array[Byte](fsys.getFileStatus(path).getLen.toInt)
-              val in = fsys.open(path)
-              try in.readFully(bytes) finally in.close()
-              DedupIndex.deserialize(bytes).iterator.map {
-                case (id, band, bucket) => (id, band, bucket, isNew) }
+              // streaming read: a pruned artifact costs its header only
+              val in = new java.io.DataInputStream(
+                new java.io.BufferedInputStream(fsys.open(path), 1 << 16))
+              try DedupIndex.readPruned(in, pr) match {
+                case Some(triples) => triples.iterator
+                case None => Iterator.empty
+              } finally in.close()
             }
-          }.toDF("id", "band", "bucket", "is_new")
+          }.toDF("id", "band", "bucket")
       }
     val schema = snapshotSchema(layer, snap)
-    def scanned(rels: Seq[String], isNew: Boolean): Option[DataFrame] =
-      if (rels.isEmpty) None
-      else Some(readRelFiles(layer, rels, schemaHint = Some(schema))
+    val fromScan: Option[DataFrame] =
+      if (uncovered.isEmpty) None
+      else Some(readRelFiles(layer, uncovered.map(_._1),
+          schemaHint = Some(schema))
         .select(col(meta.idCol).cast("long").as("id"),
           explode(dedupBandsExpr(meta)).as("__bb"))
         .select(col("id"), col("__bb.band").as("band"),
-          col("__bb.bucket").as("bucket"), lit(isNew).as("is_new")))
-    val (uncovNew, uncovOld) = uncovered.map(_._1).partition(newRels.contains)
-    (Seq(fromArtifacts) ++ scanned(uncovNew, isNew = true) ++
-      scanned(uncovOld, isNew = false)).reduce(_.unionByName(_))
+          col("__bb.bucket").as("bucket")))
+    (Seq(fromArtifacts) ++ fromScan).reduce(_.unionByName(_))
+  }
+
+  /** The landing side's distinct bucket keys, for artifact pruning —
+    * None when the set exceeds [[MaxDedupProbeKeys]] (skip pruning
+    * rather than broadcast an oversized probe).
+    */
+  private def dedupProbeKeysOf(sigs: DataFrame): Option[Array[Long]] = {
+    import org.apache.spark.sql.functions.col
+    val pairs = sigs.select(col("band"), col("bucket")).distinct()
+      .limit(MaxDedupProbeKeys + 1).collect()
+    if (pairs.length > MaxDedupProbeKeys) None
+    else Some(pairs.map(r => DedupIndex.bucketKey(r.getInt(0),
+      r.getLong(1))))
   }
 
   def nearDups(layer: String, indexName: Option[String] = None,
@@ -6931,7 +7247,31 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         inv.filterNot(oldInv).toSet
       case None => Set.empty
     }
-    val all = dedupSignatures(layer, meta, snap, newRels)
+    // incremental + eager: read the LANDING's signatures first, then
+    // prune corpus artifacts by the landing's bucket keys — a corpus
+    // artifact sharing no (band, bucket) with the landing cannot
+    // contribute a wanted pair, so its body is never read (cost ∝
+    // batch, not corpus signature volume). The lazy TVF path keeps the
+    // unpruned one-pass shape (collecting probe keys at plan build
+    // would launch jobs under a bare EXPLAIN).
+    val all: DataFrame = sinceVersion match {
+      case None =>
+        dedupSignaturesFor(layer, meta, snap, inv)
+          .withColumn("is_new", lit(false))
+      case Some(_) if eager =>
+        val newSigs = dedupSignaturesFor(layer, meta, snap,
+          inv.filter(newRels), None).localCheckpoint(true)
+        val probe = dedupProbeKeysOf(newSigs)
+        val oldSigs = dedupSignaturesFor(layer, meta, snap,
+          inv.filterNot(newRels), probe)
+        newSigs.withColumn("is_new", lit(true))
+          .unionByName(oldSigs.withColumn("is_new", lit(false)))
+      case Some(_) =>
+        dedupSignaturesFor(layer, meta, snap, inv.filter(newRels))
+          .withColumn("is_new", lit(true))
+          .unionByName(dedupSignaturesFor(layer, meta, snap,
+            inv.filterNot(newRels)).withColumn("is_new", lit(false)))
+    }
     val keptBuckets = all.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__n"), max(col("is_new")).as("__hasNew"))
       .filter(col("__n").between(2, maxBucket) &&
@@ -7007,11 +7347,20 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       .select(col("id"), col("__bb.band").as("band"),
         col("__bb.bucket").as("bucket"))
       .localCheckpoint(true) // three joins reuse it; batch-sized
-    // (1) intra-batch: greedy keep-min-id over verified pairs
-    val intraCand = sigs.select(col("band"), col("bucket"),
+    // (1) intra-batch: greedy keep-min-id over verified pairs. The same
+    // between(2, maxBucket) skew guard as the corpus pass — a batch of
+    // boilerplate clones would otherwise explode one hot bucket into
+    // O(B²) candidate pairs, the exact job-killer maxBucket exists for
+    // (capped members still meet through their other bands).
+    val intraBuckets = sigs.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucket))
+      .select("band", "bucket")
+    val intraKept = sigs.join(intraBuckets, Seq("band", "bucket"))
+    val intraCand = intraKept.select(col("band"), col("bucket"),
         col("id").as("__l"))
-      .join(sigs.select(col("band"), col("bucket"), col("id").as("__r")),
-        Seq("band", "bucket"))
+      .join(intraKept.select(col("band"), col("bucket"),
+        col("id").as("__r")), Seq("band", "bucket"))
       .filter(col("__l") < col("__r"))
       .select(col("__l").as("id_a"), col("__r").as("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -7026,10 +7375,13 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       col(meta.idCol).cast("long") === col("__drop"), "left_anti")
     val survSigs = sigs.join(dropIntra, col("id") === col("__drop"),
       "left_anti")
-    // (2) vs corpus: survivors' signatures against the persisted ones;
-    // the skew cap drops only corpus-hot buckets (other bands still
-    // carry their members)
-    val corpusSigs = dedupSignatures(layer, meta, snap, Set.empty)
+    // (2) vs corpus: survivors' signatures against the persisted ones —
+    // BUCKET-PRUNED by the survivors' key set (a corpus artifact
+    // sharing no bucket with the batch skips its body; cost ∝ batch,
+    // not corpus signature volume); the skew cap drops only corpus-hot
+    // buckets (other bands still carry their members)
+    val corpusSigs = dedupSignaturesFor(layer, meta, snap,
+      snapshotInventory(layer, snap), dedupProbeKeysOf(survSigs))
     val keptBuckets = corpusSigs.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
       .select("band", "bucket")

@@ -568,6 +568,17 @@ object LakeSql {
     */
   final case class LakeRefreshDedupIndex(base: String, layer: String,
       name: Option[String]) extends LakeMaint
+  /** `INSERT INTO lake.`…`.layer DEDUPED [BY INDEX name]
+    * [MAXBUCKET n] <SELECT …|TABLE …|VALUES …>` — the SQL spelling of
+    * [[Lake.appendDeduped]] (ingest-time near-dedup: only rows that
+    * duplicate neither the corpus nor an earlier batch row land). The
+    * source query text is captured verbatim and planned by the session
+    * at execution. The streaming (appId, batchId) txn fence stays on
+    * the Scala/sink route — a SQL statement has no replay identity.
+    */
+  final case class LakeInsertDeduped(base: String, layer: String,
+      index: Option[String], maxBucket: Option[Int],
+      sourceSql: String) extends LakeMaint
   /** `SHOW DEDUP INDEXES ON lake.`…`.layer` — one row per declared
     * index with parameters + live-file coverage.
     */
@@ -690,6 +701,14 @@ object LakeSql {
   private val ShowDIdxRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*SHOW\\s+DEDUP\\s+INDEXES\\s+ON\\s+" + TargetRe +
       "\\s*;?\\s*$")
+  // INSERT INTO … DEDUPED is not Spark grammar (the DEDUPED keyword after
+  // the target would fail Spark's parser) — lake targets only; the source
+  // query text is captured whole and planned at execution
+  private val InsertDedupedRe = java.util.regex.Pattern.compile(
+    s"(?is)^\\s*INSERT\\s+INTO\\s+$TargetRe\\s+DEDUPED" +
+      "(?:\\s+BY\\s+INDEX\\s+([A-Za-z0-9_]+))?" +
+      "(?:\\s+MAXBUCKET\\s+([0-9]+))?" +
+      "\\s+((?:SELECT|TABLE|VALUES|WITH|FROM)\\b.+?)\\s*;?\\s*$")
 
   /** Recognize a maintenance statement targeting a lake layer. None = not
     * ours (wrong leading keyword, or a non-lake target — Spark's parser
@@ -810,6 +829,14 @@ object LakeSql {
     if (sdi.matches()) {
       val (base, layer) = targetOf(sdi, 1)
       return Some(LakeShowDedupIndexes(base, layer))
+    }
+    val ins = InsertDedupedRe.matcher(sqlText)
+    if (ins.matches()) {
+      val (base, layer) = targetOf(ins, 1)
+      return Some(LakeInsertDeduped(base, layer,
+        index = Option(ins.group(4)),
+        maxBucket = Option(ins.group(5)).map(_.toInt),
+        sourceSql = ins.group(6)))
     }
     val d = DetailRe.matcher(sqlText)
     if (d.matches()) {
@@ -1077,6 +1104,13 @@ object LakeSql {
           case None => lake.maintainDedupIndexes(layer)
         }
         Row("REFRESH DEDUP INDEX", s"shards=$built")
+      case LakeInsertDeduped(_, layer, index, maxBucket, sourceSql) =>
+        val src = session.sql(sourceSql)
+        val r = lake.appendDeduped(src, layer, index,
+          maxBucket = maxBucket.getOrElse(1000))
+        Row("INSERT DEDUPED", s"landed=${r.landed} " +
+          s"dropped_batch=${r.droppedInBatch} " +
+          s"dropped_corpus=${r.droppedVsCorpus}")
       case LakeRepartition(_, layer, cols) =>
         val snap = lake.repartitionLayer(layer, cols)
         Row("REPARTITION", new org.apache.hadoop.fs.Path(snap).getName)

@@ -47,6 +47,24 @@ object VectorIndex {
 
   val Kinds: Set[String] = Set("hnsw", "ivf", "pq")
 
+  /** May a FOREIGN index's shard artifacts serve `local`'s declaration?
+    * Borrowing across a shallow clone is keyed by index NAME, and a
+    * source may drop and recreate a same-named index with different
+    * parameters — then the borrowed bytes no longer mean what the local
+    * meta says (an hnsw→ivf swap crashes the deserializer mid-task; a
+    * different `m`/`efConstruction` silently changes recall). Equality
+    * here covers every parameter baked into artifact BYTES; `nprobe` is
+    * search-time-only and deliberately excluded (a clone may probe
+    * differently over the same cells).
+    */
+  def artifactCompatible(local: Meta, foreign: Meta): Boolean =
+    local.kind == foreign.kind && local.idCol == foreign.idCol &&
+      local.vecCol == foreign.vecCol && local.m == foreign.m &&
+      local.efConstruction == foreign.efConstruction &&
+      (local.kind != "ivf" || local.nlist == foreign.nlist) &&
+      (local.kind != "pq" ||
+        (local.pqM == foreign.pqM && local.pqK == foreign.pqK))
+
   val DirName = "_vindex"
   val MetaFile: String = IndexArtifacts.MetaFile
 
@@ -106,4 +124,123 @@ object VectorIndex {
       digest: String, bytes: Array[Byte]): Unit =
     IndexArtifacts.writeShard(DirName, ".ann", f, layerPath, name, digest,
       bytes)
+
+  // ---- coarse shard routing ------------------------------------------------
+  //
+  // layer/_vindex/<name>/routing/<segId>.rtc — ROUTING SEGMENTS: tiny
+  // (digest, rowCount, centroid) summaries of shard artifacts, one
+  // segment per maintenance call (the FAISS-IVF / Lucene-segment idea
+  // applied at the shard level). A top-k search ranks covered shards by
+  // query·centroid and probes only the best `shardProbe` fraction —
+  // at 10⁶ files the alternative is touching every artifact per query
+  // batch. Segments are summaries, never truth: a covered shard WITHOUT
+  // a routing entry is always probed (degrade = more work, never a
+  // wrong base set), entries for dead digests are ignored, and a reader
+  // that races a compaction just falls back to probing the shards it
+  // lost entries for. Centroids are float32 (routing is approximate by
+  // design; 2× smaller segments).
+
+  val RoutingDirName = "routing"
+  val RoutingExt = ".rtc"
+  private val RoutingMagic = 0x4c4b5254 // "LKRT"
+
+  /** One shard's routing summary: live row count + the UNNORMALIZED mean
+    * of the shard's unit vectors (norm ≈ cluster tightness; scoring
+    * normalizes). A zero-norm centroid (empty/degenerate shard) is
+    * treated as unrouted — always probed.
+    */
+  final case class Route(count: Int, centroid: Array[Float])
+
+  def routingDir(layerPath: String, name: String): Path =
+    new Path(indexRoot(layerPath, name), RoutingDirName)
+
+  /** Serialize routing entries, digest-sorted so identical entry sets
+    * produce identical bytes (concurrent maintainers of the same
+    * increment write the same segment — benign race, same contract as
+    * shard artifacts).
+    */
+  def serializeRouting(
+      entries: Seq[(String, Int, Array[Double])]): Array[Byte] = {
+    val sorted = entries.sortBy(_._1)
+    val bos = new java.io.ByteArrayOutputStream(
+      16 + sorted.map(e => 40 + e._3.length * 4).sum)
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(RoutingMagic)
+    out.writeInt(sorted.length)
+    sorted.foreach { case (digest, count, centroid) =>
+      out.writeUTF(digest)
+      out.writeInt(count)
+      out.writeInt(centroid.length)
+      centroid.foreach(v => out.writeFloat(v.toFloat))
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def deserializeRouting(bytes: Array[Byte]): Seq[(String, Route)] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val magic = in.readInt()
+    require(magic == RoutingMagic,
+      f"not a routing segment (magic 0x$magic%08x)")
+    val n = in.readInt()
+    Seq.fill(n) {
+      val digest = in.readUTF()
+      val count = in.readInt()
+      val dim = in.readInt()
+      val c = new Array[Float](dim)
+      var j = 0
+      while (j < dim) { c(j) = in.readFloat(); j += 1 }
+      digest -> Route(count, c)
+    }
+  }
+
+  /** Write one routing segment crash-safely. The segment id is the md5
+    * of its bytes — identical entry sets from racing maintainers land
+    * on the SAME file name with the SAME content (the rename race is
+    * benign), and distinct sets never collide.
+    */
+  def writeRoutingSegment(f: FileSystem, layerPath: String, name: String,
+      bytes: Array[Byte]): Unit = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val segId = md.digest(bytes).map("%02x".format(_)).mkString
+    val dir = routingDir(layerPath, name)
+    f.mkdirs(dir)
+    val tmp = new Path(dir,
+      s".$segId$RoutingExt.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val dst = new Path(dir, s"$segId$RoutingExt")
+    if (!f.rename(tmp, dst)) f.delete(tmp, false)
+  }
+
+  /** All routing entries under one index root (digest → route; one dir
+    * listing + one small read per segment). A segment deleted mid-read
+    * by a racing compaction is skipped — its shards degrade to
+    * always-probed, never to a missing result.
+    */
+  def readRoutingEntries(f: FileSystem, layerPath: String,
+      name: String): Map[String, Route] = {
+    val dir = routingDir(layerPath, name)
+    if (!f.exists(dir)) return Map.empty
+    f.listStatus(dir).iterator
+      .filter(_.getPath.getName.endsWith(RoutingExt))
+      .flatMap { st =>
+        try {
+          val bytes = new Array[Byte](st.getLen.toInt)
+          val in = f.open(st.getPath)
+          try in.readFully(bytes) finally in.close()
+          deserializeRouting(bytes)
+        } catch { case _: java.io.IOException => Nil }
+      }.toMap
+  }
+
+  /** Segment file names under one index root (compaction's input). */
+  def routingSegmentFiles(f: FileSystem, layerPath: String,
+      name: String): Seq[Path] = {
+    val dir = routingDir(layerPath, name)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).iterator.map(_.getPath)
+      .filter(_.getName.endsWith(RoutingExt)).toSeq
+  }
 }

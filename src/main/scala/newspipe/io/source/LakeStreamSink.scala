@@ -134,7 +134,19 @@ class LakeStreamSink extends StreamSinkProvider with StreamSourceProvider
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val appId = parameters.get("txnAppId")
       .orElse(parameters.get("checkpointLocation"))
-    new LakeStreamSink.LakeSink(base, layer, partCols, appId)
+    // option("deduped", "true"): each micro-batch lands through
+    // Lake.appendDeduped — ingest-time near-dedup against the persisted
+    // dedup index, with the SAME (appId, batchId) replay fence; option
+    // ("dedupIndex", name) picks the index when the layer declares
+    // several, option("maxBucket", n) tunes the LSH skew cap
+    def opt(name: String): Option[String] = parameters.get(name).orElse(
+      parameters.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(name) => v })
+    val deduped = opt("deduped").exists(_.equalsIgnoreCase("true"))
+    val dedupIndex = opt("dedupIndex").filter(_.nonEmpty)
+    val maxBucket = opt("maxBucket").map(_.toInt).getOrElse(1000)
+    new LakeStreamSink.LakeSink(base, layer, partCols, appId,
+      deduped, dedupIndex, maxBucket)
   }
 }
 
@@ -185,13 +197,37 @@ object LakeStreamSink {
     */
   private[io] def landBatch(base: String, layer: String,
       partCols: Seq[String], appIdOpt: Option[String],
-      batchId: Long, data: DataFrame): Unit = {
+      batchId: Long, data: DataFrame, deduped: Boolean = false,
+      dedupIndex: Option[String] = None, maxBucket: Int = 1000): Unit = {
     val spark = data.sparkSession
     val lake = new Lake(spark, LakeConfig(basePath = base))
     // rebind the incremental execution's rows as a batch frame — the
     // addBatch frame's logical plan still carries streaming leaves and
     // must not be re-planned (see NewspipeSqlBridge.batchDataFrame)
     val batch = NewspipeSqlBridge.batchDataFrame(data)
+    if (deduped) {
+      // the DEDUPED landing path: appendDeduped owns BOTH fences — the
+      // (appId, batchId) txn ledger skips whole replays before any
+      // dedup work, and the signature passes shed near-duplicate rows;
+      // an all-duplicate batch commits nothing (and so re-noops on
+      // replay). Requires a snapshot-managed corpus + a declared index —
+      // refusals surface loudly (a sink silently landing duplicates
+      // would betray the option).
+      require(lake.isSnapshotManaged(layer),
+        s"lake sink option deduped=true: layer '$layer' is not " +
+          "snapshot-managed — appendDeduped lands increments against a " +
+          "committed corpus (writeAtomic + CREATE DEDUP INDEX first)")
+      val appId = appIdOpt.orElse(threadQueryId()).getOrElse("lake-stream")
+      val pinned = batch.localCheckpoint(true)
+      try {
+        val r = lake.appendDeduped(pinned, layer, dedupIndex,
+          maxBucket = maxBucket, txn = Some((appId, batchId)))
+        Console.err.println(s"[lake] sink deduped batch $batchId: " +
+          s"landed=${r.landed} dropped_batch=${r.droppedInBatch} " +
+          s"dropped_corpus=${r.droppedVsCorpus}")
+      } finally { pinned.unpersist(); () }
+      return
+    }
     if (lake.isSnapshotManaged(layer)) {
       val appId = appIdOpt.orElse(threadQueryId()).getOrElse {
         // Shared-constant fallback is only safe for a single writer per
@@ -225,10 +261,14 @@ object LakeStreamSink {
   }
 
   private[io] final class LakeSink(base: String, layer: String,
-      partCols: Seq[String], appId: Option[String]) extends Sink {
+      partCols: Seq[String], appId: Option[String],
+      deduped: Boolean = false, dedupIndex: Option[String] = None,
+      maxBucket: Int = 1000) extends Sink {
     override def addBatch(batchId: Long, data: DataFrame): Unit =
-      landBatch(base, layer, partCols, appId, batchId, data)
-    override def toString: String = s"LakeSink[$base/$layer]"
+      landBatch(base, layer, partCols, appId, batchId, data,
+        deduped, dedupIndex, maxBucket)
+    override def toString: String =
+      s"LakeSink[$base/$layer${if (deduped) " deduped" else ""}]"
   }
 
   /** The insert-rows-only view over the tagged change stream — offsets,

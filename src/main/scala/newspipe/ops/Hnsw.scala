@@ -380,6 +380,24 @@ object Hnsw {
     }
   }
 
+  /** Routing summary of a serialized shard graph — (row count, mean of
+    * the stored unit vectors, unnormalized): the coarse-routing backfill
+    * for artifacts built before their routing segment existed (or whose
+    * segment write crashed). One deserialization, O(n·dim).
+    */
+  private[newspipe] def centroidOfGraphBytes(
+      bytes: Array[Byte]): (Int, Array[Double]) = {
+    val g = readGraph(bytes)
+    if (g.vecs.isEmpty) return (0, Array.empty)
+    val dim = g.vecs(0).length
+    val sum = new Array[Double](dim)
+    g.vecs.foreach { v =>
+      var j = 0
+      while (j < dim) { sum(j) += v(j); j += 1 }
+    }
+    (g.vecs.length, sum.map(_ / g.vecs.length))
+  }
+
   /** EXACT cosine-threshold scan of a serialized shard graph: every
     * (query_id, node_id, cos) with `cos >= threshold` — one linear pass
     * over the shard's stored (already unit-normalized) vectors, NO graph

@@ -170,6 +170,37 @@ object IvfFlat {
     }
   }
 
+  /** Routing summary of a serialized shard — (row count, unnormalized
+    * mean of the stored unit vectors): [[Hnsw.centroidOfGraphBytes]]'
+    * contract for the ivf kind.
+    */
+  private[newspipe] def centroidOfShardBytes(
+      bytes: Array[Byte]): (Int, Array[Double]) = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    require(in.readInt() == Magic,
+      "not a serialized IVF-Flat shard (bad magic)")
+    val nlist = in.readInt(); val dim = in.readInt(); in.readInt()
+    var skip = 0
+    while (skip < nlist * dim) { in.readDouble(); skip += 1 }
+    val sum = new Array[Double](dim)
+    var n = 0
+    var c = 0
+    while (c < nlist) {
+      val cnt = in.readInt()
+      var m = 0
+      while (m < cnt) {
+        in.readLong()
+        var j = 0
+        while (j < dim) { sum(j) += in.readDouble(); j += 1 }
+        n += 1
+        m += 1
+      }
+      c += 1
+    }
+    if (n == 0) (0, Array.empty) else (n, sum.map(_ / n))
+  }
+
   /** EXACT cosine-threshold scan of a serialized shard: every
     * (query_id, member_id, cos) with `cos >= threshold`, visiting ALL
     * cells — no probe selection, so recall is 1.0 by construction (the

@@ -119,6 +119,53 @@ object PqShard {
     bos.toByteArray
   }
 
+  /** Routing summary of a serialized PQ shard — (row count, mean of the
+    * RECONSTRUCTED vectors): the stored codes are lossy, so the centroid
+    * is approximate, which routing tolerates by design
+    * ([[Hnsw.centroidOfGraphBytes]]' contract for the pq kind). Computed
+    * as the code-histogram-weighted mean of the codebook entries —
+    * O(n·m + m·k·dsub), no per-row reconstruction.
+    */
+  private[newspipe] def centroidOfShardBytes(
+      bytes: Array[Byte]): (Int, Array[Double]) = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    require(in.readInt() == Magic,
+      "not a serialized PQ shard (bad magic)")
+    val m = in.readInt(); val k = in.readInt(); val dsub = in.readInt()
+    val n = in.readInt()
+    val flat = new Array[Double](m * k * dsub)
+    var fi = 0
+    while (fi < flat.length) { flat(fi) = in.readDouble(); fi += 1 }
+    if (n == 0 || dsub == 0) return (n, Array.empty)
+    val hist = Array.ofDim[Int](m, k)
+    var r = 0
+    val code = new Array[Byte](m)
+    while (r < n) {
+      in.readLong()
+      in.readFully(code)
+      var s = 0
+      while (s < m) { hist(s)(code(s) & 0xff) += 1; s += 1 }
+      r += 1
+    }
+    val mean = new Array[Double](m * dsub)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < k) {
+        val w = hist(s)(j).toDouble / n
+        if (w > 0) {
+          val base = (s * k + j) * dsub
+          var t = 0
+          while (t < dsub) { mean(s * dsub + t) += w * flat(base + t); t += 1 }
+        }
+        j += 1
+      }
+      s += 1
+    }
+    (n, mean)
+  }
+
   /** ADC shortlist per query — (query_id, member_id, adc_score), the
     * local top-`fetch` by (score desc, id asc). Scores are APPROXIMATE
     * (quantized); the caller re-ranks them exactly.

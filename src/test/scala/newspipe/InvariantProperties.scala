@@ -552,6 +552,29 @@ object InvariantProperties extends Properties("newspipe") {
         bytes.sameElements(newspipe.io.DedupIndex.serialize(triples.reverse))
     }
 
+  property("dedup sig artifact bucket Bloom: a probe sharing any " +
+      "(band, bucket) with the artifact NEVER prunes (no false " +
+      "negatives — pair recall is exact), and a pruned read implies " +
+      "the probe truly shares no bucket") =
+    Prop.forAll(sigTriples, sigTriples) { (ts, other) =>
+      val triples = ts.toArray
+      val bytes = newspipe.io.DedupIndex.serialize(triples)
+      def read(probe: Array[Long]) =
+        newspipe.io.DedupIndex.readPruned(new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(bytes)), Some(probe))
+      val ownKeys = triples.map { case (_, b, bk) =>
+        newspipe.io.DedupIndex.bucketKey(b, bk) }
+      val otherKeys = other.map { case (_, b, bk) =>
+        newspipe.io.DedupIndex.bucketKey(b, bk) }.toArray
+      val neverFalseNegative =
+        triples.isEmpty || read(ownKeys).exists(_.toSet == triples.toSet)
+      val pruneIsSound = read(otherKeys) match {
+        case None => otherKeys.toSet.intersect(ownKeys.toSet).isEmpty
+        case Some(got) => got.toSet == triples.toSet
+      }
+      neverFalseNegative && pruneIsSound
+    }
+
   property("dedup index meta: toJson/fromJson round-trips every field, " +
       "quotes and backslashes in names included") =
     Prop.forAll(

@@ -94,6 +94,19 @@ class PlanSpec extends SparkTestBase {
     plan should include("*(1)")
   }
 
+  test("stacked cleaning pipeline (cleanText + gopherRules + langId) " +
+      "fuses into one codegen stage with no ScalaUDF barrier") {
+    val df = spark.read.parquet(s"$parquetDir/flat")
+      .withColumn("clean", newspipe.ops.TextStats.cleanText($"name"))
+      .withColumn("gopher", newspipe.ops.TextStats.gopherRules($"clean"))
+      .withColumn("lang", newspipe.ops.TextStats.langId($"clean"))
+    val plan = executed(df)
+    // langId was the last ScalaUDF in this hot path (round 18): a UDF
+    // here split the cleaning stage at a codegen barrier
+    plan should not include "ScalaUDF"
+    plan should include("*(1)")
+  }
+
   test("native DQ dup detection: key-only aggregate + broadcast join back, no full-row shuffle") {
     import newspipe.dq.{DqConfig, NativeDq}
     val df = spark.read.parquet(s"$parquetDir/flat")

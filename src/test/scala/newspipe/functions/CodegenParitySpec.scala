@@ -54,6 +54,22 @@ class CodegenParitySpec extends SparkTestBase {
     g shouldBe i
   }
 
+  test("LangIdExpr: codegen = interpreted (incl. null/empty docs and " +
+      "multi-language samples)") {
+    def frame = docs
+      .union(Seq(
+        (10L, "el que la de los en las del se una"),
+        (11L, "der die und in den von zu das mit sich"),
+        (12L, "le la de et les des en un du une"),
+        (13L, "12345 !!! ???")).toDF("id", "text"))
+      .select($"id", newspipe.ops.TextStats.langId($"text").as("lang"))
+    val (g, i) = bothWays(frame)
+    g shouldBe i
+    // the scorer itself still answers the obvious cases
+    g.exists(_.contains("en")) shouldBe true
+    g.exists(_.contains("es")) shouldBe true
+  }
+
   private def vecs = Seq(
     (1L, Seq(0.5f, -0.25f, 1.0f, 0.0f)),
     (2L, Seq(-1.0f, 2.0f, -0.5f, 0.25f)),

@@ -115,9 +115,58 @@ class LakeDedupIndexSpec extends SparkTestBase {
     inc should contain ((3000L, 3001L, 1.0))
     // NO old-old pair leaks in: 0/500-series pairs predate the batch
     inc.filter { case (a, b, _) => a < 2000L && b < 2000L } shouldBe empty
+    // bucket-pruning parity: the eager path prunes corpus artifacts by
+    // the landing's bucket Blooms, the lazy path reads them all — the
+    // pairs must be IDENTICAL (pruning is exact for recall)
+    pairsOf(lake.nearDups("docs", sinceVersion = Some(v1),
+      eager = false)) shouldBe inc
     // and the full (non-incremental) run still sees those old pairs
     pairsOf(lake.nearDups("docs"))
       .filter { case (a, b, _) => a < 600L && b < 600L } should not be empty
+  }
+
+  test("v1 (pre-Bloom) signature artifacts stay readable and simply " +
+      "unprunable: stripping the header changes cost, never pairs") {
+    val (base, lake) = newLake()
+    lake.writeAtomic(docs(0 until 40)
+      .union(docs(0 until 4).select($"doc_id" + 500, $"text"))
+      .toDF("doc_id", "text")
+      .repartitionByRange(3, $"doc_id").sortWithinPartitions("doc_id"),
+      "docs")
+    lake.createDedupIndex("docs", "dix", "text", "doc_id")
+    val v1 = lake.listVersions("docs").head
+    lake.appendAtomic(docs(7 until 9)
+      .select(($"doc_id" + 3000).as("doc_id"), $"text").coalesce(1),
+      "docs")
+    val expect = pairsOf(lake.nearDups("docs", sinceVersion = Some(v1)))
+    expect.map(p => (p._1, p._2)) shouldBe Set((7L, 3007L), (8L, 3008L))
+    // rewrite every artifact in the LEGACY v1 layout (magic DSG1, no
+    // Bloom header) — the deserializer must read them fully
+    val f = new Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val shards = DedupIndex.shardsDir(s"$base/docs", "dix")
+    f.listStatus(shards).map(_.getPath)
+      .filter(_.getName.endsWith(DedupIndex.Ext)).foreach { p =>
+        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        val in = f.open(p)
+        try in.readFully(bytes) finally in.close()
+        val triples = DedupIndex.deserialize(bytes)
+        val bos = new java.io.ByteArrayOutputStream()
+        val out = new java.io.DataOutputStream(bos)
+        out.writeInt(0x44534731) // "DSG1"
+        out.writeInt(triples.length)
+        triples.foreach { case (id, band, bucket) =>
+          out.writeLong(id); out.writeInt(band); out.writeLong(bucket)
+        }
+        out.flush()
+        val os = f.create(p, true)
+        try os.write(bos.toByteArray) finally os.close()
+        f.delete(new Path(p.getParent, s".${p.getName}.crc"), false)
+      }
+    pairsOf(lake.nearDups("docs", sinceVersion = Some(v1))) shouldBe expect
+    pairsOf(lake.nearDups("docs")).map(p => (p._1, p._2)) shouldBe
+      Set((0L, 500L), (1L, 501L), (2L, 502L), (3L, 503L),
+        (7L, 3007L), (8L, 3008L))
   }
 
   test("deletion vectors + artifact loss degrade cost, never answers: a " +
@@ -180,6 +229,35 @@ class LakeDedupIndexSpec extends SparkTestBase {
     lake.refreshDedupIndex("docs", "dix") shouldBe 2
     val (_, cov3, _) = lake.dedupIndexStatus("docs").head
     cov3 shouldBe 2
+  }
+
+  test("borrow validation: a source that recreates a same-named index " +
+      "with a different LSH split is refused — the clone re-signs " +
+      "inline and still finds every pair (no silent misses)") {
+    val (base, lake) = newLake()
+    val corpus = docs(0 until 40)
+      .union(docs(0 until 5).select($"doc_id" + 500, $"text"))
+      .toDF("doc_id", "text")
+    lake.writeAtomic(corpus.repartitionByRange(3, $"doc_id")
+      .sortWithinPartitions("doc_id"), "docs")
+    lake.createDedupIndex("docs", "dix", "text", "doc_id")
+    val expect = pairsOf(lake.nearDups("docs"))
+    expect.map(p => (p._1, p._2)) shouldBe
+      (0L until 5L).map(i => (i, i + 500L)).toSet
+    lake.clone("docs", "fork")
+    pairsOf(lake.nearDups("fork")) shouldBe expect
+    // the source recreates the name with a different bands/hashes split:
+    // its artifacts' (band, bucket) space no longer matches the fork's
+    // meta — borrowing them would silently MISS true near-dup pairs
+    lake.dropDedupIndex("docs", "dix")
+    lake.createDedupIndex("docs", "dix", "text", "doc_id",
+      numHashes = 32, bands = 8)
+    val (_, covered, _) = lake.dedupIndexStatus("fork").head
+    covered shouldBe 0 // nothing borrowable any more
+    pairsOf(lake.nearDups("fork")) shouldBe expect // inline re-sign
+    // fork maintenance builds LOCAL artifacts under ITS parameters
+    lake.maintainDedupIndexes("fork") shouldBe 3
+    pairsOf(lake.nearDups("fork")) shouldBe expect
   }
 
   test("a STREAMING-sink micro-batch (landBatch = appendAtomic + txn " +
@@ -259,6 +337,33 @@ class LakeDedupIndexSpec extends SparkTestBase {
       .toDF("doc_id", "text"), "docs", txn = Some(("dd_app", 8L)))
     rc.landed shouldBe 0
     rc.droppedVsCorpus shouldBe 2
+  }
+
+  test("REORG APPLY (PURGE) re-signs its rewritten outputs, and widening " +
+      "the keyed id column (metadata-only) leaves every signature " +
+      "valid — nearDups pairs unchanged with zero re-signs") {
+    val (_, lake) = newLake()
+    val corpus = docs(0 until 40)
+      .union(docs(0 until 5).select($"doc_id" + 500, $"text"))
+      .toDF("doc_id", "text")
+      .select($"doc_id".cast("int").as("doc_id"), $"text")
+    lake.writeAtomic(corpus.repartitionByRange(3, $"doc_id")
+      .sortWithinPartitions("doc_id"), "docs")
+    lake.createDedupIndex("docs", "dix", "text", "doc_id")
+    // DV-delete one copy, then PURGE: rewrite drops the row physically
+    // and the post-commit hook signs the rewritten file
+    lake.deleteWhereDv("docs", $"doc_id" === 502)
+    lake.purgeDeletionVectors("docs").rewrittenFiles shouldBe 1
+    lake.maintainDedupIndexes("docs") shouldBe 0 // REORG re-signed
+    pairsOf(lake.nearDups("docs")).map(p => (p._1, p._2)) shouldBe
+      (0L until 5L).filter(_ != 2L).map(i => (i, i + 500L)).toSet
+    // widen int → long: metadata-only; signatures key ids as longs
+    // already, so artifacts stay valid and pairs identical
+    lake.widenColumn("docs", "doc_id",
+      org.apache.spark.sql.types.LongType).rewrittenFiles shouldBe 0
+    lake.maintainDedupIndexes("docs") shouldBe 0
+    pairsOf(lake.nearDups("docs")).map(p => (p._1, p._2)) shouldBe
+      (0L until 5L).filter(_ != 2L).map(i => (i, i + 500L)).toSet
   }
 
   test("SQL surface: CREATE DEDUP INDEX / lake_near_dups TVF / SHOW / " +

@@ -496,4 +496,48 @@ class LakeSqlSpec extends SparkTestBase {
     }
     e.getMessage should include("runMaintenanceRows")
   }
+
+  test("INSERT INTO … DEDUPED lands only non-duplicates through the " +
+      "statement route, equals the API split, and surfaces refusals") {
+    val dir = Files.createTempDirectory("lakesql_dd").toString
+    val lake = new Lake(spark, LakeConfig(basePath = dir))
+    // long distinct texts: different ids never near-dup by accident
+    def textOf(i: Int, salt: String): String =
+      (0 until 15).map(j => s"$salt${i}w$j").mkString(" ")
+    lake.writeAtomic((1 to 40).map(i => (i.toLong, textOf(i, "a")))
+      .toDF("doc_id", "text")
+      .repartitionByRange(3, $"doc_id").sortWithinPartitions("doc_id"),
+      "docs")
+    lake.createDedupIndex("docs", "dix", "text", "doc_id")
+    // batch: 3 verbatim copies of old docs + 2 fresh + a twin pair
+    val twin = (0 until 15).map(j => s"tw${j}z").mkString(" ")
+    ((10 to 12).map(i => ((i + 1000).toLong, textOf(i, "a"))) ++
+      Seq((2000L, textOf(1, "f")), (2001L, textOf(2, "f")),
+        (3000L, twin), (3001L, twin)))
+      .toDF("doc_id", "text").createOrReplaceTempView("dd_batch")
+    val m = LakeSql.sql(spark,
+      s"INSERT INTO lake.`$dir`.docs DEDUPED BY INDEX dix " +
+        "SELECT * FROM dd_batch").collect().head
+    m.getString(0) shouldBe "INSERT DEDUPED"
+    m.getString(1) shouldBe
+      "landed=3 dropped_batch=1 dropped_corpus=3"
+    lake.read("docs").filter($"doc_id" >= 1000L)
+      .select("doc_id").as[Long].collect().toSet shouldBe
+      Set(2000L, 2001L, 3000L)
+    // replaying the same statement: every row is now a corpus dup
+    val m2 = LakeSql.sql(spark,
+      s"INSERT INTO lake.`$dir`.docs DEDUPED " +
+        "SELECT doc_id + 10000 AS doc_id, text FROM dd_batch")
+      .collect().head
+    m2.getString(1) should include("landed=0")
+    // unknown index surfaces the API's loud refusal
+    val e = intercept[Exception] {
+      LakeSql.sql(spark, s"INSERT INTO lake.`$dir`.docs DEDUPED " +
+        "BY INDEX nope SELECT * FROM dd_batch")
+    }
+    e.getMessage should include("nope")
+    // a PLAIN insert (no DEDUPED) is not claimed by the recognizer
+    LakeSql.parseMaintenance(
+      s"INSERT INTO lake.`$dir`.docs SELECT * FROM dd_batch") shouldBe None
+  }
 }

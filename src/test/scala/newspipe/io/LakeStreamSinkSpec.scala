@@ -107,6 +107,56 @@ class LakeStreamSinkSpec extends SparkTestBase {
     lake.txnVersion("docs", "appA") shouldBe Some(1L)
   }
 
+  test("option(deduped): micro-batches land through appendDeduped — " +
+      "near-duplicates shed against the persisted index, replays " +
+      "fenced by the txn ledger, all-dup batches commit nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = freshDir("sink_dd")
+    val lake = new Lake(spark, LakeConfig(basePath = base))
+    def textOf(i: Int, salt: String): String =
+      (0 until 15).map(j => s"$salt${i}w$j").mkString(" ")
+    lake.writeAtomic((1 to 30).map(i => (i.toLong, textOf(i, "a")))
+      .toDF("doc_id", "text")
+      .repartitionByRange(2, $"doc_id").sortWithinPartitions("doc_id"),
+      "docs")
+    lake.createDedupIndex("docs", "dix", "text", "doc_id")
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("doc_id", "text").writeStream
+      .format("lake")
+      .option("basePath", base).option("layer", "docs")
+      .option("deduped", "true").option("dedupIndex", "dix")
+      .option("txnAppId", "dd_sink")
+      .option("checkpointLocation", freshDir("sink_dd_ck"))
+      .start()
+    try {
+      // batch 0: one corpus dup + one fresh + a twin pair
+      stream.addData(
+        (1005L, textOf(5, "a")), (2000L, textOf(1, "f")),
+        (3000L, textOf(1, "t")), (3001L, textOf(1, "t")))
+      q.processAllAvailable()
+      // batch 1: all duplicates of what batch 0 landed → no commit
+      stream.addData((4000L, textOf(1, "f")), (4001L, textOf(1, "t")))
+      q.processAllAvailable()
+    } finally q.stop()
+    lake.read("docs").filter($"doc_id" >= 1000L)
+      .select("doc_id").as[Long].collect().toSet shouldBe
+      Set(2000L, 3000L)
+    // the ledger recorded batch 0 (it committed); an out-of-band replay
+    // of batch 0 re-noops BEFORE any dedup work
+    lake.txnVersion("docs", "dd_sink") shouldBe Some(0L)
+    val head = lake.listVersions("docs").head
+    LakeStreamSink.landBatch(base, "docs", Nil, Some("dd_sink"), 0L,
+      Seq((9000L, textOf(9, "q"))).toDF("doc_id", "text"),
+      deduped = true, dedupIndex = Some("dix"))
+    lake.listVersions("docs").head shouldBe head
+    // deduped into a non-snapshot layer is refused loudly
+    val e = intercept[Exception] {
+      LakeStreamSink.landBatch(base, "flatlayer", Nil, Some("x"), 0L,
+        Seq((1L, "t")).toDF("doc_id", "text"), deduped = true)
+    }
+    e.getMessage should include("snapshot-managed")
+  }
+
   test("landBatch replay fence is exact: same batch id lands once") {
     val base = freshDir("sink_fence")
     val lake = new Lake(spark, LakeConfig(basePath = base))

@@ -134,6 +134,41 @@ class LakeVectorIndexSpec extends SparkTestBase {
     (0L until 4L).foreach { i => degraded(i) shouldBe (i + 100000L) }
   }
 
+  test("borrow validation: a source that drops and RECREATES a same-named " +
+      "index with different parameters is refused — the clone degrades " +
+      "to exact scans instead of crashing on a kind mismatch") {
+    val (base, lake) = newLake()
+    lake.writeAtomic(vectors(0 until 300)
+      .repartitionByRange(4, $"vec_id").sortWithinPartitions("vec_id"),
+      "emb")
+    lake.createVectorIndex("emb", "idx", "vec", "vec_id") shouldBe 4
+    lake.clone("emb", "fork")
+    val queries = vectors(0 until 6)
+    val expect = lake.vectorSearch("fork", queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // the source swaps the index kind under the SAME name: its .ann
+    // bytes are now IVF cells, which the fork's hnsw meta must refuse —
+    // without validation the deserializer would crash on a bad magic
+    lake.dropVectorIndex("emb", "idx")
+    lake.createVectorIndex("emb", "idx", "vec", "vec_id", kind = "ivf",
+      nlist = 8, nprobe = 8)
+    val (_, covered, _) = lake.vectorIndexStatus("fork").head
+    covered shouldBe 0 // nothing borrowable any more
+    val degraded = lake.vectorSearch("fork", queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // the exact fallback can only agree at least as well with brute force
+    val exact = Similarity.bruteForceTopK(queries, lake.read("fork"),
+      "vec_id", "vec", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    degraded shouldBe exact
+    assert((expect & degraded).size.toDouble / expect.size >= 0.9)
+    // fork maintenance now builds LOCAL shards (no borrowable source)
+    lake.maintainVectorIndexes("fork") shouldBe 4
+    lake.vectorSearch("fork", queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet shouldBe expect // local rebuild = original bytes
+  }
+
   test("cross-base clone borrows index artifacts through base: refs") {
     val (srcBase, srcLake) = newLake()
     srcLake.writeAtomic(vectors(0 until 200)
@@ -224,6 +259,19 @@ class LakeVectorIndexSpec extends SparkTestBase {
          |FROM lake_vector_near_dups('$base', 'emb', '$v1', 0.95, 'idx')
          |""".stripMargin)
       .as[(Long, Long)].collect().toSet shouldBe expect
+    // bounded-memory chunking: a tiny chunk bound slices the landing
+    // into many broadcast batches — identical pairs (each query row is
+    // independent of its chunk-mates)
+    lake.vectorNearDups("emb", v1, threshold = 0.95,
+        indexName = Some("idx"), chunkRows = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet shouldBe
+      expect
+    // an oversized landing is refused with the compaction-rewrite hint
+    val big = intercept[IllegalArgumentException] {
+      lake.vectorNearDups("emb", v1, 0.95, Some("idx"),
+        maxLandingRows = 3L)
+    }
+    big.getMessage should include("maxLandingRows")
     // DV-delete one planted copy: its pairs drop, nothing else changes
     lake.deleteWhereDv("emb", $"vec_id" === 100003L)
     got("idx") shouldBe expect.filterNot(p =>
@@ -231,6 +279,100 @@ class LakeVectorIndexSpec extends SparkTestBase {
     // unknown since-version refused
     intercept[IllegalArgumentException] {
       lake.vectorNearDups("emb", "nope", 0.95, Some("idx"))
+    }
+  }
+
+  /** Clustered corpus for the routing tests: 8 one-hot cluster centers
+    * in 16 dims, members = center + small deterministic noise, ids
+    * c*1000+j — hive-partitioned by cluster so every data file is
+    * cluster-pure (the layout coarse routing is designed for).
+    */
+  private def clusteredCorpus(perCluster: Int): DataFrame = {
+    def noise(i: Long, j: Long): Double = {
+      var z = i * 1000003L + j + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      ((z ^ (z >>> 27)) & 0xffffffL).toDouble / 0xffffffL.toDouble - 0.5
+    }
+    (0 until 8).flatMap { c =>
+      (0 until perCluster).map { j =>
+        val id = c * 1000L + j
+        val v = (0 until 16).map(d =>
+          (if (d == 2 * c) 1.0 else 0.0) + 0.1 * noise(id, d)).toArray
+        (id, v, c)
+      }
+    }.toDF("vec_id", "vec", "cl")
+  }
+
+  test("coarse shard routing: a selective shardProbe answers from a " +
+      "FRACTION of the shards with full recall on a clustered corpus; " +
+      "full probe is byte-identical to the unrouted plan; deleted " +
+      "routing degrades to probe-everything and maintenance backfills") {
+    val (base, lake) = newLake()
+    lake.writeAtomic(clusteredCorpus(40).repartition($"cl"), "emb",
+      partitionBy = Seq("cl"))
+    val shards = lake.createVectorIndex("emb", "idx", "vec", "vec_id")
+    shards shouldBe fileCount(lake, "emb")
+    assert(shards >= 8) // at least one cluster-pure file per cluster
+    val f = new Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // maintenance wrote one routing entry per shard
+    VectorIndex.readRoutingEntries(f, s"$base/emb", "idx")
+      .size shouldBe shards
+    // queries: one per cluster (a fresh member of each)
+    val queries = clusteredCorpus(41)
+      .filter($"vec_id" % 1000 === 40).select("vec_id", "vec")
+    def run(probe: Double) = lake.vectorSearch("emb",
+        queries, k = 5, shardProbe = probe)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val full = run(1.0)
+    full shouldBe run(1.0) // deterministic
+    // every neighbor of a cluster-c query is a cluster-c member: the
+    // corpus shape routing exploits
+    full.forall { case (q, n) => q / 1000L == n / 1000L } shouldBe true
+    // probe 2 of >=8 shards: routing must rank each query's own-cluster
+    // shard first — recall stays complete
+    val routedRun = run(0.25)
+    routedRun shouldBe full
+    routedRun shouldBe run(0.25) // deterministic
+    // routing lost (crash / pre-routing index): the same selective call
+    // degrades to probing EVERYTHING — identical answers, more work
+    f.delete(VectorIndex.routingDir(s"$base/emb", "idx"), true)
+    run(0.25) shouldBe full
+    // maintenance BACKFILLS routing from the artifact bytes (no shard
+    // rebuild: returns 0) and selective probing works again
+    lake.maintainVectorIndexes("emb") shouldBe 0
+    VectorIndex.readRoutingEntries(f, s"$base/emb", "idx")
+      .size shouldBe shards
+    run(0.25) shouldBe full
+    // ivf kind routes the same way (and its backfill reader works)
+    lake.createVectorIndex("emb", "ivx", "vec", "vec_id", kind = "ivf",
+      nlist = 4, nprobe = 4)
+    val ivfFull = lake.vectorSearch("emb", queries, k = 5,
+        indexName = Some("ivx"))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    lake.vectorSearch("emb", queries, k = 5, indexName = Some("ivx"),
+        shardProbe = 0.25)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet shouldBe ivfFull
+    // an append routes its new shard too, and VACUUM compacts the
+    // accumulated segments into one without losing live entries
+    lake.appendAtomic(queries.limit(2)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        $"vec".cast("array<double>").as("vec"),
+        ($"vec_id" / 1000L).cast("int").as("cl")).coalesce(1), "emb")
+    lake.vacuum("emb", keep = 1, orphanGraceMs = 0L)
+    VectorIndex.routingSegmentFiles(f, s"$base/emb", "idx")
+      .size shouldBe 1
+    VectorIndex.readRoutingEntries(f, s"$base/emb", "idx")
+      .size shouldBe fileCount(lake, "emb")
+    val twins = lake.vectorSearch("emb", queries.limit(2), k = 1,
+        indexName = Some("idx"), shardProbe = 0.25)
+      .filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    twins.foreach { case (q, n) => n shouldBe (q + 100000L) }
+    // contract: out-of-range probe refused
+    intercept[IllegalArgumentException] {
+      lake.vectorSearch("emb", queries, k = 1, shardProbe = 0.0)
     }
   }
 
@@ -518,6 +660,44 @@ class LakeVectorIndexSpec extends SparkTestBase {
       .filter($"rank" === 1)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
     (0L until 4L).foreach { i => top(i) shouldBe (i + 100000L) }
+  }
+
+  test("REORG APPLY (PURGE) re-covers its rewritten outputs, and " +
+      "widening the keyed id column (metadata-only) leaves every " +
+      "artifact valid — searches stay exact with zero re-builds") {
+    val (_, lake) = newLake()
+    // INT ids: the widen target
+    lake.writeAtomic(vectors(0 until 200)
+      .select($"vec_id".cast("int").as("vec_id"),
+        $"vec".cast("array<double>").as("vec"))
+      .repartitionByRange(3, $"vec_id").sortWithinPartitions("vec_id"),
+      "emb")
+    lake.createVectorIndex("emb", "idx", "vec", "vec_id") shouldBe 3
+    val queries = vectors(0 until 3)
+    lake.appendAtomic(queries
+      .select(($"vec_id" + 100000L).cast("int").as("vec_id"),
+        $"vec".cast("array<double>").as("vec")).coalesce(1), "emb")
+    // DV-delete one twin, then PURGE: the rewrite materializes the
+    // delete and the post-commit hook covers the rewritten file
+    lake.deleteWhereDv("emb", $"vec_id" === 100002)
+    lake.purgeDeletionVectors("emb").rewrittenFiles shouldBe 1
+    lake.maintainVectorIndexes("emb") shouldBe 0 // REORG re-covered
+    val (_, covered, total) = lake.vectorIndexStatus("emb").head
+    covered shouldBe total
+    lake.vectorSearch("emb", queries, k = 3)
+      .filter($"neighbor_id" === 100002L).count() shouldBe 0L
+    // widen int → long: metadata-only commit; artifacts already store
+    // ids as longs (the signer casts), so every shard stays VALID —
+    // no re-cover, searches exact
+    lake.widenColumn("emb", "vec_id",
+      org.apache.spark.sql.types.LongType).rewrittenFiles shouldBe 0
+    lake.maintainVectorIndexes("emb") shouldBe 0
+    val (_, covered2, total2) = lake.vectorIndexStatus("emb").head
+    covered2 shouldBe total2
+    val top = lake.vectorSearch("emb", queries.limit(2), k = 1)
+      .filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 2L).foreach { i => top(i) shouldBe (i + 100000L) }
   }
 
   test("SQL surface: CREATE VECTOR INDEX / lake_vector_search TVF / " +
