@@ -6191,19 +6191,14 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
                 buf.toArray, mMeta.m, mMeta.efConstruction)
             }
             VectorIndex.writeShard(fsys, mBase, mName, digest, bytes)
-            // routing summary: mean of the shard's unit vectors — the
-            // builder already holds them, so the centroid is one extra
-            // O(n·dim) pass, not a second read
+            // routing summary: mean of the shard's unit vectors + the
+            // angular radius (min member cosine to the normalized
+            // mean) — the builder already holds the TRUE vectors, so
+            // this is one extra O(n·dim) pass and the radius is a
+            // sound pruning bound for every kind
             val unit = buf.map(r => newspipe.ops.Hnsw.unitOrZero(r._2))
-            val dim = unit.headOption.map(_.length).getOrElse(0)
-            val sum = new Array[Double](dim)
-            unit.foreach { v =>
-              var j = 0
-              while (j < dim) { sum(j) += v(j); j += 1 }
-            }
-            (digest, unit.length,
-              if (unit.isEmpty) Array.empty[Double]
-              else sum.map(_ / unit.length))
+            val (mean, minCos) = newspipe.ops.Hnsw.meanAndMinCos(unit)
+            (digest, unit.length, mean, minCos)
           }
         }
       }.collect()
@@ -6252,12 +6247,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
           val bytes = new Array[Byte](fsys.getFileStatus(path).getLen.toInt)
           val in = fsys.open(path)
           try in.readFully(bytes) finally in.close()
-          val (n, c) = kind match {
+          val (n, c, minCos) = kind match {
             case "ivf" => newspipe.ops.IvfFlat.centroidOfShardBytes(bytes)
             case "pq" => newspipe.ops.PqShard.centroidOfShardBytes(bytes)
             case _ => newspipe.ops.Hnsw.centroidOfGraphBytes(bytes)
           }
-          (d, n, c)
+          (d, n, c, minCos)
         }
       }.collect()
     if (entries.nonEmpty)
@@ -6570,6 +6565,13 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     * each chunk scanning the artifacts once — against an unbounded
     * corpus whose bytes are never re-read beyond the index artifacts;
     * one task per shard, zero shuffles before the final pair dedup.
+    * Covered shards are CAP-BOUND PRUNED (round 18): the routing
+    * entry's angular radius ([[VectorIndex.Route]] minCos) plus the
+    * spherical triangle inequality prove when a shard can hold no
+    * qualifying partner for the chunk — those shards skip EXACTLY
+    * ([[newspipe.ops.Hnsw.capExcludes]], soundness property-pinned), so
+    * a cluster-local landing touches only the shards within threshold
+    * reach instead of every covered artifact.
     * `maxLandingRows` refuses the pathological shape where an OPTIMIZE
     * between the versions rewrote every file (the "landing" is the
     * whole corpus): all-pairs semantic dedup over the WHOLE corpus is
@@ -6653,17 +6655,54 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // beats reusing its bytes)
     val (covered, uncovered) = withDigest.partition { case (rel, d) =>
       meta.kind != "pq" && artifacts.contains(d) && !dv.contains(rel) }
+    // EXACT cap-bound pruning over the covered shards (round 18): a
+    // routing entry's minCos is the shard's angular radius around its
+    // centroid, so a chunk whose CLOSEST query is still further from
+    // the centroid than radius + acos(threshold) provably shares no
+    // qualifying pair with the shard (spherical triangle inequality) —
+    // skipped with recall 1.0 preserved. Shards without a sound radius
+    // (unrouted, pq-backfilled, degenerate) always scan; a small slack
+    // absorbs float rounding on the conservative side.
+    val routes = reachableRoutingEntries(layer, meta, inv)
+    def canSkipShard(d: String,
+        chunk: Array[(Long, Array[Double])]): Boolean =
+      routes.get(d).exists { r =>
+        if (r.minCos <= -1f || r.centroid.isEmpty) false
+        else {
+          var n2 = 0.0
+          r.centroid.foreach(x => n2 += x.toDouble * x.toDouble)
+          if (n2 == 0.0) false
+          else {
+            val inv2 = 1.0 / math.sqrt(n2)
+            var best = -1.0
+            chunk.foreach { case (_, qv) =>
+              val q = newspipe.ops.Hnsw.unitOrZero(qv)
+              var s = 0.0
+              var j = 0
+              val m = math.min(q.length, r.centroid.length)
+              while (j < m) { s += q(j) * r.centroid(j); j += 1 }
+              if (s * inv2 > best) best = s * inv2
+            }
+            // skip only when even the CLOSEST query is excluded
+            newspipe.ops.Hnsw.capExcludes(best, r.minCos.toDouble,
+              threshold)
+          }
+        }
+      }
     // one chunk's pairs: the chunk rides a broadcast through both legs
     // (the vectorSearch query-batch contract)
     def pairsFor(chunk: Array[(Long, Array[Double])]): DataFrame = {
       val qB = spark.sparkContext.broadcast(chunk)
+      val chunkCovered = covered.filterNot { case (_, d) =>
+        canSkipShard(d, chunk) }
       val fromArtifacts: DataFrame =
-        if (covered.isEmpty) emptyPairs
+        if (chunkCovered.isEmpty) emptyPairs
         else {
           val confB = spark.sparkContext.broadcast(
             new org.apache.spark.util.SerializableConfiguration(
               spark.sparkContext.hadoopConfiguration))
-          val paths = covered.map { case (_, d) => artifacts(d).toString }
+          val paths = chunkCovered.map { case (_, d) =>
+            artifacts(d).toString }
           val nSlices = math.max(1, math.min(paths.size,
             spark.sparkContext.defaultParallelism * 2))
           val (t, kind) = (threshold, meta.kind)
@@ -6861,7 +6900,8 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       if (segs.nonEmpty) {
         val entries = VectorIndex.readRoutingEntries(f, base, meta.name)
           .filter { case (d, _) => live.contains(d) }
-          .map { case (d, r) => (d, r.count, r.centroid.map(_.toDouble)) }
+          .map { case (d, r) => (d, r.count,
+            r.centroid.map(_.toDouble), r.minCos.toDouble) }
           .toSeq
         val keep: Option[String] =
           if (entries.isEmpty) None

@@ -142,14 +142,24 @@ object VectorIndex {
 
   val RoutingDirName = "routing"
   val RoutingExt = ".rtc"
-  private val RoutingMagic = 0x4c4b5254 // "LKRT"
+  private val RoutingMagic = 0x4c4b5232 // "LKR2"
 
-  /** One shard's routing summary: live row count + the UNNORMALIZED mean
+  /** One shard's routing summary: live row count, the UNNORMALIZED mean
     * of the shard's unit vectors (norm ≈ cluster tightness; scoring
-    * normalizes). A zero-norm centroid (empty/degenerate shard) is
-    * treated as unrouted — always probed.
+    * normalizes), and `minCos` — the smallest cosine between any member
+    * and the normalized centroid, i.e. the shard's ANGULAR RADIUS
+    * (acos(minCos)). The radius makes EXACT pruning possible for
+    * threshold scans: every member lies within the cap, so a query
+    * whose angle to the centroid exceeds radius + acos(threshold)
+    * provably has no qualifying partner in the shard (spherical
+    * triangle inequality) — recall 1.0 preserved. `minCos = -1` means
+    * "unknown/unbounded" (pq-kind reconstructions are lossy, so their
+    * radius is not a sound bound; degenerate shards likewise) — such
+    * shards are never pruned. A zero-norm centroid is treated as
+    * unrouted — always probed.
     */
-  final case class Route(count: Int, centroid: Array[Float])
+  final case class Route(count: Int, centroid: Array[Float],
+      minCos: Float = -1f)
 
   def routingDir(layerPath: String, name: String): Path =
     new Path(indexRoot(layerPath, name), RoutingDirName)
@@ -160,16 +170,17 @@ object VectorIndex {
     * shard artifacts).
     */
   def serializeRouting(
-      entries: Seq[(String, Int, Array[Double])]): Array[Byte] = {
+      entries: Seq[(String, Int, Array[Double], Double)]): Array[Byte] = {
     val sorted = entries.sortBy(_._1)
     val bos = new java.io.ByteArrayOutputStream(
-      16 + sorted.map(e => 40 + e._3.length * 4).sum)
+      16 + sorted.map(e => 44 + e._3.length * 4).sum)
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(RoutingMagic)
     out.writeInt(sorted.length)
-    sorted.foreach { case (digest, count, centroid) =>
+    sorted.foreach { case (digest, count, centroid, minCos) =>
       out.writeUTF(digest)
       out.writeInt(count)
+      out.writeFloat(minCos.toFloat)
       out.writeInt(centroid.length)
       centroid.foreach(v => out.writeFloat(v.toFloat))
     }
@@ -187,11 +198,12 @@ object VectorIndex {
     Seq.fill(n) {
       val digest = in.readUTF()
       val count = in.readInt()
+      val minCos = in.readFloat()
       val dim = in.readInt()
       val c = new Array[Float](dim)
       var j = 0
       while (j < dim) { c(j) = in.readFloat(); j += 1 }
-      digest -> Route(count, c)
+      digest -> Route(count, c, minCos)
     }
   }
 
@@ -231,7 +243,11 @@ object VectorIndex {
           val in = f.open(st.getPath)
           try in.readFully(bytes) finally in.close()
           deserializeRouting(bytes)
-        } catch { case _: java.io.IOException => Nil }
+        } catch {
+          // a vanished/garbled/older-format segment degrades its shards
+          // to always-probed, never to a missing result
+          case scala.util.control.NonFatal(_) => Nil
+        }
       }.toMap
   }
 

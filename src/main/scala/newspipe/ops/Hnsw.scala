@@ -380,22 +380,65 @@ object Hnsw {
     }
   }
 
-  /** Routing summary of a serialized shard graph — (row count, mean of
-    * the stored unit vectors, unnormalized): the coarse-routing backfill
-    * for artifacts built before their routing segment existed (or whose
-    * segment write crashed). One deserialization, O(n·dim).
+  /** Mean of unit vectors + the shard's angular radius as min member
+    * cosine to the normalized mean (-1 when degenerate) — the routing
+    * summary both backfill legs share. O(n·dim), two passes.
     */
-  private[newspipe] def centroidOfGraphBytes(
-      bytes: Array[Byte]): (Int, Array[Double]) = {
-    val g = readGraph(bytes)
-    if (g.vecs.isEmpty) return (0, Array.empty)
-    val dim = g.vecs(0).length
+  private[newspipe] def meanAndMinCos(
+      vecs: scala.collection.Seq[Array[Double]])
+      : (Array[Double], Double) = {
+    if (vecs.isEmpty) return (Array.empty, -1.0)
+    val dim = vecs.head.length
     val sum = new Array[Double](dim)
-    g.vecs.foreach { v =>
+    vecs.foreach { v =>
       var j = 0
       while (j < dim) { sum(j) += v(j); j += 1 }
     }
-    (g.vecs.length, sum.map(_ / g.vecs.length))
+    val mean = sum.map(_ / vecs.length)
+    var n2 = 0.0
+    mean.foreach(x => n2 += x * x)
+    if (n2 == 0.0) return (mean, -1.0)
+    val inv = 1.0 / math.sqrt(n2)
+    var minCos = 1.0
+    vecs.foreach { v =>
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += v(j) * mean(j); j += 1 }
+      val c = s * inv
+      if (c < minCos) minCos = c
+    }
+    (mean, minCos)
+  }
+
+  /** Spherical cap-bound exclusion test — the exact-pruning kernel for
+    * threshold scans over routed shards: every shard member lies within
+    * `acos(minCos)` of the shard centroid, so a query at angle
+    * `acos(cosQC)` from the centroid is at least `acos(cosQC) −
+    * acos(minCos)` from EVERY member (triangle inequality on the
+    * sphere). When that lower bound exceeds `acos(threshold)` no member
+    * can reach the threshold — returns true = sound to skip the shard
+    * (recall 1.0 preserved; a small slack keeps float rounding on the
+    * conservative side). InvariantProperties pins the soundness law.
+    */
+  private[newspipe] def capExcludes(cosQC: Double, minCos: Double,
+      threshold: Double): Boolean = {
+    def c1(x: Double): Double = math.max(-1.0, math.min(1.0, x))
+    math.acos(c1(cosQC)) - math.acos(c1(minCos)) >
+      math.acos(c1(threshold)) + 1e-6
+  }
+
+  /** Routing summary of a serialized shard graph — (row count, mean of
+    * the stored unit vectors unnormalized, min member cosine to the
+    * normalized mean): the coarse-routing backfill for artifacts built
+    * before their routing segment existed (or whose segment write
+    * crashed). One deserialization, O(n·dim).
+    */
+  private[newspipe] def centroidOfGraphBytes(
+      bytes: Array[Byte]): (Int, Array[Double], Double) = {
+    val g = readGraph(bytes)
+    if (g.vecs.isEmpty) return (0, Array.empty, -1.0)
+    val (mean, minCos) = meanAndMinCos(g.vecs)
+    (g.vecs.length, mean, minCos)
   }
 
   /** EXACT cosine-threshold scan of a serialized shard graph: every

@@ -171,11 +171,12 @@ object IvfFlat {
   }
 
   /** Routing summary of a serialized shard — (row count, unnormalized
-    * mean of the stored unit vectors): [[Hnsw.centroidOfGraphBytes]]'
-    * contract for the ivf kind.
+    * mean of the stored unit vectors, min member cosine to the
+    * normalized mean): [[Hnsw.centroidOfGraphBytes]]' contract for the
+    * ivf kind.
     */
   private[newspipe] def centroidOfShardBytes(
-      bytes: Array[Byte]): (Int, Array[Double]) = {
+      bytes: Array[Byte]): (Int, Array[Double], Double) = {
     val in = new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(bytes))
     require(in.readInt() == Magic,
@@ -183,22 +184,26 @@ object IvfFlat {
     val nlist = in.readInt(); val dim = in.readInt(); in.readInt()
     var skip = 0
     while (skip < nlist * dim) { in.readDouble(); skip += 1 }
-    val sum = new Array[Double](dim)
-    var n = 0
+    val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     var c = 0
     while (c < nlist) {
       val cnt = in.readInt()
       var m = 0
       while (m < cnt) {
         in.readLong()
+        val v = new Array[Double](dim)
         var j = 0
-        while (j < dim) { sum(j) += in.readDouble(); j += 1 }
-        n += 1
+        while (j < dim) { v(j) = in.readDouble(); j += 1 }
+        vecs += v
         m += 1
       }
       c += 1
     }
-    if (n == 0) (0, Array.empty) else (n, sum.map(_ / n))
+    if (vecs.isEmpty) (0, Array.empty, -1.0)
+    else {
+      val (mean, minCos) = Hnsw.meanAndMinCos(vecs)
+      (vecs.length, mean, minCos)
+    }
   }
 
   /** EXACT cosine-threshold scan of a serialized shard: every

@@ -120,14 +120,16 @@ object PqShard {
   }
 
   /** Routing summary of a serialized PQ shard — (row count, mean of the
-    * RECONSTRUCTED vectors): the stored codes are lossy, so the centroid
-    * is approximate, which routing tolerates by design
-    * ([[Hnsw.centroidOfGraphBytes]]' contract for the pq kind). Computed
-    * as the code-histogram-weighted mean of the codebook entries —
-    * O(n·m + m·k·dsub), no per-row reconstruction.
+    * RECONSTRUCTED vectors, minCos = -1): the stored codes are lossy,
+    * so the centroid is approximate, which SEARCH routing tolerates by
+    * design — but an approximate radius is NOT a sound pruning bound,
+    * so minCos stays -1 (never pruned; the threshold-scan leg does not
+    * use pq artifacts anyway). Computed as the code-histogram-weighted
+    * mean of the codebook entries — O(n·m + m·k·dsub), no per-row
+    * reconstruction.
     */
   private[newspipe] def centroidOfShardBytes(
-      bytes: Array[Byte]): (Int, Array[Double]) = {
+      bytes: Array[Byte]): (Int, Array[Double], Double) = {
     val in = new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(bytes))
     require(in.readInt() == Magic,
@@ -137,7 +139,7 @@ object PqShard {
     val flat = new Array[Double](m * k * dsub)
     var fi = 0
     while (fi < flat.length) { flat(fi) = in.readDouble(); fi += 1 }
-    if (n == 0 || dsub == 0) return (n, Array.empty)
+    if (n == 0 || dsub == 0) return (n, Array.empty, -1.0)
     val hist = Array.ofDim[Int](m, k)
     var r = 0
     val code = new Array[Byte](m)
@@ -163,7 +165,7 @@ object PqShard {
       }
       s += 1
     }
-    (n, mean)
+    (n, mean, -1.0)
   }
 
   /** ADC shortlist per query — (query_id, member_id, adc_score), the

@@ -552,6 +552,46 @@ object InvariantProperties extends Properties("newspipe") {
         bytes.sameElements(newspipe.io.DedupIndex.serialize(triples.reverse))
     }
 
+  property("cap-bound exclusion is SOUND: when capExcludes says a shard " +
+      "cannot reach the threshold, no member within the shard's angular " +
+      "radius ever does (the exact-pruning law vectorNearDups relies on)") =
+    Prop.forAll(
+      Gen.choose(4, 16),                 // dim
+      Gen.choose(0L, Long.MaxValue),     // seed
+      Gen.choose(0.0, math.Pi / 2),      // member max angle to centroid
+      Gen.choose(0.5, 0.999)) {          // threshold
+      (dim, seed, maxA, threshold) =>
+      val rnd = new scala.util.Random(seed)
+      def unit(v: Array[Double]): Array[Double] = {
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v else v.map(_ / n)
+      }
+      def dot(a: Array[Double], b: Array[Double]): Double =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val c = unit(Array.fill(dim)(rnd.nextGaussian()))
+      // members: rotate the centroid by angles <= maxA toward random
+      // orthogonal directions — their min cosine to c is the radius
+      val members = (0 until 12).map { _ =>
+        val r = Array.fill(dim)(rnd.nextGaussian())
+        val proj = dot(r, c)
+        val orth0 = r.zip(c).map { case (x, ci) => x - proj * ci }
+        val on = math.sqrt(orth0.map(x => x * x).sum)
+        if (on < 1e-12) c.clone()
+        else {
+          val u = orth0.map(_ / on)
+          val a = rnd.nextDouble() * maxA
+          c.zip(u).map { case (ci, ui) =>
+            math.cos(a) * ci + math.sin(a) * ui }
+        }
+      }
+      val minCos = members.map(dot(_, c)).min
+      val q = unit(Array.fill(dim)(rnd.nextGaussian()))
+      val excluded = newspipe.ops.Hnsw.capExcludes(dot(q, c), minCos,
+        threshold)
+      // soundness: excluded ⇒ every member is below the threshold
+      !excluded || members.forall(m => dot(q, unit(m)) < threshold)
+    }
+
   property("dedup sig artifact bucket Bloom: a probe sharing any " +
       "(band, bucket) with the artifact NEVER prunes (no false " +
       "negatives — pair recall is exact), and a pruned read implies " +

@@ -356,6 +356,7 @@ class LakeVectorIndexSpec extends SparkTestBase {
       .collect().toSet shouldBe ivfFull
     // an append routes its new shard too, and VACUUM compacts the
     // accumulated segments into one without losing live entries
+    val vPre = lake.listVersions("emb").head
     lake.appendAtomic(queries.limit(2)
       .select(($"vec_id" + 100000L).as("vec_id"),
         $"vec".cast("array<double>").as("vec"),
@@ -370,6 +371,17 @@ class LakeVectorIndexSpec extends SparkTestBase {
       .filter($"rank" === 1)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
     twins.foreach { case (q, n) => n shouldBe (q + 100000L) }
+    // EXACT cap-bound pruning in vectorNearDups: the landing lives in
+    // clusters 0/1, so shards of the far clusters are provably out of
+    // threshold range and skip — pairs IDENTICAL to the unrouted
+    // scan-everything baseline (recall 1.0 preserved)
+    def ndPairs() = lake.vectorNearDups("emb", vPre, threshold = 0.9,
+        indexName = Some("idx"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pruned = ndPairs()
+    pruned should not be empty // twins pair with their own clusters
+    f.delete(VectorIndex.routingDir(s"$base/emb", "idx"), true)
+    ndPairs() shouldBe pruned
     // contract: out-of-range probe refused
     intercept[IllegalArgumentException] {
       lake.vectorSearch("emb", queries, k = 1, shardProbe = 0.0)
