@@ -771,8 +771,11 @@ object ScaleBench {
         newspipe.io.LakeConfig(basePath = root))
       val nFiles = 4 * copies
       val dim = 64
-      val corpus = spark.range(nFiles.toLong * 500)
-        .select(col("id").as("vec_id"), (col("id") / 500L).as("cl"))
+      // 2000 vectors per shard: big enough that reading+searching a
+      // shard artifact is the visible cost, not per-task fixed overhead
+      // (500-row shards measured job-launch noise, not the probe win)
+      val corpus = spark.range(nFiles.toLong * 2000)
+        .select(col("id").as("vec_id"), (col("id") / 2000L).as("cl"))
         .select(col("vec_id"),
           transform(sequence(lit(0), lit(dim - 1)), j =>
             (pmod(xxhash64(col("cl"), j), lit(2001L)) - lit(1000L))
@@ -784,8 +787,8 @@ object ScaleBench {
       lake.writeAtomic(corpus, "vr")
       lake.createVectorIndex("vr", "idx", "vec", "vec_id")
       val queries = lake.read("vr")
-        .filter(pmod(col("vec_id"), lit(500L)) === 0 &&
-          col("vec_id") < 4000L)
+        .filter(pmod(col("vec_id"), lit(2000L)) === 0 &&
+          col("vec_id") < 16000L)
       val (nF, tF) = timed {
         (1 to 5).map(_ =>
           lake.vectorSearch("vr", queries, k = 10).count()).sum

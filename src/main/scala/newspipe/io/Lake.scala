@@ -6664,37 +6664,74 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     // (unrouted, pq-backfilled, degenerate) always scan; a small slack
     // absorbs float rounding on the conservative side.
     val routes = reachableRoutingEntries(layer, meta, inv)
-    def canSkipShard(d: String,
-        chunk: Array[(Long, Array[Double])]): Boolean =
-      routes.get(d).exists { r =>
-        if (r.minCos <= -1f || r.centroid.isEmpty) false
-        else {
-          var n2 = 0.0
-          r.centroid.foreach(x => n2 += x.toDouble * x.toDouble)
-          if (n2 == 0.0) false
-          else {
-            val inv2 = 1.0 / math.sqrt(n2)
-            var best = -1.0
-            chunk.foreach { case (_, qv) =>
-              val q = newspipe.ops.Hnsw.unitOrZero(qv)
-              var s = 0.0
-              var j = 0
-              val m = math.min(q.length, r.centroid.length)
-              while (j < m) { s += q(j) * r.centroid(j); j += 1 }
-              if (s * inv2 > best) best = s * inv2
-            }
-            // skip only when even the CLOSEST query is excluded
-            newspipe.ops.Hnsw.capExcludes(best, r.minCos.toDouble,
-              threshold)
+    // driver cost discipline: the tight per-query test is O(shards ×
+    // chunk × dim) — fine for thousands of shards, a driver-killer at
+    // 10⁶. Above the bound, the CHUNK itself is summarized as a
+    // spherical cap (its mean + radius, one O(chunk·dim) pass) and each
+    // shard gets ONE dot product: angle(chunkMean, shardMean) −
+    // chunkRadius − shardRadius > acos(threshold) is sound by two
+    // applications of the same triangle inequality — weaker (skips
+    // less) but O(shards·dim), and still exact.
+    val PerQueryBound = 4096
+    def skipSetFor(chunk: Array[(Long, Array[Double])]): Set[String] = {
+      if (routes.isEmpty) return Set.empty
+      val qUnit = chunk.map(t => newspipe.ops.Hnsw.unitOrZero(t._2))
+      def dotN(a: Array[Double], bF: Array[Float],
+          bInv: Double): Double = {
+        var s = 0.0
+        var j = 0
+        val m = math.min(a.length, bF.length)
+        while (j < m) { s += a(j) * bF(j); j += 1 }
+        s * bInv
+      }
+      def shardGeom(r: VectorIndex.Route): Option[Double] = {
+        if (r.minCos <= -1f || r.centroid.isEmpty) return None
+        var n2 = 0.0
+        r.centroid.foreach(x => n2 += x.toDouble * x.toDouble)
+        if (n2 == 0.0) None else Some(1.0 / math.sqrt(n2))
+      }
+      val tight = covered.size <= PerQueryBound
+      // chunk cap for the cheap test
+      val (qMeanRaw, qMinCos) = newspipe.ops.Hnsw.meanAndMinCos(qUnit)
+      var qn2 = 0.0
+      qMeanRaw.foreach(x => qn2 += x * x)
+      val chunkCap: Option[(Array[Double], Double)] =
+        if (qn2 == 0.0 || qMinCos <= -1.0) None
+        else Some((qMeanRaw.map(_ / math.sqrt(qn2)),
+          math.acos(math.max(-1.0, math.min(1.0, qMinCos)))))
+      val acosT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
+      covered.iterator.flatMap { case (_, d) =>
+        routes.get(d).flatMap { r =>
+          shardGeom(r).flatMap { inv2 =>
+            val skip =
+              if (tight) {
+                var best = -1.0
+                qUnit.foreach { q =>
+                  val c = dotN(q, r.centroid, inv2)
+                  if (c > best) best = c
+                }
+                // skip only when even the CLOSEST query is excluded
+                newspipe.ops.Hnsw.capExcludes(best, r.minCos.toDouble,
+                  threshold)
+              } else chunkCap.exists { case (qC, qRad) =>
+                val cosCC = math.max(-1.0, math.min(1.0,
+                  dotN(qC, r.centroid, inv2)))
+                val sRad = math.acos(math.max(-1.0,
+                  math.min(1.0, r.minCos.toDouble)))
+                math.acos(cosCC) - qRad - sRad > acosT + 1e-6
+              }
+            if (skip) Some(d) else None
           }
         }
-      }
+      }.toSet
+    }
     // one chunk's pairs: the chunk rides a broadcast through both legs
     // (the vectorSearch query-batch contract)
     def pairsFor(chunk: Array[(Long, Array[Double])]): DataFrame = {
       val qB = spark.sparkContext.broadcast(chunk)
+      val skips = skipSetFor(chunk)
       val chunkCovered = covered.filterNot { case (_, d) =>
-        canSkipShard(d, chunk) }
+        skips.contains(d) }
       val fromArtifacts: DataFrame =
         if (chunkCovered.isEmpty) emptyPairs
         else {
