@@ -6084,12 +6084,14 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
 
   /** Per-index coverage against the CURRENT snapshot: (meta, files whose
     * artifact exists and that carry no deletion vector — the set a search
-    * answers from the index, the rest fall back to exact scans — total
-    * live files). Metadata-only: one inventory walk + one shards listing
-    * per index (`SHOW VECTOR INDEXES`' engine).
+    * answers from the index, the rest fall back to exact scans —, files
+    * among those with a ROUTING entry — the set a selective `shardProbe`
+    * can rank; unrouted covered files are always probed —, total live
+    * files). Metadata-only: one inventory walk + one shards listing +
+    * one routing listing per index (`SHOW VECTOR INDEXES`' engine).
     */
   def vectorIndexStatus(layer: String)
-      : Seq[(VectorIndex.Meta, Int, Int)] = {
+      : Seq[(VectorIndex.Meta, Int, Int, Int)] = {
     val metas = vectorIndexes(layer)
     if (metas.isEmpty) return Nil
     val base = layerPath(layer)
@@ -6102,9 +6104,12 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     metas.map { meta =>
       val reachable = reachableShardArtifacts(layer, meta.name, inv,
         vectorCompat(meta)).keySet
-      val covered = digests.count { case (rel, d) =>
+      val routes = reachableRoutingEntries(layer, meta, inv).keySet
+      val coveredDigests = digests.filter { case (rel, d) =>
         reachable.contains(d) && !dv.contains(rel) }
-      (meta, covered, inv.size)
+      val routed = coveredDigests.count { case (_, d) =>
+        routes.contains(d) }
+      (meta, coveredDigests.size, routed, inv.size)
     }
   }
 

@@ -936,7 +936,10 @@ object LakeSql {
     AttributeReference("total_files", IntegerType, nullable = false)(),
     // appended (consumers stay index-stable): the pq kind's parameters
     AttributeReference("pq_m", IntegerType, nullable = false)(),
-    AttributeReference("pq_k", IntegerType, nullable = false)())
+    AttributeReference("pq_k", IntegerType, nullable = false)(),
+    // appended round 18: covered files with a routing entry (the set a
+    // selective shardProbe can rank; unrouted files are always probed)
+    AttributeReference("routed_files", IntegerType, nullable = false)())
 
   private[io] val dedupIndexOutput: Seq[Attribute] = Seq(
     AttributeReference("name", StringType, nullable = false)(),
@@ -969,9 +972,11 @@ object LakeSql {
           .historyRows(layer, limit)
       case LakeShowVectorIndexes(base, layer) =>
         new Lake(session, LakeConfig(basePath = base))
-          .vectorIndexStatus(layer).map { case (m, covered, total) =>
-            Row(m.name, m.kind, m.idCol, m.vecCol, m.m, m.efConstruction,
-              m.nlist, m.nprobe, covered, total, m.pqM, m.pqK)
+          .vectorIndexStatus(layer).map {
+            case (m, covered, routed, total) =>
+              Row(m.name, m.kind, m.idCol, m.vecCol, m.m,
+                m.efConstruction, m.nlist, m.nprobe, covered, total,
+                m.pqM, m.pqK, routed)
           }
       case LakeShowDedupIndexes(base, layer) =>
         new Lake(session, LakeConfig(basePath = base))

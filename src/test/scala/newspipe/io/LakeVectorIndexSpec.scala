@@ -101,8 +101,9 @@ class LakeVectorIndexSpec extends SparkTestBase {
     shardCount(base, "fork", "idx") shouldBe 0
     // maintenance sees every shared file already covered by the source
     lake.maintainVectorIndexes("fork") shouldBe 0
-    val (_, covered, total) = lake.vectorIndexStatus("fork").head
+    val (_, covered, routed, total) = lake.vectorIndexStatus("fork").head
     covered shouldBe total
+    routed shouldBe total // the source's routing entries borrow too
     // the fork answers from the SOURCE's artifacts
     val queries = vectors(0 until 6)
     val exact = Similarity.bruteForceTopK(queries, lake.read("fork"),
@@ -152,7 +153,7 @@ class LakeVectorIndexSpec extends SparkTestBase {
     lake.dropVectorIndex("emb", "idx")
     lake.createVectorIndex("emb", "idx", "vec", "vec_id", kind = "ivf",
       nlist = 8, nprobe = 8)
-    val (_, covered, _) = lake.vectorIndexStatus("fork").head
+    val (_, covered, _, _) = lake.vectorIndexStatus("fork").head
     covered shouldBe 0 // nothing borrowable any more
     val degraded = lake.vectorSearch("fork", queries, k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
@@ -694,8 +695,9 @@ class LakeVectorIndexSpec extends SparkTestBase {
     lake.deleteWhereDv("emb", $"vec_id" === 100002)
     lake.purgeDeletionVectors("emb").rewrittenFiles shouldBe 1
     lake.maintainVectorIndexes("emb") shouldBe 0 // REORG re-covered
-    val (_, covered, total) = lake.vectorIndexStatus("emb").head
+    val (_, covered, routed, total) = lake.vectorIndexStatus("emb").head
     covered shouldBe total
+    routed shouldBe total // routing followed the rewrite
     lake.vectorSearch("emb", queries, k = 3)
       .filter($"neighbor_id" === 100002L).count() shouldBe 0L
     // widen int → long: metadata-only commit; artifacts already store
@@ -704,7 +706,7 @@ class LakeVectorIndexSpec extends SparkTestBase {
     lake.widenColumn("emb", "vec_id",
       org.apache.spark.sql.types.LongType).rewrittenFiles shouldBe 0
     lake.maintainVectorIndexes("emb") shouldBe 0
-    val (_, covered2, total2) = lake.vectorIndexStatus("emb").head
+    val (_, covered2, _, total2) = lake.vectorIndexStatus("emb").head
     covered2 shouldBe total2
     val top = lake.vectorSearch("emb", queries.limit(2), k = 1)
       .filter($"rank" === 1)
