@@ -3394,6 +3394,93 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
     snap
   }
 
+  /** Vector-clustering OPTIMIZE (round 18): rewrite the corpus so each
+    * data file holds semantically NEIGHBORING vectors — the layout the
+    * coarse-routing machinery is designed for. Routing can only skip a
+    * shard when the shard is angularly coherent; a corpus whose
+    * clusters are scattered across files routes nowhere (every file's
+    * centroid is mush) and a selective `shardProbe`/cap-bound prune
+    * buys nothing. This op is the tool that CREATES routability:
+    * a deterministic k-means over a bounded hash-ordered sample trains
+    * `clusters` centroids (default: one per output file at
+    * `targetFileBytes`), every alive row is assigned its max-dot
+    * centroid in one pass, and the corpus rewrites range-partitioned by
+    * cluster id — equal ids never split, so each output file holds
+    * whole clusters (ZORDER's role, taken by embedding-space
+    * neighborhoods instead of column ranges). Post-commit maintenance
+    * then covers + routes the new files, whose centroids/radii are now
+    * TIGHT. One shuffle, O(corpus) — the same cost class as every
+    * OPTIMIZE; per-row assignment is a broadcast-centroid kernel.
+    *
+    * Hive-partitioned layers are refused (two layout authorities);
+    * declared ZORDER keys are ignored for this rewrite (the cluster id
+    * IS the arrangement). Deterministic end to end: hash-ordered
+    * sample, first-k init, fixed iterations, lowest-index ties
+    * ([[newspipe.ops.IvfFlat.trainCentroids]]).
+    */
+  def clusterByVector(layer: String, vecCol: String, clusters: Int = 0,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      sampleRows: Int = 65536): String = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    require(clusters >= 0, s"clusters must be >= 0, got $clusters")
+    require(targetFileBytes > 0 && sampleRows > 0,
+      "targetFileBytes and sampleRows must be positive")
+    val snap = latestSnapshot(layer).getOrElse(
+      throw new IllegalStateException(
+        s"layer '$layer' has no committed snapshot — clusterByVector " +
+          "rewrites through the snapshot protocol (writeAtomic first)"))
+    val inv = snapshotInventory(layer, snap)
+    require(layerPartitionCols(layer, inv).isEmpty,
+      s"clusterByVector('$layer'): layer is hive-partitioned — the " +
+        "partition layout and the vector clustering would fight over " +
+        "file placement; rewrite to an unpartitioned layout first " +
+        "(SET PARTITIONED BY ())")
+    val schema = snapshotSchema(layer, snap)
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(vecCol)),
+      s"clusterByVector('$layer'): layer has no column '$vecCol'")
+    val base = layerPath(layer)
+    val f = fs(new Path(base))
+    val bytes = inv.map(rp =>
+      f.getFileStatus(new Path(resolveRel(base, rp))).getLen).sum
+    val nFiles = math.max(1L,
+      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val k = if (clusters > 0) clusters else nFiles
+    val df =
+      if (rowTrackingEnabled(layer)) readWithRowIds(layer) else read(layer)
+    // deterministic bounded sample: lowest-N by content hash — spread
+    // uniformly over the corpus, stable run to run, one small collect
+    val sample: Array[Array[Double]] = df
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(xxhash64(col("__v")))
+      .limit(sampleRows)
+      .collect()
+      .map(r => newspipe.ops.Hnsw.unitOrZero(
+        newspipe.ops.Hnsw.toRaw(r.get(0))))
+    require(sample.nonEmpty,
+      s"clusterByVector('$layer'): layer has no rows to cluster")
+    val centroids = newspipe.ops.IvfFlat.trainCentroids(sample, k)
+    val centB = spark.sparkContext.broadcast(centroids)
+    // per-row assignment: a one-shot maintenance kernel (broadcast
+    // centroids; a codegen expression buys nothing on a single rewrite
+    // pass — this is not a standing query path)
+    val assignUdf = org.apache.spark.sql.functions.udf { v: Seq[Double] =>
+      if (v == null) 0
+      else newspipe.ops.IvfFlat.assignOne(
+        newspipe.ops.Hnsw.unitOrZero(v.toArray), centB.value)
+    }
+    val arranged = df
+      .withColumn("__vc", assignUdf(col(vecCol).cast("array<double>")))
+      .repartitionByRange(k, col("__vc"))
+      .sortWithinPartitions("__vc")
+      .drop("__vc")
+    val out = writeSnapshot(arranged, layer, Nil, requireParent = None,
+      op = "OPTIMIZE CLUSTER BY VECTOR", prearranged = true)
+    // the rewrite replaced every file: cover + route the outputs — the
+    // whole point (their centroids/radii are now tight)
+    maintainIndexesSoftly(layer)
+    out
+  }
+
   // ---- clustering keys (Delta liquid clustering's declaration role) -------
 
   /** Declared clustering columns of a layer (`lake.clusterBy`). */

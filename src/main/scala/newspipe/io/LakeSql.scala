@@ -568,6 +568,13 @@ object LakeSql {
     */
   final case class LakeRefreshDedupIndex(base: String, layer: String,
       name: Option[String]) extends LakeMaint
+  /** `OPTIMIZE lake.`…`.layer CLUSTER BY VECTOR col [CLUSTERS n]` —
+    * vector-clustering rewrite ([[Lake.clusterByVector]]): regroup the
+    * corpus so each file holds semantically neighboring vectors, the
+    * layout coarse shard routing needs.
+    */
+  final case class LakeOptimizeVector(base: String, layer: String,
+      vecCol: String, clusters: Option[Int]) extends LakeMaint
   /** `INSERT INTO lake.`…`.layer DEDUPED [BY INDEX name]
     * [MAXBUCKET n] <SELECT …|TABLE …|VALUES …>` — the SQL spelling of
     * [[Lake.appendDeduped]] (ingest-time near-dedup: only rows that
@@ -701,6 +708,10 @@ object LakeSql {
   private val ShowDIdxRe = java.util.regex.Pattern.compile(
     "(?is)^\\s*SHOW\\s+DEDUP\\s+INDEXES\\s+ON\\s+" + TargetRe +
       "\\s*;?\\s*$")
+  // OPTIMIZE … CLUSTER BY VECTOR is a lake extension (not Spark grammar)
+  private val OptimizeVecRe = java.util.regex.Pattern.compile(
+    s"(?is)^\\s*OPTIMIZE\\s+$TargetRe\\s+CLUSTER\\s+BY\\s+VECTOR\\s+" +
+      "`?([A-Za-z0-9_]+)`?(?:\\s+CLUSTERS\\s+([0-9]+))?\\s*;?\\s*$")
   // INSERT INTO … DEDUPED is not Spark grammar (the DEDUPED keyword after
   // the target would fail Spark's parser) — lake targets only; the source
   // query text is captured whole and planned at execution
@@ -715,6 +726,12 @@ object LakeSql {
     * then produces the natural error).
     */
   def parseMaintenance(sqlText: String): Option[LakeMaint] = {
+    val ov = OptimizeVecRe.matcher(sqlText)
+    if (ov.matches()) {
+      val (base, layer) = targetOf(ov, 1)
+      return Some(LakeOptimizeVector(base, layer, ov.group(4),
+        clusters = Option(ov.group(5)).map(_.toInt)))
+    }
     val o = OptimizeRe.matcher(sqlText)
     if (o.matches()) {
       val (base, layer) = targetOf(o, 1)
@@ -1109,6 +1126,11 @@ object LakeSql {
           case None => lake.maintainDedupIndexes(layer)
         }
         Row("REFRESH DEDUP INDEX", s"shards=$built")
+      case LakeOptimizeVector(_, layer, vecCol, clusters) =>
+        val snap = lake.clusterByVector(layer, vecCol,
+          clusters = clusters.getOrElse(0))
+        Row("OPTIMIZE CLUSTER BY VECTOR",
+          new org.apache.hadoop.fs.Path(snap).getName)
       case LakeInsertDeduped(_, layer, index, maxBucket, sourceSql) =>
         val src = session.sql(sourceSql)
         val r = lake.appendDeduped(src, layer, index,

@@ -47,6 +47,55 @@ object IvfFlat {
       best
     }
 
+  /** Deterministic k-means over UNIT vectors for callers beyond the
+    * shard builder ([[newspipe.io.Lake]]'s vector-clustering OPTIMIZE):
+    * same rules as the artifact build — first-k init over the given
+    * order, fixed iterations, max-dot assignment with ties to the
+    * lowest cell, emptied cells keep their centroid. Input vectors must
+    * already be unit ([[Hnsw.unitOrZero]]).
+    */
+  private[newspipe] def trainCentroids(vecs: Array[Array[Double]],
+      k0: Int, iters: Int = 8): Array[Array[Double]] = {
+    require(vecs.nonEmpty, "trainCentroids needs at least one vector")
+    val k = math.max(1, math.min(k0, vecs.length))
+    val dim = vecs(0).length
+    var centroids = Array.tabulate(k)(i => vecs(i).clone())
+    var it = 0
+    while (it < iters) {
+      val cells = assign(vecs, centroids)
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      var i = 0
+      while (i < vecs.length) {
+        val c = cells(i); counts(c) += 1
+        val v = vecs(i); val s = sums(c)
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        i += 1
+      }
+      centroids = Array.tabulate(k)(c =>
+        if (counts(c) == 0) centroids(c)
+        else Hnsw.unitOrZero(sums(c).map(_ / counts(c))))
+      it += 1
+    }
+    centroids
+  }
+
+  /** One vector's max-dot cell (ties → lowest index) — the assignment
+    * rule [[trainCentroids]] and the clustering rewrite share.
+    */
+  private[newspipe] def assignOne(v: Array[Double],
+      centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val s = dot(v, centroids(c))
+      if (s > bestS) { bestS = s; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Build one shard artifact over `(id, rawVector)` rows. */
   private[newspipe] def buildShardBytes(rows: Array[(Long, Array[Double])],
       nlist: Int = 64, iters: Int = 8): Array[Byte] = {

@@ -389,6 +389,74 @@ class LakeVectorIndexSpec extends SparkTestBase {
     }
   }
 
+  test("clusterByVector: a cluster-SCATTERED corpus becomes routable — " +
+      "the rewrite regroups files by embedding neighborhood, selective " +
+      "probes then reproduce the full-probe result; SQL statement route") {
+    val (base, lake) = newLake()
+    // INTERLEAVED ids (id = j*8 + c): a range write by id mixes all 8
+    // clusters into every file — the layout routing can do nothing with
+    def noise(i: Long, j: Long): Double = {
+      var z = i * 1000003L + j + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      ((z ^ (z >>> 27)) & 0xffffffL).toDouble / 0xffffffL.toDouble - 0.5
+    }
+    def member(c: Int, j: Int, id: Long): (Long, Array[Double]) =
+      (id, (0 until 16).map(d =>
+        (if (d == 2 * c) 1.0 else 0.0) + 0.1 * noise(id, d)).toArray)
+    val scattered = (0 until 40).flatMap(j => (0 until 8).map(c =>
+      member(c, j, j * 8L + c))).toDF("vec_id", "vec")
+    lake.writeAtomic(scattered.repartitionByRange(8, $"vec_id")
+      .sortWithinPartitions("vec_id"), "emb")
+    lake.createVectorIndex("emb", "idx", "vec", "vec_id")
+    // queries: a fresh member of each cluster
+    val queries = (0 until 8).map(c => member(c, 40, 4000L + c))
+      .toDF("vec_id", "vec")
+    def run(probe: Double) = lake.vectorSearch("emb", queries, k = 5,
+        shardProbe = probe)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val full = run(1.0)
+    full.forall { case (q, n) => q % 8L == n % 8L } shouldBe true
+    // the vector-clustering OPTIMIZE, through the SQL statement
+    val r = LakeSql.sql(spark,
+      s"OPTIMIZE lake.`$base`.emb CLUSTER BY VECTOR vec CLUSTERS 8")
+      .collect().head
+    r.getString(0) shouldBe "OPTIMIZE CLUSTER BY VECTOR"
+    // the rewrite auto-covered + auto-routed its outputs
+    lake.maintainVectorIndexes("emb") shouldBe 0
+    val (_, covered, routed, total) = lake.vectorIndexStatus("emb").head
+    covered shouldBe total
+    routed shouldBe total
+    // rows unchanged: full-probe results identical to pre-rewrite
+    run(1.0) shouldBe full
+    // and NOW a selective probe reproduces them — files are
+    // cluster-coherent, so each query's top-ranked shards hold its
+    // whole neighborhood (this is exactly what failed pre-rewrite
+    // layouts cannot guarantee)
+    run(0.25) shouldBe full
+    // cap-bound pruning parity holds on the rewritten corpus too
+    val v1 = lake.listVersions("emb").head
+    lake.appendAtomic(queries.limit(2)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        $"vec".cast("array<double>").as("vec")).coalesce(1), "emb")
+    val pairs = lake.vectorNearDups("emb", v1, threshold = 0.9,
+        indexName = Some("idx"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs should not be empty
+    val f = new Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    f.delete(VectorIndex.routingDir(s"$base/emb", "idx"), true)
+    lake.vectorNearDups("emb", v1, threshold = 0.9,
+        indexName = Some("idx"))
+      .select("id_a", "id_b").as[(Long, Long)]
+      .collect().toSet shouldBe pairs
+    // hive-partitioned layers refused (two layout authorities)
+    lake.writeAtomic(scattered.withColumn("p", $"vec_id" % 2)
+      .repartition(2, $"p"), "embp", partitionBy = Seq("p"))
+    intercept[IllegalArgumentException] {
+      lake.clusterByVector("embp", "vec")
+    }
+  }
+
   test("uncovered files fall back to an exact scan: deleting a shard " +
       "artifact changes cost, never results") {
     val (base, lake) = newLake()
