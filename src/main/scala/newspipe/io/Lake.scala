@@ -3340,6 +3340,22 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
   def compact(layer: String, targetFileBytes: Long = 128L * 1024 * 1024,
       partitionBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil): String = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive")
+    // a DECLARED vector clustering owns the plain-compact layout: the
+    // rewrite re-applies the embedding-space grouping (fresh centroids
+    // over the current corpus) so routine maintenance preserves
+    // routability instead of shuffling the neighborhoods away; explicit
+    // ZORDER BY / partitionBy overrides it for this call
+    if (partitionBy.isEmpty && zorderBy.isEmpty)
+      properties(layer).get(Lake.ClusterByVectorProp).foreach { vc =>
+        // a stale declaration (column since dropped/renamed) degrades
+        // to a plain compaction instead of failing the maintenance op
+        val applies = latestSnapshot(layer).exists(snap =>
+          snapshotSchema(layer, snap).fieldNames
+            .exists(_.equalsIgnoreCase(vc)))
+        if (applies)
+          return clusterByVector(layer, vc,
+            targetFileBytes = targetFileBytes)
+      }
     // declared clustering keys apply when no explicit ZORDER BY is given
     val zcols = effectiveZOrder(layer, zorderBy)
     require(zcols.intersect(partitionBy).isEmpty,
@@ -3475,6 +3491,11 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
       .drop("__vc")
     val out = writeSnapshot(arranged, layer, Nil, requireParent = None,
       op = "OPTIMIZE CLUSTER BY VECTOR", prearranged = true)
+    // the clustering becomes the layer's DECLARED layout (liquid
+    // clustering's declaration role, embedding-space edition): plain
+    // compact() re-applies it, so routine maintenance preserves
+    // routability instead of shuffling the neighborhoods away
+    setProperties(layer, Map(Lake.ClusterByVectorProp -> vecCol))
     // the rewrite replaced every file: cover + route the outputs — the
     // whole point (their centroids/radii are now tight)
     maintainIndexesSoftly(layer)
@@ -7999,6 +8020,13 @@ object Lake {
     * [[Lake.resolveRel]]): `base:<source layer root>//<within-layer rel>`.
     */
   val BaseRefPrefix = "base:"
+
+  /** Table property recording a layer's declared vector clustering —
+    * written by [[Lake.clusterByVector]]; plain [[Lake.compact]]
+    * re-applies the clustered layout when it is set (liquid
+    * clustering's declaration role, embedding-space edition).
+    */
+  val ClusterByVectorProp = "lake.clusterByVector"
 
   /** Snapshot-dir marker listing the staging files a [[Lake.copyInto]]
     * commit loaded (newline-joined qualified paths) — the idempotency

@@ -449,6 +449,21 @@ class LakeVectorIndexSpec extends SparkTestBase {
         indexName = Some("idx"))
       .select("id_a", "id_b").as[(Long, Long)]
       .collect().toSet shouldBe pairs
+    // DECLARED layout: the rewrite recorded the clustering as a table
+    // property, so a PLAIN compact() re-applies it — after landing a
+    // cluster-MIXED file, routine maintenance alone restores
+    // selective-probe exactness (routine OPTIMIZE preserves
+    // routability instead of shuffling the neighborhoods away)
+    lake.properties("emb")
+      .get(Lake.ClusterByVectorProp) shouldBe Some("vec")
+    lake.appendAtomic((41 to 44).flatMap(j => (0 until 8).map(c =>
+        member(c, j, 8000L + j * 8 + c))).toDF("vec_id", "vec")
+      .select($"vec_id", $"vec".cast("array<double>").as("vec"))
+      .coalesce(1), "emb")
+    lake.compact("emb")
+    lake.maintainVectorIndexes("emb") shouldBe 0 // compact auto-routed
+    val full3 = run(1.0)
+    run(0.25) shouldBe full3
     // hive-partitioned layers refused (two layout authorities)
     lake.writeAtomic(scattered.withColumn("p", $"vec_id" % 2)
       .repartition(2, $"p"), "embp", partitionBy = Seq("p"))
