@@ -5947,15 +5947,52 @@ final class Lake(spark: SparkSession, config: LakeConfig) {
         "project them out)")
     val variantCols = a.schema.fields.filter(
       _.dataType == VariantType).map(_.name)
-    if (variantCols.isEmpty) (a.exceptAll(b), b.exceptAll(a))
+    if (variantCols.isEmpty) symmetricExceptAll(a, b)
     else {
       def enc(df: DataFrame) = variantCols.foldLeft(df)((d, c) =>
         d.withColumn(c, to_json(col(s"`$c`"))))
       def dec(df: DataFrame) = variantCols.foldLeft(df)((d, c) =>
         d.withColumn(c, expr(s"parse_json(`$c`)")))
-      val (ea, eb) = (enc(a), enc(b))
-      (dec(ea.exceptAll(eb)), dec(eb.exceptAll(ea)))
+      val (ins, del) = symmetricExceptAll(enc(a), enc(b))
+      (dec(ins), dec(del))
     }
+  }
+
+  /** `(a exceptAll b, b exceptAll a)` computed from ONE shared aggregate —
+    * the multiset-difference plan `RewriteExceptAll` produces, except both
+    * directions derive from the same count: union(a tagged +1, b tagged
+    * −1) → per-row-value `sum(tag)` → replicate `n` times into the insert
+    * side (n > 0) or `−n` times into the delete side (n < 0). Identical
+    * results to the exceptAll pair (multiset semantics, NULL-safe grouping,
+    * NaN/−0.0 normalization — all inherited from the same aggregate
+    * machinery exceptAll lowers to).
+    *
+    * Why not two `exceptAll` calls: each lowers to its OWN union+aggregate
+    * with opposite tag polarity, so the two directions never share a
+    * subtree — and the change-feed surface then fans each direction into
+    * semi/anti-join legs, re-evaluating the whole diff (scan + shuffle)
+    * once per leg: q99's four-tag feed executed 64 parquet scans. With one
+    * shared aggregate every leg's plan contains the SAME canonical
+    * exchange, which exchange reuse (AQE stage cache) materializes once —
+    * the symmetric-difference files are scanned once per side and shuffled
+    * once, regardless of how many legs consume the diff. Laziness is
+    * preserved (no checkpoint): a bare EXPLAIN of the feed still launches
+    * nothing.
+    */
+  private def symmetricExceptAll(a: DataFrame,
+      b: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, explode, lit, sequence, sum}
+    val outCols = a.columns.toSeq
+    val quoted = outCols.map(c => col(s"`$c`"))
+    val tagged = a.withColumn("__side", lit(1L))
+      .unionByName(b.select(outCols.map(c => col(s"`$c`")): _*)
+        .withColumn("__side", lit(-1L)))
+    val counts = tagged.groupBy(quoted: _*).agg(sum(col("__side")).as("__n"))
+    def replicate(n: org.apache.spark.sql.Column): DataFrame = counts
+      .filter(n > 0)
+      .withColumn("__rep", explode(sequence(lit(1L), n)))
+      .select(quoted: _*)
+    (replicate(col("__n")), replicate(-col("__n")))
   }
 
   /** Committed versions from `fromVersion` to `toVersion` inclusive,
