@@ -45,20 +45,28 @@ object NgramLm {
     * eagerly (localCheckpoint): scoring joins the unigram table twice
     * (current and previous token) — lazy plans would re-tokenize the
     * whole reference per join, per score call.
+    *
+    * ONE tokenize + window pass: the `(w1, w)` pair counts (first tokens
+    * carry `w1 = null`) are the single materialized aggregate, and both
+    * model tables derive from it — `c1(w) = Σ_{w1} c(w1, w)` because
+    * every token position contributes exactly one pair row (exact integer
+    * sums, bit-identical counts). The previous form ran separate
+    * checkpoint jobs for unigrams and bigrams, each re-running scan +
+    * tokenization + the lag window over the whole reference.
     */
   def train(reference: DataFrame, idCol: String, textCol: String,
       alpha: Double = 0.4): Model = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     val pos = tokenPositions(reference, idCol, textCol)
-    val uni = pos.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-      .localCheckpoint(true)
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val bi = pos.withColumn("w1", lag(col("w"), 1).over(w))
-      .filter(col("w1").isNotNull)
-      .groupBy(col("w1"), col("w").as("w2"))
-      .agg(count(lit(1)).as("c2"))
-      .select(col("w1"), col("w2"), col("c2"))
+    val pairs = pos.withColumn("w1", lag(col("w"), 1).over(w))
+      .groupBy(col("w1"), col("w"))
+      .agg(count(lit(1)).as("__c"))
       .localCheckpoint(true)
+    val uni = pairs.groupBy(col("w")).agg(sum(col("__c")).as("c1"))
+      .localCheckpoint(true) // vocab-sized; consumed by two score joins
+    val bi = pairs.filter(col("w1").isNotNull)
+      .select(col("w1"), col("w").as("w2"), col("__c").as("c2"))
     val stats = uni.agg(sum(col("c1")), count(lit(1))).head()
     Model(uni, bi, stats.getLong(0), stats.getLong(1), alpha)
   }

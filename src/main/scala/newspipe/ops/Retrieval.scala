@@ -28,21 +28,30 @@ object Retrieval {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val terms = queryTerms.distinct
 
-    val docs = Par.ensure(corpus.select(col(idCol), col(textCol).as("__t")))
+    // ONE tokenize pass over the corpus. The token stream feeds TWO
+    // aggregates — corpus stats (N, avgdl) and the (doc, term) term
+    // frequencies — and they share no exchange, so the lazy form ran
+    // scan + regex tokenization TWICE per call (guide §1.2: don't
+    // recompute what a stage boundary can hold). The checkpointed frame
+    // is the NARROW projection only: doc id, token count, and the
+    // query-term occurrences (a handful per doc) — never the text or the
+    // full token array, so the materialization is O(rows), not O(bytes).
+    val slim = Par.ensure(corpus.select(col(idCol), col(textCol).as("__t")))
       .withColumn("__toks", Dedup.tokens(col("__t")))
-      .select(col(idCol), col("__toks"), size(col("__toks")).as("__dl"))
+      .select(col(idCol), size(col("__toks")).as("__dl"),
+        filter(col("__toks"),
+          t => t.isin(terms.map(x => x: Any): _*)).as("__qt"))
       .filter(col("__dl") > 0)
+      .localCheckpoint(true)
 
     // corpus stats: two scalars, broadcast (no driver action — the
     // aggregate rides the plan as a broadcast nested-loop join)
-    val stats = docs.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+    val stats = slim.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
 
     // (doc, term) term frequencies for query terms only: the explode is
     // pre-filtered to the term set, so its volume is matches, not tokens
-    val tf = docs
-      .select(col(idCol), col("__dl"),
-        explode(filter(col("__toks"),
-          t => t.isin(terms.map(x => x: Any): _*))).as("__term"))
+    val tf = slim
+      .select(col(idCol), col("__dl"), explode(col("__qt")).as("__term"))
       .groupBy(col(idCol), col("__dl"), col("__term"))
       .agg(count(lit(1)).as("__tf"))
 
